@@ -56,7 +56,7 @@ object ArrayPrimitives {
 
   /** abs(a-b) with two args; |a| with one (oph_abs_array). */
   def oph_abs_array(a: Column, b: Column): Column = zip_with(a, b, (x, y) => abs(x - y))
-  def oph_abs_array(a: Column): Column = transform(a, abs)
+  def oph_abs_array(a: Column): Column = transform(a, x => abs(x))
 
   /** Elementwise max/min versus a second array. */
   def oph_max_array(a: Column, b: Column): Column = zip_with(a, b, greatest(_, _))
@@ -111,7 +111,7 @@ object ArrayPrimitives {
   private def notMissing(x: Column): Column = x.isNotNull && !isnan(x)
 
   /** Count of non-missing elements (oph_count_array). */
-  def oph_count_array(a: Column): Column = size(filter(a, notMissing)).cast(LongType)
+  def oph_count_array(a: Column): Column = size(filter(a, notMissing(_))).cast(LongType)
 
   /** Number of elements (oph_size_array). */
   def oph_size_array(a: Column): Column = size(a).cast(LongType)
@@ -135,7 +135,7 @@ object ArrayPrimitives {
       case "avg"     => s1 / n
       case "max"     => array_max(b)
       case "min"     => array_min(b)
-      case "count"   => size(filter(b, notMissing)).cast(DoubleType)
+      case "count"   => size(filter(b, notMissing(_))).cast(DoubleType)
       case "var"     => (s2 - s1 * s1 / n) / (n - 1.0)
       case "std"     => sqrt((s2 - s1 * s1 / n) / (n - 1.0))
       case "cmoment" => s2 / n - (s1 / n) * (s1 / n) // 2nd central moment (population)
@@ -268,7 +268,7 @@ object ArrayPrimitives {
   def oph_interlace2(a: Column, b: Column, bs: Int): Column = {
     val nblocks = ceil(size(a).cast(DoubleType) / bs).cast(IntegerType)
     flatten(transform(sequence(lit(0), nblocks - 1),
-      i => concat(slice(a, i * bs + 1, bs), slice(b, i * bs + 1, bs))))
+      i => concat(slice(a, i * bs + 1, lit(bs)), slice(b, i * bs + 1, lit(bs)))))
   }
 
   /** Permute implicit-dim order (oph_permute): multi-dim transpose within
@@ -295,7 +295,7 @@ object ArrayPrimitives {
     val len = size(a)
     val k = pmod(n.cast(IntegerType), len)
     when(len === 0 || k === 0, a)
-      .otherwise(concat(slice(a, len - k + 1, k), slice(a, 1, len - k)))
+      .otherwise(concat(slice(a, len - k + 1, k), slice(a, lit(1), len - k)))
   }
   def oph_rotate(a: Column, n: Int): Column = oph_rotate(a, lit(n))
 
@@ -305,10 +305,10 @@ object ArrayPrimitives {
     if (n == 0) a
     else if (n > 0)
       when(len <= n, transform(a, _ => lit(fill)))
-        .otherwise(concat(array_repeat(lit(fill), n), slice(a, 1, len - n)))
+        .otherwise(concat(array_repeat(lit(fill), n), slice(a, lit(1), len - n)))
     else
       when(len <= -n, transform(a, _ => lit(fill)))
-        .otherwise(concat(slice(a, -n + 1, len + n), array_repeat(lit(fill), -n)))
+        .otherwise(concat(slice(a, lit(-n + 1), len + n), array_repeat(lit(fill), -n)))
   }
 
   /** Pad to `len` with `v` (oph_padding). */

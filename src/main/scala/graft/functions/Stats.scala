@@ -54,7 +54,7 @@ object Stats {
     val m = mean(a)
     val d = transform(a, x => x - m)
     val len = size(a)
-    val num = dsum(zip_with(slice(d, 1, len - 1), slice(d, 2, len - 1), _ * _))
+    val num = dsum(zip_with(slice(d, lit(1), len - 1), slice(d, lit(2), len - 1), _ * _))
     num / dsum(transform(d, x => x * x))
   }
 
@@ -178,7 +178,7 @@ object Stats {
       val m = mean(a); val sd = oph_gsl_sd(a)
       transform(a, x => (x - m) / sd)
     case "max" =>
-      val mx = array_max(transform(a, abs))
+      val mx = array_max(transform(a, x => abs(x)))
       transform(a, _ / mx)
     case o => throw new IllegalArgumentException(s"unknown normalize method: $o")
   }
