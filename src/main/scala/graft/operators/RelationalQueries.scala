@@ -1,0 +1,308 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.KeyAlgebra
+
+/** The reference's relational surface (SURVEY.md §2.1/§2.3) re-expressed as
+  * DataFrame plans, each paired with a DuckDB oracle in [[oracles]].
+  *
+  * Determinism rules (the driver hash-compares against DuckDB):
+  *  - sums/avgs of doubles go through DECIMAL casts so the result does not
+  *    depend on float summation order, then back to DOUBLE;
+  *  - every query orders by a unique key;
+  *  - column names are aliased identically on both sides.
+  *
+  * Scale notes are inline: dims are broadcast, aggregations are partial
+  * (map-side combine is automatic for all used aggregates), and no query
+  * collects to the driver.
+  */
+object RelationalQueries {
+
+  private def dsum(c: String) =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  /** q01 — SELECT + WHERE + projection w/ expression (select path,
+    * oph_io_server_query_engine.c:258-385). Filter and pruning reach the
+    * parquet scan (PushedFilters in .explain). */
+  def q01_filter_project(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q02 — CTAS (create_frag_select, oph_io_server_query_engine.c:35-237):
+    * materialize a derived fragment as a temp view, then query it. */
+  def q02_ctas(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_ctas_out")
+    s.table("graft_ctas_out")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("sum_price"))
+      .orderBy("o_custkey")
+  }
+
+  /** q03 — GROUP BY aggregation (oph_io_server_query_blocks.c:133-439),
+    * generalized to multi-column groups (reference: single expr). */
+  def q03_agg_group(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        dsum("l_quantity").as("sum_qty"),
+        dsum("l_extendedprice").as("sum_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q04 — implicit total aggregation (no GROUP BY → 1 row;
+    * oph_io_server_query_blocks.c:2557-2671). */
+  def q04_agg_total(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("n_rows"),
+        dsum("l_quantity").as("sum_qty"),
+        min("l_shipdate").as("min_ship"),
+        max("l_shipdate").as("max_ship"))
+
+  /** q05 — equi-join + agg. The reference's positional aligned merge
+    * (oph_io_server_query_blocks.c:845-1082) generalizes to a hash join;
+    * customer is a dim → broadcast (no shuffle of the fact side's join). */
+  def q05_join_agg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("sum_price"))
+      .orderBy("c_mktsegment")
+
+  /** q06 — multi-way join through the dim chain, all dims broadcast:
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region. One shuffle total
+    * (the final groupBy); the fact table never shuffles for joins. */
+  def q06_join_chain(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("r_name")
+
+  /** q07 — ORDER BY (multi-col, desc — generalizing the reference's
+    * asc-only single-col insertion sort) + LIMIT/OFFSET
+    * (oph_io_server_query_blocks.c:699-817). */
+  def q07_order_limit(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(5).limit(10)
+
+  /** q08 — the reference's "non-aggregate select fields take the first row
+    * of each group" rule (oph_io_server_query_blocks.c:2438-2458): first =
+    * lowest key, expressed as min_by (DuckDB arg_min). */
+  def q08_first_in_group(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+
+  /** q09 — oph_subset (filter + sequential_id re-key + materialize;
+    * oph_io_server_query_procedures.c:37-218). Scalable numbering via
+    * [[SequentialId]] (no single-partition window). */
+  def q09_subset_rekey(s: SparkSession, dir: String): DataFrame = {
+    val filtered = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 49)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    SequentialId.withSequentialId(filtered, "id_dim",
+        Seq(col("l_orderkey"), col("l_linenumber")), start = 1L)
+      .select("id_dim", "l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("id_dim")
+  }
+
+  /** q10 — multi_insert (oph_io_server_query_engine.c:474-614): batched
+    * literal rows appended to a fragment, then queried. */
+  def q10_multi_insert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val extra = Seq((90, "GRAFTLAND"), (91, "OPHIDIA"), (92, "GRAFTLAND"))
+      .toDF("r_regionkey", "r_name")
+    Tables.region(s, dir).select("r_regionkey", "r_name")
+      .unionByName(extra)
+      .groupBy("r_name").agg(count(lit(1)).as("n"))
+      .orderBy("r_name")
+  }
+
+  /** q11 — key algebra (§2.4): oph_id / oph_id2 / oph_id_to_index2 re-map
+    * and oph_is_in_subset filter over a dense key. Pure column arithmetic
+    * → whole-stage codegen, filter pushed to scan. */
+  def q11_key_algebra(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.filter(KeyAlgebra.oph_is_in_subset(col("event_id"), 3, 7, 9000))
+      .select(col("event_id"),
+        KeyAlgebra.oph_id(col("event_id"), 10).as("block_id"),
+        KeyAlgebra.oph_id2(col("event_id"), 10, 4).as("block_id2"),
+        KeyAlgebra.oph_id_to_index2(col("event_id"), 10, 100).as("dim_idx"))
+      .orderBy("event_id")
+  }
+
+  /** q12 — DISTINCT (absent in the reference — SURVEY §2.3 "Not present";
+    * native here). */
+  def q12_distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q13 — set ops (absent in the reference): parts never ordered. */
+  def q13_except(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(col("p_partkey"))
+      .except(Tables.lineitem(s, dir).select(col("l_partkey").as("p_partkey")))
+      .orderBy("p_partkey")
+
+  /** q14 — HAVING + scalar subquery (absent in the reference). */
+  def q14_having_subquery(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val avgBal = c.agg(avg(col("c_acctbal").cast("decimal(18,2)")).cast("double"))
+      .first().getDouble(0)
+    c.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), dsum("c_acctbal").as("sum_bal"))
+      .filter(col("sum_bal") > avgBal * 10)
+      .orderBy("c_nationkey")
+  }
+
+  /** q15 — window functions (absent in the reference): top-3 orders per
+    * segment. Partitioned window → parallel by segment. */
+  def q15_window_rank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("c_mktsegment", "rk")
+  }
+
+  /** q16 — tumbling time-window aggregation over the events stream table
+    * (batch view of the Structured Streaming path; see graft.streaming).
+    * `ts` arrives as raw nanos-since-epoch (nanosAsLong); trunc to the
+    * hour with exact integer arithmetic. */
+  def q16_time_window(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        timestamp_seconds(
+          KeyAlgebra.ldiv(col("ts"), lit(3600000000000L)) * 3600L).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_filter_project" -> (q01_filter_project _),
+    "q02_ctas" -> (q02_ctas _),
+    "q03_agg_group" -> (q03_agg_group _),
+    "q04_agg_total" -> (q04_agg_total _),
+    "q05_join_agg" -> (q05_join_agg _),
+    "q06_join_chain" -> (q06_join_chain _),
+    "q07_order_limit" -> (q07_order_limit _),
+    "q08_first_in_group" -> (q08_first_in_group _),
+    "q09_subset_rekey" -> (q09_subset_rekey _),
+    "q10_multi_insert" -> (q10_multi_insert _),
+    "q11_key_algebra" -> (q11_key_algebra _),
+    "q12_distinct" -> (q12_distinct _),
+    "q13_except" -> (q13_except _),
+    "q14_having_subquery" -> (q14_having_subquery _),
+    "q15_window_rank" -> (q15_window_rank _),
+    "q16_time_window" -> (q16_time_window _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1.0 - l_discount) AS revenue
+         FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+    "q02_ctas" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_custkey ORDER BY o_custkey""",
+    "q03_agg_group" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q04_agg_total" ->
+      """SELECT count(*) AS n_rows,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+         FROM lineitem""",
+    "q05_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q06_join_chain" ->
+      """SELECT r_name, count(*) AS n_items,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q07_order_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""",
+    "q08_first_in_group" ->
+      """SELECT o_custkey, arg_min(o_totalprice, o_orderkey) AS first_price,
+         count(*) AS n FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q09_subset_rekey" ->
+      """SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS id_dim,
+         l_orderkey, l_linenumber, l_quantity
+         FROM lineitem WHERE l_quantity >= 49
+         ORDER BY id_dim""",
+    "q10_multi_insert" ->
+      """SELECT r_name, count(*) AS n FROM (
+           SELECT r_regionkey, r_name FROM region
+           UNION ALL SELECT 90, 'GRAFTLAND'
+           UNION ALL SELECT 91, 'OPHIDIA'
+           UNION ALL SELECT 92, 'GRAFTLAND')
+         GROUP BY r_name ORDER BY r_name""",
+    "q11_key_algebra" ->
+      """SELECT event_id,
+         1 + (event_id - 1) // 10 AS block_id,
+         1 + (event_id - 1) % 4 + ((event_id - 1) // 40) * 4 AS block_id2,
+         1 + ((event_id - 1) // 10) % 100 AS dim_idx
+         FROM events
+         WHERE (event_id - 3) % 7 = 0 AND event_id >= 3 AND event_id <= 9000
+         ORDER BY event_id""",
+    "q12_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q13_except" ->
+      """SELECT p_partkey FROM part
+         EXCEPT SELECT l_partkey AS p_partkey FROM lineitem
+         ORDER BY p_partkey""",
+    "q14_having_subquery" ->
+      """SELECT c_nationkey, count(*) AS n,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer GROUP BY c_nationkey
+         HAVING sum_bal > (SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) * 10 FROM customer)
+         ORDER BY c_nationkey""",
+    "q15_window_rank" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+           SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders JOIN customer ON o_custkey = c_custkey) t
+         WHERE rk <= 3 ORDER BY c_mktsegment, rk""",
+    "q16_time_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+  )
+}
