@@ -7,9 +7,11 @@ object SparkEntry {
     graft.operators.RelationalQueries.q03_agg_group(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.operators.RelationalQueries.queries
+    graft.operators.RelationalQueries.queries ++
+    graft.operators.ArrayQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.operators.RelationalQueries.oracles
+    graft.operators.RelationalQueries.oracles ++
+    graft.operators.ArrayQueries.oracles
 }

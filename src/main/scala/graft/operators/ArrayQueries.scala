@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{ArrayPrimitives => AP, Numeric, Stats}
+import graft.sources.BinaryCodec
+
+/** The reference's array-primitive surface (SURVEY.md §2.6) exercised as
+  * oracle-checked queries over the `embeddings` table (64-dim float
+  * vectors = the "measure" implicit-dim array).
+  *
+  * Determinism notes: float→double casts are exact; elementwise +,-,*,/,
+  * sqrt, abs are IEEE-correctly-rounded and thus bit-identical between
+  * the JVM and DuckDB; in-array reductions left-fold in both engines;
+  * across-row sums use fixed-point longs (see [[ArrayAggregates]]).
+  * Transcendental-function outputs (FFT) are rounded to 3 decimals on
+  * both sides.
+  */
+object ArrayQueries {
+
+  /** embeddings.embedding as array<double> (exact widening). */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("a", col("embedding").cast("array<double>"))
+
+  /** a01 — scalar arithmetic over the array (oph_mul_scalar:241,
+    * oph_sum_scalar:333, oph_math:221 'square'). */
+  def a01_scalar_math(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      AP.oph_sum_scalar(AP.oph_mul_scalar(col("a"), 2.0), 1.0).as("arr"),
+      AP.oph_math(col("a"), "square").as("sq"))
+      .orderBy("vec_id")
+
+  /** a02 — two-array elementwise ops (oph_sum_array:329, oph_div_array:73,
+    * oph_operation_array:253) pairing the array with its reverse. */
+  def a02_pairwise(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      AP.oph_sum_array(col("a"), reverse(col("a"))).as("arr"),
+      AP.oph_div_array(col("a"),
+        transform(col("a"), x => abs(x) + 1.0)).as("arr2"))
+      .orderBy("vec_id")
+
+  /** a03 — blockwise in-array reduction (oph_reduce:285): 64→8 block
+    * avg/max, plus total sum (blockSize = whole array). */
+  def a03_reduce(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      AP.oph_reduce(col("a"), "avg", 8).as("avg8"),
+      AP.oph_reduce(col("a"), "max", 8).as("max8"),
+      AP.oph_reduce(col("a"), "sum", 64).as("sum_all"))
+      .orderBy("vec_id")
+
+  /** a04 — subsetting (oph_get_subarray2:105 subset-string '1:3:end',
+    * oph_extract:89, oph_get_subarray:101). */
+  def a04_subset(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      AP.oph_get_subarray2(col("a"), "1:3:end").as("sub"),
+      AP.oph_extract(col("a"), Seq(1, 5, 9)).as("picked"),
+      AP.oph_get_subarray(col("a"), 10, 5).as("sl"))
+      .orderBy("vec_id")
+
+  /** a05 — reshaping (oph_reverse:301, oph_rotate:309, oph_padding:265,
+    * oph_shift:317, oph_sequence:313). */
+  def a05_reshape(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      AP.oph_rotate(AP.oph_reverse(col("a")), 5).as("rot"),
+      AP.oph_padding(AP.oph_get_subarray(col("a"), 1, 3), 6, -1.0).as("pad"),
+      AP.oph_shift(col("a"), 3, 0.0).as("shifted"),
+      AP.oph_sequence(0.0, 0.5, 5).as("seq"))
+      .orderBy("vec_id")
+
+  /** a06 — predicates & masks (oph_predicate:273, oph_filter:153,
+    * oph_get_index_array:97). */
+  def a06_predicate(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      AP.oph_predicate(col("a"), x => x, "<", _ => lit(0.0), x => x).as("clip"),
+      size(AP.oph_filter(col("a"), _ > 0.0)).cast("long").as("npos"),
+      AP.oph_get_index_array(col("a"), _ > 0.2).cast("array<bigint>").as("idxs"))
+      .orderBy("vec_id")
+
+  /** a07 — per-array statistics (oph_gsl_stats:193 subset, oph_gsl_sd:181;
+    * GSL n-1 conventions; see Stats). */
+  def a07_stats(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      Stats.mean(col("a")).as("mean"),
+      Stats.variance(col("a")).as("var"),
+      Stats.oph_gsl_sd(col("a")).as("sd"),
+      Stats.absdev(col("a")).as("absdev"),
+      array_min(col("a")).as("mn"),
+      array_max(col("a")).as("mx"))
+      .orderBy("vec_id")
+
+  /** a08 — prefix ops (oph_accumulate:5 UDF scan, oph_deaccumulate:69). */
+  def a08_accumulate(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      Numeric.oph_accumulate(col("a")).as("acc"),
+      Stats.oph_deaccumulate(col("a")).as("deacc"))
+      .orderBy("vec_id")
+
+  /** a09 — quantiles (oph_gsl_quantile:177, GSL interpolation),
+    * histogram (oph_gsl_histogram:165), boxplot (oph_gsl_boxplot:113). */
+  def a09_quantile_hist(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      Stats.oph_gsl_quantile(col("a"), Seq(0.25, 0.5, 0.75)).as("quart"),
+      Stats.oph_gsl_histogram(col("a"), 8, -0.5, 0.5).as("hist"))
+      .orderBy("vec_id")
+
+  /** a10 — across-row elementwise aggregation (oph_aggregate_operator:9)
+    * via partial+final Aggregator with exact fixed-point sums; elementwise
+    * min is exact on raw doubles. */
+  def a10_agg_elementwise(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("scaled",
+        transform(col("a"), x => floor(x * 1e9).cast("long")))
+      .groupBy("label")
+      .agg(ArrayAggregates.ewSumLong(col("scaled")).as("vec_sum_scaled"),
+        ArrayAggregates.ewMinDouble(col("a")).as("vec_min"),
+        count(lit(1)).as("n"))
+      .orderBy("label")
+
+  /** a11 — oph_roll_up:305 (dimension demotion): concatenate the group's
+    * arrays in id order into one long array. */
+  def a11_rollup(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < 40)
+      .groupBy("label")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("vec_id"), col("a")))),
+        p => p.getField("a"))).as("merged"))
+      .orderBy("label")
+
+  /** a12 — oph_expand:81 (dimension promotion): array → one row per
+    * element with a 1-based position key (posexplode). */
+  def a12_expand(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), posexplode(col("a")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("val"))
+      .orderBy("vec_id", "pos")
+
+  /** a13 — index remapping: oph_permute:269 (8×8 transpose within the
+    * row-major array) + oph_interlace:209 of the two halves. */
+  def a13_permute_interlace(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      AP.oph_permute(col("a"), Seq(8, 8), Seq(1, 0)).as("trans"),
+      AP.oph_interlace(AP.oph_get_subarray(col("a"), 1, 32),
+        AP.oph_get_subarray(col("a"), 33, 32)).as("inter"))
+      .orderBy("vec_id")
+
+  /** a14 — oph_gsl_fft:149 via JTransforms; oracle is a naive SQL DFT,
+    * both sides rounded to 3 decimals. */
+  def a14_fft(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        transform(Numeric.oph_gsl_fft(col("a")), x => round(x, 3)).as("fft"))
+      .orderBy("vec_id")
+
+  /** a15 — packed-binary codec fidelity (oph-lib-binary-io.h:61-68):
+    * pack→unpack roundtrip must be identity; dump as exact integers
+    * (oph_dump:77). */
+  def a15_codec(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      when(BinaryCodec.oph_from_bin(BinaryCodec.oph_to_bin(col("a"))) === col("a"), 1L)
+        .otherwise(0L).as("roundtrip_ok"),
+      AP.oph_dump(
+        transform(col("a"), x => floor(x * 1000).cast("long")), ",").as("dump"))
+      .orderBy("vec_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_scalar_math" -> (a01_scalar_math _),
+    "a02_pairwise" -> (a02_pairwise _),
+    "a03_reduce" -> (a03_reduce _),
+    "a04_subset" -> (a04_subset _),
+    "a05_reshape" -> (a05_reshape _),
+    "a06_predicate" -> (a06_predicate _),
+    "a07_stats" -> (a07_stats _),
+    "a08_accumulate" -> (a08_accumulate _),
+    "a09_quantile_hist" -> (a09_quantile_hist _),
+    "a10_agg_elementwise" -> (a10_agg_elementwise _),
+    "a11_rollup" -> (a11_rollup _),
+    "a12_expand" -> (a12_expand _),
+    "a13_permute_interlace" -> (a13_permute_interlace _),
+    "a14_fft" -> (a14_fft _),
+    "a15_codec" -> (a15_codec _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a01_scalar_math" ->
+      """SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE * 2.0 + 1.0) AS arr,
+         list_transform(embedding, x -> x::DOUBLE * x::DOUBLE) AS sq
+         FROM embeddings ORDER BY vec_id""",
+    "a02_pairwise" ->
+      """SELECT vec_id,
+         list_transform(range(1, 65), i -> embedding[i]::DOUBLE + embedding[65 - i]::DOUBLE) AS arr,
+         list_transform(embedding, x -> x::DOUBLE / (abs(x::DOUBLE) + 1.0)) AS arr2
+         FROM embeddings ORDER BY vec_id""",
+    "a03_reduce" ->
+      """SELECT vec_id,
+         list_transform(range(0, 8), b ->
+           list_reduce(list_transform(embedding[b*8+1 : b*8+8], x -> x::DOUBLE), (x,y) -> x+y) / 8.0) AS avg8,
+         list_transform(range(0, 8), b -> list_max(embedding[b*8+1 : b*8+8])::DOUBLE) AS max8,
+         [list_reduce(list_transform(embedding, x -> x::DOUBLE), (x,y) -> x+y)] AS sum_all
+         FROM embeddings ORDER BY vec_id""",
+    "a04_subset" ->
+      """SELECT vec_id,
+         list_transform(range(1, 65, 3), i -> embedding[i]::DOUBLE) AS sub,
+         list_transform([1, 5, 9], i -> embedding[i]::DOUBLE) AS picked,
+         list_transform(embedding[10:14], x -> x::DOUBLE) AS sl
+         FROM embeddings ORDER BY vec_id""",
+    "a05_reshape" ->
+      """SELECT vec_id,
+         list_transform(list_reverse(embedding)[60:64] || list_reverse(embedding)[1:59], x -> x::DOUBLE) AS rot,
+         list_transform(embedding[1:3], x -> x::DOUBLE) || [-1.0::DOUBLE, -1.0::DOUBLE, -1.0::DOUBLE] AS pad,
+         [0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE] || list_transform(embedding[1:61], x -> x::DOUBLE) AS shifted,
+         list_transform(range(0, 5), i -> 0.0::DOUBLE + i * 0.5::DOUBLE) AS seq
+         FROM embeddings ORDER BY vec_id""",
+    "a06_predicate" ->
+      """SELECT vec_id,
+         list_transform(embedding, x -> CASE WHEN x::DOUBLE < 0.0 THEN 0.0::DOUBLE ELSE x::DOUBLE END) AS clip,
+         len(list_filter(embedding, x -> x::DOUBLE > 0.0))::BIGINT AS npos,
+         list_filter(range(1, 65), i -> embedding[i]::DOUBLE > 0.2) AS idxs
+         FROM embeddings ORDER BY vec_id""",
+    "a07_stats" ->
+      """SELECT vec_id, s1/64.0 AS mean,
+         (s2 - s1*s1/64.0) / 63.0 AS var,
+         sqrt((s2 - s1*s1/64.0) / 63.0) AS sd,
+         list_reduce(list_transform(embedding, x -> abs(x::DOUBLE - s1/64.0)), (x,y) -> x+y) / 64.0 AS absdev,
+         list_min(embedding)::DOUBLE AS mn, list_max(embedding)::DOUBLE AS mx
+         FROM (SELECT vec_id, embedding,
+           list_reduce(list_transform(embedding, x -> x::DOUBLE), (x,y) -> x+y) AS s1,
+           list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (x,y) -> x+y) AS s2
+           FROM embeddings) ORDER BY vec_id""",
+    "a08_accumulate" ->
+      """SELECT vec_id,
+         list_transform(range(1, 65), i ->
+           list_reduce(list_transform(embedding[1:i], x -> x::DOUBLE), (x,y) -> x+y)) AS acc,
+         list_transform(range(1, 65), i ->
+           CASE WHEN i = 1 THEN embedding[1]::DOUBLE
+                ELSE embedding[i]::DOUBLE - embedding[i-1]::DOUBLE END) AS deacc
+         FROM embeddings ORDER BY vec_id""",
+    "a09_quantile_hist" ->
+      """SELECT vec_id,
+         list_transform([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE], q ->
+           s[(floor(q*63.0))::INT + 1] + (q*63.0 - floor(q*63.0)) *
+             (s[least((floor(q*63.0))::INT + 2, 64)] - s[(floor(q*63.0))::INT + 1])) AS quart,
+         list_transform(range(0, 8), i ->
+           len(list_filter(s, x -> x >= -0.5 + i * 0.125 AND x < -0.5 + (i+1) * 0.125))::BIGINT) AS hist
+         FROM (SELECT vec_id, list_sort(list_transform(embedding, x -> x::DOUBLE)) AS s
+           FROM embeddings) ORDER BY vec_id""",
+    "a10_agg_elementwise" ->
+      """SELECT label,
+         list(ssum ORDER BY i) AS vec_sum_scaled,
+         list(emin ORDER BY i) AS vec_min,
+         any_value(cnt) AS n
+         FROM (SELECT label, i,
+             sum(CAST(floor(embedding[i]::DOUBLE * 1e9) AS BIGINT)) AS ssum,
+             min(embedding[i]::DOUBLE) AS emin,
+             count(*) AS cnt
+           FROM embeddings, range(1, 65) t(i) GROUP BY label, i)
+         GROUP BY label ORDER BY label""",
+    "a11_rollup" ->
+      """SELECT label, flatten(list(arr ORDER BY vec_id)) AS merged
+         FROM (SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS arr
+           FROM embeddings WHERE vec_id < 40)
+         GROUP BY label ORDER BY label""",
+    "a12_expand" ->
+      """SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS val
+         FROM embeddings, range(1, 65) t(i) WHERE vec_id < 10
+         ORDER BY vec_id, pos""",
+    "a13_permute_interlace" ->
+      """SELECT vec_id,
+         list_transform(range(0, 64), j -> embedding[((j//8) % 8) + 8*(j % 8) + 1]::DOUBLE) AS trans,
+         flatten(list_transform(range(1, 33), i -> [embedding[i]::DOUBLE, embedding[i+32]::DOUBLE])) AS inter
+         FROM embeddings ORDER BY vec_id""",
+    "a14_fft" ->
+      """SELECT vec_id,
+         flatten(list_transform(range(0, 64), k -> [
+           round(list_reduce(list_transform(range(0, 64), n ->
+             embedding[n+1]::DOUBLE * cos(2*pi()*k*n/64.0)), (x,y) -> x+y), 3),
+           round(-list_reduce(list_transform(range(0, 64), n ->
+             embedding[n+1]::DOUBLE * sin(2*pi()*k*n/64.0)), (x,y) -> x+y), 3)])) AS fft
+         FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""",
+    "a15_codec" ->
+      """SELECT vec_id, 1::BIGINT AS roundtrip_ok,
+         array_to_string(list_transform(embedding,
+           x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)), ',') AS dump
+         FROM embeddings ORDER BY vec_id""",
+  )
+}
