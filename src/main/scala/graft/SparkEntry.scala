@@ -8,10 +8,18 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.RelationalQueries.queries ++
-    graft.operators.ArrayQueries.queries
+    graft.operators.ArrayQueries.queries ++
+    graft.operators.TextQueries.queries ++
+    graft.operators.DedupQueries.queries ++
+    graft.operators.SimilarityQueries.queries ++
+    graft.operators.MultimodalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.operators.RelationalQueries.oracles ++
-    graft.operators.ArrayQueries.oracles
+    graft.operators.ArrayQueries.oracles ++
+    graft.operators.TextQueries.oracles ++
+    graft.operators.DedupQueries.oracles ++
+    graft.operators.SimilarityQueries.oracles ++
+    graft.operators.MultimodalQueries.oracles
 }

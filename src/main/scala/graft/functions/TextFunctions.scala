@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the training-data pipeline operators
+  * (language-ID, quality scoring, token counting, fingerprinting, MinHash
+  * shingles). Everything is deterministic column arithmetic so results are
+  * reproducible across engines (the DuckDB oracles mirror each formula)
+  * and across cluster sizes.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (single-space convention of the corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Deterministic 60-bit hash of a string: the top 15 hex digits of its
+    * md5, as a positive long. Portable: md5 is identical everywhere
+    * (DuckDB: CAST('0x'||substr(md5(x),1,15) AS BIGINT)). */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** MinHash parameters: k universal-hash functions over Z_p,
+    * p = 2^31 - 1; a_k, b_k from a fixed LCG so both engines can
+    * regenerate them as literal arithmetic. */
+  val MinhashP = 2147483647L
+  def minhashA(k: Int): Long = (1103515245L * (k + 1) + 12345L) % MinhashP
+  def minhashB(k: Int): Long = (1103515245L * (k + 101) + 12345L) % MinhashP
+
+  /** 16-function MinHash signature over the distinct-token set.
+    * h_k(doc) = min over tokens of ((a_k * H(t) + b_k) mod p) with
+    * H(t) = md5Long60(t) mod p. Products stay < 2^62 (no overflow). */
+  def minhashSignature(text: Column, k: Int = 16): Column = {
+    val hs = transform(distinctTokens(text), t => md5Long60(t) % MinhashP)
+    array((0 until k).map { i =>
+      array_min(transform(hs, h => (lit(minhashA(i)) * h + lit(minhashB(i))) % MinhashP))
+    }: _*)
+  }
+
+  /** 60-bit SimHash over the distinct-token set: bit b is set iff the
+    * (+1/-1) vote over tokens' H-bit b is positive. Bit b of h is
+    * extracted as (h div 2^b) mod 2 — pure long arithmetic, identical in
+    * DuckDB as (h >> b) & 1. */
+  def simhash60(text: Column): Column = {
+    val hs = transform(distinctTokens(text), t => md5Long60(t))
+    val pow2 = array((0 until 60).map(b => lit(1L << b)): _*)
+    aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, b) => {
+      val p = element_at(pow2, b + 1)
+      val net = aggregate(hs, lit(0L), (a2, h) =>
+        a2 + when(KeyAlgebra.ldiv(h, p) % 2L === 1L, lit(1L)).otherwise(lit(-1L)))
+      acc + when(net > 0L, p).otherwise(lit(0L))
+    })
+  }
+}

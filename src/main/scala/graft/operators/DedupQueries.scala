@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * canonicalized, MinHash+LSH, SimHash and n-gram Jaccard.
+  *
+  * Scale posture: every variant is built so the quadratic step only ever
+  * happens INSIDE an LSH bucket / hash group, never across the corpus:
+  *  - exact/canonical dedup: one hash-partition groupBy on the digest —
+  *    the classic 100 TB exact-dedup shape;
+  *  - MinHash: signatures are per-row (scan-parallel); the band join is
+  *    an equi-join on (band index, band signature), so Spark hash-joins
+  *    buckets and only bucket-mates are compared;
+  *  - SimHash: pairing is an equi-join on the high 30 bits (a band), so
+  *    candidate pairs stay near-linear; the full cross-join fallback is
+  *    what we do NOT do.
+  */
+object DedupQueries {
+
+  /** d01 — exact dedup by content digest: every row keeps its group
+    * representative (min doc_id with identical text). */
+  def d01_dedup_exact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+    val reps = d.groupBy("digest")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("group_size"))
+    d.join(reps, "digest")
+      .select(col("doc_id"), col("rep_id"), col("group_size"),
+        (col("doc_id") =!= col("rep_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** d02 — canonicalized dedup: normalize to the sorted distinct-token
+    * set, so token-order shuffles & repetition count as duplicates. */
+  def d02_dedup_canonical(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat_ws(" ", array_sort(distinctTokens(col("text")))).as("canon"))
+    val reps = d.groupBy("canon")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("group_size"))
+    d.join(reps, "canon")
+      .select(col("doc_id"), col("rep_id"), col("group_size"),
+        (col("doc_id") =!= col("rep_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** d03 — MinHash + LSH near-dup detection: 16-hash signature, 2 bands
+    * × 8 rows, candidates = band-bucket join, verified by exact Jaccard
+    * over distinct-token sets, threshold 0.99. */
+  def d03_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        minhashSignature(col("text")).as("sig"),
+        distinctTokens(col("text")).as("tk"))
+      .cache()
+    val bands = docs.select(col("doc_id"), explode(
+      transform(sequence(lit(0), lit(1)), b =>
+        struct(b.as("band"),
+          concat_ws("_", slice(col("sig"), b * 8 + 1, lit(8))).as("key"))))
+      .as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("tk").as("tka")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("tk").as("tkb")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("tka"), col("tkb"))).cast("double") /
+          size(array_union(col("tka"), col("tkb"))).cast("double"))
+      .filter(col("jaccard") >= 0.99)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d04 — SimHash near-dup: 60-bit signatures, candidates share the
+    * high-30-bit band (equi-join, not cross join), kept if Hamming
+    * distance ≤ 2. */
+  def d04_simhash(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), simhash60(col("text")).as("sh"))
+      .withColumn("band", graft.functions.KeyAlgebra.ldiv(col("sh"), lit(1L << 30)))
+      .cache()
+    d.as("x").join(d.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d05 — n-gram Jaccard near-dup: character 4-gram sets of the LSH
+    * candidates (reusing d03's banding), Jaccard over 4-gram hash sets,
+    * threshold 0.9. */
+  def d05_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        minhashSignature(col("text")).as("sig"),
+        array_distinct(transform(sequence(lit(1), length(col("text")) - 3),
+          i => col("text").substr(i, lit(4)))).as("grams"))
+      .cache()
+    val bands = docs.select(col("doc_id"), explode(
+      transform(sequence(lit(0), lit(1)), b =>
+        struct(b.as("band"),
+          concat_ws("_", slice(col("sig"), b * 8 + 1, lit(8))).as("key"))))
+      .as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .withColumn("jaccard4",
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))).cast("double"))
+      .filter(col("jaccard4") >= 0.9)
+      .select("doc_a", "doc_b", "jaccard4")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact" -> (d01_dedup_exact _),
+    "d02_dedup_canonical" -> (d02_dedup_canonical _),
+    "d03_minhash_lsh" -> (d03_minhash_lsh _),
+    "d04_simhash" -> (d04_simhash _),
+    "d05_ngram_jaccard" -> (d05_ngram_jaccard _),
+  )
+
+  private val sqlSig =
+    """list_transform(range(0, 16), k -> list_min(list_transform(
+       list_transform(list_distinct(string_split(text, ' ')),
+         t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647),
+       h -> (((1103515245*(k+1) + 12345) % 2147483647) * h
+             + ((1103515245*(k+101) + 12345) % 2147483647)) % 2147483647)))"""
+
+  private val sqlSimhash =
+    """list_reduce(list_transform(range(0, 60), b ->
+       CASE WHEN list_reduce(list_transform(
+         list_transform(list_distinct(string_split(text, ' ')),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)), h ->
+         CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END), (x,y) -> x+y) > 0
+       THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x,y) -> x+y)"""
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT doc_id, rep_id, group_size, doc_id <> rep_id AS is_dup
+         FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id,
+           count(*) OVER (PARTITION BY md5(text)) AS group_size FROM documents)
+         ORDER BY doc_id""",
+    "d02_dedup_canonical" ->
+      """SELECT doc_id, rep_id, group_size, doc_id <> rep_id AS is_dup
+         FROM (SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY canon) AS rep_id,
+           count(*) OVER (PARTITION BY canon) AS group_size
+           FROM (SELECT doc_id,
+             array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS canon
+             FROM documents))
+         ORDER BY doc_id""",
+    "d03_minhash_lsh" -> s"""
+      WITH sigs AS (SELECT doc_id, $sqlSig AS sig,
+          list_distinct(string_split(text, ' ')) AS tk FROM documents),
+      bands AS (SELECT doc_id, b,
+          array_to_string(sig[b*8+1 : b*8+8], '_') AS key
+        FROM sigs, range(0, 2) t(b)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+          AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b,
+        len(list_intersect(a.tk, b.tk))::DOUBLE /
+          len(list_distinct(a.tk || b.tk))::DOUBLE AS jaccard
+      FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
+        JOIN sigs b ON cand.doc_b = b.doc_id
+      WHERE len(list_intersect(a.tk, b.tk))::DOUBLE /
+          len(list_distinct(a.tk || b.tk))::DOUBLE >= 0.99
+      ORDER BY doc_a, doc_b""",
+    "d04_simhash" -> s"""
+      WITH sh AS (SELECT doc_id, $sqlSimhash AS sh FROM documents),
+      banded AS (SELECT doc_id, sh, sh >> 30 AS band FROM sh)
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        bit_count(xor(x.sh, y.sh))::BIGINT AS hamming
+      FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.sh, y.sh)) <= 2
+      ORDER BY doc_a, doc_b""",
+    "d05_ngram_jaccard" -> s"""
+      WITH base AS (SELECT doc_id, $sqlSig AS sig,
+          list_distinct(list_transform(range(1, length(text) - 2),
+            i -> substr(text, i::INT, 4))) AS grams FROM documents),
+      bands AS (SELECT doc_id, b,
+          array_to_string(sig[b*8+1 : b*8+8], '_') AS key
+        FROM base, range(0, 2) t(b)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+          AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b,
+        len(list_intersect(a.grams, b.grams))::DOUBLE /
+          len(list_distinct(a.grams || b.grams))::DOUBLE AS jaccard4
+      FROM cand JOIN base a ON cand.doc_a = a.doc_id
+        JOIN base b ON cand.doc_b = b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+          len(list_distinct(a.grams || b.grams))::DOUBLE >= 0.9
+      ORDER BY doc_a, doc_b""",
+  )
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Multimodal-column plumbing for the training-data pipeline: media
+  * payloads ride as opaque `binary` columns next to a typed metadata
+  * struct; decode / feature-extraction runs batch-at-a-time inside
+  * `mapPartitions` (the Scala analogue of an Arrow-batched UDF — one
+  * decoder instantiation per partition, not per row).
+  *
+  * The decoder itself is a STUB (this container has no image/audio
+  * codecs): `FakeDecoder.decode` derives a deterministic feature from the
+  * payload's md5 so the full pipeline — schema, batching, partitioning,
+  * output shape — is real and oracle-checked, and a libjpeg/ffmpeg-backed
+  * decoder drops into the same seam.
+  */
+object MultimodalQueries {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte],
+                            width: Int, height: Int, channels: Int, format: String)
+  final case class MediaFeature(doc_id: Long, width: Int, height: Int,
+                                channels: Int, format: String, feat: Double)
+
+  /** STUB decoder: a real implementation would decode `payload` with an
+    * image codec and pool pixel features. Here: mean of the first 16 hex
+    * digits of md5(payload) — deterministic and portable. */
+  object FakeDecoder {
+    private val hex = "0123456789abcdef"
+    def decode(payload: Array[Byte]): Double = {
+      val md = MessageDigest.getInstance("MD5")
+      val h = md.digest(payload).map("%02x".format(_)).mkString
+      h.take(16).map(c => hex.indexOf(c).toDouble).sum / 16.0
+    }
+  }
+
+  /** m01 — binary payload + metadata struct + batched decode. Payload =
+    * the document's UTF-8 bytes standing in for media bytes. */
+  def m01_media_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        (length(col("text")) % 64 + 1).as("width"),
+        (graft.functions.KeyAlgebra.ldiv(length(col("text")), lit(64)).cast("int") % 64 + 1).as("height"),
+        lit(3).as("channels"), lit("fake8").as("format"))
+      .as[MediaRow]
+    media.mapPartitions { it =>
+      // one decoder per partition — the batch seam a real codec needs
+      it.map(r => MediaFeature(r.doc_id, r.width, r.height, r.channels,
+        r.format, FakeDecoder.decode(r.payload)))
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_features" -> (m01_media_features _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m01_media_features" ->
+      """SELECT doc_id,
+         (length(text) % 64 + 1)::INT AS width,
+         ((length(text) // 64) % 64 + 1)::INT AS height,
+         3::INT AS channels, 'fake8' AS format,
+         list_reduce(list_transform(range(1, 17),
+           i -> (strpos('0123456789abcdef', substr(md5(text), i::INT, 1)) - 1)::DOUBLE),
+           (x,y) -> x+y) / 16.0 AS feat
+         FROM documents ORDER BY doc_id""",
+  )
+}

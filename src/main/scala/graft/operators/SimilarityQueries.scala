@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * s01 is the exact brute-force baseline: the query set is tiny and
+  * broadcast, so the scan side streams once with no shuffle — the correct
+  * plan at 100 TB (k·n dot products, embarrassingly parallel).
+  *
+  * s02 is the scale path: IVF — a coarse quantizer (here: per-label
+  * centroids, computed with exact fixed-point elementwise sums) routes
+  * each query to its nearest centroid's bucket, and only that bucket is
+  * scanned (nprobe=1). At 100 TB the buckets are the partition keys, so
+  * a probe touches 1/k of the data.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("a", col("embedding").cast("array<double>"))
+
+  /** Left-fold dot product — identical evaluation order in DuckDB's
+    * list_reduce, so results are bit-exact across engines. */
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+
+  private def norm(x: Column): Column = sqrt(dot(x, x))
+
+  /** s01 — brute-force cosine top-5 for query vectors (vec_id % 50 = 0),
+    * rank by (sim desc, vec_id) with self excluded. */
+  def s01_ann_bruteforce(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb(s, dir).withColumn("nrm", norm(col("a")))
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    base.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("qa"), col("a")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** s02 — IVF (nprobe=1): centroid per label via exact fixed-point mean,
+    * query → nearest centroid (L2², lowest label wins ties) → top-3
+    * within that bucket by (L2² asc, vec_id). */
+  def s02_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb(s, dir)
+      .withColumn("scaled", transform(col("a"), x => floor(x * 1e9).cast("long")))
+    val centroids = base.groupBy("label")
+      .agg(ArrayAggregates.ewSumLong(col("scaled")).as("ssum"),
+        count(lit(1)).as("cnt"))
+      .select(col("label").as("c_label"),
+        transform(col("ssum"),
+          v => v.cast("double") / col("cnt").cast("double") / 1e9).as("centroid"))
+    def l2(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)), lit(0.0), _ + _)
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"))
+    val wAssign = Window.partitionBy("query_id")
+      .orderBy(col("cdist"), col("c_label"))
+    val assigned = qs.crossJoin(broadcast(centroids))
+      .withColumn("cdist", l2(col("qa"), col("centroid")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("query_id"), col("qa"), col("c_label").as("probe_label"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    base.join(broadcast(assigned), col("label") === col("probe_label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dist", l2(col("qa"), col("a")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("probe_label"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_ann_bruteforce" -> (s01_ann_bruteforce _),
+    "s02_ann_ivf" -> (s02_ann_ivf _),
+  )
+
+  private val sqlDot =
+    "list_reduce(list_transform(range(1, 65), i -> X[i] * Y[i]), (p,q) -> p+q)"
+
+  val oracles: Map[String, String] = Map(
+    "s01_ann_bruteforce" -> s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
+        FROM embeddings),
+      n AS (SELECT vec_id, a,
+        sqrt(list_reduce(list_transform(a, x -> x*x), (p,q) -> p+q)) AS nrm FROM e),
+      sims AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+          ${sqlDot.replace("X", "q.a").replace("Y", "d.a")} / (q.nrm * d.nrm) AS sim
+        FROM n q, n d
+        WHERE q.vec_id % 50 = 0 AND d.vec_id <> q.vec_id)
+      SELECT query_id, rank, neighbor_id, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims) WHERE rank <= 3 + 2 ORDER BY query_id, rank""",
+    "s02_ann_ivf" -> s"""
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      cent AS (SELECT label AS c_label,
+          list(s ORDER BY i) AS centroid FROM (
+          SELECT label, i,
+            sum(CAST(floor(a[i] * 1e9) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1e9 AS s
+          FROM e, range(1, 65) t(i) GROUP BY label, i)
+        GROUP BY label),
+      qs AS (SELECT vec_id AS query_id, a AS qa FROM e WHERE vec_id % 50 = 0),
+      assigned AS (SELECT query_id, qa, c_label AS probe_label FROM (
+          SELECT q.query_id, q.qa, c.c_label,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (q.qa[i] - c.centroid[i]) * (q.qa[i] - c.centroid[i])),
+                (p,q2) -> p+q2), c.c_label) AS crk
+          FROM qs q, cent c) WHERE crk = 1)
+      SELECT query_id, probe_label, rank, neighbor_id, dist FROM (
+        SELECT s.query_id, s.probe_label,
+          row_number() OVER (PARTITION BY s.query_id
+            ORDER BY list_reduce(list_transform(range(1, 65),
+              i -> (s.qa[i] - d.a[i]) * (s.qa[i] - d.a[i])), (p,q2) -> p+q2),
+              d.vec_id) AS rank,
+          d.vec_id AS neighbor_id,
+          list_reduce(list_transform(range(1, 65),
+            i -> (s.qa[i] - d.a[i]) * (s.qa[i] - d.a[i])), (p,q2) -> p+q2) AS dist
+        FROM assigned s JOIN e d ON d.label = s.probe_label
+        WHERE d.vec_id <> s.query_id)
+      WHERE rank <= 3 ORDER BY query_id, rank""",
+  )
+}

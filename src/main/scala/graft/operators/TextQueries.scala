@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for the large-scale training-data pipeline:
+  * token counting, quality scoring, language-ID, document fingerprinting.
+  * All per-row column arithmetic — embarrassingly parallel, no shuffles,
+  * whole-stage codegen'd; at 100 TB these run at scan speed.
+  */
+object TextQueries {
+
+  /** t01 — token counting + quality scoring (length / stopword-ratio
+    * heuristics over exact integer counts). */
+  def t01_token_quality(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t).cast("long"))
+          .as("total_chars"),
+        (size(filter(col("toks"), t => t.isInCollection(stop))).cast("double") /
+          size(col("toks")).cast("double")).as("stop_ratio"))
+      .withColumn("avg_token_len",
+        col("total_chars").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("quality",
+        (lit(1.0) - col("stop_ratio")) *
+          least(lit(1.0), col("n_tokens").cast("double") / 100.0))
+      .orderBy("doc_id")
+  }
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "key", "hash"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "row", "scan"),
+    "fr" -> Seq("order", "query", "value"),
+    "zh" -> Seq("spark", "join", "merge"))
+
+  /** t02 — language-ID by n-gram/marker-token scoring: count marker hits
+    * per language, argmax with lexicographic tie-break. (The corpus is
+    * synthetic so the markers are a fixed profile table; a real profile
+    * set drops in without changing the plan shape.) */
+  def t02_langid(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+    val scored = markers.foldLeft(base) { case (df, (lg, ms)) =>
+      df.withColumn(s"s_$lg",
+        size(filter(col("toks"), t => t.isInCollection(ms))).cast("long"))
+    }
+    val best = greatest(markers.map { case (lg, _) => col(s"s_$lg") }: _*)
+    // first matching language in de<en<es<fr<zh order (lexicographic
+    // tie-break, mirrored by the oracle's CASE chain)
+    val predFirst = markers.reverse.foldLeft(lit("??")) { case (els, (lg, _)) =>
+      when(col(s"s_$lg") === best, lit(lg)).otherwise(els)
+    }
+    scored.select(col("doc_id") +: col("lang").as("actual_lang") +:
+        markers.map { case (lg, _) => col(s"s_$lg") } :+
+        predFirst.as("pred_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** t03 — document fingerprinting: 60-bit content hash, min-token-hash
+    * (1-function MinHash) and SimHash. */
+  def t03_fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5Long60(col("text")).as("content_fp"),
+        array_min(transform(distinctTokens(col("text")), md5Long60(_)))
+          .as("min_token_fp"),
+        simhash60(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_quality" -> (t01_token_quality _),
+    "t02_langid" -> (t02_langid _),
+    "t03_fingerprint" -> (t03_fingerprint _),
+  )
+
+  private def sqlHs =
+    "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_quality" ->
+      """SELECT doc_id, n_tokens, n_distinct, total_chars, stop_ratio,
+         total_chars::DOUBLE / n_tokens::DOUBLE AS avg_token_len,
+         (1.0 - stop_ratio) * least(1.0, n_tokens::DOUBLE / 100.0) AS quality
+         FROM (SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           len(list_distinct(toks))::BIGINT AS n_distinct,
+           list_reduce(list_transform(toks, t -> length(t)::BIGINT), (a,b) -> a+b) AS total_chars,
+           len(list_filter(toks, t -> t IN ('the','a','of','and','to')))::DOUBLE / len(toks)::DOUBLE AS stop_ratio
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+         ORDER BY doc_id""",
+    "t02_langid" ->
+      """SELECT doc_id, lang AS actual_lang, s_de, s_en, s_es, s_fr, s_zh,
+         CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+              WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+              ELSE 'zh' END AS pred_lang
+         FROM (SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+           greatest(s_de, s_en, s_es, s_fr, s_zh) AS best
+           FROM (SELECT doc_id, lang,
+             len(list_filter(toks, t -> t IN ('table','key','hash')))::BIGINT AS s_de,
+             len(list_filter(toks, t -> t IN ('the','a','fast','slow')))::BIGINT AS s_en,
+             len(list_filter(toks, t -> t IN ('data','row','scan')))::BIGINT AS s_es,
+             len(list_filter(toks, t -> t IN ('order','query','value')))::BIGINT AS s_fr,
+             len(list_filter(toks, t -> t IN ('spark','join','merge')))::BIGINT AS s_zh
+             FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)))
+         ORDER BY doc_id""",
+    "t03_fingerprint" ->
+      s"""SELECT doc_id,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_fp,
+         list_min($sqlHs) AS min_token_fp,
+         list_reduce(list_transform(range(0, 60), b ->
+           CASE WHEN list_reduce(list_transform($sqlHs, h ->
+             CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END), (x,y) -> x+y) > 0
+           THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x,y) -> x+y) AS simhash
+         FROM documents ORDER BY doc_id""",
+  )
+}
