@@ -1,0 +1,386 @@
+package graft.engine
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.dialect.{ExprCompiler, ExprParser, QueryParser}
+import graft.dialect.QueryParser.ParsedQuery
+import graft.operators.SequentialId
+
+/** The reference's IO-server surface as a Spark-native engine: one
+  * [[IoServer]] ≈ one server process (catalog of databases/fragments),
+  * one [[Session]] ≈ one client connection (current_db, last result set,
+  * open create_frag statement) — mirroring the per-thread session state of
+  * src/server/oph_io_server_thread.h:78-87.
+  *
+  * Dispatch follows src/server/oph_io_server_query.c:37-536 — all 14
+  * `operation=` entry points plus the three stored procedures
+  * (oph_io_server_query_procedures.c). Fragments are DataFrames persisted
+  * MEMORY_AND_DISK (a strict upgrade over the reference's RAM-only MEMORY
+  * device, which errors at 10% free RAM —
+  * src/common/oph_server_utility.c:407-431).
+  *
+  * Scale posture: a fragment at 100 TB is a partitioned DataFrame, not a
+  * single in-memory table; nothing here collects to the driver except
+  * `select` result paging, which is bounded by maxResultRows.
+  */
+final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000) {
+
+  private val dbs = mutable.Set[String]("default")
+  private val frags = mutable.Map[(String, String), DataFrame]()
+  private val fragSizes = mutable.Map[(String, String), Long]()
+
+  def newSession(): Session = new Session(this)
+
+  private[engine] def createDb(name: String): Unit = synchronized {
+    if (dbs.contains(name))
+      throw new IllegalArgumentException(s"database $name exists")
+    dbs += name
+  }
+  private[engine] def dropDb(name: String): Unit = synchronized {
+    if (frags.keys.exists(_._1 == name))
+      throw new IllegalArgumentException(s"database $name not empty")
+    dbs -= name
+  }
+  private[engine] def hasDb(name: String): Boolean = synchronized(dbs.contains(name))
+  private[engine] def putFrag(db: String, name: String, df: DataFrame,
+                              sizeHint: Long): Unit = synchronized {
+    if (frags.contains((db, name)))
+      throw new IllegalArgumentException(s"fragment $db.$name exists")
+    frags((db, name)) = df
+    fragSizes((db, name)) = sizeHint
+  }
+  private[engine] def getFrag(db: String, name: String): DataFrame = synchronized {
+    frags.getOrElse((db, name),
+      throw new IllegalArgumentException(s"no such fragment: $db.$name"))
+  }
+  private[engine] def dropFrag(db: String, name: String): Unit = synchronized {
+    val df = frags.remove((db, name)).getOrElse(
+      throw new IllegalArgumentException(s"no such fragment: $db.$name"))
+    fragSizes.remove((db, name))
+    df.unpersist()
+  }
+  private[engine] def fragSize(db: String, name: String): Long = synchronized {
+    fragSizes.getOrElse((db, name), 0L)
+  }
+  def fragmentNames: Seq[(String, String)] = synchronized(frags.keys.toSeq.sorted)
+
+  final class Session private[engine] (server: IoServer) {
+    private var currentDb: String = "default"
+    private var lastResultSet: Option[DataFrame] = None
+    /** Open 2-phase create_frag statement: (db, frag, columns). */
+    private var openFrag: Option[(String, String, Seq[String])] = None
+    private val pendingRows = mutable.Buffer[Seq[Any]]()
+
+    def useDb(name: String): Unit = {
+      if (!server.hasDb(name)) throw new IllegalArgumentException(s"no db $name")
+      currentDb = name
+    }
+
+    def lastResult: Option[DataFrame] = lastResultSet
+
+    /** Main entry — the EXEC_QUERY path (oph_io_server_query.c:37-536).
+      * `binds` carries ?N prepared-statement args (1-based). */
+    def execute(query: String, binds: Seq[Any] = Nil): Option[DataFrame] = {
+      val q = QueryParser.parse(query)
+      q.operation match {
+        case "create_database" => server.createDb(q("db_name")); None
+        case "drop_database" =>
+          server.dropDb(q("db_name"))
+          if (currentDb == q("db_name")) currentDb = "default"
+          None
+        case "create_frag" => runCreateFrag(q); None
+        case "drop_frag" =>
+          val (db, nm) = splitName(q("frag_name")); server.dropFrag(db, nm); None
+        case "create_frag_select" => runCtas(q, binds); None
+        case "select" =>
+          val r = runSelect(q, binds)
+          lastResultSet = Some(r)
+          Some(r)
+        case "insert" => runInsert(q, binds, multi = false); None
+        case "multi_insert" => runInsert(q, binds, multi = true); None
+        case "random_import" => runRandomImport(q); None
+        case "function" => runProcedure(q)
+        case op => throw new IllegalArgumentException(s"unknown operation: $op")
+      }
+    }
+
+    private def splitName(n: String): (String, String) = n.split('.') match {
+      case Array(db, f) => (db, f)
+      case Array(f) => (currentDb, f)
+      case _ => throw new IllegalArgumentException(s"bad fragment name: $n")
+    }
+
+    // -- create_frag (two-phase CREATE TABLE; only 2-column tables in the
+    //    reference — oph_io_server_query_manager.h:80; we keep the shape
+    //    but allow n columns) --
+    private def runCreateFrag(q: ParsedQuery): Unit = {
+      val (db, nm) = splitName(q("frag_name"))
+      val names = q.multi("column_name")
+      openFrag = Some((db, nm, names))
+      pendingRows.clear()
+    }
+
+    // -- insert / multi_insert (oph_io_server_query_engine.c:387-614):
+    //    buffered until final_statement=yes (or immediately for insert) --
+    private def runInsert(q: ParsedQuery, binds: Seq[Any], multi: Boolean): Unit = {
+      val (db, nm, cols) = openFrag.getOrElse(
+        throw new IllegalStateException("insert without open create_frag"))
+      val fields = q.multi("field")
+      require(fields == cols, s"insert fields $fields != declared $cols")
+      val values = q.multi("value").map(parseValue(_, binds))
+      val rows = values.grouped(cols.size).toSeq
+      pendingRows ++= rows
+      val isFinal = !multi ||
+        q.get("final_statement").exists(_.equalsIgnoreCase("yes"))
+      if (isFinal) {
+        import scala.jdk.CollectionConverters._
+        val schema = inferSchema(cols, pendingRows.head)
+        val df = spark.createDataFrame(
+          pendingRows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        server.putFrag(db, nm, df, pendingRows.size.toLong)
+        openFrag = None
+        pendingRows.clear()
+      }
+    }
+
+    private def parseValue(v: String, binds: Seq[Any]): Any = {
+      val t = v.trim
+      if (t.startsWith("?")) binds(t.drop(1).toInt - 1)
+      else if (t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1)
+      else if (t.matches("[+-]?\\d+")) t.toLong
+      else t.toDouble
+    }
+
+    private def inferSchema(cols: Seq[String], row: Seq[Any]) = {
+      import org.apache.spark.sql.types._
+      StructType(cols.zip(row).map { case (c, v) =>
+        val dt = v match {
+          case _: Long | _: Int => LongType
+          case _: Double | _: Float => DoubleType
+          case _: String => StringType
+          case _: Array[Byte] => BinaryType
+          case _: Seq[_] => ArrayType(DoubleType)
+          case o => throw new IllegalArgumentException(s"value type ${o.getClass}")
+        }
+        StructField(c, dt)
+      })
+    }
+
+    // -- SELECT / CTAS core: FROM → WHERE → GROUP BY → projection →
+    //    ORDER → LIMIT (the fixed pipeline of
+    //    oph_io_server_query_engine.c:258-385, made declarative) --
+    private def buildSelect(q: ParsedQuery, binds: Seq[Any]): DataFrame = {
+      val froms = q.multi("from")
+      val aliases = q.multi("from_alias")
+      require(froms.nonEmpty, "FROM required")
+      val dfs = froms.map { f => val (db, nm) = splitName(f); server.getFrag(db, nm) }
+
+      // multi-FROM = the reference's positional aligned merge on dense ids
+      // (oph_io_server_query_blocks.c:845-1082) → equi-join on id_dim
+      val joined = dfs match {
+        case Seq(one) => one
+        case many =>
+          require(q.get("where").isDefined,
+            "WHERE is mandatory with multiple FROM tables") // manager.h:93
+          // disambiguate non-key columns per table (alias_i prefix)
+          val renamed = many.zipWithIndex.map { case (df, i) =>
+            val al = aliases.lift(i).filter(_.nonEmpty).getOrElse(s"t${i + 1}")
+            df.columns.foldLeft(df) { (d, cn) =>
+              if (cn == "id_dim") d else d.withColumnRenamed(cn, s"$al.$cn")
+            }
+          }
+          renamed.reduce(_.join(_, "id_dim"))
+      }
+
+      val bind: Int => Column = i => lit(binds(i - 1))
+      // alias-qualified names carry a literal dot → backtick-quote them
+      def resolve(df: DataFrame)(n: String): Column =
+        if (n.contains('.')) df(s"`$n`") else df(n)
+
+      val afterWhere = q.get("where") match {
+        case Some(w) =>
+          val ast = ExprParser.parse(w)
+          joined.filter(ExprCompiler.compile(ast, resolve(joined), bind).bool)
+        case None => joined
+      }
+
+      val fields = q.multi("field")
+      val aliasesOut = q.multi("field_alias") match {
+        case Nil => q.multi("select_alias")
+        case a => a
+      }
+      val fieldAsts = fields.map(f =>
+        if (f.trim.equalsIgnoreCase("id_dim") || !f.contains("(")) ExprParser.parse(f)
+        else ExprParser.parse(f))
+      val outNames = fields.zipWithIndex.map { case (f, i) =>
+        aliasesOut.lift(i).filter(_.nonEmpty).getOrElse(f.trim)
+      }
+
+      val grouped = q.get("group") match {
+        case Some(g) =>
+          // single group expression (oph_io_server_query_manager.h:102);
+          // non-aggregate fields take the group's first row in id order
+          // (first-row rule, oph_io_server_query_blocks.c:2438-2458)
+          val gast = ExprParser.parse(g)
+          val gcol = ExprCompiler.compile(gast, resolve(afterWhere), bind).num
+          val aggs = fieldAsts.zip(outNames).map { case (ast, nm) =>
+            if (ExprCompiler.isAggregate(ast))
+              ExprCompiler.compile(ast, resolve(afterWhere), bind).num.as(nm)
+            else
+              min_by(ExprCompiler.compile(ast, resolve(afterWhere), bind).num,
+                afterWhere("id_dim")).as(nm)
+          }
+          afterWhere.groupBy(gcol.as("__group"))
+            .agg(aggs.head, aggs.tail: _*)
+            .drop("__group")
+        case None if fieldAsts.exists(ExprCompiler.isAggregate) =>
+          // implicit total aggregation (blocks.c:2557-2671)
+          val aggs = fieldAsts.zip(outNames).map { case (ast, nm) =>
+            if (ExprCompiler.isAggregate(ast))
+              ExprCompiler.compile(ast, resolve(afterWhere), bind).num.as(nm)
+            else min_by(ExprCompiler.compile(ast, resolve(afterWhere), bind).num,
+              afterWhere("id_dim")).as(nm)
+          }
+          afterWhere.agg(aggs.head, aggs.tail: _*)
+        case None =>
+          val seqIdStart = q.get("sequential_id").map(_.toLong)
+          val cols = fieldAsts.zip(outNames).map { case (ast, nm) =>
+            ExprCompiler.compile(ast, resolve(afterWhere), bind).num.as(nm)
+          }
+          seqIdStart match {
+            case Some(start) =>
+              // oph_subset re-keying (procedures.c:188-196): the generated
+              // key start..start+n-1 in id order SUBSTITUTES id_dim in the
+              // output; scalable via zipWithIndex (no global window)
+              val nonId = fieldAsts.zip(outNames)
+                .filter { case (_, nm) => nm != "id_dim" }
+                .map { case (ast, nm) =>
+                  ExprCompiler.compile(ast, resolve(afterWhere), bind).num.as(nm)
+                }
+              val base = afterWhere.select(
+                (afterWhere("id_dim").as("__oid") +: nonId): _*)
+              SequentialId.withSequentialId(base, "id_dim",
+                  Seq(col("__oid")), start)
+                .drop("__oid")
+                .select(outNames.map(col): _*)
+            case None => afterWhere.select(cols: _*)
+          }
+      }
+
+      // ORDER BY: reference = single numeric col, asc-only insertion sort
+      // (blocks.c:747-817); generalized to any col, asc|desc
+      val ordered = q.get("order") match {
+        case Some(o) =>
+          val dir = q.get("order_dir").getOrElse("ASC")
+          if (dir.equalsIgnoreCase("DESC")) grouped.orderBy(col(o).desc)
+          else grouped.orderBy(col(o))
+        case None => grouped
+      }
+
+      // LIMIT / OFFSET (blocks.c:699-745): limit=N or limit=OFF|N
+      q.get("limit") match {
+        case Some(l) =>
+          val parts = QueryParser.splitMulti(l)
+          val (off, n) = parts match {
+            case Seq(n0) => (0L, n0.toLong)
+            case Seq(o0, n0) => (o0.toLong, n0.toLong)
+            case _ => throw new IllegalArgumentException(s"bad limit: $l")
+          }
+          ordered.offset(math.max(off, 0L).toInt).limit(math.max(n, 0L).toInt)
+        case None => ordered
+      }
+    }
+
+    private def runSelect(q: ParsedQuery, binds: Seq[Any]): DataFrame = {
+      val r = buildSelect(q, binds)
+      require(r.limit(maxResultRows + 1).count() <= maxResultRows,
+        s"result exceeds maxResultRows=$maxResultRows")
+      r
+    }
+
+    private def runCtas(q: ParsedQuery, binds: Seq[Any]): Unit = {
+      val (db, nm) = splitName(q("frag_name"))
+      val df = buildSelect(q, binds).persist(StorageLevel.MEMORY_AND_DISK)
+      val n = df.count() // materialize (the reference stores eagerly)
+      server.putFrag(db, nm, df, n)
+    }
+
+    // -- random_import (oph_io_server_query_engine.c:686-810): synthetic
+    //    fragment; algorithm=default (uniform[0,1000)) or temperatures
+    //    (AR(1): x_m = 0.9 x_{m-1} + 0.1 (40u - 5),
+    //    oph_server_utility.c:79-335) --
+    private def runRandomImport(q: ParsedQuery): Unit = {
+      val (db, nm) = splitName(q("frag_name"))
+      val nrows = q("nrows").toLong
+      val nelems = q.get("array_length").map(_.toInt).getOrElse(1)
+      val algo = q.get("algorithm").getOrElse("default")
+      // deterministic, splittable uniform from (row, elem) — same on any
+      // cluster layout (splitmix-style integer mix via md5-free arithmetic)
+      def u(row: Column, j: Column): Column = {
+        val h = pmod((row * 2654435761L + j * 40503L + 12345L) * 69069L +
+          1234567L, lit(2147483647L))
+        h.cast("double") / 2147483647.0
+      }
+      val base = spark.range(1, nrows + 1).toDF("id_dim")
+      val measure = algo match {
+        case "default" =>
+          transform(sequence(lit(1), lit(nelems)),
+            j => u(col("id_dim"), j) * 1000.0)
+        case "temperatures" =>
+          // AR(1) prefix recurrence via aggregate over element index
+          aggregate(sequence(lit(1), lit(nelems)),
+            array().cast("array<double>"),
+            (acc, j) => {
+              val prev = when(size(acc) === 0, lit(20.0) * u(col("id_dim"), lit(0)))
+                .otherwise(element_at(acc, -1))
+              concat(acc, array(prev * 0.9 +
+                lit(0.1) * (u(col("id_dim"), j) * 40.0 - 5.0)))
+            })
+        case o => throw new IllegalArgumentException(s"unknown algorithm: $o")
+      }
+      val df = base.withColumn("measure", measure)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      server.putFrag(db, nm, df, nrows)
+    }
+
+    // -- stored procedures (oph_io_server_query_procedures.c) --
+    private def runProcedure(q: ParsedQuery): Option[DataFrame] = {
+      val args = q.multi("function_args")
+      q("function_name").toLowerCase match {
+        case "oph_subset" =>
+          // rewrites itself into create_frag_select with sequential_id
+          // (procedures.c:37-218); multiple fields are ':'-separated
+          // inside the single fields arg (':' inside quotes/parens —
+          // e.g. subset strings — is protected)
+          val Seq(inFrag, idStart, fields, outFrag, rest @ _*) = args: @unchecked
+          val where = rest.headOption.filter(_.nonEmpty)
+          val fieldList = QueryParser.splitMultiOn(fields, ':').mkString("|")
+          val ctas = s"operation=create_frag_select;frag_name=$outFrag;" +
+            s"from=$inFrag;field=$fieldList;sequential_id=$idStart;" +
+            where.map(w => s"where=$w;").getOrElse("")
+          execute(ctas)
+        case "oph_export" =>
+          val (db, nm) = splitName(args.head)
+          val r = server.getFrag(db, nm).orderBy("id_dim")
+          lastResultSet = Some(r)
+          Some(r)
+        case "oph_size" =>
+          val total = args.map { f =>
+            val (db, nm) = splitName(f); server.fragSize(db, nm)
+          }.sum
+          import spark.implicits._
+          val r = Seq(total).toDF("frag_size")
+          lastResultSet = Some(r)
+          Some(r)
+        case o => throw new IllegalArgumentException(s"unknown procedure: $o")
+      }
+    }
+  }
+}

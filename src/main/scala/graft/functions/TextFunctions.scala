@@ -29,22 +29,33 @@ object TextFunctions {
   def minhashA(k: Int): Long = (1103515245L * (k + 1) + 12345L) % MinhashP
   def minhashB(k: Int): Long = (1103515245L * (k + 101) + 12345L) % MinhashP
 
-  /** 16-function MinHash signature over the distinct-token set.
-    * h_k(doc) = min over tokens of ((a_k * H(t) + b_k) mod p) with
-    * H(t) = md5Long60(t) mod p. Products stay < 2^62 (no overflow). */
-  def minhashSignature(text: Column, k: Int = 16): Column = {
-    val hs = transform(distinctTokens(text), t => md5Long60(t) % MinhashP)
+  /** md5 hashes of the distinct tokens — materialize this ONCE as its own
+    * projected column and feed it to [[minhashFromHashes]] /
+    * [[simhashFromHashes]]: inlining it would make Catalyst re-evaluate
+    * the md5 transform per hash function (16–60×). */
+  def tokenHashes(text: Column): Column =
+    transform(distinctTokens(text), t => md5Long60(t))
+
+  /** 16-function MinHash signature from pre-computed token hashes.
+    * h_k(doc) = min over tokens of ((a_k * (H mod p) + b_k) mod p).
+    * Products stay < 2^62 (no overflow). */
+  def minhashFromHashes(hs: Column, k: Int = 16): Column = {
+    val hp = transform(hs, _ % MinhashP)
     array((0 until k).map { i =>
-      array_min(transform(hs, h => (lit(minhashA(i)) * h + lit(minhashB(i))) % MinhashP))
+      array_min(transform(hp, h => (lit(minhashA(i)) * h + lit(minhashB(i))) % MinhashP))
     }: _*)
   }
+
+  def minhashSignature(text: Column, k: Int = 16): Column =
+    minhashFromHashes(tokenHashes(text), k)
 
   /** 60-bit SimHash over the distinct-token set: bit b is set iff the
     * (+1/-1) vote over tokens' H-bit b is positive. Bit b of h is
     * extracted as (h div 2^b) mod 2 — pure long arithmetic, identical in
     * DuckDB as (h >> b) & 1. */
-  def simhash60(text: Column): Column = {
-    val hs = transform(distinctTokens(text), t => md5Long60(t))
+  def simhash60(text: Column): Column = simhashFromHashes(tokenHashes(text))
+
+  def simhashFromHashes(hs: Column): Column = {
     val pow2 = array((0 until 60).map(b => lit(1L << b)): _*)
     aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, b) => {
       val p = element_at(pow2, b + 1)

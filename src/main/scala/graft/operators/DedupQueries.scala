@@ -53,8 +53,9 @@ object DedupQueries {
     * over distinct-token sets, threshold 0.99. */
   def d03_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"),
-        minhashSignature(col("text")).as("sig"),
+      .withColumn("hs", tokenHashes(col("text"))) // one md5 pass per row
+      .select(col("doc_id"),
+        minhashFromHashes(col("hs")).as("sig"),
         distinctTokens(col("text")).as("tk"))
       .cache()
     val bands = docs.select(col("doc_id"), explode(
@@ -84,7 +85,8 @@ object DedupQueries {
     * distance ≤ 2. */
   def d04_simhash(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-      .select(col("doc_id"), simhash60(col("text")).as("sh"))
+      .withColumn("hs", tokenHashes(col("text"))) // one md5 pass per row
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("sh"))
       .withColumn("band", graft.functions.KeyAlgebra.ldiv(col("sh"), lit(1L << 30)))
       .cache()
     d.as("x").join(d.as("y"),
@@ -100,8 +102,9 @@ object DedupQueries {
     * threshold 0.9. */
   def d05_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+      .withColumn("hs", tokenHashes(col("text"))) // one md5 pass per row
       .select(col("doc_id"),
-        minhashSignature(col("text")).as("sig"),
+        minhashFromHashes(col("hs")).as("sig"),
         array_distinct(transform(sequence(lit(1), length(col("text")) - 3),
           i => col("text").substr(i, lit(4)))).as("grams"))
       .cache()

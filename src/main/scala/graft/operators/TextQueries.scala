@@ -67,11 +67,11 @@ object TextQueries {
     * (1-function MinHash) and SimHash. */
   def t03_fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .withColumn("hs", tokenHashes(col("text"))) // one md5 pass per row
       .select(col("doc_id"),
         md5Long60(col("text")).as("content_fp"),
-        array_min(transform(distinctTokens(col("text")), md5Long60(_)))
-          .as("min_token_fp"),
-        simhash60(col("text")).as("simhash"))
+        array_min(col("hs")).as("min_token_fp"),
+        simhashFromHashes(col("hs")).as("simhash"))
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
