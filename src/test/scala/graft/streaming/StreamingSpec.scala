@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  test("appendStream accumulates micro-batches like chunked multi_insert") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    @volatile var latest: Option[org.apache.spark.sql.DataFrame] = None
+    val q = Streaming.appendStream(in.toDF().toDF("id_dim", "measure"),
+      df => latest = Some(df))
+    try {
+      in.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      assert(latest.get.count() == 2)
+      in.addData((3L, 3.0))
+      q.processAllAvailable()
+      assert(latest.get.count() == 3)
+      assert(latest.get.agg(sum("measure")).head.getDouble(0) == 6.0)
+    } finally q.stop()
+  }
+
+  test("windowedAgg groups a batch view by tumbling window") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("2026-01-01 00:05:00", "a", 1.0),
+      ("2026-01-01 00:15:00", "a", 2.0),
+      ("2026-01-01 01:05:00", "b", 3.0))
+      .toDF("tss", "k", "v")
+      .withColumn("ts", to_timestamp(col("tss")))
+    // batch DataFrames accept the same plan (window fn is shared)
+    val out = df.groupBy(window(col("ts"), "1 hour").as("win"), col("k"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_value"))
+      .select(col("win.start").as("window_start"), col("k"), col("n"), col("sum_value"))
+      .orderBy("window_start", "k")
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(2) == 2 && out(0).getDouble(3) == 3.0)
+  }
+
+  test("sessionize closes sessions after the inactivity gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[Streaming.SessionEvent]
+    val out = Streaming.sessionize(in.toDS(), gapMs = 60000)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      def ev(uid: Long, minute: Int, v: Double) = Streaming.SessionEvent(
+        uid, java.sql.Timestamp.valueOf(f"2026-01-01 00:$minute%02d:00"), v)
+      in.addData(ev(1, 0, 1.0), ev(1, 1, 2.0), ev(1, 10, 5.0))
+      q.processAllAvailable()
+      // first session (2 events) closed by the 9-minute gap
+      val rows = s.table("sessions").collect()
+      assert(rows.exists(r => r.getLong(0) == 1 && r.getLong(1) == 2 &&
+        r.getDouble(2) == 3.0))
+    } finally q.stop()
+  }
+}
