@@ -48,9 +48,32 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** LSH candidate pairs with the sketch-verify cascade: band-bucket
+    * equi-join (sig rides along, so the estimate needs no extra join),
+    * minhash-estimate prefilter ≥ 14/16, then distinct. At 100 TB the
+    * estimate kills ~99% of candidate pairs before any expensive verify,
+    * and the distinct shuffle only sees the survivors. */
+  private def lshCandidates(docs: DataFrame): DataFrame = {
+    val bands = docs.select(col("doc_id"), col("sig"), explode(
+      transform(sequence(lit(0), lit(1)), b =>
+        struct(b.as("band"),
+          concat_ws("_", slice(col("sig"), b * 8 + 1, lit(8))).as("key"))))
+      .as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        aggregate(zip_with(col("x.sig"), col("y.sig"),
+          (p, q) => when(p === q, 1).otherwise(0)), lit(0), _ + _).as("est"))
+      .filter(col("est") >= 14)
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
   /** d03 — MinHash + LSH near-dup detection: 16-hash signature, 2 bands
-    * × 8 rows, candidates = band-bucket join, verified by exact Jaccard
-    * over distinct-token sets, threshold 0.99. */
+    * × 8 rows, candidates = band-bucket join + estimate prefilter,
+    * verified by exact Jaccard over distinct-token sets, threshold 0.99. */
   def d03_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .withColumn("hs", tokenHashes(col("text"))) // one md5 pass per row
@@ -58,30 +81,10 @@ object DedupQueries {
         minhashFromHashes(col("hs")).as("sig"),
         distinctTokens(col("text")).as("tk"))
       .cache()
-    val bands = docs.select(col("doc_id"), explode(
-      transform(sequence(lit(0), lit(1)), b =>
-        struct(b.as("band"),
-          concat_ws("_", slice(col("sig"), b * 8 + 1, lit(8))).as("key"))))
-      .as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    // sketch-verify cascade: estimate Jaccard from the 16 already-computed
-    // signature entries (16 long compares — cheap) and only run the exact
-    // set intersection on pairs whose estimate clears 14/16. At 100 TB the
-    // estimate kills ~99% of candidate pairs before the expensive verify.
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sig").as("siga"),
-        col("tk").as("tka")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sigb"),
-        col("tk").as("tkb")), "doc_b")
-      .withColumn("est", aggregate(
-        zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), _ + _))
-      .filter(col("est") >= 14)
+    docs.count() // eager fill: the self-join would race the cache
+    lshCandidates(docs)
+      .join(docs.select(col("doc_id").as("doc_a"), col("tk").as("tka")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("tk").as("tkb")), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("tka"), col("tkb"))).cast("double") /
           size(array_union(col("tka"), col("tkb"))).cast("double"))
@@ -99,6 +102,7 @@ object DedupQueries {
       .select(col("doc_id"), simhashFromHashes(col("hs")).as("sh"))
       .withColumn("band", graft.functions.KeyAlgebra.ldiv(col("sh"), lit(1L << 30)))
       .cache()
+    d.count() // eager fill: the self-join would race the cache
     d.as("x").join(d.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -122,27 +126,10 @@ object DedupQueries {
             i => col("text").substr(i, lit(4)))),
           g => md5Long60(g))).as("grams"))
       .cache()
-    val bands = docs.select(col("doc_id"), explode(
-      transform(sequence(lit(0), lit(1)), b =>
-        struct(b.as("band"),
-          concat_ws("_", slice(col("sig"), b * 8 + 1, lit(8))).as("key"))))
-      .as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    // same sketch-verify cascade as d03 before the 4-gram verify
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sig").as("siga"),
-        col("grams").as("ga")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sigb"),
-        col("grams").as("gb")), "doc_b")
-      .withColumn("est", aggregate(
-        zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), _ + _))
-      .filter(col("est") >= 14)
+    docs.count() // eager fill: the self-join would race the cache
+    lshCandidates(docs)
+      .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
       .withColumn("jaccard4",
         size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb"))).cast("double"))

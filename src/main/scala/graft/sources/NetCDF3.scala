@@ -1,0 +1,249 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream, RandomAccessFile}
+import java.nio.ByteBuffer
+
+/** Pure-JVM reader/writer for the NetCDF classic format (CDF-1/CDF-2) —
+  * the reference's primary ingest format (reader:
+  * src/server/oph_io_server_nc.c:2716-3243). No netcdf-java in this
+  * container, so the container format is parsed directly from its public
+  * spec: [magic 'CDF' ver][numrecs][dim_list][gatt_list][var_list][data],
+  * all big-endian; tags NC_DIMENSION=0x0A, NC_VARIABLE=0x0B,
+  * NC_ATTRIBUTE=0x0C; names are int-length + zero-padded bytes; CDF-2
+  * differs only in 64-bit var offsets.
+  */
+object NetCDF3 {
+
+  final case class Dim(name: String, length: Int) {
+    def isRecord: Boolean = length == 0
+  }
+  final case class Attr(name: String, ncType: Int, values: Seq[Any])
+  final case class Variable(name: String, dimIds: Seq[Int], attrs: Seq[Attr],
+                            ncType: Int, vsize: Long, begin: Long)
+  final case class Header(version: Int, numRecs: Int, dims: Seq[Dim],
+                          gatts: Seq[Attr], vars: Seq[Variable]) {
+    def variable(name: String): Variable = vars.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no variable $name"))
+    def shape(v: Variable): Seq[Int] = v.dimIds.map { i =>
+      val d = dims(i)
+      if (d.isRecord) numRecs else d.length
+    }
+    /** Sum of per-record slab sizes of all record variables (the record
+      * stride), with the classic-format padding rules. */
+    lazy val recSize: Long = {
+      val recVars = vars.filter(v => v.dimIds.headOption.exists(dims(_).isRecord))
+      if (recVars.size == 1) recVars.head.vsize
+      else recVars.map(_.vsize).sum
+    }
+  }
+
+  private val TagDim = 0x0A
+  private val TagVar = 0x0B
+  private val TagAtt = 0x0C
+
+  def typeSize(ncType: Int): Int = ncType match {
+    case 1 | 2 => 1 // byte, char
+    case 3 => 2 // short
+    case 4 | 5 => 4 // int, float
+    case 6 => 8 // double
+    case t => throw new IllegalArgumentException(s"nc_type $t")
+  }
+
+  // ------------------------------------------------------------------ read
+
+  def readHeader(path: String): Header = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      new FileInputStream(path)))
+    try {
+      val magic = Array.fill(3)(in.readByte())
+      require(magic.sameElements("CDF".getBytes), s"not a NetCDF classic file: $path")
+      val version = in.readByte().toInt
+      require(version == 1 || version == 2, s"unsupported CDF version $version")
+      val numRecs = in.readInt()
+      val dims = readDimList(in)
+      val gatts = readAttList(in)
+      val vars = readVarList(in, version)
+      Header(version, numRecs, dims, gatts, vars)
+    } finally in.close()
+  }
+
+  private def readName(in: DataInputStream): String = {
+    val n = in.readInt()
+    val b = new Array[Byte](n)
+    in.readFully(b)
+    val pad = (4 - n % 4) % 4
+    in.skipBytes(pad)
+    new String(b, "UTF-8")
+  }
+
+  private def readDimList(in: DataInputStream): Seq[Dim] = {
+    val tag = in.readInt(); val n = in.readInt()
+    require(tag == TagDim || (tag == 0 && n == 0), s"bad dim tag $tag")
+    (0 until n).map(_ => Dim(readName(in), in.readInt()))
+  }
+
+  private def readAttList(in: DataInputStream): Seq[Attr] = {
+    val tag = in.readInt(); val n = in.readInt()
+    require(tag == TagAtt || (tag == 0 && n == 0), s"bad att tag $tag")
+    (0 until n).map { _ =>
+      val name = readName(in)
+      val t = in.readInt()
+      val ne = in.readInt()
+      val sz = ne * typeSize(t)
+      val raw = new Array[Byte](sz)
+      in.readFully(raw)
+      in.skipBytes((4 - sz % 4) % 4)
+      val bb = ByteBuffer.wrap(raw) // big-endian default
+      val values: Seq[Any] = t match {
+        case 2 => Seq(new String(raw, "UTF-8"))
+        case 1 => raw.toSeq
+        case 3 => (0 until ne).map(_ => bb.getShort)
+        case 4 => (0 until ne).map(_ => bb.getInt)
+        case 5 => (0 until ne).map(_ => bb.getFloat)
+        case 6 => (0 until ne).map(_ => bb.getDouble)
+      }
+      Attr(name, t, values)
+    }
+  }
+
+  private def readVarList(in: DataInputStream, version: Int): Seq[Variable] = {
+    val tag = in.readInt(); val n = in.readInt()
+    require(tag == TagVar || (tag == 0 && n == 0), s"bad var tag $tag")
+    (0 until n).map { _ =>
+      val name = readName(in)
+      val nd = in.readInt()
+      val dimIds = (0 until nd).map(_ => in.readInt())
+      val atts = readAttList(in)
+      val t = in.readInt()
+      val vsize = in.readInt().toLong & 0xFFFFFFFFL
+      val begin = if (version == 2) in.readLong() else in.readInt().toLong
+      Variable(name, dimIds, atts, t, vsize, begin)
+    }
+  }
+
+  /** Read a hyperslab of `v` as doubles: `origin` (0-based) and `shape`
+    * per dimension, row-major. Streams with one positioned read per
+    * contiguous run (the innermost full-extent suffix). */
+  def readSlab(path: String, hdr: Header, v: Variable,
+               origin: Seq[Int], shape: Seq[Int]): Array[Double] = {
+    val raf = new RandomAccessFile(path, "r")
+    try readSlab(raf, hdr, v, origin, shape) finally raf.close()
+  }
+
+  def readSlab(raf: RandomAccessFile, hdr: Header, v: Variable,
+               origin: Seq[Int], shape: Seq[Int]): Array[Double] = {
+    val dimsShape = hdr.shape(v)
+    require(origin.size == dimsShape.size && shape.size == dimsShape.size,
+      s"rank mismatch: var ${v.name} has shape $dimsShape")
+    val es = typeSize(v.ncType)
+    val isRec = v.dimIds.headOption.exists(hdr.dims(_).isRecord)
+    // strides in ELEMENTS for the non-record part
+    val fixedShape = if (isRec) dimsShape.tail else dimsShape
+    val strides = fixedShape.scanRight(1L)(_ * _).tail // per non-record dim
+    val out = new Array[Double](shape.product)
+    // find longest contiguous suffix: dims where we take the full extent
+    var contig = 1L
+    var k = dimsShape.size - 1
+    var stop = false
+    while (k >= (if (isRec) 1 else 0) && !stop) {
+      if (origin(k) == 0 && shape(k) == dimsShape(k)) { contig *= dimsShape(k); k -= 1 }
+      else { contig *= 1; stop = true }
+    }
+    val runLen =
+      (if (stop) shape(k) else 1) * {
+        var c = 1L
+        ((k + 1) until dimsShape.size).foreach(i => c *= shape(i))
+        c
+      }
+    // iterate over the outer (non-run) index space
+    val outerDims = (if (isRec) 0 else 0) until (if (stop) k else k + 1)
+    val buf = new Array[Byte]((runLen * es).toInt)
+    var outPos = 0
+    def offsetOf(idx: Seq[Int]): Long = {
+      if (isRec) {
+        val rec = idx.head.toLong
+        val fixedIdx = idx.tail
+        val inner = fixedIdx.zip(strides).map { case (i, st) => i * st }.sum
+        v.begin + rec * hdr.recSize + inner * es
+      } else {
+        val allStrides = dimsShape.scanRight(1L)(_ * _).tail
+        v.begin + idx.zip(allStrides).map { case (i, st) => i * st }.sum * es
+      }
+    }
+    def rec(d: Int, idx: Array[Int]): Unit = {
+      if (d == outerDims.size) {
+        val full = idx.toSeq ++ (outerDims.size until dimsShape.size).map(origin(_))
+        raf.seek(offsetOf(full))
+        raf.readFully(buf)
+        val bb = ByteBuffer.wrap(buf)
+        var i = 0
+        while (i < runLen) {
+          out(outPos) = v.ncType match {
+            case 1 => bb.get(i * es).toDouble
+            case 2 => (bb.get(i * es) & 0xFF).toDouble
+            case 3 => bb.getShort(i * es).toDouble
+            case 4 => bb.getInt(i * es).toDouble
+            case 5 => bb.getFloat(i * es).toDouble
+            case 6 => bb.getDouble(i * es)
+          }
+          outPos += 1
+          i += 1
+        }
+      } else {
+        var j = 0
+        while (j < shape(d)) {
+          idx(d) = origin(d) + j
+          rec(d + 1, idx)
+          j += 1
+        }
+      }
+    }
+    rec(0, new Array[Int](outerDims.size))
+    out
+  }
+
+  // ----------------------------------------------------------------- write
+
+  private def writeName(o: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes("UTF-8")
+    o.writeInt(b.length)
+    o.write(b)
+    (0 until (4 - b.length % 4) % 4).foreach(_ => o.writeByte(0))
+  }
+
+  /** Write a CDF-1 file with the given fixed dims and one double variable
+    * spanning all of them (the shape oph_export needs). */
+  def writeDoubleVar(path: String, dims: Seq[(String, Int)], varName: String,
+                     data: Array[Double]): Unit = {
+    require(data.length == dims.map(_._2).product, "data size != dim product")
+    val o = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(path)))
+    try {
+      o.write("CDF".getBytes); o.writeByte(1)
+      o.writeInt(0) // numrecs
+      o.writeInt(TagDim); o.writeInt(dims.size)
+      dims.foreach { case (n, l) => writeName(o, n); o.writeInt(l) }
+      o.writeInt(0); o.writeInt(0) // no global attrs
+      o.writeInt(TagVar); o.writeInt(1)
+      writeName(o, varName)
+      o.writeInt(dims.size)
+      dims.indices.foreach(o.writeInt)
+      o.writeInt(0); o.writeInt(0) // no var attrs
+      o.writeInt(6) // NC_DOUBLE
+      val vsize = data.length * 8
+      o.writeInt(vsize)
+      // begin = current header size + 4 (this int)
+      val headerSize = 4 + 4 + // magic+numrecs
+        8 + dims.map { case (n, _) => nameSize(n) + 4 }.sum +
+        8 + // gatts
+        8 + nameSize(varName) + 4 + dims.size * 4 + 8 + 4 + 4 + 4
+      o.writeInt(headerSize)
+      data.foreach(o.writeDouble)
+    } finally o.close()
+  }
+
+  private def nameSize(s: String): Int = {
+    val b = s.getBytes("UTF-8").length
+    4 + b + (4 - b % 4) % 4
+  }
+}

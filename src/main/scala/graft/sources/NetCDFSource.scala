@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 NetCDF-classic reader — the Spark-native analogue of the
+  * reference's NetCDF fragment import
+  * (src/server/oph_io_server_nc.c:2716-3243):
+  *
+  *   spark.read.format("graft.sources.NetCDFSource")
+  *     .option("path", "/data/cube.nc").option("var", "measure")
+  *     .option("explicit", "2")          // leading dims → row key
+  *     .option("dim_start", "1,1,1")     // 1-based inclusive, per dim
+  *     .option("dim_end",   "end,end,end")
+  *     .option("key_start", "1")         // frag_key_start
+  *     .option("partitions", "32")
+  *     .load()                            // → (id_dim BIGINT, measure ARRAY<DOUBLE>)
+  *
+  * Explicit dims are flattened row-major into `id_dim` (= key_start +
+  * row index, the reference's keying at oph_io_server_nc.c:1160-1186);
+  * implicit (trailing) dims become the in-row measure array. The explicit
+  * row space is split into contiguous ranges — one InputPartition each —
+  * so a 1000-executor cluster reads 1000 disjoint byte ranges in
+  * parallel, replacing the reference's fork+shm parallel read
+  * (oph_io_server_nc.c:311-500).
+  */
+class NetCDFSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NetCDFSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new NetCDFTable(properties.asScala.toMap)
+}
+
+object NetCDFSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id_dim", LongType, nullable = false),
+    StructField("measure", ArrayType(DoubleType), nullable = false)))
+
+  final case class Spec(path: String, varName: String, explicit: Int,
+                        starts: Seq[Int], ends: Seq[Int], keyStart: Long,
+                        partitions: Int)
+
+  def spec(opts: Map[String, String]): Spec = {
+    val path = opts.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' required"))
+    val varName = opts.getOrElse("var", "measure")
+    val hdr = NetCDF3.readHeader(path)
+    val v = hdr.variable(varName)
+    val shape = hdr.shape(v)
+    val explicit = opts.get("explicit").map(_.toInt)
+      .getOrElse(math.max(shape.size - 1, 0))
+    def parseList(key: String, default: Int => Int): Seq[Int] =
+      opts.get(key) match {
+        case Some(sv) =>
+          sv.split(',').toSeq.zipWithIndex.map { case (tok, i) =>
+            if (tok.trim.equalsIgnoreCase("end")) shape(i) else tok.trim.toInt
+          }
+        case None => shape.indices.map(i => default(i))
+      }
+    val starts = parseList("dim_start", _ => 1)
+    val ends = parseList("dim_end", shape(_))
+    require(starts.size == shape.size && ends.size == shape.size,
+      s"dim_start/dim_end must list all ${shape.size} dims")
+    Spec(path, varName, explicit, starts, ends,
+      opts.getOrElse("key_start", "1").toLong,
+      opts.getOrElse("partitions", "8").toInt)
+  }
+}
+
+final class NetCDFTable(opts: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"netcdf:${opts.getOrElse("path", "?")}"
+  override def schema(): StructType = NetCDFSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new NetCDFScan(opts ++ o.asScala)
+}
+
+final class NetCDFScan(opts: Map[String, String])
+    extends ScanBuilder with Scan with Batch {
+  private val sp = NetCDFSource.spec(opts)
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = NetCDFSource.schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val expSizes = (0 until sp.explicit).map(i => sp.ends(i) - sp.starts(i) + 1)
+    val nRows = expSizes.product.toLong
+    val p = math.max(1, math.min(sp.partitions.toLong, nRows)).toInt
+    (0 until p).map { i =>
+      val lo = nRows * i / p
+      val hi = nRows * (i + 1) / p
+      NetCDFPartition(sp, lo, hi): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new NetCDFPartitionReader(partition.asInstanceOf[NetCDFPartition])
+    }
+}
+
+final case class NetCDFPartition(spec: NetCDFSource.Spec, rowLo: Long, rowHi: Long)
+    extends InputPartition
+
+final class NetCDFPartitionReader(p: NetCDFPartition)
+    extends PartitionReader[InternalRow] {
+  private val sp = p.spec
+  private val hdr = NetCDF3.readHeader(sp.path)
+  private val v = hdr.variable(sp.varName)
+  private val shape = hdr.shape(v)
+  private val raf = new java.io.RandomAccessFile(sp.path, "r")
+  private val expSizes = (0 until sp.explicit).map(i => sp.ends(i) - sp.starts(i) + 1)
+  private val impOrigin = (sp.explicit until shape.size).map(i => sp.starts(i) - 1)
+  private val impShape = (sp.explicit until shape.size).map(i =>
+    sp.ends(i) - sp.starts(i) + 1)
+  private var row = p.rowLo
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (row >= p.rowHi) return false
+    // decode the flat explicit-row index into per-dim origins (row-major)
+    var rem = row
+    val expIdx = new Array[Int](sp.explicit)
+    var i = sp.explicit - 1
+    while (i >= 0) {
+      expIdx(i) = (rem % expSizes(i)).toInt + (sp.starts(i) - 1)
+      rem /= expSizes(i)
+      i -= 1
+    }
+    val origin = expIdx.toSeq ++ impOrigin
+    val slabShape = Seq.fill(sp.explicit)(1) ++ impShape
+    val data = NetCDF3.readSlab(raf, hdr, v, origin, slabShape)
+    current = new GenericInternalRow(Array[Any](
+      sp.keyStart + row, ArrayData.toArrayData(data)))
+    row += 1
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = raf.close()
+}

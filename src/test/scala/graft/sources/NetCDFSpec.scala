@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class NetCDFSpec extends SparkSpec {
+
+  private def tmpNc(dims: Seq[(String, Int)], data: Array[Double]): String = {
+    val f = Files.createTempFile("graft", ".nc").toFile
+    f.deleteOnExit()
+    NetCDF3.writeDoubleVar(f.getAbsolutePath, dims, "measure", data)
+    f.getAbsolutePath
+  }
+
+  test("writer emits spec-conformant bytes (golden header check)") {
+    val path = tmpNc(Seq("x" -> 2), Array(1.5, 2.5))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    // magic CDF\x01, numrecs=0
+    assert(bytes.take(4).sameElements(Array[Byte]('C', 'D', 'F', 1)))
+    assert(java.nio.ByteBuffer.wrap(bytes, 4, 4).getInt == 0)
+    // NC_DIMENSION tag, 1 dim named "x" len 2
+    assert(java.nio.ByteBuffer.wrap(bytes, 8, 4).getInt == 0x0A)
+    assert(java.nio.ByteBuffer.wrap(bytes, 12, 4).getInt == 1)
+    // trailing 16 bytes are the two big-endian doubles
+    val bb = java.nio.ByteBuffer.wrap(bytes, bytes.length - 16, 16)
+    assert(bb.getDouble == 1.5 && bb.getDouble == 2.5)
+  }
+
+  test("header parse + full slab roundtrip") {
+    val data = Array.tabulate(24)(_.toDouble)
+    val path = tmpNc(Seq("t" -> 2, "y" -> 3, "x" -> 4), data)
+    val hdr = NetCDF3.readHeader(path)
+    assert(hdr.dims.map(d => (d.name, d.length)) == Seq(("t", 2), ("y", 3), ("x", 4)))
+    val v = hdr.variable("measure")
+    assert(NetCDF3.readSlab(path, hdr, v, Seq(0, 0, 0), Seq(2, 3, 4)).toSeq ==
+      data.toSeq)
+  }
+
+  test("hyperslab: partial origins and shapes (row-major)") {
+    val data = Array.tabulate(24)(_.toDouble) // t=2, y=3, x=4
+    val path = tmpNc(Seq("t" -> 2, "y" -> 3, "x" -> 4), data)
+    val hdr = NetCDF3.readHeader(path)
+    val v = hdr.variable("measure")
+    // slab t=1, y=1..2, x=2..3 → values 12*1 + 4*y + x
+    val slab = NetCDF3.readSlab(path, hdr, v, Seq(1, 1, 2), Seq(1, 2, 2))
+    assert(slab.toSeq == Seq(18.0, 19.0, 22.0, 23.0))
+  }
+
+  test("DSv2 source: explicit dims → id_dim rows, implicit → measure array") {
+    val data = Array.tabulate(24)(_.toDouble)
+    val path = tmpNc(Seq("t" -> 2, "y" -> 3, "x" -> 4), data)
+    val df = spark.read.format("graft.sources.NetCDFSource")
+      .option("path", path).option("var", "measure")
+      .option("explicit", "2").option("partitions", "3")
+      .load()
+    val rows = df.orderBy("id_dim").collect()
+    assert(rows.length == 6) // 2*3 explicit rows
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 6L))
+    assert(rows.head.getSeq[Double](1) == Seq(0.0, 1.0, 2.0, 3.0))
+    assert(rows.last.getSeq[Double](1) == Seq(20.0, 21.0, 22.0, 23.0))
+  }
+
+  test("DSv2 source: dim_start/dim_end subsetting + key_start") {
+    val data = Array.tabulate(24)(_.toDouble)
+    val path = tmpNc(Seq("t" -> 2, "y" -> 3, "x" -> 4), data)
+    val df = spark.read.format("graft.sources.NetCDFSource")
+      .option("path", path).option("var", "measure")
+      .option("explicit", "2")
+      .option("dim_start", "2,1,2").option("dim_end", "2,2,3")
+      .option("key_start", "100")
+      .load()
+    val rows = df.orderBy("id_dim").collect()
+    assert(rows.length == 2) // t=2 fixed, y in 1..2
+    assert(rows.map(_.getLong(0)).toSeq == Seq(100L, 101L))
+    assert(rows.head.getSeq[Double](1) == Seq(13.0, 14.0)) // t=1(0b), y=0, x=1..2
+    assert(rows.last.getSeq[Double](1) == Seq(17.0, 18.0))
+  }
+
+  test("binary codec: pack/unpack/zlib roundtrip") {
+    val a = Seq(1.5, -2.25, 3.75, Double.MinPositiveValue)
+    assert(BinaryCodec.unpackDoubles(BinaryCodec.packDoubles(a)) == a)
+    val packed = BinaryCodec.packDoubles(a)
+    assert(BinaryCodec.inflate(BinaryCodec.deflate(packed)).toSeq == packed.toSeq)
+    val l = Seq(1L, -5L, 1L << 62)
+    assert(BinaryCodec.unpackLongs(BinaryCodec.packLongs(l)) == l)
+  }
+}
