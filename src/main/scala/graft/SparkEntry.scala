@@ -12,7 +12,8 @@ object SparkEntry {
     graft.operators.TextQueries.queries ++
     graft.operators.DedupQueries.queries ++
     graft.operators.SimilarityQueries.queries ++
-    graft.operators.MultimodalQueries.queries
+    graft.operators.MultimodalQueries.queries ++
+    graft.operators.DialectQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +22,6 @@ object SparkEntry {
     graft.operators.TextQueries.oracles ++
     graft.operators.DedupQueries.oracles ++
     graft.operators.SimilarityQueries.oracles ++
-    graft.operators.MultimodalQueries.oracles
+    graft.operators.MultimodalQueries.oracles ++
+    graft.operators.DialectQueries.oracles
 }

@@ -68,6 +68,17 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000) {
   }
   def fragmentNames: Seq[(String, String)] = synchronized(frags.keys.toSeq.sorted)
 
+  /** Direct fragment registration from any DataFrame — the parquet-era
+    * analogue of `file_import` (oph_io_server_query_engine.c:617-648):
+    * ingest is whatever `spark.read` can produce, keyed by an `id_dim`
+    * column. Not persisted eagerly; the first dialect query that touches
+    * it pulls it through the session cache. */
+  def registerFragment(db: String, name: String, df: DataFrame,
+                       persist: Boolean = true): Unit = {
+    val d = if (persist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    putFrag(db, name, d, -1L)
+  }
+
   final class Session private[engine] (server: IoServer) {
     private var currentDb: String = "default"
     private var lastResultSet: Option[DataFrame] = None
@@ -268,7 +279,8 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000) {
               SequentialId.withSequentialId(base, "id_dim",
                   Seq(col("__oid")), start)
                 .drop("__oid")
-                .select(outNames.map(col): _*)
+                .select(outNames.map(n =>
+                  if (n.contains('.')) col(s"`$n`") else col(n)): _*)
             case None => afterWhere.select(cols: _*)
           }
       }
@@ -361,9 +373,16 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000) {
           // e.g. subset strings — is protected)
           val Seq(inFrag, idStart, fields, outFrag, rest @ _*) = args: @unchecked
           val where = rest.headOption.filter(_.nonEmpty)
-          val fieldList = QueryParser.splitMultiOn(fields, ':').mkString("|")
+          val fieldSeq = QueryParser.splitMultiOn(fields, ':')
+          // output columns take the reference's canonical fragment schema
+          // (id_dim, measure — oph_io_server_query_manager.h:80)
+          val aliases = fieldSeq.zipWithIndex.map { case (f, i) =>
+            if (f.trim.equalsIgnoreCase("id_dim")) "id_dim"
+            else if (fieldSeq.size == 2) "measure" else s"measure$i"
+          }
           val ctas = s"operation=create_frag_select;frag_name=$outFrag;" +
-            s"from=$inFrag;field=$fieldList;sequential_id=$idStart;" +
+            s"from=$inFrag;field=${fieldSeq.mkString("|")};" +
+            s"field_alias=${aliases.mkString("|")};sequential_id=$idStart;" +
             where.map(w => s"where=$w;").getOrElse("")
           execute(ctas)
         case "oph_export" =>

@@ -48,27 +48,30 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** LSH candidate pairs with the sketch-verify cascade: band-bucket
-    * equi-join (sig rides along, so the estimate needs no extra join),
-    * minhash-estimate prefilter ≥ 14/16, then distinct. At 100 TB the
-    * estimate kills ~99% of candidate pairs before any expensive verify,
-    * and the distinct shuffle only sees the survivors. */
+  /** LSH candidate pairs with the sketch-verify cascade: slim band-bucket
+    * equi-join (doc ids only — keeping the join rows narrow beats carrying
+    * the signatures through the shuffle), distinct, then a
+    * minhash-estimate prefilter ≥ 14/16 from a signature re-join. At
+    * 100 TB the estimate kills ~99% of candidate pairs before any
+    * expensive verify. */
   private def lshCandidates(docs: DataFrame): DataFrame = {
-    val bands = docs.select(col("doc_id"), col("sig"), explode(
+    val bands = docs.select(col("doc_id"), explode(
       transform(sequence(lit(0), lit(1)), b =>
         struct(b.as("band"),
           concat_ws("_", slice(col("sig"), b * 8 + 1, lit(8))).as("key"))))
       .as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val sigs = docs.select(col("doc_id"), col("sig"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        aggregate(zip_with(col("x.sig"), col("y.sig"),
-          (p, q) => when(p === q, 1).otherwise(0)), lit(0), _ + _).as("est"))
-      .filter(col("est") >= 14)
-      .select("doc_a", "doc_b")
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
+      .filter(aggregate(zip_with(col("siga"), col("sigb"),
+        (p, q) => when(p === q, 1).otherwise(0)), lit(0), _ + _) >= 14)
+      .select("doc_a", "doc_b")
   }
 
   /** d03 — MinHash + LSH near-dup detection: 16-hash signature, 2 bands

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.engine.IoServer
+
+/** End-to-end dialect queries: the same `operation=key=value;` text a
+  * reference client would submit, executed through
+  * [[graft.engine.IoServer]] and checked against DuckDB — proving the
+  * full parse → compile → Catalyst → result pipeline, not just the
+  * DataFrame layer.
+  */
+object DialectQueries {
+
+  /** embeddings as a fragment: id_dim = vec_id+1 (dense 1..n), measure =
+    * the 64-element array as double. */
+  private def serverWithEmb(s: SparkSession, dir: String): IoServer#Session = {
+    val srv = new IoServer(s)
+    srv.registerFragment("default", "emb",
+      Tables.embeddings(s, dir).select(
+        (col("vec_id") + 1).as("id_dim"),
+        col("embedding").cast("array<double>").as("measure")))
+    srv.newSession()
+  }
+
+  /** qd01 — the canonical Ophidia slice (SURVEY §7.2): CTAS with a
+    * blockwise reduce + key-algebra WHERE, then read the fragment back. */
+  def qd01_dialect_ctas(s: SparkSession, dir: String): DataFrame = {
+    val ses = serverWithEmb(s, dir)
+    ses.execute(
+      "operation=create_frag_select;frag_name=out;" +
+        "field=id_dim|oph_reduce('oph_double','oph_double',measure,'oph_avg',8);" +
+        "field_alias=id_dim|measure;from=emb;" +
+        "where=oph_is_in_subset(id_dim,1,2,301)")
+    ses.execute("operation=select;field=id_dim|measure;from=out;order=id_dim").get
+  }
+
+  /** qd02 — dialect GROUP BY with a row-crossing aggregate primitive
+    * (elementwise max keeps the oracle exact under any execution order)
+    * plus the first-row rule for the group key. */
+  def qd02_dialect_groupby(s: SparkSession, dir: String): DataFrame = {
+    val ses = serverWithEmb(s, dir)
+    ses.execute(
+      "operation=create_frag_select;frag_name=gout;" +
+        "field=oph_id(id_dim,50)|oph_aggregate_operator('oph_double',measure,'oph_max');" +
+        "field_alias=gid|vec_max;from=emb;group=oph_id(id_dim,50)")
+    ses.execute("operation=select;field=gid|vec_max;from=gout;order=gid").get
+  }
+
+  /** qd03 — oph_subset stored procedure: strided filter + sequential
+    * re-key (the reference's self-rewriting procedure). */
+  def qd03_dialect_subset(s: SparkSession, dir: String): DataFrame = {
+    val ses = serverWithEmb(s, dir)
+    ses.execute("operation=function;function_name=oph_subset;" +
+      "function_args=emb|1|id_dim:oph_mul_scalar('oph_double','oph_double',measure,2.0)|sout|" +
+      "oph_is_in_subset(id_dim,3,5,498)")
+    ses.execute("operation=select;field=id_dim|measure;from=sout;order=id_dim").get
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd01_dialect_ctas" -> (qd01_dialect_ctas _),
+    "qd02_dialect_groupby" -> (qd02_dialect_groupby _),
+    "qd03_dialect_subset" -> (qd03_dialect_subset _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "qd01_dialect_ctas" ->
+      """SELECT vec_id + 1 AS id_dim,
+         list_transform(range(0, 8), b ->
+           list_reduce(list_transform(embedding[b*8+1 : b*8+8], x -> x::DOUBLE),
+             (x,y) -> x+y) / 8.0) AS measure
+         FROM embeddings
+         WHERE (vec_id + 1 - 1) % 2 = 0 AND vec_id + 1 >= 1 AND vec_id + 1 <= 301
+         ORDER BY id_dim""",
+    "qd02_dialect_groupby" ->
+      """SELECT gid, list(m ORDER BY i) AS vec_max FROM (
+           SELECT 1 + (vec_id + 1 - 1) // 50 AS gid, i,
+             max(embedding[i]::DOUBLE) AS m
+           FROM embeddings, range(1, 65) t(i)
+           GROUP BY gid, i)
+         GROUP BY gid ORDER BY gid""",
+    "qd03_dialect_subset" ->
+      """SELECT row_number() OVER (ORDER BY vec_id) AS id_dim,
+         list_transform(embedding, x -> x::DOUBLE * 2.0) AS measure
+         FROM embeddings
+         WHERE (vec_id + 1 - 3) % 5 = 0 AND vec_id + 1 >= 3 AND vec_id + 1 <= 498
+         ORDER BY id_dim""",
+  )
+}

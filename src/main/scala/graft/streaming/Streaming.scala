@@ -66,11 +66,14 @@ object Streaming {
   /** Session windows with custom state (flatMapGroupsWithState): a
     * session closes after `gapMs` of inactivity per user. Demonstrates the
     * KeyValueGroupedDataset state API the reference has no analogue for. */
-  def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionSummary] = {
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionBuf, SessionSummary](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeout) {
         (uid: Long, rows: Iterator[SessionEvent], st: GroupState[SessionBuf]) =>
           if (st.hasTimedOut) {
             val b = st.get
@@ -88,7 +91,7 @@ object Streaming {
               buf = SessionBuf(buf.n + 1, buf.total + e.value, e.ts.getTime)
             }
             st.update(buf)
-            st.setTimeoutDuration(gapMs)
+            if (useTimeout) st.setTimeoutDuration(gapMs)
             closed.result().iterator
           }
       }

@@ -50,7 +50,8 @@ class StreamingSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val in = MemoryStream[Streaming.SessionEvent]
-    val out = Streaming.sessionize(in.toDS(), gapMs = 60000)
+    val out = Streaming.sessionize(in.toDS(), gapMs = 60000,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
     val q = out.writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
     try {
