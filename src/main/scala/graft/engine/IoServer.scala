@@ -190,7 +190,20 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000) {
       val froms = q.multi("from")
       val aliases = q.multi("from_alias")
       require(froms.nonEmpty, "FROM required")
-      val dfs = froms.map { f => val (db, nm) = splitName(f); server.getFrag(db, nm) }
+      // '@path' FROM entries load NetCDF directly (the reference's
+      // create_frag_select_file, oph_io_server_query_engine.c:244-249);
+      // src_path-style options ride on the query (measure, explicit,
+      // dim_start/dim_end — oph_io_server_query_blocks.c:1085-1410)
+      val dfs = froms.map { f =>
+        if (f.startsWith("@")) {
+          var r = spark.read.format("graft.sources.NetCDFSource")
+            .option("path", f.drop(1))
+            .option("var", q.get("measure").getOrElse("measure"))
+          Seq("explicit", "dim_start", "dim_end", "key_start", "partitions")
+            .foreach(k => q.get(k).foreach(v => r = r.option(k, v)))
+          r.load()
+        } else { val (db, nm) = splitName(f); server.getFrag(db, nm) }
+      }
 
       // multi-FROM = the reference's positional aligned merge on dense ids
       // (oph_io_server_query_blocks.c:845-1082) → equi-join on id_dim

@@ -165,7 +165,27 @@ object ArrayQueries {
         transform(col("a"), x => floor(x * 1000).cast("long")), ",").as("dump"))
       .orderBy("vec_id")
 
+  /** a16 — multi-dim in-array ops: oph_reduce3:293 (reduce one dim of the
+    * row-major 8×8 array) and oph_get_subarray3:109 (per-dim subsets). */
+  def a16_multidim(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      AP.oph_reduce3(col("a"), "sum", Seq(8, 8), dim = 0).as("colsum"),
+      AP.oph_get_subarray3(col("a"), Seq(8, 8), Seq("1:2", "3:4")).as("block"))
+      .orderBy("vec_id")
+
+  /** a17 — smoothing & scaling (oph_moving_avg:233 SMA, oph_normalize:249
+    * 'max', oph_quantize:281, oph_replace:297). */
+  def a17_smooth_scale(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      Stats.oph_moving_avg(col("a"), 5).as("sma5"),
+      Stats.oph_normalize(col("a"), "max").as("nmax"),
+      Stats.oph_quantize(col("a"), Seq(-0.1, 0.0, 0.1)).as("quant"),
+      AP.oph_replace(col("a"), 0.0, -999.0).as("repl"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a16_multidim" -> (a16_multidim _),
+    "a17_smooth_scale" -> (a17_smooth_scale _),
     "a01_scalar_math" -> (a01_scalar_math _),
     "a02_pairwise" -> (a02_pairwise _),
     "a03_reduce" -> (a03_reduce _),
@@ -184,6 +204,26 @@ object ArrayQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "a16_multidim" ->
+      """SELECT vec_id,
+         list_transform(range(0, 8), j ->
+           list_reduce(list_transform(range(0, 8), k -> embedding[k*8 + j + 1]::DOUBLE),
+             (x,y) -> x+y)) AS colsum,
+         list_transform([3, 4, 11, 12], i -> embedding[i]::DOUBLE) AS block
+         FROM embeddings ORDER BY vec_id""",
+    "a17_smooth_scale" ->
+      """SELECT vec_id,
+         list_transform(range(1, 65), i ->
+           list_reduce(list_transform(embedding[greatest(1, i-4) : i], x -> x::DOUBLE),
+             (x,y) -> x+y) / (i - greatest(1, i-4) + 1)::DOUBLE) AS sma5,
+         list_transform(embedding, x -> x::DOUBLE /
+           list_max(list_transform(embedding, y -> abs(y::DOUBLE)))) AS nmax,
+         list_transform(embedding, x -> CASE WHEN x::DOUBLE <= -0.1 THEN 0.0::DOUBLE
+           WHEN x::DOUBLE <= 0.0 THEN 1.0::DOUBLE
+           WHEN x::DOUBLE <= 0.1 THEN 2.0::DOUBLE ELSE 3.0::DOUBLE END) AS quant,
+         list_transform(embedding, x -> CASE WHEN abs(x::DOUBLE - 0.0) <= 0.0
+           THEN -999.0::DOUBLE ELSE x::DOUBLE END) AS repl
+         FROM embeddings ORDER BY vec_id""",
     "a01_scalar_math" ->
       """SELECT vec_id,
          list_transform(embedding, x -> x::DOUBLE * 2.0 + 1.0) AS arr,
