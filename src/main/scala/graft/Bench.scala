@@ -20,6 +20,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: JIT + parquet footer caches + session init, so timings
+    // reflect steady-state throughput rather than first-query setup
+    graft.core.Tables.all.foreach { t =>
+      try graft.core.Tables.t(spark, sfDir, t).count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
