@@ -29,22 +29,28 @@ object TextFunctions {
   def minhashA(k: Int): Long = (1103515245L * (k + 1) + 12345L) % MinhashP
   def minhashB(k: Int): Long = (1103515245L * (k + 101) + 12345L) % MinhashP
 
-  /** md5 hashes of the distinct tokens — materialize this ONCE as its own
-    * projected column and feed it to [[minhashFromHashes]] /
-    * [[simhashFromHashes]]: inlining it would make Catalyst re-evaluate
-    * the md5 transform per hash function (16–60×). */
+  /** Evaluate `e` exactly once and feed the value to `f`, by binding it
+    * to a higher-order-function lambda variable. Without this, Catalyst's
+    * CollapseProject inlines single-use projected columns back into their
+    * consumer, re-evaluating an expensive subexpression (here: the md5
+    * token-hash pass) once per reference — 16× for MinHash, 60× for
+    * SimHash. HOF lambda arguments are evaluated before the lambda body,
+    * so this pins evaluation count to 1 regardless of plan rewrites. */
+  def bindOnce(e: Column, f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
+  /** md5 hashes of the distinct tokens. */
   def tokenHashes(text: Column): Column =
     transform(distinctTokens(text), t => md5Long60(t))
 
   /** 16-function MinHash signature from pre-computed token hashes.
     * h_k(doc) = min over tokens of ((a_k * (H mod p) + b_k) mod p).
     * Products stay < 2^62 (no overflow). */
-  def minhashFromHashes(hs: Column, k: Int = 16): Column = {
-    val hp = transform(hs, _ % MinhashP)
-    array((0 until k).map { i =>
-      array_min(transform(hp, h => (lit(minhashA(i)) * h + lit(minhashB(i))) % MinhashP))
-    }: _*)
-  }
+  def minhashFromHashes(hs: Column, k: Int = 16): Column =
+    bindOnce(transform(hs, _ % MinhashP), hp =>
+      array((0 until k).map { i =>
+        array_min(transform(hp, h => (lit(minhashA(i)) * h + lit(minhashB(i))) % MinhashP))
+      }: _*))
 
   def minhashSignature(text: Column, k: Int = 16): Column =
     minhashFromHashes(tokenHashes(text), k)
@@ -55,13 +61,14 @@ object TextFunctions {
     * DuckDB as (h >> b) & 1. */
   def simhash60(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
-  def simhashFromHashes(hs: Column): Column = {
-    val pow2 = array((0 until 60).map(b => lit(1L << b)): _*)
-    aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, b) => {
-      val p = element_at(pow2, b + 1)
-      val net = aggregate(hs, lit(0L), (a2, h) =>
-        a2 + when(KeyAlgebra.ldiv(h, p) % 2L === 1L, lit(1L)).otherwise(lit(-1L)))
-      acc + when(net > 0L, p).otherwise(lit(0L))
+  def simhashFromHashes(hs: Column): Column =
+    bindOnce(hs, hsv => {
+      val pow2 = array((0 until 60).map(b => lit(1L << b)): _*)
+      aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, b) => {
+        val p = element_at(pow2, b + 1)
+        val net = aggregate(hsv, lit(0L), (a2, h) =>
+          a2 + when(KeyAlgebra.ldiv(h, p) % 2L === 1L, lit(1L)).otherwise(lit(-1L)))
+        acc + when(net > 0L, p).otherwise(lit(0L))
+      })
     })
-  }
 }
