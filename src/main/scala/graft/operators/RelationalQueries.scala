@@ -200,7 +200,50 @@ object RelationalQueries {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** q17 — batch sessionization (the SQL-expressible view of the
+    * streaming session operator): a new session starts after > 30 min of
+    * per-user inactivity; output per-session aggregates. All window
+    * functions partition by user — parallel at any scale. */
+  def q17_sessionize_batch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapNs = 1800L * 1000000000L // 30 min in nanos (ts is raw nanos)
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** q18 — ROLLUP grouping sets (absent in the reference; native here).
+    * Grouping-null keys are replaced so the sort key is total. */
+  def q18_rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dsum("l_quantity").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q19 — JSON property extraction from the events side-channel. */
+  def q19_json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_sessionize_batch" -> (q17_sessionize_batch _),
+    "q18_rollup" -> (q18_rollup _),
+    "q19_json" -> (q19_json _),
     "q01_filter_project" -> (q01_filter_project _),
     "q02_ctas" -> (q02_ctas _),
     "q03_agg_group" -> (q03_agg_group _),
@@ -220,6 +263,28 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q17_sessionize_batch" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM (SELECT user_id, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM (SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000000
+             THEN 1 ELSE 0 END AS new_sess
+             FROM events))
+         GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q18_rollup" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+         coalesce(l_linestatus, '<all>') AS l_linestatus,
+         count(*) AS cnt,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag, l_linestatus""",
+    "q19_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         count(*) AS n FROM events GROUP BY k ORDER BY k""",
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
          l_extendedprice * (1.0 - l_discount) AS revenue

@@ -22,10 +22,11 @@ object SimilarityQueries {
     Tables.embeddings(s, dir)
       .withColumn("a", col("embedding").cast("array<double>"))
 
-  /** Left-fold dot product — identical evaluation order in DuckDB's
-    * list_reduce, so results are bit-exact across engines. */
+  /** Left-fold dot product via the native codegen expression
+    * ([[graft.plans.DotProduct]]) — identical evaluation order to
+    * DuckDB's list_reduce, so results are bit-exact across engines. */
   private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+    graft.plans.DotProduct(x, y)
 
   private def norm(x: Column): Column = sqrt(dot(x, x))
 
