@@ -78,19 +78,23 @@ object DedupQueries {
     * × 8 rows, candidates = band-bucket join + estimate prefilter,
     * verified by exact Jaccard over distinct-token sets, threshold 0.99. */
   def d03_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+    // token sets carried as SORTED hash arrays: the verify stage then
+    // runs an allocation-free codegen merge loop per pair instead of
+    // array_intersect's per-pair hash set (|A∪B| = |A|+|B|−|A∩B|)
     val docs = Tables.documents(s, dir)
       .withColumn("hs", tokenHashes(col("text"))) // one md5 pass per row
       .select(col("doc_id"),
         minhashFromHashes(col("hs")).as("sig"),
-        distinctTokens(col("text")).as("tk"))
+        array_sort(col("hs")).as("tk"))
       .cache()
     docs.count() // eager fill: the self-join would race the cache
     lshCandidates(docs)
       .join(docs.select(col("doc_id").as("doc_a"), col("tk").as("tka")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("tk").as("tkb")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("tka"), col("tkb"))).cast("double") /
-          size(array_union(col("tka"), col("tkb"))).cast("double"))
+      .withColumn("inter",
+        graft.plans.SortedIntersectSize(col("tka"), col("tkb")).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("tka")) + size(col("tkb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.99)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -124,18 +128,19 @@ object DedupQueries {
       .withColumn("hs", tokenHashes(col("text"))) // one md5 pass per row
       .select(col("doc_id"),
         minhashFromHashes(col("hs")).as("sig"),
-        array_distinct(transform(
+        array_sort(array_distinct(transform(
           array_distinct(transform(sequence(lit(1), length(col("text")) - 3),
             i => col("text").substr(i, lit(4)))),
-          g => md5Long60(g))).as("grams"))
+          g => md5Long60(g)))).as("grams"))
       .cache()
     docs.count() // eager fill: the self-join would race the cache
     lshCandidates(docs)
       .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
-      .withColumn("jaccard4",
-        size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))).cast("double"))
+      .withColumn("inter",
+        graft.plans.SortedIntersectSize(col("ga"), col("gb")).cast("double"))
+      .withColumn("jaccard4", col("inter") /
+        (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
       .filter(col("jaccard4") >= 0.9)
       .select("doc_a", "doc_b", "jaccard4")
       .orderBy("doc_a", "doc_b")
