@@ -143,6 +143,12 @@ object ExprCompiler {
         n(AP.oph_reduce(c(0), opName(args(1)),
           if (args.size > 2) c(2) else lit(Int.MaxValue)))
       case "oph_reduce2" => n(AP.oph_reduce2(c(0), opName(args(1)), c(2)))
+      case "oph_reduce3" =>
+        n(AP.oph_reduce3(c(0), opName(args(1)),
+          numList(args(2)).map(_.toInt), litInt(args(3))))
+      case "oph_get_subarray3" =>
+        n(AP.oph_get_subarray3(c(0), numList(args(1)).map(_.toInt),
+          litStr(args(2)).split(';').toSeq))
       // ---- subset / reshape ----
       case "oph_get_subarray" | "oph_sub_array" =>
         n(AP.oph_get_subarray(c(0), c(1), c(2)))
@@ -226,6 +232,11 @@ object ExprCompiler {
           case o => throw new IllegalArgumentException(s"aggregate op $o")
         }
         n(agg)
+      case "oph_aggregate_stats" | "oph_aggregate_stats_partial" |
+           "oph_aggregate_stats_final" =>
+        // one Aggregator covers the plain and two-phase variants: Spark's
+        // partial/final physical aggregation IS the _partial/_final split
+        n(graft.operators.ArrayAggregates.ewStats(c(0)))
       case "oph_roll_up" =>
         // order-stable concat across the group's rows by id_dim
         n(flatten(transform(

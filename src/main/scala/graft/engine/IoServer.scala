@@ -79,6 +79,40 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000) {
     putFrag(db, name, d, -1L)
   }
 
+  /** Persist the whole catalog to `dir` (parquet per fragment + a
+    * manifest) — the durable analogue of the reference MetaDB's binary
+    * schema file (oph_metadb_interface.h:152-159), which persisted only
+    * METADATA because the MEMORY device loses data on restart. Here the
+    * data survives too. */
+  def saveCatalog(dir: String): Unit = synchronized {
+    val base = new java.io.File(dir)
+    base.mkdirs()
+    val manifest = frags.map { case ((db, nm), df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$db.$nm.parquet")
+      s"$db\t$nm\t${fragSizes.getOrElse((db, nm), -1L)}"
+    }.mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/MANIFEST"),
+      dbs.map(d => s"DB\t$d").mkString("\n") + "\n" + manifest)
+  }
+
+  /** Restore a catalog previously written by [[saveCatalog]]. */
+  def loadCatalog(dir: String): Unit = synchronized {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/MANIFEST"))
+    lines.forEach { line =>
+      line.split('\t') match {
+        case Array("DB", d) => dbs += d
+        case Array(db, nm, size) =>
+          val df = spark.read.parquet(s"$dir/$db.$nm.parquet")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          frags((db, nm)) = df
+          fragSizes((db, nm)) = size.toLong
+        case _ =>
+      }
+    }
+  }
+
   final class Session private[engine] (server: IoServer) {
     private var currentDb: String = "default"
     private var lastResultSet: Option[DataFrame] = None

@@ -89,7 +89,56 @@ class ElementwiseDoubleAgg(op: String)
   def outputEncoder = ExpressionEncoder[Seq[Double]]()
 }
 
+/** Elementwise running stats across rows (oph_aggregate_stats:13 and its
+  * explicit two-phase _partial:21/_final:17 protocol — which is exactly
+  * Spark's partial/final aggregation, so one Aggregator covers all
+  * three): buffer = (count, sum, sumsq) per element; finish emits
+  * [mean_0..mean_{n-1}, sd_0..sd_{n-1}] (population sd, mask "1?"). */
+class ElementwiseStatsAgg
+    extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+  // buffer layout: [n, sum_0.., sumsq_0..]
+  def zero: Array[Double] = Array.empty
+  def reduce(b: Array[Double], a: Seq[Double]): Array[Double] = {
+    if (a == null) return b
+    val m = a.length
+    val buf = if (b.length == 0) new Array[Double](1 + 2 * m) else b
+    buf(0) += 1
+    var i = 0
+    while (i < m && 1 + m + i < buf.length) {
+      buf(1 + i) += a(i)
+      buf(1 + m + i) += a(i) * a(i)
+      i += 1
+    }
+    buf
+  }
+  def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+    if (x.length == 0) return y
+    if (y.length == 0) return x
+    var i = 0
+    while (i < x.length && i < y.length) { x(i) += y(i); i += 1 }
+    x
+  }
+  def finish(b: Array[Double]): Seq[Double] = {
+    if (b.length == 0) return Seq.empty
+    val m = (b.length - 1) / 2
+    val n = b(0)
+    val out = new Array[Double](2 * m)
+    var i = 0
+    while (i < m) {
+      val mean = b(1 + i) / n
+      out(i) = mean
+      out(m + i) = math.sqrt(math.max(b(1 + m + i) / n - mean * mean, 0.0))
+      i += 1
+    }
+    out.toSeq
+  }
+  def bufferEncoder = ExpressionEncoder[Array[Double]]()
+  def outputEncoder = ExpressionEncoder[Seq[Double]]()
+}
+
 object ArrayAggregates {
+  /** Elementwise mean+sd across rows (oph_aggregate_stats). */
+  val ewStats = udaf(new ElementwiseStatsAgg, ExpressionEncoder[Seq[Double]]())
   /** Exact elementwise sum of pre-scaled long arrays (oracle path). */
   val ewSumLong = udaf(new ElementwiseLongAgg("sum"), ExpressionEncoder[Seq[Long]]())
   /** Elementwise min/max across rows (exact for doubles). */

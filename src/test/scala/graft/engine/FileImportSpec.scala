@@ -26,6 +26,44 @@ class FileImportSpec extends SparkSpec {
     assert(out.last.getSeq[Double](1) == Seq(90.0, 100.0, 110.0))
   }
 
+  test("catalog save/load round-trips fragments and databases") {
+    val dir = Files.createTempDirectory("graft-catalog").toFile.getAbsolutePath
+    val srv = new IoServer(spark)
+    val ses = srv.newSession()
+    ses.execute("operation=create_database;db_name=mydb")
+    ses.execute("operation=random_import;frag_name=cf;nrows=7;array_length=3")
+    srv.saveCatalog(dir)
+    val srv2 = new IoServer(spark)
+    srv2.loadCatalog(dir)
+    val ses2 = srv2.newSession()
+    ses2.useDb("mydb") // database survived
+    ses2.useDb("default")
+    val rows = ses2.execute(
+      "operation=select;field=id_dim|measure;from=cf;order=id_dim").get.collect()
+    assert(rows.length == 7)
+    val size = ses2.execute(
+      "operation=function;function_name=oph_size;function_args=cf").get
+    assert(size.head().getLong(0) == 7L)
+  }
+
+  test("dialect oph_aggregate_stats emits per-element mean+sd across rows") {
+    val srv = new IoServer(spark)
+    val ses = srv.newSession()
+    ses.execute("operation=create_frag;frag_name=st;column_name=id_dim|measure;column_type=long|double")
+    // two rows of 2-element arrays: means (2,3), population sd (1,1)
+    import spark.implicits._
+    srv.registerFragment("default", "stf",
+      Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0))).toDF("id_dim", "measure"))
+    ses.execute(
+      "operation=create_frag_select;frag_name=stout;" +
+        "field=oph_id(id_dim,10)|oph_aggregate_stats('oph_double',measure);" +
+        "field_alias=id_dim|measure;from=stf;group=oph_id(id_dim,10)")
+    val out = ses.execute(
+      "operation=select;field=id_dim|measure;from=stout").get.collect()
+    val stats = out.head.getSeq[Double](1)
+    assert(stats == Seq(2.0, 3.0, 1.0, 1.0))
+  }
+
   test("dialect aggregate avg across rows divides by group size") {
     val srv = new IoServer(spark)
     val ses = srv.newSession()
