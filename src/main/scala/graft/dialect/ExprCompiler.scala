@@ -33,7 +33,39 @@ object ExprCompiler {
     * whose top call is one of these through groupBy/agg
     * (FUN AGGREGATE entries of etc/oph_primitives_list.in). */
   val aggregateFns: Set[String] =
-    Set("oph_aggregate_operator", "oph_aggregate_stats", "oph_roll_up")
+    Set("oph_aggregate_operator", "oph_aggregate_stats",
+      "oph_aggregate_stats_partial", "oph_aggregate_stats_final", "oph_roll_up")
+
+  /** Every dialect-callable function name (the @function_table compat
+    * keyword lists these). Keep in sync with the match in [[compile]]. */
+  val registeredFunctions: Seq[String] = Seq(
+    "oph_id", "oph_id2", "oph_id3", "oph_id_to_index", "oph_id_to_index2",
+    "oph_is_in_subset", "oph_id_of_subset",
+    "oph_sum_scalar", "oph_sum_scalar2", "oph_mul_scalar", "oph_mul_scalar2",
+    "oph_sum_array", "oph_mul_array", "oph_div_array", "oph_abs_array",
+    "oph_max_array", "oph_min_array", "oph_operation_array",
+    "oph_operator_array", "oph_math",
+    "oph_count_array", "oph_size_array", "oph_find",
+    "oph_reduce", "oph_reduce2", "oph_reduce3",
+    "oph_get_subarray", "oph_sub_array", "oph_get_subarray2",
+    "oph_get_subarray3", "oph_concat", "oph_append", "oph_concat2",
+    "oph_extend", "oph_interlace", "oph_interlace2", "oph_reverse",
+    "oph_rotate", "oph_shift", "oph_padding", "oph_replace", "oph_sequence",
+    "oph_permute", "oph_extract",
+    "oph_predicate", "oph_mask_array", "oph_compare",
+    "oph_cast", "oph_convert_d", "oph_convert_l", "oph_dump",
+    "oph_to_bin", "oph_value_to_bin", "oph_compress", "oph_uncompress",
+    "oph_gsl_sd", "oph_gsl_stats", "oph_gsl_quantile", "oph_gsl_boxplot",
+    "oph_gsl_histogram", "oph_gsl_sort", "oph_gsl_correlation",
+    "oph_gsl_fit_linear", "oph_gsl_fit_linear_coeff", "oph_moving_avg",
+    "oph_accumulate", "oph_deaccumulate", "oph_quantize", "oph_normalize",
+    "oph_gsl_complex_get_real", "oph_gsl_complex_get_imag",
+    "oph_gsl_complex_get_abs", "oph_gsl_complex_get_arg",
+    "oph_gsl_complex_to_polar", "oph_gsl_complex_to_rect",
+    "oph_gsl_fft", "oph_gsl_ifft", "oph_gsl_dwt", "oph_gsl_idwt",
+    "oph_gsl_spline", "oph_ccluster_kcluster",
+    "oph_aggregate_operator", "oph_aggregate_stats",
+    "oph_aggregate_stats_partial", "oph_aggregate_stats_final", "oph_roll_up")
 
   def isAggregate(ast: Ast): Boolean = ast match {
     case Fn(n, _) => aggregateFns(n)
@@ -117,6 +149,8 @@ object ExprCompiler {
       case "oph_id_to_index2" => n(KA.oph_id_to_index2(c(0), c(1), c(2)))
       case "oph_id_to_index" =>
         n(KA.oph_id_to_index(c(0), args.tail.map(litNum(_).toLong): _*))
+      case "oph_id3" =>
+        n(KA.oph_id3(c(0), numList(args(1)).map(_.toLong), litNum(args(2)).toLong))
       case "oph_is_in_subset" | "oph_id_of_subset" =>
         b(KA.oph_is_in_subset(c(0), c(1), c(2), c(3)))
       // ---- elementwise / scalar ----

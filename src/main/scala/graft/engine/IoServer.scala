@@ -229,7 +229,24 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000) {
       // src_path-style options ride on the query (measure, explicit,
       // dim_start/dim_end — oph_io_server_query_blocks.c:1085-1410)
       val dfs = froms.map { f =>
-        if (f.startsWith("@")) {
+        if (f.equalsIgnoreCase("@info_system")) {
+          // information-schema compat keyword (§2.8,
+          // oph_query_engine_language.h:110-114)
+          import spark.implicits._
+          Seq((1L, org.apache.spark.SPARK_VERSION, currentDb))
+            .toDF("id_dim", "version", "current_db")
+        } else if (f.equalsIgnoreCase("@tot_table_size")) {
+          import spark.implicits._
+          val total = server.fragmentNames.map { case (d, nm) =>
+            server.fragSize(d, nm)
+          }.sum
+          Seq((1L, total)).toDF("id_dim", "tot_table_size")
+        } else if (f.equalsIgnoreCase("@function_table")) {
+          import spark.implicits._
+          graft.dialect.ExprCompiler.registeredFunctions.zipWithIndex
+            .map { case (fn, i) => (i + 1L, fn) }
+            .toDF("id_dim", "function_name")
+        } else if (f.startsWith("@")) {
           var r = spark.read.format("graft.sources.NetCDFSource")
             .option("path", f.drop(1))
             .option("var", q.get("measure").getOrElse("measure"))

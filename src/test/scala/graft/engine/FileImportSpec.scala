@@ -64,6 +64,21 @@ class FileImportSpec extends SparkSpec {
     assert(stats == Seq(2.0, 3.0, 1.0, 1.0))
   }
 
+  test("@info_system / @tot_table_size / @function_table compat keywords") {
+    val srv = new IoServer(spark)
+    val ses = srv.newSession()
+    ses.execute("operation=random_import;frag_name=k;nrows=9;array_length=1")
+    val info = ses.execute(
+      "operation=select;field=id_dim|version|current_db;from=@info_system").get.head()
+    assert(info.getString(2) == "default")
+    val size = ses.execute(
+      "operation=select;field=id_dim|tot_table_size;from=@tot_table_size").get.head()
+    assert(size.getLong(1) == 9L)
+    val fns = ses.execute(
+      "operation=select;field=id_dim|function_name;from=@function_table").get
+    assert(fns.count() > 80)
+  }
+
   test("dialect aggregate avg across rows divides by group size") {
     val srv = new IoServer(spark)
     val ses = srv.newSession()

@@ -50,6 +50,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"expected whole-stage-codegen spans:\n$p")
   }
 
+  test("bucketed fragments reproduce the reference's aligned join with NO shuffle") {
+    // The reference's only join is a positional aligned merge over dense
+    // sorted id_dim (oph_io_server_query_blocks.c:845-1082). At 100 TB the
+    // equivalent plan is a bucketed sort-merge join: bucket both fragments
+    // by id_dim and the join needs no Exchange at all.
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toFile.getAbsolutePath
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1L to 1000L).map(i => (i, i.toDouble)).toDF("id_dim", "m1")
+      val b = (1L to 1000L).map(i => (i, i * 2.0)).toDF("id_dim", "m2")
+      a.write.bucketBy(8, "id_dim").sortBy("id_dim")
+        .option("path", s"$wh/fa").mode("overwrite").saveAsTable("frag_a")
+      b.write.bucketBy(8, "id_dim").sortBy("id_dim")
+        .option("path", s"$wh/fb").mode("overwrite").saveAsTable("frag_b")
+      val joined = s.table("frag_a").join(s.table("frag_b"), "id_dim")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+    } finally {
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.sql("DROP TABLE IF EXISTS frag_a")
+      s.sql("DROP TABLE IF EXISTS frag_b")
+    }
+  }
+
   test("s01: query side is broadcast; scan side streams once") {
     val p = plan(SimilarityQueries.s01_ann_bruteforce(spark, sf()))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
