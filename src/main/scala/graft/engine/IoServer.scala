@@ -27,7 +27,13 @@ import graft.operators.SequentialId
   * single in-memory table; nothing here collects to the driver except
   * `select` result paging, which is bounded by maxResultRows.
   */
-final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000) {
+/** @param compatStrict replicate the reference's restrictions exactly
+  *   (id-only WHERE variables — oph_io_server_query_blocks.c:583-591;
+  *   2-column CTAS — query_manager.h:80; ascending-only ORDER, desc
+  *   ignored with a warning — oph_query_parser.c:280-284). Native mode
+  *   (default) lifts all three. */
+final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
+                     val compatStrict: Boolean = false) {
 
   private val dbs = mutable.Set[String]("default")
   private val frags = mutable.Map[(String, String), DataFrame]()
@@ -179,8 +185,16 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000) {
       val values = q.multi("value").map(parseValue(_, binds))
       val rows = values.grouped(cols.size).toSeq
       pendingRows ++= rows
-      val isFinal = !multi ||
-        q.get("final_statement").exists(_.equalsIgnoreCase("yes"))
+      // chunked prepared-statement runs (tot_run/curr_run,
+      // oph_io_server_thread.h:60-66): commit on the last run
+      val runFinal = (q.get("tot_run"), q.get("curr_run")) match {
+        case (Some(t), Some(c)) => c.toLong >= t.toLong
+        case _ => true
+      }
+      val explicitFinal = q.get("final_statement").map(_.equalsIgnoreCase("yes"))
+      val isFinal =
+        if (!multi) runFinal
+        else runFinal && explicitFinal.getOrElse(q.get("tot_run").isDefined)
       if (isFinal) {
         import scala.jdk.CollectionConverters._
         val schema = inferSchema(cols, pendingRows.head)
@@ -252,7 +266,18 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000) {
             .option("var", q.get("measure").getOrElse("measure"))
           Seq("explicit", "dim_start", "dim_end", "key_start", "partitions")
             .foreach(k => q.get(k).foreach(v => r = r.option(k, v)))
-          r.load()
+          val loaded = r.load()
+          // read-stream reduction folded into the load (the ESDM
+          // sub_operation/sub_args path, oph_io_server_esdm.c:1890-1899 +
+          // oph_query_engine_language.h:90-91): reduce the implicit array
+          // BEFORE materialization so only the reduced data flows on
+          q.get("sub_operation") match {
+            case Some(op) =>
+              val bs = q.get("sub_args").map(_.toInt).getOrElse(Int.MaxValue)
+              loaded.withColumn("measure",
+                graft.functions.ArrayPrimitives.oph_reduce(col("measure"), op, bs))
+            case None => loaded
+          }
         } else { val (db, nm) = splitName(f); server.getFrag(db, nm) }
       }
 
@@ -281,6 +306,20 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000) {
       val afterWhere = q.get("where") match {
         case Some(w) =>
           val ast = ExprParser.parse(w)
+          if (server.compatStrict) {
+            // only_id=1: WHERE variables restricted to id columns
+            def vars(a: ExprParser.Ast): Seq[String] = a match {
+              case ExprParser.Var(n) => Seq(n)
+              case ExprParser.Un(_, e) => vars(e)
+              case ExprParser.Bin(_, l, r) => vars(l) ++ vars(r)
+              case ExprParser.Fn(_, as) => as.flatMap(vars)
+              case _ => Nil
+            }
+            val bad = vars(ast).filterNot(v =>
+              v == "id_dim" || v.endsWith(".id_dim"))
+            require(bad.isEmpty,
+              s"compat mode: WHERE may only reference id columns, got $bad")
+          }
           joined.filter(ExprCompiler.compile(ast, resolve(joined), bind).bool)
         case None => joined
       }
@@ -354,7 +393,11 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000) {
       val ordered = q.get("order") match {
         case Some(o) =>
           val dir = q.get("order_dir").getOrElse("ASC")
-          if (dir.equalsIgnoreCase("DESC")) grouped.orderBy(col(o).desc)
+          if (dir.equalsIgnoreCase("DESC") && server.compatStrict) {
+            // the reference IGNORES non-ASC with a warning
+            System.err.println(s"[graft] compat mode: order_dir=$dir ignored (asc only)")
+            grouped.orderBy(col(o))
+          } else if (dir.equalsIgnoreCase("DESC")) grouped.orderBy(col(o).desc)
           else grouped.orderBy(col(o))
         case None => grouped
       }
@@ -382,6 +425,9 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000) {
 
     private def runCtas(q: ParsedQuery, binds: Seq[Any]): Unit = {
       val (db, nm) = splitName(q("frag_name"))
+      if (server.compatStrict)
+        require(q.multi("field").size == 2,
+          "compat mode: CTAS output must have exactly 2 columns (id_dim, measure)")
       val df = buildSelect(q, binds).persist(StorageLevel.MEMORY_AND_DISK)
       val n = df.count() // materialize (the reference stores eagerly)
       server.putFrag(db, nm, df, n)
@@ -452,6 +498,15 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000) {
         case "oph_export" =>
           val (db, nm) = splitName(args.head)
           val r = server.getFrag(db, nm).orderBy("id_dim")
+          // optional second arg: write the fragment to a NetCDF file
+          // (feeds OPH_EXPORTNC; our writer emits CDF-1)
+          args.lift(1).filter(_.nonEmpty).foreach { path =>
+            val rows = r.select("id_dim", "measure").collect()
+            val m = if (rows.isEmpty) 0 else rows.head.getSeq[Double](1).size
+            val data = rows.flatMap(_.getSeq[Double](1)).map(d => d)
+            graft.sources.NetCDF3.writeDoubleVar(path,
+              Seq("id_dim" -> rows.length, "elem" -> m), "measure", data)
+          }
           lastResultSet = Some(r)
           Some(r)
         case "oph_size" =>

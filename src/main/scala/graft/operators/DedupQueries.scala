@@ -146,7 +146,30 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d06 — embedding-cosine near-dup: candidate pairs restricted to the
+    * same coarse bucket (label = the IVF cell), exact cosine via the
+    * codegen dot product, threshold 0.4. At 100 TB the bucket is the
+    * partition key, so the quadratic step never crosses buckets. */
+  def d06_dedup_embcos(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("a", col("embedding").cast("array<double>"))
+      .withColumn("nrm",
+        sqrt(graft.plans.DotProduct(col("a"), col("a"))))
+      .select("vec_id", "label", "a", "nrm")
+      .cache()
+    e.count() // eager fill: the self-join would race the cache
+    e.as("x").join(e.as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos",
+        graft.plans.DotProduct(col("x.a"), col("y.a")) /
+          (col("x.nrm") * col("y.nrm")))
+      .filter(col("cos") >= 0.4)
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"), col("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d06_dedup_embcos" -> (d06_dedup_embcos _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_dedup_canonical" -> (d02_dedup_canonical _),
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
@@ -170,6 +193,19 @@ object DedupQueries {
        THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x,y) -> x+y)"""
 
   val oracles: Map[String, String] = Map(
+    "d06_dedup_embcos" -> """
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      n AS (SELECT vec_id, label, a,
+        sqrt(list_reduce(list_transform(range(1, 65), i -> a[i] * a[i]),
+          (p,q) -> p+q)) AS nrm FROM e)
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        list_reduce(list_transform(range(1, 65), i -> x.a[i] * y.a[i]),
+          (p,q) -> p+q) / (x.nrm * y.nrm) AS cos
+      FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id
+      WHERE list_reduce(list_transform(range(1, 65), i -> x.a[i] * y.a[i]),
+          (p,q) -> p+q) / (x.nrm * y.nrm) >= 0.4
+      ORDER BY id_a, id_b""",
     "d01_dedup_exact" ->
       """SELECT doc_id, rep_id, group_size, doc_id <> rep_id AS is_dup
          FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id,

@@ -79,6 +79,79 @@ class FileImportSpec extends SparkSpec {
     assert(fns.count() > 80)
   }
 
+  test("compat mode enforces the reference's restrictions") {
+    val srv = new IoServer(spark, compatStrict = true)
+    val ses = srv.newSession()
+    ses.execute("operation=random_import;frag_name=cm;nrows=10;array_length=2")
+    // WHERE on a non-id column is rejected (only_id=1)
+    intercept[IllegalArgumentException] {
+      ses.execute("operation=create_frag_select;frag_name=x1;" +
+        "field=id_dim|measure;from=cm;where=oph_count_array(measure)=2")
+    }
+    // CTAS must be exactly 2 columns
+    intercept[IllegalArgumentException] {
+      ses.execute("operation=create_frag_select;frag_name=x2;" +
+        "field=id_dim|measure|measure;from=cm")
+    }
+    // DESC is ignored (ascending output), matching the reference warning
+    val r = ses.execute("operation=select;field=id_dim;from=cm;" +
+      "order=id_dim;order_dir=DESC").get.collect()
+    assert(r.map(_.getLong(0)).toSeq == (1L to 10L))
+  }
+
+  test("tot_run/curr_run chunked prepared inserts commit on the last run") {
+    val srv = new IoServer(spark)
+    val ses = srv.newSession()
+    ses.execute("operation=create_frag;frag_name=tr;column_name=id_dim|measure;column_type=long|double")
+    ses.execute("operation=insert;frag_name=tr;field=id_dim|measure;value=?1|?2;" +
+      "tot_run=3;curr_run=1", Seq[Any](1L, 1.5))
+    ses.execute("operation=insert;frag_name=tr;field=id_dim|measure;value=?1|?2;" +
+      "tot_run=3;curr_run=2", Seq[Any](2L, 2.5))
+    // not committed yet
+    intercept[IllegalArgumentException] {
+      ses.execute("operation=select;field=id_dim;from=tr")
+    }
+    ses.execute("operation=insert;frag_name=tr;field=id_dim|measure;value=?1|?2;" +
+      "tot_run=3;curr_run=3", Seq[Any](3L, 3.5))
+    val rows = ses.execute("operation=select;field=id_dim|measure;from=tr;order=id_dim")
+      .get.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("oph_export writes NetCDF that our reader round-trips") {
+    val srv = new IoServer(spark)
+    val ses = srv.newSession()
+    ses.execute("operation=random_import;frag_name=ex;nrows=6;array_length=4")
+    val out = Files.createTempFile("graft-export", ".nc").toFile
+    out.deleteOnExit()
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=ex|${out.getAbsolutePath}")
+    val hdr = NetCDF3.readHeader(out.getAbsolutePath)
+    assert(hdr.dims.map(_.length) == Seq(6, 4))
+    val v = hdr.variable("measure")
+    val data = NetCDF3.readSlab(out.getAbsolutePath, hdr, v, Seq(0, 0), Seq(6, 4))
+    val orig = ses.execute("operation=select;field=id_dim|measure;from=ex;order=id_dim")
+      .get.collect().flatMap(_.getSeq[Double](1))
+    assert(data.toSeq == orig.toSeq)
+  }
+
+  test("read-stream reduction (sub_operation) folds into the @file load") {
+    val f = Files.createTempFile("graft-sub", ".nc").toFile
+    f.deleteOnExit()
+    NetCDF3.writeDoubleVar(f.getAbsolutePath,
+      Seq("t" -> 3, "x" -> 4), "measure", Array.tabulate(12)(_.toDouble))
+    val srv = new IoServer(spark)
+    val ses = srv.newSession()
+    ses.execute(
+      s"operation=create_frag_select;frag_name=sub;from=@${f.getAbsolutePath};" +
+        "explicit=1;sub_operation=avg;" +
+        "field=id_dim|measure;field_alias=id_dim|measure")
+    val rows = ses.execute(
+      "operation=select;field=id_dim|measure;from=sub;order=id_dim").get.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getSeq[Double](1).head).toSeq == Seq(1.5, 5.5, 9.5))
+  }
+
   test("dialect aggregate avg across rows divides by group size") {
     val srv = new IoServer(spark)
     val ses = srv.newSession()
