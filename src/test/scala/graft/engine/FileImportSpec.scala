@@ -118,6 +118,16 @@ class FileImportSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("prepared-statement binary args: array and blob binds") {
+    val srv = new IoServer(spark)
+    val ses = srv.newSession()
+    ses.execute("operation=create_frag;frag_name=bb;column_name=id_dim|measure;column_type=long|blob")
+    ses.execute("operation=insert;frag_name=bb;field=id_dim|measure;value=?1|?2",
+      Seq[Any](1L, Seq(1.5, 2.5, 3.5)))
+    val row = ses.execute("operation=select;field=id_dim|measure;from=bb").get.head()
+    assert(row.getSeq[Double](1) == Seq(1.5, 2.5, 3.5))
+  }
+
   test("oph_export writes NetCDF that our reader round-trips") {
     val srv = new IoServer(spark)
     val ses = srv.newSession()

@@ -77,6 +77,26 @@ class NetCDFSpec extends SparkSpec {
     assert(rows.last.getSeq[Double](1) == Seq(17.0, 18.0))
   }
 
+  test("unordered-dimension import = DSv2 load + oph_permute (the v1/v2 transpose path)") {
+    // reference: when the measure's dims aren't in fragment order, import
+    // transposes (cache-blocked kernels, oph_io_server_nc.c:577-1194).
+    // Spark-first: load row-major as-is, permute the implicit array —
+    // same bytes, Tungsten handles locality.
+    import org.apache.spark.sql.functions._
+    val data = Array.tabulate(12)(_.toDouble) // dims (x=3, t=4), want t-major
+    val path = tmpNc(Seq("x" -> 3, "t" -> 4), data)
+    val df = spark.read.format("graft.sources.NetCDFSource")
+      .option("path", path).option("var", "measure")
+      .option("explicit", "0") // whole var as one implicit array
+      .load()
+      .select(graft.functions.ArrayPrimitives
+        .oph_permute(col("measure"), Seq(3, 4), Seq(1, 0)).as("m"))
+    val m = df.head.getSeq[Double](0)
+    // transposed row-major (t,x): element (t,x) = data(x*4 + t)
+    val expected = for (t <- 0 until 4; x <- 0 until 3) yield data(x * 4 + t)
+    assert(m == expected)
+  }
+
   test("binary codec: pack/unpack/zlib roundtrip") {
     val a = Seq(1.5, -2.25, 3.75, Double.MinPositiveValue)
     assert(BinaryCodec.unpackDoubles(BinaryCodec.packDoubles(a)) == a)
