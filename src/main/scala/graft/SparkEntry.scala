@@ -13,7 +13,8 @@ object SparkEntry {
     graft.operators.DedupQueries.queries ++
     graft.operators.SimilarityQueries.queries ++
     graft.operators.MultimodalQueries.queries ++
-    graft.operators.DialectQueries.queries
+    graft.operators.DialectQueries.queries ++
+    graft.operators.ClusterQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -61,7 +61,12 @@ object TextFunctions {
     * DuckDB as (h >> b) & 1. */
   def simhash60(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
-  def simhashFromHashes(hs: Column): Column =
+  /** Native codegen implementation ([[graft.plans.SimHash60]]); the HOF
+    * formulation below is kept as [[simhashFromHashesHof]] — both compute
+    * the identical value (unit-tested against each other). */
+  def simhashFromHashes(hs: Column): Column = graft.plans.SimHash60(hs)
+
+  def simhashFromHashesHof(hs: Column): Column =
     bindOnce(hs, hsv => {
       val pow2 = array((0 until 60).map(b => lit(1L << b)): _*)
       aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, b) => {
