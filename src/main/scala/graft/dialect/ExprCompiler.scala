@@ -44,7 +44,7 @@ object ExprCompiler {
     "oph_sum_scalar", "oph_sum_scalar2", "oph_mul_scalar", "oph_mul_scalar2",
     "oph_sum_array", "oph_mul_array", "oph_div_array", "oph_abs_array",
     "oph_max_array", "oph_min_array", "oph_operation_array",
-    "oph_operator_array", "oph_math",
+    "oph_operator_array", "oph_operator", "oph_math",
     "oph_count_array", "oph_size_array", "oph_find",
     "oph_reduce", "oph_reduce2", "oph_reduce3",
     "oph_get_subarray", "oph_sub_array", "oph_get_subarray2",
@@ -214,7 +214,13 @@ object ExprCompiler {
       case "oph_mask_array" => n(AP.oph_mask_array(c(0), c(1)))
       case "oph_compare" => n(AP.oph_compare(c(0), c(1)))
       // ---- type & codec ----
-      case "oph_cast" => n(AP.oph_cast(c(0), litStr(args(1))))
+      case "oph_cast" =>
+        n(if (args.size >= 4)
+          AP.oph_cast(c(0), litStr(args(1)), Some(litNum(args(2))), Some(litNum(args(3))))
+        else AP.oph_cast(c(0), litStr(args(1))))
+      case "oph_operator" => // scalar op between two single-value cells
+        n(AP.oph_operation_array(array(c(0)), array(c(1)), opName(args(2)))
+          .getItem(0))
       case "oph_convert_d" => n(AP.oph_convert_d(c(0)))
       case "oph_convert_l" => n(AP.oph_convert_l(c(0)))
       case "oph_dump" => n(AP.oph_dump(c(0)))
