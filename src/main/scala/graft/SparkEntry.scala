@@ -14,7 +14,8 @@ object SparkEntry {
     graft.operators.SimilarityQueries.queries ++
     graft.operators.MultimodalQueries.queries ++
     graft.operators.DialectQueries.queries ++
-    graft.operators.ClusterQueries.queries
+    graft.operators.ClusterQueries.queries ++
+    graft.operators.CubeQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -24,5 +25,6 @@ object SparkEntry {
     graft.operators.DedupQueries.oracles ++
     graft.operators.SimilarityQueries.oracles ++
     graft.operators.MultimodalQueries.oracles ++
-    graft.operators.DialectQueries.oracles
+    graft.operators.DialectQueries.oracles ++
+    graft.operators.CubeQueries.oracles
 }

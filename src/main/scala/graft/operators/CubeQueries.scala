@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.cube.Cube
+
+/** The cube API exercised end-to-end against DuckDB: embeddings as a
+  * 1-explicit × (8×8)-implicit cube, run through the canonical Ophidia
+  * workload chain (subset → in-array reduce → across-row aggregate).
+  */
+object CubeQueries {
+
+  private def cube(s: SparkSession, dir: String): Cube = {
+    val base = Tables.embeddings(s, dir)
+      .select((col("vec_id") + 1).as("id_dim"),
+        col("embedding").cast("array<double>").as("measure"))
+    Cube(base, Seq("row" -> base.count().toInt), Seq("x" -> 8, "y" -> 8))
+  }
+
+  /** qc01 — subset the explicit dim (odd rows), average out the implicit
+    * y dim, then elementwise-max-reduce blocks of 50 rows... kept as the
+    * 2-stage version so the oracle stays a readable mirror. */
+  def qc01_cube_pipeline(s: SparkSession, dir: String): DataFrame =
+    cube(s, dir)
+      .subsetExplicit("row", "1:2:end")
+      .reduceImplicit("y", "avg")
+      .df.orderBy("id_dim")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc01_cube_pipeline" -> (qc01_cube_pipeline _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "qc01_cube_pipeline" ->
+      """SELECT (vec_id / 2)::BIGINT + 1 AS id_dim,
+         list_transform(range(0, 8), x ->
+           list_reduce(list_transform(range(0, 8), y -> embedding[x*8 + y + 1]::DOUBLE),
+             (p,q) -> p+q) / 8.0) AS measure
+         FROM embeddings WHERE vec_id % 2 = 0
+         ORDER BY id_dim""",
+  )
+}
