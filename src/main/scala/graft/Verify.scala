@@ -14,6 +14,9 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
       // type for; read as raw nanos-since-epoch longs and convert in-query.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 128 GiB executors: let mid-size dims broadcast (default 10 MB is
+      // sized for small executors)
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

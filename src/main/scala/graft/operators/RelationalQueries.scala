@@ -232,6 +232,26 @@ object RelationalQueries {
         col("cnt"), col("sum_qty"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** q20 — SLIDING time windows (1 h window, 30 min slide) as a batch
+    * plan — the batch mirror of Structured Streaming's window(); each
+    * event lands in 2 windows. Epoch-aligned, exact integer arithmetic
+    * over the raw nanos. */
+  def q20_sliding_window(s: SparkSession, dir: String): DataFrame = {
+    val slideNs = 1800000000000L // 30 min
+    val winNs = 3600000000000L // 1 h
+    val e = Tables.events(s, dir)
+      .withColumn("k", explode(array(lit(0L), lit(1L))))
+      .withColumn("win_start_ns",
+        (KeyAlgebra.ldiv(col("ts"), lit(slideNs)) - col("k")) * slideNs)
+      .filter(col("ts") < col("win_start_ns") + winNs &&
+        col("win_start_ns") >= 0)
+    e.groupBy(timestamp_seconds(
+        KeyAlgebra.ldiv(col("win_start_ns"), lit(1000000000L))).as("window_start"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("window_start")
+  }
+
   /** q19 — JSON property extraction from the events side-channel. */
   def q19_json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -242,6 +262,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_sessionize_batch" -> (q17_sessionize_batch _),
+    "q20_sliding_window" -> (q20_sliding_window _),
     "q18_rollup" -> (q18_rollup _),
     "q19_json" -> (q19_json _),
     "q01_filter_project" -> (q01_filter_project _),
@@ -275,6 +296,16 @@ object RelationalQueries {
              THEN 1 ELSE 0 END AS new_sess
              FROM events))
          GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q20_sliding_window" ->
+      """SELECT to_timestamp(win_start_s) AS window_start, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM (SELECT value,
+             (epoch_ns(ts) // 1800000000000 - k) * 1800 AS win_start_s,
+             epoch_ns(ts) AS tns
+           FROM events, (SELECT unnest([0, 1]) AS k))
+         WHERE tns < win_start_s * 1000000000 + 3600000000000
+           AND win_start_s >= 0
+         GROUP BY win_start_s ORDER BY window_start""",
     "q18_rollup" ->
       """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
          coalesce(l_linestatus, '<all>') AS l_linestatus,
