@@ -8,4 +8,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register function builders on an EXISTING session (the extensions
+    * path only applies at session construction). */
+  def registerFunctions(
+      spark: SparkSession,
+      fns: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+        org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+        Seq[Expression] => Expression)]): Unit =
+    fns.foreach { case (id, info, builder) =>
+      spark.asInstanceOf[classic.SparkSession].sessionState
+        .functionRegistry.registerFunction(id, info, builder)
+    }
 }
