@@ -74,16 +74,42 @@ object TextQueries {
         simhashFromHashes(col("hs")).as("simhash"))
       .orderBy("doc_id")
 
+  /** t04 — BPE-ish subword tokenization: split into letter runs, digit
+    * runs and single symbols (the pre-merge vocabulary of a byte-pair
+    * tokenizer), and report exact counts. Identical regex-class semantics
+    * in the JVM and DuckDB's RE2 for these simple classes. */
+  def t04_bpe_tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("pieces",
+        regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+      .select(col("doc_id"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        size(array_distinct(col("pieces"))).cast("long").as("n_vocab"),
+        aggregate(col("pieces"), lit(0L), (a, p) => a + length(p).cast("long"))
+          .as("n_covered_chars"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_quality" -> (t01_token_quality _),
     "t02_langid" -> (t02_langid _),
     "t03_fingerprint" -> (t03_fingerprint _),
+    "t04_bpe_tokens" -> (t04_bpe_tokens _),
   )
 
   private def sqlHs =
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    "t04_bpe_tokens" ->
+      """SELECT doc_id,
+         len(pieces)::BIGINT AS n_pieces,
+         len(list_distinct(pieces))::BIGINT AS n_vocab,
+         list_reduce(list_transform(pieces, p -> length(p)::BIGINT), (a,b) -> a+b)
+           AS n_covered_chars
+         FROM (SELECT doc_id,
+           regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') AS pieces
+           FROM documents)
+         ORDER BY doc_id""",
     "t01_token_quality" ->
       """SELECT doc_id, n_tokens, n_distinct, total_chars, stop_ratio,
          total_chars::DOUBLE / n_tokens::DOUBLE AS avg_token_len,

@@ -45,6 +45,35 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).getLong(2) == 2 && out(0).getDouble(3) == 3.0)
   }
 
+  test("windowedAgg over a real stream: watermark drops late data, windows close") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[(String, String, Double)]
+    val events = in.toDF().toDF("tss", "k", "v")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val agg = Streaming.windowedAgg(events, "ts", "k", "v",
+      window_ = "10 minutes", watermark = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+    try {
+      in.addData(("2026-01-01 00:01:00", "a", 1.0), ("2026-01-01 00:04:00", "a", 2.0))
+      q.processAllAvailable()
+      // advance event time far past the first window + watermark → closes it
+      in.addData(("2026-01-01 01:00:00", "a", 9.0))
+      q.processAllAvailable()
+      // a very late event for the closed window must be dropped
+      in.addData(("2026-01-01 00:02:00", "a", 100.0))
+      in.addData(("2026-01-01 02:00:00", "a", 0.5)) // push watermark again
+      q.processAllAvailable()
+      val rows = s.table("winagg").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3)))
+      assert(rows.contains(("2026-01-01 00:00:00.0", 2L, 3.0)),
+        s"first window missing/late row not dropped: ${rows.toSeq}")
+      assert(!rows.exists(_._3 == 103.0), "late data leaked into closed window")
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the inactivity gap") {
     val s = spark
     import s.implicits._
