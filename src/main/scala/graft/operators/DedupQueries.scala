@@ -118,20 +118,22 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** d05 — n-gram Jaccard near-dup: character 4-gram sets of the LSH
-    * candidates (reusing d03's banding), Jaccard over 4-gram hash sets,
-    * threshold 0.9. */
+  /** d05 — n-gram Jaccard near-dup: MinHash/LSH over the character
+    * 4-GRAM hash set (sketching the same feature space the verify stage
+    * measures — a token-based sketch keeps ~96% of candidates here),
+    * then exact gram-Jaccard ≥ 0.9 on the survivors. */
   def d05_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
-    // grams are hashed to longs (portable md5-60) so the pairwise
-    // intersection compares longs, not strings
+    // grams hashed to longs (portable md5-60): sorted for the merge-loop
+    // verify; minhash is order-independent so the same array feeds both
     val docs = Tables.documents(s, dir)
-      .withColumn("hs", tokenHashes(col("text"))) // one md5 pass per row
-      .select(col("doc_id"),
-        minhashFromHashes(col("hs")).as("sig"),
+      .withColumn("g4", // used twice below → stays a real projected column
         array_sort(array_distinct(transform(
           array_distinct(transform(sequence(lit(1), length(col("text")) - 3),
             i => col("text").substr(i, lit(4)))),
-          g => md5Long60(g)))).as("grams"))
+          g => md5Long60(g)))))
+      .select(col("doc_id"),
+        minhashFromHashes(col("g4")).as("sig"),
+        col("g4").as("grams"))
       .cache()
     docs.count() // eager fill: the self-join would race the cache
     lshCandidates(docs)
@@ -250,12 +252,18 @@ object DedupQueries {
       WHERE bit_count(xor(x.sh, y.sh)) <= 2
       ORDER BY doc_a, doc_b""",
     "d05_ngram_jaccard" -> s"""
-      WITH base AS (SELECT doc_id, $sqlSig AS sig,
-          list_distinct(list_transform(
+      WITH g AS (SELECT doc_id,
+          list_sort(list_distinct(list_transform(
             list_distinct(list_transform(range(1, length(text) - 2),
               i -> substr(text, i::INT, 4))),
-            g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT))) AS grams
+            g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)))) AS grams
         FROM documents),
+      base AS (SELECT doc_id, grams,
+          list_transform(range(0, 16), k -> list_min(list_transform(
+            list_transform(grams, h -> h % 2147483647),
+            h -> (((1103515245*(k+1) + 12345) % 2147483647) * h
+                  + ((1103515245*(k+101) + 12345) % 2147483647)) % 2147483647))) AS sig
+        FROM g),
       bands AS (SELECT doc_id, b,
           array_to_string(sig[b*8+1 : b*8+8], '_') AS bkey
         FROM base, range(0, 2) t(b)),
