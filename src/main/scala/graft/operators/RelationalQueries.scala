@@ -252,6 +252,29 @@ object RelationalQueries {
       .orderBy("window_start")
   }
 
+  /** q21 — anti/semi joins (absent in the reference): parts that never
+    * shipped, suppliers that did. */
+  def q21_anti_semi(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val unshipped = Tables.part(s, dir)
+      .join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+      .agg(count(lit(1)).as("n_unshipped_parts"))
+    val active = Tables.supplier(s, dir)
+      .join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .agg(count(lit(1)).as("n_active_suppliers"))
+    unshipped.crossJoin(active)
+  }
+
+  /** q22 — exact interpolated percentiles (Spark `percentile` ==
+    * DuckDB `quantile_cont`: sort + linear interpolation). */
+  def q22_percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** q19 — JSON property extraction from the events side-channel. */
   def q19_json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -263,6 +286,8 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_sessionize_batch" -> (q17_sessionize_batch _),
     "q20_sliding_window" -> (q20_sliding_window _),
+    "q21_anti_semi" -> (q21_anti_semi _),
+    "q22_percentiles" -> (q22_percentiles _),
     "q18_rollup" -> (q18_rollup _),
     "q19_json" -> (q19_json _),
     "q01_filter_project" -> (q01_filter_project _),
@@ -306,6 +331,18 @@ object RelationalQueries {
          WHERE tns < win_start_s * 1000000000 + 3600000000000
            AND win_start_s >= 0
          GROUP BY win_start_s ORDER BY window_start""",
+    "q21_anti_semi" ->
+      """SELECT
+         (SELECT count(*) FROM part WHERE p_partkey NOT IN
+           (SELECT l_partkey FROM lineitem)) AS n_unshipped_parts,
+         (SELECT count(*) FROM supplier WHERE s_suppkey IN
+           (SELECT l_suppkey FROM lineitem)) AS n_active_suppliers""",
+    "q22_percentiles" ->
+      """SELECT o_orderstatus,
+         quantile_cont(o_totalprice, 0.5) AS median_price,
+         quantile_cont(o_totalprice, 0.9) AS p90_price,
+         count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q18_rollup" ->
       """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
          coalesce(l_linestatus, '<all>') AS l_linestatus,
