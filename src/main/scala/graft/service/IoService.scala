@@ -80,6 +80,8 @@ final class IoService(spark: SparkSession, port: Int = 0) {
           case i => (line.substring(0, i).toUpperCase, line.substring(i + 1).trim)
         }
         try cmd match {
+          case "PG" => // ping (the reference's liveness check)
+            out.println("""{"ok":true,"pong":true}""")
           case "UD" =>
             session.useDb(arg)
             out.println("""{"ok":true}""")
