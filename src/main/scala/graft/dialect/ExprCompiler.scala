@@ -88,6 +88,17 @@ object ExprCompiler {
       case Bin('&', l, r) => CExpr(go(l).bool && go(r).bool, isBool = true)
       case Bin('|', l, r) => CExpr(go(l).bool || go(r).bool, isBool = true)
       case Bin('=', l, r) => CExpr(go(l).num === go(r).num, isBool = true)
+      case Cmp(op, l, r) =>
+        val (lc, rc) = (go(l).num, go(r).num)
+        val c = op match {
+          case '<' => lc < rc
+          case '>' => lc > rc
+          case 'l' => lc <= rc
+          case 'g' => lc >= rc
+          case 'n' => lc =!= rc
+          case o => throw new IllegalArgumentException(s"cmp $o")
+        }
+        CExpr(c, isBool = true)
       case Bin('%', l, r) =>
         CExpr(pmod(go(l).num.cast("long"), go(r).num.cast("long")), isBool = false)
       case Bin(op, l, r) =>

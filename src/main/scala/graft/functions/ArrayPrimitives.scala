@@ -395,11 +395,15 @@ object ArrayPrimitives {
     "oph_byte" -> ByteType, "oph_short" -> ShortType, "oph_int" -> IntegerType,
     "oph_long" -> LongType, "oph_float" -> FloatType, "oph_double" -> DoubleType,
     "byte" -> ByteType, "short" -> ShortType, "int" -> IntegerType,
-    "long" -> LongType, "float" -> FloatType, "double" -> DoubleType)
+    "long" -> LongType, "float" -> FloatType, "double" -> DoubleType,
+    // the reference's bit element type: values collapse to 0/1
+    "oph_bit" -> ByteType, "bit" -> ByteType)
 
   /** Element-type cast with optional missing-value remap (oph_cast). */
   def oph_cast(a: Column, to: String, missFrom: Option[Double] = None,
                missTo: Option[Double] = None): Column = {
+    if (to.toLowerCase.endsWith("bit")) // bit semantics: collapse to 0/1
+      return transform(a, x => (x =!= 0).cast(ByteType))
     val t = typeMap.getOrElse(to.toLowerCase,
       throw new IllegalArgumentException(s"unknown cast target: $to"))
     (missFrom, missTo) match {

@@ -183,9 +183,23 @@ object ArrayQueries {
       AP.oph_replace(col("a"), 0.0, -999.0).as("repl"))
       .orderBy("vec_id")
 
+  /** a18 — complex-array helpers over interleaved (re, im) pairs
+    * (oph_gsl_complex_get_real:129/imag:125/abs:117): the first 16
+    * elements as 8 complex numbers. (arg/polar use atan2/cos which differ
+    * by 1 ulp between libm and the JVM — covered by unit tests instead.) */
+  def a18_complex(s: SparkSession, dir: String): DataFrame = {
+    val c16 = AP.oph_get_subarray(col("a"), 1, 16)
+    emb(s, dir).select(col("vec_id"),
+      Stats.oph_gsl_complex_get_real(c16).as("re"),
+      Stats.oph_gsl_complex_get_imag(c16).as("im"),
+      Stats.oph_gsl_complex_get_abs(c16).as("mod"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a16_multidim" -> (a16_multidim _),
     "a17_smooth_scale" -> (a17_smooth_scale _),
+    "a18_complex" -> (a18_complex _),
     "a01_scalar_math" -> (a01_scalar_math _),
     "a02_pairwise" -> (a02_pairwise _),
     "a03_reduce" -> (a03_reduce _),
@@ -210,6 +224,14 @@ object ArrayQueries {
            list_reduce(list_transform(range(0, 8), k -> embedding[k*8 + j + 1]::DOUBLE),
              (x,y) -> x+y)) AS colsum,
          list_transform([3, 4, 11, 12], i -> embedding[i]::DOUBLE) AS block
+         FROM embeddings ORDER BY vec_id""",
+    "a18_complex" ->
+      """SELECT vec_id,
+         list_transform(range(0, 8), i -> embedding[2*i + 1]::DOUBLE) AS re,
+         list_transform(range(0, 8), i -> embedding[2*i + 2]::DOUBLE) AS im,
+         list_transform(range(0, 8), i -> sqrt(
+           embedding[2*i + 1]::DOUBLE * embedding[2*i + 1]::DOUBLE +
+           embedding[2*i + 2]::DOUBLE * embedding[2*i + 2]::DOUBLE)) AS mod
          FROM embeddings ORDER BY vec_id""",
     "a17_smooth_scale" ->
       """SELECT vec_id,

@@ -56,6 +56,18 @@ class DialectSpec extends SparkSpec {
     assert(df.filter(c.bool).count() == 1)
   }
 
+  test("native-mode comparisons: < > <= >= != <>") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((5L, 3L)).toDF("x", "y")
+    def holds(e: String): Boolean =
+      df.filter(ExprCompiler.compile(ExprParser.parse(e), col(_)).bool).count() == 1
+    assert(holds("x > y") && holds("x >= 5") && !holds("x < y"))
+    assert(holds("y <= 3") && holds("x != y") && holds("x <> 4"))
+    assert(holds("x > y & !(y > x)")) // unary ! still works
+    assert(holds("x - 2 = y")) // arithmetic binds tighter than comparison
+  }
+
   test("subset-string parser matches the reference grammar") {
     import graft.functions.Subset
     assert(Subset.resolve(Subset.parse("1:3:10"), 10) == Seq(1, 4, 7, 10))
