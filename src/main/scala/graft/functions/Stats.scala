@@ -189,7 +189,7 @@ object Stats {
   // --------------------------------------------------------------------
 
   private def strided(a: Column, offset: Int, f: (Column, Column) => Column): Column = {
-    val pairs = size(a) / 2
+    val pairs = (size(a) / 2).cast(IntegerType)
     transform(sequence(lit(0), pairs - 1), i =>
       f(element_at(a, i.cast(IntegerType) * 2 + 1), element_at(a, i.cast(IntegerType) * 2 + 2)))
   }
@@ -201,7 +201,7 @@ object Stats {
 
   /** (re,im)* → (mod,arg)* interleaved. */
   def oph_gsl_complex_to_polar(a: Column): Column = {
-    val pairs = size(a) / 2
+    val pairs = (size(a) / 2).cast(IntegerType)
     flatten(transform(sequence(lit(0), pairs - 1), i => {
       val re = element_at(a, i.cast(IntegerType) * 2 + 1)
       val im = element_at(a, i.cast(IntegerType) * 2 + 2)
@@ -211,7 +211,7 @@ object Stats {
 
   /** (mod,arg)* → (re,im)* interleaved. */
   def oph_gsl_complex_to_rect(a: Column): Column = {
-    val pairs = size(a) / 2
+    val pairs = (size(a) / 2).cast(IntegerType)
     flatten(transform(sequence(lit(0), pairs - 1), i => {
       val mod = element_at(a, i.cast(IntegerType) * 2 + 1)
       val arg = element_at(a, i.cast(IntegerType) * 2 + 2)
