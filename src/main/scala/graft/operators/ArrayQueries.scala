@@ -196,10 +196,23 @@ object ArrayQueries {
       .orderBy("vec_id")
   }
 
+  /** a19 — per-row least-squares fit (oph_gsl_fit_linear_coeff:161) of
+    * the measure against the index axis 1..64, plus Pearson correlation
+    * with the reversed array (oph_gsl_correlation:141). Only add, mul,
+    * div and sqrt: exact across engines. */
+  def a19_fit_corr(s: SparkSession, dir: String): DataFrame = {
+    val x = AP.oph_sequence(1.0, 1.0, 64)
+    emb(s, dir).select(col("vec_id"),
+      Stats.oph_gsl_fit_linear_coeff(x, col("a")).as("fit"),
+      Stats.oph_gsl_correlation(col("a"), reverse(col("a"))).as("corr_rev"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a16_multidim" -> (a16_multidim _),
     "a17_smooth_scale" -> (a17_smooth_scale _),
     "a18_complex" -> (a18_complex _),
+    "a19_fit_corr" -> (a19_fit_corr _),
     "a01_scalar_math" -> (a01_scalar_math _),
     "a02_pairwise" -> (a02_pairwise _),
     "a03_reduce" -> (a03_reduce _),
@@ -225,6 +238,24 @@ object ArrayQueries {
              (x,y) -> x+y)) AS colsum,
          list_transform([3, 4, 11, 12], i -> embedding[i]::DOUBLE) AS block
          FROM embeddings ORDER BY vec_id""",
+    "a19_fit_corr" ->
+      """SELECT vec_id,
+         [(sy - ((64.0*sxy - sx*sy) / (64.0*sxx - sx*sx)) * sx) / 64.0,
+          (64.0*sxy - sx*sy) / (64.0*sxx - sx*sx)] AS fit,
+         (64.0*sab - sa*sb) / (sqrt(64.0*saa - sa*sa) * sqrt(64.0*sbb - sb*sb)) AS corr_rev
+         FROM (SELECT vec_id,
+           list_reduce(list_transform(range(0, 64), i -> 1.0 + i::DOUBLE * 1.0), (p,q) -> p+q) AS sx,
+           list_reduce(list_transform(embedding, y -> y::DOUBLE), (p,q) -> p+q) AS sy,
+           list_reduce(list_transform(range(0, 64), i -> (1.0 + i::DOUBLE * 1.0) * (1.0 + i::DOUBLE * 1.0)), (p,q) -> p+q) AS sxx,
+           list_reduce(list_transform(range(1, 65), i -> (1.0 + (i-1)::DOUBLE * 1.0) * embedding[i]::DOUBLE), (p,q) -> p+q) AS sxy,
+           list_reduce(list_transform(embedding, y -> y::DOUBLE), (p,q) -> p+q) AS sa,
+           -- b = reverse(a): folds run in REVERSED element order (the
+           -- Spark side folds dsum(reverse(a)), order changes last bits)
+           list_reduce(list_transform(range(1, 65), i -> embedding[65-i]::DOUBLE), (p,q) -> p+q) AS sb,
+           list_reduce(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE), (p,q) -> p+q) AS saa,
+           list_reduce(list_transform(range(1, 65), i -> embedding[65-i]::DOUBLE * embedding[65-i]::DOUBLE), (p,q) -> p+q) AS sbb,
+           list_reduce(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[65-i]::DOUBLE), (p,q) -> p+q) AS sab
+           FROM embeddings) ORDER BY vec_id""",
     "a18_complex" ->
       """SELECT vec_id,
          list_transform(range(0, 8), i -> embedding[2*i + 1]::DOUBLE) AS re,
