@@ -55,8 +55,41 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class FrameSample(doc_id: Long, n_frames: Long,
+                               n_sampled: Long, sampled_feat: Double)
+
+  /** m02 — frame sampling: treat the payload as a frame sequence (fixed
+    * 64-byte "frames" standing in for decoded video frames), sample every
+    * 4th frame, and pool a feature over the sampled frames. The chunk /
+    * stride / pool plumbing is what a real video pipeline needs; the
+    * per-frame "decode" is the same md5 STUB as m01. */
+  def m02_frame_sample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frameBytes = 64
+    val stride = 4
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit(0).as("width"), lit(0).as("height"), lit(0).as("channels"),
+        lit("frames").as("format"))
+      .as[MediaRow]
+    media.mapPartitions { it =>
+      it.map { r =>
+        val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+        val sampled = (0 until nFrames by stride).map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, r.payload.length)
+          FakeDecoder.decode(java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
+        FrameSample(r.doc_id, nFrames.toLong, sampled.size.toLong,
+          sampled.sum / sampled.size)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> (m01_media_features _),
+    "m02_frame_sample" -> (m02_frame_sample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -68,6 +101,18 @@ object MultimodalQueries {
          list_reduce(list_transform(range(1, 17),
            i -> (strpos('0123456789abcdef', substr(md5(text), i::INT, 1)) - 1)::DOUBLE),
            (x,y) -> x+y) / 16.0 AS feat
+         FROM documents ORDER BY doc_id""",
+    "m02_frame_sample" ->
+      """SELECT doc_id,
+         ((length(text) + 63) // 64)::BIGINT AS n_frames,
+         len(range(0, (length(text) + 63) // 64, 4))::BIGINT AS n_sampled,
+         list_reduce(list_transform(range(0, (length(text) + 63) // 64, 4), f ->
+           list_reduce(list_transform(range(1, 17), i ->
+             (strpos('0123456789abcdef',
+               substr(md5(substr(text, (f*64 + 1)::INT, 64)), i::INT, 1)) - 1)::DOUBLE),
+             (x,y) -> x+y) / 16.0),
+           (x,y) -> x+y) /
+           len(range(0, (length(text) + 63) // 64, 4))::DOUBLE AS sampled_feat
          FROM documents ORDER BY doc_id""",
   )
 }

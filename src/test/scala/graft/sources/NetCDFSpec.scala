@@ -97,6 +97,69 @@ class NetCDFSpec extends SparkSpec {
     assert(m == expected)
   }
 
+  test("CDF-2 (64-bit offset) header parses and reads") {
+    // hand-built per the classic-format spec: version byte 2 + long begin
+    val f = Files.createTempFile("graft", ".nc").toFile
+    f.deleteOnExit()
+    val o = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+    o.write("CDF".getBytes); o.writeByte(2)
+    o.writeInt(0) // numrecs
+    o.writeInt(0x0A); o.writeInt(1) // 1 dim
+    o.writeInt(1); o.write("x".getBytes); o.write(Array[Byte](0, 0, 0)) // name pad
+    o.writeInt(3) // dim len
+    o.writeInt(0); o.writeInt(0) // gatts
+    o.writeInt(0x0B); o.writeInt(1) // 1 var
+    o.writeInt(1); o.write("v".getBytes); o.write(Array[Byte](0, 0, 0))
+    o.writeInt(1); o.writeInt(0) // ndims=1, dimid 0
+    o.writeInt(0); o.writeInt(0) // vatts
+    o.writeInt(6) // double
+    o.writeInt(24) // vsize
+    // magic4 numrecs4 dimtag8 dim12 gatts8 vartag8 name8 ndims4 dimid4
+    // vatts8 type4 vsize4 begin8 = 84
+    o.writeLong(84L) // 64-bit begin
+    Seq(1.25, 2.5, 3.75).foreach(o.writeDouble)
+    o.close()
+    val hdr = NetCDF3.readHeader(f.getAbsolutePath)
+    assert(hdr.version == 2)
+    val v = hdr.variable("v")
+    assert(NetCDF3.readSlab(f.getAbsolutePath, hdr, v, Seq(0), Seq(3)).toSeq ==
+      Seq(1.25, 2.5, 3.75))
+  }
+
+  test("record (unlimited) dimension: per-record slabs at begin + rec*recSize") {
+    val f = Files.createTempFile("graft", ".nc").toFile
+    f.deleteOnExit()
+    val o = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+    o.write("CDF".getBytes); o.writeByte(1)
+    o.writeInt(3) // numrecs
+    o.writeInt(0x0A); o.writeInt(2)
+    o.writeInt(4); o.write("time".getBytes); o.writeInt(0) // record dim (len 0)
+    o.writeInt(1); o.write("x".getBytes); o.write(Array[Byte](0, 0, 0))
+    o.writeInt(2)
+    o.writeInt(0); o.writeInt(0) // gatts
+    o.writeInt(0x0B); o.writeInt(1)
+    o.writeInt(1); o.write("m".getBytes); o.write(Array[Byte](0, 0, 0))
+    o.writeInt(2); o.writeInt(0); o.writeInt(1) // dims (time, x)
+    o.writeInt(0); o.writeInt(0) // vatts
+    o.writeInt(6) // double
+    o.writeInt(16) // vsize = one record slab (2 doubles)
+    val begin = 4 + 4 + 8 + (4 + 4 + 4) + (4 + 4 + 4) + 8 + 8 +
+      (4 + 4) + 4 + 8 + (4 + 4) + 4 + 4 + 4
+    o.writeInt(begin)
+    // 3 records × 2 values
+    Seq(0.0, 1.0, 10.0, 11.0, 20.0, 21.0).foreach(o.writeDouble)
+    o.close()
+    val hdr = NetCDF3.readHeader(f.getAbsolutePath)
+    assert(hdr.numRecs == 3 && hdr.dims.head.isRecord)
+    val v = hdr.variable("m")
+    assert(hdr.shape(v) == Seq(3, 2))
+    assert(NetCDF3.readSlab(f.getAbsolutePath, hdr, v, Seq(0, 0), Seq(3, 2)).toSeq ==
+      Seq(0.0, 1.0, 10.0, 11.0, 20.0, 21.0))
+    // single middle record
+    assert(NetCDF3.readSlab(f.getAbsolutePath, hdr, v, Seq(1, 0), Seq(1, 2)).toSeq ==
+      Seq(10.0, 11.0))
+  }
+
   test("binary codec: pack/unpack/zlib roundtrip") {
     val a = Seq(1.5, -2.25, 3.75, Double.MinPositiveValue)
     assert(BinaryCodec.unpackDoubles(BinaryCodec.packDoubles(a)) == a)
