@@ -112,6 +112,18 @@ class IoServerSpec extends SparkSpec {
     assert(lim.collect().map(_.getLong(0)).toSeq == (6L to 15L))
   }
 
+  test("maxResultRows guards SELECT result size (the memory_check analogue)") {
+    val srv = new IoServer(spark, maxResultRows = 5)
+    val ses = srv.newSession()
+    ses.execute("operation=random_import;frag_name=big;nrows=20;array_length=1")
+    intercept[IllegalArgumentException] {
+      ses.execute("operation=select;field=id_dim;from=big")
+    }
+    // bounded selects still pass
+    assert(ses.execute("operation=select;field=id_dim;from=big;order=id_dim;limit=3")
+      .get.count() == 3)
+  }
+
   test("drop_frag removes the fragment") {
     val (_, s) = freshSession()
     s.execute("operation=random_import;frag_name=d;nrows=5;array_length=2")

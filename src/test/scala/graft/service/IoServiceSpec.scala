@@ -7,6 +7,31 @@ import graft.SparkSpec
 
 class IoServiceSpec extends SparkSpec {
 
+  test("concurrent connections get isolated sessions (per-thread state)") {
+    val svc = new IoService(spark)
+    try {
+      def client() = {
+        val c = new Socket("127.0.0.1", svc.boundPort)
+        val out = new PrintWriter(c.getOutputStream, true)
+        val in = new BufferedReader(new InputStreamReader(c.getInputStream, "UTF-8"))
+        (c, (s: String) => { out.println(s); in.readLine() })
+      }
+      val (c1, s1) = client()
+      val (c2, s2) = client()
+      assert(s1("EQ operation=create_database;db_name=iso1").contains("true"))
+      assert(s1("UD iso1").contains("true"))
+      // session 2 still on default; switching to iso1 works (shared catalog),
+      // but its current_db was untouched by session 1
+      val info2 = s2("EQ operation=select;field=id_dim|version|current_db;from=@info_system")
+      assert(info2.contains("true"))
+      assert(s2("RS").contains("default"))
+      val info1 = s1("EQ operation=select;field=id_dim|version|current_db;from=@info_system")
+      assert(info1.contains("true"))
+      assert(s1("RS").contains("iso1"))
+      c1.close(); c2.close()
+    } finally svc.stop()
+  }
+
   test("UD/EQ/RS conversation over a socket (reference client flow)") {
     val svc = new IoService(spark)
     try {
