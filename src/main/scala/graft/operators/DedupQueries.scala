@@ -74,10 +74,8 @@ object DedupQueries {
       .select("doc_a", "doc_b")
   }
 
-  /** d03 — MinHash + LSH near-dup detection: 16-hash signature, 2 bands
-    * × 8 rows, candidates = band-bucket join + estimate prefilter,
-    * verified by exact Jaccard over distinct-token sets, threshold 0.99. */
-  def d03_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+  /** Verified near-dup pairs (the shared core of d03 and d07). */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     // token sets carried as SORTED hash arrays: the verify stage then
     // runs an allocation-free codegen merge loop per pair instead of
     // array_intersect's per-pair hash set (|A∪B| = |A|+|B|−|A∩B|)
@@ -97,7 +95,30 @@ object DedupQueries {
         (size(col("tka")) + size(col("tkb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.99)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d03 — MinHash + LSH near-dup detection: 16-hash signature, 2 bands
+    * × 8 rows, candidates = band-bucket join + estimate prefilter,
+    * verified by exact Jaccard over distinct-token sets, threshold 0.99. */
+  def d03_minhash_lsh(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** d07 — the dedup APPLIED: keep one representative per near-dup
+    * neighborhood. A doc is dropped when any verified pair links it to a
+    * lower doc_id (one propagation step; at 100 TB iterate the same join
+    * to a fixpoint for full connected components — each step is one
+    * shuffle). Output: the kept corpus with its dup count. */
+  def d07_dedup_apply(s: SparkSession, dir: String): DataFrame = {
+    val pairs = verifiedPairs(s, dir).select("doc_a", "doc_b").cache()
+    // min neighbor over both directions
+    val minNbr = pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"))
+      .unionByName(pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr")))
+      .groupBy("doc_id").agg(min("nbr").as("min_nbr"))
+    Tables.documents(s, dir)
+      .join(minNbr, Seq("doc_id"), "left")
+      .filter(col("min_nbr").isNull || col("min_nbr") >= col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"))
   }
 
   /** d04 — SimHash near-dup: 60-bit signatures, candidates share the
@@ -172,6 +193,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d06_dedup_embcos" -> (d06_dedup_embcos _),
+    "d07_dedup_apply" -> (d07_dedup_apply _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_dedup_canonical" -> (d02_dedup_canonical _),
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
@@ -243,6 +265,32 @@ object DedupQueries {
             len(list_distinct(atk || btk))::DOUBLE AS jaccard
         FROM prefiltered)
       WHERE jaccard >= 0.99 ORDER BY doc_a, doc_b""",
+    "d07_dedup_apply" -> s"""
+      WITH sigs AS (SELECT doc_id, $sqlSig AS sig,
+          list_distinct(string_split(text, ' ')) AS tk FROM documents),
+      bands AS (SELECT doc_id, b,
+          array_to_string(sig[b*8+1 : b*8+8], '_') AS bkey
+        FROM sigs, range(0, 2) t(b)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+          AND x.doc_id < y.doc_id),
+      pairs AS (SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+          len(list_intersect(a.tk, b.tk))::DOUBLE /
+            len(list_distinct(a.tk || b.tk))::DOUBLE AS jaccard
+        FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
+          JOIN sigs b ON cand.doc_b = b.doc_id
+        WHERE list_reduce(list_transform(range(1, 17),
+          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
+          (x,y) -> x+y) >= 14)
+        WHERE jaccard >= 0.99),
+      nbr AS (SELECT doc_id, min(nbr) AS min_nbr FROM (
+          SELECT doc_b AS doc_id, doc_a AS nbr FROM pairs
+          UNION ALL SELECT doc_a AS doc_id, doc_b AS nbr FROM pairs)
+        GROUP BY doc_id)
+      SELECT count(*) AS n_kept, sum(n_chars) AS kept_chars
+      FROM documents d LEFT JOIN nbr ON d.doc_id = nbr.doc_id
+      WHERE nbr.min_nbr IS NULL OR nbr.min_nbr >= d.doc_id""",
     "d04_simhash" -> s"""
       WITH sh AS (SELECT doc_id, $sqlSimhash AS sh FROM documents),
       banded AS (SELECT doc_id, sh, sh >> 30 AS band FROM sh)
