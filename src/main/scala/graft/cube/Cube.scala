@@ -150,6 +150,26 @@ final case class Cube(df: DataFrame, explicitDims: Seq[Dim], implicitDims: Seq[D
 
   def totalElements: Long =
     explicitDims.map(_.size.toLong).product * implicitDims.map(_.size.toLong).product
+
+  /** OPH_MERGE / OPH_SPLIT: the reference re-fragments by moving rows
+    * between fragment tables; the Spark-native analogue is repartitioning
+    * the one DataFrame by id range — same data movement, handled by the
+    * shuffle service, and downstream aligned joins stay co-partitioned. */
+  def refragment(numFragments: Int): Cube =
+    copy(df = df.repartitionByRange(numFragments, col("id_dim")))
+
+  /** OPH_EXPORTNC at the cube level: write the cube to a NetCDF classic
+    * file with one dim per explicit+implicit dimension. Driver-side
+    * collect by design — export to a single .nc is inherently a
+    * gather (the reference pages it to the client the same way). */
+  def exportNetCDF(path: String, varName: String = "measure"): Unit = {
+    val rows = df.orderBy("id_dim").select("id_dim", "measure").collect()
+    val data = rows.flatMap(_.getSeq[Double](1))
+    val dims = (explicitDims ++ implicitDims).map(d => d.name -> d.size)
+    require(data.length == totalElements, s"cube is sparse: ${data.length} of " +
+      s"$totalElements elements present; fill or subset before export")
+    graft.sources.NetCDF3.writeDoubleVar(path, dims, varName, data)
+  }
 }
 
 object Cube {

@@ -82,6 +82,25 @@ class CubeSpec extends SparkSpec {
     assert(out.head._2.take(4) == Seq(0.0, 5.0, 10.0, 15.0))
   }
 
+  test("refragment repartitions by id range without changing content") {
+    val c = fixture.refragment(3)
+    assert(c.df.rdd.getNumPartitions == 3)
+    assert(collect(c) == collect(fixture))
+  }
+
+  test("exportNetCDF writes a file our reader round-trips with all dims") {
+    val f = java.nio.file.Files.createTempFile("graft-cube", ".nc").toFile
+    f.deleteOnExit()
+    fixture.exportNetCDF(f.getAbsolutePath)
+    val hdr = graft.sources.NetCDF3.readHeader(f.getAbsolutePath)
+    assert(hdr.dims.map(d => (d.name, d.length)) ==
+      Seq(("t", 3), ("y", 4), ("x", 5)))
+    val v = hdr.variable("measure")
+    val data = graft.sources.NetCDF3.readSlab(f.getAbsolutePath, hdr, v,
+      Seq(0, 0, 0), Seq(3, 4, 5))
+    assert(data.toSeq == (0 until 60).map(_.toDouble))
+  }
+
   test("chained pipeline: the canonical subset+reduce workload") {
     val c = fixture
       .subsetExplicit("t", "1:2")
