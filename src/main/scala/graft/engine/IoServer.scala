@@ -85,6 +85,16 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
     putFrag(db, name, d, -1L)
   }
 
+  /** Replace a fragment in place (streaming ingest: each micro-batch
+    * swaps in the grown cached union — the serving pattern of
+    * "Structured Streaming + in-memory caching"). */
+  def updateFragment(db: String, name: String, df: DataFrame,
+                     sizeHint: Long = -1L): Unit = synchronized {
+    frags.remove((db, name)).foreach(_.unpersist())
+    frags((db, name)) = df
+    fragSizes((db, name)) = sizeHint
+  }
+
   /** Persist the whole catalog to `dir` (parquet per fragment + a
     * manifest) — the durable analogue of the reference MetaDB's binary
     * schema file (oph_metadb_interface.h:152-159), which persisted only

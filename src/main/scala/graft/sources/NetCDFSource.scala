@@ -89,21 +89,33 @@ final class NetCDFTable(opts: Map[String, String]) extends Table with SupportsRe
 }
 
 final class NetCDFScan(opts: Map[String, String])
-    extends ScanBuilder with Scan with Batch {
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownRequiredColumns {
   private val sp = NetCDFSource.spec(opts)
+  private var required: StructType = NetCDFSource.schema
+
+  /** Column pruning pushed into the reader: `SELECT id_dim` (row counts,
+    * key-algebra-only queries) never touches the measure bytes — at
+    * 100 TB that's the difference between a metadata pass and a full
+    * read. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(NetCDFSource.schema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan = this
-  override def readSchema(): StructType = NetCDFSource.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val expSizes = (0 until sp.explicit).map(i => sp.ends(i) - sp.starts(i) + 1)
     val nRows = expSizes.product.toLong
     val p = math.max(1, math.min(sp.partitions.toLong, nRows)).toInt
+    val needMeasure = required.fieldNames.contains("measure")
+    val needId = required.fieldNames.contains("id_dim")
     (0 until p).map { i =>
       val lo = nRows * i / p
       val hi = nRows * (i + 1) / p
-      NetCDFPartition(sp, lo, hi): InputPartition
+      NetCDFPartition(sp, lo, hi, needId, needMeasure): InputPartition
     }.toArray
   }
 
@@ -114,7 +126,9 @@ final class NetCDFScan(opts: Map[String, String])
     }
 }
 
-final case class NetCDFPartition(spec: NetCDFSource.Spec, rowLo: Long, rowHi: Long)
+final case class NetCDFPartition(spec: NetCDFSource.Spec, rowLo: Long, rowHi: Long,
+                                 needId: Boolean = true,
+                                 needMeasure: Boolean = true)
     extends InputPartition
 
 final class NetCDFPartitionReader(p: NetCDFPartition)
@@ -133,20 +147,24 @@ final class NetCDFPartitionReader(p: NetCDFPartition)
 
   override def next(): Boolean = {
     if (row >= p.rowHi) return false
-    // decode the flat explicit-row index into per-dim origins (row-major)
-    var rem = row
-    val expIdx = new Array[Int](sp.explicit)
-    var i = sp.explicit - 1
-    while (i >= 0) {
-      expIdx(i) = (rem % expSizes(i)).toInt + (sp.starts(i) - 1)
-      rem /= expSizes(i)
-      i -= 1
+    val fields = Seq.newBuilder[Any]
+    if (p.needId) fields += (sp.keyStart + row)
+    if (p.needMeasure) {
+      // decode the flat explicit-row index into per-dim origins (row-major)
+      var rem = row
+      val expIdx = new Array[Int](sp.explicit)
+      var i = sp.explicit - 1
+      while (i >= 0) {
+        expIdx(i) = (rem % expSizes(i)).toInt + (sp.starts(i) - 1)
+        rem /= expSizes(i)
+        i -= 1
+      }
+      val origin = expIdx.toSeq ++ impOrigin
+      val slabShape = Seq.fill(sp.explicit)(1) ++ impShape
+      val data = NetCDF3.readSlab(raf, hdr, v, origin, slabShape)
+      fields += ArrayData.toArrayData(data)
     }
-    val origin = expIdx.toSeq ++ impOrigin
-    val slabShape = Seq.fill(sp.explicit)(1) ++ impShape
-    val data = NetCDF3.readSlab(raf, hdr, v, origin, slabShape)
-    current = new GenericInternalRow(Array[Any](
-      sp.keyStart + row, ArrayData.toArrayData(data)))
+    current = new GenericInternalRow(fields.result().toArray)
     row += 1
     true
   }

@@ -97,6 +97,19 @@ class NetCDFSpec extends SparkSpec {
     assert(m == expected)
   }
 
+  test("DSv2 column pruning: id_dim-only scans never read measure bytes") {
+    val data = Array.tabulate(24)(_.toDouble)
+    val path = tmpNc(Seq("t" -> 6, "x" -> 4), data)
+    val df = spark.read.format("graft.sources.NetCDFSource")
+      .option("path", path).option("explicit", "1").load()
+      .select("id_dim")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<id_dim:bigint>") ||
+      !p.contains("measure"), s"measure not pruned from scan:\n$p")
+    assert(df.count() == 6)
+  }
+
   test("CDF-2 (64-bit offset) header parses and reads") {
     // hand-built per the classic-format spec: version byte 2 + long begin
     val f = Files.createTempFile("graft", ".nc").toFile

@@ -74,6 +74,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-to-engine: micro-batches become a live dialect-queryable fragment") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val srv = new graft.engine.IoServer(s)
+    val ses = srv.newSession()
+    val in = MemoryStream[(Long, Double)]
+    val q = Streaming.appendStream(in.toDF().toDF("id_dim", "measure"),
+      df => srv.updateFragment("default", "live", df))
+    try {
+      in.addData((1L, 10.0), (2L, 20.0))
+      q.processAllAvailable()
+      assert(ses.execute("operation=select;field=id_dim;from=live").get.count() == 2)
+      in.addData((3L, 30.0))
+      q.processAllAvailable()
+      val r = ses.execute(
+        "operation=select;field=id_dim|measure;from=live;order=id_dim;order_dir=DESC")
+        .get.head()
+      assert(r.getLong(0) == 3L && r.getDouble(1) == 30.0)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the inactivity gap") {
     val s = spark
     import s.implicits._
