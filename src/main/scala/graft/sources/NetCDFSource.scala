@@ -90,9 +90,41 @@ final class NetCDFTable(opts: Map[String, String]) extends Table with SupportsRe
 
 final class NetCDFScan(opts: Map[String, String])
     extends ScanBuilder with Scan with Batch
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private val sp = NetCDFSource.spec(opts)
   private var required: StructType = NetCDFSource.schema
+  private var pushedIdRange: (Long, Long) = (Long.MinValue, Long.MaxValue)
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  /** id_dim range pruning pushed to the SOURCE (SURVEY §7.3): a
+    * key-range WHERE narrows the planned row window, so partitions
+    * outside it are never created and their bytes never read — the
+    * Spark-native version of the reference's id-overlap short-circuit
+    * (oph_io_server_query_blocks.c:887-894). */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    val (accepted, rest) = filters.partition {
+      case GreaterThan("id_dim", _: Long) | GreaterThanOrEqual("id_dim", _: Long) |
+           LessThan("id_dim", _: Long) | LessThanOrEqual("id_dim", _: Long) |
+           EqualTo("id_dim", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("id_dim", v: Long) => narrow(v + 1, Long.MaxValue)
+      case GreaterThanOrEqual("id_dim", v: Long) => narrow(v, Long.MaxValue)
+      case LessThan("id_dim", v: Long) => narrow(Long.MinValue, v - 1)
+      case LessThanOrEqual("id_dim", v: Long) => narrow(Long.MinValue, v)
+      case EqualTo("id_dim", v: Long) => narrow(v, v)
+      case _ =>
+    }
+    pushed = accepted
+    rest // residual filters Spark re-applies (safe even though ours are exact)
+  }
+  private def narrow(lo: Long, hi: Long): Unit =
+    pushedIdRange = (math.max(pushedIdRange._1, lo), math.min(pushedIdRange._2, hi))
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
   /** Column pruning pushed into the reader: `SELECT id_dim` (row counts,
     * key-algebra-only queries) never touches the measure bytes — at
@@ -108,13 +140,21 @@ final class NetCDFScan(opts: Map[String, String])
 
   override def planInputPartitions(): Array[InputPartition] = {
     val expSizes = (0 until sp.explicit).map(i => sp.ends(i) - sp.starts(i) + 1)
-    val nRows = expSizes.product.toLong
+    val allRows = expSizes.product.toLong
+    // id_dim = keyStart + row → clamp the planned row window to the
+    // pushed id range (empty overlap → zero partitions, zero reads)
+    val rowMin = math.max(0L,
+      if (pushedIdRange._1 == Long.MinValue) 0L else pushedIdRange._1 - sp.keyStart)
+    val rowMax = math.min(allRows,
+      if (pushedIdRange._2 == Long.MaxValue) allRows else pushedIdRange._2 - sp.keyStart + 1)
+    val nRows = math.max(0L, rowMax - rowMin)
+    if (nRows == 0) return Array.empty
     val p = math.max(1, math.min(sp.partitions.toLong, nRows)).toInt
     val needMeasure = required.fieldNames.contains("measure")
     val needId = required.fieldNames.contains("id_dim")
     (0 until p).map { i =>
-      val lo = nRows * i / p
-      val hi = nRows * (i + 1) / p
+      val lo = rowMin + nRows * i / p
+      val hi = rowMin + nRows * (i + 1) / p
       NetCDFPartition(sp, lo, hi, needId, needMeasure): InputPartition
     }.toArray
   }

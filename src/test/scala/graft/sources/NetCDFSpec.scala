@@ -110,6 +110,24 @@ class NetCDFSpec extends SparkSpec {
     assert(df.count() == 6)
   }
 
+  test("DSv2 filter pushdown: id_dim range prunes planned partitions at the source") {
+    import org.apache.spark.sql.functions.col
+    val data = Array.tabulate(40)(_.toDouble)
+    val path = tmpNc(Seq("t" -> 10, "x" -> 4), data)
+    def load = spark.read.format("graft.sources.NetCDFSource")
+      .option("path", path).option("explicit", "1")
+      .option("partitions", "10").load()
+    val filtered = load.filter(col("id_dim") >= 4 && col("id_dim") <= 6)
+    val rows = filtered.orderBy("id_dim").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(4L, 5L, 6L))
+    assert(rows.head.getSeq[Double](1) == Seq(12.0, 13.0, 14.0, 15.0))
+    // the scan plans only the 3-row window (3 partitions of 10 requested)
+    assert(filtered.rdd.getNumPartitions <= 3,
+      s"expected pruned partitions, got ${filtered.rdd.getNumPartitions}")
+    // empty overlap → zero partitions, no error
+    assert(load.filter(col("id_dim") > 1000).count() == 0)
+  }
+
   test("CDF-2 (64-bit offset) header parses and reads") {
     // hand-built per the classic-format spec: version byte 2 + long begin
     val f = Files.createTempFile("graft", ".nc").toFile
