@@ -334,14 +334,16 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
         case None => joined
       }
 
-      val fields = q.multi("field")
+      // field=* expands to all columns of the (joined) input
+      val fields = q.multi("field") match {
+        case Seq("*") => joined.columns.toSeq
+        case fs => fs
+      }
       val aliasesOut = q.multi("field_alias") match {
         case Nil => q.multi("select_alias")
         case a => a
       }
-      val fieldAsts = fields.map(f =>
-        if (f.trim.equalsIgnoreCase("id_dim") || !f.contains("(")) ExprParser.parse(f)
-        else ExprParser.parse(f))
+      val fieldAsts = fields.map(ExprParser.parse)
       val outNames = fields.zipWithIndex.map { case (f, i) =>
         aliasesOut.lift(i).filter(_.nonEmpty).getOrElse(f.trim)
       }

@@ -102,7 +102,8 @@ object ArrayQueries {
   def a09_quantile_hist(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"),
       Stats.oph_gsl_quantile(col("a"), Seq(0.25, 0.5, 0.75)).as("quart"),
-      Stats.oph_gsl_histogram(col("a"), 8, -0.5, 0.5).as("hist"))
+      Stats.oph_gsl_histogram(col("a"), 8, -0.5, 0.5).as("hist"),
+      Stats.oph_gsl_boxplot(col("a")).as("box"))
       .orderBy("vec_id")
 
   /** a10 — across-row elementwise aggregation (oph_aggregate_operator:9)
@@ -337,7 +338,15 @@ object ArrayQueries {
            s[(floor(q*63.0))::INT + 1] + (q*63.0 - floor(q*63.0)) *
              (s[least((floor(q*63.0))::INT + 2, 64)] - s[(floor(q*63.0))::INT + 1])) AS quart,
          list_transform(range(0, 8), i ->
-           len(list_filter(s, x -> x >= -0.5 + i * 0.125 AND x < -0.5 + (i+1) * 0.125))::BIGINT) AS hist
+           len(list_filter(s, x -> x >= -0.5 + i * 0.125 AND x < -0.5 + (i+1) * 0.125))::BIGINT) AS hist,
+         [s[1],
+          s[(floor(0.25*63.0))::INT + 1] + (0.25*63.0 - floor(0.25*63.0)) *
+            (s[least((floor(0.25*63.0))::INT + 2, 64)] - s[(floor(0.25*63.0))::INT + 1]),
+          s[(floor(0.5*63.0))::INT + 1] + (0.5*63.0 - floor(0.5*63.0)) *
+            (s[least((floor(0.5*63.0))::INT + 2, 64)] - s[(floor(0.5*63.0))::INT + 1]),
+          s[(floor(0.75*63.0))::INT + 1] + (0.75*63.0 - floor(0.75*63.0)) *
+            (s[least((floor(0.75*63.0))::INT + 2, 64)] - s[(floor(0.75*63.0))::INT + 1]),
+          s[64]] AS box
          FROM (SELECT vec_id, list_sort(list_transform(embedding, x -> x::DOUBLE)) AS s
            FROM embeddings) ORDER BY vec_id""",
     "a10_agg_elementwise" ->

@@ -124,6 +124,14 @@ class IoServerSpec extends SparkSpec {
       .get.count() == 3)
   }
 
+  test("field=* selects all fragment columns") {
+    val (_, s) = freshSession()
+    s.execute("operation=random_import;frag_name=star;nrows=4;array_length=2")
+    val r = s.execute("operation=select;field=*;from=star;order=id_dim").get
+    assert(r.columns.toSeq == Seq("id_dim", "measure"))
+    assert(r.count() == 4)
+  }
+
   test("drop_frag removes the fragment") {
     val (_, s) = freshSession()
     s.execute("operation=random_import;frag_name=d;nrows=5;array_length=2")
