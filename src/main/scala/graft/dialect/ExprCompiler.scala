@@ -53,6 +53,7 @@ object ExprCompiler {
     "oph_rotate", "oph_shift", "oph_padding", "oph_replace", "oph_sequence",
     "oph_permute", "oph_extract",
     "oph_predicate", "oph_mask_array", "oph_compare",
+    "oph_get_index_array", "oph_arg_array",
     "oph_cast", "oph_convert_d", "oph_convert_l", "oph_dump",
     "oph_to_bin", "oph_value_to_bin", "oph_compress", "oph_uncompress",
     "oph_gsl_sd", "oph_gsl_stats", "oph_gsl_quantile", "oph_gsl_boxplot",
@@ -223,6 +224,11 @@ object ExprCompiler {
         n(AP.oph_predicate(c(0), subLambda(args(1), resolve), comp,
           subLambda(args(3), resolve), subLambda(args(4), resolve)))
       case "oph_mask_array" => n(AP.oph_mask_array(c(0), c(1)))
+      case "oph_get_index_array" | "oph_arg_array" =>
+        // dialect form: 1-based indices of elements equal to value ± tol
+        val tol = if (args.size > 2) c(2) else lit(0.0)
+        n(AP.oph_get_index_array(c(0), x => abs(x - c(1)) <= tol)
+          .cast("array<bigint>"))
       case "oph_compare" => n(AP.oph_compare(c(0), c(1)))
       // ---- type & codec ----
       case "oph_cast" =>
