@@ -95,6 +95,9 @@ object DedupQueries {
         (size(col("tka")) + size(col("tkb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.99)
       .select("doc_a", "doc_b", "jaccard")
+      // cached: d03 and d07 share this plan, so the session's cache
+      // manager (canonicalized-plan lookup) computes the pairs once
+      .cache()
   }
 
   /** d03 — MinHash + LSH near-dup detection: 16-hash signature, 2 bands
@@ -109,7 +112,7 @@ object DedupQueries {
     * to a fixpoint for full connected components — each step is one
     * shuffle). Output: the kept corpus with its dup count. */
   def d07_dedup_apply(s: SparkSession, dir: String): DataFrame = {
-    val pairs = verifiedPairs(s, dir).select("doc_a", "doc_b").cache()
+    val pairs = verifiedPairs(s, dir).select("doc_a", "doc_b")
     // min neighbor over both directions
     val minNbr = pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"))
       .unionByName(pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr")))
