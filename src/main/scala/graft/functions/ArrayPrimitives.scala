@@ -420,4 +420,22 @@ object ArrayPrimitives {
   /** Human-readable dump of the array (oph_dump). */
   def oph_dump(a: Column, sep: String = ", "): Column =
     concat_ws(sep, transform(a, _.cast(StringType)))
+
+  // ---------------------------------------------------------------------
+  // Driver-gate serialization: the correctness comparator sorts/hashes
+  // pandas values, and list cells are unhashable there — so every
+  // array-valued query OUTPUT ships as a comma-joined scalar string.
+  // Fixed-point (1e12) keeps the compare exact: both engines compute the
+  // identical IEEE double, so floor(x*1e12) is the identical long.
+  // ---------------------------------------------------------------------
+
+  /** array<double> → "f1,f2,…" at 1e12 fixed point (exact for |x| < 9e6,
+    * far above any value our queries produce). DuckDB mirror:
+    * array_to_string(list_transform(X, v -> CAST(floor(v*1e12) AS BIGINT)), ','). */
+  def fx12(a: Column): Column =
+    concat_ws(",", transform(a, x => floor(x * 1e12).cast(LongType).cast(StringType)))
+
+  /** array<integral> → "i1,i2,…". DuckDB mirror: array_to_string(X, ','). */
+  def joinLongs(a: Column): Column =
+    concat_ws(",", transform(a, _.cast(StringType)))
 }

@@ -16,8 +16,23 @@ import graft.sources.BinaryCodec
   * across-row sums use fixed-point longs (see [[ArrayAggregates]]).
   * Transcendental-function outputs (FFT) are rounded to 3 decimals on
   * both sides.
+  *
+  * Output shape note: the driver's comparator hashes pandas cell values,
+  * where list cells are unhashable — so every array-valued OUTPUT column
+  * is serialized to a comma-joined fixed-point string ([[AP.fx12]] /
+  * [[AP.joinLongs]]) with the byte-identical DuckDB mirror in the oracle.
+  * The compute underneath stays native `array<double>` end to end; only
+  * the final SELECT serializes.
   */
 object ArrayQueries {
+
+  /** DuckDB mirror of [[AP.fx12]]. */
+  private def FX(e: String): String =
+    s"coalesce(array_to_string(list_transform(($e), v -> CAST(floor(v * 1e12) AS BIGINT)), ','), '')"
+
+  /** DuckDB mirror of [[AP.joinLongs]] (coalesce: DuckDB's
+    * array_to_string returns NULL on an empty list; concat_ws gives ''). */
+  private def LS(e: String): String = s"coalesce(array_to_string(($e), ','), '')"
 
   /** embeddings.embedding as array<double> (exact widening). */
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -28,54 +43,54 @@ object ArrayQueries {
     * oph_sum_scalar:333, oph_math:221 'square'). */
   def a01_scalar_math(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"),
-      AP.oph_sum_scalar(AP.oph_mul_scalar(col("a"), 2.0), 1.0).as("arr"),
-      AP.oph_math(col("a"), "square").as("sq"))
+      AP.fx12(AP.oph_sum_scalar(AP.oph_mul_scalar(col("a"), 2.0), 1.0)).as("arr"),
+      AP.fx12(AP.oph_math(col("a"), "square")).as("sq"))
       .orderBy("vec_id")
 
   /** a02 — two-array elementwise ops (oph_sum_array:329, oph_div_array:73,
     * oph_operation_array:253) pairing the array with its reverse. */
   def a02_pairwise(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"),
-      AP.oph_sum_array(col("a"), reverse(col("a"))).as("arr"),
-      AP.oph_div_array(col("a"),
-        transform(col("a"), x => abs(x) + 1.0)).as("arr2"))
+      AP.fx12(AP.oph_sum_array(col("a"), reverse(col("a")))).as("arr"),
+      AP.fx12(AP.oph_div_array(col("a"),
+        transform(col("a"), x => abs(x) + 1.0))).as("arr2"))
       .orderBy("vec_id")
 
   /** a03 — blockwise in-array reduction (oph_reduce:285): 64→8 block
     * avg/max, plus total sum (blockSize = whole array). */
   def a03_reduce(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"),
-      AP.oph_reduce(col("a"), "avg", 8).as("avg8"),
-      AP.oph_reduce(col("a"), "max", 8).as("max8"),
-      AP.oph_reduce(col("a"), "sum", 64).as("sum_all"))
+      AP.fx12(AP.oph_reduce(col("a"), "avg", 8)).as("avg8"),
+      AP.fx12(AP.oph_reduce(col("a"), "max", 8)).as("max8"),
+      AP.fx12(AP.oph_reduce(col("a"), "sum", 64)).as("sum_all"))
       .orderBy("vec_id")
 
   /** a04 — subsetting (oph_get_subarray2:105 subset-string '1:3:end',
     * oph_extract:89, oph_get_subarray:101). */
   def a04_subset(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"),
-      AP.oph_get_subarray2(col("a"), "1:3:end").as("sub"),
-      AP.oph_extract(col("a"), Seq(1, 5, 9)).as("picked"),
-      AP.oph_get_subarray(col("a"), 10, 5).as("sl"))
+      AP.fx12(AP.oph_get_subarray2(col("a"), "1:3:end")).as("sub"),
+      AP.fx12(AP.oph_extract(col("a"), Seq(1, 5, 9))).as("picked"),
+      AP.fx12(AP.oph_get_subarray(col("a"), 10, 5)).as("sl"))
       .orderBy("vec_id")
 
   /** a05 — reshaping (oph_reverse:301, oph_rotate:309, oph_padding:265,
     * oph_shift:317, oph_sequence:313). */
   def a05_reshape(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"),
-      AP.oph_rotate(AP.oph_reverse(col("a")), 5).as("rot"),
-      AP.oph_padding(AP.oph_get_subarray(col("a"), 1, 3), 6, -1.0).as("pad"),
-      AP.oph_shift(col("a"), 3, 0.0).as("shifted"),
-      AP.oph_sequence(0.0, 0.5, 5).as("seq"))
+      AP.fx12(AP.oph_rotate(AP.oph_reverse(col("a")), 5)).as("rot"),
+      AP.fx12(AP.oph_padding(AP.oph_get_subarray(col("a"), 1, 3), 6, -1.0)).as("pad"),
+      AP.fx12(AP.oph_shift(col("a"), 3, 0.0)).as("shifted"),
+      AP.fx12(AP.oph_sequence(0.0, 0.5, 5)).as("seq"))
       .orderBy("vec_id")
 
   /** a06 — predicates & masks (oph_predicate:273, oph_filter:153,
     * oph_get_index_array:97). */
   def a06_predicate(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"),
-      AP.oph_predicate(col("a"), x => x, "<", _ => lit(0.0), x => x).as("clip"),
+      AP.fx12(AP.oph_predicate(col("a"), x => x, "<", _ => lit(0.0), x => x)).as("clip"),
       size(AP.oph_filter(col("a"), _ > 0.0)).cast("long").as("npos"),
-      AP.oph_get_index_array(col("a"), _ > 0.2).cast("array<bigint>").as("idxs"))
+      AP.joinLongs(AP.oph_get_index_array(col("a"), _ > 0.2).cast("array<bigint>")).as("idxs"))
       .orderBy("vec_id")
 
   /** a07 — per-array statistics (oph_gsl_stats:193 subset, oph_gsl_sd:181;
@@ -93,17 +108,17 @@ object ArrayQueries {
   /** a08 — prefix ops (oph_accumulate:5 UDF scan, oph_deaccumulate:69). */
   def a08_accumulate(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"),
-      Numeric.oph_accumulate(col("a")).as("acc"),
-      Stats.oph_deaccumulate(col("a")).as("deacc"))
+      AP.fx12(Numeric.oph_accumulate(col("a"))).as("acc"),
+      AP.fx12(Stats.oph_deaccumulate(col("a"))).as("deacc"))
       .orderBy("vec_id")
 
   /** a09 — quantiles (oph_gsl_quantile:177, GSL interpolation),
     * histogram (oph_gsl_histogram:165), boxplot (oph_gsl_boxplot:113). */
   def a09_quantile_hist(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"),
-      Stats.oph_gsl_quantile(col("a"), Seq(0.25, 0.5, 0.75)).as("quart"),
-      Stats.oph_gsl_histogram(col("a"), 8, -0.5, 0.5).as("hist"),
-      Stats.oph_gsl_boxplot(col("a")).as("box"))
+      AP.fx12(Stats.oph_gsl_quantile(col("a"), Seq(0.25, 0.5, 0.75))).as("quart"),
+      AP.joinLongs(Stats.oph_gsl_histogram(col("a"), 8, -0.5, 0.5)).as("hist"),
+      AP.fx12(Stats.oph_gsl_boxplot(col("a"))).as("box"))
       .orderBy("vec_id")
 
   /** a10 — across-row elementwise aggregation (oph_aggregate_operator:9)
@@ -114,9 +129,13 @@ object ArrayQueries {
       .withColumn("scaled",
         transform(col("a"), x => floor(x * 1e9).cast("long")))
       .groupBy("label")
-      .agg(ArrayAggregates.ewSumLong(col("scaled")).as("vec_sum_scaled"),
-        ArrayAggregates.ewMinDouble(col("a")).as("vec_min"),
+      .agg(ArrayAggregates.ewSumLong(col("scaled")).as("raw_sum"),
+        ArrayAggregates.ewMinDouble(col("a")).as("raw_min"),
         count(lit(1)).as("n"))
+      .select(col("label"),
+        AP.joinLongs(col("raw_sum")).as("vec_sum_scaled"),
+        AP.fx12(col("raw_min")).as("vec_min"),
+        col("n"))
       .orderBy("label")
 
   /** a11 — oph_roll_up:305 (dimension demotion): concatenate the group's
@@ -124,9 +143,9 @@ object ArrayQueries {
   def a11_rollup(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") < 40)
       .groupBy("label")
-      .agg(flatten(transform(
+      .agg(AP.fx12(flatten(transform(
         array_sort(collect_list(struct(col("vec_id"), col("a")))),
-        p => p.getField("a"))).as("merged"))
+        p => p.getField("a")))).as("merged"))
       .orderBy("label")
 
   /** a12 — oph_expand:81 (dimension promotion): array → one row per
@@ -142,17 +161,18 @@ object ArrayQueries {
     * row-major array) + oph_interlace:209 of the two halves. */
   def a13_permute_interlace(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"),
-      AP.oph_permute(col("a"), Seq(8, 8), Seq(1, 0)).as("trans"),
-      AP.oph_interlace(AP.oph_get_subarray(col("a"), 1, 32),
-        AP.oph_get_subarray(col("a"), 33, 32)).as("inter"))
+      AP.fx12(AP.oph_permute(col("a"), Seq(8, 8), Seq(1, 0))).as("trans"),
+      AP.fx12(AP.oph_interlace(AP.oph_get_subarray(col("a"), 1, 32),
+        AP.oph_get_subarray(col("a"), 33, 32))).as("inter"))
       .orderBy("vec_id")
 
   /** a14 — oph_gsl_fft:149 via JTransforms; oracle is a naive SQL DFT,
-    * both sides rounded to 3 decimals. */
+    * both sides rounded to 3 decimals (the identical rounded double
+    * then fixed-point-serializes identically). */
   def a14_fft(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") < 100)
       .select(col("vec_id"),
-        transform(Numeric.oph_gsl_fft(col("a")), x => round(x, 3)).as("fft"))
+        AP.fx12(transform(Numeric.oph_gsl_fft(col("a")), x => round(x, 3))).as("fft"))
       .orderBy("vec_id")
 
   /** a15 — packed-binary codec fidelity (oph-lib-binary-io.h:61-68):
@@ -170,18 +190,18 @@ object ArrayQueries {
     * row-major 8×8 array) and oph_get_subarray3:109 (per-dim subsets). */
   def a16_multidim(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"),
-      AP.oph_reduce3(col("a"), "sum", Seq(8, 8), dim = 0).as("colsum"),
-      AP.oph_get_subarray3(col("a"), Seq(8, 8), Seq("1:2", "3:4")).as("block"))
+      AP.fx12(AP.oph_reduce3(col("a"), "sum", Seq(8, 8), dim = 0)).as("colsum"),
+      AP.fx12(AP.oph_get_subarray3(col("a"), Seq(8, 8), Seq("1:2", "3:4"))).as("block"))
       .orderBy("vec_id")
 
   /** a17 — smoothing & scaling (oph_moving_avg:233 SMA, oph_normalize:249
     * 'max', oph_quantize:281, oph_replace:297). */
   def a17_smooth_scale(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"),
-      Stats.oph_moving_avg(col("a"), 5).as("sma5"),
-      Stats.oph_normalize(col("a"), "max").as("nmax"),
-      Stats.oph_quantize(col("a"), Seq(-0.1, 0.0, 0.1)).as("quant"),
-      AP.oph_replace(col("a"), 0.0, -999.0).as("repl"))
+      AP.fx12(Stats.oph_moving_avg(col("a"), 5)).as("sma5"),
+      AP.fx12(Stats.oph_normalize(col("a"), "max")).as("nmax"),
+      AP.fx12(Stats.oph_quantize(col("a"), Seq(-0.1, 0.0, 0.1))).as("quant"),
+      AP.fx12(AP.oph_replace(col("a"), 0.0, -999.0)).as("repl"))
       .orderBy("vec_id")
 
   /** a18 — complex-array helpers over interleaved (re, im) pairs
@@ -191,9 +211,9 @@ object ArrayQueries {
   def a18_complex(s: SparkSession, dir: String): DataFrame = {
     val c16 = AP.oph_get_subarray(col("a"), 1, 16)
     emb(s, dir).select(col("vec_id"),
-      Stats.oph_gsl_complex_get_real(c16).as("re"),
-      Stats.oph_gsl_complex_get_imag(c16).as("im"),
-      Stats.oph_gsl_complex_get_abs(c16).as("mod"))
+      AP.fx12(Stats.oph_gsl_complex_get_real(c16)).as("re"),
+      AP.fx12(Stats.oph_gsl_complex_get_imag(c16)).as("im"),
+      AP.fx12(Stats.oph_gsl_complex_get_abs(c16)).as("mod"))
       .orderBy("vec_id")
   }
 
@@ -204,7 +224,7 @@ object ArrayQueries {
   def a19_fit_corr(s: SparkSession, dir: String): DataFrame = {
     val x = AP.oph_sequence(1.0, 1.0, 64)
     emb(s, dir).select(col("vec_id"),
-      Stats.oph_gsl_fit_linear_coeff(x, col("a")).as("fit"),
+      AP.fx12(Stats.oph_gsl_fit_linear_coeff(x, col("a"))).as("fit"),
       Stats.oph_gsl_correlation(col("a"), reverse(col("a"))).as("corr_rev"))
       .orderBy("vec_id")
   }
@@ -233,16 +253,16 @@ object ArrayQueries {
 
   val oracles: Map[String, String] = Map(
     "a16_multidim" ->
-      """SELECT vec_id,
-         list_transform(range(0, 8), j ->
+      s"""SELECT vec_id,
+         ${FX("""list_transform(range(0, 8), j ->
            list_reduce(list_transform(range(0, 8), k -> embedding[k*8 + j + 1]::DOUBLE),
-             (x,y) -> x+y)) AS colsum,
-         list_transform([3, 4, 11, 12], i -> embedding[i]::DOUBLE) AS block
+             (x,y) -> x+y))""")} AS colsum,
+         ${FX("list_transform([3, 4, 11, 12], i -> embedding[i]::DOUBLE)")} AS block
          FROM embeddings ORDER BY vec_id""",
     "a19_fit_corr" ->
-      """SELECT vec_id,
-         [(sy - ((64.0*sxy - sx*sy) / (64.0*sxx - sx*sx)) * sx) / 64.0,
-          (64.0*sxy - sx*sy) / (64.0*sxx - sx*sx)] AS fit,
+      s"""SELECT vec_id,
+         ${FX("""[(sy - ((64.0*sxy - sx*sy) / (64.0*sxx - sx*sx)) * sx) / 64.0,
+          (64.0*sxy - sx*sy) / (64.0*sxx - sx*sx)]""")} AS fit,
          (64.0*sab - sa*sb) / (sqrt(64.0*saa - sa*sa) * sqrt(64.0*sbb - sb*sb)) AS corr_rev
          FROM (SELECT vec_id,
            list_reduce(list_transform(range(0, 64), i -> 1.0 + i::DOUBLE * 1.0), (p,q) -> p+q) AS sx,
@@ -258,61 +278,61 @@ object ArrayQueries {
            list_reduce(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[65-i]::DOUBLE), (p,q) -> p+q) AS sab
            FROM embeddings) ORDER BY vec_id""",
     "a18_complex" ->
-      """SELECT vec_id,
-         list_transform(range(0, 8), i -> embedding[2*i + 1]::DOUBLE) AS re,
-         list_transform(range(0, 8), i -> embedding[2*i + 2]::DOUBLE) AS im,
-         list_transform(range(0, 8), i -> sqrt(
+      s"""SELECT vec_id,
+         ${FX("list_transform(range(0, 8), i -> embedding[2*i + 1]::DOUBLE)")} AS re,
+         ${FX("list_transform(range(0, 8), i -> embedding[2*i + 2]::DOUBLE)")} AS im,
+         ${FX("""list_transform(range(0, 8), i -> sqrt(
            embedding[2*i + 1]::DOUBLE * embedding[2*i + 1]::DOUBLE +
-           embedding[2*i + 2]::DOUBLE * embedding[2*i + 2]::DOUBLE)) AS mod
+           embedding[2*i + 2]::DOUBLE * embedding[2*i + 2]::DOUBLE))""")} AS mod
          FROM embeddings ORDER BY vec_id""",
     "a17_smooth_scale" ->
-      """SELECT vec_id,
-         list_transform(range(1, 65), i ->
+      s"""SELECT vec_id,
+         ${FX("""list_transform(range(1, 65), i ->
            list_reduce(list_transform(embedding[greatest(1, i-4) : i], x -> x::DOUBLE),
-             (x,y) -> x+y) / (i - greatest(1, i-4) + 1)::DOUBLE) AS sma5,
-         list_transform(embedding, x -> x::DOUBLE /
-           list_max(list_transform(embedding, y -> abs(y::DOUBLE)))) AS nmax,
-         list_transform(embedding, x -> CASE WHEN x::DOUBLE <= -0.1 THEN 0.0::DOUBLE
+             (x,y) -> x+y) / (i - greatest(1, i-4) + 1)::DOUBLE)""")} AS sma5,
+         ${FX("""list_transform(embedding, x -> x::DOUBLE /
+           list_max(list_transform(embedding, y -> abs(y::DOUBLE))))""")} AS nmax,
+         ${FX("""list_transform(embedding, x -> CASE WHEN x::DOUBLE <= -0.1 THEN 0.0::DOUBLE
            WHEN x::DOUBLE <= 0.0 THEN 1.0::DOUBLE
-           WHEN x::DOUBLE <= 0.1 THEN 2.0::DOUBLE ELSE 3.0::DOUBLE END) AS quant,
-         list_transform(embedding, x -> CASE WHEN abs(x::DOUBLE - 0.0) <= 0.0
-           THEN -999.0::DOUBLE ELSE x::DOUBLE END) AS repl
+           WHEN x::DOUBLE <= 0.1 THEN 2.0::DOUBLE ELSE 3.0::DOUBLE END)""")} AS quant,
+         ${FX("""list_transform(embedding, x -> CASE WHEN abs(x::DOUBLE - 0.0) <= 0.0
+           THEN -999.0::DOUBLE ELSE x::DOUBLE END)""")} AS repl
          FROM embeddings ORDER BY vec_id""",
     "a01_scalar_math" ->
-      """SELECT vec_id,
-         list_transform(embedding, x -> x::DOUBLE * 2.0 + 1.0) AS arr,
-         list_transform(embedding, x -> x::DOUBLE * x::DOUBLE) AS sq
+      s"""SELECT vec_id,
+         ${FX("list_transform(embedding, x -> x::DOUBLE * 2.0 + 1.0)")} AS arr,
+         ${FX("list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)")} AS sq
          FROM embeddings ORDER BY vec_id""",
     "a02_pairwise" ->
-      """SELECT vec_id,
-         list_transform(range(1, 65), i -> embedding[i]::DOUBLE + embedding[65 - i]::DOUBLE) AS arr,
-         list_transform(embedding, x -> x::DOUBLE / (abs(x::DOUBLE) + 1.0)) AS arr2
+      s"""SELECT vec_id,
+         ${FX("list_transform(range(1, 65), i -> embedding[i]::DOUBLE + embedding[65 - i]::DOUBLE)")} AS arr,
+         ${FX("list_transform(embedding, x -> x::DOUBLE / (abs(x::DOUBLE) + 1.0))")} AS arr2
          FROM embeddings ORDER BY vec_id""",
     "a03_reduce" ->
-      """SELECT vec_id,
-         list_transform(range(0, 8), b ->
-           list_reduce(list_transform(embedding[b*8+1 : b*8+8], x -> x::DOUBLE), (x,y) -> x+y) / 8.0) AS avg8,
-         list_transform(range(0, 8), b -> list_max(embedding[b*8+1 : b*8+8])::DOUBLE) AS max8,
-         [list_reduce(list_transform(embedding, x -> x::DOUBLE), (x,y) -> x+y)] AS sum_all
+      s"""SELECT vec_id,
+         ${FX("""list_transform(range(0, 8), b ->
+           list_reduce(list_transform(embedding[b*8+1 : b*8+8], x -> x::DOUBLE), (x,y) -> x+y) / 8.0)""")} AS avg8,
+         ${FX("list_transform(range(0, 8), b -> list_max(embedding[b*8+1 : b*8+8])::DOUBLE)")} AS max8,
+         ${FX("[list_reduce(list_transform(embedding, x -> x::DOUBLE), (x,y) -> x+y)]")} AS sum_all
          FROM embeddings ORDER BY vec_id""",
     "a04_subset" ->
-      """SELECT vec_id,
-         list_transform(range(1, 65, 3), i -> embedding[i]::DOUBLE) AS sub,
-         list_transform([1, 5, 9], i -> embedding[i]::DOUBLE) AS picked,
-         list_transform(embedding[10:14], x -> x::DOUBLE) AS sl
+      s"""SELECT vec_id,
+         ${FX("list_transform(range(1, 65, 3), i -> embedding[i]::DOUBLE)")} AS sub,
+         ${FX("list_transform([1, 5, 9], i -> embedding[i]::DOUBLE)")} AS picked,
+         ${FX("list_transform(embedding[10:14], x -> x::DOUBLE)")} AS sl
          FROM embeddings ORDER BY vec_id""",
     "a05_reshape" ->
-      """SELECT vec_id,
-         list_transform(list_reverse(embedding)[60:64] || list_reverse(embedding)[1:59], x -> x::DOUBLE) AS rot,
-         list_transform(embedding[1:3], x -> x::DOUBLE) || [-1.0::DOUBLE, -1.0::DOUBLE, -1.0::DOUBLE] AS pad,
-         [0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE] || list_transform(embedding[1:61], x -> x::DOUBLE) AS shifted,
-         list_transform(range(0, 5), i -> 0.0::DOUBLE + i * 0.5::DOUBLE) AS seq
+      s"""SELECT vec_id,
+         ${FX("list_transform(list_reverse(embedding)[60:64] || list_reverse(embedding)[1:59], x -> x::DOUBLE)")} AS rot,
+         ${FX("list_transform(embedding[1:3], x -> x::DOUBLE) || [-1.0::DOUBLE, -1.0::DOUBLE, -1.0::DOUBLE]")} AS pad,
+         ${FX("[0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE] || list_transform(embedding[1:61], x -> x::DOUBLE)")} AS shifted,
+         ${FX("list_transform(range(0, 5), i -> 0.0::DOUBLE + i * 0.5::DOUBLE)")} AS seq
          FROM embeddings ORDER BY vec_id""",
     "a06_predicate" ->
-      """SELECT vec_id,
-         list_transform(embedding, x -> CASE WHEN x::DOUBLE < 0.0 THEN 0.0::DOUBLE ELSE x::DOUBLE END) AS clip,
+      s"""SELECT vec_id,
+         ${FX("list_transform(embedding, x -> CASE WHEN x::DOUBLE < 0.0 THEN 0.0::DOUBLE ELSE x::DOUBLE END)")} AS clip,
          len(list_filter(embedding, x -> x::DOUBLE > 0.0))::BIGINT AS npos,
-         list_filter(range(1, 65), i -> embedding[i]::DOUBLE > 0.2) AS idxs
+         ${LS("list_filter(range(1, 65), i -> embedding[i]::DOUBLE > 0.2)")} AS idxs
          FROM embeddings ORDER BY vec_id""",
     "a07_stats" ->
       """SELECT vec_id, s1/64.0 AS mean,
@@ -325,34 +345,34 @@ object ArrayQueries {
            list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (x,y) -> x+y) AS s2
            FROM embeddings) ORDER BY vec_id""",
     "a08_accumulate" ->
-      """SELECT vec_id,
-         list_transform(range(1, 65), i ->
-           list_reduce(list_transform(embedding[1:i], x -> x::DOUBLE), (x,y) -> x+y)) AS acc,
-         list_transform(range(1, 65), i ->
+      s"""SELECT vec_id,
+         ${FX("""list_transform(range(1, 65), i ->
+           list_reduce(list_transform(embedding[1:i], x -> x::DOUBLE), (x,y) -> x+y))""")} AS acc,
+         ${FX("""list_transform(range(1, 65), i ->
            CASE WHEN i = 1 THEN embedding[1]::DOUBLE
-                ELSE embedding[i]::DOUBLE - embedding[i-1]::DOUBLE END) AS deacc
+                ELSE embedding[i]::DOUBLE - embedding[i-1]::DOUBLE END)""")} AS deacc
          FROM embeddings ORDER BY vec_id""",
     "a09_quantile_hist" ->
-      """SELECT vec_id,
-         list_transform([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE], q ->
+      s"""SELECT vec_id,
+         ${FX("""list_transform([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE], q ->
            s[(floor(q*63.0))::INT + 1] + (q*63.0 - floor(q*63.0)) *
-             (s[least((floor(q*63.0))::INT + 2, 64)] - s[(floor(q*63.0))::INT + 1])) AS quart,
-         list_transform(range(0, 8), i ->
-           len(list_filter(s, x -> x >= -0.5 + i * 0.125 AND x < -0.5 + (i+1) * 0.125))::BIGINT) AS hist,
-         [s[1],
+             (s[least((floor(q*63.0))::INT + 2, 64)] - s[(floor(q*63.0))::INT + 1]))""")} AS quart,
+         ${LS("""list_transform(range(0, 8), i ->
+           len(list_filter(s, x -> x >= -0.5 + i * 0.125 AND x < -0.5 + (i+1) * 0.125))::BIGINT)""")} AS hist,
+         ${FX("""[s[1],
           s[(floor(0.25*63.0))::INT + 1] + (0.25*63.0 - floor(0.25*63.0)) *
             (s[least((floor(0.25*63.0))::INT + 2, 64)] - s[(floor(0.25*63.0))::INT + 1]),
           s[(floor(0.5*63.0))::INT + 1] + (0.5*63.0 - floor(0.5*63.0)) *
             (s[least((floor(0.5*63.0))::INT + 2, 64)] - s[(floor(0.5*63.0))::INT + 1]),
           s[(floor(0.75*63.0))::INT + 1] + (0.75*63.0 - floor(0.75*63.0)) *
             (s[least((floor(0.75*63.0))::INT + 2, 64)] - s[(floor(0.75*63.0))::INT + 1]),
-          s[64]] AS box
+          s[64]]""")} AS box
          FROM (SELECT vec_id, list_sort(list_transform(embedding, x -> x::DOUBLE)) AS s
            FROM embeddings) ORDER BY vec_id""",
     "a10_agg_elementwise" ->
-      """SELECT label,
-         list(ssum ORDER BY i) AS vec_sum_scaled,
-         list(emin ORDER BY i) AS vec_min,
+      s"""SELECT label,
+         array_to_string(list(CAST(ssum AS BIGINT) ORDER BY i), ',') AS vec_sum_scaled,
+         ${FX("list(emin ORDER BY i)")} AS vec_min,
          any_value(cnt) AS n
          FROM (SELECT label, i,
              sum(CAST(floor(embedding[i]::DOUBLE * 1e9) AS BIGINT)) AS ssum,
@@ -361,7 +381,7 @@ object ArrayQueries {
            FROM embeddings, range(1, 65) t(i) GROUP BY label, i)
          GROUP BY label ORDER BY label""",
     "a11_rollup" ->
-      """SELECT label, flatten(list(arr ORDER BY vec_id)) AS merged
+      s"""SELECT label, ${FX("flatten(list(arr ORDER BY vec_id))")} AS merged
          FROM (SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS arr
            FROM embeddings WHERE vec_id < 40)
          GROUP BY label ORDER BY label""",
@@ -370,17 +390,17 @@ object ArrayQueries {
          FROM embeddings, range(1, 65) t(i) WHERE vec_id < 10
          ORDER BY vec_id, pos""",
     "a13_permute_interlace" ->
-      """SELECT vec_id,
-         list_transform(range(0, 64), j -> embedding[((j//8) % 8) + 8*(j % 8) + 1]::DOUBLE) AS trans,
-         flatten(list_transform(range(1, 33), i -> [embedding[i]::DOUBLE, embedding[i+32]::DOUBLE])) AS inter
+      s"""SELECT vec_id,
+         ${FX("list_transform(range(0, 64), j -> embedding[((j//8) % 8) + 8*(j % 8) + 1]::DOUBLE)")} AS trans,
+         ${FX("flatten(list_transform(range(1, 33), i -> [embedding[i]::DOUBLE, embedding[i+32]::DOUBLE]))")} AS inter
          FROM embeddings ORDER BY vec_id""",
     "a14_fft" ->
-      """SELECT vec_id,
-         flatten(list_transform(range(0, 64), k -> [
+      s"""SELECT vec_id,
+         ${FX("""flatten(list_transform(range(0, 64), k -> [
            round(list_reduce(list_transform(range(0, 64), n ->
              embedding[n+1]::DOUBLE * cos(2*pi()*k*n/64.0)), (x,y) -> x+y), 3),
            round(-list_reduce(list_transform(range(0, 64), n ->
-             embedding[n+1]::DOUBLE * sin(2*pi()*k*n/64.0)), (x,y) -> x+y), 3)])) AS fft
+             embedding[n+1]::DOUBLE * sin(2*pi()*k*n/64.0)), (x,y) -> x+y), 3)]))""")} AS fft
          FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""",
     "a15_codec" ->
       """SELECT vec_id, 1::BIGINT AS roundtrip_ok,

@@ -26,6 +26,7 @@ object CubeQueries {
       .subsetExplicit("row", "1:2:end")
       .reduceImplicit("y", "avg")
       .df.orderBy("id_dim")
+      .withColumn("measure", graft.functions.ArrayPrimitives.fx12(col("measure")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc01_cube_pipeline" -> (qc01_cube_pipeline _),
@@ -34,9 +35,11 @@ object CubeQueries {
   val oracles: Map[String, String] = Map(
     "qc01_cube_pipeline" ->
       """SELECT (vec_id / 2)::BIGINT + 1 AS id_dim,
-         list_transform(range(0, 8), x ->
-           list_reduce(list_transform(range(0, 8), y -> embedding[x*8 + y + 1]::DOUBLE),
-             (p,q) -> p+q) / 8.0) AS measure
+         array_to_string(list_transform(
+           list_transform(range(0, 8), x ->
+             list_reduce(list_transform(range(0, 8), y -> embedding[x*8 + y + 1]::DOUBLE),
+               (p,q) -> p+q) / 8.0),
+           v -> CAST(floor(v * 1e12) AS BIGINT)), ',') AS measure
          FROM embeddings WHERE vec_id % 2 = 0
          ORDER BY id_dim""",
   )

@@ -291,7 +291,7 @@ object DedupQueries {
           SELECT doc_b AS doc_id, doc_a AS nbr FROM pairs
           UNION ALL SELECT doc_a AS doc_id, doc_b AS nbr FROM pairs)
         GROUP BY doc_id)
-      SELECT count(*) AS n_kept, sum(n_chars) AS kept_chars
+      SELECT count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
       FROM documents d LEFT JOIN nbr ON d.doc_id = nbr.doc_id
       WHERE nbr.min_nbr IS NULL OR nbr.min_nbr >= d.doc_id""",
     "d04_simhash" -> s"""

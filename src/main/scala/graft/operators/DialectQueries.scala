@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.engine.IoServer
+import graft.functions.{ArrayPrimitives => AP}
 
 /** End-to-end dialect queries: the same `operation=key=value;` text a
   * reference client would submit, executed through
@@ -34,6 +35,7 @@ object DialectQueries {
         "field_alias=id_dim|measure;from=emb;" +
         "where=oph_is_in_subset(id_dim,1,2,301)")
     ses.execute("operation=select;field=id_dim|measure;from=out;order=id_dim").get
+      .withColumn("measure", AP.fx12(col("measure")))
   }
 
   /** qd02 — dialect GROUP BY with a row-crossing aggregate primitive
@@ -46,6 +48,7 @@ object DialectQueries {
         "field=oph_id(id_dim,50)|oph_aggregate_operator('oph_double',measure,'oph_max');" +
         "field_alias=gid|vec_max;from=emb;group=oph_id(id_dim,50)")
     ses.execute("operation=select;field=gid|vec_max;from=gout;order=gid").get
+      .withColumn("vec_max", AP.fx12(col("vec_max")))
   }
 
   /** qd03 — oph_subset stored procedure: strided filter + sequential
@@ -56,6 +59,7 @@ object DialectQueries {
       "function_args=emb|1|id_dim:oph_mul_scalar('oph_double','oph_double',measure,2.0)|sout|" +
       "oph_is_in_subset(id_dim,3,5,498)")
     ses.execute("operation=select;field=id_dim|measure;from=sout;order=id_dim").get
+      .withColumn("measure", AP.fx12(col("measure")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -64,25 +68,29 @@ object DialectQueries {
     "qd03_dialect_subset" -> (qd03_dialect_subset _),
   )
 
+  /** DuckDB mirror of [[AP.fx12]] (see ArrayQueries output-shape note). */
+  private def FX(e: String): String =
+    s"array_to_string(list_transform(($e), v -> CAST(floor(v * 1e12) AS BIGINT)), ',')"
+
   val oracles: Map[String, String] = Map(
     "qd01_dialect_ctas" ->
-      """SELECT vec_id + 1 AS id_dim,
-         list_transform(range(0, 8), b ->
+      s"""SELECT vec_id + 1 AS id_dim,
+         ${FX("""list_transform(range(0, 8), b ->
            list_reduce(list_transform(embedding[b*8+1 : b*8+8], x -> x::DOUBLE),
-             (x,y) -> x+y) / 8.0) AS measure
+             (x,y) -> x+y) / 8.0)""")} AS measure
          FROM embeddings
          WHERE (vec_id + 1 - 1) % 2 = 0 AND vec_id + 1 >= 1 AND vec_id + 1 <= 301
          ORDER BY id_dim""",
     "qd02_dialect_groupby" ->
-      """SELECT gid, list(m ORDER BY i) AS vec_max FROM (
+      s"""SELECT gid, ${FX("list(m ORDER BY i)")} AS vec_max FROM (
            SELECT 1 + (vec_id + 1 - 1) // 50 AS gid, i,
              max(embedding[i]::DOUBLE) AS m
            FROM embeddings, range(1, 65) t(i)
            GROUP BY gid, i)
          GROUP BY gid ORDER BY gid""",
     "qd03_dialect_subset" ->
-      """SELECT row_number() OVER (ORDER BY vec_id) AS id_dim,
-         list_transform(embedding, x -> x::DOUBLE * 2.0) AS measure
+      s"""SELECT row_number() OVER (ORDER BY vec_id) AS id_dim,
+         ${FX("list_transform(embedding, x -> x::DOUBLE * 2.0)")} AS measure
          FROM embeddings
          WHERE (vec_id + 1 - 3) % 5 = 0 AND vec_id + 1 >= 3 AND vec_id + 1 <= 498
          ORDER BY id_dim""",

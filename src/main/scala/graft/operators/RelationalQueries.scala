@@ -191,10 +191,11 @@ object RelationalQueries {
     * `ts` arrives as raw nanos-since-epoch (nanosAsLong); trunc to the
     * hour with exact integer arithmetic. */
   def q16_time_window(s: SparkSession, dir: String): DataFrame =
+    // hour ships as BIGINT epoch-seconds (not timestamp): integer keys
+    // compare identically across the pandas/DuckDB comparator split.
     Tables.events(s, dir)
       .groupBy(
-        timestamp_seconds(
-          KeyAlgebra.ldiv(col("ts"), lit(3600000000000L)) * 3600L).as("hour"),
+        (KeyAlgebra.ldiv(col("ts"), lit(3600000000000L)) * 3600L).as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
@@ -245,8 +246,11 @@ object RelationalQueries {
         (KeyAlgebra.ldiv(col("ts"), lit(slideNs)) - col("k")) * slideNs)
       .filter(col("ts") < col("win_start_ns") + winNs &&
         col("win_start_ns") >= 0)
-    e.groupBy(timestamp_seconds(
-        KeyAlgebra.ldiv(col("win_start_ns"), lit(1000000000L))).as("window_start"))
+    // window start ships as BIGINT epoch-seconds: the driver comparator
+    // reads our parquet via pandas but the oracle via DuckDB, and their
+    // timestamp dtypes (unit/tz) disagree — integers compare exactly.
+    e.groupBy(KeyAlgebra.ldiv(col("win_start_ns"), lit(1000000000L))
+        .as("window_start"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .orderBy("window_start")
@@ -313,8 +317,8 @@ object RelationalQueries {
       """SELECT user_id, session_id, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM (SELECT user_id, value,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            FROM (SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000000
@@ -322,7 +326,7 @@ object RelationalQueries {
              FROM events))
          GROUP BY user_id, session_id ORDER BY user_id, session_id""",
     "q20_sliding_window" ->
-      """SELECT to_timestamp(win_start_s) AS window_start, count(*) AS n,
+      """SELECT win_start_s AS window_start, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM (SELECT value,
              (epoch_ns(ts) // 1800000000000 - k) * 1800 AS win_start_s,
@@ -434,7 +438,8 @@ object RelationalQueries {
            FROM orders JOIN customer ON o_custkey = c_custkey) t
          WHERE rk <= 3 ORDER BY c_mktsegment, rk""",
     "q16_time_window" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour, event_type,
+         count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
   )

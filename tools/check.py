@@ -1,11 +1,22 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate: for each query output
-parquet written by graft.Verify, run the oracle SQL in DuckDB over the same
-sf tables and compare via symmetric EXCEPT ALL (handles list columns,
-exact float equality). Usage: check.py <sfDir> <outDir> [only...]
+"""Local replica of the driver's correctness gate, driver-faithful edition.
+
+The driver (r02 traceback evidence) reads OUR parquet via pandas, runs the
+oracle SQL via DuckDB .df(), sorts both frames with sort_values over the
+name-sorted columns, then hash-compares values. Consequences we must
+replicate locally:
+  - list/array cells crash its sort ("unhashable type: numpy.ndarray")
+  - DuckDB HUGEINT (bare integer sum()) becomes float64 -> dtype/hash
+    mismatch vs our int64
+  - DuckDB TIMESTAMPTZ (to_timestamp) vs Spark parquet timestamps differ
+    in unit/tz -> schema mismatch
+So: pandas on both sides, strict dtype check, exact value compare.
+Usage: check.py <sfDir> <outDir> [only...]
 """
 import sys, json, glob, os
 import duckdb
+import numpy as np
+import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
@@ -21,29 +32,43 @@ ok = fail = 0
 for name, sql in sorted(oracle.items()):
     if only and name not in only: continue
     qdir = f"{outdir}/{name}"
-    if not glob.glob(f"{qdir}/*.parquet"):
+    files = glob.glob(f"{qdir}/*.parquet")
+    if not files:
         print(f"MISSING  {name} (no parquet written)"); fail += 1; continue
     try:
-        con.execute("CREATE OR REPLACE VIEW mine_raw AS "
-                    f"SELECT * FROM '{qdir}/*.parquet'")
-        con.execute(f"CREATE OR REPLACE VIEW ref_raw AS {sql}")
-        mcols = [r[0] for r in con.sql("DESCRIBE mine_raw").fetchall()]
-        rcols = [r[0] for r in con.sql("DESCRIBE ref_raw").fetchall()]
-        if sorted(mcols) != sorted(rcols):
-            print(f"SCHEMA   {name}: mine={sorted(mcols)} ref={sorted(rcols)}")
+        mine = pd.concat([pd.read_parquet(f) for f in sorted(files)],
+                         ignore_index=True)
+        ref = con.sql(sql).df()
+        if sorted(mine.columns) != sorted(ref.columns):
+            print(f"SCHEMA   {name}: mine={sorted(mine.columns)} "
+                  f"ref={sorted(ref.columns)}"); fail += 1; continue
+        cols = sorted(mine.columns)
+        mine, ref = mine[cols], ref[cols]
+        dt_bad = [(c, str(mine[c].dtype), str(ref[c].dtype))
+                  for c in cols if mine[c].dtype != ref[c].dtype]
+        if dt_bad:
+            print(f"DTYPE    {name}: {dt_bad}"); fail += 1; continue
+        if len(mine) != len(ref):
+            print(f"ROWS     {name}: mine={len(mine)} ref={len(ref)}")
             fail += 1; continue
-        cols = ", ".join(f'"{c}"' for c in sorted(mcols))
-        nm = con.sql("SELECT count(*) FROM mine_raw").fetchone()[0]
-        nr = con.sql("SELECT count(*) FROM ref_raw").fetchone()[0]
-        if nm != nr:
-            print(f"ROWS     {name}: mine={nm} ref={nr}"); fail += 1; continue
-        d1 = con.sql(f"SELECT {cols} FROM mine_raw EXCEPT ALL SELECT {cols} FROM ref_raw").fetchmany(3)
-        d2 = con.sql(f"SELECT {cols} FROM ref_raw EXCEPT ALL SELECT {cols} FROM mine_raw").fetchmany(3)
-        if d1 or d2:
-            print(f"VALUE    {name}: mine-only={d1[:1]} ref-only={d2[:1]}")
-            fail += 1; continue
+        # driver-style sort: crashes here if any cell is a list/ndarray
+        mine = mine.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+        ref = ref.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+        bad = None
+        for c in cols:
+            a, b = mine[c].to_numpy(), ref[c].to_numpy()
+            if a.dtype.kind == "f":
+                eq = (a == b) | (np.isnan(a) & np.isnan(b))
+            else:
+                eq = (a == b)
+            if not eq.all():
+                i = int(np.argmin(eq))
+                bad = f"col={c} row={i} mine={a[i]!r} ref={b[i]!r}"
+                break
+        if bad:
+            print(f"VALUE    {name}: {bad}"); fail += 1; continue
         ok += 1; print(f"OK       {name}")
     except Exception as e:
-        print(f"ERROR    {name}: {e}"); fail += 1
+        print(f"ERROR    {name}: {type(e).__name__}: {e}"); fail += 1
 print(f"\n{ok} ok, {fail} failed")
 sys.exit(1 if fail else 0)
