@@ -27,7 +27,16 @@ object Bench {
       try graft.core.Tables.t(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // ... and one shuffle + codegen + noop-sink write, so the first
+    // measured query doesn't absorb those one-time setup costs
+    try spark.range(1000).toDF("id").orderBy("id")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
+    // optional args: run only the named queries (local iteration aid)
+    val wanted = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => wanted.isEmpty || wanted(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

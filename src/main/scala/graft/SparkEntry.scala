@@ -26,5 +26,6 @@ object SparkEntry {
     graft.operators.SimilarityQueries.oracles ++
     graft.operators.MultimodalQueries.oracles ++
     graft.operators.DialectQueries.oracles ++
+    graft.operators.ClusterQueries.oracles ++
     graft.operators.CubeQueries.oracles
 }

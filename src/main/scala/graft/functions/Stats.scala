@@ -83,17 +83,17 @@ object Stats {
     vlo + frac * (vhi - vlo)
   }
 
-  def oph_gsl_quantile(a: Column, qs: Seq[Double]): Column = {
-    val s = array_sort(a)
-    array(qs.map(quantileOfSorted(s, _)): _*)
-  }
+  def oph_gsl_quantile(a: Column, qs: Seq[Double]): Column =
+    // bindOnce: each quantile references the sorted array several times;
+    // without the lambda binding the sort re-runs per reference.
+    TextFunctions.bindOnce(array_sort(a), s =>
+      array(qs.map(quantileOfSorted(s, _)): _*))
 
   /** 5-number summary [min, q1, median, q3, max] (oph_gsl_boxplot:113). */
-  def oph_gsl_boxplot(a: Column): Column = {
-    val s = array_sort(a)
-    array(element_at(s, 1), quantileOfSorted(s, 0.25), quantileOfSorted(s, 0.5),
-      quantileOfSorted(s, 0.75), element_at(s, size(s)))
-  }
+  def oph_gsl_boxplot(a: Column): Column =
+    TextFunctions.bindOnce(array_sort(a), s =>
+      array(element_at(s, 1), quantileOfSorted(s, 0.25), quantileOfSorted(s, 0.5),
+        quantileOfSorted(s, 0.75), element_at(s, size(s))))
 
   /** Histogram counts over [lo, hi) split into `bins` uniform bins
     * (GSL convention: x == hi falls outside). (oph_gsl_histogram:165). */
