@@ -194,9 +194,61 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** ±1 hyperplane component for signature bit `j`, dim `i` (0-based):
+    * bit 16 of n·2654435761 (Knuth multiplicative hash), n = j·64+i+1 —
+    * pure integer arithmetic the DuckDB oracle regenerates verbatim. */
+  private def hyperSign(j: Int, i: Int): Double = {
+    val n = (j * 64 + i + 1).toLong
+    if (n * 2654435761L / 65536L % 2L == 1L) 1.0 else -1.0
+  }
+
+  /** d08 — embedding near-dup at scale: random-hyperplane LSH (SimHash
+    * for cosine space). 16-bit signatures from fixed hyperplanes, 2 bands
+    * × 8 bits; candidates share a band value; exact-cosine verify ≥ 0.4.
+    * The LSH-bucketed scale path for [[d06_dedup_embcos]]: the self-join
+    * is confined to band buckets instead of label groups, so it stays
+    * near-linear as the corpus grows. */
+  def d08_dedup_emblsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra
+    val sigCol = (0 until 16).map { j =>
+      val plane = lit((0 until 64).map(i => hyperSign(j, i)).toArray)
+      when(aggregate(zip_with(col("a"), plane, (x, h) => x * h),
+        lit(0.0), (acc, x) => acc + x) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = Tables.embeddings(s, dir)
+      .withColumn("a", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(graft.plans.DotProduct(col("a"), col("a"))))
+      .withColumn("sig", sigCol)
+      .select("vec_id", "a", "nrm", "sig")
+      .cache()
+    e.count() // eager fill: the self-join would race the cache
+    val banded = e.select(col("vec_id"),
+      explode(array(
+        struct(lit(0).as("b"), pmod(col("sig"), lit(256L)).as("bkey")),
+        struct(lit(1).as("b"), KeyAlgebra.ldiv(col("sig"), lit(256L)).as("bkey"))))
+        .as("bb"))
+      .select(col("vec_id"), col("bb.b").as("b"), col("bb.bkey").as("bkey"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("a").as("aa"),
+        col("nrm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("a").as("ab"),
+        col("nrm").as("nb")), "id_b")
+      .withColumn("cos",
+        graft.plans.DotProduct(col("aa"), col("ab")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.4)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d06_dedup_embcos" -> (d06_dedup_embcos _),
     "d07_dedup_apply" -> (d07_dedup_apply _),
+    "d08_dedup_emblsh" -> (d08_dedup_emblsh _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_dedup_canonical" -> (d02_dedup_canonical _),
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
@@ -220,6 +272,31 @@ object DedupQueries {
        THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x,y) -> x+y)"""
 
   val oracles: Map[String, String] = Map(
+    "d08_dedup_emblsh" -> """
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
+          FROM embeddings),
+      n AS (SELECT vec_id, a,
+        sqrt(list_reduce(list_transform(range(1, 65), i -> a[i] * a[i]),
+          (p,q) -> p+q)) AS nrm FROM e),
+      s AS (SELECT vec_id, a, nrm,
+        list_reduce(list_transform(range(0, 16), j ->
+          CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+            a[i] * (CASE WHEN (j*64 + i) * 2654435761 // 65536 % 2 = 1
+                    THEN 1.0 ELSE -1.0 END)),
+            (p,q) -> p+q) > 0
+          THEN (1::BIGINT << j) ELSE 0::BIGINT END), (x,y) -> x+y) AS sig
+        FROM n),
+      banded AS (SELECT vec_id, 0 AS b, sig % 256 AS bkey FROM s
+        UNION ALL SELECT vec_id, 1, sig // 256 FROM s),
+      cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM banded x JOIN banded y ON x.b = y.b AND x.bkey = y.bkey
+          AND x.vec_id < y.vec_id)
+      SELECT id_a, id_b, cos FROM (
+        SELECT id_a, id_b,
+          list_reduce(list_transform(range(1, 65), i -> xa.a[i] * ya.a[i]),
+            (p,q) -> p+q) / (xa.nrm * ya.nrm) AS cos
+        FROM cand JOIN n xa ON id_a = xa.vec_id JOIN n ya ON id_b = ya.vec_id)
+      WHERE cos >= 0.4 ORDER BY id_a, id_b""",
     "d06_dedup_embcos" -> """
       WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
