@@ -15,6 +15,7 @@ object SparkEntry {
     graft.operators.MultimodalQueries.queries ++
     graft.operators.DialectQueries.queries ++
     graft.operators.ClusterQueries.queries ++
+    graft.operators.NetCDFQueries.queries ++
     graft.operators.CubeQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.operators.MultimodalQueries.oracles ++
     graft.operators.DialectQueries.oracles ++
     graft.operators.ClusterQueries.oracles ++
+    graft.operators.NetCDFQueries.oracles ++
     graft.operators.CubeQueries.oracles
 }
