@@ -62,10 +62,33 @@ object DialectQueries {
       .withColumn("measure", AP.fx12(col("measure")))
   }
 
+  /** qd04 — the reference's multi-fragment "join" (positional aligned
+    * merge over dense sorted ids, oph_io_server_query_blocks.c:845-1082,
+    * expressed as an id_dim equi-join): elementwise-sum two fragments'
+    * measures under a key-algebra subset. */
+  def qd04_dialect_join(s: SparkSession, dir: String): DataFrame = {
+    val srv = new IoServer(s)
+    val base = Tables.embeddings(s, dir).select(
+      (col("vec_id") + 1).as("id_dim"),
+      col("embedding").cast("array<double>").as("measure"))
+    srv.registerFragment("default", "emb", base)
+    srv.registerFragment("default", "embr",
+      base.select(col("id_dim"), reverse(col("measure")).as("measure")))
+    val ses = srv.newSession()
+    ses.execute(
+      "operation=create_frag_select;frag_name=jout;" +
+        "field=id_dim|oph_sum_array('oph_double','oph_double',t1.measure,t2.measure);" +
+        "field_alias=id_dim|measure;from=emb|embr;" +
+        "where=oph_is_in_subset(id_dim,2,4,400)")
+    ses.execute("operation=select;field=id_dim|measure;from=jout;order=id_dim").get
+      .withColumn("measure", AP.fx12(col("measure")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd01_dialect_ctas" -> (qd01_dialect_ctas _),
     "qd02_dialect_groupby" -> (qd02_dialect_groupby _),
     "qd03_dialect_subset" -> (qd03_dialect_subset _),
+    "qd04_dialect_join" -> (qd04_dialect_join _),
   )
 
   /** DuckDB mirror of [[AP.fx12]] (see ArrayQueries output-shape note). */
@@ -88,6 +111,12 @@ object DialectQueries {
            FROM embeddings, range(1, 65) t(i)
            GROUP BY gid, i)
          GROUP BY gid ORDER BY gid""",
+    "qd04_dialect_join" ->
+      s"""SELECT vec_id + 1 AS id_dim,
+         ${FX("list_transform(range(1, 65), i -> embedding[i]::DOUBLE + embedding[65-i]::DOUBLE)")} AS measure
+         FROM embeddings
+         WHERE (vec_id + 1 - 2) % 4 = 0 AND vec_id + 1 >= 2 AND vec_id + 1 <= 400
+         ORDER BY id_dim""",
     "qd03_dialect_subset" ->
       s"""SELECT row_number() OVER (ORDER BY vec_id) AS id_dim,
          ${FX("list_transform(embedding, x -> x::DOUBLE * 2.0)")} AS measure
