@@ -16,6 +16,7 @@ object SparkEntry {
     graft.operators.DialectQueries.queries ++
     graft.operators.ClusterQueries.queries ++
     graft.operators.NetCDFQueries.queries ++
+    graft.operators.PipelineQueries.queries ++
     graft.operators.CubeQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.operators.DialectQueries.oracles ++
     graft.operators.ClusterQueries.oracles ++
     graft.operators.NetCDFQueries.oracles ++
+    graft.operators.PipelineQueries.oracles ++
     graft.operators.CubeQueries.oracles
 }

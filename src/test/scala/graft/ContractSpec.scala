@@ -29,7 +29,8 @@ class ContractSpec extends SparkSpec {
       operators.TextQueries.queries, operators.DedupQueries.queries,
       operators.SimilarityQueries.queries, operators.MultimodalQueries.queries,
       operators.DialectQueries.queries, operators.ClusterQueries.queries,
-      operators.NetCDFQueries.queries, operators.CubeQueries.queries)
+      operators.NetCDFQueries.queries, operators.PipelineQueries.queries,
+      operators.CubeQueries.queries)
     val names = all.flatMap(_.keys)
     assert(names.size == names.distinct.size,
       s"duplicate query names: ${names.diff(names.distinct)}")
