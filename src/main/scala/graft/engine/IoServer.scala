@@ -156,7 +156,15 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
         case "create_frag" => runCreateFrag(q); None
         case "drop_frag" =>
           val (db, nm) = splitName(q("frag_name")); server.dropFrag(db, nm); None
-        case "create_frag_select" => runCtas(q, binds); None
+        // the _file/_esdm CTAS variants (oph_io_server_query.c:72-105) are
+        // the same pipeline here: an @path FROM entry loads through the
+        // DSv2 reader (buildSelect), ESDM's read-stream reduction rides
+        // as sub_operation/sub_args. Accept the reference's names.
+        case "create_frag_select" | "create_frag_select_file" |
+             "create_frag_select_esdm" => runCtas(q, binds); None
+        // direct bulk load, no select (oph_io_server_query.c:341-375):
+        // read @path → register as a fragment under frag_name
+        case "file_import" | "esdm_import" => runFileImport(q); None
         case "select" =>
           val r = runSelect(q, binds)
           lastResultSet = Some(r)
@@ -443,6 +451,31 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
       val df = buildSelect(q, binds).persist(StorageLevel.MEMORY_AND_DISK)
       val n = df.count() // materialize (the reference stores eagerly)
       server.putFrag(db, nm, df, n)
+    }
+
+    // -- file_import / esdm_import (oph_io_server_query.c:341-375,
+    //    reader oph_io_server_nc.c:2716-3243): direct bulk load of a
+    //    NetCDF path into a fragment, no SELECT. ESDM's read-stream
+    //    reduction (sub_operation/sub_args) folds into the scan. --
+    private def runFileImport(q: ParsedQuery): Unit = {
+      val (db, nm) = splitName(q("frag_name"))
+      val path = q.get("src_path").orElse(q.get("path")).getOrElse(
+        throw new IllegalArgumentException("src_path required"))
+      var r = spark.read.format("graft.sources.NetCDFSource")
+        .option("path", path.stripPrefix("@"))
+        .option("var", q.get("measure").getOrElse("measure"))
+      Seq("explicit", "dim_start", "dim_end", "key_start", "partitions")
+        .foreach(k => q.get(k).foreach(v => r = r.option(k, v)))
+      val loaded = r.load()
+      val reduced = q.get("sub_operation") match {
+        case Some(op) =>
+          val bs = q.get("sub_args").map(_.toInt).getOrElse(Int.MaxValue)
+          loaded.withColumn("measure",
+            graft.functions.ArrayPrimitives.oph_reduce(col("measure"), op, bs))
+        case None => loaded
+      }
+      val df = reduced.persist(StorageLevel.MEMORY_AND_DISK)
+      server.putFrag(db, nm, df, df.count())
     }
 
     // -- random_import (oph_io_server_query_engine.c:686-810): synthetic

@@ -26,6 +26,34 @@ class FileImportSpec extends SparkSpec {
     assert(out.last.getSeq[Double](1) == Seq(90.0, 100.0, 110.0))
   }
 
+  test("file_import / esdm_import bulk-load a path into a fragment; " +
+      "create_frag_select_file name accepted") {
+    val f = Files.createTempFile("graft", ".nc").toFile
+    f.deleteOnExit()
+    NetCDF3.writeDoubleVar(f.getAbsolutePath,
+      Seq("t" -> 4, "x" -> 4), "m", Array.tabulate(16)(_.toDouble))
+    val srv = new IoServer(spark)
+    val ses = srv.newSession()
+    // direct load, no select (oph_io_server_query.c:341-357)
+    ses.execute(s"operation=file_import;frag_name=fi;" +
+      s"src_path=${f.getAbsolutePath};measure=m;explicit=1")
+    val out = ses.execute(
+      "operation=select;field=id_dim|measure;from=fi;order=id_dim").get.collect()
+    assert(out.length == 4 && out.head.getSeq[Double](1) == Seq(0.0, 1.0, 2.0, 3.0))
+    // esdm_import: same path with the ESDM read-stream reduction folded in
+    ses.execute(s"operation=esdm_import;frag_name=ei;" +
+      s"src_path=${f.getAbsolutePath};measure=m;explicit=1;" +
+      "sub_operation=sum;sub_args=4")
+    val red = ses.execute(
+      "operation=select;field=id_dim|measure;from=ei;order=id_dim").get.collect()
+    assert(red.head.getSeq[Double](1) == Seq(6.0)) // 0+1+2+3
+    // the reference's CTAS-from-file operation name resolves too
+    ses.execute(
+      s"operation=create_frag_select_file;frag_name=cf;from=@${f.getAbsolutePath};" +
+        "measure=m;explicit=1;field=id_dim|measure;field_alias=id_dim|measure")
+    assert(ses.execute("operation=select;field=id_dim;from=cf").get.count() == 4)
+  }
+
   test("catalog save/load round-trips fragments and databases") {
     val dir = Files.createTempDirectory("graft-catalog").toFile.getAbsolutePath
     val srv = new IoServer(spark)
