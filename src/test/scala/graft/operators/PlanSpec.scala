@@ -50,6 +50,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"expected whole-stage-codegen spans:\n$p")
   }
 
+  test("d08: LSH band candidate join is a hash join, never cartesian") {
+    val p = plan(DedupQueries.d08_dedup_emblsh(spark, sf()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated to a product:\n$p")
+    assert(p.contains("HashJoin"), s"expected a hash join on band keys:\n$p")
+  }
+
+  test("p01: pipeline scoring is scan-parallel; only hash-partitioned shuffles") {
+    val p = plan(PipelineQueries.p01_corpus_pipeline(spark, sf()))
+    // the dedup window and final agg shuffle by uniform hash keys; there
+    // must be no single-partition global window (Exchange SinglePartition
+    // appears only for the 1-row final aggregate)
+    assert(p.contains("hashpartitioning"),
+      s"expected hash-partitioned dedup window in:\n$p")
+    assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
+  }
+
   test("bucketed fragments reproduce the reference's aligned join with NO shuffle") {
     // The reference's only join is a positional aligned merge over dense
     // sorted id_dim (oph_io_server_query_blocks.c:845-1082). At 100 TB the
