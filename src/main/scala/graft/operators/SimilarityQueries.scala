@@ -84,9 +84,46 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s03 — multi-probe IVF (nprobe=3): probing the 3 nearest centroid
+    * buckets recovers most of the recall single-probe IVF loses at the
+    * bucket boundary, still touching only nprobe/k of the data. Top-3
+    * across the union of probed buckets. */
+  def s03_ann_ivf_multiprobe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb(s, dir)
+      .withColumn("scaled", transform(col("a"), x => floor(x * 1e9).cast("long")))
+    val centroids = base.groupBy("label")
+      .agg(ArrayAggregates.ewSumLong(col("scaled")).as("ssum"),
+        count(lit(1)).as("cnt"))
+      .select(col("label").as("c_label"),
+        transform(col("ssum"),
+          v => v.cast("double") / col("cnt").cast("double") / 1e9).as("centroid"))
+    def l2(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)), lit(0.0), _ + _)
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"))
+    val wAssign = Window.partitionBy("query_id")
+      .orderBy(col("cdist"), col("c_label"))
+    val probed = qs.crossJoin(broadcast(centroids))
+      .withColumn("cdist", l2(col("qa"), col("centroid")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") <= 3)
+      .select(col("query_id"), col("qa"), col("c_label").as("probe_label"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    base.join(broadcast(probed), col("label") === col("probe_label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dist", l2(col("qa"), col("a")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("dist"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01_ann_bruteforce _),
     "s02_ann_ivf" -> (s02_ann_ivf _),
+    "s03_ann_ivf_multiprobe" -> (s03_ann_ivf_multiprobe _),
   )
 
   private val sqlDot =
@@ -134,6 +171,35 @@ object SimilarityQueries {
           list_reduce(list_transform(range(1, 65),
             i -> (s.qa[i] - d.a[i]) * (s.qa[i] - d.a[i])), (p,q2) -> p+q2) AS dist
         FROM assigned s JOIN e d ON d.label = s.probe_label
+        WHERE d.vec_id <> s.query_id)
+      WHERE rank <= 3 ORDER BY query_id, rank""",
+    "s03_ann_ivf_multiprobe" -> s"""
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      cent AS (SELECT label AS c_label,
+          list(s ORDER BY i) AS centroid FROM (
+          SELECT label, i,
+            sum(CAST(floor(a[i] * 1e9) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1e9 AS s
+          FROM e, range(1, 65) t(i) GROUP BY label, i)
+        GROUP BY label),
+      qs AS (SELECT vec_id AS query_id, a AS qa FROM e WHERE vec_id % 50 = 0),
+      probed AS (SELECT query_id, qa, c_label AS probe_label FROM (
+          SELECT q.query_id, q.qa, c.c_label,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (q.qa[i] - c.centroid[i]) * (q.qa[i] - c.centroid[i])),
+                (p,q2) -> p+q2), c.c_label) AS crk
+          FROM qs q, cent c) WHERE crk <= 3)
+      SELECT query_id, rank, neighbor_id, dist FROM (
+        SELECT s.query_id,
+          row_number() OVER (PARTITION BY s.query_id
+            ORDER BY list_reduce(list_transform(range(1, 65),
+              i -> (s.qa[i] - d.a[i]) * (s.qa[i] - d.a[i])), (p,q2) -> p+q2),
+              d.vec_id) AS rank,
+          d.vec_id AS neighbor_id,
+          list_reduce(list_transform(range(1, 65),
+            i -> (s.qa[i] - d.a[i]) * (s.qa[i] - d.a[i])), (p,q2) -> p+q2) AS dist
+        FROM probed s JOIN e d ON d.label = s.probe_label
         WHERE d.vec_id <> s.query_id)
       WHERE rank <= 3 ORDER BY query_id, rank""",
   )
