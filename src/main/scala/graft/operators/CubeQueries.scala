@@ -28,8 +28,26 @@ object CubeQueries {
       .df.orderBy("id_dim")
       .withColumn("measure", graft.functions.ArrayPrimitives.fx12(col("measure")))
 
+  /** qc02 — OPH_AGGREGATE path: reduce an EXPLICIT dim (elementwise max
+    * across 50-row blocks, partial+final Aggregator — exact for max),
+    * then average out the implicit y dim, through a refragment (the
+    * reference's MERGE: repartition, no semantic change). */
+  def qc02_cube_aggregate(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select((col("vec_id") + 1).as("id_dim"),
+        col("embedding").cast("array<double>").as("measure"))
+    val n = base.count().toInt
+    Cube(base, Seq("outer" -> (n / 50), "inner" -> 50), Seq("x" -> 8, "y" -> 8))
+      .reduceExplicit("inner", "max")
+      .reduceImplicit("y", "avg")
+      .refragment(4)
+      .df.orderBy("id_dim")
+      .withColumn("measure", graft.functions.ArrayPrimitives.fx12(col("measure")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc01_cube_pipeline" -> (qc01_cube_pipeline _),
+    "qc02_cube_aggregate" -> (qc02_cube_aggregate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -42,5 +60,17 @@ object CubeQueries {
            v -> CAST(floor(v * 1e12) AS BIGINT)), ',') AS measure
          FROM embeddings WHERE vec_id % 2 = 0
          ORDER BY id_dim""",
+    "qc02_cube_aggregate" ->
+      """WITH gm AS (SELECT 1 + vec_id // 50 AS g, i,
+           max(embedding[i]::DOUBLE) AS m
+         FROM embeddings, range(1, 65) t(i) GROUP BY g, i),
+       arr AS (SELECT g, list(m ORDER BY i) AS ma FROM gm GROUP BY g)
+       SELECT g AS id_dim,
+         array_to_string(list_transform(
+           list_transform(range(0, 8), x ->
+             list_reduce(list_transform(range(0, 8), y -> ma[x*8 + y + 1]),
+               (p,q) -> p+q) / 8.0),
+           v -> CAST(floor(v * 1e12) AS BIGINT)), ',') AS measure
+       FROM arr ORDER BY id_dim""",
   )
 }
