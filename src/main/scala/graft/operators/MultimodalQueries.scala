@@ -87,9 +87,44 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class ResizeSample(doc_id: Long, n_samples: Long,
+                                byte_sum: Long, mean_px: Double)
+
+  /** m03 — resize plumbing: treat the payload as a W=32-wide byte grid
+    * (H = ceil(len/32) rows) and nearest-neighbor downsample to 8×8 —
+    * the index arithmetic of an image resize, with the same byte-level
+    * STUB "pixels" as m01/m02 (exact integer sums; a real resampler
+    * drops into the same mapPartitions seam). */
+  def m03_resize_sample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit(32).as("width"), lit(0).as("height"), lit(1).as("channels"),
+        lit("grid8").as("format"))
+      .as[MediaRow]
+    media.mapPartitions { it =>
+      it.map { r =>
+        val len = r.payload.length
+        val h = (len + 31) / 32
+        var sum = 0L
+        var k = 0
+        while (k < 64) {
+          val srcR = (k / 8) * h / 8
+          val srcC = (k % 8) * 4
+          val idx = math.min(srcR * 32 + srcC, len - 1)
+          sum += (r.payload(idx) & 0xff).toLong
+          k += 1
+        }
+        ResizeSample(r.doc_id, 64L, sum, sum / 64.0)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> (m01_media_features _),
     "m02_frame_sample" -> (m02_frame_sample _),
+    "m03_resize_sample" -> (m03_resize_sample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -113,6 +148,19 @@ object MultimodalQueries {
              (x,y) -> x+y) / 16.0),
            (x,y) -> x+y) /
            len(range(0, (length(text) + 63) // 64, 4))::DOUBLE AS sampled_feat
+         FROM documents ORDER BY doc_id""",
+    "m03_resize_sample" ->
+      """SELECT doc_id, 64::BIGINT AS n_samples,
+         CAST(list_reduce(list_transform(range(0, 64), k ->
+           ascii(substr(text,
+             least((k // 8) * ((length(text) + 31) // 32) // 8 * 32 + (k % 8) * 4,
+                   length(text) - 1)::INT + 1, 1))::BIGINT),
+           (x,y) -> x+y) AS BIGINT) AS byte_sum,
+         list_reduce(list_transform(range(0, 64), k ->
+           ascii(substr(text,
+             least((k // 8) * ((length(text) + 31) // 32) // 8 * 32 + (k % 8) * 4,
+                   length(text) - 1)::INT + 1, 1))::BIGINT),
+           (x,y) -> x+y) / 64.0 AS mean_px
          FROM documents ORDER BY doc_id""",
   )
 }
