@@ -229,7 +229,20 @@ object ArrayQueries {
       .orderBy("vec_id")
   }
 
+  /** a20 — one Haar DWT level (oph_gsl_dwt:145; /√2 is IEEE-exact both
+    * engines), in-array sort (oph_gsl_sort:185), and a cast with a
+    * missing-value map (oph_cast:33): negatives → -1 sentinel then long
+    * floor-scale. */
+  def a20_dwt_sort_cast(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      AP.fx12(Numeric.oph_gsl_dwt(col("a"))).as("dwt"),
+      AP.fx12(Stats.oph_gsl_sort(col("a"))).as("sorted"),
+      AP.joinLongs(AP.oph_cast(
+        AP.oph_replace(col("a"), 0.0, -999.0), "oph_long")).as("cast_miss"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a20_dwt_sort_cast" -> (a20_dwt_sort_cast _),
     "a16_multidim" -> (a16_multidim _),
     "a17_smooth_scale" -> (a17_smooth_scale _),
     "a18_complex" -> (a18_complex _),
@@ -252,6 +265,15 @@ object ArrayQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "a20_dwt_sort_cast" ->
+      s"""SELECT vec_id,
+         ${FX("""list_transform(range(0, 64), k -> CASE WHEN k < 32
+           THEN (embedding[2*k+1]::DOUBLE + embedding[2*k+2]::DOUBLE) / sqrt(2.0)
+           ELSE (embedding[2*(k-32)+1]::DOUBLE - embedding[2*(k-32)+2]::DOUBLE) / sqrt(2.0) END)""")} AS dwt,
+         ${FX("list_sort(list_transform(embedding, x -> x::DOUBLE))")} AS sorted,
+         ${LS("""list_transform(embedding, x -> CAST(trunc(
+           CASE WHEN abs(x::DOUBLE - 0.0) <= 0.0 THEN -999.0 ELSE x::DOUBLE END) AS BIGINT))""")} AS cast_miss
+         FROM embeddings ORDER BY vec_id""",
     "a16_multidim" ->
       s"""SELECT vec_id,
          ${FX("""list_transform(range(0, 8), j ->
