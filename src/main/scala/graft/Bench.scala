@@ -27,11 +27,19 @@ object Bench {
       try graft.core.Tables.t(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
-    // ... and one shuffle + codegen + noop-sink write, so the first
-    // measured query doesn't absorb those one-time setup costs
-    try spark.range(1000).toDF("id").orderBy("id")
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => }
+    // ... and one representative parquet→HOF→sort→noop pipeline, so the
+    // first measured query doesn't absorb JIT/codegen/scheduler setup
+    // (a plain range() warm-up leaves ~1.5 s on the first real query)
+    try {
+      import org.apache.spark.sql.functions._
+      graft.core.Tables.embeddings(spark, sfDir)
+        .withColumn("a", col("embedding").cast("array<double>"))
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("a"),
+            x => floor(x * 1e12).cast("long").cast("string"))).as("w"))
+        .orderBy("vec_id")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => }
     // optional args: run only the named queries (local iteration aid)
     val wanted = args.toSet
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
