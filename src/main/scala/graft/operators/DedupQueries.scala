@@ -245,10 +245,41 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** d09 — the STREAMING exact-dedup operator under the batch oracle:
+    * documents arrive in two doc_id-ordered micro-batches through a
+    * MemoryStream into [[graft.streaming.StreamingDedup.dedupExactStream]];
+    * the emitted first-seen-wins decisions must equal the batch answer
+    * (min doc_id per content hash) — proving the incremental operator
+    * converges to the same corpus as the offline pass. */
+  def d09_dedup_stream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mid = docs.length / 2
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingDedup.dedupExactStream(
+      in.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("d09_stream_out").start()
+    try {
+      in.addData(docs.take(mid).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(docs.drop(mid).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table("d09_stream_out")
+      .select(col("doc_id"), col("kept"), col("dup_of"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d06_dedup_embcos" -> (d06_dedup_embcos _),
     "d07_dedup_apply" -> (d07_dedup_apply _),
     "d08_dedup_emblsh" -> (d08_dedup_emblsh _),
+    "d09_dedup_stream" -> (d09_dedup_stream _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_dedup_canonical" -> (d02_dedup_canonical _),
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
@@ -272,6 +303,11 @@ object DedupQueries {
        THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x,y) -> x+y)"""
 
   val oracles: Map[String, String] = Map(
+    "d09_dedup_stream" ->
+      """SELECT doc_id, doc_id = mn AS kept, mn AS dup_of
+         FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
+               FROM documents)
+         ORDER BY doc_id""",
     "d08_dedup_emblsh" -> """
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
           FROM embeddings),
