@@ -84,7 +84,28 @@ object DialectQueries {
       .withColumn("measure", AP.fx12(col("measure")))
   }
 
+  /** qd05 — the 2-phase create_frag + chunked prepared multi_insert path
+    * (tot_run/curr_run, oph_io_server_thread.h:60-66): 100 rows arrive
+    * as 4 prepared runs of 25 ?-bound rows each, commit on the last run,
+    * then read back. Oracle regenerates the bound values from range(). */
+  def qd05_dialect_insert(s: SparkSession, dir: String): DataFrame = {
+    val ses = new IoServer(s).newSession()
+    ses.execute("operation=create_frag;frag_name=ins;" +
+      "column_name=id_dim|val;column_type=long|double")
+    val placeholders = (1 to 50).map(k => s"?$k").mkString("|")
+    (0 until 4).foreach { run =>
+      val binds: Seq[Any] = (1 to 25).flatMap { j =>
+        val i = run * 25 + j
+        Seq[Any](i.toLong, i * 0.5 + 0.25)
+      }
+      ses.execute("operation=multi_insert;frag_name=ins;field=id_dim|val;" +
+        s"value=$placeholders;tot_run=4;curr_run=${run + 1}", binds)
+    }
+    ses.execute("operation=select;field=id_dim|val;from=ins;order=id_dim").get
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd05_dialect_insert" -> (qd05_dialect_insert _),
     "qd01_dialect_ctas" -> (qd01_dialect_ctas _),
     "qd02_dialect_groupby" -> (qd02_dialect_groupby _),
     "qd03_dialect_subset" -> (qd03_dialect_subset _),
@@ -111,6 +132,9 @@ object DialectQueries {
            FROM embeddings, range(1, 65) t(i)
            GROUP BY gid, i)
          GROUP BY gid ORDER BY gid""",
+    "qd05_dialect_insert" ->
+      """SELECT i::BIGINT AS id_dim, i * 0.5 + 0.25 AS val
+         FROM range(1, 101) t(i) ORDER BY id_dim""",
     "qd04_dialect_join" ->
       s"""SELECT vec_id + 1 AS id_dim,
          ${FX("list_transform(range(1, 65), i -> embedding[i]::DOUBLE + embedding[65-i]::DOUBLE)")} AS measure
