@@ -17,6 +17,7 @@ object SparkEntry {
     graft.operators.ClusterQueries.queries ++
     graft.operators.NetCDFQueries.queries ++
     graft.operators.PipelineQueries.queries ++
+    graft.operators.StreamQueries.queries ++
     graft.operators.CubeQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.operators.ClusterQueries.oracles ++
     graft.operators.NetCDFQueries.oracles ++
     graft.operators.PipelineQueries.oracles ++
+    graft.operators.StreamQueries.oracles ++
     graft.operators.CubeQueries.oracles
 }

@@ -30,7 +30,7 @@ class ContractSpec extends SparkSpec {
       operators.SimilarityQueries.queries, operators.MultimodalQueries.queries,
       operators.DialectQueries.queries, operators.ClusterQueries.queries,
       operators.NetCDFQueries.queries, operators.PipelineQueries.queries,
-      operators.CubeQueries.queries)
+      operators.StreamQueries.queries, operators.CubeQueries.queries)
     val names = all.flatMap(_.keys)
     assert(names.size == names.distinct.size,
       s"duplicate query names: ${names.diff(names.distinct)}")
