@@ -270,8 +270,14 @@ object DedupQueries {
       in.addData(docs.drop(mid).toIndexedSeq)
       q.processAllAvailable()
     } finally q.stop()
-    s.table("d09_stream_out")
-      .select(col("doc_id"), col("kept"), col("dup_of"))
+    // materialize the (small) decision set and release the sink table so
+    // session memory doesn't accumulate across a long query sweep
+    val result = s.table("d09_stream_out")
+      .select(col("doc_id"), col("kept"), col("dup_of")).collect().toIndexedSeq
+    val schema = s.table("d09_stream_out")
+      .select(col("doc_id"), col("kept"), col("dup_of")).schema
+    s.catalog.dropTempView("d09_stream_out")
+    s.createDataFrame(s.sparkContext.parallelize(result, 1), schema)
       .orderBy("doc_id")
   }
 

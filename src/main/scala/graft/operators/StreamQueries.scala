@@ -44,9 +44,15 @@ object StreamQueries {
       in.addData((rows.drop(mid) :+ (sentinelNs, 0.0)).toIndexedSeq)
       q.processAllAvailable()
     } finally q.stop()
+    // materialize the (small) window set and release the sink table so
+    // session memory doesn't accumulate across a long query sweep
     val sentinelHour = sentinelNs / 3600000000000L * 3600L
-    s.table("q23_stream_out")
+    val closed = s.table("q23_stream_out")
       .filter(col("window_start") < sentinelHour)
+    val result = closed.collect().toIndexedSeq
+    val schema = closed.schema
+    s.catalog.dropTempView("q23_stream_out")
+    s.createDataFrame(s.sparkContext.parallelize(result, 1), schema)
       .orderBy("window_start")
   }
 
