@@ -241,7 +241,25 @@ object ArrayQueries {
         AP.oph_replace(col("a"), 0.0, -999.0), "oph_long")).as("cast_miss"))
       .orderBy("vec_id")
 
+  /** a21 — search/compare/combine primitives: oph_find:93 (tolerance
+    * count), oph_count_array:65, oph_size_array:321, oph_compare:41 (vs
+    * the reversed array), oph_mask_array:217 (positive mask, -999 fill),
+    * oph_concat:49 with a generated sequence, oph_extend:85 (×3). */
+  def a21_find_mask_concat(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      AP.oph_find(col("a"), 0.1, 0.05).as("n_near"),
+      AP.oph_count_array(col("a")).as("n_valid"),
+      AP.oph_size_array(col("a")).as("n_elems"),
+      AP.oph_compare(col("a"), reverse(col("a"))).as("is_palin"),
+      AP.fx12(AP.oph_mask_array(col("a"),
+        transform(col("a"), x => (x > 0.0).cast("double")), -999.0)).as("masked"),
+      AP.fx12(AP.oph_concat(AP.oph_get_subarray(col("a"), 1, 4),
+        AP.oph_sequence(1.0, 1.0, 4))).as("cat"),
+      AP.fx12(AP.oph_extend(AP.oph_get_subarray(col("a"), 1, 2), 3)).as("ext"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a21_find_mask_concat" -> (a21_find_mask_concat _),
     "a20_dwt_sort_cast" -> (a20_dwt_sort_cast _),
     "a16_multidim" -> (a16_multidim _),
     "a17_smooth_scale" -> (a17_smooth_scale _),
@@ -265,6 +283,22 @@ object ArrayQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "a21_find_mask_concat" ->
+      s"""SELECT vec_id,
+         len(list_filter(embedding, x -> abs(x::DOUBLE - 0.1) <= 0.05))::BIGINT AS n_near,
+         len(list_filter(embedding, x -> NOT isnan(x::DOUBLE)))::BIGINT AS n_valid,
+         len(embedding)::BIGINT AS n_elems,
+         (CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+            CASE WHEN abs(embedding[i]::DOUBLE - embedding[65-i]::DOUBLE) <= 0.0
+            THEN 1 ELSE 0 END), (x,y) -> x+y) = 64
+          THEN 1 ELSE 0 END)::BIGINT AS is_palin,
+         ${FX("""list_transform(embedding, x ->
+           CASE WHEN x::DOUBLE > 0.0 THEN x::DOUBLE ELSE -999.0 END)""")} AS masked,
+         ${FX("""list_transform(embedding[1:4], x -> x::DOUBLE) ||
+           [1.0::DOUBLE, 2.0::DOUBLE, 3.0::DOUBLE, 4.0::DOUBLE]""")} AS cat,
+         ${FX("""flatten(list_transform(embedding[1:2],
+           x -> [x::DOUBLE, x::DOUBLE, x::DOUBLE]))""")} AS ext
+         FROM embeddings ORDER BY vec_id""",
     "a20_dwt_sort_cast" ->
       s"""SELECT vec_id,
          ${FX("""list_transform(range(0, 64), k -> CASE WHEN k < 32
