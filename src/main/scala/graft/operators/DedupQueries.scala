@@ -89,6 +89,12 @@ object DedupQueries {
     lshCandidates(docs)
       .join(docs.select(col("doc_id").as("doc_a"), col("tk").as("tka")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("tk").as("tkb")), "doc_b")
+      // lossless size-ratio gate: J ≤ min(|A|,|B|)/max(|A|,|B|), so any
+      // pair with sizes off by >1% cannot reach 0.99 — the scalar compare
+      // skips the merge loop entirely for such pairs (no oracle change:
+      // the bound is implied by the threshold)
+      .filter(least(size(col("tka")), size(col("tkb"))) * 100 >=
+        greatest(size(col("tka")), size(col("tkb"))) * 99)
       .withColumn("inter",
         graft.plans.SortedIntersectSize(col("tka"), col("tkb")).cast("double"))
       .withColumn("jaccard", col("inter") /
@@ -163,6 +169,10 @@ object DedupQueries {
     lshCandidates(docs)
       .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      // lossless size-ratio gate for J ≥ 0.9 (see verifiedPairs): sizes
+      // off by >10% can't reach the threshold — skip the merge loop
+      .filter(least(size(col("ga")), size(col("gb"))) * 10 >=
+        greatest(size(col("ga")), size(col("gb"))) * 9)
       .withColumn("inter",
         graft.plans.SortedIntersectSize(col("ga"), col("gb")).cast("double"))
       .withColumn("jaccard4", col("inter") /
