@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions._
@@ -17,7 +17,12 @@ import graft.functions.TextFunctions._
   *    buckets and only bucket-mates are compared;
   *  - SimHash: pairing is an equi-join on the high 30 bits (a band), so
   *    candidate pairs stay near-linear; the full cross-join fallback is
-  *    what we do NOT do.
+  *    what we do NOT do;
+  *  - hot buckets are BOUNDED: exact duplicates collapse to one
+  *    representative before sketching ([[collapsed]]/[[expandPairs]],
+  *    lossless), and any residual band bucket over [[BucketCap]] rows is
+  *    salted into sub-buckets with the dropped-pair bound logged
+  *    ([[saltHotBuckets]]) — no single quadratic straggler task at 100 TB.
   */
 object DedupQueries {
 
@@ -48,23 +53,104 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Max rows per LSH band bucket before salting kicks in — chosen above
+    * any bucket this corpus produces (largest observed: ~1.4k docs in one
+    * minhash band at sf0.1) so small-SF results are byte-identical to the
+    * uncapped plan, while a degenerate mega-bucket at 100 TB becomes
+    * ⌈n/cap⌉ bounded sub-buckets instead of one quadratic straggler. */
+  private[operators] val BucketCap = 2048
+
+  /** Bound the quadratic band-bucket self-join: count rows per bucket and
+    * salt any bucket larger than `cap` into ⌈n/cap⌉ sub-buckets keyed by a
+    * hash of the row id (`bsalt` joins as part of the bucket key). Pairs
+    * across sub-buckets of a hot bucket are dropped — a bounded recall
+    * loss that is LOGGED, never silent. Worst-case task size drops from
+    * C(n,2) to ⌈n/cap⌉·C(cap,2). */
+  private[operators] def saltHotBuckets(bands: DataFrame, idCol: String,
+      cap: Int, tag: String, keyCols: String*): DataFrame = {
+    val counts = bands.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+    val subs = ceil(col("bucket_n") / lit(cap.toDouble))
+    // no silent caps: a tiny aggregate over the bucket histogram reports
+    // the dropped-pair bound up front (at 100 TB cache/checkpoint `counts`
+    // instead of recomputing it for the join below)
+    val hot = counts.filter(col("bucket_n") > cap)
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum(col("bucket_n") * (col("bucket_n") - 1) / 2 *
+          (subs.cast("double") - 1) / subs.cast("double")), lit(0.0))
+          .as("dropped"))
+      .first()
+    if (hot.getLong(0) > 0)
+      System.err.println(s"[graft.dedup:$tag] bucket cap $cap: " +
+        s"${hot.getLong(0)} hot buckets salted; <=${hot.getDouble(1).toLong} " +
+        "candidate pairs dropped (bounded recall loss)")
+    bands.join(counts, keyCols)
+      .withColumn("bsalt", when(col("bucket_n") > cap,
+        pmod(xxhash64(col(idCol)), subs)).otherwise(lit(0L)))
+      .drop("bucket_n")
+  }
+
+  /** Exact-duplicate pre-collapse: sketching and the band join run on ONE
+    * representative per content digest; doc-level pairs are re-expanded by
+    * [[expandPairs]] afterwards. On a crawl-scale corpus exact duplicates
+    * are the dominant duplicate class, so this shrinks the quadratic
+    * stage's input before any signature is computed — and it is lossless:
+    * exact copies have identical signatures, so collapse + expansion
+    * reproduces the uncollapsed pair set bit-for-bit.
+    * Returns (reps(doc_id, text), members(doc_id, rep_id, gsz)); members
+    * is cached (it is self-joined and join-expanded downstream). */
+  private def collapsed(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        md5(col("text").cast("binary")).as("digest"))
+    val groups = base.groupBy("digest")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("gsz"))
+    val joined = base.join(groups, "digest")
+    val members = joined.select("doc_id", "rep_id", "gsz").cache()
+    members.count() // eager fill: the self-join below would race the cache
+    val reps = joined.filter(col("doc_id") === col("rep_id"))
+      .select("doc_id", "text")
+    (reps, members)
+  }
+
+  /** Expand rep-level verified pairs back to doc level: every member of a
+    * duplicate group inherits its representative's pairs, and the group's
+    * own members pair up at the exact-match score (identical docs always
+    * collide in every band and pass every verify threshold). */
+  private def expandPairs(members: DataFrame, repPairs: DataFrame,
+      scoreCol: String, exactScore: Column): DataFrame = {
+    val m = members.select(col("doc_id"), col("rep_id"))
+    val cross = repPairs
+      .join(m.select(col("rep_id").as("doc_a"), col("doc_id").as("ma")), "doc_a")
+      .join(m.select(col("rep_id").as("doc_b"), col("doc_id").as("mb")), "doc_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col(scoreCol))
+    val dups = members.filter(col("gsz") > 1)
+    val within = dups.as("x").join(dups.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        exactScore.as(scoreCol))
+    cross.unionByName(within)
+  }
+
   /** LSH candidate pairs with the sketch-verify cascade: slim band-bucket
     * equi-join (doc ids only — keeping the join rows narrow beats carrying
     * the signatures through the shuffle), distinct, then a
     * minhash-estimate prefilter ≥ 14/16 from a signature re-join. At
     * 100 TB the estimate kills ~99% of candidate pairs before any
-    * expensive verify. */
-  private def lshCandidates(docs: DataFrame): DataFrame = {
-    val bands = docs.select(col("doc_id"), explode(
+    * expensive verify; [[saltHotBuckets]] bounds the per-bucket cost. */
+  private def lshCandidates(docs: DataFrame, tag: String): DataFrame = {
+    val bands0 = docs.select(col("doc_id"), explode(
       transform(sequence(lit(0), lit(1)), b =>
         struct(b.as("band"),
           concat_ws("_", slice(col("sig"), b * 8 + 1, lit(8))).as("key"))))
       .as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val bands = saltHotBuckets(bands0, "doc_id", BucketCap, tag, "band", "key")
     val sigs = docs.select(col("doc_id"), col("sig"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.bsalt") === col("y.bsalt") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
@@ -76,17 +162,18 @@ object DedupQueries {
 
   /** Verified near-dup pairs (the shared core of d03 and d07). */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val (reps, members) = collapsed(s, dir)
     // token sets carried as SORTED hash arrays: the verify stage then
     // runs an allocation-free codegen merge loop per pair instead of
     // array_intersect's per-pair hash set (|A∪B| = |A|+|B|−|A∩B|)
-    val docs = Tables.documents(s, dir)
+    val docs = reps
       .withColumn("hs", tokenHashes(col("text"))) // one md5 pass per row
       .select(col("doc_id"),
         minhashFromHashes(col("hs")).as("sig"),
         array_sort(col("hs")).as("tk"))
       .cache()
     docs.count() // eager fill: the self-join would race the cache
-    lshCandidates(docs)
+    val repPairs = lshCandidates(docs, "d03")
       .join(docs.select(col("doc_id").as("doc_a"), col("tk").as("tka")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("tk").as("tkb")), "doc_b")
       // lossless size-ratio gate: J ≤ min(|A|,|B|)/max(|A|,|B|), so any
@@ -101,9 +188,9 @@ object DedupQueries {
         (size(col("tka")) + size(col("tkb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.99)
       .select("doc_a", "doc_b", "jaccard")
-      // cached: d03 and d07 share this plan, so the session's cache
-      // manager (canonicalized-plan lookup) computes the pairs once
-      .cache()
+    // cached: d03 and d07 share this plan, so the session's cache
+    // manager (canonicalized-plan lookup) computes the pairs once
+    expandPairs(members, repPairs, "jaccard", lit(1.0)).cache()
   }
 
   /** d03 — MinHash + LSH near-dup detection: 16-hash signature, 2 bands
@@ -134,17 +221,21 @@ object DedupQueries {
     * high-30-bit band (equi-join, not cross join), kept if Hamming
     * distance ≤ 2. */
   def d04_simhash(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val (reps, members) = collapsed(s, dir)
+    val d = reps
       .withColumn("hs", tokenHashes(col("text"))) // one md5 pass per row
       .select(col("doc_id"), simhashFromHashes(col("hs")).as("sh"))
       .withColumn("band", graft.functions.KeyAlgebra.ldiv(col("sh"), lit(1L << 30)))
       .cache()
     d.count() // eager fill: the self-join would race the cache
-    d.as("x").join(d.as("y"),
-        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+    val banded = saltHotBuckets(d, "doc_id", BucketCap, "d04", "band")
+    val repPairs = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bsalt") === col("y.bsalt") &&
+          col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 2)
+    expandPairs(members, repPairs, "hamming", lit(0L))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -153,9 +244,10 @@ object DedupQueries {
     * measures — a token-based sketch keeps ~96% of candidates here),
     * then exact gram-Jaccard ≥ 0.9 on the survivors. */
   def d05_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val (reps, members) = collapsed(s, dir)
     // grams hashed to longs (portable md5-60): sorted for the merge-loop
     // verify; minhash is order-independent so the same array feeds both
-    val docs = Tables.documents(s, dir)
+    val docs = reps
       .withColumn("g4", // used twice below → stays a real projected column
         array_sort(array_distinct(transform(
           array_distinct(transform(sequence(lit(1), length(col("text")) - 3),
@@ -166,7 +258,7 @@ object DedupQueries {
         col("g4").as("grams"))
       .cache()
     docs.count() // eager fill: the self-join would race the cache
-    lshCandidates(docs)
+    val repPairs = lshCandidates(docs, "d05")
       .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
       // lossless size-ratio gate for J ≥ 0.9 (see verifiedPairs): sizes
@@ -179,6 +271,7 @@ object DedupQueries {
         (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
       .filter(col("jaccard4") >= 0.9)
       .select("doc_a", "doc_b", "jaccard4")
+    expandPairs(members, repPairs, "jaccard4", lit(1.0))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -232,15 +325,16 @@ object DedupQueries {
       .select("vec_id", "a", "nrm", "sig")
       .cache()
     e.count() // eager fill: the self-join would race the cache
-    val banded = e.select(col("vec_id"),
+    val banded0 = e.select(col("vec_id"),
       explode(array(
         struct(lit(0).as("b"), pmod(col("sig"), lit(256L)).as("bkey")),
         struct(lit(1).as("b"), KeyAlgebra.ldiv(col("sig"), lit(256L)).as("bkey"))))
         .as("bb"))
       .select(col("vec_id"), col("bb.b").as("b"), col("bb.bkey").as("bkey"))
+    val banded = saltHotBuckets(banded0, "vec_id", BucketCap, "d08", "b", "bkey")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
-          col("x.vec_id") < col("y.vec_id"))
+          col("x.bsalt") === col("y.bsalt") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
     cand

@@ -97,6 +97,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d03/d04: LSH band buckets are capped — salted key joins the bucket") {
+    // the bsalt column must be part of the band-bucket join key, so a
+    // mega-bucket at scale splits into bounded sub-buckets instead of one
+    // quadratic straggler task
+    val p3 = plan(DedupQueries.d03_minhash_lsh(spark, sf()))
+    assert(p3.contains("bsalt"), s"d03 band join lost the bucket cap:\n$p3")
+    val p4 = plan(DedupQueries.d04_simhash(spark, sf()))
+    assert(p4.contains("bsalt"), s"d04 band join lost the bucket cap:\n$p4")
+  }
+
   test("s01: query side is broadcast; scan side streams once") {
     val p = plan(SimilarityQueries.s01_ann_bruteforce(spark, sf()))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
