@@ -167,6 +167,7 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
         case "file_import" | "esdm_import" => runFileImport(q); None
         case "select" =>
           val r = runSelect(q, binds)
+          lastResultSet.foreach(_.unpersist()) // drop the superseded page cache
           lastResultSet = Some(r)
           Some(r)
         case "insert" => runInsert(q, binds, multi = false); None
@@ -278,6 +279,22 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
           graft.dialect.ExprCompiler.registeredFunctions.zipWithIndex
             .map { case (fn, i) => (i + 1L, fn) }
             .toDF("id_dim", "function_name")
+        } else if (f.equalsIgnoreCase("@info_system_table")) {
+          // per-fragment information schema: one row per stored fragment
+          // (oph_query_engine_language.h:112 — declared by the reference's
+          // grammar; never dispatched there, so the row shape follows the
+          // sibling @tot_table_size/@function_table keywords)
+          import spark.implicits._
+          server.fragmentNames.zipWithIndex.map { case ((d, nm), i) =>
+            (i + 1L, d, nm, server.fragSize(d, nm))
+          }.toDF("id_dim", "db_name", "frag_name", "frag_size")
+        } else if (f.equalsIgnoreCase("@function_fields")) {
+          // fields of the UDF registry table (mysql.func shape: the
+          // reference's primitives install as MySQL UDFs —
+          // oph_query_engine_language.h:113)
+          import spark.implicits._
+          Seq((1L, "name"), (2L, "ret"), (3L, "dl"), (4L, "type"))
+            .toDF("id_dim", "field_name")
         } else if (f.startsWith("@")) {
           var r = spark.read.format("graft.sources.NetCDFSource")
             .option("path", f.drop(1))
@@ -306,12 +323,14 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
         case many =>
           require(q.get("where").isDefined,
             "WHERE is mandatory with multiple FROM tables") // manager.h:93
-          // disambiguate non-key columns per table (alias_i prefix)
+          // disambiguate non-key columns per table (alias_i prefix) in ONE
+          // projection per table — a withColumnRenamed fold would stack
+          // O(cols) nested Projects for Catalyst to collapse
           val renamed = many.zipWithIndex.map { case (df, i) =>
             val al = aliases.lift(i).filter(_.nonEmpty).getOrElse(s"t${i + 1}")
-            df.columns.foldLeft(df) { (d, cn) =>
-              if (cn == "id_dim") d else d.withColumnRenamed(cn, s"$al.$cn")
-            }
+            df.select(df.columns.map { cn =>
+              if (cn == "id_dim") col(cn) else col(cn).as(s"$al.$cn")
+            }.toIndexedSeq: _*)
           }
           renamed.reduce(_.join(_, "id_dim"))
       }
@@ -437,9 +456,16 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
     }
 
     private def runSelect(q: ParsedQuery, binds: Seq[Any]): DataFrame = {
-      val r = buildSelect(q, binds)
-      require(r.limit(maxResultRows + 1).count() <= maxResultRows,
-        s"result exceeds maxResultRows=$maxResultRows")
+      // persist + count: the guard's materialization IS the result the
+      // caller pages over (previously the guard executed the full plan
+      // once and every fetch executed it again). The reference stores the
+      // result set eagerly too (oph_io_server_query.c select path).
+      val r = buildSelect(q, binds).persist(StorageLevel.MEMORY_AND_DISK)
+      if (r.count() > maxResultRows) {
+        r.unpersist()
+        throw new IllegalArgumentException(
+          s"result exceeds maxResultRows=$maxResultRows")
+      }
       r
     }
 

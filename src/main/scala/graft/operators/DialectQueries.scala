@@ -104,8 +104,69 @@ object DialectQueries {
     ses.execute("operation=select;field=id_dim|val;from=ins;order=id_dim").get
   }
 
+  /** qd06 — random_import under the oracle gate: both generators
+    * (`default` uniform and `temperatures` AR(1)) are pure integer
+    * arithmetic (IoServer.runRandomImport), so DuckDB replays them
+    * exactly — default in closed form, the AR(1) recurrence as a
+    * recursive CTE with the identical IEEE expression shape. The two
+    * fragments then meet in a multi-FROM aligned dialect join. */
+  def qd06_dialect_random(s: SparkSession, dir: String): DataFrame = {
+    val ses = new IoServer(s).newSession()
+    ses.execute("operation=random_import;frag_name=rnd;nrows=60;array_length=8")
+    ses.execute("operation=random_import;frag_name=rnt;nrows=60;array_length=8;" +
+      "algorithm=temperatures")
+    ses.execute("operation=select;field=id_dim|t1.measure|t2.measure;" +
+      "field_alias=id_dim|m_def|m_temp;from=rnd|rnt;where=id_dim>0;order=id_dim")
+      .get
+      .withColumn("m_def", AP.fx12(col("m_def")))
+      .withColumn("m_temp", AP.fx12(col("m_temp")))
+  }
+
+  /** qd07 — full fragment lifecycle through the dialect: create_database
+    * → create_frag → 3 chunked prepared multi_insert runs → oph_export to
+    * a NetCDF file → file_import of that file into a second fragment →
+    * drop of a scratch fragment → oph_size over both copies. The output
+    * is the re-imported fragment (bytes went through the CDF-1 writer and
+    * the DSv2 reader) plus the catalog's size accounting. */
+  def qd07_dialect_lifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ses = new IoServer(s).newSession()
+    ses.execute("operation=create_database;db_name=lab")
+    ses.execute("operation=create_frag;frag_name=lab.lf;" +
+      "column_name=id_dim|measure;column_type=long|double_array")
+    val placeholders = (1 to 40).map(k => s"?$k").mkString("|")
+    (0 until 3).foreach { run =>
+      val binds: Seq[Any] = (1 to 20).flatMap { j =>
+        val i = run * 20 + j
+        Seq[Any](i.toLong, (0 until 4).map(k => i * 0.5 + k * 0.125))
+      }
+      ses.execute("operation=multi_insert;frag_name=lab.lf;" +
+        s"field=id_dim|measure;value=$placeholders;tot_run=3;curr_run=${run + 1}",
+        binds)
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft_qd07")
+      .resolve("lf.nc").toString
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=lab.lf|$path")
+    ses.execute(s"operation=file_import;frag_name=lab.back;src_path=@$path;" +
+      "measure=measure;explicit=1")
+    // scratch fragment: create + drop must leave the catalog unchanged
+    ses.execute("operation=create_frag;frag_name=lab.tmp;" +
+      "column_name=id_dim|measure;column_type=long|double_array")
+    ses.execute("operation=insert;frag_name=lab.tmp;field=id_dim|measure;" +
+      "value=?1|?2", Seq[Any](1L, Seq(0.0)))
+    ses.execute("operation=drop_frag;frag_name=lab.tmp")
+    val size = ses.execute("operation=function;function_name=oph_size;" +
+      "function_args=lab.lf|lab.back").get
+    ses.execute("operation=select;field=id_dim|measure;from=lab.back;" +
+      "order=id_dim").get
+      .withColumn("measure", AP.fx12(col("measure")))
+      .crossJoin(broadcast(size))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd05_dialect_insert" -> (qd05_dialect_insert _),
+    "qd06_dialect_random" -> (qd06_dialect_random _),
+    "qd07_dialect_lifecycle" -> (qd07_dialect_lifecycle _),
     "qd01_dialect_ctas" -> (qd01_dialect_ctas _),
     "qd02_dialect_groupby" -> (qd02_dialect_groupby _),
     "qd03_dialect_subset" -> (qd03_dialect_subset _),
@@ -117,6 +178,31 @@ object DialectQueries {
     s"array_to_string(list_transform(($e), v -> CAST(floor(v * 1e12) AS BIGINT)), ',')"
 
   val oracles: Map[String, String] = Map(
+    "qd06_dialect_random" -> s"""
+      WITH RECURSIVE ar(i, j, x) AS (
+        SELECT i, 0::BIGINT,
+          20.0 * ((((i*2654435761 + 0*40503 + 12345) * 69069 + 1234567)
+            % 2147483647)::DOUBLE / 2147483647.0)
+        FROM range(1, 61) t(i)
+        UNION ALL
+        SELECT i, j + 1,
+          x * 0.9 + 0.1 * (((((i*2654435761 + (j+1)*40503 + 12345) * 69069
+            + 1234567) % 2147483647)::DOUBLE / 2147483647.0) * 40.0 - 5.0)
+        FROM ar WHERE j < 8),
+      tm AS (SELECT i, list(x ORDER BY j) AS m FROM ar WHERE j >= 1 GROUP BY i),
+      df AS (SELECT i, list_transform(range(1, 9), j ->
+          ((((i*2654435761 + j*40503 + 12345) * 69069 + 1234567)
+            % 2147483647)::DOUBLE / 2147483647.0) * 1000.0) AS m
+        FROM range(1, 61) t(i))
+      SELECT df.i AS id_dim, ${FX("df.m")} AS m_def, ${FX("tm.m")} AS m_temp
+      FROM df JOIN tm ON df.i = tm.i
+      ORDER BY id_dim""",
+    "qd07_dialect_lifecycle" -> s"""
+      SELECT i AS id_dim,
+        ${FX("list_transform(range(0, 4), k -> i * 0.5 + k * 0.125)")} AS measure,
+        CAST(120 AS BIGINT) AS frag_size
+      FROM range(1, 61) t(i)
+      ORDER BY id_dim""",
     "qd01_dialect_ctas" ->
       s"""SELECT vec_id + 1 AS id_dim,
          ${FX("""list_transform(range(0, 8), b ->

@@ -161,14 +161,19 @@ object RelationalQueries {
       .except(Tables.lineitem(s, dir).select(col("l_partkey").as("p_partkey")))
       .orderBy("p_partkey")
 
-  /** q14 — HAVING + scalar subquery (absent in the reference). */
+  /** q14 — HAVING + scalar subquery (absent in the reference). The
+    * 1-row average is broadcast-cross-joined into the grouped plan, so
+    * the whole query stays ONE lazy Catalyst plan — no eager `.first()`
+    * job and no driver-side constant the optimizer can't see. */
   def q14_having_subquery(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
-    val avgBal = c.agg(avg(col("c_acctbal").cast("decimal(18,2)")).cast("double"))
-      .first().getDouble(0)
+    val avgBal = c.agg(
+      avg(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("avg_bal"))
     c.groupBy("c_nationkey")
       .agg(count(lit(1)).as("n"), dsum("c_acctbal").as("sum_bal"))
-      .filter(col("sum_bal") > avgBal * 10)
+      .crossJoin(broadcast(avgBal))
+      .filter(col("sum_bal") > col("avg_bal") * 10)
+      .drop("avg_bal")
       .orderBy("c_nationkey")
   }
 

@@ -105,6 +105,14 @@ class FileImportSpec extends SparkSpec {
     val fns = ses.execute(
       "operation=select;field=id_dim|function_name;from=@function_table").get
     assert(fns.count() > 80)
+    val tbls = ses.execute(
+      "operation=select;field=id_dim|db_name|frag_name|frag_size;" +
+        "from=@info_system_table").get.collect()
+    assert(tbls.exists(r => r.getString(2) == "k" && r.getLong(3) == 9L))
+    val flds = ses.execute(
+      "operation=select;field=id_dim|field_name;from=@function_fields").get
+    assert(flds.collect().map(_.getString(1)).toSeq ==
+      Seq("name", "ret", "dl", "type"))
   }
 
   test("compat mode enforces the reference's restrictions") {
