@@ -38,6 +38,7 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
   private val dbs = mutable.Set[String]("default")
   private val frags = mutable.Map[(String, String), DataFrame]()
   private val fragSizes = mutable.Map[(String, String), Long]()
+  private val fragZip = mutable.Set[(String, String)]()
 
   def newSession(): Session = new Session(this)
 
@@ -53,24 +54,40 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
   }
   private[engine] def hasDb(name: String): Boolean = synchronized(dbs.contains(name))
   private[engine] def putFrag(db: String, name: String, df: DataFrame,
-                              sizeHint: Long): Unit = synchronized {
+                              sizeHint: Long,
+                              compressed: Boolean = false): Unit = synchronized {
     if (frags.contains((db, name)))
       throw new IllegalArgumentException(s"fragment $db.$name exists")
     frags((db, name)) = df
     fragSizes((db, name)) = sizeHint
+    if (compressed) fragZip += ((db, name))
   }
   private[engine] def getFrag(db: String, name: String): DataFrame = synchronized {
-    frags.getOrElse((db, name),
+    val df = frags.getOrElse((db, name),
       throw new IllegalArgumentException(s"no such fragment: $db.$name"))
+    // compressed=yes fragments (oph_query_engine_language.h:82) STORE
+    // zlib-deflated packed cells (the cache holds the small bytes, like
+    // the reference's compressed BLOBs) and inflate transparently on read
+    if (fragZip((db, name)))
+      df.withColumn("measure", graft.sources.BinaryCodec.oph_from_bin(
+        graft.sources.BinaryCodec.oph_uncompress(col("measure"))))
+    else df
   }
   private[engine] def dropFrag(db: String, name: String): Unit = synchronized {
     val df = frags.remove((db, name)).getOrElse(
       throw new IllegalArgumentException(s"no such fragment: $db.$name"))
     fragSizes.remove((db, name))
+    fragZip -= ((db, name))
     df.unpersist()
   }
   private[engine] def fragSize(db: String, name: String): Long = synchronized {
     fragSizes.getOrElse((db, name), 0L)
+  }
+  /** The fragment's STORED representation — compressed fragments keep
+    * zlib blobs here; [[getFrag]] returns the inflated view. */
+  def storedFrag(db: String, name: String): DataFrame = synchronized {
+    frags.getOrElse((db, name),
+      throw new IllegalArgumentException(s"no such fragment: $db.$name"))
   }
   def fragmentNames: Seq[(String, String)] = synchronized(frags.keys.toSeq.sorted)
 
@@ -217,11 +234,15 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
       if (isFinal) {
         import scala.jdk.CollectionConverters._
         val schema = inferSchema(cols, pendingRows.head)
-        val df = spark.createDataFrame(
+        val built = spark.createDataFrame(
           pendingRows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
+        val zip = isCompressed(q) &&
+          schema.fieldNames.contains("measure") &&
+          schema("measure").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+        val df = (if (zip) deflateMeasure(built) else built)
           .persist(StorageLevel.MEMORY_AND_DISK)
         df.count()
-        server.putFrag(db, nm, df, pendingRows.size.toLong)
+        server.putFrag(db, nm, df, pendingRows.size.toLong, compressed = zip)
         openFrag = None
         pendingRows.clear()
       }
@@ -299,7 +320,8 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
           var r = spark.read.format("graft.sources.NetCDFSource")
             .option("path", f.drop(1))
             .option("var", q.get("measure").getOrElse("measure"))
-          Seq("explicit", "dim_start", "dim_end", "key_start", "partitions")
+          Seq("explicit", "dim_start", "dim_end", "key_start", "partitions",
+        "element_type")
             .foreach(k => q.get(k).foreach(v => r = r.option(k, v)))
           val loaded = r.load()
           // read-stream reduction folded into the load (the ESDM
@@ -474,9 +496,14 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
       if (server.compatStrict)
         require(q.multi("field").size == 2,
           "compat mode: CTAS output must have exactly 2 columns (id_dim, measure)")
-      val df = buildSelect(q, binds).persist(StorageLevel.MEMORY_AND_DISK)
+      val built = buildSelect(q, binds)
+      val zip = isCompressed(q) && built.schema.fieldNames.contains("measure") &&
+        built.schema("measure").dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+      val df = (if (zip) deflateMeasure(built) else built)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val n = df.count() // materialize (the reference stores eagerly)
-      server.putFrag(db, nm, df, n)
+      server.putFrag(db, nm, df, n, compressed = zip)
     }
 
     // -- file_import / esdm_import (oph_io_server_query.c:341-375,
@@ -490,7 +517,8 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
       var r = spark.read.format("graft.sources.NetCDFSource")
         .option("path", path.stripPrefix("@"))
         .option("var", q.get("measure").getOrElse("measure"))
-      Seq("explicit", "dim_start", "dim_end", "key_start", "partitions")
+      Seq("explicit", "dim_start", "dim_end", "key_start", "partitions",
+        "element_type")
         .foreach(k => q.get(k).foreach(v => r = r.option(k, v)))
       val loaded = r.load()
       val reduced = q.get("sub_operation") match {
@@ -500,9 +528,20 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
             graft.functions.ArrayPrimitives.oph_reduce(col("measure"), op, bs))
         case None => loaded
       }
-      val df = reduced.persist(StorageLevel.MEMORY_AND_DISK)
-      server.putFrag(db, nm, df, df.count())
+      val zip = isCompressed(q)
+      val stored = if (zip) deflateMeasure(reduced) else reduced
+      val df = stored.persist(StorageLevel.MEMORY_AND_DISK)
+      server.putFrag(db, nm, df, df.count(), compressed = zip)
     }
+
+    // -- compressed=yes (oph_query_engine_language.h:82): the stored
+    //    fragment keeps zlib-deflated packed-double cells; getFrag
+    //    inflates on read --
+    private def isCompressed(q: ParsedQuery): Boolean =
+      q.get("compressed").exists(_.equalsIgnoreCase("yes"))
+    private def deflateMeasure(df: DataFrame): DataFrame =
+      df.withColumn("measure", graft.sources.BinaryCodec.oph_compress(
+        graft.sources.BinaryCodec.oph_to_bin(col("measure"))))
 
     // -- random_import (oph_io_server_query_engine.c:686-810): synthetic
     //    fragment; algorithm=default (uniform[0,1000)) or temperatures
@@ -537,10 +576,12 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
             })
         case o => throw new IllegalArgumentException(s"unknown algorithm: $o")
       }
-      val df = base.withColumn("measure", measure)
+      val zip = isCompressed(q)
+      val built = base.withColumn("measure", measure)
+      val df = (if (zip) deflateMeasure(built) else built)
         .persist(StorageLevel.MEMORY_AND_DISK)
       df.count()
-      server.putFrag(db, nm, df, nrows)
+      server.putFrag(db, nm, df, nrows, compressed = zip)
     }
 
     // -- stored procedures (oph_io_server_query_procedures.c) --

@@ -258,7 +258,29 @@ object ArrayQueries {
       AP.fx12(AP.oph_extend(AP.oph_get_subarray(col("a"), 1, 2), 3)).as("ext"))
       .orderBy("vec_id")
 
+  /** a22 — typed binary codec round trips (oph_server_utility.h:35-48,
+    * oph-lib-binary-io.h:61-68): cells packed in the reference's
+    * little-endian C layout per element type and unpacked back. float
+    * narrows precision ((double)(float)x), the integer types truncate
+    * toward zero (C cast), and bit collapses to one 0/1 char per value
+    * (oph_server_utility.c:295 — the reference does not bit-pack). */
+  def a22_typed_codec(s: SparkSession, dir: String): DataFrame = {
+    def rt(a: Column, t: String): Column =
+      BinaryCodec.oph_from_bin_typed(BinaryCodec.oph_to_bin_typed(a, lit(t)), lit(t))
+    val scaled = transform(col("a"), _ * 100.0) // ±58 → in range for byte..long
+    emb(s, dir).select(col("vec_id"),
+      AP.fx12(rt(col("a"), "float")).as("m_float"),
+      AP.fx12(rt(col("a"), "double")).as("m_double"),
+      AP.joinLongs(transform(rt(scaled, "int"), _.cast("long"))).as("m_int"),
+      AP.joinLongs(transform(rt(scaled, "short"), _.cast("long"))).as("m_short"),
+      AP.joinLongs(transform(rt(scaled, "byte"), _.cast("long"))).as("m_byte"),
+      AP.joinLongs(transform(rt(scaled, "long"), _.cast("long"))).as("m_long"),
+      AP.joinLongs(transform(rt(col("a"), "bit"), _.cast("long"))).as("m_bit"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a22_typed_codec" -> (a22_typed_codec _),
     "a21_find_mask_concat" -> (a21_find_mask_concat _),
     "a20_dwt_sort_cast" -> (a20_dwt_sort_cast _),
     "a16_multidim" -> (a16_multidim _),
@@ -283,6 +305,21 @@ object ArrayQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "a22_typed_codec" ->
+      s"""SELECT vec_id,
+         ${FX("list_transform(embedding, x -> x::DOUBLE)")} AS m_float,
+         ${FX("list_transform(embedding, x -> x::DOUBLE)")} AS m_double,
+         array_to_string(list_transform(embedding,
+           x -> trunc(x::DOUBLE * 100.0)::BIGINT), ',') AS m_int,
+         array_to_string(list_transform(embedding,
+           x -> trunc(x::DOUBLE * 100.0)::BIGINT), ',') AS m_short,
+         array_to_string(list_transform(embedding,
+           x -> trunc(x::DOUBLE * 100.0)::BIGINT), ',') AS m_byte,
+         array_to_string(list_transform(embedding,
+           x -> trunc(x::DOUBLE * 100.0)::BIGINT), ',') AS m_long,
+         array_to_string(list_transform(embedding,
+           x -> CASE WHEN x::DOUBLE <> 0.0 THEN 1 ELSE 0 END), ',') AS m_bit
+         FROM embeddings ORDER BY vec_id""",
     "a21_find_mask_concat" ->
       s"""SELECT vec_id,
          len(list_filter(embedding, x -> abs(x::DOUBLE - 0.1) <= 0.05))::BIGINT AS n_near,

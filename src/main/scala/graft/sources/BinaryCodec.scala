@@ -66,6 +66,54 @@ object BinaryCodec {
     Seq.fill(b.length / 4)(bb.getInt)
   }
 
+  /** Bytes per element for the reference's seven in-array types
+    * (oph_server_utility.h:35-48). `bit` cells are stored as one char
+    * each in the reference (oph_server_utility.c:295), not bit-packed. */
+  def typeWidth(t: String): Int = t.toLowerCase.stripPrefix("oph_") match {
+    case "byte" | "bit" => 1
+    case "short" => 2
+    case "int" | "float" => 4
+    case "long" | "double" => 8
+    case o => throw new IllegalArgumentException(s"unknown element type: $o")
+  }
+
+  /** Pack a double-valued array into the reference's little-endian C cell
+    * layout for element type `t`, narrowing with C-cast (truncating)
+    * semantics; `bit` collapses to one 0/1 char per value. NOTE the
+    * double intermediate is exact for byte/short/int/float and for longs
+    * up to 2^53 — use [[packLongs]] for the exact 64-bit-integer path. */
+  def packTyped(a: Seq[Double], t: String): Array[Byte] = {
+    if (a == null) return null
+    val w = typeWidth(t)
+    val bb = ByteBuffer.allocate(w * a.length).order(ByteOrder.LITTLE_ENDIAN)
+    t.toLowerCase.stripPrefix("oph_") match {
+      case "double" => a.foreach(bb.putDouble)
+      case "float"  => a.foreach(d => bb.putFloat(d.toFloat))
+      case "long"   => a.foreach(d => bb.putLong(d.toLong))
+      case "int"    => a.foreach(d => bb.putInt(d.toInt))
+      case "short"  => a.foreach(d => bb.putShort(d.toShort))
+      case "byte"   => a.foreach(d => bb.put(d.toByte))
+      case "bit"    => a.foreach(d => bb.put((if (d != 0.0) 1 else 0).toByte))
+    }
+    bb.array()
+  }
+
+  /** Unpack a typed cell back to doubles (the engine's lingua franca). */
+  def unpackTyped(b: Array[Byte], t: String): Seq[Double] = {
+    if (b == null) return null
+    val w = typeWidth(t)
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val n = b.length / w
+    t.toLowerCase.stripPrefix("oph_") match {
+      case "double" => Seq.fill(n)(bb.getDouble)
+      case "float"  => Seq.fill(n)(bb.getFloat.toDouble)
+      case "long"   => Seq.fill(n)(bb.getLong.toDouble)
+      case "int"    => Seq.fill(n)(bb.getInt.toDouble)
+      case "short"  => Seq.fill(n)(bb.getShort.toDouble)
+      case "byte" | "bit" => Seq.fill(n)(bb.get.toDouble)
+    }
+  }
+
   /** zlib-deflate (oph_compress). */
   def deflate(b: Array[Byte]): Array[Byte] = {
     if (b == null) return null
@@ -96,9 +144,13 @@ object BinaryCodec {
   private val unpackDoublesUdf = udf(unpackDoubles _)
   private val deflateUdf = udf(deflate _)
   private val inflateUdf = udf(inflate _)
+  private val packTypedUdf = udf(packTyped _)
+  private val unpackTypedUdf = udf(unpackTyped _)
 
   def oph_to_bin(a: Column): Column = packDoublesUdf(a)
   def oph_from_bin(b: Column): Column = unpackDoublesUdf(b)
+  def oph_to_bin_typed(a: Column, t: Column): Column = packTypedUdf(a, t)
+  def oph_from_bin_typed(b: Column, t: Column): Column = unpackTypedUdf(b, t)
   def oph_compress(b: Column): Column = deflateUdf(b)
   def oph_uncompress(b: Column): Column = inflateUdf(b)
 }

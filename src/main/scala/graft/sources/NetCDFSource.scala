@@ -36,7 +36,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class NetCDFSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    NetCDFSource.schema
+    NetCDFSource.schemaFor(Option(options.get("element_type")).getOrElse("double"))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -44,13 +44,30 @@ class NetCDFSource extends TableProvider {
 }
 
 object NetCDFSource {
-  val schema: StructType = StructType(Seq(
+  /** The reference's seven in-array element types
+    * (oph_server_utility.h:35-48) as the narrowest Spark types. `bit`
+    * cells are one char each in the reference (oph_server_utility.c:295)
+    * → ByteType holding 0/1, matching [[graft.functions.ArrayPrimitives]]
+    * `oph_cast` bit semantics. */
+  def elementType(t: String): DataType = t.toLowerCase match {
+    case "double" => DoubleType
+    case "float"  => FloatType
+    case "long"   => LongType
+    case "int"    => IntegerType
+    case "short"  => ShortType
+    case "byte" | "bit" => ByteType
+    case o => throw new IllegalArgumentException(s"unknown element_type: $o")
+  }
+
+  def schemaFor(t: String): StructType = StructType(Seq(
     StructField("id_dim", LongType, nullable = false),
-    StructField("measure", ArrayType(DoubleType), nullable = false)))
+    StructField("measure", ArrayType(elementType(t)), nullable = false)))
+
+  val schema: StructType = schemaFor("double")
 
   final case class Spec(path: String, varName: String, explicit: Int,
                         starts: Seq[Int], ends: Seq[Int], keyStart: Long,
-                        partitions: Int)
+                        partitions: Int, elemType: String)
 
   def spec(opts: Map[String, String]): Spec = {
     val path = opts.getOrElse("path",
@@ -75,13 +92,15 @@ object NetCDFSource {
       s"dim_start/dim_end must list all ${shape.size} dims")
     Spec(path, varName, explicit, starts, ends,
       opts.getOrElse("key_start", "1").toLong,
-      opts.getOrElse("partitions", "8").toInt)
+      opts.getOrElse("partitions", "8").toInt,
+      opts.getOrElse("element_type", "double").toLowerCase)
   }
 }
 
 final class NetCDFTable(opts: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"netcdf:${opts.getOrElse("path", "?")}"
-  override def schema(): StructType = NetCDFSource.schema
+  override def schema(): StructType =
+    NetCDFSource.schemaFor(opts.getOrElse("element_type", "double"))
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
@@ -93,7 +112,7 @@ final class NetCDFScan(opts: Map[String, String])
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private val sp = NetCDFSource.spec(opts)
-  private var required: StructType = NetCDFSource.schema
+  private var required: StructType = NetCDFSource.schemaFor(sp.elemType)
   private var pushedIdRange: (Long, Long) = (Long.MinValue, Long.MaxValue)
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
@@ -131,7 +150,7 @@ final class NetCDFScan(opts: Map[String, String])
     * 100 TB that's the difference between a metadata pass and a full
     * read. */
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = StructType(NetCDFSource.schema.fields
+    required = StructType(NetCDFSource.schemaFor(sp.elemType).fields
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan = this
@@ -184,6 +203,18 @@ final class NetCDFPartitionReader(p: NetCDFPartition)
     sp.ends(i) - sp.starts(i) + 1)
   private var row = p.rowLo
   private var current: InternalRow = _
+  // narrow the decoded doubles to the declared element type with C-cast
+  // (truncating) semantics — the CDF classic types (1..6) are all exactly
+  // representable in double, so the double intermediate is lossless
+  private val narrow: Double => Any = sp.elemType match {
+    case "double" => d => d
+    case "float"  => d => d.toFloat
+    case "long"   => d => d.toLong
+    case "int"    => d => d.toInt
+    case "short"  => d => d.toShort
+    case "byte"   => d => d.toByte
+    case "bit"    => d => (if (d != 0.0) 1 else 0).toByte
+  }
 
   override def next(): Boolean = {
     if (row >= p.rowHi) return false
@@ -202,7 +233,8 @@ final class NetCDFPartitionReader(p: NetCDFPartition)
       val origin = expIdx.toSeq ++ impOrigin
       val slabShape = Seq.fill(sp.explicit)(1) ++ impShape
       val data = NetCDF3.readSlab(raf, hdr, v, origin, slabShape)
-      fields += ArrayData.toArrayData(data)
+      fields += (if (sp.elemType == "double") ArrayData.toArrayData(data)
+                 else ArrayData.toArrayData(data.map(narrow)))
     }
     current = new GenericInternalRow(fields.result().toArray)
     row += 1

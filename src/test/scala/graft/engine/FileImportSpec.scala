@@ -54,6 +54,45 @@ class FileImportSpec extends SparkSpec {
     assert(ses.execute("operation=select;field=id_dim;from=cf").get.count() == 4)
   }
 
+  test("compressed=yes stores deflated cells; reads are transparent") {
+    val f = Files.createTempFile("graft", ".nc").toFile
+    f.deleteOnExit()
+    NetCDF3.writeDoubleVar(f.getAbsolutePath,
+      Seq("t" -> 4, "x" -> 4), "m", Array.tabulate(16)(_.toDouble))
+    val srv = new IoServer(spark)
+    val ses = srv.newSession()
+    ses.execute(s"operation=file_import;frag_name=fz;" +
+      s"src_path=${f.getAbsolutePath};measure=m;explicit=1;compressed=yes")
+    // stored representation is a zlib blob, not an array
+    assert(srv.storedFrag("default", "fz").schema("measure").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    // reads inflate transparently — same results as an uncompressed import
+    val out = ses.execute(
+      "operation=select;field=id_dim|measure;from=fz;order=id_dim").get.collect()
+    assert(out.length == 4 && out.head.getSeq[Double](1) == Seq(0.0, 1.0, 2.0, 3.0))
+    // functions work over compressed fragments too
+    ses.execute("operation=create_frag_select;frag_name=fz2;" +
+      "field=id_dim|oph_reduce('oph_double','oph_double',measure,'oph_sum',4);" +
+      "field_alias=id_dim|measure;from=fz;compressed=yes")
+    val red = ses.execute(
+      "operation=select;field=id_dim|measure;from=fz2;order=id_dim").get.collect()
+    assert(red.head.getSeq[Double](1) == Seq(6.0))
+    // the qd05 path: chunked prepared multi_insert with compressed=yes
+    ses.execute("operation=create_frag;frag_name=mz;" +
+      "column_name=id_dim|measure;column_type=long|double_array")
+    ses.execute("operation=multi_insert;frag_name=mz;field=id_dim|measure;" +
+      "value=?1|?2;tot_run=2;curr_run=1;compressed=yes",
+      Seq[Any](1L, Seq(1.0, 2.0)))
+    ses.execute("operation=multi_insert;frag_name=mz;field=id_dim|measure;" +
+      "value=?1|?2;tot_run=2;curr_run=2;compressed=yes",
+      Seq[Any](2L, Seq(3.0, 4.0)))
+    assert(srv.storedFrag("default", "mz").schema("measure").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val ins = ses.execute(
+      "operation=select;field=id_dim|measure;from=mz;order=id_dim").get.collect()
+    assert(ins.map(_.getSeq[Double](1)).toSeq == Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+  }
+
   test("catalog save/load round-trips fragments and databases") {
     val dir = Files.createTempDirectory("graft-catalog").toFile.getAbsolutePath
     val srv = new IoServer(spark)

@@ -199,4 +199,55 @@ class NetCDFSpec extends SparkSpec {
     val l = Seq(1L, -5L, 1L << 62)
     assert(BinaryCodec.unpackLongs(BinaryCodec.packLongs(l)) == l)
   }
+
+  test("typed codec: golden bytes match the reference's little-endian C layout") {
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    // int 1, -2 → 01000000 feffffff (little-endian 4-byte)
+    assert(hex(BinaryCodec.packTyped(Seq(1.0, -2.0), "int")) == "01000000feffffff")
+    // short 1, -2 → 0100 feff
+    assert(hex(BinaryCodec.packTyped(Seq(1.0, -2.0), "short")) == "0100feff")
+    // byte 1, -2 → 01 fe
+    assert(hex(BinaryCodec.packTyped(Seq(1.0, -2.0), "byte")) == "01fe")
+    // float 1.0 → 0000803f; -2.5 → 000020c0
+    assert(hex(BinaryCodec.packTyped(Seq(1.0, -2.5), "float")) == "0000803f000020c0")
+    // double 1.0 → little-endian IEEE754
+    assert(hex(BinaryCodec.packTyped(Seq(1.0), "double")) == "000000000000f03f")
+    // long 1, -2 → 8-byte little-endian
+    assert(hex(BinaryCodec.packTyped(Seq(1.0, -2.0), "long")) ==
+      "0100000000000000feffffffffffffff")
+    // bit: one 0/1 char per value (oph_server_utility.c:295), not packed
+    assert(hex(BinaryCodec.packTyped(Seq(3.5, 0.0, -1.0), "bit")) == "010001")
+    // C-cast truncation toward zero on narrowing
+    assert(BinaryCodec.unpackTyped(
+      BinaryCodec.packTyped(Seq(2.9, -2.9), "int"), "int") == Seq(2.0, -2.0))
+    for (t <- Seq("byte", "short", "int", "long", "float", "double", "bit")) {
+      val v = Seq(1.0, 0.0, -3.0)
+      val expect = if (t == "bit") Seq(1.0, 0.0, 1.0) else v
+      assert(BinaryCodec.unpackTyped(BinaryCodec.packTyped(v, t), t) == expect,
+        s"round trip failed for $t")
+    }
+  }
+
+  test("element_type reads typed measure arrays through the DSv2 source") {
+    import org.apache.spark.sql.types._
+    val f = java.nio.file.Files.createTempDirectory("graft_nc_typed")
+      .resolve("t.nc").toFile
+    NetCDF3.writeDoubleVar(f.getAbsolutePath,
+      Seq("row" -> 3, "x" -> 2), "m", Array(1.9, -2.9, 0.0, 3.0, 4.5, -0.5))
+    def read(t: String) = spark.read.format("graft.sources.NetCDFSource")
+      .option("path", f.getAbsolutePath).option("var", "m")
+      .option("explicit", "1").option("element_type", t).load().orderBy("id_dim")
+    val fl = read("float")
+    assert(fl.schema("measure").dataType == ArrayType(FloatType))
+    assert(fl.collect().map(_.getSeq[Float](1)).toSeq ==
+      Seq(Seq(1.9f, -2.9f), Seq(0.0f, 3.0f), Seq(4.5f, -0.5f)))
+    val it = read("int")
+    assert(it.schema("measure").dataType == ArrayType(IntegerType))
+    assert(it.collect().map(_.getSeq[Int](1)).toSeq ==
+      Seq(Seq(1, -2), Seq(0, 3), Seq(4, 0))) // C-cast truncation
+    val bt = read("bit")
+    assert(bt.schema("measure").dataType == ArrayType(ByteType))
+    assert(bt.collect().map(_.getSeq[Byte](1)).toSeq ==
+      Seq(Seq[Byte](1, 1), Seq[Byte](0, 1), Seq[Byte](1, 1)))
+  }
 }
