@@ -19,22 +19,67 @@ object Profile {
     }
     Tables.documents(spark, sfDir).count()
 
-    val d = Tables.documents(spark, sfDir)
+    // d03 stage timings (mirrors DedupQueries.verifiedPairs0)
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        md5(col("text").cast("binary")).as("digest"))
+    val groups = base.groupBy("digest")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("gsz"))
+    val members = base.join(groups, "digest")
+      .select("doc_id", "rep_id", "gsz").cache()
+    time("collapse members fill") { members.count() }
+    val reps = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .join(members.filter(col("doc_id") === col("rep_id"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    val docs = reps
       .withColumn("hs", tokenHashes(col("text")))
-      .select(col("doc_id"), simhashFromHashes(col("hs")).as("sh"))
-      .withColumn("band", graft.functions.KeyAlgebra.ldiv(col("sh"), lit(1L << 30)))
+      .select(col("doc_id"),
+        minhashFromHashes(col("hs")).as("sig"),
+        array_sort(col("hs")).as("tk"))
       .cache()
-    time("d04 cache fill (simhash)") { d.count() }
-    val joined = d.as("x").join(d.as("y"),
-      col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= 2)
-    time("d04 band join + filter") { joined.write.format("noop").mode("overwrite").save() }
-    time("d04 orderBy output") {
-      joined.orderBy("doc_a", "doc_b").write.format("noop").mode("overwrite").save()
+    time("sketch docs fill") { docs.count() }
+    val bands0 = docs.select(col("doc_id"), explode(
+      transform(sequence(lit(0), lit(1)), b =>
+        struct(b.as("band"),
+          concat_ws("_", slice(col("sig"), b * 8 + 1, lit(8))).as("key"))))
+      .as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val counts = bands0.groupBy("band", "key")
+      .agg(count(lit(1)).as("bucket_n")).cache()
+    time("histogram fill") { counts.count() }
+    val bands = bands0.join(counts, Seq("band", "key"))
+      .withColumn("bsalt", when(col("bucket_n") > 2048,
+        pmod(xxhash64(col("doc_id")),
+          ceil(col("bucket_n") / lit(2048.0)))).otherwise(lit(0L)))
+      .drop("bucket_n")
+    val sigs = docs.select(col("doc_id"), col("sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.bsalt") === col("y.bsalt") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
+      .filter(aggregate(zip_with(col("siga"), col("sigb"),
+        (p, q) => when(p === q, 1).otherwise(0)), lit(0), _ + _) >= 14)
+      .select("doc_a", "doc_b")
+    time("band join + estimate prefilter") {
+      cand.write.format("noop").mode("overwrite").save()
     }
-    d.unpersist()
+    val verified = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("tk").as("tka")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("tk").as("tkb")), "doc_b")
+      .filter(least(size(col("tka")), size(col("tkb"))) * 100 >=
+        greatest(size(col("tka")), size(col("tkb"))) * 99)
+      .withColumn("inter",
+        graft.plans.SortedIntersectSize(col("tka"), col("tkb")).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("tka")) + size(col("tkb")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.99)
+      .select("doc_a", "doc_b", "jaccard")
+    time("verify stage") {
+      verified.write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

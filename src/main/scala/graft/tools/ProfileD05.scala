@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions._
 
-/** Stage-level profile of the d05 pipeline (scratch tool). */
+/** Scratch profiler: d03 cascade cardinalities (not part of the library API). */
 object ProfileD05 {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,51 +13,52 @@ object ProfileD05 {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[prof] $name: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
-    }
-    Tables.documents(spark, sfDir).count()
-    val docs = Tables.documents(spark, sfDir)
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        md5(col("text").cast("binary")).as("digest"))
+    val groups = base.groupBy("digest")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("gsz"))
+    val members = base.join(groups, "digest")
+      .select("doc_id", "rep_id", "gsz").cache()
+    println(s"[card] docs=${Tables.documents(spark, sfDir).count()} reps=${members.filter(col("doc_id")===col("rep_id")).count()}")
+    val reps = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .join(members.filter(col("doc_id") === col("rep_id"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    val docs = reps
       .withColumn("hs", tokenHashes(col("text")))
       .select(col("doc_id"),
         minhashFromHashes(col("hs")).as("sig"),
-        array_sort(array_distinct(transform(
-          array_distinct(transform(sequence(lit(1), length(col("text")) - 3),
-            i => col("text").substr(i, lit(4)))),
-          g => md5Long60(g)))).as("grams"))
+        array_sort(col("hs")).as("tk"))
       .cache()
-    time("cache fill (sig+grams)") { docs.count() }
-    val bands = docs.select(col("doc_id"), explode(
+    docs.count()
+    val bands0 = docs.select(col("doc_id"), col("sig"), explode(
       transform(sequence(lit(0), lit(1)), b =>
         struct(b.as("band"),
           concat_ws("_", slice(col("sig"), b * 8 + 1, lit(8))).as("key"))))
       .as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val cand0 = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    time("band join (no distinct)") { cand0.write.format("noop").mode("overwrite").save() }
-    val cand1 = cand0.distinct()
-    time("+ distinct") { cand1.write.format("noop").mode("overwrite").save() }
-    val sigs = docs.select(col("doc_id"), col("sig"))
-    val cand2 = cand1
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
-      .filter(aggregate(zip_with(col("siga"), col("sigb"),
-        (p, q) => when(p === q, 1).otherwise(0)), lit(0), _ + _) >= 14)
-      .select("doc_a", "doc_b")
-    time("+ est prefilter") { cand2.write.format("noop").mode("overwrite").save() }
-    println(s"[prof] survivors: ${cand2.count()}")
-    val verified = cand2
-      .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
-      .withColumn("inter", graft.plans.SortedIntersectSize(col("ga"), col("gb")).cast("double"))
-      .withColumn("jaccard4", col("inter") /
-        (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
-      .filter(col("jaccard4") >= 0.9)
-    time("+ gram verify") { verified.write.format("noop").mode("overwrite").save() }
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+    val hist = bands0.groupBy("band", "key").agg(count(lit(1)).as("n"))
+    println("[card] top buckets:")
+    hist.orderBy(col("n").desc).limit(5).collect().foreach(r => println(s"  band=${r.get(0)} n=${r.get(2)}"))
+    val raw = bands0.as("x").join(bands0.as("y"),
+      col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+    println(s"[card] raw band collisions=${raw.count()}")
+    val est = raw.filter(graft.plans.EqCount(col("x.sig"), col("y.sig")) >= 14)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    println(s"[card] post-estimate distinct pairs=${est.count()}")
+    val ver = est
+      .join(docs.select(col("doc_id").as("doc_a"), col("tk").as("tka")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("tk").as("tkb")), "doc_b")
+      .filter(least(size(col("tka")), size(col("tkb"))) * 100 >=
+        greatest(size(col("tka")), size(col("tkb"))) * 99)
+      .withColumn("inter",
+        graft.plans.SortedIntersectSize(col("tka"), col("tkb")).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("tka")) + size(col("tkb")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.99)
+    println(s"[card] verified rep pairs=${ver.count()}")
+    println(s"[card] avg tk size=${docs.select(avg(size(col("tk")))).first().getDouble(0)}")
     spark.stop()
   }
 }
