@@ -157,10 +157,26 @@ object DialectQueries {
     ses.execute("operation=drop_frag;frag_name=lab.tmp")
     val size = ses.execute("operation=function;function_name=oph_size;" +
       "function_args=lab.lf|lab.back").get
-    ses.execute("operation=select;field=id_dim|measure;from=lab.back;" +
+    val out = ses.execute("operation=select;field=id_dim|measure;from=lab.back;" +
       "order=id_dim").get
       .withColumn("measure", AP.fx12(col("measure")))
       .crossJoin(broadcast(size))
+    // close the lifecycle (oph_io_server_query_engine.c:1190-1285):
+    // drop_database must REFUSE while fragments remain...
+    val guardNonempty =
+      try { ses.execute("operation=drop_database;db_name=lab"); 0L }
+      catch { case _: IllegalArgumentException => 1L }
+    // ...and succeed once emptied, resetting the session's default db —
+    // observable as `lab` no longer resolving for use_db
+    ses.execute("operation=drop_frag;frag_name=lab.lf")
+    ses.execute("operation=drop_frag;frag_name=lab.back")
+    ses.useDb("lab")
+    ses.execute("operation=drop_database;db_name=lab")
+    val guardDropped =
+      try { ses.useDb("lab"); 0L }
+      catch { case _: IllegalArgumentException => 1L }
+    out.withColumn("guard_nonempty", lit(guardNonempty))
+      .withColumn("guard_dropped", lit(guardDropped))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -200,7 +216,9 @@ object DialectQueries {
     "qd07_dialect_lifecycle" -> s"""
       SELECT i AS id_dim,
         ${FX("list_transform(range(0, 4), k -> i * 0.5 + k * 0.125)")} AS measure,
-        CAST(120 AS BIGINT) AS frag_size
+        CAST(120 AS BIGINT) AS frag_size,
+        CAST(1 AS BIGINT) AS guard_nonempty,
+        CAST(1 AS BIGINT) AS guard_dropped
       FROM range(1, 61) t(i)
       ORDER BY id_dim""",
     "qd01_dialect_ctas" ->
