@@ -53,9 +53,20 @@ object StreamingDedup {
     * everything seen; a new arrival emits a candidate pair for every
     * stored signature whose estimated Jaccard ≥ `minEst`. Downstream
     * (batch or foreachBatch) unions bands and exact-verifies — the same
-    * sketch→verify cascade as batch d03. */
+    * sketch→verify cascade as batch d03.
+    *
+    * Hot buckets are BOUNDED, mirroring the batch family's
+    * [[graft.operators.DedupQueries]] salted cap: per-bucket state stores
+    * at most `bucketCap` signatures. Arrivals into a full bucket still
+    * PROBE the stored cap (pairs against early members are kept) but are
+    * not stored, so a degenerate stream of near-identical docs costs
+    * O(cap) per arrival and O(cap) state instead of re-creating the
+    * quadratic bucket inside one batch — a bounded recall loss counted on
+    * `overflow` (a driver-visible accumulator), never silent. */
   def nearDupCandidateStream(docs: DataFrame, k: Int = 16, bands: Int = 2,
-                             minEst: Double = 0.5): Dataset[Candidate] = {
+      minEst: Double = 0.5, bucketCap: Int = 2048,
+      overflow: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[Candidate] = {
     import docs.sparkSession.implicits._
     val rowsPerBand = k / bands
     val sig = TextFunctions.minhashSignature(col("text"), k)
@@ -87,7 +98,8 @@ object StreamingDedup {
                     math.max(oldId, docId), est)
               }
             }
-            seen :+= (docId, docSig)
+            if (seen.length < bucketCap) seen :+= (docId, docSig)
+            else overflow.foreach(_.add(1L))
           }
           st.update(seen)
           out.result().iterator

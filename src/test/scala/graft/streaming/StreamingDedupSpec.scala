@@ -52,6 +52,36 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("degenerate batch of near-identical docs is bounded by the bucket cap") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val overflow = s.sparkContext.longAccumulator("stream_dedup_overflow")
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingDedup.nearDupCandidateStream(
+      in.toDF().toDF("doc_id", "text"), minEst = 0.5,
+      bucketCap = 4, overflow = Some(overflow))
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("near_dedup_capped").start()
+    try {
+      // one batch, 20 identical docs, cap 4: uncapped this is C(20,2)=190
+      // pairs per band; capped, only the 4 stored members pair with later
+      // arrivals -> per band C(4,2) + 16*4 = 70 pairs, and 2 bands emit
+      // 140 candidate rows total. 16 arrivals/band hit a full bucket.
+      in.addData((1L to 20L).map(i => (i, text)))
+      q.processAllAvailable()
+      val cands = s.table("near_dedup_capped").as[StreamingDedup.Candidate]
+        .collect()
+      assert(cands.length == 140, s"expected 140 capped candidates, got ${cands.length}")
+      // early members still pair: (1,2) survives; late-late pairs dropped
+      assert(cands.exists(c => c.doc_a == 1L && c.doc_b == 2L))
+      assert(!cands.exists(c => c.doc_a == 5L && c.doc_b == 6L))
+      // the recall loss is counted, not silent: 16 overflow arrivals/band
+      assert(overflow.value == 32L, s"overflow=${overflow.value}")
+    } finally q.stop()
+  }
+
   test("near-dup state is per-bucket: no cross-bucket comparisons") {
     val s = spark
     import s.implicits._
