@@ -117,15 +117,18 @@ object ExprCompiler {
     go(ast)
   }
 
-  /** Drop the reference's leading input/output type-hint string args
-    * ('oph_double', 'oph_int', …) — our arrays carry their type. */
-  private def dropTypeHints(args: Seq[Ast]): Seq[Ast] = args.dropWhile {
+  /** The reference's leading input/output type-hint string args
+    * ('oph_double', 'oph_int', …) — our arrays carry their type, so these
+    * are dropped before dispatch; [[fn]] keeps them around for the few
+    * primitives whose OUTPUT layout depends on them (oph_to_bin). */
+  private def isTypeHint(a: Ast): Boolean = a match {
     case Str(s) =>
       s.split('|').forall(t => t.toLowerCase.startsWith("oph_") &&
         Set("oph_byte", "oph_short", "oph_int", "oph_long", "oph_float",
           "oph_double", "oph_bit").contains(t.toLowerCase))
     case _ => false
   }
+  private def dropTypeHints(args: Seq[Ast]): Seq[Ast] = args.dropWhile(isTypeHint)
 
   private def litStr(a: Ast): String = a match {
     case Str(s) => s
@@ -150,6 +153,8 @@ object ExprCompiler {
 
   private def fn(name: String, rawArgs: Seq[Ast], go: Ast => CExpr,
                  resolve: String => Column): CExpr = {
+    val hints = rawArgs.takeWhile(isTypeHint)
+      .collect { case Str(s) => s.toLowerCase }
     val args = dropTypeHints(rawArgs)
     def c(i: Int): Column = go(args(i)).num
     def b(c0: Column): CExpr = CExpr(c0, isBool = true)
@@ -241,7 +246,13 @@ object ExprCompiler {
       case "oph_convert_d" => n(AP.oph_convert_d(c(0)))
       case "oph_convert_l" => n(AP.oph_convert_l(c(0)))
       case "oph_dump" => n(AP.oph_dump(c(0)))
-      case "oph_to_bin" | "oph_value_to_bin" => n(BinaryCodec.oph_to_bin(c(0)))
+      case "oph_to_bin" | "oph_value_to_bin" =>
+        // the OUTPUT type hint (last of the 'in|out' prefix pair) picks
+        // the cell layout; oph_long takes the exact 64-bit path — no
+        // double intermediate, so >2^53 values survive bit-for-bit
+        n(if (hints.lastOption.exists(_.split('|').last == "oph_long"))
+          BinaryCodec.oph_to_bin_long(c(0).cast("array<long>"))
+        else BinaryCodec.oph_to_bin(c(0)))
       case "oph_compress" => n(BinaryCodec.oph_compress(c(0)))
       case "oph_uncompress" => n(BinaryCodec.oph_uncompress(c(0)))
       // ---- stats / signal ----

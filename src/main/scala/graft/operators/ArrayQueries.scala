@@ -275,7 +275,14 @@ object ArrayQueries {
       AP.joinLongs(transform(rt(scaled, "short"), _.cast("long"))).as("m_short"),
       AP.joinLongs(transform(rt(scaled, "byte"), _.cast("long"))).as("m_byte"),
       AP.joinLongs(transform(rt(scaled, "long"), _.cast("long"))).as("m_long"),
-      AP.joinLongs(transform(rt(col("a"), "bit"), _.cast("long"))).as("m_bit"))
+      AP.joinLongs(transform(rt(col("a"), "bit"), _.cast("long"))).as("m_bit"),
+      // exact 64-bit route (packLongs/unpackLongs, no double anywhere):
+      // 2^53+1 is unrepresentable as a double, so any double intermediate
+      // would come back ...992 and hash-mismatch the oracle
+      AP.joinLongs(BinaryCodec.oph_from_bin_long(BinaryCodec.oph_to_bin_long(
+        array(lit(9007199254740993L) + col("vec_id").cast("long"),
+          lit(-9007199254740995L) - col("vec_id").cast("long")))))
+        .as("m_long_exact"))
       .orderBy("vec_id")
   }
 
@@ -318,7 +325,9 @@ object ArrayQueries {
          array_to_string(list_transform(embedding,
            x -> trunc(x::DOUBLE * 100.0)::BIGINT), ',') AS m_long,
          array_to_string(list_transform(embedding,
-           x -> CASE WHEN x::DOUBLE <> 0.0 THEN 1 ELSE 0 END), ',') AS m_bit
+           x -> CASE WHEN x::DOUBLE <> 0.0 THEN 1 ELSE 0 END), ',') AS m_bit,
+         array_to_string(list_value(9007199254740993 + vec_id,
+           -9007199254740995 - vec_id), ',') AS m_long_exact
          FROM embeddings ORDER BY vec_id""",
     "a21_find_mask_concat" ->
       s"""SELECT vec_id,

@@ -146,11 +146,19 @@ object BinaryCodec {
   private val inflateUdf = udf(inflate _)
   private val packTypedUdf = udf(packTyped _)
   private val unpackTypedUdf = udf(unpackTyped _)
+  private val packLongsUdf = udf(packLongs _)
+  private val unpackLongsUdf = udf(unpackLongs _)
 
   def oph_to_bin(a: Column): Column = packDoublesUdf(a)
   def oph_from_bin(b: Column): Column = unpackDoublesUdf(b)
   def oph_to_bin_typed(a: Column, t: Column): Column = packTypedUdf(a, t)
   def oph_from_bin_typed(b: Column, t: Column): Column = unpackTypedUdf(b, t)
+  /** EXACT 64-bit-integer cells: no double intermediate, so values beyond
+    * 2^53 survive bit-for-bit (the typed pack/unpack above documents its
+    * double lingua franca as exact only up to 2^53). The dialect routes
+    * `oph_long`-hinted oph_to_bin through this pair. */
+  def oph_to_bin_long(a: Column): Column = packLongsUdf(a)
+  def oph_from_bin_long(b: Column): Column = unpackLongsUdf(b)
   def oph_compress(b: Column): Column = deflateUdf(b)
   def oph_uncompress(b: Column): Column = inflateUdf(b)
 }

@@ -48,6 +48,23 @@ class DialectSpec extends SparkSpec {
     assert(df.select(c).head.getDouble(0) == 2.5)
   }
 
+  test("compiler: oph_long output hint routes oph_to_bin through the exact 64-bit packer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 2^53+1 is unrepresentable as a double: only the exact route keeps it
+    val df = Seq(Tuple1(Seq(9007199254740993L))).toDF("m")
+    val packed = ExprCompiler.compile(
+      ExprParser.parse("mysql.oph_to_bin('oph_long','oph_long',m)"), col(_)).num
+    val bytes = df.select(packed).head.getAs[Array[Byte]](0)
+    assert(bytes.map("%02x".format(_)).mkString == "0100000000002000")
+    // no hint (or a double hint) keeps the double lingua-franca layout
+    val dbl = ExprCompiler.compile(
+      ExprParser.parse("mysql.oph_to_bin('oph_double','oph_double',m)"), col(_)).num
+    val df2 = Seq(Tuple1(Seq(1.0))).toDF("m")
+    assert(df2.select(dbl).head.getAs[Array[Byte]](0)
+      .map("%02x".format(_)).mkString == "000000000000f03f")
+  }
+
   test("compiler: = yields boolean, & is logical, % is integer mod") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

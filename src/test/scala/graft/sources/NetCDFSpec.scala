@@ -220,6 +220,14 @@ class NetCDFSpec extends SparkSpec {
     // C-cast truncation toward zero on narrowing
     assert(BinaryCodec.unpackTyped(
       BinaryCodec.packTyped(Seq(2.9, -2.9), "int"), "int") == Seq(2.0, -2.0))
+    // exact long path: 2^53+1 is unrepresentable as a double — packLongs
+    // keeps the bit pattern the typed double route would round away
+    assert(hex(BinaryCodec.packLongs(Seq(9007199254740993L, -9007199254740995L)))
+      == "0100000000002000" + "fdffffffffffdfff")
+    assert(BinaryCodec.unpackLongs(
+      BinaryCodec.packLongs(Seq(9007199254740993L))) == Seq(9007199254740993L))
+    assert(BinaryCodec.packTyped(Seq(9007199254740993.0), "long").toSeq !=
+      BinaryCodec.packLongs(Seq(9007199254740993L)).toSeq) // the double route rounds
     for (t <- Seq("byte", "short", "int", "long", "float", "double", "bit")) {
       val v = Seq(1.0, 0.0, -3.0)
       val expect = if (t == "bit") Seq(1.0, 0.0, 1.0) else v
