@@ -49,8 +49,42 @@ object NetCDFQueries {
       .withColumn("measure", AP.fx12(col("measure")))
   }
 
+  /** qn02 — NetCDF-4/HDF5 read: the SAME deterministic grid written as
+    * a CDF-1 file (our classic writer) and as its NetCDF-4/HDF5 twin
+    * (chunked + deflate, ragged edge chunks), both imported through the
+    * dialect's file_import → DSv2 reader, joined on id_dim. Matching
+    * oracle rows prove the HDF5 path (superblock, object headers, chunk
+    * B-tree, deflate) decodes bit-identically to the classic path
+    * (reference NetCDF-4 dispatch: oph_io_server_nc.c:1612,2716-3243). */
+  def qn02_netcdf4_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val (nRows, nCols) = (60, 8)
+    val data = Array.tabulate(nRows * nCols)(k =>
+      (k / nCols) * 0.5 + (k % nCols) * 0.125) // exact in binary
+    val tmp = Files.createTempDirectory("graft_nc4")
+    val ncPath = tmp.resolve("twin.nc").toString
+    val h5Path = tmp.resolve("twin.h5").toString
+    NetCDF3.writeDoubleVar(ncPath, Seq("row" -> nRows, "col" -> nCols),
+      "measure", data)
+    graft.sources.HDF5.writeDoubleVar(h5Path,
+      Seq("row" -> nRows, "col" -> nCols), "measure", data,
+      chunkDims = Some(Seq(16, 8))) // 60 % 16 != 0 → ragged edge chunk
+    val ses = new IoServer(s).newSession()
+    ses.execute(s"operation=file_import;frag_name=h5in;src_path=@$h5Path;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=ncin;src_path=@$ncPath;" +
+      "measure=measure;explicit=1")
+    val h5 = ses.execute(
+      "operation=select;field=id_dim|measure;from=h5in;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_hdf5"))
+    val nc = ses.execute(
+      "operation=select;field=id_dim|measure;from=ncin;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_cdf"))
+    nc.join(h5, "id_dim").orderBy("id_dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qn01_netcdf_roundtrip" -> (qn01_netcdf_roundtrip _),
+    "qn02_netcdf4_roundtrip" -> (qn02_netcdf4_roundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -63,6 +97,16 @@ object NetCDFQueries {
            v -> CAST(floor(v * 1e12) AS BIGINT)), ','), '') AS measure
          FROM embeddings
          WHERE vec_id % 2 = 0
+         ORDER BY id_dim""",
+    "qn02_netcdf4_roundtrip" ->
+      """SELECT i AS id_dim,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_cdf,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_hdf5
+         FROM range(1, 61) t(i)
          ORDER BY id_dim""",
   )
 }

@@ -1,0 +1,42 @@
+package graft.sources
+
+/** Format-sniffing facade over the two container formats the reference
+  * ingests (src/server/oph_io_server_nc.c:2716-3243 dispatches the same
+  * way): NetCDF classic (CDF-1/2, [[NetCDF3]]) and NetCDF-4/HDF5
+  * ([[HDF5]]). One hyperslab API so the DSv2 source is
+  * format-oblivious. */
+trait NcReader extends AutoCloseable {
+  def shape(varName: String): Seq[Int]
+  def readSlab(varName: String, origin: Seq[Int], shape: Seq[Int]): Array[Double]
+}
+
+object NcReader {
+
+  def open(path: String): NcReader =
+    if (HDF5.isHdf5(path)) new H5Adapter(path) else new CdfAdapter(path)
+
+  /** Shape lookup with open/close in one call (planning-time use). */
+  def shapeOf(path: String, varName: String): Seq[Int] = {
+    val r = open(path)
+    try r.shape(varName) finally r.close()
+  }
+
+  private final class H5Adapter(path: String) extends NcReader {
+    private val r = new HDF5.Hdf5Reader(path)
+    override def shape(varName: String): Seq[Int] = r.shape(varName)
+    override def readSlab(varName: String, origin: Seq[Int],
+        shape: Seq[Int]): Array[Double] = r.readSlab(varName, origin, shape)
+    override def close(): Unit = r.close()
+  }
+
+  private final class CdfAdapter(path: String) extends NcReader {
+    private val hdr = NetCDF3.readHeader(path)
+    private val raf = new java.io.RandomAccessFile(path, "r")
+    override def shape(varName: String): Seq[Int] =
+      hdr.shape(hdr.variable(varName))
+    override def readSlab(varName: String, origin: Seq[Int],
+        shape: Seq[Int]): Array[Double] =
+      NetCDF3.readSlab(raf, hdr, hdr.variable(varName), origin, shape)
+    override def close(): Unit = raf.close()
+  }
+}

@@ -73,9 +73,7 @@ object NetCDFSource {
     val path = opts.getOrElse("path",
       throw new IllegalArgumentException("option 'path' required"))
     val varName = opts.getOrElse("var", "measure")
-    val hdr = NetCDF3.readHeader(path)
-    val v = hdr.variable(varName)
-    val shape = hdr.shape(v)
+    val shape = NcReader.shapeOf(path, varName) // CDF classic or NetCDF-4/HDF5
     val explicit = opts.get("explicit").map(_.toInt)
       .getOrElse(math.max(shape.size - 1, 0))
     def parseList(key: String, default: Int => Int): Seq[Int] =
@@ -193,10 +191,8 @@ final case class NetCDFPartition(spec: NetCDFSource.Spec, rowLo: Long, rowHi: Lo
 final class NetCDFPartitionReader(p: NetCDFPartition)
     extends PartitionReader[InternalRow] {
   private val sp = p.spec
-  private val hdr = NetCDF3.readHeader(sp.path)
-  private val v = hdr.variable(sp.varName)
-  private val shape = hdr.shape(v)
-  private val raf = new java.io.RandomAccessFile(sp.path, "r")
+  private val rdr = NcReader.open(sp.path) // CDF classic or NetCDF-4/HDF5
+  private val shape = rdr.shape(sp.varName)
   private val expSizes = (0 until sp.explicit).map(i => sp.ends(i) - sp.starts(i) + 1)
   private val impOrigin = (sp.explicit until shape.size).map(i => sp.starts(i) - 1)
   private val impShape = (sp.explicit until shape.size).map(i =>
@@ -232,7 +228,7 @@ final class NetCDFPartitionReader(p: NetCDFPartition)
       }
       val origin = expIdx.toSeq ++ impOrigin
       val slabShape = Seq.fill(sp.explicit)(1) ++ impShape
-      val data = NetCDF3.readSlab(raf, hdr, v, origin, slabShape)
+      val data = rdr.readSlab(sp.varName, origin, slabShape)
       fields += (if (sp.elemType == "double") ArrayData.toArrayData(data)
                  else ArrayData.toArrayData(data.map(narrow)))
     }
@@ -242,5 +238,5 @@ final class NetCDFPartitionReader(p: NetCDFPartition)
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = raf.close()
+  override def close(): Unit = rdr.close()
 }

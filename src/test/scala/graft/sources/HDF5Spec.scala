@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level coverage for the pure-JVM HDF5 subset (NetCDF-4 read):
+  * golden superblock/datatype bytes from the public spec, contiguous and
+  * chunked+deflate roundtrips, hyperslab reads, edge chunks, filters. */
+class HDF5Spec extends AnyFunSuite {
+
+  private def tmp(suffix: String): String =
+    Files.createTempFile("graft_h5", suffix).toString
+
+  private def grid(rows: Int, cols: Int): Array[Double] =
+    Array.tabulate(rows * cols)(i => (i / cols) * 0.5 + (i % cols) * 0.125)
+
+  test("golden bytes: superblock v0 signature and version fields") {
+    val p = tmp(".h5")
+    HDF5.writeDoubleVar(p, Seq("x" -> 2, "y" -> 3), "m", grid(2, 3))
+    val b = Files.readAllBytes(java.nio.file.Paths.get(p))
+    // \x89HDF\r\n\x1a\n (spec: superblock signature)
+    assert(b.take(8).map(_ & 0xFF).toSeq ==
+      Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0d, 0x0a, 0x1a, 0x0a))
+    assert(b(8) == 0)          // superblock version 0
+    assert(b(13) == 8 && b(14) == 8) // 8-byte offsets and lengths
+    // EOF address (little-endian at offset 40) == file length
+    val eof = (0 until 8).map(i => (b(40 + i).toLong & 0xFF) << (8 * i)).sum
+    assert(eof == b.length)
+  }
+
+  test("golden bytes: IEEE F64LE datatype message encoding") {
+    val p = tmp(".h5")
+    HDF5.writeDoubleVar(p, Seq("x" -> 1), "m", Array(1.0))
+    val b = Files.readAllBytes(java.nio.file.Paths.get(p))
+    val hex = b.map("%02x".format(_)).mkString
+    // class/version 0x11, bit field 20 3f 00, size 8 — then
+    // offset 0, precision 64, exp loc 52, exp size 11, mant 0/52, bias 1023
+    assert(hex.contains("11203f0008000000" + "0000" + "4000" + "340b" + "0034" +
+      "ff030000"))
+    // the value 1.0 as little-endian IEEE754
+    assert(hex.contains("000000000000f03f"))
+  }
+
+  test("contiguous roundtrip: full read and hyperslabs") {
+    val p = tmp(".h5")
+    val data = grid(6, 4)
+    HDF5.writeDoubleVar(p, Seq("row" -> 6, "col" -> 4), "measure", data)
+    val r = new HDF5.Hdf5Reader(p)
+    try {
+      assert(r.varNames == Seq("measure"))
+      assert(r.shape("measure") == Seq(6, 4))
+      assert(r.readSlab("measure", Seq(0, 0), Seq(6, 4)).toSeq == data.toSeq)
+      // one row
+      assert(r.readSlab("measure", Seq(2, 0), Seq(1, 4)).toSeq ==
+        data.slice(8, 12).toSeq)
+      // interior box
+      assert(r.readSlab("measure", Seq(1, 1), Seq(3, 2)).toSeq ==
+        Seq(data(5), data(6), data(9), data(10), data(13), data(14)))
+    } finally r.close()
+  }
+
+  test("chunked+deflate roundtrip incl. edge chunks and hyperslabs") {
+    val p = tmp(".h5")
+    val data = grid(7, 5) // 7x5 with 3x2 chunks -> ragged edges both dims
+    HDF5.writeDoubleVar(p, Seq("row" -> 7, "col" -> 5), "m", data,
+      chunkDims = Some(Seq(3, 2)))
+    val r = new HDF5.Hdf5Reader(p)
+    try {
+      val d = r.dataset("m")
+      assert(d.isChunked && d.chunkDims == Seq(3, 2))
+      assert(d.filters.map(_.id) == Seq(1)) // deflate
+      assert(r.readSlab("m", Seq(0, 0), Seq(7, 5)).toSeq == data.toSeq)
+      assert(r.readSlab("m", Seq(5, 3), Seq(2, 2)).toSeq ==
+        Seq(data(5 * 5 + 3), data(5 * 5 + 4), data(6 * 5 + 3), data(6 * 5 + 4)))
+      // single element in an edge chunk
+      assert(r.readSlab("m", Seq(6, 4), Seq(1, 1)).toSeq == Seq(data(34)))
+    } finally r.close()
+  }
+
+  test("deflate actually shrinks the stored bytes (compressible data)") {
+    val p1 = tmp(".h5"); val p2 = tmp(".h5")
+    val flat = Array.fill(64 * 64)(1.5) // highly compressible
+    HDF5.writeDoubleVar(p1, Seq("x" -> 64, "y" -> 64), "m", flat)
+    HDF5.writeDoubleVar(p2, Seq("x" -> 64, "y" -> 64), "m", flat,
+      chunkDims = Some(Seq(64, 64)))
+    val raw = Files.size(java.nio.file.Paths.get(p1))
+    val comp = Files.size(java.nio.file.Paths.get(p2))
+    assert(comp < raw / 4, s"deflate file $comp not < $raw/4")
+    val r = new HDF5.Hdf5Reader(p2)
+    try assert(r.readSlab("m", Seq(0, 0), Seq(64, 64)).forall(_ == 1.5))
+    finally r.close()
+  }
+
+  test("1-D and 3-D shapes") {
+    val p1 = tmp(".h5")
+    HDF5.writeDoubleVar(p1, Seq("t" -> 10), "v", Array.tabulate(10)(_ * 2.0))
+    val r1 = new HDF5.Hdf5Reader(p1)
+    try {
+      assert(r1.shape("v") == Seq(10))
+      assert(r1.readSlab("v", Seq(3), Seq(4)).toSeq == Seq(6.0, 8.0, 10.0, 12.0))
+    } finally r1.close()
+    val p3 = tmp(".h5")
+    val cube = Array.tabulate(2 * 3 * 4)(_.toDouble)
+    HDF5.writeDoubleVar(p3, Seq("a" -> 2, "b" -> 3, "c" -> 4), "v", cube,
+      chunkDims = Some(Seq(1, 2, 4)))
+    val r3 = new HDF5.Hdf5Reader(p3)
+    try {
+      assert(r3.readSlab("v", Seq(0, 0, 0), Seq(2, 3, 4)).toSeq == cube.toSeq)
+      assert(r3.readSlab("v", Seq(1, 1, 1), Seq(1, 2, 2)).toSeq ==
+        Seq(17.0, 18.0, 21.0, 22.0))
+    } finally r3.close()
+  }
+
+  test("isHdf5 distinguishes HDF5 from CDF classic") {
+    val h5 = tmp(".h5")
+    HDF5.writeDoubleVar(h5, Seq("x" -> 1), "m", Array(1.0))
+    assert(HDF5.isHdf5(h5))
+    val nc = tmp(".nc")
+    NetCDF3.writeDoubleVar(nc, Seq("x" -> 1), "m", Array(1.0))
+    assert(!HDF5.isHdf5(nc))
+  }
+}

@@ -236,6 +236,24 @@ class NetCDFSpec extends SparkSpec {
     }
   }
 
+  test("NetCDF-4/HDF5 file reads through the same DSv2 source, partitioned") {
+    val f = java.nio.file.Files.createTempDirectory("graft_h5_dsv2")
+      .resolve("t.h5").toFile
+    val data = Array.tabulate(12 * 4)(k => (k / 4) * 10.0 + (k % 4))
+    HDF5.writeDoubleVar(f.getAbsolutePath, Seq("row" -> 12, "x" -> 4), "m",
+      data, chunkDims = Some(Seq(5, 4))) // ragged: 12 % 5 != 0
+    val df = spark.read.format("graft.sources.NetCDFSource")
+      .option("path", f.getAbsolutePath).option("var", "m")
+      .option("explicit", "1").option("partitions", "3").load()
+    val rows = df.orderBy("id_dim").collect()
+    assert(rows.length == 12)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 12L))
+    assert(rows(7).getSeq[Double](1) == Seq(70.0, 71.0, 72.0, 73.0))
+    // id_dim pushdown prunes partitions for HDF5 exactly like classic
+    assert(df.filter(org.apache.spark.sql.functions.col("id_dim") === 3L)
+      .collect().map(_.getSeq[Double](1)).toSeq == Seq(Seq(20.0, 21.0, 22.0, 23.0)))
+  }
+
   test("element_type reads typed measure arrays through the DSv2 source") {
     import org.apache.spark.sql.types._
     val f = java.nio.file.Files.createTempDirectory("graft_nc_typed")
