@@ -65,9 +65,23 @@ object NetCDFSource {
 
   val schema: StructType = schemaFor("double")
 
+  /** `dimIndex(j)` maps FILE dimension j to its LOGICAL position — the
+    * reference's dims_index (oph_io_server_nc.c:756,1195): logical
+    * positions 0..explicit-1 key the rows, the rest lay out the in-row
+    * array. Identity when the file already stores dims in logical
+    * order; otherwise the reader permutes at import time (the v1/v2
+    * transposition algorithms, oph_io_server_nc.c:755,1194). */
   final case class Spec(path: String, varName: String, explicit: Int,
                         starts: Seq[Int], ends: Seq[Int], keyStart: Long,
-                        partitions: Int, elemType: String)
+                        partitions: Int, elemType: String,
+                        dimIndex: Seq[Int]) {
+    /** File dim sitting at logical position k. */
+    def fileOfLogical(k: Int): Int = dimIndex.indexOf(k)
+    def extent(fileDim: Int): Int = ends(fileDim) - starts(fileDim) + 1
+    /** Row-space sizes in logical order (what id_dim enumerates). */
+    def logicalExplicitSizes: Seq[Int] =
+      (0 until explicit).map(k => extent(fileOfLogical(k)))
+  }
 
   def spec(opts: Map[String, String]): Spec = {
     val path = opts.getOrElse("path",
@@ -88,10 +102,19 @@ object NetCDFSource {
     val ends = parseList("dim_end", shape(_))
     require(starts.size == shape.size && ends.size == shape.size,
       s"dim_start/dim_end must list all ${shape.size} dims")
+    val dimIndex = opts.get("dim_index") match {
+      case Some(sv) =>
+        val di = sv.split(',').toSeq.map(_.trim.toInt)
+        require(di.sorted == shape.indices.toSeq,
+          s"dim_index must be a permutation of 0..${shape.size - 1}, got $sv")
+        di
+      case None => shape.indices.toSeq
+    }
     Spec(path, varName, explicit, starts, ends,
       opts.getOrElse("key_start", "1").toLong,
       opts.getOrElse("partitions", "8").toInt,
-      opts.getOrElse("element_type", "double").toLowerCase)
+      opts.getOrElse("element_type", "double").toLowerCase,
+      dimIndex)
   }
 }
 
@@ -156,8 +179,7 @@ final class NetCDFScan(opts: Map[String, String])
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val expSizes = (0 until sp.explicit).map(i => sp.ends(i) - sp.starts(i) + 1)
-    val allRows = expSizes.product.toLong
+    val allRows = sp.logicalExplicitSizes.product.toLong
     // id_dim = keyStart + row → clamp the planned row window to the
     // pushed id range (empty overlap → zero partitions, zero reads)
     val rowMin = math.max(0L,
@@ -193,10 +215,43 @@ final class NetCDFPartitionReader(p: NetCDFPartition)
   private val sp = p.spec
   private val rdr = NcReader.open(sp.path) // CDF classic or NetCDF-4/HDF5
   private val shape = rdr.shape(sp.varName)
-  private val expSizes = (0 until sp.explicit).map(i => sp.ends(i) - sp.starts(i) + 1)
-  private val impOrigin = (sp.explicit until shape.size).map(i => sp.starts(i) - 1)
-  private val impShape = (sp.explicit until shape.size).map(i =>
-    sp.ends(i) - sp.starts(i) + 1)
+  private val rank = shape.size
+  // dim_index support (reference transposition, oph_io_server_nc.c:755,
+  // 1194): rows enumerate LOGICAL explicit positions; per file dim the
+  // slab takes one element for explicit-mapped dims and the full
+  // requested range for implicit-mapped dims
+  private val expSizes = sp.logicalExplicitSizes
+  private val slabShape = (0 until rank).map(j =>
+    if (sp.dimIndex(j) < sp.explicit) 1 else sp.extent(j))
+  /** In-row permutation: slab data arrives row-major over the file's
+    * implicit dims; the fragment stores logical implicit order. null =
+    * identity (file already ordered) — the common fast path. */
+  private val permTable: Array[Int] = {
+    val fileImp = (0 until rank).filter(j => sp.dimIndex(j) >= sp.explicit)
+    val logiImp = (sp.explicit until rank).map(sp.fileOfLogical)
+    if (fileImp == logiImp) null
+    else {
+      val srcStride = new Array[Int](rank)
+      var acc = 1
+      fileImp.reverse.foreach { j => srcStride(j) = acc; acc *= sp.extent(j) }
+      val sizesLog = logiImp.map(sp.extent)
+      val n = sizesLog.product
+      val out = new Array[Int](n)
+      val idx = new Array[Int](logiImp.size)
+      var flat = 0
+      while (flat < n) {
+        var rem = flat
+        var i = logiImp.size - 1
+        while (i >= 0) { idx(i) = rem % sizesLog(i); rem /= sizesLog(i); i -= 1 }
+        var src = 0
+        i = 0
+        while (i < logiImp.size) { src += idx(i) * srcStride(logiImp(i)); i += 1 }
+        out(flat) = src
+        flat += 1
+      }
+      out
+    }
+  }
   private var row = p.rowLo
   private var current: InternalRow = _
   // narrow the decoded doubles to the declared element type with C-cast
@@ -217,18 +272,31 @@ final class NetCDFPartitionReader(p: NetCDFPartition)
     val fields = Seq.newBuilder[Any]
     if (p.needId) fields += (sp.keyStart + row)
     if (p.needMeasure) {
-      // decode the flat explicit-row index into per-dim origins (row-major)
+      // decode the flat explicit-row index into per-LOGICAL-dim indices
+      // (row-major over logical explicit order)
       var rem = row
       val expIdx = new Array[Int](sp.explicit)
       var i = sp.explicit - 1
       while (i >= 0) {
-        expIdx(i) = (rem % expSizes(i)).toInt + (sp.starts(i) - 1)
+        expIdx(i) = (rem % expSizes(i)).toInt
         rem /= expSizes(i)
         i -= 1
       }
-      val origin = expIdx.toSeq ++ impOrigin
-      val slabShape = Seq.fill(sp.explicit)(1) ++ impShape
-      val data = rdr.readSlab(sp.varName, origin, slabShape)
+      // per FILE dim: explicit-mapped dims pin to their logical index,
+      // implicit-mapped dims take the whole requested range
+      val origin = (0 until rank).map { j =>
+        val k = sp.dimIndex(j)
+        (sp.starts(j) - 1) + (if (k < sp.explicit) expIdx(k) else 0)
+      }
+      val raw = rdr.readSlab(sp.varName, origin, slabShape)
+      val data =
+        if (permTable == null) raw
+        else {
+          val o = new Array[Double](raw.length)
+          var t = 0
+          while (t < o.length) { o(t) = raw(permTable(t)); t += 1 }
+          o
+        }
       fields += (if (sp.elemType == "double") ArrayData.toArrayData(data)
                  else ArrayData.toArrayData(data.map(narrow)))
     }

@@ -236,6 +236,38 @@ class NetCDFSpec extends SparkSpec {
     }
   }
 
+  test("dim_index transposes unordered dims at import, matching a pre-ordered file") {
+    // file stores dims (a=2, b=3, c=4); the logical order is (b, c, a):
+    // dim_index maps file dim -> logical position = 2,0,1; b keys rows
+    // (explicit=1), the in-row array is (c, a) row-major
+    val dir = java.nio.file.Files.createTempDirectory("graft_nc_perm")
+    val unordered = dir.resolve("u.nc").toString
+    val data = Array.tabulate(2 * 3 * 4)(_.toDouble) // file order (a,b,c)
+    NetCDF3.writeDoubleVar(unordered, Seq("a" -> 2, "b" -> 3, "c" -> 4),
+      "m", data)
+    // the pre-ordered golden file: same values laid out (b, c, a)
+    val golden = dir.resolve("g.nc").toString
+    val gdata = new Array[Double](24)
+    for (a <- 0 until 2; b <- 0 until 3; c <- 0 until 4)
+      gdata(b * 8 + c * 2 + a) = data(a * 12 + b * 4 + c)
+    NetCDF3.writeDoubleVar(golden, Seq("b" -> 3, "c" -> 4, "a" -> 2),
+      "m", gdata)
+    def read(path: String, dimIndex: Option[String]) = {
+      val r = spark.read.format("graft.sources.NetCDFSource")
+        .option("path", path).option("var", "m").option("explicit", "1")
+      dimIndex.fold(r)(di => r.option("dim_index", di)).load().orderBy("id_dim")
+    }
+    val transposed = read(unordered, Some("2,0,1")).collect()
+    val pre = read(golden, None).collect()
+    assert(transposed.length == 3 && pre.length == 3)
+    (transposed, pre).zipped.foreach { (t, g) =>
+      assert(t.getLong(0) == g.getLong(0))
+      assert(t.getSeq[Double](1) == g.getSeq[Double](1))
+    }
+    // spot check: row b=1, in-row (c,a) -> first two entries v(a=0..1,b=1,c=0)
+    assert(transposed(1).getSeq[Double](1).take(2) == Seq(data(4), data(16)))
+  }
+
   test("NetCDF-4/HDF5 file reads through the same DSv2 source, partitioned") {
     val f = java.nio.file.Files.createTempDirectory("graft_h5_dsv2")
       .resolve("t.h5").toFile
