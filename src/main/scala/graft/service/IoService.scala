@@ -1,31 +1,51 @@
 package graft.service
 
-import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.io.{BufferedInputStream, BufferedOutputStream, BufferedReader,
+  DataInputStream, DataOutputStream, EOFException, InputStreamReader, PrintWriter}
 import java.net.{ServerSocket, Socket}
+import java.nio.{ByteBuffer, ByteOrder}
 import java.util.concurrent.atomic.AtomicBoolean
 
 import org.apache.spark.sql.SparkSession
 
 import graft.engine.IoServer
+import graft.sources.BinaryCodec
 
 /** Thin TCP service surface with the reference's connection semantics
   * (src/server/execs/oph_io_server.c:290-310: accept loop, one handler
   * per connection, per-connection session state; message types
-  * PG/UD/SQ/EQ/RS of oph_io_server_thread.c):
+  * PG/UD/SQ/EQ/RS of oph_io_server_thread.c). Two codecs over the same
+  * dispatch, selected per instance with `wire`:
   *
+  * `wire="json"` — line protocol, JSON responses:
   *   UD <db>           use database
   *   EQ <dialect query> execute (create_frag_select / select / ...)
   *   RS [n]            fetch up to n rows of the last result set
   *   BYE               close
+  * RS returns {"ok":true,"nrows":...,"fields":[...],"rows":[[...]]}.
   *
-  * Responses are single JSON lines: {"ok":true,...} or
-  * {"ok":false,"error":...}; RS returns {"ok":true,"nrows":...,
-  * "fields":[...],"rows":[[...]]} — the JSON-era analogue of the
-  * reference's [nrows][nfields][len,value]* wire format
-  * (oph_io_server_thread.c:336-463). Arrays are JSON arrays; everything
-  * else is stringified like the reference stringifies non-BLOB values.
+  * `wire="binary"` — the reference client's frame protocol
+  *   (oph_io_server_thread.c:150-700, oph_io_client_interface.h:34-66),
+  *   all integers little-endian (the reference memcpys host-endian
+  *   x86_64 values):
+  *   PG                                         → PG
+  *   UD [u64 len][db][u64 len][device]          → UD | ER
+  *   EQ/SQ [u32 nargs+1][u64 len][query][u64 len][device]
+  *     then if nargs>0: [u64 tot_run][u64 curr_run] and per arg
+  *     [u64 len][tag:2][bytes] with tags DL(le-long) DD(le-double)
+  *     DV(string) DB(packed-double blob) DN(null)  → EQ | ER
+  *   RS → RS [u64 payload_len][u64 nrows][u32 nfields]
+  *           ([u64 len][value])* — longs/doubles stringified
+  *           (NUL-terminated, doubles in C "%f" form), strings
+  *           NUL-terminated, array measures as packed little-endian
+  *           double BLOBs (oph-lib-binary-io layout).
+  *   NOTE the reference's own arg-tag dispatch chain drops the `== 0`
+  *   on its STRCMP (oph_io_server_thread.c:608-620), so every tag but
+  *   DL lands as LONG and DL lands as DOUBLE; that inversion is a bug
+  *   documented here, not replicated — tags decode as named above.
   */
-final class IoService(spark: SparkSession, port: Int = 0) {
+final class IoService(spark: SparkSession, port: Int = 0,
+                      wire: String = "json") {
   private val server = new IoServer(spark)
   private val sock = new ServerSocket(port)
   private val running = new AtomicBoolean(true)
@@ -36,7 +56,8 @@ final class IoService(spark: SparkSession, port: Int = 0) {
     while (running.get()) {
       try {
         val client = sock.accept()
-        val t = new Thread(() => handle(client))
+        val t = new Thread(() =>
+          if (wire == "binary") handleBinary(client) else handle(client))
         t.setDaemon(true)
         t.start()
       } catch { case _: Throwable => /* socket closed */ }
@@ -58,7 +79,9 @@ final class IoService(spark: SparkSession, port: Int = 0) {
 
   private def jval(v: Any): String = v match {
     case null => "null"
-    case s: Seq[_] => s.map(jval).mkString("[", ",", "]")
+    // collection.Seq, not the 2.13 immutable default: Spark rows carry
+    // array columns as mutable.ArraySeq
+    case s: scala.collection.Seq[_] => s.map(jval).mkString("[", ",", "]")
     case a: Array[_] => a.toSeq.map(jval).mkString("[", ",", "]")
     case n: Long => n.toString
     case n: Int => n.toString
@@ -66,6 +89,107 @@ final class IoService(spark: SparkSession, port: Int = 0) {
     case f: Float => jval(f.toDouble)
     case b: Boolean => b.toString
     case o => jstr(o.toString)
+  }
+
+  // ---------------------------------------------------------- binary wire
+
+  private def handleBinary(client: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(client.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(client.getOutputStream))
+    val session = server.newSession()
+    def u64(): Long = java.lang.Long.reverseBytes(in.readLong())
+    def u32(): Int = java.lang.Integer.reverseBytes(in.readInt())
+    def bytesN(n: Long): Array[Byte] = {
+      val b = new Array[Byte](n.toInt); in.readFully(b); b
+    }
+    def str(n: Long): String = {
+      val b = bytesN(n)
+      val end = if (b.nonEmpty && b.last == 0) b.length - 1 else b.length
+      new String(b, 0, end, "UTF-8") // the C client sends strlen+1 w/ NUL
+    }
+    def reply(tag: String): Unit = { out.write(tag.getBytes("UTF-8")); out.flush() }
+    def wu64(v: Long): Unit = out.writeLong(java.lang.Long.reverseBytes(v))
+    def wu32(v: Int): Unit = out.writeInt(java.lang.Integer.reverseBytes(v))
+    /** One result cell as the reference encodes it: numbers and strings
+      * NUL-terminated text, array measures packed-double BLOBs. */
+    def cell(v: Any): Array[Byte] = v match {
+      case null => Array.emptyByteArray
+      case l: Long => (l.toString + "\u0000").getBytes("UTF-8")
+      case i: Int => (i.toString + "\u0000").getBytes("UTF-8")
+      case d: Double => (f"$d%f" + "\u0000").getBytes("UTF-8") // C "%f"
+      case f: Float => cell(f.toDouble)
+      case b: Boolean => ((if (b) "1" else "0") + "\u0000").getBytes("UTF-8")
+      case s: scala.collection.Seq[_] =>
+        BinaryCodec.packDoubles(
+          s.iterator.map(x => x.asInstanceOf[Number].doubleValue()).toSeq)
+      case a: Array[Byte] => a
+      case o => (o.toString + "\u0000").getBytes("UTF-8")
+    }
+    try {
+      while (true) {
+        val tag = new Array[Byte](2)
+        in.readFully(tag)
+        new String(tag, "UTF-8") match {
+          case "PG" => reply("PG")
+          case "UD" =>
+            val db = str(u64()); str(u64()) // device: accepted, unused
+            try { session.useDb(db); reply("UD") }
+            catch { case _: Exception => reply("ER") }
+          case "EQ" | "SQ" =>
+            val nArgs = u32() - 1 // the client sends nargs+1
+            val query = str(u64())
+            str(u64()) // device
+            var q = query
+            var binds: Seq[Any] = Nil
+            if (nArgs > 0) {
+              val totRun = u64(); val currRun = u64()
+              binds = (0 until nArgs).map { _ =>
+                val len = u64()
+                val t = new Array[Byte](2); in.readFully(t)
+                val raw = bytesN(len)
+                new String(t, "UTF-8") match {
+                  case "DL" => ByteBuffer.wrap(raw)
+                    .order(ByteOrder.LITTLE_ENDIAN).getLong
+                  case "DD" => ByteBuffer.wrap(raw)
+                    .order(ByteOrder.LITTLE_ENDIAN).getDouble
+                  case "DV" =>
+                    val end = if (raw.nonEmpty && raw.last == 0) raw.length - 1
+                              else raw.length
+                    new String(raw, 0, end, "UTF-8")
+                  case "DB" => BinaryCodec.unpackDoubles(raw)
+                  case "DN" => null
+                  case o => throw new IllegalArgumentException(s"arg tag $o")
+                }
+              }
+              // chunked prepared runs arrive as frame fields, not query
+              // text (oph_io_server_thread.h:60-66) — surface them to the
+              // engine's tot_run/curr_run handling
+              if (totRun > 1 && !q.contains("tot_run"))
+                q += s";tot_run=$totRun;curr_run=$currRun"
+            }
+            try { session.execute(q, binds); reply("EQ") }
+            catch { case _: Exception => reply("ER") }
+          case "RS" =>
+            session.lastResult match {
+              case Some(df) =>
+                val rows = df.collect()
+                val nFields = df.columns.length
+                val cells = rows.map(r => (0 until nFields).map(i => cell(r.get(i))))
+                val payloadLen = cells.iterator
+                  .map(_.map(c => 8L + c.length).sum).sum
+                out.write("RS".getBytes("UTF-8"))
+                wu64(payloadLen); wu64(rows.length.toLong); wu32(nFields)
+                cells.foreach(_.foreach { c => wu64(c.length.toLong); out.write(c) })
+                out.flush()
+              case None => reply("ER")
+            }
+          case _ => reply("ER")
+        }
+      }
+    } catch {
+      case _: EOFException => // client closed
+      case _: java.net.SocketException =>
+    } finally client.close()
   }
 
   private def handle(client: Socket): Unit = {
