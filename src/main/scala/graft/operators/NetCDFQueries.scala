@@ -82,9 +82,41 @@ object NetCDFQueries {
     nc.join(h5, "id_dim").orderBy("id_dim")
   }
 
+  /** qn03 — Zarr store read: the qn02 grid written as a zlib-compressed
+    * Zarr v2 store (ragged edge chunks) and as a CDF-1 file, both
+    * through file_import → the format-sniffing DSv2 reader, joined on
+    * id_dim (reference capability: HISTORY.md v1.9.0 "Support for Zarr
+    * format" / URL src_paths, oph_io_server_nc.c:2769). */
+  def qn03_zarr_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val (nRows, nCols) = (60, 8)
+    val data = Array.tabulate(nRows * nCols)(k =>
+      (k / nCols) * 0.5 + (k % nCols) * 0.125) // exact in binary
+    val tmp = Files.createTempDirectory("graft_zarr_q")
+    val ncPath = tmp.resolve("twin.nc").toString
+    val zPath = tmp.resolve("twin.zarr").toString
+    NetCDF3.writeDoubleVar(ncPath, Seq("row" -> nRows, "col" -> nCols),
+      "measure", data)
+    graft.sources.Zarr.writeDoubleVar(zPath,
+      Seq("row" -> nRows, "col" -> nCols), "measure", data,
+      chunkDims = Some(Seq(16, 8))) // 60 % 16 != 0 → ragged edge chunk
+    val ses = new IoServer(s).newSession()
+    ses.execute(s"operation=file_import;frag_name=zin;src_path=@$zPath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=ncin2;src_path=@$ncPath;" +
+      "measure=measure;explicit=1")
+    val z = ses.execute(
+      "operation=select;field=id_dim|measure;from=zin;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_zarr"))
+    val nc = ses.execute(
+      "operation=select;field=id_dim|measure;from=ncin2;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_cdf"))
+    nc.join(z, "id_dim").orderBy("id_dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qn01_netcdf_roundtrip" -> (qn01_netcdf_roundtrip _),
     "qn02_netcdf4_roundtrip" -> (qn02_netcdf4_roundtrip _),
+    "qn03_zarr_roundtrip" -> (qn03_zarr_roundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -106,6 +138,16 @@ object NetCDFQueries {
          array_to_string(list_transform(range(0, 8),
            j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
            AS m_hdf5
+         FROM range(1, 61) t(i)
+         ORDER BY id_dim""",
+    "qn03_zarr_roundtrip" ->
+      """SELECT i AS id_dim,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_cdf,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_zarr
          FROM range(1, 61) t(i)
          ORDER BY id_dim""",
   )

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.RandomAccessFile
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.{Deflater, Inflater}
 import scala.collection.mutable
@@ -42,13 +41,13 @@ object HDF5 {
   private val Undef = -1L // 0xFFFFFFFFFFFFFFFF
 
   def isHdf5(path: String): Boolean = {
-    val raf = new RandomAccessFile(path, "r")
+    val src = RandomInput.open(path)
     try {
       val b = new Array[Byte](8)
-      if (raf.length() < 8) return false
-      raf.readFully(b)
+      if (src.length() < 8) return false
+      src.readFully(0, b)
       b.sameElements(Signature)
-    } finally raf.close()
+    } finally src.close()
   }
 
   /** Element type: HDF5 class 0 (fixed) / 1 (float), byte size, order. */
@@ -74,7 +73,7 @@ object HDF5 {
   // ================================================================ READ
 
   final class Hdf5Reader(path: String) extends AutoCloseable {
-    private val raf = new RandomAccessFile(path, "r")
+    private val src = RandomInput.open(path) // local path or Hadoop URI
     private val datasets: Map[String, Dataset] = parseFile()
     // decompressed-chunk LRU: readers are per-partition and rows arrive
     // in order, so a handful of chunks covers the working set
@@ -90,12 +89,12 @@ object HDF5 {
         s"no variable $name in $path (have: ${varNames.mkString(", ")})"))
     def shape(name: String): Seq[Int] = dataset(name).shape
 
-    override def close(): Unit = raf.close()
+    override def close(): Unit = src.close()
 
     // ---- low-level positioned LE reads ----
     private def bytesAt(off: Long, n: Int): Array[Byte] = {
       val b = new Array[Byte](n)
-      raf.seek(off); raf.readFully(b); b
+      src.readFully(off, b); b
     }
     private def bb(off: Long, n: Int): ByteBuffer =
       ByteBuffer.wrap(bytesAt(off, n)).order(ByteOrder.LITTLE_ENDIAN)
@@ -130,7 +129,7 @@ object HDF5 {
 
     private def findSuperblock(): Long = {
       var off = 0L
-      while (off < raf.length()) {
+      while (off < src.length()) {
         if (bytesAt(off, 8).sameElements(Signature)) return off
         off = if (off == 0) 512 else off * 2
       }
@@ -499,8 +498,7 @@ object HDF5 {
             else if (i == outerEnd && splitAt > 0) origin(i)
             else origin(i)).toArray
           val off = (0 until rank).map(i => full(i) * strides(i)).sum
-          raf.seek(d.contiguousAddr + off * es)
-          raf.readFully(buf)
+          src.readFully(d.contiguousAddr + off * es, buf)
           val bbuf = ByteBuffer.wrap(buf).order(order)
           var i = 0
           while (i < runLen) { out(outPos) = dec(bbuf, i); outPos += 1; i += 1 }
@@ -510,8 +508,7 @@ object HDF5 {
         }
       }
       if (rank == 0) { // scalar
-        raf.seek(d.contiguousAddr)
-        val b1 = new Array[Byte](es); raf.readFully(b1)
+        val b1 = new Array[Byte](es); src.readFully(d.contiguousAddr, b1)
         out(0) = dec(ByteBuffer.wrap(b1).order(order), 0)
       } else rec(0, new Array[Int](math.max(outerEnd, 0)))
     }

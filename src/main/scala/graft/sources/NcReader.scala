@@ -1,10 +1,11 @@
 package graft.sources
 
-/** Format-sniffing facade over the two container formats the reference
+/** Format-sniffing facade over the container formats the reference
   * ingests (src/server/oph_io_server_nc.c:2716-3243 dispatches the same
-  * way): NetCDF classic (CDF-1/2, [[NetCDF3]]) and NetCDF-4/HDF5
-  * ([[HDF5]]). One hyperslab API so the DSv2 source is
-  * format-oblivious. */
+  * way, URL paths included at :2769): NetCDF classic (CDF-1/2,
+  * [[NetCDF3]]), NetCDF-4/HDF5 ([[HDF5]]) and Zarr v2 stores
+  * ([[Zarr]]). Paths may be Hadoop URIs (s3a://, hdfs://, file://).
+  * One hyperslab API so the DSv2 source is format-oblivious. */
 trait NcReader extends AutoCloseable {
   def shape(varName: String): Seq[Int]
   def readSlab(varName: String, origin: Seq[Int], shape: Seq[Int]): Array[Double]
@@ -13,7 +14,9 @@ trait NcReader extends AutoCloseable {
 object NcReader {
 
   def open(path: String): NcReader =
-    if (HDF5.isHdf5(path)) new H5Adapter(path) else new CdfAdapter(path)
+    if (Zarr.isZarr(path)) new Zarr.ZarrReader(path) // directory store
+    else if (HDF5.isHdf5(path)) new H5Adapter(path)
+    else new CdfAdapter(path)
 
   /** Shape lookup with open/close in one call (planning-time use). */
   def shapeOf(path: String, varName: String): Seq[Int] = {
@@ -30,13 +33,13 @@ object NcReader {
   }
 
   private final class CdfAdapter(path: String) extends NcReader {
-    private val hdr = NetCDF3.readHeader(path)
-    private val raf = new java.io.RandomAccessFile(path, "r")
+    private val src = RandomInput.open(path) // local path or Hadoop URI
+    private val hdr = NetCDF3.readHeader(src)
     override def shape(varName: String): Seq[Int] =
       hdr.shape(hdr.variable(varName))
     override def readSlab(varName: String, origin: Seq[Int],
         shape: Seq[Int]): Array[Double] =
-      NetCDF3.readSlab(raf, hdr, hdr.variable(varName), origin, shape)
-    override def close(): Unit = raf.close()
+      NetCDF3.readSlab(src, hdr, hdr.variable(varName), origin, shape)
+    override def close(): Unit = src.close()
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream, RandomAccessFile}
+import java.io.{DataInputStream, DataOutputStream, FileOutputStream}
 import java.nio.ByteBuffer
 
 /** Pure-JVM reader/writer for the NetCDF classic format (CDF-1/CDF-2) —
@@ -52,11 +52,15 @@ object NetCDF3 {
   // ------------------------------------------------------------------ read
 
   def readHeader(path: String): Header = {
-    val in = new DataInputStream(new java.io.BufferedInputStream(
-      new FileInputStream(path)))
+    val src = RandomInput.open(path) // local path or Hadoop URI (s3a://…)
+    try readHeader(src) finally src.close()
+  }
+
+  def readHeader(src: RandomInput): Header = {
+    val in = new DataInputStream(src.openStream())
     try {
       val magic = Array.fill(3)(in.readByte())
-      require(magic.sameElements("CDF".getBytes), s"not a NetCDF classic file: $path")
+      require(magic.sameElements("CDF".getBytes), "not a NetCDF classic file")
       val version = in.readByte().toInt
       require(version == 1 || version == 2, s"unsupported CDF version $version")
       val numRecs = in.readInt()
@@ -126,11 +130,11 @@ object NetCDF3 {
     * contiguous run (the innermost full-extent suffix). */
   def readSlab(path: String, hdr: Header, v: Variable,
                origin: Seq[Int], shape: Seq[Int]): Array[Double] = {
-    val raf = new RandomAccessFile(path, "r")
-    try readSlab(raf, hdr, v, origin, shape) finally raf.close()
+    val src = RandomInput.open(path)
+    try readSlab(src, hdr, v, origin, shape) finally src.close()
   }
 
-  def readSlab(raf: RandomAccessFile, hdr: Header, v: Variable,
+  def readSlab(src: RandomInput, hdr: Header, v: Variable,
                origin: Seq[Int], shape: Seq[Int]): Array[Double] = {
     val dimsShape = hdr.shape(v)
     require(origin.size == dimsShape.size && shape.size == dimsShape.size,
@@ -173,8 +177,7 @@ object NetCDF3 {
     def rec(d: Int, idx: Array[Int]): Unit = {
       if (d == outerDims.size) {
         val full = idx.toSeq ++ (outerDims.size until dimsShape.size).map(origin(_))
-        raf.seek(offsetOf(full))
-        raf.readFully(buf)
+        src.readFully(offsetOf(full), buf)
         val bb = ByteBuffer.wrap(buf)
         var i = 0
         while (i < runLen) {

@@ -1,0 +1,279 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{Deflater, Inflater}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Zarr v2 store reader/writer — the reference's Zarr capability
+  * (HISTORY.md v1.9.0 "Support for Zarr format", delegated there to
+  * netcdf-c's NCZarr dispatch via URL src_paths,
+  * oph_io_server_nc.c:2769). Implemented from the public Zarr v2 spec:
+  * a store is a directory tree; each array directory holds a `.zarray`
+  * JSON document (shape, chunks, dtype, compressor, fill_value, order)
+  * and chunk objects keyed `i.j.k` (or `/`-separated per
+  * `dimension_separator`); edge chunks are stored full-size; a missing
+  * chunk object means fill_value.
+  *
+  * Supported: C order, dtypes [<>|][fiu][1248], compressors null, zlib
+  * and gzip (blosc needs a native lib — rejected with a clear error),
+  * arrays at the store root or one level down (the netCDF-via-Zarr
+  * layout). All IO goes through the Hadoop FileSystem API, so
+  * `s3a://bucket/store.zarr` works wherever the cluster has the cloud
+  * connector — each Spark partition opens its own handles and reads
+  * only the chunks its rows intersect. */
+object Zarr {
+
+  final case class ZArray(shape: Seq[Int], chunks: Seq[Int], kind: Char,
+                          esize: Int, littleEndian: Boolean,
+                          compressor: String, fill: Double, sep: String)
+
+  private def fsFor(path: String): (Path, FileSystem) = {
+    val p = new Path(path)
+    (p, p.getFileSystem(new Configuration()))
+  }
+
+  /** A Zarr store is a directory with `.zarray`/`.zgroup` at its root. */
+  def isZarr(path: String): Boolean = {
+    val (p, fs) = fsFor(path)
+    try fs.isDirectory(p) &&
+      (fs.exists(new Path(p, ".zarray")) || fs.exists(new Path(p, ".zgroup")))
+    catch { case _: Exception => false }
+  }
+
+  final class ZarrReader(root: String) extends NcReader {
+    private val (rootPath, fs) = fsFor(root)
+    private val mapper = new ObjectMapper()
+
+    private def readAll(p: Path): Array[Byte] = {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](65536)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    }
+
+    private def arrayDir(varName: String): Path = {
+      val sub = new Path(rootPath, varName)
+      if (fs.exists(new Path(sub, ".zarray"))) sub
+      else if (fs.exists(new Path(rootPath, ".zarray"))) rootPath
+      else throw new IllegalArgumentException(
+        s"no Zarr array '$varName' under $root")
+    }
+
+    private val metaCache = scala.collection.mutable.Map.empty[String, (Path, ZArray)]
+    private def meta(varName: String): (Path, ZArray) =
+      metaCache.getOrElseUpdate(varName, {
+        val dir = arrayDir(varName)
+        val j = mapper.readTree(readAll(new Path(dir, ".zarray")))
+        require(j.get("zarr_format").asInt() == 2,
+          s"zarr_format ${j.get("zarr_format")} unsupported (v2 only)")
+        require(j.get("order").asText() == "C",
+          "only C (row-major) order supported")
+        val shape = (0 until j.get("shape").size())
+          .map(i => j.get("shape").get(i).asInt())
+        val chunks = (0 until j.get("chunks").size())
+          .map(i => j.get("chunks").get(i).asInt())
+        val dt = j.get("dtype").asText() // e.g. "<f8"
+        require(dt.length == 3, s"dtype $dt unsupported")
+        val le = dt.charAt(0) != '>'
+        val comp = j.get("compressor")
+        val compId =
+          if (comp == null || comp.isNull) "null"
+          else comp.get("id").asText() match {
+            case ok @ ("zlib" | "gzip") => ok
+            case "blosc" => throw new IllegalArgumentException(
+              "blosc compressor needs a native lib — re-encode with zlib/gzip")
+            case o => throw new IllegalArgumentException(s"compressor $o unsupported")
+          }
+        val fillNode = j.get("fill_value")
+        val fill = if (fillNode == null || fillNode.isNull) 0.0
+                   else fillNode.asDouble()
+        val sepNode = j.get("dimension_separator")
+        val sep = if (sepNode == null || sepNode.isNull) "." else sepNode.asText()
+        (dir, ZArray(shape, chunks, dt.charAt(1), dt.substring(2).toInt,
+          le, compId, fill, sep))
+      })
+
+    override def shape(varName: String): Seq[Int] = meta(varName)._2.shape
+
+    private def decompress(z: ZArray, b: Array[Byte], hint: Int): Array[Byte] =
+      z.compressor match {
+        case "null" => b
+        case "gzip" =>
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(b))
+          try in.readAllBytes() finally in.close()
+        case "zlib" =>
+          val inf = new Inflater()
+          inf.setInput(b)
+          val out = new java.io.ByteArrayOutputStream(math.max(hint, 64))
+          val buf = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val k = inf.inflate(buf)
+            if (k == 0 && inf.needsInput())
+              throw new java.io.EOFException("truncated zlib chunk")
+            out.write(buf, 0, k)
+          }
+          inf.end(); out.toByteArray
+      }
+
+    private def decoder(z: ZArray): (ByteBuffer, Int) => Double = {
+      val es = z.esize
+      (z.kind, es) match {
+        case ('f', 8) => (b, i) => b.getDouble(i * es)
+        case ('f', 4) => (b, i) => b.getFloat(i * es).toDouble
+        case ('i', 8) => (b, i) => b.getLong(i * es).toDouble
+        case ('i', 4) => (b, i) => b.getInt(i * es).toDouble
+        case ('i', 2) => (b, i) => b.getShort(i * es).toDouble
+        case ('i', 1) => (b, i) => b.get(i * es).toDouble
+        case ('u', 1) => (b, i) => (b.get(i * es) & 0xFF).toDouble
+        case ('u', 2) => (b, i) => (b.getShort(i * es) & 0xFFFF).toDouble
+        case ('u', 4) => (b, i) => (b.getInt(i * es) & 0xFFFFFFFFL).toDouble
+        case o => throw new IllegalArgumentException(s"dtype $o unsupported")
+      }
+    }
+
+    // per-reader decompressed-chunk LRU, same posture as the HDF5 reader
+    private val chunkCache =
+      new java.util.LinkedHashMap[String, Array[Byte]](8, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[Byte]]): Boolean = size() > 4
+      }
+
+    private def chunkBytes(dir: Path, z: ZArray, grid: Seq[Int]): Option[Array[Byte]] = {
+      val key = grid.mkString(z.sep)
+      val cached = chunkCache.get(key)
+      if (cached != null) return Some(cached)
+      val p = if (z.sep == "/") new Path(dir, grid.mkString("/"))
+              else new Path(dir, key)
+      if (!fs.exists(p)) return None
+      val raw = decompress(z, readAll(p), z.chunks.product * z.esize)
+      chunkCache.put(key, raw)
+      Some(raw)
+    }
+
+    override def readSlab(varName: String, origin: Seq[Int],
+        shape: Seq[Int]): Array[Double] = {
+      val (dir, z) = meta(varName)
+      require(origin.size == z.shape.size && shape.size == z.shape.size,
+        s"rank mismatch: $varName has shape ${z.shape}")
+      val rank = z.shape.size
+      val dec = decoder(z)
+      val order = if (z.littleEndian) ByteOrder.LITTLE_ENDIAN
+                  else ByteOrder.BIG_ENDIAN
+      val out = new Array[Double](shape.product)
+      java.util.Arrays.fill(out, z.fill)
+      val outStrides = shape.scanRight(1)(_ * _).tail
+      val chunkStrides = z.chunks.scanRight(1)(_ * _).tail
+      // iterate the chunk-grid boxes intersecting [origin, origin+shape)
+      val gLo = (0 until rank).map(i => origin(i) / z.chunks(i))
+      val gHi = (0 until rank).map(i => (origin(i) + shape(i) - 1) / z.chunks(i))
+      def chunksRec(dim: Int, grid: Array[Int]): Unit = {
+        if (dim == rank) {
+          val gridOrigin = (0 until rank).map(i => grid(i) * z.chunks(i))
+          chunkBytes(dir, z, grid.toSeq).foreach { bytes =>
+            val bbuf = ByteBuffer.wrap(bytes).order(order)
+            val lo = (0 until rank).map(i => math.max(origin(i), gridOrigin(i)))
+            val hi = (0 until rank).map(i =>
+              math.min(origin(i) + shape(i), gridOrigin(i) + z.chunks(i)))
+            def copy(d: Int, outBase: Int, chunkBase: Int): Unit = {
+              if (d == rank - 1) {
+                val n = hi(d) - lo(d)
+                val ob = outBase + (lo(d) - origin(d)) * outStrides(d)
+                val cb = chunkBase + (lo(d) - gridOrigin(d)) * chunkStrides(d)
+                var i = 0
+                while (i < n) { out(ob + i) = dec(bbuf, cb + i); i += 1 }
+              } else {
+                var v = lo(d)
+                while (v < hi(d)) {
+                  copy(d + 1, outBase + (v - origin(d)) * outStrides(d),
+                    chunkBase + (v - gridOrigin(d)) * chunkStrides(d))
+                  v += 1
+                }
+              }
+            }
+            copy(0, 0, 0)
+          }
+        } else {
+          var g = gLo(dim)
+          while (g <= gHi(dim)) { grid(dim) = g; chunksRec(dim + 1, grid); g += 1 }
+        }
+      }
+      chunksRec(0, new Array[Int](rank))
+      out
+    }
+
+    override def close(): Unit = ()
+  }
+
+  // =============================================================== WRITE
+
+  /** Write a float64 little-endian Zarr v2 store: `.zgroup` at the root,
+    * the array under `varName/` with zlib-compressed C-order chunks —
+    * the layout a netCDF-over-Zarr writer produces for one variable. */
+  def writeDoubleVar(path: String, dims: Seq[(String, Int)], varName: String,
+      data: Array[Double], chunkDims: Option[Seq[Int]] = None,
+      level: Int = 6): Unit = {
+    val shape = dims.map(_._2)
+    require(data.length == shape.product, "data size != dim product")
+    val chunks = chunkDims.getOrElse(shape)
+    val rank = shape.size
+    val (rootPath, fs) = fsFor(path)
+    fs.mkdirs(rootPath)
+    def put(p: Path, b: Array[Byte]): Unit = {
+      val o = fs.create(p, true)
+      try o.write(b) finally o.close()
+    }
+    put(new Path(rootPath, ".zgroup"), """{"zarr_format": 2}""".getBytes("UTF-8"))
+    val dir = new Path(rootPath, varName)
+    fs.mkdirs(dir)
+    val zarray =
+      s"""{"zarr_format": 2,
+         | "shape": [${shape.mkString(", ")}],
+         | "chunks": [${chunks.mkString(", ")}],
+         | "dtype": "<f8",
+         | "compressor": {"id": "zlib", "level": $level},
+         | "fill_value": 0.0,
+         | "order": "C",
+         | "filters": null}""".stripMargin
+    put(new Path(dir, ".zarray"), zarray.getBytes("UTF-8"))
+    val grid = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    val strides = shape.scanRight(1)(_ * _).tail
+    val chunkStrides = chunks.scanRight(1)(_ * _).tail
+    def writeChunk(gidx: Seq[Int]): Unit = {
+      val originC = gidx.zip(chunks).map { case (g, c) => g * c }
+      val raw = new Array[Byte](chunks.product * 8)
+      val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      def fill(dim: Int, srcBase: Int, dstBase: Int): Unit = {
+        if (dim == rank) bb.putDouble(dstBase * 8, data(srcBase))
+        else {
+          val lim = math.min(chunks(dim), shape(dim) - originC(dim))
+          var j = 0
+          while (j < lim) {
+            fill(dim + 1, srcBase + (originC(dim) + j) * strides(dim),
+              dstBase + j * chunkStrides(dim))
+            j += 1
+          }
+        }
+      }
+      fill(0, 0, 0)
+      val d = new Deflater(level)
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      put(new Path(dir, gidx.mkString(".")), out.toByteArray)
+    }
+    def rec(dim: Int, gidx: Array[Int]): Unit =
+      if (dim == rank) writeChunk(gidx.toSeq)
+      else { var g = 0; while (g < grid(dim)) { gidx(dim) = g; rec(dim + 1, gidx); g += 1 } }
+    rec(0, new Array[Int](rank))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Zarr v2 store coverage: metadata golden strings, zlib chunk
+  * roundtrips incl. ragged edges, fill values for missing chunks,
+  * uncompressed + big-endian stores written by hand from the spec. */
+class ZarrSpec extends AnyFunSuite {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_zarr").resolve("store.zarr").toString
+
+  private def grid(rows: Int, cols: Int): Array[Double] =
+    Array.tabulate(rows * cols)(i => (i / cols) * 0.5 + (i % cols) * 0.125)
+
+  test("writer emits spec-shaped .zgroup/.zarray and dotted chunk keys") {
+    val p = tmp()
+    Zarr.writeDoubleVar(p, Seq("r" -> 7, "c" -> 5), "m", grid(7, 5),
+      chunkDims = Some(Seq(3, 2)))
+    assert(Files.readString(java.nio.file.Paths.get(p, ".zgroup"))
+      .contains("\"zarr_format\": 2"))
+    val za = Files.readString(java.nio.file.Paths.get(p, "m", ".zarray"))
+    assert(za.contains("\"dtype\": \"<f8\"") && za.contains("\"order\": \"C\"")
+      && za.contains("\"shape\": [7, 5]") && za.contains("\"chunks\": [3, 2]")
+      && za.contains("\"id\": \"zlib\""))
+    // 3x2 chunks over 7x5 -> 3x3 grid, keys 0.0 .. 2.2
+    assert(Files.exists(java.nio.file.Paths.get(p, "m", "0.0")))
+    assert(Files.exists(java.nio.file.Paths.get(p, "m", "2.2")))
+  }
+
+  test("zlib roundtrip with ragged edge chunks and hyperslabs") {
+    val p = tmp()
+    val data = grid(7, 5)
+    Zarr.writeDoubleVar(p, Seq("r" -> 7, "c" -> 5), "m", data,
+      chunkDims = Some(Seq(3, 2)))
+    val r = new Zarr.ZarrReader(p)
+    assert(r.shape("m") == Seq(7, 5))
+    assert(r.readSlab("m", Seq(0, 0), Seq(7, 5)).toSeq == data.toSeq)
+    assert(r.readSlab("m", Seq(5, 3), Seq(2, 2)).toSeq ==
+      Seq(data(28), data(29), data(33), data(34)))
+    assert(r.readSlab("m", Seq(6, 4), Seq(1, 1)).toSeq == Seq(data(34)))
+  }
+
+  test("missing chunk objects read as fill_value") {
+    val p = tmp()
+    Zarr.writeDoubleVar(p, Seq("r" -> 4, "c" -> 2), "m",
+      Array.tabulate(8)(_ + 1.0), chunkDims = Some(Seq(2, 2)))
+    // delete the second chunk (rows 2-3)
+    Files.delete(java.nio.file.Paths.get(p, "m", "1.0"))
+    val r = new Zarr.ZarrReader(p)
+    assert(r.readSlab("m", Seq(0, 0), Seq(4, 2)).toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("hand-written uncompressed big-endian store reads per spec") {
+    val dir = Files.createTempDirectory("graft_zarr_raw")
+    val arr = dir.resolve("v"); Files.createDirectories(arr)
+    Files.writeString(dir.resolve(".zgroup"), """{"zarr_format": 2}""")
+    Files.writeString(arr.resolve(".zarray"),
+      """{"zarr_format": 2, "shape": [2, 2], "chunks": [2, 2],
+        | "dtype": ">i4", "compressor": null, "fill_value": -1,
+        | "order": "C", "filters": null}""".stripMargin)
+    val bb = java.nio.ByteBuffer.allocate(16) // big-endian default
+    Seq(10, 20, 30, 40).foreach(bb.putInt)
+    Files.write(arr.resolve("0.0"), bb.array())
+    val r = new Zarr.ZarrReader(dir.toString)
+    assert(r.shape("v") == Seq(2, 2))
+    assert(r.readSlab("v", Seq(0, 0), Seq(2, 2)).toSeq ==
+      Seq(10.0, 20.0, 30.0, 40.0))
+  }
+
+  test("blosc is rejected with a clear message") {
+    val dir = Files.createTempDirectory("graft_zarr_blosc")
+    val arr = dir.resolve("v"); Files.createDirectories(arr)
+    Files.writeString(dir.resolve(".zgroup"), """{"zarr_format": 2}""")
+    Files.writeString(arr.resolve(".zarray"),
+      """{"zarr_format": 2, "shape": [1], "chunks": [1], "dtype": "<f8",
+        | "compressor": {"id": "blosc"}, "fill_value": 0.0,
+        | "order": "C", "filters": null}""".stripMargin)
+    val r = new Zarr.ZarrReader(dir.toString)
+    val e = intercept[IllegalArgumentException](r.shape("v"))
+    assert(e.getMessage.contains("blosc"))
+  }
+
+  test("NcReader dispatch: directory store -> Zarr; file:// URI works (Hadoop FS)") {
+    val p = tmp()
+    Zarr.writeDoubleVar(p, Seq("r" -> 2, "c" -> 2), "measure",
+      Array(1.0, 2.0, 3.0, 4.0))
+    val viaPlain = NcReader.open(p)
+    assert(viaPlain.shape("measure") == Seq(2, 2))
+    viaPlain.close()
+    // the same CDF file through a file:// URI exercises the Hadoop path
+    val nc = Files.createTempDirectory("graft_nc_uri").resolve("t.nc")
+    NetCDF3.writeDoubleVar(nc.toString, Seq("x" -> 2), "m", Array(5.0, 6.0))
+    val viaUri = NcReader.open("file://" + nc)
+    assert(viaUri.shape("m") == Seq(2))
+    assert(viaUri.readSlab("m", Seq(0), Seq(2)).toSeq == Seq(5.0, 6.0))
+    viaUri.close()
+  }
+}
