@@ -18,11 +18,12 @@ import graft.functions.TextFunctions._
   *  - SimHash: pairing is an equi-join on the high 30 bits (a band), so
   *    candidate pairs stay near-linear; the full cross-join fallback is
   *    what we do NOT do;
-  *  - hot buckets are BOUNDED: exact duplicates collapse to one
-  *    representative before sketching ([[collapsed]]/[[expandPairs]],
-  *    lossless), and any residual band bucket over [[BucketCap]] rows is
-  *    salted into sub-buckets with the dropped-pair bound logged
-  *    ([[saltHotBuckets]]) — no single quadratic straggler task at 100 TB.
+  *  - hot buckets are BOUNDED, losslessly: exact duplicates collapse to
+  *    one representative before sketching ([[collapsed]]/[[expandPairs]]),
+  *    and any residual band bucket over [[BucketCap]] rows is
+  *    triangle-split into pair-groups ([[triangleSplit]]) that preserve
+  *    every candidate pair exactly once — no single quadratic straggler
+  *    task at 100 TB, and no recall loss either.
   */
 object DedupQueries {
 
@@ -53,89 +54,76 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** Max rows per LSH band bucket before salting kicks in — chosen above
-    * any bucket this corpus produces (largest observed: ~1.4k docs in one
-    * minhash band at sf0.1) so small-SF results are byte-identical to the
-    * uncapped plan, while a degenerate mega-bucket at 100 TB becomes
-    * ⌈n/cap⌉ bounded sub-buckets instead of one quadratic straggler. */
-  private[operators] val BucketCap = 2048
+  /** Rows per LSH band bucket before the LOSSLESS triangle split kicks
+    * in. The split changes no result (every candidate pair survives,
+    * exactly once), so the trigger is tuned for task granularity, not
+    * correctness: a bucket of n rows becomes S(S+1)/2 tasks of roughly
+    * (2·cap)² candidate comparisons each instead of one C(n,2)
+    * straggler. */
+  private[operators] val BucketCap = 1024
 
-  /** Dropped-pair accounting for [[saltHotBuckets]], OFF the query path:
-    * per-bucket stats flow into named accumulators while the (cached)
-    * bucket histogram is first materialized — i.e. during the query's own
-    * job, not a separate plan-build action — and a session-level
-    * [[org.apache.spark.sql.util.QueryExecutionListener]] prints any
-    * nonzero bound after the job finishes. Building a dedup plan therefore
-    * fires no Spark job; the bound still surfaces (never a silent cap),
-    * and it is also visible in the Spark UI as named accumulators. */
-  private object SaltLog {
-    final case class Accs(tag: String, cap: Int,
-        hot: org.apache.spark.util.LongAccumulator,
-        dropped: org.apache.spark.util.DoubleAccumulator)
-    private val pending = new java.util.ArrayList[Accs]()
-    private val sessions = new java.util.HashSet[Int]()
-    def accs(s: SparkSession, tag: String, cap: Int): Accs = synchronized {
-      if (sessions.add(System.identityHashCode(s)))
-        s.listenerManager.register(
-          new org.apache.spark.sql.util.QueryExecutionListener {
-            override def onSuccess(name: String,
-                qe: org.apache.spark.sql.execution.QueryExecution,
-                durationNs: Long): Unit = flush()
-            override def onFailure(name: String,
-                qe: org.apache.spark.sql.execution.QueryExecution,
-                e: Exception): Unit = flush()
-          })
-      val a = Accs(tag, cap,
-        s.sparkContext.longAccumulator(s"graft.dedup.$tag.hotBuckets"),
-        s.sparkContext.doubleAccumulator(s"graft.dedup.$tag.droppedPairBound"))
-      pending.add(a); a
-    }
-    def flush(): Unit = synchronized {
-      val it = pending.iterator()
-      while (it.hasNext) {
-        val a = it.next()
-        if (a.hot.value > 0) {
-          System.err.println(s"[graft.dedup:${a.tag}] bucket cap ${a.cap}: " +
-            s"${a.hot.value} hot buckets salted; <=${a.dropped.value.toLong} " +
-            "candidate pairs dropped (bounded recall loss)")
-          it.remove()
-        }
-      }
-    }
+  /** Replication bound for the triangle split: a hot-bucket row is
+    * copied into at most MaxSplit pair-groups, so shuffle amplification
+    * is bounded even for a degenerate mega-bucket. Beyond
+    * cap·MaxSplit rows per bucket, per-task work grows again — but a
+    * bucket that large has a quadratic PAIR OUTPUT, which no plan can
+    * bound without losing pairs; the exact-dup pre-collapse
+    * ([[collapsed]]) is what keeps real crawl corpora below this, and
+    * collapsing near-identical clusters to representatives (d07's
+    * output) is the documented mitigation beyond it. */
+  private[operators] val MaxSplit = 64
+
+  private val SubEnc = 1L << 20 // encodes a (i,j) pair-group as i·SubEnc+j
+
+  /** LOSSLESS skew split of the quadratic band-bucket self-join
+    * (replaces the round-5 salted CAP, which dropped cross-sub-bucket
+    * pairs with a logged bound — this drops nothing): rows in buckets
+    * over `cap` get salt s = hash(id) mod S, S = ⌈n/cap⌉ clamped to
+    * [[MaxSplit]], and are replicated to the S pair-groups {(min(k,s),
+    * max(k,s)) : k < S}; `tgrp` (the encoded group) joins as part of
+    * the bucket key and [[triangleCond]] keeps a pair only in the one
+    * group matching its own salt pair, so every in-bucket pair is
+    * produced exactly once while the biggest task shrinks from C(n,2)
+    * to ~(2·cap)² — the classic triangle-partitioned all-pairs join.
+    * The histogram is CACHED: it is joined against both sides of the
+    * self-join, and recomputing that full groupBy was the round-5
+    * d03/d04 regression. Cold buckets take the identity path (S=1,
+    * one group, zero replication). */
+  private[operators] def triangleSplit(bands: DataFrame, idCol: String,
+      cap: Int, keyCols: String*): DataFrame = {
+    val counts = bands.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .cache()
+    val joined = bands.join(counts, keyCols)
+    // branch so the Generate (explode) touches ONLY hot-bucket rows —
+    // the cold 99% stay in one whole-stage-codegen pass with constant
+    // salt/group and zero replication
+    val cold = joined.filter(col("bucket_n") <= cap)
+      .withColumn("bsalt", lit(0L)).withColumn("tgrp", lit(0L))
+      .drop("bucket_n")
+    val hot = joined.filter(col("bucket_n") > cap)
+      .withColumn("nsub",
+        least(ceil(col("bucket_n") / lit(cap.toDouble)), lit(MaxSplit.toLong))
+          .cast("long"))
+      .withColumn("bsalt", pmod(xxhash64(col(idCol)), col("nsub")))
+      .withColumn("tgrp",
+        explode(transform(sequence(lit(0L), col("nsub") - 1), k =>
+          when(k <= col("bsalt"), k * SubEnc + col("bsalt"))
+            .otherwise(col("bsalt") * SubEnc + k))))
+      .drop("bucket_n", "nsub")
+    cold.unionByName(hot)
   }
 
-  /** Bound the quadratic band-bucket self-join: count rows per bucket and
-    * salt any bucket larger than `cap` into ⌈n/cap⌉ sub-buckets keyed by a
-    * hash of the row id (`bsalt` joins as part of the bucket key). Pairs
-    * across sub-buckets of a hot bucket are dropped — a bounded recall
-    * loss that is LOGGED via [[SaltLog]] after the job, never silent.
-    * Worst-case task size drops from C(n,2) to ⌈n/cap⌉·C(cap,2).
-    * The histogram is CACHED: it is joined against both sides of the
-    * band self-join downstream, and recomputing a full-corpus groupBy
-    * two extra times was the round-5 d03/d04 regression. */
-  private[operators] def saltHotBuckets(bands: DataFrame, idCol: String,
-      cap: Int, tag: String, keyCols: String*): DataFrame = {
-    val a = SaltLog.accs(bands.sparkSession, tag, cap)
-    // stats ride the histogram's cache fill (one UDF call per BUCKET, not
-    // per row, then never again once the cache holds the result)
-    val tally = udf { n: java.lang.Long =>
-      val nn = n.longValue
-      if (nn > cap) {
-        val subs = math.ceil(nn.toDouble / cap)
-        a.hot.add(1L)
-        a.dropped.add(nn.toDouble * (nn - 1) / 2 * (subs - 1) / subs)
-      }
-      nn
-    }
-    val counts = bands.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n0"))
-      .select(keyCols.map(col) :+ tally(col("n0")).as("bucket_n"): _*)
-      .cache()
-    bands.join(counts, keyCols)
-      .withColumn("bsalt", when(col("bucket_n") > cap,
-        pmod(xxhash64(col(idCol)),
-          ceil(col("bucket_n") / lit(cap.toDouble)))).otherwise(lit(0L)))
-      .drop("bucket_n")
+  /** Join condition for a [[triangleSplit]] self-join under aliases
+    * x/y: bucket keys equal, same pair-group, the pair canonical in
+    * that group (its salt pair IS the group — drops the duplicates a
+    * row's other group memberships would produce), ordered ids. */
+  private[operators] def triangleCond(idCol: String, keyCols: String*): Column = {
+    val keys = keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _)
+    val canonical = least(col("x.bsalt"), col("y.bsalt")) * SubEnc +
+      greatest(col("x.bsalt"), col("y.bsalt")) === col("x.tgrp")
+    keys && col("x.tgrp") === col("y.tgrp") && canonical &&
+      col(s"x.$idCol") < col(s"y.$idCol")
   }
 
   /** Exact-duplicate pre-collapse: sketching and the band join run on ONE
@@ -224,11 +212,9 @@ object DedupQueries {
       .as("bk"))
       .select(col("doc_id"), col("sig"), col(payload),
         col("bk.band"), col("bk.key"))
-    val bands = saltHotBuckets(bands0, "doc_id", BucketCap, tag, "band", "key")
+    val bands = triangleSplit(bands0, "doc_id", BucketCap, "band", "key")
     val (pa, pb) = (col(s"x.$payload"), col(s"y.$payload"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.bsalt") === col("y.bsalt") && col("x.doc_id") < col("y.doc_id"))
+    bands.as("x").join(bands.as("y"), triangleCond("doc_id", "band", "key"))
       .filter(graft.plans.EqCount(col("x.sig"), col("y.sig")) >= 14)
       // lossless size-ratio gate: J ≤ min/max of the set sizes, so any
       // pair whose sizes are off by more than the threshold allows can
@@ -325,10 +311,9 @@ object DedupQueries {
       .withColumn("band", graft.functions.KeyAlgebra.ldiv(col("sh"), lit(1L << 30)))
       .cache()
     d.count() // eager fill: the self-join would race the cache
-    val banded = saltHotBuckets(d, "doc_id", BucketCap, "d04", "band")
+    val banded = triangleSplit(d, "doc_id", BucketCap, "band")
     val repPairs = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bsalt") === col("y.bsalt") &&
-          col("x.doc_id") < col("y.doc_id"))
+        triangleCond("doc_id", "band"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 2)
@@ -416,10 +401,9 @@ object DedupQueries {
         struct(lit(1).as("b"), KeyAlgebra.ldiv(col("sig"), lit(256L)).as("bkey"))))
         .as("bb"))
       .select(col("vec_id"), col("bb.b").as("b"), col("bb.bkey").as("bkey"))
-    val banded = saltHotBuckets(banded0, "vec_id", BucketCap, "d08", "b", "bkey")
+    val banded = triangleSplit(banded0, "vec_id", BucketCap, "b", "bkey")
     val cand = banded.as("x").join(banded.as("y"),
-        col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
-          col("x.bsalt") === col("y.bsalt") && col("x.vec_id") < col("y.vec_id"))
+        triangleCond("vec_id", "b", "bkey"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
     cand

@@ -97,14 +97,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("d03/d04: LSH band buckets are capped — salted key joins the bucket") {
-    // the bsalt column must be part of the band-bucket join key, so a
-    // mega-bucket at scale splits into bounded sub-buckets instead of one
-    // quadratic straggler task
+  test("d03/d04: LSH band buckets are triangle-split — group id joins the bucket") {
+    // the tgrp pair-group must be part of the band-bucket join key (and
+    // bsalt must survive for the canonical-pair filter), so a mega-bucket
+    // at scale splits into bounded sub-tasks instead of one quadratic
+    // straggler — losslessly: every pair survives in exactly one group
     val p3 = plan(DedupQueries.d03_minhash_lsh(spark, sf()))
-    assert(p3.contains("bsalt"), s"d03 band join lost the bucket cap:\n$p3")
+    assert(p3.contains("tgrp") && p3.contains("bsalt"),
+      s"d03 band join lost the triangle split:\n$p3")
     val p4 = plan(DedupQueries.d04_simhash(spark, sf()))
-    assert(p4.contains("bsalt"), s"d04 band join lost the bucket cap:\n$p4")
+    assert(p4.contains("tgrp") && p4.contains("bsalt"),
+      s"d04 band join lost the triangle split:\n$p4")
   }
 
   test("s01: query side is broadcast; scan side streams once") {
