@@ -179,7 +179,56 @@ object DialectQueries {
       .withColumn("guard_dropped", lit(guardDropped))
   }
 
+  /** qd08 — the information-schema keywords as oracle rows (§2.8,
+    * oph_query_engine_language.h:110-114): @info_system (current_db
+    * after use_db), @function_table (the UDF registry — ≥88 primitives,
+    * spot-membership), @tot_table_size / @info_system_table (catalog
+    * size accounting for a freshly built fragment), @function_fields
+    * (the mysql.func column shape). One deterministic composed row. */
+  def qd08_dialect_catalog(s: SparkSession, dir: String): DataFrame = {
+    val ses = new IoServer(s).newSession()
+    ses.execute("operation=create_database;db_name=cat")
+    ses.execute("operation=create_frag;frag_name=cat.f1;" +
+      "column_name=id_dim|measure;column_type=long|double_array")
+    val placeholders = (1 to 40).map(k => s"?$k").mkString("|")
+    (0 until 3).foreach { run =>
+      val binds: Seq[Any] = (1 to 20).flatMap { j =>
+        val i = run * 20 + j
+        Seq[Any](i.toLong, (0 until 4).map(k => i * 0.5 + k * 0.125))
+      }
+      ses.execute("operation=multi_insert;frag_name=cat.f1;" +
+        s"field=id_dim|measure;value=$placeholders;tot_run=3;curr_run=${run + 1}",
+        binds)
+    }
+    ses.useDb("cat")
+    val info = ses.execute(
+      "operation=select;field=id_dim|current_db;from=@info_system").get
+    val fns = ses.execute(
+      "operation=select;field=id_dim|function_name;from=@function_table").get
+    val tot = ses.execute(
+      "operation=select;field=id_dim|tot_table_size;from=@tot_table_size").get
+    val ist = ses.execute("operation=select;" +
+      "field=id_dim|db_name|frag_name|frag_size;from=@info_system_table").get
+    val ff = ses.execute(
+      "operation=select;field=id_dim|field_name;from=@function_fields").get
+    val fnAgg = fns.agg(
+      (count(lit(1)) >= 88).cast("long").as("fn_ge88"),
+      max(when(col("function_name") === "oph_id", 1L).otherwise(0L))
+        .as("has_oph_id"),
+      max(when(col("function_name") === "oph_sum_array", 1L).otherwise(0L))
+        .as("has_sum_array"))
+    val ffAgg = ff.agg(concat_ws(",",
+      array_sort(collect_list(col("field_name")))).as("func_fields"))
+    info.select(col("current_db"))
+      .crossJoin(broadcast(fnAgg))
+      .crossJoin(broadcast(tot.select(col("tot_table_size"))))
+      .crossJoin(broadcast(ist.select(
+        col("db_name"), col("frag_name"), col("frag_size"))))
+      .crossJoin(broadcast(ffAgg))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd08_dialect_catalog" -> (qd08_dialect_catalog _),
     "qd05_dialect_insert" -> (qd05_dialect_insert _),
     "qd06_dialect_random" -> (qd06_dialect_random _),
     "qd07_dialect_lifecycle" -> (qd07_dialect_lifecycle _),
@@ -194,6 +243,15 @@ object DialectQueries {
     s"array_to_string(list_transform(($e), v -> CAST(floor(v * 1e12) AS BIGINT)), ',')"
 
   val oracles: Map[String, String] = Map(
+    "qd08_dialect_catalog" ->
+      """SELECT 'cat' AS current_db,
+         CAST(1 AS BIGINT) AS fn_ge88,
+         CAST(1 AS BIGINT) AS has_oph_id,
+         CAST(1 AS BIGINT) AS has_sum_array,
+         CAST(60 AS BIGINT) AS tot_table_size,
+         'cat' AS db_name, 'f1' AS frag_name,
+         CAST(60 AS BIGINT) AS frag_size,
+         'dl,name,ret,type' AS func_fields""",
     "qd06_dialect_random" -> s"""
       WITH RECURSIVE ar(i, j, x) AS (
         SELECT i, 0::BIGINT,

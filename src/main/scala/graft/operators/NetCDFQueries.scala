@@ -113,10 +113,42 @@ object NetCDFQueries {
     nc.join(z, "id_dim").orderBy("id_dim")
   }
 
+  /** qn04 — the ESDM-named operations (esdm_import /
+    * create_frag_select_esdm, oph_io_server_query.c:72-105,341-375) with
+    * their read-stream reduction (sub_operation/sub_args,
+    * oph_io_server_esdm.c:1890-1899): the qn02 grid imported twice, once
+    * bulk with a max-8 reduce-on-read, once CTAS with an avg-8 reduce,
+    * joined on id_dim. */
+  def qn04_esdm_import(s: SparkSession, dir: String): DataFrame = {
+    val (nRows, nCols) = (60, 8)
+    val data = Array.tabulate(nRows * nCols)(k =>
+      (k / nCols) * 0.5 + (k % nCols) * 0.125) // exact in binary
+    val path = Files.createTempDirectory("graft_esdm")
+      .resolve("grid.nc").toString
+    NetCDF3.writeDoubleVar(path, Seq("row" -> nRows, "col" -> nCols),
+      "measure", data)
+    val ses = new IoServer(s).newSession()
+    ses.execute(s"operation=esdm_import;frag_name=em;src_path=@$path;" +
+      "measure=measure;explicit=1;sub_operation=max;sub_args=8")
+    ses.execute(s"operation=create_frag_select_esdm;frag_name=ea;" +
+      "field=id_dim|measure;field_alias=id_dim|measure;" +
+      s"from=@$path;measure=measure;explicit=1;" +
+      "sub_operation=avg;sub_args=8;" +
+      "where=oph_is_in_subset(id_dim,1,1,99999)")
+    val mx = ses.execute(
+      "operation=select;field=id_dim|measure;from=em;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_max"))
+    val av = ses.execute(
+      "operation=select;field=id_dim|measure;from=ea;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_avg"))
+    mx.join(av, "id_dim").orderBy("id_dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qn01_netcdf_roundtrip" -> (qn01_netcdf_roundtrip _),
     "qn02_netcdf4_roundtrip" -> (qn02_netcdf4_roundtrip _),
     "qn03_zarr_roundtrip" -> (qn03_zarr_roundtrip _),
+    "qn04_esdm_import" -> (qn04_esdm_import _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -148,6 +180,14 @@ object NetCDFQueries {
          array_to_string(list_transform(range(0, 8),
            j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
            AS m_zarr
+         FROM range(1, 61) t(i)
+         ORDER BY id_dim""",
+    "qn04_esdm_import" ->
+      """SELECT i AS id_dim,
+         CAST(floor(((i-1) * 0.5 + 0.875) * 1e12) AS BIGINT)::VARCHAR
+           AS m_max,
+         CAST(floor(((i-1) * 0.5 + 0.4375) * 1e12) AS BIGINT)::VARCHAR
+           AS m_avg
          FROM range(1, 61) t(i)
          ORDER BY id_dim""",
   )
