@@ -45,8 +45,14 @@ object TextFunctions {
 
   /** 16-function MinHash signature from pre-computed token hashes.
     * h_k(doc) = min over tokens of ((a_k * (H mod p) + b_k) mod p).
-    * Products stay < 2^62 (no overflow). */
+    * Products stay < 2^62 (no overflow). Native codegen kernel
+    * ([[graft.plans.MinhashSignature]]); the HOF formulation below is
+    * kept as [[minhashFromHashesHof]] — both compute the identical
+    * value (unit-tested against each other). */
   def minhashFromHashes(hs: Column, k: Int = 16): Column =
+    graft.plans.MinhashSignature(hs, k)
+
+  def minhashFromHashesHof(hs: Column, k: Int = 16): Column =
     bindOnce(transform(hs, _ % MinhashP), hp =>
       array((0 until k).map { i =>
         array_min(transform(hp, h => (lit(minhashA(i)) * h + lit(minhashB(i))) % MinhashP))

@@ -264,10 +264,12 @@ object DedupQueries {
     // runs an allocation-free codegen merge loop per pair instead of
     // array_intersect's per-pair hash set (|A∪B| = |A|+|B|−|A∩B|)
     val docs = reps
-      .withColumn("hs", tokenHashes(col("text"))) // one md5 pass per row
+      // one native pass: md5 per distinct token, pre-sorted (same values
+      // as the transform + array_sort formulation - TextHashKernels)
+      .withColumn("hs", graft.plans.TokenHashesSorted(col("text")))
       .select(col("doc_id"),
         minhashFromHashes(col("hs")).as("sig"),
-        array_sort(col("hs")).as("tk"))
+        col("hs").as("tk"))
       .cache()
     docs.count() // eager fill: the self-join would race the cache
     val repPairs = lshVerifiedPairs(docs, "d03", "tk", "jaccard", 99, 100)
@@ -306,7 +308,9 @@ object DedupQueries {
   def d04_simhash(s: SparkSession, dir: String): DataFrame = {
     val (reps, members) = collapsed(s, dir)
     val d = reps
-      .withColumn("hs", tokenHashes(col("text"))) // one md5 pass per row
+      // native token-hash kernel; simhash is order-invariant so the
+      // pre-sorted array changes nothing
+      .withColumn("hs", graft.plans.TokenHashesSorted(col("text")))
       .select(col("doc_id"), simhashFromHashes(col("hs")).as("sh"))
       .withColumn("band", graft.functions.KeyAlgebra.ldiv(col("sh"), lit(1L << 30)))
       .cache()
@@ -330,11 +334,11 @@ object DedupQueries {
     // grams hashed to longs (portable md5-60): sorted for the merge-loop
     // verify; minhash is order-independent so the same array feeds both
     val docs = reps
-      .withColumn("g4", // used twice below → stays a real projected column
-        array_sort(array_distinct(transform(
-          array_distinct(transform(sequence(lit(1), length(col("text")) - 3),
-            i => col("text").substr(i, lit(4)))),
-          g => md5Long60(g)))))
+      // one native pass per row: distinct 4-grams, md5Long60, distinct
+      // values, sorted - identical to the transform/array_distinct chain
+      // it replaces, at ~1 call/row instead of one md5 expression chain
+      // per gram (the sketch fill was 5.6 s of d05's ~6 s at sf0.1)
+      .withColumn("g4", graft.plans.Gram4HashSet(col("text")))
       .select(col("doc_id"),
         minhashFromHashes(col("g4")).as("sig"),
         col("g4").as("grams"))

@@ -1,0 +1,195 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.ColumnBridge
+
+/** Native single-pass kernels for the dedup sketch columns. They compute
+  * EXACTLY the values of the declarative formulations in
+  * [[graft.functions.TextFunctions]] — md5Long60(x) = the top 15 hex
+  * digits of md5(utf8(x)) as a long, portable to DuckDB as
+  * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` — so no oracle changes;
+  * they exist because the expression-tree version costs one Catalyst
+  * md5 → hex → substring → conv chain PER GRAM/TOKEN plus three HOF
+  * passes per row, which profiling showed dominating d05 (the gram
+  * sketch fill was 5.6 s of its ~6 s at sf0.1). One static call per row
+  * keeps the whole computation inside whole-stage codegen. */
+object TextHashKernels {
+
+  private val mdTL: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Top 60 bits of md5: bytes 0..6 big-endian then the high nibble of
+    * byte 7 — bit-identical to parsing the first 15 hex chars. */
+  def md5Long60(bytes: Array[Byte]): Long = {
+    val md = mdTL.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xFL)
+  }
+
+  private def sortDedup(a: Array[Long], m: Int): Array[Long] = {
+    val arr = java.util.Arrays.copyOf(a, m)
+    java.util.Arrays.sort(arr)
+    var w = 0
+    var r = 0
+    while (r < arr.length) {
+      if (w == 0 || arr(r) != arr(w - 1)) { arr(w) = arr(r); w += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(arr, w)
+  }
+
+  /** Sorted value-distinct md5Long60 over the character 4-grams of
+    * `text` — the d05 gram-set column (distinct grams as strings, then
+    * hash, then distinct values, then sort; texts shorter than 4 chars
+    * yield the empty set). */
+  def gram4Set(text: UTF8String): ArrayData = {
+    val n = text.numChars()
+    if (n < 4) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new Array[Long](n - 3)
+    var m = 0
+    var i = 1
+    while (i + 3 <= n) {
+      val g = text.substringSQL(i, 4)
+      if (seen.add(g)) { out(m) = md5Long60(g.getBytes); m += 1 }
+      i += 1
+    }
+    new GenericArrayData(sortDedup(out, m))
+  }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** SORTED md5Long60 hashes of the distinct whitespace tokens — the
+    * d03/d04 `hs` column post-sort. Tokens dedup as STRINGS; equal hash
+    * values from distinct tokens are kept (hash collisions), matching
+    * `array_sort(transform(array_distinct(split(text,' ')), md5Long60))`
+    * exactly. */
+  def tokenHashes(text: UTF8String): ArrayData = {
+    val parts = text.split(Space, -1)
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new Array[Long](parts.length)
+    var m = 0
+    var i = 0
+    while (i < parts.length) {
+      val t = parts(i)
+      if (seen.add(t)) { out(m) = md5Long60(t.getBytes); m += 1 }
+      i += 1
+    }
+    val arr = java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(arr) // duplicates kept — only tokens dedup
+    new GenericArrayData(arr)
+  }
+}
+
+object MinhashKernel {
+  import graft.functions.TextFunctions.{minhashA, minhashB, MinhashP}
+
+  /** k-function MinHash signature over pre-hashed elements:
+    * sig(j) = min over h of ((a_j·(h mod p) + b_j) mod p) — one pass,
+    * 16 accumulators, bit-identical to the HOF formulation in
+    * [[graft.functions.TextFunctions.minhashFromHashesHof]] (products
+    * stay < 2^62; % matches Java remainder semantics both sides). An
+    * empty input yields all-null, matching array_min(empty). */
+  def sig(hs: ArrayData, k: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0)
+      return new GenericArrayData(Array.fill[Any](k)(null))
+    val a = Array.tabulate(k)(minhashA)
+    val b = Array.tabulate(k)(minhashB)
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hp = hs.getLong(i) % MinhashP
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * hp + b(j)) % MinhashP
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native MinHash signature (see [[MinhashKernel.sig]]): replaces 16
+  * interpreted HOF passes per row — profiling showed the minhash HOFs,
+  * not the md5s, dominating the d03/d05 sketch fills once the hash
+  * kernels went native. */
+final case class MinhashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${o.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash_signature"
+  override def nullSafeEval(t: Any): Any =
+    MinhashKernel.sig(t.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.MinhashKernel.sig($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
+object MinhashSignature {
+  def apply(c: Column, k: Int): Column =
+    ColumnBridge.column(MinhashSignature(ColumnBridge.expression(c), k))
+}
+
+sealed abstract class TextHashExpr extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string arg, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected def kernel: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextHashKernels.$kernel($c)")
+}
+
+/** d05's gram-set column as one native call (see [[TextHashKernels]]). */
+final case class Gram4HashSet(child: Expression) extends TextHashExpr {
+  override def prettyName: String = "graft_gram4_hash_set"
+  override protected def kernel: String = "gram4Set"
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.gram4Set(t.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Gram4HashSet =
+    copy(child = newChild)
+}
+
+object Gram4HashSet {
+  def apply(c: Column): Column =
+    ColumnBridge.column(Gram4HashSet(ColumnBridge.expression(c)))
+}
+
+/** Sorted distinct-token hashes as one native call. */
+final case class TokenHashesSorted(child: Expression) extends TextHashExpr {
+  override def prettyName: String = "graft_token_hashes_sorted"
+  override protected def kernel: String = "tokenHashes"
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.tokenHashes(t.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): TokenHashesSorted =
+    copy(child = newChild)
+}
+
+object TokenHashesSorted {
+  def apply(c: Column): Column =
+    ColumnBridge.column(TokenHashesSorted(ColumnBridge.expression(c)))
+}

@@ -44,4 +44,54 @@ class ExpressionsSpec extends SparkSpec {
     assert(native == hof)
     assert(native.forall(v => v >= 0 && v < (1L << 60)))
   }
+
+
+  test("TextHashKernels reproduce the declarative md5 formulations exactly") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaa aaaa bbbb", // duplicate tokens + repeated grams
+      "x yy  zz ",      // double space + trailing space -> empty tokens
+      "abcd",           // exactly one gram
+      "ünïcødé tæxt wïth ünïcødé glyphs")
+    val df = texts.toDF("text")
+    // token hashes: sorted, token-distinct, hash-value duplicates kept
+    val declT = df.select(array_sort(tokenHashes(col("text"))).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    val natT = df.select(TokenHashesSorted(col("text")).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    assert(natT.toSeq == declT.toSeq)
+    // gram-hash set: string-distinct grams, value-distinct hashes, sorted
+    val declG = df.select(
+      array_sort(array_distinct(transform(
+        array_distinct(transform(sequence(lit(1), length(col("text")) - 3),
+          i => col("text").substr(i, lit(4)))),
+        g => md5Long60(g)))).as("g"))
+      .collect().map(_.getSeq[Long](0))
+    val natG = df.select(Gram4HashSet(col("text")).as("g"))
+      .collect().map(_.getSeq[Long](0))
+    assert(natG.toSeq == declG.toSeq)
+    // interpreted path (no codegen) agrees with the static value too
+    assert(graft.plans.TextHashKernels.md5Long60("abcd".getBytes("UTF-8")) ==
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest("abcd".getBytes("UTF-8")).take(8)
+          .map("%02x".format(_)).mkString.take(15), 16))
+  }
+
+
+  test("MinhashSignature equals the HOF formulation, incl. empty input") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val df = Seq(
+      Seq(17L, 923456789L, 0L, 2147483646L, 17L),
+      Seq(42L),
+      Seq.empty[Long]).toDF("hs")
+    val nat = df.select(minhashFromHashes(col("hs")).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[java.lang.Long](0))
+    val hof = df.select(minhashFromHashesHof(col("hs")).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[java.lang.Long](0))
+    assert(nat.toSeq == hof.toSeq)
+  }
 }
