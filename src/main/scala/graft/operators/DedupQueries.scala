@@ -458,7 +458,45 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d10 — the STREAMING LSH near-dup candidate operator under the
+    * batch oracle: documents arrive in two micro-batches through
+    * [[graft.streaming.StreamingDedup.nearDupCandidateStream]]; the
+    * union of emitted candidates (across both bands, deduped) must
+    * equal the batch band-join + estimate-filter answer — proving the
+    * incremental operator surfaces exactly the offline candidate set
+    * regardless of batch boundaries (no bucket exceeds the state cap at
+    * these SFs, so the capped stream is still exhaustive). */
+  def d10_dedup_stream_lsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mid = docs.length / 2
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingDedup.nearDupCandidateStream(
+      in.toDF().toDF("doc_id", "text"), minEst = 0.5)
+    val q = out.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("d10_stream_out").start()
+    try {
+      in.addData(docs.take(mid).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(docs.drop(mid).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val result = s.table("d10_stream_out")
+      .select(col("doc_a"), col("doc_b"), col("est")).distinct()
+      .collect().toIndexedSeq
+    val schema = s.table("d10_stream_out")
+      .select(col("doc_a"), col("doc_b"), col("est")).schema
+    s.catalog.dropTempView("d10_stream_out")
+    s.createDataFrame(s.sparkContext.parallelize(result, 1), schema)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_dedup_stream_lsh" -> (d10_dedup_stream_lsh _),
     "d06_dedup_embcos" -> (d06_dedup_embcos _),
     "d07_dedup_apply" -> (d07_dedup_apply _),
     "d08_dedup_emblsh" -> (d08_dedup_emblsh _),
@@ -486,6 +524,22 @@ object DedupQueries {
        THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x,y) -> x+y)"""
 
   val oracles: Map[String, String] = Map(
+    "d10_dedup_stream_lsh" -> s"""
+      WITH sigs AS (SELECT doc_id, $sqlSig AS sig FROM documents),
+      bands AS (SELECT doc_id, b,
+          array_to_string(sig[b*8+1 : b*8+8], '_') AS bkey
+        FROM sigs, range(0, 2) t(b)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+          AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b, est FROM (
+        SELECT doc_a, doc_b,
+          list_reduce(list_transform(range(1, 17),
+            i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
+            (x,y) -> x+y) / 16.0 AS est
+        FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
+          JOIN sigs b ON cand.doc_b = b.doc_id)
+      WHERE est >= 0.5 ORDER BY doc_a, doc_b""",
     "d09_dedup_stream" ->
       """SELECT doc_id, doc_id = mn AS kept, mn AS dup_of
          FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
