@@ -54,8 +54,55 @@ object PipelineQueries {
         sum(floor(col("quality") * 1e9).cast("long")).as("quality_fp"))
   }
 
+  /** p02 — benchmark-contamination check: the corpus split into an
+    * "eval" subset (doc_id ≡ 0 mod 97, standing in for a benchmark) and
+    * the train rest; a train doc is contaminated when it shares any
+    * token 5-gram with the eval set. Output: contaminated doc →
+    * distinct shared-gram count.
+    *
+    * Scale shape: the eval gram set is SMALL (benchmarks are), so it
+    * broadcasts — the train side streams once through a broadcast hash
+    * join keyed on the gram hash and aggregates partial+final; no
+    * shuffle of the 100 TB side. */
+  def p02_contamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - 4),
+          i => md5Long60(concat_ws(" ", slice(col("toks"), i, lit(5)))))))
+        .as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** p03 — deterministic stratified sampling: a reproducible ~10%
+    * Bernoulli sample keyed by pure doc_id arithmetic (no RNG state —
+    * identical on 4 cores or 1000 executors), reported per length
+    * stratum with exact counts, a kept-id checksum and a ppm rate.
+    * One scan, one partial+final aggregation. */
+  def p03_sample_stratified(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val keep = pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % 100 < 10
+    Tables.documents(s, dir)
+      .withColumn("stratum", ldiv(col("n_chars"), lit(256L)))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      .withColumn("rate_ppm", ldiv(col("n_kept") * 1000000L, col("n_total")))
+      .orderBy("stratum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_corpus_pipeline" -> (p01_corpus_pipeline _),
+    "p02_contamination" -> (p02_contamination _),
+    "p03_sample_stratified" -> (p03_sample_stratified _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -86,5 +133,27 @@ object PipelineQueries {
          CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          CAST(sum(CAST(floor(quality * 1e9) AS BIGINT)) AS BIGINT) AS quality_fp
        FROM dedup""",
+    "p02_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       g AS (SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 3),
+             i -> CAST('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15)
+                  AS BIGINT)))) AS g
+         FROM toks WHERE len(t) >= 5),
+       ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+       SELECT tr.doc_id, count(DISTINCT tr.g)::BIGINT AS n_shared
+       FROM g tr JOIN ev ON tr.g = ev.g
+       WHERE tr.doc_id % 97 <> 0
+       GROUP BY tr.doc_id ORDER BY tr.doc_id""",
+    "p03_sample_stratified" ->
+      """SELECT n_chars // 256 AS stratum,
+         count(*) AS n_total,
+         CAST(sum(CASE WHEN (doc_id * 2654435761) % 2147483647 % 100 < 10
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN (doc_id * 2654435761) % 2147483647 % 100 < 10
+           THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
+         CAST(sum(CASE WHEN (doc_id * 2654435761) % 2147483647 % 100 < 10
+           THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS rate_ppm
+       FROM documents GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -110,6 +110,12 @@ class PlanSpec extends SparkSpec {
       s"d04 band join lost the triangle split:\n$p4")
   }
 
+  test("p02: the eval gram set broadcasts — the train side never shuffles for the join") {
+    val p = plan(PipelineQueries.p02_contamination(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast of the eval gram set:\n$p")
+  }
+
   test("s01: query side is broadcast; scan side streams once") {
     val p = plan(SimilarityQueries.s01_ann_bruteforce(spark, sf()))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
