@@ -120,16 +120,73 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s04 — int8-quantized ANN: per-vector symmetric quantization
+    * (scale = max|x|/127, q = trunc(x/scale) ∈ [-127,127] — an 8×
+    * smaller vector store), cosine top-5 computed on the DEQUANTIZED
+    * vectors for both sides. Rank/tie rules as s01; zero-norm
+    * dequantized vectors (all components under one quantum) drop out of
+    * both sides. At 100 TB the int8 store is what actually ships to the
+    * executors; the scan shape is s01's broadcast-query stream. */
+  def s04_ann_quantized(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb(s, dir)
+      .withColumn("amax", array_max(transform(col("a"), x => abs(x))))
+      .withColumn("scale",
+        when(col("amax") === 0.0, lit(1.0)).otherwise(col("amax") / 127.0))
+      // trunc toward zero == cast long (|x/scale| ≤ 127, exact)
+      .withColumn("da", transform(col("a"),
+        x => (x / col("scale")).cast("long").cast("double") * col("scale")))
+      .withColumn("dnrm", norm(col("da")))
+      .filter(col("dnrm") > 0.0)
+      .select("vec_id", "da", "dnrm")
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("da").as("qa"),
+        col("dnrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    base.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("qa"), col("da")) / (col("qn") * col("dnrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01_ann_bruteforce _),
     "s02_ann_ivf" -> (s02_ann_ivf _),
     "s03_ann_ivf_multiprobe" -> (s03_ann_ivf_multiprobe _),
+    "s04_ann_quantized" -> (s04_ann_quantized _),
   )
 
   private val sqlDot =
     "list_reduce(list_transform(range(1, 65), i -> X[i] * Y[i]), (p,q) -> p+q)"
 
   val oracles: Map[String, String] = Map(
+    "s04_ann_quantized" -> s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
+        FROM embeddings),
+      sc AS (SELECT vec_id, a,
+          CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS s
+        FROM (SELECT vec_id, a,
+          list_max(list_transform(a, x -> abs(x))) AS amax FROM e)),
+      d AS (SELECT vec_id,
+          list_transform(a, x -> trunc(x / s) * s) AS da FROM sc),
+      n AS (SELECT vec_id, da,
+          sqrt(list_reduce(list_transform(da, x -> x*x), (p,q) -> p+q)) AS nrm
+        FROM d),
+      nz AS (SELECT * FROM n WHERE nrm > 0),
+      sims AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+          ${sqlDot.replace("X", "q.da").replace("Y", "x.da")} / (q.nrm * x.nrm) AS sim
+        FROM nz q, nz x
+        WHERE q.vec_id % 50 = 0 AND x.vec_id <> q.vec_id)
+      SELECT query_id, rank, neighbor_id, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims) WHERE rank <= 5 ORDER BY query_id, rank""",
     "s01_ann_bruteforce" -> s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
         FROM embeddings),
