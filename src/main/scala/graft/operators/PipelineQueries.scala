@@ -65,13 +65,13 @@ object PipelineQueries {
     * join keyed on the gram hash and aggregates partial+final; no
     * shuffle of the 100 TB side. */
   def p02_contamination(s: SparkSession, dir: String): DataFrame = {
+    // native kernel: one md5 pass per gram window instead of a Catalyst
+    // md5 chain per gram (same values; see TextHashKernels); cached —
+    // both the eval and the train branch read it
     val grams = Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
-      .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("toks")) - 4),
-          i => md5Long60(concat_ws(" ", slice(col("toks"), i, lit(5)))))))
-        .as("g"))
+      .select(col("doc_id"),
+        explode(graft.plans.Gram5TokenHashSet(col("text"))).as("g"))
+      .cache()
     val evalGrams = grams.filter(col("doc_id") % 97 === 0)
       .select(col("g")).distinct()
     grams.filter(col("doc_id") % 97 =!= 0)

@@ -139,6 +139,10 @@ object SimilarityQueries {
       .withColumn("dnrm", norm(col("da")))
       .filter(col("dnrm") > 0.0)
       .select("vec_id", "da", "dnrm")
+      .cache()
+    base.count() // materialize the quantized store: CollapseProject would
+    // otherwise inline the 64-element quantize transform into the dot
+    // product and re-run it per candidate PAIR instead of per vector
     val qs = base.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("da").as("qa"),
         col("dnrm").as("qn"))

@@ -72,6 +72,29 @@ object TextHashKernels {
 
   private val Space = UTF8String.fromString(" ")
 
+  /** Value-distinct md5Long60 hashes of the token 5-grams (consecutive
+    * windows of 5 whitespace tokens joined by a single space) — the p02
+    * contamination gram set. Matches
+    * `array_distinct(transform(sequence(1, n-4),
+    *   i => md5Long60(concat_ws(" ", slice(tokens, i, 5)))))`
+    * as a SET (ordering differs; the column is exploded downstream). */
+  def tokenGram5Set(text: UTF8String): ArrayData = {
+    val parts = text.split(Space, -1)
+    if (parts.length < 5) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](parts.length - 4)
+    var m = 0
+    var i = 0
+    while (i + 5 <= parts.length) {
+      val g = UTF8String.concatWs(Space,
+        parts(i), parts(i + 1), parts(i + 2), parts(i + 3), parts(i + 4))
+      val h = md5Long60(g.getBytes)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
   /** SORTED md5Long60 hashes of the distinct whitespace tokens — the
     * d03/d04 `hs` column post-sort. Tokens dedup as STRINGS; equal hash
     * values from distinct tokens are kept (hash collisions), matching
@@ -177,6 +200,21 @@ final case class Gram4HashSet(child: Expression) extends TextHashExpr {
 object Gram4HashSet {
   def apply(c: Column): Column =
     ColumnBridge.column(Gram4HashSet(ColumnBridge.expression(c)))
+}
+
+/** p02's token-5-gram hash set as one native call. */
+final case class Gram5TokenHashSet(child: Expression) extends TextHashExpr {
+  override def prettyName: String = "graft_gram5_token_hash_set"
+  override protected def kernel: String = "tokenGram5Set"
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.tokenGram5Set(t.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Gram5TokenHashSet =
+    copy(child = newChild)
+}
+
+object Gram5TokenHashSet {
+  def apply(c: Column): Column =
+    ColumnBridge.column(Gram5TokenHashSet(ColumnBridge.expression(c)))
 }
 
 /** Sorted distinct-token hashes as one native call. */

@@ -94,4 +94,26 @@ class ExpressionsSpec extends SparkSpec {
       .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[java.lang.Long](0))
     assert(nat.toSeq == hof.toSeq)
   }
+
+
+  test("Gram5TokenHashSet equals the declarative token-5-gram set") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val texts = Seq(
+      "a b c d e f g h",
+      "one two three four five",
+      "too few tokens",
+      "x  y z w v u") // double space -> empty token participates
+    val df = texts.toDF("text")
+    val decl = df
+      .withColumn("toks", tokens(col("text")))
+      .select(when(size(col("toks")) >= 5,
+        array_distinct(transform(sequence(lit(1), size(col("toks")) - 4),
+          i => md5Long60(concat_ws(" ", slice(col("toks"), i, lit(5)))))))
+        .otherwise(array().cast("array<bigint>")).as("g"))
+      .collect().map(_.getSeq[Long](0).sorted)
+    val nat = df.select(Gram5TokenHashSet(col("text")).as("g"))
+      .collect().map(_.getSeq[Long](0).sorted)
+    assert(nat.toSeq == decl.toSeq)
+  }
 }
