@@ -89,17 +89,47 @@ object TextQueries {
           .as("n_covered_chars"))
       .orderBy("doc_id")
 
+  /** t05 — context-window chunking: every document split into
+    * overlapping 32-token windows at stride 16 (the packing step that
+    * turns a corpus into training sequences), each window identified by
+    * its index, token count and content hash. Scan-parallel: one
+    * explode per row, no shuffle until the output sort. */
+  def t05_context_windows(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("nw",
+        ldiv(size(col("toks")).cast("long") - 1, lit(16L)).cast("int"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("nw"))).as("w"))
+      .withColumn("win", slice(col("toks"), col("w") * 16 + 1, lit(32)))
+      .select(col("doc_id"), col("w").cast("long").as("win_idx"),
+        size(col("win")).cast("long").as("n_win_tokens"),
+        md5Long60(concat_ws(" ", col("win"))).as("win_hash"))
+      .orderBy("doc_id", "win_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_quality" -> (t01_token_quality _),
     "t02_langid" -> (t02_langid _),
     "t03_fingerprint" -> (t03_fingerprint _),
     "t04_bpe_tokens" -> (t04_bpe_tokens _),
+    "t05_context_windows" -> (t05_context_windows _),
   )
 
   private def sqlHs =
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    "t05_context_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       w AS (SELECT doc_id, toks,
+           unnest(range(0, ((len(toks) - 1) // 16) + 1)) AS w FROM t)
+       SELECT doc_id, w::BIGINT AS win_idx,
+         len(toks[w*16+1 : w*16+32])::BIGINT AS n_win_tokens,
+         CAST('0x' || substr(md5(array_to_string(toks[w*16+1 : w*16+32], ' ')),
+           1, 15) AS BIGINT) AS win_hash
+       FROM w ORDER BY doc_id, win_idx""",
     "t04_bpe_tokens" ->
       """SELECT doc_id,
          len(pieces)::BIGINT AS n_pieces,
