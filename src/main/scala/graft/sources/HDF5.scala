@@ -579,6 +579,11 @@ object HDF5 {
     def result: Array[Byte] = java.util.Arrays.copyOf(arr, pos)
   }
 
+  /** One float64 variable for [[writeDoubleVars]]. */
+  final case class H5Var(name: String, dims: Seq[(String, Int)],
+                         data: Array[Double],
+                         chunkDims: Option[Seq[Int]] = None)
+
   /** Write a minimal HDF5 file with one n-dimensional float64
     * little-endian dataset at the root group (the shape `oph_export`'s
     * NetCDF-4 twin needs): superblock v0, symbol-table root group, data
@@ -587,11 +592,24 @@ object HDF5 {
     * library build produces. */
   def writeDoubleVar(path: String, dims: Seq[(String, Int)], varName: String,
       data: Array[Double], chunkDims: Option[Seq[Int]] = None,
+      deflateLevel: Int = 6): Unit =
+    writeDoubleVars(path, Seq(H5Var(varName, dims, data, chunkDims)),
+      deflateLevel)
+
+  /** Multi-variable form: several datasets under one symbol-table root
+    * group (real netCDF-4 files always hold several — coordinate vars
+    * plus measures), entries name-ordered as the group B-tree
+    * requires. */
+  def writeDoubleVars(path: String, vars0: Seq[H5Var],
       deflateLevel: Int = 6): Unit = {
-    val shape = dims.map(_._2)
-    require(data.length == shape.product, "data size != dim product")
-    require(chunkDims.forall(_.size == shape.size), "chunk rank != rank")
-    val rank = shape.size
+    require(vars0.nonEmpty, "at least one variable")
+    vars0.foreach { v =>
+      require(v.data.length == v.dims.map(_._2).product,
+        s"${v.name}: data size != dim product")
+      require(v.chunkDims.forall(_.size == v.dims.size),
+        s"${v.name}: chunk rank != rank")
+    }
+    val vars = vars0.sortBy(_.name) // symbol-table entries are name-ordered
     val b = new Buf
 
     // --- superblock v0 (96 bytes) ---
@@ -619,20 +637,26 @@ object HDF5 {
     val stabBtreePatch = b.pos; b.u64(0)
     val stabHeapPatch = b.pos; b.u64(0)
 
-    // --- group B-tree v1 (1 entry → SNOD) ---
+    // heap offsets of the names: 0 is the empty-string slot, names
+    // follow 8-aligned
+    val nameBytes = vars.map(_.name.getBytes("UTF-8"))
+    val nameOffsets = nameBytes.scanLeft(8L) { (off, nb) =>
+      off + (nb.length + 1 + 7) / 8 * 8
+    }
+    val heapDataSize = nameOffsets.last
+
+    // --- group B-tree v1 (1 child → one SNOD with all entries) ---
     val btreeAddr = b.pos
     b.patch64(stabBtreePatch, btreeAddr)
     b.bytes("TREE".getBytes); b.u8(0); b.u8(0); b.u16(1)
     b.u64(Undef); b.u64(Undef)
     b.u64(0)                           // key0: heap offset of ""
     val snodPatch = b.pos; b.u64(0)    // child0 → SNOD
-    b.u64(8)                           // key1: heap offset of the name
+    b.u64(nameOffsets(vars.size - 1))  // key1: offset of the LAST name
 
     // --- local heap ---
     val heapAddr = b.pos
     b.patch64(stabHeapPatch, heapAddr)
-    val nameBytes = varName.getBytes("UTF-8")
-    val heapDataSize = 8 + (nameBytes.length + 1 + 7) / 8 * 8
     b.bytes("HEAP".getBytes); b.u8(0); b.u8(0); b.u16(0)
     b.u64(heapDataSize)
     b.u64(Undef)                       // no free list
@@ -640,20 +664,40 @@ object HDF5 {
     val heapData = b.pos
     b.patch64(heapDataPatch, heapData)
     b.zero(8)                          // offset 0: empty string slot
-    b.bytes(nameBytes); b.zero(heapDataSize - 8 - nameBytes.length)
+    vars.indices.foreach { i =>
+      b.bytes(nameBytes(i))
+      b.zero((nameOffsets(i + 1) - nameOffsets(i)).toInt - nameBytes(i).length)
+    }
 
-    // --- SNOD with one entry → dataset object header ---
+    // --- SNOD: one entry per dataset, name-ordered ---
     val snodAddr = b.pos
     b.patch64(snodPatch, snodAddr)
-    b.bytes("SNOD".getBytes); b.u8(1); b.u8(0); b.u16(1)
-    b.u64(8)                           // name at heap offset 8
-    val dsOhPatch = b.pos; b.u64(0)
-    b.u32(0); b.u32(0); b.zero(16)
+    b.bytes("SNOD".getBytes); b.u8(1); b.u8(0); b.u16(vars.size)
+    val dsOhPatches = vars.indices.map { i =>
+      b.u64(nameOffsets(i))
+      val patch = b.pos; b.u64(0)
+      b.u32(0); b.u32(0); b.zero(16)
+      patch
+    }
 
-    // --- dataset object header v1 ---
-    val chunked = chunkDims.isDefined
+    // --- datasets ---
+    vars.indices.foreach { i =>
+      b.patch64(dsOhPatches(i), writeDataset(b, vars(i), deflateLevel))
+    }
+
+    b.patch64(eofPatch, b.pos)
+    val out = new java.io.FileOutputStream(path)
+    try out.write(b.result) finally out.close()
+  }
+
+  /** Append one dataset (v1 object header + layout + data) to `b`,
+    * returning its object header address. */
+  private def writeDataset(b: Buf, v: H5Var, deflateLevel: Int): Long = {
+    val shape = v.dims.map(_._2)
+    val data = v.data
+    val rank = shape.size
+    val chunked = v.chunkDims.isDefined
     val dsOh = b.pos
-    b.patch64(dsOhPatch, dsOh)
     val nmsgs = if (chunked) 4 else 3  // dataspace, datatype, [filters], layout
     val spaceSz = 8 + rank * 8
     val dtSz = 24                      // 8 hdr + 12 props + 4 pad
@@ -699,7 +743,7 @@ object HDF5 {
       b.patch64(dataAddrPatch, dataAddr)
       data.foreach(b.f64)
     } else {
-      val cd = chunkDims.get
+      val cd = v.chunkDims.get
       b.u8(2)
       b.u8(rank + 1)
       val btreePatch = b.pos; b.u64(0)
@@ -710,6 +754,7 @@ object HDF5 {
       val grid = shape.zip(cd).map { case (s, c) => (s + c - 1) / c }
       val chunkCount = grid.product
       val strides = shape.scanRight(1)(_ * _).tail
+      val chunkStrides = cd.scanRight(1)(_ * _).tail
       val entries = (0 until chunkCount).map { ci =>
         var rem = ci
         val gidx = new Array[Int](rank)
@@ -725,7 +770,7 @@ object HDF5 {
             val lim = math.min(cd(dim), shape(dim) - originC(dim))
             while (j < lim) {
               fill(dim + 1, srcBase + (originC(dim) + j) * strides(dim),
-                dstBase + j * cd.scanRight(1)(_ * _).tail(dim))
+                dstBase + j * chunkStrides(dim))
               j += 1
             }
           }
@@ -755,12 +800,9 @@ object HDF5 {
       }
       // final sentinel key: one past the last chunk in every dim
       b.u32(0); b.u32(0)
-      shape.zip(cd).foreach { case (s, c) => b.u64(((s + c - 1) / c).toLong * c) }
+      shape.zip(cd).foreach { case (sh, c) => b.u64(((sh + c - 1) / c).toLong * c) }
       b.u64(8)
     }
-
-    b.patch64(eofPatch, b.pos)
-    val out = new java.io.FileOutputStream(path)
-    try out.write(b.result) finally out.close()
+    dsOh
   }
 }

@@ -111,6 +111,29 @@ class HDF5Spec extends AnyFunSuite {
     } finally r3.close()
   }
 
+  test("multiple datasets in one group read back (the netCDF-4 file shape)") {
+    val p = tmp(".h5")
+    // a netCDF-4-style file: coordinate vars + a chunked measure, names
+    // deliberately NOT in insertion order (symbol table sorts them)
+    HDF5.writeDoubleVars(p, Seq(
+      HDF5.H5Var("time", Seq("t" -> 5), Array.tabulate(5)(_ * 3600.0)),
+      HDF5.H5Var("measure", Seq("t" -> 5, "x" -> 3), grid(5, 3),
+        chunkDims = Some(Seq(2, 3))),
+      HDF5.H5Var("x", Seq("x" -> 3), Array(0.5, 1.5, 2.5))))
+    val r = new HDF5.Hdf5Reader(p)
+    try {
+      assert(r.varNames == Seq("measure", "time", "x"))
+      assert(r.shape("measure") == Seq(5, 3))
+      assert(r.readSlab("time", Seq(0), Seq(5)).toSeq ==
+        Seq(0.0, 3600.0, 7200.0, 10800.0, 14400.0))
+      assert(r.readSlab("x", Seq(0), Seq(3)).toSeq == Seq(0.5, 1.5, 2.5))
+      assert(r.readSlab("measure", Seq(0, 0), Seq(5, 3)).toSeq ==
+        grid(5, 3).toSeq)
+      assert(r.readSlab("measure", Seq(3, 1), Seq(2, 2)).toSeq ==
+        Seq(grid(5, 3)(10), grid(5, 3)(11), grid(5, 3)(13), grid(5, 3)(14)))
+    } finally r.close()
+  }
+
   test("isHdf5 distinguishes HDF5 from CDF classic") {
     val h5 = tmp(".h5")
     HDF5.writeDoubleVar(h5, Seq("x" -> 1), "m", Array(1.0))
