@@ -15,11 +15,17 @@ import scala.collection.mutable
   *  - v1 object headers (+ continuation blocks) and v2 `OHDR` headers
   *    (+ `OCHK` continuations);
   *  - groups as symbol tables (v1 B-tree → SNOD → local heap — the
-  *    default "original" group format) and as compact Link messages;
-  *    dense (fractal-heap) link storage is rejected with a clear error;
+  *    default "original" group format), compact Link messages, and
+  *    dense (fractal-heap + name-index v2 B-tree) link storage — the
+  *    shape netCDF-4's creation-order tracking produces above ~8
+  *    links per group;
   *  - dataspace v1/v2, datatype classes 0 (fixed) and 1 (IEEE float) in
   *    either byte order, sizes 1/2/4/8;
-  *  - data layout v3, contiguous and chunked (v1 B-tree chunk index);
+  *  - data layout v3 (contiguous; chunked with the v1 B-tree index) and
+  *    v4 (HDF5 1.10+ latest format: single-chunk, implicit,
+  *    fixed-array incl. paged data blocks, and v2-B-tree chunk
+  *    indexes; the don't-filter-partial-edge-chunks flag). The
+  *    extensible-array index (unlimited dims) is rejected clearly;
   *  - filter pipeline v1/v2 with deflate (1), shuffle (2) and
   *    fletcher32 (3 — checksum stripped).
   *
@@ -58,15 +64,30 @@ object HDF5 {
 
   private final case class Msg(tpe: Int, body: Array[Byte])
 
+  /** Chunk index variants: layout v3 stores a v1 B-tree; layout v4
+    * (HDF5 1.10+ "latest" files) adds single-chunk, implicit (no
+    * index), fixed-array and v2-B-tree indexes. Extensible-array
+    * (unlimited dims under latest format) is rejected with a clear
+    * error at parse time. */
+  sealed trait ChunkIndex
+  final case class IdxBTreeV1(addr: Long) extends ChunkIndex
+  final case class IdxSingle(addr: Long, storedSize: Long) extends ChunkIndex
+  final case class IdxImplicit(addr: Long) extends ChunkIndex
+  final case class IdxFixedArray(addr: Long) extends ChunkIndex
+  final case class IdxBTreeV2(addr: Long) extends ChunkIndex
+
   /** One dataset: shape, element type, layout. For chunked layout,
     * `chunkDims` has one entry per dataspace dim (the trailing
     * element-size entry of the stored chunk dimensionality is dropped)
-    * and `chunkIndex` maps chunk-grid origin → (address, storedSize). */
+    * and `chunkIndex` maps chunk-grid origin → (address, storedSize).
+    * `dontFilterPartial` is layout-v4 flag bit 0: edge chunks are
+    * stored raw even when a filter pipeline is present. */
   final case class Dataset(name: String, shape: Seq[Int], dtype: DType,
                            contiguousAddr: Long, contiguousSize: Long,
                            chunkDims: Seq[Int],
-                           chunkBTree: Long,
-                           filters: Seq[Filter]) {
+                           chunkIndex: ChunkIndex,
+                           filters: Seq[Filter],
+                           dontFilterPartial: Boolean = false) {
     def isChunked: Boolean = chunkDims.nonEmpty
   }
 
@@ -234,39 +255,209 @@ object HDF5 {
             walkGroupBtree(btree, heap).foreach { case (nm, oh) =>
               collectGroup(oh, s"$prefix$nm/", acc)
             }
-          case 0x0002 => // link info: reject dense storage
+          case 0x0002 => // link info: dense (fractal heap) storage
             val flags = b.get(1) & 0xFF
             var q = 2
-            if ((flags & 1) != 0) q += 8
-            val fheap = b.getLong(q)
-            if (fheap != Undef)
-              throw new IllegalArgumentException(
-                "dense (fractal heap) link storage not supported")
-          case 0x0006 => // compact link message
-            val flags = b.get(1) & 0xFF
-            var q = 2
-            val ltype = if ((flags & 0x08) != 0) { val t = b.get(q) & 0xFF; q += 1; t }
-                        else 0
-            if ((flags & 0x04) != 0) q += 8 // creation order
-            if ((flags & 0x10) != 0) q += 1 // charset
-            val lenSz = 1 << (flags & 3)
-            val nameLen = lenSz match {
-              case 1 => b.get(q) & 0xFF
-              case 2 => b.getShort(q) & 0xFFFF
-              case 4 => b.getInt(q)
-              case _ => b.getLong(q).toInt
+            if ((flags & 1) != 0) q += 8 // max creation index
+            val fheapAddr = b.getLong(q)
+            val nameBtree = b.getLong(q + 8)
+            if (fheapAddr != Undef) {
+              val heap = new FractalHeap(fheapAddr)
+              walkBtreeV2(nameBtree) { rec =>
+                // type-5 record: 4-byte name hash + fractal heap ID
+                val heapId = java.util.Arrays.copyOfRange(rec, 4, rec.length)
+                parseLinkBody(heap.obj(heapId)).foreach { case (nm, oh) =>
+                  collectGroup(oh, s"$prefix$nm/", acc)
+                }
+              }
             }
-            q += lenSz
-            val nameB = new Array[Byte](nameLen)
-            b.position(q); b.get(nameB); b.position(0)
-            if (ltype == 0) { // hard link → object header address
-              val oh = b.getLong(q + nameLen)
-              collectGroup(oh, s"$prefix${new String(nameB, "UTF-8")}/", acc)
+          case 0x0006 => // compact link message
+            parseLinkBody(m.body).foreach { case (nm, oh) =>
+              collectGroup(oh, s"$prefix$nm/", acc)
             }
           case _ =>
         }
       }
       acc
+    }
+
+    /** Decode a Link message body (compact message type 0x0006, and the
+      * byte-identical objects a dense group stores in its fractal heap).
+      * Returns (name, object header address) for hard links; soft /
+      * external links are skipped. */
+    private def parseLinkBody(body: Array[Byte]): Option[(String, Long)] = {
+      val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val flags = b.get(1) & 0xFF
+      var q = 2
+      val ltype = if ((flags & 0x08) != 0) { val t = b.get(q) & 0xFF; q += 1; t }
+                  else 0
+      if ((flags & 0x04) != 0) q += 8 // creation order
+      if ((flags & 0x10) != 0) q += 1 // charset
+      val lenSz = 1 << (flags & 3)
+      val nameLen = lenSz match {
+        case 1 => b.get(q) & 0xFF
+        case 2 => b.getShort(q) & 0xFFFF
+        case 4 => b.getInt(q)
+        case _ => b.getLong(q).toInt
+      }
+      q += lenSz
+      val nameB = new Array[Byte](nameLen)
+      b.position(q); b.get(nameB); b.position(0)
+      if (ltype == 0) Some((new String(nameB, "UTF-8"), b.getLong(q + nameLen)))
+      else None
+    }
+
+    // ---- fractal heap (dense group link storage) ----
+    /** Managed-object reader for one fractal heap (HDF5 spec III.G).
+      * Groups store each link message as one managed object; the heap is
+      * tiny (a root direct block, or one level of indirect rows), so the
+      * whole address mapping is plain doubling-table arithmetic. */
+    private final class FractalHeap(hdrAddr: Long) {
+      require(bytesAt(hdrAddr, 4).sameElements("FRHP".getBytes),
+        "fractal heap header expected")
+      private val h = bb(hdrAddr + 4, 140)
+      private val heapIdLen = h.getShort(1) & 0xFFFF
+      private val ioFilterLen = h.getShort(3) & 0xFFFF
+      require(ioFilterLen == 0, "filtered fractal heaps not supported")
+      private val tableWidth = h.getShort(106) & 0xFFFF
+      private val startBlockSize = h.getLong(108)
+      private val maxDirectSize = h.getLong(116)
+      private val maxHeapBits = h.getShort(124) & 0xFFFF
+      private val rootAddr = h.getLong(128)
+      private val curRootRows = h.getShort(136) & 0xFFFF
+      private val heapOffSize = (maxHeapBits + 7) / 8
+      private val heapLenSize = heapIdLen - 1 - heapOffSize
+      require(heapLenSize >= 1 && heapLenSize <= 8,
+        s"unexpected fractal heap ID length $heapIdLen")
+      private def rowSize(row: Int): Long =
+        if (row < 2) startBlockSize else startBlockSize << (row - 1)
+      private val maxDirectRows =
+        (63 - java.lang.Long.numberOfLeadingZeros(maxDirectSize)) -
+        (63 - java.lang.Long.numberOfLeadingZeros(startBlockSize)) + 2
+
+      private def varUint(b: Array[Byte], off: Int, n: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < n) { v |= (b(off + i).toLong & 0xFF) << (8 * i); i += 1 }
+        v
+      }
+
+      /** File address of the direct block covering heap offset `off`,
+        * together with the block's heap-space offset. */
+      private def locate(off: Long): (Long, Long) =
+        if (curRootRows == 0) (rootAddr, 0L) // root IS a direct block
+        else locateInIndirect(rootAddr, 0L, curRootRows, off)
+
+      private def locateInIndirect(iaddr: Long, ioff: Long, nrows: Int,
+          off: Long): (Long, Long) = {
+        require(bytesAt(iaddr, 4).sameElements("FHIB".getBytes),
+          "fractal heap indirect block expected")
+        // entries start after sig(4) ver(1) hdr(8) blockOffset(heapOffSize)
+        val entriesOff = iaddr + 4 + 1 + 8 + heapOffSize
+        var row = 0
+        var cum = ioff
+        while (row < nrows) {
+          val rs = rowSize(row)
+          val rowSpan = rs * tableWidth
+          if (off < cum + rowSpan) {
+            val col = ((off - cum) / rs).toInt
+            val entry = row * tableWidth + col
+            val childAddr = bb(entriesOff + entry * 8L, 8).getLong(0)
+            val childOff = cum + col * rs
+            if (row < maxDirectRows) return (childAddr, childOff)
+            // deeper rows hold indirect children — only reached once a
+            // single group's link messages exceed width×(2×maxDirect−
+            // start) bytes (≈500 KB at the library defaults)
+            throw new IllegalArgumentException(
+              "nested indirect fractal heap blocks not supported")
+          }
+          cum += rowSpan
+          row += 1
+        }
+        throw new IllegalArgumentException(
+          s"heap offset $off beyond indirect block rows")
+      }
+
+      /** Bytes of the managed (or tiny) object behind a heap ID. */
+      def obj(id: Array[Byte]): Array[Byte] = {
+        val idType = (id(0) & 0x30) >> 4
+        idType match {
+          case 0 => // managed: offset + length into the heap space
+            val off = varUint(id, 1, heapOffSize)
+            val len = varUint(id, 1 + heapOffSize, heapLenSize).toInt
+            val (daddr, doff) = locate(off)
+            require(daddr != Undef, s"unallocated direct block for offset $off")
+            bytesAt(daddr + (off - doff), len)
+          case 2 => // tiny: payload lives in the ID itself
+            val len = (id(0) & 0x0F) + 1
+            java.util.Arrays.copyOfRange(id, 1, 1 + len)
+          case t => throw new IllegalArgumentException(
+            s"fractal heap object type $t unsupported (huge object)")
+        }
+      }
+    }
+
+    // ---- v2 B-tree (dense link names; v4 chunk indexes) ----
+    /** Walk every record of a v2 B-tree in key order, invoking `f` with
+      * the raw record bytes (HDF5 spec III.A.2: BTHD / BTIN / BTLF). */
+    private def walkBtreeV2(hdrAddr: Long)(f: Array[Byte] => Unit): Unit = {
+      require(bytesAt(hdrAddr, 4).sameElements("BTHD".getBytes),
+        "v2 B-tree header expected")
+      val h = bb(hdrAddr + 4, 30)
+      val nodeSize = h.getInt(2)
+      val recordSize = h.getShort(6) & 0xFFFF
+      val depth = h.getShort(8) & 0xFFFF
+      val rootAddr = h.getLong(12)
+      val rootNRec = h.getShort(20) & 0xFFFF
+      if (rootAddr == Undef || (rootNRec == 0 && depth == 0)) return
+      // sizes of the child-pointer count fields (spec: "number of records
+      // for child node" is the minimum bytes for the max records a leaf
+      // holds; the depth>1 total field sizes accumulate level by level)
+      val maxLeafRec = (nodeSize - 10) / recordSize
+      val maxNRecSize = limitEncSize(maxLeafRec)
+      val cumMaxNRecSize = new Array[Int](depth + 1)
+      var cumMaxNRec = maxLeafRec.toLong
+      cumMaxNRecSize(0) = 0
+      var u = 1
+      while (u <= depth) {
+        val ptrExtra = 8 + maxNRecSize + (if (u > 1) cumMaxNRecSize(u - 1) else 0)
+        val maxIntRec = (nodeSize - (10 + ptrExtra)) / (recordSize + ptrExtra)
+        cumMaxNRec = (maxIntRec + 1).toLong * cumMaxNRec + maxIntRec
+        cumMaxNRecSize(u) = limitEncSize(cumMaxNRec)
+        u += 1
+      }
+      def varUint(b: ByteBuffer, off: Int, n: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < n) { v |= (b.get(off + i).toLong & 0xFF) << (8 * i); i += 1 }
+        v
+      }
+      def walk(addr: Long, nrec: Int, level: Int): Unit = {
+        if (level == 0) {
+          require(bytesAt(addr, 4).sameElements("BTLF".getBytes), "BTLF expected")
+          val body = bytesAt(addr + 6, nrec * recordSize)
+          var i = 0
+          while (i < nrec) {
+            f(java.util.Arrays.copyOfRange(body, i * recordSize,
+              (i + 1) * recordSize))
+            i += 1
+          }
+        } else {
+          require(bytesAt(addr, 4).sameElements("BTIN".getBytes), "BTIN expected")
+          val ptrSize = 8 + maxNRecSize + (if (level > 1) cumMaxNRecSize(level - 1) else 0)
+          val body = bb(addr + 6, nrec * recordSize + (nrec + 1) * ptrSize)
+          var i = 0
+          while (i <= nrec) {
+            val pOff = nrec * recordSize + i * ptrSize
+            val childAddr = body.getLong(pOff)
+            val childNRec = varUint(body, pOff + 8, maxNRecSize).toInt
+            walk(childAddr, childNRec, level - 1)
+            if (i < nrec)
+              f((0 until recordSize).map(j =>
+                body.get(i * recordSize + j)).toArray)
+            i += 1
+          }
+        }
+      }
+      walk(rootAddr, rootNRec, depth)
     }
 
     private def walkGroupBtree(btreeAddr: Long, heapAddr: Long)
@@ -309,7 +500,8 @@ object HDF5 {
       var dtype: DType = null
       var contAddr = Undef; var contSize = 0L
       var chunkDims: Seq[Int] = Nil
-      var chunkBTree = Undef
+      var chunkIndex: ChunkIndex = null
+      var dontFilterPartial = false
       var filters: Seq[Filter] = Nil
       msgs.foreach { m =>
         val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
@@ -330,17 +522,57 @@ object HDF5 {
               signed = clazz != 0 || (bits0 & 0x08) != 0)
           case 0x0008 => // layout
             val ver = b.get(0) & 0xFF
-            require(ver == 3, s"data layout v$ver unsupported (v3 only)")
+            require(ver == 3 || ver == 4,
+              s"data layout v$ver unsupported (v3/v4 only)")
             val clazz = b.get(1) & 0xFF
-            clazz match {
-              case 1 => contAddr = b.getLong(2); contSize = b.getLong(10)
-              case 2 =>
+            (ver, clazz) match {
+              case (_, 1) => contAddr = b.getLong(2); contSize = b.getLong(10)
+              case (3, 2) =>
                 val dimensionality = b.get(2) & 0xFF // rank + 1
-                chunkBTree = b.getLong(3)
+                chunkIndex = IdxBTreeV1(b.getLong(3))
                 chunkDims = (0 until dimensionality - 1).map(i =>
                   b.getInt(11 + i * 4))
-              case 0 => throw new IllegalArgumentException(
+              case (4, 2) =>
+                // v4 chunked: flags, ndims (rank+1 incl. element size),
+                // per-dim encoded length, dims, index type, index fields
+                val flags = b.get(2) & 0xFF
+                dontFilterPartial = (flags & 1) != 0
+                val ndims = b.get(3) & 0xFF
+                val encLen = b.get(4) & 0xFF
+                def dimAt(i: Int): Long = {
+                  var v = 0L; var j = 0
+                  while (j < encLen) {
+                    v |= (b.get(5 + i * encLen + j).toLong & 0xFF) << (8 * j)
+                    j += 1
+                  }
+                  v
+                }
+                // trailing entry is the element size (same as v3)
+                chunkDims = (0 until ndims - 1).map(i => dimAt(i).toInt)
+                var q = 5 + ndims * encLen
+                val idxType = b.get(q) & 0xFF; q += 1
+                chunkIndex = idxType match {
+                  case 1 => // single chunk
+                    if ((flags & 2) != 0) { // filtered single chunk
+                      val fsz = b.getLong(q); q += 12 // size(8) + mask(4)
+                      IdxSingle(b.getLong(q), fsz)
+                    } else IdxSingle(b.getLong(q), -1L)
+                  case 2 => IdxImplicit(b.getLong(q))
+                  case 3 => // fixed array: page bits byte, then FA header
+                    q += 1
+                    IdxFixedArray(b.getLong(q))
+                  case 5 => // v2 B-tree: node size(4), split %(1), merge %(1)
+                    q += 6
+                    IdxBTreeV2(b.getLong(q))
+                  case 4 => throw new IllegalArgumentException(
+                    "extensible-array chunk index (unlimited dims) not supported")
+                  case t => throw new IllegalArgumentException(
+                    s"chunk index type $t unsupported")
+                }
+              case (_, 0) => throw new IllegalArgumentException(
                 "compact data layout not supported")
+              case (v, c) => throw new IllegalArgumentException(
+                s"layout v$v class $c unsupported")
             }
           case 0x000B => // filter pipeline
             val ver = b.get(0) & 0xFF
@@ -366,33 +598,148 @@ object HDF5 {
       }
       if (shape == null || dtype == null) None
       else Some(Dataset(name, shape, dtype, contAddr, contSize,
-        chunkDims, chunkBTree, filters))
+        chunkDims, if (chunkIndex == null) IdxBTreeV1(Undef) else chunkIndex,
+        filters, dontFilterPartial))
     }
 
     // ---- chunk index ----
-    private val chunkIndexCache = mutable.Map.empty[Long, Seq[(Seq[Long], Long, Long)]]
-    /** All (gridOrigin, address, storedByteSize) entries of a chunk B-tree. */
+    private val chunkIndexCache = mutable.Map.empty[String, Seq[(Seq[Long], Long, Long)]]
+    /** All (gridOrigin, address, storedByteSize) entries of the dataset's
+      * chunk index, whatever its kind (v1 B-tree for layout v3; single /
+      * implicit / fixed-array / v2-B-tree for layout v4). */
     private def chunkEntries(d: Dataset): Seq[(Seq[Long], Long, Long)] =
-      chunkIndexCache.getOrElseUpdate(d.chunkBTree, {
-        val ndims = d.chunkDims.size + 1
-        val keySize = 8 + ndims * 8
-        def walk(addr: Long): Seq[(Seq[Long], Long, Long)] = {
-          require(bytesAt(addr, 4).sameElements("TREE".getBytes),
-            "chunk B-tree v1 node expected")
-          val hd = bb(addr, 24)
-          val level = hd.get(5) & 0xFF
-          val n = hd.getShort(6) & 0xFFFF
-          val body = bb(addr + 24, n * (keySize + 8) + keySize)
-          (0 until n).flatMap { i =>
-            val kOff = i * (keySize + 8)
-            val size = body.getInt(kOff) & 0xFFFFFFFFL
-            val offsets = (0 until ndims - 1).map(j => body.getLong(kOff + 8 + j * 8))
-            val child = body.getLong(kOff + keySize)
-            if (level > 0) walk(child) else Seq((offsets, child, size))
-          }
+      chunkIndexCache.getOrElseUpdate(d.name, {
+        val rank = d.chunkDims.size
+        val nominal = d.chunkDims.product.toLong * d.dtype.size
+        val grid = (0 until rank).map(i =>
+          (d.shape(i) + d.chunkDims(i) - 1) / d.chunkDims(i))
+        def originOf(ci: Long): Seq[Long] = {
+          var rem = ci
+          val o = new Array[Long](rank)
+          var i = rank - 1
+          while (i >= 0) { o(i) = (rem % grid(i)) * d.chunkDims(i)
+            rem /= grid(i); i -= 1 }
+          o.toSeq
         }
-        walk(d.chunkBTree)
+        d.chunkIndex match {
+          case IdxBTreeV1(btree) => walkChunkBtreeV1(btree, rank)
+          case IdxSingle(addr, fsz) =>
+            Seq((Seq.fill(rank)(0L), addr, if (fsz >= 0) fsz else nominal))
+          case IdxImplicit(addr) =>
+            require(d.filters.isEmpty, "implicit index cannot carry filters")
+            (0L until grid.map(_.toLong).product).map(ci =>
+              (originOf(ci), addr + ci * nominal, nominal))
+          case IdxFixedArray(hdr) => fixedArrayEntries(d, hdr, originOf)
+          case IdxBTreeV2(hdr) =>
+            val btType = bytesAt(hdr + 5, 1)(0) & 0xFF
+            val recordSize = bb(hdr + 10, 2).getShort(0) & 0xFFFF
+            val out = mutable.ArrayBuffer.empty[(Seq[Long], Long, Long)]
+            walkBtreeV2(hdr) { rec =>
+              val rb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+              val addr = rb.getLong(0)
+              // type 10: addr + scaled offsets; type 11: addr + size(var)
+              // + filter mask + scaled offsets
+              val (size, scaledOff) =
+                if (btType == 10) (nominal, 8)
+                else {
+                  val szLen = recordSize - 12 - 8 * rank
+                  var v = 0L; var i = 0
+                  while (i < szLen) { v |= (rec(8 + i).toLong & 0xFF) << (8 * i); i += 1 }
+                  (v, 8 + szLen + 4)
+                }
+              val origin = (0 until rank).map(i =>
+                rb.getLong(scaledOff + i * 8) * d.chunkDims(i))
+              out += ((origin, addr, size))
+            }
+            out.toSeq
+        }
       })
+
+    private def walkChunkBtreeV1(btree: Long, rank: Int)
+        : Seq[(Seq[Long], Long, Long)] = {
+      val ndims = rank + 1
+      val keySize = 8 + ndims * 8
+      def walk(addr: Long): Seq[(Seq[Long], Long, Long)] = {
+        require(bytesAt(addr, 4).sameElements("TREE".getBytes),
+          "chunk B-tree v1 node expected")
+        val hd = bb(addr, 24)
+        val level = hd.get(5) & 0xFF
+        val n = hd.getShort(6) & 0xFFFF
+        val body = bb(addr + 24, n * (keySize + 8) + keySize)
+        (0 until n).flatMap { i =>
+          val kOff = i * (keySize + 8)
+          val size = body.getInt(kOff) & 0xFFFFFFFFL
+          val offsets = (0 until ndims - 1).map(j => body.getLong(kOff + 8 + j * 8))
+          val child = body.getLong(kOff + keySize)
+          if (level > 0) walk(child) else Seq((offsets, child, size))
+        }
+      }
+      walk(btree)
+    }
+
+    /** Fixed-array chunk index (layout v4 type 3): FAHD header → FADB
+      * data block, elements either inline or split into pages of
+      * 2^pageBits entries, each page checksummed. Client 0 = raw chunk
+      * addresses, client 1 = (address, stored size, filter mask). */
+    private def fixedArrayEntries(d: Dataset, hdrAddr: Long,
+        originOf: Long => Seq[Long]): Seq[(Seq[Long], Long, Long)] = {
+      require(bytesAt(hdrAddr, 4).sameElements("FAHD".getBytes),
+        "fixed array header expected")
+      val h = bb(hdrAddr + 4, 20)
+      val clientId = h.get(1) & 0xFF
+      val entrySize = h.get(2) & 0xFF
+      val pageBits = h.get(3) & 0xFF
+      val nelmts = h.getLong(4)
+      val dbAddr = h.getLong(12)
+      require(clientId == 0 || clientId == 1,
+        s"fixed array client $clientId unsupported")
+      require(dbAddr != Undef, s"${d.name}: fixed array data block unallocated")
+      require(bytesAt(dbAddr, 4).sameElements("FADB".getBytes),
+        "fixed array data block expected")
+      val pageElmts = 1L << pageBits
+      val nominal = d.chunkDims.product.toLong * d.dtype.size
+      val elemsBase = dbAddr + 4 + 1 + 1 + 8 // sig, ver, client, hdr addr
+      def entryAt(raw: ByteBuffer, off: Int, ci: Long)
+          : (Seq[Long], Long, Long) = {
+        val addr = raw.getLong(off)
+        val size =
+          if (clientId == 0) nominal
+          else {
+            val szLen = entrySize - 12
+            var v = 0L; var i = 0
+            while (i < szLen) { v |= (raw.get(off + 8 + i).toLong & 0xFF) << (8 * i); i += 1 }
+            v
+          }
+        (originOf(ci), addr, size)
+      }
+      if (nelmts <= pageElmts) { // unpaged: elements inline in the block
+        val raw = bb(elemsBase, (nelmts * entrySize).toInt)
+        (0L until nelmts).map(ci => entryAt(raw, (ci * entrySize).toInt, ci))
+          .filter(_._2 != Undef) // unwritten chunks stay at fill value
+      } else {
+        val npages = ((nelmts + pageElmts - 1) / pageElmts).toInt
+        val bitmapBytes = (npages + 7) / 8
+        // pages follow the data block (bitmap + checksum); each page is
+        // its elements followed by a 4-byte checksum
+        var pageAddr = elemsBase + bitmapBytes + 4
+        val out = mutable.ArrayBuffer.empty[(Seq[Long], Long, Long)]
+        var ci = 0L
+        var p = 0
+        while (p < npages) {
+          val here = math.min(pageElmts, nelmts - ci)
+          val raw = bb(pageAddr, (here * entrySize).toInt)
+          var i = 0L
+          while (i < here) {
+            val e = entryAt(raw, (i * entrySize).toInt, ci)
+            if (e._2 != Undef) out += e
+            ci += 1; i += 1
+          }
+          pageAddr += here * entrySize + 4
+          p += 1
+        }
+        out.toSeq
+      }
+    }
 
     private def inflateBytes(b: Array[Byte], hint: Int): Array[Byte] = {
       val inf = new Inflater()
@@ -422,13 +769,16 @@ object HDF5 {
       out
     }
 
-    /** Raw (defiltered) bytes of the chunk stored at `addr`. */
-    private def chunkBytes(d: Dataset, addr: Long, stored: Long): Array[Byte] = {
+    /** Raw (defiltered) bytes of the chunk stored at `addr`.
+      * `skipFilters` carries layout v4's "don't filter partial edge
+      * chunks" flag for chunks that ARE partial. */
+    private def chunkBytes(d: Dataset, addr: Long, stored: Long,
+        skipFilters: Boolean): Array[Byte] = {
       val cached = chunkCache.get(addr)
       if (cached != null) return cached
       var data = bytesAt(addr, stored.toInt)
       // filters apply in reverse order on read
-      d.filters.reverse.foreach { f =>
+      if (!skipFilters) d.filters.reverse.foreach { f =>
         f.id match {
           case 1 => data = inflateBytes(data,
             d.chunkDims.product * d.dtype.size)
@@ -529,7 +879,10 @@ object HDF5 {
         val hi = (0 until rank).map(i => math.min(origin(i) + shape(i).toLong,
           gridOrigin(i) + cd(i)))
         if ((0 until rank).forall(i => lo(i) < hi(i))) {
-          val bytes = chunkBytes(d, addr, stored)
+          val partial = (0 until rank).exists(i =>
+            gridOrigin(i) + cd(i) > d.shape(i))
+          val bytes = chunkBytes(d, addr, stored,
+            skipFilters = d.dontFilterPartial && partial)
           val bbuf = ByteBuffer.wrap(bytes).order(order)
           // nested copy over the intersection, innermost dim tight loop
           def rec(dim: Int, outBase: Int, chunkBase: Int): Unit = {
@@ -576,7 +929,50 @@ object HDF5 {
     def zero(n: Int): Unit = { ensure(n); pos += n }
     def patch64(at: Int, v: Long): Unit = {
       val save = pos; pos = at; u64(v); pos = math.max(save, pos) }
+    def patch32(at: Int, v: Long): Unit = {
+      val save = pos; pos = at; u32(v); pos = math.max(save, pos) }
+    def slice(from: Int, n: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(arr, from, from + n)
     def result: Array[Byte] = java.util.Arrays.copyOf(arr, pos)
+  }
+
+  /** Bob Jenkins lookup3 (`hashlittle`, public domain; the HDF5 spec's
+    * metadata checksum and dense-link name hash). */
+  private def lookup3(data: Array[Byte], init: Int = 0): Int = {
+    def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    var a = 0xdeadbeef + data.length + init
+    var b = a; var c = a
+    var off = 0; var len = data.length
+    def word(o: Int, n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n && o + i < data.length) {
+        v |= (data(o + i) & 0xFF) << (8 * i); i += 1
+      }
+      v
+    }
+    while (len > 12) {
+      a += word(off, 4); b += word(off + 4, 4); c += word(off + 8, 4)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      off += 12; len -= 12
+    }
+    if (len > 0) {
+      a += word(off, math.min(len, 4))
+      if (len > 4) b += word(off + 4, math.min(len - 4, 4))
+      if (len > 8) c += word(off + 8, len - 8)
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+    }
+    c
   }
 
   /** One float64 variable for [[writeDoubleVars]]. */
@@ -596,12 +992,8 @@ object HDF5 {
     writeDoubleVars(path, Seq(H5Var(varName, dims, data, chunkDims)),
       deflateLevel)
 
-  /** Multi-variable form: several datasets under one symbol-table root
-    * group (real netCDF-4 files always hold several — coordinate vars
-    * plus measures), entries name-ordered as the group B-tree
-    * requires. */
-  def writeDoubleVars(path: String, vars0: Seq[H5Var],
-      deflateLevel: Int = 6): Unit = {
+  /** Common validation for every multi-var writer. */
+  private def validateVars(vars0: Seq[H5Var]): Unit = {
     require(vars0.nonEmpty, "at least one variable")
     vars0.foreach { v =>
       require(v.data.length == v.dims.map(_._2).product,
@@ -609,10 +1001,11 @@ object HDF5 {
       require(v.chunkDims.forall(_.size == v.dims.size),
         s"${v.name}: chunk rank != rank")
     }
-    val vars = vars0.sortBy(_.name) // symbol-table entries are name-ordered
-    val b = new Buf
+  }
 
-    // --- superblock v0 (96 bytes) ---
+  /** Superblock v0 (96 bytes incl. the root symbol-table entry).
+    * Returns (eofPatch, rootOhPatch) buffer positions. */
+  private def superblockV0(b: Buf): (Int, Int) = {
     b.bytes(Signature)
     b.u8(0); b.u8(0); b.u8(0); b.u8(0) // sb ver, freespace ver, root ver, res
     b.u8(0); b.u8(8); b.u8(8); b.u8(0) // shared ver, offsets, lengths, res
@@ -627,6 +1020,75 @@ object HDF5 {
     val rootOhPatch = b.pos; b.u64(0)  // root object header addr (patched)
     b.u32(0); b.u32(0)                 // cache type, reserved
     b.zero(16)                         // scratch
+    (eofPatch, rootOhPatch)
+  }
+
+  private def flushTo(path: String, b: Buf): Unit = {
+    val out = new java.io.FileOutputStream(path)
+    try out.write(b.result) finally out.close()
+  }
+
+  /** Minimum LE bytes that hold `v` (the spec's H5VM_limit_enc_size). */
+  private def limitEncSize(v: Long): Int =
+    (63 - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L))) / 8 + 1
+
+  /** Row-major (gridOrigin, blob) chunks of `v`'s data; deflated when
+    * `level >= 0`; edge chunks left raw when `rawPartial` (the layout-v4
+    * don't-filter-partial-chunks mode). Edge chunks are emitted at full
+    * nominal size, zero-padded, as the library does. */
+  private def chunkBlobs(v: H5Var, cd: Seq[Int], level: Int,
+      rawPartial: Boolean = false): Seq[(Seq[Int], Array[Byte])] = {
+    val shape = v.dims.map(_._2)
+    val rank = shape.size
+    val grid = shape.zip(cd).map { case (s, c) => (s + c - 1) / c }
+    val strides = shape.scanRight(1)(_ * _).tail
+    val chunkStrides = cd.scanRight(1)(_ * _).tail
+    (0 until grid.product).map { ci =>
+      var rem = ci
+      val gidx = new Array[Int](rank)
+      var i = rank - 1
+      while (i >= 0) { gidx(i) = rem % grid(i); rem /= grid(i); i -= 1 }
+      val originC = gidx.toSeq.zip(cd).map { case (g, c) => g * c }
+      val raw = new Array[Byte](cd.product * 8)
+      val rbb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      def fill(dim: Int, srcBase: Int, dstBase: Int): Unit = {
+        if (dim == rank) rbb.putDouble(dstBase * 8, v.data(srcBase))
+        else {
+          var j = 0
+          val lim = math.min(cd(dim), shape(dim) - originC(dim))
+          while (j < lim) {
+            fill(dim + 1, srcBase + (originC(dim) + j) * strides(dim),
+              dstBase + j * chunkStrides(dim))
+            j += 1
+          }
+        }
+      }
+      fill(0, 0, 0)
+      val partial = (0 until rank).exists(i => originC(i) + cd(i) > shape(i))
+      val blob =
+        if (level < 0 || (rawPartial && partial)) raw
+        else {
+          val d = new Deflater(level)
+          d.setInput(raw); d.finish()
+          val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+          d.end(); out.toByteArray
+        }
+      (originC, blob)
+    }
+  }
+
+  /** Multi-variable form: several datasets under one symbol-table root
+    * group (real netCDF-4 files always hold several — coordinate vars
+    * plus measures), entries name-ordered as the group B-tree
+    * requires. */
+  def writeDoubleVars(path: String, vars0: Seq[H5Var],
+      deflateLevel: Int = 6): Unit = {
+    validateVars(vars0)
+    val vars = vars0.sortBy(_.name) // symbol-table entries are name-ordered
+    val b = new Buf
+    val (eofPatch, rootOhPatch) = superblockV0(b)
 
     // --- root group object header v1: one symbol-table message ---
     val rootOh = b.pos
@@ -686,8 +1148,7 @@ object HDF5 {
     }
 
     b.patch64(eofPatch, b.pos)
-    val out = new java.io.FileOutputStream(path)
-    try out.write(b.result) finally out.close()
+    flushTo(path, b)
   }
 
   /** Append one dataset (v1 object header + layout + data) to `b`,
@@ -751,43 +1212,13 @@ object HDF5 {
       b.u32(8)                         // element size tail entry
       b.zero(layoutSz - (b.pos - layoutStart))
       // --- chunks (deflated), then the chunk B-tree ---
-      val grid = shape.zip(cd).map { case (s, c) => (s + c - 1) / c }
-      val chunkCount = grid.product
-      val strides = shape.scanRight(1)(_ * _).tail
-      val chunkStrides = cd.scanRight(1)(_ * _).tail
-      val entries = (0 until chunkCount).map { ci =>
-        var rem = ci
-        val gidx = new Array[Int](rank)
-        var i = rank - 1
-        while (i >= 0) { gidx(i) = rem % grid(i); rem /= grid(i); i -= 1 }
-        val originC = gidx.toSeq.zip(cd).map { case (g, c) => g * c }
-        val raw = new Array[Byte](cd.product * 8)
-        val rbb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-        def fill(dim: Int, srcBase: Int, dstBase: Int): Unit = {
-          if (dim == rank) rbb.putDouble(dstBase * 8, data(srcBase))
-          else {
-            var j = 0
-            val lim = math.min(cd(dim), shape(dim) - originC(dim))
-            while (j < lim) {
-              fill(dim + 1, srcBase + (originC(dim) + j) * strides(dim),
-                dstBase + j * chunkStrides(dim))
-              j += 1
-            }
-          }
-        }
-        fill(0, 0, 0)
-        val comp = {
-          val d = new Deflater(deflateLevel)
-          d.setInput(raw); d.finish()
-          val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
-          val buf = new Array[Byte](8192)
-          while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-          d.end(); out.toByteArray
-        }
-        val addr = b.pos
-        b.bytes(comp)
-        (originC, addr, comp.length)
+      val entries = chunkBlobs(v, cd, deflateLevel).map {
+        case (originC, blob) =>
+          val addr = b.pos
+          b.bytes(blob)
+          (originC, addr, blob.length)
       }
+      val chunkCount = entries.size
       // chunk B-tree v1 leaf: n entries, n+1 keys
       val btreeAddr2 = b.pos
       b.patch64(btreePatch, btreeAddr2)
@@ -804,5 +1235,374 @@ object HDF5 {
       b.u64(8)
     }
     dsOh
+  }
+
+  // ------------------------------------------- dense-link group writer
+
+  /** Write the file shape netCDF-4 produces for groups with more than
+    * ~8 variables: creation-order tracking forces the "new" group
+    * format, so links live as managed objects in a fractal heap indexed
+    * by a name-hash v2 B-tree (HDF5 spec III.A.2/III.G) instead of a
+    * symbol table. Superblock v0 + v1 object headers, exactly like the
+    * library. `btreeNodeSize` is exposed so specs can force a depth-1
+    * B-tree with a handful of links. */
+  def writeDoubleVarsDense(path: String, vars0: Seq[H5Var],
+      deflateLevel: Int = 6, btreeNodeSize: Int = 512): Unit = {
+    validateVars(vars0)
+    val vars = vars0 // dense groups keep creation order; no sort needed
+    val b = new Buf
+    val (eofPatch, rootOhPatch) = superblockV0(b)
+
+    // --- datasets first (link messages need their header addresses) ---
+    val ohAddrs = vars.map(v => writeDataset(b, v, deflateLevel))
+
+    // --- link messages, serialized exactly like compact ones ---
+    val linkBodies = vars.indices.map { i =>
+      val nb = vars(i).name.getBytes("UTF-8")
+      val lb = new Buf
+      lb.u8(1); lb.u8(0x04)  // version; flags: creation order, 1-byte len
+      lb.u64(i.toLong)       // creation order
+      lb.u8(nb.length); lb.bytes(nb)
+      lb.u64(ohAddrs(i))
+      lb.result
+    }
+
+    // --- fractal heap: one root direct block holding every link ---
+    val dbHdrSize = 4 + 1 + 8 + 4 + 4 // sig, ver, heap hdr, offset(4), checksum
+    val used = dbHdrSize + linkBodies.map(_.length).sum
+    var blockSize = 512L
+    while (blockSize < used) blockSize *= 2
+    require(blockSize <= 65536, "too many links for a root direct block")
+    val dblockAddr = b.pos
+    b.bytes("FHDB".getBytes); b.u8(0)
+    val dbHeapHdrPatch = b.pos; b.u64(0)
+    b.u32(0)                          // block offset in heap space
+    val dbChecksumAt = b.pos; b.u32(0)
+    val heapOffsets = new Array[Long](vars.size)
+    var cur = dbHdrSize.toLong
+    linkBodies.indices.foreach { i =>
+      heapOffsets(i) = cur; b.bytes(linkBodies(i)); cur += linkBodies(i).length
+    }
+    b.zero((blockSize - used).toInt)
+
+    // --- fractal heap header (FRHP) ---
+    val frhpAddr = b.pos
+    b.patch64(dbHeapHdrPatch, frhpAddr)
+    b.bytes("FRHP".getBytes)
+    b.u8(0)                  // version
+    b.u16(7)                 // heap ID length: 1 + offset(4) + length(2)
+    b.u16(0)                 // I/O filter encoded length
+    b.u8(2)                  // flags: direct blocks are checksummed
+    b.u32(4096)              // max managed object size
+    b.u64(0); b.u64(Undef)   // next huge id, huge btree
+    b.u64(blockSize - cur)   // free space
+    b.u64(Undef)             // free-space manager
+    b.u64(blockSize)         // managed space
+    b.u64(blockSize)         // allocated managed space
+    b.u64(cur)               // direct-block iterator offset
+    b.u64(vars.size.toLong)  // number of managed objects
+    b.u64(0); b.u64(0); b.u64(0); b.u64(0) // huge/tiny sizes and counts
+    b.u16(4)                 // table width
+    b.u64(blockSize)         // starting block size (root direct block)
+    b.u64(65536)             // maximum direct block size
+    b.u16(32)                // maximum heap size (bits) → 4-byte offsets
+    b.u16(1)                 // starting rows in root indirect block
+    b.u64(dblockAddr)        // root block address
+    b.u16(0)                 // current rows: 0 = root is a direct block
+    b.u32(lookup3(b.slice(frhpAddr, b.pos - frhpAddr)).toLong & 0xFFFFFFFFL)
+    b.patch32(dbChecksumAt,
+      lookup3(b.slice(dblockAddr, blockSize.toInt)).toLong & 0xFFFFFFFFL)
+
+    // --- name-index v2 B-tree (record type 5: hash + heap ID) ---
+    val recordSize = 11
+    val recs = vars.indices.map { i =>
+      val idb = new Buf
+      idb.u8(0)              // version 0, managed object
+      idb.u32(heapOffsets(i)); idb.u16(linkBodies(i).length)
+      (lookup3(vars(i).name.getBytes("UTF-8")), idb.result)
+    }.sortBy(_._1.toLong & 0xFFFFFFFFL)
+    def writeLeaf(rs: Seq[(Int, Array[Byte])]): Long = {
+      val addr = b.pos
+      b.bytes("BTLF".getBytes); b.u8(0); b.u8(5)
+      rs.foreach { case (h, id) => b.u32(h.toLong & 0xFFFFFFFFL); b.bytes(id) }
+      b.u32(lookup3(b.slice(addr, b.pos - addr)).toLong & 0xFFFFFFFFL)
+      addr
+    }
+    val maxLeafRec = (btreeNodeSize - 10) / recordSize
+    require(maxLeafRec >= 1, s"node size $btreeNodeSize too small")
+    val n = recs.size
+    val (depth, rootNodeAddr, rootNRec) =
+      if (n <= maxLeafRec) (0, writeLeaf(recs), n)
+      else {
+        val k = (n + 1 + maxLeafRec) / (maxLeafRec + 1) // # leaves
+        val leafTotal = n - (k - 1)
+        val sizes = (0 until k).map(i =>
+          leafTotal / k + (if (i < leafTotal % k) 1 else 0))
+        require(sizes.forall(s => s >= 1 && s <= maxLeafRec),
+          "cannot build a depth-1 B-tree for this node size")
+        var idx = 0
+        val leaves = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        val seps = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+        sizes.zipWithIndex.foreach { case (sz, i) =>
+          leaves += ((writeLeaf(recs.slice(idx, idx + sz)), sz))
+          idx += sz
+          if (i < k - 1) { seps += recs(idx); idx += 1 }
+        }
+        val maxNRecSize = limitEncSize(maxLeafRec.toLong)
+        val iaddr = b.pos
+        b.bytes("BTIN".getBytes); b.u8(0); b.u8(5)
+        seps.foreach { case (h, id) => b.u32(h.toLong & 0xFFFFFFFFL); b.bytes(id) }
+        leaves.foreach { case (a, cnt) =>
+          b.u64(a)
+          var j = 0
+          while (j < maxNRecSize) { b.u8((cnt >> (8 * j)) & 0xFF); j += 1 }
+        }
+        b.u32(lookup3(b.slice(iaddr, b.pos - iaddr)).toLong & 0xFFFFFFFFL)
+        (1, iaddr.toLong, seps.size)
+      }
+    val bthdAddr = b.pos
+    b.bytes("BTHD".getBytes); b.u8(0); b.u8(5)
+    b.u32(btreeNodeSize.toLong); b.u16(recordSize); b.u16(depth)
+    b.u8(100); b.u8(40)       // split / merge percent
+    b.u64(rootNodeAddr); b.u16(rootNRec); b.u64(n.toLong)
+    b.u32(lookup3(b.slice(bthdAddr, b.pos - bthdAddr)).toLong & 0xFFFFFFFFL)
+
+    // --- root group object header v1: Link Info + Group Info ---
+    val rootOh = b.pos
+    b.patch64(rootOhPatch, rootOh)
+    b.u8(1); b.u8(0); b.u16(2)
+    b.u32(1); b.u32((8 + 32) + (8 + 8)); b.u32(0) // refcount, msg bytes, pad
+    b.u16(0x0002); b.u16(32); b.u8(0); b.u8(0); b.u16(0) // link info
+    b.u8(0); b.u8(1)          // version; flags: creation order tracked
+    b.u64(vars.size.toLong)   // max creation index
+    b.u64(frhpAddr); b.u64(bthdAddr)
+    b.zero(6)                 // pad body to the v1 8-byte alignment
+    b.u16(0x000A); b.u16(8); b.u8(0); b.u8(0); b.u16(0)  // group info
+    b.u8(0); b.u8(0); b.zero(6)
+
+    b.patch64(eofPatch, b.pos)
+    flushTo(path, b)
+  }
+
+  // ---------------------------------------- latest-format (v4) writer
+
+  /** Write an HDF5 1.10+ "latest" file: superblock v3, v2 (`OHDR`)
+    * object headers, compact root-group Link messages, dataspace v2 and
+    * data layout message v4 with the requested chunk index —
+    * `"single"` (chunk = whole dataset, deflated), `"implicit"`
+    * (unfiltered chunk grid, no index structure), `"fixedarray"`
+    * (deflated chunks behind a fixed-array index, paged when the grid
+    * exceeds 2^`faPageBits` entries) or `"btree2"` (deflated chunks in
+    * a v2 B-tree, record type 11). Unchunked vars get v4 contiguous
+    * layout. `dontFilterPartial` sets layout flag bit 0 and stores edge
+    * chunks raw. */
+  def writeLatestVars(path: String, vars0: Seq[H5Var], index: String,
+      deflateLevel: Int = 6, faPageBits: Int = 10,
+      dontFilterPartial: Boolean = false): Unit = {
+    validateVars(vars0)
+    val b = new Buf
+    // --- superblock v3 ---
+    b.bytes(Signature)
+    b.u8(3); b.u8(8); b.u8(8); b.u8(0) // version, offsets, lengths, flags
+    b.u64(0)                           // base address
+    b.u64(Undef)                       // superblock extension
+    val eofPatch = b.pos; b.u64(0)
+    val rootPatch = b.pos; b.u64(0)
+    val sbChecksumAt = b.pos; b.u32(0)
+
+    val ohAddrs = vars0.map(v =>
+      writeDatasetV4(b, v, index, deflateLevel, faPageBits, dontFilterPartial))
+
+    // --- root group: OHDR v2 with one compact Link message per var ---
+    val rootAddr = writeOhdrV2(b, vars0.indices.map { i =>
+      val nb = vars0(i).name.getBytes("UTF-8")
+      val lb = new Buf
+      lb.u8(1); lb.u8(0)     // version; flags: hard link, 1-byte name len
+      lb.u8(nb.length); lb.bytes(nb)
+      lb.u64(ohAddrs(i))
+      (0x06, lb.result)
+    })
+    b.patch64(rootPatch, rootAddr)
+    b.patch64(eofPatch, b.pos)
+    b.patch32(sbChecksumAt,
+      lookup3(b.slice(0, sbChecksumAt)).toLong & 0xFFFFFFFFL)
+    flushTo(path, b)
+  }
+
+  /** v2 object header: prefix, (type, body) messages, lookup3 checksum. */
+  private def writeOhdrV2(b: Buf, msgs: Seq[(Int, Array[Byte])]): Long = {
+    val addr = b.pos
+    b.bytes("OHDR".getBytes); b.u8(2)
+    b.u8(0x01)                         // flags: 2-byte chunk-0 size
+    b.u16(msgs.map(4 + _._2.length).sum)
+    msgs.foreach { case (t, body) =>
+      b.u8(t); b.u16(body.length); b.u8(0); b.bytes(body)
+    }
+    b.u32(lookup3(b.slice(addr, b.pos - addr)).toLong & 0xFFFFFFFFL)
+    addr
+  }
+
+  private def dtF64Body(lb: Buf): Unit = {
+    lb.u8(0x11)                        // version 1, class 1 (float)
+    lb.u8(0x20); lb.u8(0x3F); lb.u8(0) // LE, implied-msb norm, sign bit 63
+    lb.u32(8)                          // size
+    lb.u16(0); lb.u16(64)              // bit offset, precision
+    lb.u8(52); lb.u8(11)               // exponent location, size
+    lb.u8(0); lb.u8(52)                // mantissa location, size
+    lb.u32(1023)                       // exponent bias
+    lb.u32(0)                          // pad
+  }
+
+  /** One dataset in latest format: data + index structures, then an
+    * OHDR v2 with dataspace v2 / datatype / filters / layout v4. */
+  private def writeDatasetV4(b: Buf, v: H5Var, index: String,
+      deflateLevel: Int, faPageBits: Int, dontFilterPartial: Boolean): Long = {
+    val shape = v.dims.map(_._2)
+    val rank = shape.size
+    val chunked = v.chunkDims.isDefined
+    val filtered = chunked && index != "implicit"
+    val layoutBody = new Buf
+    layoutBody.u8(4)                   // layout message version 4
+    if (!chunked) {
+      val dataAddr = b.pos
+      v.data.foreach(b.f64)
+      layoutBody.u8(1)                 // contiguous
+      layoutBody.u64(dataAddr); layoutBody.u64(v.data.length.toLong * 8)
+    } else {
+      val cd = v.chunkDims.get
+      val nominal = cd.product.toLong * 8
+      val entries = chunkBlobs(v, cd,
+        if (filtered) deflateLevel else -1, dontFilterPartial).map {
+        case (originC, blob) =>
+          val addr = b.pos.toLong
+          b.bytes(blob)
+          (originC, addr, blob.length.toLong)
+      }
+      layoutBody.u8(2)                 // chunked
+      var flags = if (dontFilterPartial) 1 else 0
+      if (index == "single" && filtered) flags |= 2
+      layoutBody.u8(flags)
+      layoutBody.u8(rank + 1)          // ndims incl. element-size entry
+      layoutBody.u8(8)                 // bytes per encoded dim
+      cd.foreach(c => layoutBody.u64(c.toLong)); layoutBody.u64(8)
+      index match {
+        case "single" =>
+          require(cd == shape, "single-chunk index needs chunk == shape")
+          layoutBody.u8(1)
+          if (filtered) { layoutBody.u64(entries.head._3); layoutBody.u32(0) }
+          layoutBody.u64(entries.head._2)
+        case "implicit" =>
+          layoutBody.u8(2)
+          layoutBody.u64(entries.head._2)
+        case "fixedarray" =>
+          val hdr = writeFixedArray(b, entries, nominal, filtered, faPageBits)
+          layoutBody.u8(3)
+          layoutBody.u8(faPageBits)
+          layoutBody.u64(hdr)
+        case "btree2" =>
+          val hdr = writeChunkBtreeV2(b, entries, cd, nominal, filtered)
+          layoutBody.u8(5)
+          val szLen = limitEncSize(nominal)
+          val recordSize =
+            if (filtered) 8 + szLen + 4 + 8 * rank else 8 + 8 * rank
+          var nodeSize = 512L
+          while (nodeSize < entries.size.toLong * recordSize + 10) nodeSize *= 2
+          layoutBody.u32(nodeSize); layoutBody.u8(100); layoutBody.u8(40)
+          layoutBody.u64(hdr)
+        case o => throw new IllegalArgumentException(s"index kind $o")
+      }
+    }
+    val msgs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    val space = new Buf
+    space.u8(2); space.u8(rank); space.u8(0); space.u8(1) // v2, simple
+    shape.foreach(s => space.u64(s.toLong))
+    msgs += ((0x01, space.result))
+    val dt = new Buf; dtF64Body(dt)
+    msgs += ((0x03, dt.result))
+    if (filtered) {
+      val fp = new Buf
+      fp.u8(2); fp.u8(1)               // pipeline v2, one filter
+      fp.u16(1); fp.u16(0); fp.u16(1)  // deflate, flags, 1 client value
+      fp.u32(deflateLevel.toLong)
+      msgs += ((0x0B, fp.result))
+    }
+    msgs += ((0x08, layoutBody.result))
+    writeOhdrV2(b, msgs.toSeq)
+  }
+
+  /** Fixed-array chunk index: FADB data block (paged when the entry
+    * count exceeds 2^pageBits) then FAHD header; returns header addr. */
+  private def writeFixedArray(b: Buf,
+      entries: Seq[(Seq[Int], Long, Long)], nominal: Long,
+      filtered: Boolean, pageBits: Int): Long = {
+    val szLen = limitEncSize(nominal)
+    val entrySize = if (filtered) 8 + szLen + 4 else 8
+    val clientId = if (filtered) 1 else 0
+    val nelmts = entries.size.toLong
+    val pageElmts = 1L << pageBits
+    def writeEntry(e: (Seq[Int], Long, Long)): Unit = {
+      b.u64(e._2)
+      if (filtered) {
+        var j = 0
+        while (j < szLen) { b.u8(((e._3 >> (8 * j)) & 0xFF).toInt); j += 1 }
+        b.u32(0)                       // filter mask
+      }
+    }
+    val dbAddr = b.pos
+    b.bytes("FADB".getBytes); b.u8(0); b.u8(clientId)
+    val dbHdrPatch = b.pos; b.u64(0)
+    if (nelmts <= pageElmts) {
+      entries.foreach(writeEntry)
+      b.u32(lookup3(b.slice(dbAddr, b.pos - dbAddr)).toLong & 0xFFFFFFFFL)
+    } else {
+      val npages = ((nelmts + pageElmts - 1) / pageElmts).toInt
+      (0 until (npages + 7) / 8).foreach(_ => b.u8(0xFF)) // all pages live
+      b.u32(lookup3(b.slice(dbAddr, b.pos - dbAddr)).toLong & 0xFFFFFFFFL)
+      var i = 0
+      while (i < nelmts) {
+        val pageStart = b.pos
+        val here = math.min(pageElmts, nelmts - i).toInt
+        entries.slice(i, i + here).foreach(writeEntry)
+        b.u32(lookup3(b.slice(pageStart, b.pos - pageStart)).toLong & 0xFFFFFFFFL)
+        i += here
+      }
+    }
+    val hdrAddr = b.pos
+    b.bytes("FAHD".getBytes); b.u8(0); b.u8(clientId)
+    b.u8(entrySize); b.u8(pageBits)
+    b.u64(nelmts); b.u64(dbAddr)
+    b.u32(lookup3(b.slice(hdrAddr, b.pos - hdrAddr)).toLong & 0xFFFFFFFFL)
+    b.patch64(dbHdrPatch, hdrAddr)
+    hdrAddr
+  }
+
+  /** v2-B-tree chunk index (record type 10/11), single leaf. */
+  private def writeChunkBtreeV2(b: Buf,
+      entries: Seq[(Seq[Int], Long, Long)], cd: Seq[Int], nominal: Long,
+      filtered: Boolean): Long = {
+    val rank = cd.size
+    val szLen = limitEncSize(nominal)
+    val recordSize = if (filtered) 8 + szLen + 4 + 8 * rank else 8 + 8 * rank
+    var nodeSize = 512L
+    while (nodeSize < entries.size.toLong * recordSize + 10) nodeSize *= 2
+    val leafAddr = b.pos
+    b.bytes("BTLF".getBytes); b.u8(0); b.u8(if (filtered) 11 else 10)
+    entries.foreach { case (originC, addr, stored) =>
+      b.u64(addr)
+      if (filtered) {
+        var j = 0
+        while (j < szLen) { b.u8(((stored >> (8 * j)) & 0xFF).toInt); j += 1 }
+        b.u32(0)                       // filter mask
+      }
+      originC.indices.foreach(i => b.u64(originC(i).toLong / cd(i))) // scaled
+    }
+    b.u32(lookup3(b.slice(leafAddr, b.pos - leafAddr)).toLong & 0xFFFFFFFFL)
+    val hdrAddr = b.pos
+    b.bytes("BTHD".getBytes); b.u8(0); b.u8(if (filtered) 11 else 10)
+    b.u32(nodeSize); b.u16(recordSize); b.u16(0) // depth 0
+    b.u8(100); b.u8(40)
+    b.u64(leafAddr); b.u16(entries.size); b.u64(entries.size.toLong)
+    b.u32(lookup3(b.slice(hdrAddr, b.pos - hdrAddr)).toLong & 0xFFFFFFFFL)
+    hdrAddr
   }
 }

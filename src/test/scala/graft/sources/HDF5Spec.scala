@@ -134,6 +134,143 @@ class HDF5Spec extends AnyFunSuite {
     } finally r.close()
   }
 
+  // ---- dense (fractal heap) link storage ----
+
+  private def denseVars(n: Int): Seq[HDF5.H5Var] =
+    (0 until n).map(i => HDF5.H5Var(f"var$i%02d", Seq("x" -> 4),
+      Array.tabulate(4)(j => i * 10.0 + j)))
+
+  test("dense links: fractal heap + v2 B-tree, single leaf") {
+    val p = tmp(".h5")
+    // 12 vars — netCDF-4 switches to dense storage above 8 links
+    HDF5.writeDoubleVarsDense(p, denseVars(12))
+    val r = new HDF5.Hdf5Reader(p)
+    try {
+      assert(r.varNames == (0 until 12).map(i => f"var$i%02d"))
+      (0 until 12).foreach { i =>
+        assert(r.readSlab(f"var$i%02d", Seq(0), Seq(4)).toSeq ==
+          Seq(i * 10.0, i * 10.0 + 1, i * 10.0 + 2, i * 10.0 + 3))
+      }
+    } finally r.close()
+  }
+
+  test("dense links: depth-1 v2 B-tree (internal + leaf nodes)") {
+    val p = tmp(".h5")
+    // node size 64 → (64-10)/11 = 4 records per leaf → 10 links force
+    // a depth-1 tree with internal-node separators
+    HDF5.writeDoubleVarsDense(p, denseVars(10), btreeNodeSize = 64)
+    val r = new HDF5.Hdf5Reader(p)
+    try {
+      assert(r.varNames == (0 until 10).map(i => f"var$i%02d"))
+      assert(r.readSlab("var07", Seq(1), Seq(2)).toSeq == Seq(71.0, 72.0))
+    } finally r.close()
+  }
+
+  test("dense links: chunked+deflate datasets behind the heap") {
+    val p = tmp(".h5")
+    val data = grid(7, 5)
+    HDF5.writeDoubleVarsDense(p, denseVars(9) :+
+      HDF5.H5Var("measure", Seq("r" -> 7, "c" -> 5), data,
+        chunkDims = Some(Seq(3, 2))))
+    val r = new HDF5.Hdf5Reader(p)
+    try {
+      assert(r.readSlab("measure", Seq(0, 0), Seq(7, 5)).toSeq == data.toSeq)
+      assert(r.readSlab("var05", Seq(0), Seq(1)).toSeq == Seq(50.0))
+    } finally r.close()
+  }
+
+  test("golden bytes: FRHP/BTHD signatures and heap geometry") {
+    val p = tmp(".h5")
+    HDF5.writeDoubleVarsDense(p, denseVars(9))
+    val b = Files.readAllBytes(java.nio.file.Paths.get(p))
+    val s = new String(b.map(x => (x & 0xFF).toChar))
+    val frhp = s.indexOf("FRHP")
+    val bthd = s.indexOf("BTHD")
+    val fhdb = s.indexOf("FHDB")
+    val btlf = s.indexOf("BTLF")
+    assert(frhp > 0 && bthd > 0 && fhdb > 0 && btlf > 0)
+    assert(b(frhp + 5) == 7)           // heap ID length 1+4+2
+    assert(b(frhp + 9) == 2)           // flags: checksummed direct blocks
+    def u16(off: Int) = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+    assert(u16(frhp + 110) == 4)       // table width
+    assert(u16(frhp + 128) == 32)      // max heap size bits
+    assert(u16(frhp + 140) == 0)       // current rows: root is direct
+    assert(b(bthd + 5) == 5)           // B-tree type 5: link name index
+    assert(u16(bthd + 10) == 11)       // record size: 4 hash + 7 heap ID
+    // FHDB heap-header backpointer == FRHP address
+    val hdrPtr = (0 until 8).map(i => (b(fhdb + 5 + i).toLong & 0xFF) << (8 * i)).sum
+    assert(hdrPtr == frhp)
+  }
+
+  // ---- layout message v4 (HDF5 1.10+ latest format) ----
+
+  private def v4Roundtrip(index: String, rows: Int = 7, cols: Int = 5,
+      chunk: Option[Seq[Int]] = Some(Seq(3, 2)), pageBits: Int = 10,
+      dontFilterPartial: Boolean = false): Unit = {
+    val p = tmp(".h5")
+    val data = grid(rows, cols)
+    HDF5.writeLatestVars(p, Seq(
+      HDF5.H5Var("m", Seq("r" -> rows, "c" -> cols), data, chunk),
+      HDF5.H5Var("t", Seq("r" -> rows), Array.tabulate(rows)(_ * 2.0))),
+      index, faPageBits = pageBits, dontFilterPartial = dontFilterPartial)
+    val r = new HDF5.Hdf5Reader(p)
+    try {
+      assert(r.varNames == Seq("m", "t"))
+      assert(r.readSlab("m", Seq(0, 0), Seq(rows, cols)).toSeq == data.toSeq,
+        s"$index: full read")
+      assert(r.readSlab("m", Seq(rows - 2, cols - 2), Seq(2, 2)).toSeq ==
+        Seq(data((rows - 2) * cols + cols - 2), data((rows - 2) * cols + cols - 1),
+            data((rows - 1) * cols + cols - 2), data((rows - 1) * cols + cols - 1)),
+        s"$index: edge hyperslab")
+      assert(r.readSlab("t", Seq(2), Seq(3)).toSeq == Seq(4.0, 6.0, 8.0),
+        s"$index: contiguous v4 sibling")
+    } finally r.close()
+  }
+
+  test("layout v4: single-chunk index (filtered, chunk == shape)") {
+    v4Roundtrip("single", chunk = Some(Seq(7, 5)))
+  }
+
+  test("layout v4: implicit index (unfiltered chunk grid)") {
+    v4Roundtrip("implicit")
+  }
+
+  test("layout v4: fixed-array index, unpaged") {
+    v4Roundtrip("fixedarray")
+  }
+
+  test("layout v4: fixed-array index, paged data block") {
+    // 2^1 = 2 entries per page; 12 chunks → 6 pages with checksums
+    v4Roundtrip("fixedarray", rows = 9, cols = 8, chunk = Some(Seq(3, 2)),
+      pageBits = 1)
+  }
+
+  test("layout v4: v2 B-tree chunk index (filtered records, type 11)") {
+    v4Roundtrip("btree2")
+  }
+
+  test("layout v4: don't-filter-partial-edge-chunks flag") {
+    v4Roundtrip("fixedarray", dontFilterPartial = true)
+  }
+
+  test("golden bytes: superblock v3 and layout v4 message") {
+    val p = tmp(".h5")
+    HDF5.writeLatestVars(p, Seq(HDF5.H5Var("m", Seq("r" -> 6, "c" -> 4),
+      grid(6, 4), Some(Seq(6, 4)))), "single")
+    val b = Files.readAllBytes(java.nio.file.Paths.get(p))
+    assert(b(8) == 3)                  // superblock version 3
+    assert(b(9) == 8 && b(10) == 8)    // offset/length sizes
+    // v3 layout: base @12, extension @20, EOF @28
+    val eof = (0 until 8).map(i => (b(28 + i).toLong & 0xFF) << (8 * i)).sum
+    assert(eof == b.length)
+    val s = new String(b.map(x => (x & 0xFF).toChar))
+    assert(s.contains("OHDR"))         // v2 object headers
+    // layout message body: version 4, class 2 (chunked), flags bit 1
+    // (single chunk with filter), ndims 3 (rank 2 + element size)
+    val idx = s.indexOfSlice(Seq(4, 2, 2, 3, 8).map(_.toChar))
+    assert(idx > 0, "v4 chunked layout header bytes present")
+  }
+
   test("isHdf5 distinguishes HDF5 from CDF classic") {
     val h5 = tmp(".h5")
     HDF5.writeDoubleVar(h5, Seq("x" -> 1), "m", Array(1.0))
