@@ -82,11 +82,13 @@ object NetCDFQueries {
     nc.join(h5, "id_dim").orderBy("id_dim")
   }
 
-  /** qn03 — Zarr store read: the qn02 grid written as a zlib-compressed
-    * Zarr v2 store (ragged edge chunks) and as a CDF-1 file, both
-    * through file_import → the format-sniffing DSv2 reader, joined on
-    * id_dim (reference capability: HISTORY.md v1.9.0 "Support for Zarr
-    * format" / URL src_paths, oph_io_server_nc.c:2769). */
+  /** qn03 — Zarr store read: the qn02 grid written as a
+    * blosc(lz4+shuffle)-compressed Zarr v2 store (the numcodecs default
+    * frame, decoded by the pure-JVM [[graft.sources.Blosc]] codec;
+    * ragged edge chunks) and as a CDF-1 file, both through file_import
+    * → the format-sniffing DSv2 reader, joined on id_dim (reference
+    * capability: HISTORY.md v1.9.0 "Support for Zarr format" / URL
+    * src_paths, oph_io_server_nc.c:2769). */
   def qn03_zarr_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val (nRows, nCols) = (60, 8)
     val data = Array.tabulate(nRows * nCols)(k =>
@@ -98,7 +100,8 @@ object NetCDFQueries {
       "measure", data)
     graft.sources.Zarr.writeDoubleVar(zPath,
       Seq("row" -> nRows, "col" -> nCols), "measure", data,
-      chunkDims = Some(Seq(16, 8))) // 60 % 16 != 0 → ragged edge chunk
+      chunkDims = Some(Seq(16, 8)), // 60 % 16 != 0 → ragged edge chunk
+      compressor = "blosc")
     val ses = new IoServer(s).newSession()
     ses.execute(s"operation=file_import;frag_name=zin;src_path=@$zPath;" +
       "measure=measure;explicit=1")
@@ -144,11 +147,50 @@ object NetCDFQueries {
     mx.join(av, "id_dim").orderBy("id_dim")
   }
 
+  /** qn05 — the two remaining real-world netCDF-4 file shapes: (a) a
+    * dense-link group (creation-order tracking pushes >8 variables into
+    * a fractal heap + name-index v2 B-tree instead of a symbol table)
+    * and (b) an HDF5 1.10+ "latest" file (superblock v3, OHDR v2,
+    * layout message v4 with a fixed-array chunk index). Both carry the
+    * qn02 grid as a chunked+deflate measure among 9 decoy coordinate
+    * variables; both go through file_import → the format-sniffing DSv2
+    * reader and are joined on id_dim (reference NetCDF-4 dispatch:
+    * oph_io_server_nc.c:1612,2716-3243). */
+  def qn05_hdf5_dense_v4(s: SparkSession, dir: String): DataFrame = {
+    val (nRows, nCols) = (60, 8)
+    val data = Array.tabulate(nRows * nCols)(k =>
+      (k / nCols) * 0.5 + (k % nCols) * 0.125) // exact in binary
+    val decoys = (0 until 9).map(i => graft.sources.HDF5.H5Var(
+      f"coord$i%02d", Seq("t" -> 4), Array.tabulate(4)(j => i + j * 0.25)))
+    val measure = graft.sources.HDF5.H5Var("measure",
+      Seq("row" -> nRows, "col" -> nCols), data,
+      chunkDims = Some(Seq(16, 8))) // ragged edge chunks
+    val tmp = Files.createTempDirectory("graft_h5x")
+    val densePath = tmp.resolve("dense.h5").toString
+    val latestPath = tmp.resolve("latest.h5").toString
+    graft.sources.HDF5.writeDoubleVarsDense(densePath, decoys :+ measure)
+    graft.sources.HDF5.writeLatestVars(latestPath, decoys :+ measure,
+      index = "fixedarray")
+    val ses = new IoServer(s).newSession()
+    ses.execute(s"operation=file_import;frag_name=dn;src_path=@$densePath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=lt;src_path=@$latestPath;" +
+      "measure=measure;explicit=1")
+    val dn = ses.execute(
+      "operation=select;field=id_dim|measure;from=dn;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_dense"))
+    val lt = ses.execute(
+      "operation=select;field=id_dim|measure;from=lt;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_latest"))
+    dn.join(lt, "id_dim").orderBy("id_dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qn01_netcdf_roundtrip" -> (qn01_netcdf_roundtrip _),
     "qn02_netcdf4_roundtrip" -> (qn02_netcdf4_roundtrip _),
     "qn03_zarr_roundtrip" -> (qn03_zarr_roundtrip _),
     "qn04_esdm_import" -> (qn04_esdm_import _),
+    "qn05_hdf5_dense_v4" -> (qn05_hdf5_dense_v4 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -188,6 +230,16 @@ object NetCDFQueries {
            AS m_max,
          CAST(floor(((i-1) * 0.5 + 0.4375) * 1e12) AS BIGINT)::VARCHAR
            AS m_avg
+         FROM range(1, 61) t(i)
+         ORDER BY id_dim""",
+    "qn05_hdf5_dense_v4" ->
+      """SELECT i AS id_dim,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_dense,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_latest
          FROM range(1, 61) t(i)
          ORDER BY id_dim""",
   )

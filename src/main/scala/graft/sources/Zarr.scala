@@ -17,10 +17,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * `dimension_separator`); edge chunks are stored full-size; a missing
   * chunk object means fill_value.
   *
-  * Supported: C order, dtypes [<>|][fiu][1248], compressors null, zlib
-  * and gzip (blosc needs a native lib — rejected with a clear error),
-  * arrays at the store root or one level down (the netCDF-via-Zarr
-  * layout). All IO goes through the Hadoop FileSystem API, so
+  * Supported: C order, dtypes [<>|][fiu][1248], compressors null, zlib,
+  * gzip and blosc (the numcodecs default — lz4/zlib codecs and byte
+  * shuffle via the pure-JVM [[Blosc]] frame codec; blosclz/zstd/
+  * bit-shuffle rejected with clear errors), arrays at the store root or
+  * one level down (the netCDF-via-Zarr layout). All IO goes through the Hadoop FileSystem API, so
   * `s3a://bucket/store.zarr` works wherever the cluster has the cloud
   * connector — each Spark partition opens its own handles and reads
   * only the chunks its rows intersect. */
@@ -86,9 +87,7 @@ object Zarr {
         val compId =
           if (comp == null || comp.isNull) "null"
           else comp.get("id").asText() match {
-            case ok @ ("zlib" | "gzip") => ok
-            case "blosc" => throw new IllegalArgumentException(
-              "blosc compressor needs a native lib — re-encode with zlib/gzip")
+            case ok @ ("zlib" | "gzip" | "blosc") => ok // blosc: [[Blosc]]
             case o => throw new IllegalArgumentException(s"compressor $o unsupported")
           }
         val fillNode = j.get("fill_value")
@@ -105,6 +104,7 @@ object Zarr {
     private def decompress(z: ZArray, b: Array[Byte], hint: Int): Array[Byte] =
       z.compressor match {
         case "null" => b
+        case "blosc" => Blosc.decompress(b) // the numcodecs default
         case "gzip" =>
           val in = new java.util.zip.GZIPInputStream(
             new java.io.ByteArrayInputStream(b))
@@ -215,11 +215,13 @@ object Zarr {
   // =============================================================== WRITE
 
   /** Write a float64 little-endian Zarr v2 store: `.zgroup` at the root,
-    * the array under `varName/` with zlib-compressed C-order chunks —
-    * the layout a netCDF-over-Zarr writer produces for one variable. */
+    * the array under `varName/` with compressed C-order chunks — the
+    * layout a netCDF-over-Zarr writer produces for one variable.
+    * `compressor` is `"zlib"` or `"blosc"` (lz4 + byte shuffle, the
+    * numcodecs default frame). */
   def writeDoubleVar(path: String, dims: Seq[(String, Int)], varName: String,
       data: Array[Double], chunkDims: Option[Seq[Int]] = None,
-      level: Int = 6): Unit = {
+      level: Int = 6, compressor: String = "zlib"): Unit = {
     val shape = dims.map(_._2)
     require(data.length == shape.product, "data size != dim product")
     val chunks = chunkDims.getOrElse(shape)
@@ -233,12 +235,19 @@ object Zarr {
     put(new Path(rootPath, ".zgroup"), """{"zarr_format": 2}""".getBytes("UTF-8"))
     val dir = new Path(rootPath, varName)
     fs.mkdirs(dir)
+    val compJson = compressor match {
+      case "zlib" => s"""{"id": "zlib", "level": $level}"""
+      case "blosc" =>
+        s"""{"id": "blosc", "cname": "lz4", "clevel": $level,
+           | "shuffle": 1, "blocksize": 0}""".stripMargin
+      case o => throw new IllegalArgumentException(s"writer compressor $o")
+    }
     val zarray =
       s"""{"zarr_format": 2,
          | "shape": [${shape.mkString(", ")}],
          | "chunks": [${chunks.mkString(", ")}],
          | "dtype": "<f8",
-         | "compressor": {"id": "zlib", "level": $level},
+         | "compressor": $compJson,
          | "fill_value": 0.0,
          | "order": "C",
          | "filters": null}""".stripMargin
@@ -263,13 +272,18 @@ object Zarr {
         }
       }
       fill(0, 0, 0)
-      val d = new Deflater(level)
-      d.setInput(raw); d.finish()
-      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
-      val buf = new Array[Byte](8192)
-      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-      d.end()
-      put(new Path(dir, gidx.mkString(".")), out.toByteArray)
+      val comp = compressor match {
+        case "blosc" => Blosc.compress(raw, typesize = 8, codec = 1)
+        case _ =>
+          val d = new Deflater(level)
+          d.setInput(raw); d.finish()
+          val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+          d.end()
+          out.toByteArray
+      }
+      put(new Path(dir, gidx.mkString(".")), comp)
     }
     def rec(dim: Int, gidx: Array[Int]): Unit =
       if (dim == rank) writeChunk(gidx.toSeq)

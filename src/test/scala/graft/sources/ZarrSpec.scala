@@ -70,17 +70,42 @@ class ZarrSpec extends AnyFunSuite {
       Seq(10.0, 20.0, 30.0, 40.0))
   }
 
-  test("blosc is rejected with a clear message") {
+  test("blosc store roundtrip (lz4 + byte shuffle, the numcodecs default)") {
+    val p = tmp()
+    val data = grid(7, 5)
+    Zarr.writeDoubleVar(p, Seq("r" -> 7, "c" -> 5), "m", data,
+      chunkDims = Some(Seq(3, 2)), compressor = "blosc")
+    val za = Files.readString(java.nio.file.Paths.get(p, "m", ".zarray"))
+    assert(za.contains("\"id\": \"blosc\"") && za.contains("\"cname\": \"lz4\""))
+    // chunk objects are real blosc frames (version 2, lz4, typesize 8)
+    val chunk = Files.readAllBytes(java.nio.file.Paths.get(p, "m", "0.0"))
+    assert(chunk(0) == 2 && chunk(3) == 8 && (chunk(2) >>> 5) == 1)
+    val r = new Zarr.ZarrReader(p)
+    assert(r.readSlab("m", Seq(0, 0), Seq(7, 5)).toSeq == data.toSeq)
+    assert(r.readSlab("m", Seq(5, 3), Seq(2, 2)).toSeq ==
+      Seq(data(28), data(29), data(33), data(34)))
+  }
+
+  test("hand-written split-stream blosc chunk reads per the c-blosc layout") {
     val dir = Files.createTempDirectory("graft_zarr_blosc")
     val arr = dir.resolve("v"); Files.createDirectories(arr)
     Files.writeString(dir.resolve(".zgroup"), """{"zarr_format": 2}""")
     Files.writeString(arr.resolve(".zarray"),
-      """{"zarr_format": 2, "shape": [1], "chunks": [1], "dtype": "<f8",
-        | "compressor": {"id": "blosc"}, "fill_value": 0.0,
-        | "order": "C", "filters": null}""".stripMargin)
+      """{"zarr_format": 2, "shape": [256], "chunks": [256], "dtype": "<f8",
+        | "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5,
+        |                "shuffle": 1, "blocksize": 0},
+        | "fill_value": 0.0, "order": "C", "filters": null}""".stripMargin)
+    val raw = java.nio.ByteBuffer.allocate(256 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val want = Array.tabulate(256)(i => i * 0.25)
+    want.foreach(raw.putDouble)
+    // split=true mirrors what c-blosc emits for lz4 when
+    // blocksize/typesize >= 128 (DONT_SPLIT clear, 8 streams)
+    Files.write(arr.resolve("0"),
+      Blosc.compress(raw.array(), typesize = 8, codec = 1,
+        doShuffle = true, split = true))
     val r = new Zarr.ZarrReader(dir.toString)
-    val e = intercept[IllegalArgumentException](r.shape("v"))
-    assert(e.getMessage.contains("blosc"))
+    assert(r.readSlab("v", Seq(0), Seq(256)).toSeq == want.toSeq)
   }
 
   test("NcReader dispatch: directory store -> Zarr; file:// URI works (Hadoop FS)") {
