@@ -54,6 +54,27 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d11 — duplicate provenance audit: canonical-form duplicate groups
+    * that span more than one `source`, summarized per span width — the
+    * data-cleaning report that tells an ingest run which feeds are
+    * mirroring each other. One hash-partitioned groupBy on the canon
+    * digest, then a tiny re-aggregation; nothing driver-side. */
+  def d11_dedup_provenance(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", array_sort(distinctTokens(col("text")))).as("canon"))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min("doc_id").as("rep_id"))
+      .filter(col("n_sources") >= 2)
+      .groupBy("n_sources")
+      .agg(count(lit(1)).as("n_groups"),
+        sum("n_docs").as("n_docs"),
+        sum("rep_id").as("rep_id_sum"))
+      .orderBy("n_sources")
+  }
+
   /** Rows per LSH band bucket before the LOSSLESS triangle split kicks
     * in. The split changes no result (every candidate pair survives,
     * exactly once), so the trigger is tuned for task granularity, not
@@ -511,6 +532,7 @@ object DedupQueries {
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
     "d04_simhash" -> (d04_simhash _),
     "d05_ngram_jaccard" -> (d05_ngram_jaccard _),
+    "d11_dedup_provenance" -> (d11_dedup_provenance _),
   )
 
   private val sqlSig =
@@ -603,6 +625,18 @@ object DedupQueries {
              array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS canon
              FROM documents))
          ORDER BY doc_id""",
+    "d11_dedup_provenance" ->
+      """WITH g AS (SELECT
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+             AS canon,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           min(doc_id) AS rep_id
+         FROM documents GROUP BY 1)
+       SELECT n_sources, count(*) AS n_groups,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum(rep_id) AS BIGINT) AS rep_id_sum
+       FROM g WHERE n_sources >= 2 GROUP BY 1 ORDER BY 1""",
     "d03_minhash_lsh" -> s"""
       WITH sigs AS (SELECT doc_id, $sqlSig AS sig,
           list_distinct(string_split(text, ' ')) AS tk FROM documents),

@@ -99,10 +99,45 @@ object PipelineQueries {
       .orderBy("stratum")
   }
 
+  /** p04 — token-budget sequence packing (concat-and-chunk): documents
+    * are laid out in doc_id order, token counts accumulate, and every
+    * doc is assigned to the 2048-token training window its first token
+    * lands in — how an LLM ingest run turns a corpus into fixed-length
+    * sequences. Per window: doc count, token sum, doc_id range.
+    *
+    * Scale shape: the global running sum is a distributed two-phase
+    * prefix sum, NOT one unpartitioned window — per-block subtotals
+    * (512 docs per block) take one tiny global window over n_docs/512
+    * rows and broadcast back; the per-doc cumsum windows are
+    * partitioned by block. The 100 TB side never single-threads. */
+  def p04_sequence_packing(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        ldiv(col("doc_id"), lit(512L)).as("blk"))
+    // tiny: one row per 512-doc block — the only global ordering
+    val blkStart = docs.groupBy("blk").agg(sum("n_tok").as("blk_tok"))
+      .withColumn("blk_start", coalesce(
+        sum("blk_tok").over(Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("blk", "blk_start")
+    docs.join(broadcast(blkStart), "blk")
+      .withColumn("within", coalesce(
+        sum("n_tok").over(Window.partitionBy("blk").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("window_id", ldiv(col("blk_start") + col("within"), lit(2048L)))
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("window_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_corpus_pipeline" -> (p01_corpus_pipeline _),
     "p02_contamination" -> (p02_contamination _),
     "p03_sample_stratified" -> (p03_sample_stratified _),
+    "p04_sequence_packing" -> (p04_sequence_packing _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -155,5 +190,17 @@ object PipelineQueries {
          CAST(sum(CASE WHEN (doc_id * 2654435761) % 2147483647 % 100 < 10
            THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS rate_ppm
        FROM documents GROUP BY 1 ORDER BY 1""",
+    "p04_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+       c AS (SELECT doc_id, n_tok,
+           coalesce(CAST(sum(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) AS strt FROM t)
+       SELECT strt // 2048 AS window_id,
+         count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       FROM c GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -109,12 +109,32 @@ object TextQueries {
       .orderBy("doc_id", "win_idx")
   }
 
+  /** t06 — corpus vocabulary build (the statistics pass of tokenizer
+    * training): term frequency, document frequency and per-doc rate for
+    * every token. Plan shape: explode → hash aggregate keyed on the
+    * token, with Spark's partial (map-side) combine doing the heavy
+    * lifting — at 100 TB the shuffle carries one partial row per
+    * (partition, token), not one per occurrence. df uses a distinct
+    * (token, doc_id) pre-aggregate, which shuffles on the same key. */
+  def t06_vocabulary(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = occ.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val df = occ.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(df, "tok")
+      .withColumn("rate_fp",
+        floor(col("tf").cast("double") / col("df").cast("double") * 1e6)
+          .cast("long"))
+      .orderBy("tok")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_quality" -> (t01_token_quality _),
     "t02_langid" -> (t02_langid _),
     "t03_fingerprint" -> (t03_fingerprint _),
     "t04_bpe_tokens" -> (t04_bpe_tokens _),
     "t05_context_windows" -> (t05_context_windows _),
+    "t06_vocabulary" -> (t06_vocabulary _),
   )
 
   private def sqlHs =
@@ -166,6 +186,14 @@ object TextQueries {
              len(list_filter(toks, t -> t IN ('spark','join','merge')))::BIGINT AS s_zh
              FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)))
          ORDER BY doc_id""",
+    "t06_vocabulary" ->
+      """WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents)
+       SELECT tok, count(*) AS tf,
+         count(DISTINCT doc_id) AS df,
+         CAST(floor(count(*)::DOUBLE / count(DISTINCT doc_id)::DOUBLE * 1e6)
+           AS BIGINT) AS rate_fp
+       FROM occ GROUP BY tok ORDER BY tok""",
     "t03_fingerprint" ->
       s"""SELECT doc_id,
          CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_fp,
