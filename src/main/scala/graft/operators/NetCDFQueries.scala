@@ -185,12 +185,42 @@ object NetCDFQueries {
     dn.join(lt, "id_dim").orderBy("id_dim")
   }
 
+  /** qn06 — CDF-5 (the PnetCDF 64-bit-data classic variant): the qn02
+    * grid written as CDF-5 and CDF-1, both through file_import → the
+    * DSv2 reader, joined on id_dim. Proves the widened NON_NEG header
+    * fields parse to the same bytes the CDF-1 path reads. */
+  def qn06_cdf5_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val (nRows, nCols) = (60, 8)
+    val data = Array.tabulate(nRows * nCols)(k =>
+      (k / nCols) * 0.5 + (k % nCols) * 0.125) // exact in binary
+    val tmp = Files.createTempDirectory("graft_cdf5")
+    val c1Path = tmp.resolve("twin1.nc").toString
+    val c5Path = tmp.resolve("twin5.nc").toString
+    NetCDF3.writeDoubleVar(c1Path, Seq("row" -> nRows, "col" -> nCols),
+      "measure", data)
+    NetCDF3.writeDoubleVar(c5Path, Seq("row" -> nRows, "col" -> nCols),
+      "measure", data, version = 5)
+    val ses = new IoServer(s).newSession()
+    ses.execute(s"operation=file_import;frag_name=c1;src_path=@$c1Path;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=c5;src_path=@$c5Path;" +
+      "measure=measure;explicit=1")
+    val a = ses.execute(
+      "operation=select;field=id_dim|measure;from=c1;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_cdf1"))
+    val b = ses.execute(
+      "operation=select;field=id_dim|measure;from=c5;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_cdf5"))
+    a.join(b, "id_dim").orderBy("id_dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qn01_netcdf_roundtrip" -> (qn01_netcdf_roundtrip _),
     "qn02_netcdf4_roundtrip" -> (qn02_netcdf4_roundtrip _),
     "qn03_zarr_roundtrip" -> (qn03_zarr_roundtrip _),
     "qn04_esdm_import" -> (qn04_esdm_import _),
     "qn05_hdf5_dense_v4" -> (qn05_hdf5_dense_v4 _),
+    "qn06_cdf5_roundtrip" -> (qn06_cdf5_roundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -240,6 +270,16 @@ object NetCDFQueries {
          array_to_string(list_transform(range(0, 8),
            j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
            AS m_latest
+         FROM range(1, 61) t(i)
+         ORDER BY id_dim""",
+    "qn06_cdf5_roundtrip" ->
+      """SELECT i AS id_dim,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_cdf1,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_cdf5
          FROM range(1, 61) t(i)
          ORDER BY id_dim""",
   )

@@ -3,14 +3,17 @@ package graft.sources
 import java.io.{DataInputStream, DataOutputStream, FileOutputStream}
 import java.nio.ByteBuffer
 
-/** Pure-JVM reader/writer for the NetCDF classic format (CDF-1/CDF-2) —
+/** Pure-JVM reader/writer for the NetCDF classic format (CDF-1/2/5) —
   * the reference's primary ingest format (reader:
   * src/server/oph_io_server_nc.c:2716-3243). No netcdf-java in this
   * container, so the container format is parsed directly from its public
   * spec: [magic 'CDF' ver][numrecs][dim_list][gatt_list][var_list][data],
   * all big-endian; tags NC_DIMENSION=0x0A, NC_VARIABLE=0x0B,
-  * NC_ATTRIBUTE=0x0C; names are int-length + zero-padded bytes; CDF-2
-  * differs only in 64-bit var offsets.
+  * NC_ATTRIBUTE=0x0C; names are int-length + zero-padded bytes. CDF-2
+  * differs only in 64-bit var offsets; CDF-5 (the PnetCDF 64-bit-data
+  * variant) widens every NON_NEG field (counts, name lengths, dim
+  * sizes, ndims, dimids, vsize, numrecs) to int64 and adds the
+  * unsigned + 64-bit element types (NC_UBYTE..NC_UINT64, 7-11).
   */
 object NetCDF3 {
 
@@ -42,10 +45,10 @@ object NetCDF3 {
   private val TagAtt = 0x0C
 
   def typeSize(ncType: Int): Int = ncType match {
-    case 1 | 2 => 1 // byte, char
-    case 3 => 2 // short
-    case 4 | 5 => 4 // int, float
-    case 6 => 8 // double
+    case 1 | 2 | 7 => 1 // byte, char, ubyte
+    case 3 | 8 => 2 // short, ushort
+    case 4 | 5 | 9 => 4 // int, float, uint
+    case 6 | 10 | 11 => 8 // double, int64, uint64
     case t => throw new IllegalArgumentException(s"nc_type $t")
   }
 
@@ -62,17 +65,22 @@ object NetCDF3 {
       val magic = Array.fill(3)(in.readByte())
       require(magic.sameElements("CDF".getBytes), "not a NetCDF classic file")
       val version = in.readByte().toInt
-      require(version == 1 || version == 2, s"unsupported CDF version $version")
-      val numRecs = in.readInt()
-      val dims = readDimList(in)
-      val gatts = readAttList(in)
+      require(version == 1 || version == 2 || version == 5,
+        s"unsupported CDF version $version")
+      val numRecs = readNN(in, version).toInt
+      val dims = readDimList(in, version)
+      val gatts = readAttList(in, version)
       val vars = readVarList(in, version)
       Header(version, numRecs, dims, gatts, vars)
     } finally in.close()
   }
 
-  private def readName(in: DataInputStream): String = {
-    val n = in.readInt()
+  /** NON_NEG: 32-bit in CDF-1/2, 64-bit in CDF-5. */
+  private def readNN(in: DataInputStream, version: Int): Long =
+    if (version == 5) in.readLong() else in.readInt().toLong
+
+  private def readName(in: DataInputStream, version: Int): String = {
+    val n = readNN(in, version).toInt
     val b = new Array[Byte](n)
     in.readFully(b)
     val pad = (4 - n % 4) % 4
@@ -80,19 +88,20 @@ object NetCDF3 {
     new String(b, "UTF-8")
   }
 
-  private def readDimList(in: DataInputStream): Seq[Dim] = {
-    val tag = in.readInt(); val n = in.readInt()
+  private def readDimList(in: DataInputStream, version: Int): Seq[Dim] = {
+    val tag = in.readInt(); val n = readNN(in, version).toInt
     require(tag == TagDim || (tag == 0 && n == 0), s"bad dim tag $tag")
-    (0 until n).map(_ => Dim(readName(in), in.readInt()))
+    (0 until n).map(_ =>
+      Dim(readName(in, version), readNN(in, version).toInt))
   }
 
-  private def readAttList(in: DataInputStream): Seq[Attr] = {
-    val tag = in.readInt(); val n = in.readInt()
+  private def readAttList(in: DataInputStream, version: Int): Seq[Attr] = {
+    val tag = in.readInt(); val n = readNN(in, version).toInt
     require(tag == TagAtt || (tag == 0 && n == 0), s"bad att tag $tag")
     (0 until n).map { _ =>
-      val name = readName(in)
+      val name = readName(in, version)
       val t = in.readInt()
-      val ne = in.readInt()
+      val ne = readNN(in, version).toInt
       val sz = ne * typeSize(t)
       val raw = new Array[Byte](sz)
       in.readFully(raw)
@@ -100,27 +109,28 @@ object NetCDF3 {
       val bb = ByteBuffer.wrap(raw) // big-endian default
       val values: Seq[Any] = t match {
         case 2 => Seq(new String(raw, "UTF-8"))
-        case 1 => raw.toSeq
-        case 3 => (0 until ne).map(_ => bb.getShort)
-        case 4 => (0 until ne).map(_ => bb.getInt)
+        case 1 | 7 => raw.toSeq
+        case 3 | 8 => (0 until ne).map(_ => bb.getShort)
+        case 4 | 9 => (0 until ne).map(_ => bb.getInt)
         case 5 => (0 until ne).map(_ => bb.getFloat)
         case 6 => (0 until ne).map(_ => bb.getDouble)
+        case 10 | 11 => (0 until ne).map(_ => bb.getLong)
       }
       Attr(name, t, values)
     }
   }
 
   private def readVarList(in: DataInputStream, version: Int): Seq[Variable] = {
-    val tag = in.readInt(); val n = in.readInt()
+    val tag = in.readInt(); val n = readNN(in, version).toInt
     require(tag == TagVar || (tag == 0 && n == 0), s"bad var tag $tag")
     (0 until n).map { _ =>
-      val name = readName(in)
-      val nd = in.readInt()
-      val dimIds = (0 until nd).map(_ => in.readInt())
-      val atts = readAttList(in)
+      val name = readName(in, version)
+      val nd = readNN(in, version).toInt
+      val dimIds = (0 until nd).map(_ => readNN(in, version).toInt)
+      val atts = readAttList(in, version)
       val t = in.readInt()
-      val vsize = in.readInt().toLong & 0xFFFFFFFFL
-      val begin = if (version == 2) in.readLong() else in.readInt().toLong
+      val vsize = readNN(in, version) & 0xFFFFFFFFFFFFFFFL
+      val begin = if (version >= 2) in.readLong() else in.readInt().toLong
       Variable(name, dimIds, atts, t, vsize, begin)
     }
   }
@@ -183,11 +193,16 @@ object NetCDF3 {
         while (i < runLen) {
           out(outPos) = v.ncType match {
             case 1 => bb.get(i * es).toDouble
-            case 2 => (bb.get(i * es) & 0xFF).toDouble
+            case 2 | 7 => (bb.get(i * es) & 0xFF).toDouble
             case 3 => bb.getShort(i * es).toDouble
+            case 8 => (bb.getShort(i * es) & 0xFFFF).toDouble
             case 4 => bb.getInt(i * es).toDouble
+            case 9 => (bb.getInt(i * es) & 0xFFFFFFFFL).toDouble
             case 5 => bb.getFloat(i * es).toDouble
             case 6 => bb.getDouble(i * es)
+            // int64/uint64 via double — the engine's lingua franca; the
+            // exact >2^53 long path is the typed codec (BinaryCodec)
+            case 10 | 11 => bb.getLong(i * es).toDouble
           }
           outPos += 1
           i += 1
@@ -207,46 +222,51 @@ object NetCDF3 {
 
   // ----------------------------------------------------------------- write
 
-  private def writeName(o: DataOutputStream, s: String): Unit = {
-    val b = s.getBytes("UTF-8")
-    o.writeInt(b.length)
-    o.write(b)
-    (0 until (4 - b.length % 4) % 4).foreach(_ => o.writeByte(0))
-  }
-
-  /** Write a CDF-1 file with the given fixed dims and one double variable
-    * spanning all of them (the shape oph_export needs). */
+  /** Write a classic file with the given fixed dims and one double
+    * variable spanning all of them (the shape oph_export needs).
+    * `version` 1 = CDF-1 (the default) or 5 = CDF-5 with every NON_NEG
+    * field widened to int64 per the PnetCDF 64-bit-data spec. */
   def writeDoubleVar(path: String, dims: Seq[(String, Int)], varName: String,
-                     data: Array[Double]): Unit = {
+                     data: Array[Double], version: Int = 1): Unit = {
     require(data.length == dims.map(_._2).product, "data size != dim product")
+    require(version == 1 || version == 5, s"writer supports CDF-1/5, not $version")
     val o = new DataOutputStream(new java.io.BufferedOutputStream(
       new FileOutputStream(path)))
+    def nn(v: Long): Unit = if (version == 5) o.writeLong(v) else o.writeInt(v.toInt)
+    val nnSz = if (version == 5) 8 else 4
     try {
-      o.write("CDF".getBytes); o.writeByte(1)
-      o.writeInt(0) // numrecs
-      o.writeInt(TagDim); o.writeInt(dims.size)
-      dims.foreach { case (n, l) => writeName(o, n); o.writeInt(l) }
-      o.writeInt(0); o.writeInt(0) // no global attrs
-      o.writeInt(TagVar); o.writeInt(1)
-      writeName(o, varName)
-      o.writeInt(dims.size)
-      dims.indices.foreach(o.writeInt)
-      o.writeInt(0); o.writeInt(0) // no var attrs
+      o.write("CDF".getBytes); o.writeByte(version)
+      nn(0) // numrecs
+      o.writeInt(TagDim); nn(dims.size)
+      dims.foreach { case (n, l) => writeName(o, n, version); nn(l) }
+      o.writeInt(0); nn(0) // no global attrs
+      o.writeInt(TagVar); nn(1)
+      writeName(o, varName, version)
+      nn(dims.size)
+      dims.indices.foreach(i => nn(i))
+      o.writeInt(0); nn(0) // no var attrs
       o.writeInt(6) // NC_DOUBLE
-      val vsize = data.length * 8
-      o.writeInt(vsize)
-      // begin = current header size + 4 (this int)
-      val headerSize = 4 + 4 + // magic+numrecs
-        8 + dims.map { case (n, _) => nameSize(n) + 4 }.sum +
-        8 + // gatts
-        8 + nameSize(varName) + 4 + dims.size * 4 + 8 + 4 + 4 + 4
-      o.writeInt(headerSize)
+      nn(data.length.toLong * 8) // vsize
+      val headerSize = 4 + nnSz + // magic+numrecs
+        (4 + nnSz) + dims.map { case (n, _) => nameSize(n, nnSz) + nnSz }.sum +
+        (4 + nnSz) + // gatts ABSENT
+        (4 + nnSz) + nameSize(varName, nnSz) + nnSz + dims.size * nnSz +
+        (4 + nnSz) + 4 + nnSz + // var atts ABSENT, nc_type, vsize
+        (if (version == 5) 8 else 4) // this begin field
+      if (version == 5) o.writeLong(headerSize) else o.writeInt(headerSize)
       data.foreach(o.writeDouble)
     } finally o.close()
   }
 
-  private def nameSize(s: String): Int = {
+  private def writeName(o: DataOutputStream, s: String, version: Int): Unit = {
+    val b = s.getBytes("UTF-8")
+    if (version == 5) o.writeLong(b.length.toLong) else o.writeInt(b.length)
+    o.write(b)
+    (0 until (4 - b.length % 4) % 4).foreach(_ => o.writeByte(0))
+  }
+
+  private def nameSize(s: String, nnSz: Int): Int = {
     val b = s.getBytes("UTF-8").length
-    4 + b + (4 - b % 4) % 4
+    nnSz + b + (4 - b % 4) % 4
   }
 }

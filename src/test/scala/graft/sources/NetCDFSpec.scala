@@ -157,6 +157,59 @@ class NetCDFSpec extends SparkSpec {
       Seq(1.25, 2.5, 3.75))
   }
 
+  test("CDF-5 writer/reader roundtrip (64-bit NON_NEG fields)") {
+    val f = Files.createTempFile("graft", ".nc").toFile
+    f.deleteOnExit()
+    val data = Array.tabulate(6 * 4)(i => i * 0.5)
+    NetCDF3.writeDoubleVar(f.getAbsolutePath,
+      Seq("row" -> 6, "col" -> 4), "measure", data, version = 5)
+    // golden: magic 'CDF\x05', numrecs is 8 bytes of zero
+    val b = Files.readAllBytes(f.toPath)
+    assert(b(3) == 5)
+    assert((4 until 12).forall(b(_) == 0))
+    val hdr = NetCDF3.readHeader(f.getAbsolutePath)
+    assert(hdr.version == 5)
+    val v = hdr.variable("measure")
+    assert(hdr.shape(v) == Seq(6, 4))
+    assert(NetCDF3.readSlab(f.getAbsolutePath, hdr, v, Seq(0, 0), Seq(6, 4))
+      .toSeq == data.toSeq)
+    assert(NetCDF3.readSlab(f.getAbsolutePath, hdr, v, Seq(2, 1), Seq(2, 2))
+      .toSeq == Seq(data(9), data(10), data(13), data(14)))
+  }
+
+  test("CDF-5 unsigned/int64 element types decode (hand-built golden file)") {
+    val f = Files.createTempFile("graft", ".nc").toFile
+    f.deleteOnExit()
+    val o = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+    o.write("CDF".getBytes); o.writeByte(5)
+    o.writeLong(0L) // numrecs
+    o.writeInt(0x0A); o.writeLong(1L) // 1 dim
+    o.writeLong(1L); o.write("x".getBytes); o.write(Array[Byte](0, 0, 0))
+    o.writeLong(3L) // dim len
+    o.writeInt(0); o.writeLong(0L) // gatts ABSENT
+    o.writeInt(0x0B); o.writeLong(2L) // 2 vars
+    def varHdr(name: String, t: Int, es: Int, begin: Long): Unit = {
+      o.writeLong(1L); o.write(name.getBytes); o.write(Array[Byte](0, 0, 0))
+      o.writeLong(1L); o.writeLong(0L) // ndims=1, dimid 0
+      o.writeInt(0); o.writeLong(0L)   // vatts ABSENT
+      o.writeInt(t)
+      o.writeLong(3L * es)             // vsize
+      o.writeLong(begin)
+    }
+    // header: 4+8 + (12 + 12+8) + 12 + 12 + 2*(12+8+8+12+4+8+8) = 188
+    varHdr("u", 9, 4, 188L)        // NC_UINT, 3 values incl. >2^31
+    varHdr("v", 10, 8, 200L)       // NC_INT64, right after the 12-byte slab
+    Seq(1, -1, Int.MinValue).foreach(o.writeInt) // u32: 1, 4294967295, 2^31
+    Seq(5000000000L, -7L, 42L).foreach(o.writeLong)
+    o.close()
+    val hdr = NetCDF3.readHeader(f.getAbsolutePath)
+    assert(hdr.version == 5)
+    assert(NetCDF3.readSlab(f.getAbsolutePath, hdr, hdr.variable("u"),
+      Seq(0), Seq(3)).toSeq == Seq(1.0, 4294967295.0, 2147483648.0))
+    assert(NetCDF3.readSlab(f.getAbsolutePath, hdr, hdr.variable("v"),
+      Seq(0), Seq(3)).toSeq == Seq(5.0e9, -7.0, 42.0))
+  }
+
   test("record (unlimited) dimension: per-record slabs at begin + rec*recSize") {
     val f = Files.createTempFile("graft", ".nc").toFile
     f.deleteOnExit()
