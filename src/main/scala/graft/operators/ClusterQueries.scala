@@ -46,6 +46,21 @@ object ClusterQueries {
     * id), centroid update = elementwise truncating integer mean. Output:
     * final cluster sizes + fixed-point centroids. */
   def c02_kmeans_lloyd(s: SparkSession, dir: String): DataFrame = {
+    val a2 = lloydAssignments(s, dir)
+    a2.groupBy("cid")
+      .agg(ArrayAggregates.ewSumLong(col("v")).as("sv"), count(lit(1)).as("n"))
+      .select(col("cid"), col("n"),
+        AP.joinLongs(transform(col("sv"), x => KeyAlgebra.ldiv(x, col("n"))))
+          .as("centroid"))
+      .orderBy("cid")
+  }
+
+  /** The assignment after one centroid update (the a2 step of
+    * [[c02_kmeans_lloyd]]): one row per vector with its fixed-point
+    * coordinates `v` and final cluster id `cid`. Shared by c02 and the
+    * SemDeDup pass (DedupQueries.d12), whose DuckDB oracles replay the
+    * same two deterministic Lloyd iterations. */
+  def lloydAssignments(s: SparkSession, dir: String): DataFrame = {
     val k = 5
     val e = Tables.embeddings(s, dir).select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
@@ -81,13 +96,7 @@ object ClusterQueries {
     val c0 = e.filter(col("vec_id") < k).orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
     val c1 = update(assign(c0))
-    val a2 = assign(c1)
-    a2.groupBy("cid")
-      .agg(ArrayAggregates.ewSumLong(col("v")).as("sv"), count(lit(1)).as("n"))
-      .select(col("cid"), col("n"),
-        AP.joinLongs(transform(col("sv"), x => KeyAlgebra.ldiv(x, col("n"))))
-          .as("centroid"))
-      .orderBy("cid")
+    assign(c1)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -97,9 +106,11 @@ object ClusterQueries {
 
   /** c01 has no DuckDB oracle (MLlib init; driver records the weaker
     * rows-only check); c02 replays exactly. */
-  val oracles: Map[String, String] = Map(
-    "c02_kmeans_lloyd" ->
-      """WITH e AS (SELECT vec_id,
+  /** Shared CTE prefix replaying the two deterministic Lloyd iterations
+    * in DuckDB (e → c0 → a1 → c1 → a2); a2 = (vec_id, v, cid). Reused by
+    * the c02 and d12 oracles so their cluster ids come from one text. */
+  private[operators] val lloydCte: String =
+    """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1e9) AS BIGINT)) AS v
          FROM embeddings),
        c0 AS (SELECT list(v ORDER BY vec_id) AS cs, list(vec_id ORDER BY vec_id) AS ids
@@ -122,7 +133,11 @@ object ClusterQueries {
                         list_transform(range(1, 65),
                           i -> (e.v[i]-c[i])::DOUBLE * (e.v[i]-c[i])::DOUBLE),
                         (x,y) -> x+y)) AS ds
-                    FROM e, c1))
+                    FROM e, c1))"""
+
+  val oracles: Map[String, String] = Map(
+    "c02_kmeans_lloyd" ->
+      s"""$lloydCte
        SELECT cid, any_value(n) AS n,
          array_to_string(list(q ORDER BY i), ',') AS centroid
        FROM (SELECT cid, i, CAST(sum(v[i]) AS BIGINT) // count(*) AS q,

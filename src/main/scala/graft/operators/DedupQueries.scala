@@ -521,7 +521,39 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d12 — semantic dedup (the SemDeDup pattern: coarse clusters bound
+    * the candidate set, exact cosine within a cluster marks the dups):
+    * a vector is a duplicate when a LOWER-id neighbor in its cluster has
+    * cosine ≥ 0.4. Cluster ids come from the deterministic fixed-point
+    * Lloyd pass ([[ClusterQueries.lloydAssignments]]) so the DuckDB
+    * oracle replays them exactly; cosines use the same left-fold double
+    * arithmetic as d06. Scale shape: the quadratic step never crosses
+    * cluster boundaries — cid is the shuffle key and k grows with the
+    * corpus, so cluster population (and the per-task pair count) stays
+    * bounded. */
+  def d12_semantic_dedup(s: SparkSession, dir: String): DataFrame = {
+    val asg = ClusterQueries.lloydAssignments(s, dir).select("vec_id", "cid")
+    val e = Tables.embeddings(s, dir)
+      .withColumn("a", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(graft.plans.DotProduct(col("a"), col("a"))))
+      .join(asg, "vec_id")
+      .select("vec_id", "cid", "a", "nrm")
+      .cache()
+    e.count() // eager fill: the self-join would race the cache
+    val dups = e.as("x").join(e.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") > col("y.vec_id"))
+      .filter(graft.plans.DotProduct(col("x.a"), col("y.a")) /
+        (col("x.nrm") * col("y.nrm")) >= 0.4)
+      .select(col("x.vec_id").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    e.select("vec_id", "cid").join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_semantic_dedup" -> (d12_semantic_dedup _),
     "d10_dedup_stream_lsh" -> (d10_dedup_stream_lsh _),
     "d06_dedup_embcos" -> (d06_dedup_embcos _),
     "d07_dedup_apply" -> (d07_dedup_apply _),
@@ -551,6 +583,21 @@ object DedupQueries {
        THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x,y) -> x+y)"""
 
   val oracles: Map[String, String] = Map(
+    "d12_semantic_dedup" ->
+      s"""${ClusterQueries.lloydCte},
+       n AS (SELECT a2.vec_id, a2.cid,
+           list_transform(em.embedding, x -> x::DOUBLE) AS a
+         FROM a2 JOIN embeddings em ON a2.vec_id = em.vec_id),
+       nn AS (SELECT vec_id, cid, a,
+           sqrt(list_reduce(list_transform(range(1, 65), i -> a[i] * a[i]),
+             (p,q) -> p+q)) AS nrm FROM n),
+       dup AS (SELECT DISTINCT x.vec_id FROM nn x JOIN nn y
+           ON x.cid = y.cid AND x.vec_id > y.vec_id
+         WHERE list_reduce(list_transform(range(1, 65), i -> x.a[i] * y.a[i]),
+             (p,q) -> p+q) / (x.nrm * y.nrm) >= 0.4)
+       SELECT nn.vec_id, nn.cid, dup.vec_id IS NOT NULL AS is_dup
+       FROM nn LEFT JOIN dup ON nn.vec_id = dup.vec_id
+       ORDER BY nn.vec_id""",
     "d10_dedup_stream_lsh" -> s"""
       WITH sigs AS (SELECT doc_id, $sqlSig AS sig FROM documents
         WHERE doc_id % 7 = 0),

@@ -133,11 +133,64 @@ object PipelineQueries {
       .orderBy("window_id")
   }
 
+  /** p05 — token-budget domain mixing: each source (domain) gets a
+    * deterministic character budget derived from its name, documents are
+    * prioritized by content hash (reproducible, order-free), and docs
+    * are taken per-domain until the running total crosses the budget —
+    * how a training run holds domain proportions steady regardless of
+    * how much raw data each crawl contributed. One window partitioned by
+    * source (parallel across domains) + one partial+final aggregation.
+    * At 100 TB the per-domain ordering is the only sort, and it shards
+    * by the domain key. */
+  def p05_domain_mix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("prio", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .withColumn("prio", md5Long60(col("text")))
+      .withColumn("budget",
+        (substring(col("source"), 4, 10).cast("long") % 4L + 1L) * 1500L)
+      .withColumn("before", coalesce(sum("n_chars").over(w), lit(0L)))
+      .withColumn("kept", col("before") < col("budget"))
+      .groupBy("source")
+      .agg(max("budget").as("budget"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("chars_kept"),
+        sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      .orderBy("source")
+  }
+
+  /** p06 — leakproof train/val split: the split key is the CANONICAL
+    * GROUP representative (d02's sorted-distinct-token form), not the
+    * document, so exact and canonical near-duplicates can never straddle
+    * the boundary and leak eval data into training. Deterministic hash
+    * split ~10% val; output = per-split doc/group/char totals. Same
+    * plan shape as d02: one hash shuffle on the canonical form, then a
+    * partial+final aggregation. */
+  def p06_split_leakproof(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("canon",
+        concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))))
+      .withColumn("rep",
+        min("doc_id").over(Window.partitionBy("canon")))
+      .withColumn("split",
+        when(pmod(col("rep") * lit(2654435761L), lit(2147483647L)) % 100 < 10,
+          lit("val")).otherwise(lit("train")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_groups"),
+        sum("n_chars").as("n_chars_total"),
+        sum("doc_id").as("doc_id_sum"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_corpus_pipeline" -> (p01_corpus_pipeline _),
     "p02_contamination" -> (p02_contamination _),
     "p03_sample_stratified" -> (p03_sample_stratified _),
     "p04_sequence_packing" -> (p04_sequence_packing _),
+    "p05_domain_mix" -> (p05_domain_mix _),
+    "p06_split_leakproof" -> (p06_split_leakproof _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -202,5 +255,35 @@ object PipelineQueries {
          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          min(doc_id) AS first_doc, max(doc_id) AS last_doc
        FROM c GROUP BY 1 ORDER BY 1""",
+    "p05_domain_mix" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+           CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS prio,
+           (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 1500 AS budget
+         FROM documents),
+       c AS (SELECT *, coalesce(CAST(sum(n_chars) OVER (PARTITION BY source
+           ORDER BY prio, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS strt FROM d)
+       SELECT source, max(budget) AS budget, count(*) AS n_total,
+         CAST(sum(CASE WHEN strt < budget THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(sum(CASE WHEN strt < budget THEN n_chars ELSE 0 END) AS BIGINT)
+           AS chars_kept,
+         CAST(sum(CASE WHEN strt < budget THEN doc_id ELSE 0 END) AS BIGINT)
+           AS kept_id_sum
+       FROM c GROUP BY source ORDER BY source""",
+    "p06_split_leakproof" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+           min(doc_id) OVER (PARTITION BY
+             array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS rep
+         FROM documents)
+       SELECT CASE WHEN (rep * 2654435761) % 2147483647 % 100 < 10
+           THEN 'val' ELSE 'train' END AS split,
+         count(*) AS n_docs,
+         count(DISTINCT rep) AS n_groups,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+         CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+       FROM d GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -284,6 +284,79 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** q24 — as-of join (absent in the reference AND in Spark's built-in
+    * operator set): each click event picks up the most recent purchase
+    * at-or-before it for the same user. Implemented the scale-native way
+    * — not a pairwise join at all: union both streams, one hash
+    * partition by user_id, and a running last() carries the purchase
+    * state forward through the sorted timeline. One shuffle, no
+    * quadratic candidate set; semantics identical to DuckDB's native
+    * ASOF JOIN, which is the oracle. */
+  def q24_asof_join(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // microsecond timeline on both engines: DuckDB truncates parquet
+    // nano timestamps to micros, so the as-of comparison must happen at
+    // the precision the oracle can actually see
+    val ev = Tables.events(s, dir)
+      .withColumn("ts", KeyAlgebra.ldiv(col("ts"), lit(1000L)))
+    // right side collapsed to one row per (user, ts) — last writer by
+    // event_id wins — so the as-of match is deterministic in both engines
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max_by(col("value"), col("event_id")).as("pvalue"))
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"),
+        col("ts").as("pts"), col("pvalue"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"), col("value"),
+        lit(null).cast("long").as("pts"),
+        lit(null).cast("double").as("pvalue"))
+    // at equal ts the purchase row sorts first (side 0 < 1) → ts >= pts
+    val w = Window.partitionBy("user_id").orderBy("ts", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purch.unionByName(clicks)
+      .withColumn("m", last(when(col("side") === 0,
+        struct(col("pts"), col("pvalue"))), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      // no-match sentinels (-1 / 0.0) instead of NULLs: a nullable int64
+      // degrades to float64 in the pandas comparator and nano timestamps
+      // don't survive the double mantissa
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        coalesce(col("m.pts"), lit(-1L)).as("purchase_ts"),
+        coalesce(col("m.pvalue"), lit(0.0)).as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** q25 — range (interval) join: per error event, the count and
+    * value-sum of same-user clicks within ±5 minutes. The naive plan is
+    * an inequality join (quadratic scan); the scale plan buckets both
+    * sides into 5-minute epochs and explodes each error into its 3
+    * candidate buckets, so the join is a plain equi-join on
+    * (user_id, bucket) and the band predicate only refines in-bucket
+    * pairs — candidate volume stays linear on skew-free time data. */
+  def q25_range_join(s: SparkSession, dir: String): DataFrame = {
+    val bandNs = 300000000L // 5 min in MICROS (oracle precision, see q24)
+    val ev = Tables.events(s, dir)
+      .withColumn("ts", KeyAlgebra.ldiv(col("ts"), lit(1000L)))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+        col("value").as("cvalue"))
+      .withColumn("cbucket", KeyAlgebra.ldiv(col("cts"), lit(bandNs)))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("db"))
+      .withColumn("bucket", KeyAlgebra.ldiv(col("ts"), lit(bandNs)) + col("db"))
+    errors.join(clicks,
+        col("user_id") === col("cu") && col("bucket") === col("cbucket"))
+      .filter(abs(col("cts") - col("ts")) <= bandNs)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_nearby"),
+        sum(col("cvalue").cast("decimal(18,6)")).cast("double").as("sum_nearby"))
+      .orderBy("event_id")
+  }
+
   /** q19 — JSON property extraction from the events side-channel. */
   def q19_json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -315,6 +388,8 @@ object RelationalQueries {
     "q14_having_subquery" -> (q14_having_subquery _),
     "q15_window_rank" -> (q15_window_rank _),
     "q16_time_window" -> (q16_time_window _),
+    "q24_asof_join" -> (q24_asof_join _),
+    "q25_range_join" -> (q25_range_join _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -447,5 +522,25 @@ object RelationalQueries {
          count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q24_asof_join" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS pts,
+             arg_max(value, event_id) AS pvalue
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT event_id, user_id, epoch_us(ts) AS ts, value
+           FROM events WHERE event_type = 'click')
+       SELECT c.event_id, c.user_id, c.ts, c.value,
+         coalesce(p.pts, -1) AS purchase_ts,
+         coalesce(p.pvalue, 0.0) AS purchase_value
+       FROM c ASOF LEFT JOIN p
+         ON c.user_id = p.user_id AND c.ts >= p.pts
+       ORDER BY event_id""",
+    "q25_range_join" ->
+      """SELECT e.event_id, count(*) AS n_nearby,
+         CAST(sum(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_nearby
+       FROM events e JOIN events c
+         ON e.event_type = 'error' AND c.event_type = 'click'
+         AND e.user_id = c.user_id
+         AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 300000000
+       GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions._
@@ -128,6 +128,37 @@ object TextQueries {
       .orderBy("tok")
   }
 
+  /** t07 — repetition-based quality heuristics (the Gopher/C4-style
+    * filter rules adapted to this corpus): type-token ratio, most-
+    * frequent-word share, most-frequent-bigram share, and the resulting
+    * keep/drop decision. All per-row integer counting inside codegen
+    * lambdas (worst case ~n·distinct ≈ 10k ops on a 99-token doc) —
+    * scan-parallel, no shuffle, exact fixed-point outputs. */
+  def t07_quality_repetition(s: SparkSession, dir: String): DataFrame = {
+    // share of the most frequent element among xs, as floor(1e6·frac)
+    def topShareFp(xs: Column, denom: Column): Column =
+      floor(bindOnce(xs, v =>
+        array_max(transform(array_distinct(v), u =>
+          size(filter(v, x => x === u))))).cast("double") / denom * 1e6)
+        .cast("long")
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+      .withColumn("grams", transform(sequence(lit(1), col("n") - 1), i =>
+        concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1))))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        floor(size(array_distinct(col("toks"))).cast("double") /
+          col("n").cast("double") * 1e6).cast("long").as("ttr_fp"),
+        topShareFp(col("toks"), col("n").cast("double")).as("top_word_fp"),
+        topShareFp(col("grams"), (col("n") - 1).cast("double")).as("top_gram_fp"))
+      .withColumn("keep",
+        col("ttr_fp") >= 450000L && col("top_word_fp") <= 120000L &&
+          col("top_gram_fp") <= 60000L)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_quality" -> (t01_token_quality _),
     "t02_langid" -> (t02_langid _),
@@ -135,6 +166,7 @@ object TextQueries {
     "t04_bpe_tokens" -> (t04_bpe_tokens _),
     "t05_context_windows" -> (t05_context_windows _),
     "t06_vocabulary" -> (t06_vocabulary _),
+    "t07_quality_repetition" -> (t07_quality_repetition _),
   )
 
   private def sqlHs =
@@ -194,6 +226,26 @@ object TextQueries {
          CAST(floor(count(*)::DOUBLE / count(DISTINCT doc_id)::DOUBLE * 1e6)
            AS BIGINT) AS rate_fp
        FROM occ GROUP BY tok ORDER BY tok""",
+    "t07_quality_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       m AS (SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           CAST(floor(len(list_distinct(toks))::DOUBLE / len(toks) * 1e6)
+             AS BIGINT) AS ttr_fp,
+           CAST(floor(list_max(list_transform(list_distinct(toks),
+               u -> len(list_filter(toks, x -> x = u))))::DOUBLE
+             / len(toks) * 1e6) AS BIGINT) AS top_word_fp,
+           CAST(floor(list_max(list_transform(
+               list_distinct(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])),
+               g -> len(list_filter(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1]), x -> x = g))))::DOUBLE
+             / (len(toks) - 1) * 1e6) AS BIGINT) AS top_gram_fp
+         FROM t)
+       SELECT doc_id, n_tokens, ttr_fp, top_word_fp, top_gram_fp,
+         (ttr_fp >= 450000 AND top_word_fp <= 120000 AND top_gram_fp <= 60000)
+           AS keep
+       FROM m ORDER BY doc_id""",
     "t03_fingerprint" ->
       s"""SELECT doc_id,
          CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_fp,
