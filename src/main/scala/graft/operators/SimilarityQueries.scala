@@ -158,7 +158,57 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s05 — two-stage retrieval cascade: the int8-quantized metric
+    * (s04's store) proposes top-20 recall candidates per query, then
+    * full-precision cosine reranks the survivors to the final top-5.
+    * The cheap metric touches every vector; the exact one touches 20
+    * gathered rows per query — at 100 TB stage 2 is a point-lookup join
+    * on vec_id against the full-precision store, not a second scan.
+    * Rank/tie rules as s01. */
+  def s05_ann_rerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb(s, dir)
+      .withColumn("amax", array_max(transform(col("a"), x => abs(x))))
+      .withColumn("scale",
+        when(col("amax") === 0.0, lit(1.0)).otherwise(col("amax") / 127.0))
+      .withColumn("da", transform(col("a"),
+        x => (x / col("scale")).cast("long").cast("double") * col("scale")))
+      .withColumn("dnrm", norm(col("da")))
+      .withColumn("nrm", norm(col("a")))
+      .filter(col("dnrm") > 0.0 && col("nrm") > 0.0)
+      .select("vec_id", "a", "nrm", "da", "dnrm")
+      .cache()
+    base.count() // materialize the quantized store (see s04)
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("da").as("qda"), col("dnrm").as("qdn"),
+        col("a").as("qa"), col("nrm").as("qn"))
+    // stage 1: quantized recall — keeps only (query_id, vec_id)
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("simq").desc, col("vec_id"))
+    val cand = base.select("vec_id", "da", "dnrm")
+      .crossJoin(broadcast(qs.select("query_id", "qda", "qdn")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("simq", dot(col("qda"), col("da")) / (col("qdn") * col("dnrm")))
+      .withColumn("rq", row_number().over(w1))
+      .filter(col("rq") <= 20)
+      .select("query_id", "vec_id")
+    // stage 2: exact rerank over the gathered candidates
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand
+      .join(base.select(col("vec_id"), col("a"), col("nrm")), "vec_id")
+      .join(broadcast(qs.select("query_id", "qa", "qn")), "query_id")
+      .withColumn("sim", dot(col("qa"), col("a")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s05_ann_rerank" -> (s05_ann_rerank _),
     "s01_ann_bruteforce" -> (s01_ann_bruteforce _),
     "s02_ann_ivf" -> (s02_ann_ivf _),
     "s03_ann_ivf_multiprobe" -> (s03_ann_ivf_multiprobe _),
@@ -169,6 +219,36 @@ object SimilarityQueries {
     "list_reduce(list_transform(range(1, 65), i -> X[i] * Y[i]), (p,q) -> p+q)"
 
   val oracles: Map[String, String] = Map(
+    "s05_ann_rerank" -> s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
+        FROM embeddings),
+      sc AS (SELECT vec_id, a,
+          CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS s
+        FROM (SELECT vec_id, a,
+          list_max(list_transform(a, x -> abs(x))) AS amax FROM e)),
+      d AS (SELECT vec_id, a,
+          list_transform(a, x -> trunc(x / s) * s) AS da FROM sc),
+      n AS (SELECT vec_id, a, da,
+          sqrt(list_reduce(list_transform(a, x -> x*x), (p,q) -> p+q)) AS nrm,
+          sqrt(list_reduce(list_transform(da, x -> x*x), (p,q) -> p+q)) AS dnrm
+        FROM d),
+      nz AS (SELECT * FROM n WHERE dnrm > 0 AND nrm > 0),
+      cand AS (SELECT query_id, vec_id FROM (
+          SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              ${sqlDot.replace("X", "q.da").replace("Y", "x.da")}
+                / (q.dnrm * x.dnrm) DESC, x.vec_id) AS rq
+          FROM nz q, nz x WHERE q.vec_id % 50 = 0 AND x.vec_id <> q.vec_id)
+        WHERE rq <= 20),
+      sims AS (SELECT c.query_id, x.vec_id AS neighbor_id,
+          ${sqlDot.replace("X", "q.a").replace("Y", "x.a")} / (q.nrm * x.nrm) AS sim
+        FROM cand c JOIN nz x ON c.vec_id = x.vec_id
+          JOIN nz q ON c.query_id = q.vec_id)
+      SELECT query_id, rank, neighbor_id, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims) WHERE rank <= 5 ORDER BY query_id, rank""",
     "s04_ann_quantized" -> s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
         FROM embeddings),

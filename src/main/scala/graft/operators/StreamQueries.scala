@@ -56,8 +56,75 @@ object StreamQueries {
       .orderBy("window_start")
   }
 
+  /** q26 — streaming as-of enrichment: clicks and purchases flow through
+    * flatMapGroupsWithState keyed by user; the state is the latest
+    * purchase (ts, value) seen so far, and every click emits itself
+    * enriched with that state — the stateful-streaming form of q24's
+    * batch as-of join, and it must hash-match q24's DuckDB ASOF oracle.
+    * Batches are split at a strict ts boundary (equal-ts runs never
+    * straddle batches) and each per-group batch iterator is re-sorted by
+    * (ts, purchase-first, event_id), so arrival order inside a
+    * micro-batch cannot change the answer. At scale the state is one
+    * (long, double) per user — keyed state sharded by user_id, no
+    * global ordering anywhere. */
+  def q26_stream_asof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        KeyAlgebra.ldiv(col("ts"), lit(1000L)).as("ts"),
+        col("event_type"), col("value"))
+      .orderBy("ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    var mid = rows.length / 2
+    while (mid < rows.length && rows(mid)._3 == rows(mid - 1)._3) mid += 1
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String, Double)]
+    val out = in.toDS()
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(Long, Long, Long, String, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
+          // replay the group's micro-batch in event-time order; at equal
+          // ts purchases apply first (>= as-of), later event_id wins
+          val evs = it.toIndexedSeq.sortBy(e =>
+            (e._3, if (e._4 == "purchase") 0 else 1, e._1))
+          var st = state.getOption
+          val emitted = evs.flatMap {
+            case (_, _, ts, "purchase", v) =>
+              if (st.isEmpty || ts >= st.get._1) st = Some((ts, v))
+              Nil
+            case (eid, u, ts, _, v) =>
+              Seq((eid, u, ts, v,
+                st.map(_._1).getOrElse(-1L), st.map(_._2).getOrElse(0.0)))
+          }
+          st.foreach(state.update)
+          emitted.iterator
+      }
+      .toDF("event_id", "user_id", "ts", "value", "purchase_ts",
+        "purchase_value")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("q26_stream_out").start()
+    try {
+      in.addData(rows.take(mid).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(rows.drop(mid).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = s.table("q26_stream_out")
+    val result = sink.collect().toIndexedSeq
+    val schema = sink.schema
+    s.catalog.dropTempView("q26_stream_out")
+    s.createDataFrame(s.sparkContext.parallelize(result, 1), schema)
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_stream_window" -> (q23_stream_window _),
+    "q26_stream_asof" -> (q26_stream_asof _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -66,5 +133,7 @@ object StreamQueries {
          count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY window_start""",
+    // the streaming enrichment must converge to the batch as-of answer
+    "q26_stream_asof" -> RelationalQueries.oracles("q24_asof_join"),
   )
 }

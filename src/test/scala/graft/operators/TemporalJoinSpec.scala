@@ -52,6 +52,14 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out == naive)
   }
 
+  test("q26 streaming as-of enrichment equals the q24 batch answer") {
+    val batch = RelationalQueries.q24_asof_join(spark, sf()).collect()
+      .map(_.toSeq).toIndexedSeq
+    val stream = StreamQueries.q26_stream_asof(spark, sf()).collect()
+      .map(_.toSeq).toIndexedSeq
+    assert(stream == batch)
+  }
+
   test("q25 bucket explosion produces no duplicate (error, click) pairs") {
     // every pair lands in exactly one of the error's 3 candidate buckets:
     // counts must not exceed the per-user click totals
