@@ -116,6 +116,38 @@ object NetCDFQueries {
     nc.join(z, "id_dim").orderBy("id_dim")
   }
 
+  /** qn07 — Zarr **v3** store read: the qn03 grid written as a v3 store
+    * (group + array `zarr.json`, bytes-little + gzip codec chain,
+    * default `c/`-prefixed nested chunk keys, ragged edge chunks) and as
+    * a CDF-1 twin, both through file_import → the format-sniffing DSv2
+    * reader, joined on id_dim. Same capability row as qn03 for the
+    * current Zarr spec generation. */
+  def qn07_zarr_v3_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val (nRows, nCols) = (60, 8)
+    val data = Array.tabulate(nRows * nCols)(k =>
+      (k / nCols) * 0.5 + (k % nCols) * 0.125) // exact in binary
+    val tmp = Files.createTempDirectory("graft_zarr3_q")
+    val ncPath = tmp.resolve("twin.nc").toString
+    val zPath = tmp.resolve("twin.zarr").toString
+    NetCDF3.writeDoubleVar(ncPath, Seq("row" -> nRows, "col" -> nCols),
+      "measure", data)
+    graft.sources.Zarr.writeDoubleVarV3(zPath,
+      Seq("row" -> nRows, "col" -> nCols), "measure", data,
+      chunkDims = Some(Seq(16, 8))) // 60 % 16 != 0 → ragged edge chunk
+    val ses = new IoServer(s).newSession()
+    ses.execute(s"operation=file_import;frag_name=z3in;src_path=@$zPath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=ncin3;src_path=@$ncPath;" +
+      "measure=measure;explicit=1")
+    val z = ses.execute(
+      "operation=select;field=id_dim|measure;from=z3in;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_zarr"))
+    val nc = ses.execute(
+      "operation=select;field=id_dim|measure;from=ncin3;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_cdf"))
+    nc.join(z, "id_dim").orderBy("id_dim")
+  }
+
   /** qn04 — the ESDM-named operations (esdm_import /
     * create_frag_select_esdm, oph_io_server_query.c:72-105,341-375) with
     * their read-stream reduction (sub_operation/sub_args,
@@ -221,6 +253,7 @@ object NetCDFQueries {
     "qn04_esdm_import" -> (qn04_esdm_import _),
     "qn05_hdf5_dense_v4" -> (qn05_hdf5_dense_v4 _),
     "qn06_cdf5_roundtrip" -> (qn06_cdf5_roundtrip _),
+    "qn07_zarr_v3_roundtrip" -> (qn07_zarr_v3_roundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -245,6 +278,16 @@ object NetCDFQueries {
          FROM range(1, 61) t(i)
          ORDER BY id_dim""",
     "qn03_zarr_roundtrip" ->
+      """SELECT i AS id_dim,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_cdf,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_zarr
+         FROM range(1, 61) t(i)
+         ORDER BY id_dim""",
+    "qn07_zarr_v3_roundtrip" ->
       """SELECT i AS id_dim,
          array_to_string(list_transform(range(0, 8),
            j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')

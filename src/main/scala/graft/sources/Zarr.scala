@@ -7,40 +7,51 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-/** Zarr v2 store reader/writer — the reference's Zarr capability
+/** Zarr v2 + v3 store reader/writer — the reference's Zarr capability
   * (HISTORY.md v1.9.0 "Support for Zarr format", delegated there to
   * netcdf-c's NCZarr dispatch via URL src_paths,
-  * oph_io_server_nc.c:2769). Implemented from the public Zarr v2 spec:
-  * a store is a directory tree; each array directory holds a `.zarray`
+  * oph_io_server_nc.c:2769). Implemented from the public Zarr specs:
+  * a store is a directory tree; a v2 array directory holds a `.zarray`
   * JSON document (shape, chunks, dtype, compressor, fill_value, order)
   * and chunk objects keyed `i.j.k` (or `/`-separated per
-  * `dimension_separator`); edge chunks are stored full-size; a missing
-  * chunk object means fill_value.
+  * `dimension_separator`); a v3 array directory holds `zarr.json`
+  * (zarr_format 3, node_type array, named data_type, regular
+  * chunk_grid, codecs chain, chunk_key_encoding) with chunks under the
+  * `c/` prefix (default key encoding) or v2-style keys. Edge chunks are
+  * stored full-size in both versions; a missing chunk object means
+  * fill_value.
   *
-  * Supported: C order, dtypes [<>|][fiu][1248], compressors null, zlib,
+  * Supported: C order; v2 dtypes [<>|][fiu][1248] / v3 named data
+  * types (float32/64, [u]int8/16/32, int64); compressors null, zlib,
   * gzip and blosc (the numcodecs default — lz4/zlib codecs and byte
   * shuffle via the pure-JVM [[Blosc]] frame codec; blosclz/zstd/
-  * bit-shuffle rejected with clear errors), arrays at the store root or
-  * one level down (the netCDF-via-Zarr layout). All IO goes through the Hadoop FileSystem API, so
+  * bit-shuffle, v3 transpose and sharding rejected with clear errors);
+  * arrays at the store root or one level down (the netCDF-via-Zarr
+  * layout). All IO goes through the Hadoop FileSystem API, so
   * `s3a://bucket/store.zarr` works wherever the cluster has the cloud
   * connector — each Spark partition opens its own handles and reads
   * only the chunks its rows intersect. */
 object Zarr {
 
+  /** `keyPrefix` is "c" for the v3 default chunk-key encoding ("c/0/1"),
+    * "" for v2 and the v3 "v2" encoding ("0.1"). */
   final case class ZArray(shape: Seq[Int], chunks: Seq[Int], kind: Char,
                           esize: Int, littleEndian: Boolean,
-                          compressor: String, fill: Double, sep: String)
+                          compressor: String, fill: Double, sep: String,
+                          keyPrefix: String = "")
 
   private def fsFor(path: String): (Path, FileSystem) = {
     val p = new Path(path)
     (p, p.getFileSystem(new Configuration()))
   }
 
-  /** A Zarr store is a directory with `.zarray`/`.zgroup` at its root. */
+  /** A Zarr store is a directory with `.zarray`/`.zgroup` (v2) or
+    * `zarr.json` (v3) at its root. */
   def isZarr(path: String): Boolean = {
     val (p, fs) = fsFor(path)
     try fs.isDirectory(p) &&
-      (fs.exists(new Path(p, ".zarray")) || fs.exists(new Path(p, ".zgroup")))
+      (fs.exists(new Path(p, ".zarray")) || fs.exists(new Path(p, ".zgroup")) ||
+        fs.exists(new Path(p, "zarr.json")))
     catch { case _: Exception => false }
   }
 
@@ -61,16 +72,91 @@ object Zarr {
 
     private def arrayDir(varName: String): Path = {
       val sub = new Path(rootPath, varName)
-      if (fs.exists(new Path(sub, ".zarray"))) sub
-      else if (fs.exists(new Path(rootPath, ".zarray"))) rootPath
+      def isArray(d: Path): Boolean =
+        fs.exists(new Path(d, ".zarray")) || fs.exists(new Path(d, "zarr.json"))
+      if (isArray(sub)) sub
+      else if (isArray(rootPath)) rootPath
       else throw new IllegalArgumentException(
         s"no Zarr array '$varName' under $root")
+    }
+
+    /** Zarr v3 named data types → (kind, element size). */
+    private def v3DataType(name: String): (Char, Int) = name match {
+      case "float64" => ('f', 8)
+      case "float32" => ('f', 4)
+      case "int64"   => ('i', 8)
+      case "int32"   => ('i', 4)
+      case "int16"   => ('i', 2)
+      case "int8"    => ('i', 1)
+      case "uint8"   => ('u', 1)
+      case "uint16"  => ('u', 2)
+      case "uint32"  => ('u', 4)
+      case o => throw new IllegalArgumentException(s"v3 data_type $o unsupported")
+    }
+
+    private def metaV3(dir: Path): ZArray = {
+      val j = mapper.readTree(readAll(new Path(dir, "zarr.json")))
+      require(j.get("zarr_format").asInt() == 3, "zarr.json without zarr_format 3")
+      require(j.get("node_type").asText() == "array",
+        s"node_type ${j.get("node_type")} is not an array")
+      val shape = (0 until j.get("shape").size())
+        .map(i => j.get("shape").get(i).asInt())
+      val grid = j.get("chunk_grid")
+      require(grid.get("name").asText() == "regular",
+        s"chunk_grid ${grid.get("name")} unsupported")
+      val cs = grid.get("configuration").get("chunk_shape")
+      val chunks = (0 until cs.size()).map(cs.get(_).asInt())
+      val (kind, esize) = v3DataType(j.get("data_type").asText())
+      // codec chain: exactly one "bytes" array->bytes codec (endianness),
+      // optionally followed by one supported bytes->bytes compressor
+      var le = true
+      var comp = "null"
+      val codecs = j.get("codecs")
+      (0 until codecs.size()).foreach { i =>
+        val c = codecs.get(i)
+        val cfg = c.get("configuration")
+        c.get("name").asText() match {
+          case "bytes" =>
+            le = cfg == null || cfg.get("endian") == null ||
+              cfg.get("endian").asText() == "little"
+          case "gzip" => comp = "gzip"
+          case "blosc" =>
+            // [[Blosc]] handles the frame; reject the codecs it can't
+            val cname = if (cfg != null && cfg.get("cname") != null)
+              cfg.get("cname").asText() else "lz4"
+            require(cname == "lz4" || cname == "zlib",
+              s"blosc cname $cname unsupported")
+            comp = "blosc"
+          case o => throw new IllegalArgumentException(
+            s"v3 codec $o unsupported (transpose/sharding/zstd not implemented)")
+        }
+      }
+      val fillNode = j.get("fill_value")
+      val fill = if (fillNode == null || fillNode.isNull) 0.0
+                 else fillNode.asDouble()
+      val enc = j.get("chunk_key_encoding")
+      val (prefix, sep) =
+        if (enc == null || enc.isNull) ("c", "/")
+        else {
+          val cfg = enc.get("configuration")
+          val s = if (cfg != null && cfg.get("separator") != null)
+            cfg.get("separator").asText() else null
+          enc.get("name").asText() match {
+            case "default" => ("c", if (s == null) "/" else s)
+            case "v2"      => ("", if (s == null) "." else s)
+            case o => throw new IllegalArgumentException(
+              s"chunk_key_encoding $o unsupported")
+          }
+        }
+      ZArray(shape, chunks, kind, esize, le, comp, fill, sep, prefix)
     }
 
     private val metaCache = scala.collection.mutable.Map.empty[String, (Path, ZArray)]
     private def meta(varName: String): (Path, ZArray) =
       metaCache.getOrElseUpdate(varName, {
         val dir = arrayDir(varName)
+        if (!fs.exists(new Path(dir, ".zarray"))) (dir, metaV3(dir))
+        else {
         val j = mapper.readTree(readAll(new Path(dir, ".zarray")))
         require(j.get("zarr_format").asInt() == 2,
           s"zarr_format ${j.get("zarr_format")} unsupported (v2 only)")
@@ -97,6 +183,7 @@ object Zarr {
         val sep = if (sepNode == null || sepNode.isNull) "." else sepNode.asText()
         (dir, ZArray(shape, chunks, dt.charAt(1), dt.substring(2).toInt,
           le, compId, fill, sep))
+        }
       })
 
     override def shape(varName: String): Seq[Int] = meta(varName)._2.shape
@@ -147,14 +234,18 @@ object Zarr {
       }
 
     private def chunkBytes(dir: Path, z: ZArray, grid: Seq[Int]): Option[Array[Byte]] = {
-      val key = grid.mkString(z.sep)
-      val cached = chunkCache.get(key)
+      // v3 default encoding prefixes the indices with "c"
+      val parts =
+        if (z.keyPrefix.isEmpty) grid.map(_.toString)
+        else z.keyPrefix +: grid.map(_.toString)
+      val key = parts.mkString(z.sep)
+      val cacheKey = dir.getName + "#" + key // two vars may share grid keys
+      val cached = chunkCache.get(cacheKey)
       if (cached != null) return Some(cached)
-      val p = if (z.sep == "/") new Path(dir, grid.mkString("/"))
-              else new Path(dir, key)
+      val p = new Path(dir, key) // "/"-separated keys become nested dirs
       if (!fs.exists(p)) return None
       val raw = decompress(z, readAll(p), z.chunks.product * z.esize)
-      chunkCache.put(key, raw)
+      chunkCache.put(cacheKey, raw)
       Some(raw)
     }
 
@@ -284,6 +375,76 @@ object Zarr {
           out.toByteArray
       }
       put(new Path(dir, gidx.mkString(".")), comp)
+    }
+    def rec(dim: Int, gidx: Array[Int]): Unit =
+      if (dim == rank) writeChunk(gidx.toSeq)
+      else { var g = 0; while (g < grid(dim)) { gidx(dim) = g; rec(dim + 1, gidx); g += 1 } }
+    rec(0, new Array[Int](rank))
+  }
+
+  /** Write a float64 little-endian Zarr **v3** store: group `zarr.json`
+    * at the root, the array under `varName/` with its own v3 `zarr.json`
+    * (bytes-little + gzip codec chain, default chunk-key encoding) and
+    * C-order chunks under the `c/` prefix as nested directories. */
+  def writeDoubleVarV3(path: String, dims: Seq[(String, Int)], varName: String,
+      data: Array[Double], chunkDims: Option[Seq[Int]] = None,
+      level: Int = 6): Unit = {
+    val shape = dims.map(_._2)
+    require(data.length == shape.product, "data size != dim product")
+    val chunks = chunkDims.getOrElse(shape)
+    val rank = shape.size
+    val (rootPath, fs) = fsFor(path)
+    fs.mkdirs(rootPath)
+    def put(p: Path, b: Array[Byte]): Unit = {
+      val o = fs.create(p, true)
+      try o.write(b) finally o.close()
+    }
+    put(new Path(rootPath, "zarr.json"),
+      """{"zarr_format": 3, "node_type": "group"}""".getBytes("UTF-8"))
+    val dir = new Path(rootPath, varName)
+    fs.mkdirs(dir)
+    val zmeta =
+      s"""{"zarr_format": 3,
+         | "node_type": "array",
+         | "shape": [${shape.mkString(", ")}],
+         | "data_type": "float64",
+         | "chunk_grid": {"name": "regular",
+         |   "configuration": {"chunk_shape": [${chunks.mkString(", ")}]}},
+         | "chunk_key_encoding": {"name": "default",
+         |   "configuration": {"separator": "/"}},
+         | "fill_value": 0.0,
+         | "codecs": [
+         |   {"name": "bytes", "configuration": {"endian": "little"}},
+         |   {"name": "gzip", "configuration": {"level": $level}}]}"""
+        .stripMargin
+    put(new Path(dir, "zarr.json"), zmeta.getBytes("UTF-8"))
+    val grid = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    val strides = shape.scanRight(1)(_ * _).tail
+    val chunkStrides = chunks.scanRight(1)(_ * _).tail
+    def writeChunk(gidx: Seq[Int]): Unit = {
+      val originC = gidx.zip(chunks).map { case (g, c) => g * c }
+      val raw = new Array[Byte](chunks.product * 8)
+      val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      def fill(dim: Int, srcBase: Int, dstBase: Int): Unit = {
+        if (dim == rank) bb.putDouble(dstBase * 8, data(srcBase))
+        else {
+          val lim = math.min(chunks(dim), shape(dim) - originC(dim))
+          var j = 0
+          while (j < lim) {
+            fill(dim + 1, srcBase + (originC(dim) + j) * strides(dim),
+              dstBase + j * chunkStrides(dim))
+            j += 1
+          }
+        }
+      }
+      fill(0, 0, 0)
+      val gz = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+      val gzo = new java.util.zip.GZIPOutputStream(gz) {
+        `def`.setLevel(level)
+      }
+      gzo.write(raw); gzo.close()
+      put(new Path(dir, ("c" +: gidx.map(_.toString)).mkString("/")),
+        gz.toByteArray)
     }
     def rec(dim: Int, gidx: Array[Int]): Unit =
       if (dim == rank) writeChunk(gidx.toSeq)

@@ -108,6 +108,60 @@ class ZarrSpec extends AnyFunSuite {
     assert(r.readSlab("v", Seq(0), Seq(256)).toSeq == want.toSeq)
   }
 
+  test("v3 writer emits zarr.json metadata and c/-prefixed nested chunk keys") {
+    val p = tmp()
+    Zarr.writeDoubleVarV3(p, Seq("r" -> 7, "c" -> 5), "m", grid(7, 5),
+      chunkDims = Some(Seq(3, 2)))
+    assert(Files.readString(java.nio.file.Paths.get(p, "zarr.json"))
+      .contains("\"node_type\": \"group\""))
+    val za = Files.readString(java.nio.file.Paths.get(p, "m", "zarr.json"))
+    assert(za.contains("\"zarr_format\": 3")
+      && za.contains("\"data_type\": \"float64\"")
+      && za.contains("\"chunk_shape\": [3, 2]")
+      && za.contains("\"name\": \"gzip\""))
+    assert(Files.exists(java.nio.file.Paths.get(p, "m", "c", "0", "0")))
+    assert(Files.exists(java.nio.file.Paths.get(p, "m", "c", "2", "2")))
+  }
+
+  test("v3 gzip roundtrip with ragged edges, hyperslabs and fill values") {
+    val p = tmp()
+    val data = grid(7, 5)
+    Zarr.writeDoubleVarV3(p, Seq("r" -> 7, "c" -> 5), "m", data,
+      chunkDims = Some(Seq(3, 2)))
+    val r = new Zarr.ZarrReader(p)
+    assert(r.shape("m") == Seq(7, 5))
+    assert(r.readSlab("m", Seq(0, 0), Seq(7, 5)).toSeq == data.toSeq)
+    assert(r.readSlab("m", Seq(5, 3), Seq(2, 2)).toSeq ==
+      Seq(data(28), data(29), data(33), data(34)))
+    // a deleted chunk reads back as fill_value
+    Files.delete(java.nio.file.Paths.get(p, "m", "c", "2", "0"))
+    assert(r.readSlab("m", Seq(6, 0), Seq(1, 2)).toSeq == Seq(0.0, 0.0))
+  }
+
+  test("hand-written v3 store: v2 chunk-key encoding, big-endian bytes codec") {
+    val dir = Files.createTempDirectory("graft_zarr_v3raw")
+    val arr = dir.resolve("v"); Files.createDirectories(arr)
+    Files.writeString(dir.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group"}""")
+    Files.writeString(arr.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "array",
+        | "shape": [4], "data_type": "int32",
+        | "chunk_grid": {"name": "regular",
+        |   "configuration": {"chunk_shape": [2]}},
+        | "chunk_key_encoding": {"name": "v2",
+        |   "configuration": {"separator": "."}},
+        | "fill_value": -1,
+        | "codecs": [{"name": "bytes",
+        |   "configuration": {"endian": "big"}}]}""".stripMargin)
+    val b0 = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    b0.putInt(11); b0.putInt(22)
+    Files.write(arr.resolve("0"), b0.array()) // v2 encoding: bare index key
+    val r = new Zarr.ZarrReader(dir.toString)
+    // chunk 1 is absent -> fill_value -1
+    assert(r.readSlab("v", Seq(0), Seq(4)).toSeq == Seq(11.0, 22.0, -1.0, -1.0))
+  }
+
   test("NcReader dispatch: directory store -> Zarr; file:// URI works (Hadoop FS)") {
     val p = tmp()
     Zarr.writeDoubleVar(p, Seq("r" -> 2, "c" -> 2), "measure",
