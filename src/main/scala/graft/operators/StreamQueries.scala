@@ -122,9 +122,88 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
+  /** q27 — streaming sessionization: per-user state (last ts, session
+    * counter, open-session aggregates) in flatMapGroupsWithState; a gap
+    * > 30 min closes the open session and emits it. A final flush tick
+    * per user closes the tail sessions, so the emitted set hash-matches
+    * q17's batch sessionization oracle. Sums are kept as exact
+    * decimal(18,6) micros in the state (longs), so the emitted doubles
+    * are bit-identical to the batch plan's decimal-sum cast at any
+    * batch split. State per user is four longs — sharded by user_id,
+    * nothing global. */
+  def q27_stream_sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val gapNs = 1800L * 1000000000L
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), false))
+    var mid = rows.length / 2
+    while (mid < rows.length && rows(mid)._2 == rows(mid - 1)._2) mid += 1
+    val flushes = rows.map(_._1).distinct.sorted
+      .map(u => (u, Long.MaxValue, 0.0, true))
+    def micros(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP) // Spark's decimal cast
+      .movePointRight(6).longValueExact()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double, Boolean)]
+    val out = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Double, Boolean)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long, Long)]) =>
+          // (lastTs, sessionIdx, nEvents, sumMicros)
+          val evs = it.toIndexedSeq.sortBy(e => (e._2, e._3))
+          var st = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Double)]
+          evs.foreach { case (_, ts, v, flush) =>
+            if (flush) {
+              st.foreach { case (_, idx, n, sm) =>
+                closed += ((user, idx, n, sm.toDouble / 1e6))
+              }
+              st = None
+            } else st match {
+              case Some((lastTs, idx, n, sm)) if ts - lastTs <= gapNs =>
+                st = Some((ts, idx, n + 1, sm + micros(v)))
+              case Some((_, idx, n, sm)) =>
+                closed += ((user, idx, n, sm.toDouble / 1e6))
+                st = Some((ts, idx + 1, 1L, micros(v)))
+              case None =>
+                st = Some((ts, 1L, 1L, micros(v)))
+            }
+          }
+          st match {
+            case Some(v) => state.update(v)
+            case None => state.remove()
+          }
+          closed.iterator
+      }
+      .toDF("user_id", "session_id", "n_events", "sum_value")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("q27_stream_out").start()
+    try {
+      in.addData(rows.take(mid).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(rows.drop(mid).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(flushes.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = s.table("q27_stream_out")
+    val result = sink.collect().toIndexedSeq
+    val schema = sink.schema
+    s.catalog.dropTempView("q27_stream_out")
+    s.createDataFrame(s.sparkContext.parallelize(result, 1), schema)
+      .orderBy("user_id", "session_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_stream_window" -> (q23_stream_window _),
     "q26_stream_asof" -> (q26_stream_asof _),
+    "q27_stream_sessionize" -> (q27_stream_sessionize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -135,5 +214,7 @@ object StreamQueries {
          FROM events GROUP BY 1 ORDER BY window_start""",
     // the streaming enrichment must converge to the batch as-of answer
     "q26_stream_asof" -> RelationalQueries.oracles("q24_asof_join"),
+    // the streaming sessionizer must converge to the batch sessionization
+    "q27_stream_sessionize" -> RelationalQueries.oracles("q17_sessionize_batch"),
   )
 }

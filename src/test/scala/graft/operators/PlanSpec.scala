@@ -121,4 +121,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"expected broadcast of the query vectors:\n$p")
   }
+
+  test("q24: as-of is union + ONE window shuffle, never a pairwise join") {
+    val p = plan(RelationalQueries.q24_asof_join(spark, sf()))
+    assert(!p.contains("Join"), s"as-of must not materialize pairs:\n$p")
+    assert(p.contains("Union") && p.contains("Window"),
+      s"expected union + running-state window:\n$p")
+  }
+
+  test("q25: range join is an equi hash join on (user, bucket), not a product") {
+    val p = plan(RelationalQueries.q25_range_join(spark, sf()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a product:\n$p")
+    assert(p.contains("HashJoin"), s"expected bucket equi-join:\n$p")
+  }
+
+  test("p05: the per-domain window partitioning is reused by the aggregation") {
+    val df = PipelineQueries.p05_domain_mix(spark, sf())
+    val p = plan(df)
+    // exactly one hash Exchange (source) + one range Exchange (orderBy):
+    // the groupBy must reuse the window's hash partitioning
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected ONE hash exchange, found $hashEx:\n$p")
+  }
+
+  test("d12: the within-cluster pair join is hash-partitioned by cid") {
+    val p = plan(DedupQueries.d12_semantic_dedup(spark, sf()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cluster pair join degenerated to a product:\n$p")
+  }
 }

@@ -60,6 +60,14 @@ class TemporalJoinSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("q27 streaming sessionization equals the q17 batch answer") {
+    val batch = RelationalQueries.q17_sessionize_batch(spark, sf()).collect()
+      .map(_.toSeq).toIndexedSeq
+    val stream = StreamQueries.q27_stream_sessionize(spark, sf()).collect()
+      .map(_.toSeq).toIndexedSeq
+    assert(stream == batch)
+  }
+
   test("q25 bucket explosion produces no duplicate (error, click) pairs") {
     // every pair lands in exactly one of the error's 3 candidate buckets:
     // counts must not exceed the per-user click totals
