@@ -610,14 +610,30 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
         case "oph_export" =>
           val (db, nm) = splitName(args.head)
           val r = server.getFrag(db, nm).orderBy("id_dim")
-          // optional second arg: write the fragment to a NetCDF file
-          // (feeds OPH_EXPORTNC; our writer emits CDF-1)
+          // optional second arg: write the fragment to a file (feeds
+          // OPH_EXPORTNC); optional third arg selects the container:
+          // classic (CDF-1, default) | cdf5 | netcdf4 (HDF5) |
+          // zarr (v2 store) | zarr3 (v3 store)
           args.lift(1).filter(_.nonEmpty).foreach { path =>
             val rows = r.select("id_dim", "measure").collect()
             val m = if (rows.isEmpty) 0 else rows.head.getSeq[Double](1).size
             val data = rows.flatMap(_.getSeq[Double](1)).map(d => d)
-            graft.sources.NetCDF3.writeDoubleVar(path,
-              Seq("id_dim" -> rows.length, "elem" -> m), "measure", data)
+            val dims = Seq("id_dim" -> rows.length, "elem" -> m)
+            args.lift(2).filter(_.nonEmpty).getOrElse("classic") match {
+              case "classic" =>
+                graft.sources.NetCDF3.writeDoubleVar(path, dims, "measure", data)
+              case "cdf5" =>
+                graft.sources.NetCDF3.writeDoubleVar(path, dims, "measure",
+                  data, version = 5)
+              case "netcdf4" =>
+                graft.sources.HDF5.writeDoubleVar(path, dims, "measure", data)
+              case "zarr" =>
+                graft.sources.Zarr.writeDoubleVar(path, dims, "measure", data)
+              case "zarr3" =>
+                graft.sources.Zarr.writeDoubleVarV3(path, dims, "measure", data)
+              case o => throw new IllegalArgumentException(
+                s"unknown export format: $o")
+            }
           }
           lastResultSet = Some(r)
           Some(r)

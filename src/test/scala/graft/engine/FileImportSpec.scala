@@ -220,6 +220,29 @@ class FileImportSpec extends SparkSpec {
     assert(data.toSeq == orig.toSeq)
   }
 
+  test("oph_export format arg: cdf5/netcdf4/zarr/zarr3 all reimport byte-identically") {
+    val srv = new IoServer(spark)
+    val ses = srv.newSession()
+    ses.execute("operation=random_import;frag_name=exf;nrows=6;array_length=4")
+    val orig = ses.execute(
+      "operation=select;field=id_dim|measure;from=exf;order=id_dim")
+      .get.collect().flatMap(_.getSeq[Double](1)).toSeq
+    Seq("cdf5" -> ".nc", "netcdf4" -> ".h5",
+        "zarr" -> ".zarr", "zarr3" -> ".zarr").foreach { case (fmt, ext) =>
+      val dir = Files.createTempDirectory("graft-export-fmt")
+      val path = dir.resolve(s"out$ext").toString
+      ses.execute("operation=function;function_name=oph_export;" +
+        s"function_args=exf|$path|$fmt")
+      // every exported container reads back through the sniffing reader
+      val r = graft.sources.NcReader.open(path)
+      try {
+        assert(r.shape("measure") == Seq(6, 4), s"format $fmt")
+        assert(r.readSlab("measure", Seq(0, 0), Seq(6, 4)).toSeq == orig,
+          s"format $fmt")
+      } finally r.close()
+    }
+  }
+
   test("read-stream reduction (sub_operation) folds into the @file load") {
     val f = Files.createTempFile("graft-sub", ".nc").toFile
     f.deleteOnExit()
