@@ -131,28 +131,22 @@ object TextQueries {
   /** t07 — repetition-based quality heuristics (the Gopher/C4-style
     * filter rules adapted to this corpus): type-token ratio, most-
     * frequent-word share, most-frequent-bigram share, and the resulting
-    * keep/drop decision. All per-row integer counting inside codegen
-    * lambdas (worst case ~n·distinct ≈ 10k ops on a 99-token doc) —
-    * scan-parallel, no shuffle, exact fixed-point outputs. */
+    * keep/drop decision. The four integer counters come from ONE native
+    * hash pass per row ([[graft.plans.RepetitionStats]] — exactly the
+    * values of the O(n·distinct) nested-lambda formulation the DuckDB
+    * oracle replays); the fixed-point ratios are plain column
+    * arithmetic. Scan-parallel, no shuffle. */
   def t07_quality_repetition(s: SparkSession, dir: String): DataFrame = {
-    // share of the most frequent element among xs, as floor(1e6·frac)
-    def topShareFp(xs: Column, denom: Column): Column =
-      floor(bindOnce(xs, v =>
-        array_max(transform(array_distinct(v), u =>
-          size(filter(v, x => x === u))))).cast("double") / denom * 1e6)
-        .cast("long")
+    def fp(num: Column, den: Column): Column =
+      floor(num.cast("double") / den.cast("double") * 1e6).cast("long")
     Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("n", size(col("toks")))
-      .withColumn("grams", transform(sequence(lit(1), col("n") - 1), i =>
-        concat(element_at(col("toks"), i), lit(" "),
-          element_at(col("toks"), i + 1))))
+      .withColumn("st", graft.plans.RepetitionStats(col("text")))
       .select(col("doc_id"),
-        col("n").cast("long").as("n_tokens"),
-        floor(size(array_distinct(col("toks"))).cast("double") /
-          col("n").cast("double") * 1e6).cast("long").as("ttr_fp"),
-        topShareFp(col("toks"), col("n").cast("double")).as("top_word_fp"),
-        topShareFp(col("grams"), (col("n") - 1).cast("double")).as("top_gram_fp"))
+        element_at(col("st"), 1).as("n_tokens"),
+        fp(element_at(col("st"), 2), element_at(col("st"), 1)).as("ttr_fp"),
+        fp(element_at(col("st"), 3), element_at(col("st"), 1)).as("top_word_fp"),
+        fp(element_at(col("st"), 4), element_at(col("st"), 1) - 1)
+          .as("top_gram_fp"))
       .withColumn("keep",
         col("ttr_fp") >= 450000L && col("top_word_fp") <= 120000L &&
           col("top_gram_fp") <= 60000L)

@@ -95,6 +95,40 @@ object TextHashKernels {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
+  /** One-pass repetition statistics for t07:
+    * [n_tokens, n_distinct_tokens, top_word_count, top_bigram_count].
+    * EXACTLY the integer counts of the HOF formulation
+    * (`array_max(transform(array_distinct(xs), u -> size(filter(xs,
+    * x -> x = u))))` over tokens and space-joined consecutive bigrams) —
+    * tokens/bigrams compare as STRINGS, and the space join is injective
+    * because tokens cannot contain the separator. Replaces an
+    * O(n·distinct) nested-lambda count per row with two hash passes. */
+  def repetitionStats(text: UTF8String): ArrayData = {
+    val parts = text.split(Space, -1)
+    val n = parts.length
+    val wc = new java.util.HashMap[UTF8String, Integer]()
+    var topW = 0
+    var i = 0
+    while (i < n) {
+      val c = wc.merge(parts(i), 1, (a, b) => a + b)
+      if (c > topW) topW = c
+      i += 1
+    }
+    var topG = 0
+    if (n >= 2) {
+      val gc = new java.util.HashMap[UTF8String, Integer]()
+      i = 0
+      while (i + 2 <= n) {
+        val g = UTF8String.concatWs(Space, parts(i), parts(i + 1))
+        val c = gc.merge(g, 1, (a, b) => a + b)
+        if (c > topG) topG = c
+        i += 1
+      }
+    }
+    new GenericArrayData(
+      Array(n.toLong, wc.size.toLong, topW.toLong, topG.toLong))
+  }
+
   /** SORTED md5Long60 hashes of the distinct whitespace tokens — the
     * d03/d04 `hs` column post-sort. Tokens dedup as STRINGS; equal hash
     * values from distinct tokens are kept (hash collisions), matching
@@ -230,4 +264,19 @@ final case class TokenHashesSorted(child: Expression) extends TextHashExpr {
 object TokenHashesSorted {
   def apply(c: Column): Column =
     ColumnBridge.column(TokenHashesSorted(ColumnBridge.expression(c)))
+}
+
+/** t07's repetition counters as one native call. */
+final case class RepetitionStats(child: Expression) extends TextHashExpr {
+  override def prettyName: String = "graft_repetition_stats"
+  override protected def kernel: String = "repetitionStats"
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.repetitionStats(t.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  def apply(c: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(c)))
 }

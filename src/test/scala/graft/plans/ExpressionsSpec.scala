@@ -116,4 +116,33 @@ class ExpressionsSpec extends SparkSpec {
       .collect().map(_.getSeq[Long](0).sorted)
     assert(nat.toSeq == decl.toSeq)
   }
+
+  test("RepetitionStats equals the nested-lambda counting formulation") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a b",      // heavy word + bigram repetition
+      "x y x y x y",    // repeated bigrams with alternation
+      "solo",           // single token -> zero bigrams
+      "ü ü wïth glyphs ü")
+    val df = texts.toDF("text")
+    def topCount(xs: org.apache.spark.sql.Column) =
+      array_max(transform(array_distinct(xs), u =>
+        size(filter(xs, x => x === u))))
+    val decl = df
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("grams", when(size(col("toks")) > 1,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1))))
+        .otherwise(array()))
+      .select(size(col("toks")).cast("long"),
+        size(array_distinct(col("toks"))).cast("long"),
+        topCount(col("toks")).cast("long"),
+        coalesce(topCount(col("grams")), lit(0L)).cast("long"))
+      .collect().map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nat = df.select(graft.plans.RepetitionStats(col("text")).as("st"))
+      .collect().map(_.getSeq[Long](0))
+    assert(nat.toSeq == decl.toSeq)
+  }
 }
