@@ -9,6 +9,24 @@ object GraftSqlShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap an analyzed/constructed logical plan as a DataFrame. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The logical plan behind a DataFrame. */
+  def logicalPlan(df: DataFrame):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** Idempotently add a planner strategy to an EXISTING session. */
+  def addStrategy(spark: SparkSession,
+      st: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(st))
+      exp.extraStrategies = st +: exp.extraStrategies
+  }
+
   /** Register function builders on an EXISTING session (the extensions
     * path only applies at session construction). */
   def registerFunctions(

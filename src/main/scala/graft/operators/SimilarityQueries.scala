@@ -217,7 +217,29 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s06 — s01's brute-force top-5, planned through the custom
+    * [[graft.plans.TopKPerKey]] whole-operator extension (LogicalPlan +
+    * Strategy + SparkPlan): bounded per-key heaps replace the
+    * Exchange→Sort→Window→Filter chain — O(n log k) and O(keys·k)
+    * memory instead of a full per-key sort. Same rank/tie semantics as
+    * s01, so it shares s01's DuckDB oracle shape. */
+  def s06_ann_topk_operator(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).withColumn("nrm", norm(col("a")))
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"),
+        col("nrm").as("qn"))
+    val sims = base.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("qa"), col("a")) / (col("qn") * col("nrm")))
+      .select("query_id", "vec_id", "sim")
+    graft.plans.TopKPerKey(sims, Seq("query_id"), "sim", "vec_id", 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s06_ann_topk_operator" -> (s06_ann_topk_operator _),
     "s05_ann_rerank" -> (s05_ann_rerank _),
     "s01_ann_bruteforce" -> (s01_ann_bruteforce _),
     "s02_ann_ivf" -> (s02_ann_ivf _),
@@ -227,6 +249,22 @@ object SimilarityQueries {
 
   private val sqlDot =
     "list_reduce(list_transform(range(1, 65), i -> X[i] * Y[i]), (p,q) -> p+q)"
+
+  /** Shared by s01 and s06 (identical ranking, different physical plan). */
+  private lazy val bruteTopkSql = s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
+        FROM embeddings),
+      n AS (SELECT vec_id, a,
+        sqrt(list_reduce(list_transform(a, x -> x*x), (p,q) -> p+q)) AS nrm FROM e),
+      sims AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+          ${sqlDot.replace("X", "q.a").replace("Y", "d.a")} / (q.nrm * d.nrm) AS sim
+        FROM n q, n d
+        WHERE q.vec_id % 50 = 0 AND d.vec_id <> q.vec_id)
+      SELECT query_id, rank, neighbor_id, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims) WHERE rank <= 3 + 2 ORDER BY query_id, rank"""
 
   val oracles: Map[String, String] = Map(
     "s05_ann_rerank" -> s"""
@@ -281,20 +319,10 @@ object SimilarityQueries {
           row_number() OVER (PARTITION BY query_id
             ORDER BY sim DESC, neighbor_id) AS rank
         FROM sims) WHERE rank <= 5 ORDER BY query_id, rank""",
-    "s01_ann_bruteforce" -> s"""
-      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
-        FROM embeddings),
-      n AS (SELECT vec_id, a,
-        sqrt(list_reduce(list_transform(a, x -> x*x), (p,q) -> p+q)) AS nrm FROM e),
-      sims AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-          ${sqlDot.replace("X", "q.a").replace("Y", "d.a")} / (q.nrm * d.nrm) AS sim
-        FROM n q, n d
-        WHERE q.vec_id % 50 = 0 AND d.vec_id <> q.vec_id)
-      SELECT query_id, rank, neighbor_id, sim FROM (
-        SELECT query_id, neighbor_id, sim,
-          row_number() OVER (PARTITION BY query_id
-            ORDER BY sim DESC, neighbor_id) AS rank
-        FROM sims) WHERE rank <= 3 + 2 ORDER BY query_id, rank""",
+    "s01_ann_bruteforce" -> bruteTopkSql,
+    // s06 is the same ranking computed by the custom TopKPerKey physical
+    // operator — the oracle proves plan equivalence, not just plausibility
+    "s06_ann_topk_operator" -> bruteTopkSql,
     "s02_ann_ivf" -> s"""
       WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),

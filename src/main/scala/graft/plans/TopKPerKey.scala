@@ -1,0 +1,136 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BindReferences, Expression, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Whole-operator Catalyst extension: top-k rows per key WITHOUT a
+  * per-partition sort.
+  *
+  * Spark's native plan for "rank <= k per key" is Exchange -> Sort ->
+  * Window(row_number) -> Filter: it sorts EVERY candidate row (O(n log n)
+  * per key, all rows materialized in the sort buffer) only to discard all
+  * but k. This operator declares the same clustering requirement
+  * (`ClusteredDistribution(keys)` — Catalyst inserts the one hash
+  * exchange) and then keeps a bounded k-entry heap per key: O(n log k)
+  * time, O(keys·k) memory, no sort spill. At 100 TB with millions of
+  * keys per partition, the sort buffer is the difference between a scan
+  * and a spill storm.
+  *
+  * Semantics (fixed to the ANN ranking shape): rank 1..k by
+  * (ord DESC, tie ASC), exactly `row_number() OVER (PARTITION BY keys
+  * ORDER BY ord DESC, tie ASC) <= k`. `ord` must be double, `tie` long,
+  * both non-null.
+  */
+final case class TopKPerKeyNode(keys: Seq[Expression], ord: Expression,
+    tie: Expression, k: Int, rankAttr: AttributeReference,
+    child: LogicalPlan) extends UnaryNode {
+  // rankAttr is a CONSTRUCTOR argument so tree copies (analysis,
+  // optimization) preserve its exprId — a per-instance val would mint a
+  // fresh id on every makeCopy and orphan downstream references
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  // rank is PRODUCED here, not consumed from the child
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+/** Planner rule: the logical node maps 1:1 onto its physical operator
+  * (the interesting part — the exchange — is declared, not scheduled). */
+object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: TopKPerKeyNode =>
+      TopKPerKeyExec(n.keys, n.ord, n.tie, n.k, n.rankAttr,
+        planLater(n.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
+    tie: Expression, k: Int, rankAttr: Attribute, child: SparkPlan)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+
+  /** Rows for one key must be co-located; Catalyst plans the shuffle. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  private final case class Entry(ordV: Double, tieV: Long, row: InternalRow)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keys, child.output)
+      val ordEval = BindReferences.bindReference(ord, child.output)
+      val tieEval = BindReferences.bindReference(tie, child.output)
+      require(ordEval.dataType == DoubleType && tieEval.dataType == LongType,
+        "TopKPerKey expects a double ordering column and a long tie column")
+      // max-heap whose TOP is the WORST entry (lowest ord; ties: highest
+      // tie value), so the replace test against the incumbent is O(1)
+      val evictOrd: Ordering[Entry] = Ordering.fromLessThan { (a, b) =>
+        a.ordV > b.ordV || (a.ordV == b.ordV && a.tieV < b.tieV)
+      }
+      def beats(e: Entry, w: Entry): Boolean =
+        e.ordV > w.ordV || (e.ordV == w.ordV && e.tieV < w.tieV)
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        val q = heaps.get(key) match {
+          case Some(q0) => q0
+          case None =>
+            val q0 = mutable.PriorityQueue.empty[Entry](evictOrd)
+            heaps.put(key.copy(), q0)
+            q0
+        }
+        val e = Entry(ordEval.eval(row).asInstanceOf[Double],
+          tieEval.eval(row).asInstanceOf[Long], row.copy())
+        if (q.size < kk) q.enqueue(e)
+        else if (beats(e, q.head)) { q.dequeue(); q.enqueue(e) }
+      }
+      // emit UnsafeRows: downstream operators may buffer without copying
+      val outProj = UnsafeProjection.create(output, output)
+      heaps.iterator.flatMap { case (_, q) =>
+        // dequeueAll drains in priority order = worst-first; reverse to
+        // best-first and number the ranks
+        val best = q.dequeueAll.reverse
+        best.iterator.zipWithIndex.map { case (e, i) =>
+          outProj(new JoinedRow(e.row, InternalRow(i + 1L))).copy(): InternalRow
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKPerKey {
+  /** `df` + rank column, top `k` rows per `keys` by (`ord` DESC, `tie`
+    * ASC), all referenced by column name. Attributes are resolved
+    * against the frame's ANALYZED plan (the Column bridge would hand the
+    * custom node unresolved wrappers the analyzer ignores). Installs the
+    * planner strategy on the session idempotently. */
+  def apply(df: DataFrame, keys: Seq[String], ord: String, tie: String,
+      k: Int): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    GraftSqlShims.addStrategy(spark, TopKPerKeyStrategy)
+    val child = df.queryExecution.analyzed
+    def attr(n: String): Attribute = child.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$n' in ${child.output.map(_.name)}"))
+    val node = TopKPerKeyNode(keys.map(attr), attr(ord), attr(tie), k,
+      AttributeReference("rank", LongType, nullable = false)(), child)
+    GraftSqlShims.ofRows(spark, node)
+  }
+}

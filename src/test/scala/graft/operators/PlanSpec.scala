@@ -146,6 +146,12 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"expected ONE hash exchange, found $hashEx:\n$p")
   }
 
+  test("s06: custom TopKPerKeyExec replaces Sort+Window (no sort in the plan)") {
+    val p = plan(SimilarityQueries.s06_ann_topk_operator(spark, sf()))
+    assert(p.contains("TopKPerKey"), s"custom operator not planned:\n$p")
+    assert(!p.contains("Window"), s"window survived:\n$p")
+  }
+
   test("d12: the within-cluster pair join is hash-partitioned by cid") {
     val p = plan(DedupQueries.d12_semantic_dedup(spark, sf()))
     assert(!p.contains("CartesianProduct") &&

@@ -24,6 +24,14 @@ class RerankSpec extends SparkSpec {
     }
   }
 
+  test("s06 custom top-k operator emits exactly the s01 window answer") {
+    val viaWindow = SimilarityQueries.s01_ann_bruteforce(spark, sf())
+      .collect().map(_.toSeq).toIndexedSeq
+    val viaHeap = SimilarityQueries.s06_ann_topk_operator(spark, sf())
+      .collect().map(_.toSeq).toIndexedSeq
+    assert(viaHeap == viaWindow)
+  }
+
   test("exact scores match the brute-force metric on shared pairs") {
     rerank.foreach { case (q, _, n, sim) =>
       brute.get((q, n)).foreach(bs => assert(bs == sim,
