@@ -159,20 +159,19 @@ object SimilarityQueries {
   }
 
   def s04_ann_quantized(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = quantizedStore(s, dir)
       .filter(col("dnrm") > 0.0)
       .select("vec_id", "da", "dnrm")
     val qs = base.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("da").as("qa"),
         col("dnrm").as("qn"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("vec_id"))
-    base.crossJoin(broadcast(qs))
+    val sims = base.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", dot(col("qa"), col("da")) / (col("qn") * col("dnrm")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
+      .select("query_id", "vec_id", "sim")
+    // heap-based top-k (TopKPerKey) — row_number-over-window semantics
+    // without the per-key sort
+    graft.plans.TopKPerKey(sims, Seq("query_id"), "sim", "vec_id", 5)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("sim"))
       .orderBy("query_id", "rank")
@@ -186,32 +185,28 @@ object SimilarityQueries {
     * on vec_id against the full-precision store, not a second scan.
     * Rank/tie rules as s01. */
   def s05_ann_rerank(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = quantizedStore(s, dir)
       .filter(col("dnrm") > 0.0 && col("nrm") > 0.0)
     val qs = base.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"),
         col("da").as("qda"), col("dnrm").as("qdn"),
         col("a").as("qa"), col("nrm").as("qn"))
-    // stage 1: quantized recall — keeps only (query_id, vec_id)
-    val w1 = Window.partitionBy("query_id")
-      .orderBy(col("simq").desc, col("vec_id"))
-    val cand = base.select("vec_id", "da", "dnrm")
+    // stage 1: quantized recall — keeps only (query_id, vec_id); the
+    // heap operator replaces the window sort (same rank semantics)
+    val simsq = base.select("vec_id", "da", "dnrm")
       .crossJoin(broadcast(qs.select("query_id", "qda", "qdn")))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("simq", dot(col("qda"), col("da")) / (col("qdn") * col("dnrm")))
-      .withColumn("rq", row_number().over(w1))
-      .filter(col("rq") <= 20)
+      .select("query_id", "vec_id", "simq")
+    val cand = graft.plans.TopKPerKey(simsq, Seq("query_id"), "simq", "vec_id", 20)
       .select("query_id", "vec_id")
     // stage 2: exact rerank over the gathered candidates
-    val w2 = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("vec_id"))
-    cand
+    val rerank = cand
       .join(base.select(col("vec_id"), col("a"), col("nrm")), "vec_id")
       .join(broadcast(qs.select("query_id", "qa", "qn")), "query_id")
       .withColumn("sim", dot(col("qa"), col("a")) / (col("qn") * col("nrm")))
-      .withColumn("rank", row_number().over(w2).cast("long"))
-      .filter(col("rank") <= 5)
+      .select("query_id", "vec_id", "sim")
+    graft.plans.TopKPerKey(rerank, Seq("query_id"), "sim", "vec_id", 5)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("sim"))
       .orderBy("query_id", "rank")
