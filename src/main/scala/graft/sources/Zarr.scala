@@ -51,7 +51,8 @@ object Zarr {
     val (p, fs) = fsFor(path)
     try fs.isDirectory(p) &&
       (fs.exists(new Path(p, ".zarray")) || fs.exists(new Path(p, ".zgroup")) ||
-        fs.exists(new Path(p, "zarr.json")))
+        fs.exists(new Path(p, "zarr.json")) ||
+        fs.exists(new Path(p, ".zmetadata")))
     catch { case _: Exception => false }
   }
 
@@ -70,11 +71,27 @@ object Zarr {
       } finally in.close()
     }
 
+    /** v2 consolidated metadata (`.zmetadata` at the store root): every
+      * `.zarray`/`.zgroup` document inlined under "metadata", so a
+      * remote (S3) open costs ONE metadata GET for the whole store
+      * instead of one per array. Loaded lazily, used as the first
+      * lookup source with per-file reads as the fallback. */
+    private lazy val consolidated: Option[com.fasterxml.jackson.databind.JsonNode] = {
+      val p = new Path(rootPath, ".zmetadata")
+      if (fs.exists(p)) Option(mapper.readTree(readAll(p)).get("metadata"))
+      else None
+    }
+
+    private def consolidatedZarray(key: String) =
+      consolidated.flatMap(m => Option(m.get(key)))
+
     private def arrayDir(varName: String): Path = {
       val sub = new Path(rootPath, varName)
       def isArray(d: Path): Boolean =
         fs.exists(new Path(d, ".zarray")) || fs.exists(new Path(d, "zarr.json"))
-      if (isArray(sub)) sub
+      if (consolidatedZarray(s"$varName/.zarray").isDefined) sub
+      else if (consolidatedZarray(".zarray").isDefined) rootPath
+      else if (isArray(sub)) sub
       else if (isArray(rootPath)) rootPath
       else throw new IllegalArgumentException(
         s"no Zarr array '$varName' under $root")
@@ -155,9 +172,13 @@ object Zarr {
     private def meta(varName: String): (Path, ZArray) =
       metaCache.getOrElseUpdate(varName, {
         val dir = arrayDir(varName)
-        if (!fs.exists(new Path(dir, ".zarray"))) (dir, metaV3(dir))
+        val consKey = if (dir == rootPath) ".zarray" else s"$varName/.zarray"
+        val consNode = consolidatedZarray(consKey)
+        if (consNode.isEmpty && !fs.exists(new Path(dir, ".zarray")))
+          (dir, metaV3(dir))
         else {
-        val j = mapper.readTree(readAll(new Path(dir, ".zarray")))
+        val j = consNode.getOrElse(
+          mapper.readTree(readAll(new Path(dir, ".zarray"))))
         require(j.get("zarr_format").asInt() == 2,
           s"zarr_format ${j.get("zarr_format")} unsupported (v2 only)")
         require(j.get("order").asText() == "C",

@@ -162,6 +162,26 @@ class ZarrSpec extends AnyFunSuite {
     assert(r.readSlab("v", Seq(0), Seq(4)).toSeq == Seq(11.0, 22.0, -1.0, -1.0))
   }
 
+  test("consolidated .zmetadata serves array metadata without per-array files") {
+    val p = tmp()
+    val data = grid(7, 5)
+    Zarr.writeDoubleVar(p, Seq("r" -> 7, "c" -> 5), "m", data,
+      chunkDims = Some(Seq(3, 2)))
+    // consolidate: inline m/.zarray into .zmetadata, then DELETE the
+    // per-array document — reads must go through the consolidated map
+    val za = Files.readString(java.nio.file.Paths.get(p, "m", ".zarray"))
+    Files.writeString(java.nio.file.Paths.get(p, ".zmetadata"),
+      s"""{"zarr_format": 2, "metadata": {
+         |  ".zgroup": {"zarr_format": 2},
+         |  "m/.zarray": $za}}""".stripMargin)
+    Files.delete(java.nio.file.Paths.get(p, "m", ".zarray"))
+    Files.delete(java.nio.file.Paths.get(p, ".zgroup"))
+    assert(Zarr.isZarr(p)) // .zmetadata alone marks the store
+    val r = new Zarr.ZarrReader(p)
+    assert(r.shape("m") == Seq(7, 5))
+    assert(r.readSlab("m", Seq(0, 0), Seq(7, 5)).toSeq == data.toSeq)
+  }
+
   test("NcReader dispatch: directory store -> Zarr; file:// URI works (Hadoop FS)") {
     val p = tmp()
     Zarr.writeDoubleVar(p, Seq("r" -> 2, "c" -> 2), "measure",
