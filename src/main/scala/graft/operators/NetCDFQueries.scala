@@ -148,6 +148,43 @@ object NetCDFQueries {
     nc.join(z, "id_dim").orderBy("id_dim")
   }
 
+  /** qn08 — oph_export container formats under the oracle: a fragment
+    * built from the qn02 formula grid is EXPORTED through the engine's
+    * `oph_export(frag, path, format)` to NetCDF-4 (HDF5 writer) and a
+    * Zarr v3 store, each re-imported through the sniffing reader and
+    * joined on id_dim — the full write→catalog→read lifecycle of every
+    * round-trip format in one CORRECTNESS row (classic CDF-1 is already
+    * qd07's byte round trip). */
+  def qn08_export_formats(s: SparkSession, dir: String): DataFrame = {
+    val (nRows, nCols) = (60, 8)
+    val data = Array.tabulate(nRows * nCols)(k =>
+      (k / nCols) * 0.5 + (k % nCols) * 0.125) // exact in binary
+    val tmp = Files.createTempDirectory("graft_exportf")
+    val srcPath = tmp.resolve("src.nc").toString
+    val h5Path = tmp.resolve("out.h5").toString
+    val z3Path = tmp.resolve("out.zarr").toString
+    NetCDF3.writeDoubleVar(srcPath, Seq("row" -> nRows, "col" -> nCols),
+      "measure", data)
+    val ses = new IoServer(s).newSession()
+    ses.execute(s"operation=file_import;frag_name=exsrc;src_path=@$srcPath;" +
+      "measure=measure;explicit=1")
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=exsrc|$h5Path|netcdf4")
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=exsrc|$z3Path|zarr3")
+    ses.execute(s"operation=file_import;frag_name=exh5;src_path=@$h5Path;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=exz3;src_path=@$z3Path;" +
+      "measure=measure;explicit=1")
+    val h5 = ses.execute(
+      "operation=select;field=id_dim|measure;from=exh5;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_hdf5"))
+    val z3 = ses.execute(
+      "operation=select;field=id_dim|measure;from=exz3;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_zarr"))
+    h5.join(z3, "id_dim").orderBy("id_dim")
+  }
+
   /** qn04 — the ESDM-named operations (esdm_import /
     * create_frag_select_esdm, oph_io_server_query.c:72-105,341-375) with
     * their read-stream reduction (sub_operation/sub_args,
@@ -254,6 +291,7 @@ object NetCDFQueries {
     "qn05_hdf5_dense_v4" -> (qn05_hdf5_dense_v4 _),
     "qn06_cdf5_roundtrip" -> (qn06_cdf5_roundtrip _),
     "qn07_zarr_v3_roundtrip" -> (qn07_zarr_v3_roundtrip _),
+    "qn08_export_formats" -> (qn08_export_formats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -282,6 +320,16 @@ object NetCDFQueries {
          array_to_string(list_transform(range(0, 8),
            j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
            AS m_cdf,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_zarr
+         FROM range(1, 61) t(i)
+         ORDER BY id_dim""",
+    "qn08_export_formats" ->
+      """SELECT i AS id_dim,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_hdf5,
          array_to_string(list_transform(range(0, 8),
            j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
            AS m_zarr
