@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property test for the TopKPerKey whole-operator: on random data the
+  * heap plan must emit EXACTLY the rows and ranks of the declarative
+  * `row_number() OVER (PARTITION BY key ORDER BY ord DESC, tie ASC)`
+  * window plan, for every k. Covers skewed key distributions, duplicate
+  * ord values (tie-break path), sub-k groups, negative and extreme
+  * doubles. Fixed seeds (offline scalatest bridge unavailable). */
+class TopKPerKeyPropSpec extends SparkSpec {
+
+  private val rowGen: Gen[(Long, Double, Long)] = for {
+    key <- Gen.chooseNum(0L, 7L) // few keys → deep groups + ties
+    // small value set forces ord collisions so ties are exercised
+    ord <- Gen.oneOf(Gen.chooseNum(-5, 5).map(_ * 0.25),
+      Gen.oneOf(Double.MinPositiveValue, -1e300, 1e300, 0.0))
+    tie <- Gen.chooseNum(0L, 1000000L)
+  } yield (key, ord, tie)
+
+  private def dataset(seed: Long, n: Int): Seq[(Long, Double, Long)] = {
+    val rows = (0 until n).flatMap(i =>
+      rowGen.apply(Gen.Parameters.default, Seed(seed + i)))
+    // tie must be unique per key for a deterministic total order
+    rows.zipWithIndex.map { case ((k, o, _), i) => (k, o, i.toLong) }
+  }
+
+  test("heap operator == window row_number for random data and several k") {
+    import spark.implicits._
+    for (seed <- Seq(1L, 99L); k <- Seq(1, 3, 8)) {
+      val df = dataset(seed, 300).toDF("key", "ord", "tie").repartition(5)
+      val viaHeap = TopKPerKey(df, Seq("key"), "ord", "tie", k)
+        .select("key", "ord", "tie", "rank")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val w = Window.partitionBy("key").orderBy(col("ord").desc, col("tie"))
+      val viaWindow = df
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("key", "ord", "tie", "rank")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(viaHeap.toSeq == viaWindow.toSeq, s"seed=$seed k=$k")
+    }
+  }
+
+  test("multi-column keys and sub-k groups") {
+    import spark.implicits._
+    val rows = for (a <- 0L to 2L; b <- 0L to 2L; i <- 0L until (a + b + 1))
+      yield (a, b, (a * 7 + b * 3 + i).toDouble % 5.0, i)
+    val df = rows.toDF("ka", "kb", "ord", "tie").repartition(3)
+    val viaHeap = TopKPerKey(df, Seq("ka", "kb"), "ord", "tie", 2)
+      .select("ka", "kb", "ord", "tie", "rank")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val w = Window.partitionBy("ka", "kb").orderBy(col("ord").desc, col("tie"))
+    val viaWindow = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .select("ka", "kb", "ord", "tie", "rank")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(viaHeap.toSeq == viaWindow.toSeq)
+  }
+}
