@@ -45,9 +45,24 @@ object CubeQueries {
       .withColumn("measure", graft.functions.ArrayPrimitives.fx12(col("measure")))
   }
 
+  /** qc03 — the reshape family end-to-end: subset the implicit y dim to
+    * its first half (OPH_SUBSET on an in-array dim), permute the
+    * implicit order to (y, x) (OPH_PERMUTE index remap), then expand the
+    * now-outermost y into rows (OPH_EXPAND drill-down, re-keying
+    * id_dim row-major). All three stay declarative: two in-array index
+    * remaps and one posexplode — no shuffle until the output sort. */
+  def qc03_cube_reshape(s: SparkSession, dir: String): DataFrame =
+    cube(s, dir)
+      .subsetImplicit("y", "1:4")
+      .permuteImplicit(Seq("y", "x"))
+      .expand()
+      .df.orderBy("id_dim")
+      .withColumn("measure", graft.functions.ArrayPrimitives.fx12(col("measure")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc01_cube_pipeline" -> (qc01_cube_pipeline _),
     "qc02_cube_aggregate" -> (qc02_cube_aggregate _),
+    "qc03_cube_reshape" -> (qc03_cube_reshape _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -59,6 +74,13 @@ object CubeQueries {
                (p,q) -> p+q) / 8.0),
            v -> CAST(floor(v * 1e12) AS BIGINT)), ',') AS measure
          FROM embeddings WHERE vec_id % 2 = 0
+         ORDER BY id_dim""",
+    "qc03_cube_reshape" ->
+      """SELECT vec_id * 4 + y + 1 AS id_dim,
+         array_to_string(list_transform(range(0, 8), x ->
+           CAST(floor(embedding[x*8 + y + 1]::DOUBLE * 1e12) AS BIGINT)), ',')
+           AS measure
+         FROM embeddings, range(0, 4) t(y)
          ORDER BY id_dim""",
     "qc02_cube_aggregate" ->
       """WITH gm AS (SELECT 1 + vec_id // 50 AS g, i,
