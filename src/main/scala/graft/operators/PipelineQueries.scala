@@ -184,7 +184,34 @@ object PipelineQueries {
       .orderBy("split")
   }
 
+  /** p07 — token-rarity quality bucketing (the integer-exact stand-in
+    * for CCNet-style LM-perplexity bucketing, which is not replayable
+    * across engines float-for-float): each document scores by the MEAN
+    * DOCUMENT FREQUENCY of its token occurrences — rare-token-dense docs
+    * land in low buckets — and the corpus reports per-bucket totals.
+    * Plan: one distinct + aggregate builds the (small) vocabulary df
+    * table, which BROADCASTS into the occurrence join; per-doc and
+    * per-bucket aggregations are partial+final. At 100 TB the corpus
+    * side never shuffles for the join — only for the two groupBys. */
+  def p07_rarity_bucketing(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dfc = occ.distinct().groupBy("tok")
+      .agg(count(lit(1)).as("dfc"))
+    occ.join(broadcast(dfc), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum("dfc").as("sdf"))
+      .withColumn("bucket", ldiv(ldiv(col("sdf"), col("n")), lit(50L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("n_tokens"),
+        sum("doc_id").as("doc_id_sum"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p07_rarity_bucketing" -> (p07_rarity_bucketing _),
     "p01_corpus_pipeline" -> (p01_corpus_pipeline _),
     "p02_contamination" -> (p02_contamination _),
     "p03_sample_stratified" -> (p03_sample_stratified _),
@@ -194,6 +221,18 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p07_rarity_bucketing" ->
+      """WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+       df AS (SELECT tok, count(DISTINCT doc_id) AS dfc FROM occ GROUP BY tok),
+       d AS (SELECT occ.doc_id, count(*) AS n,
+           CAST(sum(dfc) AS BIGINT) AS sdf
+         FROM occ JOIN df USING (tok) GROUP BY occ.doc_id)
+       SELECT (sdf // n) // 50 AS bucket,
+         count(*) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+       FROM d GROUP BY 1 ORDER BY 1""",
     "p01_corpus_pipeline" ->
       """WITH scored AS (SELECT doc_id, text, n_tokens, quality,
            s_de, s_en, s_es, s_fr, s_zh,

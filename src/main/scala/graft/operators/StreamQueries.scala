@@ -200,10 +200,74 @@ object StreamQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** q28 — streaming bounded-state top-k: the streaming twin of the
+    * batch [[graft.plans.TopKPerKey]] operator. Per-user state is the
+    * current top-3 (value DESC, event_id ASC) — a 3-entry list updated
+    * in O(k) per arrival, never the full history — and a final flush
+    * tick emits the ranked winners, which must hash-match the batch
+    * row_number oracle. State is O(users·k); sharded by user_id. */
+  def q28_stream_topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val k = 3
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), false))
+    val mid = rows.length / 2
+    val flushes = rows.map(_._1).distinct.sorted.map(u => (u, -1L, 0.0, true))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double, Boolean)]
+    val out = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Double, Boolean)],
+         state: org.apache.spark.sql.streaming.GroupState[List[(Double, Long)]]) =>
+          var top = state.getOption.getOrElse(Nil)
+          val emitted = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Double)]
+          def better(a: (Double, Long), b: (Double, Long)): Boolean =
+            a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+          it.foreach { case (_, eid, v, flush) =>
+            if (flush) {
+              emitted ++= top.zipWithIndex.map { case ((tv, te), i) =>
+                (user, i + 1L, te, tv)
+              }
+              top = Nil
+            } else {
+              // ordered insert into the bounded list (k is tiny)
+              val (pre, post) = top.span(better(_, (v, eid)))
+              top = (pre ::: (v, eid) :: post).take(k)
+            }
+          }
+          if (top.isEmpty) state.remove() else state.update(top)
+          emitted.iterator
+      }
+      .toDF("user_id", "rank", "event_id", "value")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("q28_stream_out").start()
+    try {
+      in.addData(rows.take(mid).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(rows.drop(mid).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(flushes.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = s.table("q28_stream_out")
+    val result = sink.collect().toIndexedSeq
+    val schema = sink.schema
+    s.catalog.dropTempView("q28_stream_out")
+    s.createDataFrame(s.sparkContext.parallelize(result, 1), schema)
+      .orderBy("user_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_stream_window" -> (q23_stream_window _),
     "q26_stream_asof" -> (q26_stream_asof _),
     "q27_stream_sessionize" -> (q27_stream_sessionize _),
+    "q28_stream_topk" -> (q28_stream_topk _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -216,5 +280,12 @@ object StreamQueries {
     "q26_stream_asof" -> RelationalQueries.oracles("q24_asof_join"),
     // the streaming sessionizer must converge to the batch sessionization
     "q27_stream_sessionize" -> RelationalQueries.oracles("q17_sessionize_batch"),
+    "q28_stream_topk" ->
+      """SELECT user_id, rank, event_id, value FROM (
+           SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY value DESC, event_id) AS rank
+           FROM events)
+         WHERE rank <= 3 ORDER BY user_id, rank""",
   )
 }

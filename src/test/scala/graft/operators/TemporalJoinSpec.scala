@@ -68,6 +68,18 @@ class TemporalJoinSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("q28 streaming top-k equals the batch TopKPerKey operator") {
+    val base = Tables.events(spark, sf())
+      .select(col("user_id"), col("event_id"), col("value"))
+    val batch = graft.plans.TopKPerKey(base, Seq("user_id"), "value",
+        "event_id", 3)
+      .select(col("user_id"), col("rank"), col("event_id"), col("value"))
+      .orderBy("user_id", "rank").collect().map(_.toSeq).toIndexedSeq
+    val stream = StreamQueries.q28_stream_topk(spark, sf())
+      .collect().map(_.toSeq).toIndexedSeq
+    assert(stream == batch)
+  }
+
   test("q25 bucket explosion produces no duplicate (error, click) pairs") {
     // every pair lands in exactly one of the error's 3 candidate buckets:
     // counts must not exceed the per-user click totals
