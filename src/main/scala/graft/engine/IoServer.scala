@@ -321,7 +321,7 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
             .option("path", f.drop(1))
             .option("var", q.get("measure").getOrElse("measure"))
           Seq("explicit", "dim_start", "dim_end", "key_start", "partitions",
-        "element_type", "dim_index")
+        "element_type", "dim_index", "cf_unpack")
             .foreach(k => q.get(k).foreach(v => r = r.option(k, v)))
           val loaded = r.load()
           // read-stream reduction folded into the load (the ESDM
@@ -518,7 +518,7 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
         .option("path", path.stripPrefix("@"))
         .option("var", q.get("measure").getOrElse("measure"))
       Seq("explicit", "dim_start", "dim_end", "key_start", "partitions",
-        "element_type", "dim_index")
+        "element_type", "dim_index", "cf_unpack")
         .foreach(k => q.get(k).foreach(v => r = r.option(k, v)))
       val loaded = r.load()
       val reduced = q.get("sub_operation") match {

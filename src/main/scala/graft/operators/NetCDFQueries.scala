@@ -185,6 +185,36 @@ object NetCDFQueries {
     h5.join(z3, "id_dim").orderBy("id_dim")
   }
 
+  /** qn09 — CF-convention unpacking on import (`cf_unpack=yes`): a
+    * packed file carrying `scale_factor`/`add_offset` variable
+    * attributes imports as `raw*scale + offset`, next to an unpacked
+    * import of the same file. The reference ingests raw values only —
+    * this is the attribute-aware read path real climate files (packed
+    * shorts) need. Scale 0.5 / offset 10 keep everything exact in
+    * binary, so the oracle replays the arithmetic. */
+  def qn09_cf_unpack(s: SparkSession, dir: String): DataFrame = {
+    val (nRows, nCols) = (60, 8)
+    val data = Array.tabulate(nRows * nCols)(k =>
+      (k / nCols) * 0.5 + (k % nCols) * 0.125) // exact in binary
+    val path = Files.createTempDirectory("graft_cf_q")
+      .resolve("packed.nc").toString
+    NetCDF3.writeDoubleVar(path, Seq("row" -> nRows, "col" -> nCols),
+      "measure", data,
+      attrs = Seq("scale_factor" -> 0.5, "add_offset" -> 10.0))
+    val ses = new IoServer(s).newSession()
+    ses.execute(s"operation=file_import;frag_name=cfu;src_path=@$path;" +
+      "measure=measure;explicit=1;cf_unpack=yes")
+    ses.execute(s"operation=file_import;frag_name=cfraw;src_path=@$path;" +
+      "measure=measure;explicit=1")
+    val u = ses.execute(
+      "operation=select;field=id_dim|measure;from=cfu;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_unpacked"))
+    val raw = ses.execute(
+      "operation=select;field=id_dim|measure;from=cfraw;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_raw"))
+    raw.join(u, "id_dim").orderBy("id_dim")
+  }
+
   /** qn04 — the ESDM-named operations (esdm_import /
     * create_frag_select_esdm, oph_io_server_query.c:72-105,341-375) with
     * their read-stream reduction (sub_operation/sub_args,
@@ -292,6 +322,7 @@ object NetCDFQueries {
     "qn06_cdf5_roundtrip" -> (qn06_cdf5_roundtrip _),
     "qn07_zarr_v3_roundtrip" -> (qn07_zarr_v3_roundtrip _),
     "qn08_export_formats" -> (qn08_export_formats _),
+    "qn09_cf_unpack" -> (qn09_cf_unpack _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -323,6 +354,16 @@ object NetCDFQueries {
          array_to_string(list_transform(range(0, 8),
            j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
            AS m_zarr
+         FROM range(1, 61) t(i)
+         ORDER BY id_dim""",
+    "qn09_cf_unpack" ->
+      """SELECT i AS id_dim,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_raw,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor((((i-1) * 0.5 + j * 0.125) * 0.5 + 10.0) * 1e12)
+             AS BIGINT)), ',') AS m_unpacked
          FROM range(1, 61) t(i)
          ORDER BY id_dim""",
     "qn08_export_formats" ->

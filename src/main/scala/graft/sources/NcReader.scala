@@ -9,6 +9,10 @@ package graft.sources
 trait NcReader extends AutoCloseable {
   def shape(varName: String): Seq[Int]
   def readSlab(varName: String, origin: Seq[Int], shape: Seq[Int]): Array[Double]
+  /** Numeric scalar variable attributes (what CF unpacking needs:
+    * scale_factor / add_offset / _FillValue). Empty where the container
+    * path doesn't parse attributes yet (HDF5, Zarr). */
+  def varAttrs(varName: String): Map[String, Double] = Map.empty
 }
 
 object NcReader {
@@ -40,6 +44,17 @@ object NcReader {
     override def readSlab(varName: String, origin: Seq[Int],
         shape: Seq[Int]): Array[Double] =
       NetCDF3.readSlab(src, hdr, hdr.variable(varName), origin, shape)
+    override def varAttrs(varName: String): Map[String, Double] =
+      hdr.variable(varName).attrs.flatMap { a =>
+        a.values.headOption.collect {
+          case d: Double => a.name -> d
+          case f: Float  => a.name -> f.toDouble
+          case l: Long   => a.name -> l.toDouble
+          case i: Int    => a.name -> i.toDouble
+          case s: Short  => a.name -> s.toDouble
+          case b: Byte   => a.name -> b.toDouble
+        }
+      }.toMap
     override def close(): Unit = src.close()
   }
 }

@@ -227,7 +227,8 @@ object NetCDF3 {
     * `version` 1 = CDF-1 (the default) or 5 = CDF-5 with every NON_NEG
     * field widened to int64 per the PnetCDF 64-bit-data spec. */
   def writeDoubleVar(path: String, dims: Seq[(String, Int)], varName: String,
-                     data: Array[Double], version: Int = 1): Unit = {
+                     data: Array[Double], version: Int = 1,
+                     attrs: Seq[(String, Double)] = Nil): Unit = {
     require(data.length == dims.map(_._2).product, "data size != dim product")
     require(version == 1 || version == 5, s"writer supports CDF-1/5, not $version")
     val o = new DataOutputStream(new java.io.BufferedOutputStream(
@@ -244,14 +245,25 @@ object NetCDF3 {
       writeName(o, varName, version)
       nn(dims.size)
       dims.indices.foreach(i => nn(i))
-      o.writeInt(0); nn(0) // no var attrs
+      // var attr list (NC_DOUBLE scalars — the CF convention attributes)
+      if (attrs.isEmpty) { o.writeInt(0); nn(0) }
+      else {
+        o.writeInt(TagAtt); nn(attrs.size)
+        attrs.foreach { case (n, v) =>
+          writeName(o, n, version)
+          o.writeInt(6); nn(1) // nc_type double, one element
+          o.writeDouble(v)
+        }
+      }
       o.writeInt(6) // NC_DOUBLE
       nn(data.length.toLong * 8) // vsize
       val headerSize = 4 + nnSz + // magic+numrecs
         (4 + nnSz) + dims.map { case (n, _) => nameSize(n, nnSz) + nnSz }.sum +
         (4 + nnSz) + // gatts ABSENT
         (4 + nnSz) + nameSize(varName, nnSz) + nnSz + dims.size * nnSz +
-        (4 + nnSz) + 4 + nnSz + // var atts ABSENT, nc_type, vsize
+        (4 + nnSz) + // var att list header
+        attrs.map { case (n, _) => nameSize(n, nnSz) + 4 + nnSz + 8 }.sum +
+        4 + nnSz + // nc_type, vsize
         (if (version == 5) 8 else 4) // this begin field
       if (version == 5) o.writeLong(headerSize) else o.writeInt(headerSize)
       data.foreach(o.writeDouble)

@@ -74,7 +74,7 @@ object NetCDFSource {
   final case class Spec(path: String, varName: String, explicit: Int,
                         starts: Seq[Int], ends: Seq[Int], keyStart: Long,
                         partitions: Int, elemType: String,
-                        dimIndex: Seq[Int]) {
+                        dimIndex: Seq[Int], cfUnpack: Boolean = false) {
     /** File dim sitting at logical position k. */
     def fileOfLogical(k: Int): Int = dimIndex.indexOf(k)
     def extent(fileDim: Int): Int = ends(fileDim) - starts(fileDim) + 1
@@ -110,11 +110,16 @@ object NetCDFSource {
         di
       case None => shape.indices.toSeq
     }
+    val cfUnpack = opts.get("cf_unpack")
+      .exists(v => v.equalsIgnoreCase("yes") || v.equalsIgnoreCase("true"))
+    val elemType = opts.getOrElse("element_type", "double").toLowerCase
+    require(!cfUnpack || elemType == "double",
+      "cf_unpack produces doubles; element_type must be double")
     Spec(path, varName, explicit, starts, ends,
       opts.getOrElse("key_start", "1").toLong,
       opts.getOrElse("partitions", "8").toInt,
-      opts.getOrElse("element_type", "double").toLowerCase,
-      dimIndex)
+      elemType,
+      dimIndex, cfUnpack)
   }
 }
 
@@ -252,6 +257,19 @@ final class NetCDFPartitionReader(p: NetCDFPartition)
       out
     }
   }
+  /** CF unpacking (cf_unpack=yes): (scale_factor, add_offset,
+    * _FillValue, fill present). null when unpacking is off or every
+    * attribute is trivial — the common path pays nothing. */
+  private val cfParams: (Double, Double, Double, Boolean) =
+    if (!sp.cfUnpack) null
+    else {
+      val at = rdr.varAttrs(sp.varName)
+      val scale = at.getOrElse("scale_factor", 1.0)
+      val off = at.getOrElse("add_offset", 0.0)
+      val fill = at.get("_FillValue")
+      if (scale == 1.0 && off == 0.0 && fill.isEmpty) null
+      else (scale, off, fill.getOrElse(0.0), fill.isDefined)
+    }
   private var row = p.rowLo
   private var current: InternalRow = _
   // narrow the decoded doubles to the declared element type with C-cast
@@ -297,6 +315,15 @@ final class NetCDFPartitionReader(p: NetCDFPartition)
           while (t < o.length) { o(t) = raw(permTable(t)); t += 1 }
           o
         }
+      if (cfParams != null) {
+        val (scale, off, fill, hasFill) = cfParams
+        var t = 0
+        while (t < data.length) {
+          data(t) = if (hasFill && data(t) == fill) Double.NaN
+                    else data(t) * scale + off
+          t += 1
+        }
+      }
       fields += (if (sp.elemType == "double") ArrayData.toArrayData(data)
                  else ArrayData.toArrayData(data.map(narrow)))
     }

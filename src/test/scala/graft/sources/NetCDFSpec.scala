@@ -361,4 +361,31 @@ class NetCDFSpec extends SparkSpec {
     assert(bt.collect().map(_.getSeq[Byte](1)).toSeq ==
       Seq(Seq[Byte](1, 1), Seq[Byte](0, 1), Seq[Byte](1, 1)))
   }
+
+  test("cf_unpack: scale_factor/add_offset applied, _FillValue becomes NaN") {
+    val f = Files.createTempFile("graft_cf", ".nc").toFile
+    f.deleteOnExit()
+    NetCDF3.writeDoubleVar(f.getAbsolutePath, Seq("r" -> 2, "c" -> 4), "m",
+      Array(1.0, 2.0, -999.0, 4.0, 5.0, -999.0, 7.0, 8.0),
+      attrs = Seq("scale_factor" -> 0.5, "add_offset" -> 10.0,
+        "_FillValue" -> -999.0))
+    // attributes survive the header round trip
+    val r = NcReader.open(f.getAbsolutePath)
+    assert(r.varAttrs("m") == Map("scale_factor" -> 0.5,
+      "add_offset" -> 10.0, "_FillValue" -> -999.0))
+    r.close()
+    val rows = spark.read.format("graft.sources.NetCDFSource")
+      .option("path", f.getAbsolutePath).option("var", "m")
+      .option("cf_unpack", "yes").load()
+      .orderBy("id_dim").collect()
+    val m1 = rows(0).getSeq[Double](1)
+    val m2 = rows(1).getSeq[Double](1)
+    assert(m1(0) == 10.5 && m1(1) == 11.0 && m1(2).isNaN && m1(3) == 12.0)
+    assert(m2(0) == 12.5 && m2(1).isNaN && m2(2) == 13.5 && m2(3) == 14.0)
+    // without the option the raw packed values come through untouched
+    val raw = spark.read.format("graft.sources.NetCDFSource")
+      .option("path", f.getAbsolutePath).option("var", "m").load()
+      .orderBy("id_dim").collect()
+    assert(raw(0).getSeq[Double](1) == Seq(1.0, 2.0, -999.0, 4.0))
+  }
 }
