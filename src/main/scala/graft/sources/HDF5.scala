@@ -95,6 +95,11 @@ object HDF5 {
 
   final class Hdf5Reader(path: String) extends AutoCloseable {
     private val src = RandomInput.open(path) // local path or Hadoop URI
+    // scalar numeric attributes per dataset, filled during the walk
+    // (COMPACT attribute messages only — netCDF-4 keeps CF attributes
+    // compact at its default dense-storage threshold)
+    private val attrsAcc =
+      scala.collection.mutable.Map.empty[String, Map[String, Double]]
     private val datasets: Map[String, Dataset] = parseFile()
     // decompressed-chunk LRU: readers are per-partition and rows arrive
     // in order, so a handful of chunks covers the working set
@@ -109,6 +114,11 @@ object HDF5 {
       throw new IllegalArgumentException(
         s"no variable $name in $path (have: ${varNames.mkString(", ")})"))
     def shape(name: String): Seq[Int] = dataset(name).shape
+
+    /** Scalar numeric attributes of `name` (CF unpacking reads
+      * scale_factor / add_offset / _FillValue from here). */
+    def varAttrs(name: String): Map[String, Double] =
+      attrsAcc.getOrElse(name, Map.empty)
 
     override def close(): Unit = src.close()
 
@@ -243,8 +253,11 @@ object HDF5 {
       val isGroup = msgs.exists(m => m.tpe == 0x0011 || m.tpe == 0x0002 ||
         m.tpe == 0x0006)
       if (!isGroup) {
-        parseDataset(prefix.stripSuffix("/"), msgs).foreach(d =>
-          acc(d.name) = d)
+        parseDataset(prefix.stripSuffix("/"), msgs).foreach { d =>
+          acc(d.name) = d
+          val at = msgs.filter(_.tpe == 0x000C).flatMap(parseAttr)
+          if (at.nonEmpty) attrsAcc(d.name) = at.toMap
+        }
         return acc
       }
       msgs.foreach { m =>
@@ -492,6 +505,50 @@ object HDF5 {
         }
       }
       walkNode(btreeAddr)
+    }
+
+    /** Scalar numeric attribute (message 0x000C, versions 1–3);
+      * non-scalar / non-numeric / dense-stored attributes are skipped.
+      * v1 pads name/datatype/dataspace to 8; v2/v3 pack them (v3 adds a
+      * name-encoding byte). */
+    private def parseAttr(m: Msg): Option[(String, Double)] = {
+      val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
+      val ver = b.get(0) & 0xFF
+      if (ver < 1 || ver > 3) return None
+      val nameSize = b.getShort(2) & 0xFFFF
+      val dtSize = b.getShort(4) & 0xFFFF
+      val dsSize = b.getShort(6) & 0xFFFF
+      val hdr = if (ver == 3) 9 else 8
+      def pad8(x: Int) = if (ver == 1) (x + 7) / 8 * 8 else x
+      if (nameSize == 0) return None
+      val raw = new Array[Byte](nameSize)
+      var i = 0
+      while (i < nameSize) { raw(i) = b.get(hdr + i); i += 1 }
+      val name = new String(raw.takeWhile(_ != 0), "UTF-8")
+      val dtOff = hdr + pad8(nameSize)
+      val dsOff = dtOff + pad8(dtSize)
+      val dataOff = dsOff + pad8(dsSize)
+      val clazz = b.get(dtOff) & 0x0F
+      val bits0 = b.get(dtOff + 1) & 0xFF
+      val size = b.getInt(dtOff + 4)
+      if ((b.get(dsOff + 1) & 0xFF) != 0) return None // scalar only
+      if (m.body.length < dataOff + size) return None
+      val v = (clazz, size) match {
+        case (1, 8) => b.getDouble(dataOff)
+        case (1, 4) => b.getFloat(dataOff).toDouble
+        case (0, 8) => b.getLong(dataOff).toDouble
+        case (0, 4) =>
+          if ((bits0 & 8) != 0) b.getInt(dataOff).toDouble
+          else (b.getInt(dataOff) & 0xFFFFFFFFL).toDouble
+        case (0, 2) =>
+          if ((bits0 & 8) != 0) b.getShort(dataOff).toDouble
+          else (b.getShort(dataOff) & 0xFFFF).toDouble
+        case (0, 1) =>
+          if ((bits0 & 8) != 0) b.get(dataOff).toDouble
+          else (b.get(dataOff) & 0xFF).toDouble
+        case _ => return None
+      }
+      Some(name -> v)
     }
 
     // ---- dataset messages ----
@@ -975,10 +1032,12 @@ object HDF5 {
     c
   }
 
-  /** One float64 variable for [[writeDoubleVars]]. */
+  /** One float64 variable for [[writeDoubleVars]]. `attrs` = scalar
+    * float64 attributes (v0 writer path only). */
   final case class H5Var(name: String, dims: Seq[(String, Int)],
                          data: Array[Double],
-                         chunkDims: Option[Seq[Int]] = None)
+                         chunkDims: Option[Seq[Int]] = None,
+                         attrs: Seq[(String, Double)] = Nil)
 
   /** Write a minimal HDF5 file with one n-dimensional float64
     * little-endian dataset at the root group (the shape `oph_export`'s
@@ -1159,13 +1218,20 @@ object HDF5 {
     val rank = shape.size
     val chunked = v.chunkDims.isDefined
     val dsOh = b.pos
-    val nmsgs = if (chunked) 4 else 3  // dataspace, datatype, [filters], layout
+    // dataspace, datatype, [filters], attributes…, layout
+    val nmsgs = (if (chunked) 4 else 3) + v.attrs.size
     val spaceSz = 8 + rank * 8
     val dtSz = 24                      // 8 hdr + 12 props + 4 pad
     val filtSz = 24
+    def pad8(x: Int) = (x + 7) / 8 * 8
+    // attr message v1 body: hdr(8) + padded name + f64 datatype(24) +
+    // scalar dataspace(8) + value(8)
+    def attrSz(an: String): Int =
+      8 + pad8(an.getBytes("UTF-8").length + 1) + 24 + 8 + 8
     val layoutSz = if (chunked) (3 + 8 + (rank + 1) * 4 + 7) / 8 * 8 else 24
     val hdrSize = (8 + spaceSz) + (8 + dtSz) +
-      (if (chunked) 8 + filtSz else 0) + (8 + layoutSz)
+      (if (chunked) 8 + filtSz else 0) +
+      v.attrs.map(a => 8 + attrSz(a._1)).sum + (8 + layoutSz)
     b.u8(1); b.u8(0); b.u16(nmsgs)
     b.u32(1); b.u32(hdrSize); b.u32(0)
     // dataspace v1
@@ -1189,6 +1255,22 @@ object HDF5 {
       b.u16(1); b.u16(0); b.u16(0); b.u16(1) // id=1, no name, flags, 1 value
       b.u32(deflateLevel.toLong)
       b.u32(0)                         // pad (odd value count)
+    }
+    // attribute messages (v1): scalar float64 CF attributes
+    v.attrs.foreach { case (an, av) =>
+      val nb = an.getBytes("UTF-8")
+      val nlen = nb.length + 1
+      b.u16(0x000C); b.u16(attrSz(an)); b.u8(0); b.u8(0); b.u16(0)
+      b.u8(1); b.u8(0); b.u16(nlen); b.u16(24); b.u16(8)
+      nb.foreach(c => b.u8(c & 0xFF)); b.u8(0)
+      b.zero(pad8(nlen) - nlen)
+      // embedded datatype: IEEE F64LE (same bytes as the dataset's)
+      b.u8(0x11); b.u8(0x20); b.u8(0x3F); b.u8(0)
+      b.u32(8); b.u16(0); b.u16(64); b.u8(52); b.u8(11); b.u8(0); b.u8(52)
+      b.u32(1023); b.u32(0)
+      // scalar dataspace v1: rank 0
+      b.u8(1); b.u8(0); b.u8(0); b.u8(0); b.u32(0)
+      b.f64(av)
     }
     // layout v3
     b.u16(0x0008); b.u16(layoutSz); b.u8(0); b.u8(0); b.u16(0)

@@ -33,6 +33,8 @@ object NcReader {
     override def shape(varName: String): Seq[Int] = r.shape(varName)
     override def readSlab(varName: String, origin: Seq[Int],
         shape: Seq[Int]): Array[Double] = r.readSlab(varName, origin, shape)
+    override def varAttrs(varName: String): Map[String, Double] =
+      r.varAttrs(varName)
     override def close(): Unit = r.close()
   }
 

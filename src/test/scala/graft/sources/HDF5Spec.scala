@@ -279,4 +279,23 @@ class HDF5Spec extends AnyFunSuite {
     NetCDF3.writeDoubleVar(nc, Seq("x" -> 1), "m", Array(1.0))
     assert(!HDF5.isHdf5(nc))
   }
+
+  test("scalar float64 attributes round-trip (CF attrs on a netCDF-4 twin)") {
+    val f = tmp(".h5")
+    HDF5.writeDoubleVars(f, Seq(HDF5.H5Var("m", Seq("r" -> 2, "c" -> 3),
+      Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0),
+      attrs = Seq("scale_factor" -> 0.25, "add_offset" -> -2.0,
+        "_FillValue" -> -9999.0))))
+    val r = new HDF5.Hdf5Reader(f)
+    assert(r.varAttrs("m") == Map("scale_factor" -> 0.25,
+      "add_offset" -> -2.0, "_FillValue" -> -9999.0))
+    // attribute messages must not disturb the data path
+    assert(r.readSlab("m", Seq(0, 0), Seq(2, 3)).toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    r.close()
+    // the sniffing facade exposes them too (cf_unpack reads from here)
+    val via = NcReader.open(f)
+    assert(via.varAttrs("m")("scale_factor") == 0.25)
+    via.close()
+  }
 }
