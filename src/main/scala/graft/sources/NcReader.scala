@@ -10,8 +10,9 @@ trait NcReader extends AutoCloseable {
   def shape(varName: String): Seq[Int]
   def readSlab(varName: String, origin: Seq[Int], shape: Seq[Int]): Array[Double]
   /** Numeric scalar variable attributes (what CF unpacking needs:
-    * scale_factor / add_offset / _FillValue). Empty where the container
-    * path doesn't parse attributes yet (HDF5, Zarr). */
+    * scale_factor / add_offset / _FillValue). All three container paths
+    * implement it: CDF var attr lists, HDF5 compact attribute messages,
+    * Zarr .zattrs / v3 attributes. */
   def varAttrs(varName: String): Map[String, Double] = Map.empty
 }
 

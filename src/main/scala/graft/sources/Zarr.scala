@@ -209,6 +209,34 @@ object Zarr {
 
     override def shape(varName: String): Seq[Int] = meta(varName)._2.shape
 
+    /** Numeric attributes: v2 `.zattrs` (also via consolidated
+      * metadata), v3 the `attributes` object inside `zarr.json`. */
+    override def varAttrs(varName: String): Map[String, Double] = {
+      val (dir, _) = meta(varName)
+      val consKey =
+        if (dir == rootPath) ".zattrs" else s"${dir.getName}/.zattrs"
+      val node: Option[com.fasterxml.jackson.databind.JsonNode] =
+        consolidated.flatMap(m => Option(m.get(consKey)))
+          .orElse {
+            val p = new Path(dir, ".zattrs")
+            if (fs.exists(p)) Some(mapper.readTree(readAll(p))) else None
+          }
+          .orElse {
+            val p = new Path(dir, "zarr.json")
+            if (fs.exists(p)) Option(mapper.readTree(readAll(p)).get("attributes"))
+            else None
+          }
+      node match {
+        case Some(j) =>
+          val out = scala.collection.mutable.Map.empty[String, Double]
+          j.fields().forEachRemaining { e =>
+            if (e.getValue.isNumber) out(e.getKey) = e.getValue.asDouble()
+          }
+          out.toMap
+        case None => Map.empty
+      }
+    }
+
     private def decompress(z: ZArray, b: Array[Byte], hint: Int): Array[Byte] =
       z.compressor match {
         case "null" => b

@@ -182,6 +182,24 @@ class ZarrSpec extends AnyFunSuite {
     assert(r.readSlab("m", Seq(0, 0), Seq(7, 5)).toSeq == data.toSeq)
   }
 
+  test("varAttrs: v2 .zattrs and v3 attributes expose numeric values") {
+    val p2 = tmp()
+    Zarr.writeDoubleVar(p2, Seq("x" -> 2), "m", Array(1.0, 2.0))
+    Files.writeString(java.nio.file.Paths.get(p2, "m", ".zattrs"),
+      """{"scale_factor": 0.5, "add_offset": 3.0, "units": "K"}""")
+    val r2 = new Zarr.ZarrReader(p2)
+    assert(r2.varAttrs("m") == Map("scale_factor" -> 0.5, "add_offset" -> 3.0))
+    val p3 = tmp()
+    Zarr.writeDoubleVarV3(p3, Seq("x" -> 2), "m", Array(1.0, 2.0))
+    val za = java.nio.file.Paths.get(p3, "m", "zarr.json")
+    Files.writeString(za, Files.readString(za).stripSuffix("}")
+      + """, "attributes": {"_FillValue": -9.0, "long_name": "t"}}""")
+    // the nio edit bypassed Hadoop's local checksum file
+    Files.deleteIfExists(java.nio.file.Paths.get(p3, "m", ".zarr.json.crc"))
+    val r3 = new Zarr.ZarrReader(p3)
+    assert(r3.varAttrs("m") == Map("_FillValue" -> -9.0))
+  }
+
   test("NcReader dispatch: directory store -> Zarr; file:// URI works (Hadoop FS)") {
     val p = tmp()
     Zarr.writeDoubleVar(p, Seq("r" -> 2, "c" -> 2), "measure",
