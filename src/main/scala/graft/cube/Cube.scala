@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ArrayPrimitives => AP, KeyAlgebra => KA, Subset}
+import graft.functions.TextFunctions.bindOnce
 import graft.operators.ArrayAggregates
 
 /** The user-facing n-D cube model (SURVEY.md §1.1/§1.3): what an Ophidia
@@ -66,14 +67,18 @@ final case class Cube(df: DataFrame, explicitDims: Seq[Dim], implicitDims: Seq[D
     Cube(filtered.withColumn("id_dim", newId), newDims, implicitDims)
   }
 
-  /** OPH_SUBSET on an IMPLICIT dim: slice inside the measure array. */
+  /** OPH_SUBSET on an IMPLICIT dim: slice inside the measure array.
+    * `bindOnce` pins the upstream measure to ONE evaluation per row —
+    * CollapseProject would otherwise inline it into this op's
+    * per-element lambda and recompute the whole upstream chain per
+    * element (qc03 ran 8x slower before the pin). */
   def subsetImplicit(dim: String, subset: String): Cube = {
     val d = dimIdx(dim, implicitDims)
     val sizes = implicitDims.map(_.size)
     val subsets = sizes.indices.map(i => if (i == d) subset else "1:end")
     val kept = Subset.resolve(Subset.parse(subset), sizes(d)).size
-    Cube(df.withColumn("measure", AP.oph_get_subarray3(col("measure"), sizes,
-      subsets.map(identity))),
+    Cube(df.withColumn("measure", bindOnce(col("measure"),
+      m => AP.oph_get_subarray3(m, sizes, subsets.map(identity)))),
       explicitDims, implicitDims.updated(d, Dim(dim, kept)))
   }
 
@@ -85,7 +90,8 @@ final case class Cube(df: DataFrame, explicitDims: Seq[Dim], implicitDims: Seq[D
   def reduceImplicit(dim: String, op: String): Cube = {
     val d = dimIdx(dim, implicitDims)
     val sizes = implicitDims.map(_.size)
-    Cube(df.withColumn("measure", AP.oph_reduce3(col("measure"), op, sizes, d)),
+    Cube(df.withColumn("measure", bindOnce(col("measure"),
+      m => AP.oph_reduce3(m, op, sizes, d))),
       explicitDims, implicitDims.patch(d, Nil, 1))
   }
 
@@ -133,8 +139,9 @@ final case class Cube(df: DataFrame, explicitDims: Seq[Dim], implicitDims: Seq[D
     val first = implicitDims.head
     val restLen = implicitDims.tail.map(_.size).product.max(1)
     val exploded = df.select(col("id_dim"),
-      posexplode(transform(sequence(lit(0), lit(first.size - 1)),
-        k => AP.oph_get_subarray(col("measure"), k * restLen + 1, lit(restLen)))))
+      posexplode(bindOnce(col("measure"),
+        m => transform(sequence(lit(0), lit(first.size - 1)),
+          k => AP.oph_get_subarray(m, k * restLen + 1, lit(restLen))))))
       .select(((col("id_dim") - 1) * first.size + col("pos") + 1).as("id_dim"),
         col("col").as("measure"))
     Cube(exploded, explicitDims :+ Dim(first.name, first.size), implicitDims.tail)
@@ -143,8 +150,8 @@ final case class Cube(df: DataFrame, explicitDims: Seq[Dim], implicitDims: Seq[D
   /** OPH_PERMUTE: reorder the IMPLICIT dims. */
   def permuteImplicit(order: Seq[String]): Cube = {
     val perm = order.map(dimIdx(_, implicitDims))
-    Cube(df.withColumn("measure",
-      AP.oph_permute(col("measure"), implicitDims.map(_.size), perm)),
+    Cube(df.withColumn("measure", bindOnce(col("measure"),
+      m => AP.oph_permute(m, implicitDims.map(_.size), perm))),
       explicitDims, perm.map(implicitDims))
   }
 
