@@ -112,7 +112,19 @@ object ExprCompiler {
           case o => throw new IllegalArgumentException(s"binary $o")
         }
         CExpr(c, isBool = false)
-      case Fn(name, args) => fn(name, args, go, resolve)
+      case Fn(name, args) => fn(name, args, goPinned, resolve)
+    }
+    // nested function-call arguments evaluate ONCE per row: without the
+    // bindOnce pin, CollapseProject inlines the inner primitive into the
+    // outer one's per-element lambda and re-runs the whole inner chain
+    // per array element (chains like oph_permute(oph_get_subarray(...))
+    // go quadratic; see the identical Cube fix)
+    def goPinned(a: Ast): CExpr = a match {
+      case f: Fn =>
+        val inner = go(f)
+        CExpr(graft.functions.TextFunctions.bindOnce(inner.col, identity),
+          inner.isBool)
+      case other => go(other)
     }
     go(ast)
   }
