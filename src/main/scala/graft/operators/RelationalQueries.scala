@@ -161,6 +161,20 @@ object RelationalQueries {
       .except(Tables.lineitem(s, dir).select(col("l_partkey").as("p_partkey")))
       .orderBy("p_partkey")
 
+  /** q29 — UNION and INTERSECT (the remaining set operations from the
+    * reference's "not present" list; EXCEPT is q13): suppliers' nations
+    * INTERSECT customers' nations, plus the UNION-distinct count of both
+    * sides. Set ops hash-partition on the full row — the same shuffle
+    * class as distinct. */
+  def q29_union_intersect(s: SparkSession, dir: String): DataFrame = {
+    val sn = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+    val cn = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+    val both = sn.intersect(cn)
+    val either = sn.union(cn).distinct()
+    both.agg(count(lit(1)).as("n_intersect"))
+      .crossJoin(either.agg(count(lit(1)).as("n_union")))
+  }
+
   /** q14 — HAVING + scalar subquery (absent in the reference). The
     * 1-row average is broadcast-cross-joined into the grouped plan, so
     * the whole query stays ONE lazy Catalyst plan — no eager `.first()`
@@ -390,6 +404,7 @@ object RelationalQueries {
     "q16_time_window" -> (q16_time_window _),
     "q24_asof_join" -> (q24_asof_join _),
     "q25_range_join" -> (q25_range_join _),
+    "q29_union_intersect" -> (q29_union_intersect _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -534,6 +549,15 @@ object RelationalQueries {
        FROM c ASOF LEFT JOIN p
          ON c.user_id = p.user_id AND c.ts >= p.pts
        ORDER BY event_id""",
+    "q29_union_intersect" ->
+      """SELECT (SELECT count(*) FROM
+           (SELECT s_nationkey AS nationkey FROM supplier
+            INTERSECT
+            SELECT c_nationkey FROM customer)) AS n_intersect,
+         (SELECT count(*) FROM
+           (SELECT s_nationkey AS nationkey FROM supplier
+            UNION
+            SELECT c_nationkey FROM customer)) AS n_union""",
     "q25_range_join" ->
       """SELECT e.event_id, count(*) AS n_nearby,
          CAST(sum(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_nearby
