@@ -1,0 +1,56 @@
+package graft.core
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped plan memos shared by the dedup / ANN families.
+  *
+  * Values are cached DataFrames (or small derived artifacts) reused
+  * across every query of a Verify/Bench sweep, so holding them for the
+  * session's lifetime is the point. Two hazards this helper removes:
+  *
+  *  - identity hashes are NOT stable memo keys: they can be reused after
+  *    a session is GC'd and can collide between live sessions, handing a
+  *    later session a DataFrame bound to a stopped one. The key here is
+  *    the session UUID.
+  *  - without eviction the memo grows without bound across session
+  *    restarts; entries whose SparkContext has stopped are pruned (their
+  *    cached data died with the context) on every access.
+  */
+object SessionMemo {
+  private final case class Slot(session: SparkSession, value: AnyRef)
+  private val map = mutable.HashMap.empty[(String, String), Slot]
+
+  /** Stable per-session key (falls back to identity only for non-classic
+    * sessions, which this engine never constructs). */
+  def sessionKey(s: SparkSession): String = s match {
+    case _: org.apache.spark.sql.classic.SparkSession =>
+      org.apache.spark.sql.GraftSqlShims.sessionUUID(s)
+    case other => "id-" + System.identityHashCode(other)
+  }
+
+  /** Memoize `build` under (session, key). The builder runs OUTSIDE the
+    * lock (it may fire cache-fill jobs); a concurrent duplicate build is
+    * tolerated and the first insert wins. */
+  def memoize[T <: AnyRef](s: SparkSession, key: String)(build: => T): T = {
+    prune()
+    val k = (sessionKey(s), key)
+    map.synchronized(map.get(k)) match {
+      case Some(slot) => slot.value.asInstanceOf[T]
+      case None =>
+        val v = build
+        map.synchronized(map.getOrElseUpdate(k, Slot(s, v))).value.asInstanceOf[T]
+    }
+  }
+
+  private def prune(): Unit = map.synchronized {
+    val dead = map.collect {
+      case (k, slot) if slot.session.sparkContext.isStopped => k
+    }
+    dead.foreach(map.remove)
+  }
+
+  /** Visible for tests. */
+  private[graft] def size: Int = map.synchronized(map.size)
+}

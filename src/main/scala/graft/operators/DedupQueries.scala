@@ -260,18 +260,9 @@ object DedupQueries {
     * re-deriving them. The builder runs OUTSIDE the lock (it may fire
     * cache-fill jobs); a concurrent duplicate build is tolerated and the
     * first insert wins. */
-  private val memoMap =
-    scala.collection.mutable.HashMap.empty[(Int, String, String), AnyRef]
   private def memoize[T <: AnyRef](s: SparkSession, dir: String, key: String)
-      (build: => T): T = {
-    val k = (System.identityHashCode(s), dir, key)
-    memoMap.synchronized(memoMap.get(k)) match {
-      case Some(v) => v.asInstanceOf[T]
-      case None =>
-        val v = build
-        memoMap.synchronized(memoMap.getOrElseUpdate(k, v)).asInstanceOf[T]
-    }
-  }
+      (build: => T): T =
+    graft.core.SessionMemo.memoize(s, "dedup:" + dir + ":" + key)(build)
 
   /** Verified near-dup pairs (the shared core of d03 and d07), memoized
     * per (session, dir) so d07 reuses d03's cached pair set without even

@@ -147,8 +147,11 @@ object PipelineQueries {
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(s, dir)
       .withColumn("prio", md5Long60(col("text")))
+      // substring to END of string (no length cap), matching the
+      // oracle's substr(source, 4) — a cap would silently diverge on
+      // source names longer than 13 chars
       .withColumn("budget",
-        (substring(col("source"), 4, 10).cast("long") % 4L + 1L) * 1500L)
+        (expr("substring(source, 4)").cast("long") % 4L + 1L) * 1500L)
       .withColumn("before", coalesce(sum("n_chars").over(w), lit(0L)))
       .withColumn("kept", col("before") < col("budget"))
       .groupBy("source")

@@ -35,6 +35,7 @@ object SimilarityQueries {
   def s01_ann_bruteforce(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = emb(s, dir).withColumn("nrm", norm(col("a")))
+      .filter(col("nrm") > 0.0) // zero-norm vectors have no cosine
     val qs = base.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("a").as("qa"), col("nrm").as("qn"))
     val w = Window.partitionBy("query_id")
@@ -129,34 +130,28 @@ object SimilarityQueries {
     * executors; the scan shape is s01's broadcast-query stream. */
   /** Plan memo: one quantized store per (session, dir) — s04 and s05
     * share it (the same discipline as DedupQueries' collapse memo). */
-  private val memoMap =
-    scala.collection.mutable.HashMap.empty[(Int, String), DataFrame]
 
   /** The shared int8-quantized vector store: original doubles + norms,
     * the dequantized int8 view + its norms, cached and eagerly
     * materialized ONCE — CollapseProject would otherwise inline the
     * 64-element quantize transform into the dot product and re-run it
     * per candidate PAIR instead of per vector. */
-  private def quantizedStore(s: SparkSession, dir: String): DataFrame = {
-    val k = (System.identityHashCode(s), dir)
-    memoMap.synchronized(memoMap.get(k)) match {
-      case Some(df) => df
-      case None =>
-        val df = emb(s, dir)
-          .withColumn("nrm", norm(col("a")))
-          .withColumn("amax", array_max(transform(col("a"), x => abs(x))))
-          .withColumn("scale",
-            when(col("amax") === 0.0, lit(1.0)).otherwise(col("amax") / 127.0))
-          // trunc toward zero == cast long (|x/scale| ≤ 127, exact)
-          .withColumn("da", transform(col("a"),
-            x => (x / col("scale")).cast("long").cast("double") * col("scale")))
-          .withColumn("dnrm", norm(col("da")))
-          .select("vec_id", "a", "nrm", "da", "dnrm")
-          .cache()
-        df.count()
-        memoMap.synchronized(memoMap.getOrElseUpdate(k, df))
+  private def quantizedStore(s: SparkSession, dir: String): DataFrame =
+    graft.core.SessionMemo.memoize(s, "ann:quantizedStore:" + dir) {
+      val df = emb(s, dir)
+        .withColumn("nrm", norm(col("a")))
+        .withColumn("amax", array_max(transform(col("a"), x => abs(x))))
+        .withColumn("scale",
+          when(col("amax") === 0.0, lit(1.0)).otherwise(col("amax") / 127.0))
+        // trunc toward zero == cast long (|x/scale| ≤ 127, exact)
+        .withColumn("da", transform(col("a"),
+          x => (x / col("scale")).cast("long").cast("double") * col("scale")))
+        .withColumn("dnrm", norm(col("da")))
+        .select("vec_id", "a", "nrm", "da", "dnrm")
+        .cache()
+      df.count()
+      df
     }
-  }
 
   def s04_ann_quantized(s: SparkSession, dir: String): DataFrame = {
     val base = quantizedStore(s, dir)
@@ -220,6 +215,7 @@ object SimilarityQueries {
     * s01, so it shares s01's DuckDB oracle shape. */
   def s06_ann_topk_operator(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir).withColumn("nrm", norm(col("a")))
+      .filter(col("nrm") > 0.0) // zero-norm guard, matching s01/s04/s05
     val qs = base.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("a").as("qa"),
         col("nrm").as("qn"))
@@ -249,8 +245,9 @@ object SimilarityQueries {
   private lazy val bruteTopkSql = s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
         FROM embeddings),
-      n AS (SELECT vec_id, a,
+      n0 AS (SELECT vec_id, a,
         sqrt(list_reduce(list_transform(a, x -> x*x), (p,q) -> p+q)) AS nrm FROM e),
+      n AS (SELECT * FROM n0 WHERE nrm > 0),
       sims AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
           ${sqlDot.replace("X", "q.a").replace("Y", "d.a")} / (q.nrm * d.nrm) AS sim
         FROM n q, n d

@@ -145,8 +145,12 @@ object TextQueries {
         element_at(col("st"), 1).as("n_tokens"),
         fp(element_at(col("st"), 2), element_at(col("st"), 1)).as("ttr_fp"),
         fp(element_at(col("st"), 3), element_at(col("st"), 1)).as("top_word_fp"),
-        fp(element_at(col("st"), 4), element_at(col("st"), 1) - 1)
-          .as("top_gram_fp"))
+        // single-token docs have no bigrams: 0/(n-1) would be 0/0 → NaN
+        // here but NULL in the oracle's list_max-over-empty — pin both
+        // sides to 0 explicitly
+        when(element_at(col("st"), 1) > 1L,
+          fp(element_at(col("st"), 4), element_at(col("st"), 1) - 1))
+          .otherwise(lit(0L)).as("top_gram_fp"))
       .withColumn("keep",
         col("ttr_fp") >= 450000L && col("top_word_fp") <= 120000L &&
           col("top_gram_fp") <= 60000L)
@@ -229,12 +233,14 @@ object TextQueries {
            CAST(floor(list_max(list_transform(list_distinct(toks),
                u -> len(list_filter(toks, x -> x = u))))::DOUBLE
              / len(toks) * 1e6) AS BIGINT) AS top_word_fp,
-           CAST(floor(list_max(list_transform(
-               list_distinct(list_transform(range(1, len(toks)),
-                 i -> toks[i] || ' ' || toks[i+1])),
-               g -> len(list_filter(list_transform(range(1, len(toks)),
-                 i -> toks[i] || ' ' || toks[i+1]), x -> x = g))))::DOUBLE
-             / (len(toks) - 1) * 1e6) AS BIGINT) AS top_gram_fp
+           CASE WHEN len(toks) > 1 THEN
+             CAST(floor(list_max(list_transform(
+                 list_distinct(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1])),
+                 g -> len(list_filter(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1]), x -> x = g))))::DOUBLE
+               / (len(toks) - 1) * 1e6) AS BIGINT)
+           ELSE 0 END AS top_gram_fp
          FROM t)
        SELECT doc_id, n_tokens, ttr_fp, top_word_fp, top_gram_fp,
          (ttr_fp >= 450000 AND top_word_fp <= 120000 AND top_gram_fp <= 60000)

@@ -77,12 +77,19 @@ final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
       require(ordEval.dataType == DoubleType && tieEval.dataType == LongType,
         "TopKPerKey expects a double ordering column and a long tie column")
       // max-heap whose TOP is the WORST entry (lowest ord; ties: highest
-      // tie value), so the replace test against the incumbent is O(1)
+      // tie value), so the replace test against the incumbent is O(1).
+      // Double.compare gives the TOTAL order Spark's sort uses (NaN
+      // largest, so NaN ranks first under DESC) — raw >/== would make
+      // every NaN comparison false and leave NaN rows in arbitrary
+      // insertion order.
       val evictOrd: Ordering[Entry] = Ordering.fromLessThan { (a, b) =>
-        a.ordV > b.ordV || (a.ordV == b.ordV && a.tieV < b.tieV)
+        val c = java.lang.Double.compare(a.ordV, b.ordV)
+        c > 0 || (c == 0 && a.tieV < b.tieV)
       }
-      def beats(e: Entry, w: Entry): Boolean =
-        e.ordV > w.ordV || (e.ordV == w.ordV && e.tieV < w.tieV)
+      def beats(e: Entry, w: Entry): Boolean = {
+        val c = java.lang.Double.compare(e.ordV, w.ordV)
+        c > 0 || (c == 0 && e.tieV < w.tieV)
+      }
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
       iter.foreach { row =>
         val key = keyProj(row)

@@ -515,6 +515,11 @@ object HDF5 {
       val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
       val ver = b.get(0) & 0xFF
       if (ver < 1 || ver > 3) return None
+      // v2/v3 byte 1 is a flags byte: bit 0 = datatype shared, bit 1 =
+      // dataspace shared (v1 keeps it reserved-zero). When set, the
+      // "datatype" bytes below are a shared-message reference, not an
+      // inline datatype — decoding them as inline would misread.
+      val sharedFlags = if (ver >= 2) b.get(1) & 0x03 else 0
       val nameSize = b.getShort(2) & 0xFFFF
       val dtSize = b.getShort(4) & 0xFFFF
       val dsSize = b.getShort(6) & 0xFFFF
@@ -525,6 +530,17 @@ object HDF5 {
       var i = 0
       while (i < nameSize) { raw(i) = b.get(hdr + i); i += 1 }
       val name = new String(raw.takeWhile(_ != 0), "UTF-8")
+      if (sharedFlags != 0) {
+        // the name is always inline, so we can be precise: an attribute
+        // that drives data interpretation must never be silently dropped
+        // (cf_unpack would return packed values with scale treated as 1)
+        if (name == "scale_factor" || name == "add_offset" || name == "_FillValue")
+          throw new UnsupportedOperationException(
+            s"HDF5 attribute '$name' uses shared datatype/dataspace messages " +
+              "(flags=" + sharedFlags + "); shared attribute messages are not " +
+              "supported and this attribute affects data interpretation")
+        return None // irrelevant shared attr: skip, don't misread
+      }
       val dtOff = hdr + pad8(nameSize)
       val dsOff = dtOff + pad8(dtSize)
       val dataOff = dsOff + pad8(dsSize)

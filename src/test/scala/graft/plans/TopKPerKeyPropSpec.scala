@@ -48,6 +48,34 @@ class TopKPerKeyPropSpec extends SparkSpec {
     }
   }
 
+  test("NaN ord values follow Spark sort semantics (NaN largest → rank 1 under DESC)") {
+    import spark.implicits._
+    // NaN must participate in a TOTAL order: Spark sorts NaN as the
+    // largest double, so under ord DESC the NaN rows rank first. Raw
+    // >/== comparisons would leave NaN in arbitrary insertion order.
+    val rows = Seq(
+      (0L, Double.NaN, 1L), (0L, 5.0, 2L), (0L, Double.NaN, 3L),
+      (0L, Double.PositiveInfinity, 4L), (0L, -1.0, 5L),
+      (1L, 2.0, 6L), (1L, Double.NaN, 7L), (1L, 3.0, 8L))
+    val df = rows.toDF("key", "ord", "tie").repartition(3)
+    // compare string forms: NaN != NaN under Seq equality
+    val viaHeap = TopKPerKey(df, Seq("key"), "ord", "tie", 3)
+      .select("key", "ord", "tie", "rank")
+      .collect().map(_.toSeq.toString).sorted
+    val w = Window.partitionBy("key").orderBy(col("ord").desc, col("tie"))
+    val viaWindow = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("key", "ord", "tie", "rank")
+      .collect().map(_.toSeq.toString).sorted
+    assert(viaHeap.toSeq == viaWindow.toSeq)
+    // and the NaN rows concretely outrank +Inf: key 0's ranks 1,2 are
+    // the two NaN ties (tie 1 then 3), rank 3 is +Inf
+    val k0 = TopKPerKey(df.filter(col("key") === 0L), Seq("key"), "ord", "tie", 3)
+      .orderBy("rank").select("tie").as[Long].collect().toSeq
+    assert(k0 == Seq(1L, 3L, 4L))
+  }
+
   test("multi-column keys and sub-k groups") {
     import spark.implicits._
     val rows = for (a <- 0L to 2L; b <- 0L to 2L; i <- 0L until (a + b + 1))
