@@ -1,87 +1,129 @@
 package graft.operators
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
 
-/** Multimodal-column plumbing for the training-data pipeline: media
+import graft.core.Tables
+import graft.sources.MediaCodec
+
+/** Multimodal-column operators for the training-data pipeline: media
   * payloads ride as opaque `binary` columns next to a typed metadata
   * struct; decode / feature-extraction runs batch-at-a-time inside
   * `mapPartitions` (the Scala analogue of an Arrow-batched UDF — one
   * decoder instantiation per partition, not per row).
   *
-  * The decoder itself is a STUB (this container has no image/audio
-  * codecs): `FakeDecoder.decode` derives a deterministic feature from the
-  * payload's md5 so the full pipeline — schema, batching, partitioning,
-  * output shape — is real and oracle-checked, and a libjpeg/ffmpeg-backed
-  * decoder drops into the same seam.
+  * The decoders are REAL from-spec codecs ([[graft.sources.MediaCodec]]:
+  * BMP 24/32-bpp, Netpbm P5/P6, RIFF/WAVE PCM16) — no stub. Because the
+  * container ships no media fixtures, each query ENCODES a payload
+  * deterministically from the document bytes in one mapPartitions stage,
+  * then DECODES it in a second stage that sees only the opaque binary
+  * column. The DuckDB oracle replays the feature arithmetic on the
+  * document bytes directly and never sees the container format — so a
+  * decoder that mis-handles BGR order, bottom-up rows, scanline padding,
+  * header grammar or chunk alignment fails the hash compare. (The
+  * encode→decode pair shares no index arithmetic: encoders write the
+  * spec layout, decoders re-derive geometry from the parsed header.)
+  *
+  * At 100 TB the encode stage disappears (payloads arrive as stored
+  * bytes) and the decode stage is the scan-parallel seam shown here: no
+  * shuffle, no driver involvement, one codec instance per partition.
   */
 object MultimodalQueries {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte],
-                            width: Int, height: Int, channels: Int, format: String)
+                            format: String)
   final case class MediaFeature(doc_id: Long, width: Int, height: Int,
-                                channels: Int, format: String, feat: Double)
+                                channels: Int, format: String,
+                                lum_sum: Long, mean_lum: Double)
 
-  /** STUB decoder: a real implementation would decode `payload` with an
-    * image codec and pool pixel features. Here: mean of the first 16 hex
-    * digits of md5(payload) — deterministic and portable. */
-  object FakeDecoder {
-    private val hex = "0123456789abcdef"
-    def decode(payload: Array[Byte]): Double = {
-      val md = MessageDigest.getInstance("MD5")
-      val h = md.digest(payload).map("%02x".format(_)).mkString
-      h.take(16).map(c => hex.indexOf(c).toDouble).sum / 16.0
-    }
-  }
-
-  /** m01 — binary payload + metadata struct + batched decode. Payload =
-    * the document's UTF-8 bytes standing in for media bytes. */
+  /** m01 — image decode + feature extraction. Per document: an RGB image
+    * (w = len%64+1, h = len/64%64+1, channel bytes cycling through the
+    * document bytes) encoded as BMP-24 / BMP-32 / PPM by doc_id%3, then
+    * decoded by magic-byte sniffing; features are the decoded header
+    * geometry plus integer ITU-R BT.601 luma (77R+150G+29B, /256). */
   def m01_media_features(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"),
-        (length(col("text")) % 64 + 1).as("width"),
-        (graft.functions.KeyAlgebra.ldiv(length(col("text")), lit(64)).cast("int") % 64 + 1).as("height"),
-        lit(3).as("channels"), lit("fake8").as("format"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("US-ASCII")
+          val len = bytes.length
+          val w = len % 64 + 1
+          val h = (len / 64) % 64 + 1
+          val rgb = Array.tabulate(w * h * 3)(k => bytes(k % len))
+          (id % 3) match {
+            case 0 => MediaRow(id, MediaCodec.encodeBmp24(w, h, rgb), "bmp24")
+            case 1 => MediaRow(id, MediaCodec.encodeBmp32(w, h, rgb), "bmp32")
+            case _ => MediaRow(id, MediaCodec.encodePpm(w, h, rgb), "ppm")
+          }
+        }
+      }
     media.mapPartitions { it =>
-      // one decoder per partition — the batch seam a real codec needs
-      it.map(r => MediaFeature(r.doc_id, r.width, r.height, r.channels,
-        r.format, FakeDecoder.decode(r.payload)))
+      it.map { r =>
+        val img = MediaCodec.decodeImage(r.payload) // sniffed, not trusted
+        var lum = 0L
+        var p = 0
+        val n = img.width * img.height
+        while (p < n) {
+          lum += 77L * (img.pixels(3 * p) & 0xFF) +
+            150L * (img.pixels(3 * p + 1) & 0xFF) +
+            29L * (img.pixels(3 * p + 2) & 0xFF)
+          p += 1
+        }
+        MediaFeature(r.doc_id, img.width, img.height, img.channels, r.format,
+          lum, lum / (n * 256.0))
+      }
     }.toDF()
       .orderBy("doc_id")
   }
 
-  final case class FrameSample(doc_id: Long, n_frames: Long,
-                               n_sampled: Long, sampled_feat: Double)
+  final case class AudioFeature(doc_id: Long, sample_rate: Long,
+                                n_frames: Long, n_sampled: Long,
+                                amp_sum: Long, mean_amp: Double)
 
-  /** m02 — frame sampling: treat the payload as a frame sequence (fixed
-    * 64-byte "frames" standing in for decoded video frames), sample every
-    * 4th frame, and pool a feature over the sampled frames. The chunk /
-    * stride / pool plumbing is what a real video pipeline needs; the
-    * per-frame "decode" is the same md5 STUB as m01. */
+  /** m02 — audio frame sampling: per document a mono PCM16 WAV (one
+    * sample per document byte, s = (b-96)*128), decoded through the RIFF
+    * chunk walk; frames of 32 samples, every 4th frame sampled, mean
+    * absolute amplitude pooled over the sampled frames. */
   def m02_frame_sample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val frameBytes = 64
+    val frameLen = 32
     val stride = 4
     val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"),
-        lit(0).as("width"), lit(0).as("height"), lit(0).as("channels"),
-        lit("frames").as("format"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("US-ASCII")
+          val samples = Array.tabulate(bytes.length)(i =>
+            (((bytes(i) & 0xFF) - 96) * 128).toShort)
+          MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
+        }
+      }
     media.mapPartitions { it =>
       it.map { r =>
-        val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
-        val sampled = (0 until nFrames by stride).map { f =>
-          val from = f * frameBytes
-          val until = math.min(from + frameBytes, r.payload.length)
-          FakeDecoder.decode(java.util.Arrays.copyOfRange(r.payload, from, until))
+        val audio = MediaCodec.decodeWav(r.payload)
+        val n = audio.samples.length
+        val nFrames = (n + frameLen - 1) / frameLen
+        var ampSum = 0L
+        var nsSamples = 0L
+        var nSampled = 0L
+        var f = 0
+        while (f < nFrames) {
+          val until = math.min(f * frameLen + frameLen, n)
+          var i = f * frameLen
+          while (i < until) {
+            ampSum += math.abs(audio.samples(i).toLong)
+            i += 1
+          }
+          nsSamples += until - f * frameLen
+          nSampled += 1
+          f += stride
         }
-        FrameSample(r.doc_id, nFrames.toLong, sampled.size.toLong,
-          sampled.sum / sampled.size)
+        AudioFeature(r.doc_id, audio.sampleRate.toLong, nFrames.toLong,
+          nSampled, ampSum, ampSum / nsSamples.toDouble)
       }
     }.toDF()
       .orderBy("doc_id")
@@ -90,29 +132,34 @@ object MultimodalQueries {
   final case class ResizeSample(doc_id: Long, n_samples: Long,
                                 byte_sum: Long, mean_px: Double)
 
-  /** m03 — resize plumbing: treat the payload as a W=32-wide byte grid
-    * (H = ceil(len/32) rows) and nearest-neighbor downsample to 8×8 —
-    * the index arithmetic of an image resize, with the same byte-level
-    * STUB "pixels" as m01/m02 (exact integer sums; a real resampler
-    * drops into the same mapPartitions seam). */
+  /** m03 — resize plumbing over a REAL grayscale image: the document
+    * bytes fill a W=32-wide PGM grid (H = ceil(len/32), padding
+    * replicates the last byte), the P5 header + raster is decoded back,
+    * and a nearest-neighbor 8×8 downsample pools the pixels — the index
+    * arithmetic of an image resize over actually-decoded pixels. */
   def m03_resize_sample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"),
-        lit(32).as("width"), lit(0).as("height"), lit(1).as("channels"),
-        lit("grid8").as("format"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("US-ASCII")
+          val len = bytes.length
+          val h = (len + 31) / 32
+          val gray = Array.tabulate(32 * h)(i => bytes(math.min(i, len - 1)))
+          MediaRow(id, MediaCodec.encodePgm(32, h, gray), "pgm")
+        }
+      }
     media.mapPartitions { it =>
       it.map { r =>
-        val len = r.payload.length
-        val h = (len + 31) / 32
+        val img = MediaCodec.decodeImage(r.payload)
         var sum = 0L
         var k = 0
         while (k < 64) {
-          val srcR = (k / 8) * h / 8
+          val srcR = (k / 8) * img.height / 8
           val srcC = (k % 8) * 4
-          val idx = math.min(srcR * 32 + srcC, len - 1)
-          sum += (r.payload(idx) & 0xff).toLong
+          sum += (img.pixels(srcR * img.width + srcC) & 0xFF).toLong
           k += 1
         }
         ResizeSample(r.doc_id, 64L, sum, sum / 64.0)
@@ -128,27 +175,43 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // replays the pixel-fill + integer-luma arithmetic on the document
+    // bytes; the BMP/PPM container roundtrip happens only on the Spark
+    // side, so layout bugs there break the hash
     "m01_media_features" ->
-      """SELECT doc_id,
-         (length(text) % 64 + 1)::INT AS width,
-         ((length(text) // 64) % 64 + 1)::INT AS height,
-         3::INT AS channels, 'fake8' AS format,
-         list_reduce(list_transform(range(1, 17),
-           i -> (strpos('0123456789abcdef', substr(md5(text), i::INT, 1)) - 1)::DOUBLE),
-           (x,y) -> x+y) / 16.0 AS feat
-         FROM documents ORDER BY doc_id""",
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           (length(text) % 64 + 1) AS w,
+           ((length(text) // 64) % 64 + 1) AS h
+         FROM documents)
+       SELECT doc_id, w::INT AS width, h::INT AS height, 3::INT AS channels,
+         CASE doc_id % 3 WHEN 0 THEN 'bmp24' WHEN 1 THEN 'bmp32'
+           ELSE 'ppm' END AS format,
+         CAST(list_reduce(list_transform(range(0, w * h), p ->
+            77 * ascii(substr(text, ((3*p)   % len)::INT + 1, 1))
+         + 150 * ascii(substr(text, ((3*p+1) % len)::INT + 1, 1))
+         +  29 * ascii(substr(text, ((3*p+2) % len)::INT + 1, 1))),
+           (x,y) -> x+y) AS BIGINT) AS lum_sum,
+         list_reduce(list_transform(range(0, w * h), p ->
+            77 * ascii(substr(text, ((3*p)   % len)::INT + 1, 1))
+         + 150 * ascii(substr(text, ((3*p+1) % len)::INT + 1, 1))
+         +  29 * ascii(substr(text, ((3*p+2) % len)::INT + 1, 1))),
+           (x,y) -> x+y) / (w * h * 256.0) AS mean_lum
+       FROM t ORDER BY doc_id""",
     "m02_frame_sample" ->
-      """SELECT doc_id,
-         ((length(text) + 63) // 64)::BIGINT AS n_frames,
-         len(range(0, (length(text) + 63) // 64, 4))::BIGINT AS n_sampled,
-         list_reduce(list_transform(range(0, (length(text) + 63) // 64, 4), f ->
-           list_reduce(list_transform(range(1, 17), i ->
-             (strpos('0123456789abcdef',
-               substr(md5(substr(text, (f*64 + 1)::INT, 64)), i::INT, 1)) - 1)::DOUBLE),
-             (x,y) -> x+y) / 16.0),
-           (x,y) -> x+y) /
-           len(range(0, (length(text) + 63) // 64, 4))::DOUBLE AS sampled_feat
-         FROM documents ORDER BY doc_id""",
+      """WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+       m AS (SELECT doc_id, len, (len + 31) // 32 AS n_frames,
+         list_reduce(list_transform(range(0, (len + 31) // 32, 4), f ->
+           least(32, len - f*32)), (x,y) -> x+y) AS ns_samples,
+         list_reduce(list_transform(range(0, (len + 31) // 32, 4), f ->
+           list_reduce(list_transform(range(f*32, least(f*32 + 32, len)), i ->
+             abs((ascii(substr(text, i::INT + 1, 1)) - 96) * 128)::BIGINT),
+             (x,y) -> x+y)), (x,y) -> x+y) AS amp_sum
+         FROM t)
+       SELECT doc_id, 8000::BIGINT AS sample_rate, n_frames::BIGINT AS n_frames,
+         len(range(0, n_frames, 4))::BIGINT AS n_sampled,
+         amp_sum::BIGINT AS amp_sum,
+         amp_sum / ns_samples::DOUBLE AS mean_amp
+       FROM m ORDER BY doc_id""",
     "m03_resize_sample" ->
       """SELECT doc_id, 64::BIGINT AS n_samples,
          CAST(list_reduce(list_transform(range(0, 64), k ->

@@ -1,0 +1,264 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM media codecs, written from the public file-format
+  * specifications (same from-spec discipline as [[HDF5]] / [[Zarr]] —
+  * this container ships no image/audio libraries, and none are needed
+  * for these formats):
+  *
+  *  - BMP: 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER,
+  *    uncompressed (BI_RGB) 24-bpp BGR / 32-bpp BGRA, rows padded to
+  *    4 bytes, bottom-up (biHeight > 0) or top-down (biHeight < 0).
+  *  - Netpbm: P5 (PGM, one gray byte per pixel) and P6 (PPM, RGB
+  *    triplets), maxval ≤ 255, '#' comments and arbitrary whitespace in
+  *    the header, raster row-major top-down.
+  *  - WAV: RIFF container ('RIFF' size 'WAVE'), chunk walk with 2-byte
+  *    alignment, 'fmt ' (PCM, mono, 16-bit LE) + 'data'. Unknown chunks
+  *    (LIST, fact, …) are skipped, as the container spec requires.
+  *
+  * Decoders return channel-interleaved row-major TOP-DOWN pixels (RGB
+  * for color, single byte for gray) regardless of on-disk layout, so
+  * downstream feature extraction never sees BGR order, bottom-up rows or
+  * scanline padding. The reference engine has no media path at all —
+  * these back the multimodal columns the 100 TB training pipeline needs
+  * (brief requirement; no counterpart file to cite).
+  */
+object MediaCodec {
+
+  /** A decoded raster: `pixels` is row-major top-down, `channels`-way
+    * interleaved (RGB or gray), one byte per channel. */
+  final case class Image(width: Int, height: Int, channels: Int,
+                         pixels: Array[Byte])
+
+  /** Decoded PCM audio: 16-bit signed samples, channel-interleaved. */
+  final case class Audio(sampleRate: Int, channels: Int,
+                         samples: Array[Short])
+
+  // ------------------------------------------------------------------ BMP
+
+  private def bmpHeader(w: Int, h: Int, bpp: Int, imageSize: Int): ByteBuffer = {
+    val b = ByteBuffer.allocate(54 + imageSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(54 + imageSize) // bfSize
+    b.putShort(0).putShort(0) // bfReserved1/2
+    b.putInt(54) // bfOffBits
+    b.putInt(40) // biSize (BITMAPINFOHEADER)
+    b.putInt(w).putInt(h) // biWidth, biHeight (>0: bottom-up)
+    b.putShort(1) // biPlanes
+    b.putShort(bpp.toShort) // biBitCount
+    b.putInt(0) // biCompression = BI_RGB
+    b.putInt(imageSize) // biSizeImage
+    b.putInt(2835).putInt(2835) // 72 dpi in px/metre
+    b.putInt(0).putInt(0) // biClrUsed, biClrImportant
+    b
+  }
+
+  /** Encode RGB row-major top-down pixels as a 24-bpp bottom-up BMP
+    * (BGR byte order, rows padded to 4 bytes — the classic layout). */
+  def encodeBmp24(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "rgb length must be w*h*3")
+    val stride = (w * 3 + 3) / 4 * 4
+    val b = bmpHeader(w, h, 24, stride * h)
+    var r = h - 1 // bottom-up: last source row first
+    while (r >= 0) {
+      var c = 0
+      while (c < w) {
+        val p = (r * w + c) * 3
+        b.put(rgb(p + 2)).put(rgb(p + 1)).put(rgb(p)) // BGR
+        c += 1
+      }
+      var pad = stride - w * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      r -= 1
+    }
+    b.array()
+  }
+
+  /** Encode as 32-bpp bottom-up BMP (BGRA, alpha 0xFF; rows naturally
+    * 4-byte aligned). */
+  def encodeBmp32(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "rgb length must be w*h*3")
+    val b = bmpHeader(w, h, 32, w * h * 4)
+    var r = h - 1
+    while (r >= 0) {
+      var c = 0
+      while (c < w) {
+        val p = (r * w + c) * 3
+        b.put(rgb(p + 2)).put(rgb(p + 1)).put(rgb(p)).put(0xFF.toByte)
+        c += 1
+      }
+      r -= 1
+    }
+    b.array()
+  }
+
+  /** Decode an uncompressed 24/32-bpp BMP to top-down RGB. Handles
+    * bottom-up (biHeight > 0) and top-down (biHeight < 0) layouts and
+    * arbitrary bfOffBits (palette-free files may still carry gap bytes). */
+  def decodeBmp(bytes: Array[Byte]): Image = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M',
+      "not a BMP file")
+    val dataOff = b.getInt(10)
+    val biSize = b.getInt(14)
+    require(biSize >= 40, s"BITMAPINFOHEADER (>=40 bytes) expected, got $biSize")
+    val w = b.getInt(18)
+    val rawH = b.getInt(22)
+    val bottomUp = rawH > 0
+    val h = math.abs(rawH)
+    val bpp = b.getShort(28) & 0xFFFF
+    val compression = b.getInt(30)
+    require(compression == 0, s"only BI_RGB (0) supported, got $compression")
+    require(bpp == 24 || bpp == 32, s"only 24/32-bpp supported, got $bpp")
+    val bytesPerPx = bpp / 8
+    val stride = (w * bytesPerPx + 3) / 4 * 4
+    require(bytes.length >= dataOff + stride * h, "truncated BMP pixel data")
+    val out = new Array[Byte](w * h * 3)
+    var r = 0
+    while (r < h) {
+      val srcRow = if (bottomUp) h - 1 - r else r
+      var c = 0
+      while (c < w) {
+        val s = dataOff + srcRow * stride + c * bytesPerPx
+        val d = (r * w + c) * 3
+        out(d) = bytes(s + 2) // R (stored BGR[A])
+        out(d + 1) = bytes(s + 1)
+        out(d + 2) = bytes(s)
+        c += 1
+      }
+      r += 1
+    }
+    Image(w, h, 3, out)
+  }
+
+  // --------------------------------------------------------------- Netpbm
+
+  /** Encode gray bytes as PGM (P5). A comment line is emitted on purpose
+    * so every decode exercises the header's comment grammar. */
+  def encodePgm(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == w * h, "gray length must be w*h")
+    val hdr = s"P5\n# graft media codec\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](hdr.length + gray.length)
+    System.arraycopy(hdr, 0, out, 0, hdr.length)
+    System.arraycopy(gray, 0, out, hdr.length, gray.length)
+    out
+  }
+
+  /** Encode RGB row-major top-down pixels as PPM (P6). */
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "rgb length must be w*h*3")
+    val hdr = s"P6\n# graft media codec\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](hdr.length + rgb.length)
+    System.arraycopy(hdr, 0, out, 0, hdr.length)
+    System.arraycopy(rgb, 0, out, hdr.length, rgb.length)
+    out
+  }
+
+  /** Decode P5 (gray) / P6 (RGB). The header is magic + three decimal
+    * tokens (width, height, maxval) separated by whitespace, with '#'
+    * comments running to end-of-line; ONE whitespace byte then separates
+    * maxval from the raster. */
+  def decodeNetpbm(bytes: Array[Byte]): Image = {
+    require(bytes.length > 2 && bytes(0) == 'P' &&
+      (bytes(1) == '5' || bytes(1) == '6'), "not a P5/P6 Netpbm file")
+    val channels = if (bytes(1) == '6') 3 else 1
+    var pos = 2
+    def nextToken(): Int = {
+      // skip whitespace and comments
+      var inComment = false
+      while (pos < bytes.length &&
+        (inComment || bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') inComment = true
+        else if (bytes(pos) == '\n') inComment = false
+        pos += 1
+      }
+      var v = 0
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextToken()
+    val h = nextToken()
+    val maxval = nextToken()
+    require(w > 0 && h > 0, "bad Netpbm dimensions")
+    require(maxval > 0 && maxval < 256, s"one-byte maxval expected, got $maxval")
+    pos += 1 // the single whitespace byte after maxval
+    val n = w * h * channels
+    require(bytes.length >= pos + n, "truncated Netpbm raster")
+    Image(w, h, channels, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+  }
+
+  // ------------------------------------------------------------------ WAV
+
+  /** Encode mono 16-bit PCM samples as a canonical RIFF/WAVE file. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val b = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII"))
+    b.putInt(36 + dataSize)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII"))
+    b.putInt(16) // PCM fmt chunk size
+    b.putShort(1) // wFormatTag = PCM
+    b.putShort(1) // nChannels = mono
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * 2) // nAvgBytesPerSec
+    b.putShort(2) // nBlockAlign
+    b.putShort(16) // wBitsPerSample
+    b.put("data".getBytes("US-ASCII"))
+    b.putInt(dataSize)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  /** Decode a PCM16 RIFF/WAVE file: walk the chunk list (2-byte
+    * alignment), read 'fmt ' and 'data', skip everything else. */
+  def decodeWav(bytes: Array[Byte]): Audio = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+      "not a RIFF/WAVE file")
+    var pos = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var fmtSeen = false
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length && (samples == null || !fmtSeen)) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val size = b.getInt(pos + 4)
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          require(size >= 16, "fmt chunk too small")
+          val tag = b.getShort(body) & 0xFFFF
+          require(tag == 1, s"only PCM (tag 1) supported, got $tag")
+          channels = b.getShort(body + 2) & 0xFFFF
+          sampleRate = b.getInt(body + 4)
+          bits = b.getShort(body + 14) & 0xFFFF
+          require(bits == 16, s"only 16-bit PCM supported, got $bits")
+          fmtSeen = true
+        case "data" =>
+          val n = size / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = b.getShort(body + i * 2); i += 1 }
+          samples = out
+        case _ => // LIST, fact, ... — skip per the container spec
+      }
+      pos = body + size + (size & 1) // chunks are 2-byte aligned
+    }
+    require(fmtSeen, "missing fmt chunk")
+    require(samples != null, "missing data chunk")
+    Audio(sampleRate, channels, samples)
+  }
+
+  /** Decode an image payload by sniffing its magic bytes — callers hold
+    * opaque binary columns and must not need to trust a format tag. */
+  def decodeImage(bytes: Array[Byte]): Image =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else decodeNetpbm(bytes)
+}

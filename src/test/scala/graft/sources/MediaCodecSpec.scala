@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level spec for the from-spec media codecs. The decode fixtures
+  * are built BY HAND from the format specifications (not via the
+  * encoders), so an encoder/decoder pair that inverts a shared layout
+  * mistake cannot pass. */
+class MediaCodecSpec extends AnyFunSuite {
+
+  // ---- BMP ----
+
+  /** 3×2 bottom-up 24-bpp BMP built field by field. Row stride is
+    * 3*3=9 → padded to 12. Logical pixels (top-down RGB):
+    * row0: (1,2,3) (4,5,6) (7,8,9) ; row1: (10,11,12) (13,14,15) (16,17,18) */
+  private def handBmp24: Array[Byte] = {
+    val b = ByteBuffer.allocate(54 + 24).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(78).putShort(0).putShort(0)
+    b.putInt(54) // bfOffBits
+    b.putInt(40).putInt(3).putInt(2) // biSize, w, h (bottom-up)
+    b.putShort(1).putShort(24).putInt(0).putInt(24)
+    b.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom-up: file row 0 = logical row 1, stored BGR + 3 pad bytes
+    b.put(Array[Byte](12, 11, 10, 15, 14, 13, 18, 17, 16, 0, 0, 0))
+    b.put(Array[Byte](3, 2, 1, 6, 5, 4, 9, 8, 7, 0, 0, 0))
+    b.array()
+  }
+
+  test("decodeBmp: hand-built bottom-up 24-bpp with row padding") {
+    val img = MediaCodec.decodeBmp(handBmp24)
+    assert(img.width == 3 && img.height == 2 && img.channels == 3)
+    assert(img.pixels.toSeq == (1 to 18).map(_.toByte))
+  }
+
+  test("decodeBmp: top-down (negative height) 32-bpp") {
+    val b = ByteBuffer.allocate(54 + 16).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(70).putShort(0).putShort(0)
+    b.putInt(54)
+    b.putInt(40).putInt(2).putInt(-2) // negative = top-down
+    b.putShort(1).putShort(32).putInt(0).putInt(16)
+    b.putInt(0).putInt(0).putInt(0).putInt(0)
+    // top-down BGRA: rows in logical order
+    b.put(Array[Byte](3, 2, 1, -1, 6, 5, 4, -1))
+    b.put(Array[Byte](9, 8, 7, -1, 12, 11, 10, -1))
+    val img = MediaCodec.decodeBmp(b.array())
+    assert(img.width == 2 && img.height == 2)
+    assert(img.pixels.toSeq == (1 to 12).map(_.toByte))
+  }
+
+  test("BMP 24/32 encode→decode roundtrip (incl. non-multiple-of-4 widths)") {
+    for (w <- Seq(1, 3, 5, 64); h <- Seq(1, 2, 7)) {
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 251).toByte)
+      val d24 = MediaCodec.decodeBmp(MediaCodec.encodeBmp24(w, h, rgb))
+      val d32 = MediaCodec.decodeBmp(MediaCodec.encodeBmp32(w, h, rgb))
+      assert(d24.width == w && d24.height == h && d24.pixels.toSeq == rgb.toSeq)
+      assert(d32.width == w && d32.height == h && d32.pixels.toSeq == rgb.toSeq)
+    }
+  }
+
+  test("decodeBmp rejects compressed / paletted files") {
+    val b = ByteBuffer.wrap(handBmp24.clone()).order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(30, 1) // biCompression = BI_RLE8
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(b.array()))
+  }
+
+  // ---- Netpbm ----
+
+  test("decodeNetpbm: P5 with comments and irregular whitespace") {
+    val hdr = "P5 # inline comment\n#full comment line\n  3\t2 # dims\n255\n"
+    val raster = Array[Byte](10, 20, 30, 40, 50, 60)
+    val img = MediaCodec.decodeNetpbm(hdr.getBytes("US-ASCII") ++ raster)
+    assert(img.width == 3 && img.height == 2 && img.channels == 1)
+    assert(img.pixels.toSeq == raster.toSeq)
+  }
+
+  test("decodeNetpbm: P6 and PPM/PGM roundtrips") {
+    val rgb = Array.tabulate(4 * 3 * 3)(i => (i * 7 % 256).toByte)
+    val viaP6 = MediaCodec.decodeNetpbm(MediaCodec.encodePpm(4, 3, rgb))
+    assert(viaP6.channels == 3 && viaP6.pixels.toSeq == rgb.toSeq)
+    val gray = Array.tabulate(5 * 2)(i => (i * 11 % 256).toByte)
+    val viaP5 = MediaCodec.decodeNetpbm(MediaCodec.encodePgm(5, 2, gray))
+    assert(viaP5.channels == 1 && viaP5.width == 5 && viaP5.height == 2 &&
+      viaP5.pixels.toSeq == gray.toSeq)
+  }
+
+  test("decodeNetpbm rejects 2-byte maxval") {
+    val bytes = "P5\n2 2\n65535\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4)
+    intercept[IllegalArgumentException](MediaCodec.decodeNetpbm(bytes))
+  }
+
+  // ---- WAV ----
+
+  /** Hand-built WAV with an unknown odd-sized chunk BEFORE fmt/data —
+    * the chunk walk must skip it with 2-byte alignment. */
+  test("decodeWav: hand-built file with extra odd-sized chunk") {
+    val samples = Array[Short](100, -200, 32767, -32768, 0)
+    val data = samples.flatMap(s0 => Array((s0 & 0xFF).toByte, ((s0 >> 8) & 0xFF).toByte))
+    val junk = Array[Byte](1, 2, 3) // odd size → 1 pad byte follows
+    val b = ByteBuffer.allocate(12 + (8 + 4) + (8 + 16) + (8 + data.length))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(0).put("WAVE".getBytes("US-ASCII"))
+    b.put("JUNK".getBytes("US-ASCII")).putInt(3).put(junk).put(0.toByte)
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1).putInt(44100).putInt(88200).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    val audio = MediaCodec.decodeWav(b.array())
+    assert(audio.sampleRate == 44100 && audio.channels == 1)
+    assert(audio.samples.toSeq == samples.toSeq)
+  }
+
+  test("WAV encode→decode roundtrip") {
+    val samples = Array.tabulate(1000)(i => ((i * 997 - 500) % 32768).toShort)
+    val audio = MediaCodec.decodeWav(MediaCodec.encodeWav(8000, samples))
+    assert(audio.sampleRate == 8000 && audio.samples.toSeq == samples.toSeq)
+  }
+
+  test("decodeWav rejects non-PCM format tags") {
+    val b = ByteBuffer.allocate(12 + 8 + 16 + 8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(0).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(3).putShort(1).putInt(8000).putInt(32000).putShort(4).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(0)
+    intercept[IllegalArgumentException](MediaCodec.decodeWav(b.array()))
+  }
+
+  test("decodeImage sniffs by magic, ignoring any format tag") {
+    val rgb = Array.tabulate(2 * 2 * 3)(_.toByte)
+    assert(MediaCodec.decodeImage(MediaCodec.encodeBmp24(2, 2, rgb)).pixels.toSeq == rgb.toSeq)
+    assert(MediaCodec.decodeImage(MediaCodec.encodePpm(2, 2, rgb)).pixels.toSeq == rgb.toSeq)
+  }
+}
