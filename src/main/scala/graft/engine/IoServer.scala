@@ -613,26 +613,41 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
           // optional second arg: write the fragment to a file (feeds
           // OPH_EXPORTNC); optional third arg selects the container:
           // classic (CDF-1, default) | cdf5 | netcdf4 (HDF5) |
-          // zarr (v2 store) | zarr3 (v3 store)
+          // zarr (v2 store) | zarr3 (v3 store); optional fourth arg:
+          // rows per chunk for the Zarr stores. The Zarr formats export
+          // DISTRIBUTED — executors write the chunks, the driver only
+          // the metadata (ZarrExport) — because a chunked store has no
+          // single-file append constraint; the .nc containers are
+          // single-file writes and stay driver-side, bounded by the
+          // reference's own result-paging semantics.
           args.lift(1).filter(_.nonEmpty).foreach { path =>
-            val rows = r.select("id_dim", "measure").collect()
-            val m = if (rows.isEmpty) 0 else rows.head.getSeq[Double](1).size
-            val data = rows.flatMap(_.getSeq[Double](1)).map(d => d)
-            val dims = Seq("id_dim" -> rows.length, "elem" -> m)
+            val rowsPerChunk = args.lift(3).filter(_.nonEmpty)
+              .map(_.toInt).getOrElse(0)
             args.lift(2).filter(_.nonEmpty).getOrElse("classic") match {
-              case "classic" =>
-                graft.sources.NetCDF3.writeDoubleVar(path, dims, "measure", data)
-              case "cdf5" =>
-                graft.sources.NetCDF3.writeDoubleVar(path, dims, "measure",
-                  data, version = 5)
-              case "netcdf4" =>
-                graft.sources.HDF5.writeDoubleVar(path, dims, "measure", data)
               case "zarr" =>
-                graft.sources.Zarr.writeDoubleVar(path, dims, "measure", data)
+                graft.sources.ZarrExport.writeDistributed(r, "id_dim",
+                  "measure", path, "measure", v3 = false, rowsPerChunk)
               case "zarr3" =>
-                graft.sources.Zarr.writeDoubleVarV3(path, dims, "measure", data)
-              case o => throw new IllegalArgumentException(
-                s"unknown export format: $o")
+                graft.sources.ZarrExport.writeDistributed(r, "id_dim",
+                  "measure", path, "measure", v3 = true, rowsPerChunk)
+              case fmt =>
+                val rows = r.select("id_dim", "measure").collect()
+                val m = if (rows.isEmpty) 0 else rows.head.getSeq[Double](1).size
+                val data = rows.flatMap(_.getSeq[Double](1)).map(d => d)
+                val dims = Seq("id_dim" -> rows.length, "elem" -> m)
+                fmt match {
+                  case "classic" =>
+                    graft.sources.NetCDF3.writeDoubleVar(path, dims, "measure",
+                      data)
+                  case "cdf5" =>
+                    graft.sources.NetCDF3.writeDoubleVar(path, dims, "measure",
+                      data, version = 5)
+                  case "netcdf4" =>
+                    graft.sources.HDF5.writeDoubleVar(path, dims, "measure",
+                      data)
+                  case o => throw new IllegalArgumentException(
+                    s"unknown export format: $o")
+                }
             }
           }
           lastResultSet = Some(r)

@@ -170,8 +170,10 @@ object NetCDFQueries {
       "measure=measure;explicit=1")
     ses.execute("operation=function;function_name=oph_export;" +
       s"function_args=exsrc|$h5Path|netcdf4")
+    // rows-per-chunk 16 → a 4-chunk grid: the DISTRIBUTED export path
+    // (executors write chunks, driver only metadata) under the oracle
     ses.execute("operation=function;function_name=oph_export;" +
-      s"function_args=exsrc|$z3Path|zarr3")
+      s"function_args=exsrc|$z3Path|zarr3|16")
     ses.execute(s"operation=file_import;frag_name=exh5;src_path=@$h5Path;" +
       "measure=measure;explicit=1")
     ses.execute(s"operation=file_import;frag_name=exz3;src_path=@$z3Path;" +

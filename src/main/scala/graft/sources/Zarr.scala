@@ -354,6 +354,100 @@ object Zarr {
 
   // =============================================================== WRITE
 
+  /** Store/array metadata for a float64 C-order array — shared by the
+    * single-node writers and the distributed export (which writes
+    * chunks from executors and calls this from the driver only). v2
+    * carries a zlib/blosc compressor JSON; v3 a bytes-little + gzip
+    * codec chain. Returns the array directory. */
+  private[sources] def writeStoreMeta(path: String, varName: String,
+      shape: Seq[Int], chunks: Seq[Int], v3: Boolean, level: Int,
+      compressor: String = "zlib"): Path = {
+    val (rootPath, fs) = fsFor(path)
+    fs.mkdirs(rootPath)
+    def put(p: Path, b: Array[Byte]): Unit = {
+      val o = fs.create(p, true)
+      try o.write(b) finally o.close()
+    }
+    val dir = new Path(rootPath, varName)
+    fs.mkdirs(dir)
+    if (v3) {
+      put(new Path(rootPath, "zarr.json"),
+        """{"zarr_format": 3, "node_type": "group"}""".getBytes("UTF-8"))
+      val zmeta =
+        s"""{"zarr_format": 3,
+           | "node_type": "array",
+           | "shape": [${shape.mkString(", ")}],
+           | "data_type": "float64",
+           | "chunk_grid": {"name": "regular",
+           |   "configuration": {"chunk_shape": [${chunks.mkString(", ")}]}},
+           | "chunk_key_encoding": {"name": "default",
+           |   "configuration": {"separator": "/"}},
+           | "fill_value": 0.0,
+           | "codecs": [
+           |   {"name": "bytes", "configuration": {"endian": "little"}},
+           |   {"name": "gzip", "configuration": {"level": $level}}]}"""
+          .stripMargin
+      put(new Path(dir, "zarr.json"), zmeta.getBytes("UTF-8"))
+    } else {
+      put(new Path(rootPath, ".zgroup"),
+        """{"zarr_format": 2}""".getBytes("UTF-8"))
+      val compJson = compressor match {
+        case "zlib" => s"""{"id": "zlib", "level": $level}"""
+        case "blosc" =>
+          s"""{"id": "blosc", "cname": "lz4", "clevel": $level,
+             | "shuffle": 1, "blocksize": 0}""".stripMargin
+        case o => throw new IllegalArgumentException(s"writer compressor $o")
+      }
+      val zarray =
+        s"""{"zarr_format": 2,
+           | "shape": [${shape.mkString(", ")}],
+           | "chunks": [${chunks.mkString(", ")}],
+           | "dtype": "<f8",
+           | "compressor": $compJson,
+           | "fill_value": 0.0,
+           | "order": "C",
+           | "filters": null}""".stripMargin
+      put(new Path(dir, ".zarray"), zarray.getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  /** Chunk object key for grid index `gidx`: v2 "i.j", v3 "c/i/j". */
+  private[sources] def chunkKey(gidx: Seq[Int], v3: Boolean): String =
+    if (v3) ("c" +: gidx.map(_.toString)).mkString("/")
+    else gidx.mkString(".")
+
+  /** Compress one raw chunk: zlib deflate (v2) / gzip (v3) — the codec
+    * the matching metadata declares. Pure function, callable from
+    * executors. */
+  private[sources] def compressChunk(raw: Array[Byte], v3: Boolean,
+      level: Int): Array[Byte] =
+    if (v3) {
+      val gz = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+      val gzo = new java.util.zip.GZIPOutputStream(gz) { `def`.setLevel(level) }
+      gzo.write(raw); gzo.close()
+      gz.toByteArray
+    } else {
+      val d = new Deflater(level)
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+
+  /** Write one object into the store, opening the FileSystem locally —
+    * executors call this with their own handles (same discipline as
+    * [[RandomInput]] reads). */
+  private[sources] def putObject(arrayDir: String, key: String,
+      bytes: Array[Byte]): Unit = {
+    val p = new Path(arrayDir, key)
+    val fs = p.getFileSystem(new Configuration())
+    val o = fs.create(p, true)
+    try o.write(bytes) finally o.close()
+  }
+
   /** Write a float64 little-endian Zarr v2 store: `.zgroup` at the root,
     * the array under `varName/` with compressed C-order chunks — the
     * layout a netCDF-over-Zarr writer produces for one variable.
@@ -366,32 +460,8 @@ object Zarr {
     require(data.length == shape.product, "data size != dim product")
     val chunks = chunkDims.getOrElse(shape)
     val rank = shape.size
-    val (rootPath, fs) = fsFor(path)
-    fs.mkdirs(rootPath)
-    def put(p: Path, b: Array[Byte]): Unit = {
-      val o = fs.create(p, true)
-      try o.write(b) finally o.close()
-    }
-    put(new Path(rootPath, ".zgroup"), """{"zarr_format": 2}""".getBytes("UTF-8"))
-    val dir = new Path(rootPath, varName)
-    fs.mkdirs(dir)
-    val compJson = compressor match {
-      case "zlib" => s"""{"id": "zlib", "level": $level}"""
-      case "blosc" =>
-        s"""{"id": "blosc", "cname": "lz4", "clevel": $level,
-           | "shuffle": 1, "blocksize": 0}""".stripMargin
-      case o => throw new IllegalArgumentException(s"writer compressor $o")
-    }
-    val zarray =
-      s"""{"zarr_format": 2,
-         | "shape": [${shape.mkString(", ")}],
-         | "chunks": [${chunks.mkString(", ")}],
-         | "dtype": "<f8",
-         | "compressor": $compJson,
-         | "fill_value": 0.0,
-         | "order": "C",
-         | "filters": null}""".stripMargin
-    put(new Path(dir, ".zarray"), zarray.getBytes("UTF-8"))
+    val dir = writeStoreMeta(path, varName, shape, chunks, v3 = false,
+      level, compressor)
     val grid = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     val strides = shape.scanRight(1)(_ * _).tail
     val chunkStrides = chunks.scanRight(1)(_ * _).tail
@@ -414,16 +484,9 @@ object Zarr {
       fill(0, 0, 0)
       val comp = compressor match {
         case "blosc" => Blosc.compress(raw, typesize = 8, codec = 1)
-        case _ =>
-          val d = new Deflater(level)
-          d.setInput(raw); d.finish()
-          val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
-          val buf = new Array[Byte](8192)
-          while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-          d.end()
-          out.toByteArray
+        case _ => compressChunk(raw, v3 = false, level)
       }
-      put(new Path(dir, gidx.mkString(".")), comp)
+      putObject(dir.toString, chunkKey(gidx, v3 = false), comp)
     }
     def rec(dim: Int, gidx: Array[Int]): Unit =
       if (dim == rank) writeChunk(gidx.toSeq)
@@ -442,31 +505,7 @@ object Zarr {
     require(data.length == shape.product, "data size != dim product")
     val chunks = chunkDims.getOrElse(shape)
     val rank = shape.size
-    val (rootPath, fs) = fsFor(path)
-    fs.mkdirs(rootPath)
-    def put(p: Path, b: Array[Byte]): Unit = {
-      val o = fs.create(p, true)
-      try o.write(b) finally o.close()
-    }
-    put(new Path(rootPath, "zarr.json"),
-      """{"zarr_format": 3, "node_type": "group"}""".getBytes("UTF-8"))
-    val dir = new Path(rootPath, varName)
-    fs.mkdirs(dir)
-    val zmeta =
-      s"""{"zarr_format": 3,
-         | "node_type": "array",
-         | "shape": [${shape.mkString(", ")}],
-         | "data_type": "float64",
-         | "chunk_grid": {"name": "regular",
-         |   "configuration": {"chunk_shape": [${chunks.mkString(", ")}]}},
-         | "chunk_key_encoding": {"name": "default",
-         |   "configuration": {"separator": "/"}},
-         | "fill_value": 0.0,
-         | "codecs": [
-         |   {"name": "bytes", "configuration": {"endian": "little"}},
-         |   {"name": "gzip", "configuration": {"level": $level}}]}"""
-        .stripMargin
-    put(new Path(dir, "zarr.json"), zmeta.getBytes("UTF-8"))
+    val dir = writeStoreMeta(path, varName, shape, chunks, v3 = true, level)
     val grid = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     val strides = shape.scanRight(1)(_ * _).tail
     val chunkStrides = chunks.scanRight(1)(_ * _).tail
@@ -487,13 +526,8 @@ object Zarr {
         }
       }
       fill(0, 0, 0)
-      val gz = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
-      val gzo = new java.util.zip.GZIPOutputStream(gz) {
-        `def`.setLevel(level)
-      }
-      gzo.write(raw); gzo.close()
-      put(new Path(dir, ("c" +: gidx.map(_.toString)).mkString("/")),
-        gz.toByteArray)
+      putObject(dir.toString, chunkKey(gidx, v3 = true),
+        compressChunk(raw, v3 = true, level))
     }
     def rec(dim: Int, gidx: Array[Int]): Unit =
       if (dim == rank) writeChunk(gidx.toSeq)

@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, first, max, min, size}
+
+/** Distributed Zarr export: the scale-safe counterpart of the driver-side
+  * `oph_export` single-file path. The DRIVER writes only the store
+  * metadata (`.zgroup`/`.zarray` or the `zarr.json` pair); every chunk is
+  * assembled, compressed and written by the EXECUTOR holding its rows,
+  * through its own Hadoop FileSystem handle (the write-side mirror of
+  * [[RandomInput]]'s partitioned reads — s3a://, hdfs:// and file:// all
+  * work wherever the cluster has the connector). No row bytes ever pass
+  * through the driver, so a 100 TB fragment exports at scan parallelism.
+  *
+  * The reference's export (OPH_EXPORTNC via oph_io_server) is a
+  * single-process write of a whole fragment; this keeps its result
+  * layout (one 2-D float64 array, rows × elements) while distributing
+  * the byte movement.
+  *
+  * Layout: shape (n, m), chunks (rowsPerChunk, m) — row-aligned chunking
+  * means each output chunk's rows are exactly one shuffle group, so a
+  * chunk never needs rows from two tasks. Fragments carry contiguous
+  * id_dim (sequential_id), so the row index is id − min(id) and the
+  * export needs NO sort — one aggregate for the header stats, one
+  * hash shuffle on the chunk id, one write pass. A non-contiguous id
+  * column falls back to sort + zipWithIndex.
+  */
+object ZarrExport {
+
+  /** Export `frag`'s (idCol, arrCol) as a float64 Zarr store; returns
+    * (rows, chunkCount). `rowsPerChunk <= 0` picks ~4 MiB chunks — the
+    * object-store sweet spot; tiny test fragments pass an explicit value
+    * to exercise the multi-chunk path. */
+  def writeDistributed(frag: DataFrame, idCol: String, arrCol: String,
+      path: String, varName: String, v3: Boolean,
+      rowsPerChunk: Int = 0, level: Int = 6): (Long, Int) = {
+    val src = frag.select(col(idCol).cast("long").as("id"),
+      col(arrCol).cast("array<double>").as("a"))
+    val stats = src.agg(count(col("id")).as("n"), min(col("id")).as("lo"),
+      max(col("id")).as("hi"), first(size(col("a"))).as("m")).collect()(0)
+    val n = stats.getLong(0)
+    if (n == 0L) {
+      Zarr.writeStoreMeta(path, varName, Seq(0, 0), Seq(1, 1), v3, level)
+      return (0L, 0)
+    }
+    val (lo, hi, m) = (stats.getLong(1), stats.getLong(2), stats.getInt(3))
+    require(n <= Int.MaxValue, "Zarr shape dims are Int-sized")
+    val rpc =
+      if (rowsPerChunk > 0) rowsPerChunk
+      else math.max(1, (4 << 20) / (m * 8))
+    val nChunks = ((n + rpc - 1) / rpc).toInt
+    Zarr.writeStoreMeta(path, varName, Seq(n.toInt, m), Seq(rpc, m), v3, level)
+    val arrayDir = new org.apache.hadoop.fs.Path(path, varName).toString
+
+    // row index without a global sort when ids are contiguous (the
+    // fragment invariant); otherwise sort + zipWithIndex
+    val indexed: org.apache.spark.rdd.RDD[(Long, Array[Double])] =
+      if (hi - lo + 1 == n)
+        src.rdd.map(r => (r.getLong(0) - lo, r.getSeq[Double](1).toArray))
+      else
+        src.orderBy("id").rdd.zipWithIndex().map { case (r, i) =>
+          (i, r.getSeq[Double](1).toArray)
+        }
+
+    // one shuffle group per chunk; the group is bounded (rpc rows) and
+    // the executor that receives it writes the chunk object directly
+    indexed
+      .map { case (i, a) => (i / rpc, (i, a)) }
+      .groupByKey(math.max(1, math.min(nChunks,
+        frag.sparkSession.sparkContext.defaultParallelism)))
+      .foreach { case (gid, rows) =>
+        val raw = new Array[Byte](rpc * m * 8) // edge chunks stay full-size
+        val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        rows.foreach { case (i, a) =>
+          val off = ((i - gid * rpc) * m * 8).toInt
+          var j = 0
+          while (j < m) { bb.putDouble(off + j * 8, a(j)); j += 1 }
+        }
+        Zarr.putObject(arrayDir, Zarr.chunkKey(Seq(gid.toInt, 0), v3),
+          Zarr.compressChunk(raw, v3, level))
+      }
+    (n, nChunks)
+  }
+}

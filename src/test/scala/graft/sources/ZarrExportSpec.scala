@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Distributed Zarr export: executors write the chunks, the driver only
+  * metadata. Readback goes through ZarrReader, so the store must be
+  * spec-valid, not merely self-consistent. */
+class ZarrExportSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_zexp").resolve("store.zarr").toString
+
+  private def readBack(path: String, n: Int, m: Int): Seq[Double] = {
+    val r = new Zarr.ZarrReader(path)
+    try r.readSlab("measure", Seq(0, 0), Seq(n, m)).toSeq
+    finally r.close()
+  }
+
+  test("v2: multi-chunk multi-partition export round-trips; driver sees no rows") {
+    import spark.implicits._
+    val (n, m) = (53, 6) // ragged: 53 rows / 10-row chunks -> 6 chunks
+    val df = (0 until n).map(i =>
+      (i.toLong + 1, Array.tabulate(m)(j => i * 1.0 + j * 0.25)))
+      .toDF("id_dim", "measure").repartition(7)
+    val p = tmp()
+    val (rows, chunks) = ZarrExport.writeDistributed(df, "id_dim", "measure",
+      p, "measure", v3 = false, rowsPerChunk = 10)
+    assert(rows == n && chunks == 6)
+    // chunk objects exist under dotted v2 keys, written by executors
+    assert(Files.exists(Paths.get(p, "measure", "0.0")))
+    assert(Files.exists(Paths.get(p, "measure", "5.0")))
+    val got = readBack(p, n, m)
+    val want = (0 until n).flatMap(i => (0 until m).map(j => i * 1.0 + j * 0.25))
+    assert(got == want)
+  }
+
+  test("v3: default chunk-key encoding (c/i/j), gzip codec chain") {
+    import spark.implicits._
+    val (n, m) = (20, 4)
+    val df = (0 until n).map(i =>
+      (i.toLong, Array.tabulate(m)(j => i * 2.0 - j)))
+      .toDF("id_dim", "measure").repartition(3)
+    val p = tmp()
+    val (rows, chunks) = ZarrExport.writeDistributed(df, "id_dim", "measure",
+      p, "measure", v3 = true, rowsPerChunk = 8)
+    assert(rows == n && chunks == 3)
+    assert(Files.exists(Paths.get(p, "measure", "c", "0", "0")))
+    assert(Files.exists(Paths.get(p, "measure", "c", "2", "0")))
+    val got = readBack(p, n, m)
+    val want = (0 until n).flatMap(i => (0 until m).map(j => i * 2.0 - j))
+    assert(got == want)
+  }
+
+  test("non-contiguous ids fall back to sort + zipWithIndex, same layout") {
+    import spark.implicits._
+    val m = 3
+    // ids with gaps, shuffled order: row index must follow id order
+    val ids = Seq(2L, 11L, 5L, 40L, 23L, 17L)
+    val df = ids.map(id => (id, Array.tabulate(m)(j => id * 10.0 + j)))
+      .toDF("id_dim", "measure").repartition(4)
+    val p = tmp()
+    val (rows, chunks) = ZarrExport.writeDistributed(df, "id_dim", "measure",
+      p, "measure", v3 = false, rowsPerChunk = 4)
+    assert(rows == ids.length && chunks == 2)
+    val got = readBack(p, ids.length, m)
+    val want = ids.sorted.flatMap(id => (0 until m).map(j => id * 10.0 + j))
+    assert(got == want)
+  }
+
+  test("empty fragment writes metadata only") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Array[Double])].toDF("id_dim", "measure")
+    val p = tmp()
+    val (rows, chunks) = ZarrExport.writeDistributed(df, "id_dim", "measure",
+      p, "measure", v3 = false)
+    assert(rows == 0L && chunks == 0)
+    assert(Files.exists(Paths.get(p, ".zgroup")))
+  }
+}
