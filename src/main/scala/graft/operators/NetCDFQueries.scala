@@ -256,7 +256,10 @@ object NetCDFQueries {
     * qn02 grid as a chunked+deflate measure among 9 decoy coordinate
     * variables; both go through file_import → the format-sniffing DSv2
     * reader and are joined on id_dim (reference NetCDF-4 dispatch:
-    * oph_io_server_nc.c:1612,2716-3243). */
+    * oph_io_server_nc.c:1612,2716-3243). A third twin carries an
+    * UNLIMITED row dim (extensible-array chunk index — what libver=
+    * latest emits for the unlimited-time climate shape; reference
+    * `dim_unlim`, oph_io_server_query_blocks.c:1167-1367). */
   def qn05_hdf5_dense_v4(s: SparkSession, dir: String): DataFrame = {
     val (nRows, nCols) = (60, 8)
     val data = Array.tabulate(nRows * nCols)(k =>
@@ -269,13 +272,20 @@ object NetCDFQueries {
     val tmp = Files.createTempDirectory("graft_h5x")
     val densePath = tmp.resolve("dense.h5").toString
     val latestPath = tmp.resolve("latest.h5").toString
+    val unlimPath = tmp.resolve("unlim.h5").toString
     graft.sources.HDF5.writeDoubleVarsDense(densePath, decoys :+ measure)
     graft.sources.HDF5.writeLatestVars(latestPath, decoys :+ measure,
       index = "fixedarray")
+    // unlimited row dim: 8-row chunks -> 8 chunks, 4 inline in the EAIB
+    // + 4 spilling into the first EADB data block
+    graft.sources.HDF5.writeLatestVars(unlimPath, decoys :+ measure.copy(
+      chunkDims = Some(Seq(8, 8))), index = "extarray")
     val ses = new IoServer(s).newSession()
     ses.execute(s"operation=file_import;frag_name=dn;src_path=@$densePath;" +
       "measure=measure;explicit=1")
     ses.execute(s"operation=file_import;frag_name=lt;src_path=@$latestPath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=un;src_path=@$unlimPath;" +
       "measure=measure;explicit=1")
     val dn = ses.execute(
       "operation=select;field=id_dim|measure;from=dn;order=id_dim").get
@@ -283,7 +293,10 @@ object NetCDFQueries {
     val lt = ses.execute(
       "operation=select;field=id_dim|measure;from=lt;order=id_dim").get
       .select(col("id_dim"), AP.fx12(col("measure")).as("m_latest"))
-    dn.join(lt, "id_dim").orderBy("id_dim")
+    val un = ses.execute(
+      "operation=select;field=id_dim|measure;from=un;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_unlim"))
+    dn.join(lt, "id_dim").join(un, "id_dim").orderBy("id_dim")
   }
 
   /** qn06 — CDF-5 (the PnetCDF 64-bit-data classic variant): the qn02
@@ -403,7 +416,10 @@ object NetCDFQueries {
            AS m_dense,
          array_to_string(list_transform(range(0, 8),
            j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
-           AS m_latest
+           AS m_latest,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_unlim
          FROM range(1, 61) t(i)
          ORDER BY id_dim""",
     "qn06_cdf5_roundtrip" ->

@@ -75,6 +75,7 @@ object HDF5 {
   final case class IdxImplicit(addr: Long) extends ChunkIndex
   final case class IdxFixedArray(addr: Long) extends ChunkIndex
   final case class IdxBTreeV2(addr: Long) extends ChunkIndex
+  final case class IdxExtArray(addr: Long) extends ChunkIndex
 
   /** One dataset: shape, element type, layout. For chunked layout,
     * `chunkDims` has one entry per dataspace dim (the trailing
@@ -637,8 +638,13 @@ object HDF5 {
                   case 5 => // v2 B-tree: node size(4), split %(1), merge %(1)
                     q += 6
                     IdxBTreeV2(b.getLong(q))
-                  case 4 => throw new IllegalArgumentException(
-                    "extensible-array chunk index (unlimited dims) not supported")
+                  case 4 =>
+                    // extensible array (one unlimited dim): 5 creation
+                    // params (max bits, index elmts, min ptrs, min
+                    // elmts, page bits) — the EAHD header carries the
+                    // authoritative copies, so only the address is kept
+                    q += 5
+                    IdxExtArray(b.getLong(q))
                   case t => throw new IllegalArgumentException(
                     s"chunk index type $t unsupported")
                 }
@@ -703,6 +709,8 @@ object HDF5 {
             (0L until grid.map(_.toLong).product).map(ci =>
               (originOf(ci), addr + ci * nominal, nominal))
           case IdxFixedArray(hdr) => fixedArrayEntries(d, hdr, originOf)
+          case IdxExtArray(hdr) =>
+            extensibleArrayEntries(d, hdr, grid.map(_.toLong).product, originOf)
           case IdxBTreeV2(hdr) =>
             val btType = bytesAt(hdr + 5, 1)(0) & 0xFF
             val recordSize = bb(hdr + 10, 2).getShort(0) & 0xFFFF
@@ -812,6 +820,114 @@ object HDF5 {
         }
         out.toSeq
       }
+    }
+
+    /** Extensible-array chunk index (layout v4 type 4 — what HDF5 1.10+
+      * "latest" emits for ONE unlimited dimension, the canonical
+      * unlimited-time climate shape; reference capability `dim_unlim`,
+      * oph_io_server_query_blocks.c:1167-1367). Structure walk: EAHD
+      * header (creation params + stats + index block address) → EAIB
+      * index block (first idx_blk_elmts elements inline, then direct
+      * data block addresses) → EADB data blocks. Data blocks grow in
+      * super-block generations: generation u holds 2^(u/2) blocks of
+      * 2^((u+1)/2)·data_blk_min_elmts elements, and the first
+      * 2·(sup_blk_min_data_ptrs−1) blocks are addressed straight from
+      * the index block. Client 0 = chunk addresses; client 1 =
+      * (address, stored size, filter mask). Secondary blocks and paged
+      * data blocks (beyond-RAM element counts) are rejected clearly. */
+    private def extensibleArrayEntries(d: Dataset, hdrAddr: Long,
+        totalChunks: Long, originOf: Long => Seq[Long])
+        : Seq[(Seq[Long], Long, Long)] = {
+      require(bytesAt(hdrAddr, 4).sameElements("EAHD".getBytes),
+        "extensible array header expected")
+      val h = bb(hdrAddr + 4, 64)
+      require((h.get(0) & 0xFF) == 0, "EAHD version 0 expected")
+      val clientId = h.get(1) & 0xFF
+      require(clientId == 0 || clientId == 1,
+        s"extensible array client $clientId unsupported")
+      val elmtSize = h.get(2) & 0xFF
+      val maxNelmtsBits = h.get(3) & 0xFF
+      val idxBlkElmts = h.get(4) & 0xFF
+      val dataBlkMinElmts = h.get(5) & 0xFF
+      val supBlkMinDataPtrs = h.get(6) & 0xFF
+      val maxDblkPageBits = h.get(7) & 0xFF
+      // 6 stats lengths (nsuper, super size, ndata, data size, max idx,
+      // nelmts) precede the index block address
+      val iblkAddr = h.getLong(8 + 48)
+      require(iblkAddr != Undef, s"${d.name}: extensible array index block unallocated")
+      require(bytesAt(iblkAddr, 4).sameElements("EAIB".getBytes),
+        "extensible array index block expected")
+      val nominal = d.chunkDims.product.toLong * d.dtype.size
+      def log2(x: Int): Int = 31 - Integer.numberOfLeadingZeros(x)
+      val ndblkAddrs = 2 * (supBlkMinDataPtrs - 1)
+      val nsblks = 1 + (maxNelmtsBits - log2(dataBlkMinElmts))
+      val nsblkAddrs = nsblks - 2 * log2(supBlkMinDataPtrs)
+      // generation table: block count, elements per block, start offsets
+      // (in the post-inline element space)
+      val gen = new Array[(Long, Long, Long, Long)](nsblks) // (ndblks, nelmts, startIdx, startDblk)
+      var (si, sd) = (0L, 0L)
+      var u = 0
+      while (u < nsblks) {
+        val nd = 1L << (u / 2)
+        val ne = (1L << ((u + 1) / 2)) * dataBlkMinElmts
+        gen(u) = (nd, ne, si, sd)
+        si += nd * ne; sd += nd
+        u += 1
+      }
+      val iblkBase = iblkAddr + 4 + 1 + 1 + 8 // sig, ver, client, hdr addr
+      val inline = bb(iblkBase, idxBlkElmts * elmtSize)
+      val dblkAddrs = bb(iblkBase + idxBlkElmts * elmtSize, ndblkAddrs * 8)
+      val arrOffSize = (maxNelmtsBits + 7) / 8
+      // per-data-block element buffers, read lazily once each
+      val dblkCache = mutable.Map.empty[Long, ByteBuffer]
+      def element(raw: ByteBuffer, off: Int, ci: Long)
+          : (Seq[Long], Long, Long) = {
+        val addr = raw.getLong(off)
+        val size =
+          if (clientId == 0) nominal
+          else {
+            val szLen = elmtSize - 12
+            var v = 0L; var i = 0
+            while (i < szLen) { v |= (raw.get(off + 8 + i).toLong & 0xFF) << (8 * i); i += 1 }
+            v
+          }
+        (originOf(ci), addr, size)
+      }
+      val out = mutable.ArrayBuffer.empty[(Seq[Long], Long, Long)]
+      var ci = 0L
+      while (ci < totalChunks) {
+        val e =
+          if (ci < idxBlkElmts) element(inline, (ci * elmtSize).toInt, ci)
+          else {
+            val idx = ci - idxBlkElmts
+            // generation of this element: cumulative ranges, equivalent
+            // to the spec's log2(idx/min_elmts + 1)
+            var g = 0
+            while (idx >= gen(g)._3 + gen(g)._1 * gen(g)._2) g += 1
+            val (_, ne, startIdx, startDblk) = gen(g)
+            require(ne <= (1L << maxDblkPageBits),
+              s"${d.name}: paged extensible-array data blocks unsupported")
+            val dblk = startDblk + (idx - startIdx) / ne
+            require(dblk < ndblkAddrs,
+              s"${d.name}: extensible-array secondary blocks unsupported " +
+                s"(data block $dblk beyond the $ndblkAddrs index-block slots; " +
+                s"$nsblkAddrs secondary slots unread)")
+            val within = (idx - startIdx) % ne
+            val dAddr = dblkAddrs.getLong((dblk * 8).toInt)
+            if (dAddr == Undef) (originOf(ci), Undef, 0L) // whole block unwritten
+            else {
+              val raw = dblkCache.getOrElseUpdate(dAddr, {
+                require(bytesAt(dAddr, 4).sameElements("EADB".getBytes),
+                  "extensible array data block expected")
+                bb(dAddr + 4 + 1 + 1 + 8 + arrOffSize, (ne * elmtSize).toInt)
+              })
+              element(raw, (within * elmtSize).toInt, ci)
+            }
+          }
+        if (e._2 != Undef) out += e // unwritten chunks stay at fill value
+        ci += 1
+      }
+      out.toSeq
     }
 
     private def inflateBytes(b: Array[Byte], hint: Int): Array[Byte] = {
@@ -1607,13 +1723,31 @@ object HDF5 {
           while (nodeSize < entries.size.toLong * recordSize + 10) nodeSize *= 2
           layoutBody.u32(nodeSize); layoutBody.u8(100); layoutBody.u8(40)
           layoutBody.u64(hdr)
+        case "extarray" =>
+          val hdr = writeExtensibleArray(b, entries, cd, shape, nominal,
+            filtered)
+          layoutBody.u8(4)
+          // creation params, duplicated in the EAHD (library defaults)
+          layoutBody.u8(32); layoutBody.u8(4) // max bits, index elmts
+          layoutBody.u8(4); layoutBody.u8(16) // min ptrs, min elmts
+          layoutBody.u8(10)                   // page bits
+          layoutBody.u64(hdr)
         case o => throw new IllegalArgumentException(s"index kind $o")
       }
     }
     val msgs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
     val space = new Buf
-    space.u8(2); space.u8(rank); space.u8(0); space.u8(1) // v2, simple
-    shape.foreach(s => space.u64(s.toLong))
+    if (chunked && index == "extarray") {
+      // the extensible-array index exists for ONE unlimited dim: declare
+      // max-dims (flags bit 0) with dim 0 unlimited (all-ones sentinel)
+      space.u8(2); space.u8(rank); space.u8(1); space.u8(1)
+      shape.foreach(s => space.u64(s.toLong))
+      space.u64(-1L) // H5S_UNLIMITED
+      shape.tail.foreach(s => space.u64(s.toLong))
+    } else {
+      space.u8(2); space.u8(rank); space.u8(0); space.u8(1) // v2, simple
+      shape.foreach(s => space.u64(s.toLong))
+    }
     msgs += ((0x01, space.result))
     val dt = new Buf; dtF64Body(dt)
     msgs += ((0x03, dt.result))
@@ -1671,6 +1805,94 @@ object HDF5 {
     b.u64(nelmts); b.u64(dbAddr)
     b.u32(lookup3(b.slice(hdrAddr, b.pos - hdrAddr)).toLong & 0xFFFFFFFFL)
     b.patch64(dbHdrPatch, hdrAddr)
+    hdrAddr
+  }
+
+  /** Extensible-array chunk index (layout v4 type 4): EADB data blocks
+    * (first generation(s) only — enough for every direct index-block
+    * slot), then the EAIB index block (first 4 elements inline, 6 direct
+    * data-block slots, secondary slots undefined), then the EAHD header.
+    * Library-default creation params (32/4/16/4/10). Returns the header
+    * address. */
+  private def writeExtensibleArray(b: Buf,
+      entries: Seq[(Seq[Int], Long, Long)], cd: Seq[Int], shape: Seq[Int],
+      nominal: Long, filtered: Boolean): Long = {
+    val (maxBits, idxElmts, dataBlkMin, supBlkMin, pageBits) = (32, 4, 16, 4, 10)
+    val szLen = limitEncSize(nominal)
+    val elmtSize = if (filtered) 8 + szLen + 4 else 8
+    val clientId = if (filtered) 1 else 0
+    val rank = cd.size
+    val grid = (0 until rank).map(i => (shape(i) + cd(i) - 1) / cd(i))
+    val total = grid.map(_.toLong).product
+    val byIdx = entries.map { case e @ (originC, _, _) =>
+      var ci = 0L
+      var i = 0
+      while (i < rank) { ci = ci * grid(i) + originC(i) / cd(i); i += 1 }
+      ci -> e
+    }.toMap
+    def putElement(ci: Long): Unit = byIdx.get(ci) match {
+      case Some((_, addr, stored)) =>
+        b.u64(addr)
+        if (filtered) {
+          var j = 0
+          while (j < szLen) { b.u8(((stored >> (8 * j)) & 0xFF).toInt); j += 1 }
+          b.u32(0) // filter mask
+        }
+      case None => // chunk never written: undefined address, zero size
+        b.u64(Undef)
+        if (filtered) {
+          (0 until szLen).foreach(_ => b.u8(0)); b.u32(0)
+        }
+    }
+    // data-block generations g: 2^(g/2) blocks of 2^((g+1)/2)*min elems
+    val ndblkAddrs = 2 * (supBlkMin - 1)
+    val dbs = mutable.ArrayBuffer.empty[(Long, Long)] // (startIdx, nelmts)
+    var (g, si) = (0, 0L)
+    while (si < total - idxElmts && dbs.size < ndblkAddrs) {
+      val ne = (1L << ((g + 1) / 2)) * dataBlkMin
+      var k = 0L
+      while (k < (1L << (g / 2)) && si < total - idxElmts &&
+        dbs.size < ndblkAddrs) {
+        dbs += ((si, ne)); si += ne; k += 1
+      }
+      g += 1
+    }
+    require(si >= total - idxElmts,
+      s"extensible-array writer: $total chunks exceed the direct " +
+        s"index-block slots (secondary blocks not written)")
+    val arrOffSize = (maxBits + 7) / 8
+    val hdrPatches = mutable.ArrayBuffer.empty[Int]
+    val dbAddrs = dbs.map { case (start, ne) =>
+      val addr = b.pos
+      b.bytes("EADB".getBytes); b.u8(0); b.u8(clientId)
+      hdrPatches += b.pos.toInt; b.u64(0)
+      var j = 0
+      while (j < arrOffSize) { b.u8(((start >> (8 * j)) & 0xFF).toInt); j += 1 }
+      (0L until ne).foreach(k => putElement(idxElmts + start + k))
+      b.u32(lookup3(b.slice(addr, b.pos - addr)).toLong & 0xFFFFFFFFL)
+      addr
+    }
+    val iblkAddr = b.pos
+    b.bytes("EAIB".getBytes); b.u8(0); b.u8(clientId)
+    hdrPatches += b.pos.toInt; b.u64(0)
+    (0L until idxElmts.toLong).foreach(putElement)
+    (0 until ndblkAddrs).foreach(i =>
+      b.u64(if (i < dbAddrs.size) dbAddrs(i) else Undef))
+    def log2(x: Int): Int = 31 - Integer.numberOfLeadingZeros(x)
+    val nsblkAddrs = (1 + (maxBits - log2(dataBlkMin))) - 2 * log2(supBlkMin)
+    (0 until nsblkAddrs).foreach(_ => b.u64(Undef))
+    b.u32(lookup3(b.slice(iblkAddr, b.pos - iblkAddr)).toLong & 0xFFFFFFFFL)
+    val hdrAddr = b.pos
+    b.bytes("EAHD".getBytes); b.u8(0); b.u8(clientId)
+    b.u8(elmtSize); b.u8(maxBits); b.u8(idxElmts)
+    b.u8(dataBlkMin); b.u8(supBlkMin); b.u8(pageBits)
+    b.u64(0); b.u64(0) // stats: no super blocks
+    b.u64(dbAddrs.size.toLong)
+    b.u64(dbs.map(_._2 * elmtSize + 14 + arrOffSize + 4).sum) // data blk bytes
+    b.u64(total); b.u64(total) // max index set, nelmts
+    b.u64(iblkAddr)
+    b.u32(lookup3(b.slice(hdrAddr, b.pos - hdrAddr)).toLong & 0xFFFFFFFFL)
+    hdrPatches.foreach(p => b.patch64(p, hdrAddr))
     hdrAddr
   }
 

@@ -249,6 +249,37 @@ class HDF5Spec extends AnyFunSuite {
     v4Roundtrip("btree2")
   }
 
+  test("layout v4: extensible-array index, inline elements only (<=4 chunks)") {
+    // 2x2 grid of chunks -> all 4 elements inline in the EAIB
+    v4Roundtrip("extarray", rows = 6, cols = 4, chunk = Some(Seq(3, 2)))
+  }
+
+  test("layout v4: extensible-array index spilling into data blocks") {
+    // 12 chunks: 4 inline + 8 in the first EADB generation (16 slots);
+    // the unlimited-time shape HDF5 1.10 'latest' emits
+    v4Roundtrip("extarray", rows = 9, cols = 8, chunk = Some(Seq(3, 2)))
+  }
+
+  test("layout v4: extensible-array crossing data-block generations") {
+    // 55 chunks: 4 inline + 16 (g0) + 32 (g1) + 3 into the first g2
+    // block - three generation sizes and a partially-written block
+    v4Roundtrip("extarray", rows = 55, cols = 5, chunk = Some(Seq(1, 5)))
+  }
+
+  test("extensible-array file declares an unlimited max dim") {
+    val p = tmp(".h5")
+    HDF5.writeLatestVars(p, Seq(HDF5.H5Var("m", Seq("r" -> 6, "c" -> 4),
+      grid(6, 4), Some(Seq(3, 2)))), "extarray")
+    val b = Files.readAllBytes(java.nio.file.Paths.get(p))
+    val s = new String(b.map(x => (x & 0xFF).toChar))
+    assert(s.contains("EAHD") && s.contains("EAIB"))
+    // dataspace v2 with flags=1 (max dims), dim0 max = H5S_UNLIMITED
+    val ds = s.indexOfSlice(Seq(2, 2, 1, 1).map(_.toChar))
+    assert(ds > 0, "v2 dataspace with max-dims flag present")
+    val maxDim0 = (0 until 8).map(i => (b(ds + 4 + 16 + i).toLong & 0xFF) << (8 * i)).sum
+    assert(maxDim0 == -1L, "dim 0 unlimited")
+  }
+
   test("layout v4: don't-filter-partial-edge-chunks flag") {
     v4Roundtrip("fixedarray", dontFilterPartial = true)
   }
