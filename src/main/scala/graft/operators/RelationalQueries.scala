@@ -135,15 +135,20 @@ object RelationalQueries {
       .orderBy("r_name")
   }
 
-  /** q11 — key algebra (§2.4): oph_id / oph_id2 / oph_id_to_index2 re-map
-    * and oph_is_in_subset filter over a dense key. Pure column arithmetic
-    * → whole-stage codegen, filter pushed to scan. */
+  /** q11 — key algebra (§2.4): the full family — oph_id / oph_id2 /
+    * oph_id3 (per-slot row-count subset remap, list [2,3,5] bs 4) /
+    * oph_id_to_index (mixed-radix decode over sizes 5·4·50) /
+    * oph_id_to_index2 — plus the oph_is_in_subset filter, over a dense
+    * key. Pure column arithmetic → whole-stage codegen, filter pushed
+    * to scan. */
   def q11_key_algebra(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     e.filter(KeyAlgebra.oph_is_in_subset(col("event_id"), 3, 7, 9000))
       .select(col("event_id"),
         KeyAlgebra.oph_id(col("event_id"), 10).as("block_id"),
         KeyAlgebra.oph_id2(col("event_id"), 10, 4).as("block_id2"),
+        KeyAlgebra.oph_id3(col("event_id"), Seq(2L, 3L, 5L), 4L).as("id3"),
+        KeyAlgebra.oph_id_to_index(col("event_id"), 5L, 4L, 50L).as("mr_idx"),
         KeyAlgebra.oph_id_to_index2(col("event_id"), 10, 100).as("dim_idx"))
       .orderBy("event_id")
   }
@@ -508,6 +513,12 @@ object RelationalQueries {
       """SELECT event_id,
          1 + (event_id - 1) // 10 AS block_id,
          1 + (event_id - 1) % 4 + ((event_id - 1) // 40) * 4 AS block_id2,
+         (event_id - 1) % 4
+           + ((CASE WHEN ((event_id - 1) // 4) % 10 < 2 THEN 0
+                    WHEN ((event_id - 1) // 4) % 10 < 5 THEN 1
+                    ELSE 2 END)
+              + (((event_id - 1) // 4) // 10) * 3) * 4 + 1 AS id3,
+         1 + ((event_id - 1) // 20) % 50 AS mr_idx,
          1 + ((event_id - 1) // 10) % 100 AS dim_idx
          FROM events
          WHERE (event_id - 3) % 7 = 0 AND event_id >= 3 AND event_id <= 9000
