@@ -227,12 +227,16 @@ object NetCDFQueries {
     val (nRows, nCols) = (60, 8)
     val data = Array.tabulate(nRows * nCols)(k =>
       (k / nCols) * 0.5 + (k % nCols) * 0.125) // exact in binary
-    val path = Files.createTempDirectory("graft_esdm")
-      .resolve("grid.nc").toString
+    val tmpDir = Files.createTempDirectory("graft_esdm")
+    val path = tmpDir.resolve("grid.nc").toString
     NetCDF3.writeDoubleVar(path, Seq("row" -> nRows, "col" -> nCols),
       "measure", data)
     val ses = new IoServer(s).newSession()
-    ses.execute(s"operation=esdm_import;frag_name=em;src_path=@$path;" +
+    // the bulk import names the container with the reference's esdm://
+    // URI scheme (oph_io_server_esdm.c:2043); NcReader.resolve maps it
+    // under graft.esdm.root
+    System.setProperty("graft.esdm.root", tmpDir.toString)
+    ses.execute(s"operation=esdm_import;frag_name=em;src_path=@esdm://grid.nc;" +
       "measure=measure;explicit=1;sub_operation=max;sub_args=8")
     ses.execute(s"operation=create_frag_select_esdm;frag_name=ea;" +
       "field=id_dim|measure;field_alias=id_dim|measure;" +

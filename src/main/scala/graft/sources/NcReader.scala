@@ -18,10 +18,26 @@ trait NcReader extends AutoCloseable {
 
 object NcReader {
 
-  def open(path: String): NcReader =
+  /** `esdm://container[/object]` — the reference's ESDM URI scheme
+    * (oph_io_server_esdm.c:2043 checks this prefix before dispatching to
+    * the ESDM library). ESDM itself is a storage library, not a wire
+    * protocol; the sanctioned Spark-side mapping aliases a container
+    * name to a store under `graft.esdm.root` (system property, or the
+    * GRAFT_ESDM_ROOT env var — a shared-FS or object-store prefix on a
+    * real cluster), so reference-shaped queries parse unchanged. */
+  def resolve(path: String): String =
+    if (path.startsWith("esdm://")) {
+      val root = sys.props.get("graft.esdm.root")
+        .orElse(sys.env.get("GRAFT_ESDM_ROOT")).getOrElse(".")
+      root.stripSuffix("/") + "/" + path.stripPrefix("esdm://")
+    } else path
+
+  def open(path0: String): NcReader = {
+    val path = resolve(path0)
     if (Zarr.isZarr(path)) new Zarr.ZarrReader(path) // directory store
     else if (HDF5.isHdf5(path)) new H5Adapter(path)
     else new CdfAdapter(path)
+  }
 
   /** Shape lookup with open/close in one call (planning-time use). */
   def shapeOf(path: String, varName: String): Seq[Int] = {
