@@ -56,6 +56,59 @@ object StreamQueries {
       .orderBy("window_start")
   }
 
+  /** q30 — q23's watermarked window aggregation fed by a REAL file
+    * source instead of a MemoryStream: three parquet drops land in a
+    * watched directory (ts-split batch 1, batch 2, then the far-future
+    * sentinel) and FileStreamSource discovers each through its file log
+    * — real partitioned offsets, multiple part files per micro-batch,
+    * no driver-side row injection anywhere (the drops are executor
+    * writes of the events table itself). Must hash-match the same batch
+    * oracle as q23. At scale this IS the production shape: a landing
+    * directory on an object store, one micro-batch per arrival set. */
+  def q30_stream_filesource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val watch = java.nio.file.Files.createTempDirectory("graft_fsrc").toString
+    val ev = Tables.events(s, dir).select(col("ts").as("tns"), col("value"))
+    val mm = ev.agg(min("tns").as("lo"), max("tns").as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val splitTs = lo + (hi - lo) / 2 // strict value boundary between drops
+    val sentinelNs = hi + 7200L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("tns", LongType), StructField("value", DoubleType)))
+    val in = s.readStream.schema(schema).parquet(watch)
+    val agg = in
+      .withColumn("ts", timestamp_micros(KeyAlgebra.ldiv(col("tns"), lit(1000L))))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour").as("win"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("win.start")).as("window_start"),
+        col("n"), col("sum_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("q30_stream_out").start()
+    try {
+      // each drop is an executor-parallel parquet append; every append
+      // is discovered as one micro-batch (no maxFilesPerTrigger), so
+      // watermark order across drops holds by the ts split
+      ev.filter(col("tns") <= splitTs).write.mode("append").parquet(watch)
+      q.processAllAvailable()
+      ev.filter(col("tns") > splitTs).write.mode("append").parquet(watch)
+      q.processAllAvailable()
+      import s.implicits._
+      Seq((sentinelNs, 0.0)).toDF("tns", "value")
+        .write.mode("append").parquet(watch)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sentinelHour = sentinelNs / 3600000000000L * 3600L
+    val closed = s.table("q30_stream_out")
+      .filter(col("window_start") < sentinelHour)
+    val result = closed.collect().toIndexedSeq
+    val schemaOut = closed.schema
+    s.catalog.dropTempView("q30_stream_out")
+    s.createDataFrame(s.sparkContext.parallelize(result, 1), schemaOut)
+      .orderBy("window_start")
+  }
+
   /** q26 — streaming as-of enrichment: clicks and purchases flow through
     * flatMapGroupsWithState keyed by user; the state is the latest
     * purchase (ts, value) seen so far, and every click emits itself
@@ -265,6 +318,7 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_stream_window" -> (q23_stream_window _),
+    "q30_stream_filesource" -> (q30_stream_filesource _),
     "q26_stream_asof" -> (q26_stream_asof _),
     "q27_stream_sessionize" -> (q27_stream_sessionize _),
     "q28_stream_topk" -> (q28_stream_topk _),
@@ -272,6 +326,12 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "q23_stream_window" ->
+      """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS window_start,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY window_start""",
+    // the file-source stream must converge to the same batch windows
+    "q30_stream_filesource" ->
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS window_start,
          count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
