@@ -90,6 +90,95 @@ class IoServiceSpec extends SparkSpec {
     } finally svc.stop()
   }
 
+  test("binary wire: N parallel clients, interleaved lifecycle, isolated sessions") {
+    import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.util.concurrent.CyclicBarrier
+    // the reference serves 1 pthread/client under one GLOBAL rwlock; here
+    // every phase of every client runs concurrently (barrier-aligned so
+    // create/insert/select genuinely interleave across sessions) and each
+    // session must only ever see its own current_db and its own rows
+    val svc = new IoService(spark, wire = "binary")
+    val nClients = 6
+    val barrier = new CyclicBarrier(nClients)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val threads = (0 until nClients).map { k =>
+        val t = new Thread(() => {
+          try {
+            val c = new java.net.Socket("127.0.0.1", svc.boundPort)
+            val out = new DataOutputStream(new BufferedOutputStream(c.getOutputStream))
+            val in = new DataInputStream(new BufferedInputStream(c.getInputStream))
+            def wu64(v: Long): Unit = out.writeLong(java.lang.Long.reverseBytes(v))
+            def wu32(v: Int): Unit = out.writeInt(java.lang.Integer.reverseBytes(v))
+            def ru64(): Long = java.lang.Long.reverseBytes(in.readLong())
+            def ru32(): Int = java.lang.Integer.reverseBytes(in.readInt())
+            def wstr(s: String): Unit = {
+              val b = (s + "\u0000").getBytes("UTF-8")
+              wu64(b.length.toLong); out.write(b)
+            }
+            def tag(): String = {
+              val b = new Array[Byte](2); in.readFully(b); new String(b, "UTF-8")
+            }
+            def eq(q: String): String = {
+              out.write("EQ".getBytes); wu32(1); wstr(q); wstr("memory")
+              out.flush(); tag()
+            }
+            // phase 1: every client creates + enters its own database
+            barrier.await()
+            assert(eq(s"operation=create_database;db_name=cdb$k") == "EQ")
+            out.write("UD".getBytes); wstr(s"cdb$k"); wstr("memory"); out.flush()
+            assert(tag() == "UD")
+            // phase 2: create + insert interleave across all sessions
+            barrier.await()
+            assert(eq(s"operation=create_frag;frag_name=cf$k;" +
+              "column_name=id_dim|measure;column_type=long|double_array") == "EQ")
+            for (row <- 1 to 3) {
+              out.write("EQ".getBytes); wu32(3)
+              wstr(s"operation=insert;frag_name=cf$k;field=id_dim|measure;value=?1|?2")
+              wstr("memory")
+              wu64(3L); wu64(row.toLong) // chunked prepared run: commit on 3/3
+              wu64(8L); out.write("DL".getBytes)
+              out.writeLong(java.lang.Long.reverseBytes(row.toLong))
+              val blob = graft.sources.BinaryCodec.packDoubles(
+                Seq(k * 100.0 + row, k * 100.0 + row + 0.5))
+              wu64(blob.length.toLong); out.write("DB".getBytes); out.write(blob)
+              out.flush()
+              assert(tag() == "EQ")
+            }
+            // phase 3: selects interleave; each session reads ONLY its rows
+            barrier.await()
+            assert(eq(s"operation=select;field=id_dim|measure;from=cf$k;" +
+              "order=id_dim") == "EQ")
+            out.write("RS".getBytes); out.flush()
+            assert(tag() == "RS")
+            ru64() // payload length
+            val nRows = ru64(); val nFields = ru32()
+            assert(nRows == 3 && nFields == 2, s"client $k: $nRows x $nFields")
+            for (row <- 1 to 3) {
+              val l1 = ru64(); val v1 = new Array[Byte](l1.toInt); in.readFully(v1)
+              assert(new String(v1, "UTF-8") == s"$row\u0000", s"client $k id")
+              val l2 = ru64(); val v2 = new Array[Byte](l2.toInt); in.readFully(v2)
+              val bb = ByteBuffer.wrap(v2).order(ByteOrder.LITTLE_ENDIAN)
+              assert(bb.getDouble(0) == k * 100.0 + row &&
+                bb.getDouble(8) == k * 100.0 + row + 0.5,
+                s"client $k saw foreign rows")
+            }
+            // phase 4: a foreign fragment name must NOT resolve here
+            // (unqualified names bind to the session's current_db)
+            val other = (k + 1) % nClients
+            assert(eq(s"operation=select;field=id_dim;from=cf$other") == "ER",
+              s"client $k read client $other's fragment through its own db")
+            c.close()
+          } catch { case e: Throwable => failures.add(e) }
+        }, s"wire-client-$k")
+        t.start(); t
+      }
+      threads.foreach(_.join(60000))
+      if (!failures.isEmpty) throw failures.peek()
+    } finally svc.stop()
+  }
+
   test("UD/EQ/RS conversation over a socket (reference client flow)") {
     val svc = new IoService(spark)
     try {
