@@ -168,10 +168,105 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class BilinearSample(doc_id: Long, n_out: Long,
+                                  bl_sum: Long, mean_bl: Double)
+
+  /** m04 — bilinear resize over really-decoded pixels: the m03 PGM grid
+    * downsampled to 8×8 with align-corners bilinear interpolation in
+    * EXACT fixed-point (source coords r·(H−1)/7, c·(W−1)/7; the four
+    * taps weighted (7−fr)(7−fc)/fr·fc over denominator 49, all
+    * integers), so the oracle can replay the arithmetic bit-exactly.
+    * Same two-stage opaque-binary seam as m01–m03; at scale this is the
+    * standard thumbnail/feature-pyramid pass — scan-parallel, one codec
+    * per partition, no shuffle. */
+  def m04_resize_bilinear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("US-ASCII")
+          val len = bytes.length
+          val h = (len + 31) / 32
+          val gray = Array.tabulate(32 * h)(i => bytes(math.min(i, len - 1)))
+          MediaRow(id, MediaCodec.encodePgm(32, h, gray), "pgm")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = MediaCodec.decodeImage(r.payload)
+        val (w, h) = (img.width, img.height)
+        def px(y: Int, x: Int): Long =
+          (img.pixels(y * w + x) & 0xFF).toLong
+        var sum = 0L
+        var k = 0
+        while (k < 64) {
+          val srn = (k / 8) * (h - 1) // align-corners: r*(H-1)/7
+          val scn = (k % 8) * (w - 1)
+          val qr = srn / 7; val fr = (srn % 7).toLong
+          val qc = scn / 7; val fc = (scn % 7).toLong
+          val qr1 = math.min(qr + 1, h - 1)
+          val qc1 = math.min(qc + 1, w - 1)
+          sum += (7 - fr) * (7 - fc) * px(qr, qc) +
+            (7 - fr) * fc * px(qr, qc1) +
+            fr * (7 - fc) * px(qr1, qc) +
+            fr * fc * px(qr1, qc1)
+          k += 1
+        }
+        BilinearSample(r.doc_id, 64L, sum, sum / (64 * 49.0))
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
+  final case class AudioStats(doc_id: Long, n_samples: Long, zcr: Long,
+                              energy: Long, peak: Long)
+
+  /** m05 — audio feature extraction over the decoded PCM stream (the
+    * classic speech/music triage features, all exact integers so the
+    * oracle replays them): zero-crossing count (strict sign flip across
+    * the 0 boundary), total energy Σs², and peak |s|. Same WAV payload
+    * as m02, same opaque-binary two-stage seam. */
+  def m05_audio_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("US-ASCII")
+          val samples = Array.tabulate(bytes.length)(i =>
+            (((bytes(i) & 0xFF) - 96) * 128).toShort)
+          MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val a = MediaCodec.decodeWav(r.payload).samples
+        var zcr = 0L
+        var energy = 0L
+        var peak = 0L
+        var i = 0
+        while (i < a.length) {
+          val v = a(i).toLong
+          energy += v * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && ((a(i - 1) < 0) != (v < 0))) zcr += 1
+          i += 1
+        }
+        AudioStats(r.doc_id, a.length.toLong, zcr, energy, peak)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> (m01_media_features _),
     "m02_frame_sample" -> (m02_frame_sample _),
     "m03_resize_sample" -> (m03_resize_sample _),
+    "m04_resize_bilinear" -> (m04_resize_bilinear _),
+    "m05_audio_features" -> (m05_audio_features _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -225,5 +320,50 @@ object MultimodalQueries {
                    length(text) - 1)::INT + 1, 1))::BIGINT),
            (x,y) -> x+y) / 64.0 AS mean_px
          FROM documents ORDER BY doc_id""",
+    // replays the align-corners fixed-point bilinear taps on the padded
+    // 32-wide grid; only the Spark side round-trips the PGM container
+    "m04_resize_bilinear" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           (length(text) + 31) // 32 AS h
+         FROM documents),
+       s AS (SELECT doc_id, len, h,
+         list_reduce(list_transform(range(0, 64), k ->
+           (CAST((7 - ((k // 8) * (h-1)) % 7) AS BIGINT)
+              * (7 - ((k % 8) * 31) % 7)
+              * ascii(substr(text, least((((k // 8) * (h-1)) // 7) * 32
+                  + (((k % 8) * 31) // 7), len - 1)::INT + 1, 1))
+          + CAST((7 - ((k // 8) * (h-1)) % 7) AS BIGINT)
+              * (((k % 8) * 31) % 7)
+              * ascii(substr(text, least((((k // 8) * (h-1)) // 7) * 32
+                  + least((((k % 8) * 31) // 7) + 1, 31), len - 1)::INT + 1, 1))
+          + CAST((((k // 8) * (h-1)) % 7) AS BIGINT)
+              * (7 - ((k % 8) * 31) % 7)
+              * ascii(substr(text, least(least((((k // 8) * (h-1)) // 7) + 1, h-1) * 32
+                  + (((k % 8) * 31) // 7), len - 1)::INT + 1, 1))
+          + CAST((((k // 8) * (h-1)) % 7) AS BIGINT)
+              * (((k % 8) * 31) % 7)
+              * ascii(substr(text, least(least((((k // 8) * (h-1)) // 7) + 1, h-1) * 32
+                  + least((((k % 8) * 31) // 7) + 1, 31), len - 1)::INT + 1, 1)))),
+           (x,y) -> x+y) AS bl_sum
+         FROM t)
+       SELECT doc_id, 64::BIGINT AS n_out, bl_sum::BIGINT AS bl_sum,
+         bl_sum / (64 * 49.0) AS mean_bl
+       FROM s ORDER BY doc_id""",
+    // replays the PCM synthesis + feature arithmetic on the document
+    // bytes; the RIFF/WAVE roundtrip happens only Spark-side
+    "m05_audio_features" ->
+      """WITH t AS (SELECT doc_id, length(text) AS len,
+           list_transform(range(0, length(text)),
+             i -> CAST((ascii(substr(text, i::INT + 1, 1)) - 96) * 128
+               AS BIGINT)) AS sl
+         FROM documents)
+       SELECT doc_id, len::BIGINT AS n_samples,
+         list_reduce(list_transform(range(1, len),
+           i -> CASE WHEN (sl[i::INT] < 0) <> (sl[i::INT + 1] < 0)
+                THEN 1 ELSE 0 END), (x,y) -> x+y)::BIGINT AS zcr,
+         list_reduce(list_transform(sl, v -> v * v), (x,y) -> x+y)::BIGINT
+           AS energy,
+         list_max(list_transform(sl, v -> abs(v)))::BIGINT AS peak
+       FROM t ORDER BY doc_id""",
   )
 }
