@@ -233,10 +233,9 @@ object NetCDFQueries {
       "measure", data)
     val ses = new IoServer(s).newSession()
     // the bulk import names the container with the reference's esdm://
-    // URI scheme (oph_io_server_esdm.c:2043); NcReader.resolve maps it
-    // under graft.esdm.root
-    System.setProperty("graft.esdm.root", tmpDir.toString)
-    ses.execute(s"operation=esdm_import;frag_name=em;src_path=@esdm://grid.nc;" +
+    // URI scheme (oph_io_server_esdm.c:2043); the absolute form needs
+    // no graft.esdm.root, so concurrent queries cannot race a global
+    ses.execute(s"operation=esdm_import;frag_name=em;src_path=@esdm://$path;" +
       "measure=measure;explicit=1;sub_operation=max;sub_args=8")
     ses.execute(s"operation=create_frag_select_esdm;frag_name=ea;" +
       "field=id_dim|measure;field_alias=id_dim|measure;" +

@@ -90,9 +90,11 @@ object StreamQueries {
       // each drop is an executor-parallel parquet append; every append
       // is discovered as one micro-batch (no maxFilesPerTrigger), so
       // watermark order across drops holds by the ts split
-      ev.filter(col("tns") <= splitTs).write.mode("append").parquet(watch)
+      ev.filter(col("tns") <= splitTs).coalesce(4)
+        .write.mode("append").parquet(watch)
       q.processAllAvailable()
-      ev.filter(col("tns") > splitTs).write.mode("append").parquet(watch)
+      ev.filter(col("tns") > splitTs).coalesce(4)
+        .write.mode("append").parquet(watch)
       q.processAllAvailable()
       import s.implicits._
       Seq((sentinelNs, 0.0)).toDF("tns", "value")

@@ -78,16 +78,18 @@ final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
         "TopKPerKey expects a double ordering column and a long tie column")
       // max-heap whose TOP is the WORST entry (lowest ord; ties: highest
       // tie value), so the replace test against the incumbent is O(1).
-      // Double.compare gives the TOTAL order Spark's sort uses (NaN
-      // largest, so NaN ranks first under DESC) — raw >/== would make
-      // every NaN comparison false and leave NaN rows in arbitrary
-      // insertion order.
+      // Ordering must match Spark SQL's double sort exactly: NaN largest
+      // (so NaN ranks first under DESC) AND -0.0 == 0.0 — raw >/== would
+      // leave NaN rows in insertion order, while bare Double.compare
+      // would rank 0.0 above -0.0 where the window oracle ties them.
+      def cmpOrd(x: Double, y: Double): Int =
+        if (x == y) 0 else java.lang.Double.compare(x, y)
       val evictOrd: Ordering[Entry] = Ordering.fromLessThan { (a, b) =>
-        val c = java.lang.Double.compare(a.ordV, b.ordV)
+        val c = cmpOrd(a.ordV, b.ordV)
         c > 0 || (c == 0 && a.tieV < b.tieV)
       }
       def beats(e: Entry, w: Entry): Boolean = {
-        val c = java.lang.Double.compare(e.ordV, w.ordV)
+        val c = cmpOrd(e.ordV, w.ordV)
         c > 0 || (c == 0 && e.tieV < w.tieV)
       }
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]

@@ -111,9 +111,13 @@ object MediaCodec {
     val compression = b.getInt(30)
     require(compression == 0, s"only BI_RGB (0) supported, got $compression")
     require(bpp == 24 || bpp == 32, s"only 24/32-bpp supported, got $bpp")
+    require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue,
+      s"bad BMP dimensions ${w}x$rawH")
     val bytesPerPx = bpp / 8
-    val stride = (w * bytesPerPx + 3) / 4 * 4
-    require(bytes.length >= dataOff + stride * h, "truncated BMP pixel data")
+    val strideL = (w.toLong * bytesPerPx + 3) / 4 * 4
+    require(dataOff >= 0 &&
+      dataOff.toLong + strideL * h <= bytes.length, "truncated BMP pixel data")
+    val stride = strideL.toInt // bounded by bytes.length via the require
     val out = new Array[Byte](w * h * 3)
     var r = 0
     while (r < h) {
@@ -182,7 +186,8 @@ object MediaCodec {
     val w = nextToken()
     val h = nextToken()
     val maxval = nextToken()
-    require(w > 0 && h > 0, "bad Netpbm dimensions")
+    require(w > 0 && h > 0 &&
+      w.toLong * h * channels <= Int.MaxValue, s"bad Netpbm dimensions ${w}x$h")
     require(maxval > 0 && maxval < 256, s"one-byte maxval expected, got $maxval")
     pos += 1 // the single whitespace byte after maxval
     val n = w * h * channels
@@ -231,6 +236,10 @@ object MediaCodec {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val size = b.getInt(pos + 4)
       val body = pos + 8
+      // payloads are untrusted opaque columns: a negative size would
+      // stall the walk, an oversized one would run off the buffer
+      require(size >= 0 && body + size.toLong <= bytes.length,
+        s"bad RIFF chunk '$id': size $size at offset $pos")
       id match {
         case "fmt " =>
           require(size >= 16, "fmt chunk too small")

@@ -27,9 +27,15 @@ object NcReader {
     * real cluster), so reference-shaped queries parse unchanged. */
   def resolve(path: String): String =
     if (path.startsWith("esdm://")) {
-      val root = sys.props.get("graft.esdm.root")
-        .orElse(sys.env.get("GRAFT_ESDM_ROOT")).getOrElse(".")
-      root.stripSuffix("/") + "/" + path.stripPrefix("esdm://")
+      val rest = path.stripPrefix("esdm://")
+      // esdm:///abs/path addresses a store directly (no global state);
+      // bare container names resolve under the configured root
+      if (rest.startsWith("/")) rest
+      else {
+        val root = sys.props.get("graft.esdm.root")
+          .orElse(sys.env.get("GRAFT_ESDM_ROOT")).getOrElse(".")
+        root.stripSuffix("/") + "/" + rest
+      }
     } else path
 
   def open(path0: String): NcReader = {

@@ -45,11 +45,18 @@ object ZarrExport {
       Zarr.writeStoreMeta(path, varName, Seq(0, 0), Seq(1, 1), v3, level)
       return (0L, 0)
     }
-    val (lo, hi, m) = (stats.getLong(1), stats.getLong(2), stats.getInt(3))
+    val (lo, hi) = (stats.getLong(1), stats.getLong(2))
+    val m = if (stats.isNullAt(3)) 0 else stats.getInt(3)
     require(n <= Int.MaxValue, "Zarr shape dims are Int-sized")
+    if (m <= 0) { // empty/null arrays: metadata-only store, no chunks
+      Zarr.writeStoreMeta(path, varName, Seq(n.toInt, 0), Seq(1, 1), v3, level)
+      return (n, 0)
+    }
     val rpc =
       if (rowsPerChunk > 0) rowsPerChunk
       else math.max(1, (4 << 20) / (m * 8))
+    require(rpc.toLong * m * 8 <= Int.MaxValue,
+      s"rowsPerChunk $rpc x $m elements exceeds the 2 GiB chunk buffer limit")
     val nChunks = ((n + rpc - 1) / rpc).toInt
     Zarr.writeStoreMeta(path, varName, Seq(n.toInt, m), Seq(rpc, m), v3, level)
     val arrayDir = new org.apache.hadoop.fs.Path(path, varName).toString

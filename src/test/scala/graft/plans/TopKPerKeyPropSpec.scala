@@ -76,6 +76,24 @@ class TopKPerKeyPropSpec extends SparkSpec {
     assert(k0 == Seq(1L, 3L, 4L))
   }
 
+  test("-0.0 and 0.0 tie like Spark's sort (tie column decides)") {
+    import spark.implicits._
+    // Spark SQL orders -0.0 == 0.0; a raw Double.compare would rank 0.0
+    // strictly above -0.0 and pick the wrong row at k=1
+    val rows = Seq((0L, -0.0, 1L), (0L, 0.0, 2L), (1L, 0.0, 3L), (1L, -0.0, 4L))
+    val df = rows.toDF("key", "ord", "tie").repartition(2)
+    val viaHeap = TopKPerKey(df, Seq("key"), "ord", "tie", 1)
+      .select("key", "tie", "rank")
+      .collect().map(_.toSeq.toString).sorted
+    val w = Window.partitionBy("key").orderBy(col("ord").desc, col("tie"))
+    val viaWindow = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 1)
+      .select("key", "tie", "rank")
+      .collect().map(_.toSeq.toString).sorted
+    assert(viaHeap.toSeq == viaWindow.toSeq)
+  }
+
   test("multi-column keys and sub-k groups") {
     import spark.implicits._
     val rows = for (a <- 0L to 2L; b <- 0L to 2L; i <- 0L until (a + b + 1))

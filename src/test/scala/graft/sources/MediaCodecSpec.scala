@@ -125,6 +125,18 @@ class MediaCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MediaCodec.decodeWav(b.array()))
   }
 
+  test("decodeWav rejects a negative chunk size instead of stalling") {
+    val b = ByteBuffer.allocate(12 + 8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(0).put("WAVE".getBytes("US-ASCII"))
+    b.put("JUNK".getBytes("US-ASCII")).putInt(-8) // pos would never advance
+    intercept[IllegalArgumentException](MediaCodec.decodeWav(b.array()))
+  }
+
+  test("decodeNetpbm rejects dimensions whose product overflows Int") {
+    val bytes = "P5\n65536 65536\n255\n".getBytes("US-ASCII") ++ Array[Byte](0)
+    intercept[IllegalArgumentException](MediaCodec.decodeNetpbm(bytes))
+  }
+
   test("decodeImage sniffs by magic, ignoring any format tag") {
     val rgb = Array.tabulate(2 * 2 * 3)(_.toByte)
     assert(MediaCodec.decodeImage(MediaCodec.encodeBmp24(2, 2, rgb)).pixels.toSeq == rgb.toSeq)
