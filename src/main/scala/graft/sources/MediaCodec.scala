@@ -93,9 +93,10 @@ object MediaCodec {
     b.array()
   }
 
-  /** Decode an uncompressed 24/32-bpp BMP to top-down RGB. Handles
-    * bottom-up (biHeight > 0) and top-down (biHeight < 0) layouts and
-    * arbitrary bfOffBits (palette-free files may still carry gap bytes). */
+  /** Decode an uncompressed 8/24/32-bpp BMP to top-down RGB. Handles
+    * bottom-up (biHeight > 0) and top-down (biHeight < 0) layouts,
+    * arbitrary bfOffBits, and the 8-bpp paletted form (BGRA color table
+    * after the info header, biClrUsed entries or the full 256). */
   def decodeBmp(bytes: Array[Byte]): Image = {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M',
@@ -110,9 +111,29 @@ object MediaCodec {
     val bpp = b.getShort(28) & 0xFFFF
     val compression = b.getInt(30)
     require(compression == 0, s"only BI_RGB (0) supported, got $compression")
-    require(bpp == 24 || bpp == 32, s"only 24/32-bpp supported, got $bpp")
+    require(bpp == 8 || bpp == 24 || bpp == 32,
+      s"only 8/24/32-bpp supported, got $bpp")
     require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue,
       s"bad BMP dimensions ${w}x$rawH")
+    // 8-bpp: a BGRA color table sits right after the info header
+    val palette: Array[Byte] =
+      if (bpp != 8) null
+      else {
+        val clrUsed = b.getInt(46)
+        val n = if (clrUsed > 0) clrUsed else 256
+        val tblOff = 14 + biSize
+        require(n <= 256 && tblOff + n.toLong * 4 <= bytes.length,
+          s"bad BMP color table ($n entries)")
+        val p = new Array[Byte](256 * 3)
+        var i = 0
+        while (i < n) {
+          p(i * 3) = bytes(tblOff + i * 4 + 2) // stored BGRA
+          p(i * 3 + 1) = bytes(tblOff + i * 4 + 1)
+          p(i * 3 + 2) = bytes(tblOff + i * 4)
+          i += 1
+        }
+        p
+      }
     val bytesPerPx = bpp / 8
     val strideL = (w.toLong * bytesPerPx + 3) / 4 * 4
     require(dataOff >= 0 &&
@@ -126,9 +147,16 @@ object MediaCodec {
       while (c < w) {
         val s = dataOff + srcRow * stride + c * bytesPerPx
         val d = (r * w + c) * 3
-        out(d) = bytes(s + 2) // R (stored BGR[A])
-        out(d + 1) = bytes(s + 1)
-        out(d + 2) = bytes(s)
+        if (palette != null) {
+          val idx = (bytes(s) & 0xFF) * 3
+          out(d) = palette(idx)
+          out(d + 1) = palette(idx + 1)
+          out(d + 2) = palette(idx + 2)
+        } else {
+          out(d) = bytes(s + 2) // R (stored BGR[A])
+          out(d + 1) = bytes(s + 1)
+          out(d + 2) = bytes(s)
+        }
         c += 1
       }
       r += 1
@@ -159,14 +187,17 @@ object MediaCodec {
     out
   }
 
-  /** Decode P5 (gray) / P6 (RGB). The header is magic + three decimal
-    * tokens (width, height, maxval) separated by whitespace, with '#'
-    * comments running to end-of-line; ONE whitespace byte then separates
-    * maxval from the raster. */
+  /** Decode P5/P6 (binary gray/RGB) and P2/P3 (ASCII gray/RGB). The
+    * header is magic + three decimal tokens (width, height, maxval)
+    * separated by whitespace, with '#' comments running to end-of-line;
+    * in the binary forms ONE whitespace byte then separates maxval from
+    * the raster, in the ASCII forms the raster is more decimal tokens. */
   def decodeNetpbm(bytes: Array[Byte]): Image = {
     require(bytes.length > 2 && bytes(0) == 'P' &&
-      (bytes(1) == '5' || bytes(1) == '6'), "not a P5/P6 Netpbm file")
-    val channels = if (bytes(1) == '6') 3 else 1
+      (bytes(1) == '2' || bytes(1) == '3' || bytes(1) == '5' || bytes(1) == '6'),
+      "not a P2/P3/P5/P6 Netpbm file")
+    val asciiForm = bytes(1) == '2' || bytes(1) == '3'
+    val channels = if (bytes(1) == '6' || bytes(1) == '3') 3 else 1
     var pos = 2
     def nextToken(): Int = {
       // skip whitespace and comments
@@ -177,6 +208,8 @@ object MediaCodec {
         else if (bytes(pos) == '\n') inComment = false
         pos += 1
       }
+      require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
+        "expected a decimal token in the Netpbm header/raster")
       var v = 0
       while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
         v = v * 10 + (bytes(pos) - '0'); pos += 1
@@ -189,10 +222,22 @@ object MediaCodec {
     require(w > 0 && h > 0 &&
       w.toLong * h * channels <= Int.MaxValue, s"bad Netpbm dimensions ${w}x$h")
     require(maxval > 0 && maxval < 256, s"one-byte maxval expected, got $maxval")
-    pos += 1 // the single whitespace byte after maxval
     val n = w * h * channels
-    require(bytes.length >= pos + n, "truncated Netpbm raster")
-    Image(w, h, channels, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+    if (asciiForm) {
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val v = nextToken()
+        require(v <= maxval, s"Netpbm ASCII sample $v exceeds maxval $maxval")
+        out(i) = v.toByte
+        i += 1
+      }
+      Image(w, h, channels, out)
+    } else {
+      pos += 1 // the single whitespace byte after maxval
+      require(bytes.length >= pos + n, "truncated Netpbm raster")
+      Image(w, h, channels, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+    }
   }
 
   // ------------------------------------------------------------------ WAV

@@ -85,6 +85,37 @@ class MediaCodecSpec extends AnyFunSuite {
       viaP5.pixels.toSeq == gray.toSeq)
   }
 
+  test("decodeBmp: 8-bpp paletted (BGRA color table) with row padding") {
+    // 3x1 paletted image: indexes 0,1,2 -> RGB from the table; stride 4
+    val b = ByteBuffer.allocate(54 + 3 * 4 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(70).putShort(0).putShort(0)
+    b.putInt(54 + 12) // data after the 3-entry table
+    b.putInt(40).putInt(3).putInt(1)
+    b.putShort(1).putShort(8).putInt(0).putInt(4)
+    b.putInt(0).putInt(0).putInt(3).putInt(0) // biClrUsed = 3
+    // color table BGRA: (B,G,R,0)
+    b.put(Array[Byte](30, 20, 10, 0)) // idx0 -> RGB(10,20,30)
+    b.put(Array[Byte](60, 50, 40, 0)) // idx1 -> RGB(40,50,60)
+    b.put(Array[Byte](90, 80, 70, 0)) // idx2 -> RGB(70,80,90)
+    b.put(Array[Byte](0, 1, 2, 0))    // pixel row: indexes + 1 pad byte
+    val img = MediaCodec.decodeBmp(b.array())
+    assert(img.width == 3 && img.height == 1)
+    assert(img.pixels.toSeq == Seq[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90))
+  }
+
+  test("decodeNetpbm: ASCII P2 and P3 forms") {
+    val p2 = "P2\n# ascii gray\n3 2\n255\n0 64 128\n192 255 7\n"
+    val g = MediaCodec.decodeNetpbm(p2.getBytes("US-ASCII"))
+    assert(g.width == 3 && g.height == 2 && g.channels == 1)
+    assert(g.pixels.map(_ & 0xFF).toSeq == Seq(0, 64, 128, 192, 255, 7))
+    val p3 = "P3\n2 1\n255\n1 2 3  4 5 6\n"
+    val c = MediaCodec.decodeNetpbm(p3.getBytes("US-ASCII"))
+    assert(c.channels == 3 && c.pixels.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+    // truncated ASCII raster fails instead of zero-filling
+    intercept[IllegalArgumentException](
+      MediaCodec.decodeNetpbm("P2\n2 2\n255\n1 2 3\n".getBytes("US-ASCII")))
+  }
+
   test("decodeNetpbm rejects 2-byte maxval") {
     val bytes = "P5\n2 2\n65535\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4)
     intercept[IllegalArgumentException](MediaCodec.decodeNetpbm(bytes))
