@@ -43,20 +43,88 @@ final case class TopKPerKeyNode(keys: Seq[Expression], ord: Expression,
     copy(child = newChild)
 }
 
-/** Planner rule: the logical node maps 1:1 onto its physical operator
-  * (the interesting part — the exchange — is declared, not scheduled). */
+/** Planner rule: the logical node plans as partial → (exchange) → final,
+  * the same shape Catalyst gives hash aggregation. The PARTIAL operator
+  * runs before the exchange with no distribution requirement and bounds
+  * every input partition to k rows per key, so the shuffle moves at most
+  * keys·k rows per partition instead of every candidate row — at 100 TB
+  * the exchange, not the heap, is the cost, and this is what shrinks it.
+  * The FINAL operator declares the clustering requirement (Catalyst
+  * inserts the one hash exchange) and assigns ranks. Global top-k is a
+  * subset of the union of per-partition top-k, and the (ord, tie) order
+  * is total, so the split is exact. */
 object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: TopKPerKeyNode =>
       TopKPerKeyExec(n.keys, n.ord, n.tie, n.k, n.rankAttr,
-        planLater(n.child)) :: Nil
+        TopKPartialExec(n.keys, n.ord, n.tie, n.k, planLater(n.child))) :: Nil
     case _ => Nil
   }
+}
+
+/** Map-side top-k: emits each input partition's best ≤k rows per key,
+  * unranked and in no particular order. Shares the final operator's
+  * bounded-heap discipline (O(n log k) time, O(keys·k) memory). */
+final case class TopKPartialExec(keys: Seq[Expression], ord: Expression,
+    tie: Expression, k: Int, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keys, child.output)
+      val ordEval = BindReferences.bindReference(ord, child.output)
+      val tieEval = BindReferences.bindReference(tie, child.output)
+      def cmpOrd(x: Double, y: Double): Int =
+        if (x == y) 0 else java.lang.Double.compare(x, y)
+      val evictOrd: Ordering[TopKPerKeyExec.Entry] =
+        Ordering.fromLessThan { (a, b) =>
+          val c = cmpOrd(a.ordV, b.ordV)
+          c > 0 || (c == 0 && a.tieV < b.tieV)
+        }
+      val heaps = mutable.LinkedHashMap
+        .empty[UnsafeRow, mutable.PriorityQueue[TopKPerKeyExec.Entry]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        val q = heaps.get(key) match {
+          case Some(q0) => q0
+          case None =>
+            val q0 = mutable.PriorityQueue
+              .empty[TopKPerKeyExec.Entry](evictOrd)
+            heaps.put(key.copy(), q0)
+            q0
+        }
+        val e = TopKPerKeyExec.Entry(
+          ordEval.eval(row).asInstanceOf[Double],
+          tieEval.eval(row).asInstanceOf[Long], row.copy())
+        if (q.size < kk) q.enqueue(e)
+        else {
+          val w = q.head
+          val c = cmpOrd(e.ordV, w.ordV)
+          if (c > 0 || (c == 0 && e.tieV < w.tieV)) { q.dequeue(); q.enqueue(e) }
+        }
+      }
+      heaps.iterator.flatMap(_._2.iterator.map(_.row))
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
+    copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** One buffered candidate (shared by the partial and final heaps). */
+  final case class Entry(ordV: Double, tieV: Long, row: InternalRow)
 }
 
 final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
     tie: Expression, k: Int, rankAttr: Attribute, child: SparkPlan)
   extends UnaryExecNode {
+  import TopKPerKeyExec.Entry
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -65,8 +133,6 @@ final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
   /** Rows for one key must be co-located; Catalyst plans the shuffle. */
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
-
-  private final case class Entry(ordV: Double, tieV: Long, row: InternalRow)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kk = k
