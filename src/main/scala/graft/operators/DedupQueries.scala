@@ -470,6 +470,44 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d13 — d09's streaming exact dedup fed by a REAL file source: two
+    * doc_id-split parquet drops land in a watched directory (executor
+    * writes of the documents table — no driver-side row injection) and
+    * FileStreamSource discovers each as a micro-batch through its file
+    * log. Keyed first-seen state must converge to the batch min-id
+    * answer under real partitioned offsets; d09's oracle unchanged. The
+    * production ingest shape: a landing directory + stateful dedup at
+    * arrival time. */
+  def d13_dedup_stream_filesource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val watch = java.nio.file.Files.createTempDirectory("graft_dsrc").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val half = hi / 2 // lower ids land first, matching first-seen = min id
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val in = s.readStream.schema(schema).parquet(watch)
+    val out = graft.streaming.StreamingDedup.dedupExactStream(in)
+    val q = out.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("d13_stream_out").start()
+    try {
+      docs.filter(col("doc_id") <= half).coalesce(4)
+        .write.mode("append").parquet(watch)
+      q.processAllAvailable()
+      docs.filter(col("doc_id") > half).coalesce(4)
+        .write.mode("append").parquet(watch)
+      q.processAllAvailable()
+    } finally q.stop()
+    val result = s.table("d13_stream_out")
+      .select(col("doc_id"), col("kept"), col("dup_of")).collect().toIndexedSeq
+    val outSchema = s.table("d13_stream_out")
+      .select(col("doc_id"), col("kept"), col("dup_of")).schema
+    s.catalog.dropTempView("d13_stream_out")
+    s.createDataFrame(s.sparkContext.parallelize(result, 1), outSchema)
+      .orderBy("doc_id")
+  }
+
   /** d10 — the STREAMING LSH near-dup candidate operator under the
     * batch oracle: documents arrive in two micro-batches through
     * [[graft.streaming.StreamingDedup.nearDupCandidateStream]]; the
@@ -550,6 +588,7 @@ object DedupQueries {
     "d07_dedup_apply" -> (d07_dedup_apply _),
     "d08_dedup_emblsh" -> (d08_dedup_emblsh _),
     "d09_dedup_stream" -> (d09_dedup_stream _),
+    "d13_dedup_stream_filesource" -> (d13_dedup_stream_filesource _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_dedup_canonical" -> (d02_dedup_canonical _),
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
@@ -607,6 +646,12 @@ object DedupQueries {
           JOIN sigs b ON cand.doc_b = b.doc_id)
       WHERE est >= 0.5 ORDER BY doc_a, doc_b""",
     "d09_dedup_stream" ->
+      """SELECT doc_id, doc_id = mn AS kept, mn AS dup_of
+         FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
+               FROM documents)
+         ORDER BY doc_id""",
+    // the file-source stream must converge to the same batch answer
+    "d13_dedup_stream_filesource" ->
       """SELECT doc_id, doc_id = mn AS kept, mn AS dup_of
          FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
                FROM documents)
