@@ -877,9 +877,16 @@ object HDF5 {
       val iblkBase = iblkAddr + 4 + 1 + 1 + 8 // sig, ver, client, hdr addr
       val inline = bb(iblkBase, idxBlkElmts * elmtSize)
       val dblkAddrs = bb(iblkBase + idxBlkElmts * elmtSize, ndblkAddrs * 8)
+      val sblkAddrs = bb(iblkBase + idxBlkElmts * elmtSize + ndblkAddrs * 8,
+        nsblkAddrs * 8)
+      // generations below this are addressed straight from the index
+      // block; from it on, one secondary block per generation holds the
+      // data block addresses
+      val firstSblkGen = 2 * log2(supBlkMinDataPtrs)
       val arrOffSize = (maxNelmtsBits + 7) / 8
       // per-data-block element buffers, read lazily once each
       val dblkCache = mutable.Map.empty[Long, ByteBuffer]
+      val sblkCache = mutable.Map.empty[Long, ByteBuffer]
       def element(raw: ByteBuffer, off: Int, ci: Long)
           : (Seq[Long], Long, Long) = {
         val addr = raw.getLong(off)
@@ -904,16 +911,30 @@ object HDF5 {
             // to the spec's log2(idx/min_elmts + 1)
             var g = 0
             while (idx >= gen(g)._3 + gen(g)._1 * gen(g)._2) g += 1
-            val (_, ne, startIdx, startDblk) = gen(g)
+            val (genDblks, ne, startIdx, startDblk) = gen(g)
             require(ne <= (1L << maxDblkPageBits),
               s"${d.name}: paged extensible-array data blocks unsupported")
             val dblk = startDblk + (idx - startIdx) / ne
-            require(dblk < ndblkAddrs,
-              s"${d.name}: extensible-array secondary blocks unsupported " +
-                s"(data block $dblk beyond the $ndblkAddrs index-block slots; " +
-                s"$nsblkAddrs secondary slots unread)")
             val within = (idx - startIdx) % ne
-            val dAddr = dblkAddrs.getLong((dblk * 8).toInt)
+            val dAddr =
+              if (dblk < ndblkAddrs) dblkAddrs.getLong((dblk * 8).toInt)
+              else {
+                // secondary block: one per generation >= firstSblkGen,
+                // holding that generation's data block addresses
+                val sAddr = sblkAddrs.getLong(((g - firstSblkGen) * 8).toInt)
+                if (sAddr == Undef) Undef
+                else {
+                  val sb = sblkCache.getOrElseUpdate(sAddr, {
+                    require(bytesAt(sAddr, 4).sameElements("EASB".getBytes),
+                      "extensible array secondary block expected")
+                    // sig, ver, client, hdr addr, block offset — then the
+                    // generation's ndblks addresses (no page bitmap: the
+                    // ne <= page-size require above holds here too)
+                    bb(sAddr + 4 + 1 + 1 + 8 + arrOffSize, (genDblks * 8).toInt)
+                  })
+                  sb.getLong(((dblk - startDblk) * 8).toInt)
+                }
+              }
             if (dAddr == Undef) (originOf(ci), Undef, 0L) // whole block unwritten
             else {
               val raw = dblkCache.getOrElseUpdate(dAddr, {
@@ -1844,25 +1865,29 @@ object HDF5 {
           (0 until szLen).foreach(_ => b.u8(0)); b.u32(0)
         }
     }
-    // data-block generations g: 2^(g/2) blocks of 2^((g+1)/2)*min elems
+    // data-block generations g: 2^(g/2) blocks of 2^((g+1)/2)*min elems;
+    // the first firstSblkGen generations are addressed straight from the
+    // index block (ndblkAddrs direct slots), later ones each get one
+    // secondary block holding that generation's data block addresses
+    def log2(x: Int): Int = 31 - Integer.numberOfLeadingZeros(x)
     val ndblkAddrs = 2 * (supBlkMin - 1)
-    val dbs = mutable.ArrayBuffer.empty[(Long, Long)] // (startIdx, nelmts)
+    val firstSblkGen = 2 * log2(supBlkMin)
+    val nsblkAddrs = (1 + (maxBits - log2(dataBlkMin))) - firstSblkGen
+    val dbs = mutable.ArrayBuffer.empty[(Int, Long, Long)] // (gen, startIdx, nelmts)
     var (g, si) = (0, 0L)
-    while (si < total - idxElmts && dbs.size < ndblkAddrs) {
+    while (si < total - idxElmts) {
       val ne = (1L << ((g + 1) / 2)) * dataBlkMin
+      require(ne <= (1L << pageBits),
+        s"extensible-array writer: $total chunks need paged data blocks")
       var k = 0L
-      while (k < (1L << (g / 2)) && si < total - idxElmts &&
-        dbs.size < ndblkAddrs) {
-        dbs += ((si, ne)); si += ne; k += 1
+      while (k < (1L << (g / 2)) && si < total - idxElmts) {
+        dbs += ((g, si, ne)); si += ne; k += 1
       }
       g += 1
     }
-    require(si >= total - idxElmts,
-      s"extensible-array writer: $total chunks exceed the direct " +
-        s"index-block slots (secondary blocks not written)")
     val arrOffSize = (maxBits + 7) / 8
     val hdrPatches = mutable.ArrayBuffer.empty[Int]
-    val dbAddrs = dbs.map { case (start, ne) =>
+    val dbAddrs = dbs.map { case (_, start, ne) =>
       val addr = b.pos
       b.bytes("EADB".getBytes); b.u8(0); b.u8(clientId)
       hdrPatches += b.pos.toInt; b.u64(0)
@@ -1872,23 +1897,47 @@ object HDF5 {
       b.u32(lookup3(b.slice(addr, b.pos - addr)).toLong & 0xFFFFFFFFL)
       addr
     }
+    // one EASB per generation beyond the direct slots
+    val sblkAddrByGen = mutable.Map.empty[Int, Long]
+    dbs.zipWithIndex.filter(_._1._1 >= firstSblkGen).groupBy(_._1._1).toSeq
+      .sortBy(_._1).foreach { case (gen, members) =>
+        val addr = b.pos
+        b.bytes("EASB".getBytes); b.u8(0); b.u8(clientId)
+        hdrPatches += b.pos.toInt; b.u64(0)
+        val start = members.head._1._2
+        var j = 0
+        while (j < arrOffSize) { b.u8(((start >> (8 * j)) & 0xFF).toInt); j += 1 }
+        // ALL of the generation's slots are present; unwritten tail
+        // blocks stay undefined (the reader treats them as fill)
+        val genNd = 1 << (gen / 2)
+        (0 until genNd).foreach { i =>
+          val a: Long = members.lift(i) match {
+            case Some(m) => dbAddrs(m._2)
+            case None => Undef
+          }
+          b.u64(a)
+        }
+        b.u32(lookup3(b.slice(addr, b.pos - addr)).toLong & 0xFFFFFFFFL)
+        sblkAddrByGen(gen) = addr
+      }
     val iblkAddr = b.pos
     b.bytes("EAIB".getBytes); b.u8(0); b.u8(clientId)
     hdrPatches += b.pos.toInt; b.u64(0)
     (0L until idxElmts.toLong).foreach(putElement)
     (0 until ndblkAddrs).foreach(i =>
-      b.u64(if (i < dbAddrs.size) dbAddrs(i) else Undef))
-    def log2(x: Int): Int = 31 - Integer.numberOfLeadingZeros(x)
-    val nsblkAddrs = (1 + (maxBits - log2(dataBlkMin))) - 2 * log2(supBlkMin)
-    (0 until nsblkAddrs).foreach(_ => b.u64(Undef))
+      b.u64(if (i < dbAddrs.size && dbs(i)._1 < firstSblkGen) dbAddrs(i)
+            else Undef))
+    (0 until nsblkAddrs).foreach(i =>
+      b.u64(sblkAddrByGen.getOrElse(firstSblkGen + i, Undef)))
     b.u32(lookup3(b.slice(iblkAddr, b.pos - iblkAddr)).toLong & 0xFFFFFFFFL)
     val hdrAddr = b.pos
     b.bytes("EAHD".getBytes); b.u8(0); b.u8(clientId)
     b.u8(elmtSize); b.u8(maxBits); b.u8(idxElmts)
     b.u8(dataBlkMin); b.u8(supBlkMin); b.u8(pageBits)
-    b.u64(0); b.u64(0) // stats: no super blocks
+    b.u64(sblkAddrByGen.size.toLong) // stats: super blocks written
+    b.u64(0) // super block bytes (informational; not read back)
     b.u64(dbAddrs.size.toLong)
-    b.u64(dbs.map(_._2 * elmtSize + 14 + arrOffSize + 4).sum) // data blk bytes
+    b.u64(dbs.map(_._3 * elmtSize + 14 + arrOffSize + 4).sum) // data blk bytes
     b.u64(total); b.u64(total) // max index set, nelmts
     b.u64(iblkAddr)
     b.u32(lookup3(b.slice(hdrAddr, b.pos - hdrAddr)).toLong & 0xFFFFFFFFL)

@@ -266,6 +266,13 @@ class HDF5Spec extends AnyFunSuite {
     v4Roundtrip("extarray", rows = 55, cols = 5, chunk = Some(Seq(1, 5)))
   }
 
+  test("layout v4: extensible array through SECONDARY blocks (>244 chunks)") {
+    // 300 one-row chunks: 4 inline + 240 direct (generations 0-3) + 56
+    // into generation 4, which is addressed via an EASB secondary block
+    // — the shape a real unlimited-time series with many steps produces
+    v4Roundtrip("extarray", rows = 300, cols = 5, chunk = Some(Seq(1, 5)))
+  }
+
   test("extensible-array file declares an unlimited max dim") {
     val p = tmp(".h5")
     HDF5.writeLatestVars(p, Seq(HDF5.H5Var("m", Seq("r" -> 6, "c" -> 4),
