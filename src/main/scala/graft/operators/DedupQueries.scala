@@ -480,10 +480,11 @@ object DedupQueries {
     * arrival time. */
   def d13_dedup_stream_filesource(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val watch = java.nio.file.Files.createTempDirectory("graft_dsrc").toString
+    val watchPath = java.nio.file.Files.createTempDirectory("graft_dsrc")
+    val watch = watchPath.toString
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val hi = docs.agg(max("doc_id")).head().getLong(0)
-    val half = hi / 2 // lower ids land first, matching first-seen = min id
+    val hiRow = docs.agg(max("doc_id")).head()
+    val half = if (hiRow.isNullAt(0)) 0L else hiRow.getLong(0) / 2
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val in = s.readStream.schema(schema).parquet(watch)
@@ -492,10 +493,15 @@ object DedupQueries {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .format("memory").queryName("d13_stream_out").start()
     try {
-      docs.filter(col("doc_id") <= half).coalesce(4)
+      // drops are hash-partitioned BY CONTENT so a dup group inside one
+      // drop never straddles part files: whatever subset of a drop's
+      // files a micro-batch captures, it holds whole groups, and the
+      // in-batch min-id tie-break keeps first-seen == batch min id even
+      // if the source splits a drop across micro-batches
+      docs.filter(col("doc_id") <= half).repartition(4, col("text"))
         .write.mode("append").parquet(watch)
       q.processAllAvailable()
-      docs.filter(col("doc_id") > half).coalesce(4)
+      docs.filter(col("doc_id") > half).repartition(4, col("text"))
         .write.mode("append").parquet(watch)
       q.processAllAvailable()
     } finally q.stop()
@@ -504,6 +510,9 @@ object DedupQueries {
     val outSchema = s.table("d13_stream_out")
       .select(col("doc_id"), col("kept"), col("dup_of")).schema
     s.catalog.dropTempView("d13_stream_out")
+    // the watched dir holds a full copy of the table; don't leak it
+    // across a long query sweep
+    org.apache.commons.io.FileUtils.deleteQuietly(watchPath.toFile)
     s.createDataFrame(s.sparkContext.parallelize(result, 1), outSchema)
       .orderBy("doc_id")
   }

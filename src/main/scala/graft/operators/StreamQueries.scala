@@ -67,18 +67,24 @@ object StreamQueries {
     * directory on an object store, one micro-batch per arrival set. */
   def q30_stream_filesource(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
-    val watch = java.nio.file.Files.createTempDirectory("graft_fsrc").toString
+    val watchPath = java.nio.file.Files.createTempDirectory("graft_fsrc")
+    val watch = watchPath.toString
     val ev = Tables.events(s, dir).select(col("ts").as("tns"), col("value"))
     val mm = ev.agg(min("tns").as("lo"), max("tns").as("hi")).head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val splitTs = lo + (hi - lo) / 2 // strict value boundary between drops
-    val sentinelNs = hi + 7200L * 1000000000L
+    // the file source may split one drop across micro-batches in any
+    // file order, so the watermark delay covers the FULL event-time span
+    // (no row can ever be late) and the sentinel sits beyond span+2h so
+    // every real window still closes
+    val delaySec = (hi - lo) / 1000000000L + 3600L
+    val sentinelNs = hi + (delaySec + 7200L) * 1000000000L
     val schema = StructType(Seq(
       StructField("tns", LongType), StructField("value", DoubleType)))
     val in = s.readStream.schema(schema).parquet(watch)
     val agg = in
       .withColumn("ts", timestamp_micros(KeyAlgebra.ldiv(col("tns"), lit(1000L))))
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", s"$delaySec seconds")
       .groupBy(window(col("ts"), "1 hour").as("win"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
@@ -107,6 +113,8 @@ object StreamQueries {
     val result = closed.collect().toIndexedSeq
     val schemaOut = closed.schema
     s.catalog.dropTempView("q30_stream_out")
+    // the watched dir holds a full copy of the events table
+    org.apache.commons.io.FileUtils.deleteQuietly(watchPath.toFile)
     s.createDataFrame(s.sparkContext.parallelize(result, 1), schemaOut)
       .orderBy("window_start")
   }

@@ -64,9 +64,16 @@ object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 
 /** Map-side top-k: emits each input partition's best ≤k rows per key,
   * unranked and in no particular order. Shares the final operator's
-  * bounded-heap discipline (O(n log k) time, O(keys·k) memory). */
+  * bounded-heap discipline (O(n log k) time); memory is bounded at
+  * [[TopKPerKeyExec.PartialMaxKeys]] tracked keys — once a partition
+  * has seen more distinct keys than that, rows of NEW keys pass through
+  * to the exchange unfiltered (emitting a superset is always correct;
+  * with near-unique keys a partial cannot reduce the shuffle anyway, so
+  * degrading to pass-through is exactly the right behavior — the same
+  * reasoning as Spark's partial-aggregation fallback). */
 final case class TopKPartialExec(keys: Seq[Expression], ord: Expression,
     tie: Expression, k: Int, child: SparkPlan) extends UnaryExecNode {
+  import TopKPerKeyExec.{Entry, PartialMaxKeys, evictOrd, offer}
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning:
@@ -79,36 +86,28 @@ final case class TopKPartialExec(keys: Seq[Expression], ord: Expression,
       val keyProj = UnsafeProjection.create(keys, child.output)
       val ordEval = BindReferences.bindReference(ord, child.output)
       val tieEval = BindReferences.bindReference(tie, child.output)
-      def cmpOrd(x: Double, y: Double): Int =
-        if (x == y) 0 else java.lang.Double.compare(x, y)
-      val evictOrd: Ordering[TopKPerKeyExec.Entry] =
-        Ordering.fromLessThan { (a, b) =>
-          val c = cmpOrd(a.ordV, b.ordV)
-          c > 0 || (c == 0 && a.tieV < b.tieV)
-        }
       val heaps = mutable.LinkedHashMap
-        .empty[UnsafeRow, mutable.PriorityQueue[TopKPerKeyExec.Entry]]
-      iter.foreach { row =>
+        .empty[UnsafeRow, mutable.PriorityQueue[Entry]]
+      // lazy flatMap: pass-through rows stream straight into the shuffle
+      // writer while absorbed rows buffer in the bounded heaps
+      iter.flatMap { row =>
         val key = keyProj(row)
-        val q = heaps.get(key) match {
-          case Some(q0) => q0
-          case None =>
-            val q0 = mutable.PriorityQueue
-              .empty[TopKPerKeyExec.Entry](evictOrd)
-            heaps.put(key.copy(), q0)
-            q0
+        heaps.get(key) match {
+          case Some(q) =>
+            offer(q, kk,
+              ordEval.eval(row).asInstanceOf[Double],
+              tieEval.eval(row).asInstanceOf[Long], row)
+            Iterator.empty
+          case None if heaps.size < PartialMaxKeys =>
+            val q = mutable.PriorityQueue.empty[Entry](evictOrd)
+            heaps.put(key.copy(), q)
+            offer(q, kk,
+              ordEval.eval(row).asInstanceOf[Double],
+              tieEval.eval(row).asInstanceOf[Long], row)
+            Iterator.empty
+          case None => Iterator.single(row) // map full: superset is fine
         }
-        val e = TopKPerKeyExec.Entry(
-          ordEval.eval(row).asInstanceOf[Double],
-          tieEval.eval(row).asInstanceOf[Long], row.copy())
-        if (q.size < kk) q.enqueue(e)
-        else {
-          val w = q.head
-          val c = cmpOrd(e.ordV, w.ordV)
-          if (c > 0 || (c == 0 && e.tieV < w.tieV)) { q.dequeue(); q.enqueue(e) }
-        }
-      }
-      heaps.iterator.flatMap(_._2.iterator.map(_.row))
+      } ++ heaps.iterator.flatMap(_._2.iterator.map(_.row))
     }, preservesPartitioning = true)
   }
 
@@ -119,6 +118,37 @@ final case class TopKPartialExec(keys: Seq[Expression], ord: Expression,
 object TopKPerKeyExec {
   /** One buffered candidate (shared by the partial and final heaps). */
   final case class Entry(ordV: Double, tieV: Long, row: InternalRow)
+
+  /** Distinct keys a PARTIAL tracks per input partition before new keys
+    * degrade to pass-through (≈ keys·k small rows of heap state). */
+  val PartialMaxKeys = 1 << 16
+
+  /** Total order matching Spark SQL's double sort exactly: NaN largest
+    * (so NaN ranks first under DESC) AND -0.0 == 0.0 — raw >/== would
+    * leave NaN rows in insertion order, while bare Double.compare would
+    * rank 0.0 above -0.0 where the window oracle ties them. */
+  def cmpOrd(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  /** Max-heap whose TOP is the WORST entry (lowest ord; ties: highest
+    * tie value), so the replace test against the incumbent is O(1). */
+  val evictOrd: Ordering[Entry] = Ordering.fromLessThan { (a, b) =>
+    val c = cmpOrd(a.ordV, b.ordV)
+    c > 0 || (c == 0 && a.tieV < b.tieV)
+  }
+
+  /** Offer a row to a k-bounded heap; the row is COPIED only when it is
+    * actually retained (the common rejected row costs no allocation). */
+  def offer(q: mutable.PriorityQueue[Entry], k: Int, ordV: Double,
+      tieV: Long, row: InternalRow): Unit =
+    if (q.size < k) q.enqueue(Entry(ordV, tieV, row.copy()))
+    else {
+      val w = q.head
+      val c = cmpOrd(ordV, w.ordV)
+      if (c > 0 || (c == 0 && tieV < w.tieV)) {
+        q.dequeue(); q.enqueue(Entry(ordV, tieV, row.copy()))
+      }
+    }
 }
 
 final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
@@ -142,36 +172,19 @@ final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
       val tieEval = BindReferences.bindReference(tie, child.output)
       require(ordEval.dataType == DoubleType && tieEval.dataType == LongType,
         "TopKPerKey expects a double ordering column and a long tie column")
-      // max-heap whose TOP is the WORST entry (lowest ord; ties: highest
-      // tie value), so the replace test against the incumbent is O(1).
-      // Ordering must match Spark SQL's double sort exactly: NaN largest
-      // (so NaN ranks first under DESC) AND -0.0 == 0.0 — raw >/== would
-      // leave NaN rows in insertion order, while bare Double.compare
-      // would rank 0.0 above -0.0 where the window oracle ties them.
-      def cmpOrd(x: Double, y: Double): Int =
-        if (x == y) 0 else java.lang.Double.compare(x, y)
-      val evictOrd: Ordering[Entry] = Ordering.fromLessThan { (a, b) =>
-        val c = cmpOrd(a.ordV, b.ordV)
-        c > 0 || (c == 0 && a.tieV < b.tieV)
-      }
-      def beats(e: Entry, w: Entry): Boolean = {
-        val c = cmpOrd(e.ordV, w.ordV)
-        c > 0 || (c == 0 && e.tieV < w.tieV)
-      }
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
       iter.foreach { row =>
         val key = keyProj(row)
         val q = heaps.get(key) match {
           case Some(q0) => q0
           case None =>
-            val q0 = mutable.PriorityQueue.empty[Entry](evictOrd)
+            val q0 = mutable.PriorityQueue.empty[Entry](TopKPerKeyExec.evictOrd)
             heaps.put(key.copy(), q0)
             q0
         }
-        val e = Entry(ordEval.eval(row).asInstanceOf[Double],
-          tieEval.eval(row).asInstanceOf[Long], row.copy())
-        if (q.size < kk) q.enqueue(e)
-        else if (beats(e, q.head)) { q.dequeue(); q.enqueue(e) }
+        TopKPerKeyExec.offer(q, kk,
+          ordEval.eval(row).asInstanceOf[Double],
+          tieEval.eval(row).asInstanceOf[Long], row)
       }
       // emit UnsafeRows: downstream operators may buffer without copying
       val outProj = UnsafeProjection.create(output, output)

@@ -1804,13 +1804,17 @@ object HDF5 {
     val dbAddr = b.pos
     b.bytes("FADB".getBytes); b.u8(0); b.u8(clientId)
     val dbHdrPatch = b.pos; b.u64(0)
+    // the data block's first checksum region contains the header
+    // back-pointer patched below — defer it so a verifying reader
+    // (the HDF5 C library checks metadata checksums) accepts the file
+    var dbCkPos = -1
     if (nelmts <= pageElmts) {
       entries.foreach(writeEntry)
-      b.u32(lookup3(b.slice(dbAddr, b.pos - dbAddr)).toLong & 0xFFFFFFFFL)
+      dbCkPos = b.pos.toInt; b.u32(0)
     } else {
       val npages = ((nelmts + pageElmts - 1) / pageElmts).toInt
       (0 until (npages + 7) / 8).foreach(_ => b.u8(0xFF)) // all pages live
-      b.u32(lookup3(b.slice(dbAddr, b.pos - dbAddr)).toLong & 0xFFFFFFFFL)
+      dbCkPos = b.pos.toInt; b.u32(0)
       var i = 0
       while (i < nelmts) {
         val pageStart = b.pos
@@ -1826,6 +1830,8 @@ object HDF5 {
     b.u64(nelmts); b.u64(dbAddr)
     b.u32(lookup3(b.slice(hdrAddr, b.pos - hdrAddr)).toLong & 0xFFFFFFFFL)
     b.patch64(dbHdrPatch, hdrAddr)
+    b.patch32(dbCkPos,
+      lookup3(b.slice(dbAddr.toInt, dbCkPos - dbAddr.toInt)).toLong & 0xFFFFFFFFL)
     hdrAddr
   }
 
@@ -1887,6 +1893,11 @@ object HDF5 {
     }
     val arrOffSize = (maxBits + 7) / 8
     val hdrPatches = mutable.ArrayBuffer.empty[Int]
+    // checksums are PATCHED after the header address lands in each block
+    // (the checksum region contains the back-pointer, so computing it
+    // over a placeholder would leave every block invalid to a verifying
+    // reader like the HDF5 C library)
+    val ckPatches = mutable.ArrayBuffer.empty[(Int, Int)] // (blockStart, ckPos)
     val dbAddrs = dbs.map { case (_, start, ne) =>
       val addr = b.pos
       b.bytes("EADB".getBytes); b.u8(0); b.u8(clientId)
@@ -1894,7 +1905,7 @@ object HDF5 {
       var j = 0
       while (j < arrOffSize) { b.u8(((start >> (8 * j)) & 0xFF).toInt); j += 1 }
       (0L until ne).foreach(k => putElement(idxElmts + start + k))
-      b.u32(lookup3(b.slice(addr, b.pos - addr)).toLong & 0xFFFFFFFFL)
+      ckPatches += ((addr.toInt, b.pos.toInt)); b.u32(0)
       addr
     }
     // one EASB per generation beyond the direct slots
@@ -1917,7 +1928,7 @@ object HDF5 {
           }
           b.u64(a)
         }
-        b.u32(lookup3(b.slice(addr, b.pos - addr)).toLong & 0xFFFFFFFFL)
+        ckPatches += ((addr.toInt, b.pos.toInt)); b.u32(0)
         sblkAddrByGen(gen) = addr
       }
     val iblkAddr = b.pos
@@ -1929,7 +1940,7 @@ object HDF5 {
             else Undef))
     (0 until nsblkAddrs).foreach(i =>
       b.u64(sblkAddrByGen.getOrElse(firstSblkGen + i, Undef)))
-    b.u32(lookup3(b.slice(iblkAddr, b.pos - iblkAddr)).toLong & 0xFFFFFFFFL)
+    ckPatches += ((iblkAddr.toInt, b.pos.toInt)); b.u32(0)
     val hdrAddr = b.pos
     b.bytes("EAHD".getBytes); b.u8(0); b.u8(clientId)
     b.u8(elmtSize); b.u8(maxBits); b.u8(idxElmts)
@@ -1942,6 +1953,9 @@ object HDF5 {
     b.u64(iblkAddr)
     b.u32(lookup3(b.slice(hdrAddr, b.pos - hdrAddr)).toLong & 0xFFFFFFFFL)
     hdrPatches.foreach(p => b.patch64(p, hdrAddr))
+    ckPatches.foreach { case (st, ck) =>
+      b.patch32(ck, lookup3(b.slice(st, ck - st)).toLong & 0xFFFFFFFFL)
+    }
     hdrAddr
   }
 

@@ -121,9 +121,10 @@ object MediaCodec {
       else {
         val clrUsed = b.getInt(46)
         val n = if (clrUsed > 0) clrUsed else 256
-        val tblOff = 14 + biSize
-        require(n <= 256 && tblOff + n.toLong * 4 <= bytes.length,
-          s"bad BMP color table ($n entries)")
+        val tblOffL = 14L + biSize // Long: a huge biSize must not wrap
+        require(n <= 256 && tblOffL + n.toLong * 4 <= bytes.length,
+          s"bad BMP color table ($n entries at $tblOffL)")
+        val tblOff = tblOffL.toInt
         val p = new Array[Byte](256 * 3)
         var i = 0
         while (i < n) {
@@ -213,6 +214,9 @@ object MediaCodec {
       var v = 0
       while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
         v = v * 10 + (bytes(pos) - '0'); pos += 1
+        // dims/maxval/samples are all < 2^20; a longer token would wrap
+        // Int and slip past the maxval check as garbage
+        require(v < (1 << 20), "Netpbm decimal token out of range")
       }
       v
     }
