@@ -36,11 +36,14 @@ object MultimodalQueries {
                                 channels: Int, format: String,
                                 lum_sum: Long, mean_lum: Double)
 
-  /** m01 — image decode + feature extraction. Per document: an RGB image
-    * (w = len%64+1, h = len/64%64+1, channel bytes cycling through the
-    * document bytes) encoded as BMP-24 / BMP-32 / PPM by doc_id%3, then
-    * decoded by magic-byte sniffing; features are the decoded header
-    * geometry plus integer ITU-R BT.601 luma (77R+150G+29B, /256). */
+  /** m01 — image decode + feature extraction. Per document: an image
+    * (w = len%64+1, h = len/64%64+1) encoded as BMP-24 / BMP-32 / PPM
+    * (RGB channel bytes cycling through the document bytes) or as an
+    * 8-bpp PALETTED BMP (grayscale color table; one document byte per
+    * pixel) by doc_id%4, then decoded by magic-byte sniffing; features
+    * are the decoded header geometry plus integer ITU-R BT.601 luma
+    * (77R+150G+29B — for the paletted grayscale path that is exactly
+    * 256·b per pixel, so the oracle stays integer-exact). */
   def m01_media_features(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
@@ -52,11 +55,14 @@ object MultimodalQueries {
           val len = bytes.length
           val w = len % 64 + 1
           val h = (len / 64) % 64 + 1
-          val rgb = Array.tabulate(w * h * 3)(k => bytes(k % len))
-          (id % 3) match {
+          def rgb = Array.tabulate(w * h * 3)(k => bytes(k % len))
+          (id % 4) match {
             case 0 => MediaRow(id, MediaCodec.encodeBmp24(w, h, rgb), "bmp24")
             case 1 => MediaRow(id, MediaCodec.encodeBmp32(w, h, rgb), "bmp32")
-            case _ => MediaRow(id, MediaCodec.encodePpm(w, h, rgb), "ppm")
+            case 2 => MediaRow(id, MediaCodec.encodePpm(w, h, rgb), "ppm")
+            case _ =>
+              val gray = Array.tabulate(w * h)(p => bytes(p % len))
+              MediaRow(id, MediaCodec.encodeBmp8(w, h, gray), "bmp8")
           }
         }
       }
@@ -277,21 +283,26 @@ object MultimodalQueries {
       """WITH t AS (SELECT doc_id, text, length(text) AS len,
            (length(text) % 64 + 1) AS w,
            ((length(text) // 64) % 64 + 1) AS h
-         FROM documents)
+         FROM documents),
+       s AS (SELECT doc_id, w, h,
+         CASE WHEN doc_id % 4 = 3 THEN
+           256 * list_reduce(list_transform(range(0, w * h), p ->
+             CAST(ascii(substr(text, (p % len)::INT + 1, 1)) AS BIGINT)),
+             (x,y) -> x+y)
+         ELSE
+           list_reduce(list_transform(range(0, w * h), p ->
+              77 * CAST(ascii(substr(text, ((3*p)   % len)::INT + 1, 1)) AS BIGINT)
+           + 150 * ascii(substr(text, ((3*p+1) % len)::INT + 1, 1))
+           +  29 * ascii(substr(text, ((3*p+2) % len)::INT + 1, 1))),
+             (x,y) -> x+y)
+         END AS lum_sum
+         FROM t)
        SELECT doc_id, w::INT AS width, h::INT AS height, 3::INT AS channels,
-         CASE doc_id % 3 WHEN 0 THEN 'bmp24' WHEN 1 THEN 'bmp32'
-           ELSE 'ppm' END AS format,
-         CAST(list_reduce(list_transform(range(0, w * h), p ->
-            77 * ascii(substr(text, ((3*p)   % len)::INT + 1, 1))
-         + 150 * ascii(substr(text, ((3*p+1) % len)::INT + 1, 1))
-         +  29 * ascii(substr(text, ((3*p+2) % len)::INT + 1, 1))),
-           (x,y) -> x+y) AS BIGINT) AS lum_sum,
-         list_reduce(list_transform(range(0, w * h), p ->
-            77 * ascii(substr(text, ((3*p)   % len)::INT + 1, 1))
-         + 150 * ascii(substr(text, ((3*p+1) % len)::INT + 1, 1))
-         +  29 * ascii(substr(text, ((3*p+2) % len)::INT + 1, 1))),
-           (x,y) -> x+y) / (w * h * 256.0) AS mean_lum
-       FROM t ORDER BY doc_id""",
+         CASE doc_id % 4 WHEN 0 THEN 'bmp24' WHEN 1 THEN 'bmp32'
+           WHEN 2 THEN 'ppm' ELSE 'bmp8' END AS format,
+         lum_sum::BIGINT AS lum_sum,
+         lum_sum / (w * h * 256.0) AS mean_lum
+       FROM s ORDER BY doc_id""",
     "m02_frame_sample" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
        m AS (SELECT doc_id, len, (len + 31) // 32 AS n_frames,

@@ -93,6 +93,38 @@ object MediaCodec {
     b.array()
   }
 
+  /** Encode gray bytes as an 8-bpp paletted bottom-up BMP: a 256-entry
+    * grayscale BGRA color table (i,i,i,0) after the info header, one
+    * index byte per pixel, rows padded to 4 bytes. */
+  def encodeBmp8(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == w * h, "gray length must be w*h")
+    val stride = (w + 3) / 4 * 4
+    val b = ByteBuffer.allocate(54 + 1024 + stride * h)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(54 + 1024 + stride * h)
+    b.putShort(0).putShort(0)
+    b.putInt(54 + 1024) // bfOffBits: past the color table
+    b.putInt(40).putInt(w).putInt(h)
+    b.putShort(1).putShort(8).putInt(0).putInt(stride * h)
+    b.putInt(2835).putInt(2835)
+    b.putInt(256).putInt(0) // biClrUsed, biClrImportant
+    var i = 0
+    while (i < 256) { // grayscale BGRA table
+      b.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte)
+      i += 1
+    }
+    var r = h - 1
+    while (r >= 0) {
+      var c = 0
+      while (c < w) { b.put(gray(r * w + c)); c += 1 }
+      var pad = stride - w
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      r -= 1
+    }
+    b.array()
+  }
+
   /** Decode an uncompressed 8/24/32-bpp BMP to top-down RGB. Handles
     * bottom-up (biHeight > 0) and top-down (biHeight < 0) layouts,
     * arbitrary bfOffBits, and the 8-bpp paletted form (BGRA color table
