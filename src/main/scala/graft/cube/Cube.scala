@@ -177,6 +177,19 @@ final case class Cube(df: DataFrame, explicitDims: Seq[Dim], implicitDims: Seq[D
       s"$totalElements elements present; fill or subset before export")
     graft.sources.NetCDF3.writeDoubleVar(path, dims, varName, data)
   }
+
+  /** DISTRIBUTED cube export to a Zarr store preserving the full
+    * dimensionality (one store dim per explicit+implicit dimension,
+    * chunked along the outermost): executors write the chunks, the
+    * driver only metadata ([[graft.sources.ZarrExport]]) — the
+    * scale-safe counterpart of [[exportNetCDF]]'s single-file gather.
+    * Returns (rows, chunks written). */
+  def exportZarr(path: String, varName: String = "measure",
+      v3: Boolean = true, rowsPerChunk: Int = 0): (Long, Int) =
+    graft.sources.ZarrExport.writeDistributedNd(df, "id_dim", "measure",
+      path, varName, v3,
+      explicitDims.map(d => d.name -> d.size),
+      implicitDims.map(d => d.name -> d.size), rowsPerChunk)
 }
 
 object Cube {

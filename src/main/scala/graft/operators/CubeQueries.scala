@@ -59,13 +59,49 @@ object CubeQueries {
       .df.orderBy("id_dim")
       .withColumn("measure", graft.functions.ArrayPrimitives.fx12(col("measure")))
 
+  /** qc04 — DISTRIBUTED n-D Zarr export round trip: a formula cube with
+    * TWO explicit dims (60×4) and one implicit (3) exports via
+    * [[Cube.exportZarr]] (executors write chunks along the outer dim,
+    * full 3-D shape in the metadata, no collect anywhere), then the
+    * store re-imports through file_import (explicit=1 → 60 rows of the
+    * flattened 4×3 inner block) and the oracle replays the formula. */
+  def qc04_cube_zarr_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine.IoServer
+    val (d0, d1, m) = (60, 4, 3)
+    val rows = (0 until d0).flatMap(i => (0 until d1).map { j =>
+      ((i * d1 + j + 1).toLong,
+        Array.tabulate(m)(k => i * 0.5 + j * 0.25 + k * 0.125)) // exact
+    })
+    import s.implicits._
+    val df = rows.toDF("id_dim", "measure").repartition(5)
+    val path = java.nio.file.Files.createTempDirectory("graft_qc4")
+      .resolve("cube.zarr").toString
+    Cube(df, Seq("t" -> d0, "lat" -> d1), Seq("lon" -> m))
+      .exportZarr(path, v3 = true, rowsPerChunk = 16) // 4-chunk grid
+    val ses = new IoServer(s).newSession()
+    ses.execute(s"operation=file_import;frag_name=czr;src_path=@$path;" +
+      "measure=measure;explicit=1")
+    ses.execute(
+      "operation=select;field=id_dim|measure;from=czr;order=id_dim").get
+      .withColumn("measure",
+        graft.functions.ArrayPrimitives.fx12(col("measure")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc01_cube_pipeline" -> (qc01_cube_pipeline _),
     "qc02_cube_aggregate" -> (qc02_cube_aggregate _),
     "qc03_cube_reshape" -> (qc03_cube_reshape _),
+    "qc04_cube_zarr_roundtrip" -> (qc04_cube_zarr_roundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
+    "qc04_cube_zarr_roundtrip" ->
+      """SELECT i AS id_dim,
+         array_to_string(list_transform(range(0, 12),
+           x -> CAST(floor(((i-1) * 0.5 + (x // 3) * 0.25 + (x % 3) * 0.125)
+             * 1e12) AS BIGINT)), ',') AS measure
+         FROM range(1, 61) t(i)
+         ORDER BY id_dim""",
     "qc01_cube_pipeline" ->
       """SELECT (vec_id / 2)::BIGINT + 1 AS id_dim,
          array_to_string(list_transform(

@@ -29,6 +29,70 @@ import org.apache.spark.sql.functions.{col, count, first, max, min, size}
   */
 object ZarrExport {
 
+  /** N-dimensional cube export: the fragment's rows are the row-major
+    * flattening of `rowDims` (the cube's explicit dims, id_dim 0-based
+    * after min-subtraction) and each array cell spans `colDims` (the
+    * implicit dims). The store keeps the FULL dimensionality — shape is
+    * rowDims ++ colDims — with chunking along the outermost dim only
+    * (chunk = (c0, rest full)), which aligns chunks to whole row groups
+    * so the distributed writer's row-aligned shuffle still holds: a
+    * chunk of c0 outer slabs is exactly c0·∏(rowDims.tail) consecutive
+    * fragment rows. Returns (rows, chunkCount). */
+  def writeDistributedNd(frag: DataFrame, idCol: String, arrCol: String,
+      path: String, varName: String, v3: Boolean,
+      rowDims: Seq[(String, Int)], colDims: Seq[(String, Int)],
+      rowsPerChunk: Int = 0, level: Int = 6): (Long, Int) = {
+    val nExpected = rowDims.map(_._2.toLong).product
+    val m = colDims.map(_._2).product
+    val rowsPerOuter = rowDims.drop(1).map(_._2.toLong).product
+    val rpcTarget =
+      if (rowsPerChunk > 0) rowsPerChunk.toLong
+      else math.max(1L, (4L << 20) / (m * 8))
+    // chunk along dim 0 only, whole outer slabs per chunk
+    val c0 = math.max(1L, rpcTarget / math.max(1L, rowsPerOuter)).toInt
+    val effRpc = c0 * rowsPerOuter
+    require(effRpc * m * 8 <= Int.MaxValue,
+      s"chunk ($c0 outer slabs x $rowsPerOuter rows x $m) exceeds 2 GiB")
+    val shape = (rowDims ++ colDims).map(_._2)
+    val chunks = c0 +: (rowDims.drop(1) ++ colDims).map(_._2)
+    val src = frag.select(col(idCol).cast("long").as("id"),
+      col(arrCol).cast("array<double>").as("a"))
+    val stats = src.agg(count(col("id")).as("n"), min(col("id")).as("lo"),
+      max(col("id")).as("hi"), first(size(col("a"))).as("m")).collect()(0)
+    val n = stats.getLong(0)
+    require(n == nExpected, s"cube is sparse or overfull: $n rows for " +
+      s"shape product $nExpected — fill or subset before export")
+    if (n > 0) {
+      require(stats.getInt(3) == m,
+        s"array length ${stats.getInt(3)} != implicit-dim product $m")
+      require(stats.getLong(2) - stats.getLong(1) + 1 == n,
+        "cube id_dim must be contiguous")
+    }
+    Zarr.writeStoreMeta(path, varName, shape, chunks, v3, level)
+    if (n == 0L) return (0L, 0)
+    val lo = stats.getLong(1)
+    val nChunks = ((n + effRpc - 1) / effRpc).toInt
+    val arrayDir = new org.apache.hadoop.fs.Path(path, varName).toString
+    val rank = shape.size
+    src.rdd.map(r => (r.getLong(0) - lo, r.getSeq[Double](1).toArray))
+      .map { case (i, a) => (i / effRpc, (i, a)) }
+      .groupByKey(math.max(1, math.min(nChunks,
+        frag.sparkSession.sparkContext.defaultParallelism)))
+      .foreach { case (gid, rows) =>
+        val raw = new Array[Byte]((effRpc * m * 8).toInt)
+        val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        rows.foreach { case (i, a) =>
+          val off = ((i - gid * effRpc) * m * 8).toInt
+          var j = 0
+          while (j < m) { bb.putDouble(off + j * 8, a(j)); j += 1 }
+        }
+        val gidx = gid.toInt +: Seq.fill(rank - 1)(0)
+        Zarr.putObject(arrayDir, Zarr.chunkKey(gidx, v3),
+          Zarr.compressChunk(raw, v3, level))
+      }
+    (n, nChunks)
+  }
+
   /** Export `frag`'s (idCol, arrCol) as a float64 Zarr store; returns
     * (rows, chunkCount). `rowsPerChunk <= 0` picks ~4 MiB chunks — the
     * object-store sweet spot; tiny test fragments pass an explicit value

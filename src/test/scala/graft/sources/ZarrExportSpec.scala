@@ -71,6 +71,38 @@ class ZarrExportSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("n-D cube export keeps dimensionality, chunks along the outer dim") {
+    import spark.implicits._
+    // explicit (6 x 4) x implicit (3): 24 rows of 3-element arrays,
+    // id_dim 1-based row-major over (d0, d1)
+    val (d0, d1, m) = (6, 4, 3)
+    val rows = for (i <- 0 until d0; j <- 0 until d1) yield
+      ((i * d1 + j + 1).toLong,
+        Array.tabulate(m)(k => i * 100.0 + j * 10.0 + k))
+    val df = rows.toDF("id_dim", "measure").repartition(5)
+    val p = tmp()
+    val cube = graft.cube.Cube(df, Seq("d0" -> d0, "d1" -> d1), Seq("z" -> m))
+    val (n, chunks) = cube.exportZarr(p, v3 = true, rowsPerChunk = 8)
+    // 8 requested rows / 4 rows per outer slab -> c0 = 2 -> 3 chunks
+    assert(n == d0 * d1 && chunks == 3)
+    assert(Files.exists(Paths.get(p, "measure", "c", "0", "0", "0")))
+    assert(Files.exists(Paths.get(p, "measure", "c", "2", "0", "0")))
+    val r = new Zarr.ZarrReader(p)
+    try {
+      assert(r.shape("measure") == Seq(d0, d1, m))
+      // full 3-D read in C order == the row-major construction
+      val got = r.readSlab("measure", Seq(0, 0, 0), Seq(d0, d1, m)).toSeq
+      val want = for (i <- 0 until d0; j <- 0 until d1; k <- 0 until m)
+        yield i * 100.0 + j * 10.0 + k
+      assert(got == want)
+      // an interior hyperslab crossing the chunk boundary
+      val slab = r.readSlab("measure", Seq(1, 2, 1), Seq(3, 2, 2)).toSeq
+      val wantSlab = for (i <- 1 until 4; j <- 2 until 4; k <- 1 until 3)
+        yield i * 100.0 + j * 10.0 + k
+      assert(slab == wantSlab)
+    } finally r.close()
+  }
+
   test("empty fragment writes metadata only") {
     import spark.implicits._
     val df = Seq.empty[(Long, Array[Double])].toDF("id_dim", "measure")
