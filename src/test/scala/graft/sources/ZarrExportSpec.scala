@@ -103,6 +103,37 @@ class ZarrExportSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("no row bytes funnel through the driver (executor-side writes)") {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val total = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) total.addAndGet(e.taskMetrics.resultSize)
+    }
+    // ~10 MiB of array data: if any rows were collected, task result
+    // sizes would be of that order; executor-side writes ship only
+    // status + accumulators back
+    val (n, m) = (20000, 64)
+    val df = spark.range(1, n + 1).select(col("id").as("id_dim"))
+      .withColumn("measure",
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sequence(lit(1), lit(m)),
+          x => x.cast("double") + col("id_dim")))
+    val p = tmp()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (rows, chunks) = ZarrExport.writeDistributed(df, "id_dim",
+        "measure", p, "measure", v3 = false)
+      assert(rows == n && chunks >= 1)
+      Thread.sleep(2000) // listener bus drains asynchronously
+      val dataBytes = n.toLong * m * 8
+      assert(dataBytes > 8L * 1024 * 1024)
+      assert(total.get() < 1024 * 1024,
+        s"driver received ${total.get()} result bytes for a $dataBytes-byte export")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("empty fragment writes metadata only") {
     import spark.implicits._
     val df = Seq.empty[(Long, Array[Double])].toDF("id_dim", "measure")
