@@ -492,29 +492,30 @@ object DedupQueries {
     val q = out.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .format("memory").queryName("d13_stream_out").start()
+    // the watched dir holds a full copy of the table — delete it on EVERY
+    // exit path (a failure mid-query must not leak it across a sweep)
     try {
-      // drops are hash-partitioned BY CONTENT so a dup group inside one
-      // drop never straddles part files: whatever subset of a drop's
-      // files a micro-batch captures, it holds whole groups, and the
-      // in-batch min-id tie-break keeps first-seen == batch min id even
-      // if the source splits a drop across micro-batches
-      docs.filter(col("doc_id") <= half).repartition(4, col("text"))
-        .write.mode("append").parquet(watch)
-      q.processAllAvailable()
-      docs.filter(col("doc_id") > half).repartition(4, col("text"))
-        .write.mode("append").parquet(watch)
-      q.processAllAvailable()
-    } finally q.stop()
-    val result = s.table("d13_stream_out")
-      .select(col("doc_id"), col("kept"), col("dup_of")).collect().toIndexedSeq
-    val outSchema = s.table("d13_stream_out")
-      .select(col("doc_id"), col("kept"), col("dup_of")).schema
-    s.catalog.dropTempView("d13_stream_out")
-    // the watched dir holds a full copy of the table; don't leak it
-    // across a long query sweep
-    org.apache.commons.io.FileUtils.deleteQuietly(watchPath.toFile)
-    s.createDataFrame(s.sparkContext.parallelize(result, 1), outSchema)
-      .orderBy("doc_id")
+      try {
+        // drops are hash-partitioned BY CONTENT so a dup group inside one
+        // drop never straddles part files: whatever subset of a drop's
+        // files a micro-batch captures, it holds whole groups, and the
+        // in-batch min-id tie-break keeps first-seen == batch min id even
+        // if the source splits a drop across micro-batches
+        docs.filter(col("doc_id") <= half).repartition(4, col("text"))
+          .write.mode("append").parquet(watch)
+        q.processAllAvailable()
+        docs.filter(col("doc_id") > half).repartition(4, col("text"))
+          .write.mode("append").parquet(watch)
+        q.processAllAvailable()
+      } finally q.stop()
+      val result = s.table("d13_stream_out")
+        .select(col("doc_id"), col("kept"), col("dup_of")).collect().toIndexedSeq
+      val outSchema = s.table("d13_stream_out")
+        .select(col("doc_id"), col("kept"), col("dup_of")).schema
+      s.catalog.dropTempView("d13_stream_out")
+      s.createDataFrame(s.sparkContext.parallelize(result, 1), outSchema)
+        .orderBy("doc_id")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(watchPath.toFile)
   }
 
   /** d10 — the STREAMING LSH near-dup candidate operator under the

@@ -51,17 +51,30 @@ object MultimodalQueries {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
+          // the oracle replays this arithmetic via ascii() code points, so
+          // the encode must see one byte per char: getBytes("US-ASCII")
+          // silently folds non-ASCII to '?' (63) and would diverge — fail
+          // loud instead of producing a wrong-but-plausible feature row
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — pixel bytes would diverge from code points")
           val bytes = text.getBytes("US-ASCII")
           val len = bytes.length
+          // empty doc: deterministic 1x1 black image (w = 0%64+1 = 1 and
+          // h = 1 match the size formula; a zero pixel replaces the
+          // undefined bytes(k % 0) access)
           val w = len % 64 + 1
           val h = (len / 64) % 64 + 1
-          def rgb = Array.tabulate(w * h * 3)(k => bytes(k % len))
+          def rgb =
+            if (len == 0) new Array[Byte](3)
+            else Array.tabulate(w * h * 3)(k => bytes(k % len))
           (id % 4) match {
             case 0 => MediaRow(id, MediaCodec.encodeBmp24(w, h, rgb), "bmp24")
             case 1 => MediaRow(id, MediaCodec.encodeBmp32(w, h, rgb), "bmp32")
             case 2 => MediaRow(id, MediaCodec.encodePpm(w, h, rgb), "ppm")
             case _ =>
-              val gray = Array.tabulate(w * h)(p => bytes(p % len))
+              val gray =
+                if (len == 0) new Array[Byte](1)
+                else Array.tabulate(w * h)(p => bytes(p % len))
               MediaRow(id, MediaCodec.encodeBmp8(w, h, gray), "bmp8")
           }
         }

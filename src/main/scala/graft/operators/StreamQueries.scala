@@ -92,31 +92,33 @@ object StreamQueries {
         col("n"), col("sum_value"))
     val q = agg.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("q30_stream_out").start()
+    // the watched dir holds a full copy of the events table — delete it on
+    // EVERY exit path (a failure mid-query must not leak it across a sweep)
     try {
-      // each drop is an executor-parallel parquet append; every append
-      // is discovered as one micro-batch (no maxFilesPerTrigger), so
-      // watermark order across drops holds by the ts split
-      ev.filter(col("tns") <= splitTs).coalesce(4)
-        .write.mode("append").parquet(watch)
-      q.processAllAvailable()
-      ev.filter(col("tns") > splitTs).coalesce(4)
-        .write.mode("append").parquet(watch)
-      q.processAllAvailable()
-      import s.implicits._
-      Seq((sentinelNs, 0.0)).toDF("tns", "value")
-        .write.mode("append").parquet(watch)
-      q.processAllAvailable()
-    } finally q.stop()
-    val sentinelHour = sentinelNs / 3600000000000L * 3600L
-    val closed = s.table("q30_stream_out")
-      .filter(col("window_start") < sentinelHour)
-    val result = closed.collect().toIndexedSeq
-    val schemaOut = closed.schema
-    s.catalog.dropTempView("q30_stream_out")
-    // the watched dir holds a full copy of the events table
-    org.apache.commons.io.FileUtils.deleteQuietly(watchPath.toFile)
-    s.createDataFrame(s.sparkContext.parallelize(result, 1), schemaOut)
-      .orderBy("window_start")
+      try {
+        // each drop is an executor-parallel parquet append; every append
+        // is discovered as one micro-batch (no maxFilesPerTrigger), so
+        // watermark order across drops holds by the ts split
+        ev.filter(col("tns") <= splitTs).coalesce(4)
+          .write.mode("append").parquet(watch)
+        q.processAllAvailable()
+        ev.filter(col("tns") > splitTs).coalesce(4)
+          .write.mode("append").parquet(watch)
+        q.processAllAvailable()
+        import s.implicits._
+        Seq((sentinelNs, 0.0)).toDF("tns", "value")
+          .write.mode("append").parquet(watch)
+        q.processAllAvailable()
+      } finally q.stop()
+      val sentinelHour = sentinelNs / 3600000000000L * 3600L
+      val closed = s.table("q30_stream_out")
+        .filter(col("window_start") < sentinelHour)
+      val result = closed.collect().toIndexedSeq
+      val schemaOut = closed.schema
+      s.catalog.dropTempView("q30_stream_out")
+      s.createDataFrame(s.sparkContext.parallelize(result, 1), schemaOut)
+        .orderBy("window_start")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(watchPath.toFile)
   }
 
   /** q26 — streaming as-of enrichment: clicks and purchases flow through

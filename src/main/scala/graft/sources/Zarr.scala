@@ -439,11 +439,14 @@ object Zarr {
 
   /** Write one object into the store, opening the FileSystem locally —
     * executors call this with their own handles (same discipline as
-    * [[RandomInput]] reads). */
+    * [[RandomInput]] reads). Pass the session's Hadoop configuration
+    * (broadcast via [[SerializableHadoopConf]]) so `spark.hadoop.*`
+    * settings — s3a credentials, endpoints — reach executor-side writes;
+    * a bare `new Configuration()` only sees core-site.xml. */
   private[sources] def putObject(arrayDir: String, key: String,
-      bytes: Array[Byte]): Unit = {
+      bytes: Array[Byte], conf: Configuration = new Configuration()): Unit = {
     val p = new Path(arrayDir, key)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val o = fs.create(p, true)
     try o.write(bytes) finally o.close()
   }

@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, count, first, max, min, size}
+import org.apache.spark.sql.functions.{col, count, countDistinct, max, min, size, when}
 
 /** Distributed Zarr export: the scale-safe counterpart of the driver-side
   * `oph_export` single-file path. The DRIVER writes only the store
@@ -57,14 +57,19 @@ object ZarrExport {
     val chunks = c0 +: (rowDims.drop(1) ++ colDims).map(_._2)
     val src = frag.select(col(idCol).cast("long").as("id"),
       col(arrCol).cast("array<double>").as("a"))
+    val sz = when(col("a").isNotNull, size(col("a")))
     val stats = src.agg(count(col("id")).as("n"), min(col("id")).as("lo"),
-      max(col("id")).as("hi"), first(size(col("a"))).as("m")).collect()(0)
+      max(col("id")).as("hi"), countDistinct(col("id")).as("nd"),
+      min(sz).as("mLo"), max(sz).as("mHi")).collect()(0)
     val n = stats.getLong(0)
     require(n == nExpected, s"cube is sparse or overfull: $n rows for " +
       s"shape product $nExpected — fill or subset before export")
     if (n > 0) {
-      require(stats.getInt(3) == m,
-        s"array length ${stats.getInt(3)} != implicit-dim product $m")
+      require(stats.getLong(3) == n,
+        s"cube id_dim contains duplicate values (${n - stats.getLong(3)} dups)")
+      require(!stats.isNullAt(4) && stats.getInt(4) == m && stats.getInt(5) == m,
+        s"ragged/null arrays: lengths ${stats.get(4)}..${stats.get(5)} " +
+          s"!= implicit-dim product $m")
       require(stats.getLong(2) - stats.getLong(1) + 1 == n,
         "cube id_dim must be contiguous")
     }
@@ -74,10 +79,11 @@ object ZarrExport {
     val nChunks = ((n + effRpc - 1) / effRpc).toInt
     val arrayDir = new org.apache.hadoop.fs.Path(path, varName).toString
     val rank = shape.size
+    val sc = frag.sparkSession.sparkContext
+    val bcConf = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
     src.rdd.map(r => (r.getLong(0) - lo, r.getSeq[Double](1).toArray))
       .map { case (i, a) => (i / effRpc, (i, a)) }
-      .groupByKey(math.max(1, math.min(nChunks,
-        frag.sparkSession.sparkContext.defaultParallelism)))
+      .groupByKey(math.max(1, math.min(nChunks, sc.defaultParallelism)))
       .foreach { case (gid, rows) =>
         val raw = new Array[Byte]((effRpc * m * 8).toInt)
         val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
@@ -88,7 +94,7 @@ object ZarrExport {
         }
         val gidx = gid.toInt +: Seq.fill(rank - 1)(0)
         Zarr.putObject(arrayDir, Zarr.chunkKey(gidx, v3),
-          Zarr.compressChunk(raw, v3, level))
+          Zarr.compressChunk(raw, v3, level), bcConf.value.value)
       }
     (n, nChunks)
   }
@@ -102,20 +108,31 @@ object ZarrExport {
       rowsPerChunk: Int = 0, level: Int = 6): (Long, Int) = {
     val src = frag.select(col(idCol).cast("long").as("id"),
       col(arrCol).cast("array<double>").as("a"))
+    val sz = when(col("a").isNotNull, size(col("a")))
     val stats = src.agg(count(col("id")).as("n"), min(col("id")).as("lo"),
-      max(col("id")).as("hi"), first(size(col("a"))).as("m")).collect()(0)
+      max(col("id")).as("hi"), countDistinct(col("id")).as("nd"),
+      min(sz).as("mLo"), max(sz).as("mHi"), count(col("a")).as("nArr"))
+      .collect()(0)
     val n = stats.getLong(0)
     if (n == 0L) {
       Zarr.writeStoreMeta(path, varName, Seq(0, 0), Seq(1, 1), v3, level)
       return (0L, 0)
     }
+    // duplicate ids make "which row is row i" ambiguous — neither the
+    // contiguity fast path nor the sort fallback can place them; fail loud
+    require(stats.getLong(3) == n, s"duplicate values in '$idCol' " +
+      s"(${n - stats.getLong(3)} dups) — export row placement is ambiguous")
     val (lo, hi) = (stats.getLong(1), stats.getLong(2))
-    val m = if (stats.isNullAt(3)) 0 else stats.getInt(3)
+    val m = if (stats.isNullAt(4)) 0 else math.max(0, stats.getInt(4))
     require(n <= Int.MaxValue, "Zarr shape dims are Int-sized")
     if (m <= 0) { // empty/null arrays: metadata-only store, no chunks
       Zarr.writeStoreMeta(path, varName, Seq(n.toInt, 0), Seq(1, 1), v3, level)
       return (n, 0)
     }
+    require(stats.getInt(5) == m, s"ragged arrays: lengths " +
+      s"${stats.getInt(4)}..${stats.getInt(5)} — uniform width required")
+    require(stats.getLong(6) == n,
+      s"null arrays on ${n - stats.getLong(6)} of $n rows")
     val rpc =
       if (rowsPerChunk > 0) rowsPerChunk
       else math.max(1, (4 << 20) / (m * 8))
@@ -137,10 +154,11 @@ object ZarrExport {
 
     // one shuffle group per chunk; the group is bounded (rpc rows) and
     // the executor that receives it writes the chunk object directly
+    val sc = frag.sparkSession.sparkContext
+    val bcConf = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
     indexed
       .map { case (i, a) => (i / rpc, (i, a)) }
-      .groupByKey(math.max(1, math.min(nChunks,
-        frag.sparkSession.sparkContext.defaultParallelism)))
+      .groupByKey(math.max(1, math.min(nChunks, sc.defaultParallelism)))
       .foreach { case (gid, rows) =>
         val raw = new Array[Byte](rpc * m * 8) // edge chunks stay full-size
         val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
@@ -150,7 +168,7 @@ object ZarrExport {
           while (j < m) { bb.putDouble(off + j * 8, a(j)); j += 1 }
         }
         Zarr.putObject(arrayDir, Zarr.chunkKey(Seq(gid.toInt, 0), v3),
-          Zarr.compressChunk(raw, v3, level))
+          Zarr.compressChunk(raw, v3, level), bcConf.value.value)
       }
     (n, nChunks)
   }
