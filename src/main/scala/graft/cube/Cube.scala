@@ -166,16 +166,18 @@ final case class Cube(df: DataFrame, explicitDims: Seq[Dim], implicitDims: Seq[D
     copy(df = df.repartitionByRange(numFragments, col("id_dim")))
 
   /** OPH_EXPORTNC at the cube level: write the cube to a NetCDF classic
-    * file with one dim per explicit+implicit dimension. Driver-side
-    * collect by design — export to a single .nc is inherently a
-    * gather (the reference pages it to the client the same way). */
+    * file with one dim per explicit+implicit dimension. Export to a
+    * single .nc is inherently a gather, but driver MEMORY stays bounded:
+    * the id-sorted rows are pumped partition-by-partition
+    * (toLocalIterator) into the sequential CDF data section — the writer
+    * verifies the streamed element count against the dim product, so a
+    * sparse/overfull cube still fails loud. */
   def exportNetCDF(path: String, varName: String = "measure"): Unit = {
-    val rows = df.orderBy("id_dim").select("id_dim", "measure").collect()
-    val data = rows.flatMap(_.getSeq[Double](1))
+    import scala.jdk.CollectionConverters._
     val dims = (explicitDims ++ implicitDims).map(d => d.name -> d.size)
-    require(data.length == totalElements, s"cube is sparse: ${data.length} of " +
-      s"$totalElements elements present; fill or subset before export")
-    graft.sources.NetCDF3.writeDoubleVar(path, dims, varName, data)
+    val batches = df.orderBy("id_dim").select("id_dim", "measure")
+      .toLocalIterator().asScala.map(_.getSeq[Double](1).toArray)
+    graft.sources.NetCDF3.writeDoubleVarStreamed(path, dims, varName, batches)
   }
 
   /** DISTRIBUTED cube export to a Zarr store preserving the full

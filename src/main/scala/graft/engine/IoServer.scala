@@ -631,20 +631,34 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
                 graft.sources.ZarrExport.writeDistributed(r, "id_dim",
                   "measure", path, "measure", v3 = true, rowsPerChunk)
               case fmt =>
-                val rows = r.select("id_dim", "measure").collect()
-                val m = if (rows.isEmpty) 0 else rows.head.getSeq[Double](1).size
-                val data = rows.flatMap(_.getSeq[Double](1)).map(d => d)
-                val dims = Seq("id_dim" -> rows.length, "elem" -> m)
+                // single-file container: bytes must pass through one
+                // writer, but driver MEMORY stays bounded — one stats
+                // pass for the header dims, then the sorted fragment is
+                // pumped partition-by-partition (toLocalIterator) into
+                // the sequential CDF/HDF5 data section
+                val src = r.select(col("id_dim"),
+                  col("measure").cast("array<double>").as("measure"))
+                val sz = when(col("measure").isNotNull, size(col("measure")))
+                val st = src.agg(count(lit(1)).as("n"),
+                  min(sz).as("mLo"), max(sz).as("mHi")).collect()(0)
+                val n = st.getLong(0).toInt
+                val m = if (n == 0 || st.isNullAt(1)) 0 else st.getInt(1)
+                require(n == 0 || (!st.isNullAt(1) && st.getInt(2) == m),
+                  s"ragged/null measure arrays — uniform width required")
+                val dims = Seq("id_dim" -> n, "elem" -> m)
+                import scala.jdk.CollectionConverters._
+                def batches = src.toLocalIterator().asScala
+                  .map(_.getSeq[Double](1).toArray)
                 fmt match {
                   case "classic" =>
-                    graft.sources.NetCDF3.writeDoubleVar(path, dims, "measure",
-                      data)
+                    graft.sources.NetCDF3.writeDoubleVarStreamed(path, dims,
+                      "measure", batches)
                   case "cdf5" =>
-                    graft.sources.NetCDF3.writeDoubleVar(path, dims, "measure",
-                      data, version = 5)
+                    graft.sources.NetCDF3.writeDoubleVarStreamed(path, dims,
+                      "measure", batches, version = 5)
                   case "netcdf4" =>
-                    graft.sources.HDF5.writeDoubleVar(path, dims, "measure",
-                      data)
+                    graft.sources.HDF5.writeDoubleVarStreamed(path, dims,
+                      "measure", batches)
                   case o => throw new IllegalArgumentException(
                     s"unknown export format: $o")
                 }

@@ -22,21 +22,18 @@ object NetCDFQueries {
   /** qn01 — NetCDF round-trip: export → @file load with sub_operation
     * avg-8 reduce → key-algebra subset → fragment readback. */
   def qn01_netcdf_roundtrip(s: SparkSession, dir: String): DataFrame = {
-    // export is a driver-side single-file write by design (the
-    // reference's oph_export path; Cube.exportNetCDF documents the same)
-    val rows = Tables.embeddings(s, dir)
+    // export is a single-file write (the reference's oph_export path),
+    // but driver memory stays bounded: vec_id is dense from 0, so the
+    // id-sorted stream IS the row-major layout — pump it partition-by-
+    // partition into the sequential CDF data section
+    import scala.jdk.CollectionConverters._
+    val src = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .orderBy("vec_id").collect()
-    val n = rows.length
-    val data = new Array[Double](n * 64)
-    rows.foreach { r =>
-      val id = r.getLong(0).toInt
-      val a = r.getSeq[Double](1)
-      var i = 0
-      while (i < 64) { data(id * 64 + i) = a(i); i += 1 }
-    }
+      .orderBy("vec_id")
+    val n = src.count().toInt
     val path = Files.createTempDirectory("graft_nc").resolve("emb.nc").toString
-    NetCDF3.writeDoubleVar(path, Seq("row" -> n, "x" -> 64), "measure", data)
+    NetCDF3.writeDoubleVarStreamed(path, Seq("row" -> n, "x" -> 64), "measure",
+      src.toLocalIterator().asScala.map(_.getSeq[Double](1).take(64).toArray))
 
     val ses = new IoServer(s).newSession()
     ses.execute(

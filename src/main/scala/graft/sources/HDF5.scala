@@ -1365,7 +1365,15 @@ object HDF5 {
 
   /** Append one dataset (v1 object header + layout + data) to `b`,
     * returning its object header address. */
-  private def writeDataset(b: Buf, v: H5Var, deflateLevel: Int): Long = {
+  private def writeDataset(b: Buf, v: H5Var, deflateLevel: Int): Long =
+    writeDatasetImpl(b, v, deflateLevel, streamed = false)._1
+
+  /** As [[writeDataset]]; with `streamed = true` (contiguous only) the
+    * data bytes are NOT written — the returned second element is the
+    * buffer position of the unpatched data address, so the caller can
+    * point it past the metadata and append the values sequentially. */
+  private def writeDatasetImpl(b: Buf, v: H5Var, deflateLevel: Int,
+      streamed: Boolean): (Long, Int) = {
     val shape = v.dims.map(_._2)
     val data = v.data
     val rank = shape.size
@@ -1432,8 +1440,9 @@ object HDF5 {
     if (!chunked) {
       b.u8(1)
       val dataAddrPatch = b.pos; b.u64(0)
-      b.u64(data.length.toLong * 8)
+      b.u64(shape.map(_.toLong).product * 8)
       b.zero(layoutSz - (b.pos - layoutStart))
+      if (streamed) return (dsOh, dataAddrPatch)
       // --- contiguous data ---
       val dataAddr = b.pos
       b.patch64(dataAddrPatch, dataAddr)
@@ -1469,7 +1478,85 @@ object HDF5 {
       shape.zip(cd).foreach { case (sh, c) => b.u64(((sh + c - 1) / c).toLong * c) }
       b.u64(8)
     }
-    dsOh
+    (dsOh, -1)
+  }
+
+  /** Single-variable contiguous-layout writer that STREAMS the values:
+    * all metadata is laid out first (dims — and therefore the data size —
+    * are known upfront), flushed, and the data section is appended
+    * row-batch by row-batch. Driver memory is bounded by one batch
+    * (one Spark partition via `toLocalIterator`) instead of the whole
+    * variable — the single-file counterpart of [[graft.sources.ZarrExport]]'s
+    * fully-distributed chunk writes. Layout matches [[writeDoubleVar]]
+    * with `chunkDims = None`: superblock v0, symbol-table root group,
+    * layout v3 class-1 contiguous. */
+  def writeDoubleVarStreamed(path: String, dims: Seq[(String, Int)],
+      varName: String, batches: Iterator[Array[Double]],
+      attrs: Seq[(String, Double)] = Nil): Unit = {
+    val total = dims.map(_._2.toLong).product
+    val b = new Buf
+    val (eofPatch, rootOhPatch) = superblockV0(b)
+    // root group object header v1: one symbol-table message
+    val rootOh = b.pos
+    b.patch64(rootOhPatch, rootOh)
+    b.u8(1); b.u8(0); b.u16(1)
+    b.u32(1); b.u32(24); b.u32(0)
+    b.u16(0x0011); b.u16(16); b.u8(0); b.u8(0); b.u16(0)
+    val stabBtreePatch = b.pos; b.u64(0)
+    val stabHeapPatch = b.pos; b.u64(0)
+    val nb = varName.getBytes("UTF-8")
+    val nameOff = 8L
+    val nameSlot = (nb.length + 1 + 7) / 8 * 8
+    // group B-tree v1 (one child SNOD, one entry)
+    val btreeAddr = b.pos
+    b.patch64(stabBtreePatch, btreeAddr)
+    b.bytes("TREE".getBytes); b.u8(0); b.u8(0); b.u16(1)
+    b.u64(Undef); b.u64(Undef)
+    b.u64(0)
+    val snodPatch = b.pos; b.u64(0)
+    b.u64(nameOff)
+    // local heap: empty-string slot + the one name
+    val heapAddr = b.pos
+    b.patch64(stabHeapPatch, heapAddr)
+    b.bytes("HEAP".getBytes); b.u8(0); b.u8(0); b.u16(0)
+    b.u64(8L + nameSlot)
+    b.u64(Undef)
+    val heapDataPatch = b.pos; b.u64(0)
+    val heapData = b.pos
+    b.patch64(heapDataPatch, heapData)
+    b.zero(8)
+    b.bytes(nb); b.zero(nameSlot - nb.length)
+    // SNOD with the single dataset entry
+    val snodAddr = b.pos
+    b.patch64(snodPatch, snodAddr)
+    b.bytes("SNOD".getBytes); b.u8(1); b.u8(0); b.u16(1)
+    b.u64(nameOff)
+    val dsOhPatch = b.pos; b.u64(0)
+    b.u32(0); b.u32(0); b.zero(16)
+    // dataset metadata only; data address patched to just past it
+    val (dsOh, dataAddrPatch) = writeDatasetImpl(b,
+      H5Var(varName, dims, Array.emptyDoubleArray, None, attrs),
+      deflateLevel = -1, streamed = true)
+    b.patch64(dsOhPatch, dsOh)
+    val dataAddr = b.pos.toLong
+    b.patch64(dataAddrPatch, dataAddr)
+    b.patch64(eofPatch, dataAddr + total * 8)
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path), 1 << 16)
+    try {
+      out.write(b.result)
+      var written = 0L
+      batches.foreach { a =>
+        require(written + a.length <= total,
+          s"more than $total values streamed — source exceeds the dims")
+        val bb = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+        a.foreach(bb.putDouble)
+        out.write(bb.array)
+        written += a.length
+      }
+      require(written == total,
+        s"streamed $written values for dim product $total")
+    } finally out.close()
   }
 
   // ------------------------------------------- dense-link group writer

@@ -230,6 +230,20 @@ object NetCDF3 {
                      data: Array[Double], version: Int = 1,
                      attrs: Seq[(String, Double)] = Nil): Unit = {
     require(data.length == dims.map(_._2).product, "data size != dim product")
+    writeDoubleVarStreamed(path, dims, varName, Iterator.single(data),
+      version, attrs)
+  }
+
+  /** As [[writeDoubleVar]] but STREAMING the values batch by batch: the
+    * CDF header needs only the dim sizes upfront and the data section is
+    * a sequential run of big-endian doubles, so driver memory is bounded
+    * by one batch (one Spark partition via `toLocalIterator`) instead of
+    * the whole variable. */
+  def writeDoubleVarStreamed(path: String, dims: Seq[(String, Int)],
+                             varName: String, batches: Iterator[Array[Double]],
+                             version: Int = 1,
+                             attrs: Seq[(String, Double)] = Nil): Unit = {
+    val total = dims.map(_._2.toLong).product
     require(version == 1 || version == 5, s"writer supports CDF-1/5, not $version")
     val o = new DataOutputStream(new java.io.BufferedOutputStream(
       new FileOutputStream(path)))
@@ -256,7 +270,7 @@ object NetCDF3 {
         }
       }
       o.writeInt(6) // NC_DOUBLE
-      nn(data.length.toLong * 8) // vsize
+      nn(total * 8) // vsize
       val headerSize = 4 + nnSz + // magic+numrecs
         (4 + nnSz) + dims.map { case (n, _) => nameSize(n, nnSz) + nnSz }.sum +
         (4 + nnSz) + // gatts ABSENT
@@ -266,7 +280,15 @@ object NetCDF3 {
         4 + nnSz + // nc_type, vsize
         (if (version == 5) 8 else 4) // this begin field
       if (version == 5) o.writeLong(headerSize) else o.writeInt(headerSize)
-      data.foreach(o.writeDouble)
+      var written = 0L
+      batches.foreach { a =>
+        require(written + a.length <= total,
+          s"more than $total values streamed — source exceeds the dims")
+        a.foreach(o.writeDouble)
+        written += a.length
+      }
+      require(written == total,
+        s"streamed $written values for dim product $total")
     } finally o.close()
   }
 
