@@ -60,21 +60,35 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // Re-runs must be COLD w.r.t. explicit caching or a memoized plan
+    // (dedup collapse, ANN quantized store) reports a cache hit as its
+    // cost. Cleared only BETWEEN reps of one query — the sweep-order
+    // reuse across queries (d03 builds what d04/d05/d07 share) is real
+    // engine behavior and stays; and since the final rep repopulates the
+    // memo, the next query still sees the same sweep state as a 1-rep run.
+    def resetCaches(): Unit = {
+      graft.core.SessionMemo.clear(spark)
+      spark.catalog.clearCache()
+    }
+    def onceCold(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      resetCaches()
+      once(name, fn)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }
       .map { case (name, fn) =>
         val t1 = once(name, fn)
         val times = repMode match {
           case "1" => Seq(t1)
-          case "2" => Seq(t1, once(name, fn))
-          case "3" => Seq(t1, once(name, fn), once(name, fn))
+          case "2" => Seq(t1, onceCold(name, fn))
+          case "3" => Seq(t1, onceCold(name, fn), onceCold(name, fn))
           case _ => // auto
             if (t1 <= slowThresholdSec) Seq(t1)
             else {
-              val t2 = once(name, fn)
+              val t2 = onceCold(name, fn)
               val lo = math.min(t1, t2)
               if (math.abs(t1 - t2) / math.max(lo, 1e-9) > 0.3)
-                Seq(t1, t2, once(name, fn))
+                Seq(t1, t2, onceCold(name, fn))
               else Seq(t1, t2)
             }
         }

@@ -51,6 +51,30 @@ object SessionMemo {
     dead.foreach(map.remove)
   }
 
+  /** Drop every memo belonging to `s` (cached DataFrames are unpersisted
+    * so the next build recomputes from scratch). Bench uses this between
+    * measurement reps: a memoized plan would otherwise short-circuit the
+    * re-run and report a cache hit as the query's cost. */
+  def clear(s: SparkSession): Unit = {
+    val sk = sessionKey(s)
+    val mine = map.synchronized {
+      val hit = map.collect { case (k, slot) if k._1 == sk => (k, slot) }
+      hit.keys.foreach(map.remove)
+      hit.values.toSeq
+    }
+    mine.foreach {
+      case Slot(_, df: org.apache.spark.sql.DataFrame) =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => }
+      case Slot(_, p: Product) =>
+        p.productIterator.foreach {
+          case df: org.apache.spark.sql.DataFrame =>
+            try df.unpersist(blocking = false) catch { case _: Throwable => }
+          case _ =>
+        }
+      case _ =>
+    }
+  }
+
   /** Visible for tests. */
   private[graft] def size: Int = map.synchronized(map.size)
 }
