@@ -82,10 +82,12 @@ object NetCDFQueries {
   /** qn03 — Zarr store read: the qn02 grid written as a
     * blosc(lz4+shuffle)-compressed Zarr v2 store (the numcodecs default
     * frame, decoded by the pure-JVM [[graft.sources.Blosc]] codec;
-    * ragged edge chunks) and as a CDF-1 file, both through file_import
-    * → the format-sniffing DSv2 reader, joined on id_dim (reference
-    * capability: HISTORY.md v1.9.0 "Support for Zarr format" / URL
-    * src_paths, oph_io_server_nc.c:2769). */
+    * ragged edge chunks), as a second v2 store exercising the OTHER
+    * blosc axes — the blosclz codec + the bitshuffle transform — and as
+    * a CDF-1 file, all through file_import → the format-sniffing DSv2
+    * reader, joined on id_dim (reference capability: HISTORY.md v1.9.0
+    * "Support for Zarr format" / URL src_paths,
+    * oph_io_server_nc.c:2769). */
   def qn03_zarr_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val (nRows, nCols) = (60, 8)
     val data = Array.tabulate(nRows * nCols)(k =>
@@ -93,24 +95,43 @@ object NetCDFQueries {
     val tmp = Files.createTempDirectory("graft_zarr_q")
     val ncPath = tmp.resolve("twin.nc").toString
     val zPath = tmp.resolve("twin.zarr").toString
+    val zlzPath = tmp.resolve("twinlz.zarr").toString
+    val zbitPath = tmp.resolve("twinbit.zarr").toString
     NetCDF3.writeDoubleVar(ncPath, Seq("row" -> nRows, "col" -> nCols),
       "measure", data)
     graft.sources.Zarr.writeDoubleVar(zPath,
       Seq("row" -> nRows, "col" -> nCols), "measure", data,
       chunkDims = Some(Seq(16, 8)), // 60 % 16 != 0 → ragged edge chunk
       compressor = "blosc")
+    graft.sources.Zarr.writeDoubleVar(zlzPath,
+      Seq("row" -> nRows, "col" -> nCols), "measure", data,
+      chunkDims = Some(Seq(16, 8)), compressor = "blosc-blosclz")
+    graft.sources.Zarr.writeDoubleVar(zbitPath,
+      Seq("row" -> nRows, "col" -> nCols), "measure", data,
+      chunkDims = Some(Seq(16, 8)), compressor = "blosc-bitshuffle")
     val ses = new IoServer(s).newSession()
     ses.execute(s"operation=file_import;frag_name=zin;src_path=@$zPath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=zlzin;src_path=@$zlzPath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=zbitin;src_path=@$zbitPath;" +
       "measure=measure;explicit=1")
     ses.execute(s"operation=file_import;frag_name=ncin2;src_path=@$ncPath;" +
       "measure=measure;explicit=1")
     val z = ses.execute(
       "operation=select;field=id_dim|measure;from=zin;order=id_dim").get
       .select(col("id_dim"), AP.fx12(col("measure")).as("m_zarr"))
+    val zlz = ses.execute(
+      "operation=select;field=id_dim|measure;from=zlzin;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_blosclz"))
+    val zbit = ses.execute(
+      "operation=select;field=id_dim|measure;from=zbitin;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_bitshuf"))
     val nc = ses.execute(
       "operation=select;field=id_dim|measure;from=ncin2;order=id_dim").get
       .select(col("id_dim"), AP.fx12(col("measure")).as("m_cdf"))
-    nc.join(z, "id_dim").orderBy("id_dim")
+    nc.join(z, "id_dim").join(zlz, "id_dim").join(zbit, "id_dim")
+      .orderBy("id_dim")
   }
 
   /** qn07 — Zarr **v3** store read: the qn03 grid written as a v3 store
@@ -368,7 +389,13 @@ object NetCDFQueries {
            AS m_cdf,
          array_to_string(list_transform(range(0, 8),
            j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
-           AS m_zarr
+           AS m_zarr,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_blosclz,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_bitshuf
          FROM range(1, 61) t(i)
          ORDER BY id_dim""",
     "qn09_cf_unpack" ->

@@ -22,8 +22,12 @@ import java.util.zip.{Deflater, Inflater}
   *   means the stream is stored raw; 0 means all zeros); byte-shuffle
   *   is applied per whole block after the streams are joined.
   *
-  * Codecs: lz4/lz4hc (block format decoded here) and zlib. blosclz,
-  * snappy, zstd and bit-shuffle are rejected with clear errors.
+  * Codecs: lz4/lz4hc (block format decoded here), zlib, and blosclz
+  * (the FastLZ-derived default, decoded from the public blosclz.c
+  * format). Byte-shuffle AND bit-shuffle (the bitshuffle library's
+  * trim-to-8-elements transform, as c-blosc wraps it) are both decoded.
+  * snappy and zstd are rejected with clear errors (a from-spec zstd
+  * decoder is out of scope).
   * The encoder exists to build test fixtures and writer-side stores; it
   * emits the same frame shape c-blosc produces (shuffle + lz4,
   * optionally split streams).
@@ -43,7 +47,6 @@ object Blosc {
     require(nbytes >= 0 && blocksize > 0, "corrupt blosc header")
     if ((flags & 0x02) != 0) // memcpy: payload stored raw after header
       return java.util.Arrays.copyOfRange(src, 16, 16 + nbytes)
-    require((flags & 0x04) == 0, "blosc bit-shuffle not supported")
     val codec = flags >>> 5
     val dontSplit = (flags & 0x10) != 0
     val out = new Array[Byte](nbytes)
@@ -56,8 +59,11 @@ object Blosc {
         if (dontSplit || typesize <= 1 || bsize % typesize != 0)
           decodeStreams(src, bstart, bsize, 1, codec)
         else decodeStreams(src, bstart, bsize, typesize, codec)
-      val shuffled = if ((flags & 0x01) != 0 && typesize > 1 &&
-        bsize % typesize == 0) unshuffle(block, typesize) else block
+      val shuffled =
+        if ((flags & 0x04) != 0) bitUnshuffle(block, math.max(typesize, 1))
+        else if ((flags & 0x01) != 0 && typesize > 1 &&
+          bsize % typesize == 0) unshuffle(block, typesize)
+        else block
       System.arraycopy(shuffled, 0, out, j * blocksize, bsize)
       j += 1
     }
@@ -81,10 +87,9 @@ object Blosc {
         System.arraycopy(src, p, out, s * ebytes, ebytes); p += cb
       } else {
         codec match {
+          case 0 => blosclzDecompress(src, p, cb, out, s * ebytes, ebytes)
           case 1 => lz4Decompress(src, p, cb, out, s * ebytes, ebytes)
           case 3 => zlibInflate(src, p, cb, out, s * ebytes, ebytes)
-          case 0 => throw new IllegalArgumentException(
-            "blosclz codec not supported — re-encode with cname=lz4/zlib")
           case c => throw new IllegalArgumentException(
             s"blosc codec $c (snappy/zstd) not supported")
         }
@@ -106,6 +111,78 @@ object Blosc {
       while (i < n) { out(i * es + byteIdx) = b(j); j += 1; i += 1 }
       byteIdx += 1
     }
+    out
+  }
+
+  /** Bit-shuffle inverse (the bitshuffle library's transform as c-blosc
+    * wraps it): the shuffled region covers the largest multiple-of-8
+    * element prefix; it is laid out as 8·es bit-planes — plane
+    * `j*8 + kk` (byte j of the element, bit kk) holds one bit per
+    * element, packed LSB-first, n/8 bytes. Trailing bytes (elements
+    * beyond the multiple-of-8 prefix plus any ragged remainder) are
+    * stored raw at the same offset. */
+  private[sources] def bitUnshuffle(b: Array[Byte], es: Int): Array[Byte] = {
+    val nElem = b.length / es
+    val nTrim = nElem - nElem % 8
+    val out = new Array[Byte](b.length)
+    val n8 = nTrim / 8
+    var j = 0
+    while (j < es) {
+      var kk = 0
+      while (kk < 8) {
+        val base = (j * 8 + kk) * n8
+        val bit = 1 << kk
+        var t = 0
+        while (t < n8) {
+          val s = b(base + t) & 0xFF
+          if (s != 0) {
+            var u = 0
+            while (u < 8) {
+              if (((s >>> u) & 1) != 0) {
+                val at = (t * 8 + u) * es + j
+                out(at) = (out(at) | bit).toByte
+              }
+              u += 1
+            }
+          }
+          t += 1
+        }
+        kk += 1
+      }
+      j += 1
+    }
+    System.arraycopy(b, nTrim * es, out, nTrim * es, b.length - nTrim * es)
+    out
+  }
+
+  /** Bit-shuffle forward ([[bitUnshuffle]]'s inverse; encoder/fixtures). */
+  private[sources] def bitShuffle(b: Array[Byte], es: Int): Array[Byte] = {
+    val nElem = b.length / es
+    val nTrim = nElem - nElem % 8
+    val out = new Array[Byte](b.length)
+    val n8 = nTrim / 8
+    var j = 0
+    while (j < es) {
+      var kk = 0
+      while (kk < 8) {
+        val base = (j * 8 + kk) * n8
+        val bit = 1 << kk
+        var t = 0
+        while (t < n8) {
+          var s = 0
+          var u = 0
+          while (u < 8) {
+            if ((b((t * 8 + u) * es + j) & bit) != 0) s |= 1 << u
+            u += 1
+          }
+          out(base + t) = s.toByte
+          t += 1
+        }
+        kk += 1
+      }
+      j += 1
+    }
+    System.arraycopy(b, nTrim * es, out, nTrim * es, b.length - nTrim * es)
     out
   }
 
@@ -135,6 +212,130 @@ object Blosc {
     }
     inf.end()
     require(done == dstLen, s"zlib stream yielded $done of $dstLen bytes")
+  }
+
+  // --------------------------------------------------------- blosclz
+
+  /** blosclz decode (the FastLZ-derived format from the public
+    * blosclz.c): a stream of tokens where `ctrl < 32` is a literal run
+    * of `ctrl+1` bytes and `ctrl >= 32` is a match — 3-bit length field
+    * (raw 1..7; 7 adds 255-terminated extension bytes; copy length is
+    * field−1+3), 13-bit near distance `((ctrl&31)<<8 | code) + 1`, and
+    * the all-ones near field with `code == 255` escaping to a 16-bit
+    * big-endian far distance biased by MAX_DISTANCE (8191) + 1. The
+    * first token is always a literal run (only its low 5 bits are
+    * read). Matches may overlap their output (RLE via distance 1). */
+  def blosclzDecompress(src: Array[Byte], srcOff: Int, srcLen: Int,
+      dst: Array[Byte], dstOff: Int, dstLen: Int): Unit = {
+    var ip = srcOff
+    val ipEnd = srcOff + srcLen
+    var op = dstOff
+    val opEnd = dstOff + dstLen
+    require(srcLen > 0, "empty blosclz stream")
+    var ctrl = src(ip) & 31; ip += 1
+    var loop = true
+    while (loop) {
+      if (ctrl >= 32) {
+        var mlen = (ctrl >>> 5) - 1
+        val ofsHigh = (ctrl & 31) << 8
+        if (mlen == 6) {
+          var x = 0
+          do { x = src(ip) & 0xFF; ip += 1; mlen += x } while (x == 255)
+        }
+        val code = src(ip) & 0xFF; ip += 1
+        var dist = ofsHigh + code + 1
+        if (code == 255 && ofsHigh == (31 << 8)) {
+          dist = (((src(ip) & 0xFF) << 8) | (src(ip + 1) & 0xFF)) + 8191 + 1
+          ip += 2
+        }
+        mlen += 3
+        if (ip < ipEnd) { ctrl = src(ip) & 0xFF; ip += 1 } else loop = false
+        var ref = op - dist
+        require(ref >= dstOff, "corrupt blosclz match distance")
+        require(op + mlen <= opEnd, "blosclz match overruns output")
+        var i = 0
+        while (i < mlen) { dst(op) = dst(ref); op += 1; ref += 1; i += 1 }
+      } else {
+        val cnt = ctrl + 1
+        require(op + cnt <= opEnd && ip + cnt <= ipEnd,
+          "corrupt blosclz literal run")
+        System.arraycopy(src, ip, dst, op, cnt)
+        ip += cnt; op += cnt
+        if (ip < ipEnd) { ctrl = src(ip) & 0xFF; ip += 1 } else loop = false
+      }
+    }
+    require(op == opEnd, s"blosclz yielded ${op - dstOff} of $dstLen bytes")
+  }
+
+  /** Greedy blosclz encoder (same hash-table scheme as [[lz4Compress]];
+    * matches ≥ 3, near distances ≤ 8191, far escape beyond; fixtures and
+    * writer-side stores only). */
+  def blosclzCompress(src: Array[Byte]): Array[Byte] = {
+    val n = src.length
+    val out = new java.io.ByteArrayOutputStream(n + n / 30 + 16)
+    var anchor = 0
+    def flushLiterals(upTo: Int): Unit = {
+      var a = anchor
+      while (a < upTo) {
+        val run = math.min(32, upTo - a)
+        out.write(run - 1)
+        out.write(src, a, run)
+        a += run
+      }
+      anchor = upTo
+    }
+    if (n == 0) return out.toByteArray
+    val hashBits = 13
+    val table = new Array[Int](1 << hashBits)
+    java.util.Arrays.fill(table, -1)
+    def hash3(i: Int): Int = {
+      val v = (src(i) & 0xFF) | ((src(i + 1) & 0xFF) << 8) |
+        ((src(i + 2) & 0xFF) << 16)
+      (v * -1640531535) >>> (32 - hashBits)
+    }
+    val maxFar = 8191 + 65535
+    var i = 0
+    while (i < n - 3) {
+      val h = hash3(i)
+      val cand = table(h)
+      table(h) = i
+      val dist = i - cand
+      if (cand >= 0 && dist <= maxFar + 1 &&
+        src(cand) == src(i) && src(cand + 1) == src(i + 1) &&
+        src(cand + 2) == src(i + 2) &&
+        // far matches spend 2 extra bytes; require a longer match
+        (dist <= 8191 || i + 4 < n && src(cand + 3) == src(i + 3))) {
+        var ml = 3
+        val mlMax = n - i
+        while (ml < mlMax && src(cand + ml) == src(i + ml)) ml += 1
+        flushLiterals(i)
+        val lenField = math.min(ml - 3 + 1, 7) // raw 1..7
+        val far = dist > 8191
+        val (oHigh, code) =
+          if (far) (31, 255)
+          else {
+            val d = dist - 1
+            // (31<<8)|255 is the far escape; shorten the match… never
+            // needed: d <= 8190 < 8191 keeps the pair unambiguous
+            (d >>> 8, d & 0xFF)
+          }
+        out.write((lenField << 5) | oHigh)
+        if (lenField == 7) { // 255-terminated extension, sum = ml-3-6
+          var rem = ml - 3 - 6
+          while (rem >= 255) { out.write(255); rem -= 255 }
+          out.write(rem)
+        }
+        out.write(code)
+        if (far) {
+          val fo = dist - 8191 - 1
+          out.write((fo >>> 8) & 0xFF); out.write(fo & 0xFF)
+        }
+        i += ml
+        anchor = i
+      } else i += 1
+    }
+    flushLiterals(n)
+    out.toByteArray
   }
 
   // ------------------------------------------------------ LZ4 (block)
@@ -236,15 +437,19 @@ object Blosc {
 
   // ------------------------------------------------------------ encode
 
-  /** Build a blosc v1 frame: lz4 (`codec=1`) or zlib (`codec=3`), byte
-    * shuffle on `typesize`, optionally split into per-byte streams like
-    * c-blosc does for lz4 when `blocksize/typesize ≥ 128`. Single
+  /** Build a blosc v1 frame: blosclz (`codec=0`), lz4 (`codec=1`) or
+    * zlib (`codec=3`); byte shuffle on `typesize` (or the bitshuffle
+    * transform when `bitShuf`), optionally split into per-byte streams
+    * like c-blosc does for lz4 when `blocksize/typesize ≥ 128`. Single
     * block (fixtures and chunk-sized writes). */
   def compress(raw: Array[Byte], typesize: Int, codec: Int = 1,
-      doShuffle: Boolean = true, split: Boolean = false): Array[Byte] = {
-    require(codec == 1 || codec == 3, "encoder supports lz4/zlib")
+      doShuffle: Boolean = true, split: Boolean = false,
+      bitShuf: Boolean = false): Array[Byte] = {
+    require(codec == 0 || codec == 1 || codec == 3,
+      "encoder supports blosclz/lz4/zlib")
     val shuffled =
-      if (doShuffle && typesize > 1 && raw.length % typesize == 0)
+      if (bitShuf) bitShuffle(raw, math.max(typesize, 1))
+      else if (doShuffle && typesize > 1 && raw.length % typesize == 0)
         shuffle(raw, typesize)
       else raw
     val doSplit = split && typesize > 1 && shuffled.length % typesize == 0
@@ -254,6 +459,7 @@ object Blosc {
       val part = java.util.Arrays.copyOfRange(shuffled, s * ebytes,
         (s + 1) * ebytes)
       val comp = codec match {
+        case 0 => blosclzCompress(part)
         case 1 => lz4Compress(part)
         case 3 =>
           val d = new Deflater(6)
@@ -269,7 +475,8 @@ object Blosc {
     val total = 16 + 4 + payload // header + one block-start entry
     val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     var flags = codec << 5
-    if (doShuffle && typesize > 1) flags |= 0x01
+    if (bitShuf) flags |= 0x04
+    else if (doShuffle && typesize > 1) flags |= 0x01
     if (!doSplit) flags |= 0x10 // DONT_SPLIT
     out.put(2.toByte)            // format version
     out.put(1.toByte)            // codec format version

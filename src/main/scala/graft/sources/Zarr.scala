@@ -141,8 +141,8 @@ object Zarr {
             // [[Blosc]] handles the frame; reject the codecs it can't
             val cname = if (cfg != null && cfg.get("cname") != null)
               cfg.get("cname").asText() else "lz4"
-            require(cname == "lz4" || cname == "zlib",
-              s"blosc cname $cname unsupported")
+            require(cname == "lz4" || cname == "zlib" || cname == "blosclz",
+              s"blosc cname $cname unsupported (snappy/zstd not implemented)")
             comp = "blosc"
           case o => throw new IllegalArgumentException(
             s"v3 codec $o unsupported (transpose/sharding/zstd not implemented)")
@@ -396,6 +396,12 @@ object Zarr {
         case "blosc" =>
           s"""{"id": "blosc", "cname": "lz4", "clevel": $level,
              | "shuffle": 1, "blocksize": 0}""".stripMargin
+        case "blosc-blosclz" =>
+          s"""{"id": "blosc", "cname": "blosclz", "clevel": $level,
+             | "shuffle": 1, "blocksize": 0}""".stripMargin
+        case "blosc-bitshuffle" =>
+          s"""{"id": "blosc", "cname": "lz4", "clevel": $level,
+             | "shuffle": 2, "blocksize": 0}""".stripMargin
         case o => throw new IllegalArgumentException(s"writer compressor $o")
       }
       val zarray =
@@ -487,6 +493,9 @@ object Zarr {
       fill(0, 0, 0)
       val comp = compressor match {
         case "blosc" => Blosc.compress(raw, typesize = 8, codec = 1)
+        case "blosc-blosclz" => Blosc.compress(raw, typesize = 8, codec = 0)
+        case "blosc-bitshuffle" =>
+          Blosc.compress(raw, typesize = 8, codec = 1, bitShuf = true)
         case _ => compressChunk(raw, v3 = false, level)
       }
       putObject(dir.toString, chunkKey(gidx, v3 = false), comp)
