@@ -301,12 +301,22 @@ object NetCDFQueries {
     // + 4 spilling into the first EADB data block
     graft.sources.HDF5.writeLatestVars(unlimPath, decoys :+ measure.copy(
       chunkDims = Some(Seq(8, 8))), index = "extarray")
+    // PAGED extensible array: (1,2) chunks make a 60x4=240-chunk grid;
+    // with eaDataBlkMin=4/eaPageBits=4 generation 5 (32 elements > 16
+    // per page) is secondary-block-addressed and paged — chunks 128..239
+    // are resolved through checksummed pages + the EASB page-init bitmap
+    val pagedPath = tmp.resolve("paged.h5").toString
+    graft.sources.HDF5.writeLatestVars(pagedPath, decoys :+ measure.copy(
+      chunkDims = Some(Seq(1, 2))), index = "extarray",
+      eaPageBits = 4, eaDataBlkMin = 4)
     val ses = new IoServer(s).newSession()
     ses.execute(s"operation=file_import;frag_name=dn;src_path=@$densePath;" +
       "measure=measure;explicit=1")
     ses.execute(s"operation=file_import;frag_name=lt;src_path=@$latestPath;" +
       "measure=measure;explicit=1")
     ses.execute(s"operation=file_import;frag_name=un;src_path=@$unlimPath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=pg;src_path=@$pagedPath;" +
       "measure=measure;explicit=1")
     val dn = ses.execute(
       "operation=select;field=id_dim|measure;from=dn;order=id_dim").get
@@ -317,7 +327,11 @@ object NetCDFQueries {
     val un = ses.execute(
       "operation=select;field=id_dim|measure;from=un;order=id_dim").get
       .select(col("id_dim"), AP.fx12(col("measure")).as("m_unlim"))
-    dn.join(lt, "id_dim").join(un, "id_dim").orderBy("id_dim")
+    val pg = ses.execute(
+      "operation=select;field=id_dim|measure;from=pg;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_paged"))
+    dn.join(lt, "id_dim").join(un, "id_dim").join(pg, "id_dim")
+      .orderBy("id_dim")
   }
 
   /** qn06 — CDF-5 (the PnetCDF 64-bit-data classic variant): the qn02
@@ -446,7 +460,10 @@ object NetCDFQueries {
            AS m_latest,
          array_to_string(list_transform(range(0, 8),
            j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
-           AS m_unlim
+           AS m_unlim,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_paged
          FROM range(1, 61) t(i)
          ORDER BY id_dim""",
     "qn06_cdf5_roundtrip" ->

@@ -172,15 +172,46 @@ final class IoService(spark: SparkSession, port: Int = 0,
           case "RS" =>
             session.lastResult match {
               case Some(df) =>
-                val rows = df.collect()
+                // the frame header carries the TOTAL payload length and
+                // row count before any cell, so the result can't stream
+                // straight to the socket — but it need not materialize
+                // on the heap either: cells are encoded once, partition
+                // at a time (toLocalIterator), into a disk spool whose
+                // bytes are the exact wire payload, then the header +
+                // spool stream out. Peak driver heap is one partition;
+                // wire bytes are unchanged from the collect() framing.
+                import scala.jdk.CollectionConverters._
                 val nFields = df.columns.length
-                val cells = rows.map(r => (0 until nFields).map(i => cell(r.get(i))))
-                val payloadLen = cells.iterator
-                  .map(_.map(c => 8L + c.length).sum).sum
-                out.write("RS".getBytes("UTF-8"))
-                wu64(payloadLen); wu64(rows.length.toLong); wu32(nFields)
-                cells.foreach(_.foreach { c => wu64(c.length.toLong); out.write(c) })
-                out.flush()
+                val spool = java.io.File.createTempFile("graft_rs", ".spool")
+                try {
+                  var nRows = 0L
+                  var payloadLen = 0L
+                  val sp = new DataOutputStream(new java.io.BufferedOutputStream(
+                    new java.io.FileOutputStream(spool), 1 << 16))
+                  try {
+                    df.toLocalIterator().asScala.foreach { r =>
+                      nRows += 1
+                      var i = 0
+                      while (i < nFields) {
+                        val c = cell(r.get(i))
+                        payloadLen += 8L + c.length
+                        sp.writeLong(java.lang.Long.reverseBytes(c.length.toLong))
+                        sp.write(c)
+                        i += 1
+                      }
+                    }
+                  } finally sp.close()
+                  out.write("RS".getBytes("UTF-8"))
+                  wu64(payloadLen); wu64(nRows); wu32(nFields)
+                  val fin = new java.io.BufferedInputStream(
+                    new java.io.FileInputStream(spool))
+                  try {
+                    val buf = new Array[Byte](1 << 16)
+                    var k = fin.read(buf)
+                    while (k > 0) { out.write(buf, 0, k); k = fin.read(buf) }
+                  } finally fin.close()
+                  out.flush()
+                } finally spool.delete()
               case None => reply("ER")
             }
           case _ => reply("ER")
@@ -216,12 +247,22 @@ final class IoService(spark: SparkSession, port: Int = 0,
             val n = if (arg.isEmpty) 1000 else arg.toInt
             session.lastResult match {
               case Some(df) =>
-                val rows = df.limit(n).collect()
+                // nrows precedes the rows in the JSON shape, so count
+                // first (cheap pruned job), then stream the rows to the
+                // writer partition at a time instead of buffering the
+                // whole page
+                import scala.jdk.CollectionConverters._
+                val page = df.limit(n)
+                val nRows = page.count()
                 val fields = df.columns.map(jstr).mkString("[", ",", "]")
-                val body = rows.map(r =>
-                  r.toSeq.map(jval).mkString("[", ",", "]"))
-                  .mkString("[", ",", "]")
-                out.println(s"""{"ok":true,"nrows":${rows.length},"fields":$fields,"rows":$body}""")
+                out.print(s"""{"ok":true,"nrows":$nRows,"fields":$fields,"rows":[""")
+                var first = true
+                page.toLocalIterator().asScala.foreach { r =>
+                  if (!first) out.print(",")
+                  first = false
+                  out.print(r.toSeq.map(jval).mkString("[", ",", "]"))
+                }
+                out.println("]}")
               case None =>
                 out.println("""{"ok":false,"error":"no result set"}""")
             }

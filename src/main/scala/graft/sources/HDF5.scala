@@ -833,8 +833,11 @@ object HDF5 {
       * 2^((u+1)/2)·data_blk_min_elmts elements, and the first
       * 2·(sup_blk_min_data_ptrs−1) blocks are addressed straight from
       * the index block. Client 0 = chunk addresses; client 1 =
-      * (address, stored size, filter mask). Secondary blocks and paged
-      * data blocks (beyond-RAM element counts) are rejected clearly. */
+      * (address, stored size, filter mask). Generations past the direct
+      * slots go through EASB secondary blocks, and data blocks whose
+      * element count exceeds 2^max_dblk_page_bits are PAGED: the block
+      * stores only its prefix, elements follow as checksummed pages, and
+      * the secondary block's page-init bitmap marks written pages. */
     private def extensibleArrayEntries(d: Dataset, hdrAddr: Long,
         totalChunks: Long, originOf: Long => Seq[Long])
         : Seq[(Seq[Long], Long, Long)] = {
@@ -884,9 +887,12 @@ object HDF5 {
       // data block addresses
       val firstSblkGen = 2 * log2(supBlkMinDataPtrs)
       val arrOffSize = (maxNelmtsBits + 7) / 8
+      val pageNelmts = 1L << maxDblkPageBits
       // per-data-block element buffers, read lazily once each
       val dblkCache = mutable.Map.empty[Long, ByteBuffer]
-      val sblkCache = mutable.Map.empty[Long, ByteBuffer]
+      val pageCache = mutable.Map.empty[(Long, Long), ByteBuffer]
+      // secondary block → (page-init bitmap, data block addresses)
+      val sblkCache = mutable.Map.empty[Long, (Array[Byte], ByteBuffer)]
       def element(raw: ByteBuffer, off: Int, ci: Long)
           : (Seq[Long], Long, Long) = {
         val addr = raw.getLong(off)
@@ -912,35 +918,60 @@ object HDF5 {
             var g = 0
             while (idx >= gen(g)._3 + gen(g)._1 * gen(g)._2) g += 1
             val (genDblks, ne, startIdx, startDblk) = gen(g)
-            require(ne <= (1L << maxDblkPageBits),
-              s"${d.name}: paged extensible-array data blocks unsupported")
+            val paged = ne > pageNelmts
+            val npages = if (paged) (ne / pageNelmts).toInt else 0
             val dblk = startDblk + (idx - startIdx) / ne
             val within = (idx - startIdx) % ne
-            val dAddr =
-              if (dblk < ndblkAddrs) dblkAddrs.getLong((dblk * 8).toInt)
+            // library-default creation params keep every index-block-
+            // addressed generation at or under the page size; only
+            // secondary-block generations page
+            require(!paged || dblk >= ndblkAddrs,
+              s"${d.name}: paged data block addressed from the index block")
+            val prefix = 4 + 1 + 1 + 8 + arrOffSize // sig,ver,client,hdr,off
+            val (dAddr, pageInit) =
+              if (dblk < ndblkAddrs)
+                (dblkAddrs.getLong((dblk * 8).toInt), true)
               else {
                 // secondary block: one per generation >= firstSblkGen,
-                // holding that generation's data block addresses
+                // holding [page-init bitmap when paged] + that
+                // generation's data block addresses
                 val sAddr = sblkAddrs.getLong(((g - firstSblkGen) * 8).toInt)
-                if (sAddr == Undef) Undef
+                if (sAddr == Undef) (Undef, false)
                 else {
-                  val sb = sblkCache.getOrElseUpdate(sAddr, {
+                  val (bitmap, addrs) = sblkCache.getOrElseUpdate(sAddr, {
                     require(bytesAt(sAddr, 4).sameElements("EASB".getBytes),
                       "extensible array secondary block expected")
-                    // sig, ver, client, hdr addr, block offset — then the
-                    // generation's ndblks addresses (no page bitmap: the
-                    // ne <= page-size require above holds here too)
-                    bb(sAddr + 4 + 1 + 1 + 8 + arrOffSize, (genDblks * 8).toInt)
+                    val bmLen =
+                      if (paged) (genDblks * ((npages + 7) / 8)).toInt else 0
+                    (bytesAt(sAddr + prefix, bmLen),
+                      bb(sAddr + prefix + bmLen, (genDblks * 8).toInt))
                   })
-                  sb.getLong(((dblk - startDblk) * 8).toInt)
+                  val a = addrs.getLong(((dblk - startDblk) * 8).toInt)
+                  val init = !paged || {
+                    // H5VM bit order: MSB-first, contiguous dblk*npages+page
+                    val bit = (dblk - startDblk) * npages + within / pageNelmts
+                    (bitmap((bit / 8).toInt) & (1 << (7 - (bit % 8)).toInt)) != 0
+                  }
+                  (a, init)
                 }
               }
-            if (dAddr == Undef) (originOf(ci), Undef, 0L) // whole block unwritten
-            else {
+            if (dAddr == Undef || !pageInit) (originOf(ci), Undef, 0L)
+            else if (paged) {
+              // paged block: prefix only (no checksum), then pages of
+              // pageNelmts elements each tailed by a 4-byte checksum
+              val page = within / pageNelmts
+              val raw = pageCache.getOrElseUpdate((dAddr, page), {
+                require(bytesAt(dAddr, 4).sameElements("EADB".getBytes),
+                  "extensible array data block expected")
+                bb(dAddr + prefix + page * (pageNelmts * elmtSize + 4),
+                  (pageNelmts * elmtSize).toInt)
+              })
+              element(raw, ((within % pageNelmts) * elmtSize).toInt, ci)
+            } else {
               val raw = dblkCache.getOrElseUpdate(dAddr, {
                 require(bytesAt(dAddr, 4).sameElements("EADB".getBytes),
                   "extensible array data block expected")
-                bb(dAddr + 4 + 1 + 1 + 8 + arrOffSize, (ne * elmtSize).toInt)
+                bb(dAddr + prefix, (ne * elmtSize).toInt)
               })
               element(raw, (within * elmtSize).toInt, ci)
             }
@@ -1720,7 +1751,8 @@ object HDF5 {
     * chunks raw. */
   def writeLatestVars(path: String, vars0: Seq[H5Var], index: String,
       deflateLevel: Int = 6, faPageBits: Int = 10,
-      dontFilterPartial: Boolean = false): Unit = {
+      dontFilterPartial: Boolean = false, eaPageBits: Int = 10,
+      eaDataBlkMin: Int = 16): Unit = {
     validateVars(vars0)
     val b = new Buf
     // --- superblock v3 ---
@@ -1733,7 +1765,8 @@ object HDF5 {
     val sbChecksumAt = b.pos; b.u32(0)
 
     val ohAddrs = vars0.map(v =>
-      writeDatasetV4(b, v, index, deflateLevel, faPageBits, dontFilterPartial))
+      writeDatasetV4(b, v, index, deflateLevel, faPageBits, dontFilterPartial,
+        eaPageBits, eaDataBlkMin))
 
     // --- root group: OHDR v2 with one compact Link message per var ---
     val rootAddr = writeOhdrV2(b, vars0.indices.map { i =>
@@ -1778,7 +1811,8 @@ object HDF5 {
   /** One dataset in latest format: data + index structures, then an
     * OHDR v2 with dataspace v2 / datatype / filters / layout v4. */
   private def writeDatasetV4(b: Buf, v: H5Var, index: String,
-      deflateLevel: Int, faPageBits: Int, dontFilterPartial: Boolean): Long = {
+      deflateLevel: Int, faPageBits: Int, dontFilterPartial: Boolean,
+      eaPageBits: Int = 10, eaDataBlkMin: Int = 16): Long = {
     val shape = v.dims.map(_._2)
     val rank = shape.size
     val chunked = v.chunkDims.isDefined
@@ -1833,12 +1867,12 @@ object HDF5 {
           layoutBody.u64(hdr)
         case "extarray" =>
           val hdr = writeExtensibleArray(b, entries, cd, shape, nominal,
-            filtered)
+            filtered, eaPageBits, eaDataBlkMin)
           layoutBody.u8(4)
-          // creation params, duplicated in the EAHD (library defaults)
-          layoutBody.u8(32); layoutBody.u8(4) // max bits, index elmts
-          layoutBody.u8(4); layoutBody.u8(16) // min ptrs, min elmts
-          layoutBody.u8(10)                   // page bits
+          // creation params, duplicated in the EAHD
+          layoutBody.u8(32); layoutBody.u8(4)          // max bits, index elmts
+          layoutBody.u8(4); layoutBody.u8(eaDataBlkMin) // min ptrs, min elmts
+          layoutBody.u8(eaPageBits)                     // page bits
           layoutBody.u64(hdr)
         case o => throw new IllegalArgumentException(s"index kind $o")
       }
@@ -1926,12 +1960,21 @@ object HDF5 {
     * (first generation(s) only — enough for every direct index-block
     * slot), then the EAIB index block (first 4 elements inline, 6 direct
     * data-block slots, secondary slots undefined), then the EAHD header.
-    * Library-default creation params (32/4/16/4/10). Returns the header
-    * address. */
+    * Library-default creation params (32/4/16/4/10); `eaPageBits` /
+    * `eaDataBlkMin` are exposed so a fixture can force PAGED data blocks
+    * (element count > 2^pageBits) at a testable chunk count — a paged
+    * block stores only its prefix (sig/ver/client/header-address/offset,
+    * NO checksum) and its elements follow as pages of 2^pageBits
+    * elements, each page tailed by its own lookup3 checksum; the owning
+    * secondary block gains the page-init bitmap before its data block
+    * addresses. Returns the header address. */
   private def writeExtensibleArray(b: Buf,
       entries: Seq[(Seq[Int], Long, Long)], cd: Seq[Int], shape: Seq[Int],
-      nominal: Long, filtered: Boolean): Long = {
-    val (maxBits, idxElmts, dataBlkMin, supBlkMin, pageBits) = (32, 4, 16, 4, 10)
+      nominal: Long, filtered: Boolean, eaPageBits: Int = 10,
+      eaDataBlkMin: Int = 16): Long = {
+    val (maxBits, idxElmts, dataBlkMin, supBlkMin, pageBits) =
+      (32, 4, eaDataBlkMin, 4, eaPageBits)
+    val pageNelmts = 1L << pageBits
     val szLen = limitEncSize(nominal)
     val elmtSize = if (filtered) 8 + szLen + 4 else 8
     val clientId = if (filtered) 1 else 0
@@ -1970,8 +2013,9 @@ object HDF5 {
     var (g, si) = (0, 0L)
     while (si < total - idxElmts) {
       val ne = (1L << ((g + 1) / 2)) * dataBlkMin
-      require(ne <= (1L << pageBits),
-        s"extensible-array writer: $total chunks need paged data blocks")
+      require(ne <= pageNelmts || g >= firstSblkGen,
+        s"extensible-array writer: index-block-addressed generation $g " +
+          s"would need paging (ne=$ne > page=$pageNelmts) — raise eaPageBits")
       var k = 0L
       while (k < (1L << (g / 2)) && si < total - idxElmts) {
         dbs += ((g, si, ne)); si += ne; k += 1
@@ -1991,8 +2035,23 @@ object HDF5 {
       hdrPatches += b.pos.toInt; b.u64(0)
       var j = 0
       while (j < arrOffSize) { b.u8(((start >> (8 * j)) & 0xFF).toInt); j += 1 }
-      (0L until ne).foreach(k => putElement(idxElmts + start + k))
-      ckPatches += ((addr.toInt, b.pos.toInt)); b.u32(0)
+      if (ne > pageNelmts) {
+        // paged: the data block image ends with its prefix (no elements,
+        // no checksum); pages follow contiguously, each checksummed over
+        // its own element bytes
+        var p = 0L
+        while (p < ne / pageNelmts) {
+          val pageStart = b.pos
+          (0L until pageNelmts).foreach(k =>
+            putElement(idxElmts + start + p * pageNelmts + k))
+          b.u32(lookup3(b.slice(pageStart, b.pos - pageStart)).toLong
+            & 0xFFFFFFFFL)
+          p += 1
+        }
+      } else {
+        (0L until ne).foreach(k => putElement(idxElmts + start + k))
+        ckPatches += ((addr.toInt, b.pos.toInt)); b.u32(0)
+      }
       addr
     }
     // one EASB per generation beyond the direct slots
@@ -2005,9 +2064,25 @@ object HDF5 {
         val start = members.head._1._2
         var j = 0
         while (j < arrOffSize) { b.u8(((start >> (8 * j)) & 0xFF).toInt); j += 1 }
+        val genNd = 1 << (gen / 2)
+        val ne = members.head._1._3
+        if (ne > pageNelmts) {
+          // page-init bitmap precedes the addresses: genNd blocks ×
+          // ceil(npages/8) bytes, bits indexed dblk*npages+page MSB-first
+          // (H5VM_bit_get order). Every page of every written block is
+          // initialized by this writer; absent blocks stay 0.
+          val npages = (ne / pageNelmts).toInt
+          val bytes = new Array[Byte](genNd * ((npages + 7) / 8))
+          members.indices.foreach { i =>
+            (0 until npages).foreach { p =>
+              val bit = i * npages + p
+              bytes(bit / 8) = (bytes(bit / 8) | (1 << (7 - bit % 8))).toByte
+            }
+          }
+          b.bytes(bytes)
+        }
         // ALL of the generation's slots are present; unwritten tail
         // blocks stay undefined (the reader treats them as fill)
-        val genNd = 1 << (gen / 2)
         (0 until genNd).foreach { i =>
           val a: Long = members.lift(i) match {
             case Some(m) => dbAddrs(m._2)

@@ -90,6 +90,68 @@ class IoServiceSpec extends SparkSpec {
     } finally svc.stop()
   }
 
+  test("binary wire: large RS streams partition-at-a-time, driver heap bounded") {
+    import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val maxTask = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          maxTask.accumulateAndGet(e.taskMetrics.resultSize, Math.max(_, _))
+    }
+    val svc = new IoService(spark, wire = "binary")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val c = new java.net.Socket("127.0.0.1", svc.boundPort)
+      val out = new DataOutputStream(new BufferedOutputStream(c.getOutputStream))
+      val in = new DataInputStream(new BufferedInputStream(c.getInputStream))
+      def wu64(v: Long): Unit = out.writeLong(java.lang.Long.reverseBytes(v))
+      def wu32(v: Int): Unit = out.writeInt(java.lang.Integer.reverseBytes(v))
+      def ru64(): Long = java.lang.Long.reverseBytes(in.readLong())
+      def ru32(): Int = java.lang.Integer.reverseBytes(in.readInt())
+      def wstr(s: String): Unit = {
+        val b = (s + "\u0000").getBytes("UTF-8"); wu64(b.length.toLong); out.write(b)
+      }
+      def tag(): String = {
+        val b = new Array[Byte](2); in.readFully(b); new String(b, "UTF-8")
+      }
+      def eq(q: String): String = {
+        out.write("EQ".getBytes); wu32(1); wstr(q); wstr("memory"); out.flush(); tag()
+      }
+      // ~5 MB result: 40k rows x (NUL-terminated long + 16-double blob)
+      assert(eq("operation=random_import;frag_name=big;nrows=40000;" +
+        "array_length=16") == "EQ")
+      assert(eq("operation=select;field=id_dim|measure;from=big") == "EQ")
+      out.write("RS".getBytes); out.flush()
+      assert(tag() == "RS")
+      val payloadLen = ru64(); val nRows = ru64(); val nFields = ru32()
+      assert(nRows == 40000 && nFields == 2)
+      assert(payloadLen > 4L * 1024 * 1024)
+      // drain and checksum the payload so the socket fully streams
+      var remaining = payloadLen
+      var sum = 0L
+      val buf = new Array[Byte](1 << 16)
+      while (remaining > 0) {
+        val k = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+        assert(k > 0, "payload truncated")
+        var i = 0
+        while (i < k) { sum += buf(i) & 0xFF; i += 1 }
+        remaining -= k
+      }
+      assert(sum != 0)
+      c.close()
+      Thread.sleep(2000) // listener bus drains asynchronously
+      // the result crossed the driver partition-by-partition: no single
+      // task shipped more than a fraction of the payload (a collect()
+      // would ship ~everything in one wave of full-partition results)
+      assert(maxTask.get() < payloadLen / 2,
+        s"peak task result ${maxTask.get()} of $payloadLen - result was collected")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      svc.stop()
+    }
+  }
+
   test("binary wire: N parallel clients, interleaved lifecycle, isolated sessions") {
     import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
     import java.nio.{ByteBuffer, ByteOrder}

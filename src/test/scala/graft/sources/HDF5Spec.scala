@@ -206,13 +206,15 @@ class HDF5Spec extends AnyFunSuite {
 
   private def v4Roundtrip(index: String, rows: Int = 7, cols: Int = 5,
       chunk: Option[Seq[Int]] = Some(Seq(3, 2)), pageBits: Int = 10,
-      dontFilterPartial: Boolean = false): Unit = {
+      dontFilterPartial: Boolean = false, eaPageBits: Int = 10,
+      eaDataBlkMin: Int = 16): Unit = {
     val p = tmp(".h5")
     val data = grid(rows, cols)
     HDF5.writeLatestVars(p, Seq(
       HDF5.H5Var("m", Seq("r" -> rows, "c" -> cols), data, chunk),
       HDF5.H5Var("t", Seq("r" -> rows), Array.tabulate(rows)(_ * 2.0))),
-      index, faPageBits = pageBits, dontFilterPartial = dontFilterPartial)
+      index, faPageBits = pageBits, dontFilterPartial = dontFilterPartial,
+      eaPageBits = eaPageBits, eaDataBlkMin = eaDataBlkMin)
     val r = new HDF5.Hdf5Reader(p)
     try {
       assert(r.varNames == Seq("m", "t"))
@@ -271,6 +273,24 @@ class HDF5Spec extends AnyFunSuite {
     // into generation 4, which is addressed via an EASB secondary block
     // — the shape a real unlimited-time series with many steps produces
     v4Roundtrip("extarray", rows = 300, cols = 5, chunk = Some(Seq(1, 5)))
+  }
+
+  test("layout v4: extensible array with PAGED data blocks") {
+    // eaDataBlkMin=4, eaPageBits=4 (16 elements/page): generations
+    // 0-4 (ne 4,8,8,16,16) stay unpaged; generation 5 (ne=32 > 16) is
+    // secondary-block-addressed AND paged — prefix-only data block,
+    // 2 checksummed pages, page-init bitmap in the EASB. Gen 5 starts
+    // at chunk 4+124=128; 160 one-row chunks land 32 elements into it.
+    v4Roundtrip("extarray", rows = 160, cols = 5, chunk = Some(Seq(1, 5)),
+      eaPageBits = 4, eaDataBlkMin = 4)
+  }
+
+  test("layout v4: paged extensible array with a partially-used paged block") {
+    // 140 chunks: gen 5 holds chunks 128..139 only — 12 elements spill
+    // into page 0 and the written block's remaining slots are Undef;
+    // both pages still exist with valid checksums
+    v4Roundtrip("extarray", rows = 140, cols = 5, chunk = Some(Seq(1, 5)),
+      eaPageBits = 4, eaDataBlkMin = 4)
   }
 
   test("extensible-array file declares an unlimited max dim") {
