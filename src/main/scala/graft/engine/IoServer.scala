@@ -630,6 +630,13 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
               case "zarr3" =>
                 graft.sources.ZarrExport.writeDistributed(r, "id_dim",
                   "measure", path, "measure", v3 = true, rowsPerChunk)
+              case "zarr3-sharded" =>
+                // fifth arg = inner chunks per shard (object count /= it)
+                val chunksPerShard = args.lift(4).filter(_.nonEmpty)
+                  .map(_.toInt).getOrElse(8)
+                graft.sources.ZarrExport.writeDistributedSharded(r, "id_dim",
+                  "measure", path, "measure",
+                  if (rowsPerChunk > 0) rowsPerChunk else 512, chunksPerShard)
               case fmt =>
                 // single-file container: bytes must pass through one
                 // writer, but driver MEMORY stays bounded — one stats

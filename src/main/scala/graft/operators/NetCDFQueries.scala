@@ -192,9 +192,17 @@ object NetCDFQueries {
     // (executors write chunks, driver only metadata) under the oracle
     ses.execute("operation=function;function_name=oph_export;" +
       s"function_args=exsrc|$z3Path|zarr3|16")
+    // sharding_indexed: 8-row inner chunks, 3 per shard → 3 shard
+    // objects carrying their own CRC-32C-tailed chunk indexes; the last
+    // shard holds a partial chunk and a missing (-1,-1) slot
+    val zsPath = tmp.resolve("out_sharded.zarr").toString
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=exsrc|$zsPath|zarr3-sharded|8|3")
     ses.execute(s"operation=file_import;frag_name=exh5;src_path=@$h5Path;" +
       "measure=measure;explicit=1")
     ses.execute(s"operation=file_import;frag_name=exz3;src_path=@$z3Path;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=exzs;src_path=@$zsPath;" +
       "measure=measure;explicit=1")
     val h5 = ses.execute(
       "operation=select;field=id_dim|measure;from=exh5;order=id_dim").get
@@ -202,7 +210,10 @@ object NetCDFQueries {
     val z3 = ses.execute(
       "operation=select;field=id_dim|measure;from=exz3;order=id_dim").get
       .select(col("id_dim"), AP.fx12(col("measure")).as("m_zarr"))
-    h5.join(z3, "id_dim").orderBy("id_dim")
+    val zs = ses.execute(
+      "operation=select;field=id_dim|measure;from=exzs;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_sharded"))
+    h5.join(z3, "id_dim").join(zs, "id_dim").orderBy("id_dim")
   }
 
   /** qn09 — CF-convention unpacking on import (`cf_unpack=yes`): a
@@ -429,7 +440,10 @@ object NetCDFQueries {
            AS m_hdf5,
          array_to_string(list_transform(range(0, 8),
            j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
-           AS m_zarr
+           AS m_zarr,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_sharded
          FROM range(1, 61) t(i)
          ORDER BY id_dim""",
     "qn07_zarr_v3_roundtrip" ->

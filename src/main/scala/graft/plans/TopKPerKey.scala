@@ -149,6 +149,35 @@ object TopKPerKeyExec {
         q.dequeue(); q.enqueue(Entry(ordV, tieV, row.copy()))
       }
     }
+
+  /** [[offer]] for an already-materialized entry (spill merge path). */
+  def offerEntry(q: mutable.PriorityQueue[Entry], k: Int, e: Entry): Unit =
+    if (q.size < k) q.enqueue(e)
+    else {
+      val w = q.head
+      val c = cmpOrd(e.ordV, w.ordV)
+      if (c > 0 || (c == 0 && e.tieV < w.tieV)) { q.dequeue(); q.enqueue(e) }
+    }
+
+  /** Unsigned lexicographic byte order — any total order works for the
+    * spill-run merge as long as every run uses the same one; UnsafeRow
+    * bytes are canonical per value for a fixed key schema (the same
+    * assumption the hash exchange makes). */
+  def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Session conf key: distinct keys the FINAL operator holds per
+    * partition before spilling its heaps to a sorted disk run (specs set
+    * it low to force the spill path). */
+  val SpillKeysConf = "graft.topk.final.spillKeys"
 }
 
 final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
@@ -166,18 +195,50 @@ final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kk = k
+    val spillKeys = conf.getConfString(TopKPerKeyExec.SpillKeysConf,
+      (1 << 16).toString).toInt
+    val nFields = child.output.size
     child.execute().mapPartitions({ iter =>
+      import TopKPerKeyExec.{cmpBytes, offerEntry}
       val keyProj = UnsafeProjection.create(keys, child.output)
       val ordEval = BindReferences.bindReference(ord, child.output)
       val tieEval = BindReferences.bindReference(tie, child.output)
       require(ordEval.dataType == DoubleType && tieEval.dataType == LongType,
         "TopKPerKey expects a double ordering column and a long tie column")
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
+      // ---- spill machinery: past spillKeys distinct keys the heap map
+      // flushes to a key-SORTED disk run ((key, entries≤k) groups), and
+      // the emit phase merge-joins the runs with the surviving map — so
+      // per-partition memory is O(spillKeys·k) regardless of how many
+      // distinct keys the exchange delivers
+      val spills = mutable.ArrayBuffer.empty[java.io.File]
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => spills.foreach(_.delete())))
+      def sortedGroups(): Seq[(Array[Byte], Array[Entry])] =
+        heaps.iterator.map { case (key, q) => (key.getBytes, q.toArray) }
+          .toSeq.sortWith((a, b) => cmpBytes(a._1, b._1) < 0)
+      def spill(): Unit = {
+        val f = java.io.File.createTempFile("graft_topk", ".spill")
+        spills += f
+        val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f), 1 << 16))
+        try sortedGroups().foreach { case (kb, es) =>
+          out.writeInt(kb.length); out.write(kb)
+          out.writeInt(es.length)
+          es.foreach { e =>
+            out.writeDouble(e.ordV); out.writeLong(e.tieV)
+            val rb = e.row.asInstanceOf[UnsafeRow].getBytes
+            out.writeInt(rb.length); out.write(rb)
+          }
+        } finally out.close()
+        heaps.clear()
+      }
       iter.foreach { row =>
         val key = keyProj(row)
         val q = heaps.get(key) match {
           case Some(q0) => q0
           case None =>
+            if (heaps.size >= spillKeys) spill()
             val q0 = mutable.PriorityQueue.empty[Entry](TopKPerKeyExec.evictOrd)
             heaps.put(key.copy(), q0)
             q0
@@ -188,12 +249,67 @@ final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
       }
       // emit UnsafeRows: downstream operators may buffer without copying
       val outProj = UnsafeProjection.create(output, output)
-      heaps.iterator.flatMap { case (_, q) =>
+      def ranked(q: mutable.PriorityQueue[Entry]): Iterator[InternalRow] = {
         // dequeueAll drains in priority order = worst-first; reverse to
         // best-first and number the ranks
         val best = q.dequeueAll.reverse
         best.iterator.zipWithIndex.map { case (e, i) =>
           outProj(new JoinedRow(e.row, InternalRow(i + 1L))).copy(): InternalRow
+        }
+      }
+      if (spills.isEmpty)
+        heaps.iterator.flatMap { case (_, q) => ranked(q) }
+      else {
+        // merge-join the sorted disk runs with the in-memory remainder:
+        // one key's heap is live at a time
+        def fileRun(f: java.io.File): Iterator[(Array[Byte], Array[Entry])] =
+          new Iterator[(Array[Byte], Array[Entry])] {
+            private val in = new java.io.DataInputStream(
+              new java.io.BufferedInputStream(new java.io.FileInputStream(f), 1 << 16))
+            private var nextKeyLen = readLen()
+            private def readLen(): Int =
+              try in.readInt() catch { case _: java.io.EOFException => in.close(); -1 }
+            override def hasNext: Boolean = nextKeyLen >= 0
+            override def next(): (Array[Byte], Array[Entry]) = {
+              val kb = new Array[Byte](nextKeyLen); in.readFully(kb)
+              val n = in.readInt()
+              val es = Array.tabulate(n) { _ =>
+                val ordV = in.readDouble(); val tieV = in.readLong()
+                val rb = new Array[Byte](in.readInt()); in.readFully(rb)
+                val ur = new UnsafeRow(nFields)
+                ur.pointTo(rb, rb.length)
+                Entry(ordV, tieV, ur)
+              }
+              nextKeyLen = readLen()
+              (kb, es)
+            }
+          }
+        final class Run(it: Iterator[(Array[Byte], Array[Entry])]) {
+          var head: (Array[Byte], Array[Entry]) = _
+          advance()
+          def advance(): Unit = head = if (it.hasNext) it.next() else null
+        }
+        val runs = (spills.toSeq.map(fileRun) :+ sortedGroups().iterator)
+          .map(new Run(_)).filter(_.head != null)
+        new Iterator[InternalRow] {
+          private var pending: Iterator[InternalRow] = Iterator.empty
+          private def refill(): Unit =
+            while (!pending.hasNext && runs.exists(_.head != null)) {
+              val live = runs.filter(_.head != null)
+              var minKey = live.head.head._1
+              live.foreach(r =>
+                if (cmpBytes(r.head._1, minKey) < 0) minKey = r.head._1)
+              val q = mutable.PriorityQueue.empty[Entry](TopKPerKeyExec.evictOrd)
+              live.foreach { r =>
+                if (cmpBytes(r.head._1, minKey) == 0) {
+                  r.head._2.foreach(e => offerEntry(q, kk, e))
+                  r.advance()
+                }
+              }
+              pending = ranked(q)
+            }
+          override def hasNext: Boolean = { refill(); pending.hasNext }
+          override def next(): InternalRow = { refill(); pending.next() }
         }
       }
     }, preservesPartitioning = true)

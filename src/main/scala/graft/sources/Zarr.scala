@@ -35,10 +35,17 @@ object Zarr {
 
   /** `keyPrefix` is "c" for the v3 default chunk-key encoding ("c/0/1"),
     * "" for v2 and the v3 "v2" encoding ("0.1"). */
+  /** `chunks` is the per-OBJECT grid: for a sharded v3 array it is the
+    * SHARD shape and `shardInner` carries the inner chunk shape (each
+    * object then holds its own offset/size index over the inner chunks,
+    * `shardIndexCrc` = index tailed by a CRC-32C). */
   final case class ZArray(shape: Seq[Int], chunks: Seq[Int], kind: Char,
                           esize: Int, littleEndian: Boolean,
                           compressor: String, fill: Double, sep: String,
-                          keyPrefix: String = "")
+                          keyPrefix: String = "",
+                          shardInner: Option[Seq[Int]] = None,
+                          shardIndexCrc: Boolean = true,
+                          shardIndexAtEnd: Boolean = true)
 
   private def fsFor(path: String): (Path, FileSystem) = {
     val p = new Path(path)
@@ -124,30 +131,46 @@ object Zarr {
       val cs = grid.get("configuration").get("chunk_shape")
       val chunks = (0 until cs.size()).map(cs.get(_).asInt())
       val (kind, esize) = v3DataType(j.get("data_type").asText())
-      // codec chain: exactly one "bytes" array->bytes codec (endianness),
-      // optionally followed by one supported bytes->bytes compressor
+      // codec chain: one "bytes" array->bytes codec (endianness),
+      // optionally a supported bytes->bytes compressor — possibly nested
+      // inside a "sharding_indexed" codec, whose inner chain carries the
+      // real element encoding while the outer grid becomes the SHARD grid
       var le = true
       var comp = "null"
-      val codecs = j.get("codecs")
-      (0 until codecs.size()).foreach { i =>
-        val c = codecs.get(i)
-        val cfg = c.get("configuration")
-        c.get("name").asText() match {
-          case "bytes" =>
-            le = cfg == null || cfg.get("endian") == null ||
-              cfg.get("endian").asText() == "little"
-          case "gzip" => comp = "gzip"
-          case "blosc" =>
-            // [[Blosc]] handles the frame; reject the codecs it can't
-            val cname = if (cfg != null && cfg.get("cname") != null)
-              cfg.get("cname").asText() else "lz4"
-            require(cname == "lz4" || cname == "zlib" || cname == "blosclz",
-              s"blosc cname $cname unsupported (snappy/zstd not implemented)")
-            comp = "blosc"
-          case o => throw new IllegalArgumentException(
-            s"v3 codec $o unsupported (transpose/sharding/zstd not implemented)")
+      var shardInner: Option[Seq[Int]] = None
+      var shardCrc = true
+      var shardEnd = true
+      def parseChain(codecs: com.fasterxml.jackson.databind.JsonNode): Unit =
+        (0 until codecs.size()).foreach { i =>
+          val c = codecs.get(i)
+          val cfg = c.get("configuration")
+          c.get("name").asText() match {
+            case "bytes" =>
+              le = cfg == null || cfg.get("endian") == null ||
+                cfg.get("endian").asText() == "little"
+            case "gzip" => comp = "gzip"
+            case "blosc" =>
+              // [[Blosc]] handles the frame; reject the codecs it can't
+              val cname = if (cfg != null && cfg.get("cname") != null)
+                cfg.get("cname").asText() else "lz4"
+              require(cname == "lz4" || cname == "zlib" || cname == "blosclz",
+                s"blosc cname $cname unsupported (snappy/zstd not implemented)")
+              comp = "blosc"
+            case "sharding_indexed" =>
+              require(shardInner.isEmpty, "nested sharding unsupported")
+              val ics = cfg.get("chunk_shape")
+              shardInner = Some((0 until ics.size()).map(ics.get(_).asInt()))
+              parseChain(cfg.get("codecs")) // inner chain: endian + codec
+              val idx = cfg.get("index_codecs")
+              shardCrc = idx != null && (0 until idx.size())
+                .exists(k => idx.get(k).get("name").asText() == "crc32c")
+              val loc = cfg.get("index_location")
+              shardEnd = loc == null || loc.isNull || loc.asText() == "end"
+            case o => throw new IllegalArgumentException(
+              s"v3 codec $o unsupported (transpose/zstd not implemented)")
+          }
         }
-      }
+      parseChain(j.get("codecs"))
       val fillNode = j.get("fill_value")
       val fill = if (fillNode == null || fillNode.isNull) 0.0
                  else fillNode.asDouble()
@@ -165,7 +188,13 @@ object Zarr {
               s"chunk_key_encoding $o unsupported")
           }
         }
-      ZArray(shape, chunks, kind, esize, le, comp, fill, sep, prefix)
+      shardInner.foreach { inner =>
+        require(inner.size == chunks.size &&
+          inner.zip(chunks).forall { case (ic, c) => c % ic == 0 },
+          s"shard shape $chunks not a multiple of inner chunk shape $inner")
+      }
+      ZArray(shape, chunks, kind, esize, le, comp, fill, sep, prefix,
+        shardInner, shardCrc, shardEnd)
     }
 
     private val metaCache = scala.collection.mutable.Map.empty[String, (Path, ZArray)]
@@ -293,9 +322,95 @@ object Zarr {
       if (cached != null) return Some(cached)
       val p = new Path(dir, key) // "/"-separated keys become nested dirs
       if (!fs.exists(p)) return None
-      val raw = decompress(z, readAll(p), z.chunks.product * z.esize)
+      val raw = z.shardInner match {
+        case Some(inner) => decodeShard(z, inner, readAll(p))
+        case None => decompress(z, readAll(p), z.chunks.product * z.esize)
+      }
       chunkCache.put(cacheKey, raw)
       Some(raw)
+    }
+
+    /** Decode one `sharding_indexed` object into the full shard buffer:
+      * the object holds the encoded inner chunks plus an index of
+      * (offset, nbytes) u64-LE pairs — one per inner chunk, C-order over
+      * the intra-shard grid, all-ones = chunk absent (fill) — at the end
+      * (or start), optionally tailed by a CRC-32C of the index bytes. */
+    private def decodeShard(z: ZArray, inner: Seq[Int],
+        obj: Array[Byte]): Array[Byte] = {
+      val rank = z.chunks.size
+      val innerGrid = z.chunks.zip(inner).map { case (c, ic) => c / ic }
+      val nInner = innerGrid.product
+      val idxLen = 16 * nInner + (if (z.shardIndexCrc) 4 else 0)
+      require(obj.length >= idxLen, "shard object shorter than its index")
+      val idxOff = if (z.shardIndexAtEnd) obj.length - idxLen else 0
+      if (z.shardIndexCrc) {
+        val crc = new java.util.zip.CRC32C
+        crc.update(obj, idxOff, 16 * nInner)
+        val stored = ByteBuffer.wrap(obj, idxOff + 16 * nInner, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt
+        require(crc.getValue.toInt == stored, "shard index CRC-32C mismatch")
+      }
+      // absolute reads ignore a wrap offset — index from the array base
+      val idx = ByteBuffer.wrap(obj).order(ByteOrder.LITTLE_ENDIAN)
+      val es = z.esize
+      val out = new Array[Byte](z.chunks.product * es)
+      // pre-fill with the encoded fill value (absent inner chunks)
+      if (z.fill != 0.0) {
+        val order = if (z.littleEndian) ByteOrder.LITTLE_ENDIAN
+                    else ByteOrder.BIG_ENDIAN
+        val ob = ByteBuffer.wrap(out).order(order)
+        var i = 0
+        while (i < out.length / es) {
+          (z.kind, es) match {
+            case ('f', 8) => ob.putDouble(i * es, z.fill)
+            case ('f', 4) => ob.putFloat(i * es, z.fill.toFloat)
+            case ('i', 8) => ob.putLong(i * es, z.fill.toLong)
+            case ('i', 4) => ob.putInt(i * es, z.fill.toInt)
+            case ('i', 2) => ob.putShort(i * es, z.fill.toShort)
+            case (_, 1) => out(i) = z.fill.toByte
+            case ('u', 2) => ob.putShort(i * es, z.fill.toShort)
+            case ('u', 4) => ob.putInt(i * es, z.fill.toInt)
+            case o => throw new IllegalArgumentException(s"fill for $o")
+          }
+          i += 1
+        }
+      }
+      val shardStrides = z.chunks.scanRight(1)(_ * _).tail
+      val innerStrides = inner.scanRight(1)(_ * _).tail
+      var ci = 0
+      while (ci < nInner) {
+        val off = idx.getLong(idxOff + ci * 16)
+        val nb = idx.getLong(idxOff + ci * 16 + 8)
+        if (off != -1L && nb != -1L) {
+          require(off >= 0 && nb >= 0 && off + nb <= obj.length,
+            "shard index entry out of bounds")
+          val comp = java.util.Arrays.copyOfRange(obj, off.toInt,
+            (off + nb).toInt)
+          val raw = decompress(z, comp, inner.product * es)
+          require(raw.length == inner.product * es,
+            s"inner chunk $ci: ${raw.length} bytes for ${inner.product * es}")
+          // scatter the inner chunk into its C-order box within the shard
+          var rem = ci
+          val gidx = new Array[Int](rank)
+          var d = rank - 1
+          while (d >= 0) { gidx(d) = rem % innerGrid(d); rem /= innerGrid(d); d -= 1 }
+          def scatter(dim: Int, srcBase: Int, dstBase: Int): Unit =
+            if (dim == rank - 1) {
+              System.arraycopy(raw, srcBase * es,
+                out, (dstBase + gidx(dim) * inner(dim)) * es, inner(dim) * es)
+            } else {
+              var k = 0
+              while (k < inner(dim)) {
+                scatter(dim + 1, srcBase + k * innerStrides(dim),
+                  dstBase + (gidx(dim) * inner(dim) + k) * shardStrides(dim))
+                k += 1
+              }
+            }
+          scatter(0, 0, 0)
+        }
+        ci += 1
+      }
+      out
     }
 
     override def readSlab(varName: String, origin: Seq[Int],
@@ -361,7 +476,7 @@ object Zarr {
     * codec chain. Returns the array directory. */
   private[sources] def writeStoreMeta(path: String, varName: String,
       shape: Seq[Int], chunks: Seq[Int], v3: Boolean, level: Int,
-      compressor: String = "zlib"): Path = {
+      compressor: String = "zlib", shardInner: Option[Seq[Int]] = None): Path = {
     val (rootPath, fs) = fsFor(path)
     fs.mkdirs(rootPath)
     def put(p: Path, b: Array[Byte]): Unit = {
@@ -373,6 +488,24 @@ object Zarr {
     if (v3) {
       put(new Path(rootPath, "zarr.json"),
         """{"zarr_format": 3, "node_type": "group"}""".getBytes("UTF-8"))
+      val innerChain =
+        s"""[{"name": "bytes", "configuration": {"endian": "little"}},
+           |   {"name": "gzip", "configuration": {"level": $level}}]"""
+          .stripMargin
+      val codecs = shardInner match {
+        case None => innerChain
+        case Some(inner) =>
+          // sharding_indexed: the grid above is the SHARD grid; each
+          // object carries its own (offset, nbytes) index over the
+          // inner chunks, CRC-32C-tailed, at the object end
+          s"""[{"name": "sharding_indexed", "configuration": {
+             |   "chunk_shape": [${inner.mkString(", ")}],
+             |   "codecs": $innerChain,
+             |   "index_codecs": [
+             |     {"name": "bytes", "configuration": {"endian": "little"}},
+             |     {"name": "crc32c"}],
+             |   "index_location": "end"}}]""".stripMargin
+      }
       val zmeta =
         s"""{"zarr_format": 3,
            | "node_type": "array",
@@ -383,9 +516,7 @@ object Zarr {
            | "chunk_key_encoding": {"name": "default",
            |   "configuration": {"separator": "/"}},
            | "fill_value": 0.0,
-           | "codecs": [
-           |   {"name": "bytes", "configuration": {"endian": "little"}},
-           |   {"name": "gzip", "configuration": {"level": $level}}]}"""
+           | "codecs": $codecs}"""
           .stripMargin
       put(new Path(dir, "zarr.json"), zmeta.getBytes("UTF-8"))
     } else {

@@ -99,6 +99,32 @@ object ZarrExport {
     (n, nChunks)
   }
 
+  /** Validated header stats for a (id, array) export source: returns
+    * (n, lo, hi, m) after failing loud on duplicate ids, ragged widths
+    * and partially-null arrays. m <= 0 means empty/null arrays. */
+  private def exportStats(src: DataFrame, idCol: String): (Long, Long, Long, Int) = {
+    val sz = when(col("a").isNotNull, size(col("a")))
+    val stats = src.agg(count(col("id")).as("n"), min(col("id")).as("lo"),
+      max(col("id")).as("hi"), countDistinct(col("id")).as("nd"),
+      min(sz).as("mLo"), max(sz).as("mHi"), count(col("a")).as("nArr"))
+      .collect()(0)
+    val n = stats.getLong(0)
+    if (n == 0L) return (0L, 0L, -1L, 0)
+    // duplicate ids make "which row is row i" ambiguous — neither the
+    // contiguity fast path nor the sort fallback can place them; fail loud
+    require(stats.getLong(3) == n, s"duplicate values in '$idCol' " +
+      s"(${n - stats.getLong(3)} dups) — export row placement is ambiguous")
+    val m = if (stats.isNullAt(4)) 0 else math.max(0, stats.getInt(4))
+    require(n <= Int.MaxValue, "Zarr shape dims are Int-sized")
+    if (m > 0) {
+      require(stats.getInt(5) == m, s"ragged arrays: lengths " +
+        s"${stats.getInt(4)}..${stats.getInt(5)} — uniform width required")
+      require(stats.getLong(6) == n,
+        s"null arrays on ${n - stats.getLong(6)} of $n rows")
+    }
+    (n, stats.getLong(1), stats.getLong(2), m)
+  }
+
   /** Export `frag`'s (idCol, arrCol) as a float64 Zarr store; returns
     * (rows, chunkCount). `rowsPerChunk <= 0` picks ~4 MiB chunks — the
     * object-store sweet spot; tiny test fragments pass an explicit value
@@ -108,31 +134,15 @@ object ZarrExport {
       rowsPerChunk: Int = 0, level: Int = 6): (Long, Int) = {
     val src = frag.select(col(idCol).cast("long").as("id"),
       col(arrCol).cast("array<double>").as("a"))
-    val sz = when(col("a").isNotNull, size(col("a")))
-    val stats = src.agg(count(col("id")).as("n"), min(col("id")).as("lo"),
-      max(col("id")).as("hi"), countDistinct(col("id")).as("nd"),
-      min(sz).as("mLo"), max(sz).as("mHi"), count(col("a")).as("nArr"))
-      .collect()(0)
-    val n = stats.getLong(0)
+    val (n, lo, hi, m) = exportStats(src, idCol)
     if (n == 0L) {
       Zarr.writeStoreMeta(path, varName, Seq(0, 0), Seq(1, 1), v3, level)
       return (0L, 0)
     }
-    // duplicate ids make "which row is row i" ambiguous — neither the
-    // contiguity fast path nor the sort fallback can place them; fail loud
-    require(stats.getLong(3) == n, s"duplicate values in '$idCol' " +
-      s"(${n - stats.getLong(3)} dups) — export row placement is ambiguous")
-    val (lo, hi) = (stats.getLong(1), stats.getLong(2))
-    val m = if (stats.isNullAt(4)) 0 else math.max(0, stats.getInt(4))
-    require(n <= Int.MaxValue, "Zarr shape dims are Int-sized")
     if (m <= 0) { // empty/null arrays: metadata-only store, no chunks
       Zarr.writeStoreMeta(path, varName, Seq(n.toInt, 0), Seq(1, 1), v3, level)
       return (n, 0)
     }
-    require(stats.getInt(5) == m, s"ragged arrays: lengths " +
-      s"${stats.getInt(4)}..${stats.getInt(5)} — uniform width required")
-    require(stats.getLong(6) == n,
-      s"null arrays on ${n - stats.getLong(6)} of $n rows")
     val rpc =
       if (rowsPerChunk > 0) rowsPerChunk
       else math.max(1, (4 << 20) / (m * 8))
@@ -171,5 +181,85 @@ object ZarrExport {
           Zarr.compressChunk(raw, v3, level), bcConf.value.value)
       }
     (n, nChunks)
+  }
+
+  /** Sharded v3 export (`sharding_indexed`): same row-aligned
+    * distribution as [[writeDistributed]], but each OBJECT is a shard of
+    * `chunksPerShard` inner chunks, carrying its own CRC-32C-tailed
+    * (offset, nbytes) index at the object end. At 100 TB with ~4 MiB
+    * chunks a plain store is an object-count problem (listing, request
+    * rates, per-object overhead); sharding divides the object count by
+    * chunksPerShard while the index keeps reads chunk-granular — a
+    * reader fetches the index + one inner chunk range, not the shard.
+    * Returns (rows, shardCount). */
+  def writeDistributedSharded(frag: DataFrame, idCol: String, arrCol: String,
+      path: String, varName: String, rowsPerChunk: Int,
+      chunksPerShard: Int, level: Int = 6): (Long, Int) = {
+    require(rowsPerChunk > 0 && chunksPerShard > 0,
+      "sharded export needs explicit rowsPerChunk and chunksPerShard")
+    val src = frag.select(col(idCol).cast("long").as("id"),
+      col(arrCol).cast("array<double>").as("a"))
+    val (n, lo, hi, m) = exportStats(src, idCol)
+    if (n == 0L || m <= 0) {
+      Zarr.writeStoreMeta(path, varName, Seq(n.toInt, 0), Seq(1, 1),
+        v3 = true, level)
+      return (n, 0)
+    }
+    val rowsPerShard = rowsPerChunk.toLong * chunksPerShard
+    require(rowsPerChunk.toLong * m * 8 <= Int.MaxValue,
+      s"rowsPerChunk $rowsPerChunk x $m elements exceeds the 2 GiB limit")
+    val nShards = ((n + rowsPerShard - 1) / rowsPerShard).toInt
+    Zarr.writeStoreMeta(path, varName, Seq(n.toInt, m),
+      Seq(rowsPerShard.toInt, m), v3 = true, level,
+      shardInner = Some(Seq(rowsPerChunk, m)))
+    val arrayDir = new org.apache.hadoop.fs.Path(path, varName).toString
+    val sc = frag.sparkSession.sparkContext
+    val bcConf = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
+    val indexed: org.apache.spark.rdd.RDD[(Long, Array[Double])] =
+      if (hi - lo + 1 == n)
+        src.rdd.map(r => (r.getLong(0) - lo, r.getSeq[Double](1).toArray))
+      else
+        src.orderBy("id").rdd.zipWithIndex().map { case (r, i) =>
+          (i, r.getSeq[Double](1).toArray)
+        }
+    indexed
+      .map { case (i, a) => (i / rowsPerShard, (i, a)) }
+      .groupByKey(math.max(1, math.min(nShards, sc.defaultParallelism)))
+      .foreach { case (sid, rows) =>
+        // assemble the shard's inner chunks (full nominal size, zero
+        // padded edges — matching the unsharded writer), compress each,
+        // then append the (offset, nbytes) index + CRC-32C
+        val inner = Array.fill(chunksPerShard)(
+          null: Array[Byte])
+        rows.foreach { case (i, a) =>
+          val within = i - sid * rowsPerShard
+          val c = (within / rowsPerChunk).toInt
+          if (inner(c) == null) inner(c) = new Array[Byte](rowsPerChunk * m * 8)
+          val bb = ByteBuffer.wrap(inner(c)).order(ByteOrder.LITTLE_ENDIAN)
+          val off = ((within % rowsPerChunk) * m * 8).toInt
+          var j = 0
+          while (j < m) { bb.putDouble(off + j * 8, a(j)); j += 1 }
+        }
+        val body = new java.io.ByteArrayOutputStream()
+        val idx = ByteBuffer.allocate(16 * chunksPerShard + 4)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        var c = 0
+        while (c < chunksPerShard) {
+          if (inner(c) == null) { idx.putLong(-1L); idx.putLong(-1L) }
+          else {
+            val comp = Zarr.compressChunk(inner(c), v3 = true, level)
+            idx.putLong(body.size().toLong); idx.putLong(comp.length.toLong)
+            body.write(comp)
+          }
+          c += 1
+        }
+        val crc = new java.util.zip.CRC32C
+        crc.update(idx.array(), 0, 16 * chunksPerShard)
+        idx.putInt(crc.getValue.toInt)
+        body.write(idx.array())
+        Zarr.putObject(arrayDir, Zarr.chunkKey(Seq(sid.toInt, 0), v3 = true),
+          body.toByteArray, bcConf.value.value)
+      }
+    (n, nShards)
   }
 }

@@ -48,6 +48,35 @@ class TopKPerKeyPropSpec extends SparkSpec {
     }
   }
 
+  test("final-stage spill (forced) is oracle-identical to the in-memory path") {
+    import spark.implicits._
+    // 120 distinct keys against a 7-key spill budget: every partition
+    // flushes several sorted runs to disk and the emit phase merge-joins
+    // them with the in-memory remainder; the window oracle must match
+    // exactly, including ties and sub-k groups
+    spark.conf.set(TopKPerKeyExec.SpillKeysConf, "7")
+    try {
+      for (seed <- Seq(5L, 42L); k <- Seq(1, 4)) {
+        val rows = (0 until 900).flatMap(i =>
+          rowGen.apply(Gen.Parameters.default, Seed(seed + i)))
+          .zipWithIndex.map { case ((_, o, _), i) =>
+            ((i % 120).toLong, o, i.toLong) // many keys → spill
+          }
+        val df = rows.toDF("key", "ord", "tie").repartition(5)
+        val viaHeap = TopKPerKey(df, Seq("key"), "ord", "tie", k)
+          .select("key", "ord", "tie", "rank")
+          .collect().map(_.toSeq).sortBy(_.toString)
+        val w = Window.partitionBy("key").orderBy(col("ord").desc, col("tie"))
+        val viaWindow = df
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+          .select("key", "ord", "tie", "rank")
+          .collect().map(_.toSeq).sortBy(_.toString)
+        assert(viaHeap.toSeq == viaWindow.toSeq, s"spill seed=$seed k=$k")
+      }
+    } finally spark.conf.unset(TopKPerKeyExec.SpillKeysConf)
+  }
+
   test("NaN ord values follow Spark sort semantics (NaN largest → rank 1 under DESC)") {
     import spark.implicits._
     // NaN must participate in a TOTAL order: Spark sorts NaN as the

@@ -103,6 +103,49 @@ class ZarrExportSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("sharding_indexed export round-trips through the reader") {
+    import spark.implicits._
+    val (n, m) = (53, 6)
+    val df = (0 until n).map(i =>
+      (i.toLong + 1, Array.tabulate(m)(j => i * 1.0 + j * 0.25)))
+      .toDF("id_dim", "measure").repartition(7)
+    val p = tmp()
+    // inner chunks of 5 rows, 3 per shard → shard = 15 rows → 4 shards;
+    // the last shard holds inner chunks 9,10 (partial) and a MISSING
+    // slot 11 (rows 55.. beyond n) → (-1,-1) index entry
+    val (rows, shards) = ZarrExport.writeDistributedSharded(df, "id_dim",
+      "measure", p, "measure", rowsPerChunk = 5, chunksPerShard = 3)
+    assert(rows == n && shards == 4)
+    // 4 shard objects, not 11 chunk objects
+    assert(Files.exists(Paths.get(p, "measure", "c", "0", "0")))
+    assert(Files.exists(Paths.get(p, "measure", "c", "3", "0")))
+    assert(!Files.exists(Paths.get(p, "measure", "c", "4", "0")))
+    val got = readBack(p, n, m)
+    val want = (0 until n).flatMap(i => (0 until m).map(j => i * 1.0 + j * 0.25))
+    assert(got == want)
+    // an interior slab crossing a shard boundary reads correctly
+    val r = new Zarr.ZarrReader(p)
+    try {
+      val slab = r.readSlab("measure", Seq(13, 2), Seq(4, 2)).toSeq
+      val wantSlab = for (i <- 13 until 17; j <- 2 until 4)
+        yield i * 1.0 + j * 0.25
+      assert(slab == wantSlab)
+    } finally r.close()
+    // a flipped index byte breaks the CRC-32C loudly (drop Hadoop's own
+    // sidecar checksum so OUR index CRC is the failing layer)
+    val obj = Paths.get(p, "measure", "c", "0", "0")
+    Files.deleteIfExists(Paths.get(p, "measure", "c", "0", ".0.crc"))
+    val bytes = Files.readAllBytes(obj)
+    bytes(bytes.length - 10) = (bytes(bytes.length - 10) ^ 0x01).toByte
+    Files.write(obj, bytes)
+    val r2 = new Zarr.ZarrReader(p)
+    try {
+      val e = intercept[IllegalArgumentException](
+        r2.readSlab("measure", Seq(0, 0), Seq(1, 1)))
+      assert(e.getMessage.contains("CRC-32C"))
+    } finally r2.close()
+  }
+
   test("no row bytes funnel through the driver (executor-side writes)") {
     import spark.implicits._
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
