@@ -109,12 +109,20 @@ object NetCDFQueries {
     graft.sources.Zarr.writeDoubleVar(zbitPath,
       Seq("row" -> nRows, "col" -> nCols), "measure", data,
       chunkDims = Some(Seq(16, 8)), compressor = "blosc-bitshuffle")
+    // numcodecs-zstd store ({"id": "zstd"}): raw zstd frames per chunk,
+    // decoded through the zstd library Spark itself ships
+    val zzstdPath = tmp.resolve("twinzstd.zarr").toString
+    graft.sources.Zarr.writeDoubleVar(zzstdPath,
+      Seq("row" -> nRows, "col" -> nCols), "measure", data,
+      chunkDims = Some(Seq(16, 8)), compressor = "zstd")
     val ses = new IoServer(s).newSession()
     ses.execute(s"operation=file_import;frag_name=zin;src_path=@$zPath;" +
       "measure=measure;explicit=1")
     ses.execute(s"operation=file_import;frag_name=zlzin;src_path=@$zlzPath;" +
       "measure=measure;explicit=1")
     ses.execute(s"operation=file_import;frag_name=zbitin;src_path=@$zbitPath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=zzstdin;src_path=@$zzstdPath;" +
       "measure=measure;explicit=1")
     ses.execute(s"operation=file_import;frag_name=ncin2;src_path=@$ncPath;" +
       "measure=measure;explicit=1")
@@ -127,11 +135,14 @@ object NetCDFQueries {
     val zbit = ses.execute(
       "operation=select;field=id_dim|measure;from=zbitin;order=id_dim").get
       .select(col("id_dim"), AP.fx12(col("measure")).as("m_bitshuf"))
+    val zzstd = ses.execute(
+      "operation=select;field=id_dim|measure;from=zzstdin;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_zstd"))
     val nc = ses.execute(
       "operation=select;field=id_dim|measure;from=ncin2;order=id_dim").get
       .select(col("id_dim"), AP.fx12(col("measure")).as("m_cdf"))
     nc.join(z, "id_dim").join(zlz, "id_dim").join(zbit, "id_dim")
-      .orderBy("id_dim")
+      .join(zzstd, "id_dim").orderBy("id_dim")
   }
 
   /** qn07 — Zarr **v3** store read: the qn03 grid written as a v3 store
@@ -420,7 +431,10 @@ object NetCDFQueries {
            AS m_blosclz,
          array_to_string(list_transform(range(0, 8),
            j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
-           AS m_bitshuf
+           AS m_bitshuf,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_zstd
          FROM range(1, 61) t(i)
          ORDER BY id_dim""",
     "qn09_cf_unpack" ->

@@ -22,12 +22,13 @@ import java.util.zip.{Deflater, Inflater}
   *   means the stream is stored raw; 0 means all zeros); byte-shuffle
   *   is applied per whole block after the streams are joined.
   *
-  * Codecs: lz4/lz4hc (block format decoded here), zlib, and blosclz
-  * (the FastLZ-derived default, decoded from the public blosclz.c
-  * format). Byte-shuffle AND bit-shuffle (the bitshuffle library's
-  * trim-to-8-elements transform, as c-blosc wraps it) are both decoded.
-  * snappy and zstd are rejected with clear errors (a from-spec zstd
-  * decoder is out of scope).
+  * Codecs: lz4/lz4hc (block format decoded here), zlib, blosclz (the
+  * FastLZ-derived default, decoded from the public blosclz.c format),
+  * and snappy/zstd through the codec libraries Spark itself ships on
+  * the classpath (snappy-java raw block format, zstd-jni frames — the
+  * exact encodings c-blosc embeds per stream). Byte-shuffle AND
+  * bit-shuffle (the bitshuffle library's trim-to-8-elements transform,
+  * as c-blosc wraps it) are both decoded.
   * The encoder exists to build test fixtures and writer-side stores; it
   * emits the same frame shape c-blosc produces (shuffle + lz4,
   * optionally split streams).
@@ -89,9 +90,20 @@ object Blosc {
         codec match {
           case 0 => blosclzDecompress(src, p, cb, out, s * ebytes, ebytes)
           case 1 => lz4Decompress(src, p, cb, out, s * ebytes, ebytes)
+          case 2 =>
+            val got = org.xerial.snappy.Snappy.uncompress(src, p, cb,
+              out, s * ebytes)
+            require(got == ebytes,
+              s"snappy stream yielded $got of $ebytes bytes")
           case 3 => zlibInflate(src, p, cb, out, s * ebytes, ebytes)
+          case 4 =>
+            val comp = java.util.Arrays.copyOfRange(src, p, p + cb)
+            val got = com.github.luben.zstd.Zstd.decompress(comp, ebytes)
+            require(got.length == ebytes,
+              s"zstd stream yielded ${got.length} of $ebytes bytes")
+            System.arraycopy(got, 0, out, s * ebytes, ebytes)
           case c => throw new IllegalArgumentException(
-            s"blosc codec $c (snappy/zstd) not supported")
+            s"blosc codec $c not supported")
         }
         p += cb
       }
@@ -445,8 +457,8 @@ object Blosc {
   def compress(raw: Array[Byte], typesize: Int, codec: Int = 1,
       doShuffle: Boolean = true, split: Boolean = false,
       bitShuf: Boolean = false): Array[Byte] = {
-    require(codec == 0 || codec == 1 || codec == 3,
-      "encoder supports blosclz/lz4/zlib")
+    require(codec >= 0 && codec <= 4,
+      "encoder supports blosclz/lz4/snappy/zlib/zstd")
     val shuffled =
       if (bitShuf) bitShuffle(raw, math.max(typesize, 1))
       else if (doShuffle && typesize > 1 && raw.length % typesize == 0)
@@ -461,6 +473,7 @@ object Blosc {
       val comp = codec match {
         case 0 => blosclzCompress(part)
         case 1 => lz4Compress(part)
+        case 2 => org.xerial.snappy.Snappy.compress(part)
         case 3 =>
           val d = new Deflater(6)
           d.setInput(part); d.finish()
@@ -468,6 +481,7 @@ object Blosc {
           val buf = new Array[Byte](8192)
           while (!d.finished()) o.write(buf, 0, d.deflate(buf))
           d.end(); o.toByteArray
+        case 4 => com.github.luben.zstd.Zstd.compress(part, 3)
       }
       if (comp.length < ebytes) comp else part // raw when not smaller
     }

@@ -23,9 +23,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Supported: C order; v2 dtypes [<>|][fiu][1248] / v3 named data
   * types (float32/64, [u]int8/16/32, int64); compressors null, zlib,
-  * gzip and blosc (the numcodecs default — lz4/zlib codecs and byte
-  * shuffle via the pure-JVM [[Blosc]] frame codec; blosclz/zstd/
-  * bit-shuffle, v3 transpose and sharding rejected with clear errors);
+  * gzip, zstd (raw frames via the zstd library Spark ships) and blosc
+  * (the numcodecs default — blosclz/lz4/snappy/zlib/zstd codecs, byte
+  * AND bit shuffle via the [[Blosc]] frame codec); the v3
+  * `sharding_indexed` codec (per-object chunk indexes) is read and
+  * written; v3 transpose is rejected with a clear error;
   * arrays at the store root or one level down (the netCDF-via-Zarr
   * layout). All IO goes through the Hadoop FileSystem API, so
   * `s3a://bucket/store.zarr` works wherever the cluster has the cloud
@@ -149,13 +151,8 @@ object Zarr {
               le = cfg == null || cfg.get("endian") == null ||
                 cfg.get("endian").asText() == "little"
             case "gzip" => comp = "gzip"
-            case "blosc" =>
-              // [[Blosc]] handles the frame; reject the codecs it can't
-              val cname = if (cfg != null && cfg.get("cname") != null)
-                cfg.get("cname").asText() else "lz4"
-              require(cname == "lz4" || cname == "zlib" || cname == "blosclz",
-                s"blosc cname $cname unsupported (snappy/zstd not implemented)")
-              comp = "blosc"
+            case "zstd" => comp = "zstd"
+            case "blosc" => comp = "blosc" // [[Blosc]] self-describing frame
             case "sharding_indexed" =>
               require(shardInner.isEmpty, "nested sharding unsupported")
               val ics = cfg.get("chunk_shape")
@@ -223,7 +220,7 @@ object Zarr {
         val compId =
           if (comp == null || comp.isNull) "null"
           else comp.get("id").asText() match {
-            case ok @ ("zlib" | "gzip" | "blosc") => ok // blosc: [[Blosc]]
+            case ok @ ("zlib" | "gzip" | "blosc" | "zstd") => ok // blosc: [[Blosc]]
             case o => throw new IllegalArgumentException(s"compressor $o unsupported")
           }
         val fillNode = j.get("fill_value")
@@ -270,6 +267,8 @@ object Zarr {
       z.compressor match {
         case "null" => b
         case "blosc" => Blosc.decompress(b) // the numcodecs default
+        case "zstd" => // raw zstd frame (numcodecs Zstd / v3 zstd codec)
+          com.github.luben.zstd.Zstd.decompress(b, hint)
         case "gzip" =>
           val in = new java.util.zip.GZIPInputStream(
             new java.io.ByteArrayInputStream(b))
@@ -524,6 +523,7 @@ object Zarr {
         """{"zarr_format": 2}""".getBytes("UTF-8"))
       val compJson = compressor match {
         case "zlib" => s"""{"id": "zlib", "level": $level}"""
+        case "zstd" => s"""{"id": "zstd", "level": $level}"""
         case "blosc" =>
           s"""{"id": "blosc", "cname": "lz4", "clevel": $level,
              | "shuffle": 1, "blocksize": 0}""".stripMargin
@@ -627,6 +627,7 @@ object Zarr {
         case "blosc-blosclz" => Blosc.compress(raw, typesize = 8, codec = 0)
         case "blosc-bitshuffle" =>
           Blosc.compress(raw, typesize = 8, codec = 1, bitShuf = true)
+        case "zstd" => com.github.luben.zstd.Zstd.compress(raw, level)
         case _ => compressChunk(raw, v3 = false, level)
       }
       putObject(dir.toString, chunkKey(gidx, v3 = false), comp)

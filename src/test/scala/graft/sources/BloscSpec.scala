@@ -101,12 +101,19 @@ class BloscSpec extends AnyFunSuite {
     assert(Blosc.decompress(f).toSeq == raw.toSeq)
   }
 
-  test("clear rejections: snappy and zstd codecs") {
-    val raw = Array.fill(64)(1.toByte)
-    val f = Blosc.compress(raw, 8, 1, doShuffle = false, split = false)
-    // rewrite codec bits to snappy (2); keep a compressed (non-raw)
-    // stream shape by compressing zeros first
-    f(2) = ((f(2) & 0x1F) | (2 << 5)).toByte
+  test("snappy and zstd frames round trip; unknown codec ids rejected") {
+    val doubles = java.nio.ByteBuffer.allocate(600 * 8)
+    (0 until 600).foreach(i => doubles.putDouble(i * 0.75))
+    val raw = doubles.array()
+    for (codec <- Seq(2, 4); shuf <- Seq(true, false)) {
+      val f = Blosc.compress(raw, 8, codec, doShuffle = shuf, split = false)
+      assert(((f(2) & 0xFF) >>> 5) == codec)
+      assert(Blosc.decompress(f).toSeq == raw.toSeq, s"codec=$codec shuffle=$shuf")
+    }
+    // undefined codec id fails loud
+    val raw2 = Array.fill(64)(1.toByte)
+    val f = Blosc.compress(raw2, 8, 1, doShuffle = false, split = false)
+    f(2) = ((f(2) & 0x1F) | (6 << 5)).toByte
     val e = intercept[IllegalArgumentException](Blosc.decompress(f))
     assert(e.getMessage.contains("not supported"))
   }
