@@ -310,107 +310,94 @@ object Zarr {
             e: java.util.Map.Entry[String, Array[Byte]]): Boolean = size() > 4
       }
 
-    private def chunkBytes(dir: Path, z: ZArray, grid: Seq[Int]): Option[Array[Byte]] = {
+    private def objectKey(z: ZArray, grid: Seq[Int]): String = {
       // v3 default encoding prefixes the indices with "c"
       val parts =
         if (z.keyPrefix.isEmpty) grid.map(_.toString)
         else z.keyPrefix +: grid.map(_.toString)
-      val key = parts.mkString(z.sep)
-      val cacheKey = dir.getName + "#" + key // two vars may share grid keys
-      val cached = chunkCache.get(cacheKey)
-      if (cached != null) return Some(cached)
-      val p = new Path(dir, key) // "/"-separated keys become nested dirs
-      if (!fs.exists(p)) return None
-      val raw = z.shardInner match {
-        case Some(inner) => decodeShard(z, inner, readAll(p))
-        case None => decompress(z, readAll(p), z.chunks.product * z.esize)
-      }
-      chunkCache.put(cacheKey, raw)
-      Some(raw)
+      parts.mkString(z.sep)
     }
 
-    /** Decode one `sharding_indexed` object into the full shard buffer:
-      * the object holds the encoded inner chunks plus an index of
-      * (offset, nbytes) u64-LE pairs — one per inner chunk, C-order over
-      * the intra-shard grid, all-ones = chunk absent (fill) — at the end
-      * (or start), optionally tailed by a CRC-32C of the index bytes. */
-    private def decodeShard(z: ZArray, inner: Seq[Int],
-        obj: Array[Byte]): Array[Byte] = {
-      val rank = z.chunks.size
-      val innerGrid = z.chunks.zip(inner).map { case (c, ic) => c / ic }
-      val nInner = innerGrid.product
-      val idxLen = 16 * nInner + (if (z.shardIndexCrc) 4 else 0)
-      require(obj.length >= idxLen, "shard object shorter than its index")
-      val idxOff = if (z.shardIndexAtEnd) obj.length - idxLen else 0
-      if (z.shardIndexCrc) {
-        val crc = new java.util.zip.CRC32C
-        crc.update(obj, idxOff, 16 * nInner)
-        val stored = ByteBuffer.wrap(obj, idxOff + 16 * nInner, 4)
-          .order(ByteOrder.LITTLE_ENDIAN).getInt
-        require(crc.getValue.toInt == stored, "shard index CRC-32C mismatch")
-      }
-      // absolute reads ignore a wrap offset — index from the array base
-      val idx = ByteBuffer.wrap(obj).order(ByteOrder.LITTLE_ENDIAN)
-      val es = z.esize
-      val out = new Array[Byte](z.chunks.product * es)
-      // pre-fill with the encoded fill value (absent inner chunks)
-      if (z.fill != 0.0) {
-        val order = if (z.littleEndian) ByteOrder.LITTLE_ENDIAN
-                    else ByteOrder.BIG_ENDIAN
-        val ob = ByteBuffer.wrap(out).order(order)
-        var i = 0
-        while (i < out.length / es) {
-          (z.kind, es) match {
-            case ('f', 8) => ob.putDouble(i * es, z.fill)
-            case ('f', 4) => ob.putFloat(i * es, z.fill.toFloat)
-            case ('i', 8) => ob.putLong(i * es, z.fill.toLong)
-            case ('i', 4) => ob.putInt(i * es, z.fill.toInt)
-            case ('i', 2) => ob.putShort(i * es, z.fill.toShort)
-            case (_, 1) => out(i) = z.fill.toByte
-            case ('u', 2) => ob.putShort(i * es, z.fill.toShort)
-            case ('u', 4) => ob.putInt(i * es, z.fill.toInt)
-            case o => throw new IllegalArgumentException(s"fill for $o")
-          }
-          i += 1
-        }
-      }
-      val shardStrides = z.chunks.scanRight(1)(_ * _).tail
-      val innerStrides = inner.scanRight(1)(_ * _).tail
-      var ci = 0
-      while (ci < nInner) {
-        val off = idx.getLong(idxOff + ci * 16)
-        val nb = idx.getLong(idxOff + ci * 16 + 8)
-        if (off != -1L && nb != -1L) {
-          require(off >= 0 && nb >= 0 && off + nb <= obj.length,
-            "shard index entry out of bounds")
-          val comp = java.util.Arrays.copyOfRange(obj, off.toInt,
-            (off + nb).toInt)
-          val raw = decompress(z, comp, inner.product * es)
-          require(raw.length == inner.product * es,
-            s"inner chunk $ci: ${raw.length} bytes for ${inner.product * es}")
-          // scatter the inner chunk into its C-order box within the shard
-          var rem = ci
-          val gidx = new Array[Int](rank)
-          var d = rank - 1
-          while (d >= 0) { gidx(d) = rem % innerGrid(d); rem /= innerGrid(d); d -= 1 }
-          def scatter(dim: Int, srcBase: Int, dstBase: Int): Unit =
-            if (dim == rank - 1) {
-              System.arraycopy(raw, srcBase * es,
-                out, (dstBase + gidx(dim) * inner(dim)) * es, inner(dim) * es)
-            } else {
-              var k = 0
-              while (k < inner(dim)) {
-                scatter(dim + 1, srcBase + k * innerStrides(dim),
-                  dstBase + (gidx(dim) * inner(dim) + k) * shardStrides(dim))
-                k += 1
+    /** Decompressed bytes for one grid box — a whole object for plain
+      * arrays, ONE INNER CHUNK for sharded arrays (grid is then in
+      * inner-chunk units): the shard's index is fetched (and cached)
+      * with a ranged read of its tail, and only the inner chunk's byte
+      * range is read from the object — a hyperslab read never downloads
+      * the shards it merely grazes. */
+    private def chunkBytes(dir: Path, z: ZArray, grid: Seq[Int]): Option[Array[Byte]] =
+      z.shardInner match {
+        case None =>
+          val key = objectKey(z, grid)
+          val cacheKey = dir.getName + "#" + key // vars may share grid keys
+          val cached = chunkCache.get(cacheKey)
+          if (cached != null) return Some(cached)
+          val p = new Path(dir, key) // "/"-separated keys → nested dirs
+          if (!fs.exists(p)) return None
+          val raw = decompress(z, readAll(p), z.chunks.product * z.esize)
+          chunkCache.put(cacheKey, raw)
+          Some(raw)
+        case Some(inner) =>
+          val rank = z.chunks.size
+          val ratio = (0 until rank).map(i => z.chunks(i) / inner(i))
+          val shardG = (0 until rank).map(i => grid(i) / ratio(i))
+          val within = (0 until rank).map(i => grid(i) % ratio(i))
+          val ci = (0 until rank).foldLeft(0L)((acc, i) => acc * ratio(i) + within(i))
+          val key = objectKey(z, shardG)
+          val cacheKey = dir.getName + "#" + key + "#" + ci
+          val cached = chunkCache.get(cacheKey)
+          if (cached != null) return Some(cached)
+          val p = new Path(dir, key)
+          shardIndex(p, z, ratio.product) match {
+            case None => None
+            case Some(idx) =>
+              val off = idx((ci * 2).toInt)
+              val nb = idx((ci * 2 + 1).toInt)
+              if (off == -1L && nb == -1L) None // absent chunk → fill
+              else {
+                val comp = new Array[Byte](nb.toInt)
+                val in = fs.open(p)
+                try { in.seek(off); in.readFully(comp) } finally in.close()
+                val raw = decompress(z, comp, inner.product * z.esize)
+                require(raw.length == inner.product * z.esize,
+                  s"inner chunk $ci: ${raw.length} bytes for " +
+                    s"${inner.product * z.esize}")
+                chunkCache.put(cacheKey, raw)
+                Some(raw)
               }
-            }
-          scatter(0, 0, 0)
-        }
-        ci += 1
+          }
       }
-      out
-    }
+
+    // per-shard (offset, nbytes) index pairs, CRC-verified once
+    private val shardIndexCache =
+      scala.collection.mutable.Map.empty[String, Option[Array[Long]]]
+
+    /** Load a shard object's inner-chunk index: `nInner` (offset,
+      * nbytes) u64-LE pairs at the object's end (or start), optionally
+      * tailed by a CRC-32C — fetched with a ranged read, not a full
+      * object download. None if the shard object doesn't exist. */
+    private def shardIndex(p: Path, z: ZArray, nInner: Int): Option[Array[Long]] =
+      shardIndexCache.getOrElseUpdate(p.toString, {
+        if (!fs.exists(p)) None
+        else {
+          val fileLen = fs.getFileStatus(p).getLen
+          val idxLen = 16 * nInner + (if (z.shardIndexCrc) 4 else 0)
+          require(fileLen >= idxLen, "shard object shorter than its index")
+          val idxOff = if (z.shardIndexAtEnd) fileLen - idxLen else 0L
+          val buf = new Array[Byte](idxLen)
+          val in = fs.open(p)
+          try { in.seek(idxOff); in.readFully(buf) } finally in.close()
+          if (z.shardIndexCrc) {
+            val crc = new java.util.zip.CRC32C
+            crc.update(buf, 0, 16 * nInner)
+            val stored = ByteBuffer.wrap(buf, 16 * nInner, 4)
+              .order(ByteOrder.LITTLE_ENDIAN).getInt
+            require(crc.getValue.toInt == stored, "shard index CRC-32C mismatch")
+          }
+          val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+          Some(Array.tabulate(2 * nInner)(i => bb.getLong(i * 8)))
+        }
+      })
+
 
     override def readSlab(varName: String, origin: Seq[Int],
         shape: Seq[Int]): Array[Double] = {
@@ -424,18 +411,22 @@ object Zarr {
       val out = new Array[Double](shape.product)
       java.util.Arrays.fill(out, z.fill)
       val outStrides = shape.scanRight(1)(_ * _).tail
-      val chunkStrides = z.chunks.scanRight(1)(_ * _).tail
+      // sharded arrays walk the INNER chunk grid: each inner chunk is
+      // fetched through its shard's index with a ranged read, so a
+      // hyperslab touching one inner chunk never downloads the shard
+      val cDims = z.shardInner.getOrElse(z.chunks)
+      val chunkStrides = cDims.scanRight(1)(_ * _).tail
       // iterate the chunk-grid boxes intersecting [origin, origin+shape)
-      val gLo = (0 until rank).map(i => origin(i) / z.chunks(i))
-      val gHi = (0 until rank).map(i => (origin(i) + shape(i) - 1) / z.chunks(i))
+      val gLo = (0 until rank).map(i => origin(i) / cDims(i))
+      val gHi = (0 until rank).map(i => (origin(i) + shape(i) - 1) / cDims(i))
       def chunksRec(dim: Int, grid: Array[Int]): Unit = {
         if (dim == rank) {
-          val gridOrigin = (0 until rank).map(i => grid(i) * z.chunks(i))
+          val gridOrigin = (0 until rank).map(i => grid(i) * cDims(i))
           chunkBytes(dir, z, grid.toSeq).foreach { bytes =>
             val bbuf = ByteBuffer.wrap(bytes).order(order)
             val lo = (0 until rank).map(i => math.max(origin(i), gridOrigin(i)))
             val hi = (0 until rank).map(i =>
-              math.min(origin(i) + shape(i), gridOrigin(i) + z.chunks(i)))
+              math.min(origin(i) + shape(i), gridOrigin(i) + cDims(i)))
             def copy(d: Int, outBase: Int, chunkBase: Int): Unit = {
               if (d == rank - 1) {
                 val n = hi(d) - lo(d)
