@@ -192,6 +192,16 @@ final case class Cube(df: DataFrame, explicitDims: Seq[Dim], implicitDims: Seq[D
       path, varName, v3,
       explicitDims.map(d => d.name -> d.size),
       implicitDims.map(d => d.name -> d.size), rowsPerChunk)
+
+  /** [[exportZarr]] with `sharding_indexed` objects: one object per
+    * `chunksPerShard` inner chunks along the outermost dim — the
+    * object-count economics a 100 TB cube needs on a real store. */
+  def exportZarrSharded(path: String, varName: String = "measure",
+      rowsPerChunk: Int, chunksPerShard: Int): (Long, Int) =
+    graft.sources.ZarrExport.writeDistributedShardedNd(df, "id_dim",
+      "measure", path, varName,
+      explicitDims.map(d => d.name -> d.size),
+      implicitDims.map(d => d.name -> d.size), rowsPerChunk, chunksPerShard)
 }
 
 object Cube {

@@ -74,17 +74,29 @@ object CubeQueries {
     })
     import s.implicits._
     val df = rows.toDF("id_dim", "measure").repartition(5)
-    val path = java.nio.file.Files.createTempDirectory("graft_qc4")
-      .resolve("cube.zarr").toString
-    Cube(df, Seq("t" -> d0, "lat" -> d1), Seq("lon" -> m))
-      .exportZarr(path, v3 = true, rowsPerChunk = 16) // 4-chunk grid
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qc4")
+    val path = tmp.resolve("cube.zarr").toString
+    val shardedPath = tmp.resolve("cube_sharded.zarr").toString
+    val cube = Cube(df, Seq("t" -> d0, "lat" -> d1), Seq("lon" -> m))
+    cube.exportZarr(path, v3 = true, rowsPerChunk = 16) // 4-chunk grid
+    // sharding_indexed twin: 2-outer-slab inner chunks, 4 per shard →
+    // 8 shard objects, last one partial; re-imported through the ranged
+    // index reads
+    cube.exportZarrSharded(shardedPath, rowsPerChunk = 8, chunksPerShard = 4)
     val ses = new IoServer(s).newSession()
     ses.execute(s"operation=file_import;frag_name=czr;src_path=@$path;" +
       "measure=measure;explicit=1")
-    ses.execute(
+    ses.execute(s"operation=file_import;frag_name=czs;src_path=@$shardedPath;" +
+      "measure=measure;explicit=1")
+    val zr = ses.execute(
       "operation=select;field=id_dim|measure;from=czr;order=id_dim").get
-      .withColumn("measure",
-        graft.functions.ArrayPrimitives.fx12(col("measure")))
+      .select(col("id_dim"),
+        graft.functions.ArrayPrimitives.fx12(col("measure")).as("m_zarr"))
+    val zs = ses.execute(
+      "operation=select;field=id_dim|measure;from=czs;order=id_dim").get
+      .select(col("id_dim"),
+        graft.functions.ArrayPrimitives.fx12(col("measure")).as("m_sharded"))
+    zr.join(zs, "id_dim").orderBy("id_dim")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -99,7 +111,10 @@ object CubeQueries {
       """SELECT i AS id_dim,
          array_to_string(list_transform(range(0, 12),
            x -> CAST(floor(((i-1) * 0.5 + (x // 3) * 0.25 + (x % 3) * 0.125)
-             * 1e12) AS BIGINT)), ',') AS measure
+             * 1e12) AS BIGINT)), ',') AS m_zarr,
+         array_to_string(list_transform(range(0, 12),
+           x -> CAST(floor(((i-1) * 0.5 + (x // 3) * 0.25 + (x % 3) * 0.125)
+             * 1e12) AS BIGINT)), ',') AS m_sharded
          FROM range(1, 61) t(i)
          ORDER BY id_dim""",
     "qc01_cube_pipeline" ->

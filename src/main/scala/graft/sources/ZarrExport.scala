@@ -183,6 +183,87 @@ object ZarrExport {
     (n, nChunks)
   }
 
+  /** N-dimensional sharded export: [[writeDistributedNd]]'s layout
+    * (chunking along the outermost dim, whole outer slabs per chunk)
+    * with [[writeDistributedSharded]]'s object economics — each object
+    * is a shard of `chunksPerShard` inner chunks along dim 0, carrying
+    * its own CRC-32C-tailed index. Returns (rows, shardCount). */
+  def writeDistributedShardedNd(frag: DataFrame, idCol: String,
+      arrCol: String, path: String, varName: String,
+      rowDims: Seq[(String, Int)], colDims: Seq[(String, Int)],
+      rowsPerChunk: Int, chunksPerShard: Int, level: Int = 6): (Long, Int) = {
+    require(rowsPerChunk > 0 && chunksPerShard > 0,
+      "sharded export needs explicit rowsPerChunk and chunksPerShard")
+    val nExpected = rowDims.map(_._2.toLong).product
+    val m = colDims.map(_._2).product
+    val rowsPerOuter = rowDims.drop(1).map(_._2.toLong).product
+    // inner chunk: whole outer slabs, as the unsharded n-D writer
+    val c0 = math.max(1L, rowsPerChunk.toLong / math.max(1L, rowsPerOuter)).toInt
+    val innerRows = c0 * rowsPerOuter
+    require(innerRows * m * 8 <= Int.MaxValue,
+      s"inner chunk ($c0 outer slabs x $rowsPerOuter rows x $m) exceeds 2 GiB")
+    val src = frag.select(col(idCol).cast("long").as("id"),
+      col(arrCol).cast("array<double>").as("a"))
+    val (n, lo, hi, mGot) = exportStats(src, idCol)
+    require(n == nExpected, s"cube is sparse or overfull: $n rows for " +
+      s"shape product $nExpected — fill or subset before export")
+    if (n == 0L) {
+      Zarr.writeStoreMeta(path, varName, Seq(0, 0), Seq(1, 1), v3 = true, level)
+      return (0L, 0)
+    }
+    require(mGot == m, s"array length $mGot != implicit-dim product $m")
+    require(hi - lo + 1 == n, "cube id_dim must be contiguous")
+    val shape = (rowDims ++ colDims).map(_._2)
+    val rank = shape.size
+    val shardRows = innerRows * chunksPerShard
+    val shardC0 = c0 * chunksPerShard
+    val innerChunks = c0 +: (rowDims.drop(1) ++ colDims).map(_._2)
+    val shardChunks = shardC0 +: (rowDims.drop(1) ++ colDims).map(_._2)
+    val nShards = ((n + shardRows - 1) / shardRows).toInt
+    Zarr.writeStoreMeta(path, varName, shape, shardChunks, v3 = true, level,
+      shardInner = Some(innerChunks))
+    val arrayDir = new org.apache.hadoop.fs.Path(path, varName).toString
+    val sc = frag.sparkSession.sparkContext
+    val bcConf = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
+    src.rdd.map(r => (r.getLong(0) - lo, r.getSeq[Double](1).toArray))
+      .map { case (i, a) => (i / shardRows, (i, a)) }
+      .groupByKey(math.max(1, math.min(nShards, sc.defaultParallelism)))
+      .foreach { case (sid, rows) =>
+        val inner = Array.fill(chunksPerShard)(null: Array[Byte])
+        rows.foreach { case (i, a) =>
+          val within = i - sid * shardRows
+          val ci = (within / innerRows).toInt
+          if (inner(ci) == null)
+            inner(ci) = new Array[Byte]((innerRows * m * 8).toInt)
+          val bb = ByteBuffer.wrap(inner(ci)).order(ByteOrder.LITTLE_ENDIAN)
+          val off = ((within % innerRows) * m * 8).toInt
+          var j = 0
+          while (j < m) { bb.putDouble(off + j * 8, a(j)); j += 1 }
+        }
+        val body = new java.io.ByteArrayOutputStream()
+        val idx = ByteBuffer.allocate(16 * chunksPerShard + 4)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        var ci = 0
+        while (ci < chunksPerShard) {
+          if (inner(ci) == null) { idx.putLong(-1L); idx.putLong(-1L) }
+          else {
+            val comp = Zarr.compressChunk(inner(ci), v3 = true, level)
+            idx.putLong(body.size().toLong); idx.putLong(comp.length.toLong)
+            body.write(comp)
+          }
+          ci += 1
+        }
+        val crc = new java.util.zip.CRC32C
+        crc.update(idx.array(), 0, 16 * chunksPerShard)
+        idx.putInt(crc.getValue.toInt)
+        body.write(idx.array())
+        val gidx = sid.toInt +: Seq.fill(rank - 1)(0)
+        Zarr.putObject(arrayDir, Zarr.chunkKey(gidx, v3 = true),
+          body.toByteArray, bcConf.value.value)
+      }
+    (n, nShards)
+  }
+
   /** Sharded v3 export (`sharding_indexed`): same row-aligned
     * distribution as [[writeDistributed]], but each OBJECT is a shard of
     * `chunksPerShard` inner chunks, carrying its own CRC-32C-tailed

@@ -146,6 +146,37 @@ class ZarrExportSpec extends SparkSpec {
     } finally r2.close()
   }
 
+  test("n-D sharded cube export keeps dimensionality; ranged reads cross shards") {
+    import spark.implicits._
+    val (d0, d1, m) = (10, 4, 3)
+    val rows = for (i <- 0 until d0; j <- 0 until d1) yield
+      ((i * d1 + j + 1).toLong,
+        Array.tabulate(m)(k => i * 100.0 + j * 10.0 + k))
+    val df = rows.toDF("id_dim", "measure").repartition(4)
+    val p = tmp()
+    val cube = graft.cube.Cube(df, Seq("d0" -> d0, "d1" -> d1), Seq("z" -> m))
+    // inner chunk = 1 outer slab (4 rows), 2 chunks/shard → 5 shards
+    val (n, shards) = cube.exportZarrSharded(p, rowsPerChunk = 4,
+      chunksPerShard = 2)
+    assert(n == d0 * d1 && shards == 5)
+    assert(Files.exists(Paths.get(p, "measure", "c", "0", "0", "0")))
+    assert(Files.exists(Paths.get(p, "measure", "c", "4", "0", "0")))
+    assert(!Files.exists(Paths.get(p, "measure", "c", "5", "0", "0")))
+    val r = new Zarr.ZarrReader(p)
+    try {
+      assert(r.shape("measure") == Seq(d0, d1, m))
+      val got = r.readSlab("measure", Seq(0, 0, 0), Seq(d0, d1, m)).toSeq
+      val want = for (i <- 0 until d0; j <- 0 until d1; k <- 0 until m)
+        yield i * 100.0 + j * 10.0 + k
+      assert(got == want)
+      // hyperslab straddling an inner-chunk AND a shard boundary
+      val slab = r.readSlab("measure", Seq(1, 2, 1), Seq(3, 2, 2)).toSeq
+      val wantSlab = for (i <- 1 until 4; j <- 2 until 4; k <- 1 until 3)
+        yield i * 100.0 + j * 10.0 + k
+      assert(slab == wantSlab)
+    } finally r.close()
+  }
+
   test("no row bytes funnel through the driver (executor-side writes)") {
     import spark.implicits._
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
