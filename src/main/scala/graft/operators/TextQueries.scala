@@ -157,6 +157,29 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t08 — cross-document boilerplate share: the fraction of a
+    * document's distinct 5-gram hashes that occur in at least one OTHER
+    * document (document frequency ≥ 2) — the shingle-level signal
+    * template/boilerplate filters rank on. One native gram-hash pass
+    * per row (p02's kernel), a gram-keyed partial+final count for the
+    * document frequency, one shuffle join back: no cross join, no
+    * per-pair work — the identical plan at 100 TB. Docs under 5 tokens
+    * have no grams and drop out (the oracle filters identically). */
+  def t08_boilerplate_share(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.plans.Gram5TokenHashSet(col("text"))).as("g"))
+    val dfc = grams.groupBy("g").agg(count(lit(1)).as("dfc"))
+    grams.join(dfc, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("dfc") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("share_fp",
+        floor(col("n_shared").cast("double") / col("n_grams").cast("double")
+          * 1e6).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_quality" -> (t01_token_quality _),
     "t02_langid" -> (t02_langid _),
@@ -165,12 +188,27 @@ object TextQueries {
     "t05_context_windows" -> (t05_context_windows _),
     "t06_vocabulary" -> (t06_vocabulary _),
     "t07_quality_repetition" -> (t07_quality_repetition _),
+    "t08_boilerplate_share" -> (t08_boilerplate_share _),
   )
 
   private def sqlHs =
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    "t08_boilerplate_share" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       g AS (SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 3),
+             i -> CAST('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15)
+                  AS BIGINT)))) AS g
+         FROM toks WHERE len(t) >= 5),
+       df AS (SELECT g, count(*) AS dfc FROM g GROUP BY g)
+       SELECT gg.doc_id, count(*)::BIGINT AS n_grams,
+         CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         CAST(floor(CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS share_fp
+       FROM g gg JOIN df USING (g)
+       GROUP BY gg.doc_id ORDER BY gg.doc_id""",
     "t05_context_windows" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        w AS (SELECT doc_id, toks,

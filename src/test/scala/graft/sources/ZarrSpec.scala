@@ -162,6 +162,37 @@ class ZarrSpec extends AnyFunSuite {
     assert(r.readSlab("v", Seq(0), Seq(4)).toSeq == Seq(11.0, 22.0, -1.0, -1.0))
   }
 
+  test("hand-written v3 store with a zstd codec chain decodes") {
+    val dir = Files.createTempDirectory("graft_zarr_v3zstd")
+    val arr = dir.resolve("v"); Files.createDirectories(arr)
+    Files.writeString(dir.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group"}""")
+    Files.writeString(arr.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "array",
+        | "shape": [6], "data_type": "float64",
+        | "chunk_grid": {"name": "regular",
+        |   "configuration": {"chunk_shape": [3]}},
+        | "chunk_key_encoding": {"name": "default",
+        |   "configuration": {"separator": "/"}},
+        | "fill_value": 0.0,
+        | "codecs": [
+        |   {"name": "bytes", "configuration": {"endian": "little"}},
+        |   {"name": "zstd", "configuration": {"level": 3}}]}""".stripMargin)
+    def chunk(vals: Double*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vals.size * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble)
+      com.github.luben.zstd.Zstd.compress(bb.array(), 3)
+    }
+    val c = arr.resolve("c"); Files.createDirectories(c)
+    Files.write(c.resolve("0"), chunk(1.5, 2.5, 3.5))
+    Files.write(c.resolve("1"), chunk(4.5, 5.5, 6.5))
+    val r = new Zarr.ZarrReader(dir.toString)
+    assert(r.readSlab("v", Seq(0), Seq(6)).toSeq ==
+      Seq(1.5, 2.5, 3.5, 4.5, 5.5, 6.5))
+    assert(r.readSlab("v", Seq(2), Seq(2)).toSeq == Seq(3.5, 4.5))
+  }
+
   test("consolidated .zmetadata serves array metadata without per-array files") {
     val p = tmp()
     val data = grid(7, 5)
