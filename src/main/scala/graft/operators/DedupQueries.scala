@@ -314,6 +314,22 @@ object DedupQueries {
         sum(col("n_chars")).as("kept_chars"))
   }
 
+  /** d14 — the transitive closure d07's one-step collapse approximates:
+    * full connected components over the verified near-dup pair graph
+    * ([[GraphComponents]], large-star/small-star), so chains A~B~C where
+    * A and C never pair directly still land in ONE cluster. Output: one
+    * row per clustered doc with its component id (= min doc_id of the
+    * cluster) and the cluster size — the canonical "duplicate cluster
+    * manifest" a 100 TB dedup pass hands to the keep/drop stage. */
+  def d14_dedup_components(s: SparkSession, dir: String): DataFrame = {
+    val pairs = verifiedPairs(s, dir).select("doc_a", "doc_b")
+    val lbl = GraphComponents.labels(pairs)
+    val sizes = lbl.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    lbl.join(sizes, "comp")
+      .select(col("node").as("doc_id"), col("comp"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
   /** d04 — SimHash near-dup: 60-bit signatures, candidates share the
     * high-30-bit band (equi-join, not cross join), kept if Hamming
     * distance ≤ 2. */
@@ -603,6 +619,7 @@ object DedupQueries {
     "d02_dedup_canonical" -> (d02_dedup_canonical _),
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
     "d04_simhash" -> (d04_simhash _),
+    "d14_dedup_components" -> (d14_dedup_components _),
     "d05_ngram_jaccard" -> (d05_ngram_jaccard _),
     "d11_dedup_provenance" -> (d11_dedup_provenance _),
   )
@@ -777,6 +794,36 @@ object DedupQueries {
       SELECT count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
       FROM documents d LEFT JOIN nbr ON d.doc_id = nbr.doc_id
       WHERE nbr.min_nbr IS NULL OR nbr.min_nbr >= d.doc_id""",
+    "d14_dedup_components" -> s"""
+      WITH RECURSIVE sigs AS (SELECT doc_id, $sqlSig AS sig,
+          list_distinct(string_split(text, ' ')) AS tk FROM documents),
+      bands AS (SELECT doc_id, b,
+          array_to_string(sig[b*8+1 : b*8+8], '_') AS bkey
+        FROM sigs, range(0, 2) t(b)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+          AND x.doc_id < y.doc_id),
+      pairs AS (SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+          len(list_intersect(a.tk, b.tk))::DOUBLE /
+            len(list_distinct(a.tk || b.tk))::DOUBLE AS jaccard
+        FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
+          JOIN sigs b ON cand.doc_b = b.doc_id
+        WHERE list_reduce(list_transform(range(1, 17),
+          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
+          (x,y) -> x+y) >= 14)
+        WHERE jaccard >= 0.99),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      lbl(doc_id, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, l.comp FROM lbl l JOIN edges e ON l.doc_id = e.u),
+      final AS (SELECT doc_id, min(comp) AS comp FROM lbl GROUP BY doc_id),
+      sizes AS (SELECT comp, count(*) AS n_members FROM final GROUP BY comp)
+      SELECT f.doc_id, f.comp, s.n_members
+      FROM final f JOIN sizes s ON f.comp = s.comp
+      ORDER BY f.doc_id""",
     "d04_simhash" -> s"""
       WITH sh AS (SELECT doc_id, $sqlSimhash AS sh FROM documents),
       banded AS (SELECT doc_id, sh, sh >> 30 AS band FROM sh)

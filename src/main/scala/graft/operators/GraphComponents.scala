@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list, by alternating
+  * large-star / small-star rounds (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond", SoCC '14) — the standard shape for
+  * transitive dedup-cluster closure at data-pipeline scale.
+  *
+  * Why not plain min-label propagation: its round count is the graph
+  * DIAMETER (a 100 TB crawl's duplicate chains can be long), while
+  * large-star/small-star provably converges in O(log² n) rounds — and in
+  * practice a handful — with each round just two hash-partition
+  * aggregations + a join, all on the edge list (never an adjacency
+  * matrix, never driver state).
+  *
+  * Each round:
+  *  - large-star: every node u links its LARGER neighbors to
+  *    m = min(N(u) ∪ {u});
+  *  - small-star: every node u links its smaller-or-equal neighbors and
+  *    itself to m.
+  * The fixpoint is a star forest: every node carries an edge to its
+  * component minimum. Convergence is detected by an (edge-count,
+  * hash-xor) signature of the canonicalized edge set — two cheap
+  * aggregates, no driver-side edge materialization. Lineage is truncated
+  * every round with localCheckpoint (on a cluster: checkpoint to a
+  * reliable store) so the iterated plan stays O(1) deep.
+  *
+  * Reference semantics: the io-server has no graph operator; this closes
+  * the transitive step its pairwise dedup output needs (see
+  * DedupQueries.d07's one-step doc comment).
+  */
+object GraphComponents {
+
+  /** (u, min(N(u) ∪ {u})) for every node u of the symmetric closure. */
+  private def neighborhoodMin(sym: DataFrame): DataFrame =
+    sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("mn"))
+
+  /** One large-star round: (v, mn) for every neighbor v > u. */
+  private def largeStar(sym: DataFrame, mins: DataFrame): DataFrame =
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("mn").as("v"))
+
+  /** One small-star round: (v, mn) for every neighbor v < u, plus
+    * (u, mn) — re-roots u and its smaller neighbors at the minimum. */
+  private def smallStar(sym: DataFrame, mins: DataFrame): DataFrame =
+    sym.join(mins, "u")
+      .filter(col("v") < col("u"))
+      .select(col("v").as("u"), col("mn").as("v"))
+      .unionByName(mins.select(col("u"), col("mn").as("v")))
+
+  /** Canonical (max, min) orientation, self-loops dropped, distinct. */
+  private def canon(e: DataFrame): DataFrame =
+    e.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+
+  /** Component labels for every node appearing in `edges` (two long
+    * columns, any names — positionally (a, b)). Output: (node, comp)
+    * with comp = min node id of the component; the minimum labels
+    * itself. */
+  def labels(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    var e = canon(edges.toDF("u", "v")).localCheckpoint(true)
+    var signature = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
+      .head()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val afterLarge = canon(largeStar(sym, neighborhoodMin(sym)))
+      val sym2 = afterLarge.unionByName(
+        afterLarge.select(col("v").as("u"), col("u").as("v")))
+      val next = canon(smallStar(sym2, neighborhoodMin(sym2)))
+        .localCheckpoint(true)
+      val sig = next.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
+        .head()
+      converged = sig == signature
+      signature = sig
+      e = next
+      it += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    // star forest: (u → comp) edges for non-roots; roots label themselves
+    e.select(col("u").as("node"), col("v").as("comp"))
+      .unionByName(e.select(col("v").as("node"), col("v").as("comp")).distinct())
+      .distinct()
+  }
+}
