@@ -180,7 +180,55 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t09 — bigram language-model scoring (the perplexity-proxy quality
+    * filter): train Laplace-smoothed bigram counts over the WHOLE corpus
+    * (two hash-partition groupBys — the distributed "train" step), then
+    * score every document by its average negative log-likelihood
+    * −mean ln((c(w1,w2)+1)/(c(w1)+V)). High avg_nll = text the corpus LM
+    * finds surprising — the classic heuristic for boilerplate/garbage
+    * ranking when a real LM is too expensive to run at 100 TB.
+    *
+    * Scale posture: the count model stays distributed (joined back on
+    * its hash keys, never driver-side); V is a 1-row broadcast. The
+    * per-doc sum folds position-sorted terms so the double addition
+    * order is deterministic (bit-identical to the oracle's list_reduce).
+    */
+  def t09_bigram_lm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val big = toks
+      .select(col("doc_id"),
+        posexplode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))))
+      .select(col("doc_id"), col("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vdf = toks.select(explode(col("tk")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val term = big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vdf))
+      .withColumn("t", -log((col("c2") + 1).cast("double") /
+        (col("c1") + col("v")).cast("double")))
+    val perDoc = term.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      aggregate(array_sort(collect_list(struct(col("pos"), col("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")).as("total"))
+    // ln differs by 1 ulp between the JVM and libm on rare inputs (same
+    // class as a18's atan2 note), so the score ships at 1e4 fixed point:
+    // a ≤1e-12 cross-engine wobble against a 1e-4 grid never flips floor
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        floor(coalesce(col("total") / col("n_bigrams").cast("double"), lit(0.0))
+          * 1e4).cast("long").as("avg_nll_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_bigram_lm" -> (t09_bigram_lm _),
     "t01_token_quality" -> (t01_token_quality _),
     "t02_langid" -> (t02_langid _),
     "t03_fingerprint" -> (t03_fingerprint _),
@@ -195,6 +243,25 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    "t09_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       pos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS pos FROM toks),
+       big AS (SELECT doc_id, pos, tk[pos] AS w1, tk[pos+1] AS w2 FROM pos),
+       c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+       c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+       v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM toks)),
+       term AS (SELECT b.doc_id, b.pos,
+           -ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)::DOUBLE) AS t
+         FROM big b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+           JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v),
+       agg AS (SELECT doc_id, count(*) AS n_bigrams,
+           list_reduce(list(t ORDER BY pos), (x, y) -> x + y) AS total
+         FROM term GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+         CAST(floor(coalesce(a.total / a.n_bigrams::DOUBLE, 0.0) * 1e4)
+           AS BIGINT) AS avg_nll_fp
+       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       ORDER BY d.doc_id""",
     "t08_boilerplate_share" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        g AS (SELECT doc_id, unnest(list_distinct(
