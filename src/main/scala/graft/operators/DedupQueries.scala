@@ -330,6 +330,44 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d15 — duplicated n-gram SPAN coverage (the positional variant of
+    * exact-substring dedup from Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): every word 10-gram occurring ≥2
+    * times across the corpus (cross-doc or self-repeat) marks its 10
+    * token positions as duplicated; a doc's score is the fraction of its
+    * positions covered by ANY such span. Unlike t08 (distinct-shingle
+    * document frequency) this measures how much of the TEXT is inside a
+    * repeated run — the signal used to cut, not just rank, documents.
+    *
+    * Scale posture: gram emit is scan-parallel (10 longs/position), the
+    * occurrence count is one hash-partition groupBy, the join back is on
+    * the same key, and the position explode touches only DUPLICATED
+    * grams (≤10× their count) — never the whole corpus. */
+  def d15_dup_ngram_spans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val grams = toks.filter(size(col("tk")) >= 10)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("tk")) - 10),
+          i => md5Long60(concat_ws(" ", slice(col("tk"), i + 1, lit(10)))))))
+      .select(col("doc_id"), col("pos"), col("col").as("g"))
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    val cov = grams.join(dup, "g")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 9)).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("cov_fp",
+        floor(col("n_covered").cast("double") / col("n_tokens").cast("double")
+          * 1e6).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** d04 — SimHash near-dup: 60-bit signatures, candidates share the
     * high-30-bit band (equi-join, not cross join), kept if Hamming
     * distance ≤ 2. */
@@ -620,6 +658,7 @@ object DedupQueries {
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
     "d04_simhash" -> (d04_simhash _),
     "d14_dedup_components" -> (d14_dedup_components _),
+    "d15_dup_ngram_spans" -> (d15_dup_ngram_spans _),
     "d05_ngram_jaccard" -> (d05_ngram_jaccard _),
     "d11_dedup_provenance" -> (d11_dedup_provenance _),
   )
@@ -794,6 +833,26 @@ object DedupQueries {
       SELECT count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
       FROM documents d LEFT JOIN nbr ON d.doc_id = nbr.doc_id
       WHERE nbr.min_nbr IS NULL OR nbr.min_nbr >= d.doc_id""",
+    "d15_dup_ngram_spans" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      st AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 8)) AS pos
+        FROM toks WHERE len(tk) >= 10),
+      gh AS (SELECT doc_id, pos,
+          CAST('0x' || substr(md5(array_to_string(tk[pos:pos+9], ' ')), 1, 15)
+            AS BIGINT) AS g
+        FROM st),
+      dup AS (SELECT g FROM gh GROUP BY g HAVING count(*) >= 2),
+      cov AS (SELECT doc_id, count(*) AS n_covered FROM (
+          SELECT DISTINCT doc_id, p FROM (
+            SELECT doc_id, unnest(range(pos, pos + 10)) AS p
+            FROM gh JOIN dup USING (g)))
+        GROUP BY doc_id)
+      SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens,
+        coalesce(c.n_covered, 0)::BIGINT AS n_covered,
+        CAST(floor(coalesce(c.n_covered, 0)::DOUBLE / len(t.tk)::DOUBLE * 1e6)
+          AS BIGINT) AS cov_fp
+      FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
+      ORDER BY t.doc_id""",
     "d14_dedup_components" -> s"""
       WITH RECURSIVE sigs AS (SELECT doc_id, $sqlSig AS sig,
           list_distinct(string_split(text, ' ')) AS tk FROM documents),
