@@ -213,7 +213,49 @@ object PipelineQueries {
       .orderBy("bucket")
   }
 
+  /** p08 — temperature-based domain resampling (the α-sampling of
+    * multilingual / multi-domain training mixes): domain weights
+    * w_d = n_d^α with α = 0.5 flatten the raw size distribution, the
+    * normalized share q_d = w_d / Σw_d sets a per-domain target count
+    * out of a 20k-doc budget, and each domain keeps its n_target
+    * hash-prioritized documents — over-represented domains are
+    * down-sampled, small domains keep everything. α = 0.5 means the
+    * weight is sqrt(n_d): correctly-rounded IEEE on every engine, so the
+    * shares replay bit-for-bit (a general pow() would not). Σw_d folds
+    * over the name-sorted domain list for a deterministic double sum.
+    *
+    * Plan: one count groupBy (domains are few → the weight table
+    * broadcasts), one row_number window per domain partition, one
+    * partial+final aggregate. The only sort shards by domain — the same
+    * plan at 100 TB. */
+  def p08_domain_temperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val wts = docs.groupBy("source").agg(count(lit(1)).as("n_d"))
+      .withColumn("w", sqrt(col("n_d").cast("double")))
+    val tot = wts.agg(
+      aggregate(array_sort(collect_list(struct(col("source"), col("w")))),
+        lit(0.0), (a, x) => a + x.getField("w")).as("wsum"))
+    val q = wts.crossJoin(broadcast(tot))
+      .withColumn("q_fp", floor(col("w") / col("wsum") * 1e6).cast("long"))
+      .withColumn("n_target", expr("(q_fp * 20000) div 1000000"))
+      .select("source", "q_fp", "n_target")
+    val ranked = docs
+      .withColumn("prio", md5Long60(col("text")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("prio", "doc_id")))
+    ranked.join(broadcast(q), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        max("q_fp").as("q_fp"),
+        max("n_target").as("n_target"),
+        sum(when(col("rk") <= col("n_target"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= col("n_target"), col("doc_id")).otherwise(0L))
+          .as("kept_id_sum"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p08_domain_temperature" -> (p08_domain_temperature _),
     "p07_rarity_bucketing" -> (p07_rarity_bucketing _),
     "p01_corpus_pipeline" -> (p01_corpus_pipeline _),
     "p02_contamination" -> (p02_contamination _),
@@ -224,6 +266,26 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p08_domain_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_d FROM documents GROUP BY source),
+       w AS (SELECT source, n_d, sqrt(n_d::DOUBLE) AS w FROM c),
+       t AS (SELECT list_reduce(list(w ORDER BY source), (x, y) -> x + y)
+           AS wsum FROM w),
+       q AS (SELECT source,
+           CAST(floor(w.w / t.wsum * 1e6) AS BIGINT) AS q_fp
+         FROM w CROSS JOIN t),
+       q2 AS (SELECT source, q_fp, (q_fp * 20000) // 1000000 AS n_target FROM q),
+       r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5(text), 1, 15) AS BIGINT), doc_id)
+           AS rk FROM documents)
+       SELECT r.source, count(*) AS n_total, max(q_fp) AS q_fp,
+         max(n_target) AS n_target,
+         CAST(sum(CASE WHEN rk <= n_target THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(sum(CASE WHEN rk <= n_target THEN doc_id ELSE 0 END) AS BIGINT)
+           AS kept_id_sum
+       FROM r JOIN q2 USING (source)
+       GROUP BY r.source ORDER BY r.source""",
     "p07_rarity_bucketing" ->
       """WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
            FROM documents),
