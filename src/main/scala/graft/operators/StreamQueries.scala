@@ -328,7 +328,62 @@ object StreamQueries {
       .orderBy("user_id", "rank")
   }
 
+  /** q31 — watermarked STREAM-STREAM interval join (two-sided join
+    * state, the canonical streaming enrichment): the click stream joins
+    * the purchase stream on user with the purchase at most 24 h before
+    * the click. Both sides carry watermarks and the range condition, so
+    * each side's state is evicted as the shared watermark passes
+    * ts − 24 h — bounded state at any scale, sharded by user_id. Fed as
+    * two ts-split micro-batch rounds (cross-batch matches must come out
+    * of join state, not the same batch); inner-join matches emit as
+    * found, and the emitted pair set must hash-match the batch interval
+    * join. */
+  def q31_stream_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val (lo, hi) = (ev.head._1, ev.last._1)
+    val splitNs = lo + (hi - lo) / 2 // strict value boundary between rounds
+    val inC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val inP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val clicks = inC.toDF().toDF("ctns", "click_id", "c_user")
+      .withColumn("cts", timestamp_micros(KeyAlgebra.ldiv(col("ctns"), lit(1000L))))
+      .withWatermark("cts", "0 seconds")
+    val purchases = inP.toDF().toDF("ptns", "purchase_id", "p_user")
+      .withColumn("pts", timestamp_micros(KeyAlgebra.ldiv(col("ptns"), lit(1000L))))
+      .withWatermark("pts", "0 seconds")
+    val joined = clicks.join(purchases,
+        expr("c_user = p_user AND pts BETWEEN cts - INTERVAL 24 HOURS AND cts"))
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        // µs lag of µs-truncated stamps (floor(a)−floor(b), NOT
+        // floor(a−b) — the oracle differences epoch_us values)
+        (KeyAlgebra.ldiv(col("ctns"), lit(1000L)) -
+          KeyAlgebra.ldiv(col("ptns"), lit(1000L))).as("lag_us"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("q31_stream_out").start()
+    def feed(rows: Array[(Long, Long, Long, String)]): Unit = {
+      inC.addData(rows.collect { case (t, id, u, "click") => (t, id, u) }.toIndexedSeq)
+      inP.addData(rows.collect { case (t, id, u, "purchase") => (t, id, u) }.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    try {
+      feed(ev.filter(_._1 <= splitNs))
+      feed(ev.filter(_._1 > splitNs))
+    } finally q.stop()
+    val sink = s.table("q31_stream_out")
+    val result = sink.collect().toIndexedSeq
+    val schema = sink.schema
+    s.catalog.dropTempView("q31_stream_out")
+    s.createDataFrame(s.sparkContext.parallelize(result, 1), schema)
+      .orderBy("click_id", "purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_stream_join" -> (q31_stream_join _),
     "q23_stream_window" -> (q23_stream_window _),
     "q30_stream_filesource" -> (q30_stream_filesource _),
     "q26_stream_asof" -> (q26_stream_asof _),
@@ -337,6 +392,16 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the stream-stream join must emit exactly the batch interval join
+    "q31_stream_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type
+           FROM events)
+         SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, (c.us - p.us) AS lag_us
+         FROM e c JOIN e p ON c.user_id = p.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.us BETWEEN c.us - 86400000000 AND c.us
+         ORDER BY click_id, purchase_id""",
     "q23_stream_window" ->
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS window_start,
          count(*) AS n,
