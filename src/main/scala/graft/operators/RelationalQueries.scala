@@ -384,7 +384,24 @@ object RelationalQueries {
       .groupBy("k").agg(count(lit(1)).as("n"))
       .orderBy("k")
 
+  /** q32 — PIVOT to wide format: order value per priority (rows) ×
+    * status (columns), with explicit pivot values so the plan is a
+    * single partial+final aggregate (Spark's value-less pivot would add
+    * a distinct-collect pre-pass — at 100 TB, always enumerate the
+    * columns). Decimal sums keep the double results order-independent. */
+  def q32_pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0.0)).as("total_f"),
+        coalesce(col("O"), lit(0.0)).as("total_o"),
+        coalesce(col("P"), lit(0.0)).as("total_p"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_pivot" -> (q32_pivot _),
     "q17_sessionize_batch" -> (q17_sessionize_batch _),
     "q20_sliding_window" -> (q20_sliding_window _),
     "q21_anti_semi" -> (q21_anti_semi _),
@@ -413,6 +430,18 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q32_pivot" ->
+      """SELECT o_orderpriority,
+         coalesce(CAST(sum(CASE WHEN o_orderstatus = 'F'
+           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+           AS total_f,
+         coalesce(CAST(sum(CASE WHEN o_orderstatus = 'O'
+           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+           AS total_o,
+         coalesce(CAST(sum(CASE WHEN o_orderstatus = 'P'
+           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+           AS total_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q17_sessionize_batch" ->
       """SELECT user_id, session_id, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
