@@ -229,7 +229,42 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s07 — exact cosine RANGE search (every neighbor with sim ≥ θ, not
+    * top-k) with block-norm pruning: each vector precomputes the norms
+    * of its 8 8-dim blocks, and Cauchy–Schwarz per block gives
+    * q·v ≤ Σ_j |q_j||v_j| — an 8-multiply upper bound screened before
+    * the 64-multiply exact dot product. The bound is mathematically ≥
+    * the true cosine (a 1e-9 slack absorbs float error), so pruning
+    * NEVER loses a result — the output is exact and oracle-matched
+    * against the unpruned brute force. At 100 TB this is the shape of a
+    * block-max scan: the wide vector column stays unread for the ~P%
+    * of rows the screen rejects (with a columnar layout the blocks
+    * would be their own columns). */
+  def s07_range_search(s: SparkSession, dir: String): DataFrame = {
+    val theta = 0.3
+    val blockNorms = (j: Column) =>
+      sqrt(aggregate(slice(col("a"), j * 8 + 1, lit(8)), lit(0.0),
+        (acc, x) => acc + x * x))
+    val base = emb(s, dir).withColumn("nrm", norm(col("a")))
+      .filter(col("nrm") > 0.0)
+      .withColumn("bn", transform(sequence(lit(0), lit(7)), blockNorms))
+    val qs = base.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"),
+        col("nrm").as("qn"), col("bn").as("qbn"))
+    base.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("bound",
+        aggregate(zip_with(col("qbn"), col("bn"), (p, q) => p * q),
+          lit(0.0), _ + _) / (col("qn") * col("nrm")))
+      .filter(col("bound") >= theta - 1e-9) // the 8-mult screen
+      .withColumn("sim", dot(col("qa"), col("a")) / (col("qn") * col("nrm")))
+      .filter(col("sim") >= theta)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s07_range_search" -> (s07_range_search _),
     "s06_ann_topk_operator" -> (s06_ann_topk_operator _),
     "s05_ann_rerank" -> (s05_ann_rerank _),
     "s01_ann_bruteforce" -> (s01_ann_bruteforce _),
@@ -259,6 +294,20 @@ object SimilarityQueries {
         FROM sims) WHERE rank <= 3 + 2 ORDER BY query_id, rank"""
 
   val oracles: Map[String, String] = Map(
+    // brute force — the pruned plan must lose nothing
+    "s07_range_search" -> s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
+        FROM embeddings),
+      n0 AS (SELECT vec_id, a,
+        sqrt(list_reduce(list_transform(a, x -> x*x), (p,q) -> p+q)) AS nrm FROM e),
+      n AS (SELECT * FROM n0 WHERE nrm > 0)
+      SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        ${sqlDot.replace("X", "q.a").replace("Y", "d.a")} / (q.nrm * d.nrm) AS sim
+      FROM n q, n d
+      WHERE q.vec_id % 20 = 0 AND d.vec_id <> q.vec_id
+        AND ${sqlDot.replace("X", "q.a").replace("Y", "d.a")} / (q.nrm * d.nrm)
+          >= 0.3
+      ORDER BY query_id, neighbor_id""",
     "s05_ann_rerank" -> s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
         FROM embeddings),
