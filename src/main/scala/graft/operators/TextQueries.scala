@@ -227,7 +227,43 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t10 — PII scrub audit (the C4/Dolma-style pattern pass, made
+    * testable): seed deterministic synthetic PII into a known subset of
+    * docs (emails on doc_id≡0 mod 7, phone numbers on ≡0 mod 11), then
+    * run the regex scrubber every pipeline ships — count matches,
+    * replace with redaction tags, report per-doc before/after sizes.
+    * The seeded plant rate makes recall CHECKABLE: the oracle replays
+    * the seeding, so a scrubber that under-matches breaks the hash.
+    * Scan-parallel per-row regex work, no shuffle; the patterns stay in
+    * the RE2-compatible subset (no backreferences/lookahead) so they
+    * run identically on any regex engine. */
+  def t10_pii_scrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val phoneRe = "555-[0-9]{4}"
+    Tables.documents(s, dir)
+      .withColumn("seeded", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("seeded"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("seeded"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("seeded"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        length(col("seeded")).cast("long").as("len_before"),
+        length(col("scrubbed")).cast("long").as("len_after"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_pii_scrub" -> (t10_pii_scrub _),
     "t09_bigram_lm" -> (t09_bigram_lm _),
     "t01_token_quality" -> (t01_token_quality _),
     "t02_langid" -> (t02_langid _),
@@ -243,6 +279,25 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    "t10_pii_scrub" ->
+      """WITH seeded AS (SELECT doc_id, text ||
+           (CASE WHEN doc_id % 7 = 0
+             THEN ' contact user' || doc_id || '@example.com' ELSE '' END) ||
+           (CASE WHEN doc_id % 11 = 0
+             THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             ELSE '' END) AS t
+         FROM documents),
+       scrub AS (SELECT doc_id, t,
+           regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+',
+             '<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g') AS sc
+         FROM seeded)
+       SELECT doc_id,
+         len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))::BIGINT
+           AS n_emails,
+         len(regexp_extract_all(t, '555-[0-9]{4}'))::BIGINT AS n_phones,
+         length(t)::BIGINT AS len_before,
+         length(sc)::BIGINT AS len_after
+       FROM scrub ORDER BY doc_id""",
     "t09_bigram_lm" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        pos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS pos FROM toks),
