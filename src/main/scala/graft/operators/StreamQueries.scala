@@ -341,6 +341,19 @@ object StreamQueries {
   def q31_stream_join(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // a stream-stream join runs FOUR state stores per partition; at this
+    // harness scale (≈40k rows/side, 150 users) 32 state partitions are
+    // pure commit overhead, so the join's stateful stage runs narrower.
+    // On a real cluster this knob follows key cardinality, not CPU count.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try q31_stream_join0(s, dir)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def q31_stream_join0(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val ev = Tables.events(s, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))

@@ -21,13 +21,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * stored full-size in both versions; a missing chunk object means
   * fill_value.
   *
-  * Supported: C order; v2 dtypes [<>|][fiu][1248] / v3 named data
+  * Supported: C and F order; v2 dtypes [<>|][fiu][1248] / v3 named data
   * types (float32/64, [u]int8/16/32, int64); compressors null, zlib,
   * gzip, zstd (raw frames via the zstd library Spark ships) and blosc
   * (the numcodecs default — blosclz/lz4/snappy/zlib/zstd codecs, byte
   * AND bit shuffle via the [[Blosc]] frame codec); the v3
   * `sharding_indexed` codec (per-object chunk indexes) is read and
-  * written; v3 transpose is rejected with a clear error;
+  * written; the v3 `transpose` codec and v2 `order: "F"` read through
+  * one shared stride remap (no chunk materialization in either order);
   * arrays at the store root or one level down (the netCDF-via-Zarr
   * layout). All IO goes through the Hadoop FileSystem API, so
   * `s3a://bucket/store.zarr` works wherever the cluster has the cloud
@@ -47,7 +48,8 @@ object Zarr {
                           keyPrefix: String = "",
                           shardInner: Option[Seq[Int]] = None,
                           shardIndexCrc: Boolean = true,
-                          shardIndexAtEnd: Boolean = true)
+                          shardIndexAtEnd: Boolean = true,
+                          transposeOrder: Option[Seq[Int]] = None)
 
   private def fsFor(path: String): (Path, FileSystem) = {
     val p = new Path(path)
@@ -142,6 +144,7 @@ object Zarr {
       var shardInner: Option[Seq[Int]] = None
       var shardCrc = true
       var shardEnd = true
+      var transpose: Option[Seq[Int]] = None
       def parseChain(codecs: com.fasterxml.jackson.databind.JsonNode): Unit =
         (0 until codecs.size()).foreach { i =>
           val c = codecs.get(i)
@@ -163,8 +166,15 @@ object Zarr {
                 .exists(k => idx.get(k).get("name").asText() == "crc32c")
               val loc = cfg.get("index_location")
               shardEnd = loc == null || loc.isNull || loc.asText() == "end"
+            case "transpose" =>
+              // array→array permutation: stored[i_{ord(0)},…] = chunk[i_0,…]
+              val ord = cfg.get("order")
+              val perm = (0 until ord.size()).map(ord.get(_).asInt())
+              require(perm.sorted == perm.indices, s"transpose order $perm "
+                + "is not a permutation")
+              transpose = Some(perm)
             case o => throw new IllegalArgumentException(
-              s"v3 codec $o unsupported (transpose/zstd not implemented)")
+              s"v3 codec $o unsupported")
           }
         }
       parseChain(j.get("codecs"))
@@ -190,8 +200,12 @@ object Zarr {
           inner.zip(chunks).forall { case (ic, c) => c % ic == 0 },
           s"shard shape $chunks not a multiple of inner chunk shape $inner")
       }
+      transpose.foreach { perm =>
+        val r = shardInner.getOrElse(chunks).size
+        require(perm.size == r, s"transpose order $perm rank != chunk rank $r")
+      }
       ZArray(shape, chunks, kind, esize, le, comp, fill, sep, prefix,
-        shardInner, shardCrc, shardEnd)
+        shardInner, shardCrc, shardEnd, transpose)
     }
 
     private val metaCache = scala.collection.mutable.Map.empty[String, (Path, ZArray)]
@@ -207,8 +221,11 @@ object Zarr {
           mapper.readTree(readAll(new Path(dir, ".zarray"))))
         require(j.get("zarr_format").asInt() == 2,
           s"zarr_format ${j.get("zarr_format")} unsupported (v2 only)")
-        require(j.get("order").asText() == "C",
-          "only C (row-major) order supported")
+        // F (column-major) chunks are a transpose with reversed axes —
+        // handled by the same stride remap as the v3 transpose codec
+        val orderTxt = j.get("order").asText()
+        require(orderTxt == "C" || orderTxt == "F",
+          s"order $orderTxt unsupported")
         val shape = (0 until j.get("shape").size())
           .map(i => j.get("shape").get(i).asInt())
         val chunks = (0 until j.get("chunks").size())
@@ -229,7 +246,9 @@ object Zarr {
         val sepNode = j.get("dimension_separator")
         val sep = if (sepNode == null || sepNode.isNull) "." else sepNode.asText()
         (dir, ZArray(shape, chunks, dt.charAt(1), dt.substring(2).toInt,
-          le, compId, fill, sep))
+          le, compId, fill, sep,
+          transposeOrder =
+            if (orderTxt == "F") Some(shape.indices.reverse) else None))
         }
       })
 
@@ -415,7 +434,19 @@ object Zarr {
       // fetched through its shard's index with a ranged read, so a
       // hyperslab touching one inner chunk never downloads the shard
       val cDims = z.shardInner.getOrElse(z.chunks)
-      val chunkStrides = cDims.scanRight(1)(_ * _).tail
+      // with a transpose codec (or v2 F order) the stored layout permutes
+      // the chunk axes; the linear accumulation below stays valid with
+      // remapped strides: logical dim d carries the STORED stride of its
+      // transposed position, so chunkBase + Σ stride_d·coord_d lands on
+      // the transposed element without any per-element index math
+      val chunkStrides = z.transposeOrder match {
+        case Some(ord) =>
+          val storedStrides = ord.map(cDims(_)).scanRight(1)(_ * _).tail
+          val m = new Array[Int](rank)
+          ord.zipWithIndex.foreach { case (d, j) => m(d) = storedStrides(j) }
+          m.toSeq
+        case None => cDims.scanRight(1)(_ * _).tail
+      }
       // iterate the chunk-grid boxes intersecting [origin, origin+shape)
       val gLo = (0 until rank).map(i => origin(i) / cDims(i))
       val gHi = (0 until rank).map(i => (origin(i) + shape(i) - 1) / cDims(i))
@@ -432,8 +463,9 @@ object Zarr {
                 val n = hi(d) - lo(d)
                 val ob = outBase + (lo(d) - origin(d)) * outStrides(d)
                 val cb = chunkBase + (lo(d) - gridOrigin(d)) * chunkStrides(d)
+                val cs = chunkStrides(d) // 1 unless transposed/F-order
                 var i = 0
-                while (i < n) { out(ob + i) = dec(bbuf, cb + i); i += 1 }
+                while (i < n) { out(ob + i) = dec(bbuf, cb + i * cs); i += 1 }
               } else {
                 var v = lo(d)
                 while (v < hi(d)) {

@@ -246,4 +246,59 @@ class ZarrSpec extends AnyFunSuite {
     assert(viaUri.readSlab("m", Seq(0), Seq(2)).toSeq == Seq(5.0, 6.0))
     viaUri.close()
   }
+  test("v2 F-order store reads through the stride remap") {
+    val dir = Files.createTempDirectory("graft_zarr_forder")
+    val arr = dir.resolve("v"); Files.createDirectories(arr)
+    Files.writeString(dir.resolve(".zgroup"), """{"zarr_format": 2}""")
+    Files.writeString(arr.resolve(".zarray"),
+      """{"zarr_format": 2, "shape": [2, 3], "chunks": [2, 3],
+        | "dtype": "<f8", "compressor": null, "fill_value": -1,
+        | "order": "F", "filters": null}""".stripMargin)
+    // logical chunk [[1,2,3],[4,5,6]] stored COLUMN-major:
+    // 1 4 2 5 3 6
+    val bb = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(1.0, 4.0, 2.0, 5.0, 3.0, 6.0).foreach(bb.putDouble)
+    Files.write(arr.resolve("0.0"), bb.array())
+    val r = new Zarr.ZarrReader(dir.toString)
+    assert(r.readSlab("v", Seq(0, 0), Seq(2, 3)).toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    // hyperslab: middle column
+    assert(r.readSlab("v", Seq(0, 1), Seq(2, 1)).toSeq == Seq(2.0, 5.0))
+  }
+
+  test("hand-written v3 store with a transpose codec decodes") {
+    val dir = Files.createTempDirectory("graft_zarr_v3tr")
+    val arr = dir.resolve("v"); Files.createDirectories(arr)
+    Files.writeString(dir.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group"}""")
+    Files.writeString(arr.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "array",
+        | "shape": [2, 4], "data_type": "float64",
+        | "chunk_grid": {"name": "regular",
+        |   "configuration": {"chunk_shape": [2, 2]}},
+        | "chunk_key_encoding": {"name": "default",
+        |   "configuration": {"separator": "/"}},
+        | "fill_value": 0.0,
+        | "codecs": [
+        |   {"name": "transpose", "configuration": {"order": [1, 0]}},
+        |   {"name": "bytes", "configuration": {"endian": "little"}}]}"""
+        .stripMargin)
+    // chunk (0,0) logical [[1,2],[3,4]] stored transposed: 1 3 2 4
+    // chunk (0,1) logical [[5,6],[7,8]] stored transposed: 5 7 6 8
+    def chunk(vals: Double*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vals.size * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble)
+      bb.array()
+    }
+    val c0 = arr.resolve("c").resolve("0"); Files.createDirectories(c0)
+    Files.write(c0.resolve("0"), chunk(1.0, 3.0, 2.0, 4.0))
+    Files.write(c0.resolve("1"), chunk(5.0, 7.0, 6.0, 8.0))
+    val r = new Zarr.ZarrReader(dir.toString)
+    assert(r.readSlab("v", Seq(0, 0), Seq(2, 4)).toSeq ==
+      Seq(1.0, 2.0, 5.0, 6.0, 3.0, 4.0, 7.0, 8.0))
+    // hyperslab crossing the chunk boundary mid-row
+    assert(r.readSlab("v", Seq(1, 1), Seq(1, 2)).toSeq == Seq(4.0, 7.0))
+  }
 }
