@@ -70,4 +70,15 @@ class GraphComponentsSpec extends SparkSpec {
   test("star graph with high-id hub") {
     check((0L until 30L).map(i => (1000L, i)))
   }
+
+  test("300-node chain converges within the round budget (log, not diameter)") {
+    // naive min-label propagation needs 299 rounds here — far past
+    // maxIter — so this fails if the algorithm loses its star-contraction
+    val edges = (0L until 300L).map(i => (i + 1, i))
+    val s = spark
+    import s.implicits._
+    val got = GraphComponents.labels(edges.toDF("a", "b"), maxIter = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 301 && got.values.forall(_ == 0L))
+  }
 }

@@ -158,4 +158,34 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"cluster pair join degenerated to a product:\n$p")
   }
+  test("t09: the bigram count model joins back as hash joins, never a product") {
+    val p = plan(TextQueries.t09_bigram_lm(spark, sf()))
+    assert(!p.contains("CartesianProduct"),
+      s"count-model join degenerated to a product:\n$p")
+    // the 1-row vocab aggregate must broadcast, not shuffle-join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"vocab scalar not broadcast:\n$p")
+  }
+
+  test("d15: dup-gram counting is partial+final; join back is a hash join") {
+    val p = plan(DedupQueries.d15_dup_ngram_spans(spark, sf()))
+    assert(p.contains("partial_"), s"expected partial count agg:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"gram join degenerated to a product:\n$p")
+  }
+
+  test("s07: the block-norm screen keeps the scan side unshuffled (broadcast queries)") {
+    val p = plan(SimilarityQueries.s07_range_search(spark, sf()))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query set must broadcast against the streamed scan:\n$p")
+    assert(!"Exchange hashpartitioning".r.findAllIn(p).exists(_ => true),
+      s"range search must not shuffle the vector scan:\n$p")
+  }
+
+  test("p08: the weight table broadcasts; one window + partial+final agg") {
+    val p = plan(PipelineQueries.p08_domain_temperature(spark, sf()))
+    assert(p.contains("BroadcastExchange"), s"weights not broadcast:\n$p")
+    assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
+  }
 }
