@@ -262,7 +262,54 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t11 — HyperLogLog cardinality sketch, from scratch (Flajolet et
+    * al.): per-source distinct 4-gram estimate from a 64-bucket HLL,
+    * reported next to the exact count so the sketch's error is itself
+    * under the oracle. This is THE mergeable structure for distinct
+    * counting at 100 TB — the per-bucket max is a partial+final
+    * aggregate, so the full pass never holds more than m=64 longs per
+    * (source, partition).
+    *
+    * Built to replay bit-for-bit in SQL: the rank is the TRAILING-zero
+    * count extracted arithmetically (w & −w — no log2 anywhere), each
+    * harmonic term 2^−ρ is the dyadic 0.5/lowbit, the harmonic sum
+    * folds bucket-sorted, and only the small-range correction touches
+    * ln (quantized at 1e4 fixed point like t09). */
+  def t11_hll_cardinality(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val m = 64
+    val occ = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(graft.plans.Gram4HashSet(col("text"))).as("hv"))
+      .distinct()
+    val mx = occ
+      .select(col("source"), (col("hv") % m).as("b"),
+        ldiv(col("hv"), lit(m.toLong)).as("w"))
+      .withColumn("lb", when(col("w") === 0, 0L)
+        .otherwise(col("w").bitwiseAND(-col("w"))))
+      .groupBy("source", "b").agg(max("lb").as("lb"))
+    val grid = Tables.documents(s, dir).select("source").distinct()
+      .withColumn("b", explode(sequence(lit(0L), lit(m - 1L))))
+    val z = grid.join(mx, Seq("source", "b"), "left")
+      .withColumn("term", when(col("lb").isNull || col("lb") === 0, 1.0)
+        .otherwise(lit(0.5) / col("lb")))
+      .withColumn("empty", when(col("lb").isNull, 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(aggregate(array_sort(collect_list(struct(col("b"), col("term")))),
+        lit(0.0), (a, x) => a + x.getField("term")).as("zsum"),
+        sum("empty").as("v"))
+    val est = z.withColumn("e0", lit(0.709 * m * m) / col("zsum"))
+      .withColumn("e", when(col("e0") <= 2.5 * m && col("v") > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+        .otherwise(col("e0")))
+    occ.groupBy("source").agg(count(lit(1)).as("n_exact"))
+      .join(est.select(col("source"), floor(col("e") * 1e4).cast("long")
+        .as("hll_fp")), "source")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_hll_cardinality" -> (t11_hll_cardinality _),
     "t10_pii_scrub" -> (t10_pii_scrub _),
     "t09_bigram_lm" -> (t09_bigram_lm _),
     "t01_token_quality" -> (t01_token_quality _),
@@ -279,6 +326,36 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    "t11_hll_cardinality" ->
+      """WITH occ AS (SELECT DISTINCT source,
+           CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hv
+         FROM (SELECT source, unnest(list_distinct(list_transform(
+             range(1, length(text) - 2), i -> substr(text, i::INT, 4)))) AS g
+           FROM documents)),
+       hb AS (SELECT source, hv % 64 AS b, hv // 64 AS w FROM occ),
+       mx AS (SELECT source, b,
+           max(CASE WHEN w = 0 THEN 0 ELSE w & (-w) END) AS lb
+         FROM hb GROUP BY source, b),
+       grid AS (SELECT s.source, gb.b
+         FROM (SELECT DISTINCT source FROM documents) s,
+           (SELECT unnest(range(0, 64)) AS b) gb),
+       z AS (SELECT source,
+           list_reduce(list(
+             CASE WHEN lb IS NULL OR lb = 0 THEN 1.0 ELSE 0.5 / lb END
+             ORDER BY b), (x, y) -> x + y) AS zsum,
+           CAST(sum(CASE WHEN lb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+         FROM (SELECT g.source, g.b, mx.lb FROM grid g
+           LEFT JOIN mx ON g.source = mx.source AND g.b = mx.b)
+         GROUP BY source),
+       est AS (SELECT source,
+           CASE WHEN (0.709 * 64 * 64 / zsum) <= 160.0 AND v > 0
+                THEN 64.0 * ln(64.0 / v)
+                ELSE 0.709 * 64 * 64 / zsum END AS e
+         FROM z),
+       ex AS (SELECT source, count(*) AS n_exact FROM occ GROUP BY source)
+       SELECT ex.source, ex.n_exact,
+         CAST(floor(est.e * 1e4) AS BIGINT) AS hll_fp
+       FROM ex JOIN est ON ex.source = est.source ORDER BY ex.source""",
     "t10_pii_scrub" ->
       """WITH seeded AS (SELECT doc_id, text ||
            (CASE WHEN doc_id % 7 = 0
