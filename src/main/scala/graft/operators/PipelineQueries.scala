@@ -254,7 +254,50 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** p09 — Bloom-filter contamination prescreen (p02's semi-join behind
+    * a sketch): the benchmark set's 5-gram hashes build a from-scratch
+    * Bloom filter (m = 4096 bits, k = 2 probes carved from one 60-bit
+    * hash), the corpus prescreens against the filter, and only Bloom
+    * PASSES take the exact membership join. Per doc: Bloom hits, exact
+    * hits, and the sketch's false positives — the FP rate itself is
+    * deterministic and sits under the oracle.
+    *
+    * Scale: this is the runtime-filter pattern (what Spark's own DPP /
+    * bloom runtime filters do): the bit set broadcasts (512 bytes of
+    * payload as positions here), the corpus side is screened scan-side
+    * by broadcast semi-joins with NO shuffle, and the expensive exact
+    * join runs only on the sketch's survivors. No false negatives by
+    * construction, so the final answer is exact at any scale. */
+  def p09_bloom_prescreen(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val m = 4096L
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.plans.Gram5TokenHashSet(col("text"))).as("g"))
+      .cache()
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+    // the filter: the SET of bit positions the benchmark grams light up
+    val bits = evalGrams
+      .select(explode(array(col("g") % m, ldiv(col("g"), lit(m)) % m))
+        .as("bit")).distinct().cache()
+    val train = grams.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("p1", col("g") % m)
+      .withColumn("p2", ldiv(col("g"), lit(m)) % m)
+    val pass = train
+      .join(broadcast(bits.withColumnRenamed("bit", "p1")), Seq("p1"), "left_semi")
+      .join(broadcast(bits.withColumnRenamed("bit", "p2")), Seq("p2"), "left_semi")
+    val exact = pass.join(broadcast(evalGrams.withColumn("hit", lit(1L))),
+      Seq("g"), "left")
+    exact.groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_bloom"),
+        countDistinct(when(col("hit") === 1, col("g"))).as("n_exact"))
+      .withColumn("n_false_pos", col("n_bloom") - col("n_exact"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p09_bloom_prescreen" -> (p09_bloom_prescreen _),
     "p08_domain_temperature" -> (p08_domain_temperature _),
     "p07_rarity_bucketing" -> (p07_rarity_bucketing _),
     "p01_corpus_pipeline" -> (p01_corpus_pipeline _),
@@ -266,6 +309,28 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p09_bloom_prescreen" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       g AS (SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 3),
+             i -> CAST('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15)
+                  AS BIGINT)))) AS g
+         FROM toks WHERE len(t) >= 5),
+       ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+       bits AS (SELECT DISTINCT bit FROM (
+           SELECT g % 4096 AS bit FROM ev
+           UNION ALL SELECT (g // 4096) % 4096 FROM ev)),
+       train AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 97 <> 0),
+       pass AS (SELECT doc_id, g FROM train
+         WHERE g % 4096 IN (SELECT bit FROM bits)
+           AND (g // 4096) % 4096 IN (SELECT bit FROM bits))
+       SELECT p.doc_id,
+         count(DISTINCT p.g) AS n_bloom,
+         count(DISTINCT CASE WHEN ev.g IS NOT NULL THEN p.g END) AS n_exact,
+         count(DISTINCT p.g) - count(DISTINCT CASE WHEN ev.g IS NOT NULL
+           THEN p.g END) AS n_false_pos
+       FROM pass p LEFT JOIN ev ON p.g = ev.g
+       GROUP BY p.doc_id ORDER BY p.doc_id""",
     "p08_domain_temperature" ->
       """WITH c AS (SELECT source, count(*) AS n_d FROM documents GROUP BY source),
        w AS (SELECT source, n_d, sqrt(n_d::DOUBLE) AS w FROM c),
