@@ -256,21 +256,21 @@ object PipelineQueries {
 
   /** p09 — Bloom-filter contamination prescreen (p02's semi-join behind
     * a sketch): the benchmark set's 5-gram hashes build a from-scratch
-    * Bloom filter (m = 4096 bits, k = 2 probes carved from one 60-bit
+    * Bloom filter (m = 65536 bits, k = 2 probes carved from one 60-bit
     * hash), the corpus prescreens against the filter, and only Bloom
     * PASSES take the exact membership join. Per doc: Bloom hits, exact
     * hits, and the sketch's false positives — the FP rate itself is
     * deterministic and sits under the oracle.
     *
     * Scale: this is the runtime-filter pattern (what Spark's own DPP /
-    * bloom runtime filters do): the bit set broadcasts (512 bytes of
+    * bloom runtime filters do): the bit set broadcasts (8 KiB of
     * payload as positions here), the corpus side is screened scan-side
     * by broadcast semi-joins with NO shuffle, and the expensive exact
     * join runs only on the sketch's survivors. No false negatives by
     * construction, so the final answer is exact at any scale. */
   def p09_bloom_prescreen(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.KeyAlgebra.ldiv
-    val m = 4096L
+    val m = 65536L
     val grams = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(graft.plans.Gram5TokenHashSet(col("text"))).as("g"))
@@ -318,12 +318,12 @@ object PipelineQueries {
          FROM toks WHERE len(t) >= 5),
        ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
        bits AS (SELECT DISTINCT bit FROM (
-           SELECT g % 4096 AS bit FROM ev
-           UNION ALL SELECT (g // 4096) % 4096 FROM ev)),
+           SELECT g % 65536 AS bit FROM ev
+           UNION ALL SELECT (g // 65536) % 65536 FROM ev)),
        train AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 97 <> 0),
        pass AS (SELECT doc_id, g FROM train
-         WHERE g % 4096 IN (SELECT bit FROM bits)
-           AND (g // 4096) % 4096 IN (SELECT bit FROM bits))
+         WHERE g % 65536 IN (SELECT bit FROM bits)
+           AND (g // 65536) % 65536 IN (SELECT bit FROM bits))
        SELECT p.doc_id,
          count(DISTINCT p.g) AS n_bloom,
          count(DISTINCT CASE WHEN ev.g IS NOT NULL THEN p.g END) AS n_exact,
