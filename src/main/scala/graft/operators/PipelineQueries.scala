@@ -296,7 +296,49 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** p10 — deterministic weighted sampling (systematic / Madow
+    * sampling): every document's inclusion count is exactly
+    * floor(cum·k/W) − floor((cum−w)·k/W) over the token-weight prefix
+    * sum, so expected multiplicity is proportional to weight, the draw
+    * is reproducible bit-for-bit (no RNG — the "randomness" is the
+    * fixed doc_id order), and heavy docs can be drawn more than once,
+    * exactly how a token-budgeted epoch samples a corpus.
+    *
+    * Scale shape: the prefix sum is the same distributed two-phase
+    * layout as p04 (per-512-doc-block subtotals → one tiny global
+    * window → per-block partitioned windows), and the grand total W
+    * rides in on a broadcast one-row aggregate, not a driver collect.
+    * All arithmetic is exact BIGINT: cum·k tops out at W·k, which at
+    * 100 TB (W ≈ 2·10^13 tokens, k = 64) is ~10^15 — six orders below
+    * the long ceiling, so the floor-division identity never degrades
+    * to floating point. */
+  def p10_weighted_sample(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val k = 64L
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"),
+        ldiv(col("doc_id"), lit(512L)).as("blk"))
+    val blkStart = docs.groupBy("blk").agg(sum("n_tok").as("blk_tok"))
+      .withColumn("blk_start", coalesce(
+        sum("blk_tok").over(Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("blk", "blk_start")
+    val totalDf = docs.agg(sum("n_tok").as("total"))
+    docs.join(broadcast(blkStart), "blk")
+      .withColumn("within", coalesce(
+        sum("n_tok").over(Window.partitionBy("blk").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(totalDf))
+      .withColumn("cum", col("blk_start") + col("within") + col("n_tok"))
+      .withColumn("copies", ldiv(col("cum") * k, col("total")) -
+        ldiv((col("cum") - col("n_tok")) * k, col("total")))
+      .where(col("copies") >= 1L)
+      .select(col("doc_id"), col("n_tok"), col("copies"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_weighted_sample" -> (p10_weighted_sample _),
     "p09_bloom_prescreen" -> (p09_bloom_prescreen _),
     "p08_domain_temperature" -> (p08_domain_temperature _),
     "p07_rarity_bucketing" -> (p07_rarity_bucketing _),
@@ -309,6 +351,17 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p10_weighted_sample" ->
+      """WITH t AS (SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+       c AS (SELECT doc_id, n_tok,
+           CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum,
+           CAST(sum(n_tok) OVER () AS BIGINT) AS total FROM t)
+       SELECT doc_id, n_tok,
+         CAST((cum*64)//total - ((cum-n_tok)*64)//total AS BIGINT) AS copies
+       FROM c
+       WHERE (cum*64)//total - ((cum-n_tok)*64)//total >= 1
+       ORDER BY doc_id""",
     "p09_bloom_prescreen" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        g AS (SELECT doc_id, unnest(list_distinct(

@@ -308,7 +308,48 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** t12 — Count-Min sketch heavy hitters (Cormode & Muthukrishnan),
+    * from scratch: a d=3 × w=512 counter grid over the token stream,
+    * each row keyed by an independent 40-bit slice of the token's md5.
+    * The top-20 exact-count tokens are reported next to their sketch
+    * estimate, so the CMS overestimate (collisions only ever ADD) is
+    * itself under the oracle.
+    *
+    * Scale shape: the sketch is the mergeable structure for frequency
+    * estimation at 100 TB — the grid build is one partial+final count
+    * aggregate whose state is at most d·w = 1536 cells per partition,
+    * and the estimate probe joins a 20-row candidate set against the
+    * 1536-row grid (broadcast). The exact top-20 pass exists only to
+    * put the sketch error under the oracle; a production run keeps the
+    * sketch and drops the exact count. */
+  def t12_cms_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    val w = 512L
+    val d = 3
+    // row-j hash: hex digits [1+5j, 10+5j) of md5 — disjoint slices,
+    // independent enough for the CMS min bound, replayable in SQL
+    def hj(j: Int, c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1 + 5 * j, 10), 16, 10)
+        .cast("long") % w
+    def probes(c: Column): Column = array((0 until d).map(j =>
+      struct(lit(j).as("j"), hj(j, c).as("b"))): _*)
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val cells = toks.select(explode(probes(col("tok"))).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+    top.select(col("tok"), col("n_exact"), explode(probes(col("tok"))).as("jb"))
+      .join(broadcast(cells),
+        col("jb.j") === cells("j") && col("jb.b") === cells("b"))
+      .groupBy("tok").agg(max("n_exact").as("n_exact"), min("c").as("cms_est"))
+      .select(col("tok").as("token"), col("n_exact"), col("cms_est"))
+      .orderBy(col("n_exact").desc, col("token").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_cms_heavy_hitters" -> (t12_cms_heavy_hitters _),
     "t11_hll_cardinality" -> (t11_hll_cardinality _),
     "t10_pii_scrub" -> (t10_pii_scrub _),
     "t09_bigram_lm" -> (t09_bigram_lm _),
@@ -326,6 +367,24 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    "t12_cms_heavy_hitters" ->
+      """WITH tf AS (SELECT tok
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+           WHERE length(tok) > 0),
+       rows3 AS (SELECT unnest(range(0, 3)) AS j),
+       cells AS (SELECT j,
+           CAST('0x' || substr(md5(tok), (1 + 5*j)::INT, 10) AS BIGINT) % 512
+             AS b, count(*) AS c
+         FROM tf CROSS JOIN rows3 GROUP BY 1, 2),
+       top AS (SELECT tok, count(*) AS n_exact FROM tf GROUP BY tok
+         ORDER BY n_exact DESC, tok LIMIT 20),
+       est AS (SELECT t.tok, max(t.n_exact) AS n_exact, min(c.c) AS cms_est
+         FROM top t CROSS JOIN rows3 r
+         JOIN cells c ON c.j = r.j AND c.b =
+           CAST('0x' || substr(md5(t.tok), (1 + 5*r.j)::INT, 10) AS BIGINT) % 512
+         GROUP BY t.tok)
+       SELECT tok AS token, n_exact::BIGINT AS n_exact, cms_est::BIGINT AS cms_est
+       FROM est ORDER BY n_exact DESC, token""",
     "t11_hll_cardinality" ->
       """WITH occ AS (SELECT DISTINCT source,
            CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hv
