@@ -400,7 +400,67 @@ object RelationalQueries {
         coalesce(col("P"), lit(0.0)).as("total_p"))
       .orderBy("o_orderpriority")
 
+  /** q33 — bucketed co-located join: the fact tables are written ONCE
+    * as bucketed+sorted tables (8 buckets on the order key, one file
+    * per bucket), and the join then needs NO exchange on either side —
+    * the sort-merge join reads co-located buckets directly. This is the
+    * storage layout a 100 TB deployment uses for its recurring join
+    * keys: the shuffle is paid once at ingest, then every subsequent
+    * join of any size is shuffle-free (the only exchanges left in this
+    * plan are the final groupBy and the presentation sort). The
+    * `merge` hint keeps the plan representative of the at-scale shape,
+    * where neither side fits a broadcast. PlanSpec pins the
+    * bucketed-scan + zero-join-exchange property. */
+  def q33_bucketed_join(s: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = graft.core.SessionMemo.memoize(s, "q33-bucketed:" + dir) {
+      val tag = (dir.hashCode & 0x7fffffff).toString
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_q33_wh_$tag")
+      val (l, o) = (s"graft_q33_li_$tag", s"graft_q33_ord_$tag")
+      // repartition on the bucket key first → one file per bucket, so
+      // the in-bucket sort survives and the SMJ elides its sorts too
+      Tables.lineitem(s, dir).repartition(8, col("l_orderkey"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", new java.io.File(wh, "li").getAbsolutePath)
+        .mode("overwrite").saveAsTable(l)
+      Tables.orders(s, dir).repartition(8, col("o_orderkey"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", new java.io.File(wh, "ord").getAbsolutePath)
+        .mode("overwrite").saveAsTable(o)
+      (l, o)
+    }
+    s.table(lt).hint("merge")
+      .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q34 — GROUPING SETS with grouping_id: one pass produces the
+    * (flag×status), per-flag, per-status and grand-total aggregates,
+    * disambiguated by the grouping id — a single Expand + partial+final
+    * aggregate instead of four scans. At 100 TB the expand factor (4×)
+    * is the explicit cost knob; four separate queries would read the
+    * fact table four times. */
+  def q34_grouping_sets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+        col("gid"), col("cnt"), col("sum_qty"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_grouping_sets" -> (q34_grouping_sets _),
+    "q33_bucketed_join" -> (q33_bucketed_join _),
     "q32_pivot" -> (q32_pivot _),
     "q17_sessionize_batch" -> (q17_sessionize_batch _),
     "q20_sliding_window" -> (q20_sliding_window _),
@@ -476,6 +536,21 @@ object RelationalQueries {
          quantile_cont(o_totalprice, 0.9) AS p90_price,
          count(*) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q33_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q34_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+         coalesce(l_linestatus, '<all>') AS l_linestatus,
+         CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         count(*) AS cnt,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           (l_returnflag), (l_linestatus), ())
+         ORDER BY gid, l_returnflag, l_linestatus""",
     "q18_rollup" ->
       """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
          coalesce(l_linestatus, '<all>') AS l_linestatus,

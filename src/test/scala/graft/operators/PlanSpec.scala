@@ -97,6 +97,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q33: bucketed tables join with zero join-side exchanges") {
+    val df = RelationalQueries.q33_bucketed_join(spark, sf())
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+    assert(p.contains("Bucketed: true"), s"expected bucketed scans:\n$p")
+    // the only exchanges allowed are AFTER the join: the final groupBy
+    // and the presentation sort. A shuffled join would add two more.
+    // (AQE's toString appends an "== Initial Plan ==" copy — count only
+    // the final plan.)
+    val finalP = p.split("== Initial Plan ==")(0)
+    val nEx = "Exchange".r.findAllIn(finalP).length
+    assert(nEx <= 2, s"join must not shuffle its inputs ($nEx exchanges):\n$p")
+  }
+
   test("d03/d04: LSH band buckets are triangle-split — group id joins the bucket") {
     // the tgrp pair-group must be part of the band-bucket join key (and
     // bsalt must survive for the canonical-pair filter), so a mega-bucket
