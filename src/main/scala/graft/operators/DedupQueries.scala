@@ -368,6 +368,52 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d16 — asymmetric containment dedup: C(A,B) = |grams(A) ∩ grams(B)|
+    * / min(|A|,|B|) over token-5-gram sets, flagging documents (nearly)
+    * CONTAINED in a larger one — the quote/excerpt/boilerplate-wrapper
+    * case Jaccard structurally misses (J ≤ min/max vanishes as sizes
+    * diverge, containment doesn't).
+    *
+    * Candidate generation is the inverted-index rare-term prune
+    * (plagiarism-detection standard): only grams with document
+    * frequency ≤ 8 propose pairs, so each posting list contributes at
+    * most C(8,2) = 28 pairs and the gram self-join is a bounded hash
+    * join — never all-pairs. The exact intersection then runs the
+    * allocation-free [[graft.plans.SortedIntersectSize]] merge loop on
+    * the two sorted gram arrays. At 100 TB the df-cap is the knob:
+    * posting lists shard by gram key, and a lower cap trades recall on
+    * heavily-duplicated content (already caught by d01/d03) for a hard
+    * per-gram work bound. */
+  def d16_containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_sort(graft.plans.Gram5TokenHashSet(col("text"))).as("g"))
+      .filter(size(col("g")) > 0)
+      .cache()
+    docs.count() // eager fill: the self-join would race the cache
+    val gx = docs.select(col("doc_id"), explode(col("g")).as("gram"))
+    val rare = gx.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 8)
+    val posting = gx.join(rare.select("gram"), "gram")
+    val cand = posting.as("x").join(posting.as("y"),
+        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ga = docs.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+    val gb = docs.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    cand.join(ga, "doc_a").join(gb, "doc_b")
+      .withColumn("inter",
+        graft.plans.SortedIntersectSize(col("ga"), col("gb")).cast("double"))
+      .withColumn("cont", col("inter") /
+        least(size(col("ga")), size(col("gb"))).cast("double"))
+      .filter(col("cont") >= 0.8)
+      .select(col("doc_a"), col("doc_b"),
+        size(col("ga")).cast("long").as("n_a"),
+        size(col("gb")).cast("long").as("n_b"),
+        floor(col("cont") * 1e6).cast("long").as("cont_fp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** d04 — SimHash near-dup: 60-bit signatures, candidates share the
     * high-30-bit band (equi-join, not cross join), kept if Hamming
     * distance ≤ 2. */
@@ -658,6 +704,7 @@ object DedupQueries {
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
     "d04_simhash" -> (d04_simhash _),
     "d14_dedup_components" -> (d14_dedup_components _),
+    "d16_containment" -> (d16_containment _),
     "d15_dup_ngram_spans" -> (d15_dup_ngram_spans _),
     "d05_ngram_jaccard" -> (d05_ngram_jaccard _),
     "d11_dedup_provenance" -> (d11_dedup_provenance _),
@@ -833,6 +880,31 @@ object DedupQueries {
       SELECT count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
       FROM documents d LEFT JOIN nbr ON d.doc_id = nbr.doc_id
       WHERE nbr.min_nbr IS NULL OR nbr.min_nbr >= d.doc_id""",
+    "d16_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       g AS (SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 3),
+             i -> CAST('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15)
+                  AS BIGINT)))) AS gram
+         FROM toks WHERE len(t) >= 5),
+       sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         JOIN df ON df.gram = a.gram
+         WHERE df.df <= 8),
+       inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         FROM cand c JOIN g a ON a.doc_id = c.doc_a
+         JOIN g b ON b.doc_id = c.doc_b AND b.gram = a.gram
+         GROUP BY 1, 2)
+       SELECT i.doc_a, i.doc_b,
+         sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+         CAST(floor(i.inter::DOUBLE / least(sa.n, sb.n)::DOUBLE * 1e6)
+           AS BIGINT) AS cont_fp
+       FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+       JOIN sz sb ON sb.doc_id = i.doc_b
+       WHERE i.inter::DOUBLE / least(sa.n, sb.n)::DOUBLE >= 0.8
+       ORDER BY doc_a, doc_b""",
     "d15_dup_ngram_spans" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       st AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 8)) AS pos
