@@ -458,7 +458,44 @@ object RelationalQueries {
         col("gid"), col("cnt"), col("sum_qty"))
       .orderBy("gid", "l_returnflag", "l_linestatus")
 
+  /** q35 — dynamic partition pruning: the fact table is laid out
+    * partitioned by ship month (the other half of the q33 ingest-time
+    * story — bucket the join keys, partition the time axis), and a
+    * selective dim-side filter prunes fact PARTITIONS at runtime: the
+    * broadcast of the filtered dim doubles as the partition filter, so
+    * only the matching months are ever read from disk. At 100 TB this
+    * is the difference between scanning 84 months and scanning 12 —
+    * DPP is Spark's runtime answer when the pruning set isn't known
+    * until the dim filter runs. PlanSpec pins the `dynamicpruning`
+    * partition filter on the fact scan. */
+  def q35_partition_pruning(s: SparkSession, dir: String): DataFrame = {
+    val pt = graft.core.SessionMemo.memoize(s, "q35-part:" + dir) {
+      val tag = (dir.hashCode & 0x7fffffff).toString
+      val t = s"graft_q35_li_$tag"
+      Tables.lineitem(s, dir)
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .write.partitionBy("ship_month")
+        .option("path", new java.io.File(new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_q35_wh_$tag"), "li")
+          .getAbsolutePath)
+        .mode("overwrite").saveAsTable(t)
+      t
+    }
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1994)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+      .distinct()
+    s.table(pt).join(dim, "ship_month")
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("ship_month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_partition_pruning" -> (q35_partition_pruning _),
     "q34_grouping_sets" -> (q34_grouping_sets _),
     "q33_bucketed_join" -> (q33_bucketed_join _),
     "q32_pivot" -> (q32_pivot _),
@@ -536,6 +573,14 @@ object RelationalQueries {
          quantile_cont(o_totalprice, 0.9) AS p90_price,
          count(*) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q35_partition_pruning" ->
+      """WITH dim AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+         FROM orders
+         WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1994)
+       SELECT d.ship_month, count(*) AS n_items,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM lineitem l JOIN dim d ON strftime(l.l_shipdate, '%Y-%m') = d.ship_month
+       GROUP BY 1 ORDER BY 1""",
     "q33_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -112,6 +112,13 @@ class PlanSpec extends SparkSpec {
     assert(nEx <= 2, s"join must not shuffle its inputs ($nEx exchanges):\n$p")
   }
 
+  test("q35: dim filter prunes fact partitions at runtime (DPP)") {
+    val df = RelationalQueries.q35_partition_pruning(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamic partition-pruning filter on the fact scan:\n$p")
+  }
+
   test("d03/d04: LSH band buckets are triangle-split — group id joins the bucket") {
     // the tgrp pair-group must be part of the band-bucket join key (and
     // bsalt must survive for the canonical-pair filter), so a mega-bucket
