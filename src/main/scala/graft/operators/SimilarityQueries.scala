@@ -263,7 +263,66 @@ object SimilarityQueries {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** s08 — product quantization (PQ) with asymmetric distance (Jégou
+    * et al.): the 64-dim space splits into M=8 subspaces of 8 dims,
+    * each with a K=16-entry codebook, so a database vector compresses
+    * 64 doubles → 8 four-bit codes (64×) and a query scores a vector
+    * with 8 TABLE LOOKUPS instead of 64 multiplies — each query
+    * precomputes its 8×16 lookup table of subspace distances once, and
+    * the per-pair ADC estimate is the sum of 8 gathered entries.
+    *
+    * The codebook is deterministically "trained" (centroid c = the
+    * c-th seed vector in vec_id order, seeds = vec_id % 31 == 1) so the
+    * full encode → LUT → ADC → top-5 cascade replays bit-for-bit in
+    * SQL — same left-fold order everywhere, ties broken by lowest code
+    * / lowest vec_id. At 100 TB the codebook is a broadcast constant
+    * (collecting K=16 rows is the same model-artifact pattern as c02's
+    * centroids), encoding is a map-only pass over the scan, the stored
+    * index is 8 bytes/vector, and the ranking runs through the bounded
+    * [[graft.plans.TopKPerKey]] heap operator. */
+  def s08_ann_pq(s: SparkSession, dir: String): DataFrame = {
+    val (m8, k16, d8) = (8, 16, 8)
+    val base = emb(s, dir).select("vec_id", "a")
+    val cb: Seq[Seq[Double]] = base.filter(col("vec_id") % 31 === 1)
+      .orderBy("vec_id").limit(k16).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    require(cb.length == k16, s"codebook needs $k16 seeds, got ${cb.length}")
+    val cbCol = typedlit(cb)
+    // L2² between x's and centroid c's m-th subvector, left-folded i=0..7
+    def subDist(x: Column, cbc: Column, m: Column): Column =
+      aggregate(sequence(lit(0), lit(d8 - 1)), lit(0.0), (acc, i) =>
+        acc + (element_at(x, m * d8 + i + 1) - element_at(cbc, m * d8 + i + 1)) *
+          (element_at(x, m * d8 + i + 1) - element_at(cbc, m * d8 + i + 1)))
+    val coded = base.withColumn("codes",
+        transform(sequence(lit(0), lit(m8 - 1)), m => {
+          val dists = transform(sequence(lit(0), lit(k16 - 1)), c =>
+            subDist(col("a"), element_at(cbCol, c.cast("int") + 1), m))
+          array_position(dists, array_min(dists)) - 1
+        }))
+      .select("vec_id", "codes")
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .withColumn("qlut", transform(sequence(lit(0), lit(m8 - 1)), m =>
+        transform(sequence(lit(0), lit(k16 - 1)), c =>
+          subDist(col("a"), element_at(cbCol, c.cast("int") + 1), m))))
+      .select(col("vec_id").as("query_id"), col("qlut"))
+    val sims = coded.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m8 - 1)), lit(0.0),
+        (acc, m) => acc + element_at(
+          element_at(col("qlut"), m.cast("int") + 1),
+          element_at(col("codes"), m.cast("int") + 1).cast("int") + 1)))
+      // negate for the max-heap operator; +0.0 normalizes -0.0 so exact
+      // zero distances rank identically in both engines
+      .withColumn("nadc", -col("adc") + lit(0.0))
+      .select("query_id", "vec_id", "nadc")
+    graft.plans.TopKPerKey(sims, Seq("query_id"), "nadc", "vec_id", 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        floor(-col("nadc") * 1e6).cast("long").as("adc_fp"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s08_ann_pq" -> (s08_ann_pq _),
     "s07_range_search" -> (s07_range_search _),
     "s06_ann_topk_operator" -> (s06_ann_topk_operator _),
     "s05_ann_rerank" -> (s05_ann_rerank _),
@@ -294,6 +353,38 @@ object SimilarityQueries {
         FROM sims) WHERE rank <= 3 + 2 ORDER BY query_id, rank"""
 
   val oracles: Map[String, String] = Map(
+    "s08_ann_pq" -> """
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
+        FROM embeddings),
+      cb AS (SELECT row_number() OVER (ORDER BY vec_id) AS c1, a
+        FROM (SELECT vec_id, a FROM e WHERE vec_id % 31 = 1
+          ORDER BY vec_id LIMIT 16)),
+      ms AS (SELECT unnest(range(0, 8)) AS m),
+      dist AS (SELECT e.vec_id, ms.m, cb.c1,
+          list_reduce(list_transform(range(1, 9),
+            i -> (e.a[ms.m*8+i] - cb.a[ms.m*8+i])
+               * (e.a[ms.m*8+i] - cb.a[ms.m*8+i])), (p, q) -> p + q) AS d
+        FROM e CROSS JOIN cb CROSS JOIN ms),
+      codes AS (SELECT vec_id, m, c1 FROM (
+          SELECT vec_id, m, c1,
+            row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c1) AS rn
+          FROM dist) WHERE rn = 1),
+      terms AS (SELECT qe.vec_id AS query_id, c.vec_id, c.m,
+          list_reduce(list_transform(range(1, 9),
+            i -> (qe.a[c.m*8+i] - cb.a[c.m*8+i])
+               * (qe.a[c.m*8+i] - cb.a[c.m*8+i])), (p, q) -> p + q) AS t
+        FROM e qe
+        JOIN codes c ON c.vec_id <> qe.vec_id
+        JOIN cb ON cb.c1 = c.c1
+        WHERE qe.vec_id % 50 = 0),
+      adc AS (SELECT query_id, vec_id,
+          list_reduce(list(t ORDER BY m), (x, y) -> x + y) AS adc
+        FROM terms GROUP BY 1, 2)
+      SELECT query_id, rank, vec_id AS neighbor_id,
+        CAST(floor(adc * 1e6) AS BIGINT) AS adc_fp
+      FROM (SELECT query_id, vec_id, adc, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc, vec_id) AS rank FROM adc)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
     // brute force — the pruned plan must lose nothing
     "s07_range_search" -> s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
