@@ -395,7 +395,56 @@ object StreamQueries {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** q36 — at-least-once delivery made exactly-once with the built-in
+    * `dropDuplicatesWithinWatermark`: every event of micro-batch 1 is
+    * delivered TWICE in-batch, and batch 2 re-delivers batch 1's last
+    * hour on top of its own rows — the redelivery pattern of a
+    * replaying source. The keyed dedup state (event_id, bounded by the
+    * 1 h watermark delay — state EVICTS, unlike a global distinct)
+    * absorbs every duplicate, so the per-user aggregate of the emitted
+    * stream must equal the plain batch aggregate with no duplicates
+    * anywhere. Complements d09/d10 (custom mapGroupsWithState dedup)
+    * with the first-class engine API; re-deliveries stay inside the
+    * watermark delay, which is exactly the API's contract. */
+  def q36_stream_dedup_watermark(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val mid = rows.length / 2
+    val batch1 = rows.take(mid)
+    val hourNs = 3600L * 1000000000L
+    val redeliver = batch1.filter(_._2 > batch1.last._2 - hourNs)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, Double)]
+    val deduped = in.toDF().toDF("event_id", "tns", "user_id", "value")
+      .withColumn("ts", timestamp_micros(KeyAlgebra.ldiv(col("tns"), lit(1000L))))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id", "value")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("q36_stream_out").start()
+    try {
+      in.addData((batch1 ++ batch1).toIndexedSeq) // in-batch double delivery
+      q.processAllAvailable()
+      in.addData((rows.drop(mid) ++ redeliver).toIndexedSeq) // cross-batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = s.table("q36_stream_out")
+    val out = sink.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    val result = out.collect().toIndexedSeq
+    val schema = out.schema
+    s.catalog.dropTempView("q36_stream_out")
+    s.createDataFrame(s.sparkContext.parallelize(result, 1), schema)
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_stream_dedup_watermark" -> (q36_stream_dedup_watermark _),
     "q31_stream_join" -> (q31_stream_join _),
     "q23_stream_window" -> (q23_stream_window _),
     "q30_stream_filesource" -> (q30_stream_filesource _),
@@ -405,6 +454,12 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the watermarked dedup must make double delivery invisible: the
+    // emitted stream aggregates to the duplicate-free batch answer
+    "q36_stream_dedup_watermark" ->
+      """SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
     // the stream-stream join must emit exactly the batch interval join
     "q31_stream_join" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type
