@@ -337,7 +337,52 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** p11 — quality-filter funnel report: the C4/RefinedWeb-style
+    * cascade (min length → stopword fluency → repetition cap → max
+    * length) applied cumulatively, reported as one row per stage with
+    * in/kept/dropped counts — the attrition table every corpus-prep run
+    * publishes so a data curator can see WHERE documents die. All
+    * stage predicates are exact integer arithmetic (ratios compared in
+    * fixed point, stop_count·50 ≥ n_tok for the 2% rule) so the funnel
+    * replays bit-for-bit in SQL.
+    *
+    * Scale shape: one scan, per-row flag columns (the repetition stat
+    * is the t07 codegen kernel — no per-doc explode), ONE partial+final
+    * aggregate producing a single row of stage counters, and a 4-row
+    * driver-side expansion. At 100 TB this costs exactly one pass. */
+  def p11_filter_funnel(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val flags = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("st", graft.plans.RepetitionStats(col("text")))
+      .select(size(col("toks")).cast("long").as("n_tok"),
+        size(filter(col("toks"), t => t.isInCollection(stop))).cast("long")
+          .as("n_stop"),
+        floor(element_at(col("st"), 3).cast("double") /
+          element_at(col("st"), 1).cast("double") * 1e6).cast("long")
+          .as("top_word_fp"))
+      .withColumn("k1", col("n_tok") >= 30)
+      .withColumn("k2", col("k1") && col("n_stop") * 50L >= col("n_tok"))
+      .withColumn("k3", col("k2") && col("top_word_fp") <= 120000L)
+      .withColumn("k4", col("k3") && col("n_tok") <= 95)
+    def kept(c: String) = sum(when(col(c), 1L).otherwise(0L))
+    val agg = flags.agg(count(lit(1)).as("n0"), kept("k1").as("n1"),
+      kept("k2").as("n2"), kept("k3").as("n3"), kept("k4").as("n4"))
+    def row(stage: Int, name: String, nIn: String, nKept: String) =
+      struct(lit(stage.toLong).as("stage"), lit(name).as("filter"),
+        col(nIn).as("n_in"), col(nKept).as("n_kept"))
+    agg.select(explode(array(
+        row(1, "min_length", "n0", "n1"),
+        row(2, "stopword_fluency", "n1", "n2"),
+        row(3, "repetition_cap", "n2", "n3"),
+        row(4, "max_length", "n3", "n4"))).as("r"))
+      .select(col("r.stage"), col("r.filter"), col("r.n_in"), col("r.n_kept"))
+      .withColumn("n_dropped", col("n_in") - col("n_kept"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_filter_funnel" -> (p11_filter_funnel _),
     "p10_weighted_sample" -> (p10_weighted_sample _),
     "p09_bloom_prescreen" -> (p09_bloom_prescreen _),
     "p08_domain_temperature" -> (p08_domain_temperature _),
@@ -351,6 +396,34 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p11_filter_funnel" ->
+      """WITH f AS (SELECT
+           len(string_split(text, ' '))::BIGINT AS n_tok,
+           len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','to')))::BIGINT AS n_stop,
+           CAST(floor(list_max(list_transform(list_distinct(string_split(text, ' ')),
+               u -> len(list_filter(string_split(text, ' '), x -> x = u))))::DOUBLE
+             / len(string_split(text, ' ')) * 1e6) AS BIGINT) AS top_word_fp
+         FROM documents),
+       k AS (SELECT n_tok >= 30 AS k1,
+           n_tok >= 30 AND n_stop * 50 >= n_tok AS k2,
+           n_tok >= 30 AND n_stop * 50 >= n_tok
+             AND top_word_fp <= 120000 AS k3,
+           n_tok >= 30 AND n_stop * 50 >= n_tok
+             AND top_word_fp <= 120000 AND n_tok <= 95 AS k4
+         FROM f),
+       a AS (SELECT count(*)::BIGINT AS n0,
+           CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+           CAST(sum(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+         FROM k)
+       SELECT stage, filter, n_in, n_kept, n_in - n_kept AS n_dropped FROM (
+         SELECT 1::BIGINT AS stage, 'min_length' AS filter, n0 AS n_in, n1 AS n_kept FROM a
+         UNION ALL SELECT 2, 'stopword_fluency', n1, n2 FROM a
+         UNION ALL SELECT 3, 'repetition_cap', n2, n3 FROM a
+         UNION ALL SELECT 4, 'max_length', n3, n4 FROM a)
+       ORDER BY stage""",
     "p10_weighted_sample" ->
       """WITH t AS (SELECT doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
