@@ -474,6 +474,9 @@ object RelationalQueries {
       val t = s"graft_q35_li_$tag"
       Tables.lineitem(s, dir)
         .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        // cluster rows by their target partition before the write: one
+        // file per month directory instead of tasks × months small files
+        .repartition(col("ship_month"))
         .write.partitionBy("ship_month")
         .option("path", new java.io.File(new java.io.File(
           System.getProperty("java.io.tmpdir"), s"graft_q35_wh_$tag"), "li")
