@@ -413,7 +413,8 @@ object RelationalQueries {
     * bucketed-scan + zero-join-exchange property. */
   def q33_bucketed_join(s: SparkSession, dir: String): DataFrame = {
     val (lt, ot) = graft.core.SessionMemo.memoize(s, "q33-bucketed:" + dir) {
-      val tag = (dir.hashCode & 0x7fffffff).toString
+      // collision-free per-dir tag (hashCode could alias two dirs)
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val wh = new java.io.File(
         System.getProperty("java.io.tmpdir"), s"graft_q33_wh_$tag")
       val (l, o) = (s"graft_q33_li_$tag", s"graft_q33_ord_$tag")
@@ -470,7 +471,8 @@ object RelationalQueries {
     * partition filter on the fact scan. */
   def q35_partition_pruning(s: SparkSession, dir: String): DataFrame = {
     val pt = graft.core.SessionMemo.memoize(s, "q35-part:" + dir) {
-      val tag = (dir.hashCode & 0x7fffffff).toString
+      // collision-free per-dir tag (hashCode could alias two dirs)
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val t = s"graft_q35_li_$tag"
       Tables.lineitem(s, dir)
         .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
