@@ -348,7 +348,69 @@ object TextQueries {
       .orderBy(col("n_exact").desc, col("token").asc)
   }
 
+  /** t13 — KMV (k-minimum-values) distinct sketch with set operations
+    * (Bar-Yossef et al. / the DataSketches theta family): keep the k=64
+    * smallest 60-bit 4-gram hashes per source; the kth value θ estimates
+    * the distinct count as (k-1)·2^60/θ. Sketches MERGE by taking the
+    * k smallest of the union of sketch values, which gives union
+    * cardinality and — counting merged values present in both input
+    * sketches — a Jaccard/intersection estimate. Exact counts ride along
+    * so the sketch error itself is under the oracle.
+    *
+    * Scale shape: the k-min heap is [[graft.plans.TopKPerKey]], so each
+    * input partition contributes ≤k rows per source to the exchange —
+    * the sketch state is 512 bytes/source regardless of data volume,
+    * and the union/intersection steps touch ONLY sketch rows (the
+    * global estimates never rescan the corpus; that is the entire point
+    * of a mergeable sketch at 100 TB). */
+  def t13_kmv_distinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val theta2pow = 1.152921504606846976e18 // 2^60, hash range
+    def estimate(kth: Column): Column =
+      (lit((k - 1).toDouble) * lit(theta2pow)) / kth.cast("double")
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(graft.plans.Gram4HashSet(col("text"))).as("hv"))
+      .distinct()
+    // per-source sketch: bounded-heap k-min (score = -hv ⇒ ascending hv).
+    // The heap's ord is a double: rounding −hv to 53 bits is monotone, and
+    // the exact long hv tie-break restores a total order, so the k-min
+    // set is still exact.
+    val sk = graft.plans.TopKPerKey(
+        tok.withColumn("neg", (-col("hv")).cast("double")),
+        Seq("source"), "neg", "hv", k)
+      .select("source", "hv", "rank")
+    val perSrc = tok.groupBy("source").agg(count(lit(1)).as("n_exact"))
+      .join(sk.filter(col("rank") === k).select(col("source"), col("hv").as("kth")),
+        "source")
+      .select(col("source").as("scope"), col("n_exact"),
+        floor(estimate(col("kth")) * lit(1e4)).cast("long").as("kmv_fp"))
+    // union-of-all: merge the 20 sketches (k smallest of sketch values)
+    val merged = sk.select("hv").distinct().orderBy("hv").limit(k)
+      .agg(max("hv").as("kth"))
+    val unionAll = tok.agg(countDistinct(col("hv")).as("n_exact"))
+      .crossJoin(merged)
+      .select(lit("__union_all").as("scope"), col("n_exact"),
+        floor(estimate(col("kth")) * lit(1e4)).cast("long").as("kmv_fp"))
+    // intersection src0 ∩ src1: merged k-min + membership in both sketches
+    val skA = sk.filter(col("source") === "src0").select("hv")
+    val skB = sk.filter(col("source") === "src1").select("hv")
+    val ab = skA.union(skB).distinct().orderBy("hv").limit(k)
+    val abStats = ab.join(skA.withColumnRenamed("hv", "ha"), col("hv") === col("ha"), "left_semi")
+      .join(skB.withColumnRenamed("hv", "hb"), col("hv") === col("hb"), "left_semi")
+      .agg(count(lit(1)).as("rho"))
+      .crossJoin(ab.agg(max("hv").as("kth")))
+    val iExact = tok.filter(col("source") === "src0").select("hv")
+      .intersect(tok.filter(col("source") === "src1").select("hv"))
+      .agg(count(lit(1)).as("n_exact"))
+    val inter = iExact.crossJoin(abStats)
+      .select(lit("__inter_src0_src1").as("scope"), col("n_exact"),
+        floor((col("rho").cast("double") / lit(k.toDouble)) *
+          estimate(col("kth")) * lit(1e4)).cast("long").as("kmv_fp"))
+    perSrc.unionByName(unionAll).unionByName(inter).orderBy("scope")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_kmv_distinct" -> (t13_kmv_distinct _),
     "t12_cms_heavy_hitters" -> (t12_cms_heavy_hitters _),
     "t11_hll_cardinality" -> (t11_hll_cardinality _),
     "t10_pii_scrub" -> (t10_pii_scrub _),
@@ -367,6 +429,46 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    "t13_kmv_distinct" ->
+      """WITH tok AS (SELECT DISTINCT source,
+           CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hv
+         FROM (SELECT source, unnest(list_distinct(list_transform(
+             range(1, length(text) - 2), i -> substr(text, i::INT, 4)))) AS g
+           FROM documents)),
+       sk AS (SELECT source, hv,
+           row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM tok),
+       sk64 AS (SELECT source, hv, rn FROM sk WHERE rn <= 64),
+       exact AS (SELECT source, count(*) AS n_exact FROM tok GROUP BY 1),
+       kth AS (SELECT source, max(hv) AS kth FROM sk64 GROUP BY 1
+         HAVING count(*) = 64),
+       per_src AS (SELECT e.source AS scope, e.n_exact,
+           CAST(floor(((63.0 * 1152921504606846976.0) / k.kth) * 1e4) AS BIGINT)
+             AS kmv_fp
+         FROM exact e JOIN kth k USING (source)),
+       guni AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+         FROM (SELECT DISTINCT hv FROM sk64)),
+       grow AS (SELECT '__union_all' AS scope,
+           (SELECT count(DISTINCT hv) FROM tok) AS n_exact,
+           CAST(floor(((63.0 * 1152921504606846976.0)
+             / max(CASE WHEN rn = 64 THEN hv END)) * 1e4) AS BIGINT) AS kmv_fp
+         FROM guni WHERE rn <= 64),
+       ab AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+         FROM (SELECT DISTINCT hv FROM sk64 WHERE source IN ('src0', 'src1'))),
+       ab64 AS (SELECT hv FROM ab WHERE rn <= 64),
+       rho AS (SELECT count(*) AS r FROM ab64
+         WHERE hv IN (SELECT hv FROM sk64 WHERE source = 'src0')
+           AND hv IN (SELECT hv FROM sk64 WHERE source = 'src1')),
+       abkth AS (SELECT max(hv) AS kth FROM ab64),
+       iexact AS (SELECT count(*) AS n FROM
+         (SELECT hv FROM tok WHERE source = 'src0'
+          INTERSECT SELECT hv FROM tok WHERE source = 'src1')),
+       irow AS (SELECT '__inter_src0_src1' AS scope,
+           (SELECT n FROM iexact) AS n_exact,
+           CAST(floor((((SELECT r FROM rho) / 64.0)
+             * ((63.0 * 1152921504606846976.0) / (SELECT kth FROM abkth)))
+             * 1e4) AS BIGINT) AS kmv_fp)
+       SELECT * FROM per_src UNION ALL SELECT * FROM grow
+       UNION ALL SELECT * FROM irow ORDER BY scope""",
     "t12_cms_heavy_hitters" ->
       """WITH tf AS (SELECT tok
            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
