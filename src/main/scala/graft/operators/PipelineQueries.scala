@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -381,7 +381,44 @@ object PipelineQueries {
       .orderBy("stage")
   }
 
+  /** p12 — dataset card: the per-source summary a training run publishes
+    * next to the data. Doc/char/token totals, exact-duplicate share
+    * (distinct content hashes vs docs) and the language mix, all from
+    * ONE partial+final aggregate over one scan (the lang mix is a
+    * conditional-count pivot over the known lang set, not a second
+    * groupBy). 20 output rows at any scale; at 100 TB this is the
+    * cheapest shape a full-corpus profile can take — no second pass,
+    * no join, map-side state bounded by sources × columns. */
+  def p12_dataset_card(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val d = Tables.documents(s, dir)
+      .withColumn("n_toks",
+        size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long"))
+    val aggs: Seq[Column] = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars").cast("long")).as("total_chars"),
+      sum(col("n_toks")).as("total_tokens"),
+      countDistinct(md5(col("text").cast("binary"))).as("n_unique_texts"),
+      min(col("n_chars").cast("long")).as("min_chars"),
+      max(col("n_chars").cast("long")).as("max_chars")) ++
+      langs.map(l => count(when(col("lang") === l, 1)).as(s"n_$l"))
+    d.groupBy(col("source").as("scope"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("avg_doc_tokens",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("dup_share",
+        (col("n_docs") - col("n_unique_texts")).cast("double") /
+          col("n_docs").cast("double"))
+      .select((Seq("scope", "n_docs", "total_chars", "total_tokens",
+        "avg_doc_tokens", "n_unique_texts", "dup_share", "min_chars",
+        "max_chars").map(col) ++
+        langs.map(l => (col(s"n_$l").cast("double") /
+          col("n_docs").cast("double")).as(s"share_$l"))): _*)
+      .orderBy("scope")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_dataset_card" -> (p12_dataset_card _),
     "p11_filter_funnel" -> (p11_filter_funnel _),
     "p10_weighted_sample" -> (p10_weighted_sample _),
     "p09_bloom_prescreen" -> (p09_bloom_prescreen _),
@@ -396,6 +433,33 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p12_dataset_card" ->
+      """WITH d AS (SELECT source, lang, text, n_chars,
+           len(list_filter(string_split(text, ' '), t -> length(t) > 0))
+             AS n_toks
+         FROM documents)
+       SELECT source AS scope,
+         count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         CAST(sum(n_toks) AS BIGINT) / CAST(count(*) AS DOUBLE)
+           AS avg_doc_tokens,
+         count(DISTINCT md5(text)) AS n_unique_texts,
+         (count(*) - count(DISTINCT md5(text)))
+           / CAST(count(*) AS DOUBLE) AS dup_share,
+         CAST(min(n_chars) AS BIGINT) AS min_chars,
+         CAST(max(n_chars) AS BIGINT) AS max_chars,
+         count(CASE WHEN lang = 'de' THEN 1 END) / CAST(count(*) AS DOUBLE)
+           AS share_de,
+         count(CASE WHEN lang = 'en' THEN 1 END) / CAST(count(*) AS DOUBLE)
+           AS share_en,
+         count(CASE WHEN lang = 'es' THEN 1 END) / CAST(count(*) AS DOUBLE)
+           AS share_es,
+         count(CASE WHEN lang = 'fr' THEN 1 END) / CAST(count(*) AS DOUBLE)
+           AS share_fr,
+         count(CASE WHEN lang = 'zh' THEN 1 END) / CAST(count(*) AS DOUBLE)
+           AS share_zh
+       FROM d GROUP BY source ORDER BY scope""",
     "p11_filter_funnel" ->
       """WITH f AS (SELECT
            len(string_split(text, ' '))::BIGINT AS n_tok,
