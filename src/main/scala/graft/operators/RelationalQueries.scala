@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.KeyAlgebra
@@ -499,7 +499,52 @@ object RelationalQueries {
       .orderBy("ship_month")
   }
 
+  /** Morton (Z-order) interleave of two 7-bit coordinates. Bit i of x
+    * lands at z bit 2i, bit i of y at 2i+1 — monotone in both inputs,
+    * so corner z-values bound any axis-aligned box. */
+  private def morton(x: Column, y: Column): Column =
+    (0 until 7).foldLeft(lit(0L)) { (acc, i) =>
+      acc + shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+    }
+
+  /** q37 — Z-order clustering for multi-dimensional data skipping: the
+    * fact table is written sorted by the Morton interleave of (customer
+    * bucket, month index), so parquet row-group min/max stats on the ONE
+    * zval column prune a TWO-dimensional box query. The probe box here
+    * is an aligned 8×8 quadtree cell, whose Morton image is the single
+    * contiguous range [704, 767] — the z-range predicate is exactly the
+    * box (the oracle states the box in raw customer/month terms, proving
+    * the equivalence). General boxes decompose into O(log) aligned cells
+    * (BIGMIN); one range per cell, same scan shape. At 100 TB this is
+    * how you get file skipping on the SECOND and THIRD filter column,
+    * where plain sort-by-one-column stats are exhausted — the layout
+    * cost is ingest-time and amortized, like q33/q35. PlanSpec pins the
+    * scan-level pruning (rows surviving the scan ≪ table rows). */
+  def q37_zorder_layout(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.core.SessionMemo.memoize(s, "q37-zorder:" + dir) {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q37_z_$tag").getAbsolutePath
+      Tables.orders(s, dir)
+        .withColumn("zval", morton(col("o_custkey") % 64,
+          (year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1))
+        .repartitionByRange(16, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    s.read.parquet(path)
+      .filter(col("zval").between(704L, 767L))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_zorder_layout" -> (q37_zorder_layout _),
     "q35_partition_pruning" -> (q35_partition_pruning _),
     "q34_grouping_sets" -> (q34_grouping_sets _),
     "q33_bucketed_join" -> (q33_bucketed_join _),
@@ -532,6 +577,15 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q37_zorder_layout" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders
+       WHERE o_custkey % 64 BETWEEN 8 AND 15
+         AND (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+           BETWEEN 24 AND 31
+       GROUP BY 1 ORDER BY 1""",
     "q32_pivot" ->
       """SELECT o_orderpriority,
          coalesce(CAST(sum(CASE WHEN o_orderstatus = 'F'

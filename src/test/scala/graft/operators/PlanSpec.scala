@@ -119,6 +119,33 @@ class PlanSpec extends SparkSpec {
       s"expected a dynamic partition-pruning filter on the fact scan:\n$p")
   }
 
+  test("q37: z-range predicate prunes parquet row groups on the 2-D box") {
+    val df = RelationalQueries.q37_zorder_layout(spark, sf())
+    df.collect() // populate scan metrics
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        nodes(q.plan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val scans = nodes(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a parquet scan of the z-ordered layout")
+    val scanned = scans.map(_.metrics("numOutputRows").value).sum
+    val total = graft.core.Tables.orders(spark, sf()).count()
+    // stats on the single zval column skip the row groups outside the
+    // Morton image of the box; without pruning the scan emits ~all rows
+    assert(scanned < total / 4,
+      s"z-order pruning ineffective: scanned $scanned of $total rows")
+    // the pushed z filter must reach the parquet reader
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("zval"),
+      s"zval range not pushed to the scan:\n$p")
+  }
+
   test("d03/d04: LSH band buckets are triangle-split — group id joins the bucket") {
     // the tgrp pair-group must be part of the band-bucket join key (and
     // bsalt must survive for the canonical-pair filter), so a mega-bucket
