@@ -330,6 +330,48 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d17 — INCREMENTAL minhash dedup: probe an arriving delta batch
+    * (doc_id % 10 == 0) against the band index of the already-ingested
+    * corpus (the other 90%), without ever pairing corpus docs with each
+    * other. This is the shape a 100 TB pipeline actually runs day-to-day:
+    * the corpus band table (doc_id, band, key, sig, tk) is a STORED
+    * artifact partitioned by (band, key); each new batch computes its own
+    * signatures scan-parallel and hash-joins the index on the same key —
+    * cost scales with |delta| × bucket occupancy, not |corpus|², and the
+    * index update afterward is an append. The verify cascade (estimate
+    * ≥ 13/16, lossless size-ratio gate, exact Jaccard ≥ 0.95 via the
+    * sorted-merge intersect) is d03's, inline on the probe join. */
+  def d17_incremental_minhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("hs", graft.plans.TokenHashesSorted(col("text")))
+      .select(col("doc_id"),
+        minhashFromHashes(col("hs")).as("sig"), col("hs").as("tk"))
+    def bands(df: DataFrame): DataFrame = df.select(
+        col("doc_id"), col("sig"), col("tk"), explode(
+          transform(sequence(lit(0), lit(1)), b =>
+            struct(b.as("band"),
+              concat_ws("_", slice(col("sig"), b * 8 + 1, lit(8))).as("key"))))
+          .as("bk"))
+      .select(col("doc_id"), col("sig"), col("tk"),
+        col("bk.band"), col("bk.key"))
+    val idx = bands(docs.filter(col("doc_id") % 10 =!= 0)).as("c")
+    val probe = bands(docs.filter(col("doc_id") % 10 === 0)).as("n")
+    probe.join(idx,
+        col("n.band") === col("c.band") && col("n.key") === col("c.key"))
+      .filter(graft.plans.EqCount(col("n.sig"), col("c.sig")) >= 13)
+      .filter(least(size(col("n.tk")), size(col("c.tk"))) * 20 >=
+        greatest(size(col("n.tk")), size(col("c.tk"))) * 19)
+      .withColumn("inter",
+        graft.plans.SortedIntersectSize(col("n.tk"), col("c.tk")).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("n.tk")) + size(col("c.tk")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.95)
+      .select(col("n.doc_id").as("doc_new"), col("c.doc_id").as("doc_idx"),
+        col("jaccard"))
+      .distinct()
+      .orderBy("doc_new", "doc_idx")
+  }
+
   /** d15 — duplicated n-gram SPAN coverage (the positional variant of
     * exact-substring dedup from Lee et al., "Deduplicating Training Data
     * Makes Language Models Better"): every word 10-gram occurring ≥2
@@ -702,6 +744,7 @@ object DedupQueries {
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_dedup_canonical" -> (d02_dedup_canonical _),
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
+    "d17_incremental_minhash" -> (d17_incremental_minhash _),
     "d04_simhash" -> (d04_simhash _),
     "d14_dedup_components" -> (d14_dedup_components _),
     "d16_containment" -> (d16_containment _),
@@ -833,6 +876,25 @@ object DedupQueries {
          CAST(sum(n_docs) AS BIGINT) AS n_docs,
          CAST(sum(rep_id) AS BIGINT) AS rep_id_sum
        FROM g WHERE n_sources >= 2 GROUP BY 1 ORDER BY 1""",
+    "d17_incremental_minhash" -> s"""
+      WITH sigs AS (SELECT doc_id, $sqlSig AS sig,
+          list_distinct(string_split(text, ' ')) AS tk FROM documents),
+      bands AS (SELECT doc_id, b,
+          array_to_string(sig[b*8+1 : b*8+8], '_') AS bkey
+        FROM sigs, range(0, 2) t(b)),
+      cand AS (SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS doc_idx
+        FROM bands n JOIN bands c ON n.b = c.b AND n.bkey = c.bkey
+        WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
+      pre AS (SELECT doc_new, doc_idx,
+          len(list_intersect(a.tk, b.tk))::DOUBLE /
+            len(list_distinct(a.tk || b.tk))::DOUBLE AS jaccard
+        FROM cand JOIN sigs a ON cand.doc_new = a.doc_id
+          JOIN sigs b ON cand.doc_idx = b.doc_id
+        WHERE list_reduce(list_transform(range(1, 17),
+          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
+          (x,y) -> x+y) >= 13)
+      SELECT doc_new, doc_idx, jaccard FROM pre
+      WHERE jaccard >= 0.95 ORDER BY doc_new, doc_idx""",
     "d03_minhash_lsh" -> s"""
       WITH sigs AS (SELECT doc_id, $sqlSig AS sig,
           list_distinct(string_split(text, ' ')) AS tk FROM documents),
