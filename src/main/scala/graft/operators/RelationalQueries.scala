@@ -543,7 +543,32 @@ object RelationalQueries {
       .orderBy("month")
   }
 
+  /** q38 — salted join for hot keys, under the oracle: the fact side's
+    * join key is collapsed to 8 values (every key hot — the power-law
+    * limit where AQE's skew splitting and broadcast both stop helping if
+    * the dim side is also large), and [[SkewJoin.saltedJoin]] spreads
+    * each hot key over 16 reducers by joining on (key, salt) with the
+    * dim replicated per salt. The salt never reaches the output, so the
+    * aggregate is bit-identical to the plain join — which is exactly
+    * what the DuckDB oracle states. The merge hint forces the
+    * shuffled-join path the pattern exists for (the 8-row dim here
+    * would otherwise broadcast); PlanSpec pins the salted exchange key.
+    * At 100 TB: salts ≈ executors/hot-key-count, chosen from key
+    * histograms at ingest. */
+  def q38_salted_skew_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select((col("user_id") % 8).as("skew_key"), col("value"))
+    val dim = ev.groupBy("skew_key").agg(count(lit(1)).as("k_total"))
+    SkewJoin.saltedJoin(ev, dim.hint("merge"), "skew_key", salts = 16)
+      .groupBy("skew_key")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        max(col("k_total")).as("dim_total"))
+      .orderBy("skew_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_salted_skew_join" -> (q38_salted_skew_join _),
     "q37_zorder_layout" -> (q37_zorder_layout _),
     "q35_partition_pruning" -> (q35_partition_pruning _),
     "q34_grouping_sets" -> (q34_grouping_sets _),
@@ -577,6 +602,14 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q38_salted_skew_join" ->
+      """WITH ev AS (SELECT user_id % 8 AS skew_key, value FROM events),
+       dim AS (SELECT skew_key, count(*) AS k_total FROM ev GROUP BY 1)
+       SELECT e.skew_key, count(*) AS n_events,
+         CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+         max(d.k_total) AS dim_total
+       FROM ev e JOIN dim d ON e.skew_key = d.skew_key
+       GROUP BY 1 ORDER BY 1""",
     "q37_zorder_layout" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
          count(*) AS n_orders,

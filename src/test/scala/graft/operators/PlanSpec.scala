@@ -146,6 +146,16 @@ class PlanSpec extends SparkSpec {
       s"zval range not pushed to the scan:\n$p")
   }
 
+  test("q38: the salted join shuffles on (key, salt), not the bare hot key") {
+    val df = RelationalQueries.q38_salted_skew_join(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"salting demo requires the shuffled-join path:\n$p")
+    // the exchange key must carry the salt — that IS the skew fix
+    assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(p).isDefined,
+      s"expected __salt inside the join's hash partitioning:\n$p")
+  }
+
   test("d03/d04: LSH band buckets are triangle-split — group id joins the bucket") {
     // the tgrp pair-group must be part of the band-bucket join key (and
     // bsalt must survive for the canonical-pair filter), so a mega-bucket
