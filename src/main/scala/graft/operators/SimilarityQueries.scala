@@ -321,7 +321,88 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s09 — IVF-PQ, the composition production ANN engines (FAISS
+    * IndexIVFPQ) run at billion-vector scale: s02's coarse cells bound
+    * WHICH vectors are touched (nprobe/k of the index), s08's product
+    * quantization bounds the BYTES per touched vector (8 codes = 8 B
+    * instead of 512 B of floats) — except the codes quantize the
+    * RESIDUAL a − centroid(cell), which is far better centered than the
+    * raw vector, so the same codebook budget buys less distortion.
+    * Asymmetric distance: per (query, probed cell) one 8×16 LUT of
+    * sub-distances from the query's CELL residual, then each candidate
+    * costs 8 lookups. Two cells probed; candidate sets are disjoint
+    * (a vector lives in exactly one cell). Everything deterministic —
+    * fixed-point centroid means, seed-vector residual codebooks — so
+    * the DuckDB oracle replays the full arithmetic. Top-5 through the
+    * bounded-heap [[graft.plans.TopKPerKey]] operator.
+    *
+    * At 100 TB: cells are the PARTITIONING (cluster by cell id at
+    * ingest; a probe reads nprobe partitions), the codebook broadcast
+    * is 4 KB, and the scan cost per query is nprobe · |cell| · 8
+    * lookups — the product of both compressions. */
+  def s09_ann_ivf_pq(s: SparkSession, dir: String): DataFrame = {
+    val (m8, k16, d8) = (8, 16, 8)
+    val base = emb(s, dir)
+      .withColumn("scaled", transform(col("a"), x => floor(x * 1e9).cast("long")))
+    val centroids = base.groupBy("label")
+      .agg(ArrayAggregates.ewSumLong(col("scaled")).as("ssum"),
+        count(lit(1)).as("cnt"))
+      .select(col("label").as("c_label"),
+        transform(col("ssum"),
+          v => v.cast("double") / col("cnt").cast("double") / 1e9).as("centroid"))
+    def l2(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)), lit(0.0), _ + _)
+    // residual vs the vector's own cell centroid
+    val resid = base.join(broadcast(centroids), col("label") === col("c_label"))
+      .select(col("vec_id"), col("label"),
+        zip_with(col("a"), col("centroid"), _ - _).as("r"))
+    // deterministic residual codebook: the 16 seed vectors' residuals
+    val cb: Seq[Seq[Double]] = resid.filter(col("vec_id") % 31 === 1)
+      .orderBy("vec_id").limit(k16).collect()
+      .map(_.getSeq[Double](2).toSeq).toSeq
+    require(cb.length == k16, s"codebook needs $k16 seeds, got ${cb.length}")
+    val cbCol = typedlit(cb)
+    def subDist(x: Column, cbc: Column, m: Column): Column =
+      aggregate(sequence(lit(0), lit(d8 - 1)), lit(0.0), (acc, i) =>
+        acc + (element_at(x, m * d8 + i + 1) - element_at(cbc, m * d8 + i + 1)) *
+          (element_at(x, m * d8 + i + 1) - element_at(cbc, m * d8 + i + 1)))
+    val coded = resid.withColumn("codes",
+        transform(sequence(lit(0), lit(m8 - 1)), m => {
+          val dists = transform(sequence(lit(0), lit(k16 - 1)), c =>
+            subDist(col("r"), element_at(cbCol, c.cast("int") + 1), m))
+          array_position(dists, array_min(dists)) - 1
+        }))
+      .select(col("vec_id"), col("label"), col("codes"))
+    // nprobe=2 cells per query, LUT from the query's residual IN THAT CELL
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cdist"), col("c_label"))
+    val probes = qs.crossJoin(broadcast(centroids))
+      .withColumn("cdist", l2(col("qa"), col("centroid")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") <= 2)
+      .withColumn("qr", zip_with(col("qa"), col("centroid"), _ - _))
+      .withColumn("qlut", transform(sequence(lit(0), lit(m8 - 1)), m =>
+        transform(sequence(lit(0), lit(k16 - 1)), c =>
+          subDist(col("qr"), element_at(cbCol, c.cast("int") + 1), m))))
+      .select(col("query_id"), col("c_label").as("probe_label"), col("qlut"))
+    val sims = coded.join(broadcast(probes), col("label") === col("probe_label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m8 - 1)), lit(0.0),
+        (acc, m) => acc + element_at(
+          element_at(col("qlut"), m.cast("int") + 1),
+          element_at(col("codes"), m.cast("int") + 1).cast("int") + 1)))
+      .withColumn("nadc", -col("adc") + lit(0.0))
+      .select("query_id", "vec_id", "nadc")
+    graft.plans.TopKPerKey(sims, Seq("query_id"), "nadc", "vec_id", 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        floor(-col("nadc") * 1e6).cast("long").as("adc_fp"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s09_ann_ivf_pq" -> (s09_ann_ivf_pq _),
     "s08_ann_pq" -> (s08_ann_pq _),
     "s07_range_search" -> (s07_range_search _),
     "s06_ann_topk_operator" -> (s06_ann_topk_operator _),
@@ -353,6 +434,56 @@ object SimilarityQueries {
         FROM sims) WHERE rank <= 3 + 2 ORDER BY query_id, rank"""
 
   val oracles: Map[String, String] = Map(
+    "s09_ann_ivf_pq" -> """
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      cent AS (SELECT label AS c_label,
+          list(s ORDER BY i) AS centroid FROM (
+          SELECT label, i,
+            sum(CAST(floor(a[i] * 1e9) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1e9 AS s
+          FROM e, range(1, 65) t(i) GROUP BY label, i)
+        GROUP BY label),
+      res AS (SELECT e.vec_id, e.label,
+          list_transform(range(1, 65), i -> e.a[i] - c.centroid[i]) AS r
+        FROM e JOIN cent c ON e.label = c.c_label),
+      cb AS (SELECT row_number() OVER (ORDER BY vec_id) AS c1, r AS a
+        FROM (SELECT vec_id, r FROM res WHERE vec_id % 31 = 1
+          ORDER BY vec_id LIMIT 16)),
+      ms AS (SELECT unnest(range(0, 8)) AS m),
+      dist AS (SELECT res.vec_id, ms.m, cb.c1,
+          list_reduce(list_transform(range(1, 9),
+            i -> (res.r[ms.m*8+i] - cb.a[ms.m*8+i])
+               * (res.r[ms.m*8+i] - cb.a[ms.m*8+i])), (p, q) -> p + q) AS d
+        FROM res CROSS JOIN cb CROSS JOIN ms),
+      codes AS (SELECT vec_id, m, c1 FROM (
+          SELECT vec_id, m, c1,
+            row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c1) AS rn
+          FROM dist) WHERE rn = 1),
+      qs AS (SELECT vec_id AS query_id, a AS qa FROM e WHERE vec_id % 50 = 0),
+      probes AS (SELECT query_id, c_label AS probe_label,
+          list_transform(range(1, 65), i -> qa[i] - centroid[i]) AS qr
+        FROM (SELECT q.query_id, q.qa, c.c_label, c.centroid,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (q.qa[i] - c.centroid[i]) * (q.qa[i] - c.centroid[i])),
+                (p, q2) -> p + q2), c.c_label) AS crk
+          FROM qs q, cent c) WHERE crk <= 2),
+      terms AS (SELECT p.query_id, dv.vec_id, co.m,
+          list_reduce(list_transform(range(1, 9),
+            i -> (p.qr[co.m*8+i] - cb.a[co.m*8+i])
+               * (p.qr[co.m*8+i] - cb.a[co.m*8+i])), (p2, q) -> p2 + q) AS t
+        FROM probes p
+        JOIN res dv ON dv.label = p.probe_label AND dv.vec_id <> p.query_id
+        JOIN codes co ON co.vec_id = dv.vec_id
+        JOIN cb ON cb.c1 = co.c1),
+      adc AS (SELECT query_id, vec_id,
+          list_reduce(list(t ORDER BY m), (x, y) -> x + y) AS adc
+        FROM terms GROUP BY 1, 2)
+      SELECT query_id, rank, vec_id AS neighbor_id,
+        CAST(floor(adc * 1e6) AS BIGINT) AS adc_fp
+      FROM (SELECT query_id, vec_id, adc, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc, vec_id) AS rank FROM adc)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
     "s08_ann_pq" -> """
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
         FROM embeddings),
