@@ -443,7 +443,84 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** q39 — incremental materialized-view maintenance: a keyed aggregate
+    * MV (user_id × event_type → count, exact decimal sum) kept in a
+    * bucket-partitioned parquet store and updated per micro-batch via
+    * `foreachBatch`. Each batch computes its own partial aggregate,
+    * reads back ONLY the MV buckets its keys touch, merges (counts add,
+    * decimal sums add — partial aggregates compose exactly), and
+    * rewrites just those buckets through dynamic partition overwrite;
+    * untouched buckets are never read or written. Three ts-ordered
+    * micro-batches later, the store must equal the one-shot batch
+    * aggregate — which is the oracle.
+    *
+    * Scale shape: update cost per batch is O(|batch| + |affected
+    * buckets|), independent of MV history size — the foreachBatch merge
+    * is Spark's primitive for MERGE INTO when the sink is plain files;
+    * a table format (Delta/Iceberg) replaces the bucket rewrite with a
+    * row-level commit but the dataflow is identical. localCheckpoint
+    * cuts the read-side lineage so the store can be overwritten in the
+    * same micro-batch that read it. */
+  def q39_incremental_mv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val mvPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q39_mv_$tag").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mvPath))
+    val rows = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getDouble(3)))
+    val third = (rows.length + 2) / 3
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val q = in.toDF().toDF("user_id", "event_type", "value")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val partial = batch.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,6)")).as("sv"))
+          .withColumn("bucket", (col("user_id") % 16).cast("int"))
+        val exists = new java.io.File(mvPath).exists()
+        val merged = if (!exists) partial else {
+          val affected = partial.select("bucket").distinct()
+          // only the touched buckets are read; checkpoint cuts lineage
+          // so the same path can be overwritten below
+          val existing = sp.read.parquet(mvPath)
+            .join(broadcast(affected), "bucket")
+            .select(col("user_id"), col("event_type"), col("n_events"),
+              col("sv").cast("decimal(18,6)").as("sv"),
+              col("bucket").cast("int").as("bucket"))
+            .localCheckpoint(true)
+          existing.unionByName(partial)
+            .groupBy("bucket", "user_id", "event_type")
+            .agg(sum("n_events").cast("long").as("n_events"),
+              sum("sv").cast("decimal(18,6)").as("sv"))
+        }
+        merged.select(col("user_id"), col("event_type"),
+            col("n_events").cast("long").as("n_events"), col("sv"),
+            col("bucket"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket").parquet(mvPath)
+      }
+      .start()
+    try {
+      rows.grouped(third).foreach { b =>
+        in.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.read.parquet(mvPath)
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        col("sv").cast("double").as("sum_value"))
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_incremental_mv" -> (q39_incremental_mv _),
     "q36_stream_dedup_watermark" -> (q36_stream_dedup_watermark _),
     "q31_stream_join" -> (q31_stream_join _),
     "q23_stream_window" -> (q23_stream_window _),
@@ -454,6 +531,12 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // after three incremental merges the MV store must equal the
+    // one-shot batch aggregate
+    "q39_incremental_mv" ->
+      """SELECT user_id, event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     // the watermarked dedup must make double delivery invisible: the
     // emitted stream aggregates to the duplicate-free batch answer
     "q36_stream_dedup_watermark" ->
