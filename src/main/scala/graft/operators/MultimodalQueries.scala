@@ -280,7 +280,70 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m06 — perceptual image dedup via difference hash (dHash): each
+    * document's PGM image (m04's grid) is nearest-sampled to a 9×8
+    * luminance grid through the REAL decode path, each of 63 adjacent
+    * pixel comparisons sets one hash bit (63, not 64 — bit 63 would
+    * need an unsigned 64-bit literal the oracle's BIGINT lacks), and
+    * near-duplicate images are found d04-style: a 4×16-bit band join
+    * proposes candidates, Hamming distance ≤ 6 verifies. This is the
+    * image-side twin of MinHash text dedup — the standard near-dup
+    * scrub for a multimodal training corpus.
+    *
+    * Scale shape: hash is one scan-parallel codec pass (8 B/image
+    * index); the band join is an equi-join on 16-bit keys (bounded
+    * buckets, same skew story as d03/d04); verify is two longs XOR +
+    * popcount per candidate. */
+  def m06_image_dhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("US-ASCII")
+          val len = bytes.length
+          val h = (len + 31) / 32
+          val gray = Array.tabulate(32 * h)(i => bytes(math.min(i, len - 1)))
+          MediaRow(id, MediaCodec.encodePgm(32, h, gray), "pgm")
+        }
+      }
+    val hashed = media.mapPartitions { it =>
+      it.map { r =>
+        val img = MediaCodec.decodeImage(r.payload)
+        val (w, h) = (img.width, img.height)
+        def g(rr: Int, cc: Int): Int = {
+          val y = rr * (h - 1) / 7
+          val x = cc * (w - 1) / 8
+          img.pixels(y * w + x) & 0xFF
+        }
+        var hash = 0L
+        var b = 0
+        while (b < 63) {
+          if (g(b / 8, b % 8) > g(b / 8, b % 8 + 1)) hash |= 1L << b
+          b += 1
+        }
+        (r.doc_id, hash)
+      }
+    }.toDF("doc_id", "dhash")
+    val bands = hashed.select(col("doc_id"), col("dhash"), explode(
+        array((0 until 4).map(b => struct(lit(b).as("b"),
+          shiftright(col("dhash"), 16 * b).bitwiseAND(65535L).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("dhash"), col("bk.b"), col("bk.key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m06_image_dhash" -> (m06_image_dhash _),
     "m01_media_features" -> (m01_media_features _),
     "m02_frame_sample" -> (m02_frame_sample _),
     "m03_resize_sample" -> (m03_resize_sample _),
@@ -289,6 +352,31 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m06_image_dhash" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           ((length(text) + 31) // 32) AS h FROM documents),
+       g AS (SELECT doc_id,
+           list_transform(range(0, 72), k ->
+             ascii(substr(text,
+               (least(((k // 9) * (h - 1)) // 7 * 32 + ((k % 9) * 31) // 8,
+                 len - 1))::INT + 1, 1))) AS px
+         FROM t),
+       hsh AS (SELECT doc_id,
+           list_reduce(list_transform(range(0, 63), b ->
+             CASE WHEN px[(b // 8) * 9 + (b % 8) + 1]
+                    > px[(b // 8) * 9 + (b % 8) + 2]
+               THEN (1::BIGINT << (b::INT)) ELSE 0::BIGINT END),
+             (x, y) -> x | y) AS dhash
+         FROM g),
+       bands AS (SELECT doc_id, dhash, b,
+           (dhash >> (16 * b::INT)) & 65535 AS key
+         FROM hsh, range(0, 4) t2(b)),
+       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           bit_count(xor(x.dhash, y.dhash))::BIGINT AS hamming
+         FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+           AND x.doc_id < y.doc_id)
+       SELECT doc_a, doc_b, hamming FROM cand
+       WHERE hamming <= 6 ORDER BY doc_a, doc_b""",
     // replays the pixel-fill + integer-luma arithmetic on the document
     // bytes; the BMP/PPM container roundtrip happens only on the Spark
     // side, so layout bugs there break the hash

@@ -567,7 +567,33 @@ object RelationalQueries {
       .orderBy("skew_key")
   }
 
+  /** q40 — sessionization through the FIRST-CLASS `session_window`
+    * gap-merge API (q17 builds the same sessions from window-function
+    * primitives; q27 runs them stateful-streaming). One partial+final
+    * aggregate — the merge of overlapping [ts, ts+gap) intervals happens
+    * inside the session-window operator, no per-row lag/running-sum
+    * window pass — so unlike q17's sort-based window this shape keeps
+    * map-side combine and scales out by user key alone. Timestamps are
+    * truncated to micros on BOTH engines (ts is raw nanos; the oracle's
+    * epoch_us does the same), and a new session opens at gap ≥ 30 min
+    * exactly — `session_window`'s half-open-interval contract. */
+  def q40_session_window(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("tsm",
+        timestamp_micros(KeyAlgebra.ldiv(col("ts"), lit(1000L))))
+    ev.groupBy(col("user_id"),
+        session_window(col("tsm"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("sess_start_us"),
+        unix_micros(col("sw.end")).as("sess_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "sess_start_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_session_window" -> (q40_session_window _),
     "q38_salted_skew_join" -> (q38_salted_skew_join _),
     "q37_zorder_layout" -> (q37_zorder_layout _),
     "q35_partition_pruning" -> (q35_partition_pruning _),
@@ -602,6 +628,20 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q40_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+       m AS (SELECT user_id, us, value,
+           CASE WHEN lag(us) OVER w IS NULL
+             OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS ns
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+       sess AS (SELECT user_id, us, value,
+           sum(ns) OVER (PARTITION BY user_id ORDER BY us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM m)
+       SELECT user_id, min(us) AS sess_start_us,
+         max(us) + 1800000000 AS sess_end_us, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start_us""",
     "q38_salted_skew_join" ->
       """WITH ev AS (SELECT user_id % 8 AS skew_key, value FROM events),
        dim AS (SELECT skew_key, count(*) AS k_total FROM ev GROUP BY 1)
