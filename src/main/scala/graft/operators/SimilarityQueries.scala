@@ -287,30 +287,20 @@ object SimilarityQueries {
       .orderBy("vec_id").limit(k16).collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
     require(cb.length == k16, s"codebook needs $k16 seeds, got ${cb.length}")
-    val cbCol = typedlit(cb)
-    // L2² between x's and centroid c's m-th subvector, left-folded i=0..7
-    def subDist(x: Column, cbc: Column, m: Column): Column =
-      aggregate(sequence(lit(0), lit(d8 - 1)), lit(0.0), (acc, i) =>
-        acc + (element_at(x, m * d8 + i + 1) - element_at(cbc, m * d8 + i + 1)) *
-          (element_at(x, m * d8 + i + 1) - element_at(cbc, m * d8 + i + 1)))
-    val coded = base.withColumn("codes",
-        transform(sequence(lit(0), lit(m8 - 1)), m => {
-          val dists = transform(sequence(lit(0), lit(k16 - 1)), c =>
-            subDist(col("a"), element_at(cbCol, c.cast("int") + 1), m))
-          array_position(dists, array_min(dists)) - 1
-        }))
+    // native PQ kernels ([[graft.plans.PQKernels]]): same arithmetic as
+    // the HOF formulation (PQKernelSpec pins it), but three flat loops
+    // instead of a ~4000-node expression tree — plan+codegen time was
+    // the dominant cost of this query at bench scale
+    val cbFlat: Seq[Double] = cb.flatten
+    val coded = base
+      .withColumn("codes", graft.plans.PQEncode(col("a"), cbFlat))
       .select("vec_id", "codes")
     val qs = base.filter(col("vec_id") % 50 === 0)
-      .withColumn("qlut", transform(sequence(lit(0), lit(m8 - 1)), m =>
-        transform(sequence(lit(0), lit(k16 - 1)), c =>
-          subDist(col("a"), element_at(cbCol, c.cast("int") + 1), m))))
+      .withColumn("qlut", graft.plans.PQLut(col("a"), cbFlat))
       .select(col("vec_id").as("query_id"), col("qlut"))
     val sims = coded.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc", aggregate(sequence(lit(0), lit(m8 - 1)), lit(0.0),
-        (acc, m) => acc + element_at(
-          element_at(col("qlut"), m.cast("int") + 1),
-          element_at(col("codes"), m.cast("int") + 1).cast("int") + 1)))
+      .withColumn("adc", graft.plans.PQAdc(col("qlut"), col("codes")))
       // negate for the max-heap operator; +0.0 normalizes -0.0 so exact
       // zero distances rank identically in both engines
       .withColumn("nadc", -col("adc") + lit(0.0))
@@ -361,17 +351,10 @@ object SimilarityQueries {
       .orderBy("vec_id").limit(k16).collect()
       .map(_.getSeq[Double](2).toSeq).toSeq
     require(cb.length == k16, s"codebook needs $k16 seeds, got ${cb.length}")
-    val cbCol = typedlit(cb)
-    def subDist(x: Column, cbc: Column, m: Column): Column =
-      aggregate(sequence(lit(0), lit(d8 - 1)), lit(0.0), (acc, i) =>
-        acc + (element_at(x, m * d8 + i + 1) - element_at(cbc, m * d8 + i + 1)) *
-          (element_at(x, m * d8 + i + 1) - element_at(cbc, m * d8 + i + 1)))
-    val coded = resid.withColumn("codes",
-        transform(sequence(lit(0), lit(m8 - 1)), m => {
-          val dists = transform(sequence(lit(0), lit(k16 - 1)), c =>
-            subDist(col("r"), element_at(cbCol, c.cast("int") + 1), m))
-          array_position(dists, array_min(dists)) - 1
-        }))
+    // native PQ kernels — same arithmetic as the HOF build (PQKernelSpec)
+    val cbFlat: Seq[Double] = cb.flatten
+    val coded = resid
+      .withColumn("codes", graft.plans.PQEncode(col("r"), cbFlat))
       .select(col("vec_id"), col("label"), col("codes"))
     // nprobe=2 cells per query, LUT from the query's residual IN THAT CELL
     val qs = base.filter(col("vec_id") % 50 === 0)
@@ -383,16 +366,11 @@ object SimilarityQueries {
       .withColumn("crk", row_number().over(wAssign))
       .filter(col("crk") <= 2)
       .withColumn("qr", zip_with(col("qa"), col("centroid"), _ - _))
-      .withColumn("qlut", transform(sequence(lit(0), lit(m8 - 1)), m =>
-        transform(sequence(lit(0), lit(k16 - 1)), c =>
-          subDist(col("qr"), element_at(cbCol, c.cast("int") + 1), m))))
+      .withColumn("qlut", graft.plans.PQLut(col("qr"), cbFlat))
       .select(col("query_id"), col("c_label").as("probe_label"), col("qlut"))
     val sims = coded.join(broadcast(probes), col("label") === col("probe_label"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc", aggregate(sequence(lit(0), lit(m8 - 1)), lit(0.0),
-        (acc, m) => acc + element_at(
-          element_at(col("qlut"), m.cast("int") + 1),
-          element_at(col("codes"), m.cast("int") + 1).cast("int") + 1)))
+      .withColumn("adc", graft.plans.PQAdc(col("qlut"), col("codes")))
       .withColumn("nadc", -col("adc") + lit(0.0))
       .select("query_id", "vec_id", "nadc")
     graft.plans.TopKPerKey(sims, Seq("query_id"), "nadc", "vec_id", 5)
