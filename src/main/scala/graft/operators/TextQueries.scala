@@ -409,7 +409,49 @@ object TextQueries {
     perSrc.unionByName(unionAll).unionByName(inter).orderBy("scope")
   }
 
+  /** t14 — Zipf frequency-rank curve over the corpus gram vocabulary:
+    * document frequency at the doubling ranks 1, 2, 4, …, 512, with the
+    * exact fixed-point ratio df(r)/df(2r) whose log2 is the local Zipf
+    * exponent. Pure integer arithmetic end to end (counts, ranks, one
+    * integer division) — no libm, so the oracle replay is exact by
+    * construction, unlike a float least-squares fit. Global curve plus
+    * one per source — the skew of this curve is the standard corpus
+    * diagnostic for vocabulary collapse (template-heavy sources go
+    * flat, diverse sources track s≈1).
+    *
+    * Scale shape: df is one hash groupBy over per-doc distinct grams;
+    * the rank window runs over the AGGREGATED vocabulary (bounded by
+    * vocab size, not corpus size), and only ~10 rows per scope survive
+    * to the join. */
+  def t14_zipf_curve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranks = (0 to 9).map(1L << _) // 1, 2, 4, ..., 512
+    val occ = Tables.documents(s, dir)
+      .select(col("source"), explode(graft.plans.Gram4HashSet(col("text"))).as("hv"))
+    def curve(df: DataFrame, scope: Column, part: Seq[String]): DataFrame = {
+      val w = (if (part.isEmpty) Window.partitionBy()
+        else Window.partitionBy(part.map(col): _*))
+        .orderBy(col("df").desc, col("hv").asc)
+      val ranked = df.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank").isInCollection(ranks ++ ranks.map(_ * 2)))
+      val a = ranked.select((part.map(col) :+ col("rank") :+ col("df")): _*)
+      val b = ranked.select((part.map(col) :+ (col("rank") / 2).cast("long")
+        .as("rank") :+ col("df").as("df2")): _*)
+      a.join(b, part :+ "rank")
+        .filter(col("rank").isInCollection(ranks))
+        .select(scope.as("scope"), col("rank"), col("df"),
+          graft.functions.KeyAlgebra.ldiv(col("df") * 1000000L, col("df2"))
+            .as("ratio2_fp"))
+    }
+    val globalDf = occ.groupBy("hv").agg(count(lit(1)).as("df"))
+    val perSrcDf = occ.groupBy("source", "hv").agg(count(lit(1)).as("df"))
+    curve(globalDf, lit("__global"), Nil)
+      .unionByName(curve(perSrcDf, col("source"), Seq("source")))
+      .orderBy("scope", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_zipf_curve" -> (t14_zipf_curve _),
     "t13_kmv_distinct" -> (t13_kmv_distinct _),
     "t12_cms_heavy_hitters" -> (t12_cms_heavy_hitters _),
     "t11_hll_cardinality" -> (t11_hll_cardinality _),
@@ -429,6 +471,33 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    "t14_zipf_curve" ->
+      """WITH g AS (SELECT source, unnest(list_distinct(list_transform(
+             range(1, length(text) - 2), i -> substr(text, i::INT, 4)))) AS gr
+         FROM documents),
+       occ AS (SELECT source,
+           CAST('0x' || substr(md5(gr), 1, 15) AS BIGINT) AS hv FROM g),
+       gdf AS (SELECT hv, count(*) AS df FROM occ GROUP BY 1),
+       grank AS (SELECT hv, df,
+           row_number() OVER (ORDER BY df DESC, hv) AS rank FROM gdf),
+       gsel AS (SELECT rank, df FROM grank
+         WHERE rank IN (1,2,4,8,16,32,64,128,256,512,1024)),
+       gout AS (SELECT '__global' AS scope, a.rank, a.df,
+           (a.df * 1000000) // b.df AS ratio2_fp
+         FROM gsel a JOIN gsel b ON b.rank = a.rank * 2
+         WHERE a.rank <= 512),
+       sdf AS (SELECT source, hv, count(*) AS df FROM occ GROUP BY 1, 2),
+       srank AS (SELECT source, hv, df, row_number() OVER (
+           PARTITION BY source ORDER BY df DESC, hv) AS rank FROM sdf),
+       ssel AS (SELECT source, rank, df FROM srank
+         WHERE rank IN (1,2,4,8,16,32,64,128,256,512,1024)),
+       sout AS (SELECT a.source AS scope, a.rank, a.df,
+           (a.df * 1000000) // b.df AS ratio2_fp
+         FROM ssel a JOIN ssel b ON b.source = a.source
+           AND b.rank = a.rank * 2
+         WHERE a.rank <= 512)
+       SELECT * FROM gout UNION ALL SELECT * FROM sout
+       ORDER BY scope, rank""",
     "t13_kmv_distinct" ->
       """WITH tok AS (SELECT DISTINCT source,
            CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hv
