@@ -592,7 +592,53 @@ object RelationalQueries {
       .orderBy("user_id", "sess_start_us")
   }
 
+  /** q41 — small-file compaction, the unglamorous op every 100 TB lake
+    * runs nightly: a streaming ingest leaves the fact table scattered
+    * over tiny files (simulated here: 200 shards of sf lineitem); the
+    * compactor sizes its output from the DATA — ceil(totalBytes/128 MiB)
+    * target files, never fewer than one — and rewrites them
+    * range-clustered + sorted on (ship month, order key) so the
+    * compacted table ALSO gains q37-style stats pruning on the sort
+    * prefix. Correctness is bit-equality of content with the
+    * pre-compaction table (the oracle aggregates the original);
+    * PlanSpec asserts the file-count collapse. The op is one shuffle
+    * (range exchange) + one write — at scale it runs per-partition
+    * incrementally, compacting only partitions whose small-file count
+    * crossed a threshold. */
+  def q41_compact_small_files(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.core.SessionMemo.memoize(s, "q41-compact:" + dir) {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val small = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q41_small_$tag").getAbsolutePath
+      val compact = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q41_compact_$tag").getAbsolutePath
+      Tables.lineitem(s, dir).repartition(200)
+        .write.mode("overwrite").parquet(small)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(small))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      val target = math.max(1, math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
+      s.read.parquet(small)
+        .repartitionByRange(target,
+          date_format(col("l_shipdate"), "yyyy-MM"), col("l_orderkey"))
+        .sortWithinPartitions(
+          date_format(col("l_shipdate"), "yyyy-MM"), col("l_orderkey"))
+        .write.mode("overwrite").parquet(compact)
+      (small, compact)
+    }
+    s.read.parquet(path._2)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("ship_month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_compact_small_files" -> (q41_compact_small_files _),
     "q40_session_window" -> (q40_session_window _),
     "q38_salted_skew_join" -> (q38_salted_skew_join _),
     "q37_zorder_layout" -> (q37_zorder_layout _),
@@ -628,6 +674,13 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q41_compact_small_files" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+       FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q40_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
        m AS (SELECT user_id, us, value,

@@ -156,6 +156,21 @@ class PlanSpec extends SparkSpec {
       s"expected __salt inside the join's hash partitioning:\n$p")
   }
 
+  test("q41: compaction collapses the small-file scatter to the size-derived target") {
+    RelationalQueries.q41_compact_small_files(spark, sf()).collect()
+    val tag = sf().replaceAll("[^a-zA-Z0-9]", "_")
+    def parquets(p: String): Int = {
+      val d = new java.io.File(System.getProperty("java.io.tmpdir"), p)
+      Option(d.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    }
+    val (nSmall, nCompact) = (parquets(s"graft_q41_small_$tag"),
+      parquets(s"graft_q41_compact_$tag"))
+    assert(nSmall == 200, s"ingest scatter should be 200 files, was $nSmall")
+    // sf0.001 lineitem is ~a few hundred KB: one 128 MiB-target file
+    assert(nCompact >= 1 && nCompact <= 4,
+      s"compaction target missed: $nCompact files")
+  }
+
   test("d03/d04: LSH band buckets are triangle-split — group id joins the bucket") {
     // the tgrp pair-group must be part of the band-bucket join key (and
     // bsalt must survive for the canonical-pair filter), so a mega-bucket
