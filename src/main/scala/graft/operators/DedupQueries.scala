@@ -372,6 +372,55 @@ object DedupQueries {
       .orderBy("doc_new", "doc_idx")
   }
 
+  /** p13 — dedup-AWARE sampling: instead of dropping near-duplicates
+    * (d07) or keeping them all, weight each document by 1/cluster-size
+    * over the d14 connected components and draw a deterministic
+    * systematic (Madow) sample over the exact integer prefix sum —
+    * every near-dup CLUSTER contributes ~equal expected mass, so
+    * templated content stops dominating the sample without discarding
+    * its variants entirely. This is the soft-dedup knob production
+    * corpus builds increasingly prefer over hard dropping.
+    *
+    * Scale shape: component labels come from the O(log n)-round
+    * [[GraphComponents]] pass (shared/memoized with d14), the weight
+    * join is key-partitioned, and the prefix sum is p04/p10's two-phase
+    * block scheme — one tiny block table broadcast, no global window
+    * over the corpus. Weights and selection are pure integer arithmetic
+    * (1e6/size fixed point, floor-division systematic rule), replayed
+    * exactly by the recursive-CTE oracle. */
+  def p13_dedup_aware_sample(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    import org.apache.spark.sql.expressions.Window
+    val k = 128L
+    val pairs = verifiedPairs(s, dir).select("doc_a", "doc_b")
+    val lbl = GraphComponents.labels(pairs)
+    val sizes = lbl.groupBy("comp").agg(count(lit(1)).as("n"))
+    val csize = lbl.join(sizes, "comp")
+      .select(col("node").as("doc_id"), col("n"))
+    val w = Tables.documents(s, dir).select(col("doc_id"))
+      .join(csize, Seq("doc_id"), "left")
+      .withColumn("csize", coalesce(col("n"), lit(1L)))
+      .withColumn("wt", ldiv(lit(1000000L), col("csize")))
+      .withColumn("blk", ldiv(col("doc_id"), lit(512L)))
+    val blkStart = w.groupBy("blk").agg(sum("wt").as("blk_wt"))
+      .withColumn("blk_start", coalesce(
+        sum("blk_wt").over(Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("blk", "blk_start")
+    val totalDf = w.agg(sum("wt").as("total"))
+    w.join(broadcast(blkStart), "blk")
+      .withColumn("within", coalesce(
+        sum("wt").over(Window.partitionBy("blk").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(totalDf))
+      .withColumn("cum", col("blk_start") + col("within") + col("wt"))
+      .withColumn("copies", ldiv(col("cum") * k, col("total")) -
+        ldiv((col("cum") - col("wt")) * k, col("total")))
+      .where(col("copies") >= 1L)
+      .select(col("doc_id"), col("csize"), col("wt"), col("copies"))
+      .orderBy("doc_id")
+  }
+
   /** d15 — duplicated n-gram SPAN coverage (the positional variant of
     * exact-substring dedup from Lee et al., "Deduplicating Training Data
     * Makes Language Models Better"): every word 10-gram occurring ≥2
@@ -745,6 +794,7 @@ object DedupQueries {
     "d02_dedup_canonical" -> (d02_dedup_canonical _),
     "d03_minhash_lsh" -> (d03_minhash_lsh _),
     "d17_incremental_minhash" -> (d17_incremental_minhash _),
+    "p13_dedup_aware_sample" -> (p13_dedup_aware_sample _),
     "d04_simhash" -> (d04_simhash _),
     "d14_dedup_components" -> (d14_dedup_components _),
     "d16_containment" -> (d16_containment _),
@@ -1017,6 +1067,48 @@ object DedupQueries {
       SELECT f.doc_id, f.comp, s.n_members
       FROM final f JOIN sizes s ON f.comp = s.comp
       ORDER BY f.doc_id""",
+    "p13_dedup_aware_sample" -> s"""
+      WITH RECURSIVE sigs AS (SELECT doc_id, $sqlSig AS sig,
+          list_distinct(string_split(text, ' ')) AS tk FROM documents),
+      bands AS (SELECT doc_id, b,
+          array_to_string(sig[b*8+1 : b*8+8], '_') AS bkey
+        FROM sigs, range(0, 2) t(b)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+          AND x.doc_id < y.doc_id),
+      pairs AS (SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+          len(list_intersect(a.tk, b.tk))::DOUBLE /
+            len(list_distinct(a.tk || b.tk))::DOUBLE AS jaccard
+        FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
+          JOIN sigs b ON cand.doc_b = b.doc_id
+        WHERE list_reduce(list_transform(range(1, 17),
+          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
+          (x,y) -> x+y) >= 14)
+        WHERE jaccard >= 0.99),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      lbl(doc_id, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, l.comp FROM lbl l JOIN edges e ON l.doc_id = e.u),
+      final AS (SELECT doc_id, min(comp) AS comp FROM lbl GROUP BY doc_id),
+      sz AS (SELECT comp, count(*) AS n FROM final GROUP BY comp),
+      fl AS (SELECT f.doc_id, sz.n FROM final f JOIN sz ON f.comp = sz.comp),
+      w AS (SELECT d.doc_id, coalesce(fl.n, 1) AS csize,
+          1000000 // coalesce(fl.n, 1) AS wt
+        FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id),
+      c AS (SELECT doc_id, csize, wt,
+          sum(wt) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM w),
+      t2 AS (SELECT c.*, (SELECT sum(wt) FROM w) AS total FROM c)
+      SELECT doc_id, CAST(csize AS BIGINT) AS csize,
+        CAST(wt AS BIGINT) AS wt, CAST(copies AS BIGINT) AS copies
+      FROM (SELECT doc_id, csize, wt,
+          (cum * 128) // total - ((cum - wt) * 128) // total AS copies
+        FROM t2)
+      WHERE copies >= 1 ORDER BY doc_id""",
     "d04_simhash" -> s"""
       WITH sh AS (SELECT doc_id, $sqlSimhash AS sh FROM documents),
       banded AS (SELECT doc_id, sh, sh >> 30 AS band FROM sh)
