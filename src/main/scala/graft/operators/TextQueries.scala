@@ -420,19 +420,24 @@ object TextQueries {
     * flat, diverse sources track s≈1).
     *
     * Scale shape: df is one hash groupBy over per-doc distinct grams;
-    * the rank window runs over the AGGREGATED vocabulary (bounded by
-    * vocab size, not corpus size), and only ~10 rows per scope survive
-    * to the join. */
+    * the curve needs only ranks ≤1024, so ranking goes through the
+    * bounded [[graft.plans.TopKPerKey]] operator (per-partition k-heaps,
+    * partial → exchange → final, ≤k·partitions rows shuffled) instead of
+    * a SinglePartition sort over the full vocabulary — the vocabulary is
+    * bounded by the gram space, not the corpus, but at web scale that is
+    * still 10⁷–10⁸ rows a global sort would funnel through one task. */
   def t14_zipf_curve(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ranks = (0 to 9).map(1L << _) // 1, 2, 4, ..., 512
     val occ = Tables.documents(s, dir)
       .select(col("source"), explode(graft.plans.Gram4HashSet(col("text"))).as("hv"))
     def curve(df: DataFrame, scope: Column, part: Seq[String]): DataFrame = {
-      val w = (if (part.isEmpty) Window.partitionBy()
-        else Window.partitionBy(part.map(col): _*))
-        .orderBy(col("df").desc, col("hv").asc)
-      val ranked = df.withColumn("rank", row_number().over(w).cast("long"))
+      // TopKPerKey ranks by (ord DESC, tie ASC) — exactly the
+      // row_number() order the oracle replays; max rank consumed is 1024.
+      val keyed = if (part.isEmpty) df.withColumn("__scope", lit(0L)) else df
+      val keys = if (part.isEmpty) Seq("__scope") else part
+      val ranked = graft.plans.TopKPerKey(
+          keyed.withColumn("__ord", col("df").cast("double")),
+          keys, "__ord", "hv", 1024)
         .filter(col("rank").isInCollection(ranks ++ ranks.map(_ * 2)))
       val a = ranked.select((part.map(col) :+ col("rank") :+ col("df")): _*)
       val b = ranked.select((part.map(col) :+ (col("rank") / 2).cast("long")

@@ -262,4 +262,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"weights not broadcast:\n$p")
     assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
   }
+
+  test("t14: vocabulary ranking is bounded TopKPerKey, not a global sort window") {
+    val p = plan(TextQueries.t14_zipf_curve(spark, sf()))
+    // ranks come from the partial→final bounded-heap operator: the plan
+    // must carry both stages and no Window at all — a regression back to
+    // row_number() would reintroduce the SinglePartition vocabulary sort
+    assert(p.contains("TopKPartial") && p.contains("TopKPerKey"),
+      s"expected bounded top-k rank stages:\n$p")
+    assert(!p.contains("Window"),
+      s"rank must not run through a sort window:\n$p")
+    // the only SinglePartition exchange allowed is the ~30-row
+    // presentation sort at the very top, never below the rank operator
+    val belowRank = p.substring(p.indexOf("TopKPartial"))
+    assert(!belowRank.contains("SinglePartition"),
+      s"vocabulary still funnels through one task:\n$p")
+  }
 }
