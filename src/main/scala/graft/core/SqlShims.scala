@@ -1,6 +1,7 @@
 // Lives in org.apache.spark.sql so it can reach the private[sql]
 // Expression<->Column bridge that Spark 4.x hides behind the classic shim.
-// This is the ONLY file outside package graft; keep it tiny.
+// SparkShims.scala (package org.apache.spark) is its core-side twin;
+// these two are the only files outside package graft; keep them tiny.
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression

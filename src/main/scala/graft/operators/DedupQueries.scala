@@ -383,9 +383,10 @@ object DedupQueries {
     *
     * Scale shape: component labels come from the O(log n)-round
     * [[GraphComponents]] pass (shared/memoized with d14), the weight
-    * join is key-partitioned, and the prefix sum is p04/p10's two-phase
-    * block scheme — one tiny block table broadcast, no global window
-    * over the corpus. Weights and selection are pure integer arithmetic
+    * join is key-partitioned, and the prefix sum is p04/p10's
+    * three-level [[PrefixSum.blockStarts]] scan — the only single-task
+    * window holds one row per 512² docs. Weights and selection are pure
+    * integer arithmetic
     * (1e6/size fixed point, floor-division systematic rule), replayed
     * exactly by the recursive-CTE oracle. */
   def p13_dedup_aware_sample(s: SparkSession, dir: String): DataFrame = {
@@ -402,13 +403,10 @@ object DedupQueries {
       .withColumn("csize", coalesce(col("n"), lit(1L)))
       .withColumn("wt", ldiv(lit(1000000L), col("csize")))
       .withColumn("blk", ldiv(col("doc_id"), lit(512L)))
-    val blkStart = w.groupBy("blk").agg(sum("wt").as("blk_wt"))
-      .withColumn("blk_start", coalesce(
-        sum("blk_wt").over(Window.orderBy("blk")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("blk", "blk_start")
+    val blkStart = PrefixSum.blockStarts(
+      w.groupBy("blk").agg(sum("wt").as("blk_wt")), "blk", "blk_wt")
     val totalDf = w.agg(sum("wt").as("total"))
-    w.join(broadcast(blkStart), "blk")
+    w.join(blkStart, "blk")
       .withColumn("within", coalesce(
         sum("wt").over(Window.partitionBy("blk").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

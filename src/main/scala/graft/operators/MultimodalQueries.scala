@@ -36,6 +36,22 @@ object MultimodalQueries {
                                 channels: Int, format: String,
                                 lum_sum: Long, mean_lum: Double)
 
+  /** Shared 32-wide PGM grid for m03/m04/m06: rows of document bytes,
+    * last byte repeated to pad the final row. An empty document maps to
+    * one all-zero row — h would otherwise be 0 and every decode-side
+    * pixel access would crash; all-zero pixels reproduce what the DuckDB
+    * oracles compute for empty text (ascii('') = 0 at every tap), so the
+    * guard is oracle-faithful, not just crash-proof. */
+  private def pgmGrid(id: Long, text: String): MediaRow = {
+    val bytes = text.getBytes("US-ASCII")
+    val len = bytes.length
+    val h = math.max(1, (len + 31) / 32)
+    val gray =
+      if (len == 0) new Array[Byte](32)
+      else Array.tabulate(32 * h)(i => bytes(math.min(i, len - 1)))
+    MediaRow(id, MediaCodec.encodePgm(32, h, gray), "pgm")
+  }
+
   /** m01 — image decode + feature extraction. Per document: an image
     * (w = len%64+1, h = len/64%64+1) encoded as BMP-24 / BMP-32 / PPM
     * (RGB channel bytes cycling through the document bytes) or as an
@@ -161,15 +177,7 @@ object MultimodalQueries {
     val media = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val bytes = text.getBytes("US-ASCII")
-          val len = bytes.length
-          val h = (len + 31) / 32
-          val gray = Array.tabulate(32 * h)(i => bytes(math.min(i, len - 1)))
-          MediaRow(id, MediaCodec.encodePgm(32, h, gray), "pgm")
-        }
-      }
+      .mapPartitions(_.map { case (id, text) => pgmGrid(id, text) })
     media.mapPartitions { it =>
       it.map { r =>
         val img = MediaCodec.decodeImage(r.payload)
@@ -203,15 +211,7 @@ object MultimodalQueries {
     val media = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val bytes = text.getBytes("US-ASCII")
-          val len = bytes.length
-          val h = (len + 31) / 32
-          val gray = Array.tabulate(32 * h)(i => bytes(math.min(i, len - 1)))
-          MediaRow(id, MediaCodec.encodePgm(32, h, gray), "pgm")
-        }
-      }
+      .mapPartitions(_.map { case (id, text) => pgmGrid(id, text) })
     media.mapPartitions { it =>
       it.map { r =>
         val img = MediaCodec.decodeImage(r.payload)
@@ -299,15 +299,7 @@ object MultimodalQueries {
     val media = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val bytes = text.getBytes("US-ASCII")
-          val len = bytes.length
-          val h = (len + 31) / 32
-          val gray = Array.tabulate(32 * h)(i => bytes(math.min(i, len - 1)))
-          MediaRow(id, MediaCodec.encodePgm(32, h, gray), "pgm")
-        }
-      }
+      .mapPartitions(_.map { case (id, text) => pgmGrid(id, text) })
     val hashed = media.mapPartitions { it =>
       it.map { r =>
         val img = MediaCodec.decodeImage(r.payload)

@@ -105,24 +105,20 @@ object PipelineQueries {
     * lands in — how an LLM ingest run turns a corpus into fixed-length
     * sequences. Per window: doc count, token sum, doc_id range.
     *
-    * Scale shape: the global running sum is a distributed two-phase
-    * prefix sum, NOT one unpartitioned window — per-block subtotals
-    * (512 docs per block) take one tiny global window over n_docs/512
-    * rows and broadcast back; the per-doc cumsum windows are
-    * partitioned by block. The 100 TB side never single-threads. */
+    * Scale shape: the global running sum is [[PrefixSum.blockStarts]]'s
+    * distributed three-level scan — per-block subtotals (512 docs per
+    * block) roll up into superblocks, the only single-task window runs
+    * over n_docs/512² superblock rows, and the per-doc cumsum windows
+    * are partitioned by block. The 100 TB side never single-threads. */
   def p04_sequence_packing(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.KeyAlgebra.ldiv
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tok"),
         ldiv(col("doc_id"), lit(512L)).as("blk"))
-    // tiny: one row per 512-doc block — the only global ordering
-    val blkStart = docs.groupBy("blk").agg(sum("n_tok").as("blk_tok"))
-      .withColumn("blk_start", coalesce(
-        sum("blk_tok").over(Window.orderBy("blk")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("blk", "blk_start")
-    docs.join(broadcast(blkStart), "blk")
+    val blkStart = PrefixSum.blockStarts(
+      docs.groupBy("blk").agg(sum("n_tok").as("blk_tok")), "blk", "blk_tok")
+    docs.join(blkStart, "blk")
       .withColumn("within", coalesce(
         sum("n_tok").over(Window.partitionBy("blk").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -304,10 +300,11 @@ object PipelineQueries {
     * fixed doc_id order), and heavy docs can be drawn more than once,
     * exactly how a token-budgeted epoch samples a corpus.
     *
-    * Scale shape: the prefix sum is the same distributed two-phase
-    * layout as p04 (per-512-doc-block subtotals → one tiny global
-    * window → per-block partitioned windows), and the grand total W
-    * rides in on a broadcast one-row aggregate, not a driver collect.
+    * Scale shape: the prefix sum is the same distributed three-level
+    * layout as p04 ([[PrefixSum.blockStarts]]: block subtotals →
+    * superblock roll-up → per-block partitioned windows), and the grand
+    * total W rides in on a broadcast one-row aggregate, not a driver
+    * collect.
     * All arithmetic is exact BIGINT: cum·k tops out at W·k, which at
     * 100 TB (W ≈ 2·10^13 tokens, k = 64) is ~10^15 — six orders below
     * the long ceiling, so the floor-division identity never degrades
@@ -318,13 +315,10 @@ object PipelineQueries {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"),
         ldiv(col("doc_id"), lit(512L)).as("blk"))
-    val blkStart = docs.groupBy("blk").agg(sum("n_tok").as("blk_tok"))
-      .withColumn("blk_start", coalesce(
-        sum("blk_tok").over(Window.orderBy("blk")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("blk", "blk_start")
+    val blkStart = PrefixSum.blockStarts(
+      docs.groupBy("blk").agg(sum("n_tok").as("blk_tok")), "blk", "blk_tok")
     val totalDf = docs.agg(sum("n_tok").as("total"))
-    docs.join(broadcast(blkStart), "blk")
+    docs.join(blkStart, "blk")
       .withColumn("within", coalesce(
         sum("n_tok").over(Window.partitionBy("blk").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

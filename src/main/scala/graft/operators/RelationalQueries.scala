@@ -501,12 +501,22 @@ object RelationalQueries {
 
   /** Morton (Z-order) interleave of two 7-bit coordinates. Bit i of x
     * lands at z bit 2i, bit i of y at 2i+1 — monotone in both inputs,
-    * so corner z-values bound any axis-aligned box. */
-  private def morton(x: Column, y: Column): Column =
+    * so corner z-values bound any axis-aligned box. The monotone/box
+    * properties hold ONLY on the [0,127] domain — bits above the 7th
+    * would silently wrap and break the z-range = box equivalence q37
+    * relies on, so out-of-range coordinates fail the job loudly via
+    * raise_error instead of producing a plausible-but-wrong layout. */
+  private def morton(x: Column, y: Column): Column = {
+    def checked(c: Column): Column =
+      when(c < 0 || c > 127, raise_error(concat(
+        lit("morton: coordinate out of [0,127]: "), c.cast("string"))).cast("long"))
+        .otherwise(c)
+    val (cx, cy) = (checked(x), checked(y))
     (0 until 7).foldLeft(lit(0L)) { (acc, i) =>
-      acc + shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+      acc + shiftleft(shiftright(cx, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(cy, i).bitwiseAND(1), 2 * i + 1)
     }
+  }
 
   /** q37 — Z-order clustering for multi-dimensional data skipping: the
     * fact table is written sorted by the Morton interleave of (customer

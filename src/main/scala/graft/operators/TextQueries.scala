@@ -433,6 +433,10 @@ object TextQueries {
     def curve(df: DataFrame, scope: Column, part: Seq[String]): DataFrame = {
       // TopKPerKey ranks by (ord DESC, tie ASC) — exactly the
       // row_number() order the oracle replays; max rank consumed is 1024.
+      // The double cast of df is exact only below 2^53 distinct docs per
+      // gram — above that, equal doubles fall back to hv-ASC tie order.
+      // No realistic corpus reaches 2^53 docs, but the assumption is
+      // TopKPerKey's (its ord column is double by contract), not free.
       val keyed = if (part.isEmpty) df.withColumn("__scope", lit(0L)) else df
       val keys = if (part.isEmpty) Seq("__scope") else part
       val ranked = graft.plans.TopKPerKey(

@@ -212,13 +212,19 @@ final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
       // per-partition memory is O(spillKeys·k) regardless of how many
       // distinct keys the exchange delivers
       val spills = mutable.ArrayBuffer.empty[java.io.File]
+      // run-reader streams register here so an early-terminated consumer
+      // (limit, take) releases file handles at task end, not at GC
+      val openStreams = mutable.ArrayBuffer.empty[java.io.Closeable]
       Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => spills.foreach(_.delete())))
+        _.addTaskCompletionListener[Unit] { _ =>
+          openStreams.foreach(s => try s.close() catch { case _: Exception => })
+          spills.foreach(_.delete())
+        })
       def sortedGroups(): Seq[(Array[Byte], Array[Entry])] =
         heaps.iterator.map { case (key, q) => (key.getBytes, q.toArray) }
           .toSeq.sortWith((a, b) => cmpBytes(a._1, b._1) < 0)
       def spill(): Unit = {
-        val f = java.io.File.createTempFile("graft_topk", ".spill")
+        val f = org.apache.spark.GraftSparkShims.createTempSpillFile("graft_topk")
         spills += f
         val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(f), 1 << 16))
@@ -266,6 +272,7 @@ final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
           new Iterator[(Array[Byte], Array[Entry])] {
             private val in = new java.io.DataInputStream(
               new java.io.BufferedInputStream(new java.io.FileInputStream(f), 1 << 16))
+            openStreams += in
             private var nextKeyLen = readLen()
             private def readLen(): Int =
               try in.readInt() catch { case _: java.io.EOFException => in.close(); -1 }

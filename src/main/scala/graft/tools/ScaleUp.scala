@@ -97,7 +97,7 @@ object ScaleUp {
   private val offsetCache = scala.collection.mutable.Map[String, Long]()
   private def keyOffset(spark: SparkSession, srcDir: String, table: String,
       c: String): Long =
-    offsetCache.getOrElseUpdate(s"$table.$c",
+    offsetCache.getOrElseUpdate(s"$srcDir/$table.$c",
       maxOf(spark.read.parquet(s"$srcDir/$table.parquet"), c) + 1)
 
   private def lineitemOffsets(spark: SparkSession, srcDir: String) =

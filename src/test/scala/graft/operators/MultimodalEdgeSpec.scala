@@ -1,0 +1,41 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Edge-case regression: an EMPTY document must not crash the PGM codec
+  * family (m03/m04/m06) — the encode pads to one all-zero row, whose
+  * decode-side features are all zeros (exactly what the DuckDB oracles
+  * compute for empty text, where every ascii('') tap is 0). */
+class MultimodalEdgeSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_mm_edge").toString
+    import spark.implicits._
+    Seq(
+      (0L, "", "en", "web", 0L),
+      (1L, "abc", "en", "web", 3L),
+      (2L, "abc", "en", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("m03/m04 survive an empty document and emit zero features for it") {
+    val m3 = MultimodalQueries.m03_resize_sample(spark, dir).collect()
+    assert(m3.length == 3)
+    assert(m3.head.getLong(0) == 0L && m3.head.getLong(2) == 0L) // byte_sum 0
+    val m4 = MultimodalQueries.m04_resize_bilinear(spark, dir).collect()
+    assert(m4.length == 3)
+    assert(m4.head.getLong(0) == 0L && m4.head.getLong(2) == 0L) // bl_sum 0
+  }
+
+  test("m06 survives an empty document; identical docs still pair up") {
+    val pairs = MultimodalQueries.m06_image_dhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 1 and 2 are identical → hamming 0; the empty doc hashes to 0
+    // which may band-collide but must not crash
+    assert(pairs.contains((1L, 2L, 0L)))
+  }
+}

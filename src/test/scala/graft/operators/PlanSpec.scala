@@ -278,4 +278,27 @@ class PlanSpec extends SparkSpec {
     assert(!belowRank.contains("SinglePartition"),
       s"vocabulary still funnels through one task:\n$p")
   }
+
+  test("p04/p13: the only unpartitioned prefix-sum window is superblock-level") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // three-level scan: at 100 B docs the per-block table is ~200 M rows
+    // — any global window over it single-threads; only the 512×-smaller
+    // superblock table may pass through one task
+    Seq(
+      PipelineQueries.p04_sequence_packing(spark, sf()),
+      PipelineQueries.p10_weighted_sample(spark, sf()),
+      DedupQueries.p13_dedup_aware_sample(spark, sf())
+    ).foreach { df =>
+      val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      val globals = wins.filter(_.partitionSpec.isEmpty)
+      assert(globals.nonEmpty, "expected the superblock prefix window")
+      globals.foreach { w =>
+        assert(w.child.output.exists(_.name == "__sup_wt"),
+          s"global window runs over non-superblock rows: ${w.child.output}")
+      }
+      // block starts must be computed under a partitioned window
+      assert(wins.exists(_.partitionSpec.nonEmpty),
+        "expected partitioned per-block/per-doc windows")
+    }
+  }
 }
