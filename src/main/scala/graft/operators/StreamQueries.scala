@@ -460,22 +460,30 @@ object StreamQueries {
     * a table format (Delta/Iceberg) replaces the bucket rewrite with a
     * row-level commit but the dataflow is identical. localCheckpoint
     * cuts the read-side lineage so the store can be overwritten in the
-    * same micro-batch that read it. */
+    * same micro-batch that read it.
+    *
+    * Harness: like q30, the stream is a REAL FileStreamSource over a
+    * landing directory — three ts-tercile drops, each an
+    * executor-parallel parquet append discovered through the file log.
+    * No driver-side row injection anywhere: the driver only computes the
+    * two cut points (a 2-value aggregate), never holds event rows. */
   def q39_incremental_mv(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val mvPath = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_q39_mv_$tag").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mvPath))
-    val rows = Tables.events(s, dir)
-      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
-      .orderBy("ts").collect()
-      .map(r => (r.getLong(1), r.getString(2), r.getDouble(3)))
-    val third = (rows.length + 2) / 3
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, String, Double)]
-    val q = in.toDF().toDF("user_id", "event_type", "value")
+    val watchPath = java.nio.file.Files.createTempDirectory("graft_q39_src")
+    val watch = watchPath.toString
+    val ev = Tables.events(s, dir)
+      .select(col("ts").as("tns"), col("user_id"), col("event_type"), col("value"))
+    val mm = ev.agg(min("tns").as("lo"), max("tns").as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val q = s.readStream.schema(schema).parquet(watch)
       .writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
@@ -507,12 +515,20 @@ object StreamQueries {
           .partitionBy("bucket").parquet(mvPath)
       }
       .start()
+    // the watched dir holds a full copy of the events table — delete it
+    // on every exit path; the MV store itself must OUTLIVE this call
+    // (the returned frame reads it lazily), so it is cleaned on re-entry
     try {
-      rows.grouped(third).foreach { b =>
-        in.addData(b.toIndexedSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+      try {
+        Seq(col("tns") <= c1,
+            col("tns") > c1 && col("tns") <= c2,
+            col("tns") > c2).foreach { p =>
+          ev.filter(p).select("user_id", "event_type", "value").coalesce(4)
+            .write.mode("append").parquet(watch)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(watchPath.toFile)
     s.read.parquet(mvPath)
       .select(col("user_id"), col("event_type"), col("n_events"),
         col("sv").cast("double").as("sum_value"))
