@@ -77,6 +77,35 @@ class TopKPerKeyPropSpec extends SparkSpec {
     } finally spark.conf.unset(TopKPerKeyExec.SpillKeysConf)
   }
 
+  test("early-terminated consumer over a spilled run leaves no orphaned spill files") {
+    import spark.implicits._
+    // limit(1) abandons the merge iterator mid-run; the task-completion
+    // listener must still close the run streams and delete the spill
+    // files (before the fix, handles stayed open until GC)
+    spark.conf.set(TopKPerKeyExec.SpillKeysConf, "5")
+    try {
+      val rows = (0 until 4000).map(i => ((i % 200).toLong, i.toDouble, i.toLong))
+      val df = rows.toDF("key", "ord", "tie").repartition(3)
+      val one = TopKPerKey(df, Seq("key"), "ord", "tie", 2).limit(1).collect()
+      assert(one.length == 1)
+      // spills land in Spark's local dirs (blockmgr-*); none may outlive
+      // their task — poll briefly since listener cleanup is post-task
+      val localRoot = new java.io.File(
+        spark.sparkContext.getConf.get("spark.local.dir",
+          System.getProperty("java.io.tmpdir")))
+      def orphans(): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(localRoot).filter(_.getName.startsWith("temp_local"))
+      }
+      val deadline = System.currentTimeMillis() + 5000
+      while (orphans().nonEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(orphans().isEmpty, s"orphaned spill files: ${orphans()}")
+    } finally spark.conf.unset(TopKPerKeyExec.SpillKeysConf)
+  }
+
   test("NaN ord values follow Spark sort semantics (NaN largest → rank 1 under DESC)") {
     import spark.implicits._
     // NaN must participate in a TOTAL order: Spark sorts NaN as the
