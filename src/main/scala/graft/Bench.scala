@@ -120,7 +120,15 @@ object Bench {
       .map(_.group(1)).getOrElse("0")
     val ing = ingest.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"ingest":$ing,"sf":$sfNum}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"ingest":$ing,"sf":$sfNum}"""
+    println(line)
+    // the driver keeps only a tail of stdout, which truncates the
+    // per-query map at 145 queries — persist the full line next to the
+    // repo so per-query figures stay reviewable (see PERF.md)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => }
     spark.stop()
   }
 }
