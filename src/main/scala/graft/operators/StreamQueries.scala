@@ -535,7 +535,74 @@ object StreamQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** q42 — streaming sessionization through the FIRST-CLASS
+    * `session_window` gap-merge API: the engine's own session state
+    * (merging overlapping [ts, ts+gap) intervals per key, evicted by
+    * watermark) replaces q27's hand-built flatMapGroupsWithState — the
+    * same batch-vs-streaming pairing as q40/q42 for sessionization that
+    * q16/q23 form for tumbling windows. Fed like q30: a real
+    * FileStreamSource landing directory, two ts-split executor-written
+    * drops plus one far-future sentinel row that drives the watermark
+    * past every real session's end, so every session closes and the
+    * append-mode output must hash-match q40's batch session_window
+    * oracle exactly. At scale the state is one open session interval
+    * per active user — sharded by user_id, merged and evicted by the
+    * engine, no custom state code to get wrong. */
+  def q42_stream_session_window(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val watchPath = java.nio.file.Files.createTempDirectory("graft_q42_src")
+    val watch = watchPath.toString
+    val ev = Tables.events(s, dir)
+      .select(col("ts").as("tns"), col("user_id"), col("value"))
+    val mm = ev.agg(min("tns").as("lo"), max("tns").as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val splitTs = lo + (hi - lo) / 2
+    // no row may ever be late (file order within a drop is arbitrary):
+    // the delay covers the full event-time span; the sentinel then sits
+    // beyond span + gap + 2 h so the watermark passes every session end
+    val delaySec = (hi - lo) / 1000000000L + 3600L
+    val sentinelNs = hi + (delaySec + 7200L) * 1000000000L
+    val schema = StructType(Seq(
+      StructField("tns", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val agg = s.readStream.schema(schema).parquet(watch)
+      .withColumn("tsm", timestamp_micros(KeyAlgebra.ldiv(col("tns"), lit(1000L))))
+      .withWatermark("tsm", s"$delaySec seconds")
+      .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("sess_start_us"),
+        unix_micros(col("sw.end")).as("sess_end_us"),
+        col("n_events"), col("sum_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("q42_stream_out").start()
+    try {
+      try {
+        ev.filter(col("tns") <= splitTs).coalesce(4)
+          .write.mode("append").parquet(watch)
+        q.processAllAvailable()
+        ev.filter(col("tns") > splitTs).coalesce(4)
+          .write.mode("append").parquet(watch)
+        q.processAllAvailable()
+        import s.implicits._
+        Seq((sentinelNs, -1L, 0.0)).toDF("tns", "user_id", "value")
+          .write.mode("append").parquet(watch)
+        q.processAllAvailable()
+      } finally q.stop()
+      // the sentinel's own session never closes (nothing advances the
+      // watermark past it) and its user is excluded anyway
+      val closed = s.table("q42_stream_out").filter(col("user_id") >= 0L)
+      val result = closed.collect().toIndexedSeq
+      val schemaOut = closed.schema
+      s.catalog.dropTempView("q42_stream_out")
+      s.createDataFrame(s.sparkContext.parallelize(result, 1), schemaOut)
+        .orderBy("user_id", "sess_start_us")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(watchPath.toFile)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_stream_session_window" -> (q42_stream_session_window _),
     "q39_incremental_mv" -> (q39_incremental_mv _),
     "q36_stream_dedup_watermark" -> (q36_stream_dedup_watermark _),
     "q31_stream_join" -> (q31_stream_join _),
@@ -547,6 +614,9 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the engine-native streaming sessionizer must converge to the
+    // batch session_window answer (q40's half-open-interval contract)
+    "q42_stream_session_window" -> RelationalQueries.oracles("q40_session_window"),
     // after three incremental merges the MV store must equal the
     // one-shot batch aggregate
     "q39_incremental_mv" ->

@@ -68,6 +68,14 @@ class TemporalJoinSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("q42 engine-native streaming session_window equals the q40 batch answer") {
+    val batch = RelationalQueries.q40_session_window(spark, sf()).collect()
+      .map(_.toSeq).toIndexedSeq
+    val stream = StreamQueries.q42_stream_session_window(spark, sf())
+      .collect().map(_.toSeq).toIndexedSeq
+    assert(stream == batch)
+  }
+
   test("q28 streaming top-k equals the batch TopKPerKey operator") {
     val base = Tables.events(spark, sf())
       .select(col("user_id"), col("event_id"), col("value"))
