@@ -518,6 +518,59 @@ object RelationalQueries {
     }
   }
 
+  /** The z-ordered orders layout shared by q37/q43 (one ingest-time
+    * write per sf dir, memoized across the sweep like q33/q35/q41). */
+  private def zOrderedOrders(s: SparkSession, dir: String): String =
+    graft.core.SessionMemo.memoize(s, "q37-zorder:" + dir) {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q37_z_$tag").getAbsolutePath
+      Tables.orders(s, dir)
+        .withColumn("zval", morton(col("o_custkey") % 64,
+          (year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1))
+        .repartitionByRange(16, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+
+  /** Scalar Morton interleave (driver-side twin of [[morton]]). */
+  private def mortonLong(x: Long, y: Long): Long =
+    (0 until 7).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  /** Decompose an ARBITRARY inclusive box [xlo,xhi]×[ylo,yhi] (7-bit
+    * domain) into disjoint contiguous z-value ranges — the general form
+    * of q37's aligned-cell probe (the BIGMIN idea executed eagerly:
+    * quadtree cells fully inside the box emit their contiguous Morton
+    * range, straddling cells recurse, then touching ranges merge).
+    * Range count is O((width+height)·log side) — tens for any box here —
+    * so the predicate stays a short OR of BETWEENs that parquet row-group
+    * stats can evaluate. */
+  private[operators] def zBoxRanges(xlo: Long, xhi: Long, ylo: Long,
+      yhi: Long): Seq[(Long, Long)] = {
+    require(0 <= xlo && xlo <= xhi && xhi <= 127 &&
+      0 <= ylo && ylo <= yhi && yhi <= 127, "box outside the 7-bit domain")
+    def rec(cx: Long, cy: Long, s: Long): List[(Long, Long)] = {
+      val (cxHi, cyHi) = (cx + s - 1, cy + s - 1)
+      if (cxHi < xlo || cx > xhi || cyHi < ylo || cy > yhi) Nil // disjoint
+      else if (cx >= xlo && cxHi <= xhi && cy >= ylo && cyHi <= yhi) {
+        val z = mortonLong(cx, cy) // aligned cell → one contiguous run
+        List((z, z + s * s - 1))
+      } else {
+        val h = s / 2 // z-order child visit: (0,0) (1,0) (0,1) (1,1)
+        rec(cx, cy, h) ::: rec(cx + h, cy, h) :::
+          rec(cx, cy + h, h) ::: rec(cx + h, cy + h, h)
+      }
+    }
+    rec(0L, 0L, 128L).sortBy(_._1)
+      .foldLeft(List.empty[(Long, Long)]) {
+        case ((s0, e0) :: tail, (s1, e1)) if s1 == e0 + 1 => (s0, e1) :: tail
+        case (acc, r) => r :: acc
+      }.reverse
+  }
+
   /** q37 — Z-order clustering for multi-dimensional data skipping: the
     * fact table is written sorted by the Morton interleave of (customer
     * bucket, month index), so parquet row-group min/max stats on the ONE
@@ -532,20 +585,33 @@ object RelationalQueries {
     * cost is ingest-time and amortized, like q33/q35. PlanSpec pins the
     * scan-level pruning (rows surviving the scan ≪ table rows). */
   def q37_zorder_layout(s: SparkSession, dir: String): DataFrame = {
-    val path = graft.core.SessionMemo.memoize(s, "q37-zorder:" + dir) {
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_q37_z_$tag").getAbsolutePath
-      Tables.orders(s, dir)
-        .withColumn("zval", morton(col("o_custkey") % 64,
-          (year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1))
-        .repartitionByRange(16, col("zval"))
-        .sortWithinPartitions("zval")
-        .write.mode("overwrite").parquet(p)
-      p
-    }
-    s.read.parquet(path)
+    s.read.parquet(zOrderedOrders(s, dir))
       .filter(col("zval").between(704L, 767L))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("month")
+  }
+
+  /** q43 — ARBITRARY-box probe of the z-ordered layout via BIGMIN-style
+    * range decomposition: q37 proves the aligned-cell case (one
+    * contiguous z-range); q43 probes a box aligned to NOTHING — customer
+    * bucket 5..37, month 10..53 — by decomposing it into the exact
+    * disjoint set of contiguous z-ranges ([[zBoxRanges]], quadtree
+    * recursion, ranges merged) and filtering the SAME layout with an OR
+    * of BETWEENs. The oracle states the box in raw customer/month terms,
+    * so a decomposition bug (coverage gap, overlap, off-by-one at a cell
+    * edge) is a row-count/hash mismatch, not a silent perf loss. At
+    * 100 TB this is the full production shape of multi-dim data
+    * skipping: any box predicate on the two clustered dims becomes tens
+    * of row-group-stat-prunable ranges on the one zval column. */
+  def q43_zorder_bigmin(s: SparkSession, dir: String): DataFrame = {
+    val ranges = zBoxRanges(5, 37, 10, 53)
+    val pred = ranges.map { case (lo, hi) => col("zval").between(lo, hi) }
+      .reduce(_ || _)
+    s.read.parquet(zOrderedOrders(s, dir))
+      .filter(pred)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
@@ -650,6 +716,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_compact_small_files" -> (q41_compact_small_files _),
     "q40_session_window" -> (q40_session_window _),
+    "q43_zorder_bigmin" -> (q43_zorder_bigmin _),
     "q38_salted_skew_join" -> (q38_salted_skew_join _),
     "q37_zorder_layout" -> (q37_zorder_layout _),
     "q35_partition_pruning" -> (q35_partition_pruning _),
@@ -712,6 +779,15 @@ object RelationalQueries {
          CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
          max(d.k_total) AS dim_total
        FROM ev e JOIN dim d ON e.skew_key = d.skew_key
+       GROUP BY 1 ORDER BY 1""",
+    "q43_zorder_bigmin" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders
+       WHERE o_custkey % 64 BETWEEN 5 AND 37
+         AND (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+           BETWEEN 10 AND 53
        GROUP BY 1 ORDER BY 1""",
     "q37_zorder_layout" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
