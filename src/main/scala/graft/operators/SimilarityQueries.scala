@@ -229,6 +229,36 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s10 — FILTERED vector search (hybrid search): top-5 cosine
+    * neighbors among only the candidates passing a metadata predicate
+    * (label ∈ [2,5]) — the production retrieval shape where every query
+    * carries structured filters next to the vector. The predicate is
+    * applied BEFORE the distance computation so it reaches the parquet
+    * scan as a pushed filter (PlanSpec pins it): at 100 TB the
+    * label-filtered scan reads a fraction of the corpus and the rest of
+    * the plan is s06's — broadcast query set, one streamed candidate
+    * pass, bounded TopKPerKey ranking. Post-filtering a plain ANN top-k
+    * instead would break the k-guarantee (filtered-out neighbors eat
+    * the budget); filtering first keeps the result exactly the top-5 of
+    * the allowed subset, which is what the oracle states. Queries come
+    * from the FULL set — a query need not satisfy its own filter. */
+  def s10_ann_filtered(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).withColumn("nrm", norm(col("a")))
+      .filter(col("nrm") > 0.0)
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"),
+        col("nrm").as("qn"))
+    val allowed = base.filter(col("label").between(2, 5))
+    val sims = allowed.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("qa"), col("a")) / (col("qn") * col("nrm")))
+      .select("query_id", "vec_id", "sim")
+    graft.plans.TopKPerKey(sims, Seq("query_id"), "sim", "vec_id", 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** s07 — exact cosine RANGE search (every neighbor with sim ≥ θ, not
     * top-k) with block-norm pruning: each vector precomputes the norms
     * of its 8 8-dim blocks, and Cauchy–Schwarz per block gives
@@ -389,6 +419,7 @@ object SimilarityQueries {
     "s02_ann_ivf" -> (s02_ann_ivf _),
     "s03_ann_ivf_multiprobe" -> (s03_ann_ivf_multiprobe _),
     "s04_ann_quantized" -> (s04_ann_quantized _),
+    "s10_ann_filtered" -> (s10_ann_filtered _),
   )
 
   private val sqlDot =
@@ -561,6 +592,24 @@ object SimilarityQueries {
             ORDER BY sim DESC, neighbor_id) AS rank
         FROM sims) WHERE rank <= 5 ORDER BY query_id, rank""",
     "s01_ann_bruteforce" -> bruteTopkSql,
+    // filtered search: the top-5 OF THE ALLOWED SUBSET (predicate before
+    // ranking) — a post-filtered ANN would rank differently and mismatch
+    "s10_ann_filtered" -> s"""
+      WITH e AS (SELECT vec_id, label,
+        list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      n0 AS (SELECT vec_id, label, a,
+        sqrt(list_reduce(list_transform(a, x -> x*x), (p,q) -> p+q)) AS nrm FROM e),
+      n AS (SELECT * FROM n0 WHERE nrm > 0),
+      sims AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+          ${sqlDot.replace("X", "q.a").replace("Y", "d.a")} / (q.nrm * d.nrm) AS sim
+        FROM n q, n d
+        WHERE q.vec_id % 50 = 0 AND d.vec_id <> q.vec_id
+          AND d.label BETWEEN 2 AND 5)
+      SELECT query_id, rank, neighbor_id, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims) WHERE rank <= 5 ORDER BY query_id, rank""",
     // s06 is the same ranking computed by the custom TopKPerKey physical
     // operator — the oracle proves plan equivalence, not just plausibility
     "s06_ann_topk_operator" -> bruteTopkSql,

@@ -279,6 +279,16 @@ class PlanSpec extends SparkSpec {
       s"vocabulary still funnels through one task:\n$p")
   }
 
+  test("s10: the metadata filter reaches the parquet scan before the distance math") {
+    val p = plan(SimilarityQueries.s10_ann_filtered(spark, sf()))
+    // filtered search must read the label-filtered subset, not post-filter
+    // ranked results — the pushed filter is the 100 TB scan reduction
+    assert(p.contains("GreaterThanOrEqual(label,2)") &&
+      p.contains("LessThanOrEqual(label,5)"),
+      s"label predicate not pushed to the scan:\n$p")
+    assert(p.contains("TopKPartial"), s"expected bounded top-k ranking:\n$p")
+  }
+
   test("p04/p13: the only unpartitioned prefix-sum window is superblock-level") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // three-level scan: at 100 B docs the per-block table is ~200 M rows
