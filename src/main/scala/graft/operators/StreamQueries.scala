@@ -395,6 +395,75 @@ object StreamQueries {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** q44 — watermarked stream-stream LEFT OUTER interval join: q31's
+    * enrichment, but clicks with NO purchase in the trailing 24 h must
+    * still emit — exactly once, with nulls — which only happens when the
+    * shared watermark proves no future purchase can match (the outer
+    * row's event time falls behind watermark − 24 h and its state
+    * evicts). A far-future sentinel on BOTH streams drives the watermark
+    * past every real click, so the full outer result materializes; the
+    * sentinel rows themselves are excluded by user. Nulls are
+    * coalesced to −1 on both engines — the driver comparator must see
+    * BIGINT, not a nullable column pandas would widen to float64. At
+    * scale this is the canonical "did the conversion happen" shape:
+    * two-sided bounded state, sharded by user, evicted by watermark. */
+  def q44_stream_outer_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4") // q31's state-store sizing
+    try q44_stream_outer_join0(s, dir)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def q44_stream_outer_join0(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val (lo, hi) = (ev.head._1, ev.last._1)
+    val splitNs = lo + (hi - lo) / 2
+    // sentinel beyond hi + 24 h + margin: watermark passes every click's
+    // match window, flushing all pending outer rows
+    val sentinelNs = hi + (86400L + 7200L) * 1000000000L
+    val inC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val inP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val clicks = inC.toDF().toDF("ctns", "click_id", "c_user")
+      .withColumn("cts", timestamp_micros(KeyAlgebra.ldiv(col("ctns"), lit(1000L))))
+      .withWatermark("cts", "0 seconds")
+    val purchases = inP.toDF().toDF("ptns", "purchase_id", "p_user")
+      .withColumn("pts", timestamp_micros(KeyAlgebra.ldiv(col("ptns"), lit(1000L))))
+      .withWatermark("pts", "0 seconds")
+    val joined = clicks.join(purchases,
+        expr("c_user = p_user AND pts BETWEEN cts - INTERVAL 24 HOURS AND cts"),
+        "leftOuter")
+      .select(col("click_id"), coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        col("c_user").as("user_id"),
+        coalesce(KeyAlgebra.ldiv(col("ctns"), lit(1000L)) -
+          KeyAlgebra.ldiv(col("ptns"), lit(1000L)), lit(-1L)).as("lag_us"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("q44_stream_out").start()
+    def feed(rows: Seq[(Long, Long, Long, String)]): Unit = {
+      inC.addData(rows.collect { case (t, id, u, "click") => (t, id, u) }.toIndexedSeq)
+      inP.addData(rows.collect { case (t, id, u, "purchase") => (t, id, u) }.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    try {
+      feed(ev.filter(_._1 <= splitNs).toIndexedSeq)
+      feed(ev.filter(_._1 > splitNs).toIndexedSeq)
+      // both streams carry the sentinel so the SHARED watermark advances
+      feed(Seq((sentinelNs, -1L, -1L, "click"), (sentinelNs, -1L, -1L, "purchase")))
+    } finally q.stop()
+    val sink = s.table("q44_stream_out").filter(col("user_id") >= 0L)
+    val result = sink.collect().toIndexedSeq
+    val schema = sink.schema
+    s.catalog.dropTempView("q44_stream_out")
+    s.createDataFrame(s.sparkContext.parallelize(result, 1), schema)
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** q36 — at-least-once delivery made exactly-once with the built-in
     * `dropDuplicatesWithinWatermark`: every event of micro-batch 1 is
     * delivered TWICE in-batch, and batch 2 re-delivers batch 1's last
@@ -603,6 +672,7 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stream_session_window" -> (q42_stream_session_window _),
+    "q44_stream_outer_join" -> (q44_stream_outer_join _),
     "q39_incremental_mv" -> (q39_incremental_mv _),
     "q36_stream_dedup_watermark" -> (q36_stream_dedup_watermark _),
     "q31_stream_join" -> (q31_stream_join _),
@@ -629,6 +699,20 @@ object StreamQueries {
       """SELECT user_id, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // the outer stream-stream join must emit the batch LEFT interval
+    // join exactly — including the null-extended (here −1-coalesced)
+    // rows that only watermark-driven state eviction can produce
+    "q44_stream_outer_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type
+           FROM events)
+         SELECT c.event_id AS click_id,
+           coalesce(p.event_id, -1) AS purchase_id,
+           c.user_id, coalesce(c.us - p.us, -1) AS lag_us
+         FROM (SELECT * FROM e WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+           AND p.us BETWEEN c.us - 86400000000 AND c.us
+         ORDER BY click_id, purchase_id""",
     // the stream-stream join must emit exactly the batch interval join
     "q31_stream_join" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type

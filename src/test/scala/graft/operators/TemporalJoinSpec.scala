@@ -76,6 +76,31 @@ class TemporalJoinSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("q44 streaming outer join equals the batch left interval join") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sf())
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), graft.functions.KeyAlgebra.ldiv(col("ts"),
+        lit(1000L)).as("us"), col("user_id"), col("event_type"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("us").as("cus"),
+        col("user_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("us").as("pus"),
+        col("user_id").as("pu"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("pus").between(col("cus") - 86400000000L, col("cus")), "left")
+      .select(col("click_id"), coalesce(col("pid"), lit(-1L)).as("purchase_id"),
+        col("user_id"), coalesce(col("cus") - col("pus"), lit(-1L)).as("lag_us"))
+      .orderBy("click_id", "purchase_id")
+      .collect().map(_.toSeq).toIndexedSeq
+    val stream = StreamQueries.q44_stream_outer_join(spark, sf())
+      .collect().map(_.toSeq).toIndexedSeq
+    assert(stream == batch)
+    // outer rows actually exercised: some clicks must be purchase-less
+    assert(stream.exists(_(1) == -1L), "no null-extended rows in fixture")
+  }
+
   test("q28 streaming top-k equals the batch TopKPerKey operator") {
     val base = Tables.events(spark, sf())
       .select(col("user_id"), col("event_id"), col("value"))
