@@ -411,7 +411,30 @@ object PipelineQueries {
       .orderBy("scope")
   }
 
+  /** p14 — deterministic epoch shuffle: the training-order permutation
+    * every pretraining run needs, with NO RNG state — order is a
+    * multiplicative-hash permutation (odd multiplier 1103515245 is a
+    * bijection of the low 32 doc_id bits; doc_id breaks the ties that
+    * only appear past 2^32 docs) and the dense sequence numbers come
+    * from [[SequentialId]]'s range-partition + zipWithIndex layout, so
+    * re-running the shuffle on any cluster size reproduces the epoch
+    * bit-for-bit and there is no single-partition row_number window
+    * anywhere. Shard = 8192-doc training file, the unit a loader
+    * prefetches. */
+  def p14_epoch_shuffle(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        pmod(pmod(col("doc_id"), lit(4294967296L)) * 1103515245L,
+          lit(4294967296L)).as("h"))
+    SequentialId.withSequentialId(hashed, "seq", Seq(col("h"), col("doc_id")))
+      .withColumn("shard", ldiv(col("seq") - 1, lit(8192L)))
+      .select("seq", "doc_id", "h", "shard")
+      .orderBy("seq")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_epoch_shuffle" -> (p14_epoch_shuffle _),
     "p12_dataset_card" -> (p12_dataset_card _),
     "p11_filter_funnel" -> (p11_filter_funnel _),
     "p10_weighted_sample" -> (p10_weighted_sample _),
@@ -427,6 +450,16 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the permutation is pure integer arithmetic, so the oracle replays
+    // it exactly; row_number here is DuckDB's — the Spark side must
+    // produce the identical dense numbering WITHOUT a global window
+    "p14_epoch_shuffle" ->
+      """SELECT row_number() OVER (ORDER BY h, doc_id) AS seq, doc_id, h,
+         (row_number() OVER (ORDER BY h, doc_id) - 1) // 8192 AS shard
+       FROM (SELECT doc_id,
+           ((doc_id % 4294967296) * 1103515245) % 4294967296 AS h
+         FROM documents)
+       ORDER BY seq""",
     "p12_dataset_card" ->
       """WITH d AS (SELECT source, lang, text, n_chars,
            len(list_filter(string_split(text, ' '), t -> length(t) > 0))
