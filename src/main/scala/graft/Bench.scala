@@ -83,7 +83,7 @@ object Bench {
     // layout and measure the probe — the steady-state number a 100 TB
     // deployment actually sees.
     val layoutQueries = Set("q33_bucketed_join", "q35_partition_pruning",
-      "q37_zorder_layout", "q41_compact_small_files")
+      "q37_zorder_layout", "q41_compact_small_files", "q43_zorder_bigmin")
     val ingest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }

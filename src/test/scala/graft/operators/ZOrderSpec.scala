@@ -44,6 +44,30 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("SortedRangeContains decides membership exactly at every edge") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val ranges = Seq((5L, 9L), (20L, 20L), (30L, 40L))
+    val vals = Seq(4L, 5L, 7L, 9L, 10L, 19L, 20L, 21L, 29L, 30L, 40L, 41L)
+    val expect = Set(5L, 7L, 9L, 20L, 30L, 40L)
+    // interpreted eval AND codegen (collect drives whole-stage codegen)
+    val got = vals.toDF("v")
+      .filter(graft.plans.SortedRangeContains(col("v"), ranges))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+  }
+
+  test("q43 plan: pushable envelope + O(log r) membership, no OR chain") {
+    val df = RelationalQueries.q43_zorder_bigmin(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(zval,153)"),
+      s"envelope not pushed to the scan:\n$p")
+    assert(p.toLowerCase.contains("sortedrangecontains") ||
+      p.contains("graft_in_sorted_ranges"),
+      s"expected the binary-search membership expression:\n$p")
+  }
+
   test("aligned cells collapse to one range; range count stays small") {
     assert(RelationalQueries.zBoxRanges(8, 15, 24, 31) == Seq((704L, 767L)))
     assert(RelationalQueries.zBoxRanges(0, 127, 0, 127) == Seq((0L, 16383L)))
