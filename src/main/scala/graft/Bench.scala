@@ -78,17 +78,22 @@ object Bench {
     // compaction) pay a one-time INGEST write that production amortizes
     // over every subsequent probe; a cold rep re-paying it reports
     // ingest+probe as if it were per-query cost. Split the two: the
-    // first (untimed-for-the-headline) run builds the layout and is
-    // reported separately as ingest; the timed reps keep the memoized
+    // first run is forced COLD (memo cleared — otherwise the figure
+    // depends on rep mode and sweep order, e.g. q43 reporting a warm
+    // probe of q37's still-memoized layout), builds the layout, and is
+    // reported separately under "ingest" (it includes one probe, which
+    // is small next to the write); the timed reps keep the memoized
     // layout and measure the probe — the steady-state number a 100 TB
-    // deployment actually sees.
+    // deployment actually sees. q37/q43 share a layout, so per-query
+    // attribution rebuilds it once each — the honest price of
+    // independent ingest figures.
     val layoutQueries = Set("q33_bucketed_join", "q35_partition_pruning",
       "q37_zorder_layout", "q41_compact_small_files", "q43_zorder_bigmin")
     val ingest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }
       .map { case (name, fn) =>
-        if (layoutQueries(name)) ingest(name) = once(name, fn)
+        if (layoutQueries(name)) ingest(name) = onceCold(name, fn)
         // layout reps keep the memoized store (probe-only timing);
         // everything else re-runs cold so a cache hit can't masquerade
         // as query cost

@@ -13,4 +13,12 @@ object GraftSparkShims {
       case Some(env) => env.blockManager.diskBlockManager.createTempLocalBlock()._2
       case None => java.io.File.createTempFile(prefix, ".spill")
     }
+
+  /** THIS JVM's block-manager local dirs — lets tests scope spill-file
+    * assertions to the current app instead of scanning all of
+    * spark.local.dir (where concurrent or crashed Spark processes leave
+    * their own temp files). */
+  def spillLocalDirs(): Seq[java.io.File] =
+    Option(SparkEnv.get).toSeq.flatMap(
+      _.blockManager.diskBlockManager.localDirs.toSeq)
 }

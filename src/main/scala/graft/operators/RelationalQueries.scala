@@ -507,14 +507,17 @@ object RelationalQueries {
     * relies on, so out-of-range coordinates fail the job loudly via
     * raise_error instead of producing a plausible-but-wrong layout. */
   private def morton(x: Column, y: Column): Column = {
-    def checked(c: Column): Column =
+    // one guard term per coordinate (0L when valid, raise_error when
+    // not), folded into the sum — wrapping each of the 7 bit taps in
+    // the check instead would evaluate it 14x per row in the layout
+    // write projection
+    def check(c: Column): Column =
       when(c < 0 || c > 127, raise_error(concat(
         lit("morton: coordinate out of [0,127]: "), c.cast("string"))).cast("long"))
-        .otherwise(c)
-    val (cx, cy) = (checked(x), checked(y))
-    (0 until 7).foldLeft(lit(0L)) { (acc, i) =>
-      acc + shiftleft(shiftright(cx, i).bitwiseAND(1), 2 * i) +
-        shiftleft(shiftright(cy, i).bitwiseAND(1), 2 * i + 1)
+        .otherwise(lit(0L))
+    (0 until 7).foldLeft(check(x) + check(y)) { (acc, i) =>
+      acc + shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
     }
   }
 

@@ -13,6 +13,35 @@ import graft.functions.KeyAlgebra
   */
 object StreamQueries {
 
+  /** Landing-directory lifecycle shared by the file-source harnesses
+    * (q30/q39/q42): a temp watch dir created for the body and deleted on
+    * EVERY exit path — a failure mid-query must not leak a full events
+    * copy across a sweep. Results read lazily from OTHER paths (q39's MV
+    * store) survive; only the watch dir dies. */
+  private def withWatchDir[T](prefix: String)(body: String => T): T = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    try body(p.toString)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+  }
+
+  /** Feed the watched dir one drop at a time: each drop is an
+    * executor-parallel parquet append, discovered through the file log
+    * as one micro-batch (no maxFilesPerTrigger; the stream quiesces
+    * between drops), and the query is stopped on every exit path. */
+  private def feedDrops(q: org.apache.spark.sql.streaming.StreamingQuery,
+      watch: String, drops: Seq[DataFrame]): Unit =
+    try drops.foreach { d =>
+      d.coalesce(4).write.mode("append").parquet(watch)
+      q.processAllAvailable()
+    } finally q.stop()
+
+  /** (min, max) of a long column — the one 2-value aggregate the driver
+    * computes to place drop cut points and sentinels. */
+  private def tsBounds(df: DataFrame, c: String): (Long, Long) = {
+    val r = df.agg(min(c).as("lo"), max(c).as("hi")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** q23 — watermarked tumbling 1 h windows over the event stream in
     * append mode: two ts-ordered micro-batches plus a far-future
     * sentinel event advance the watermark past every real window, so
@@ -66,12 +95,10 @@ object StreamQueries {
     * oracle as q23. At scale this IS the production shape: a landing
     * directory on an object store, one micro-batch per arrival set. */
   def q30_stream_filesource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
-    val watchPath = java.nio.file.Files.createTempDirectory("graft_fsrc")
-    val watch = watchPath.toString
     val ev = Tables.events(s, dir).select(col("ts").as("tns"), col("value"))
-    val mm = ev.agg(min("tns").as("lo"), max("tns").as("hi")).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (lo, hi) = tsBounds(ev, "tns")
     val splitTs = lo + (hi - lo) / 2 // strict value boundary between drops
     // the file source may split one drop across micro-batches in any
     // file order, so the watermark delay covers the FULL event-time span
@@ -81,35 +108,21 @@ object StreamQueries {
     val sentinelNs = hi + (delaySec + 7200L) * 1000000000L
     val schema = StructType(Seq(
       StructField("tns", LongType), StructField("value", DoubleType)))
-    val in = s.readStream.schema(schema).parquet(watch)
-    val agg = in
-      .withColumn("ts", timestamp_micros(KeyAlgebra.ldiv(col("tns"), lit(1000L))))
-      .withWatermark("ts", s"$delaySec seconds")
-      .groupBy(window(col("ts"), "1 hour").as("win"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-      .select(unix_timestamp(col("win.start")).as("window_start"),
-        col("n"), col("sum_value"))
-    val q = agg.writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName("q30_stream_out").start()
-    // the watched dir holds a full copy of the events table — delete it on
-    // EVERY exit path (a failure mid-query must not leak it across a sweep)
-    try {
-      try {
-        // each drop is an executor-parallel parquet append; every append
-        // is discovered as one micro-batch (no maxFilesPerTrigger), so
-        // watermark order across drops holds by the ts split
-        ev.filter(col("tns") <= splitTs).coalesce(4)
-          .write.mode("append").parquet(watch)
-        q.processAllAvailable()
-        ev.filter(col("tns") > splitTs).coalesce(4)
-          .write.mode("append").parquet(watch)
-        q.processAllAvailable()
-        import s.implicits._
-        Seq((sentinelNs, 0.0)).toDF("tns", "value")
-          .write.mode("append").parquet(watch)
-        q.processAllAvailable()
-      } finally q.stop()
+    withWatchDir("graft_fsrc") { watch =>
+      val agg = s.readStream.schema(schema).parquet(watch)
+        .withColumn("ts", timestamp_micros(KeyAlgebra.ldiv(col("tns"), lit(1000L))))
+        .withWatermark("ts", s"$delaySec seconds")
+        .groupBy(window(col("ts"), "1 hour").as("win"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("win.start")).as("window_start"),
+          col("n"), col("sum_value"))
+      val q = agg.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("q30_stream_out").start()
+      feedDrops(q, watch, Seq(
+        ev.filter(col("tns") <= splitTs),
+        ev.filter(col("tns") > splitTs),
+        Seq((sentinelNs, 0.0)).toDF("tns", "value")))
       val sentinelHour = sentinelNs / 3600000000000L * 3600L
       val closed = s.table("q30_stream_out")
         .filter(col("window_start") < sentinelHour)
@@ -118,7 +131,7 @@ object StreamQueries {
       s.catalog.dropTempView("q30_stream_out")
       s.createDataFrame(s.sparkContext.parallelize(result, 1), schemaOut)
         .orderBy("window_start")
-    } finally org.apache.commons.io.FileUtils.deleteQuietly(watchPath.toFile)
+    }
   }
 
   /** q26 — streaming as-of enrichment: clicks and purchases flow through
@@ -542,16 +555,14 @@ object StreamQueries {
     val mvPath = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_q39_mv_$tag").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mvPath))
-    val watchPath = java.nio.file.Files.createTempDirectory("graft_q39_src")
-    val watch = watchPath.toString
     val ev = Tables.events(s, dir)
       .select(col("ts").as("tns"), col("user_id"), col("event_type"), col("value"))
-    val mm = ev.agg(min("tns").as("lo"), max("tns").as("hi")).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (lo, hi) = tsBounds(ev, "tns")
     val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
     val schema = StructType(Seq(
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType)))
+    withWatchDir("graft_q39_src") { watch =>
     val q = s.readStream.schema(schema).parquet(watch)
       .writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -584,24 +595,18 @@ object StreamQueries {
           .partitionBy("bucket").parquet(mvPath)
       }
       .start()
-    // the watched dir holds a full copy of the events table — delete it
-    // on every exit path; the MV store itself must OUTLIVE this call
-    // (the returned frame reads it lazily), so it is cleaned on re-entry
-    try {
-      try {
-        Seq(col("tns") <= c1,
-            col("tns") > c1 && col("tns") <= c2,
-            col("tns") > c2).foreach { p =>
-          ev.filter(p).select("user_id", "event_type", "value").coalesce(4)
-            .write.mode("append").parquet(watch)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    } finally org.apache.commons.io.FileUtils.deleteQuietly(watchPath.toFile)
+    // the MV store must OUTLIVE this call (the returned frame reads it
+    // lazily), so it is cleaned on re-entry, not here
+    feedDrops(q, watch, Seq(
+      col("tns") <= c1,
+      col("tns") > c1 && col("tns") <= c2,
+      col("tns") > c2).map(p =>
+      ev.filter(p).select("user_id", "event_type", "value")))
     s.read.parquet(mvPath)
       .select(col("user_id"), col("event_type"), col("n_events"),
         col("sv").cast("double").as("sum_value"))
       .orderBy("user_id", "event_type")
+    }
   }
 
   /** q42 — streaming sessionization through the FIRST-CLASS
@@ -618,13 +623,11 @@ object StreamQueries {
     * per active user — sharded by user_id, merged and evicted by the
     * engine, no custom state code to get wrong. */
   def q42_stream_session_window(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
-    val watchPath = java.nio.file.Files.createTempDirectory("graft_q42_src")
-    val watch = watchPath.toString
     val ev = Tables.events(s, dir)
       .select(col("ts").as("tns"), col("user_id"), col("value"))
-    val mm = ev.agg(min("tns").as("lo"), max("tns").as("hi")).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (lo, hi) = tsBounds(ev, "tns")
     val splitTs = lo + (hi - lo) / 2
     // no row may ever be late (file order within a drop is arbitrary):
     // the delay covers the full event-time span; the sentinel then sits
@@ -634,31 +637,23 @@ object StreamQueries {
     val schema = StructType(Seq(
       StructField("tns", LongType), StructField("user_id", LongType),
       StructField("value", DoubleType)))
-    val agg = s.readStream.schema(schema).parquet(watch)
-      .withColumn("tsm", timestamp_micros(KeyAlgebra.ldiv(col("tns"), lit(1000L))))
-      .withWatermark("tsm", s"$delaySec seconds")
-      .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-      .select(col("user_id"),
-        unix_micros(col("sw.start")).as("sess_start_us"),
-        unix_micros(col("sw.end")).as("sess_end_us"),
-        col("n_events"), col("sum_value"))
-    val q = agg.writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName("q42_stream_out").start()
-    try {
-      try {
-        ev.filter(col("tns") <= splitTs).coalesce(4)
-          .write.mode("append").parquet(watch)
-        q.processAllAvailable()
-        ev.filter(col("tns") > splitTs).coalesce(4)
-          .write.mode("append").parquet(watch)
-        q.processAllAvailable()
-        import s.implicits._
-        Seq((sentinelNs, -1L, 0.0)).toDF("tns", "user_id", "value")
-          .write.mode("append").parquet(watch)
-        q.processAllAvailable()
-      } finally q.stop()
+    withWatchDir("graft_q42_src") { watch =>
+      val agg = s.readStream.schema(schema).parquet(watch)
+        .withColumn("tsm", timestamp_micros(KeyAlgebra.ldiv(col("tns"), lit(1000L))))
+        .withWatermark("tsm", s"$delaySec seconds")
+        .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("sess_start_us"),
+          unix_micros(col("sw.end")).as("sess_end_us"),
+          col("n_events"), col("sum_value"))
+      val q = agg.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("q42_stream_out").start()
+      feedDrops(q, watch, Seq(
+        ev.filter(col("tns") <= splitTs),
+        ev.filter(col("tns") > splitTs),
+        Seq((sentinelNs, -1L, 0.0)).toDF("tns", "user_id", "value")))
       // the sentinel's own session never closes (nothing advances the
       // watermark past it) and its user is excluded anyway
       val closed = s.table("q42_stream_out").filter(col("user_id") >= 0L)
@@ -667,7 +662,7 @@ object StreamQueries {
       s.catalog.dropTempView("q42_stream_out")
       s.createDataFrame(s.sparkContext.parallelize(result, 1), schemaOut)
         .orderBy("user_id", "sess_start_us")
-    } finally org.apache.commons.io.FileUtils.deleteQuietly(watchPath.toFile)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -20,10 +20,16 @@ import graft.core.ColumnBridge
   * AND max of all ranges) next to this expression: the envelope reaches
   * parquet row-group stats, this expression decides rows exactly.
   */
-final case class SortedRangeContains(child: Expression, starts: Array[Long],
-    ends: Array[Long]) extends UnaryExpression {
-  require(starts.length == ends.length && starts.nonEmpty,
+final case class SortedRangeContains(child: Expression, startsSeq: Seq[Long],
+    endsSeq: Seq[Long]) extends UnaryExpression {
+  require(startsSeq.length == endsSeq.length && startsSeq.nonEmpty,
     "starts/ends must be same-length and non-empty")
+  // Seq params (not Array): case-class equality stays structural, so
+  // semanticEquals / subexpression elimination work, and toString
+  // renders the actual ranges instead of [J@… identity hashes in
+  // EXPLAIN dumps. The eval/codegen path wants primitive arrays:
+  @transient private lazy val starts: Array[Long] = startsSeq.toArray
+  @transient private lazy val ends: Array[Long] = endsSeq.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType => TypeCheckResult.TypeCheckSuccess
@@ -71,5 +77,5 @@ object SortedRangeContains {
   /** `ranges` must be sorted by start and pairwise disjoint. */
   def apply(c: Column, ranges: Seq[(Long, Long)]): Column =
     ColumnBridge.column(SortedRangeContains(ColumnBridge.expression(c),
-      ranges.map(_._1).toArray, ranges.map(_._2).toArray))
+      ranges.map(_._1), ranges.map(_._2)))
 }

@@ -88,16 +88,17 @@ class TopKPerKeyPropSpec extends SparkSpec {
       val df = rows.toDF("key", "ord", "tie").repartition(3)
       val one = TopKPerKey(df, Seq("key"), "ord", "tie", 2).limit(1).collect()
       assert(one.length == 1)
-      // spills land in Spark's local dirs (blockmgr-*); none may outlive
-      // their task — poll briefly since listener cleanup is post-task
-      val localRoot = new java.io.File(
-        spark.sparkContext.getConf.get("spark.local.dir",
-          System.getProperty("java.io.tmpdir")))
+      // spills land in THIS app's block-manager dirs; none may outlive
+      // their task — poll briefly since listener cleanup is post-task.
+      // Scoped to this JVM's dirs: a concurrent Spark process's own
+      // temp_local files must not fail the assertion
+      val localRoots = org.apache.spark.GraftSparkShims.spillLocalDirs()
+      assert(localRoots.nonEmpty, "no block-manager local dirs resolved")
       def orphans(): Seq[java.io.File] = {
         def walk(f: java.io.File): Seq[java.io.File] =
           if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
           else Seq(f)
-        walk(localRoot).filter(_.getName.startsWith("temp_local"))
+        localRoots.flatMap(walk).filter(_.getName.startsWith("temp_local"))
       }
       val deadline = System.currentTimeMillis() + 5000
       while (orphans().nonEmpty && System.currentTimeMillis() < deadline)
