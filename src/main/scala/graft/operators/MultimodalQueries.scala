@@ -334,7 +334,61 @@ object MultimodalQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  final case class VideoFeature(doc_id: Long, n_frames: Long, luma0: Long,
+                                motion: Long)
+
+  /** m07 — VIDEO-shaped multimodal pass: each document becomes a
+    * multi-frame motion-PGM container (2–7 self-describing 4×4 P5
+    * frames, frame f pixel p = byte (f + 3p) mod len — temporally
+    * shifting content, so inter-frame deltas are non-trivial), decoded
+    * through the REAL sequential container walk
+    * ([[MediaCodec.decodePgmFrames]]), and reduced to the two classic
+    * video triage features: first-frame luma and total motion
+    * (Σ |frame_f − frame_{f−1}| over pixels) — all exact integers the
+    * oracle replays from the document bytes. Completes the
+    * image (m01/m03/m04/m06) / audio (m02/m05) / video modality set;
+    * same two-stage opaque-binary seam, scan-parallel, no shuffle. An
+    * empty document maps to all-zero frames (the m03/m04/m06 guard
+    * convention: ascii('') = 0 on the oracle side). */
+  def m07_video_motion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes("US-ASCII")
+        val len = bytes.length
+        val f = len % 6 + 2
+        val payload = (0 until f).map { fr =>
+          val gray = Array.tabulate(16)(p =>
+            if (len == 0) 0.toByte else bytes((fr + 3 * p) % len))
+          MediaCodec.encodePgm(4, 4, gray)
+        }.reduce(_ ++ _)
+        MediaRow(id, payload, "mpgm")
+      })
+    media.mapPartitions(_.map { r =>
+      val frames = MediaCodec.decodePgmFrames(r.payload)
+      var luma0 = 0L
+      frames.head.pixels.foreach(b => luma0 += (b & 0xFF))
+      var motion = 0L
+      var f = 1
+      while (f < frames.length) {
+        val a = frames(f - 1).pixels
+        val b = frames(f).pixels
+        var p = 0
+        while (p < b.length) {
+          motion += math.abs((b(p) & 0xFF) - (a(p) & 0xFF))
+          p += 1
+        }
+        f += 1
+      }
+      VideoFeature(r.doc_id, frames.length.toLong, luma0, motion)
+    }).toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_video_motion" -> (m07_video_motion _),
     "m06_image_dhash" -> (m06_image_dhash _),
     "m01_media_features" -> (m01_media_features _),
     "m02_frame_sample" -> (m02_frame_sample _),
@@ -344,6 +398,27 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // replays the frame-fill arithmetic (pixel(f,p) = byte (f+3p) mod
+    // len; ascii('') = 0 for the empty doc) — the PGM container walk
+    // happens only on the Spark side, so a frame-boundary bug there
+    // breaks the hash
+    "m07_video_motion" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           (length(text) % 6 + 2) AS f FROM documents),
+       s AS (SELECT doc_id, f,
+         list_reduce(list_transform(range(0, 16), p ->
+           CASE WHEN len = 0 THEN 0 ELSE
+             CAST(ascii(substr(text, ((0 + 3*p) % len)::INT + 1, 1)) AS BIGINT)
+           END), (x,y) -> x+y) AS luma0,
+         list_reduce(list_transform(range(16, f*16), k ->
+           CASE WHEN len = 0 THEN 0 ELSE
+             abs(CAST(ascii(substr(text, (((k//16) + 3*(k%16)) % len)::INT + 1, 1)) AS BIGINT)
+               - ascii(substr(text, (((k//16) - 1 + 3*(k%16)) % len)::INT + 1, 1)))
+           END), (x,y) -> x+y) AS motion
+         FROM t)
+       SELECT doc_id, f::BIGINT AS n_frames, luma0::BIGINT AS luma0,
+         motion::BIGINT AS motion
+       FROM s ORDER BY doc_id""",
     "m06_image_dhash" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS len,
            ((length(text) + 31) // 32) AS h FROM documents),

@@ -351,4 +351,45 @@ object MediaCodec {
   def decodeImage(bytes: Array[Byte]): Image =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else decodeNetpbm(bytes)
+
+  /** Walk a CONCATENATION of binary P5 frames — the minimal motion-PGM
+    * "video" container (every frame is a self-describing PGM, frames
+    * abut with no index): each header is parsed, its raster length
+    * computed, and the walk advances to the next frame until the bytes
+    * are exhausted. Frame geometry may vary frame to frame. */
+  def decodePgmFrames(bytes: Array[Byte]): IndexedSeq[Image] = {
+    val out = IndexedSeq.newBuilder[Image]
+    var pos = 0
+    def nextToken(): Int = {
+      var inComment = false
+      while (pos < bytes.length &&
+        (inComment || bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') inComment = true
+        else if (bytes(pos) == '\n') inComment = false
+        pos += 1
+      }
+      require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
+        "expected a decimal token in a PGM frame header")
+      var v = 0
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+        require(v < (1 << 20), "PGM frame header token out of range")
+      }
+      v
+    }
+    while (pos < bytes.length) {
+      require(pos + 2 <= bytes.length && bytes(pos) == 'P' && bytes(pos + 1) == '5',
+        s"expected a P5 frame at offset $pos")
+      pos += 2
+      val w = nextToken(); val h = nextToken(); val maxval = nextToken()
+      require(w > 0 && h > 0 && maxval > 0 && maxval < 256,
+        s"bad PGM frame ${w}x$h maxval=$maxval")
+      pos += 1 // the single whitespace byte after maxval
+      val n = w * h
+      require(bytes.length >= pos + n, "truncated PGM frame raster")
+      out += Image(w, h, 1, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+      pos += n
+    }
+    out.result()
+  }
 }

@@ -31,6 +31,14 @@ class MultimodalEdgeSpec extends SparkSpec {
     assert(m4.head.getLong(0) == 0L && m4.head.getLong(2) == 0L) // bl_sum 0
   }
 
+  test("m07 survives an empty document; frame walk sees all-zero frames") {
+    val m7 = MultimodalQueries.m07_video_motion(spark, dir).collect()
+    assert(m7.length == 3)
+    // empty doc: len%6+2 = 2 zero frames → luma0 = 0, motion = 0
+    assert(m7.head.getLong(1) == 2L && m7.head.getLong(2) == 0L &&
+      m7.head.getLong(3) == 0L)
+  }
+
   test("m06 survives an empty document; identical docs still pair up") {
     val pairs = MultimodalQueries.m06_image_dhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
