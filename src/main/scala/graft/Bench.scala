@@ -125,15 +125,26 @@ object Bench {
       .map(_.group(1)).getOrElse("0")
     val ing = ingest.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    // "value" is steady-state probe cost (layout ingest split out since r10);
+    // "total_with_ingest" keeps cross-round totals comparable with pre-split
+    // rounds, and "bench_schema":2 marks the semantics change explicitly.
+    val totalWithIngest = total + ingest.values.sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"ingest":$ing,"sf":$sfNum}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","bench_schema":2,"total_with_ingest":$totalWithIngest%.3f,"queries":$qs,"reps":$reps,"ingest":$ing,"sf":$sfNum}"""
     println(line)
     // the driver keeps only a tail of stdout, which truncates the
     // per-query map at 145 queries — persist the full line next to the
-    // repo so per-query figures stay reviewable (see PERF.md)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
-    catch { case _: Throwable => }
+    // repo so per-query figures stay reviewable (see PERF.md). Anchored to
+    // the repo root (not cwd) and loud on failure: a silently-stale file
+    // would defeat the truncation workaround it exists for.
+    try {
+      val root = sys.env.get("SPARK_GRAFT_REPO_ROOT")
+        .orElse(Option(System.getProperty("user.dir"))).getOrElse(".")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(root, "BENCH_LOCAL.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write FAILED (stale snapshot on disk): $e")
+    }
     spark.stop()
   }
 }

@@ -528,6 +528,13 @@ object RelationalQueries {
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val p = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q37_z_$tag").getAbsolutePath
+      // Month index base 1995-01 comes from the TESTDATA.md orders date
+      // contract (current span 1995-01..2001-08, index 0..79); the 7-bit
+      // morton domain caps the index at 127 = 2005-08. A driver-side data
+      // regeneration past that ceiling fails the ingest loudly via the
+      // morton guard rather than mis-laying the z-curve. If that happens,
+      // update the base/width HERE and in the q37/q43 oracle SQL (which
+      // hardcodes the same `(year-1995)*12 + month-1` formula) together.
       Tables.orders(s, dir)
         .withColumn("zval", morton(col("o_custkey") % 64,
           (year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1))
