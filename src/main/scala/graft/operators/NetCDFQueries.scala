@@ -356,6 +356,55 @@ object NetCDFQueries {
       .orderBy("id_dim")
   }
 
+  /** qn10 — unlimited-dimension APPEND shape (the reference's `dim_unlim`
+    * import capability, oph_query_engine_language.h:85-89; unlimited-dim
+    * NetCDF-4 import in oph_io_server_nc.c:2716-3243): a time×8 series
+    * written through the HDF5 1.10 "latest" writer with dim 0 declared
+    * H5S_UNLIMITED and the extensible-array chunk index — once at 40
+    * time steps and once re-written at 100 steps, i.e. the same dataset
+    * before and after an append along time. Both files import through
+    * `file_import`; the 40-step frame must be an exact prefix of the
+    * 100-step frame (LEFT join on id_dim), and the appended tail must
+    * read correctly. With (1,8) chunks and eaDataBlkMin=4/eaPageBits=4
+    * the grown file's 100-chunk grid walks every EA addressing tier:
+    * 4 inline EAIB elements, index-block direct data blocks
+    * (generations 0-3), then PAGED data blocks behind an EASB secondary
+    * block (generation 4+) — while the 40-step file stops at the direct
+    * tier, so the prefix equality check crosses addressing tiers. */
+  def qn10_hdf5_unlimited_append(s: SparkSession, dir: String): DataFrame = {
+    val nCols = 8
+    def series(nT: Int): Array[Double] =
+      Array.tabulate(nT * nCols)(k =>
+        (k / nCols) * 0.5 + (k % nCols) * 0.125) // exact in binary
+    def mkVar(nT: Int) = graft.sources.HDF5.H5Var("measure",
+      Seq("time" -> nT, "col" -> nCols), series(nT),
+      chunkDims = Some(Seq(1, nCols)))
+    val tmp = Files.createTempDirectory("graft_h5unlim")
+    val beforePath = tmp.resolve("series_t40.h5").toString
+    val afterPath = tmp.resolve("series_t100.h5").toString
+    graft.sources.HDF5.writeLatestVars(beforePath, Seq(mkVar(40)),
+      index = "extarray", eaPageBits = 4, eaDataBlkMin = 4)
+    graft.sources.HDF5.writeLatestVars(afterPath, Seq(mkVar(100)),
+      index = "extarray", eaPageBits = 4, eaDataBlkMin = 4)
+    val ses = new IoServer(s).newSession()
+    ses.execute(s"operation=file_import;frag_name=t40;src_path=@$beforePath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=t100;src_path=@$afterPath;" +
+      "measure=measure;explicit=1")
+    val before = ses.execute(
+      "operation=select;field=id_dim|measure;from=t40;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_before"))
+    val after = ses.execute(
+      "operation=select;field=id_dim|measure;from=t100;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_after"))
+    after.join(before, Seq("id_dim"), "left")
+      .select(col("id_dim"), col("m_after"),
+        coalesce(col("m_before"), lit("")).as("m_before"),
+        when(col("m_before").isNotNull, lit(1L)).otherwise(lit(0L))
+          .as("in_before"))
+      .orderBy("id_dim")
+  }
+
   /** qn06 — CDF-5 (the PnetCDF 64-bit-data classic variant): the qn02
     * grid written as CDF-5 and CDF-1, both through file_import → the
     * DSv2 reader, joined on id_dim. Proves the widened NON_NEG header
@@ -395,9 +444,21 @@ object NetCDFQueries {
     "qn07_zarr_v3_roundtrip" -> (qn07_zarr_v3_roundtrip _),
     "qn08_export_formats" -> (qn08_export_formats _),
     "qn09_cf_unpack" -> (qn09_cf_unpack _),
+    "qn10_hdf5_unlimited_append" -> (qn10_hdf5_unlimited_append _),
   )
 
   val oracles: Map[String, String] = Map(
+    "qn10_hdf5_unlimited_append" ->
+      """SELECT i AS id_dim,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_after,
+         CASE WHEN i <= 40 THEN array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           ELSE '' END AS m_before,
+         CAST(CASE WHEN i <= 40 THEN 1 ELSE 0 END AS BIGINT) AS in_before
+         FROM range(1, 101) t(i)
+         ORDER BY id_dim""",
     "qn01_netcdf_roundtrip" ->
       """SELECT vec_id + 1 AS id_dim,
          coalesce(array_to_string(list_transform(
