@@ -227,7 +227,99 @@ object DialectQueries {
       .crossJoin(broadcast(ffAgg))
   }
 
+  /** qd09 — the reference client loop END-TO-END over a real TCP socket
+    * (oph_io_client_test.c:28-40: connect → PG → UD → EQ… → RS), binary
+    * wire mode. Every byte of the lifecycle crosses a loopback socket
+    * through [[graft.service.IoService]]'s frame codec: PG ping, UD
+    * database select, create_frag, FOUR chunked prepared multi_insert
+    * runs (tot_run/curr_run as frame fields, 25 rows each bound as
+    * DL longs + DB packed-double blobs), a CTAS with an array primitive
+    * and a key-algebra WHERE, a select, and an RS fetch whose framed
+    * payload (NUL-terminated longs + packed-double BLOB cells) is
+    * decoded back into the returned DataFrame. Driver-side rows here are
+    * the PROTOCOL under test, not a data path — the result set is one
+    * wire page (34 rows), the same bounded shape the reference client
+    * materializes. */
+  def qd09_wire_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+    import java.nio.{ByteBuffer, ByteOrder}
+    val svc = new graft.service.IoService(s, 0, "binary")
+    try {
+      val c = new java.net.Socket("127.0.0.1", svc.boundPort)
+      try {
+        val out = new DataOutputStream(new BufferedOutputStream(c.getOutputStream))
+        val in = new DataInputStream(new BufferedInputStream(c.getInputStream))
+        def wu64(v: Long): Unit = out.writeLong(java.lang.Long.reverseBytes(v))
+        def wu32(v: Int): Unit = out.writeInt(java.lang.Integer.reverseBytes(v))
+        def ru64(): Long = java.lang.Long.reverseBytes(in.readLong())
+        def ru32(): Int = java.lang.Integer.reverseBytes(in.readInt())
+        def wstr(t: String): Unit = { // C-style strlen+1 with NUL
+          val b = (t + "\u0000").getBytes("UTF-8")
+          wu64(b.length.toLong); out.write(b)
+        }
+        def tag(): String = {
+          val b = new Array[Byte](2); in.readFully(b); new String(b, "UTF-8")
+        }
+        def expect(want: String): Unit = {
+          val got = tag()
+          require(got == want, s"wire: expected $want frame, got $got")
+        }
+        out.write("PG".getBytes); out.flush(); expect("PG")
+        out.write("UD".getBytes); wstr("default"); wstr("memory"); out.flush()
+        expect("UD")
+        def eq(q: String): Unit = {
+          out.write("EQ".getBytes); wu32(1); wstr(q); wstr("memory")
+          out.flush(); expect("EQ")
+        }
+        eq("operation=create_frag;frag_name=wirein;" +
+          "column_name=id_dim|measure;column_type=long|double_array")
+        val placeholders = (1 to 50).map(k => s"?$k").mkString("|")
+        (0 until 4).foreach { run =>
+          out.write("EQ".getBytes); wu32(51)
+          wstr("operation=multi_insert;frag_name=wirein;" +
+            s"field=id_dim|measure;value=$placeholders")
+          wstr("memory")
+          wu64(4L); wu64(run + 1L) // tot_run, curr_run frame fields
+          (1 to 25).foreach { j =>
+            val i = run * 25 + j // id 1..100
+            wu64(8L); out.write("DL".getBytes)
+            out.writeLong(java.lang.Long.reverseBytes(i.toLong))
+            val blob = graft.sources.BinaryCodec.packDoubles(
+              (0 until 8).map(k => (i - 1) * 0.5 + k * 0.125))
+            wu64(blob.length.toLong); out.write("DB".getBytes); out.write(blob)
+          }
+          out.flush(); expect("EQ")
+        }
+        eq("operation=create_frag_select;frag_name=wout;" +
+          "field=id_dim|oph_mul_scalar('oph_double','oph_double',measure,2.0);" +
+          "field_alias=id_dim|measure;from=wirein;" +
+          "where=oph_is_in_subset(id_dim,1,3,100)")
+        eq("operation=select;field=id_dim|measure;from=wout;order=id_dim")
+        out.write("RS".getBytes); out.flush(); expect("RS")
+        val payloadLen = ru64(); val nRows = ru64(); val nFields = ru32()
+        require(nFields == 2, s"wire: expected 2 fields, got $nFields")
+        var seen = 0L
+        val rows = (0L until nRows).map { _ =>
+          val l1 = ru64(); val v1 = new Array[Byte](l1.toInt); in.readFully(v1)
+          val id = new String(v1, 0, l1.toInt - 1, "UTF-8").toLong // NUL-term
+          val l2 = ru64(); val v2 = new Array[Byte](l2.toInt); in.readFully(v2)
+          val bb = ByteBuffer.wrap(v2).order(ByteOrder.LITTLE_ENDIAN)
+          val m = (0 until (l2 / 8).toInt)
+            .map(k => math.floor(bb.getDouble(k * 8) * 1e12).toLong)
+            .mkString(",") // client-side fx12 twin
+          seen += 16L + l1 + l2
+          (id, m)
+        }
+        require(seen == payloadLen,
+          s"wire: payload length $payloadLen, cells consumed $seen")
+        import s.implicits._
+        rows.toDF("id_dim", "measure").orderBy("id_dim")
+      } finally c.close()
+    } finally svc.stop()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd09_wire_roundtrip" -> (qd09_wire_roundtrip _),
     "qd08_dialect_catalog" -> (qd08_dialect_catalog _),
     "qd05_dialect_insert" -> (qd05_dialect_insert _),
     "qd06_dialect_random" -> (qd06_dialect_random _),
@@ -243,6 +335,14 @@ object DialectQueries {
     s"array_to_string(list_transform(($e), v -> CAST(floor(v * 1e12) AS BIGINT)), ',')"
 
   val oracles: Map[String, String] = Map(
+    "qd09_wire_roundtrip" ->
+      """SELECT i AS id_dim,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 2.0 * 1e12) AS BIGINT)),
+           ',') AS measure
+         FROM range(1, 101) t(i)
+         WHERE (i - 1) % 3 = 0
+         ORDER BY id_dim""",
     "qd08_dialect_catalog" ->
       """SELECT 'cat' AS current_db,
          CAST(1 AS BIGINT) AS fn_ge88,
