@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.core.Tables
@@ -134,6 +134,59 @@ object StreamQueries {
     }
   }
 
+  /** As-of group handler shared by q26 (MemoryStream) and q45 (file
+    * source): state is the latest purchase (ts, value); the group's
+    * micro-batch replays in event-time order — at equal ts purchases
+    * apply first (>= as-of), later event_id wins — so arrival order
+    * inside a batch cannot change the answer. */
+  private def asofHandler(user: Long,
+      it: Iterator[(Long, Long, Long, String, Double)],
+      state: org.apache.spark.sql.streaming.GroupState[(Long, Double)])
+      : Iterator[(Long, Long, Long, Double, Long, Double)] = {
+    val evs = it.toIndexedSeq.sortBy(e =>
+      (e._3, if (e._4 == "purchase") 0 else 1, e._1))
+    var st = state.getOption
+    val emitted = evs.flatMap {
+      case (_, _, ts, "purchase", v) =>
+        if (st.isEmpty || ts >= st.get._1) st = Some((ts, v))
+        Nil
+      case (eid, u, ts, _, v) =>
+        Seq((eid, u, ts, v,
+          st.map(_._1).getOrElse(-1L), st.map(_._2).getOrElse(0.0)))
+    }
+    st.foreach(state.update)
+    emitted.iterator
+  }
+
+  /** Bounded top-k group handler shared by q28 (MemoryStream) and q46
+    * (file source): state is the current top-k (value DESC, event_id
+    * ASC) — an ordered k-entry list, O(k) per arrival, and since the
+    * comparator is a strict total order the retained set is independent
+    * of arrival order. A flush tick emits the ranked winners. */
+  private def topkHandler(k: Int)(user: Long,
+      it: Iterator[(Long, Long, Double, Boolean)],
+      state: org.apache.spark.sql.streaming.GroupState[List[(Double, Long)]])
+      : Iterator[(Long, Long, Long, Double)] = {
+    var top = state.getOption.getOrElse(Nil)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double)]
+    def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    it.foreach { case (_, eid, v, flush) =>
+      if (flush) {
+        emitted ++= top.zipWithIndex.map { case ((tv, te), i) =>
+          (user, i + 1L, te, tv)
+        }
+        top = Nil
+      } else {
+        val (pre, post) = top.span(better(_, (v, eid)))
+        top = (pre ::: (v, eid) :: post).take(k)
+      }
+    }
+    if (top.isEmpty) state.remove() else state.update(top)
+    emitted.iterator
+  }
+
   /** q26 — streaming as-of enrichment: clicks and purchases flow through
     * flatMapGroupsWithState keyed by user; the state is the latest
     * purchase (ts, value) seen so far, and every click emits itself
@@ -163,25 +216,8 @@ object StreamQueries {
       .MemoryStream[(Long, Long, Long, String, Double)]
     val out = in.toDS()
       .groupByKey(_._2)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, it: Iterator[(Long, Long, Long, String, Double)],
-         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
-          // replay the group's micro-batch in event-time order; at equal
-          // ts purchases apply first (>= as-of), later event_id wins
-          val evs = it.toIndexedSeq.sortBy(e =>
-            (e._3, if (e._4 == "purchase") 0 else 1, e._1))
-          var st = state.getOption
-          val emitted = evs.flatMap {
-            case (_, _, ts, "purchase", v) =>
-              if (st.isEmpty || ts >= st.get._1) st = Some((ts, v))
-              Nil
-            case (eid, u, ts, _, v) =>
-              Seq((eid, u, ts, v,
-                st.map(_._1).getOrElse(-1L), st.map(_._2).getOrElse(0.0)))
-          }
-          st.foreach(state.update)
-          emitted.iterator
-      }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        asofHandler)
       .toDF("event_id", "user_id", "ts", "value", "purchase_ts",
         "purchase_value")
     val q = out.writeStream.outputMode(OutputMode.Append)
@@ -299,29 +335,8 @@ object StreamQueries {
       .MemoryStream[(Long, Long, Double, Boolean)]
     val out = in.toDS()
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[(Long, Long, Double, Boolean)],
-         state: org.apache.spark.sql.streaming.GroupState[List[(Double, Long)]]) =>
-          var top = state.getOption.getOrElse(Nil)
-          val emitted = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Long, Double)]
-          def better(a: (Double, Long), b: (Double, Long)): Boolean =
-            a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-          it.foreach { case (_, eid, v, flush) =>
-            if (flush) {
-              emitted ++= top.zipWithIndex.map { case ((tv, te), i) =>
-                (user, i + 1L, te, tv)
-              }
-              top = Nil
-            } else {
-              // ordered insert into the bounded list (k is tiny)
-              val (pre, post) = top.span(better(_, (v, eid)))
-              top = (pre ::: (v, eid) :: post).take(k)
-            }
-          }
-          if (top.isEmpty) state.remove() else state.update(top)
-          emitted.iterator
-      }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        topkHandler(k))
       .toDF("user_id", "rank", "event_id", "value")
     val q = out.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("q28_stream_out").start()
@@ -672,7 +687,301 @@ object StreamQueries {
     }
   }
 
+  /** q45 — q26's as-of enrichment fed by a REAL FileStreamSource: the
+    * click/purchase rows land as two ts-split executor-parallel parquet
+    * drops in a watched directory — the production ingest shape — and
+    * flow through the SAME flatMapGroupsWithState handler as q26. No
+    * driver-side row injection: the driver computes only the 2-value
+    * ts-bounds aggregate for the cut point. File order inside a drop is
+    * arbitrary; the handler's per-batch event-time re-sort absorbs it,
+    * and the strict ts value boundary between drops keeps equal-ts runs
+    * in one micro-batch. Must hash-match q24's batch ASOF oracle. */
+  def q45_asof_filesource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("ts").as("tns"), col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+    val (lo, hi) = tsBounds(ev, "tns")
+    val splitTs = lo + (hi - lo) / 2 // strict value boundary between drops
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("tsus", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    withWatchDir("graft_q45_src") { watch =>
+      val out = s.readStream.schema(schema).parquet(watch)
+        .toDF("_1", "_2", "_3", "_4", "_5")
+        .as[(Long, Long, Long, String, Double)]
+        .groupByKey(_._2)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          asofHandler)
+        .toDF("event_id", "user_id", "ts", "value", "purchase_ts",
+          "purchase_value")
+      val q = out.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("q45_stream_out").start()
+      def drop(p: Column): DataFrame = ev.filter(p)
+        .select(col("event_id"), col("user_id"),
+          KeyAlgebra.ldiv(col("tns"), lit(1000L)).as("tsus"),
+          col("event_type"), col("value"))
+      feedDrops(q, watch, Seq(
+        drop(col("tns") <= splitTs), drop(col("tns") > splitTs)))
+      val sink = s.table("q45_stream_out")
+      val result = sink.collect().toIndexedSeq
+      val schemaOut = sink.schema
+      s.catalog.dropTempView("q45_stream_out")
+      s.createDataFrame(s.sparkContext.parallelize(result, 1), schemaOut)
+        .orderBy("event_id")
+    }
+  }
+
+  /** q46 — q28's bounded-state top-k fed by a REAL FileStreamSource:
+    * two event-id-split drops, then a FLUSH drop that is itself an
+    * executor-parallel write of `select user_id distinct` — so even the
+    * flush ticks never pass through the driver. Same handler as q28;
+    * the bounded-insert comparator is a strict total order, so the
+    * retained top-k is independent of file arrival order. */
+  def q46_topk_filesource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField, StructType}
+    val k = 3
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val (lo, hi) = tsBounds(ev, "event_id")
+    val splitId = lo + (hi - lo) / 2
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("value", DoubleType), StructField("flush", BooleanType)))
+    withWatchDir("graft_q46_src") { watch =>
+      val out = s.readStream.schema(schema).parquet(watch)
+        .toDF("_1", "_2", "_3", "_4")
+        .as[(Long, Long, Double, Boolean)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          topkHandler(k))
+        .toDF("user_id", "rank", "event_id", "value")
+      val q = out.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("q46_stream_out").start()
+      def dataDrop(p: Column): DataFrame = ev.filter(p)
+        .withColumn("flush", lit(false))
+      val flushDrop = ev.select("user_id").distinct()
+        .select(col("user_id"), lit(-1L).as("event_id"),
+          lit(0.0).as("value"), lit(true).as("flush"))
+      feedDrops(q, watch, Seq(
+        dataDrop(col("event_id") <= splitId),
+        dataDrop(col("event_id") > splitId),
+        flushDrop))
+      val sink = s.table("q46_stream_out")
+      val result = sink.collect().toIndexedSeq
+      val schemaOut = sink.schema
+      s.catalog.dropTempView("q46_stream_out")
+      s.createDataFrame(s.sparkContext.parallelize(result, 1), schemaOut)
+        .orderBy("user_id", "rank")
+    }
+  }
+
+  /** q47 — q31's watermarked stream-stream interval join with BOTH
+    * sides fed by real FileStreamSources: clicks and purchases each
+    * land in their own watched directory as ts-split executor-parallel
+    * drops, and one micro-batch consumes the new files of both sources
+    * together. The strict ts value boundary between drops gives the
+    * same cross-batch state reuse q31 proves; no driver row injection
+    * anywhere. Must hash-match the batch interval join. */
+  def q47_join_filesource(s: SparkSession, dir: String): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4") // q31's state-store sizing
+    try q47_join_filesource0(s, dir)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def q47_join_filesource0(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("ts").as("tns"), col("event_id"), col("user_id"),
+        col("event_type"))
+    val (lo, hi) = tsBounds(ev, "tns")
+    val splitTs = lo + (hi - lo) / 2
+    val cSchema = StructType(Seq(
+      StructField("ctns", LongType), StructField("click_id", LongType),
+      StructField("c_user", LongType)))
+    val pSchema = StructType(Seq(
+      StructField("ptns", LongType), StructField("purchase_id", LongType),
+      StructField("p_user", LongType)))
+    withWatchDir("graft_q47_c") { watchC =>
+      withWatchDir("graft_q47_p") { watchP =>
+        val clicks = s.readStream.schema(cSchema).parquet(watchC)
+          .withColumn("cts", timestamp_micros(KeyAlgebra.ldiv(col("ctns"), lit(1000L))))
+          .withWatermark("cts", "0 seconds")
+        val purchases = s.readStream.schema(pSchema).parquet(watchP)
+          .withColumn("pts", timestamp_micros(KeyAlgebra.ldiv(col("ptns"), lit(1000L))))
+          .withWatermark("pts", "0 seconds")
+        val joined = clicks.join(purchases,
+            expr("c_user = p_user AND pts BETWEEN cts - INTERVAL 24 HOURS AND cts"))
+          .select(col("click_id"), col("purchase_id"),
+            col("c_user").as("user_id"),
+            (KeyAlgebra.ldiv(col("ctns"), lit(1000L)) -
+              KeyAlgebra.ldiv(col("ptns"), lit(1000L))).as("lag_us"))
+        val q = joined.writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName("q47_stream_out").start()
+        // parquet resolves columns BY NAME at read: each side's drop
+        // must carry that side's stream schema names
+        def sideDrop(p: Column, typ: String, dst: String,
+            names: Seq[String]): Unit =
+          ev.filter(p && col("event_type") === typ)
+            .select(col("tns").as(names(0)), col("event_id").as(names(1)),
+              col("user_id").as(names(2)))
+            .coalesce(4).write.mode("append").parquet(dst)
+        try {
+          Seq(col("tns") <= splitTs, col("tns") > splitTs).foreach { p =>
+            sideDrop(p, "click", watchC, Seq("ctns", "click_id", "c_user"))
+            sideDrop(p, "purchase", watchP, Seq("ptns", "purchase_id", "p_user"))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        val sink = s.table("q47_stream_out")
+        val result = sink.collect().toIndexedSeq
+        val schemaOut = sink.schema
+        s.catalog.dropTempView("q47_stream_out")
+        s.createDataFrame(s.sparkContext.parallelize(result, 1), schemaOut)
+          .orderBy("click_id", "purchase_id")
+      }
+    }
+  }
+
+  /** q48 — q44's stream-stream LEFT OUTER interval join from two real
+    * FileStreamSources: the outer (no-purchase) rows only emit when the
+    * shared watermark proves no future match can arrive, driven here by
+    * a far-future sentinel row dropped into EACH landing directory.
+    * Nulls coalesce to −1 as in q44. No driver row injection beyond the
+    * two 1-row sentinels (harness control, not event data). */
+  def q48_outer_join_filesource(s: SparkSession, dir: String): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try q48_outer_join_filesource0(s, dir)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def q48_outer_join_filesource0(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("ts").as("tns"), col("event_id"), col("user_id"),
+        col("event_type"))
+    val (lo, hi) = tsBounds(ev, "tns")
+    val splitTs = lo + (hi - lo) / 2
+    val sentinelNs = hi + (86400L + 7200L) * 1000000000L
+    val cSchema = StructType(Seq(
+      StructField("ctns", LongType), StructField("click_id", LongType),
+      StructField("c_user", LongType)))
+    val pSchema = StructType(Seq(
+      StructField("ptns", LongType), StructField("purchase_id", LongType),
+      StructField("p_user", LongType)))
+    withWatchDir("graft_q48_c") { watchC =>
+      withWatchDir("graft_q48_p") { watchP =>
+        val clicks = s.readStream.schema(cSchema).parquet(watchC)
+          .withColumn("cts", timestamp_micros(KeyAlgebra.ldiv(col("ctns"), lit(1000L))))
+          .withWatermark("cts", "0 seconds")
+        val purchases = s.readStream.schema(pSchema).parquet(watchP)
+          .withColumn("pts", timestamp_micros(KeyAlgebra.ldiv(col("ptns"), lit(1000L))))
+          .withWatermark("pts", "0 seconds")
+        val joined = clicks.join(purchases,
+            expr("c_user = p_user AND pts BETWEEN cts - INTERVAL 24 HOURS AND cts"),
+            "leftOuter")
+          .select(col("click_id"),
+            coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+            col("c_user").as("user_id"),
+            coalesce(KeyAlgebra.ldiv(col("ctns"), lit(1000L)) -
+              KeyAlgebra.ldiv(col("ptns"), lit(1000L)), lit(-1L)).as("lag_us"))
+        val q = joined.writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName("q48_stream_out").start()
+        // parquet resolves columns BY NAME at read: each side's drop
+        // must carry that side's stream schema names
+        def sideDrop(p: Column, typ: String, dst: String,
+            names: Seq[String]): Unit =
+          ev.filter(p && col("event_type") === typ)
+            .select(col("tns").as(names(0)), col("event_id").as(names(1)),
+              col("user_id").as(names(2)))
+            .coalesce(4).write.mode("append").parquet(dst)
+        try {
+          Seq(col("tns") <= splitTs, col("tns") > splitTs).foreach { p =>
+            sideDrop(p, "click", watchC, Seq("ctns", "click_id", "c_user"))
+            sideDrop(p, "purchase", watchP, Seq("ptns", "purchase_id", "p_user"))
+            q.processAllAvailable()
+          }
+          // both sources carry the sentinel so the SHARED watermark
+          // advances past every real click's match window
+          Seq((sentinelNs, -1L, -1L)).toDF("ctns", "click_id", "c_user")
+            .write.mode("append").parquet(watchC)
+          Seq((sentinelNs, -1L, -1L)).toDF("ptns", "purchase_id", "p_user")
+            .write.mode("append").parquet(watchP)
+          q.processAllAvailable()
+        } finally q.stop()
+        val sink = s.table("q48_stream_out").filter(col("user_id") >= 0L)
+        val result = sink.collect().toIndexedSeq
+        val schemaOut = sink.schema
+        s.catalog.dropTempView("q48_stream_out")
+        s.createDataFrame(s.sparkContext.parallelize(result, 1), schemaOut)
+          .orderBy("click_id", "purchase_id")
+      }
+    }
+  }
+
+  /** q49 — q36's exactly-once dedup from a real FileStreamSource: drop 1
+    * delivers every early event TWICE (an executor-parallel union write),
+    * drop 2 delivers the rest plus a re-delivery of the trailing hour of
+    * drop 1 — all within the 1 h watermark delay, the API's contract.
+    * `dropDuplicatesWithinWatermark` state absorbs every duplicate, so
+    * the per-user aggregate equals the duplicate-free batch answer. The
+    * re-delivery cut uses the drop-1 ceiling (splitTs), which bounds the
+    * true drop-1 maximum from above, so every re-delivered row is at or
+    * above the post-drop-1 watermark — never late. */
+  def q49_dedup_filesource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts").as("tns"), col("user_id"),
+        col("value"))
+    val (lo, hi) = tsBounds(ev, "tns")
+    val splitTs = lo + (hi - lo) / 2
+    val hourNs = 3600L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("tns", LongType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    withWatchDir("graft_q49_src") { watch =>
+      val deduped = s.readStream.schema(schema).parquet(watch)
+        .withColumn("ts", timestamp_micros(KeyAlgebra.ldiv(col("tns"), lit(1000L))))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select("event_id", "user_id", "value")
+      val q = deduped.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("q49_stream_out").start()
+      val batch1 = ev.filter(col("tns") <= splitTs)
+      val redeliver = ev.filter(
+        col("tns") > splitTs - hourNs && col("tns") <= splitTs)
+      feedDrops(q, watch, Seq(
+        batch1.union(batch1), // in-batch double delivery
+        ev.filter(col("tns") > splitTs).union(redeliver))) // cross-batch
+      val sink = s.table("q49_stream_out")
+      val out = sink.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      val result = out.collect().toIndexedSeq
+      val schemaOut = out.schema
+      s.catalog.dropTempView("q49_stream_out")
+      s.createDataFrame(s.sparkContext.parallelize(result, 1), schemaOut)
+        .orderBy("user_id")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_asof_filesource" -> (q45_asof_filesource _),
+    "q46_topk_filesource" -> (q46_topk_filesource _),
+    "q47_join_filesource" -> (q47_join_filesource _),
+    "q48_outer_join_filesource" -> (q48_outer_join_filesource _),
+    "q49_dedup_filesource" -> (q49_dedup_filesource _),
     "q42_stream_session_window" -> (q42_stream_session_window _),
     "q44_stream_outer_join" -> (q44_stream_outer_join _),
     "q39_incremental_mv" -> (q39_incremental_mv _),
@@ -685,7 +994,48 @@ object StreamQueries {
     "q28_stream_topk" -> (q28_stream_topk _),
   )
 
+  // Batch oracles shared by each MemoryStream harness and its
+  // file-source twin — one SQL text per semantic, referenced twice.
+  private val dedupOracle =
+    """SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY user_id ORDER BY user_id"""
+  private val outerJoinOracle =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type
+         FROM events)
+       SELECT c.event_id AS click_id,
+         coalesce(p.event_id, -1) AS purchase_id,
+         c.user_id, coalesce(c.us - p.us, -1) AS lag_us
+       FROM (SELECT * FROM e WHERE event_type = 'click') c
+       LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id
+         AND p.us BETWEEN c.us - 86400000000 AND c.us
+       ORDER BY click_id, purchase_id"""
+  private val innerJoinOracle =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type
+         FROM events)
+       SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+         c.user_id, (c.us - p.us) AS lag_us
+       FROM e c JOIN e p ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.us BETWEEN c.us - 86400000000 AND c.us
+       ORDER BY click_id, purchase_id"""
+  private val topkOracle =
+    """SELECT user_id, rank, event_id, value FROM (
+         SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY value DESC, event_id) AS rank
+         FROM events)
+       WHERE rank <= 3 ORDER BY user_id, rank"""
+
   val oracles: Map[String, String] = Map(
+    // each file-source twin must converge to the SAME batch answer as
+    // its MemoryStream original — the ingest path is the only variable
+    "q45_asof_filesource" -> RelationalQueries.oracles("q24_asof_join"),
+    "q46_topk_filesource" -> topkOracle,
+    "q47_join_filesource" -> innerJoinOracle,
+    "q48_outer_join_filesource" -> outerJoinOracle,
+    "q49_dedup_filesource" -> dedupOracle,
     // the engine-native streaming sessionizer must converge to the
     // batch session_window answer (q40's half-open-interval contract)
     "q42_stream_session_window" -> RelationalQueries.oracles("q40_session_window"),
@@ -697,34 +1047,13 @@ object StreamQueries {
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     // the watermarked dedup must make double delivery invisible: the
     // emitted stream aggregates to the duplicate-free batch answer
-    "q36_stream_dedup_watermark" ->
-      """SELECT user_id, count(*) AS n_events,
-         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q36_stream_dedup_watermark" -> dedupOracle,
     // the outer stream-stream join must emit the batch LEFT interval
     // join exactly — including the null-extended (here −1-coalesced)
     // rows that only watermark-driven state eviction can produce
-    "q44_stream_outer_join" ->
-      """WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type
-           FROM events)
-         SELECT c.event_id AS click_id,
-           coalesce(p.event_id, -1) AS purchase_id,
-           c.user_id, coalesce(c.us - p.us, -1) AS lag_us
-         FROM (SELECT * FROM e WHERE event_type = 'click') c
-         LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
-           ON c.user_id = p.user_id
-           AND p.us BETWEEN c.us - 86400000000 AND c.us
-         ORDER BY click_id, purchase_id""",
+    "q44_stream_outer_join" -> outerJoinOracle,
     // the stream-stream join must emit exactly the batch interval join
-    "q31_stream_join" ->
-      """WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type
-           FROM events)
-         SELECT c.event_id AS click_id, p.event_id AS purchase_id,
-           c.user_id, (c.us - p.us) AS lag_us
-         FROM e c JOIN e p ON c.user_id = p.user_id
-           AND c.event_type = 'click' AND p.event_type = 'purchase'
-           AND p.us BETWEEN c.us - 86400000000 AND c.us
-         ORDER BY click_id, purchase_id""",
+    "q31_stream_join" -> innerJoinOracle,
     "q23_stream_window" ->
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS window_start,
          count(*) AS n,
@@ -740,12 +1069,6 @@ object StreamQueries {
     "q26_stream_asof" -> RelationalQueries.oracles("q24_asof_join"),
     // the streaming sessionizer must converge to the batch sessionization
     "q27_stream_sessionize" -> RelationalQueries.oracles("q17_sessionize_batch"),
-    "q28_stream_topk" ->
-      """SELECT user_id, rank, event_id, value FROM (
-           SELECT user_id, event_id, value,
-             row_number() OVER (PARTITION BY user_id
-               ORDER BY value DESC, event_id) AS rank
-           FROM events)
-         WHERE rank <= 3 ORDER BY user_id, rank""",
+    "q28_stream_topk" -> topkOracle,
   )
 }
