@@ -322,13 +322,25 @@ object DedupQueries {
     * cluster) and the cluster size — the canonical "duplicate cluster
     * manifest" a 100 TB dedup pass hands to the keep/drop stage. */
   def d14_dedup_components(s: SparkSession, dir: String): DataFrame = {
-    val pairs = verifiedPairs(s, dir).select("doc_a", "doc_b")
-    val lbl = GraphComponents.labels(pairs)
+    val lbl = componentLabels(s, dir)
     val sizes = lbl.groupBy("comp").agg(count(lit(1)).as("n_members"))
     lbl.join(sizes, "comp")
       .select(col("node").as("doc_id"), col("comp"), col("n_members"))
       .orderBy("doc_id")
   }
+
+  /** Connected-component labels over the verified near-dup pair graph,
+    * memoized per (session, dir) like [[verifiedPairs]]: d14 (the
+    * cluster manifest) and p13 (dedup-aware sampling weights) share one
+    * O(log n)-round [[GraphComponents]] pass instead of each paying the
+    * iterative join chain. The result is localCheckpoint'd eagerly — it
+    * is one bounded row per clustered doc, and the final distinct()
+    * shuffle of the labeling must not replay per consumer. */
+  private def componentLabels(s: SparkSession, dir: String): DataFrame =
+    memoize(s, dir, "componentLabels") {
+      GraphComponents.labels(verifiedPairs(s, dir).select("doc_a", "doc_b"))
+        .localCheckpoint(true)
+    }
 
   /** d17 — INCREMENTAL minhash dedup: probe an arriving delta batch
     * (doc_id % 10 == 0) against the band index of the already-ingested
@@ -393,8 +405,7 @@ object DedupQueries {
     import graft.functions.KeyAlgebra.ldiv
     import org.apache.spark.sql.expressions.Window
     val k = 128L
-    val pairs = verifiedPairs(s, dir).select("doc_a", "doc_b")
-    val lbl = GraphComponents.labels(pairs)
+    val lbl = componentLabels(s, dir)
     val sizes = lbl.groupBy("comp").agg(count(lit(1)).as("n"))
     val csize = lbl.join(sizes, "comp")
       .select(col("node").as("doc_id"), col("n"))
