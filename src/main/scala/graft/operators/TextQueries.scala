@@ -433,15 +433,11 @@ object TextQueries {
     def curve(df: DataFrame, scope: Column, part: Seq[String]): DataFrame = {
       // TopKPerKey ranks by (ord DESC, tie ASC) — exactly the
       // row_number() order the oracle replays; max rank consumed is 1024.
-      // The double cast of df is exact only below 2^53 distinct docs per
-      // gram — above that, equal doubles fall back to hv-ASC tie order.
-      // No realistic corpus reaches 2^53 docs, but the assumption is
-      // TopKPerKey's (its ord column is double by contract), not free.
+      // The doc-frequency ord is a LONG and ranks exactly at any corpus
+      // size (TopKPerKey compares long ords with no double mantissa cap).
       val keyed = if (part.isEmpty) df.withColumn("__scope", lit(0L)) else df
       val keys = if (part.isEmpty) Seq("__scope") else part
-      val ranked = graft.plans.TopKPerKey(
-          keyed.withColumn("__ord", col("df").cast("double")),
-          keys, "__ord", "hv", 1024)
+      val ranked = graft.plans.TopKPerKey(keyed, keys, "df", "hv", 1024)
         .filter(col("rank").isInCollection(ranks ++ ranks.map(_ * 2)))
       val a = ranked.select((part.map(col) :+ col("rank") :+ col("df")): _*)
       val b = ranked.select((part.map(col) :+ (col("rank") / 2).cast("long")

@@ -26,8 +26,9 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * Semantics (fixed to the ANN ranking shape): rank 1..k by
   * (ord DESC, tie ASC), exactly `row_number() OVER (PARTITION BY keys
-  * ORDER BY ord DESC, tie ASC) <= k`. `ord` must be double, `tie` long,
-  * both non-null.
+  * ORDER BY ord DESC, tie ASC) <= k`. `ord` must be double (Spark SQL
+  * sort order, NaN largest) or long (exact at any magnitude — counts
+  * above 2^53 rank correctly), `tie` long, both non-null.
   */
 final case class TopKPerKeyNode(keys: Seq[Expression], ord: Expression,
     tie: Expression, k: Int, rankAttr: AttributeReference,
@@ -86,6 +87,9 @@ final case class TopKPartialExec(keys: Seq[Expression], ord: Expression,
       val keyProj = UnsafeProjection.create(keys, child.output)
       val ordEval = BindReferences.bindReference(ord, child.output)
       val tieEval = BindReferences.bindReference(tie, child.output)
+      val longMode = ordEval.dataType == LongType
+      def ordD(o: Any): Double = if (longMode) 0.0 else o.asInstanceOf[Double]
+      def ordL(o: Any): Long = if (longMode) o.asInstanceOf[Long] else 0L
       val heaps = mutable.LinkedHashMap
         .empty[UnsafeRow, mutable.PriorityQueue[Entry]]
       // lazy flatMap: pass-through rows stream straight into the shuffle
@@ -94,15 +98,15 @@ final case class TopKPartialExec(keys: Seq[Expression], ord: Expression,
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(q) =>
-            offer(q, kk,
-              ordEval.eval(row).asInstanceOf[Double],
+            val o = ordEval.eval(row)
+            offer(longMode, q, kk, ordD(o), ordL(o),
               tieEval.eval(row).asInstanceOf[Long], row)
             Iterator.empty
           case None if heaps.size < PartialMaxKeys =>
-            val q = mutable.PriorityQueue.empty[Entry](evictOrd)
+            val q = mutable.PriorityQueue.empty[Entry](evictOrd(longMode))
             heaps.put(key.copy(), q)
-            offer(q, kk,
-              ordEval.eval(row).asInstanceOf[Double],
+            val o = ordEval.eval(row)
+            offer(longMode, q, kk, ordD(o), ordL(o),
               tieEval.eval(row).asInstanceOf[Long], row)
             Iterator.empty
           case None => Iterator.single(row) // map full: superset is fine
@@ -116,8 +120,11 @@ final case class TopKPartialExec(keys: Seq[Expression], ord: Expression,
 }
 
 object TopKPerKeyExec {
-  /** One buffered candidate (shared by the partial and final heaps). */
-  final case class Entry(ordV: Double, tieV: Long, row: InternalRow)
+  /** One buffered candidate (shared by the partial and final heaps).
+    * Exactly one of (ordV, ordL) is live, selected by the operator's
+    * ord datatype — a LONG ord column compares exactly (no 2^53 double
+    * mantissa cap), a DOUBLE ord with Spark's NaN/-0.0 sort order. */
+  final case class Entry(ordV: Double, ordL: Long, tieV: Long, row: InternalRow)
 
   /** Distinct keys a PARTIAL tracks per input partition before new keys
     * degrade to pass-through (≈ keys·k small rows of heap state). */
@@ -130,32 +137,40 @@ object TopKPerKeyExec {
   def cmpOrd(x: Double, y: Double): Int =
     if (x == y) 0 else java.lang.Double.compare(x, y)
 
+  /** Entry ord comparison under the operator's mode: long ords compare
+    * exactly, double ords via [[cmpOrd]]. */
+  def cmpEntryOrd(longMode: Boolean, aD: Double, aL: Long, bD: Double,
+      bL: Long): Int =
+    if (longMode) java.lang.Long.compare(aL, bL) else cmpOrd(aD, bD)
+
   /** Max-heap whose TOP is the WORST entry (lowest ord; ties: highest
     * tie value), so the replace test against the incumbent is O(1). */
-  val evictOrd: Ordering[Entry] = Ordering.fromLessThan { (a, b) =>
-    val c = cmpOrd(a.ordV, b.ordV)
-    c > 0 || (c == 0 && a.tieV < b.tieV)
-  }
+  def evictOrd(longMode: Boolean): Ordering[Entry] =
+    Ordering.fromLessThan { (a, b) =>
+      val c = cmpEntryOrd(longMode, a.ordV, a.ordL, b.ordV, b.ordL)
+      c > 0 || (c == 0 && a.tieV < b.tieV)
+    }
 
   /** Offer a row to a k-bounded heap; the row is COPIED only when it is
     * actually retained (the common rejected row costs no allocation). */
-  def offer(q: mutable.PriorityQueue[Entry], k: Int, ordV: Double,
-      tieV: Long, row: InternalRow): Unit =
-    if (q.size < k) q.enqueue(Entry(ordV, tieV, row.copy()))
+  def offer(longMode: Boolean, q: mutable.PriorityQueue[Entry], k: Int,
+      ordV: Double, ordL: Long, tieV: Long, row: InternalRow): Unit =
+    if (q.size < k) q.enqueue(Entry(ordV, ordL, tieV, row.copy()))
     else {
       val w = q.head
-      val c = cmpOrd(ordV, w.ordV)
+      val c = cmpEntryOrd(longMode, ordV, ordL, w.ordV, w.ordL)
       if (c > 0 || (c == 0 && tieV < w.tieV)) {
-        q.dequeue(); q.enqueue(Entry(ordV, tieV, row.copy()))
+        q.dequeue(); q.enqueue(Entry(ordV, ordL, tieV, row.copy()))
       }
     }
 
   /** [[offer]] for an already-materialized entry (spill merge path). */
-  def offerEntry(q: mutable.PriorityQueue[Entry], k: Int, e: Entry): Unit =
+  def offerEntry(longMode: Boolean, q: mutable.PriorityQueue[Entry], k: Int,
+      e: Entry): Unit =
     if (q.size < k) q.enqueue(e)
     else {
       val w = q.head
-      val c = cmpOrd(e.ordV, w.ordV)
+      val c = cmpEntryOrd(longMode, e.ordV, e.ordL, w.ordV, w.ordL)
       if (c > 0 || (c == 0 && e.tieV < w.tieV)) { q.dequeue(); q.enqueue(e) }
     }
 
@@ -203,8 +218,12 @@ final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
       val keyProj = UnsafeProjection.create(keys, child.output)
       val ordEval = BindReferences.bindReference(ord, child.output)
       val tieEval = BindReferences.bindReference(tie, child.output)
-      require(ordEval.dataType == DoubleType && tieEval.dataType == LongType,
-        "TopKPerKey expects a double ordering column and a long tie column")
+      val longMode = ordEval.dataType == LongType
+      require((ordEval.dataType == DoubleType || longMode) &&
+          tieEval.dataType == LongType,
+        "TopKPerKey expects a double or long ordering column and a long tie column")
+      def ordD(o: Any): Double = if (longMode) 0.0 else o.asInstanceOf[Double]
+      def ordL(o: Any): Long = if (longMode) o.asInstanceOf[Long] else 0L
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
       // ---- spill machinery: past spillKeys distinct keys the heap map
       // flushes to a key-SORTED disk run ((key, entries≤k) groups), and
@@ -232,7 +251,7 @@ final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
           out.writeInt(kb.length); out.write(kb)
           out.writeInt(es.length)
           es.foreach { e =>
-            out.writeDouble(e.ordV); out.writeLong(e.tieV)
+            out.writeDouble(e.ordV); out.writeLong(e.ordL); out.writeLong(e.tieV)
             val rb = e.row.asInstanceOf[UnsafeRow].getBytes
             out.writeInt(rb.length); out.write(rb)
           }
@@ -245,12 +264,13 @@ final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
           case Some(q0) => q0
           case None =>
             if (heaps.size >= spillKeys) spill()
-            val q0 = mutable.PriorityQueue.empty[Entry](TopKPerKeyExec.evictOrd)
+            val q0 = mutable.PriorityQueue.empty[Entry](
+              TopKPerKeyExec.evictOrd(longMode))
             heaps.put(key.copy(), q0)
             q0
         }
-        TopKPerKeyExec.offer(q, kk,
-          ordEval.eval(row).asInstanceOf[Double],
+        val o = ordEval.eval(row)
+        TopKPerKeyExec.offer(longMode, q, kk, ordD(o), ordL(o),
           tieEval.eval(row).asInstanceOf[Long], row)
       }
       // emit UnsafeRows: downstream operators may buffer without copying
@@ -281,11 +301,12 @@ final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
               val kb = new Array[Byte](nextKeyLen); in.readFully(kb)
               val n = in.readInt()
               val es = Array.tabulate(n) { _ =>
-                val ordV = in.readDouble(); val tieV = in.readLong()
+                val ordV = in.readDouble(); val ordLv = in.readLong()
+                val tieV = in.readLong()
                 val rb = new Array[Byte](in.readInt()); in.readFully(rb)
                 val ur = new UnsafeRow(nFields)
                 ur.pointTo(rb, rb.length)
-                Entry(ordV, tieV, ur)
+                Entry(ordV, ordLv, tieV, ur)
               }
               nextKeyLen = readLen()
               (kb, es)
@@ -306,10 +327,11 @@ final case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
               var minKey = live.head.head._1
               live.foreach(r =>
                 if (cmpBytes(r.head._1, minKey) < 0) minKey = r.head._1)
-              val q = mutable.PriorityQueue.empty[Entry](TopKPerKeyExec.evictOrd)
+              val q = mutable.PriorityQueue.empty[Entry](
+                TopKPerKeyExec.evictOrd(longMode))
               live.foreach { r =>
                 if (cmpBytes(r.head._1, minKey) == 0) {
-                  r.head._2.foreach(e => offerEntry(q, kk, e))
+                  r.head._2.foreach(e => offerEntry(longMode, q, kk, e))
                   r.advance()
                 }
               }

@@ -48,6 +48,37 @@ class TopKPerKeyPropSpec extends SparkSpec {
     }
   }
 
+  test("long ord ranks exactly above 2^53 (where a double cast would tie)") {
+    import spark.implicits._
+    // consecutive longs above 2^53 are indistinguishable after a double
+    // cast (2^53 and 2^53+1 round to the same double) — the long-ord
+    // path must still order them exactly, for every k and under spill
+    val base = 1L << 53
+    val rows = for (key <- 0L to 3L; i <- 0L until 40L)
+      yield (key, base + i, key * 1000L + i) // ord strictly increasing
+    for (k <- Seq(1, 5); spill <- Seq(None, Some("3"))) {
+      spill.foreach(spark.conf.set(TopKPerKeyExec.SpillKeysConf, _))
+      try {
+        val df = rows.toDF("key", "ord", "tie").repartition(5)
+        val viaHeap = TopKPerKey(df, Seq("key"), "ord", "tie", k)
+          .select("key", "ord", "tie", "rank")
+          .collect().map(_.toSeq).sortBy(_.toString)
+        val w = Window.partitionBy("key").orderBy(col("ord").desc, col("tie"))
+        val viaWindow = df
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+          .select("key", "ord", "tie", "rank")
+          .collect().map(_.toSeq).sortBy(_.toString)
+        assert(viaHeap.toSeq == viaWindow.toSeq, s"long-ord k=$k spill=$spill")
+        // the top-1 of each key must be the true max (base+39), which a
+        // double-cast ord could not distinguish from base+32..38
+        val top1 = TopKPerKey(df, Seq("key"), "ord", "tie", 1)
+          .select("ord").as[Long].collect().toSet
+        assert(top1 == Set(base + 39L), s"exact >2^53 max, spill=$spill")
+      } finally spark.conf.unset(TopKPerKeyExec.SpillKeysConf)
+    }
+  }
+
   test("final-stage spill (forced) is oracle-identical to the in-memory path") {
     import spark.implicits._
     // 120 distinct keys against a 7-key spill budget: every partition
