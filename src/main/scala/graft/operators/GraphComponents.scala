@@ -63,7 +63,14 @@ object GraphComponents {
     * columns, any names — positionally (a, b)). Output: (node, comp)
     * with comp = min node id of the component; the minimum labels
     * itself. */
-  def labels(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def labels(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    labelsWithRounds(edges, maxIter)._1
+
+  /** [[labels]] plus the number of large+small-star rounds executed
+    * before the edge-set fixpoint — the observable the depth probes pin
+    * (a path graph of length L must converge in O(log L) rounds, not
+    * O(L)). */
+  def labelsWithRounds(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     val spark = edges.sparkSession
     var e = canon(edges.toDF("u", "v")).localCheckpoint(true)
     var signature = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
@@ -86,8 +93,8 @@ object GraphComponents {
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
     // star forest: (u → comp) edges for non-roots; roots label themselves
-    e.select(col("u").as("node"), col("v").as("comp"))
+    (e.select(col("u").as("node"), col("v").as("comp"))
       .unionByName(e.select(col("v").as("node"), col("v").as("comp")).distinct())
-      .distinct()
+      .distinct(), it)
   }
 }

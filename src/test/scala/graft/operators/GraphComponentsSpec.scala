@@ -81,4 +81,25 @@ class GraphComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 301 && got.values.forall(_ == 0L))
   }
+
+  test("deep paths: round count grows logarithmically with chain length") {
+    // the depth probe the corpus can't produce (its near-dup clusters
+    // give ~4 rounds): pure path graphs of growing diameter, round
+    // count pinned. 64× deeper chain may add only ~log2(64)=6 rounds;
+    // a diameter-bound algorithm would need 64× the rounds.
+    val s = spark
+    import s.implicits._
+    def rounds(n: Long): Int = {
+      val edges = (0L until n).map(i => (i + 1, i))
+      val (lbl, r) = GraphComponents.labelsWithRounds(edges.toDF("a", "b"))
+      val got = lbl.collect().map(x => x.getLong(0) -> x.getLong(1))
+      assert(got.length == n + 1 && got.forall(_._2 == 0L), s"labels at n=$n")
+      r
+    }
+    val r256 = rounds(256L)
+    val r16k = rounds(16384L)
+    assert(r16k <= r256 + 8,
+      s"rounds grew super-logarithmically: $r256 @256 -> $r16k @16k")
+    assert(r16k <= 16, s"absolute round budget at depth 16k: $r16k")
+  }
 }
