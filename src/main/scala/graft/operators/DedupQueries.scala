@@ -514,6 +514,37 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d18 — train/eval DECONTAMINATION: the pipeline stage that removes
+    * benchmark leakage from a training corpus (the 13-gram-collision
+    * methodology of the GPT-3/Llama data cards, here on the engine's
+    * 5-token gram kernel). Docs with doc_id % 37 == 0 stand in for the
+    * held-out eval set; a training doc is flagged when it shares ≥ 3
+    * distinct grams with a single benchmark doc. Output per
+    * contaminated doc: how many benchmark docs it hits, the worst
+    * single-benchmark overlap, and the total.
+    *
+    * Scale shape: this is an inverted-index probe, not a dedup pass —
+    * the benchmark gram postings are the SMALL side (an eval suite is
+    * MBs against a 100 TB corpus; Spark broadcasts it under AQE) and
+    * the training side streams through one hash join keyed on gram.
+    * Cost is |train grams| × benchmark-bucket occupancy; the corpus
+    * never self-joins. */
+  def d18_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val gx = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(
+        graft.plans.Gram5TokenHashSet(col("text"))).as("gram"))
+    val bench = gx.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    val train = gx.filter(col("doc_id") % 37 =!= 0)
+    val pair = train.join(bench, "gram")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("ov"))
+      .filter(col("ov") >= 3L)
+    pair.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench"), max("ov").as("max_overlap"),
+        sum("ov").as("tot_overlap"))
+      .orderBy("doc_id")
+  }
+
   /** d04 — SimHash near-dup: 60-bit signatures, candidates share the
     * high-30-bit band (equi-join, not cross join), kept if Hamming
     * distance ≤ 2. */
@@ -807,6 +838,7 @@ object DedupQueries {
     "d04_simhash" -> (d04_simhash _),
     "d14_dedup_components" -> (d14_dedup_components _),
     "d16_containment" -> (d16_containment _),
+    "d18_decontaminate" -> (d18_decontaminate _),
     "d15_dup_ngram_spans" -> (d15_dup_ngram_spans _),
     "d05_ngram_jaccard" -> (d05_ngram_jaccard _),
     "d11_dedup_provenance" -> (d11_dedup_provenance _),
@@ -1001,6 +1033,20 @@ object DedupQueries {
       SELECT count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
       FROM documents d LEFT JOIN nbr ON d.doc_id = nbr.doc_id
       WHERE nbr.min_nbr IS NULL OR nbr.min_nbr >= d.doc_id""",
+    "d18_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       g AS (SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 3),
+             i -> CAST('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15)
+                  AS BIGINT)))) AS gram
+         FROM toks WHERE len(t) >= 5),
+       b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 37 = 0),
+       t AS (SELECT doc_id, gram FROM g WHERE doc_id % 37 <> 0),
+       pair AS (SELECT t.doc_id, b.bench_id, count(*) AS ov
+         FROM t JOIN b USING (gram) GROUP BY 1, 2 HAVING count(*) >= 3)
+       SELECT doc_id, count(*) AS n_bench, max(ov) AS max_overlap,
+         CAST(sum(ov) AS BIGINT) AS tot_overlap
+       FROM pair GROUP BY 1 ORDER BY doc_id""",
     "d16_containment" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        g AS (SELECT doc_id, unnest(list_distinct(
