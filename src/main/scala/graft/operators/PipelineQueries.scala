@@ -433,7 +433,51 @@ object PipelineQueries {
       .orderBy("seq")
   }
 
+  /** p15 — quality-ranked token-budget selection: rank every doc by a
+    * deterministic quality score (lexical diversity, fixed-point
+    * distinct-token ratio), then fill a token budget of 60% of the
+    * corpus greedily from the top — "give me the best N tokens", the
+    * data-selection step between scoring and training. A doc is kept iff
+    * the running token total THROUGH it stays ≤ budget, so the kept set
+    * is a prefix of the quality ordering and never overshoots.
+    *
+    * Scale shape: the global quality rank is [[SequentialId]] (range
+    * exchange + broadcast offsets, no single-task sort) and the running
+    * total over that rank is [[PrefixSum.blockStarts]]'s three-level
+    * scan keyed by rank-block — the same no-global-window layout as
+    * p04, but over a quality ordering instead of doc_id order. Output
+    * is per-source kept counts + token sums with an id-sum checksum. */
+  def p15_token_budget(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_dist"))
+      .withColumn("score",
+        when(col("n_tok") === 0L, lit(0L))
+          .otherwise(ldiv(col("n_dist") * 1000000L, col("n_tok"))))
+    val budget = docs.agg(ldiv(sum("n_tok") * 6L, lit(10L)).as("budget"))
+    val ranked = SequentialId.withSequentialId(
+      docs, "rank", Seq(col("score").desc, col("doc_id")))
+      .withColumn("blk", ldiv(col("rank") - 1L, lit(512L)))
+    val blkStart = PrefixSum.blockStarts(
+      ranked.groupBy("blk").agg(sum("n_tok").as("blk_tok")), "blk", "blk_tok")
+    ranked.join(blkStart, "blk")
+      .withColumn("cum", col("blk_start") + sum("n_tok").over(
+        Window.partitionBy("blk").orderBy("rank")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(budget))
+      .withColumn("kept", col("cum") <= col("budget"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tok_kept"),
+        sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_token_budget" -> (p15_token_budget _),
     "p14_epoch_shuffle" -> (p14_epoch_shuffle _),
     "p12_dataset_card" -> (p12_dataset_card _),
     "p11_filter_funnel" -> (p11_filter_funnel _),
@@ -450,6 +494,23 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p15_token_budget" ->
+      """WITH m AS (SELECT doc_id, source,
+           len(string_split(text, ' '))::BIGINT AS n_tok,
+           CASE WHEN len(string_split(text, ' ')) = 0 THEN 0
+             ELSE (len(list_distinct(string_split(text, ' '))) * 1000000)
+                  // len(string_split(text, ' ')) END AS score
+         FROM documents),
+       b AS (SELECT (sum(n_tok) * 6) // 10 AS budget FROM m),
+       r AS (SELECT m.*, sum(n_tok) OVER (ORDER BY score DESC, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum FROM m),
+       k AS (SELECT r.*, r.cum <= b.budget AS kept FROM r CROSS JOIN b)
+       SELECT source, count(*)::BIGINT AS n_total,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept,
+         CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT)
+           AS kept_id_sum
+       FROM k GROUP BY source ORDER BY source""",
     // the permutation is pure integer arithmetic, so the oracle replays
     // it exactly; row_number here is DuckDB's — the Spark side must
     // produce the identical dense numbering WITHOUT a global window

@@ -293,6 +293,49 @@ object SimilarityQueries {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** s11 — Matryoshka (prefix-dimension) retrieval: the coarse pass
+    * ranks by cosine over only the FIRST 16 of 64 dimensions — the
+    * nested-prefix property of Matryoshka representation learning
+    * (Kusupati et al. 2022): a prefix of the embedding is itself a
+    * usable lower-capacity embedding — then the top-20 survivors per
+    * query are reranked with the full 64-dim cosine to the final
+    * top-5. Stage 1 reads 1/4 of the vector bytes per candidate (at
+    * 100 TB with the prefix stored as its own column the scan itself
+    * shrinks 4×, the same column-pruning shape as s07's block screen);
+    * stage 2 is a point-lookup join on the 20·|Q| surviving vec_ids,
+    * not a second scan. Rank/tie rules as s01/s05 (desc sim, then
+    * vec_id); both stages replay bit-exact in SQL via the shared
+    * left-fold dot. */
+  def s11_ann_matryoshka(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+      .withColumn("p", slice(col("a"), 1, 16))
+      .withColumn("nrm", norm(col("a")))
+      .withColumn("pnrm", norm(col("p")))
+      .filter(col("nrm") > 0.0 && col("pnrm") > 0.0)
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("p").as("qp"), col("pnrm").as("qpn"),
+        col("a").as("qa"), col("nrm").as("qn"))
+    // stage 1: 16-dim prefix cosine — 16 multiplies/candidate
+    val simsp = base.select("vec_id", "p", "pnrm")
+      .crossJoin(broadcast(qs.select("query_id", "qp", "qpn")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("simp", dot(col("qp"), col("p")) / (col("qpn") * col("pnrm")))
+      .select("query_id", "vec_id", "simp")
+    val cand = graft.plans.TopKPerKey(simsp, Seq("query_id"), "simp", "vec_id", 20)
+      .select("query_id", "vec_id")
+    // stage 2: full-dim exact rerank over the gathered candidates
+    val rerank = cand
+      .join(base.select(col("vec_id"), col("a"), col("nrm")), "vec_id")
+      .join(broadcast(qs.select("query_id", "qa", "qn")), "query_id")
+      .withColumn("sim", dot(col("qa"), col("a")) / (col("qn") * col("nrm")))
+      .select("query_id", "vec_id", "sim")
+    graft.plans.TopKPerKey(rerank, Seq("query_id"), "sim", "vec_id", 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** s08 — product quantization (PQ) with asymmetric distance (Jégou
     * et al.): the 64-dim space splits into M=8 subspaces of 8 dims,
     * each with a K=16-entry codebook, so a database vector compresses
@@ -420,6 +463,7 @@ object SimilarityQueries {
     "s03_ann_ivf_multiprobe" -> (s03_ann_ivf_multiprobe _),
     "s04_ann_quantized" -> (s04_ann_quantized _),
     "s10_ann_filtered" -> (s10_ann_filtered _),
+    "s11_ann_matryoshka" -> (s11_ann_matryoshka _),
   )
 
   private val sqlDot =
@@ -564,6 +608,32 @@ object SimilarityQueries {
           ${sqlDot.replace("X", "q.a").replace("Y", "x.a")} / (q.nrm * x.nrm) AS sim
         FROM cand c JOIN nz x ON c.vec_id = x.vec_id
           JOIN nz q ON c.query_id = q.vec_id)
+      SELECT query_id, rank, neighbor_id, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims) WHERE rank <= 5 ORDER BY query_id, rank""",
+    "s11_ann_matryoshka" -> s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
+        FROM embeddings),
+      n0 AS (SELECT vec_id, a, a[1:16] AS p,
+          sqrt(list_reduce(list_transform(a, x -> x*x), (p,q) -> p+q)) AS nrm,
+          sqrt(list_reduce(list_transform(a[1:16], x -> x*x), (p,q) -> p+q))
+            AS pnrm
+        FROM e),
+      n AS (SELECT * FROM n0 WHERE nrm > 0 AND pnrm > 0),
+      cand AS (SELECT query_id, vec_id FROM (
+          SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              ${sqlDot.replace("range(1, 65)", "range(1, 17)")
+                      .replace("X", "q.p").replace("Y", "x.p")}
+                / (q.pnrm * x.pnrm) DESC, x.vec_id) AS rq
+          FROM n q, n x WHERE q.vec_id % 50 = 0 AND x.vec_id <> q.vec_id)
+        WHERE rq <= 20),
+      sims AS (SELECT c.query_id, x.vec_id AS neighbor_id,
+          ${sqlDot.replace("X", "q.a").replace("Y", "x.a")} / (q.nrm * x.nrm) AS sim
+        FROM cand c JOIN n x ON c.vec_id = x.vec_id
+          JOIN n q ON c.query_id = q.vec_id)
       SELECT query_id, rank, neighbor_id, sim FROM (
         SELECT query_id, neighbor_id, sim,
           row_number() OVER (PARTITION BY query_id

@@ -193,7 +193,12 @@ object TextQueries {
     * per-doc sum folds position-sorted terms so the double addition
     * order is deterministic (bit-identical to the oracle's list_reduce).
     */
-  def t09_bigram_lm(s: SparkSession, dir: String): DataFrame = {
+  def t09_bigram_lm(s: SparkSession, dir: String): DataFrame =
+    bigramNll(s, dir).orderBy("doc_id")
+
+  /** Per-doc (doc_id, n_bigrams, avg_nll_fp) — shared train+score core
+    * of t09 (plain scoring) and t15 (tercile bucketing). */
+  private def bigramNll(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
     val big = toks
@@ -224,6 +229,33 @@ object TextQueries {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         floor(coalesce(col("total") / col("n_bigrams").cast("double"), lit(0.0))
           * 1e4).cast("long").as("avg_nll_fp"))
+  }
+
+  /** t15 — CCNet-style perplexity bucketing: score every doc with the
+    * t09 corpus bigram LM, then split the corpus into head / middle /
+    * tail terciles of ascending avg-NLL (head = the third the LM finds
+    * most predictable — in CCNet the slice kept for LM training; tail =
+    * the surprising third that gets dropped or down-weighted).
+    *
+    * The tercile assignment needs a GLOBAL rank over the score — the
+    * classic single-partition window trap. Instead the rank comes from
+    * [[SequentialId.withSequentialId]] (range-exchange sort + broadcast
+    * partition offsets, no single-task stage) and the bucket is pure
+    * integer arithmetic on (rank, N): bucket = ((rank−1)·3) div N, so
+    * both engines replay it exactly — no ntile, whose remainder
+    * distribution DuckDB and Spark define differently. */
+  def t15_perplexity_bucket(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val scored = bigramNll(s, dir).select("doc_id", "avg_nll_fp")
+    val n = scored.agg(count(lit(1)).as("n"))
+    val ranked = SequentialId.withSequentialId(
+      scored, "rank", Seq(col("avg_nll_fp"), col("doc_id")))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        when(ldiv((col("rank") - 1) * 3, col("n")) === 0, "head")
+          .when(ldiv((col("rank") - 1) * 3, col("n")) === 1, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("avg_nll_fp"), col("rank"), col("bucket"))
       .orderBy("doc_id")
   }
 
@@ -470,6 +502,7 @@ object TextQueries {
     "t06_vocabulary" -> (t06_vocabulary _),
     "t07_quality_repetition" -> (t07_quality_repetition _),
     "t08_boilerplate_share" -> (t08_boilerplate_share _),
+    "t15_perplexity_bucket" -> (t15_perplexity_bucket _),
   )
 
   private def sqlHs =
@@ -629,6 +662,31 @@ object TextQueries {
            AS BIGINT) AS avg_nll_fp
        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        ORDER BY d.doc_id""",
+    "t15_perplexity_bucket" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       pos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS pos FROM toks),
+       big AS (SELECT doc_id, pos, tk[pos] AS w1, tk[pos+1] AS w2 FROM pos),
+       c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+       c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+       v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM toks)),
+       term AS (SELECT b.doc_id, b.pos,
+           -ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)::DOUBLE) AS t
+         FROM big b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+           JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v),
+       agg AS (SELECT doc_id, count(*) AS n_bigrams,
+           list_reduce(list(t ORDER BY pos), (x, y) -> x + y) AS total
+         FROM term GROUP BY doc_id),
+       score AS (SELECT d.doc_id,
+           CAST(floor(coalesce(a.total / a.n_bigrams::DOUBLE, 0.0) * 1e4)
+             AS BIGINT) AS avg_nll_fp
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+       r AS (SELECT doc_id, avg_nll_fp,
+           row_number() OVER (ORDER BY avg_nll_fp, doc_id) AS rank,
+           count(*) OVER () AS n FROM score)
+       SELECT doc_id, avg_nll_fp, rank,
+         CASE ((rank - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+           ELSE 'tail' END AS bucket
+       FROM r ORDER BY doc_id""",
     "t08_boilerplate_share" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        g AS (SELECT doc_id, unnest(list_distinct(

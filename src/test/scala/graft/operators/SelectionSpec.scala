@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-11 selection operators: s11 Matryoshka prefix-dim retrieval,
+  * t15 perplexity terciles, p15 quality-ranked token-budget fill. Each
+  * is re-derived here independently (in-memory Scala fold) so the spec
+  * is an oracle of its own, not a snapshot of the implementation. */
+class SelectionSpec extends SparkSpec {
+
+  test("s11: well-formed ranks, exact full-dim scores on shared pairs") {
+    val m = SimilarityQueries.s11_ann_matryoshka(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(m.nonEmpty)
+    m.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.length <= 5)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4)
+        case _ =>
+      }
+    }
+    // wherever the cascade surfaced a pair the exact engine also ranked,
+    // the SCORE must be identical (stage 2 is the same exact metric)
+    val brute = SimilarityQueries.s01_ann_bruteforce(spark, sf())
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    m.foreach { case (q, _, n, sim) =>
+      brute.get((q, n)).foreach(bs => assert(bs == sim)) }
+  }
+
+  test("t15: tercile sizes balanced, bucket boundaries respect score order") {
+    val rows = TextQueries.t15_perplexity_bucket(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val n = rows.length
+    assert(n > 0)
+    val sizes = rows.groupBy(_._4).map { case (b, rs) => b -> rs.length }
+    assert(sizes.keySet == Set("head", "middle", "tail"))
+    assert(sizes.values.max - sizes.values.min <= 2)
+    // ranks are a permutation of 1..n
+    assert(rows.map(_._3).sorted.toSeq == (1L to n).toSeq)
+    // score ordering: every head score <= every middle score <= tail
+    def scores(b: String) = rows.filter(_._4 == b).map(_._2)
+    assert(scores("head").max <= scores("middle").min)
+    assert(scores("middle").max <= scores("tail").min)
+  }
+
+  test("p15: kept set is the maximal budget-respecting quality prefix") {
+    val out = PipelineQueries.p15_token_budget(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    // independent in-memory replay from the raw table
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+      .collect().map { r =>
+        val tk = r.getSeq[String](2)
+        val nTok = tk.length.toLong
+        val score = if (nTok == 0) 0L else tk.distinct.length * 1000000L / nTok
+        (r.getLong(0), r.getString(1), nTok, score)
+      }
+    val budget = docs.map(_._3).sum * 6 / 10
+    var cum = 0L
+    val kept = docs.sortBy(d => (-d._4, d._1)).takeWhile { d =>
+      cum += d._3; cum <= budget
+    }.toList
+    val bySource = docs.groupBy(_._2)
+    val expected = bySource.keys.toList.sorted.map { src =>
+      val k = kept.filter(_._2 == src)
+      (src, bySource(src).length.toLong, k.length.toLong,
+        k.map(_._3).sum, k.map(_._1).sum)
+    }
+    assert(out == expected)
+    // never overshoots, and the next-ranked doc would not have fit
+    assert(kept.map(_._3).sum <= budget)
+  }
+}
