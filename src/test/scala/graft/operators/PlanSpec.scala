@@ -171,6 +171,17 @@ class PlanSpec extends SparkSpec {
       s"compaction target missed: $nCompact files")
   }
 
+  test("q50: DV and delta merge as broadcast ANTI joins; base is never rewritten") {
+    val df = RelationalQueries.q50_merge_on_read(spark, sf())
+    val p = plan(df)
+    val antis = "BroadcastHashJoin .*LeftAnti".r.findAllIn(p).length
+    assert(antis == 2, s"expected 2 broadcast anti joins (DV + delta), got $antis:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"merge must not shuffle the base:\n$p")
+    // the positional DV actually uses the scan's metadata row index
+    assert(p.contains("row_index") || p.contains("_metadata"),
+      s"DV join should key on the parquet row position:\n$p")
+  }
+
   test("d03/d04: LSH band buckets are triangle-split — group id joins the bucket") {
     // the tgrp pair-group must be part of the band-bucket join key (and
     // bsalt must survive for the canonical-pair filter), so a mega-bucket
