@@ -99,9 +99,82 @@ object ClusterQueries {
     assign(c1)
   }
 
+  /** c03 — PCA of the embedding cloud by power iteration, the
+    * dimensionality-reduction step an embedding pipeline runs before
+    * whitening / visualization / IVF training. Distribution shape:
+    * ONE partial+final aggregation builds the 64×64 Gram matrix of
+    * centered fixed-point vectors (4096 longs of aggregate state —
+    * constant, independent of row count), the eigensolve runs on the
+    * driver over that 32 KB artifact (the same model-artifact pattern
+    * as c02's centroids / s08's codebook), and the final component is
+    * broadcast back for a scan-parallel projection pass. At 100 TB
+    * nothing but the 4096-long state crosses the cluster.
+    *
+    * Determinism: vectors at 1e6 fixed point, Gram entries exact
+    * longs; the Gram is rescaled to ±1e12 and 20 power steps run in
+    * BigInt with ±1e6 renormalization each step — every division
+    * truncates toward zero, so DuckDB replays the identical integer
+    * sequence (HUGEINT + sign-guarded //). Output: the dominant
+    * eigenvector (64 fixed-point rows), a Rayleigh eigenvalue row,
+    * and per-label projection sums proving the distributed pass. */
+  def c03_pca_power(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1e6).cast("long")).as("v"))
+      .cache()
+    val nRows = e.count()
+    require(nRows > 0, "c03: empty embeddings table")
+    // per-dim truncating mean (64 longs to the driver)
+    val mSum = e.agg(ArrayAggregates.ewSumLong(col("v")).as("sv"))
+      .collect()(0).getSeq[Long](0)
+    val m: Array[Long] = mSum.map(_ / nRows).toArray
+    val centered = e.withColumn("c",
+      zip_with(col("v"), lit(m), (x, y) => x - y))
+    // Gram: flat 4096-entry outer product per row, elementwise-summed —
+    // the ONLY distributed reduction of the fit
+    val g: Array[Long] = centered
+      .select(flatten(transform(col("c"),
+        x => transform(col("c"), y => x * y))).as("op"))
+      .agg(ArrayAggregates.ewSumLong(col("op")).as("g"))
+      .collect()(0).getSeq[Long](0).toArray
+    // driver-side eigensolve in exact integer arithmetic (BigInt
+    // division truncates toward zero — mirrored in SQL by a
+    // sign-guarded HUGEINT //)
+    val gmax = math.max(g.map(math.abs).max, 1L)
+    val gs: Array[Long] =
+      g.map(x => (BigInt(x) * BigInt(1000000000000L) / gmax).toLong)
+    var w: Array[Long] = Array.fill(64)(1000000L)
+    def matvec(wv: Array[Long]): Array[BigInt] = Array.tabulate(64) { j =>
+      (0 until 64).foldLeft(BigInt(0))((acc, k) =>
+        acc + BigInt(gs(j * 64 + k)) * wv(k))
+    }
+    for (_ <- 1 to 20) {
+      val u = matvec(w)
+      val mx = u.map(_.abs).max.max(BigInt(1))
+      w = u.map(x => (x * 1000000 / mx).toLong)
+    }
+    val u8 = matvec(w)
+    val num = (0 until 64).foldLeft(BigInt(0))((a, j) => a + u8(j) * w(j))
+    val den = w.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * x).max(BigInt(1))
+    val lambdaFp = (num * 1000000 / den).toLong
+    import s.implicits._
+    val model = (w.zipWithIndex.map { case (x, j) => ("eig", j.toLong, x) } :+
+      (("lambda", -1L, lambdaFp))).toSeq.toDF("kind", "id", "val")
+    // broadcast projection: one scan-parallel pass, per-label sums
+    val proj = centered
+      .withColumn("p", aggregate(
+        zip_with(col("c"), lit(w), (x, y) => x * y), lit(0L), _ + _))
+      .groupBy("label")
+      .agg(sum("p").as("val"))
+      .select(lit("proj").as("kind"), col("label").cast("long").as("id"),
+        col("val"))
+    model.unionByName(proj).orderBy("kind", "id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_kmeans_embeddings" -> (c01_kmeans_embeddings _),
     "c02_kmeans_lloyd" -> (c02_kmeans_lloyd _),
+    "c03_pca_power" -> (c03_pca_power _),
   )
 
   /** c01 has no DuckDB oracle (MLlib init; driver records the weaker
@@ -135,7 +208,71 @@ object ClusterQueries {
                         (x,y) -> x+y)) AS ds
                     FROM e, c1))"""
 
+  /** c03 oracle: the 20 power steps unroll into generated CTEs w1..w20 —
+    * all integer arithmetic (DuckDB's BIGINT/HUGEINT `//` truncates
+    * toward zero exactly like the driver's BigInt), so the eigenvector
+    * replays bit-for-bit. */
+  private val pcaSql: String = {
+    def step(prev: String, t: Int): String =
+      s"""u$t AS (SELECT list_transform(range(0, 64), j ->
+             list_reduce(list_transform(range(0, 64),
+               k -> gs[j*64 + k + 1]::HUGEINT * w[k+1]::HUGEINT),
+               (a, b) -> a + b)) AS u
+           FROM gsc, $prev),
+       w$t AS (SELECT list_transform(u, x ->
+             CAST((x * 1000000) // mx AS BIGINT)) AS w
+           FROM (SELECT u, greatest(list_max(list_transform(u,
+             y -> abs(y))), 1::HUGEINT) AS mx FROM u$t))"""
+    val steps = (1 to 20).map(t => step(if (t == 1) "w0" else s"w${t - 1}", t))
+      .mkString(",\n       ")
+    s"""WITH e AS (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1e6) AS BIGINT))
+             AS v
+         FROM embeddings),
+       nn AS (SELECT count(*) AS n FROM e),
+       msum AS (SELECT i, CAST(sum(v[i]) AS BIGINT) AS s
+         FROM e, range(1, 65) t(i) GROUP BY i),
+       m AS (SELECT list(s // n ORDER BY i) AS m FROM msum, nn GROUP BY n),
+       c AS (SELECT e.vec_id, e.label,
+           list_transform(range(1, 65), i -> e.v[i] - m.m[i]) AS c
+         FROM e, m),
+       gf AS (SELECT jk, CAST(sum(c[jk // 64 + 1] * c[jk % 64 + 1]) AS BIGINT)
+             AS s
+         FROM c, range(0, 4096) t(jk) GROUP BY jk),
+       g AS (SELECT list(s ORDER BY jk) AS g FROM gf),
+       gmx AS (SELECT greatest(list_max(list_transform(g, x -> abs(x))),
+           1::BIGINT) AS gmax FROM g),
+       gsc AS (SELECT list_transform(g.g, x ->
+           CAST((x::HUGEINT * 1000000000000) // gmax AS BIGINT)) AS gs
+         FROM g, gmx),
+       w0 AS (SELECT list_transform(range(0, 64), j -> 1000000::BIGINT) AS w),
+       $steps,
+       uf AS (SELECT list_transform(range(0, 64), j ->
+             list_reduce(list_transform(range(0, 64),
+               k -> gs[j*64 + k + 1]::HUGEINT * w[k+1]::HUGEINT),
+               (a, b) -> a + b)) AS u
+           FROM gsc, w20),
+       lam AS (SELECT CAST((num * 1000000) // den AS BIGINT) AS l
+         FROM (SELECT
+             list_reduce(list_transform(range(0, 64),
+               j -> u[j+1] * w[j+1]::HUGEINT), (a, b) -> a + b) AS num,
+             greatest(list_reduce(list_transform(w,
+               x -> x::HUGEINT * x::HUGEINT), (a, b) -> a + b),
+               1::HUGEINT) AS den
+           FROM uf, w20))
+       SELECT kind, id, val FROM (
+         SELECT 'eig' AS kind, j::BIGINT AS id, w[j+1] AS val
+           FROM w20, range(0, 64) t(j)
+         UNION ALL SELECT 'lambda', -1::BIGINT, l FROM lam
+         UNION ALL SELECT 'proj', label::BIGINT, CAST(sum(p) AS BIGINT)
+           FROM (SELECT c.label, list_reduce(list_transform(range(1, 65),
+               i -> c.c[i] * w20.w[i]), (a, b) -> a + b) AS p
+             FROM c, w20) GROUP BY label)
+       ORDER BY kind, id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "c03_pca_power" -> pcaSql,
     "c02_kmeans_lloyd" ->
       s"""$lloydCte
        SELECT cid, any_value(n) AS n,
