@@ -387,7 +387,64 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m08 — audio near-dup scrub via energy-delta fingerprints (the
+    * Haitsma-Kalker shape): each document's WAV (m05's synthesis) is
+    * cut into 33 equal-duration segments — duration-relative, so the
+    * fingerprint is length-invariant like a real audio fingerprint is
+    * tempo-robust — and each of the 32 segment transitions contributes
+    * one bit (energy rose vs fell). Near-duplicate audio is then found
+    * exactly like m06 finds near-dup images: a 2×16-bit band equi-join
+    * proposes candidates, Hamming ≤ 4 verifies. Completes the
+    * modality-dedup triple (text d03/d04, image m06, audio m08).
+    *
+    * Scale shape: fingerprinting is one scan-parallel codec pass (4 B
+    * of index per clip); the band join is bounded-bucket (16-bit keys)
+    * with the d03/d04 skew story; verify is XOR + popcount. */
+  def m08_audio_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .filter(_._2.length >= 33) // need one sample per segment
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes("US-ASCII")
+        val samples = Array.tabulate(bytes.length)(i =>
+          (((bytes(i) & 0xFF) - 96) * 128).toShort)
+        MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
+      })
+    val fps = media.mapPartitions(_.map { r =>
+      val a = MediaCodec.decodeWav(r.payload).samples
+      val len = a.length
+      val es = Array.tabulate(33) { f =>
+        var e = 0L
+        var i = f * len / 33
+        val hi = (f + 1) * len / 33
+        while (i < hi) { val v = a(i).toLong; e += v * v; i += 1 }
+        e
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 32) { if (es(b + 1) > es(b)) fp |= 1L << b; b += 1 }
+      (r.doc_id, fp)
+    }).toDF("doc_id", "fp")
+    val bands = fps.select(col("doc_id"), col("fp"), explode(
+        array((0 until 2).map(b => struct(lit(b).as("b"),
+          shiftright(col("fp"), 16 * b).bitwiseAND(65535L).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.b"), col("bk.key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 4)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m08_audio_fingerprint" -> (m08_audio_fingerprint _),
     "m07_video_motion" -> (m07_video_motion _),
     "m06_image_dhash" -> (m06_image_dhash _),
     "m01_media_features" -> (m01_media_features _),
@@ -398,6 +455,33 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // replays the sample synthesis ((ascii−96)·128) and the segment
+    // energy walk — the WAV container encode/decode happens only on
+    // the Spark side, so a RIFF-offset bug there breaks the pairs
+    "m08_audio_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len
+         FROM documents WHERE length(text) >= 33),
+       e AS (SELECT doc_id, list_transform(range(0, 33), f ->
+           list_reduce(list_transform(range((f*len)//33, ((f+1)*len)//33),
+             i -> CAST((ascii(substr(text, i::INT + 1, 1)) - 96) * 128
+                    AS BIGINT)
+                  * CAST((ascii(substr(text, i::INT + 1, 1)) - 96) * 128
+                    AS BIGINT)),
+             (x, y) -> x + y)) AS es
+         FROM t),
+       fp AS (SELECT doc_id,
+           list_reduce(list_transform(range(0, 32), b ->
+             CASE WHEN es[b+2] > es[b+1] THEN (1::BIGINT << b::INT)
+               ELSE 0::BIGINT END), (x, y) -> x | y) AS fp
+         FROM e),
+       bands AS (SELECT doc_id, fp, b, (fp >> (16 * b::INT)) & 65535 AS key
+         FROM fp, range(0, 2) t2(b)),
+       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           bit_count(xor(x.fp, y.fp))::BIGINT AS hamming
+         FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+           AND x.doc_id < y.doc_id)
+       SELECT doc_a, doc_b, hamming FROM cand
+       WHERE hamming <= 4 ORDER BY doc_a, doc_b""",
     // replays the frame-fill arithmetic (pixel(f,p) = byte (f+3p) mod
     // len; ascii('') = 0 for the empty doc) — the PGM container walk
     // happens only on the Spark side, so a frame-boundary bug there

@@ -46,4 +46,29 @@ class MultimodalEdgeSpec extends SparkSpec {
     // which may band-collide but must not crash
     assert(pairs.contains((1L, 2L, 0L)))
   }
+
+  private lazy val audioDir: String = {
+    val d = Files.createTempDirectory("graft_m08_edge").toString
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and more"
+    Seq(
+      (0L, "", "en", "web", 0L),          // below the 33-sample floor
+      (1L, "short", "en", "web", 5L),     // below the floor too
+      (2L, base, "en", "web", base.length.toLong),
+      (3L, base, "en", "web", base.length.toLong), // exact audio dup
+      (4L, base.replace("quick", "quack"), "en", "web", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("m08: sub-segment clips are excluded; identical clips pair at hamming 0") {
+    val pairs = MultimodalQueries.m08_audio_fingerprint(spark, audioDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((2L, 3L, 0L)), s"exact dup missing: ${pairs.toList}")
+    // the <33-char clips never reach the band join
+    assert(pairs.forall { case (a, b, _) => a >= 2 && b >= 2 })
+    // every emitted pair respects ordering and the verify threshold
+    assert(pairs.forall { case (a, b, h) => a < b && h >= 0 && h <= 4 })
+  }
 }
