@@ -130,13 +130,31 @@ object ClusterQueries {
     val m: Array[Long] = mSum.map(_ / nRows).toArray
     val centered = e.withColumn("c",
       zip_with(col("v"), lit(m), (x, y) => x - y))
-    // Gram: flat 4096-entry outer product per row, elementwise-summed —
-    // the ONLY distributed reduction of the fit
-    val g: Array[Long] = centered
-      .select(flatten(transform(col("c"),
-        x => transform(col("c"), y => x * y))).as("op"))
-      .agg(ArrayAggregates.ewSumLong(col("op")).as("g"))
-      .collect()(0).getSeq[Long](0).toArray
+    // Gram: per-partition 4096-long accumulators in a tight primitive
+    // loop, one partial row per partition, summed on the driver — the
+    // treeAggregate shape (a 4096-wide array UDAF pays Seq[Long] boxing
+    // per ROW; this pays one small row per PARTITION). The only
+    // distributed reduction of the fit.
+    import s.implicits._
+    val partials: Array[Seq[Long]] = centered.select("c")
+      .as[Seq[Long]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](4096)
+        while (it.hasNext) {
+          val c = it.next()
+          var j = 0
+          while (j < 64) {
+            val cj = c(j)
+            var k = 0
+            while (k < 64) { acc(j * 64 + k) += cj * c(k); k += 1 }
+            j += 1
+          }
+        }
+        Iterator.single(acc.toSeq)
+      }.collect()
+    val g: Array[Long] = partials.foldLeft(new Array[Long](4096)) { (a, p) =>
+      var i = 0; while (i < 4096) { a(i) += p(i); i += 1 }; a
+    }
     // driver-side eigensolve in exact integer arithmetic (BigInt
     // division truncates toward zero — mirrored in SQL by a
     // sign-guarded HUGEINT //)
@@ -157,7 +175,6 @@ object ClusterQueries {
     val num = (0 until 64).foldLeft(BigInt(0))((a, j) => a + u8(j) * w(j))
     val den = w.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * x).max(BigInt(1))
     val lambdaFp = (num * 1000000 / den).toLong
-    import s.implicits._
     val model = (w.zipWithIndex.map { case (x, j) => ("eig", j.toLong, x) } :+
       (("lambda", -1L, lambdaFp))).toSeq.toDF("kind", "id", "val")
     // broadcast projection: one scan-parallel pass, per-label sums
