@@ -487,7 +487,69 @@ object TextQueries {
       .orderBy("scope", "rank")
   }
 
+  /** t16 — BM25 keyword retrieval: top-10 documents per query over an
+    * inverted postings index, the retrieval half of a RAG / data-curation
+    * stack. The idf uses BM25's rational core (N − df + ½)/(df + ½)
+    * WITHOUT the enclosing log: log is monotone, so per-term ranking is
+    * unchanged, and dropping it keeps every arithmetic step an
+    * IEEE-exact +/−/×/÷ that the DuckDB oracle replays bit-for-bit (libm
+    * log is not cross-engine reproducible in the last ulp). Per-term
+    * contributions are floored to 1e-6 fixed point BEFORE the per-doc
+    * sum, so the sum is an order-independent exact integer.
+    *
+    * Scale shape: the query-term table broadcasts into the posting scan,
+    * so only postings of query terms ever leave the scan — at 100 TB the
+    * corpus pass is one explode + map-side-combined groupBy(term, doc),
+    * and df for the handful of query terms is an aggregate over that
+    * already-filtered posting set, not a full-vocabulary pass. Document
+    * length rides the explode (no doc-side join), corpus stats are one
+    * broadcast 1-row aggregate, and the final ranking is the bounded
+    * [[graft.plans.TopKPerKey]] heap — ≤ k rows per query per partition
+    * reach the exchange, never the full score list. */
+  def t16_bm25_topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qterms = Seq(
+      (0L, "spark"), (0L, "join"), (0L, "merge"),
+      (1L, "table"), (1L, "scan"), (1L, "fast"), (1L, "slow"),
+      (2L, "key"), (2L, "hash"), (2L, "value"),
+      (3L, "window"), (3L, "sort"), (3L, "batch"),
+      (4L, "row"), (4L, "line"), (4L, "part"),
+      (5L, "query"), (5L, "order"), (5L, "the")).toDF("q_id", "term")
+    // dl rides the explode so no doc-length join is needed later
+    val post = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    val dfT = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("tot"))
+    val scored = post
+      .join(broadcast(dfT), "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("tot").cast("double") / col("n_docs").cast("double"))
+      // k1 = 1.2, b = 0.75 (so 1−b = 0.25, k1+1 = 2.2); parenthesization
+      // mirrored EXACTLY in the oracle so every double matches
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("num", col("tf").cast("double") * lit(2.2))
+      .withColumn("den", col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+      .withColumn("c_fp",
+        floor(col("idf") * (col("num") / col("den")) * lit(1e6)).cast("long"))
+    val score = scored.groupBy("q_id", "doc_id")
+      .agg(sum("c_fp").as("score_fp"), count(lit(1)).as("n_terms_hit"))
+    graft.plans.TopKPerKey(score, Seq("q_id"), "score_fp", "doc_id", 10)
+      .select("q_id", "rank", "doc_id", "score_fp", "n_terms_hit")
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_bm25_topk" -> (t16_bm25_topk _),
     "t14_zipf_curve" -> (t14_zipf_curve _),
     "t13_kmv_distinct" -> (t13_kmv_distinct _),
     "t12_cms_heavy_hitters" -> (t12_cms_heavy_hitters _),
@@ -509,6 +571,41 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    // rational-idf BM25 replay; parenthesization matches the Spark plan
+    // term by term so every IEEE double (and its 1e-6 floor) is identical
+    "t16_bm25_topk" ->
+      """WITH qt(q_id, term) AS (SELECT * FROM (VALUES
+           (0,'spark'),(0,'join'),(0,'merge'),
+           (1,'table'),(1,'scan'),(1,'fast'),(1,'slow'),
+           (2,'key'),(2,'hash'),(2,'value'),
+           (3,'window'),(3,'sort'),(3,'batch'),
+           (4,'row'),(4,'line'),(4,'part'),
+           (5,'query'),(5,'order'),(5,'the'))),
+       tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       dld AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       st AS (SELECT count(*) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         FROM dld),
+       post AS (SELECT term, doc_id, count(*) AS tf FROM tok
+         WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+       dfv AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       sc AS (SELECT CAST(q.q_id AS BIGINT) AS q_id, p.doc_id,
+           CAST(floor(
+             ((st.n_docs - v.df + 0.5) / (v.df + 0.5)) *
+             ((CAST(p.tf AS DOUBLE) * 2.2) /
+              (CAST(p.tf AS DOUBLE) + 1.2 *
+               (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / st.avgdl))) *
+             1e6) AS BIGINT) AS c
+         FROM post p JOIN qt q USING (term) JOIN dfv v USING (term)
+              JOIN dld d USING (doc_id), st),
+       agg AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score_fp,
+           count(*) AS n_terms_hit FROM sc GROUP BY 1, 2)
+       SELECT q_id, rank, doc_id, score_fp, n_terms_hit FROM (
+         SELECT q_id, doc_id, score_fp, n_terms_hit,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY score_fp DESC, doc_id) AS rank
+         FROM agg) WHERE rank <= 10 ORDER BY q_id, rank""",
     "t14_zipf_curve" ->
       """WITH g AS (SELECT source, unnest(list_distinct(list_transform(
              range(1, length(text) - 2), i -> substr(text, i::INT, 4)))) AS gr
