@@ -188,10 +188,54 @@ object ClusterQueries {
     model.unionByName(proj).orderBy("kind", "id")
   }
 
+  /** c04 — per-segment linear regression (price-vs-quantity OLS per
+    * (returnflag, ship-year)) fitted entirely from SUFFICIENT STATISTICS:
+    * one map-side-combined aggregate computes (n, Σx, Σy, Σxy, Σx²) per
+    * group and the closed-form solve runs inside the same plan — the
+    * canonical "train a per-domain calibration model on 100 TB in one
+    * pass" shape. No iteration, no driver round-trip: the d×d normal-
+    * equations solve for d=1 is two integer expressions (c03's Gram
+    * pass is the d>1 generalization of exactly this aggregate).
+    *
+    * Determinism: x (quantity) and y (price cents, via one IEEE-exact
+    * double multiply + floor both engines share) are exact longs;
+    * per-row products fit a long (xy ≤ 5e8); cross-row sums and the
+    * n·Σxy − ΣxΣy moments run in decimal(38,0) (HUGEINT in the oracle)
+    * so they stay exact past the long range — at web scale n·Σxy ≈ 1e30
+    * still fits 38 digits. Slope/intercept emerge as 1e-6 fixed point
+    * through `div`, Spark's IntegralDivide, which truncates toward zero
+    * exactly like DuckDB's HUGEINT `//`. */
+  def c04_ols_suffstats(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        year(col("l_shipdate")).cast("long").as("yr"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") * lit(100)).cast("long").as("y"))
+      .groupBy("flag", "yr")
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("x"))).as("sx"),
+        sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x") * col("y"))).as("sxy"),
+        sum(d38(col("x") * col("x"))).as("sx2"))
+      .withColumn("num", d38(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", d38(col("n")) * col("sx2") - col("sx") * col("sx"))
+      .withColumn("slope_fp",
+        expr("CAST((num * 1000000) div den AS BIGINT)"))
+      .withColumn("intercept_fp", expr(
+        "CAST((sy * 1000000 - CAST(slope_fp AS DECIMAL(38,0)) * sx) div n AS BIGINT)"))
+      .select(col("flag"), col("yr"), col("n"),
+        col("slope_fp"), col("intercept_fp"),
+        expr("CAST((sx * 1000000) div n AS BIGINT)").as("mx_fp"),
+        expr("CAST((sy * 1000000) div n AS BIGINT)").as("my_fp"))
+      .orderBy("flag", "yr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_kmeans_embeddings" -> (c01_kmeans_embeddings _),
     "c02_kmeans_lloyd" -> (c02_kmeans_lloyd _),
     "c03_pca_power" -> (c03_pca_power _),
+    "c04_ols_suffstats" -> (c04_ols_suffstats _),
   )
 
   /** c01 has no DuckDB oracle (MLlib init; driver records the weaker
@@ -289,6 +333,29 @@ object ClusterQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // exact-integer sufficient-statistics replay; HUGEINT `//` and
+    // Spark's decimal `div` both truncate toward zero
+    "c04_ols_suffstats" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+           CAST(year(l_shipdate) AS BIGINT) AS yr,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+       a AS (SELECT flag, yr, count(*) AS n,
+           sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * x) AS sx2
+         FROM b GROUP BY 1, 2),
+       m AS (SELECT flag, yr, n, sx, sy,
+           CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+           CAST(n AS HUGEINT) * sx2 - sx * sx AS den
+         FROM a)
+       SELECT flag, yr, n,
+         CAST((num * 1000000) // den AS BIGINT) AS slope_fp,
+         CAST((sy * 1000000 - ((num * 1000000) // den) * sx) // n AS BIGINT)
+           AS intercept_fp,
+         CAST((sx * 1000000) // n AS BIGINT) AS mx_fp,
+         CAST((sy * 1000000) // n AS BIGINT) AS my_fp
+       FROM m ORDER BY flag, yr""",
     "c03_pca_power" -> pcaSql,
     "c02_kmeans_lloyd" ->
       s"""$lloydCte

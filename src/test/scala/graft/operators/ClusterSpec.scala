@@ -80,4 +80,40 @@ class ClusterSpec extends SparkSpec {
     assert(rayleigh >= 0.95 * lambda1,
       s"captured variance $rayleigh < 0.95 * lambda1 $lambda1")
   }
+
+  test("c04: OLS from sufficient statistics matches a direct fit") {
+    val rows = ClusterQueries.c04_ols_suffstats(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    // independent reference fit per group, straight from the data
+    val raw = graft.core.Tables.lineitem(spark, sf("sf0.01"))
+      .select(col("l_returnflag"), year(col("l_shipdate")).cast("long"),
+        col("l_quantity").cast("long"),
+        floor(col("l_extendedprice") * lit(100)).cast("long"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val pts = raw((r.getString(0), r.getLong(1)))
+        .map(p => (p.getLong(2).toDouble, p.getLong(3).toDouble))
+      val n = pts.length.toDouble
+      assert(r.getLong(2) == pts.length)
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sx2 = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+      val icpt = (sy - slope * sx) / n
+      // fixed-point truncation allows ±1 ulp of 1e-6; scale tolerance
+      assert(math.abs(r.getLong(3) / 1e6 - slope) < math.abs(slope) * 1e-9 + 1e-5,
+        s"slope mismatch for ${r.getString(0)}/${r.getLong(1)}")
+      assert(math.abs(r.getLong(4) / 1e6 - icpt) < math.abs(icpt) * 1e-9 + 1e-4,
+        s"intercept mismatch for ${r.getString(0)}/${r.getLong(1)}")
+    }
+  }
+
+  test("c04 plan is one aggregation pass (no join, no window)") {
+    val p = ClusterQueries.c04_ols_suffstats(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "sufficient-statistics fit must not join or window")
+  }
 }
