@@ -791,7 +791,60 @@ object RelationalQueries {
       .orderBy("ship_month")
   }
 
+  /** q51 — slowly-changing-dimension type-2 merge: fold a batch of
+    * attribute changes into a versioned dimension without row-by-row
+    * mutation. Baseline attribute = the priority of each customer's
+    * latest pre-2000 order ('NONE' if none); the change batch = the
+    * latest post-2000 order. A customer whose attribute changed emits a
+    * CLOSED v1 row (valid_to = change date) plus an OPEN v2 row; an
+    * unchanged customer emits its open v1 row untouched.
+    *
+    * Scale shape: each "latest order" table is one map-side-combined
+    * max_by aggregate over orders keyed by customer (the latest-row
+    * pick never sorts); the merge is ONE left join on the dimension key
+    * followed by a per-row explode that emits 1 or 2 version rows — no
+    * union of re-scanned branches, no window over the dimension, and at
+    * 100 TB the change batch (active customers only) broadcasts while
+    * the dimension streams. */
+  def q51_scd2_merge(s: SparkSession, dir: String): DataFrame = {
+    // total order for "latest": (date, orderkey) packed into one long —
+    // epoch-day * 1e10 leaves orderkey headroom past any realistic SF
+    def pick(alias: String) = expr(
+      s"""max_by(named_struct('attr', o_orderpriority,
+            'chg', date_format(o_orderdate, 'yyyy-MM-dd')),
+          datediff(o_orderdate, DATE '1970-01-01') * 10000000000L + o_orderkey)
+          AS $alias""")
+    val before = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("2000-01-01"))
+      .groupBy(col("o_custkey").as("custkey")).agg(pick("b"))
+      .select(col("custkey"), col("b.attr").as("attr"))
+    val batch = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .groupBy(col("o_custkey").as("custkey")).agg(pick("c"))
+      .select(col("custkey"), col("c.attr").as("new_attr"),
+        col("c.chg").as("chg_date"))
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey").as("custkey"))
+      .join(before, Seq("custkey"), "left")
+      .na.fill("NONE", Seq("attr"))
+    val row = (v: Column, a: Column, f: Column, t: Column) =>
+      struct(v.as("version"), a.as("attr"), f.as("vf"), t.as("vt"))
+    val open = lit("9999-12-31")
+    dim.join(batch, Seq("custkey"), "left")
+      .select(col("custkey"), explode(
+        when(col("new_attr").isNotNull && col("new_attr") =!= col("attr"),
+          array(row(lit(1L), col("attr"), lit("1990-01-01"), col("chg_date")),
+            row(lit(2L), col("new_attr"), col("chg_date"), open)))
+        .otherwise(array(
+          row(lit(1L), col("attr"), lit("1990-01-01"), open)))).as("v"))
+      .select(col("custkey"), col("v.version").as("version"),
+        col("v.attr").as("attr"), col("v.vf").as("valid_from"),
+        col("v.vt").as("valid_to"))
+      .orderBy("custkey", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_scd2_merge" -> (q51_scd2_merge _),
     "q50_merge_on_read" -> (q50_merge_on_read _),
     "q41_compact_small_files" -> (q41_compact_small_files _),
     "q40_session_window" -> (q40_session_window _),
@@ -830,6 +883,39 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // SCD2 replay: arg_max == max_by over the same packed (date, key)
+    // total order; changed customers emit a closed + an open version
+    "q51_scd2_merge" ->
+      """WITH pre AS (SELECT o_custkey AS custkey,
+           arg_max(o_orderpriority,
+             date_diff('day', DATE '1970-01-01', o_orderdate) * 10000000000
+               + o_orderkey) AS attr
+         FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+         GROUP BY 1),
+       post AS (SELECT o_custkey AS custkey,
+           arg_max(o_orderpriority,
+             date_diff('day', DATE '1970-01-01', o_orderdate) * 10000000000
+               + o_orderkey) AS new_attr,
+           arg_max(strftime(o_orderdate, '%Y-%m-%d'),
+             date_diff('day', DATE '1970-01-01', o_orderdate) * 10000000000
+               + o_orderkey) AS chg_date
+         FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+         GROUP BY 1),
+       dim AS (SELECT c.c_custkey AS custkey,
+           coalesce(pre.attr, 'NONE') AS attr, post.new_attr, post.chg_date
+         FROM customer c
+         LEFT JOIN pre ON pre.custkey = c.c_custkey
+         LEFT JOIN post ON post.custkey = c.c_custkey)
+       SELECT custkey, version, attr, valid_from, valid_to FROM (
+         SELECT custkey, 1::BIGINT AS version, attr,
+             '1990-01-01' AS valid_from,
+             CASE WHEN new_attr IS NOT NULL AND new_attr <> attr
+               THEN chg_date ELSE '9999-12-31' END AS valid_to
+           FROM dim
+         UNION ALL
+         SELECT custkey, 2::BIGINT, new_attr, chg_date, '9999-12-31'
+           FROM dim WHERE new_attr IS NOT NULL AND new_attr <> attr)
+       ORDER BY custkey, version""",
     // replay of the merge: a row survives iff it was upserted (delta
     // wins, quantity+1) or neither deleted nor superseded
     "q50_merge_on_read" ->
