@@ -548,7 +548,51 @@ object TextQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** t17 — mergeable quantile sketch (HDR-histogram family): per-event-
+    * type p50/p90/p99/p99.9 from a power-of-two histogram with 5
+    * significant bits (values bucketed to ~3% relative error). The
+    * sketch state is the bucket-count map — bounded by the VALUE DOMAIN
+    * (≤ 32·64 buckets), not the row count, and merges by addition, so
+    * the whole quantile computation is one map-side-combined groupBy at
+    * any scale; the cumulative walk + quantile pick run over the tiny
+    * bucket table. This is the missing member of the sketch family next
+    * to t11 HLL / t12 CMS / t13 KMV: distributed percentiles without a
+    * global sort (Spark's percentile_approx is the same idea with an
+    * opaque, non-replayable state).
+    *
+    * Determinism: bucketing is pure integer bit arithmetic (floor-log2
+    * via bin-string length, truncating shifts) on cents longs from one
+    * shared IEEE multiply+floor; the quantile target uses ceil in exact
+    * integers. Every step replays in DuckDB. */
+  def t17_hdr_quantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.events(s, dir)
+      .select(col("event_type"), floor(col("value") * lit(100)).cast("long").as("v"))
+      .withColumn("idx", expr(
+        """CASE WHEN v < 32 THEN v ELSE
+             (length(bin(v)) - 1) * 32 + (shiftright(v, length(bin(v)) - 6) - 32)
+           END"""))
+      .groupBy("event_type", "idx").agg(count(lit(1)).as("cnt"))
+    import org.apache.spark.sql.expressions.Window
+    // bounded window: ≤ 2048 bucket rows per type regardless of volume
+    val cum = hist.withColumn("cum", sum("cnt").over(
+        Window.partitionBy("event_type").orderBy("idx")))
+      .join(hist.groupBy("event_type").agg(sum("cnt").as("n")), "event_type")
+    val spec = Seq(("p50", 1L, 2L), ("p90", 9L, 10L),
+      ("p99", 99L, 100L), ("p999", 999L, 1000L)).toDF("q_label", "qn", "qd")
+    cum.crossJoin(broadcast(spec))
+      .filter(col("cum") >= expr("(n * qn + qd - 1) div qd"))
+      .groupBy("event_type", "q_label")
+      .agg(min("idx").as("idx"), first("n").as("n"))
+      .withColumn("q_lb", expr(
+        """CASE WHEN idx < 32 THEN idx
+           ELSE shiftleft(idx % 32 + 32, CAST(idx div 32 AS INT) - 5) END"""))
+      .select("event_type", "q_label", "n", "idx", "q_lb")
+      .orderBy("event_type", "q_label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_hdr_quantiles" -> (t17_hdr_quantiles _),
     "t16_bm25_topk" -> (t16_bm25_topk _),
     "t14_zipf_curve" -> (t14_zipf_curve _),
     "t13_kmv_distinct" -> (t13_kmv_distinct _),
@@ -571,6 +615,31 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    // HDR bucket walk in exact integer bit arithmetic; >> and shiftright,
+    // div and //, all truncate identically on these positive longs
+    "t17_hdr_quantiles" ->
+      """WITH b AS (SELECT event_type,
+           CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+       h AS (SELECT event_type,
+           CASE WHEN v < 32 THEN v ELSE
+             (length(bin(v)) - 1) * 32 + ((v >> (length(bin(v)) - 6)) - 32)
+           END AS idx, count(*) AS cnt
+         FROM b GROUP BY 1, 2),
+       c AS (SELECT event_type, idx, cnt,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS cum,
+           sum(cnt) OVER (PARTITION BY event_type) AS n
+         FROM h),
+       spec(q_label, qn, qd) AS (SELECT * FROM (VALUES
+         ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100),
+         ('p999', 999, 1000))),
+       pick AS (SELECT event_type, q_label, min(idx) AS idx,
+           CAST(any_value(n) AS BIGINT) AS n
+         FROM c, spec WHERE cum >= (n * qn + qd - 1) // qd
+         GROUP BY 1, 2)
+       SELECT event_type, q_label, n, idx,
+         CASE WHEN idx < 32 THEN idx
+           ELSE (idx % 32 + 32) << (idx // 32 - 5) END AS q_lb
+       FROM pick ORDER BY event_type, q_label""",
     // rational-idf BM25 replay; parenthesization matches the Spark plan
     // term by term so every IEEE double (and its 1e-6 floor) is identical
     "t16_bm25_topk" ->
