@@ -843,7 +843,71 @@ object RelationalQueries {
       .orderBy("custkey", "version")
   }
 
+  /** q52 — snapshot time travel over an add/remove commit log (the
+    * Delta/Iceberg metadata pattern): three commits build the table —
+    * v1 writes the pre-1998 segment, v2 appends 1998–1999, v3 appends
+    * the rest AND rewrites the v1 file with status-'F' rows deleted
+    * (remove + add in one commit, the compaction-with-delete shape).
+    * Reading "as of v" replays the log to the active file set at v and
+    * scans exactly those files — old data is never rewritten in place,
+    * and any historical version stays readable.
+    *
+    * Scale shape: the log is the METADATA plane — a few rows per commit
+    * replayed on the driver exactly as production table formats do; the
+    * data plane stays a distributed parquet scan of the active files,
+    * with partition pruning and pushdown intact because each version is
+    * a plain parquet read. Output: per-status counts and totals at each
+    * of the three versions from one unioned read. */
+  def q52_time_travel(s: SparkSession, dir: String): DataFrame = {
+    val (logPath, files) = graft.core.SessionMemo.memoize(s, "q52-tt:" + dir) {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      def tmp(n: String) = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_q52_${n}_$tag")
+        .getAbsolutePath
+      val o = Tables.orders(s, dir)
+      val (fa, fb, fc, fd, lg) =
+        (tmp("a"), tmp("b"), tmp("c"), tmp("d"), tmp("log"))
+      o.filter(col("o_orderdate") < lit("1998-01-01"))
+        .write.mode("overwrite").parquet(fa)
+      o.filter(col("o_orderdate") >= lit("1998-01-01") &&
+          col("o_orderdate") < lit("2000-01-01"))
+        .write.mode("overwrite").parquet(fb)
+      // v3 rewrite: fa minus deleted rows, re-read from fa (the rewrite
+      // consumes the PREVIOUS snapshot, not the source table)
+      s.read.parquet(fa).filter(col("o_orderstatus") =!= "F")
+        .write.mode("overwrite").parquet(fc)
+      o.filter(col("o_orderdate") >= lit("2000-01-01"))
+        .write.mode("overwrite").parquet(fd)
+      import s.implicits._
+      Seq((1L, "add", fa), (2L, "add", fb),
+        (3L, "remove", fa), (3L, "add", fc), (3L, "add", fd))
+        .toDF("version", "action", "path")
+        .coalesce(1).write.mode("overwrite").parquet(lg)
+      (lg, Seq(fa, fb, fc, fd))
+    }
+    require(files.size == 4)
+    // log replay on the driver: a handful of metadata rows per commit
+    val log = s.read.parquet(logPath).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def activeAt(v: Long): Seq[String] = {
+      val upTo = log.filter(_._1 <= v)
+      upTo.collect { case (_, "add", p) => p }
+        .filterNot(p => upTo.exists(e => e._2 == "remove" && e._3 == p))
+        .toSeq
+    }
+    (1L to 3L).map { v =>
+      s.read.parquet(activeAt(v): _*)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * lit(100)).cast("long")).as("total_fp"))
+        .withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+      .select("version", "status", "n", "total_fp")
+      .orderBy("version", "status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_time_travel" -> (q52_time_travel _),
     "q51_scd2_merge" -> (q51_scd2_merge _),
     "q50_merge_on_read" -> (q50_merge_on_read _),
     "q41_compact_small_files" -> (q41_compact_small_files _),
@@ -883,6 +947,24 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // log replay in predicate form: v1 = pre-1998, v2 = pre-2000,
+    // v3 = everything minus pre-1998 status-'F' rows (the v3 rewrite)
+    "q52_time_travel" ->
+      """WITH snap AS (
+         SELECT 1::BIGINT AS version, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+         UNION ALL
+         SELECT 2::BIGINT, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+         UNION ALL
+         SELECT 3::BIGINT, o_orderstatus, o_totalprice
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+              OR o_orderstatus <> 'F')
+       SELECT version, o_orderstatus AS status, count(*) AS n,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_fp
+       FROM snap GROUP BY 1, 2 ORDER BY version, status""",
     // SCD2 replay: arg_max == max_by over the same packed (date, key)
     // total order; changed customers emit a closed + an open version
     "q51_scd2_merge" ->
