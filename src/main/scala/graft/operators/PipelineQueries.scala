@@ -476,7 +476,92 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** p16 — RAG/context chunking with overlap: each document is split
+    * into 32-token chunks on a 24-token stride (8-token overlap), the
+    * standard retrieval-index preparation step. A chunk row carries its
+    * provenance (doc_id, chunk index, token offset) so downstream
+    * embedding + retrieval can map hits back to source spans.
+    *
+    * Scale shape: pure scan-parallel row expansion — tokenize once,
+    * `sequence`+`explode` the stride starts, `slice` the token array per
+    * start. No shuffle at all before the output sort; fan-out is bounded
+    * by n_tokens/stride per row, so partition sizes grow by the same
+    * ~1.3× factor at any corpus size. All inside whole-stage codegen. */
+  def p16_chunking(s: SparkSession, dir: String): DataFrame = {
+    val win = 32
+    val stride = 24L
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      // split() never yields an empty array (min 1 token), so the
+      // stride sequence [0, n) is always well-formed
+      .withColumn("chunk_start",
+        explode(sequence(lit(0L), col("n") - 1L, lit(stride))))
+      .withColumn("chunk", slice(col("toks"), col("chunk_start") + 1L, lit(win)))
+      .select(col("doc_id"),
+        graft.functions.KeyAlgebra.ldiv(col("chunk_start"), lit(stride))
+          .as("chunk_idx"),
+        col("chunk_start"),
+        size(col("chunk")).cast("long").as("chunk_len"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** p17 — PageRank quality weighting: 6 damped power iterations over a
+    * deterministic link graph on the document set (the CommonCrawl-style
+    * "centrality as a quality prior" signal a pretraining pipeline
+    * attaches to each page before sampling). The graph is 3 pseudo-random
+    * out-links per doc (affine maps mod N) plus a ring edge, so every
+    * node has outdegree ≥ 1 and indegree ≥ 1 — no dangling mass, no
+    * uncovered node, and the DuckDB oracle can replay the identical
+    * iteration as a recursive CTE with a single recursive reference.
+    *
+    * Determinism: ranks are fixed-point longs (1e12 = total mass), every
+    * step integer division — the result is bit-identical at any
+    * parallelism and in any engine (the c03 integer-power-iteration
+    * trick). Scale shape: one iteration = join(ranks, edges) on src +
+    * groupBy dst — both sides hash-partitioned on the join key; at
+    * 100 TB the edge table is pre-bucketed by src so the per-iteration
+    * shuffle is ranks-only (the classic Pregel layout). localCheckpoint
+    * per round caps lineage exactly as [[GraphComponents]] does.
+    * Dangling-node handling (a broadcast 1-row mass aggregate added to
+    * the base term) is omitted only because the construction proves
+    * outdeg ≥ 1; a general corpus would add it. */
+  def p17_pagerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val Scale = 1000000000000L
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val n = docs.count() // one scalar: the node count
+    val base = 15L * Scale / (100L * n)
+    val edges = docs
+      .select(col("doc_id").as("src"), explode(array(
+        (col("doc_id") * 31L + 7L) % n, (col("doc_id") * 17L + 3L) % n,
+        (col("doc_id") * 13L + 11L) % n, (col("doc_id") + 1L) % n)).as("d0"))
+      .select(col("src"),
+        when(col("d0") === col("src"), (col("d0") + 1L) % n)
+          .otherwise(col("d0")).as("dst"))
+      .distinct()
+    val ed = edges.join(edges.groupBy("src")
+        .agg(count(lit(1)).as("outdeg")), "src")
+      .cache()
+    ed.count() // eager fill: reused 6×
+    var ranks = docs.select(col("doc_id").as("node"),
+      lit(Scale / n).as("rank"))
+    for (_ <- 1 to 6) {
+      ranks = ranks.join(ed, col("node") === col("src"))
+        .select(col("dst"), ldiv(col("rank"), col("outdeg")).as("c"))
+        .groupBy("dst")
+        .agg((lit(base) + ldiv(lit(85L) * sum("c"), lit(100L))).as("rank"))
+        .withColumnRenamed("dst", "node")
+        .localCheckpoint()
+    }
+    ranks.select(col("node").as("doc_id"), col("rank").as("rank_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_pagerank" -> (p17_pagerank _),
+    "p16_chunking" -> (p16_chunking _),
     "p15_token_budget" -> (p15_token_budget _),
     "p14_epoch_shuffle" -> (p14_epoch_shuffle _),
     "p12_dataset_card" -> (p12_dataset_card _),
@@ -494,6 +579,50 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical integer fixed-point iteration, replayed as a recursive
+    // CTE (single recursive reference: the join+group covers every node
+    // because the ring edge guarantees indegree >= 1)
+    "p17_pagerank" ->
+      """WITH RECURSIVE
+         nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+         e0 AS (SELECT doc_id AS src, unnest([
+             (doc_id * 31 + 7) % (SELECT n FROM nn),
+             (doc_id * 17 + 3) % (SELECT n FROM nn),
+             (doc_id * 13 + 11) % (SELECT n FROM nn),
+             (doc_id + 1) % (SELECT n FROM nn)]) AS d0
+           FROM documents),
+         edges AS (SELECT DISTINCT src,
+             CASE WHEN d0 = src THEN (d0 + 1) % (SELECT n FROM nn)
+               ELSE d0 END AS dst
+           FROM e0),
+         deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges
+           GROUP BY src),
+         ed AS (SELECT e.src, e.dst, d.outdeg
+           FROM edges e JOIN deg d USING (src)),
+         pr(iter, node, rank) AS (
+           SELECT 0, doc_id,
+             CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
+           FROM documents
+           UNION ALL
+           SELECT p.iter + 1, ed.dst,
+             CAST((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+               + (85 * sum(p.rank // ed.outdeg)) // 100 AS BIGINT)
+           FROM pr p JOIN ed ON ed.src = p.node
+           WHERE p.iter < 6
+           GROUP BY p.iter, ed.dst)
+         SELECT node AS doc_id, rank AS rank_fp FROM pr
+         WHERE iter = 6 ORDER BY doc_id""",
+    "p16_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t)
+         SELECT doc_id, u.start // 24 AS chunk_idx,
+           u.start AS chunk_start,
+           len(toks[u.start + 1 : u.start + 32])::BIGINT AS chunk_len,
+           array_to_string(toks[u.start + 1 : u.start + 32], ' ')
+             AS chunk_text
+         FROM s, (SELECT unnest(range(0, n, 24)) AS start) u
+         ORDER BY doc_id, chunk_idx""",
     "p15_token_budget" ->
       """WITH m AS (SELECT doc_id, source,
            len(string_split(text, ' '))::BIGINT AS n_tok,

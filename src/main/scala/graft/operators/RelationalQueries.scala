@@ -906,7 +906,46 @@ object RelationalQueries {
       .orderBy("version", "status")
   }
 
+  /** q53 — ordered funnel analysis (view → click → purchase): for each
+    * user, the first view, the first click strictly after that view, and
+    * the first purchase strictly after that click; users are then counted
+    * by the deepest stage reached, with the exact total view→purchase
+    * conversion lag for full converters.
+    *
+    * Scale shape: the three "first event after X" milestones are three
+    * chained window aggregates over the SAME partitioning (user_id), so
+    * Catalyst plans ONE hash exchange and reuses its sort for all three
+    * Window operators — per-user work is a linear scan, no self-joins
+    * (the naive formulation is three event-table self-joins). The final
+    * stage histogram is a 4-row partial+final aggregate. Lag sums stay
+    * in exact long nanos — no float summation order dependence. */
+  def q53_funnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+    Tables.events(s, dir)
+      .select("user_id", "event_type", "ts")
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(byUser))
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      .withColumn("stage",
+        when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L).otherwise(0L))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"),
+        coalesce(sum(when(col("stage") === 3L, col("t3") - col("t1"))),
+          lit(0L)).as("sum_lag_ns"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_funnel" -> (q53_funnel _),
     "q52_time_travel" -> (q52_time_travel _),
     "q51_scd2_merge" -> (q51_scd2_merge _),
     "q50_merge_on_read" -> (q50_merge_on_read _),
@@ -947,6 +986,27 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q53_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns
+           FROM events),
+         s1 AS (SELECT user_id, event_type, tns,
+           min(CASE WHEN event_type = 'view' THEN tns END)
+             OVER (PARTITION BY user_id) AS t1 FROM e),
+         s2 AS (SELECT user_id, event_type, tns, t1,
+           min(CASE WHEN event_type = 'click' AND tns > t1 THEN tns END)
+             OVER (PARTITION BY user_id) AS t2 FROM s1),
+         s3 AS (SELECT user_id, t1, t2,
+           min(CASE WHEN event_type = 'purchase' AND tns > t2 THEN tns END)
+             OVER (PARTITION BY user_id) AS t3 FROM s2),
+         u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+           FROM s3 GROUP BY user_id),
+         st AS (SELECT user_id, t1, t3,
+           CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+             WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage FROM u)
+         SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users,
+           CAST(coalesce(sum(CASE WHEN stage = 3 THEN t3 - t1 END), 0)
+             AS BIGINT) AS sum_lag_ns
+         FROM st GROUP BY stage ORDER BY stage""",
     // log replay in predicate form: v1 = pre-1998, v2 = pre-2000,
     // v3 = everything minus pre-1998 status-'F' rows (the v3 rewrite)
     "q52_time_travel" ->
