@@ -822,7 +822,42 @@ object DedupQueries {
       .orderBy("vec_id")
   }
 
+  /** d19 — edit-distance near-dup verification: candidate pairs from two
+    * anchor keys (the 32-char prefix and 32-char suffix — docs that are
+    * small edits of each other almost always agree on at least one end),
+    * a cheap |len_a − len_b| ≤ 40 prefilter, then exact Levenshtein with
+    * a 20% relative threshold (dist·5 ≤ max(len)). Distance is an exact
+    * integer, so the pair set hashes identically in any engine.
+    *
+    * Scale shape: candidates come from ONE equi-join on (kind, anchor) —
+    * an inverted anchor index, quadratic only inside an anchor bucket
+    * (the d03 banding argument; a hot anchor would get the same
+    * triangle skew-split d04 uses). The O(len²) Levenshtein verify runs
+    * only on survivors of the length prefilter, which is pushed ahead of
+    * it in the same codegen stage. */
+  def d19_editdist(s: SparkSession, dir: String): DataFrame = {
+    val anchored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .withColumn("kind", explode(array(lit(0), lit(1))))
+      .withColumn("anchor",
+        when(col("kind") === 0, substring(col("text"), 1, 32))
+          .otherwise(expr("substring(text, greatest(length(text) - 31, 1), 32)")))
+    val cand = anchored.as("x").join(anchored.as("y"),
+        col("x.kind") === col("y.kind") && col("x.anchor") === col("y.anchor") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(abs(col("x.len") - col("y.len")) <= 40)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.text").as("ta"), col("y.text").as("tb"),
+        greatest(col("x.len"), col("y.len")).as("mx"))
+      .distinct()
+    cand.withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") * 5L <= col("mx"))
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_editdist" -> (d19_editdist _),
     "d12_semantic_dedup" -> (d12_semantic_dedup _),
     "d10_dedup_stream_lsh" -> (d10_dedup_stream_lsh _),
     "d06_dedup_embcos" -> (d06_dedup_embcos _),
@@ -860,6 +895,24 @@ object DedupQueries {
        THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x,y) -> x+y)"""
 
   val oracles: Map[String, String] = Map(
+    "d19_editdist" ->
+      """WITH a AS (
+           SELECT doc_id, text, length(text) AS len,
+             substr(text, 1, 32) AS anchor, 0 AS kind FROM documents
+           UNION ALL
+           SELECT doc_id, text, length(text),
+             substr(text, greatest(length(text) - 31, 1), 32), 1
+           FROM documents),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.text AS ta, y.text AS tb,
+             greatest(x.len, y.len) AS mx
+           FROM a x JOIN a y ON x.kind = y.kind AND x.anchor = y.anchor
+             AND x.doc_id < y.doc_id
+           WHERE abs(x.len - y.len) <= 40)
+         SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+         FROM cand
+         WHERE levenshtein(ta, tb) * 5 <= mx
+         ORDER BY doc_a, doc_b""",
     "d12_semantic_dedup" ->
       s"""${ClusterQueries.lloydCte},
        n AS (SELECT a2.vec_id, a2.cid,

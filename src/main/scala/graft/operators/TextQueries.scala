@@ -591,7 +591,43 @@ object TextQueries {
       .orderBy("event_type", "q_label")
   }
 
+  /** t18 — per-document keyword extraction by TF-IDF: top-3 terms per
+    * doc under score = tf · N / df (the raw-frequency-ratio IDF variant:
+    * integer product then ONE IEEE division, which is correctly rounded
+    * and therefore bit-identical across engines — a log-based IDF would
+    * hash-compare at the mercy of libm ulps). Terms under 4 chars are
+    * dropped as stopword-ish.
+    *
+    * Scale shape: tf is one map-side-combined groupBy(doc, term); df
+    * reduces THAT result (already one row per (doc,term)), so the
+    * vocabulary pass reads the aggregated table, not the token stream.
+    * The df join shuffles on term — at 100 TB the vocabulary does not
+    * broadcast, and term is near-uniform (no skew salt needed). Top-3 is
+    * a per-doc row_number over ≤ doc-length rows; a corpus with
+    * million-term docs would swap in the bounded [[graft.plans.TopKPerKey]]
+    * heap exactly as t14/t16 do. */
+  def t18_tfidf_keywords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(filter(tokens(col("text")), t => length(t) >= 4)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    tf.join(dfT, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_tfidf_keywords" -> (t18_tfidf_keywords _),
     "t17_hdr_quantiles" -> (t17_hdr_quantiles _),
     "t16_bm25_topk" -> (t16_bm25_topk _),
     "t14_zipf_curve" -> (t14_zipf_curve _),
@@ -615,6 +651,25 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    "t18_tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '),
+             t -> length(t) >= 4)) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+         GROUP BY 1, 2),
+       dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       nn AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+       sc AS (SELECT tf.doc_id, tf.term,
+           CAST(tf.tf * nn.n_docs AS DOUBLE) / CAST(dfx.df AS DOUBLE)
+             AS score
+         FROM tf JOIN dfx USING (term) CROSS JOIN nn)
+       SELECT doc_id, rnk, term, score FROM (
+         SELECT doc_id, term, score,
+           CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term) AS BIGINT) AS rnk
+         FROM sc)
+       WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     // HDR bucket walk in exact integer bit arithmetic; >> and shiftright,
     // div and //, all truncate identically on these positive longs
     "t17_hdr_quantiles" ->
