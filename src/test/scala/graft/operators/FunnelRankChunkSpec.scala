@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions: q53 funnel, p16 chunking, p17 PageRank, t18
+  * TF-IDF keywords, d19 edit-distance verify. Each is re-derived here
+  * independently (in-memory Scala fold over the raw tables) so the spec
+  * is an oracle of its own, not a snapshot of the implementation. */
+class FunnelRankChunkSpec extends SparkSpec {
+
+  test("q53: stage histogram matches an in-memory strict-order replay") {
+    val got = RelationalQueries.q53_funnel(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val events = Tables.events(spark, sf())
+      .select("user_id", "event_type", "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perUser = events.groupBy(_._1).map { case (_, es) =>
+      val t1 = es.collect { case (_, "view", t) => t }
+        .reduceOption(_ min _)
+      val t2 = t1.flatMap(a => es.collect {
+        case (_, "click", t) if t > a => t }.reduceOption(_ min _))
+      val t3 = t2.flatMap(b => es.collect {
+        case (_, "purchase", t) if t > b => t }.reduceOption(_ min _))
+      (t1, t2, t3)
+    }.toSeq
+    val expected = perUser
+      .groupBy { case (t1, t2, t3) =>
+        if (t3.isDefined) 3L else if (t2.isDefined) 2L
+        else if (t1.isDefined) 1L else 0L }
+      .map { case (st, us) =>
+        (st, us.length.toLong,
+          if (st == 3L) us.map(u => u._3.get - u._1.get).sum else 0L) }
+      .toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+    // stages must be strictly ordered: a click BEFORE the first view
+    // never advances the funnel — replay guarantees it, and the engine
+    // result equals the replay, so count a degenerate case explicitly
+    assert(got.map(_._2).sum == perUser.length)
+  }
+
+  test("q53: the three window milestones share one user_id exchange") {
+    val plan = RelationalQueries.q53_funnel(spark, sf())
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    // user_id (reused by all 3 Windows + the user groupBy) and the
+    // 4-row stage groupBy — anything more means a milestone re-shuffled
+    assert(hashExchanges <= 2, s"unexpected exchanges:\n$plan")
+  }
+
+  test("p16: chunks tile each doc with stride 24, width <= 32, exact text") {
+    val got = PipelineQueries.p16_chunking(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      (0 until toks.length by 24).map { st =>
+        val chunk = toks.slice(st, st + 32)
+        (id, st.toLong / 24, st.toLong, chunk.length.toLong,
+          chunk.mkString(" "))
+      }
+    }.sortBy(c => (c._1, c._2))
+    assert(got.toSeq == expected.toSeq)
+    // overlap invariant: consecutive chunks of one doc share 8 token
+    // positions (except a short tail)
+    expected.groupBy(_._1).values.foreach { cs =>
+      cs.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 == a._3 + 24)
+          if (a._4 == 32) assert(a._3 + a._4 - b._3 == 8)
+        case _ =>
+      }
+    }
+  }
+
+  test("p17: ranks match an in-memory fixed-point iteration; mass conserved") {
+    val got = PipelineQueries.p17_pagerank(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = got.length.toLong
+    assert(n > 0)
+    val Scale = 1000000000000L
+    val edges = (0L until n).flatMap { d =>
+      Seq((d * 31 + 7) % n, (d * 17 + 3) % n, (d * 13 + 11) % n,
+        (d + 1) % n)
+        .map(t => if (t == d) (t + 1) % n else t)
+        .distinct.map(t => (d, t))
+    }
+    val outdeg = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.length }
+    val base = 15L * Scale / (100L * n)
+    var rank = Array.fill(n.toInt)(Scale / n)
+    for (_ <- 1 to 6) {
+      val contrib = Array.fill(n.toInt)(0L)
+      edges.foreach { case (s0, d0) =>
+        contrib(d0.toInt) += rank(s0.toInt) / outdeg(s0) }
+      rank = contrib.map(c => base + 85L * c / 100L)
+    }
+    assert(got.toSeq == (0L until n).map(d => (d, rank(d.toInt))))
+    // total mass stays within integer-truncation loss of 1.0
+    val mass = rank.sum
+    assert(mass <= Scale && mass > Scale - n * 200L)
+    // the iteration actually discriminates (not a uniform fixpoint)
+    assert(rank.distinct.length > 1)
+  }
+
+  test("t18: top-3 terms per doc by tf*N/df with term tiebreak, len >= 4") {
+    val got = TextQueries.t18_tfidf_keywords(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)
+        .filter(_.length >= 4).toSeq))
+    val nDocs = docs.length.toLong
+    val tf = docs.flatMap { case (id, tk) =>
+      tk.groupBy(identity).map { case (t, xs) => (id, t, xs.length.toLong) } }
+    val dfm = tf.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val expected = tf.groupBy(_._1).toSeq.flatMap { case (id, ts) =>
+      ts.map { case (_, t, f) => (t, (f * nDocs).toDouble / dfm(t)) }
+        .sortBy { case (t, sc) => (-sc, t) }
+        .take(3).zipWithIndex
+        .map { case ((t, sc), i) => (id, i + 1L, t, sc) }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == expected)
+    assert(got.forall(_._3.length >= 4))
+  }
+
+  test("d19: anchored candidates + Levenshtein threshold replayed exactly") {
+    val got = DedupQueries.d19_editdist(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty) // the corpus does contain near-identical docs
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val t = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = t
+        }
+      }
+      prev(b.length)
+    }
+    def anchors(t: String) = Seq(
+      (0, t.take(32)), (1, t.substring(math.max(t.length - 32, 0))))
+    val byAnchor = docs.flatMap { case (id, t) =>
+      anchors(t).map { case (k, a) => ((k, a), (id, t)) } }
+      .groupBy(_._1).values
+    val expected = byAnchor.flatMap { g =>
+      val ds = g.map(_._2).toSeq
+      for {
+        (ia, ta) <- ds; (ib, tb) <- ds
+        if ia < ib && math.abs(ta.length - tb.length) <= 40
+      } yield (ia, ib, ta, tb)
+    }.toSeq.distinct
+      .map { case (ia, ib, ta, tb) => (ia, ib, lev(ta, tb).toLong,
+        math.max(ta.length, tb.length)) }
+      .collect { case (ia, ib, d, mx) if d * 5 <= mx => (ia, ib, d) }
+      .sortBy(p => (p._1, p._2))
+    assert(got.toSeq == expected)
+  }
+}
