@@ -976,7 +976,87 @@ object StreamQueries {
     }
   }
 
+  /** Per-user funnel milestone handler shared conceptually with q53's
+    * batch windows: state is the set-once triple (first view, first
+    * click after it, first purchase after that) — O(1) per user. The
+    * per-batch event-time re-sort absorbs arbitrary file order inside a
+    * drop, and the strict ts boundary between drops keeps cross-batch
+    * arrival event-time ordered — which is exactly what makes O(1)
+    * milestone state sufficient (a click seen before its user's first
+    * view can never qualify later, because any future view has a larger
+    * ts). An unordered feed would need a watermark-delay reorder buffer
+    * in state instead. */
+  private def funnelHandler(user: Long,
+      it: Iterator[(Long, String, Long)],
+      state: org.apache.spark.sql.streaming.GroupState[
+        (Option[Long], Option[Long], Option[Long])])
+      : Iterator[(Long, Option[Long], Option[Long], Option[Long])] = {
+    var (t1, t2, t3) = state.getOption.getOrElse(
+      (Option.empty[Long], Option.empty[Long], Option.empty[Long]))
+    it.toIndexedSeq.sortBy(_._3).foreach { case (_, et, ts) =>
+      et match {
+        case "view" if t1.isEmpty => t1 = Some(ts)
+        case "click" if t2.isEmpty && t1.exists(ts > _) => t2 = Some(ts)
+        case "purchase" if t3.isEmpty && t2.exists(ts > _) => t3 = Some(ts)
+        case _ =>
+      }
+    }
+    state.update((t1, t2, t3))
+    Iterator.single((user, t1, t2, t3))
+  }
+
+  /** q54 — STREAMING funnel: q53's view→click→purchase milestones kept
+    * incrementally in flatMapGroupsWithState over a REAL FileStreamSource
+    * (three ts-tercile executor-parallel drops — state must survive and
+    * extend across micro-batches). Update-mode emissions are monotone
+    * (milestones only ever get set), so the final per-user state is the
+    * field-wise max over the sink rows; its stage histogram must
+    * hash-match q53's batch oracle exactly. */
+  def q54_stream_funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts").as("tns"))
+    val (lo, hi) = tsBounds(ev, "tns")
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("tns", LongType)))
+    withWatchDir("graft_q54_src") { watch =>
+      val out = s.readStream.schema(schema).parquet(watch)
+        .toDF("_1", "_2", "_3")
+        .as[(Long, String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+          funnelHandler)
+        .toDF("user_id", "t1", "t2", "t3")
+      val q = out.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("q54_stream_out").start()
+      feedDrops(q, watch, Seq(
+        ev.filter(col("tns") <= c1),
+        ev.filter(col("tns") > c1 && col("tns") <= c2),
+        ev.filter(col("tns") > c2)))
+      val sink = s.table("q54_stream_out")
+      val result = sink.collect().toIndexedSeq
+      val schemaOut = sink.schema
+      s.catalog.dropTempView("q54_stream_out")
+      s.createDataFrame(s.sparkContext.parallelize(result, 1), schemaOut)
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .withColumn("stage",
+          when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L).otherwise(0L))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_users"),
+          coalesce(sum(when(col("stage") === 3L, col("t3") - col("t1"))),
+            lit(0L)).as("sum_lag_ns"))
+        .orderBy("stage")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_stream_funnel" -> (q54_stream_funnel _),
     "q45_asof_filesource" -> (q45_asof_filesource _),
     "q46_topk_filesource" -> (q46_topk_filesource _),
     "q47_join_filesource" -> (q47_join_filesource _),
@@ -1029,6 +1109,9 @@ object StreamQueries {
        WHERE rank <= 3 ORDER BY user_id, rank"""
 
   val oracles: Map[String, String] = Map(
+    // the incremental milestone state must converge to the offline
+    // three-window funnel answer
+    "q54_stream_funnel" -> RelationalQueries.oracles("q53_funnel"),
     // each file-source twin must converge to the SAME batch answer as
     // its MemoryStream original — the ingest path is the only variable
     "q45_asof_filesource" -> RelationalQueries.oracles("q24_asof_join"),
