@@ -443,7 +443,58 @@ object MultimodalQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  final case class PatchRow(doc_id: Long, band: Long, pcol: Long,
+                            n_px: Long, psum: Long, psumsq: Long)
+
+  /** m09 — ViT-style patchification: the 32-wide PGM grid is decoded
+    * and cut into 8×8 patches (4 per 8-row band; a short bottom band
+    * keeps its true pixel count), each reduced to the sufficient
+    * statistics a patch-embedding or patch-dedup stage consumes (pixel
+    * count, sum, sum of squares — exact integers, so mean/variance
+    * derive downstream without float drift). This is the image →
+    * patch-sequence seam every vision-transformer pipeline runs before
+    * embedding; the oracle replays the pixel arithmetic from the
+    * document bytes and never sees the PGM container.
+    *
+    * Scale shape: two scan-parallel mapPartitions stages (encode |
+    * decode+patch), fan-out ≤ 4·⌈h/8⌉ rows per image, no shuffle before
+    * the output sort — identical posture to m01–m08. */
+  def m09_vit_patches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => pgmGrid(id, text) })
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val img = MediaCodec.decodeImage(r.payload)
+        val (w, h) = (img.width, img.height)
+        for {
+          band <- 0 until (h + 7) / 8
+          pcol <- 0 until w / 8
+        } yield {
+          val rows = math.min(8, h - band * 8)
+          var sum = 0L
+          var sq = 0L
+          var rr = 0
+          while (rr < rows) {
+            var cc = 0
+            while (cc < 8) {
+              val v = (img.pixels((band * 8 + rr) * w + pcol * 8 + cc) & 0xFF).toLong
+              sum += v
+              sq += v * v
+              cc += 1
+            }
+            rr += 1
+          }
+          PatchRow(r.doc_id, band.toLong, pcol.toLong, rows * 8L, sum, sq)
+        }
+      }
+    }.toDF().orderBy("doc_id", "band", "pcol")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m09_vit_patches" -> (m09_vit_patches _),
     "m08_audio_fingerprint" -> (m08_audio_fingerprint _),
     "m07_video_motion" -> (m07_video_motion _),
     "m06_image_dhash" -> (m06_image_dhash _),
@@ -455,6 +506,30 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // replays the grid-fill (byte min(i, len-1), empty doc → zeros) and
+    // the 8×8 patch statistics from the document bytes; the PGM
+    // container roundtrip happens only on the Spark side
+    "m09_vit_patches" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           greatest(1, (length(text) + 31) // 32) AS h
+         FROM documents),
+       b AS (SELECT doc_id, text, len, h, u.band, v.pcol
+         FROM t,
+           (SELECT unnest(range(0, (h + 7) // 8)) AS band) u,
+           (SELECT unnest(range(0, 4)) AS pcol) v),
+       p AS (SELECT doc_id, band, pcol,
+           8 * least(8, h - band * 8) AS n_px,
+           list_transform(range(0, (least(8, h - band * 8) * 8)::BIGINT),
+             k -> CASE WHEN len = 0 THEN 0 ELSE
+               ascii(substr(text,
+                 least((band * 8 + k // 8) * 32 + pcol * 8 + (k % 8),
+                   len - 1)::INT + 1, 1)) END) AS px
+         FROM b)
+       SELECT doc_id, band, pcol, n_px::BIGINT AS n_px,
+         CAST(list_reduce(px, (x, y) -> x + y) AS BIGINT) AS psum,
+         CAST(list_reduce(list_transform(px, x -> x * x),
+           (x, y) -> x + y) AS BIGINT) AS psumsq
+       FROM p ORDER BY doc_id, band, pcol""",
     // replays the sample synthesis ((ascii−96)·128) and the segment
     // energy walk — the WAV container encode/decode happens only on
     // the Spark side, so a RIFF-offset bug there breaks the pairs
