@@ -130,6 +130,14 @@ class FunnelRankChunkSpec extends SparkSpec {
     assert(got.forall(_._3.length >= 4))
   }
 
+  test("q54: the streaming funnel converges to the batch q53 answer") {
+    val batch = RelationalQueries.q53_funnel(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val stream = StreamQueries.q54_stream_funnel(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("d19: anchored candidates + Levenshtein threshold replayed exactly") {
     val got = DedupQueries.d19_editdist(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

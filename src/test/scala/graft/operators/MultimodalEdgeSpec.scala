@@ -39,6 +39,19 @@ class MultimodalEdgeSpec extends SparkSpec {
       m7.head.getLong(3) == 0L)
   }
 
+  test("m09 survives an empty document: one all-zero band of 4 patches") {
+    val m9 = MultimodalQueries.m09_vit_patches(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val empty = m9.filter(_._1 == 0L)
+    // empty doc → h = 1 → a single short band, 4 patches of 8 px, all 0
+    assert(empty.length == 4)
+    assert(empty.forall(p => p._4 == 8L && p._5 == 0L && p._6 == 0L))
+    // "abc": 3 bytes pad to one 32-px row: a b c then 29× 'c'
+    val abc = m9.filter(t => t._1 == 1L && t._3 == 0L).head
+    assert(abc._5 == ('a' + 'b' + 6 * 'c').toLong)
+  }
+
   test("m06 survives an empty document; identical docs still pair up") {
     val pairs = MultimodalQueries.m06_image_dhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
