@@ -527,12 +527,14 @@ object PipelineQueries {
     * Dangling-node handling (a broadcast 1-row mass aggregate added to
     * the base term) is omitted only because the construction proves
     * outdeg ≥ 1; a general corpus would add it. */
-  def p17_pagerank(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.KeyAlgebra.ldiv
-    val Scale = 1000000000000L
+  /** The deterministic doc link graph shared by p17/p18: 3 affine-map
+    * out-links plus a ring edge per node (self-loops deflected to the
+    * successor), so outdegree ≥ 1 and indegree ≥ 1 everywhere. Returns
+    * (nodes, edges, n). */
+  private def docLinkGraph(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long) = {
     val docs = Tables.documents(s, dir).select("doc_id")
     val n = docs.count() // one scalar: the node count
-    val base = 15L * Scale / (100L * n)
     val edges = docs
       .select(col("doc_id").as("src"), explode(array(
         (col("doc_id") * 31L + 7L) % n, (col("doc_id") * 17L + 3L) % n,
@@ -541,6 +543,14 @@ object PipelineQueries {
         when(col("d0") === col("src"), (col("d0") + 1L) % n)
           .otherwise(col("d0")).as("dst"))
       .distinct()
+    (docs, edges, n)
+  }
+
+  def p17_pagerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val Scale = 1000000000000L
+    val (docs, edges, n) = docLinkGraph(s, dir)
+    val base = 15L * Scale / (100L * n)
     val ed = edges.join(edges.groupBy("src")
         .agg(count(lit(1)).as("outdeg")), "src")
       .cache()
@@ -559,7 +569,37 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** p18 — multi-source k-hop BFS over the [[docLinkGraph]]: exact hop
+    * distance (≤ 8) from the seed set {doc_id ≡ 0 mod 97} to every
+    * reachable node — the "distance to a trusted seed" crawl-frontier
+    * signal (TrustRank-style) that complements p17's global centrality.
+    *
+    * Scale shape: textbook distributed BFS relaxation — each round is
+    * join(frontier, edges) on src + groupBy node with min(dist), both
+    * hash-partitioned on the same key; rounds = the hop cap (8), so the
+    * total work is O(k · |E|) regardless of corpus size, and
+    * localCheckpoint caps lineage per round exactly as p17 and
+    * [[GraphComponents]] do. The DuckDB oracle replays it as a bounded
+    * recursive CTE; both sides cap at 8 hops so the outputs agree even
+    * for nodes whose true distance exceeds the cap (absent both sides). */
+  def p18_bfs_hops(s: SparkSession, dir: String): DataFrame = {
+    val (docs, edges0, _) = docLinkGraph(s, dir)
+    val edges = edges0.cache()
+    edges.count() // eager fill: reused 8×
+    var dist = docs.filter(col("doc_id") % 97L === 0L)
+      .select(col("doc_id").as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to 8) {
+      dist = dist.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        .unionByName(dist)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_bfs_hops" -> (p18_bfs_hops _),
     "p17_pagerank" -> (p17_pagerank _),
     "p16_chunking" -> (p16_chunking _),
     "p15_token_budget" -> (p15_token_budget _),
@@ -579,6 +619,29 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // bounded-depth BFS as a recursive CTE: UNION dedups (node, dist)
+    // pairs, the dist < 8 guard terminates it, min() collapses to the
+    // true capped hop distance
+    "p18_bfs_hops" ->
+      """WITH RECURSIVE
+         nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+         e0 AS (SELECT doc_id AS src, unnest([
+             (doc_id * 31 + 7) % (SELECT n FROM nn),
+             (doc_id * 17 + 3) % (SELECT n FROM nn),
+             (doc_id * 13 + 11) % (SELECT n FROM nn),
+             (doc_id + 1) % (SELECT n FROM nn)]) AS d0
+           FROM documents),
+         edges AS (SELECT DISTINCT src,
+             CASE WHEN d0 = src THEN (d0 + 1) % (SELECT n FROM nn)
+               ELSE d0 END AS dst
+           FROM e0),
+         d(node, dist) AS (
+           SELECT doc_id, 0::BIGINT FROM documents WHERE doc_id % 97 = 0
+           UNION
+           SELECT e.dst, d.dist + 1 FROM d JOIN edges e ON e.src = d.node
+           WHERE d.dist < 8)
+         SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM d
+         GROUP BY node ORDER BY node""",
     // identical integer fixed-point iteration, replayed as a recursive
     // CTE (single recursive reference: the join+group covers every node
     // because the ring edge guarantees indegree >= 1)

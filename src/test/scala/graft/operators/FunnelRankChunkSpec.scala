@@ -130,6 +130,25 @@ class FunnelRankChunkSpec extends SparkSpec {
     assert(got.forall(_._3.length >= 4))
   }
 
+  test("p18: capped BFS distances match an in-memory frontier expansion") {
+    val got = PipelineQueries.p18_bfs_hops(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = Tables.documents(spark, sf()).count()
+    val adj = (0L until n).map { d =>
+      d -> Seq((d * 31 + 7) % n, (d * 17 + 3) % n, (d * 13 + 11) % n,
+        (d + 1) % n).map(t => if (t == d) (t + 1) % n else t).distinct
+    }.toMap
+    val dist = scala.collection.mutable.Map[Long, Long]()
+    var frontier = (0L until n).filter(_ % 97 == 0).toSet
+    frontier.foreach(dist(_) = 0L)
+    for (k <- 1L to 8L) {
+      frontier = frontier.flatMap(adj).filterNot(dist.contains)
+      frontier.foreach(dist(_) = k)
+    }
+    assert(got.toSeq == dist.toSeq.sortBy(_._1))
+    assert(got.exists(_._2 == 8L) || got.length == n.toInt)
+  }
+
   test("q54: the streaming funnel converges to the batch q53 answer") {
     val batch = RelationalQueries.q53_funnel(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
