@@ -836,22 +836,46 @@ object DedupQueries {
     * only on survivors of the length prefilter, which is pushed ahead of
     * it in the same codegen stage. */
   def d19_editdist(s: SparkSession, dir: String): DataFrame = {
-    val anchored = Tables.documents(s, dir)
+    val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    // slim anchor index: no text rides the self-join, and crucially the
+    // O(len²) Levenshtein CANNOT be pushed into this join's condition
+    // (texts are only joined back after the distinct) — an earlier
+    // text-carrying formulation let Catalyst evaluate levenshtein ahead
+    // of the doc_id< conjunct, i.e. once per anchor-bucket ORDERED pair
+    // including self-pairs: 14 s instead of 0.5 s at sf0.1
+    val anchored = docs
       .withColumn("kind", explode(array(lit(0), lit(1))))
       .withColumn("anchor",
         when(col("kind") === 0, substring(col("text"), 1, 32))
           .otherwise(expr("substring(text, greatest(length(text) - 31, 1), 32)")))
+      .select("doc_id", "len", "kind", "anchor")
     val cand = anchored.as("x").join(anchored.as("y"),
         col("x.kind") === col("y.kind") && col("x.anchor") === col("y.anchor") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .filter(abs(col("x.len") - col("y.len")) <= 40)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.text").as("ta"), col("y.text").as("tb"),
-        greatest(col("x.len"), col("y.len")).as("mx"))
+          col("x.doc_id") < col("y.doc_id") &&
+          abs(col("x.len") - col("y.len")) <= 40)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand.withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
-      .filter(col("dist") * 5L <= col("mx"))
+    // The verify stage is tiny in BYTES but O(len²) in CPU per row, and
+    // the optimizer works against it twice: the threshold filter gets
+    // pushed into the text joins' conditions (evaluating Levenshtein a
+    // second time per pair), and AQE's byte-based coalesce squeezes the
+    // post-distinct pairs onto ONE task, serializing the whole verify
+    // (10.5 s at 10×, vs ~2 s decomposed). The checkpoint is a
+    // pushdown barrier that pins the candidate set (it is small by
+    // construction — banding bounds it), and the explicit repartition
+    // sizes the CPU-bound stage by row count, which AQE honors.
+    val withTexts = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        col("len").as("la")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        col("len").as("lb")), "doc_b")
+      .localCheckpoint()
+    withTexts
+      .repartition(s.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") * 5L <= greatest(col("la"), col("lb")))
       .select("doc_a", "doc_b", "dist")
       .orderBy("doc_a", "doc_b")
   }
