@@ -231,11 +231,52 @@ object ClusterQueries {
       .orderBy("flag", "yr")
   }
 
+  /** c05 — exact ROC-AUC of a scorer against binary labels, by the
+    * Mann-Whitney rank identity with midrank tie handling — the
+    * classifier-evaluation pass a data-quality model (fastText-style
+    * filter, perplexity gate) gets before its threshold is trusted.
+    * AUC = (ΣR₊ − n₊(n₊+1)/2) / (n₊ n₀); everything stays integer by
+    * carrying 2×ranks (a tie group's midrank ×2 = 2·minrank + cnt − 1),
+    * so the result is an exact rational plus a 1e-9 fixed-point quotient.
+    *
+    * Score = fixed-point signed sum of the embedding under the d08 Knuth
+    * ±1 hyperplane (left-to-right double adds — both engines evaluate
+    * HOF folds in list order, so the floor(×1e6) longs agree bitwise).
+    *
+    * Scale shape: the global rank is [[SequentialId]] (range exchange +
+    * broadcast offsets — no single-task window at any n); tie statistics
+    * are one groupBy(score); the rest is two 1-row aggregates joined by
+    * broadcast. Rank sums stay < 2n² so longs hold to ~10⁹ rows; the
+    * c04 decimal(38,0) pattern is the drop-in past that. */
+  def c05_auc_rank(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val signs = lit((1 to 64).map(i =>
+      if (i.toLong * 2654435761L / 65536L % 2L == 1L) 1.0 else -1.0).toArray)
+    val sc = Tables.embeddings(s, dir)
+      .withColumn("a", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), (col("label") % 2).cast("long").as("y"),
+        floor(aggregate(zip_with(col("a"), signs, (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x) * lit(1e6)).cast("long").as("s_fp"))
+    val ranked = SequentialId.withSequentialId(
+      sc, "rn", Seq(col("s_fp"), col("vec_id")))
+    val sumR2 = ranked.groupBy("s_fp")
+      .agg(min("rn").as("mr"), count(lit(1)).as("cnt"), sum("y").as("n1g"))
+      .agg(sum(col("n1g") * (col("mr") * 2L + col("cnt") - 1L)).as("sum_r2"))
+    val nn = sc.agg(sum("y").as("n1"),
+      (count(lit(1)) - sum("y")).as("n0"))
+    sumR2.crossJoin(broadcast(nn))
+      .withColumn("auc_num", col("sum_r2") - col("n1") * (col("n1") + 1L))
+      .withColumn("auc_den", col("n1") * col("n0") * 2L)
+      .select(col("n1"), col("n0"), col("auc_num"), col("auc_den"),
+        ldiv(col("auc_num") * 1000000000L, col("auc_den")).as("auc_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_kmeans_embeddings" -> (c01_kmeans_embeddings _),
     "c02_kmeans_lloyd" -> (c02_kmeans_lloyd _),
     "c03_pca_power" -> (c03_pca_power _),
     "c04_ols_suffstats" -> (c04_ols_suffstats _),
+    "c05_auc_rank" -> (c05_auc_rank _),
   )
 
   /** c01 has no DuckDB oracle (MLlib init; driver records the weaker
@@ -333,6 +374,30 @@ object ClusterQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // midrank Mann-Whitney in exact integers: row_number in score order,
+    // tie groups by score, 2×midrank = 2·minrank + cnt − 1
+    "c05_auc_rank" ->
+      """WITH sc AS (SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+           CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),
+             i -> (embedding[i]::DOUBLE) *
+               (CASE WHEN i * 2654435761 // 65536 % 2 = 1
+                THEN 1.0 ELSE -1.0 END)),
+             (p, q) -> p + q)) AS BIGINT) AS s_fp
+         FROM embeddings),
+       r AS (SELECT y, s_fp,
+           row_number() OVER (ORDER BY s_fp, vec_id) AS rn FROM sc),
+       g AS (SELECT s_fp, min(rn) AS mr, count(*) AS cnt, sum(y) AS n1g
+         FROM r GROUP BY s_fp),
+       t AS (SELECT CAST(sum(n1g * (2 * mr + cnt - 1)) AS BIGINT)
+           AS sum_r2 FROM g),
+       n AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+           CAST(count(*) - sum(y) AS BIGINT) AS n0 FROM sc)
+       SELECT n1, n0,
+         sum_r2 - n1 * (n1 + 1) AS auc_num,
+         n1 * n0 * 2 AS auc_den,
+         CAST(((sum_r2 - n1 * (n1 + 1)) * 1000000000)
+           // (n1 * n0 * 2) AS BIGINT) AS auc_fp
+       FROM t, n""",
     // exact-integer sufficient-statistics replay; HUGEINT `//` and
     // Spark's decimal `div` both truncate toward zero
     "c04_ols_suffstats" ->

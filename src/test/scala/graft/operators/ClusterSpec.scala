@@ -116,4 +116,32 @@ class ClusterSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"),
       "sufficient-statistics fit must not join or window")
   }
+
+  test("c05: rank AUC equals the quadratic pairwise definition") {
+    val row = ClusterQueries.c05_auc_rank(spark, sf()).head()
+    val (n1, n0, num, den) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // brute-force pairwise U statistic from the raw table
+    val signs = (1 to 64).map(i =>
+      if (i.toLong * 2654435761L / 65536L % 2L == 1L) 1.0 else -1.0)
+    val rows = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
+      .collect().map { r =>
+        val a = r.getSeq[Double](2)
+        var s = 0.0
+        var i = 0
+        while (i < 64) { s += a(i) * signs(i); i += 1 }
+        (r.getInt(1) % 2, math.floor(s * 1e6).toLong)
+      }
+    val pos = rows.filter(_._1 == 1).map(_._2)
+    val neg = rows.filter(_._1 == 0).map(_._2)
+    assert(n1 == pos.length && n0 == neg.length)
+    var wins2 = 0L // 2*wins + ties, i.e. 2*U
+    for (p1 <- pos; p0 <- neg) {
+      if (p1 > p0) wins2 += 2L else if (p1 == p0) wins2 += 1L
+    }
+    assert(num == wins2 && den == 2L * n1 * n0)
+    // AUC is a proper probability
+    assert(num >= 0 && num <= den)
+  }
 }
