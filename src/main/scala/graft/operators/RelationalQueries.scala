@@ -944,7 +944,49 @@ object RelationalQueries {
       .orderBy("stage")
   }
 
+  /** q55 — distribution-drift detection: the two-sample χ² statistic
+    * between the first and second halves of the event stream (split at
+    * the midpoint timestamp), per event_type over 16 value bins — the
+    * scheduled data-quality monitor a pipeline runs before trusting a
+    * new ingest window. Per-bin contribution uses the exact identity
+    * χ²_b = (n1·N2 − n2·N1)² / (N1·N2·(n1+n2)), carried in
+    * decimal(38,0) (HUGEINT in the oracle) with a 1e-6 fixed-point
+    * output — no float summation anywhere, so the statistic is
+    * bit-identical at any parallelism.
+    *
+    * Scale shape: one broadcast 2-value aggregate for the cut point,
+    * one map-side-combined groupBy(event_type, bin) — 80 cells
+    * regardless of row count — and the χ² arithmetic runs on the tiny
+    * cell table. */
+  def q55_drift_chi2(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val ev = Tables.events(s, dir).select("ts", "event_type", "value")
+    val mid = ev.agg((min("ts") + ldiv(max("ts") - min("ts"), lit(2L)))
+      .as("mid"))
+    val cells = ev.crossJoin(broadcast(mid))
+      .withColumn("bin",
+        least(ldiv(floor(col("value")).cast("long"), lit(32L)), lit(15L)))
+      .groupBy("event_type", "bin")
+      .agg(sum(when(col("ts") <= col("mid"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("ts") > col("mid"), 1L).otherwise(0L)).as("n2"))
+    val tot = cells.groupBy("event_type")
+      .agg(sum("n1").as("tn1"), sum("n2").as("tn2"))
+    cells.join(broadcast(tot), "event_type")
+      .withColumn("diff", (col("n1").cast("decimal(19,0)") * col("tn2") -
+        col("n2").cast("decimal(19,0)") * col("tn1")).cast("decimal(19,0)"))
+      // a type living entirely in one half has no defined statistic;
+      // NULL in both engines (DuckDB's // would error, Spark's div nulls)
+      .withColumn("chi2_fp", expr(
+        """CAST(CASE WHEN tn1 = 0 OR tn2 = 0 THEN NULL
+           ELSE (diff * diff * 1000000) div
+             (CAST(tn1 AS DECIMAL(38,0)) * tn2 * (n1 + n2)) END AS BIGINT)"""))
+      .select(col("event_type"), col("bin"), col("n1"), col("n2"),
+        col("chi2_fp"))
+      .orderBy("event_type", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_drift_chi2" -> (q55_drift_chi2 _),
     "q53_funnel" -> (q53_funnel _),
     "q52_time_travel" -> (q52_time_travel _),
     "q51_scd2_merge" -> (q51_scd2_merge _),
@@ -986,6 +1028,32 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact-integer two-sample chi-square; HUGEINT carries diff² like
+    // the decimal(38,0) path, `//` and `div` both truncate toward zero
+    "q55_drift_chi2" ->
+      """WITH e AS (SELECT epoch_ns(ts) AS tns, event_type, value
+           FROM events),
+         m AS (SELECT min(tns) + (max(tns) - min(tns)) // 2 AS mid FROM e),
+         cells AS (SELECT event_type,
+             least(CAST(floor(value) AS BIGINT) // 32, 15) AS bin,
+             CAST(sum(CASE WHEN tns <= mid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN tns > mid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2
+           FROM e, m GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(sum(n1) AS BIGINT) AS tn1,
+             CAST(sum(n2) AS BIGINT) AS tn2
+           FROM cells GROUP BY 1),
+         j AS (SELECT c.event_type, c.bin, c.n1, c.n2, t.tn1, t.tn2,
+             CAST(c.n1 AS HUGEINT) * t.tn2 - CAST(c.n2 AS HUGEINT) * t.tn1
+               AS diff
+           FROM cells c JOIN tot t USING (event_type))
+         SELECT event_type, bin, n1, n2,
+           CAST(CASE WHEN tn1 = 0 OR tn2 = 0 THEN NULL
+             ELSE (diff * diff * 1000000) //
+               (CAST(tn1 AS HUGEINT) * tn2 * (n1 + n2)) END AS BIGINT)
+             AS chi2_fp
+         FROM j ORDER BY event_type, bin""",
     "q53_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns
            FROM events),

@@ -452,7 +452,42 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s12 — k-NN self-join: EVERY vector's top-3 in-cell neighbors by
+    * cosine — the kNN-graph construction pass under graph-based semantic
+    * clustering and kNN-dedup (the edges d14-style component labeling or
+    * a community detector would consume). Cells are the IVF coarse
+    * buckets (label, as in d06/s02), so the pair space is
+    * cluster-bounded, never corpus².
+    *
+    * Ranking uses fixed-point cosine (floor ×1e9 — dot and norms are
+    * left-fold doubles identical in both engines, the division is one
+    * correctly-rounded IEEE op, so the floor agrees bitwise) through the
+    * bounded [[graft.plans.TopKPerKey]] heap: ≤ k rows per vector reach
+    * the exchange, not the full in-cell neighbor list. At 100 TB: cell =
+    * partition key, per-cell quadratic work bounded by cell size, heap
+    * memory O(k) per vector. */
+  def s12_knn_join(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).withColumn("nrm", norm(col("a")))
+      .filter(col("nrm") > 0.0)
+      .select("vec_id", "label", "a", "nrm")
+      .cache()
+    base.count() // eager fill: the self-join would race the cache
+    val pairs = base.as("x").join(base.as("y"),
+        col("x.label") === col("y.label") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"),
+        col("y.vec_id").as("nbr"),
+        floor(dot(col("x.a"), col("y.a")) /
+          (col("x.nrm") * col("y.nrm")) * lit(1e9)).cast("long")
+          .as("cos_fp"))
+    graft.plans.TopKPerKey(pairs, Seq("vec_id"), "cos_fp", "nbr", 3)
+      .select(col("vec_id"), col("rank"), col("nbr").as("neighbor_id"),
+        col("cos_fp"))
+      .orderBy("vec_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_knn_join" -> (s12_knn_join _),
     "s09_ann_ivf_pq" -> (s09_ann_ivf_pq _),
     "s08_ann_pq" -> (s08_ann_pq _),
     "s07_range_search" -> (s07_range_search _),
@@ -487,6 +522,26 @@ object SimilarityQueries {
         FROM sims) WHERE rank <= 3 + 2 ORDER BY query_id, rank"""
 
   val oracles: Map[String, String] = Map(
+    "s12_knn_join" -> """
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      n AS (SELECT vec_id, label, a,
+          sqrt(list_reduce(list_transform(range(1, 65), i -> a[i] * a[i]),
+            (p, q) -> p + q)) AS nrm
+        FROM e),
+      nz AS (SELECT * FROM n WHERE nrm > 0),
+      pairs AS (SELECT x.vec_id AS vec_id, y.vec_id AS nbr,
+          CAST(floor(list_reduce(list_transform(range(1, 65),
+              i -> x.a[i] * y.a[i]), (p, q) -> p + q)
+            / (x.nrm * y.nrm) * 1e9) AS BIGINT) AS cos_fp
+        FROM nz x JOIN nz y ON x.label = y.label
+          AND x.vec_id <> y.vec_id)
+      SELECT vec_id, rank, nbr AS neighbor_id, cos_fp FROM (
+        SELECT vec_id, nbr, cos_fp,
+          CAST(row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos_fp DESC, nbr) AS BIGINT) AS rank
+        FROM pairs)
+      WHERE rank <= 3 ORDER BY vec_id, rank""",
     "s09_ann_ivf_pq" -> """
       WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),

@@ -157,6 +157,66 @@ class FunnelRankChunkSpec extends SparkSpec {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("s12: in-cell kNN graph matches an in-memory top-3 per vector") {
+    val got = SimilarityQueries.s12_knn_join(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val vecs = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { s0 += a(i) * b(i); i += 1 }
+      s0
+    }
+    val expected = vecs.groupBy(_._2).values.flatMap { cell =>
+      val nz = cell.toSeq
+        .map { case (id, _, a) => (id, a, math.sqrt(dot(a, a))) }
+        .filter(_._3 > 0.0)
+      nz.flatMap { case (id, a, na) =>
+        nz.filter(_._1 != id)
+          .map { case (jd, b, nb) =>
+            (jd, math.floor(dot(a, b) / (na * nb) * 1e9).toLong) }
+          .sortBy { case (jd, c) => (-c, jd) }
+          .take(3).zipWithIndex
+          .map { case ((jd, c), i) => (id, i + 1L, jd, c) }
+      }
+    }.toSeq.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == expected)
+  }
+
+  test("q55: chi-square drift cells replayed exactly in BigInt") {
+    val got = RelationalQueries.q55_drift_chi2(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val evs = Tables.events(spark, sf())
+      .select("ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val lo = evs.map(_._1).min; val hi = evs.map(_._1).max
+    val mid = lo + (hi - lo) / 2
+    val cells = evs.groupBy(e =>
+        (e._2, math.min(math.floor(e._3).toLong / 32, 15L)))
+      .map { case ((et, b), es) =>
+        (et, b, es.count(_._1 <= mid).toLong, es.count(_._1 > mid).toLong) }
+      .toSeq
+    val tots = cells.groupBy(_._1).map { case (et, cs) =>
+      et -> (cs.map(_._3).sum, cs.map(_._4).sum) }
+    val expected = cells.map { case (et, b, n1, n2) =>
+      val (tn1, tn2) = tots(et)
+      val chi = if (tn1 == 0 || tn2 == 0) None else {
+        val diff = BigInt(n1) * tn2 - BigInt(n2) * tn1
+        Some((diff * diff * 1000000 / (BigInt(tn1) * tn2 * (n1 + n2)))
+          .toLong)
+      }
+      (et, b, n1, n2, chi)
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == expected)
+    // drift exists between the halves but every cell is populated-ish
+    assert(got.map(_._3).sum > 0 && got.map(_._4).sum > 0)
+  }
+
   test("d19: anchored candidates + Levenshtein threshold replayed exactly") {
     val got = DedupQueries.d19_editdist(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
