@@ -15,8 +15,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   spark.sql("SELECT graft_dot(a, b), graft_simhash60(hs) FROM t")
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // predicate rewrites (e.g. the Levenshtein length-band + banded-DP
+    // threshold form) run with the operator-optimization batch
+    ext.injectOptimizerRule(_ => LevenshteinGuard)
+  }
 }
 
 object GraftExtensions {
