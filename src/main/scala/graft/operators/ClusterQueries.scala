@@ -271,7 +271,42 @@ object ClusterQueries {
         ldiv(col("auc_num") * 1000000000L, col("auc_den")).as("auc_fp"))
   }
 
+  /** c06 — calibration (reliability) table for the c05 scorer: decile
+    * bins by global score rank, per bin the exact positive rate and mean
+    * score as 1e-9 / 1e-6 fixed point — the companion diagnostic to AUC
+    * (a scorer can rank well and still be badly calibrated; the gap
+    * between mean score and positive rate per bin is what a threshold
+    * picker actually reads).
+    *
+    * Scale shape: the only global structure is the [[SequentialId]] rank
+    * (range exchange + broadcast offsets); deciles are integer rank
+    * arithmetic, the rest is one 10-group aggregate. All integers —
+    * bit-identical at any parallelism. */
+  def c06_calibration_bins(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val signs = lit((1 to 64).map(i =>
+      if (i.toLong * 2654435761L / 65536L % 2L == 1L) 1.0 else -1.0).toArray)
+    val sc = Tables.embeddings(s, dir)
+      .withColumn("a", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), (col("label") % 2).cast("long").as("y"),
+        floor(aggregate(zip_with(col("a"), signs, (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x) * lit(1e6)).cast("long").as("s_fp"))
+    val n = sc.agg(count(lit(1)).as("n_tot"))
+    SequentialId.withSequentialId(sc, "rn", Seq(col("s_fp"), col("vec_id")))
+      .crossJoin(broadcast(n))
+      .withColumn("decile", ldiv((col("rn") - 1L) * 10L, col("n_tot")))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum("y").as("n_pos"),
+        sum("s_fp").as("ssum"))
+      .select(col("decile"), col("n"), col("n_pos"),
+        ldiv(col("n_pos") * 1000000000L, col("n")).as("pos_rate_fp"),
+        ldiv(col("ssum"), col("n")).as("mean_score_fp"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c06_calibration_bins" -> (c06_calibration_bins _),
     "c01_kmeans_embeddings" -> (c01_kmeans_embeddings _),
     "c02_kmeans_lloyd" -> (c02_kmeans_lloyd _),
     "c03_pca_power" -> (c03_pca_power _),
@@ -374,6 +409,28 @@ object ClusterQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // decile = (rank-1)*10 // n; all-integer bin stats (both engines'
+    // integer division truncates toward zero, incl. negative score sums)
+    "c06_calibration_bins" ->
+      """WITH sc AS (SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+           CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),
+             i -> (embedding[i]::DOUBLE) *
+               (CASE WHEN i * 2654435761 // 65536 % 2 = 1
+                THEN 1.0 ELSE -1.0 END)),
+             (p, q) -> p + q)) AS BIGINT) AS s_fp
+         FROM embeddings),
+       r AS (SELECT y, s_fp,
+           row_number() OVER (ORDER BY s_fp, vec_id) AS rn,
+           count(*) OVER () AS n_tot
+         FROM sc),
+       b AS (SELECT CAST((rn - 1) * 10 // n_tot AS BIGINT) AS decile,
+           y, s_fp FROM r)
+       SELECT decile, count(*) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST((sum(y) * 1000000000) // count(*) AS BIGINT) AS pos_rate_fp,
+         CAST(CAST(sum(s_fp) AS BIGINT) // count(*) AS BIGINT)
+           AS mean_score_fp
+       FROM b GROUP BY decile ORDER BY decile""",
     // midrank Mann-Whitney in exact integers: row_number in score order,
     // tie groups by score, 2×midrank = 2·minrank + cnt − 1
     "c05_auc_rank" ->

@@ -144,4 +144,24 @@ class ClusterSpec extends SparkSpec {
     // AUC is a proper probability
     assert(num >= 0 && num <= den)
   }
+
+  test("c06: decile bins are balanced, complete, and score-monotone") {
+    val rows = ClusterQueries.c06_calibration_bins(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    val n = rows.map(_._2).sum
+    assert(n == graft.core.Tables.embeddings(spark, sf()).count())
+    // rank-based deciles differ by at most 1 in size
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    rows.foreach { case (_, nb, np, rate, _) =>
+      assert(np >= 0 && np <= nb)
+      assert(rate == np * 1000000000L / nb)
+    }
+    // mean score is non-decreasing across rank deciles by construction
+    rows.map(_._5).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b)
+      case _ =>
+    }
+  }
 }
