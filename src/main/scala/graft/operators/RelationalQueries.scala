@@ -985,7 +985,42 @@ object RelationalQueries {
       .orderBy("event_type", "bin")
   }
 
+  /** q56 — cohort retention: users grouped by first-active day (cohort),
+    * then per (cohort, day-offset) the count of cohort members active
+    * that day and the exact 1e-6 fixed-point retention rate — the
+    * triangle matrix behind every product-analytics retention chart,
+    * and the q53 funnel's population-level companion.
+    *
+    * Scale shape: activity collapses to distinct (user, day) first (one
+    * map-side-combined distinct — the event stream never reaches the
+    * joins), first-active is one groupBy(user) over that, cohort sizes
+    * are a tiny broadcast, and the retention cells are one
+    * groupBy(cohort, day). All integer day arithmetic against the
+    * broadcast epoch anchor. */
+  def q56_cohort_retention(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val dayNs = 86400L * 1000000000L
+    val ev = Tables.events(s, dir).select("user_id", "ts")
+    val lo = ev.agg(min("ts").as("lo"))
+    val active = ev.crossJoin(broadcast(lo))
+      .select(col("user_id"),
+        ldiv(col("ts") - col("lo"), lit(dayNs)).as("day"))
+      .distinct()
+    val firsts = active.groupBy("user_id").agg(min("day").as("cohort"))
+    val sizes = firsts.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    active.join(firsts, "user_id")
+      .groupBy("cohort", "day")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), (col("day") - col("cohort")).as("day_offset"),
+        col("n_active"), col("cohort_size"),
+        ldiv(col("n_active") * 1000000L, col("cohort_size"))
+          .as("retention_fp"))
+      .orderBy("cohort", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_cohort_retention" -> (q56_cohort_retention _),
     "q55_drift_chi2" -> (q55_drift_chi2 _),
     "q53_funnel" -> (q53_funnel _),
     "q52_time_travel" -> (q52_time_travel _),
@@ -1028,6 +1063,24 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q56_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tns FROM events),
+         lo AS (SELECT min(tns) AS lo FROM e),
+         active AS (SELECT DISTINCT user_id,
+             (tns - lo) // 86400000000000 AS day
+           FROM e, lo),
+         firsts AS (SELECT user_id, min(day) AS cohort FROM active
+           GROUP BY user_id),
+         sizes AS (SELECT cohort, count(*)::BIGINT AS cohort_size
+           FROM firsts GROUP BY cohort),
+         cells AS (SELECT f.cohort, a.day, count(*)::BIGINT AS n_active
+           FROM active a JOIN firsts f USING (user_id)
+           GROUP BY f.cohort, a.day)
+         SELECT c.cohort, c.day - c.cohort AS day_offset, c.n_active,
+           s.cohort_size,
+           (c.n_active * 1000000) // s.cohort_size AS retention_fp
+         FROM cells c JOIN sizes s USING (cohort)
+         ORDER BY cohort, day_offset""",
     // exact-integer two-sample chi-square; HUGEINT carries diff² like
     // the decimal(38,0) path, `//` and `div` both truncate toward zero
     "q55_drift_chi2" ->

@@ -486,7 +486,37 @@ object SimilarityQueries {
       .orderBy("vec_id", "rank")
   }
 
+  /** d20 — graph-based semantic clustering: mutual-kNN edges (a↔b where
+    * each ranks the other in its top-3) over the [[s12_knn_join]] graph,
+    * closed into clusters by the O(log²n) [[GraphComponents]] pass;
+    * vectors with no mutual neighbor stay singletons. Mutuality is the
+    * standard symmetrization that keeps hub vectors from welding
+    * unrelated clusters together — the curation-pipeline step between
+    * pairwise similarity (d06/d12) and a cluster manifest.
+    *
+    * Scale shape: the kNN edges are already bounded (≤ 3 per vector);
+    * the mutual join is edge-keyed; component labeling is the same
+    * logarithmic-round machinery d14 uses. Lives here to share s12's
+    * oracle CTE. */
+  def d20_knn_clusters(s: SparkSession, dir: String): DataFrame = {
+    val knn = s12_knn_join(s, dir)
+      .select(col("vec_id").as("u"), col("neighbor_id").as("v"))
+    val mutual = knn.as("x").join(knn.as("y"),
+        col("x.u") === col("y.v") && col("x.v") === col("y.u") &&
+          col("x.u") < col("x.v"))
+      .select(col("x.u").as("u"), col("x.v").as("v"))
+    val lbl = graft.operators.GraphComponents.labels(mutual)
+    val lab = Tables.embeddings(s, dir).select("vec_id")
+      .join(lbl, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("cluster"))
+    lab.join(lab.groupBy("cluster").agg(count(lit(1)).as("n_members")),
+        "cluster")
+      .select("vec_id", "cluster", "n_members")
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_knn_clusters" -> (d20_knn_clusters _),
     "s12_knn_join" -> (s12_knn_join _),
     "s09_ann_ivf_pq" -> (s09_ann_ivf_pq _),
     "s08_ann_pq" -> (s08_ann_pq _),
@@ -521,27 +551,54 @@ object SimilarityQueries {
             ORDER BY sim DESC, neighbor_id) AS rank
         FROM sims) WHERE rank <= 3 + 2 ORDER BY query_id, rank"""
 
-  val oracles: Map[String, String] = Map(
-    "s12_knn_join" -> """
-      WITH e AS (SELECT vec_id, label,
+  /** Shared CTE: per-vector in-cell top-3 by fixed-point cosine —
+    * consumed by the s12 and d20 oracles. */
+  private val sqlKnnCte = """
+      e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
       n AS (SELECT vec_id, label, a,
           sqrt(list_reduce(list_transform(range(1, 65), i -> a[i] * a[i]),
             (p, q) -> p + q)) AS nrm
         FROM e),
       nz AS (SELECT * FROM n WHERE nrm > 0),
-      pairs AS (SELECT x.vec_id AS vec_id, y.vec_id AS nbr,
+      prs AS (SELECT x.vec_id AS vec_id, y.vec_id AS nbr,
           CAST(floor(list_reduce(list_transform(range(1, 65),
               i -> x.a[i] * y.a[i]), (p, q) -> p + q)
             / (x.nrm * y.nrm) * 1e9) AS BIGINT) AS cos_fp
         FROM nz x JOIN nz y ON x.label = y.label
-          AND x.vec_id <> y.vec_id)
-      SELECT vec_id, rank, nbr AS neighbor_id, cos_fp FROM (
-        SELECT vec_id, nbr, cos_fp,
-          CAST(row_number() OVER (PARTITION BY vec_id
-            ORDER BY cos_fp DESC, nbr) AS BIGINT) AS rank
-        FROM pairs)
-      WHERE rank <= 3 ORDER BY vec_id, rank""",
+          AND x.vec_id <> y.vec_id),
+      knn AS (SELECT vec_id, nbr, cos_fp, rank FROM (
+          SELECT vec_id, nbr, cos_fp,
+            CAST(row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos_fp DESC, nbr) AS BIGINT) AS rank
+          FROM prs)
+        WHERE rank <= 3)"""
+
+  val oracles: Map[String, String] = Map(
+    "s12_knn_join" -> s"""
+      WITH $sqlKnnCte
+      SELECT vec_id, rank, nbr AS neighbor_id, cos_fp FROM knn
+      ORDER BY vec_id, rank""",
+    "d20_knn_clusters" -> s"""
+      WITH RECURSIVE $sqlKnnCte,
+      k3 AS (SELECT vec_id AS u, nbr AS v FROM knn),
+      mutual AS (SELECT x.u, x.v FROM k3 x
+        JOIN k3 y ON x.u = y.v AND x.v = y.u
+        WHERE x.u < x.v),
+      edges AS (SELECT u, v FROM mutual UNION SELECT v, u FROM mutual),
+      lbl(node, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT ed.v, l.comp FROM lbl l JOIN edges ed ON l.node = ed.u),
+      fin AS (SELECT node, min(comp) AS comp FROM lbl GROUP BY node),
+      lab AS (SELECT a.vec_id, coalesce(f.comp, a.vec_id) AS cluster
+        FROM (SELECT vec_id FROM embeddings) a
+        LEFT JOIN fin f ON a.vec_id = f.node),
+      sizes AS (SELECT cluster, count(*) AS n_members FROM lab
+        GROUP BY cluster)
+      SELECT l.vec_id, l.cluster, s.n_members
+      FROM lab l JOIN sizes s USING (cluster)
+      ORDER BY l.vec_id""",
     "s09_ann_ivf_pq" -> """
       WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),

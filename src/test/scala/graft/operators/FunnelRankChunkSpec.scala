@@ -217,6 +217,52 @@ class FunnelRankChunkSpec extends SparkSpec {
     assert(got.map(_._3).sum > 0 && got.map(_._4).sum > 0)
   }
 
+  test("d20: clusters respect mutual-kNN edges and cover every vector") {
+    val knn = SimilarityQueries.s12_knn_join(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val knnSet = knn.toSet
+    val mutual = knn.filter { case (u, v) => u < v && knnSet.contains((v, u)) }
+    val clusters = SimilarityQueries.d20_knn_clusters(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lbl = clusters.map(c => c._1 -> c._2).toMap
+    // every vector labeled exactly once
+    assert(clusters.length ==
+      graft.core.Tables.embeddings(spark, sf()).count())
+    // mutual edges land in one cluster; the label is the component min
+    mutual.foreach { case (u, v) => assert(lbl(u) == lbl(v)) }
+    clusters.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.map(_._1).min == c)
+      assert(ms.forall(_._3 == ms.length))
+    }
+    // mutuality actually prunes: some one-directional edges exist, and
+    // at least one real (size > 1) cluster forms
+    assert(mutual.nonEmpty && mutual.length < knn.length)
+    assert(clusters.exists(_._3 > 1))
+  }
+
+  test("q56: retention cells match an in-memory cohort replay") {
+    val got = RelationalQueries.q56_cohort_retention(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val evs = Tables.events(spark, sf()).select("user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lo = evs.map(_._2).min
+    val active = evs.map { case (u, t) =>
+      (u, (t - lo) / 86400000000000L) }.distinct
+    val firsts = active.groupBy(_._1).map { case (u, ds) =>
+      u -> ds.map(_._2).min }
+    val sizes = firsts.values.groupBy(identity).map { case (c, xs) =>
+      c -> xs.size.toLong }
+    val expected = active.groupBy { case (u, d) => (firsts(u), d) }
+      .map { case ((c, d), xs) =>
+        val n = xs.size.toLong
+        (c, d - c, n, sizes(c), n * 1000000L / sizes(c)) }
+      .toSeq.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == expected)
+    // day-0 retention is 100% for every cohort by definition
+    got.filter(_._2 == 0L).foreach(x => assert(x._5 == 1000000L))
+  }
+
   test("d19: anchored candidates + Levenshtein threshold replayed exactly") {
     val got = DedupQueries.d19_editdist(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
