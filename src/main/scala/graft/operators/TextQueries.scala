@@ -626,7 +626,51 @@ object TextQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Shared integer log2 LUT: entLut(k) = floor(log2(k)·2^20), k ≤ 2048.
+    * Computed ONCE here and embedded verbatim into BOTH the Spark plan
+    * (lit array) and the DuckDB oracle text (interpolated literal), so
+    * the irrational log never crosses an engine boundary — the engines
+    * compare pure integer arithmetic against the same table. */
+  private val EntLutSize = 2048
+  private val entLut: Array[Long] = Array.tabulate(EntLutSize + 1)(k =>
+    if (k < 1) 0L
+    else math.floor(math.log(k) / math.log(2) * 1048576.0).toLong)
+
+  /** t19 — character-entropy quality scoring (the gibberish /
+    * low-information filter: natural text sits near ~4 bits/char, pad
+    * runs and binary junk fall out at the extremes). Exact-integer
+    * entropy: H·L·2^20 = Σ_c cnt_c·(LUT[L] − LUT[cnt_c]) over the
+    * shared [[entLut]], then per-char ent_fp = that // L — deterministic
+    * to the bit with no libm in either engine. Docs longer than the LUT
+    * raise loudly (the morton-guard convention) instead of clamping
+    * silently; current corpus max is ~600 chars, the LUT holds 2048.
+    *
+    * Scale shape: one scan-parallel projection — per-doc distinct-char
+    * counts via replace-length HOFs (O(distinct·len) per row, no
+    * explode), zero shuffles before the output sort. */
+  def t19_char_entropy(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .withColumn("lut", lit(entLut))
+      .withColumn("guard", when(col("len") > EntLutSize, raise_error(concat(
+        lit(s"t19: doc length exceeds entropy LUT ($EntLutSize): "),
+        col("len").cast("string"))).cast("long")).otherwise(lit(0L)))
+      .withColumn("cnts", expr(
+        """transform(array_distinct(split(text, '')),
+           ch -> length(text) - length(replace(text, ch, '')))"""))
+      .withColumn("ent_num", col("guard") + expr(
+        """aggregate(cnts, 0L, (acc, c) -> acc +
+           c * (element_at(lut, len + 1) - element_at(lut, c + 1)))"""))
+      .select(col("doc_id"), col("len").cast("long").as("len"),
+        size(col("cnts")).cast("long").as("n_distinct"),
+        when(col("len") === 0, lit(0L))
+          .otherwise(graft.functions.KeyAlgebra.ldiv(col("ent_num"), col("len")))
+          .as("ent_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_char_entropy" -> (t19_char_entropy _),
     "t18_tfidf_keywords" -> (t18_tfidf_keywords _),
     "t17_hdr_quantiles" -> (t17_hdr_quantiles _),
     "t16_bm25_topk" -> (t16_bm25_topk _),
@@ -651,6 +695,22 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    // the SAME integer LUT is interpolated here, so both engines do
+    // pure integer arithmetic — no libm log anywhere
+    "t19_char_entropy" -> s"""
+      WITH lut AS (SELECT [${entLut.mkString(", ")}]::BIGINT[] AS l),
+      d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      c AS (SELECT doc_id, len,
+          list_transform(list_distinct(string_split(text, '')),
+            ch -> length(text) - length(replace(text, ch, ''))) AS cnts
+        FROM d)
+      SELECT doc_id, CAST(len AS BIGINT) AS len,
+        CAST(len(cnts) AS BIGINT) AS n_distinct,
+        CASE WHEN len = 0 THEN 0 ELSE
+          CAST(list_reduce(list_transform(cnts,
+            c -> CAST(c AS BIGINT) * (l[len + 1] - l[c + 1])),
+            (x, y) -> x + y) // len AS BIGINT) END AS ent_fp
+      FROM c, lut ORDER BY doc_id""",
     "t18_tfidf_keywords" ->
       """WITH tok AS (SELECT doc_id,
            unnest(list_filter(string_split(text, ' '),

@@ -263,6 +263,24 @@ class FunnelRankChunkSpec extends SparkSpec {
     got.filter(_._2 == 0L).foreach(x => assert(x._5 == 1000000L))
   }
 
+  test("t19: LUT entropy hits exact values on crafted distributions") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_t19").toString
+    Seq(
+      (0L, "aaaaaaaa", "en", "web", 8L),     // 0 bits/char
+      (1L, "abababab", "en", "web", 8L),     // exactly 1 bit/char
+      (2L, "abcdabcd", "en", "web", 8L),     // exactly 2 bits/char
+      (3L, "abcdefgh", "en", "web", 8L))     // exactly 3 bits/char
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextQueries.t19_char_entropy(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // powers of two: the LUT entries are exact, so entropy is exact
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L), (1L, 2L, 1048576L),
+      (2L, 4L, 2097152L), (3L, 8L, 3145728L)))
+  }
+
   test("d19: anchored candidates + Levenshtein threshold replayed exactly") {
     val got = DedupQueries.d19_editdist(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
