@@ -99,7 +99,46 @@ object CubeQueries {
     zr.join(zs, "id_dim").orderBy("id_dim")
   }
 
+  /** qc05 — climatological anomaly, the reference's signature climate
+    * workload (oph_reduce2 over time concept levels + oph_intercube
+    * subtraction): the embedding rows form a (month × year) explicit
+    * grid over a 64-cell implicit field; the per-month climatology is an
+    * OPH_AGGREGATE (reduceExplicit "sum" across the 50 years, then /ny),
+    * and the anomaly is the intercube difference between each row and
+    * its month's climatology, joined back by broadcast.
+    *
+    * Determinism: the measure is scaled to integer-valued doubles
+    * (floor ×1e6) FIRST, so the cross-row partial sums are exact in any
+    * order and the single /50 is one correctly-rounded division — the
+    * same trick that makes c03/p17 engine-portable, applied to the cube
+    * algebra. Scale shape: one groupBy for the climatology (nm rows),
+    * broadcast join back, no other shuffle. */
+  def qc05_cube_anomaly(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra
+    val ny = 50
+    val base = Tables.embeddings(s, dir)
+      .select((col("vec_id") + 1).as("id_dim"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1e6).cast("double")).as("measure"))
+    val n = base.count().toInt
+    require(n % ny == 0, s"grid needs a whole number of years: $n/$ny")
+    val c = Cube(base, Seq("month" -> (n / ny), "year" -> ny),
+      Seq("cell" -> 64))
+    val clim = c.reduceExplicit("year", "sum")
+      .apply_(m => transform(m, v => v / ny))
+      .df.select(col("id_dim").as("mid"), col("measure").as("clim"))
+    c.df
+      .withColumn("mid", KeyAlgebra.oph_id(col("id_dim"), ny))
+      .join(broadcast(clim), "mid")
+      .select(col("id_dim"),
+        graft.functions.ArrayPrimitives.fx12(
+          zip_with(col("measure"), col("clim"), (a, b) => a - b))
+          .as("anomaly"))
+      .orderBy("id_dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc05_cube_anomaly" -> (qc05_cube_anomaly _),
     "qc01_cube_pipeline" -> (qc01_cube_pipeline _),
     "qc02_cube_aggregate" -> (qc02_cube_aggregate _),
     "qc03_cube_reshape" -> (qc03_cube_reshape _),
@@ -107,6 +146,19 @@ object CubeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact replay: integer-valued scaled measures sum exactly in any
+    // order; one /50 division; anomaly per (row, cell)
+    "qc05_cube_anomaly" ->
+      """WITH u AS (SELECT vec_id, vec_id // 50 AS m, j,
+           floor(embedding[j + 1]::DOUBLE * 1e6) AS v
+         FROM embeddings, (SELECT unnest(range(0, 64)) AS j)),
+       clim AS (SELECT m, j, sum(v) / 50 AS cv FROM u GROUP BY m, j),
+       a AS (SELECT u.vec_id, u.j, u.v - c.cv AS av
+         FROM u JOIN clim c ON u.m = c.m AND u.j = c.j)
+       SELECT vec_id + 1 AS id_dim,
+         array_to_string(list_transform(list(av ORDER BY j),
+           x -> CAST(floor(x * 1e12) AS BIGINT)), ',') AS anomaly
+       FROM a GROUP BY vec_id ORDER BY id_dim""",
     "qc04_cube_zarr_roundtrip" ->
       """SELECT i AS id_dim,
          array_to_string(list_transform(range(0, 12),
