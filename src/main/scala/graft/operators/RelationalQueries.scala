@@ -963,12 +963,15 @@ object RelationalQueries {
     val ev = Tables.events(s, dir).select("ts", "event_type", "value")
     val mid = ev.agg((min("ts") + ldiv(max("ts") - min("ts"), lit(2L)))
       .as("mid"))
+    // the 80-cell table is referenced twice (cells + totals); checkpoint
+    // so the totals derivation does not replay the event scan
     val cells = ev.crossJoin(broadcast(mid))
       .withColumn("bin",
         least(ldiv(floor(col("value")).cast("long"), lit(32L)), lit(15L)))
       .groupBy("event_type", "bin")
       .agg(sum(when(col("ts") <= col("mid"), 1L).otherwise(0L)).as("n1"),
         sum(when(col("ts") > col("mid"), 1L).otherwise(0L)).as("n2"))
+      .localCheckpoint()
     val tot = cells.groupBy("event_type")
       .agg(sum("n1").as("tn1"), sum("n2").as("tn2"))
     cells.join(broadcast(tot), "event_type")
@@ -1002,16 +1005,28 @@ object RelationalQueries {
     val dayNs = 86400L * 1000000000L
     val ev = Tables.events(s, dir).select("user_id", "ts")
     val lo = ev.agg(min("ts").as("lo"))
-    val active = ev.crossJoin(broadcast(lo))
+    // ONE pass over the event stream: per-user distinct-day sets (the
+    // map-side collect_set dedups within partitions, state bounded by
+    // the calendar, not the event count), cohort = array_min. A naive
+    // active/firsts/sizes formulation referenced the distinct subtree
+    // three times and re-scanned events four times.
+    val perUser = ev.crossJoin(broadcast(lo))
       .select(col("user_id"),
         ldiv(col("ts") - col("lo"), lit(dayNs)).as("day"))
-      .distinct()
-    val firsts = active.groupBy("user_id").agg(min("day").as("cohort"))
-    val sizes = firsts.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
-    active.join(firsts, "user_id")
+      .groupBy("user_id").agg(collect_set("day").as("days"))
+      .withColumn("cohort", array_min(col("days")))
+    // the cell table is calendar² rows at most; checkpoint so the
+    // day-0 self-derivation below does not replay the event scan
+    val cells = perUser
+      .select(col("cohort"), explode(col("days")).as("day"))
       .groupBy("cohort", "day")
       .agg(count(lit(1)).as("n_active"))
-      .join(broadcast(sizes), "cohort")
+      .localCheckpoint()
+    // every user is active on their cohort day, so the day-0 cell IS
+    // the cohort size — no separate firsts pass
+    val sizes = cells.filter(col("day") === col("cohort"))
+      .select(col("cohort"), col("n_active").as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort")
       .select(col("cohort"), (col("day") - col("cohort")).as("day_offset"),
         col("n_active"), col("cohort_size"),
         ldiv(col("n_active") * 1000000L, col("cohort_size"))

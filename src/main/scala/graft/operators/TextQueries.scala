@@ -612,9 +612,11 @@ object TextQueries {
       .select(col("doc_id"),
         explode(filter(tokens(col("text")), t => length(t) >= 4)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-    tf.join(dfT, "term")
+    // df as a count over the term partition: ONE pass over the (doc,
+    // term) table — a tf⋈groupBy(tf) self-join would re-run the token
+    // explode for each reference
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
