@@ -1034,7 +1034,51 @@ object RelationalQueries {
       .orderBy("cohort", "day_offset")
   }
 
+  /** q57 — lakehouse schema evolution: three snapshot generations of the
+    * orders table written with WIDENING schemas (g1: base columns; g2:
+    * + priority; g3: + status), then read as ONE dataset through
+    * `mergeSchema` — late columns come back NULL for early generations,
+    * exactly the add-column evolution contract every table format
+    * guarantees. The aggregate proves both directions: per-generation
+    * counts of missing values, and a whole-table group on an evolved
+    * column with the null bucket preserved.
+    *
+    * Scale shape: schema merge is a FOOTER operation (one small read per
+    * file, not per row); the scan itself stays one pass with pruning
+    * intact. The generation writes memoize per (session, dir) like the
+    * q33/q37 layout ingests. */
+  def q57_schema_evolution(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.SessionMemo.memoize(s, "q57-se:" + dir) {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q57_$tag").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.parquet(s"$base/g=1")
+      o.filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.parquet(s"$base/g=2")
+      o.filter(col("o_orderkey") % 3 === 2)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .write.parquet(s"$base/g=3")
+      base
+    }
+    s.read.option("mergeSchema", "true").parquet(root)
+      .groupBy(col("g"), coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L))
+          .as("n_no_status"),
+        dsum("o_totalprice").as("sum_price"))
+      .orderBy("g", "priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_schema_evolution" -> (q57_schema_evolution _),
     "q56_cohort_retention" -> (q56_cohort_retention _),
     "q55_drift_chi2" -> (q55_drift_chi2 _),
     "q53_funnel" -> (q53_funnel _),
@@ -1078,6 +1122,18 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // generation = orderkey % 3 + 1; pre-evolution columns are NULL for
+    // early generations under mergeSchema
+    "q57_schema_evolution" ->
+      """SELECT CAST(o_orderkey % 3 + 1 AS INT) AS g,
+         CASE WHEN o_orderkey % 3 + 1 >= 2 THEN o_orderpriority
+           ELSE '<pre-evolution>' END AS priority,
+         count(*) AS n,
+         CAST(sum(CASE WHEN o_orderkey % 3 + 1 < 3 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_no_status,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+         FROM orders GROUP BY 1, 2 ORDER BY g, priority""",
     "q56_cohort_retention" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS tns FROM events),
          lo AS (SELECT min(tns) AS lo FROM e),
