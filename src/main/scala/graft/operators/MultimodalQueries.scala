@@ -493,7 +493,61 @@ object MultimodalQueries {
     }.toDF().orderBy("doc_id", "band", "pcol")
   }
 
+  final case class RowSig(pair_id: Long, sx: Long, sy: Long, sxx: Long,
+                          syy: Long, sxy: Long)
+
+  /** m10 — structural similarity (SSIM family) between consecutive doc
+    * images, in EXACT integer arithmetic: the luminance/contrast/
+    * structure comparison every perceptual-quality triage runs beside
+    * the dHash dedup (m06). Each doc pairs with its successor
+    * (pair_id = even doc_id); both 32-wide PGM grids decode through the
+    * real codec and the first grid row (32 px, always present) yields
+    * the five sufficient sums; the classic SSIM quotient is cleared of
+    * divisions — A·B / (C·D) with A = 2SxSy+c1n², B = 2(nSxy−SxSy)+c2n²,
+    * C = Sx²+Sy²+c1n², D = (nSxx−Sx²)+(nSyy−Sy²)+c2n² — and carried in
+    * decimal(38,0) (HUGEINT in the oracle) to a 1e-6 fixed-point result.
+    * Identical inputs score exactly 1e6.
+    *
+    * Scale shape: one shuffle join on the successor key (both sides
+    * partitioned by pair_id), decode scan-parallel on each side. */
+  private val SsimC1 = 6L * 32 * 32 // ≈ (0.01·255)²·n², n = 32
+  private val SsimC2 = 58L * 32 * 32 // ≈ (0.03·255)²·n²
+
+  def m10_patch_ssim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c1 = SsimC1
+    val c2 = SsimC2
+    def row0(payload: Array[Byte]): Array[Long] = {
+      val img = MediaCodec.decodeImage(payload)
+      Array.tabulate(32)(i => (img.pixels(i) & 0xFF).toLong)
+    }
+    val sides = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val px = row0(pgmGrid(id, text).payload)
+        // side 0 = even doc (left), side 1 = odd doc (right of pair id-1)
+        val pid = if (id % 2 == 0) id else id - 1
+        (pid, id % 2, px.sum, px.map(v => v * v).sum, px)
+      }).toDF("pair_id", "side", "s1", "s2", "px")
+    sides.filter(col("side") === 0).as("x")
+      .join(sides.filter(col("side") === 1).as("y"), "pair_id")
+      .select(col("pair_id"), col("x.s1").as("sx"), col("y.s1").as("sy"),
+        col("x.s2").as("sxx"), col("y.s2").as("syy"),
+        zip_with(col("x.px"), col("y.px"), (a, b) => a * b).as("xy"))
+      .withColumn("sxy", aggregate(col("xy"), lit(0L), (acc, v) => acc + v))
+      .withColumn("ssim_fp", expr(
+        s"""CAST(((2 * CAST(sx AS DECIMAL(38,0)) * sy + $c1) *
+             (2 * (32 * CAST(sxy AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * sy) + $c2) * 1000000) div
+           ((CAST(sx AS DECIMAL(38,0)) * sx + CAST(sy AS DECIMAL(38,0)) * sy + $c1) *
+             ((32 * CAST(sxx AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * sx) +
+              (32 * CAST(syy AS DECIMAL(38,0)) - CAST(sy AS DECIMAL(38,0)) * sy) + $c2)) AS BIGINT)"""))
+      .select("pair_id", "sx", "sy", "sxy", "ssim_fp")
+      .orderBy("pair_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_patch_ssim" -> (m10_patch_ssim _),
     "m09_vit_patches" -> (m09_vit_patches _),
     "m08_audio_fingerprint" -> (m08_audio_fingerprint _),
     "m07_video_motion" -> (m07_video_motion _),
@@ -506,6 +560,38 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same integer SSIM identity over the replayed first grid row;
+    // HUGEINT carries the cleared-denominator products, and both
+    // engines' integer division truncates toward zero (covariance, and
+    // hence B and the quotient, may be negative)
+    "m10_patch_ssim" -> s"""
+      WITH px AS (SELECT doc_id, length(text) AS len,
+          list_transform(range(0, 32), i -> CASE WHEN length(text) = 0
+            THEN 0 ELSE ascii(substr(text,
+              least(i, length(text) - 1)::INT + 1, 1)) END) AS p
+        FROM documents),
+      sm AS (SELECT doc_id,
+          CAST(list_reduce(p, (a, b) -> a + b) AS BIGINT) AS s1,
+          CAST(list_reduce(list_transform(p, v -> v * v),
+            (a, b) -> a + b) AS BIGINT) AS s2,
+          p
+        FROM px),
+      j AS (SELECT x.doc_id AS pair_id, x.s1 AS sx, y.s1 AS sy,
+          x.s2 AS sxx, y.s2 AS syy,
+          CAST(list_reduce(list_transform(range(1, 33),
+            i -> x.p[i] * y.p[i]), (a, b) -> a + b) AS BIGINT) AS sxy
+        FROM sm x JOIN sm y ON y.doc_id = x.doc_id + 1
+        WHERE x.doc_id % 2 = 0)
+      SELECT pair_id, sx, sy, sxy,
+        CAST(((2 * CAST(sx AS HUGEINT) * sy + $SsimC1) *
+            (2 * (32 * CAST(sxy AS HUGEINT) - CAST(sx AS HUGEINT) * sy)
+              + $SsimC2) * 1000000)
+          // ((CAST(sx AS HUGEINT) * sx + CAST(sy AS HUGEINT) * sy
+              + $SsimC1) *
+            ((32 * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx) +
+             (32 * CAST(syy AS HUGEINT) - CAST(sy AS HUGEINT) * sy)
+              + $SsimC2)) AS BIGINT) AS ssim_fp
+      FROM j ORDER BY pair_id""",
     // replays the grid-fill (byte min(i, len-1), empty doc → zeros) and
     // the 8×8 patch statistics from the document bytes; the PGM
     // container roundtrip happens only on the Spark side

@@ -52,6 +52,25 @@ class MultimodalEdgeSpec extends SparkSpec {
     assert(abc._5 == ('a' + 'b' + 6 * 'c').toLong)
   }
 
+  test("m10: identical pair scores exactly 1e6; empty-vs-text stays defined") {
+    val d = Files.createTempDirectory("graft_m10_edge").toString
+    import spark.implicits._
+    Seq(
+      (0L, "same text here", "en", "web", 14L),
+      (1L, "same text here", "en", "web", 14L), // pair 0: identical
+      (2L, "", "en", "web", 0L),
+      (3L, "totally different words", "en", "web", 23L)) // pair 2: 0 vs text
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = MultimodalQueries.m10_patch_ssim(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(4)))
+    assert(rows.toSeq.map(_._1) == Seq(0L, 2L))
+    assert(rows.head._2 == 1000000L) // identical images: exact unity
+    // the all-zero image drives the luminance term to ~0 but stays
+    // finite and deterministic via the stabilizer constants
+    assert(rows(1)._2 < 1000000L)
+  }
+
   test("m06 survives an empty document; identical docs still pair up") {
     val pairs = MultimodalQueries.m06_image_dhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
