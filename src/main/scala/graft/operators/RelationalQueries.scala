@@ -414,7 +414,10 @@ object RelationalQueries {
   def q33_bucketed_join(s: SparkSession, dir: String): DataFrame = {
     val (lt, ot) = graft.core.SessionMemo.memoize(s, "q33-bucketed:" + dir) {
       // collision-free per-dir tag (hashCode could alias two dirs)
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // dir AND applicationId: two JVMs sweeping the same sfDir must
+      // not overwrite each other's store mid-read (the q39 lesson)
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]", "_")
       val wh = new java.io.File(
         System.getProperty("java.io.tmpdir"), s"graft_q33_wh_$tag")
       val (l, o) = (s"graft_q33_li_$tag", s"graft_q33_ord_$tag")
@@ -472,7 +475,10 @@ object RelationalQueries {
   def q35_partition_pruning(s: SparkSession, dir: String): DataFrame = {
     val pt = graft.core.SessionMemo.memoize(s, "q35-part:" + dir) {
       // collision-free per-dir tag (hashCode could alias two dirs)
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // dir AND applicationId: two JVMs sweeping the same sfDir must
+      // not overwrite each other's store mid-read (the q39 lesson)
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]", "_")
       val t = s"graft_q35_li_$tag"
       Tables.lineitem(s, dir)
         .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
@@ -525,7 +531,10 @@ object RelationalQueries {
     * write per sf dir, memoized across the sweep like q33/q35/q41). */
   private def zOrderedOrders(s: SparkSession, dir: String): String =
     graft.core.SessionMemo.memoize(s, "q37-zorder:" + dir) {
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // dir AND applicationId: two JVMs sweeping the same sfDir must
+      // not overwrite each other's store mid-read (the q39 lesson)
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]", "_")
       val p = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q37_z_$tag").getAbsolutePath
       // Month index base 1995-01 comes from the TESTDATA.md orders date
@@ -696,7 +705,10 @@ object RelationalQueries {
     * crossed a threshold. */
   def q41_compact_small_files(s: SparkSession, dir: String): DataFrame = {
     val path = graft.core.SessionMemo.memoize(s, "q41-compact:" + dir) {
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // dir AND applicationId: two JVMs sweeping the same sfDir must
+      // not overwrite each other's store mid-read (the q39 lesson)
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]", "_")
       val small = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q41_small_$tag").getAbsolutePath
       val compact = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -745,7 +757,10 @@ object RelationalQueries {
   def q50_merge_on_read(s: SparkSession, dir: String): DataFrame = {
     val (basePath, dvPath, deltaPath) =
       graft.core.SessionMemo.memoize(s, "q50-mor:" + dir) {
-        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        // dir AND applicationId: two JVMs sweeping the same sfDir must
+      // not overwrite each other's store mid-read (the q39 lesson)
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]", "_")
         def tmp(n: String) = new java.io.File(
           System.getProperty("java.io.tmpdir"), s"graft_q50_${n}_$tag")
           .getAbsolutePath
@@ -860,7 +875,10 @@ object RelationalQueries {
     * of the three versions from one unioned read. */
   def q52_time_travel(s: SparkSession, dir: String): DataFrame = {
     val (logPath, files) = graft.core.SessionMemo.memoize(s, "q52-tt:" + dir) {
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // dir AND applicationId: two JVMs sweeping the same sfDir must
+      // not overwrite each other's store mid-read (the q39 lesson)
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]", "_")
       def tmp(n: String) = new java.io.File(
         System.getProperty("java.io.tmpdir"), s"graft_q52_${n}_$tag")
         .getAbsolutePath
@@ -1049,7 +1067,10 @@ object RelationalQueries {
     * q33/q37 layout ingests. */
   def q57_schema_evolution(s: SparkSession, dir: String): DataFrame = {
     val root = graft.core.SessionMemo.memoize(s, "q57-se:" + dir) {
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // dir AND applicationId: two JVMs sweeping the same sfDir must
+      // not overwrite each other's store mid-read (the q39 lesson)
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]", "_")
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q57_$tag").getAbsolutePath
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
