@@ -1098,7 +1098,40 @@ object RelationalQueries {
       .orderBy("g", "priority")
   }
 
+  /** q58 — session path analysis: the event-type transition matrix
+    * within q17's 30-minute sessions (consecutive-event bigrams, session
+    * boundaries cut transitions) — the "where do users go next" report
+    * that sits beside the funnel (q53) and retention (q56) views.
+    *
+    * Scale shape: the session numbering and the in-session lag share the
+    * user_id hash exchange (the second window's (user, session)
+    * clustering is satisfied by the user partitioning — only a sort is
+    * added), and the transition matrix is a ≤ |types|² partial+final
+    * aggregate. Equal timestamps are tie-broken by event_id in BOTH
+    * engines so the bigram sequence is deterministic. */
+  def q58_session_paths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapNs = 1800L * 1000000000L
+    val bySess = Window.partitionBy("user_id", "session_id")
+      .orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select("user_id", "event_id", "event_type", "ts")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(bySess))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_session_paths" -> (q58_session_paths _),
     "q57_schema_evolution" -> (q57_schema_evolution _),
     "q56_cohort_retention" -> (q56_cohort_retention _),
     "q55_drift_chi2" -> (q55_drift_chi2 _),
@@ -1143,6 +1176,25 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q58_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts)
+           AS tns FROM events),
+         s1 AS (SELECT *, CASE WHEN lag(tns) OVER w IS NULL
+             OR tns - lag(tns) OVER w > 1800000000000
+           THEN 1 ELSE 0 END AS new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY tns, event_id)),
+         s2 AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+             ORDER BY tns, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id FROM s1),
+         t AS (SELECT event_type AS next_type,
+             lag(event_type) OVER (PARTITION BY user_id, session_id
+               ORDER BY tns, event_id) AS prev_type
+           FROM s2)
+         SELECT prev_type, next_type, count(*) AS n FROM t
+         WHERE prev_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY prev_type, next_type""",
     // generation = orderkey % 3 + 1; pre-evolution columns are NULL for
     // early generations under mergeSchema
     "q57_schema_evolution" ->

@@ -263,6 +263,26 @@ class FunnelRankChunkSpec extends SparkSpec {
     got.filter(_._2 == 0L).foreach(x => assert(x._5 == 1000000L))
   }
 
+  test("q58: transition matrix matches replay; windows share one exchange") {
+    val df = RelationalQueries.q58_session_paths(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2,
+      s"session windows re-shuffled:\n$plan")
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    val evs = Tables.events(spark, sf())
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      sorted.zip(sorted.drop(1)).collect {
+        case (a, b) if b._4 - a._4 <= 1800L * 1000000000L => (a._3, b._3)
+      }
+    }.groupBy(identity).map { case (k, xs) => (k._1, k._2, xs.size.toLong) }
+      .toSeq.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == expected)
+  }
+
   test("t19: LUT entropy hits exact values on crafted distributions") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_t19").toString
