@@ -30,6 +30,18 @@ object SessionMemo {
     case other => "id-" + System.identityHashCode(other)
   }
 
+  /** Filesystem-safe tag for a session-memoized tmp store rooted at
+    * `dir`. Scoped by dir AND applicationId AND session UUID: two JVMs
+    * sweeping the same sfDir must not overwrite each other's store
+    * mid-read (the q39 lesson), and — since the memo that guards the
+    * build is per-session — two sessions inside ONE application must
+    * not either: a second session re-running the builder would
+    * deleteQuietly + rewrite the directory under the first session's
+    * readers if the path were only (dir, applicationId). */
+  def pathTag(s: SparkSession, dir: String): String =
+    (dir + "_" + s.sparkContext.applicationId + "_" + sessionKey(s))
+      .replaceAll("[^a-zA-Z0-9]", "_")
+
   /** Memoize `build` under (session, key). The builder runs OUTSIDE the
     * lock (it may fire cache-fill jobs); a concurrent duplicate build is
     * tolerated and the first insert wins. */

@@ -414,10 +414,10 @@ object RelationalQueries {
   def q33_bucketed_join(s: SparkSession, dir: String): DataFrame = {
     val (lt, ot) = graft.core.SessionMemo.memoize(s, "q33-bucketed:" + dir) {
       // collision-free per-dir tag (hashCode could alias two dirs)
-      // dir AND applicationId: two JVMs sweeping the same sfDir must
-      // not overwrite each other's store mid-read (the q39 lesson)
-      val tag = (dir + "_" + s.sparkContext.applicationId)
-        .replaceAll("[^a-zA-Z0-9]", "_")
+      // dir + applicationId + session UUID (see SessionMemo.pathTag):
+      // path scope must match the per-session memo scope, else a second
+      // session's rebuild clobbers the first session's readers
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
       val wh = new java.io.File(
         System.getProperty("java.io.tmpdir"), s"graft_q33_wh_$tag")
       val (l, o) = (s"graft_q33_li_$tag", s"graft_q33_ord_$tag")
@@ -475,10 +475,10 @@ object RelationalQueries {
   def q35_partition_pruning(s: SparkSession, dir: String): DataFrame = {
     val pt = graft.core.SessionMemo.memoize(s, "q35-part:" + dir) {
       // collision-free per-dir tag (hashCode could alias two dirs)
-      // dir AND applicationId: two JVMs sweeping the same sfDir must
-      // not overwrite each other's store mid-read (the q39 lesson)
-      val tag = (dir + "_" + s.sparkContext.applicationId)
-        .replaceAll("[^a-zA-Z0-9]", "_")
+      // dir + applicationId + session UUID (see SessionMemo.pathTag):
+      // path scope must match the per-session memo scope, else a second
+      // session's rebuild clobbers the first session's readers
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
       val t = s"graft_q35_li_$tag"
       Tables.lineitem(s, dir)
         .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
@@ -531,10 +531,10 @@ object RelationalQueries {
     * write per sf dir, memoized across the sweep like q33/q35/q41). */
   private def zOrderedOrders(s: SparkSession, dir: String): String =
     graft.core.SessionMemo.memoize(s, "q37-zorder:" + dir) {
-      // dir AND applicationId: two JVMs sweeping the same sfDir must
-      // not overwrite each other's store mid-read (the q39 lesson)
-      val tag = (dir + "_" + s.sparkContext.applicationId)
-        .replaceAll("[^a-zA-Z0-9]", "_")
+      // dir + applicationId + session UUID (see SessionMemo.pathTag):
+      // path scope must match the per-session memo scope, else a second
+      // session's rebuild clobbers the first session's readers
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
       val p = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q37_z_$tag").getAbsolutePath
       // Month index base 1995-01 comes from the TESTDATA.md orders date
@@ -705,10 +705,10 @@ object RelationalQueries {
     * crossed a threshold. */
   def q41_compact_small_files(s: SparkSession, dir: String): DataFrame = {
     val path = graft.core.SessionMemo.memoize(s, "q41-compact:" + dir) {
-      // dir AND applicationId: two JVMs sweeping the same sfDir must
-      // not overwrite each other's store mid-read (the q39 lesson)
-      val tag = (dir + "_" + s.sparkContext.applicationId)
-        .replaceAll("[^a-zA-Z0-9]", "_")
+      // dir + applicationId + session UUID (see SessionMemo.pathTag):
+      // path scope must match the per-session memo scope, else a second
+      // session's rebuild clobbers the first session's readers
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
       val small = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q41_small_$tag").getAbsolutePath
       val compact = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -757,10 +757,10 @@ object RelationalQueries {
   def q50_merge_on_read(s: SparkSession, dir: String): DataFrame = {
     val (basePath, dvPath, deltaPath) =
       graft.core.SessionMemo.memoize(s, "q50-mor:" + dir) {
-        // dir AND applicationId: two JVMs sweeping the same sfDir must
-      // not overwrite each other's store mid-read (the q39 lesson)
-      val tag = (dir + "_" + s.sparkContext.applicationId)
-        .replaceAll("[^a-zA-Z0-9]", "_")
+        // dir + applicationId + session UUID (see SessionMemo.pathTag):
+      // path scope must match the per-session memo scope, else a second
+      // session's rebuild clobbers the first session's readers
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
         def tmp(n: String) = new java.io.File(
           System.getProperty("java.io.tmpdir"), s"graft_q50_${n}_$tag")
           .getAbsolutePath
@@ -875,10 +875,10 @@ object RelationalQueries {
     * of the three versions from one unioned read. */
   def q52_time_travel(s: SparkSession, dir: String): DataFrame = {
     val (logPath, files) = graft.core.SessionMemo.memoize(s, "q52-tt:" + dir) {
-      // dir AND applicationId: two JVMs sweeping the same sfDir must
-      // not overwrite each other's store mid-read (the q39 lesson)
-      val tag = (dir + "_" + s.sparkContext.applicationId)
-        .replaceAll("[^a-zA-Z0-9]", "_")
+      // dir + applicationId + session UUID (see SessionMemo.pathTag):
+      // path scope must match the per-session memo scope, else a second
+      // session's rebuild clobbers the first session's readers
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
       def tmp(n: String) = new java.io.File(
         System.getProperty("java.io.tmpdir"), s"graft_q52_${n}_$tag")
         .getAbsolutePath
@@ -993,12 +993,24 @@ object RelationalQueries {
     val tot = cells.groupBy("event_type")
       .agg(sum("n1").as("tn1"), sum("n2").as("tn2"))
     cells.join(broadcast(tot), "event_type")
-      .withColumn("diff", (col("n1").cast("decimal(19,0)") * col("tn2") -
-        col("n2").cast("decimal(19,0)") * col("tn1")).cast("decimal(19,0)"))
+      // diff stays at the decimal(38,0) ceiling (HUGEINT-like); the
+      // diff²·1e6 numerator fits 38 digits only while |diff| < 1e16,
+      // i.e. per-type half counts up to ~√(32e16) ≈ 5.7e8 rows. Beyond
+      // that non-ANSI decimal would silently NULL while the DuckDB
+      // HUGEINT oracle still answers — so raise loudly instead (the t19
+      // LUT-guard pattern), never return a divergent NULL.
+      .withColumn("diff", (col("n1").cast("decimal(38,0)") * col("tn2") -
+        col("n2").cast("decimal(38,0)") * col("tn1")).cast("decimal(38,0)"))
+      .withColumn("guard", when(abs(col("diff")) >= lit("10000000000000000")
+          .cast("decimal(38,0)"),
+        raise_error(lit("q55: |n1*tn2-n2*tn1| >= 1e16 — chi2 numerator " +
+          "would exceed decimal(38,0); shard the window before the " +
+          "monitor"))).otherwise(lit(null).cast("string")))
       // a type living entirely in one half has no defined statistic;
       // NULL in both engines (DuckDB's // would error, Spark's div nulls)
       .withColumn("chi2_fp", expr(
         """CAST(CASE WHEN tn1 = 0 OR tn2 = 0 THEN NULL
+           WHEN guard IS NOT NULL THEN NULL
            ELSE (diff * diff * 1000000) div
              (CAST(tn1 AS DECIMAL(38,0)) * tn2 * (n1 + n2)) END AS BIGINT)"""))
       .select(col("event_type"), col("bin"), col("n1"), col("n2"),
@@ -1067,10 +1079,10 @@ object RelationalQueries {
     * q33/q37 layout ingests. */
   def q57_schema_evolution(s: SparkSession, dir: String): DataFrame = {
     val root = graft.core.SessionMemo.memoize(s, "q57-se:" + dir) {
-      // dir AND applicationId: two JVMs sweeping the same sfDir must
-      // not overwrite each other's store mid-read (the q39 lesson)
-      val tag = (dir + "_" + s.sparkContext.applicationId)
-        .replaceAll("[^a-zA-Z0-9]", "_")
+      // dir + applicationId + session UUID (see SessionMemo.pathTag):
+      // path scope must match the per-session memo scope, else a second
+      // session's rebuild clobbers the first session's readers
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q57_$tag").getAbsolutePath
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))

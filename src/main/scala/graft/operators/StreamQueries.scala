@@ -566,14 +566,15 @@ object StreamQueries {
     * two cut points (a 2-value aggregate), never holds event rows. */
   def q39_incremental_mv(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
-    // Path is scoped by (dir, applicationId): two JVMs sweeping the same
-    // sfDir concurrently each get their own store (a shared deterministic
-    // path let one JVM's re-entry clean a store the other was still
-    // lazily reading). Within ONE session the path is stable, so re-entry
-    // cleans the previous run's store — the lazy-read contract below
-    // ("must outlive this call") only ever spans a single session.
-    val tag = (dir + "_" + s.sparkContext.applicationId)
-      .replaceAll("[^a-zA-Z0-9]", "_")
+    // Path is scoped by (dir, applicationId, session UUID) — see
+    // SessionMemo.pathTag: two JVMs (or two sessions in one JVM)
+    // sweeping the same sfDir concurrently each get their own store (a
+    // shared deterministic path let one runner's re-entry clean a store
+    // the other was still lazily reading). Within ONE session the path
+    // is stable, so re-entry cleans the previous run's store — the
+    // lazy-read contract below ("must outlive this call") only ever
+    // spans a single session.
+    val tag = graft.core.SessionMemo.pathTag(s, dir)
     val mvPath = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_q39_mv_$tag").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mvPath))

@@ -30,6 +30,13 @@ import org.apache.spark.sql.types.IntegerType
   * way. Idempotence under the optimizer's fixed-point driver: a guarded
   * conjunct already contains the threshold form, which the matcher
   * (threshold = None) no longer matches.
+  *
+  * The rewrite duplicates `a` and `b` (once in the length band, once in
+  * the threshold DP), so it only fires when both are deterministic —
+  * Catalyst's standard guard before expression duplication. A
+  * non-deterministic argument (e.g. a nondeterministic UDF) would
+  * otherwise be evaluated twice with different values, silently changing
+  * filter semantics.
   */
 object LevenshteinGuard extends Rule[LogicalPlan] {
 
@@ -48,20 +55,23 @@ object LevenshteinGuard extends Rule[LogicalPlan] {
       GreaterThanOrEqual(Levenshtein(a, b, Some(kLit)), Literal(0)))
   }
 
+  private def safeArgs(a: Expression, b: Expression): Boolean =
+    a.deterministic && b.deterministic
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, child) =>
       val rewritten = cond transformUp {
         case LessThanOrEqual(lev @ Levenshtein(a, b, None), k)
-            if bound(k, strict = false).isDefined =>
+            if safeArgs(a, b) && bound(k, strict = false).isDefined =>
           guarded(a, b, bound(k, strict = false).get)
         case LessThan(lev @ Levenshtein(a, b, None), k)
-            if bound(k, strict = true).isDefined =>
+            if safeArgs(a, b) && bound(k, strict = true).isDefined =>
           guarded(a, b, bound(k, strict = true).get)
         case GreaterThanOrEqual(k, lev @ Levenshtein(a, b, None))
-            if bound(k, strict = false).isDefined =>
+            if safeArgs(a, b) && bound(k, strict = false).isDefined =>
           guarded(a, b, bound(k, strict = false).get)
         case GreaterThan(k, lev @ Levenshtein(a, b, None))
-            if bound(k, strict = true).isDefined =>
+            if safeArgs(a, b) && bound(k, strict = true).isDefined =>
           guarded(a, b, bound(k, strict = true).get)
       }
       if (rewritten fastEquals cond) f else Filter(rewritten, child)

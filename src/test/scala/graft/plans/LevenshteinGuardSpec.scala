@@ -76,6 +76,20 @@ class LevenshteinGuardSpec extends SparkSpec {
     }
   }
 
+  test("non-deterministic arguments are left alone (no duplication)") {
+    withRule {
+      // rand() is non-deterministic: duplicating it into a length band
+      // would evaluate it twice with different values. The rule must
+      // not fire; the full-DP Levenshtein (threshold = None) survives.
+      val df = scanned
+        .filter(expr("levenshtein(concat(a, cast(rand(7) as string)), b) <= 2"))
+      val levs = df.queryExecution.optimizedPlan.expressions
+        .flatMap(_.collect { case l: Levenshtein => l })
+      assert(levs.nonEmpty && levs.forall(_.threshold.isEmpty),
+        s"rule fired on non-deterministic args:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("negative or non-literal thresholds are left alone") {
     withRule {
       val neg = frame().filter(expr("levenshtein(a, b) < 0"))
