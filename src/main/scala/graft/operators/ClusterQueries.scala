@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -14,8 +12,9 @@ import graft.functions.{ArrayPrimitives => AP, KeyAlgebra, TextFunctions}
   * cannot express.
   *
   * Two variants:
-  *  - c01: MLlib KMeans (the production path; seeded but its k-means||
-  *    init is not oracle-expressible — rows-only check).
+  *  - c01: MLlib KMeans (the production path; fixed init via
+  *    `setInitialModel` + integer-valued features make even the MLlib
+  *    run hash-checkable against a DuckDB replay).
   *  - c02: hand-rolled Lloyd iterations in pure DataFrame algebra with
   *    deterministic init (first k rows) and fixed-point arithmetic, so a
   *    DuckDB oracle replays it exactly. Same distribution shape as MLlib:
@@ -24,20 +23,64 @@ import graft.functions.{ArrayPrimitives => AP, KeyAlgebra, TextFunctions}
   */
 object ClusterQueries {
 
-  /** c01 — KMeans over the embedding vectors, k=5, fixed seed; output:
-    * cluster sizes and intra-cluster mean distance to centroid. */
+  /** c01 — KMeans over the embedding vectors through the MLlib API
+    * (the production path), made ORACLE-CHECKABLE by pinning every
+    * source of nondeterminism:
+    *
+    *  - init = the k lowest-vec_id vectors via `setInitialModel` (the
+    *    public fixed-init API; no k-means|| sampling), maxIterations=1;
+    *  - features are floor(x·1e6) — INTEGER-VALUED doubles, so every
+    *    sum MLlib computes during its one Lloyd step (per-cluster
+    *    coordinate sums < 2⁵³) is exact in IEEE double and therefore
+    *    independent of partition order; the updated centers are the
+    *    exactly-rounded sum·(1/n) both engines reproduce bit-for-bit;
+    *  - the reported assignment runs in DataFrame algebra against the
+    *    model's centers with a defined left-fold distance (the same
+    *    expression sequence the DuckDB oracle replays), not MLlib's
+    *    norm-shortcut `fastSquaredDistance`, whose ±1e-16-relative
+    *    error term is not SQL-expressible. With integer-valued inputs
+    *    the two agree except on exact integer distance ties (~1e-13
+    *    probability per row).
+    *
+    * Output: cluster sizes + 1e-6 fixed-point centroid fingerprints.
+    * c02 is the from-scratch Lloyd twin; this row proves the MLlib API
+    * wiring end-to-end. Distribution shape: one RDD aggregation per
+    * Lloyd step (only k×64 doubles reach the driver), broadcast-back
+    * scan-parallel assignment. */
   def c01_kmeans_embeddings(s: SparkSession, dir: String): DataFrame = {
-    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
-    val data = Tables.embeddings(s, dir)
-      .withColumn("features", toVec(col("embedding").cast("array<double>")))
+    import org.apache.spark.mllib.clustering.{KMeans => RddKMeans, KMeansModel => RddKMeansModel}
+    import org.apache.spark.mllib.linalg.{Vectors => RddVectors}
+    import s.implicits._
+    val k = 5
+    val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1e6)).as("v"))
       .cache()
-    val model = new KMeans().setK(5).setSeed(42L).setMaxIter(20)
-      .setFeaturesCol("features")
-      .fit(data)
-    model.transform(data)
-      .groupBy("prediction")
-      .agg(count(lit(1)).as("n"))
-      .orderBy("prediction")
+    val init = e.filter(col("vec_id") < k).orderBy("vec_id")
+      .select("v").as[Seq[Double]].collect()
+      .map(a => RddVectors.dense(a.toArray))
+    val data = e.select("v").as[Seq[Double]].rdd
+      .map(a => RddVectors.dense(a.toArray))
+    val model = new RddKMeans().setK(k).setMaxIterations(1)
+      .setInitialModel(new RddKMeansModel(init))
+      .run(data)
+    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    // deterministic final assignment: first-minimal left-fold distance
+    val ids = lit((0 until k).map(_.toLong).toArray)
+    val ds = array(centers.map { c =>
+      aggregate(
+        zip_with(col("v"), lit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    val asg = e.withColumn("cid", TextFunctions.bindOnce(ds, d =>
+      element_at(ids, array_position(d, array_min(d)).cast("int"))))
+    val fps = centers.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.map(x => math.floor(x * 1e6).toLong).mkString(","))
+    }.toSeq.toDF("cid", "centroid")
+    asg.groupBy("cid").agg(count(lit(1)).as("n"))
+      .join(broadcast(fps), "cid")
+      .select("cid", "n", "centroid")
+      .orderBy("cid")
   }
 
   /** c02 — two deterministic Lloyd iterations, k=5: vectors as 1e9
@@ -131,17 +174,19 @@ object ClusterQueries {
     val centered = e.withColumn("c",
       zip_with(col("v"), lit(m), (x, y) => x - y))
     // Gram: per-partition 4096-long accumulators in a tight primitive
-    // loop, one partial row per partition, summed on the driver — the
-    // treeAggregate shape (a 4096-wide array UDAF pays Seq[Long] boxing
-    // per ROW; this pays one small row per PARTITION). The only
-    // distributed reduction of the fit.
+    // loop (a 4096-wide array UDAF pays Seq[Long] boxing per ROW; this
+    // pays one small array per PARTITION), merged through treeAggregate
+    // depth 2 so the driver receives O(√P) partials instead of P — at
+    // 100-TB partition counts (10⁵–10⁶) a flat collect would ship
+    // 3–30 GB of 32 KB partials to one box; the tree merges them on
+    // executors first. Addition is associative+commutative on exact
+    // longs, so the result is bit-identical at any depth/parallelism.
+    // The only distributed reduction of the fit.
     import s.implicits._
-    val partials: Array[Seq[Long]] = centered.select("c")
-      .as[Seq[Long]]
-      .mapPartitions { it =>
-        val acc = new Array[Long](4096)
-        while (it.hasNext) {
-          val c = it.next()
+    val g: Array[Long] = centered.select("c")
+      .as[Seq[Long]].rdd
+      .treeAggregate(new Array[Long](4096))(
+        seqOp = { (acc, c) =>
           var j = 0
           while (j < 64) {
             val cj = c(j)
@@ -149,12 +194,12 @@ object ClusterQueries {
             while (k < 64) { acc(j * 64 + k) += cj * c(k); k += 1 }
             j += 1
           }
-        }
-        Iterator.single(acc.toSeq)
-      }.collect()
-    val g: Array[Long] = partials.foldLeft(new Array[Long](4096)) { (a, p) =>
-      var i = 0; while (i < 4096) { a(i) += p(i); i += 1 }; a
-    }
+          acc
+        },
+        combOp = { (a, b) =>
+          var i = 0; while (i < 4096) { a(i) += b(i); i += 1 }; a
+        },
+        depth = 2)
     // driver-side eigensolve in exact integer arithmetic (BigInt
     // division truncates toward zero — mirrored in SQL by a
     // sign-guarded HUGEINT //)
@@ -314,8 +359,50 @@ object ClusterQueries {
     "c05_auc_rank" -> (c05_auc_rank _),
   )
 
-  /** c01 has no DuckDB oracle (MLlib init; driver records the weaker
-    * rows-only check); c02 replays exactly. */
+  /** c01 oracle: replays MLlib's single fixed-init Lloyd step exactly —
+    * integer-valued floor(x·1e6) features make every internal sum exact
+    * in IEEE double (order-free), the center update is the decompiled
+    * `scal(1.0/count, sum)` i.e. `sum * (1.0 / n)` (division FIRST,
+    * then multiply — not sum/n), empty clusters keep their init
+    * center, and the final assignment is the same left-fold distance
+    * the Spark side computes. */
+  private val c01Sql: String =
+    """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> floor(x::DOUBLE * 1e6)) AS v
+         FROM embeddings),
+       c0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM e WHERE vec_id < 5),
+       a1 AS (SELECT vec_id, v,
+               CAST(list_indexof(ds, list_min(ds)) - 1 AS BIGINT) AS cid
+              FROM (SELECT e.vec_id, e.v,
+                      list_transform(c0.cs, c -> list_reduce(
+                        list_transform(range(1, 65),
+                          i -> (e.v[i]-c[i]) * (e.v[i]-c[i])),
+                        (x,y) -> x+y)) AS ds
+                    FROM e, c0)),
+       c1m AS (SELECT cid, list(m ORDER BY i) AS m FROM (
+                 SELECT cid, i, sum(v[i]) * (1.0 / count(*)) AS m
+                 FROM a1, range(1, 65) t(i) GROUP BY cid, i)
+               GROUP BY cid),
+       c0j AS (SELECT CAST(j - 1 AS BIGINT) AS cid, c0.cs[j] AS c
+               FROM c0, range(1, 6) t(j)),
+       cm AS (SELECT c0j.cid, coalesce(c1m.m, c0j.c) AS m
+              FROM c0j LEFT JOIN c1m ON c1m.cid = c0j.cid),
+       c1 AS (SELECT list(m ORDER BY cid) AS cs FROM cm),
+       a2 AS (SELECT vec_id,
+               CAST(list_indexof(ds, list_min(ds)) - 1 AS BIGINT) AS cid
+              FROM (SELECT e.vec_id,
+                      list_transform(c1.cs, c -> list_reduce(
+                        list_transform(range(1, 65),
+                          i -> (e.v[i]-c[i]) * (e.v[i]-c[i])),
+                        (x,y) -> x+y)) AS ds
+                    FROM e, c1)),
+       fp AS (SELECT cid, array_to_string(list_transform(m,
+                x -> CAST(floor(x * 1e6) AS BIGINT)), ',') AS centroid
+              FROM cm)
+       SELECT a2.cid, count(*) AS n, any_value(fp.centroid) AS centroid
+       FROM a2 JOIN fp ON a2.cid = fp.cid
+       GROUP BY a2.cid ORDER BY a2.cid"""
+
   /** Shared CTE prefix replaying the two deterministic Lloyd iterations
     * in DuckDB (e → c0 → a1 → c1 → a2); a2 = (vec_id, v, cid). Reused by
     * the c02 and d12 oracles so their cluster ids come from one text. */
@@ -478,6 +565,7 @@ object ClusterQueries {
          CAST((sx * 1000000) // n AS BIGINT) AS mx_fp,
          CAST((sy * 1000000) // n AS BIGINT) AS my_fp
        FROM m ORDER BY flag, yr""",
+    "c01_kmeans_embeddings" -> c01Sql,
     "c03_pca_power" -> pcaSql,
     "c02_kmeans_lloyd" ->
       s"""$lloydCte
