@@ -225,18 +225,19 @@ object DedupQueries {
     * C(2048,2) pairs cost only ~50 compares each in one task.
     * [[saltHotBuckets]] still bounds the per-bucket blow-up. */
   private def lshVerifiedPairs(docs: DataFrame, tag: String, payload: String,
-      scoreName: String, thrNum: Int, thrDen: Int): DataFrame = {
+      scoreName: String, thrNum: Int, thrDen: Int, r: Int): DataFrame = {
     val bands0 = docs.select(col("doc_id"), col("sig"), col(payload), explode(
       transform(sequence(lit(0), lit(1)), b =>
         struct(b.as("band"),
-          concat_ws("_", slice(col("sig"), b * 8 + 1, lit(8))).as("key"))))
+          concat_ws("_", slice(col("sig"), b * r + 1, lit(r))).as("key"))))
       .as("bk"))
       .select(col("doc_id"), col("sig"), col(payload),
         col("bk.band"), col("bk.key"))
     val bands = triangleSplit(bands0, "doc_id", BucketCap, "band", "key")
     val (pa, pb) = (col(s"x.$payload"), col(s"y.$payload"))
     bands.as("x").join(bands.as("y"), triangleCond("doc_id", "band", "key"))
-      .filter(graft.plans.EqCount(col("x.sig"), col("y.sig")) >= 14)
+      // estimate prefilter: allow 2 mismatching hashes of the 2r
+      .filter(graft.plans.EqCount(col("x.sig"), col("y.sig")) >= 2 * r - 2)
       // lossless size-ratio gate: J ≤ min/max of the set sizes, so any
       // pair whose sizes are off by more than the threshold allows can
       // be skipped before the merge loop (no oracle change: the bound
@@ -264,6 +265,21 @@ object DedupQueries {
       (build: => T): T =
     graft.core.SessionMemo.memoize(s, "dedup:" + dir + ":" + key)(build)
 
+  /** DATA-DERIVED MinHash geometry shared by the whole d03/d05/d07/d10/
+    * d14/d17/p13 family: 2 bands × r rows with
+    * r = [[graft.core.AutoScale.minhashRows]](|documents|, 8). A fixed
+    * r makes the spurious-candidate count n²·J_bg^r grow quadratically
+    * with the corpus; r ∝ log n keeps it bounded. At the oracle SFs
+    * (n ≤ 65536) this is exactly the historical 8 — outputs unchanged —
+    * and every consuming oracle replays the same integer derivation
+    * from count(*). Memoized per (session, dir): one count-star per
+    * sweep. */
+  private def minhashR(s: SparkSession, dir: String): Int =
+    memoize(s, dir, "minhashR") {
+      Integer.valueOf(graft.core.AutoScale.minhashRows(
+        Tables.documents(s, dir).count(), 8))
+    }.intValue
+
   /** Verified near-dup pairs (the shared core of d03 and d07), memoized
     * per (session, dir) so d07 reuses d03's cached pair set without even
     * rebuilding the plan. */
@@ -272,6 +288,7 @@ object DedupQueries {
 
   private def verifiedPairs0(s: SparkSession, dir: String): DataFrame = {
     val (reps, members) = collapsed(s, dir)
+    val r = minhashR(s, dir)
     // token sets carried as SORTED hash arrays: the verify stage then
     // runs an allocation-free codegen merge loop per pair instead of
     // array_intersect's per-pair hash set (|A∪B| = |A|+|B|−|A∩B|)
@@ -280,11 +297,11 @@ object DedupQueries {
       // as the transform + array_sort formulation - TextHashKernels)
       .withColumn("hs", graft.plans.TokenHashesSorted(col("text")))
       .select(col("doc_id"),
-        minhashFromHashes(col("hs")).as("sig"),
+        minhashFromHashes(col("hs"), 2 * r).as("sig"),
         col("hs").as("tk"))
       .cache()
     docs.count() // eager fill: the self-join would race the cache
-    val repPairs = lshVerifiedPairs(docs, "d03", "tk", "jaccard", 99, 100)
+    val repPairs = lshVerifiedPairs(docs, "d03", "tk", "jaccard", 99, 100, r)
     // cached (and the enclosing method memoized): d03 and d07 share the
     // computed pair set
     expandPairs(members, repPairs, "jaccard", lit(1.0)).cache()
@@ -354,15 +371,16 @@ object DedupQueries {
     * ≥ 13/16, lossless size-ratio gate, exact Jaccard ≥ 0.95 via the
     * sorted-merge intersect) is d03's, inline on the probe join. */
   def d17_incremental_minhash(s: SparkSession, dir: String): DataFrame = {
+    val r = minhashR(s, dir)
     val docs = Tables.documents(s, dir)
       .withColumn("hs", graft.plans.TokenHashesSorted(col("text")))
       .select(col("doc_id"),
-        minhashFromHashes(col("hs")).as("sig"), col("hs").as("tk"))
+        minhashFromHashes(col("hs"), 2 * r).as("sig"), col("hs").as("tk"))
     def bands(df: DataFrame): DataFrame = df.select(
         col("doc_id"), col("sig"), col("tk"), explode(
           transform(sequence(lit(0), lit(1)), b =>
             struct(b.as("band"),
-              concat_ws("_", slice(col("sig"), b * 8 + 1, lit(8))).as("key"))))
+              concat_ws("_", slice(col("sig"), b * r + 1, lit(r))).as("key"))))
           .as("bk"))
       .select(col("doc_id"), col("sig"), col("tk"),
         col("bk.band"), col("bk.key"))
@@ -370,7 +388,8 @@ object DedupQueries {
     val probe = bands(docs.filter(col("doc_id") % 10 === 0)).as("n")
     probe.join(idx,
         col("n.band") === col("c.band") && col("n.key") === col("c.key"))
-      .filter(graft.plans.EqCount(col("n.sig"), col("c.sig")) >= 13)
+      // estimate prefilter: allow 3 mismatching hashes of the 2r
+      .filter(graft.plans.EqCount(col("n.sig"), col("c.sig")) >= 2 * r - 3)
       .filter(least(size(col("n.tk")), size(col("c.tk"))) * 20 >=
         greatest(size(col("n.tk")), size(col("c.tk"))) * 19)
       .withColumn("inter",
@@ -583,11 +602,12 @@ object DedupQueries {
       // per gram (the sketch fill was 5.6 s of d05's ~6 s at sf0.1)
       .withColumn("g4", graft.plans.Gram4HashSet(col("text")))
       .select(col("doc_id"),
-        minhashFromHashes(col("g4")).as("sig"),
+        minhashFromHashes(col("g4"), 2 * minhashR(s, dir)).as("sig"),
         col("g4").as("grams"))
       .cache()
     docs.count() // eager fill: the self-join would race the cache
-    val repPairs = lshVerifiedPairs(docs, "d05", "grams", "jaccard4", 9, 10)
+    val repPairs = lshVerifiedPairs(docs, "d05", "grams", "jaccard4", 9, 10,
+      minhashR(s, dir))
     expandPairs(members, repPairs, "jaccard4", lit(1.0))
       .orderBy("doc_a", "doc_b")
   }
@@ -623,14 +643,24 @@ object DedupQueries {
   }
 
   /** d08 — embedding near-dup at scale: random-hyperplane LSH (SimHash
-    * for cosine space). 16-bit signatures from fixed hyperplanes, 2 bands
-    * × 8 bits; candidates share a band value; exact-cosine verify ≥ 0.4.
-    * The LSH-bucketed scale path for [[d06_dedup_embcos]]: the self-join
-    * is confined to band buckets instead of label groups, so it stays
-    * near-linear as the corpus grows. */
+    * for cosine space). Signatures from fixed hyperplanes, 2 bands ×
+    * `bandBits` bits; candidates share a band value; exact-cosine
+    * verify ≥ 0.4. The LSH-bucketed scale path for
+    * [[d06_dedup_embcos]]: the self-join is confined to band buckets
+    * instead of label groups.
+    *
+    * `bandBits` is DATA-DERIVED ([[graft.core.AutoScale.bandBits]]):
+    * the smallest b ≥ 8 with 2^b·8 ≥ n, so mean bucket occupancy stays
+    * ≤ 8 and the bucket self-join does ≤ 8n pair work — LINEAR in the
+    * corpus instead of n²/256. At the oracle SFs (n ≤ 2048) this is
+    * exactly the former fixed 8 bits; at 10× it is 12, at 10⁹ vectors
+    * it is 27 — the engine re-parameterizes unattended, and the DuckDB
+    * oracle replays the same integer derivation from count(*). */
   def d08_dedup_emblsh(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.KeyAlgebra
-    val sigCol = (0 until 16).map { j =>
+    val n = Tables.embeddings(s, dir).count()
+    val bb = graft.core.AutoScale.bandBits(n, target = 8, minB = 8, maxB = 20)
+    val sigCol = (0 until 2 * bb).map { j =>
       val plane = lit((0 until 64).map(i => hyperSign(j, i)).toArray)
       when(aggregate(zip_with(col("a"), plane, (x, h) => x * h),
         lit(0.0), (acc, x) => acc + x) > 0, lit(1L << j)).otherwise(lit(0L))
@@ -644,8 +674,9 @@ object DedupQueries {
     e.count() // eager fill: the self-join would race the cache
     val banded0 = e.select(col("vec_id"),
       explode(array(
-        struct(lit(0).as("b"), pmod(col("sig"), lit(256L)).as("bkey")),
-        struct(lit(1).as("b"), KeyAlgebra.ldiv(col("sig"), lit(256L)).as("bkey"))))
+        struct(lit(0).as("b"), pmod(col("sig"), lit(1L << bb)).as("bkey")),
+        struct(lit(1).as("b"),
+          KeyAlgebra.ldiv(col("sig"), lit(1L << bb)).as("bkey"))))
         .as("bb"))
       .select(col("vec_id"), col("bb.b").as("b"), col("bb.bkey").as("bkey"))
     val banded = triangleSplit(banded0, "vec_id", BucketCap, "b", "bkey")
@@ -771,7 +802,8 @@ object DedupQueries {
     val mid = docs.length / 2
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val out = graft.streaming.StreamingDedup.nearDupCandidateStream(
-      in.toDF().toDF("doc_id", "text"), minEst = 0.5)
+      in.toDF().toDF("doc_id", "text"), k = 2 * minhashR(s, dir),
+      minEst = 0.5)
     val q = out.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .format("memory").queryName("d10_stream_out").start()
@@ -903,8 +935,19 @@ object DedupQueries {
     "d11_dedup_provenance" -> (d11_dedup_provenance _),
   )
 
+  /** Rows-per-band CTE replaying [[graft.core.AutoScale.minhashRows]]:
+    * r = max(8, (log2ceil(|documents|) + 1) // 2). Every minhash oracle
+    * joins this CTE so its signature width (2r), band slices and
+    * estimate thresholds follow the corpus exactly like the Spark
+    * side. */
+  private val sqlPrmR =
+    """prmR AS (SELECT greatest(8, (CAST(coalesce(min(L), 62) AS INT) + 1) // 2) AS r
+       FROM range(0, 63) t(L)
+       WHERE (1::BIGINT << L) >= (SELECT count(*) FROM documents))"""
+
+  /** Requires `prmR` in the enclosing FROM (signature width = 2r). */
   private val sqlSig =
-    """list_transform(range(0, 16), k -> list_min(list_transform(
+    """list_transform(range(0, 2*r), k -> list_min(list_transform(
        list_transform(list_distinct(string_split(text, ' ')),
          t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647),
        h -> (((1103515245*(k+1) + 12345) % 2147483647) * h
@@ -953,21 +996,22 @@ object DedupQueries {
        FROM nn LEFT JOIN dup ON nn.vec_id = dup.vec_id
        ORDER BY nn.vec_id""",
     "d10_dedup_stream_lsh" -> s"""
-      WITH sigs AS (SELECT doc_id, $sqlSig AS sig FROM documents
+      WITH $sqlPrmR,
+      sigs AS (SELECT doc_id, $sqlSig AS sig FROM documents, prmR
         WHERE doc_id % 7 = 0),
       bands AS (SELECT doc_id, b,
-          array_to_string(sig[b*8+1 : b*8+8], '_') AS bkey
-        FROM sigs, range(0, 2) t(b)),
+          array_to_string(sig[b*r+1 : b*r+r], '_') AS bkey
+        FROM sigs, prmR, range(0, 2) t(b)),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
           AND x.doc_id < y.doc_id)
       SELECT doc_a, doc_b, est FROM (
         SELECT doc_a, doc_b,
-          list_reduce(list_transform(range(1, 17),
+          list_reduce(list_transform(range(1, 2*r + 1),
             i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
-            (x,y) -> x+y) / 16.0 AS est
+            (x,y) -> x+y) / (2.0 * r) AS est
         FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
-          JOIN sigs b ON cand.doc_b = b.doc_id)
+          JOIN sigs b ON cand.doc_b = b.doc_id, prmR)
       WHERE est >= 0.5 ORDER BY doc_a, doc_b""",
     "d09_dedup_stream" ->
       """SELECT doc_id, doc_id = mn AS kept, mn AS dup_of
@@ -980,22 +1024,28 @@ object DedupQueries {
          FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
                FROM documents)
          ORDER BY doc_id""",
+    // band bits derived from count(*) exactly like AutoScale.bandBits:
+    // smallest b in [8,20] with 2^b * 8 >= n
     "d08_dedup_emblsh" -> """
-      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
+      WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+      prm AS (SELECT CAST(coalesce(min(b), 20) AS INT) AS bb
+        FROM range(8, 21) t(b), cnt WHERE (1::BIGINT << b) * 8 >= n),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
           FROM embeddings),
       n AS (SELECT vec_id, a,
         sqrt(list_reduce(list_transform(range(1, 65), i -> a[i] * a[i]),
           (p,q) -> p+q)) AS nrm FROM e),
       s AS (SELECT vec_id, a, nrm,
-        list_reduce(list_transform(range(0, 16), j ->
+        list_reduce(list_transform(range(0, 2 * prm.bb), j ->
           CASE WHEN list_reduce(list_transform(range(1, 65), i ->
             a[i] * (CASE WHEN (j*64 + i) * 2654435761 // 65536 % 2 = 1
                     THEN 1.0 ELSE -1.0 END)),
             (p,q) -> p+q) > 0
           THEN (1::BIGINT << j) ELSE 0::BIGINT END), (x,y) -> x+y) AS sig
-        FROM n),
-      banded AS (SELECT vec_id, 0 AS b, sig % 256 AS bkey FROM s
-        UNION ALL SELECT vec_id, 1, sig // 256 FROM s),
+        FROM n, prm),
+      banded AS (SELECT vec_id, 0 AS b, sig % (1::BIGINT << prm.bb) AS bkey
+          FROM s, prm
+        UNION ALL SELECT vec_id, 1, sig // (1::BIGINT << prm.bb) FROM s, prm),
       cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
         FROM banded x JOIN banded y ON x.b = y.b AND x.bkey = y.bkey
           AND x.vec_id < y.vec_id)
@@ -1045,11 +1095,12 @@ object DedupQueries {
          CAST(sum(rep_id) AS BIGINT) AS rep_id_sum
        FROM g WHERE n_sources >= 2 GROUP BY 1 ORDER BY 1""",
     "d17_incremental_minhash" -> s"""
-      WITH sigs AS (SELECT doc_id, $sqlSig AS sig,
-          list_distinct(string_split(text, ' ')) AS tk FROM documents),
+      WITH $sqlPrmR,
+      sigs AS (SELECT doc_id, $sqlSig AS sig,
+          list_distinct(string_split(text, ' ')) AS tk FROM documents, prmR),
       bands AS (SELECT doc_id, b,
-          array_to_string(sig[b*8+1 : b*8+8], '_') AS bkey
-        FROM sigs, range(0, 2) t(b)),
+          array_to_string(sig[b*r+1 : b*r+r], '_') AS bkey
+        FROM sigs, prmR, range(0, 2) t(b)),
       cand AS (SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS doc_idx
         FROM bands n JOIN bands c ON n.b = c.b AND n.bkey = c.bkey
         WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
@@ -1057,27 +1108,28 @@ object DedupQueries {
           len(list_intersect(a.tk, b.tk))::DOUBLE /
             len(list_distinct(a.tk || b.tk))::DOUBLE AS jaccard
         FROM cand JOIN sigs a ON cand.doc_new = a.doc_id
-          JOIN sigs b ON cand.doc_idx = b.doc_id
-        WHERE list_reduce(list_transform(range(1, 17),
+          JOIN sigs b ON cand.doc_idx = b.doc_id, prmR
+        WHERE list_reduce(list_transform(range(1, 2*r + 1),
           i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
-          (x,y) -> x+y) >= 13)
+          (x,y) -> x+y) >= 2*r - 3)
       SELECT doc_new, doc_idx, jaccard FROM pre
       WHERE jaccard >= 0.95 ORDER BY doc_new, doc_idx""",
     "d03_minhash_lsh" -> s"""
-      WITH sigs AS (SELECT doc_id, $sqlSig AS sig,
-          list_distinct(string_split(text, ' ')) AS tk FROM documents),
+      WITH $sqlPrmR,
+      sigs AS (SELECT doc_id, $sqlSig AS sig,
+          list_distinct(string_split(text, ' ')) AS tk FROM documents, prmR),
       bands AS (SELECT doc_id, b,
-          array_to_string(sig[b*8+1 : b*8+8], '_') AS bkey
-        FROM sigs, range(0, 2) t(b)),
+          array_to_string(sig[b*r+1 : b*r+r], '_') AS bkey
+        FROM sigs, prmR, range(0, 2) t(b)),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
           AND x.doc_id < y.doc_id),
       prefiltered AS (SELECT doc_a, doc_b, a.tk AS atk, b.tk AS btk
         FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
-          JOIN sigs b ON cand.doc_b = b.doc_id
-        WHERE list_reduce(list_transform(range(1, 17),
+          JOIN sigs b ON cand.doc_b = b.doc_id, prmR
+        WHERE list_reduce(list_transform(range(1, 2*r + 1),
           i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
-          (x,y) -> x+y) >= 14)
+          (x,y) -> x+y) >= 2*r - 2)
       SELECT doc_a, doc_b, jaccard FROM (
         SELECT doc_a, doc_b,
           len(list_intersect(atk, btk))::DOUBLE /
@@ -1085,11 +1137,12 @@ object DedupQueries {
         FROM prefiltered)
       WHERE jaccard >= 0.99 ORDER BY doc_a, doc_b""",
     "d07_dedup_apply" -> s"""
-      WITH sigs AS (SELECT doc_id, $sqlSig AS sig,
-          list_distinct(string_split(text, ' ')) AS tk FROM documents),
+      WITH $sqlPrmR,
+      sigs AS (SELECT doc_id, $sqlSig AS sig,
+          list_distinct(string_split(text, ' ')) AS tk FROM documents, prmR),
       bands AS (SELECT doc_id, b,
-          array_to_string(sig[b*8+1 : b*8+8], '_') AS bkey
-        FROM sigs, range(0, 2) t(b)),
+          array_to_string(sig[b*r+1 : b*r+r], '_') AS bkey
+        FROM sigs, prmR, range(0, 2) t(b)),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
           AND x.doc_id < y.doc_id),
@@ -1098,10 +1151,10 @@ object DedupQueries {
           len(list_intersect(a.tk, b.tk))::DOUBLE /
             len(list_distinct(a.tk || b.tk))::DOUBLE AS jaccard
         FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
-          JOIN sigs b ON cand.doc_b = b.doc_id
-        WHERE list_reduce(list_transform(range(1, 17),
+          JOIN sigs b ON cand.doc_b = b.doc_id, prmR
+        WHERE list_reduce(list_transform(range(1, 2*r + 1),
           i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
-          (x,y) -> x+y) >= 14)
+          (x,y) -> x+y) >= 2*r - 2)
         WHERE jaccard >= 0.99),
       nbr AS (SELECT doc_id, min(nbr) AS min_nbr FROM (
           SELECT doc_b AS doc_id, doc_a AS nbr FROM pairs
@@ -1170,11 +1223,12 @@ object DedupQueries {
       FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
       ORDER BY t.doc_id""",
     "d14_dedup_components" -> s"""
-      WITH RECURSIVE sigs AS (SELECT doc_id, $sqlSig AS sig,
-          list_distinct(string_split(text, ' ')) AS tk FROM documents),
+      WITH RECURSIVE $sqlPrmR,
+      sigs AS (SELECT doc_id, $sqlSig AS sig,
+          list_distinct(string_split(text, ' ')) AS tk FROM documents, prmR),
       bands AS (SELECT doc_id, b,
-          array_to_string(sig[b*8+1 : b*8+8], '_') AS bkey
-        FROM sigs, range(0, 2) t(b)),
+          array_to_string(sig[b*r+1 : b*r+r], '_') AS bkey
+        FROM sigs, prmR, range(0, 2) t(b)),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
           AND x.doc_id < y.doc_id),
@@ -1183,10 +1237,10 @@ object DedupQueries {
           len(list_intersect(a.tk, b.tk))::DOUBLE /
             len(list_distinct(a.tk || b.tk))::DOUBLE AS jaccard
         FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
-          JOIN sigs b ON cand.doc_b = b.doc_id
-        WHERE list_reduce(list_transform(range(1, 17),
+          JOIN sigs b ON cand.doc_b = b.doc_id, prmR
+        WHERE list_reduce(list_transform(range(1, 2*r + 1),
           i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
-          (x,y) -> x+y) >= 14)
+          (x,y) -> x+y) >= 2*r - 2)
         WHERE jaccard >= 0.99),
       edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION SELECT doc_b, doc_a FROM pairs),
@@ -1200,11 +1254,12 @@ object DedupQueries {
       FROM final f JOIN sizes s ON f.comp = s.comp
       ORDER BY f.doc_id""",
     "p13_dedup_aware_sample" -> s"""
-      WITH RECURSIVE sigs AS (SELECT doc_id, $sqlSig AS sig,
-          list_distinct(string_split(text, ' ')) AS tk FROM documents),
+      WITH RECURSIVE $sqlPrmR,
+      sigs AS (SELECT doc_id, $sqlSig AS sig,
+          list_distinct(string_split(text, ' ')) AS tk FROM documents, prmR),
       bands AS (SELECT doc_id, b,
-          array_to_string(sig[b*8+1 : b*8+8], '_') AS bkey
-        FROM sigs, range(0, 2) t(b)),
+          array_to_string(sig[b*r+1 : b*r+r], '_') AS bkey
+        FROM sigs, prmR, range(0, 2) t(b)),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
           AND x.doc_id < y.doc_id),
@@ -1213,10 +1268,10 @@ object DedupQueries {
           len(list_intersect(a.tk, b.tk))::DOUBLE /
             len(list_distinct(a.tk || b.tk))::DOUBLE AS jaccard
         FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
-          JOIN sigs b ON cand.doc_b = b.doc_id
-        WHERE list_reduce(list_transform(range(1, 17),
+          JOIN sigs b ON cand.doc_b = b.doc_id, prmR
+        WHERE list_reduce(list_transform(range(1, 2*r + 1),
           i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
-          (x,y) -> x+y) >= 14)
+          (x,y) -> x+y) >= 2*r - 2)
         WHERE jaccard >= 0.99),
       edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION SELECT doc_b, doc_a FROM pairs),
@@ -1256,24 +1311,25 @@ object DedupQueries {
               i -> substr(text, i::INT, 4))),
             g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)))) AS grams
         FROM documents),
+      $sqlPrmR,
       base AS (SELECT doc_id, grams,
-          list_transform(range(0, 16), k -> list_min(list_transform(
+          list_transform(range(0, 2*r), k -> list_min(list_transform(
             list_transform(grams, h -> h % 2147483647),
             h -> (((1103515245*(k+1) + 12345) % 2147483647) * h
                   + ((1103515245*(k+101) + 12345) % 2147483647)) % 2147483647))) AS sig
-        FROM g),
+        FROM g, prmR),
       bands AS (SELECT doc_id, b,
-          array_to_string(sig[b*8+1 : b*8+8], '_') AS bkey
-        FROM base, range(0, 2) t(b)),
+          array_to_string(sig[b*r+1 : b*r+r], '_') AS bkey
+        FROM base, prmR, range(0, 2) t(b)),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
           AND x.doc_id < y.doc_id),
       prefiltered AS (SELECT doc_a, doc_b, a.grams AS ga, b.grams AS gb
         FROM cand JOIN base a ON cand.doc_a = a.doc_id
-          JOIN base b ON cand.doc_b = b.doc_id
-        WHERE list_reduce(list_transform(range(1, 17),
+          JOIN base b ON cand.doc_b = b.doc_id, prmR
+        WHERE list_reduce(list_transform(range(1, 2*r + 1),
           i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
-          (x,y) -> x+y) >= 14)
+          (x,y) -> x+y) >= 2*r - 2)
       SELECT doc_a, doc_b, jaccard4 FROM (
         SELECT doc_a, doc_b,
           len(list_intersect(ga, gb))::DOUBLE /

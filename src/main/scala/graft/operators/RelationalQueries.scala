@@ -693,8 +693,10 @@ object RelationalQueries {
   /** q41 — small-file compaction, the unglamorous op every 100 TB lake
     * runs nightly: a streaming ingest leaves the fact table scattered
     * over tiny files (simulated here: 200 shards of sf lineitem); the
-    * compactor sizes its output from the DATA — ceil(totalBytes/128 MiB)
-    * target files, never fewer than one — and rewrites them
+    * compactor sizes its output from the DATA and the CLUSTER
+    * ([[graft.core.AutoScale.compactionTarget]]: ~128 MiB files with a
+    * read-parallelism floor and a file-count cap past which file size
+    * grows with volume) and rewrites them
     * range-clustered + sorted on (ship month, order key) so the
     * compacted table ALSO gains q37-style stats pruning on the sort
     * prefix. Correctness is bit-equality of content with the
@@ -719,7 +721,12 @@ object RelationalQueries {
         s.sparkContext.hadoopConfiguration)
       val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(small))
         .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-      val target = math.max(1, math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
+      // volume- AND parallelism-derived (AutoScale.compactionTarget):
+      // ~128 MiB files, but never fewer than the cluster can read
+      // concurrently (unless files would drop under 4 MiB), and a
+      // 65536-file cap past which file SIZE grows with volume instead
+      val target = graft.core.AutoScale.compactionTarget(
+        totalBytes, s.sparkContext.defaultParallelism)
       s.read.parquet(small)
         .repartitionByRange(target,
           date_format(col("l_shipdate"), "yyyy-MM"), col("l_orderkey"))

@@ -269,16 +269,27 @@ object SimilarityQueries {
     * against the unpruned brute force. At 100 TB this is the shape of a
     * block-max scan: the wide vector column stays unread for the ~P%
     * of rows the screen rejects (with a columnar layout the blocks
-    * would be their own columns). */
+    * would be their own columns).
+    *
+    * The query-set modulus is DATA-DERIVED: `vec_id % m` with m the
+    * smallest power of two ≥ n/128 (and ≥ 20, the historical value at
+    * the oracle SFs, where the derivation is a no-op). A fixed modulus
+    * makes the query WORKLOAD grow with the corpus and the probe
+    * quadratic — a range-search operator's cost should be
+    * (bounded query set) × corpus, and the DuckDB oracle replays the
+    * same integer derivation from count(*). */
   def s07_range_search(s: SparkSession, dir: String): DataFrame = {
     val theta = 0.3
+    val n = Tables.embeddings(s, dir).count()
+    val m = math.max(20L,
+      1L << graft.core.AutoScale.bandBits(n, target = 128, minB = 0, maxB = 40))
     val blockNorms = (j: Column) =>
       sqrt(aggregate(slice(col("a"), j * 8 + 1, lit(8)), lit(0.0),
         (acc, x) => acc + x * x))
     val base = emb(s, dir).withColumn("nrm", norm(col("a")))
       .filter(col("nrm") > 0.0)
       .withColumn("bn", transform(sequence(lit(0), lit(7)), blockNorms))
-    val qs = base.filter(col("vec_id") % 20 === 0)
+    val qs = base.filter(col("vec_id") % m === 0)
       .select(col("vec_id").as("query_id"), col("a").as("qa"),
         col("nrm").as("qn"), col("bn").as("qbn"))
     base.crossJoin(broadcast(qs))
@@ -681,17 +692,23 @@ object SimilarityQueries {
       FROM (SELECT query_id, vec_id, adc, row_number() OVER (
           PARTITION BY query_id ORDER BY adc, vec_id) AS rank FROM adc)
       WHERE rank <= 5 ORDER BY query_id, rank""",
-    // brute force — the pruned plan must lose nothing
+    // brute force — the pruned plan must lose nothing; query modulus
+    // derived from count(*) exactly like the Spark side:
+    // m = max(20, smallest 2^b with 2^b * 128 >= n)
     "s07_range_search" -> s"""
-      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
+      WITH cnt AS (SELECT count(*) AS nn FROM embeddings),
+      prm AS (SELECT greatest(20::BIGINT,
+          1::BIGINT << CAST(coalesce(min(b), 40) AS INT)) AS m
+        FROM range(0, 41) t(b), cnt WHERE (1::BIGINT << b) * 128 >= nn),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
         FROM embeddings),
       n0 AS (SELECT vec_id, a,
         sqrt(list_reduce(list_transform(a, x -> x*x), (p,q) -> p+q)) AS nrm FROM e),
       n AS (SELECT * FROM n0 WHERE nrm > 0)
       SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
         ${sqlDot.replace("X", "q.a").replace("Y", "d.a")} / (q.nrm * d.nrm) AS sim
-      FROM n q, n d
-      WHERE q.vec_id % 20 = 0 AND d.vec_id <> q.vec_id
+      FROM n q, n d, prm
+      WHERE q.vec_id % prm.m = 0 AND d.vec_id <> q.vec_id
         AND ${sqlDot.replace("X", "q.a").replace("Y", "d.a")} / (q.nrm * d.nrm)
           >= 0.3
       ORDER BY query_id, neighbor_id""",

@@ -158,7 +158,10 @@ class PlanSpec extends SparkSpec {
 
   test("q41: compaction collapses the small-file scatter to the size-derived target") {
     RelationalQueries.q41_compact_small_files(spark, sf()).collect()
-    val tag = sf().replaceAll("[^a-zA-Z0-9]", "_")
+    // the SAME tag the query derives — a hand-rolled format here once
+    // went stale against a scoping change and the spec silently counted
+    // a previous round's leftover /tmp directory
+    val tag = graft.core.SessionMemo.pathTag(spark, sf())
     def parquets(p: String): Int = {
       val d = new java.io.File(System.getProperty("java.io.tmpdir"), p)
       Option(d.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
