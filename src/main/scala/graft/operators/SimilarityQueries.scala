@@ -474,17 +474,56 @@ object SimilarityQueries {
     * left-fold doubles identical in both engines, the division is one
     * correctly-rounded IEEE op, so the floor agrees bitwise) through the
     * bounded [[graft.plans.TopKPerKey]] heap: ≤ k rows per vector reach
-    * the exchange, not the full in-cell neighbor list. At 100 TB: cell =
-    * partition key, per-cell quadratic work bounded by cell size, heap
-    * memory O(k) per vector. */
+    * the exchange, not the full in-cell neighbor list.
+    *
+    * Cells are DATA-SCALED (the round-11 verdict's s12 item): a label
+    * whose population exceeds [[SubCellCap]] is re-quantized into
+    * ceil(size/cap) SUB-CELLS — deterministic sub-centroids (the m
+    * lowest vec_ids, s02's IVF assignment rule with a sub_idx
+    * tie-break), squared-distance argmin assignment — so in-cell pair
+    * work is bounded by cap·n instead of going quadratic as the corpus
+    * grows past the fixed label set. At the oracle SFs every label is
+    * under the cap and the derivation is a no-op (outputs unchanged);
+    * the DuckDB oracle replays the same split from count(*). At 100 TB:
+    * (label, sub) = partition key, per-cell quadratic work ≤ cap², heap
+    * memory O(k) per vector; production would sample seeds instead of
+    * the row_number pass and recurse on still-skewed sub-cells. */
+  val SubCellCap = 256
+
   def s12_knn_join(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val base = emb(s, dir).withColumn("nrm", norm(col("a")))
       .filter(col("nrm") > 0.0)
       .select("vec_id", "label", "a", "nrm")
       .cache()
     base.count() // eager fill: the self-join would race the cache
-    val pairs = base.as("x").join(base.as("y"),
-        col("x.label") === col("y.label") &&
+    // per-label population → sub-cell count m (tiny: one row per label)
+    val sizes = base.groupBy("label").agg(count(lit(1)).as("sz"))
+      .withColumn("m", expr(s"(sz + ${SubCellCap - 1}) div $SubCellCap"))
+    // deterministic sub-centroids for oversized labels only
+    val w = Window.partitionBy("label").orderBy("vec_id")
+    val seeds = base.join(broadcast(sizes.filter(col("m") > 1)), "label")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("m"))
+      .select(col("label").as("s_label"),
+        (col("rn") - 1).cast("long").as("sub_idx"), col("a").as("sv"))
+    // assignment: squared-distance argmin over the label's seeds
+    // (left-fold double, sub_idx tie-break); unsplit labels → sub 0
+    val subAsg = base.join(broadcast(seeds), col("label") === col("s_label"))
+      .withColumn("dist2", aggregate(
+        zip_with(col("a"), col("sv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist2"), col("sub_idx"))).as("ms"))
+      .select(col("vec_id"), col("ms.sub_idx").as("sub"))
+    // materialize the assigned cells once: the self-join references the
+    // subtree twice and would re-run the seed window + assignment on
+    // both sides (the d19 localCheckpoint-barrier lesson)
+    val cells = base.join(subAsg, Seq("vec_id"), "left")
+      .withColumn("sub", coalesce(col("sub"), lit(0L)))
+      .localCheckpoint()
+    val pairs = cells.as("x").join(cells.as("y"),
+        col("x.label") === col("y.label") && col("x.sub") === col("y.sub") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"),
         col("y.vec_id").as("nbr"),
@@ -510,8 +549,11 @@ object SimilarityQueries {
     * logarithmic-round machinery d14 uses. Lives here to share s12's
     * oracle CTE. */
   def d20_knn_clusters(s: SparkSession, dir: String): DataFrame = {
+    // materialize the (≤ 3n-row) edge list: the mutuality self-join
+    // would otherwise evaluate the whole s12 pipeline twice
     val knn = s12_knn_join(s, dir)
       .select(col("vec_id").as("u"), col("neighbor_id").as("v"))
+      .localCheckpoint()
     val mutual = knn.as("x").join(knn.as("y"),
         col("x.u") === col("y.v") && col("x.v") === col("y.u") &&
           col("x.u") < col("x.v"))
@@ -563,7 +605,10 @@ object SimilarityQueries {
         FROM sims) WHERE rank <= 3 + 2 ORDER BY query_id, rank"""
 
   /** Shared CTE: per-vector in-cell top-3 by fixed-point cosine —
-    * consumed by the s12 and d20 oracles. */
+    * consumed by the s12 and d20 oracles. Replays the data-scaled
+    * sub-cell split (cap 256, ceil(size/cap) lowest-vec_id seeds,
+    * squared-distance argmin with sub_idx tie-break); a no-op at the
+    * oracle SFs where every label is under the cap. */
   private val sqlKnnCte = """
       e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
@@ -572,11 +617,28 @@ object SimilarityQueries {
             (p, q) -> p + q)) AS nrm
         FROM e),
       nz AS (SELECT * FROM n WHERE nrm > 0),
+      szs AS (SELECT label, (count(*) + 255) // 256 AS m
+        FROM nz GROUP BY label),
+      seeds AS (SELECT label, rn - 1 AS sub_idx, a AS sv FROM (
+          SELECT nz.label, nz.a, s.m,
+            row_number() OVER (PARTITION BY nz.label ORDER BY nz.vec_id) AS rn
+          FROM nz JOIN szs s USING (label) WHERE s.m > 1)
+        WHERE rn <= m),
+      subA AS (SELECT vec_id, sub_idx AS sub FROM (
+          SELECT nz.vec_id, seeds.sub_idx,
+            row_number() OVER (PARTITION BY nz.vec_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (nz.a[i] - seeds.sv[i]) * (nz.a[i] - seeds.sv[i])),
+                (p, q) -> p + q), seeds.sub_idx) AS rnk
+          FROM nz JOIN seeds USING (label))
+        WHERE rnk = 1),
+      cells AS (SELECT nz.*, coalesce(subA.sub, 0) AS sub
+        FROM nz LEFT JOIN subA USING (vec_id)),
       prs AS (SELECT x.vec_id AS vec_id, y.vec_id AS nbr,
           CAST(floor(list_reduce(list_transform(range(1, 65),
               i -> x.a[i] * y.a[i]), (p, q) -> p + q)
             / (x.nrm * y.nrm) * 1e9) AS BIGINT) AS cos_fp
-        FROM nz x JOIN nz y ON x.label = y.label
+        FROM cells x JOIN cells y ON x.label = y.label AND x.sub = y.sub
           AND x.vec_id <> y.vec_id),
       knn AS (SELECT vec_id, nbr, cos_fp, rank FROM (
           SELECT vec_id, nbr, cos_fp,
