@@ -614,12 +614,13 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
           // OPH_EXPORTNC); optional third arg selects the container:
           // classic (CDF-1, default) | cdf5 | netcdf4 (HDF5) |
           // zarr (v2 store) | zarr3 (v3 store); optional fourth arg:
-          // rows per chunk for the Zarr stores. The Zarr formats export
-          // DISTRIBUTED — executors write the chunks, the driver only
-          // the metadata (ZarrExport) — because a chunked store has no
-          // single-file append constraint; the .nc containers are
-          // single-file writes and stay driver-side, bounded by the
-          // reference's own result-paging semantics.
+          // rows per chunk for the chunked stores. The Zarr formats and
+          // netcdf4-dist export DISTRIBUTED — executors write the
+          // chunks, the driver only the metadata (ZarrExport /
+          // HDF5.writeDoubleVarDistributed); classic/cdf5/netcdf4 are
+          // sequential single-file writes and stay driver-side
+          // (streamed, memory-bounded), matching the reference's own
+          // result-paging semantics.
           args.lift(1).filter(_.nonEmpty).foreach { path =>
             val rowsPerChunk = args.lift(3).filter(_.nonEmpty)
               .map(_.toInt).getOrElse(0)
@@ -637,6 +638,14 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
                 graft.sources.ZarrExport.writeDistributedSharded(r, "id_dim",
                   "measure", path, "measure",
                   if (rowsPerChunk > 0) rowsPerChunk else 512, chunksPerShard)
+              case "netcdf4-dist" =>
+                // executor-parallel HDF5: implicit chunk index puts
+                // chunk k at a computable offset, so the driver writes
+                // only the metadata head and executors write their
+                // chunks at disjoint ranges (needs a shared POSIX fs;
+                // object stores take the zarr paths above)
+                graft.sources.HDF5.writeDoubleVarDistributed(r, "id_dim",
+                  "measure", path, "measure", rowsPerChunk)
               case fmt =>
                 // single-file container: bytes must pass through one
                 // writer, but driver MEMORY stays bounded — one stats

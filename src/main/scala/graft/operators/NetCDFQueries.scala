@@ -227,6 +227,47 @@ object NetCDFQueries {
     h5.join(z3, "id_dim").join(zs, "id_dim").orderBy("id_dim")
   }
 
+  /** qn11 — DISTRIBUTED NetCDF-4/HDF5 export under the oracle (closing
+    * the round-11 verdict's last driver-side sink): the qn02 formula
+    * grid is exported through `oph_export(frag, path, netcdf4-dist,
+    * rowsPerChunk=16)` — the driver writes only the metadata head
+    * (layout-v4 chunked, IMPLICIT chunk index) and EXECUTORS write the
+    * 4 chunk payloads at their computed disjoint file offsets in
+    * parallel — then re-imported through the sniffing reader next to a
+    * driver-side streamed `netcdf4` export of the same fragment. Both
+    * columns must carry the identical values: the parallel writer and
+    * the sequential writer are interchangeable sinks. */
+  def qn11_export_distributed(s: SparkSession, dir: String): DataFrame = {
+    val (nRows, nCols) = (60, 8)
+    val data = Array.tabulate(nRows * nCols)(k =>
+      (k / nCols) * 0.5 + (k % nCols) * 0.125) // exact in binary
+    val tmp = Files.createTempDirectory("graft_exportd")
+    val srcPath = tmp.resolve("src.nc").toString
+    val distPath = tmp.resolve("dist.h5").toString
+    val seqPath = tmp.resolve("seq.h5").toString
+    NetCDF3.writeDoubleVar(srcPath, Seq("row" -> nRows, "col" -> nCols),
+      "measure", data)
+    val ses = new IoServer(s).newSession()
+    ses.execute(s"operation=file_import;frag_name=exdsrc;src_path=@$srcPath;" +
+      "measure=measure;explicit=1")
+    // rows-per-chunk 16 → 4 chunks, written by up to 4 concurrent tasks
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=exdsrc|$distPath|netcdf4-dist|16")
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=exdsrc|$seqPath|netcdf4")
+    ses.execute(s"operation=file_import;frag_name=exdd;src_path=@$distPath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=exds;src_path=@$seqPath;" +
+      "measure=measure;explicit=1")
+    val d = ses.execute(
+      "operation=select;field=id_dim|measure;from=exdd;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_dist"))
+    val q = ses.execute(
+      "operation=select;field=id_dim|measure;from=exds;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_seq"))
+    d.join(q, "id_dim").orderBy("id_dim")
+  }
+
   /** qn09 — CF-convention unpacking on import (`cf_unpack=yes`): a
     * packed file carrying `scale_factor`/`add_offset` variable
     * attributes imports as `raw*scale + offset`, next to an unpacked
@@ -445,9 +486,20 @@ object NetCDFQueries {
     "qn08_export_formats" -> (qn08_export_formats _),
     "qn09_cf_unpack" -> (qn09_cf_unpack _),
     "qn10_hdf5_unlimited_append" -> (qn10_hdf5_unlimited_append _),
+    "qn11_export_distributed" -> (qn11_export_distributed _),
   )
 
   val oracles: Map[String, String] = Map(
+    "qn11_export_distributed" ->
+      """SELECT i AS id_dim,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_dist,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_seq
+         FROM range(1, 61) t(i)
+         ORDER BY id_dim""",
     "qn10_hdf5_unlimited_append" ->
       """SELECT i AS id_dim,
          array_to_string(list_transform(range(0, 8),

@@ -102,7 +102,7 @@ object ZarrExport {
   /** Validated header stats for a (id, array) export source: returns
     * (n, lo, hi, m) after failing loud on duplicate ids, ragged widths
     * and partially-null arrays. m <= 0 means empty/null arrays. */
-  private def exportStats(src: DataFrame, idCol: String): (Long, Long, Long, Int) = {
+  private[sources] def exportStats(src: DataFrame, idCol: String): (Long, Long, Long, Int) = {
     val sz = when(col("a").isNotNull, size(col("a")))
     val stats = src.agg(count(col("id")).as("n"), min(col("id")).as("lo"),
       max(col("id")).as("hi"), countDistinct(col("id")).as("nd"),

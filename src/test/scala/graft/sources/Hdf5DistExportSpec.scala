@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Executor-parallel HDF5 export: the driver writes only the implicit-
+  * index metadata head, executors write chunk payloads at disjoint
+  * offsets. The file must read back value-exact through the from-spec
+  * reader on both the contiguous-id fast path and the sort fallback,
+  * with partial tail chunks zero-padded to their full slot. */
+class Hdf5DistExportSpec extends SparkSpec {
+
+  private def grid(n: Int, m: Int): Seq[(Long, Seq[Double])] =
+    (0 until n).map(i => (i.toLong, (0 until m).map(j => i * 0.5 + j * 0.125)))
+
+  private def readAll(p: String, n: Int, m: Int): Array[Double] = {
+    val r = new HDF5.Hdf5Reader(p)
+    try r.readSlab("measure", Seq(0, 0), Seq(n, m)) finally r.close()
+  }
+
+  test("multi-chunk distributed write reads back value-exact") {
+    import spark.implicits._
+    val (n, m) = (60, 8)
+    val df = grid(n, m).toDF("id", "a")
+    val p = java.nio.file.Files.createTempDirectory("h5dist")
+      .resolve("d.h5").toString
+    val (rows, chunks) = HDF5.writeDoubleVarDistributed(df, "id", "a", p,
+      "measure", rowsPerChunk = 16)
+    assert(rows == n)
+    assert(chunks == 4, "16-row chunks over 60 rows must give 4 chunks " +
+      "(a multi-task parallel write, incl. a partial tail)")
+    val got = readAll(p, n, m)
+    val want = grid(n, m).flatMap(_._2)
+    assert(got.toSeq == want, "distributed chunk placement mismatch")
+  }
+
+  test("non-contiguous ids take the sort fallback and still place correctly") {
+    import spark.implicits._
+    val (n, m) = (30, 4)
+    // ids 0,2,4,... — hi-lo+1 != n forces the sort+zipWithIndex path
+    val rowsIn = (0 until n).map(i =>
+      ((i * 2).toLong, (0 until m).map(j => i * 1.0 + j * 0.25)))
+    val df = rowsIn.toDF("id", "a")
+    val p = java.nio.file.Files.createTempDirectory("h5dist")
+      .resolve("s.h5").toString
+    val (rows, chunks) = HDF5.writeDoubleVarDistributed(df, "id", "a", p,
+      "measure", rowsPerChunk = 7)
+    assert(rows == n && chunks == 5)
+    val got = readAll(p, n, m)
+    val want = rowsIn.flatMap(_._2)
+    assert(got.toSeq == want)
+  }
+
+  test("matches the sequential streamed writer value-for-value") {
+    import spark.implicits._
+    val (n, m) = (23, 3)
+    val df = grid(n, m).toDF("id", "a")
+    val pd = java.nio.file.Files.createTempDirectory("h5dist")
+      .resolve("par.h5").toString
+    val ps = java.nio.file.Files.createTempDirectory("h5dist")
+      .resolve("seq.h5").toString
+    HDF5.writeDoubleVarDistributed(df, "id", "a", pd, "measure",
+      rowsPerChunk = 5)
+    HDF5.writeDoubleVarStreamed(ps, Seq("id_dim" -> n, "elem" -> m),
+      "measure", grid(n, m).map(_._2.toArray).iterator)
+    assert(readAll(pd, n, m).toSeq == readAll(ps, n, m).toSeq,
+      "parallel and sequential sinks must be interchangeable")
+  }
+
+  test("duplicate ids fail loud instead of silently misplacing rows") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0)), (1L, Seq(2.0))).toDF("id", "a")
+    val p = java.nio.file.Files.createTempDirectory("h5dist")
+      .resolve("dup.h5").toString
+    val e = intercept[Exception] {
+      HDF5.writeDoubleVarDistributed(df, "id", "a", p, "measure", 4)
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+}
