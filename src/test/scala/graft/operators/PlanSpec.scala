@@ -174,6 +174,37 @@ class PlanSpec extends SparkSpec {
       s"compaction target missed: $nCompact files")
   }
 
+  test("q53: ONE user_id exchange feeds all three chained Window operators") {
+    val df = RelationalQueries.q53_funnel(spark, sf())
+    df.collect() // AQE finalizes the plan
+    // keep only the final adaptive plan (the string renders the initial
+    // plan a second time below it, doubling every count)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    val windows = "\\+- Window ".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"the three funnel windows must share ONE user_id exchange, got $exchanges:\n$p")
+    assert(windows == 3, s"expected 3 chained Window operators, got $windows:\n$p")
+  }
+
+  test("d19: the localCheckpoint verify barrier survives optimization") {
+    val df = DedupQueries.d19_editdist(spark, sf())
+    val p = plan(df)
+    // the candidate set is pinned behind an RDD scan…
+    assert(p.contains("Scan ExistingRDD"),
+      s"localCheckpoint barrier missing (pushdown would re-enter the joins):\n$p")
+    // …the CPU-bound verify stage is row-count-repartitioned…
+    assert("Exchange hashpartitioning\\(doc_a".r.findFirstIn(p).isDefined,
+      s"explicit verify repartition missing (AQE would serialize it):\n$p")
+    // …and no join evaluates Levenshtein in its condition (the r11 bug:
+    // the threshold pushed into the anchor join ran the O(len²) DP once
+    // per ORDERED bucket pair)
+    val levJoinLines = p.linesIterator.filter(l =>
+      l.contains("Join") && l.toLowerCase.contains("levenshtein")).toSeq
+    assert(levJoinLines.isEmpty,
+      s"levenshtein leaked into a join condition:\n${levJoinLines.mkString("\n")}")
+  }
+
   test("q50: DV and delta merge as broadcast ANTI joins; base is never rewritten") {
     val df = RelationalQueries.q50_merge_on_read(spark, sf())
     val p = plan(df)

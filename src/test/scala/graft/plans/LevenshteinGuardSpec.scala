@@ -76,6 +76,41 @@ class LevenshteinGuardSpec extends SparkSpec {
     }
   }
 
+  test("fires end-to-end through GraftExtensions injection (no manual rule list)") {
+    import org.apache.spark.sql.SparkSession
+    // a session built the production way — .withExtensions(GraftExtensions)
+    // — must apply the rewrite on a plain DataFrame with no
+    // experimental.extraOptimizations plumbing. getOrCreate reuses the
+    // shared SparkContext but needs the default session cleared to
+    // construct a fresh session that honors the extensions.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val d = java.nio.file.Files.createTempDirectory("graft_levext")
+      frame().write.mode("overwrite").parquet(d.toString)
+      val df = s2.read.parquet(d.toString)
+        .filter(expr("levenshtein(a, b) <= 2"))
+      val levs = df.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+        case l: Levenshtein => l })
+      assert(levs.nonEmpty && levs.forall(_.threshold.isDefined),
+        s"extension-injected rule did not fire:\n${df.queryExecution.optimizedPlan}")
+      // the injected SQL functions ride the same extension point
+      val dot = s2.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect()(0).getDouble(0)
+      assert(dot == 11.0)
+    } finally {
+      SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("non-deterministic arguments are left alone (no duplication)") {
     withRule {
       // rand() is non-deterministic: duplicating it into a length band
