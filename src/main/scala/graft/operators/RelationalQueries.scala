@@ -813,6 +813,110 @@ object RelationalQueries {
       .orderBy("ship_month")
   }
 
+  /** q59 — DV-density VACUUM, the maintenance op that completes the
+    * q50 merge-on-read lifecycle (Delta OPTIMIZE / Iceberg
+    * rewrite_data_files): deletion vectors make deletes O(changed
+    * rows), but a file whose DV grows dense pays the anti-join on
+    * every read for mostly-dead rows — so the vacuum REWRITES exactly
+    * the files whose dead fraction crossed a threshold (≥ 25% here)
+    * and drops their DV entries, while lightly-deleted files keep
+    * riding their (cheap) DVs untouched.
+    *
+    * The delete workload is two-sided by construction: a key-range
+    * delete (l_orderkey below max/4 — range-correlated with the file
+    * layout, so the low files go dense) plus a uniform ~3% predicate
+    * (every file keeps a sparse DV). The vacuum write sizes itself via
+    * [[graft.core.AutoScale.compactionTarget]] like q41.
+    *
+    * Scale shape: per-file dead fractions are one groupBy over the
+    * (file, pos) DV — bounded by file count, not rows; the rewrite
+    * reads ONLY the hot files; the final read is (cold files ⟕anti
+    * kept-DV) ∪ rewritten — at 100 TB the catalog swaps the file list
+    * atomically, here the reader filters on `_metadata.file_path`.
+    * Correctness is layout-independent: the merged table equals the
+    * plain predicate delete, which the oracle replays; the file/DV
+    * mechanics are pinned in VacuumSpec. */
+  def q59_dv_vacuum(s: SparkSession, dir: String): DataFrame = {
+    val (basePath, rewPath, dvKeptPath, hot) =
+      graft.core.SessionMemo.memoize(s, "q59-vac:" + dir) {
+        val tag = graft.core.SessionMemo.pathTag(s, dir)
+        def tmp(n: String) = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_q59_${n}_$tag")
+          .getAbsolutePath
+        val (b, dvP, reP, dvKeptP) =
+          (tmp("base"), tmp("dv"), tmp("rewrite"), tmp("dvkept"))
+        Tables.lineitem(s, dir)
+          .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
+          .write.mode("overwrite").parquet(b)
+        val maxK = Tables.lineitem(s, dir)
+          .agg(max("l_orderkey")).collect()(0).getLong(0)
+        val base = s.read.parquet(b)
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+        base.filter(col("l_orderkey") < lit(maxK / 4) ||
+            (col("l_orderkey") + col("l_linenumber")) % 29 === 3)
+          .select(col("__file").as("del_file"), col("__pos").as("del_pos"))
+          .coalesce(1).write.mode("overwrite").parquet(dvP)
+        val dv = s.read.parquet(dvP)
+        // per-file dead fraction: one count per FILE, never per row
+        val hotFiles: Seq[String] = base.groupBy("__file")
+          .agg(count(lit(1)).as("n"))
+          .join(dv.groupBy(col("del_file").as("__file"))
+            .agg(count(lit(1)).as("dead")), Seq("__file"), "left")
+          .filter(coalesce(col("dead"), lit(0L)) * 4 >= col("n"))
+          .select("__file").collect().map(_.getString(0)).toSeq
+        // rewrite ONLY the hot files, live rows, q41-style sizing
+        val hotLive = base.filter(col("__file").isin(hotFiles: _*))
+          .join(broadcast(dv), col("__file") === col("del_file") &&
+            col("__pos") === col("del_pos"), "left_anti")
+          .drop("__file", "__pos")
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          s.sparkContext.hadoopConfiguration)
+        val hotBytes = fs.listStatus(new org.apache.hadoop.fs.Path(b))
+          .filter(st => hotFiles.contains("file://" + st.getPath.toUri.getPath))
+          .map(_.getLen).sum
+        hotLive.repartition(graft.core.AutoScale.compactionTarget(
+            math.max(hotBytes, 1L), s.sparkContext.defaultParallelism))
+          .write.mode("overwrite").parquet(reP)
+        dv.filter(!col("del_file").isin(hotFiles: _*))
+          .coalesce(1).write.mode("overwrite").parquet(dvKeptP)
+        (b, reP, dvKeptP, hotFiles)
+      }
+    val cold = s.read.parquet(basePath)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(!col("__file").isin(hot: _*))
+    val dvk = s.read.parquet(dvKeptPath)
+    val live = cold
+      .join(broadcast(dvk), col("__file") === col("del_file") &&
+        col("__pos") === col("del_pos"), "left_anti")
+      .drop("__file", "__pos")
+      .unionByName(s.read.parquet(rewPath))
+    live.groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .orderBy("ship_month")
+  }
+
+  /** Vacuum mechanics for VacuumSpec: (hot file count, cold file count,
+    * kept-DV rows, pre-vacuum DV rows) of the memoized q59 store. */
+  private[operators] def q59Mechanics(s: SparkSession, dir: String)
+      : (Int, Int, Long, Long) = {
+    q59_dv_vacuum(s, dir).count() // ensure the store is built
+    val (basePath, _, dvKeptPath, hot) = graft.core.SessionMemo
+      .memoize[(String, String, String, Seq[String])](s, "q59-vac:" + dir) {
+        throw new IllegalStateException("store must already be memoized")
+      }
+    val nFiles = s.read.parquet(basePath)
+      .select(col("_metadata.file_path")).distinct().count().toInt
+    val tag = graft.core.SessionMemo.pathTag(s, dir)
+    val dvAll = s.read.parquet(new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_q59_dv_$tag")
+      .getAbsolutePath).count()
+    (hot.size, nFiles - hot.size, s.read.parquet(dvKeptPath).count(), dvAll)
+  }
+
   /** q51 — slowly-changing-dimension type-2 merge: fold a batch of
     * attribute changes into a versioned dimension without row-by-row
     * mutation. Baseline attribute = the priority of each customer's
@@ -1157,6 +1261,7 @@ object RelationalQueries {
     "q53_funnel" -> (q53_funnel _),
     "q52_time_travel" -> (q52_time_travel _),
     "q51_scd2_merge" -> (q51_scd2_merge _),
+    "q59_dv_vacuum" -> (q59_dv_vacuum _),
     "q50_merge_on_read" -> (q50_merge_on_read _),
     "q41_compact_small_files" -> (q41_compact_small_files _),
     "q40_session_window" -> (q40_session_window _),
@@ -1344,6 +1449,17 @@ object RelationalQueries {
        ORDER BY custkey, version""",
     // replay of the merge: a row survives iff it was upserted (delta
     // wins, quantity+1) or neither deleted nor superseded
+    // layout-independent truth: the vacuumed table equals the plain
+    // predicate delete (key-range + uniform), whatever the file split
+    "q59_dv_vacuum" ->
+      """WITH mx AS (SELECT max(l_orderkey) AS mk FROM lineitem)
+         SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem, mx
+         WHERE NOT (l_orderkey < mk // 4
+           OR (l_orderkey + l_linenumber) % 29 = 3)
+         GROUP BY 1 ORDER BY 1""",
     "q50_merge_on_read" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
          count(*) AS n_items,

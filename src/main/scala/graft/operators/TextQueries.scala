@@ -671,7 +671,73 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t20 — the CHARACTER-share half of the Gopher/MassiveText
+    * repetition rules (Rae et al. 2021, table A1), complementing t07's
+    * count-based stats (type-token ratio, top word/bigram OCCURRENCE
+    * shares): Gopher's thresholds for n-gram rules are over the
+    * fraction of CHARACTERS the repetition covers, which weights long
+    * repeated grams correctly. Three exact integer signals per
+    * document —
+    *
+    *  - duplicate-word fraction: 1 − |distinct words| / |words|;
+    *  - duplicate-3-gram fraction over word trigrams (t07 stops at
+    *    bigrams);
+    *  - top-2-gram character share: occurrences of the most frequent
+    *    word bigram × its character length, over the document's
+    *    characters —
+    *
+    * all at 1e-6 fixed point, and a keep decision at the published
+    * thresholds (drop when dup-words ≥ 0.30, top-2-gram char share
+    * ≥ 0.20, or dup-3-grams ≥ 0.60).
+    *
+    * Scale shape: ENTIRELY per-row — the top bigram comes from a
+    * run-length left fold over the row's own sorted bigram array
+    * (ties → first in sort order = smallest gram), so no (doc, gram)
+    * row ever reaches a shuffle; at 100 TB this is scan-speed like
+    * t01. The oracle replays the same statistic the relational way
+    * (unnest + group + rank), proving the fold against an independent
+    * formulation. */
+  def t20_repetition_filter(s: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    def gram(n: Int): Column =
+      when(size(w) >= n, transform(sequence(lit(1), size(w) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+    // run-length fold over the sorted bigrams: state = (prev, run,
+    // bestn, bestg); strictly-greater update keeps the FIRST (smallest)
+    // gram on count ties, matching the oracle's (c DESC, g ASC) rank
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("bestn"), lit("").as("bestg"))
+    val top = aggregate(array_sort(gram(2)), zero, (acc, x) => {
+      val run = when(x === acc.getField("prev"),
+        acc.getField("run") + 1L).otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        when(run > acc.getField("bestn"), run)
+          .otherwise(acc.getField("bestn")).as("bestn"),
+        when(run > acc.getField("bestn"), x)
+          .otherwise(acc.getField("bestg")).as("bestg"))
+    })
+    import graft.functions.KeyAlgebra.ldiv
+    Tables.documents(s, dir)
+      .withColumn("n_words", size(w).cast("long"))
+      .withColumn("dupword_fp", ldiv(
+        (col("n_words") - size(array_distinct(w))) * 1000000L, col("n_words")))
+      .withColumn("n3", greatest(col("n_words") - 2L, lit(0L)))
+      .withColumn("dup3_fp", when(col("n3") === 0L, 0L).otherwise(ldiv(
+        (col("n3") - size(array_distinct(gram(3)))) * 1000000L, col("n3"))))
+      .withColumn("top2_cnt", top.getField("bestn"))
+      .withColumn("top2_fp", ldiv(
+        col("top2_cnt") * length(top.getField("bestg")) * 1000000L,
+        col("n_chars")))
+      .withColumn("kept", col("dupword_fp") < 300000L &&
+        col("top2_fp") < 200000L && col("dup3_fp") < 600000L)
+      .select("doc_id", "n_words", "dupword_fp", "dup3_fp", "top2_cnt",
+        "top2_fp", "kept")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_repetition_filter" -> (t20_repetition_filter _),
     "t19_char_entropy" -> (t19_char_entropy _),
     "t18_tfidf_keywords" -> (t18_tfidf_keywords _),
     "t17_hdr_quantiles" -> (t17_hdr_quantiles _),
@@ -697,6 +763,42 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    // independent formulation of the top-bigram statistic: unnest +
+    // group + (c DESC, g ASC) rank, vs the engine's per-row sorted fold
+    "t20_repetition_filter" ->
+      """WITH toks AS (SELECT doc_id, n_chars,
+           string_split(text, ' ') AS w FROM documents),
+         st AS (SELECT doc_id, n_chars, len(w) AS nw,
+             len(list_distinct(w)) AS ndw,
+             greatest(len(w) - 2, 0) AS n3,
+             CASE WHEN len(w) >= 3 THEN len(list_distinct(
+               list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+             ELSE 0 END AS nd3
+           FROM toks),
+         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1])) AS g
+           FROM toks WHERE len(w) >= 2),
+         cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+         top AS (SELECT doc_id, g, c FROM (
+             SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+               ORDER BY c DESC, g) AS rn FROM cnt)
+           WHERE rn = 1)
+         SELECT st.doc_id, CAST(st.nw AS BIGINT) AS n_words,
+           (st.nw - st.ndw) * 1000000 // st.nw AS dupword_fp,
+           CASE WHEN st.n3 = 0 THEN 0
+             ELSE (st.n3 - st.nd3) * 1000000 // st.n3 END AS dup3_fp,
+           CAST(coalesce(top.c, 0) AS BIGINT) AS top2_cnt,
+           coalesce(top.c * length(top.g), 0) * 1000000 // st.n_chars
+             AS top2_fp,
+           ((st.nw - st.ndw) * 1000000 // st.nw < 300000)
+             AND (coalesce(top.c * length(top.g), 0) * 1000000
+               // st.n_chars < 200000)
+             AND (CASE WHEN st.n3 = 0 THEN 0
+               ELSE (st.n3 - st.nd3) * 1000000 // st.n3 END < 600000)
+             AS kept
+         FROM st LEFT JOIN top ON st.doc_id = top.doc_id
+         ORDER BY st.doc_id""",
     // the SAME integer LUT is interpolated here, so both engines do
     // pure integer arithmetic — no libm log anywhere
     "t19_char_entropy" -> s"""
