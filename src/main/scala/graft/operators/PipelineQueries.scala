@@ -159,6 +159,48 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** p19 — temperature-based mixture sampling, the published
+    * multilingual/multi-source mixing rule (mT5 / XLM-R / Llama-style):
+    * source i is allocated docs ∝ size_i^α with α = 1/2, which
+    * UP-samples small sources relative to proportional mixing and
+    * down-weights the dominant crawl — the standard fix for
+    * low-resource starvation. Distinct from p05 (absolute per-domain
+    * budgets): here the allocation is RELATIVE, derived from the
+    * measured sizes, and the total doc budget is fixed.
+    *
+    * Determinism: size^(1/2) is ONE correctly-rounded IEEE sqrt per
+    * source (identical in DuckDB), floored to 1e-6 fixed point; the
+    * allocation is exact integer floor(B·w_i/Σw); selection inside a
+    * source is by (content-hash, doc_id) — reproducible and order-free.
+    *
+    * Scale shape: sizes are one map-side-combined aggregate; the
+    * weight/allocation table is |sources| rows (broadcast); selection
+    * is one per-source window — shards by source exactly like p05. */
+  def p19_temperature_mix(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val budget = 200L
+    val docs = Tables.documents(s, dir)
+      .withColumn("prio", md5Long60(col("text")))
+    val sizes = docs.groupBy("source")
+      .agg(sum("n_chars").as("sz"), count(lit(1)).as("n_docs"))
+      .withColumn("w_fp",
+        floor(sqrt(col("sz").cast("double")) * 1e6).cast("long"))
+    val tot = sizes.agg(sum("w_fp").as("wtot"))
+    val alloc = sizes.crossJoin(broadcast(tot))
+      .withColumn("alloc", ldiv(lit(budget) * col("w_fp"), col("wtot")))
+      .select("source", "sz", "n_docs", "w_fp", "alloc")
+    val w = Window.partitionBy("source").orderBy("prio", "doc_id")
+    docs.join(broadcast(alloc), "source")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("kept", col("rn") <= col("alloc"))
+      .groupBy("source")
+      .agg(max("sz").as("sz"), max("w_fp").as("w_fp"),
+        max("alloc").as("alloc"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      .orderBy("source")
+  }
+
   /** p06 — leakproof train/val split: the split key is the CANONICAL
     * GROUP representative (d02's sorted-distinct-token form), not the
     * document, so exact and canonical near-duplicates can never straddle
@@ -616,6 +658,7 @@ object PipelineQueries {
     "p04_sequence_packing" -> (p04_sequence_packing _),
     "p05_domain_mix" -> (p05_domain_mix _),
     "p06_split_leakproof" -> (p06_split_leakproof _),
+    "p19_temperature_mix" -> (p19_temperature_mix _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -894,6 +937,32 @@ object PipelineQueries {
          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          min(doc_id) AS first_doc, max(doc_id) AS last_doc
        FROM c GROUP BY 1 ORDER BY 1""",
+    // one IEEE sqrt per source (identical both engines), exact integer
+    // floor allocation, (content-hash, doc_id) selection order
+    "p19_temperature_mix" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+           CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS prio
+         FROM documents),
+         sz AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS sz,
+             count(*) AS n_docs,
+             CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE)) * 1e6) AS BIGINT)
+               AS w_fp
+           FROM d GROUP BY source),
+         al AS (SELECT source, sz, n_docs, w_fp,
+             200 * w_fp // (SELECT sum(w_fp) FROM sz) AS alloc
+           FROM sz),
+         r AS (SELECT d.doc_id, d.source,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY d.prio, d.doc_id) AS rn
+           FROM d)
+         SELECT al.source, al.sz, al.w_fp, CAST(al.alloc AS BIGINT) AS alloc,
+           CAST(sum(CASE WHEN r.rn <= al.alloc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN r.rn <= al.alloc THEN r.doc_id ELSE 0 END)
+             AS BIGINT) AS kept_id_sum
+         FROM r JOIN al ON r.source = al.source
+         GROUP BY al.source, al.sz, al.w_fp, al.alloc
+         ORDER BY al.source""",
     "p05_domain_mix" ->
       """WITH d AS (SELECT doc_id, source, n_chars,
            CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS prio,

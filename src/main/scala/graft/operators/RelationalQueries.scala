@@ -1101,6 +1101,14 @@ object RelationalQueries {
       .agg(sum(when(col("ts") <= col("mid"), 1L).otherwise(0L)).as("n1"),
         sum(when(col("ts") > col("mid"), 1L).otherwise(0L)).as("n2"))
       .localCheckpoint()
+    chi2FromCells(cells)
+  }
+
+  /** The q55 χ² cell algebra, shared with its streaming twin (q60):
+    * `cells` = (event_type, bin, n1, n2) counts; returns the per-cell
+    * statistic with the decimal(38) carry and the loud overflow
+    * guard. */
+  private[operators] def chi2FromCells(cells: DataFrame): DataFrame = {
     val tot = cells.groupBy("event_type")
       .agg(sum("n1").as("tn1"), sum("n2").as("tn2"))
     cells.join(broadcast(tot), "event_type")

@@ -1056,7 +1056,59 @@ object StreamQueries {
     }
   }
 
+  /** q60 — q55's drift monitor as a PRODUCTION STREAM: the reference
+    * histogram (first-half counts n1) is a batch artifact; the new
+    * ingest window (second half) arrives through a real FileStreamSource
+    * in three executor-parallel parquet drops, and a streaming
+    * aggregation accumulates its (event_type, bin) counts n2
+    * incrementally — state is the 80-cell histogram, independent of
+    * row count, exactly the monitor a pipeline keeps running against
+    * a reference window. After the drops the χ² table is computed by
+    * the SAME cell algebra as q55 ([[RelationalQueries.chi2FromCells]])
+    * over reference ⟗ streamed counts — the incremental monitor must
+    * converge to the batch statistic bit-for-bit (shared oracle). */
+  def q60_stream_drift(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val ev = Tables.events(s, dir).select("ts", "event_type", "value")
+    val mid = ev.agg((min("ts") + ldiv(max("ts") - min("ts"), lit(2L)))
+      .as("mid")).head().getLong(0)
+    def binned(df: DataFrame): DataFrame = df.withColumn("bin",
+      least(ldiv(floor(col("value")).cast("long"), lit(32L)), lit(15L)))
+    val ref = binned(ev.filter(col("ts") <= mid))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("n1"))
+    val newEv = ev.filter(col("ts") > mid)
+    val (lo, hi) = tsBounds(newEv, "ts")
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+    val schema = StructType(Seq(StructField("ts", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    withWatchDir("graft_q60_src") { watch =>
+      val n2s = binned(s.readStream.schema(schema).parquet(watch))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("n2"))
+      val q = n2s.writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName("q60_stream_out").start()
+      feedDrops(q, watch, Seq(
+        newEv.filter(col("ts") <= c1),
+        newEv.filter(col("ts") > c1 && col("ts") <= c2),
+        newEv.filter(col("ts") > c2)))
+      val sink = s.table("q60_stream_out")
+      val n2rows = sink.collect().toIndexedSeq
+      val n2schema = sink.schema
+      s.catalog.dropTempView("q60_stream_out")
+      val n2 = s.createDataFrame(s.sparkContext.parallelize(n2rows, 1), n2schema)
+      // cell set = keys of either half (q55's single groupBy over the
+      // whole stream produces exactly this union)
+      val cells = ref.join(n2, Seq("event_type", "bin"), "full_outer")
+        .select(col("event_type"), col("bin"),
+          coalesce(col("n1"), lit(0L)).as("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"))
+        .localCheckpoint()
+      RelationalQueries.chi2FromCells(cells)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_stream_drift" -> (q60_stream_drift _),
     "q54_stream_funnel" -> (q54_stream_funnel _),
     "q45_asof_filesource" -> (q45_asof_filesource _),
     "q46_topk_filesource" -> (q46_topk_filesource _),
@@ -1113,6 +1165,8 @@ object StreamQueries {
     // the incremental milestone state must converge to the offline
     // three-window funnel answer
     "q54_stream_funnel" -> RelationalQueries.oracles("q53_funnel"),
+    // the incremental monitor must converge to the batch statistic
+    "q60_stream_drift" -> RelationalQueries.oracles("q55_drift_chi2"),
     // each file-source twin must converge to the SAME batch answer as
     // its MemoryStream original — the ingest path is the only variable
     "q45_asof_filesource" -> RelationalQueries.oracles("q24_asof_join"),
