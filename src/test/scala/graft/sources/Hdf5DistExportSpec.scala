@@ -67,6 +67,21 @@ class Hdf5DistExportSpec extends SparkSpec {
       "parallel and sequential sinks must be interchangeable")
   }
 
+  test("shape edges round-trip: 1-row, 1-col, chunk==n, chunk>n, tail=1") {
+    import spark.implicits._
+    for ((n, m, rpc) <- Seq((1, 8, 4), (16, 1, 4), (12, 3, 12), (5, 2, 9),
+        (17, 4, 8))) {
+      val df = grid(n, m).toDF("id", "a")
+      val p = java.nio.file.Files.createTempDirectory("h5dist")
+        .resolve(s"e_${n}_${m}_$rpc.h5").toString
+      val (rows, chunks) = HDF5.writeDoubleVarDistributed(df, "id", "a", p,
+        "measure", rowsPerChunk = rpc)
+      assert(rows == n && chunks == (n + rpc - 1) / rpc, s"($n,$m,$rpc)")
+      assert(readAll(p, n, m).toSeq == grid(n, m).flatMap(_._2),
+        s"roundtrip mismatch at ($n,$m,$rpc)")
+    }
+  }
+
   test("duplicate ids fail loud instead of silently misplacing rows") {
     import spark.implicits._
     val df = Seq((1L, Seq(1.0)), (1L, Seq(2.0))).toDF("id", "a")
