@@ -658,41 +658,66 @@ object DedupQueries {
     * oracle replays the same integer derivation from count(*). */
   def d08_dedup_emblsh(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.KeyAlgebra
-    val n = Tables.embeddings(s, dir).count()
+    // one pass: corpus size (for the band-bit derivation) AND the
+    // per-dim mean (for centering). Random-hyperplane LSH assumes
+    // centered data: on an anisotropic corpus (every embedding sharing
+    // a dominant direction) the raw sign bits correlate and the
+    // buckets collapse into a few mega-buckets no amount of extra
+    // band bits can split — measured at 26×: max occupancy 1765 and
+    // 37M pairs/band against a target of 8 and ~330k. Hashing x − mean
+    // re-balances the signs; the VERIFY cosine stays on the original
+    // vectors. The mean is exact-integer (sums of floor(x·1e9) longs,
+    // then the same two IEEE divisions in both engines), so the oracle
+    // replays it bit-for-bit.
+    val st = Tables.embeddings(s, dir)
+      .select(transform(col("embedding").cast("array<double>"),
+        x => floor(x * 1e9).cast("long")).as("v"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.ArrayAggregates.ewSumLong(col("v")).as("sv"))
+      .collect()(0)
+    val n = st.getLong(0)
+    val m: Array[Double] =
+      st.getSeq[Long](1).map(_.toDouble / n.toDouble / 1e9).toArray
     val bb = graft.core.AutoScale.bandBits(n, target = 8, minB = 8, maxB = 20)
     val sigCol = (0 until 2 * bb).map { j =>
       val plane = lit((0 until 64).map(i => hyperSign(j, i)).toArray)
-      when(aggregate(zip_with(col("a"), plane, (x, h) => x * h),
+      when(aggregate(zip_with(col("ac"), plane, (x, h) => x * h),
         lit(0.0), (acc, x) => acc + x) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val e = Tables.embeddings(s, dir)
       .withColumn("a", col("embedding").cast("array<double>"))
+      .withColumn("ac", zip_with(col("a"), lit(m), (x, mm) => x - mm))
       .withColumn("nrm", sqrt(graft.plans.DotProduct(col("a"), col("a"))))
       .withColumn("sig", sigCol)
       .select("vec_id", "a", "nrm", "sig")
       .cache()
     e.count() // eager fill: the self-join would race the cache
-    val banded0 = e.select(col("vec_id"),
+    // vectors RIDE the band rows (the d03 inline-cascade lesson): the
+    // exact-cosine verify runs as a codegen filter ON the band join's
+    // output, so no candidate pair ever hits a shuffle — the old
+    // distinct-then-two-join-backs shape shuffled every candidate pair
+    // three times, and candidates (not survivors) dominate on a
+    // near-threshold-clustered corpus (26×: ~37M candidates → 114-row
+    // scale of survivors). Band rows are 2 × n × (64 doubles) — the
+    // payload cost is linear and tiny next to a pair-level exchange.
+    val banded0 = e.select(col("vec_id"), col("a"), col("nrm"),
       explode(array(
         struct(lit(0).as("b"), pmod(col("sig"), lit(1L << bb)).as("bkey")),
         struct(lit(1).as("b"),
           KeyAlgebra.ldiv(col("sig"), lit(1L << bb)).as("bkey"))))
         .as("bb"))
-      .select(col("vec_id"), col("bb.b").as("b"), col("bb.bkey").as("bkey"))
+      .select(col("vec_id"), col("a"), col("nrm"),
+        col("bb.b").as("b"), col("bb.bkey").as("bkey"))
     val banded = triangleSplit(banded0, "vec_id", BucketCap, "b", "bkey")
-    val cand = banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y"),
         triangleCond("vec_id", "b", "bkey"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-      .distinct()
-    cand
-      .join(e.select(col("vec_id").as("id_a"), col("a").as("aa"),
-        col("nrm").as("na")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("a").as("ab"),
-        col("nrm").as("nb")), "id_b")
       .withColumn("cos",
-        graft.plans.DotProduct(col("aa"), col("ab")) / (col("na") * col("nb")))
+        graft.plans.DotProduct(col("x.a"), col("y.a")) /
+          (col("x.nrm") * col("y.nrm")))
       .filter(col("cos") >= 0.4)
-      .select("id_a", "id_b", "cos")
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        col("cos"))
+      .distinct() // ≤ #bands copies of each SURVIVOR
       .orderBy("id_a", "id_b")
   }
 
@@ -1024,25 +1049,33 @@ object DedupQueries {
          FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
                FROM documents)
          ORDER BY doc_id""",
-    // band bits derived from count(*) exactly like AutoScale.bandBits:
-    // smallest b in [8,20] with 2^b * 8 >= n
+    // band bits derived from count(*) exactly like AutoScale.bandBits
+    // (smallest b in [8,20] with 2^b * 8 >= n); signs taken on the
+    // MEAN-CENTERED vectors (exact-integer mean, two IEEE divisions)
     "d08_dedup_emblsh" -> """
       WITH cnt AS (SELECT count(*) AS n FROM embeddings),
       prm AS (SELECT CAST(coalesce(min(b), 20) AS INT) AS bb
         FROM range(8, 21) t(b), cnt WHERE (1::BIGINT << b) * 8 >= n),
       e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
           FROM embeddings),
+      msum AS (SELECT i,
+          CAST(sum(CAST(floor(a[i] * 1e9) AS BIGINT)) AS BIGINT) AS sv,
+          count(*) AS nn
+        FROM e, range(1, 65) t(i) GROUP BY i),
+      mm AS (SELECT list(CAST(sv AS DOUBLE) / CAST(nn AS DOUBLE) / 1e9
+          ORDER BY i) AS m FROM msum),
       n AS (SELECT vec_id, a,
         sqrt(list_reduce(list_transform(range(1, 65), i -> a[i] * a[i]),
           (p,q) -> p+q)) AS nrm FROM e),
       s AS (SELECT vec_id, a, nrm,
         list_reduce(list_transform(range(0, 2 * prm.bb), j ->
           CASE WHEN list_reduce(list_transform(range(1, 65), i ->
-            a[i] * (CASE WHEN (j*64 + i) * 2654435761 // 65536 % 2 = 1
+            (a[i] - mm.m[i]) *
+              (CASE WHEN (j*64 + i) * 2654435761 // 65536 % 2 = 1
                     THEN 1.0 ELSE -1.0 END)),
             (p,q) -> p+q) > 0
           THEN (1::BIGINT << j) ELSE 0::BIGINT END), (x,y) -> x+y) AS sig
-        FROM n, prm),
+        FROM n, prm, mm),
       banded AS (SELECT vec_id, 0 AS b, sig % (1::BIGINT << prm.bb) AS bkey
           FROM s, prm
         UNION ALL SELECT vec_id, 1, sig // (1::BIGINT << prm.bb) FROM s, prm),

@@ -1035,6 +1035,63 @@ object RelationalQueries {
       .orderBy("version", "status")
   }
 
+  /** q61 — write-audit-publish (WAP), the lakehouse ingestion contract
+    * (Iceberg's stage-commit / audit-branch workflow): a writer stages
+    * a snapshot's files OUTSIDE the readable table, AUDIT queries run
+    * against the staged files (non-empty, no duplicate records), and
+    * only a passing snapshot gets a commit-log row — readers resolve
+    * the file set from the log and can never observe a bad batch.
+    * Staged here: the base load, a good delta, and a deliberately
+    * DUPLICATED delta whose PK audit fails and which therefore never
+    * publishes.
+    *
+    * Scale shape: audits are ordinary distributed aggregates over the
+    * staged files (count + distinct-record count — one shuffle each); the
+    * log is metadata rows; the published view is a plain multi-path
+    * scan. Correctness is layout-independent (counts by key-range
+    * predicate), which the oracle replays; on a real catalog the log
+    * append is the atomic commit. */
+  def q61_wap_publish(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (logPath, audits) =
+      graft.core.SessionMemo.memoize(s, "q61-wap:" + dir) {
+        val tag = graft.core.SessionMemo.pathTag(s, dir)
+        def tmp(n: String) = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_q61_${n}_$tag")
+          .getAbsolutePath
+        val li = Tables.lineitem(s, dir)
+        val (p0, p1, p2, lg) = (tmp("s0"), tmp("s1"), tmp("s2"), tmp("log"))
+        li.filter(col("l_orderkey") % 3 === 0)
+          .write.mode("overwrite").parquet(p0)
+        li.filter(col("l_orderkey") % 3 === 1)
+          .write.mode("overwrite").parquet(p1)
+        val bad = li.filter(col("l_orderkey") % 3 === 2)
+        bad.unionByName(bad).write.mode("overwrite").parquet(p2) // dup rows
+        // audit = distributed aggregates over the STAGED files (read
+        // back from staging, not from the source table); the duplicate
+        // audit is whole-record (the synthetic lineitem has no
+        // single-column PK, but full rows are unique)
+        val results = Seq("snap0" -> p0, "snap1" -> p1, "snap2" -> p2)
+          .map { case (nm, p) =>
+            val t = s.read.parquet(p)
+            val n = t.count()
+            val nDistinct = t.distinct().count()
+            (nm, p, n, n - nDistinct, n > 0 && n == nDistinct)
+          }
+        // the atomic publish: ONLY passing snapshots reach the log
+        results.filter(_._5).map(t => (t._1, t._2)).toDF("snap", "path")
+          .coalesce(1).write.mode("overwrite").parquet(lg)
+        (lg, results)
+      }
+    val published = s.read.parquet(logPath).select("path")
+      .collect().map(_.getString(0)).sorted
+    val viewN = s.read.parquet(published: _*).count()
+    (audits.map { case (nm, _, n, dups, ok) => (nm, n, dups, ok, ok) } :+
+      (("view", viewN, 0L, true, true)))
+      .toDF("name", "n_rows", "n_dup_keys", "audit_ok", "published")
+      .orderBy("name")
+  }
+
   /** q53 — ordered funnel analysis (view → click → purchase): for each
     * user, the first view, the first click strictly after that view, and
     * the first purchase strictly after that click; users are then counted
@@ -1269,6 +1326,7 @@ object RelationalQueries {
     "q53_funnel" -> (q53_funnel _),
     "q52_time_travel" -> (q52_time_travel _),
     "q51_scd2_merge" -> (q51_scd2_merge _),
+    "q61_wap_publish" -> (q61_wap_publish _),
     "q59_dv_vacuum" -> (q59_dv_vacuum _),
     "q50_merge_on_read" -> (q50_merge_on_read _),
     "q41_compact_small_files" -> (q41_compact_small_files _),
@@ -1457,6 +1515,21 @@ object RelationalQueries {
        ORDER BY custkey, version""",
     // replay of the merge: a row survives iff it was upserted (delta
     // wins, quantity+1) or neither deleted nor superseded
+    // the WAP contract, layout-independent: base + good delta publish,
+    // the duplicated delta fails its PK audit and never reaches readers
+    "q61_wap_publish" ->
+      """WITH c0 AS (SELECT count(*) AS n FROM lineitem
+           WHERE l_orderkey % 3 = 0),
+         c1 AS (SELECT count(*) AS n FROM lineitem WHERE l_orderkey % 3 = 1),
+         c2 AS (SELECT count(*) AS n FROM lineitem WHERE l_orderkey % 3 = 2)
+         SELECT * FROM (
+           SELECT 'snap0' AS name, n AS n_rows, 0::BIGINT AS n_dup_keys,
+             true AS audit_ok, true AS published FROM c0
+           UNION ALL SELECT 'snap1', n, 0::BIGINT, true, true FROM c1
+           UNION ALL SELECT 'snap2', 2 * n, n, false, false FROM c2
+           UNION ALL SELECT 'view', c0.n + c1.n, 0::BIGINT, true, true
+             FROM c0, c1)
+         ORDER BY name""",
     // layout-independent truth: the vacuumed table equals the plain
     // predicate delete (key-range + uniform), whatever the file split
     "q59_dv_vacuum" ->
