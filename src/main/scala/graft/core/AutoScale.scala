@@ -58,6 +58,21 @@ object AutoScale {
   def minhashRows(n: Long, base: Int): Int =
     math.max(base, (log2Ceil(n) + 1) / 2)
 
+  /** Bloom-filter bit count for `nKeys` keys with 2 hash functions:
+    * the smallest power of two ≥ bitsPerKey·nKeys (19 bits/key ≈ 1%
+    * false positives at k=2), floored at `minM` so small corpora keep
+    * the historical layout. A FIXED m saturates as the key set grows —
+    * density → 1 and the prescreen passes everything, quadratically.
+    *
+    * SQL twin:
+    * {{{
+    * SELECT greatest(minM, 1::BIGINT << CAST(coalesce(min(L), 62) AS INT))
+    * FROM range(0, 63) t(L), cnt WHERE (1::BIGINT << L) >= 19 * n
+    * }}}
+    */
+  def bloomBits(nKeys: Long, bitsPerKey: Long = 19, minM: Long = 65536): Long =
+    math.max(minM, 1L << log2Ceil(bitsPerKey * math.max(nKeys, 1)))
+
   /** Output-file count for a compaction pass, derived from VOLUME and
     * CLUSTER WIDTH instead of a constant:
     *

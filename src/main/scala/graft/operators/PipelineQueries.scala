@@ -308,13 +308,17 @@ object PipelineQueries {
     * construction, so the final answer is exact at any scale. */
   def p09_bloom_prescreen(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.KeyAlgebra.ldiv
-    val m = 65536L
     val grams = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(graft.plans.Gram5TokenHashSet(col("text"))).as("g"))
       .cache()
     val evalGrams = grams.filter(col("doc_id") % 97 === 0)
-      .select(col("g")).distinct()
+      .select(col("g")).distinct().cache()
+    // DATA-DERIVED filter size (AutoScale.bloomBits): smallest power of
+    // two >= 19 bits/key (≈1% FP at k=2), floored at the historical
+    // 65536 — a fixed m saturates as the benchmark set grows and the
+    // prescreen stops screening. The oracle replays the derivation.
+    val m = graft.core.AutoScale.bloomBits(evalGrams.count())
     // the filter: the SET of bit positions the benchmark grams light up
     val bits = evalGrams
       .select(explode(array(col("g") % m, ldiv(col("g"), lit(m)) % m))
@@ -830,13 +834,19 @@ object PipelineQueries {
                   AS BIGINT)))) AS g
          FROM toks WHERE len(t) >= 5),
        ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+       prmM AS (SELECT greatest(65536::BIGINT,
+           1::BIGINT << CAST(coalesce(min(L), 62) AS INT)) AS m
+         FROM range(0, 63) t(L), (SELECT count(*) AS n FROM ev) c
+         WHERE (1::BIGINT << L) >= 19 * c.n),
        bits AS (SELECT DISTINCT bit FROM (
-           SELECT g % 65536 AS bit FROM ev
-           UNION ALL SELECT (g // 65536) % 65536 FROM ev)),
+           SELECT g % (SELECT m FROM prmM) AS bit FROM ev
+           UNION ALL SELECT (g // (SELECT m FROM prmM)) %
+             (SELECT m FROM prmM) FROM ev)),
        train AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 97 <> 0),
        pass AS (SELECT doc_id, g FROM train
-         WHERE g % 65536 IN (SELECT bit FROM bits)
-           AND (g // 65536) % 65536 IN (SELECT bit FROM bits))
+         WHERE g % (SELECT m FROM prmM) IN (SELECT bit FROM bits)
+           AND (g // (SELECT m FROM prmM)) % (SELECT m FROM prmM)
+             IN (SELECT bit FROM bits))
        SELECT p.doc_id,
          count(DISTINCT p.g) AS n_bloom,
          count(DISTINCT CASE WHEN ev.g IS NOT NULL THEN p.g END) AS n_exact,
