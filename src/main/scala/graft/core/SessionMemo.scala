@@ -56,6 +56,11 @@ object SessionMemo {
     }
   }
 
+  /** Read an existing memo without a builder (None if absent) — for
+    * specs inspecting artifacts a query already built. */
+  def peek[T <: AnyRef](s: SparkSession, key: String): Option[T] =
+    map.synchronized(map.get((sessionKey(s), key))).map(_.value.asInstanceOf[T])
+
   private def prune(): Unit = map.synchronized {
     val dead = map.collect {
       case (k, slot) if slot.session.sparkContext.isStopped => k

@@ -905,9 +905,8 @@ object RelationalQueries {
       : (Int, Int, Long, Long) = {
     q59_dv_vacuum(s, dir).count() // ensure the store is built
     val (basePath, _, dvKeptPath, hot) = graft.core.SessionMemo
-      .memoize[(String, String, String, Seq[String])](s, "q59-vac:" + dir) {
-        throw new IllegalStateException("store must already be memoized")
-      }
+      .peek[(String, String, String, Seq[String])](s, "q59-vac:" + dir)
+      .getOrElse(throw new IllegalStateException("q59 store not memoized"))
     val nFiles = s.read.parquet(basePath)
       .select(col("_metadata.file_path")).distinct().count().toInt
     val tag = graft.core.SessionMemo.pathTag(s, dir)
