@@ -690,45 +690,33 @@ object TextQueries {
     * thresholds (drop when dup-words ≥ 0.30, top-2-gram char share
     * ≥ 0.20, or dup-3-grams ≥ 0.60).
     *
-    * Scale shape: ENTIRELY per-row — the top bigram comes from a
-    * run-length left fold over the row's own sorted bigram array
-    * (ties → first in sort order = smallest gram), so no (doc, gram)
-    * row ever reaches a shuffle; at 100 TB this is scan-speed like
-    * t01. The oracle replays the same statistic the relational way
-    * (unnest + group + rank), proving the fold against an independent
-    * formulation. */
+    * Scale shape: ENTIRELY per-row — one native codegen pass per
+    * document ([[graft.plans.RepetitionCharStats]], the t07 kernel
+    * pattern; a Catalyst HOF fold over the bigram array computed the
+    * same numbers but higher-order functions are CodegenFallback, and
+    * the interpreted per-element struct state cost 17 s at sf0.1 vs
+    * ~1 s native) — so no (doc, gram) row ever reaches a shuffle; at
+    * 100 TB this is scan-speed like t01. The oracle replays the
+    * statistic the relational way (unnest + group + rank), proving the
+    * kernel against an independent formulation. */
   def t20_repetition_filter(s: SparkSession, dir: String): DataFrame = {
-    val w = split(col("text"), " ")
-    def gram(n: Int): Column =
-      when(size(w) >= n, transform(sequence(lit(1), size(w) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
-        .otherwise(array().cast("array<string>"))
-    // run-length fold over the sorted bigrams: state = (prev, run,
-    // bestn, bestg); strictly-greater update keeps the FIRST (smallest)
-    // gram on count ties, matching the oracle's (c DESC, g ASC) rank
-    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
-      lit(0L).as("bestn"), lit("").as("bestg"))
-    val top = aggregate(array_sort(gram(2)), zero, (acc, x) => {
-      val run = when(x === acc.getField("prev"),
-        acc.getField("run") + 1L).otherwise(lit(1L))
-      struct(x.as("prev"), run.as("run"),
-        when(run > acc.getField("bestn"), run)
-          .otherwise(acc.getField("bestn")).as("bestn"),
-        when(run > acc.getField("bestn"), x)
-          .otherwise(acc.getField("bestg")).as("bestg"))
-    })
     import graft.functions.KeyAlgebra.ldiv
+    // [nWords, nDistinctWords, n3grams, nDistinct3, topBiCnt, topBiChars]
     Tables.documents(s, dir)
-      .withColumn("n_words", size(w).cast("long"))
-      .withColumn("dupword_fp", ldiv(
-        (col("n_words") - size(array_distinct(w))) * 1000000L, col("n_words")))
-      .withColumn("n3", greatest(col("n_words") - 2L, lit(0L)))
-      .withColumn("dup3_fp", when(col("n3") === 0L, 0L).otherwise(ldiv(
-        (col("n3") - size(array_distinct(gram(3)))) * 1000000L, col("n3"))))
-      .withColumn("top2_cnt", top.getField("bestn"))
-      .withColumn("top2_fp", ldiv(
-        col("top2_cnt") * length(top.getField("bestg")) * 1000000L,
-        col("n_chars")))
+      .withColumn("st", graft.plans.RepetitionCharStats(col("text")))
+      .select(col("doc_id"), col("n_chars"),
+        element_at(col("st"), 1).as("n_words"),
+        element_at(col("st"), 2).as("ndw"),
+        element_at(col("st"), 3).as("n3"),
+        element_at(col("st"), 4).as("nd3"),
+        element_at(col("st"), 5).as("top2_cnt"),
+        element_at(col("st"), 6).as("top2_chars"))
+      .withColumn("dupword_fp",
+        ldiv((col("n_words") - col("ndw")) * 1000000L, col("n_words")))
+      .withColumn("dup3_fp", when(col("n3") === 0L, 0L).otherwise(
+        ldiv((col("n3") - col("nd3")) * 1000000L, col("n3"))))
+      .withColumn("top2_fp",
+        ldiv(col("top2_cnt") * col("top2_chars") * 1000000L, col("n_chars")))
       .withColumn("kept", col("dupword_fp") < 300000L &&
         col("top2_fp") < 200000L && col("dup3_fp") < 600000L)
       .select("doc_id", "n_words", "dupword_fp", "dup3_fp", "top2_cnt",

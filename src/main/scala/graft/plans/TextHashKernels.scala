@@ -129,6 +129,57 @@ object TextHashKernels {
       Array(n.toLong, wc.size.toLong, topW.toLong, topG.toLong))
   }
 
+  /** t20's character-share repetition counters as one native pass:
+    * [nWords, nDistinctWords, n3grams, nDistinct3grams,
+    * topBigramCount, topBigramChars]. The top bigram tie-breaks to the
+    * byte-wise smallest gram on equal counts, matching the oracle's
+    * (count DESC, gram ASC) rank; topBigramChars counts CHARACTERS
+    * (both engines' length()). */
+  def repetitionCharStats(text: UTF8String): ArrayData = {
+    val parts = text.split(Space, -1)
+    val n = parts.length
+    val wset = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < n) { wset.add(parts(i)); i += 1 }
+    var n3 = 0L
+    var nd3 = 0L
+    if (n >= 3) {
+      n3 = (n - 2).toLong
+      val gset = new java.util.HashSet[UTF8String]()
+      i = 0
+      while (i + 3 <= n) {
+        gset.add(UTF8String.concatWs(Space, parts(i), parts(i + 1),
+          parts(i + 2)))
+        i += 1
+      }
+      nd3 = gset.size.toLong
+    }
+    var topCnt = 0L
+    var topChars = 0L
+    if (n >= 2) {
+      val gc = new java.util.HashMap[UTF8String, Integer]()
+      i = 0
+      while (i + 2 <= n) {
+        gc.merge(UTF8String.concatWs(Space, parts(i), parts(i + 1)), 1,
+          (a, b) => a + b)
+        i += 1
+      }
+      var bestG: UTF8String = null
+      val it = gc.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.toLong
+        if (c > topCnt || (c == topCnt &&
+            (bestG == null || e.getKey.compareTo(bestG) < 0))) {
+          topCnt = c; bestG = e.getKey
+        }
+      }
+      topChars = if (bestG == null) 0L else bestG.numChars().toLong
+    }
+    new GenericArrayData(
+      Array(n.toLong, wset.size.toLong, n3, nd3, topCnt, topChars))
+  }
+
   /** SORTED md5Long60 hashes of the distinct whitespace tokens — the
     * d03/d04 `hs` column post-sort. Tokens dedup as STRINGS; equal hash
     * values from distinct tokens are kept (hash collisions), matching
@@ -279,4 +330,19 @@ final case class RepetitionStats(child: Expression) extends TextHashExpr {
 object RepetitionStats {
   def apply(c: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(c)))
+}
+
+/** t20's character-share repetition counters as one native call. */
+final case class RepetitionCharStats(child: Expression) extends TextHashExpr {
+  override def prettyName: String = "graft_repetition_char_stats"
+  override protected def kernel: String = "repetitionCharStats"
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.repetitionCharStats(t.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): RepetitionCharStats =
+    copy(child = newChild)
+}
+
+object RepetitionCharStats {
+  def apply(c: Column): Column =
+    ColumnBridge.column(RepetitionCharStats(ColumnBridge.expression(c)))
 }
