@@ -35,6 +35,20 @@ class AutoScaleSpec extends AnyFunSuite {
     assert(AutoScale.minhashRows(1000000000L, 8) == 15)
   }
 
+  test("bloomBits: floored at 65536, then the smallest pow2 >= 19 bits/key") {
+    // gate SFs: a few thousand keys stay on the historical floor
+    assert(AutoScale.bloomBits(1) == 65536)
+    assert(AutoScale.bloomBits(3000) == 65536)
+    // 19*3449 = 65531 <= 65536; 19*3450 = 65550 -> next pow2
+    assert(AutoScale.bloomBits(3449) == 65536)
+    assert(AutoScale.bloomBits(3450) == 131072)
+    // growth keeps density (2 hashes) near the ~1% FP design point
+    for (n <- Seq(100000L, 10000000L)) {
+      val m = AutoScale.bloomBits(n)
+      assert(m >= 19 * n && m < 38 * n, s"m=$m out of band at n=$n")
+    }
+  }
+
   test("compactionTarget: size-derived, parallelism floor, min-file guard, cap") {
     val MiB = 1L << 20
     // tiny table: one file, never 32 sub-4MiB shards
