@@ -724,7 +724,53 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t21 — hashed-feature linear quality classifier INFERENCE (the
+    * fastText / CCNet-classifier shape: documents scored by a linear
+    * model over hashed bag-of-words + bag-of-bigram features, then
+    * thresholded into keep/drop — the way production corpora run a
+    * trained quality classifier over every document at ingest).
+    *
+    * Features are all word unigrams plus all adjacent word bigrams
+    * (`w1_w2`); each hashes through the portable 60-bit md5 hash into
+    * one of 4096 buckets, and the "trained" weight vector is generated
+    * from the bucket id by a Knuth multiplicative mix
+    * (`(bucket·2654435761) mod 2^31 − 2^30`, i.e. fixed-point in
+    * [−2^30, 2^30)) so BOTH engines materialize the identical model
+    * without shipping a weights file. score_num = Σ weight(feature)
+    * (exact integer), score_fp = score_num ÷ n_feat (truncating
+    * integral division — Spark IntegralDivide and DuckDB `//` both
+    * truncate toward zero), keep = score_num ≥ 0.
+    *
+    * Scale shape: ENTIRELY per-row — the bigram array comes from a
+    * zip_with over two slices (no explode), the score is one arithmetic
+    * fold; no shuffle before the output sort, so at 100 TB this runs at
+    * scan speed like t01. A real model swaps the weight mix for a
+    * broadcast `lit(weights)` array lookup — same plan shape. */
+  def t21_quality_classifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val B = 4096
+    def weight(h: Column): Column =
+      (h % B) * 2654435761L % 2147483648L - 1073741824L
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      // zip_with over slices: size<2 yields empty slices -> empty bigrams
+      // (sequence(1, size-1) would descend for size=1 and crash element_at)
+      .withColumn("bigrams", zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit("_"), b)))
+      .withColumn("feats", concat(col("toks"), col("bigrams")))
+      .select(col("doc_id"),
+        size(col("feats")).cast("long").as("n_feat"),
+        aggregate(transform(col("feats"), f => weight(md5Long60(f))),
+          lit(0L), (a, w) => a + w).as("score_num"))
+      .withColumn("score_fp", ldiv(col("score_num"), col("n_feat")))
+      .withColumn("keep", (col("score_num") >= 0L).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_quality_classifier" -> (t21_quality_classifier _),
     "t20_repetition_filter" -> (t20_repetition_filter _),
     "t19_char_entropy" -> (t19_char_entropy _),
     "t18_tfidf_keywords" -> (t18_tfidf_keywords _),
@@ -751,6 +797,21 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    "t21_quality_classifier" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         feats AS (SELECT doc_id, list_concat(w,
+             list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1]))
+           AS fs FROM toks),
+         scored AS (SELECT doc_id, len(fs)::BIGINT AS n_feat,
+           list_reduce(list_prepend(0::BIGINT, list_transform(fs, f ->
+             ((CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 4096)
+               * 2654435761) % 2147483648 - 1073741824)),
+             (a, b) -> a + b) AS score_num
+           FROM feats)
+         SELECT doc_id, n_feat, score_num, score_num // n_feat AS score_fp,
+           (score_num >= 0)::BIGINT AS keep
+         FROM scored ORDER BY doc_id""",
     // independent formulation of the top-bigram statistic: unnest +
     // group + (c DESC, g ASC) rank, vs the engine's per-row sorted fold
     "t20_repetition_filter" ->

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Round-12 session-4 additions: t21 hashed-feature classifier (and the
+  * ops that build on it). Each test replays the statistic with an
+  * independent in-memory Scala fold so the spec is its own oracle. */
+class ClassifierCurriculumSpec extends SparkSpec {
+
+  private def md5Long60(sb: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  private def weight(h: Long): Long =
+    h % 4096 * 2654435761L % 2147483648L - 1073741824L
+
+  test("t21: score matches an in-memory hashed-feature replay") {
+    val got = TextQueries.t21_quality_classifier(spark, sf())
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, text) =>
+      val w = text.split(" ", -1).toSeq
+      val feats = w ++ w.zip(w.drop(1)).map { case (a, b) => s"${a}_$b" }
+      val num = feats.map(f => weight(md5Long60(f))).sum
+      val exp = (feats.size.toLong, num, num / feats.size,
+        if (num >= 0) 1L else 0L)
+      assert(got(id) === exp, s"doc $id")
+    }
+    // the model must actually discriminate: both classes present
+    assert(got.values.exists(_._4 == 0L) && got.values.exists(_._4 == 1L))
+  }
+
+  test("t21: single-token and empty-ish docs produce no bigrams") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_t21").toString
+    Seq((1L, "solo", "en", "src0", 4L), (2L, "", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextQueries.t21_quality_classifier(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // one unigram each (split('') = ['']), zero bigrams
+    assert(got === Map(1L -> 1L, 2L -> 1L))
+  }
+}
