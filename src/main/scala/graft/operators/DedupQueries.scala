@@ -937,7 +937,72 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d21 — EXACT-substring dedup coverage (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" cut
+    * rule, re-expressed distributed): a character 20-gram occurring in
+    * ≥ 2 DISTINCT documents marks its span duplicated; a document's
+    * score is the fraction of its characters inside any such span.
+    * Differs from d15 on all three axes: character-level (catches
+    * cross-token boilerplate a word-gram misses), cross-document only
+    * (self-repeats are t20's job), and coverage by ISLAND MERGE —
+    * overlapping matched spans collapse via one lag/running-sum window
+    * per document (sum of max−min+K per island), never an explode of
+    * covered positions + distinct (d15's shape, which multiplies the
+    * matched rows by K before deduplicating them again).
+    *
+    * (The reference single-node algorithm is a suffix array; the
+    * distributed re-expression is the grouped-shingle inverted index —
+    * same output set for fixed K.)
+    *
+    * Scale shape: position emit is scan-parallel; the cross-doc count is
+    * one map-combined groupBy(gram) feeding a LEFT SEMI join back on the
+    * same key (no fan-out: a gram shared by a million documents adds
+    * zero rows); the island merge shuffles once on doc_id. Hot grams
+    * (corpus boilerplate) are absorbed by partial aggregation, not a
+    * pair join. */
+  def d21_substring_spans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.KeyAlgebra.ldiv
+    val K = 20
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+    val pos = docs
+      .select(col("doc_id"), col("text"), col("len"),
+        explode(when(col("len") < K, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), (col("len") - (K - 1)).cast("int"))))
+          .as("p"))
+      .select(col("doc_id"), col("len"), col("p").cast("long").as("p"),
+        col("text").substr(col("p"), lit(K)).as("g"))
+    val crossDoc = pos.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+    val matched = pos.join(crossDoc, Seq("g"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val isl = matched
+      .withColumn("brk", when(lag(col("p"), 1).over(w).isNull ||
+        col("p") - lag(col("p"), 1).over(w) > K, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cov = isl.groupBy("doc_id", "isl")
+      .agg(min(col("p")).as("mn"), max(col("p")).as("mx"),
+        count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("mx") - col("mn") + K).as("covered"),
+        sum(col("c")).as("n_matched"))
+    docs.select("doc_id", "len")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len"),
+        greatest(col("len") - (K - 1), lit(0L)).as("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("covered"), lit(0L)).as("covered"))
+      .withColumn("cov_fp", when(col("len") === 0L, 0L)
+        .otherwise(ldiv(col("covered") * 1000000L, col("len"))))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_substring_spans" -> (d21_substring_spans _),
     "d19_editdist" -> (d19_editdist _),
     "d12_semantic_dedup" -> (d12_semantic_dedup _),
     "d10_dedup_stream_lsh" -> (d10_dedup_stream_lsh _),
@@ -987,6 +1052,38 @@ object DedupQueries {
        THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x,y) -> x+y)"""
 
   val oracles: Map[String, String] = Map(
+    "d21_substring_spans" ->
+      """WITH pos AS (
+           SELECT doc_id, len, unnest(ps)::BIGINT AS p, unnest(gs) AS g
+           FROM (SELECT doc_id, length(text)::BIGINT AS len,
+               range(1, greatest(length(text) - 18, 1)) AS ps,
+               list_transform(range(1, greatest(length(text) - 18, 1)),
+                 i -> substr(text, i::INT, 20)) AS gs
+             FROM documents)),
+         crossdoc AS (SELECT g FROM pos GROUP BY g
+           HAVING count(DISTINCT doc_id) >= 2),
+         matched AS (SELECT doc_id, p FROM pos
+           WHERE g IN (SELECT g FROM crossdoc)),
+         isl AS (SELECT doc_id, p,
+             CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 20
+               THEN 1 ELSE 0 END AS brk
+           FROM matched WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+         isl2 AS (SELECT doc_id, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+           FROM isl),
+         per_isl AS (SELECT doc_id, island, min(p) AS mn, max(p) AS mx,
+             count(*) AS c FROM isl2 GROUP BY doc_id, island),
+         cov AS (SELECT doc_id, sum(mx - mn + 20)::BIGINT AS covered,
+             sum(c)::BIGINT AS n_matched FROM per_isl GROUP BY doc_id)
+         SELECT d.doc_id, length(d.text)::BIGINT AS len,
+           greatest(length(d.text)::BIGINT - 19, 0) AS n_grams,
+           coalesce(cov.n_matched, 0)::BIGINT AS n_matched,
+           coalesce(cov.covered, 0)::BIGINT AS covered,
+           CASE WHEN length(d.text) = 0 THEN 0
+             ELSE coalesce(cov.covered, 0) * 1000000 // length(d.text)
+           END::BIGINT AS cov_fp
+         FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+         ORDER BY d.doc_id""",
     "d19_editdist" ->
       """WITH a AS (
            SELECT doc_id, text, length(text) AS len,

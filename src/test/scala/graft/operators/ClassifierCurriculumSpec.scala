@@ -37,6 +37,28 @@ class ClassifierCurriculumSpec extends SparkSpec {
     assert(got.values.exists(_._4 == 0L) && got.values.exists(_._4 == 1L))
   }
 
+  test("d21: island merge covers exactly the shared character runs") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_d21").toString
+    val run1 = "ABCDEFGHIJKLMNOPQRSTUVWXY" // 25 chars, shared by docs 1+2
+    val run2 = "0123456789012345678901234" // 25 chars, shared by docs 1+3
+    val docs = Seq(
+      (1L, "aaaa" + run1 + "bbbb" + run2 + "eeee"),
+      (2L, "cccc" + run1 + "dddd"),
+      (3L, "ffff" + run2 + "gggg"),
+      (4L, "hhhh unique text that appears nowhere else at all hh"))
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = DedupQueries.d21_substring_spans(spark, d)
+      .collect().map(r => (r.getLong(0), (r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: two disjoint 25-char islands -> 6 matched grams each, 50 covered
+    assert(got(1L) === ((12L, 50L)))
+    assert(got(2L) === ((6L, 25L)))
+    assert(got(3L) === ((6L, 25L)))
+    assert(got(4L) === ((0L, 0L)))
+  }
+
   test("t21: single-token and empty-ish docs produce no bigrams") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_t21").toString
