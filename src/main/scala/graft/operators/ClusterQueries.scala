@@ -350,7 +350,60 @@ object ClusterQueries {
       .orderBy("decile")
   }
 
+  /** c07 — per-class precision/recall/F1 + macro summary for the t02
+    * language-ID predictor (the eval every production classifier gate
+    * reads before a corpus-wide keep/drop run; c05/c06 grade a SCORER,
+    * this grades a hard LABELER). All exact-integer: per class,
+    * tp / fp / fn from two small groupBys, precision = tp/(tp+fp),
+    * recall = tp/(tp+fn) and F1 = 2tp/(2tp+fp+fn) (the harmonic mean in
+    * single-division form, so one truncating integral divide per metric)
+    * at 1e-6 fixed point, plus one `~macro` row carrying count sums and
+    * unweighted metric means.
+    *
+    * Scale shape: ONE scan of the prediction table feeds two
+    * map-combined groupBys on a 5-value key; everything after is
+    * constant-size (|classes| rows) — the macro fold is an aggregation
+    * over that constant set, not a second data pass. At 100 TB the
+    * labeler output is never re-read: eval piggybacks on the same scan
+    * that writes the keep/drop column. */
+  def c07_langid_eval(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val preds = TextQueries.t02_langid(s, dir)
+      .select(col("doc_id"), col("actual_lang"), col("pred_lang"))
+    val byActual = preds.groupBy(col("actual_lang").as("cls"))
+      .agg(count(lit(1)).as("support"),
+        sum(when(col("pred_lang") === col("actual_lang"), 1L)
+          .otherwise(0L)).as("tp"))
+    val byPred = preds.groupBy(col("pred_lang").as("cls"))
+      .agg(count(lit(1)).as("n_pred"))
+    val per = byActual.join(byPred, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("support"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .withColumn("prec_fp", when(col("tp") + col("fp") === 0L, 0L)
+        .otherwise(ldiv(col("tp") * 1000000L, col("tp") + col("fp"))))
+      .withColumn("rec_fp", when(col("support") === 0L, 0L)
+        .otherwise(ldiv(col("tp") * 1000000L, col("support"))))
+      .withColumn("f1_fp",
+        when(col("tp") * 2L + col("fp") + col("fn") === 0L, 0L)
+        .otherwise(ldiv(col("tp") * 2000000L,
+          col("tp") * 2L + col("fp") + col("fn"))))
+    val macroRow = per.agg(
+      lit("~macro").as("cls"),
+      sum("support").as("support"), sum("tp").as("tp"),
+      sum("fp").as("fp"), sum("fn").as("fn"),
+      ldiv(sum("prec_fp"), count(lit(1))).as("prec_fp"),
+      ldiv(sum("rec_fp"), count(lit(1))).as("rec_fp"),
+      ldiv(sum("f1_fp"), count(lit(1))).as("f1_fp"))
+    per.unionByName(macroRow).orderBy("cls")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c07_langid_eval" -> (c07_langid_eval _),
     "c06_calibration_bins" -> (c06_calibration_bins _),
     "c01_kmeans_embeddings" -> (c01_kmeans_embeddings _),
     "c02_kmeans_lloyd" -> (c02_kmeans_lloyd _),
@@ -496,6 +549,48 @@ object ClusterQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "c07_langid_eval" ->
+      """WITH preds AS (
+           SELECT doc_id, lang AS actual_lang,
+             CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+                  WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+           FROM (SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+             greatest(s_de, s_en, s_es, s_fr, s_zh) AS best
+             FROM (SELECT doc_id, lang,
+               len(list_filter(toks, t -> t IN ('table','key','hash')))::BIGINT AS s_de,
+               len(list_filter(toks, t -> t IN ('the','a','fast','slow')))::BIGINT AS s_en,
+               len(list_filter(toks, t -> t IN ('data','row','scan')))::BIGINT AS s_es,
+               len(list_filter(toks, t -> t IN ('order','query','value')))::BIGINT AS s_fr,
+               len(list_filter(toks, t -> t IN ('spark','join','merge')))::BIGINT AS s_zh
+               FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                 FROM documents)))),
+         ba AS (SELECT actual_lang AS cls, count(*)::BIGINT AS support,
+             sum(CASE WHEN pred_lang = actual_lang THEN 1 ELSE 0 END)::BIGINT AS tp
+           FROM preds GROUP BY 1),
+         bp AS (SELECT pred_lang AS cls, count(*)::BIGINT AS n_pred
+           FROM preds GROUP BY 1),
+         per AS (SELECT coalesce(ba.cls, bp.cls) AS cls,
+             coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+             coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+             coalesce(support, 0) - coalesce(tp, 0) AS fn
+           FROM ba FULL OUTER JOIN bp ON ba.cls = bp.cls),
+         met AS (SELECT cls, support, tp, fp, fn,
+             CASE WHEN tp + fp = 0 THEN 0
+               ELSE tp * 1000000 // (tp + fp) END AS prec_fp,
+             CASE WHEN support = 0 THEN 0
+               ELSE tp * 1000000 // support END AS rec_fp,
+             CASE WHEN tp * 2 + fp + fn = 0 THEN 0
+               ELSE tp * 2000000 // (tp * 2 + fp + fn) END AS f1_fp
+           FROM per)
+         SELECT cls, support, tp, fp, fn, prec_fp, rec_fp, f1_fp FROM met
+         UNION ALL
+         SELECT '~macro', sum(support)::BIGINT, sum(tp)::BIGINT,
+           sum(fp)::BIGINT, sum(fn)::BIGINT,
+           sum(prec_fp)::BIGINT // count(*),
+           sum(rec_fp)::BIGINT // count(*),
+           sum(f1_fp)::BIGINT // count(*)
+         FROM met ORDER BY cls""",
     // decile = (rank-1)*10 // n; all-integer bin stats (both engines'
     // integer division truncates toward zero, incl. negative score sums)
     "c06_calibration_bins" ->

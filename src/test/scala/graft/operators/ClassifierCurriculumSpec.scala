@@ -37,6 +37,33 @@ class ClassifierCurriculumSpec extends SparkSpec {
     assert(got.values.exists(_._4 == 0L) && got.values.exists(_._4 == 1L))
   }
 
+  test("c07: per-class P/R/F1 match an in-memory confusion-matrix replay") {
+    val preds = TextQueries.t02_langid(spark, sf())
+      .select("actual_lang", "pred_lang")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val classes = (preds.map(_._1) ++ preds.map(_._2)).distinct.sorted
+    val exp = classes.map { c =>
+      val tp = preds.count { case (a, p) => a == c && p == c }.toLong
+      val fp = preds.count { case (a, p) => p == c && a != c }.toLong
+      val fn = preds.count { case (a, p) => a == c && p != c }.toLong
+      val sup = tp + fn
+      (c, (sup, tp, fp, fn,
+        if (tp + fp == 0) 0L else tp * 1000000L / (tp + fp),
+        if (sup == 0) 0L else tp * 1000000L / sup,
+        if (tp * 2 + fp + fn == 0) 0L
+        else tp * 2000000L / (tp * 2 + fp + fn)))
+    }.toMap
+    val got = ClusterQueries.c07_langid_eval(spark, sf())
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))).toMap
+    classes.foreach(c => assert(got(c) === exp(c), s"class $c"))
+    val n = classes.size
+    assert(got("~macro")._5 === exp.values.map(_._5).sum / n)
+    assert(got("~macro")._7 === exp.values.map(_._7).sum / n)
+    assert(got.size === n + 1)
+  }
+
   test("d21: island merge covers exactly the shared character runs") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_d21").toString
