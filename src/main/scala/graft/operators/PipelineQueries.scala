@@ -644,7 +644,62 @@ object PipelineQueries {
     dist.orderBy("node")
   }
 
+  /** p20 — curriculum pacing schedule: documents are ranked by an
+    * integer difficulty signal (mean token length at 1e-6 fixed point —
+    * longer words ≈ harder text), cut into GLOBAL difficulty terciles,
+    * and a 3-epoch pacing table (easy-first: epoch 1 samples
+    * easy/mid/hard at 100/50/20 %, epoch 2 at 60/100/60, epoch 3 at
+    * 20/50/100) draws each epoch's training set with a deterministic
+    * per-(doc, epoch) md5 gate — the curriculum-learning analogue of
+    * p19's temperature mixing, scheduling by DIFFICULTY over time
+    * instead of by source size.
+    *
+    * Scale shape: the tercile is c06's layout — [[SequentialId]] global
+    * rank (range exchange + broadcast offsets, no single-task sort),
+    * bucket = (rank−1)·3 // n — so no ntile over an unpartitioned
+    * window; the epoch fan-out is a constant 3× sequence-explode and the
+    * output groupBy lands on 9 keys, map-side combined. The sampled-set
+    * id-sum rides along as the checksum that pins per-row membership,
+    * not just counts. */
+  def p20_curriculum(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    import graft.functions.TextFunctions.md5Long60
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t).cast("long"))
+          .as("total_chars"))
+      .withColumn("diff_fp", when(col("n_tok") === 0L, 0L)
+        .otherwise(ldiv(col("total_chars") * 1000000L, col("n_tok"))))
+    val n = docs.agg(count(lit(1)).as("n_tot"))
+    val bucketed = SequentialId.withSequentialId(
+        docs, "rn", Seq(col("diff_fp"), col("doc_id")))
+      .crossJoin(broadcast(n))
+      .withColumn("tercile", ldiv((col("rn") - 1L) * 3L, col("n_tot")))
+    val pct = when(col("epoch") === 1L,
+        element_at(lit(Array(100L, 50L, 20L)), col("tercile").cast("int") + 1))
+      .when(col("epoch") === 2L,
+        element_at(lit(Array(60L, 100L, 60L)), col("tercile").cast("int") + 1))
+      .otherwise(
+        element_at(lit(Array(20L, 50L, 100L)), col("tercile").cast("int") + 1))
+    bucketed
+      .withColumn("epoch", explode(sequence(lit(1L), lit(3L))))
+      .withColumn("gate", md5Long60(
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string"))) % 100L)
+      .withColumn("sampled", col("gate") < pct)
+      .groupBy("epoch", "tercile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("sampled"), col("n_tok")).otherwise(0L))
+          .as("tok_sampled"),
+        sum(when(col("sampled"), col("doc_id")).otherwise(0L))
+          .as("sampled_id_sum"))
+      .orderBy("epoch", "tercile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p20_curriculum" -> (p20_curriculum _),
     "p18_bfs_hops" -> (p18_bfs_hops _),
     "p17_pagerank" -> (p17_pagerank _),
     "p16_chunking" -> (p16_chunking _),
@@ -666,6 +721,37 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p20_curriculum" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         sc AS (SELECT doc_id, len(toks)::BIGINT AS n_tok,
+             list_reduce(list_transform(toks, t -> length(t)::BIGINT),
+               (a, b) -> a + b) AS total_chars
+           FROM d),
+         diff AS (SELECT doc_id, n_tok,
+             CASE WHEN n_tok = 0 THEN 0
+               ELSE total_chars * 1000000 // n_tok END AS diff_fp
+           FROM sc),
+         ranked AS (SELECT doc_id, n_tok,
+             row_number() OVER (ORDER BY diff_fp, doc_id) AS rn,
+             count(*) OVER () AS n_tot
+           FROM diff),
+         b AS (SELECT doc_id, n_tok,
+             (rn - 1) * 3 // n_tot AS tercile FROM ranked),
+         ep AS (SELECT b.*, epoch FROM b
+           CROSS JOIN (SELECT unnest([1, 2, 3])::BIGINT AS epoch)),
+         g AS (SELECT epoch, tercile, n_tok, doc_id,
+             CAST('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+               epoch::VARCHAR), 1, 15) AS BIGINT) % 100 <
+             CASE WHEN epoch = 1 THEN [100, 50, 20][tercile + 1]
+                  WHEN epoch = 2 THEN [60, 100, 60][tercile + 1]
+                  ELSE [20, 50, 100][tercile + 1] END AS sampled
+           FROM ep)
+         SELECT epoch, tercile::BIGINT AS tercile, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN sampled THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+           sum(CASE WHEN sampled THEN n_tok ELSE 0 END)::BIGINT AS tok_sampled,
+           sum(CASE WHEN sampled THEN doc_id ELSE 0 END)::BIGINT AS sampled_id_sum
+         FROM g GROUP BY epoch, tercile ORDER BY epoch, tercile""",
     // bounded-depth BFS as a recursive CTE: UNION dedups (node, dist)
     // pairs, the dist < 8 guard terminates it, min() collapses to the
     // true capped hop distance

@@ -64,6 +64,43 @@ class ClassifierCurriculumSpec extends SparkSpec {
     assert(got.size === n + 1)
   }
 
+  test("p20: pacing schedule matches an in-memory tercile + gate replay") {
+    val docs = Tables.documents(spark, sf())
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val scored = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val nTok = w.length.toLong
+      val diff = if (nTok == 0) 0L else w.map(_.length.toLong).sum * 1000000L / nTok
+      (id, nTok, diff)
+    }
+    val n = scored.length.toLong
+    val ranked = scored.sortBy { case (id, _, d) => (d, id) }.zipWithIndex
+      .map { case ((id, nTok, _), i) => (id, nTok, i.toLong * 3 / n) }
+    val pace = Map(1L -> Seq(100L, 50L, 20L), 2L -> Seq(60L, 100L, 60L),
+      3L -> Seq(20L, 50L, 100L))
+    val exp = (for {
+      (id, nTok, ter) <- ranked
+      e <- 1L to 3L
+    } yield {
+      val gate = md5Long60(s"$id:$e") % 100
+      (e, ter, gate < pace(e)(ter.toInt), nTok, id)
+    }).groupBy { case (e, ter, _, _, _) => (e, ter) }
+      .map { case (k, rows) =>
+        (k, (rows.size.toLong,
+          rows.count(_._3).toLong,
+          rows.filter(_._3).map(_._4).sum,
+          rows.filter(_._3).map(_._5).sum))
+      }
+    val got = PipelineQueries.p20_curriculum(spark, sf())
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === exp)
+    // pacing must bite: epoch 1 samples more of tercile 0 than tercile 2
+    assert(got((1L, 0L))._2 * got((1L, 2L))._1 >
+      got((1L, 2L))._2 * got((1L, 0L))._1)
+  }
+
   test("d21: island merge covers exactly the shared character runs") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_d21").toString
