@@ -1091,6 +1091,77 @@ object RelationalQueries {
       .orderBy("name")
   }
 
+  /** q62 — EQUALITY-delete merge-on-read, the Iceberg-v2 sibling of
+    * q50's positional DVs: a delete file names key VALUES (any column
+    * subset, not just the PK) plus a sequence number, and applies to
+    * exactly the data rows whose file carries a STRICTLY SMALLER
+    * sequence — so streaming upserts never resolve positions at write
+    * time (the whole point: an equality delete is written blind, no
+    * read of the base table), and a key re-inserted by a later batch
+    * survives the older delete that killed its previous version.
+    *
+    * The layout exercises both delete shapes: gen0 (seq 1) is the base;
+    * an upsert batch deletes PK keys at seq 2 and re-inserts bumped
+    * copies at seq 3; a later NON-PK delete (by l_suppkey equality,
+    * seq 4) kills matching rows in BOTH generations. The reader unions
+    * the data generations and applies each delete file as a broadcast
+    * anti-join on (key columns, data.seq < delete.seq).
+    *
+    * Scale shape: data files are never read at delete time and never
+    * rewritten; the read path adds two broadcast anti-joins to the scan
+    * (one ingest cycle's deletes are small). When accumulated equality
+    * deletes grow past broadcast size, maintenance converts them to
+    * positional DVs (q50) and density-vacuums (q59) — this trio is the
+    * full lakehouse delete lifecycle. Layout write is memoized per
+    * sweep like q50 and lands in the bench's ingest figure. */
+  def q62_equality_deletes(s: SparkSession, dir: String): DataFrame = {
+    val (gen0P, gen1P, delPkP, delSuppP) =
+      graft.core.SessionMemo.memoize(s, "q62-eqdel:" + dir) {
+        val tag = graft.core.SessionMemo.pathTag(s, dir)
+        def tmp(n: String) = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_q62_${n}_$tag")
+          .getAbsolutePath
+        val (g0, g1, dpk, dsp) =
+          (tmp("gen0"), tmp("gen1"), tmp("delpk"), tmp("delsupp"))
+        Tables.lineitem(s, dir).withColumn("seq", lit(1L))
+          .write.mode("overwrite").parquet(g0)
+        // upsert batch: blind equality delete of the PKs at seq 2 ...
+        Tables.lineitem(s, dir).filter(col("l_orderkey") % 19 === 3)
+          .select(col("l_orderkey").as("dk"), col("l_linenumber").as("dl"),
+            lit(2L).as("dseq"))
+          .coalesce(1).write.mode("overwrite").parquet(dpk)
+        // ... and the re-inserted bumped copies at seq 3
+        Tables.lineitem(s, dir).filter(col("l_orderkey") % 19 === 3)
+          .withColumn("l_quantity", col("l_quantity") + 5)
+          .withColumn("seq", lit(3L))
+          .coalesce(1).write.mode("overwrite").parquet(g1)
+        // later non-PK delete: all rows of the matching suppliers, by
+        // column equality — applies to gen0 AND the seq-3 re-inserts
+        Tables.lineitem(s, dir).filter(col("l_suppkey") % 23 === 7)
+          .select(col("l_suppkey").as("ds")).distinct()
+          .withColumn("dseq", lit(4L))
+          .coalesce(1).write.mode("overwrite").parquet(dsp)
+        (g0, g1, dpk, dsp)
+      }
+    val data = s.read.parquet(gen0P).unionByName(s.read.parquet(gen1P))
+    val delPk = s.read.parquet(delPkP)
+    val delSupp = s.read.parquet(delSuppP)
+    data
+      .join(broadcast(delPk),
+        data("l_orderkey") === delPk("dk") &&
+          data("l_linenumber") === delPk("dl") &&
+          data("seq") < delPk("dseq"), "left_anti")
+      .join(broadcast(delSupp),
+        col("l_suppkey") === delSupp("ds") &&
+          col("seq") < delSupp("dseq"), "left_anti")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy("ship_month")
+  }
+
   /** q53 — ordered funnel analysis (view → click → purchase): for each
     * user, the first view, the first click strictly after that view, and
     * the first purchase strictly after that click; users are then counted
@@ -1327,6 +1398,7 @@ object RelationalQueries {
     "q51_scd2_merge" -> (q51_scd2_merge _),
     "q61_wap_publish" -> (q61_wap_publish _),
     "q59_dv_vacuum" -> (q59_dv_vacuum _),
+    "q62_equality_deletes" -> (q62_equality_deletes _),
     "q50_merge_on_read" -> (q50_merge_on_read _),
     "q41_compact_small_files" -> (q41_compact_small_files _),
     "q40_session_window" -> (q40_session_window _),
@@ -1540,6 +1612,21 @@ object RelationalQueries {
          WHERE NOT (l_orderkey < mk // 4
            OR (l_orderkey + l_linenumber) % 29 = 3)
          GROUP BY 1 ORDER BY 1""",
+    // live set replay: gen0 survives unless PK-deleted (seq 1 < 2) or
+    // supp-deleted (1 < 4); the seq-3 re-inserts outlive the seq-2 PK
+    // delete and die only to the seq-4 supplier delete
+    "q62_equality_deletes" ->
+      """WITH live AS (
+           SELECT l_shipdate, l_quantity, l_suppkey FROM lineitem
+           WHERE l_orderkey % 19 <> 3 AND l_suppkey % 23 <> 7
+           UNION ALL
+           SELECT l_shipdate, l_quantity + 5, l_suppkey FROM lineitem
+           WHERE l_orderkey % 19 = 3 AND l_suppkey % 23 <> 7)
+         SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(DISTINCT l_suppkey) AS n_supp
+         FROM live GROUP BY 1 ORDER BY 1""",
     "q50_merge_on_read" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
          count(*) AS n_items,
