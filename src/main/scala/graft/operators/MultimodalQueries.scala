@@ -546,7 +546,66 @@ object MultimodalQueries {
       .orderBy("pair_id")
   }
 
+  final case class HistGate(doc_id: Long, n_px: Long, contrast: Long,
+                            n_bins_used: Long, dom_share_fp: Long,
+                            keep: Long)
+
+  /** m11 — blank / low-information image gate: the image-corpus filter
+    * that drops solid-color, near-empty and clipped frames before
+    * feature extraction (the visual analogue of t19's gibberish
+    * filter). Per decoded image: a 32-bin luminance histogram, contrast
+    * = max−min pixel, dominant-bin share at 1e-6 fixed point, and a
+    * keep decision (drop when the dominant bin holds ≥ 75 % of pixels
+    * or contrast < 16 — a solid or one-tone image fails both ways).
+    *
+    * The payload is the m03 PGM grid encoded + decoded through the real
+    * from-spec codec; the DuckDB oracle replays the histogram on the
+    * document code points and never sees the container — a decoder that
+    * mangled the raster would shift bins and fail the hash.
+    *
+    * Scale shape: scan-parallel mapPartitions (one decoder per
+    * partition, one 32-long histogram per row, no shuffle before the
+    * output sort) — 100 TB of images run at decode speed. */
+  def m11_histogram_gate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => pgmGrid(id, text) })
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = MediaCodec.decodeImage(r.payload)
+        val n = img.width * img.height
+        val hist = new Array[Long](32)
+        var mn = 255
+        var mx = 0
+        var p = 0
+        while (p < n) {
+          val v = img.pixels(p) & 0xFF
+          hist(v / 8) += 1
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          p += 1
+        }
+        var used = 0L
+        var dom = 0L
+        var b = 0
+        while (b < 32) {
+          if (hist(b) > 0) used += 1
+          if (hist(b) > dom) dom = hist(b)
+          b += 1
+        }
+        val contrast = (mx - mn).toLong
+        val domShare = dom * 1000000L / n
+        HistGate(r.doc_id, n.toLong, contrast, used, domShare,
+          if (domShare >= 750000L || contrast < 16L) 0L else 1L)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_histogram_gate" -> (m11_histogram_gate _),
     "m10_patch_ssim" -> (m10_patch_ssim _),
     "m09_vit_patches" -> (m09_vit_patches _),
     "m08_audio_fingerprint" -> (m08_audio_fingerprint _),
@@ -560,6 +619,27 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // full-grid replay of the pgmGrid raster (pad repeats the last code
+    // point; empty text decodes to one all-zero row) — bins of width 8
+    "m11_histogram_gate" ->
+      """WITH px AS (SELECT doc_id,
+           list_transform(
+             range(0, 32 * greatest(1, (length(text) + 31) // 32)),
+             i -> CASE WHEN length(text) = 0 THEN 0
+               ELSE ascii(substr(text,
+                 least(i, length(text) - 1)::INT + 1, 1)) END) AS p
+           FROM documents),
+         st AS (SELECT doc_id, len(p)::BIGINT AS n_px,
+           (list_max(p) - list_min(p))::BIGINT AS contrast,
+           list_transform(range(0, 32),
+             b -> len(list_filter(p, x -> x // 8 = b))::BIGINT) AS hist
+           FROM px)
+         SELECT doc_id, n_px, contrast,
+           len(list_filter(hist, c -> c > 0))::BIGINT AS n_bins_used,
+           list_max(hist) * 1000000 // n_px AS dom_share_fp,
+           (CASE WHEN list_max(hist) * 1000000 // n_px >= 750000
+              OR contrast < 16 THEN 0 ELSE 1 END)::BIGINT AS keep
+         FROM st ORDER BY doc_id""",
     // same integer SSIM identity over the replayed first grid row;
     // HUGEINT carries the cleared-denominator products, and both
     // engines' integer division truncates toward zero (covariance, and

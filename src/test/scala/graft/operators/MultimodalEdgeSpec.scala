@@ -94,6 +94,27 @@ class MultimodalEdgeSpec extends SparkSpec {
     d
   }
 
+  test("m11: blank and solid images are dropped, textured text is kept") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_m11").toString
+    val textured = "the quick brown fox JUMPS over 13 lazy dogs! " * 3
+    Seq(
+      (0L, "", "en", "web", 0L),              // all-zero row: contrast 0
+      (1L, "aaaaaaaaaaaaaaaaaaaa", "en", "web", 20L), // solid tone
+      (2L, textured, "en", "web", textured.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = MultimodalQueries.m11_histogram_gate(spark, d)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    // empty doc: one all-zero 32px row -> contrast 0, dominant 100%
+    assert(got(0L) === ((32L, 0L, 1000000L, 0L)))
+    // solid 'a' padded with 'a': one bin, zero contrast -> dropped
+    assert(got(1L)._2 === 0L && got(1L)._3 === 1000000L && got(1L)._4 === 0L)
+    // mixed-case + digits + punctuation: wide histogram -> kept
+    assert(got(2L)._2 >= 16L && got(2L)._3 < 750000L && got(2L)._4 === 1L)
+  }
+
   test("m08: sub-segment clips are excluded; identical clips pair at hamming 0") {
     val pairs = MultimodalQueries.m08_audio_fingerprint(spark, audioDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
