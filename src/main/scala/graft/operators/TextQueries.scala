@@ -769,7 +769,67 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t22 — distributed BPE tokenizer TRAINING (the merge-learning loop,
+    * not t04's pre-merge segmentation): 4 rounds of the byte-pair
+    * algorithm over the corpus vocabulary — count adjacent symbol pairs
+    * weighted by word frequency, pick the most frequent pair
+    * (lexicographic tie-break), merge it everywhere, repeat. Output is
+    * the learned merge table (rank, pair, merged symbol, pair count) —
+    * the artifact a tokenizer ships.
+    *
+    * Merge application is the space-joined string rewrite: a word's
+    * segmentation is `' s1 s2 … '` and applying (a,b) is one
+    * `replace(' a b ', ' ab ')` — non-overlapping left-to-right with
+    * boundary spaces CONSUMED, which both engines implement
+    * identically. (On runs of identical symbols this merges a subset of
+    * what textbook leftmost-greedy BPE would — e.g. `a a a a` becomes
+    * `[aa, a, aa... ]` pattern-dependent — a deterministic,
+    * engine-identical deviation, documented rather than papered over;
+    * an exact-greedy kernel would need lookahead, which DuckDB's RE2
+    * lacks.)
+    *
+    * Scale shape: the heavy reduction is `groupBy(word)` over the
+    * corpus — ONE map-combined shuffle, after which every round runs on
+    * the distinct-vocabulary table (orders of magnitude smaller; this
+    * is why production BPE trainers all start with a word-count pass).
+    * Each round is a scan-parallel pair explode + map-combined
+    * groupBy(pair) + a 1-row argmax to the driver (the merge decision
+    * is inherently sequential) + one scan-parallel replace, with
+    * localCheckpoint pinning each generation like p17's fixed-point
+    * rounds. */
+  def t22_bpe_train(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var words = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("seg", concat(lit(" "),
+        array_join(split(col("w"), ""), " "), lit(" ")))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (round <- 1 to 4) {
+      val syms = split(trim(col("seg")), " ")
+      val best = words
+        .select(col("cnt"), explode(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (l, r, pc) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((round.toLong, l, r, l + r, pc))
+      words = words
+        .withColumn("seg", org.apache.spark.sql.functions.replace(
+          col("seg"), lit(s" $l $r "), lit(s" $l$r ")))
+        .localCheckpoint()
+    }
+    merges.result().toDF("rank", "lsym", "rsym", "merged", "pair_cnt")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_bpe_train" -> (t22_bpe_train _),
     "t21_quality_classifier" -> (t21_quality_classifier _),
     "t20_repetition_filter" -> (t20_repetition_filter _),
     "t19_char_entropy" -> (t19_char_entropy _),
@@ -797,6 +857,56 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    // four unrolled BPE rounds: pair-count over the weighted vocabulary,
+    // 1-row argmax, boundary-space replace — the same decision sequence
+    // the engine's driver loop takes
+    "t22_bpe_train" ->
+      """WITH w0 AS (SELECT w, count(*)::BIGINT AS cnt FROM
+           (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+         s0 AS (SELECT cnt, ' ' ||
+             array_to_string(string_split(w, ''), ' ') || ' ' AS seg
+           FROM w0),
+         p1 AS (SELECT syms[i] AS l, syms[i+1] AS r,
+             sum(cnt)::BIGINT AS pc FROM
+             (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM
+               (SELECT cnt, string_split(trim(seg, ' '), ' ') AS syms
+                 FROM s0))
+             GROUP BY 1, 2),
+         b1 AS (SELECT l, r, pc FROM p1 ORDER BY pc DESC, l, r LIMIT 1),
+         s1 AS (SELECT cnt, replace(seg, ' '||b1.l||' '||b1.r||' ',
+             ' '||b1.l||b1.r||' ') AS seg FROM s0, b1),
+         p2 AS (SELECT syms[i] AS l, syms[i+1] AS r,
+             sum(cnt)::BIGINT AS pc FROM
+             (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM
+               (SELECT cnt, string_split(trim(seg, ' '), ' ') AS syms
+                 FROM s1))
+             GROUP BY 1, 2),
+         b2 AS (SELECT l, r, pc FROM p2 ORDER BY pc DESC, l, r LIMIT 1),
+         s2 AS (SELECT cnt, replace(seg, ' '||b2.l||' '||b2.r||' ',
+             ' '||b2.l||b2.r||' ') AS seg FROM s1, b2),
+         p3 AS (SELECT syms[i] AS l, syms[i+1] AS r,
+             sum(cnt)::BIGINT AS pc FROM
+             (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM
+               (SELECT cnt, string_split(trim(seg, ' '), ' ') AS syms
+                 FROM s2))
+             GROUP BY 1, 2),
+         b3 AS (SELECT l, r, pc FROM p3 ORDER BY pc DESC, l, r LIMIT 1),
+         s3 AS (SELECT cnt, replace(seg, ' '||b3.l||' '||b3.r||' ',
+             ' '||b3.l||b3.r||' ') AS seg FROM s2, b3),
+         p4 AS (SELECT syms[i] AS l, syms[i+1] AS r,
+             sum(cnt)::BIGINT AS pc FROM
+             (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM
+               (SELECT cnt, string_split(trim(seg, ' '), ' ') AS syms
+                 FROM s3))
+             GROUP BY 1, 2),
+         b4 AS (SELECT l, r, pc FROM p4 ORDER BY pc DESC, l, r LIMIT 1)
+         SELECT 1::BIGINT AS rank, l AS lsym, r AS rsym, l||r AS merged,
+           pc AS pair_cnt FROM b1
+         UNION ALL SELECT 2::BIGINT, l, r, l||r, pc FROM b2
+         UNION ALL SELECT 3::BIGINT, l, r, l||r, pc FROM b3
+         UNION ALL SELECT 4::BIGINT, l, r, l||r, pc FROM b4
+         ORDER BY rank""",
     "t21_quality_classifier" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
            FROM documents),

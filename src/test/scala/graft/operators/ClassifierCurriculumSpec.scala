@@ -64,6 +64,32 @@ class ClassifierCurriculumSpec extends SparkSpec {
     assert(got.size === n + 1)
   }
 
+  test("t22: learned merge table matches an in-memory 4-round BPE replay") {
+    val words = Tables.documents(spark, sf())
+      .selectExpr("text").collect().flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }
+    var segs = words.map { case (w, c) =>
+      (" " + w.split("").mkString(" ") + " ", c) }.toSeq
+    val exp = (1 to 4).map { _ =>
+      val pc = segs.flatMap { case (seg, c) =>
+        val sy = seg.trim.split(" ").toSeq
+        sy.zip(sy.drop(1)).map(p => (p, c))
+      }.groupBy(_._1).map { case (p, rows) => (p, rows.map(_._2).sum) }
+      val ((l, r), n) = pc.minBy { case ((l, r), n) => (-n, l, r) }
+      segs = segs.map { case (seg, c) =>
+        (seg.replace(s" $l $r ", s" $l$r "), c) }
+      (l, r, l + r, n)
+    }
+    val got = TextQueries.t22_bpe_train(spark, sf())
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(got === exp)
+    // the loop must actually cascade: round-2+ recounts see merged
+    // symbols (pair counts strictly decrease or symbols lengthen)
+    assert(exp.map(_._4).zip(exp.tail.map(_._4)).forall { case (a, b) => a >= b } ||
+      exp.exists(m => m._1.length > 1 || m._2.length > 1))
+  }
+
   test("p20: pacing schedule matches an in-memory tercile + gate replay") {
     val docs = Tables.documents(spark, sf())
       .selectExpr("doc_id", "text").collect()
