@@ -568,7 +568,50 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** s13 — ANN recall@k evaluation: the tuning loop every approximate
+    * index ships with — exact L2 top-3 ground truth (one brute-force
+    * pass over the query sample) joined against s02's IVF (nprobe=1)
+    * answer, per-query hit counts, and a `query_id = -1` summary row
+    * with corpus mean recall at 1e-6 fixed point. This is how nprobe /
+    * cell-count knobs get picked: measure recall on a sampled query
+    * set, dial until the target, never brute-force the full corpus.
+    *
+    * Scale shape: ground truth is brute-force ONLY over the sampled
+    * queries (broadcast of the sample against one corpus scan — the
+    * same shape as s01), the hit check is a LEFT SEMI join on
+    * (query, neighbor), and the summary folds |queries| rows. At 100 TB
+    * the query sample stays O(100s) and this whole eval is one scan. */
+  def s13_ann_recall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.KeyAlgebra.ldiv
+    val base = emb(s, dir)
+    def l2(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)), lit(0.0), _ + _)
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+    val exact = base.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", l2(col("qa"), col("a")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id").as("eq"), col("vec_id").as("eid"))
+    val approx = s02_ann_ivf(s, dir).select("query_id", "neighbor_id")
+    val perQuery = approx.join(exact,
+        col("query_id") === col("eq") && col("neighbor_id") === col("eid"),
+        "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val all = qs.select("query_id")
+      .join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_fp", ldiv(col("n_hits") * 1000000L, lit(3L)))
+    val mean = all.agg(lit(-1L).as("query_id"), sum("n_hits").as("n_hits"),
+      ldiv(sum("n_hits") * 1000000L, count(lit(1)) * 3L).as("recall_fp"))
+    all.unionByName(mean).orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_ann_recall" -> (s13_ann_recall _),
     "d20_knn_clusters" -> (d20_knn_clusters _),
     "s12_knn_join" -> (s12_knn_join _),
     "s09_ann_ivf_pq" -> (s09_ann_ivf_pq _),
@@ -874,6 +917,54 @@ object SimilarityQueries {
     // s06 is the same ranking computed by the custom TopKPerKey physical
     // operator — the oracle proves plan equivalence, not just plausibility
     "s06_ann_topk_operator" -> bruteTopkSql,
+    // s02's IVF CTE chain + a brute-force L2 ground truth over the same
+    // query sample; recall joins the two answer sets
+    "s13_ann_recall" -> s"""
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      cent AS (SELECT label AS c_label,
+          list(s ORDER BY i) AS centroid FROM (
+          SELECT label, i,
+            sum(CAST(floor(a[i] * 1e9) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1e9 AS s
+          FROM e, range(1, 65) t(i) GROUP BY label, i)
+        GROUP BY label),
+      qs AS (SELECT vec_id AS query_id, a AS qa FROM e WHERE vec_id % 50 = 0),
+      assigned AS (SELECT query_id, qa, c_label AS probe_label FROM (
+          SELECT q.query_id, q.qa, c.c_label,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (q.qa[i] - c.centroid[i]) * (q.qa[i] - c.centroid[i])),
+                (p,q2) -> p+q2), c.c_label) AS crk
+          FROM qs q, cent c) WHERE crk = 1),
+      approx AS (SELECT query_id, neighbor_id FROM (
+          SELECT s.query_id,
+            row_number() OVER (PARTITION BY s.query_id
+              ORDER BY list_reduce(list_transform(range(1, 65),
+                i -> (s.qa[i] - d.a[i]) * (s.qa[i] - d.a[i])), (p,q2) -> p+q2),
+                d.vec_id) AS rank,
+            d.vec_id AS neighbor_id
+          FROM assigned s JOIN e d ON d.label = s.probe_label
+          WHERE d.vec_id <> s.query_id)
+        WHERE rank <= 3),
+      exact AS (SELECT query_id AS eq, neighbor_id AS eid FROM (
+          SELECT q.query_id,
+            row_number() OVER (PARTITION BY q.query_id
+              ORDER BY list_reduce(list_transform(range(1, 65),
+                i -> (q.qa[i] - d.a[i]) * (q.qa[i] - d.a[i])), (p,q2) -> p+q2),
+                d.vec_id) AS rank,
+            d.vec_id AS neighbor_id
+          FROM qs q JOIN e d ON d.vec_id <> q.query_id)
+        WHERE rank <= 3),
+      per AS (SELECT q.query_id,
+          (SELECT count(*) FROM approx a JOIN exact x
+            ON a.query_id = x.eq AND a.neighbor_id = x.eid
+            WHERE a.query_id = q.query_id)::BIGINT AS n_hits
+        FROM qs q)
+      SELECT query_id, n_hits, n_hits * 1000000 // 3 AS recall_fp FROM per
+      UNION ALL
+      SELECT -1::BIGINT, sum(n_hits)::BIGINT,
+        sum(n_hits)::BIGINT * 1000000 // (count(*) * 3) FROM per
+      ORDER BY query_id""",
     "s02_ann_ivf" -> s"""
       WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
