@@ -359,6 +359,43 @@ object DedupQueries {
         .localCheckpoint(true)
     }
 
+  /** d22 — keep-best representative selection over the full component
+    * closure: the policy step between d14's cluster manifest and the
+    * corpus cut. d07 keeps the MIN doc_id of an exact-digest group; a
+    * production near-dup pass keeps the highest-QUALITY member of each
+    * transitive cluster — here the lexical-diversity score (distinct
+    * tokens / tokens, p15's signal) with doc_id as the deterministic
+    * tie-break; singletons keep themselves. Output is the full keep/drop
+    * manifest with provenance (component, size, score).
+    *
+    * Scale shape: the quality score is scan-parallel; the component
+    * labels are the SAME memoized [[componentLabels]] artifact d14 and
+    * p13 ride (third consumer, zero extra graph rounds); the keep
+    * decision is one window over comp — cluster-bounded groups, and
+    * singletons coalesce to their own id so no group exceeds the
+    * cluster-size bound. */
+  def d22_cluster_keep_best(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.KeyAlgebra.ldiv
+    val scores = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("n_dist"))
+      .withColumn("score_fp", when(col("n_tok") === 0L, 0L)
+        .otherwise(ldiv(col("n_dist") * 1000000L, col("n_tok"))))
+      .select("doc_id", "score_fp")
+    val lbl = componentLabels(s, dir).withColumnRenamed("node", "doc_id")
+    val w = Window.partitionBy("comp")
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    scores.join(lbl, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("comp")))
+      .withColumn("kept", (row_number().over(w) === 1).cast("long"))
+      .select("doc_id", "comp", "n_members", "score_fp", "kept")
+      .orderBy("doc_id")
+  }
+
   /** d17 — INCREMENTAL minhash dedup: probe an arriving delta batch
     * (doc_id % 10 == 0) against the band index of the already-ingested
     * corpus (the other 90%), without ever pairing corpus docs with each
@@ -1002,6 +1039,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_cluster_keep_best" -> (d22_cluster_keep_best _),
     "d21_substring_spans" -> (d21_substring_spans _),
     "d19_editdist" -> (d19_editdist _),
     "d12_semantic_dedup" -> (d12_semantic_dedup _),
@@ -1352,6 +1390,53 @@ object DedupQueries {
           AS BIGINT) AS cov_fp
       FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
       ORDER BY t.doc_id""",
+    // d14's closure chain + quality rank inside each component;
+    // singletons coalesce to their own id
+    "d22_cluster_keep_best" -> s"""
+      WITH RECURSIVE $sqlPrmR,
+      sigs AS (SELECT doc_id, $sqlSig AS sig,
+          list_distinct(string_split(text, ' ')) AS tk FROM documents, prmR),
+      bands AS (SELECT doc_id, b,
+          array_to_string(sig[b*r+1 : b*r+r], '_') AS bkey
+        FROM sigs, prmR, range(0, 2) t(b)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+          AND x.doc_id < y.doc_id),
+      pairs AS (SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+          len(list_intersect(a.tk, b.tk))::DOUBLE /
+            len(list_distinct(a.tk || b.tk))::DOUBLE AS jaccard
+        FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
+          JOIN sigs b ON cand.doc_b = b.doc_id, prmR
+        WHERE list_reduce(list_transform(range(1, 2*r + 1),
+          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
+          (x,y) -> x+y) >= 2*r - 2)
+        WHERE jaccard >= 0.99),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      lbl(doc_id, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, l.comp FROM lbl l JOIN edges e ON l.doc_id = e.u),
+      final AS (SELECT doc_id, min(comp) AS comp FROM lbl GROUP BY doc_id),
+      scored AS (SELECT doc_id,
+          CASE WHEN n_tok = 0 THEN 0
+            ELSE n_dist * 1000000 // n_tok END AS score_fp
+        FROM (SELECT doc_id,
+            len(string_split(text, ' '))::BIGINT AS n_tok,
+            len(list_distinct(string_split(text, ' ')))::BIGINT AS n_dist
+          FROM documents)),
+      alldocs AS (SELECT s.doc_id, coalesce(f.comp, s.doc_id) AS comp,
+          s.score_fp
+        FROM scored s LEFT JOIN final f ON s.doc_id = f.doc_id),
+      sized AS (SELECT doc_id, comp, score_fp,
+          count(*) OVER (PARTITION BY comp) AS n_members,
+          row_number() OVER (PARTITION BY comp
+            ORDER BY score_fp DESC, doc_id) AS rk
+        FROM alldocs)
+      SELECT doc_id, comp, n_members::BIGINT AS n_members, score_fp,
+        (rk = 1)::BIGINT AS kept
+      FROM sized ORDER BY doc_id""",
     "d14_dedup_components" -> s"""
       WITH RECURSIVE $sqlPrmR,
       sigs AS (SELECT doc_id, $sqlSig AS sig,

@@ -149,6 +149,28 @@ class ClassifierCurriculumSpec extends SparkSpec {
     assert(got(4L) === ((0L, 0L)))
   }
 
+  test("d22: exactly one kept member per component, the best-scored one") {
+    val rows = DedupQueries.d22_cluster_keep_best(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val nDocs = Tables.documents(spark, sf()).count()
+    assert(rows.length.toLong === nDocs) // full manifest, singletons included
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.count(_._5 == 1L) === 1, s"comp $comp")
+      val kept = members.find(_._5 == 1L).get
+      // kept member is max by (score, then min doc_id)
+      val best = members.minBy(m => (-m._4, m._1))
+      assert(kept._1 === best._1, s"comp $comp")
+      assert(members.forall(_._3 === members.length.toLong))
+    }
+    // matches d14's clustering on the clustered subset
+    val d14 = DedupQueries.d14_dedup_components(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.filter(r => d14.contains(r._1))
+      .foreach(r => assert(r._2 === d14(r._1), s"doc ${r._1}"))
+    assert(rows.exists(_._3 > 1L)) // at least one real cluster exercised
+  }
+
   test("t21: single-token and empty-ish docs produce no bigrams") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_t21").toString
