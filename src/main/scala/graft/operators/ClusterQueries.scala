@@ -402,7 +402,65 @@ object ClusterQueries {
     per.unionByName(macroRow).orderBy("cls")
   }
 
+  /** Shared integer NDCG LUTs: disc(i) = floor(2^20 / log2(i+1)) for
+    * ranks 1..10, gains(r) = 2^r − 1 for grades 0..5. Computed ONCE here
+    * and embedded verbatim in BOTH the Spark plan and the DuckDB oracle
+    * text (the t19 entLut pattern) — the irrational log never crosses an
+    * engine boundary. */
+  private[operators] val ndcgDisc: Array[Long] = Array.tabulate(10)(i =>
+    math.floor(1048576.0 / (math.log(i + 2) / math.log(2))).toLong)
+  private[operators] val ndcgGains: Array[Long] =
+    Array.tabulate(21)(r => (1L << r) - 1L)
+
+  /** c08 — NDCG@10 ranking evaluation for the t16 BM25 retriever: the
+    * graded-relevance companion to s13's recall@k (c05–c08 now grade a
+    * scorer, a labeler, an ANN index and a ranker). Relevance judgments
+    * are an INDEPENDENT graded signal — total query-term frequency in
+    * the document capped at grade 20 (raw tf ignores BM25's idf and
+    * length normalization, so the ranker genuinely can and does diverge
+    * from the ideal ordering); DCG discounts come from the shared
+    * integer LUT so NDCG_fp = DCG·1e6 ÷ IDCG is exact in both engines.
+    *
+    * Scale shape: the relevance table is one scan-parallel term
+    * aggregation (broadcast query terms prune at the scan exactly like
+    * t16); the DCG side joins it against t16's ≤ 10-row-per-query
+    * output, the ideal side is a per-query bounded window over it.
+    * Nothing global but the |queries|-row join. */
+  def c08_ndcg_eval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.KeyAlgebra.ldiv
+    import graft.functions.TextFunctions.tokens
+    val disc = lit(ndcgDisc)
+    val gains = lit(ndcgGains)
+    val qterms = TextQueries.bm25QueryTerms.toDF("q_id", "term")
+    val rel = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .join(broadcast(qterms), "term")
+      .groupBy("q_id", "doc_id")
+      .agg(least(count(lit(1)), lit(20L)).as("rel"))
+    val dcg = TextQueries.t16_bm25_topk(s, dir)
+      .select("q_id", "rank", "doc_id")
+      .join(rel, Seq("q_id", "doc_id"))
+      .select(col("q_id"),
+        (element_at(gains, col("rel").cast("int") + 1) *
+          element_at(disc, col("rank").cast("int"))).as("g"))
+      .groupBy("q_id").agg(sum("g").as("dcg_fp"))
+    val iw = Window.partitionBy("q_id")
+      .orderBy(col("rel").desc, col("doc_id"))
+    val idcg = rel.withColumn("irank", row_number().over(iw))
+      .filter(col("irank") <= 10)
+      .select(col("q_id"),
+        (element_at(gains, col("rel").cast("int") + 1) *
+          element_at(disc, col("irank"))).as("g"))
+      .groupBy("q_id").agg(sum("g").as("idcg_fp"))
+    dcg.join(idcg, "q_id")
+      .withColumn("ndcg_fp", ldiv(col("dcg_fp") * 1000000L, col("idcg_fp")))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c08_ndcg_eval" -> (c08_ndcg_eval _),
     "c07_langid_eval" -> (c07_langid_eval _),
     "c06_calibration_bins" -> (c06_calibration_bins _),
     "c01_kmeans_embeddings" -> (c01_kmeans_embeddings _),
@@ -548,7 +606,58 @@ object ClusterQueries {
        ORDER BY kind, id"""
   }
 
+  private val discSql = ndcgDisc.mkString("[", ", ", "]")
+  private val gainsSql = ndcgGains.mkString("[", ", ", "]")
+
   val oracles: Map[String, String] = Map(
+    // t16's scoring chain + graded gains over the shared integer LUTs
+    "c08_ndcg_eval" -> s"""
+      WITH qt(q_id, term) AS (SELECT * FROM (VALUES
+          (0,'spark'),(0,'join'),(0,'merge'),
+          (1,'table'),(1,'scan'),(1,'fast'),(1,'slow'),
+          (2,'key'),(2,'hash'),(2,'value'),
+          (3,'window'),(3,'sort'),(3,'batch'),
+          (4,'row'),(4,'line'),(4,'part'),
+          (5,'query'),(5,'order'),(5,'the'))),
+      tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      dld AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      st AS (SELECT count(*) AS n_docs,
+          CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        FROM dld),
+      post AS (SELECT term, doc_id, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+      dfv AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      sc AS (SELECT CAST(q.q_id AS BIGINT) AS q_id, p.doc_id,
+          CAST(floor(
+            ((st.n_docs - v.df + 0.5) / (v.df + 0.5)) *
+            ((CAST(p.tf AS DOUBLE) * 2.2) /
+             (CAST(p.tf AS DOUBLE) + 1.2 *
+              (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / st.avgdl))) *
+            1e6) AS BIGINT) AS c
+        FROM post p JOIN qt q USING (term) JOIN dfv v USING (term)
+             JOIN dld d USING (doc_id), st),
+      agg AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score_fp
+        FROM sc GROUP BY 1, 2),
+      rel AS (SELECT CAST(q.q_id AS BIGINT) AS q_id, p.doc_id,
+          least(sum(p.tf), 20)::BIGINT AS rel
+        FROM post p JOIN qt q USING (term) GROUP BY 1, 2),
+      ranked AS (SELECT a.q_id, r.rel,
+          row_number() OVER (PARTITION BY a.q_id
+            ORDER BY a.score_fp DESC, a.doc_id) AS rank
+        FROM agg a JOIN rel r ON a.q_id = r.q_id AND a.doc_id = r.doc_id),
+      dcg AS (SELECT q_id,
+          sum(($gainsSql[rel + 1])::BIGINT * $discSql[rank])::BIGINT AS dcg_fp
+        FROM ranked WHERE rank <= 10 GROUP BY 1),
+      ideal AS (SELECT q_id, rel,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY rel DESC, doc_id) AS irank FROM rel),
+      idcg AS (SELECT q_id,
+          sum(($gainsSql[rel + 1])::BIGINT * $discSql[irank])::BIGINT AS idcg_fp
+        FROM ideal WHERE irank <= 10 GROUP BY 1)
+      SELECT d.q_id, d.dcg_fp, i.idcg_fp,
+        d.dcg_fp * 1000000 // i.idcg_fp AS ndcg_fp
+      FROM dcg d JOIN idcg i USING (q_id) ORDER BY q_id""",
     "c07_langid_eval" ->
       """WITH preds AS (
            SELECT doc_id, lang AS actual_lang,

@@ -506,15 +506,18 @@ object TextQueries {
     * broadcast 1-row aggregate, and the final ranking is the bounded
     * [[graft.plans.TopKPerKey]] heap — ≤ k rows per query per partition
     * reach the exchange, never the full score list. */
+  /** Shared by t16 (retrieval) and c08 (ranking eval). */
+  private[operators] val bm25QueryTerms: Seq[(Long, String)] = Seq(
+    (0L, "spark"), (0L, "join"), (0L, "merge"),
+    (1L, "table"), (1L, "scan"), (1L, "fast"), (1L, "slow"),
+    (2L, "key"), (2L, "hash"), (2L, "value"),
+    (3L, "window"), (3L, "sort"), (3L, "batch"),
+    (4L, "row"), (4L, "line"), (4L, "part"),
+    (5L, "query"), (5L, "order"), (5L, "the"))
+
   def t16_bm25_topk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val qterms = Seq(
-      (0L, "spark"), (0L, "join"), (0L, "merge"),
-      (1L, "table"), (1L, "scan"), (1L, "fast"), (1L, "slow"),
-      (2L, "key"), (2L, "hash"), (2L, "value"),
-      (3L, "window"), (3L, "sort"), (3L, "batch"),
-      (4L, "row"), (4L, "line"), (4L, "part"),
-      (5L, "query"), (5L, "order"), (5L, "the")).toDF("q_id", "term")
+    val qterms = bm25QueryTerms.toDF("q_id", "term")
     // dl rides the explode so no doc-length join is needed later
     val post = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("tk"))

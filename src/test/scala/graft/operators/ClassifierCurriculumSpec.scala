@@ -149,6 +149,42 @@ class ClassifierCurriculumSpec extends SparkSpec {
     assert(got(4L) === ((0L, 0L)))
   }
 
+  test("c08: NDCG matches an in-memory graded replay and is properly bounded") {
+    val qterms = TextQueries.bm25QueryTerms
+    val docs = Tables.documents(spark, sf())
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val disc = (1 to 10).map(i =>
+      math.floor(1048576.0 / (math.log(i + 1) / math.log(2))).toLong)
+    def gain(r: Long): Long = (1L << r) - 1L
+    val rel = (for {
+      (qid, term) <- qterms
+      (did, toks) <- docs
+      tf = toks.count(_ == term) if tf > 0
+    } yield ((qid, did), tf.toLong))
+      .groupBy(_._1).map { case (k, v) => (k, math.min(v.map(_._2).sum, 20L)) }
+    val ranked = TextQueries.t16_bm25_topk(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expDcg = ranked.filter(_._2 <= 10)
+      .groupBy(_._1).map { case (q, rows) =>
+        (q, rows.map { case (_, rk, did) =>
+          gain(rel((q, did))) * disc(rk.toInt - 1) }.sum)
+      }
+    val expIdcg = rel.groupBy(_._1._1).map { case (q, rs) =>
+      (q, rs.toSeq.map { case ((_, did), g) => (g, did) }
+        .sortBy { case (g, did) => (-g, did) }.take(10).zipWithIndex
+        .map { case ((g, _), i) => gain(g) * disc(i) }.sum)
+    }
+    val got = ClusterQueries.c08_ndcg_eval(spark, sf())
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    expDcg.keys.foreach { q =>
+      assert(got(q) === ((expDcg(q), expIdcg(q),
+        expDcg(q) * 1000000L / expIdcg(q))), s"query $q")
+    }
+    assert(got.values.forall(v => v._3 > 0 && v._3 <= 1000000L))
+  }
+
   test("d22: exactly one kept member per component, the best-scored one") {
     val rows = DedupQueries.d22_cluster_keep_best(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
