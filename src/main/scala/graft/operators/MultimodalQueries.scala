@@ -604,7 +604,77 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class VadRow(doc_id: Long, n_frames: Long, n_voiced: Long,
+                          n_segments: Long, longest_seg: Long,
+                          voiced_fp: Long)
+
+  /** m12 — voice-activity segmentation (VAD) over the decoded PCM16
+    * stream: the speech-corpus prep step that cuts raw audio into
+    * voiced segments before transcription/alignment. Frames of 32
+    * samples; a frame is voiced when its mean |amplitude| ≥ 3072
+    * (sum ≥ 3072·n for the partial tail frame, so the rule is
+    * length-invariant); consecutive voiced frames merge into segments.
+    * Per clip: frame/voiced counts, segment count, longest segment and
+    * the voiced share at 1e-6 fixed point.
+    *
+    * Payload rides m02's real RIFF/WAVE encode→decode; the island merge
+    * runs INSIDE the per-row decode loop (sequential state over ~len/32
+    * frames), so unlike d21's cross-document islands no shuffle exists
+    * at all — the DuckDB oracle replays the same islands relationally
+    * (unnest + lag window) as an independent formulation.
+    *
+    * Scale shape: scan-parallel mapPartitions, one decoder + one O(n)
+    * loop per row; 100 TB of audio runs at decode speed. */
+  def m12_vad_segments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frameLen = 32
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("US-ASCII")
+          val samples = Array.tabulate(bytes.length)(i =>
+            (((bytes(i) & 0xFF) - 96) * 128).toShort)
+          MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val audio = MediaCodec.decodeWav(r.payload)
+        val n = audio.samples.length
+        val nFrames = (n + frameLen - 1) / frameLen
+        var voiced = 0L
+        var segments = 0L
+        var longest = 0L
+        var run = 0L
+        var f = 0
+        while (f < nFrames) {
+          val until = math.min(f * frameLen + frameLen, n)
+          val cnt = until - f * frameLen
+          var sum = 0L
+          var i = f * frameLen
+          while (i < until) {
+            sum += math.abs(audio.samples(i).toLong)
+            i += 1
+          }
+          if (sum >= 3072L * cnt) {
+            voiced += 1
+            if (run == 0) segments += 1
+            run += 1
+            if (run > longest) longest = run
+          } else run = 0
+          f += 1
+        }
+        VadRow(r.doc_id, nFrames.toLong, voiced, segments, longest,
+          if (nFrames == 0) 0L else voiced * 1000000L / nFrames)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_vad_segments" -> (m12_vad_segments _),
     "m11_histogram_gate" -> (m11_histogram_gate _),
     "m10_patch_ssim" -> (m10_patch_ssim _),
     "m09_vit_patches" -> (m09_vit_patches _),
@@ -619,6 +689,42 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // independent relational islands (unnest + lag window) vs the
+    // engine's in-row sequential merge; energy replayed on code points
+    "m12_vad_segments" ->
+      """WITH fr AS (SELECT doc_id, f,
+           least((f + 1) * 32, n) - f * 32 AS cnt,
+           list_reduce(list_prepend(0::BIGINT,
+             absv[f * 32 + 1 : least((f + 1) * 32, n)::INT]),
+             (a, b) -> a + b) AS e
+           FROM (SELECT doc_id, length(text)::BIGINT AS n,
+             list_transform(string_split(text, ''),
+               c -> abs((ascii(c) - 96) * 128)::BIGINT) AS absv,
+             unnest(range(0, (length(text) + 31) // 32))::BIGINT AS f
+           FROM documents)),
+         vo AS (SELECT doc_id, f FROM fr WHERE e >= 3072 * cnt),
+         isl AS (SELECT doc_id, f,
+             CASE WHEN lag(f) OVER w IS NULL OR f - lag(f) OVER w > 1
+               THEN 1 ELSE 0 END AS brk
+           FROM vo WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+         isl2 AS (SELECT doc_id, f,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY f) AS island
+           FROM isl),
+         seg AS (SELECT doc_id, island, count(*) AS slen
+           FROM isl2 GROUP BY doc_id, island),
+         per AS (SELECT doc_id, count(*)::BIGINT AS n_segments,
+             max(slen)::BIGINT AS longest_seg, sum(slen)::BIGINT AS n_voiced
+           FROM seg GROUP BY doc_id)
+         SELECT d.doc_id,
+           (length(d.text) + 31) // 32 AS n_frames,
+           coalesce(p.n_voiced, 0) AS n_voiced,
+           coalesce(p.n_segments, 0) AS n_segments,
+           coalesce(p.longest_seg, 0) AS longest_seg,
+           CASE WHEN length(d.text) = 0 THEN 0
+             ELSE coalesce(p.n_voiced, 0) * 1000000
+               // ((length(d.text) + 31) // 32) END AS voiced_fp
+         FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+         ORDER BY d.doc_id""",
     // full-grid replay of the pgmGrid raster (pad repeats the last code
     // point; empty text decodes to one all-zero row) — bins of width 8
     "m11_histogram_gate" ->

@@ -115,6 +115,22 @@ class MultimodalEdgeSpec extends SparkSpec {
     assert(got(2L)._2 >= 16L && got(2L)._3 < 750000L && got(2L)._4 === 1L)
   }
 
+  test("m12: VAD islands match a hand-built frame pattern; empty clip is silent") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_m12").toString
+    // 'a' frames: |(97-96)*128| = 128 < 3072 (unvoiced); '0' frames:
+    // |(48-96)*128| = 6144 >= 3072 (voiced). Pattern u,u,v,u,u,v,v.
+    val t = "a" * 64 + "0" * 32 + "a" * 64 + "0" * 64
+    Seq((0L, "", "en", "web", 0L), (1L, t, "en", "web", t.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = MultimodalQueries.m12_vad_segments(spark, d)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(0L) === ((0L, 0L, 0L, 0L, 0L)))
+    assert(got(1L) === ((7L, 3L, 2L, 2L, 3L * 1000000L / 7L)))
+  }
+
   test("m08: sub-segment clips are excluded; identical clips pair at hamming 0") {
     val pairs = MultimodalQueries.m08_audio_fingerprint(spark, audioDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
