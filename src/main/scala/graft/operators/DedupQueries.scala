@@ -991,12 +991,13 @@ object DedupQueries {
     * distributed re-expression is the grouped-shingle inverted index —
     * same output set for fixed K.)
     *
-    * Scale shape: position emit is scan-parallel; the cross-doc count is
-    * one map-combined groupBy(gram) feeding a LEFT SEMI join back on the
-    * same key (no fan-out: a gram shared by a million documents adds
-    * zero rows); the island merge shuffles once on doc_id. Hot grams
-    * (corpus boilerplate) are absorbed by partial aggregation, not a
-    * pair join. */
+    * Scale shape: position emit is scan-parallel; the cross-doc test is
+    * ONE map-combined min/max groupBy(gram) — "≥ 2 distinct docs" is
+    * exactly min(doc) ≠ max(doc), so no countDistinct expand — feeding
+    * a LEFT SEMI join back on the same key (no fan-out: a gram shared
+    * by a million documents adds zero rows); the island merge shuffles
+    * once on doc_id. Hot grams (corpus boilerplate) are absorbed by
+    * partial aggregation, not a pair join. */
   def d21_substring_spans(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.KeyAlgebra.ldiv
@@ -1011,9 +1012,13 @@ object DedupQueries {
           .as("p"))
       .select(col("doc_id"), col("len"), col("p").cast("long").as("p"),
         col("text").substr(col("p"), lit(K)).as("g"))
+    // "appears in >= 2 distinct docs" == min(doc) != max(doc): a plain
+    // map-combined min/max agg, no countDistinct expand (which cost 3x
+    // the agg wall at sf0.1 — PERF.md round-12 session-4 note)
     val crossDoc = pos.groupBy("g")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("mnd"), max(col("doc_id")).as("mxd"))
+      .filter(col("mnd") =!= col("mxd"))
+      .select("g")
     val matched = pos.join(crossDoc, Seq("g"), "left_semi")
     val w = Window.partitionBy("doc_id").orderBy("p")
     val isl = matched

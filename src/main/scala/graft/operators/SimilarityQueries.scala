@@ -53,7 +53,14 @@ object SimilarityQueries {
   /** s02 — IVF (nprobe=1): centroid per label via exact fixed-point mean,
     * query → nearest centroid (L2², lowest label wins ties) → top-3
     * within that bucket by (L2² asc, vec_id). */
-  def s02_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+  def s02_ann_ivf(s: SparkSession, dir: String): DataFrame =
+    ivfTopk(s, dir, 50L)
+
+  /** s02's IVF ranking with a parameterized query-sample modulus —
+    * s02 pins the reference modulus 50; s13 passes its size-derived
+    * one so the eval's query sample stays constant-size at any scale. */
+  private def ivfTopk(s: SparkSession, dir: String,
+      modulus: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = emb(s, dir)
       .withColumn("scaled", transform(col("a"), x => floor(x * 1e9).cast("long")))
@@ -65,7 +72,7 @@ object SimilarityQueries {
           v => v.cast("double") / col("cnt").cast("double") / 1e9).as("centroid"))
     def l2(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)), lit(0.0), _ + _)
-    val qs = base.filter(col("vec_id") % 50 === 0)
+    val qs = base.filter(col("vec_id") % modulus === 0)
       .select(col("vec_id").as("query_id"), col("a").as("qa"))
     val wAssign = Window.partitionBy("query_id")
       .orderBy(col("cdist"), col("c_label"))
@@ -576,18 +583,23 @@ object SimilarityQueries {
     * cell-count knobs get picked: measure recall on a sampled query
     * set, dial until the target, never brute-force the full corpus.
     *
-    * Scale shape: ground truth is brute-force ONLY over the sampled
-    * queries (broadcast of the sample against one corpus scan — the
-    * same shape as s01), the hit check is a LEFT SEMI join on
-    * (query, neighbor), and the summary folds |queries| rows. At 100 TB
-    * the query sample stays O(100s) and this whole eval is one scan. */
+    * Scale shape: the query-sample modulus is SIZE-DERIVED —
+    * max(50, n/100), so the sample stays ~100 queries at any corpus
+    * size instead of growing with a fixed modulus (a fixed %50 made the
+    * exact stage quadratic: 5.9× wall at the 10× probe; derived, it is
+    * flat). Ground truth is brute-force ONLY over that bounded sample
+    * (broadcast against one corpus scan, s01's shape), the hit check is
+    * a LEFT SEMI join on (query, neighbor), and the summary folds
+    * |queries| rows — the whole eval is one scan at 100 TB. The oracle
+    * replays the modulus from count(*) like every AutoScale knob. */
   def s13_ann_recall(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.KeyAlgebra.ldiv
     val base = emb(s, dir)
+    val modulus = math.max(50L, base.count() / 100L)
     def l2(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)), lit(0.0), _ + _)
-    val qs = base.filter(col("vec_id") % 50 === 0)
+    val qs = base.filter(col("vec_id") % modulus === 0)
       .select(col("vec_id").as("query_id"), col("a").as("qa"))
     val w = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
     val exact = base.crossJoin(broadcast(qs))
@@ -596,7 +608,7 @@ object SimilarityQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("query_id").as("eq"), col("vec_id").as("eid"))
-    val approx = s02_ann_ivf(s, dir).select("query_id", "neighbor_id")
+    val approx = ivfTopk(s, dir, modulus).select("query_id", "neighbor_id")
     val perQuery = approx.join(exact,
         col("query_id") === col("eq") && col("neighbor_id") === col("eid"),
         "left_semi")
@@ -918,17 +930,20 @@ object SimilarityQueries {
     // operator — the oracle proves plan equivalence, not just plausibility
     "s06_ann_topk_operator" -> bruteTopkSql,
     // s02's IVF CTE chain + a brute-force L2 ground truth over the same
-    // query sample; recall joins the two answer sets
+    // query sample; recall joins the two answer sets. The sample modulus
+    // replays the engine's size-derived max(50, n/100).
     "s13_ann_recall" -> s"""
       WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      md AS (SELECT greatest(50, count(*) // 100) AS m FROM embeddings),
       cent AS (SELECT label AS c_label,
           list(s ORDER BY i) AS centroid FROM (
           SELECT label, i,
             sum(CAST(floor(a[i] * 1e9) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1e9 AS s
           FROM e, range(1, 65) t(i) GROUP BY label, i)
         GROUP BY label),
-      qs AS (SELECT vec_id AS query_id, a AS qa FROM e WHERE vec_id % 50 = 0),
+      qs AS (SELECT vec_id AS query_id, a AS qa FROM e, md
+        WHERE vec_id % md.m = 0),
       assigned AS (SELECT query_id, qa, c_label AS probe_label FROM (
           SELECT q.query_id, q.qa, c.c_label,
             row_number() OVER (PARTITION BY q.query_id ORDER BY
