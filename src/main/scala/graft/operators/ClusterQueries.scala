@@ -459,7 +459,47 @@ object ClusterQueries {
       .orderBy("q_id")
   }
 
+  /** c09 — Cohen's-kappa inter-rater agreement between the t02 n-gram
+    * language-ID labeler and the gold `lang` column: chance-corrected
+    * agreement, the number a Landis–Koch band is read off before a
+    * cheap labeler is allowed to gate a corpus (raw accuracy flatters
+    * any labeler that just predicts the majority class).
+    * kappa = (N·agree − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k) at
+    * 1e-6 fixed point, with the N²-scale numerator carried in
+    * decimal(38,0) (the q55/c04 pattern — Spark's decimal `div` and
+    * DuckDB's HUGEINT `//` both truncate toward zero) so nothing ever
+    * leaves exact integer arithmetic.
+    *
+    * Scale shape: identical to c07 — ONE labeler scan feeds two
+    * map-combined groupBys on a 5-value class key; the kappa fold is an
+    * aggregation over that constant |classes|-row join. At 100 TB the
+    * eval costs one pass it can share with the keep/drop writer. */
+  def c09_kappa_agreement(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val preds = TextQueries.t02_langid(s, dir)
+      .select(col("doc_id"), col("actual_lang"), col("pred_lang"))
+    val byActual = preds.groupBy(col("actual_lang").as("cls"))
+      .agg(count(lit(1)).as("support"),
+        sum(when(col("pred_lang") === col("actual_lang"), 1L)
+          .otherwise(0L)).as("tp"))
+    val byPred = preds.groupBy(col("pred_lang").as("cls"))
+      .agg(count(lit(1)).as("n_pred"))
+    byActual.join(byPred, Seq("cls"), "full_outer")
+      .agg(sum(coalesce(col("support"), lit(0L))).as("n"),
+        sum(coalesce(col("tp"), lit(0L))).as("agree"),
+        sum(coalesce(col("support"), lit(0L)) *
+          coalesce(col("n_pred"), lit(0L))).as("chance"))
+      .withColumn("po_fp", ldiv(col("agree") * 1000000L, col("n")))
+      .select(col("n"), col("agree"), col("chance"), col("po_fp"),
+        expr("""CAST((CAST(chance AS DECIMAL(38,0)) * 1000000) div
+          (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""").as("pe_fp"),
+        expr("""CAST(((CAST(n AS DECIMAL(38,0)) * agree - chance) *
+          1000000) div (CAST(n AS DECIMAL(38,0)) * n - chance)
+          AS BIGINT)""").as("kappa_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c09_kappa_agreement" -> (c09_kappa_agreement _),
     "c08_ndcg_eval" -> (c08_ndcg_eval _),
     "c07_langid_eval" -> (c07_langid_eval _),
     "c06_calibration_bins" -> (c06_calibration_bins _),
@@ -658,6 +698,42 @@ object ClusterQueries {
       SELECT d.q_id, d.dcg_fp, i.idcg_fp,
         d.dcg_fp * 1000000 // i.idcg_fp AS ndcg_fp
       FROM dcg d JOIN idcg i USING (q_id) ORDER BY q_id""",
+    // kappa over the same preds CTE as c07; HUGEINT carry on the
+    // N²-scale terms mirrors the Spark decimal(38,0) div exactly
+    "c09_kappa_agreement" ->
+      """WITH preds AS (
+           SELECT doc_id, lang AS actual_lang,
+             CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+                  WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+           FROM (SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+             greatest(s_de, s_en, s_es, s_fr, s_zh) AS best
+             FROM (SELECT doc_id, lang,
+               len(list_filter(toks, t -> t IN ('table','key','hash')))::BIGINT AS s_de,
+               len(list_filter(toks, t -> t IN ('the','a','fast','slow')))::BIGINT AS s_en,
+               len(list_filter(toks, t -> t IN ('data','row','scan')))::BIGINT AS s_es,
+               len(list_filter(toks, t -> t IN ('order','query','value')))::BIGINT AS s_fr,
+               len(list_filter(toks, t -> t IN ('spark','join','merge')))::BIGINT AS s_zh
+               FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                 FROM documents)))),
+         ba AS (SELECT actual_lang AS cls, count(*)::BIGINT AS support,
+             sum(CASE WHEN pred_lang = actual_lang THEN 1 ELSE 0 END)::BIGINT AS tp
+           FROM preds GROUP BY 1),
+         bp AS (SELECT pred_lang AS cls, count(*)::BIGINT AS n_pred
+           FROM preds GROUP BY 1),
+         per AS (SELECT coalesce(ba.cls, bp.cls) AS cls,
+             coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+             coalesce(n_pred, 0) AS n_pred
+           FROM ba FULL OUTER JOIN bp ON ba.cls = bp.cls),
+         tot AS (SELECT sum(support)::BIGINT AS n, sum(tp)::BIGINT AS agree,
+             sum(support * n_pred)::BIGINT AS chance FROM per)
+         SELECT n, agree, chance,
+           agree * 1000000 // n AS po_fp,
+           CAST(chance::HUGEINT * 1000000 // (n::HUGEINT * n) AS BIGINT)
+             AS pe_fp,
+           CAST((n::HUGEINT * agree - chance) * 1000000
+             // (n::HUGEINT * n - chance) AS BIGINT) AS kappa_fp
+         FROM tot""",
     "c07_langid_eval" ->
       """WITH preds AS (
            SELECT doc_id, lang AS actual_lang,

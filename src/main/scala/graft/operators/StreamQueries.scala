@@ -1056,6 +1056,92 @@ object StreamQueries {
     }
   }
 
+  /** Per-key CDC apply handler: state is the O(1) tuple (changes
+    * applied, last change ts, tombstone flag, current value). Same
+    * ordering contract as [[funnelHandler]] — per-batch (ts, event_id)
+    * re-sort inside the handler plus strict ts boundaries between drops
+    * give a total apply order, which is what makes last-write-wins O(1)
+    * state sufficient. A delete ('error') tombstones the key; a later
+    * upsert revives it with the new value — the Debezium/Delta-CDF
+    * apply rule. */
+  private def cdcHandler(user: Long,
+      it: Iterator[(Long, Long, String, Long, Long)],
+      state: org.apache.spark.sql.streaming.GroupState[
+        (Long, Long, Long, Long)])
+      : Iterator[(Long, Long, Long, Long, Long)] = {
+    var (n, lastTs, alive, vfp) = state.getOption.getOrElse(
+      (0L, Long.MinValue, 0L, 0L))
+    it.toIndexedSeq.sortBy(r => (r._4, r._2)).foreach {
+      case (_, _, et, tns, v) =>
+        n += 1L; lastTs = tns
+        if (et == "error") { alive = 0L; vfp = 0L }
+        else { alive = 1L; vfp = v }
+    }
+    state.update((n, lastTs, alive, vfp))
+    Iterator.single((user, n, lastTs, alive, vfp))
+  }
+
+  /** q64 — streaming CDC upsert apply: the change-data-capture shape
+    * every lakehouse CDC sink runs (Debezium topic → keyed upsert/delete
+    * apply → current-state table). The events stream is read as a
+    * change log keyed by user_id ('error' rows are deletes, everything
+    * else an upsert carrying the new value); flatMapGroupsWithState
+    * applies last-write-wins per key across three REAL FileStreamSource
+    * micro-batches, and the final current-state table (live keys only,
+    * with their apply counts and last values) must hash-match the batch
+    * argmax oracle. The streaming twin of q50/q62's batch merge-on-read.
+    *
+    * Scale shape: state is O(1) per key (4 longs), emissions are
+    * monotone in apply count so the sink fold is a per-key max —
+    * nothing in the path holds more than |keys| state, the same bound a
+    * production CDC materializer carries. */
+  def q64_cdc_upsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("tns"),
+        floor(col("value") * 1000000d).cast("long").as("value_fp"))
+    val (lo, hi) = tsBounds(ev, "tns")
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("tns", LongType),
+      StructField("value_fp", LongType)))
+    withWatchDir("graft_q64_src") { watch =>
+      val out = s.readStream.schema(schema).parquet(watch)
+        .toDF("_1", "_2", "_3", "_4", "_5")
+        .as[(Long, Long, String, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+          cdcHandler)
+        .toDF("user_id", "n_changes", "last_tns", "alive", "value_fp")
+      val q = out.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("q64_stream_out").start()
+      feedDrops(q, watch, Seq(
+        ev.filter(col("tns") <= c1),
+        ev.filter(col("tns") > c1 && col("tns") <= c2),
+        ev.filter(col("tns") > c2)))
+      val sink = s.table("q64_stream_out")
+      val result = sink.collect().toIndexedSeq
+      val schemaOut = sink.schema
+      s.catalog.dropTempView("q64_stream_out")
+      // n_changes is strictly increasing per key, so the latest state is
+      // the arg-max row; struct max gives it without a second shuffle
+      s.createDataFrame(s.sparkContext.parallelize(result, 1), schemaOut)
+        .groupBy("user_id")
+        .agg(max(struct(col("n_changes"), col("last_tns"), col("alive"),
+          col("value_fp"))).as("st"))
+        .select(col("user_id"), col("st.n_changes").as("n_changes"),
+          col("st.last_tns").as("last_tns"), col("st.alive").as("alive"),
+          col("st.value_fp").as("value_fp"))
+        .filter(col("alive") === 1L)
+        .select("user_id", "n_changes", "last_tns", "value_fp")
+        .orderBy("user_id")
+    }
+  }
+
   /** q60 — q55's drift monitor as a PRODUCTION STREAM: the reference
     * histogram (first-half counts n1) is a batch artifact; the new
     * ingest window (second half) arrives through a real FileStreamSource
@@ -1109,6 +1195,7 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_drift" -> (q60_stream_drift _),
+    "q64_cdc_upsert" -> (q64_cdc_upsert _),
     "q54_stream_funnel" -> (q54_stream_funnel _),
     "q45_asof_filesource" -> (q45_asof_filesource _),
     "q46_topk_filesource" -> (q46_topk_filesource _),
@@ -1167,6 +1254,19 @@ object StreamQueries {
     "q54_stream_funnel" -> RelationalQueries.oracles("q53_funnel"),
     // the incremental monitor must converge to the batch statistic
     "q60_stream_drift" -> RelationalQueries.oracles("q55_drift_chi2"),
+    // last-write-wins argmax over the full change log; live keys only
+    "q64_cdc_upsert" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+           epoch_ns(ts) AS tns,
+           CAST(floor(value * 1000000) AS BIGINT) AS value_fp FROM events),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY tns DESC, event_id DESC) AS rn FROM e),
+         agg AS (SELECT user_id, count(*)::BIGINT AS n_changes,
+             max(tns)::BIGINT AS last_tns FROM e GROUP BY 1)
+         SELECT a.user_id, a.n_changes, a.last_tns, r.value_fp
+         FROM agg a JOIN r ON a.user_id = r.user_id AND r.rn = 1
+         WHERE r.event_type <> 'error'
+         ORDER BY a.user_id""",
     // each file-source twin must converge to the SAME batch answer as
     // its MemoryStream original — the ingest path is the only variable
     "q45_asof_filesource" -> RelationalQueries.oracles("q24_asof_join"),
