@@ -1212,6 +1212,82 @@ object RelationalQueries {
       .orderBy("ship_month", "l_returnflag")
   }
 
+  /** q65 — manifest/zone-map file skipping, the lakehouse READ-side
+    * twin of q41's write-side clustering (Iceberg manifest filtering /
+    * Delta data skipping): at write time each data file records the
+    * min/max of its cluster key into a manifest table; at read time a
+    * range predicate prunes the MANIFEST first — O(files), driver-side,
+    * kilobytes — and plans the scan over only the files whose
+    * [min,max] zone intersects the predicate, with the predicate kept
+    * as a residual filter on the surviving rows (zone maps prune files,
+    * they don't answer queries).
+    *
+    * Spark-native: the manifest is built in one metadata-column pass
+    * (`_metadata.file_path` groupBy, like q50's DVs — no row keys
+    * written); the pruned file list is a driver-side filter of the tiny
+    * manifest, exactly what an Iceberg planner does with manifest
+    * entries (bounded by file count, never row count); the surviving
+    * paths go straight to `spark.read.parquet(paths*)`. The query band
+    * [max/4, max/2] is derived from the manifest itself, so the oracle
+    * can restate it from the raw table. Correctness is
+    * layout-independent (plain BETWEEN replay); the skip mechanics —
+    * strictly fewer files opened than written — are pinned in
+    * ManifestSkipSpec. At 100 TB this is the difference between
+    * opening 10⁶ footers and opening the ~10³ that can match. */
+  def q65_manifest_skipping(s: SparkSession, dir: String): DataFrame = {
+    val (dataP, manP) = q65Layout(s, dir)
+    val man = s.read.parquet(manP)
+    // band derived from the manifest (a files-count-sized table), not
+    // from a scan of the data
+    val mx = man.agg(max("max_ok")).head.getLong(0)
+    val (lo, hi) = (mx / 4, mx / 2)
+    val keep = q65Survivors(man, lo, hi)
+    s.read.parquet(keep: _*)
+      .filter(col("l_orderkey").between(lo, hi)) // residual predicate
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Manifest prune: files whose [min,max] zone intersects [lo, hi].
+    * Driver-side by design — the manifest IS the catalog's metadata
+    * (one row per file); collecting it is what every table-format
+    * planner does before handing Spark a file list. */
+  private[operators] def q65Survivors(
+      man: DataFrame, lo: Long, hi: Long): Seq[String] =
+    man.filter(col("max_ok") >= lo && col("min_ok") <= hi)
+      .select("file_path").collect().map(_.getString(0)).toSeq.sorted
+
+  /** One-time clustered layout + manifest build (memoized per sweep,
+    * split into the bench ingest figure like q41/q50). */
+  private[operators] def q65Layout(
+      s: SparkSession, dir: String): (String, String) =
+    graft.core.SessionMemo.memoize(s, "q65-manifest:" + dir) {
+      // dir + applicationId + session UUID (see SessionMemo.pathTag):
+      // path scope must match the per-session memo scope, else a second
+      // session's rebuild clobbers the first session's readers
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
+      def tmp(n: String) = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_q65_${n}_$tag")
+        .getAbsolutePath
+      val (dp, mp) = (tmp("data"), tmp("manifest"))
+      Tables.lineitem(s, dir)
+        .repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(dp)
+      // zone maps in one metadata pass: per-file key min/max + rows
+      s.read.parquet(dp)
+        .groupBy(col("_metadata.file_path").as("file_path"))
+        .agg(min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1).write.mode("overwrite").parquet(mp)
+      (dp, mp)
+    }
+
   /** q53 — ordered funnel analysis (view → click → purchase): for each
     * user, the first view, the first click strictly after that view, and
     * the first purchase strictly after that click; users are then counted
@@ -1446,6 +1522,7 @@ object RelationalQueries {
     "q53_funnel" -> (q53_funnel _),
     "q52_time_travel" -> (q52_time_travel _),
     "q51_scd2_merge" -> (q51_scd2_merge _),
+    "q65_manifest_skipping" -> (q65_manifest_skipping _),
     "q61_wap_publish" -> (q61_wap_publish _),
     "q59_dv_vacuum" -> (q59_dv_vacuum _),
     "q63_incremental_mv" -> (q63_incremental_mv _),
@@ -1637,6 +1714,17 @@ object RelationalQueries {
        ORDER BY custkey, version""",
     // replay of the merge: a row survives iff it was upserted (delta
     // wins, quantity+1) or neither deleted nor superseded
+    // layout-independent truth: zone maps only skip files that cannot
+    // match, so the pruned scan equals the plain BETWEEN replay
+    "q65_manifest_skipping" ->
+      """WITH mx AS (SELECT max(l_orderkey) AS mk FROM lineitem)
+         SELECT l_returnflag, count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+         FROM lineitem, mx
+         WHERE l_orderkey BETWEEN mk // 4 AND mk // 2
+         GROUP BY 1 ORDER BY 1""",
     // the WAP contract, layout-independent: base + good delta publish,
     // the duplicated delta fails its PK audit and never reaches readers
     "q61_wap_publish" ->
