@@ -498,7 +498,52 @@ object ClusterQueries {
           AS BIGINT)""").as("kappa_fp"))
   }
 
+  /** c10 — Poisson-bootstrap confidence interval for a corpus metric
+    * (mean tokens/doc): every (doc, replicate) pair gets a weight drawn
+    * from a Poisson(1)-shaped integer table keyed by a Lehmer hash of
+    * (doc_id, rep), each of the 32 replicates recomputes the weighted
+    * mean, and the 5/95 % band is read off the sorted replicate means —
+    * the error bar a data card should print next to every corpus-level
+    * number. The resample is the STREAMING bootstrap (per-row
+    * independent weights, no sampling-without-replacement pass), the
+    * only bootstrap that exists at 100 TB.
+    *
+    * Determinism: the "Poisson" draw is bucket(h) over a two-step
+    * Lehmer LCG (mod 2^31−1, multiplier 16807) in plain BIGINT-safe
+    * integer arithmetic, so the DuckDB oracle replays every weight
+    * bit-for-bit; means are 1e-6 fixed-point longs.
+    *
+    * Scale shape: one scan × constant 32-way sequence-explode →
+    * map-side-combined 32-group aggregate; driver sees 32 rows. The
+    * quantile step sorts a 32-long array inside one row — no window,
+    * no second scan. */
+  def c10_bootstrap_ci(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+    val byRep = docs
+      .withColumn("rep", explode(sequence(lit(0L), lit(31L))))
+      .withColumn("h1", (col("doc_id") * 1103515245L +
+        (col("rep") + 1L) * 12345L + 6789L) % 2147483647L)
+      .withColumn("b", (col("h1") * 16807L) % 2147483647L % 100L)
+      // Poisson(1) pmf ≈ .368/.368/.184/.061/.019 as integer buckets
+      .withColumn("w", when(col("b") < 37L, 0L).when(col("b") < 74L, 1L)
+        .when(col("b") < 92L, 2L).when(col("b") < 98L, 3L).otherwise(4L))
+      .groupBy("rep")
+      .agg(sum("w").as("n_eff"), sum(col("w") * col("n_tok")).as("tok_sum"))
+      .withColumn("mean_fp", ldiv(col("tok_sum") * 1000000L, col("n_eff")))
+    val band = byRep
+      .agg(sort_array(collect_list(col("mean_fp"))).as("ms"))
+      .select(element_at(col("ms"), 2).as("lo_fp"),
+        element_at(col("ms"), 31).as("hi_fp"))
+    byRep.crossJoin(broadcast(band))
+      .select("rep", "n_eff", "tok_sum", "mean_fp", "lo_fp", "hi_fp")
+      .orderBy("rep")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c10_bootstrap_ci" -> (c10_bootstrap_ci _),
     "c09_kappa_agreement" -> (c09_kappa_agreement _),
     "c08_ndcg_eval" -> (c08_ndcg_eval _),
     "c07_langid_eval" -> (c07_langid_eval _),
@@ -650,6 +695,29 @@ object ClusterQueries {
   private val gainsSql = ndcgGains.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // identical Lehmer weights, 32 replicate means, list-sorted band
+    "c10_bootstrap_ci" ->
+      """WITH d AS (SELECT doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_tok
+           FROM documents),
+         w AS (SELECT r.rep, d.n_tok,
+             ((d.doc_id * 1103515245 + (r.rep + 1) * 12345 + 6789)
+               % 2147483647 * 16807) % 2147483647 % 100 AS b
+           FROM d, (SELECT unnest(range(0, 32))::BIGINT AS rep) r),
+         w2 AS (SELECT rep, n_tok,
+             CASE WHEN b < 37 THEN 0 WHEN b < 74 THEN 1
+               WHEN b < 92 THEN 2 WHEN b < 98 THEN 3 ELSE 4 END AS w
+           FROM w),
+         br AS (SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+             CAST(sum(w * n_tok) AS BIGINT) AS tok_sum
+           FROM w2 GROUP BY rep),
+         br2 AS (SELECT rep, n_eff, tok_sum,
+             (tok_sum * 1000000) // n_eff AS mean_fp FROM br),
+         band AS (SELECT list_sort(list(mean_fp)) AS ms FROM br2)
+         SELECT rep, n_eff, tok_sum, mean_fp,
+           (SELECT ms[2] FROM band) AS lo_fp,
+           (SELECT ms[31] FROM band) AS hi_fp
+         FROM br2 ORDER BY rep""",
     // t16's scoring chain + graded gains over the shared integer LUTs
     "c08_ndcg_eval" -> s"""
       WITH qt(q_id, term) AS (SELECT * FROM (VALUES

@@ -644,6 +644,59 @@ object PipelineQueries {
     dist.orderBy("node")
   }
 
+  /** p21 — degree-ordered triangle counting over the [[docLinkGraph]]:
+    * the graph-health summary (edge count, wedge count, triangle count,
+    * global transitivity) a crawl/link-graph pipeline reports before
+    * trusting p17's centrality prior — a near-zero transitivity says
+    * "this graph is random noise", a high one says "real community
+    * structure".
+    *
+    * Scale shape: the canonical distributed triangle algorithm
+    * (Suri–Vassilvitskii / Cohen): symmetrize to canonical a<b edges,
+    * orient every edge from the (degree, id)-SMALLER endpoint to the
+    * larger, so the oriented out-degree of ANY node — even a celebrity
+    * hub — is O(√m); then one self-join on the wedge pivot u
+    * (bounded fan-out per key because of the orientation) and one
+    * membership join close the wedges. Every join is hash-partitioned
+    * on its key; nothing is quadratic in degree on the original graph.
+    * The DuckDB oracle replays the identical orientation and joins. */
+  def p21_triangle_count(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val (_, edges0, _) = docLinkGraph(s, dir)
+    // canonical undirected edge set: a < b, one row per edge
+    val und = edges0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().cache()
+    // undirected degree per node (both endpoints)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient low (deg, id) -> high; a<b already breaks degree ties
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
+      .cache()
+    // wedge u->v, v->w closed by the membership edge u->w (the total
+    // order makes u->w the only possible orientation of that edge)
+    val e1 = oriented.select(col("u"), col("v"))
+    val e2 = oriented.select(col("u").as("v"), col("v").as("w"))
+    val e3 = oriented.select(col("u"), col("v").as("w"), lit(1L).as("hit"))
+    val tri = e1.join(e2, "v").join(e3, Seq("u", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val edgeWedge = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(deg
+        .agg(sum(ldiv(col("deg") * (col("deg") - 1L), lit(2L)))
+          .as("n_wedges"))))
+    edgeWedge.crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        ldiv(col("n_triangles") * 3000000L, col("n_wedges"))
+          .as("transitivity_fp"))
+  }
+
   /** p20 — curriculum pacing schedule: documents are ranked by an
     * integer difficulty signal (mean token length at 1e-6 fixed point —
     * longer words ≈ harder text), cut into GLOBAL difficulty terciles,
@@ -699,6 +752,7 @@ object PipelineQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_triangle_count" -> (p21_triangle_count _),
     "p20_curriculum" -> (p20_curriculum _),
     "p18_bfs_hops" -> (p18_bfs_hops _),
     "p17_pagerank" -> (p17_pagerank _),
@@ -721,6 +775,42 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical orientation replay: canonical a<b edges, degree from
+    // both endpoints, low-(deg,id) -> high orientation, wedge join +
+    // membership join; wedges counted on the UNDIRECTED degrees
+    "p21_triangle_count" ->
+      """WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+         e0 AS (SELECT doc_id AS src, unnest([
+             (doc_id * 31 + 7) % (SELECT n FROM nn),
+             (doc_id * 17 + 3) % (SELECT n FROM nn),
+             (doc_id * 13 + 11) % (SELECT n FROM nn),
+             (doc_id + 1) % (SELECT n FROM nn)]) AS d0
+           FROM documents),
+         edges AS (SELECT DISTINCT src,
+             CASE WHEN d0 = src THEN (d0 + 1) % (SELECT n FROM nn)
+               ELSE d0 END AS dst
+           FROM e0),
+         und AS (SELECT DISTINCT least(src, dst) AS a,
+             greatest(src, dst) AS b
+           FROM edges WHERE src <> dst),
+         deg AS (SELECT node, count(*)::BIGINT AS deg FROM
+             (SELECT a AS node FROM und
+              UNION ALL SELECT b AS node FROM und)
+           GROUP BY node),
+         o AS (SELECT CASE WHEN da.deg <= db.deg THEN u.a ELSE u.b END AS u,
+             CASE WHEN da.deg <= db.deg THEN u.b ELSE u.a END AS v
+           FROM und u JOIN deg da ON da.node = u.a
+             JOIN deg db ON db.node = u.b),
+         tri AS (SELECT count(*)::BIGINT AS t FROM o e1
+           JOIN o e2 ON e2.u = e1.v
+           JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+         w AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges
+           FROM deg)
+         SELECT (SELECT count(*) FROM und)::BIGINT AS n_edges,
+           (SELECT wedges FROM w) AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles,
+           ((SELECT t FROM tri) * 3000000) // (SELECT wedges FROM w)
+             AS transitivity_fp""",
     "p20_curriculum" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
            FROM documents),
