@@ -673,7 +673,68 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class ShotFeature(doc_id: Long, n_frames: Long,
+                               sad_total: Long, max_sad: Long,
+                               n_cuts: Long, n_shots: Long)
+
+  /** m13 — video shot-boundary detection: each clip (m07's multi-frame
+    * PGM container, with a 3-frame "shot" structure synthesized into
+    * the pixel map so cuts exist to find) is segmented by the classic
+    * adaptive-threshold rule — a transition is a CUT iff its
+    * sum-of-absolute-differences exceeds 1.5× the clip's mean
+    * transition SAD (integer cross-multiplied, no division). Shot
+    * boundaries are the unit video dedup/sampling works on: frame
+    * sampling (m02) wants one frame PER SHOT, not per second, and
+    * near-dup detection compares shot signatures, not raw frames.
+    *
+    * Scale shape: identical to m07 — one scan-parallel codec pass, one
+    * decoder per partition, O(frames·pixels) per row, no shuffle. The
+    * DuckDB oracle replays pixels from the document bytes and never
+    * sees the container, so frame framing/geometry errors fail the
+    * hash. */
+  def m13_shot_boundary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes("US-ASCII")
+        val len = bytes.length
+        val f = len % 6 + 2
+        val payload = (0 until f).map { fr =>
+          // shot g = fr/3 jumps the byte base by 11; the +fr term adds
+          // within-shot jitter so the threshold does real work
+          val gray = Array.tabulate(16)(p =>
+            if (len == 0) 0.toByte
+            else bytes(((fr / 3) * 11 + 3 * p + fr) % len))
+          MediaCodec.encodePgm(4, 4, gray)
+        }.reduce(_ ++ _)
+        MediaRow(id, payload, "mpgm")
+      })
+    media.mapPartitions(_.map { r =>
+      val frames = MediaCodec.decodePgmFrames(r.payload)
+      val n = frames.length
+      val sads = Array.tabulate(n - 1) { t =>
+        val a = frames(t).pixels
+        val b = frames(t + 1).pixels
+        var sd = 0L
+        var p = 0
+        while (p < b.length) {
+          sd += math.abs((b(p) & 0xFF) - (a(p) & 0xFF))
+          p += 1
+        }
+        sd
+      }
+      val total = sads.sum
+      val cuts = sads.count(sd => sd * (n - 1) * 2 > 3 * total).toLong
+      ShotFeature(r.doc_id, n.toLong, total,
+        if (sads.isEmpty) 0L else sads.max, cuts, cuts + 1L)
+    }).toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
     "m11_histogram_gate" -> (m11_histogram_gate _),
     "m10_patch_ssim" -> (m10_patch_ssim _),
@@ -689,6 +750,34 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // pixel map replayed on document bytes; the cut rule is the same
+    // integer cross-multiplication, grouped twice (per-transition SAD,
+    // then per-clip threshold)
+    "m13_shot_boundary" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           (length(text) % 6 + 2) AS f FROM documents),
+       tr0 AS (SELECT doc_id, text, len, f,
+           unnest(range(1, f))::BIGINT AS tr FROM t),
+       sad AS (SELECT doc_id, f, tr,
+           list_reduce(list_transform(range(0, 16), p ->
+             CASE WHEN len = 0 THEN 0 ELSE
+               abs(CAST(ascii(substr(text,
+                 (((tr // 3) * 11 + 3 * p + tr) % len)::INT + 1, 1)) AS BIGINT)
+                 - ascii(substr(text,
+                 ((((tr - 1) // 3) * 11 + 3 * p + tr - 1) % len)::INT + 1, 1)))
+             END), (x, y) -> x + y) AS sadv
+         FROM tr0),
+       agg AS (SELECT doc_id, any_value(f) AS f,
+           CAST(sum(sadv) AS BIGINT) AS sad_total,
+           CAST(max(sadv) AS BIGINT) AS max_sad
+         FROM sad GROUP BY doc_id),
+       cut AS (SELECT s.doc_id,
+           CAST(count(*) FILTER (WHERE s.sadv * (a.f - 1) * 2
+             > 3 * a.sad_total) AS BIGINT) AS n_cuts
+         FROM sad s JOIN agg a USING (doc_id) GROUP BY s.doc_id)
+       SELECT a.doc_id, a.f::BIGINT AS n_frames, a.sad_total, a.max_sad,
+         c.n_cuts, c.n_cuts + 1 AS n_shots
+       FROM agg a JOIN cut c USING (doc_id) ORDER BY a.doc_id""",
     // independent relational islands (unnest + lag window) vs the
     // engine's in-row sequential merge; energy replayed on code points
     "m12_vad_segments" ->

@@ -831,7 +831,40 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** t23 — corpus n-gram novelty: for every document, the share of its
+    * DISTINCT token-5-grams whose first corpus occurrence (min doc_id
+    * over all holders) is this document — the redundancy-curve signal
+    * data curation reads to decide when a source is "mined out"
+    * (novelty falling toward 0 as a crawl re-sees the same text), and
+    * the per-document complement of d15's duplicated-span coverage.
+    *
+    * Scale shape: the inverted-index pattern — grams hashed to 8-byte
+    * longs ([[md5Long60]], the d15 idiom) so the gram exchange moves
+    * fixed-width keys, one groupBy(g).min(doc_id) builds the first-seen
+    * index, and the join back re-uses the same hash partitioning on g
+    * (no second shuffle shape). Nothing is ever all-pairs; posting
+    * lists never materialize beyond the (g, first_doc) pair. */
+  def t23_ngram_novelty(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("tk")) - 5),
+          i => md5Long60(concat_ws(" ", slice(col("tk"), i + 1, lit(5))))))
+      ).as("g"))
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_fp", ldiv(col("n_novel") * 1000000L, col("n_grams")))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_ngram_novelty" -> (t23_ngram_novelty _),
     "t22_bpe_train" -> (t22_bpe_train _),
     "t21_quality_classifier" -> (t21_quality_classifier _),
     "t20_repetition_filter" -> (t20_repetition_filter _),
@@ -860,6 +893,28 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    // same md5-hashed distinct 5-grams, first-seen = min(doc_id),
+    // novelty share at 1e-6 fixed point
+    "t23_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+           FROM documents),
+         t2 AS (SELECT doc_id, tk, len(tk)::BIGINT AS n FROM t
+           WHERE len(tk) >= 5),
+         g0 AS (SELECT doc_id, tk,
+             unnest(range(0, n - 4))::BIGINT AS i FROM t2),
+         g AS (SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(array_to_string(
+               tk[(i + 1)::INT : (i + 5)::INT], ' ')), 1, 15) AS BIGINT)
+               AS g
+           FROM g0),
+         fst AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+         SELECT doc_id, count(*)::BIGINT AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           (CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000) // count(*) AS novelty_fp
+         FROM g JOIN fst f USING (g)
+         GROUP BY doc_id ORDER BY doc_id""",
     // four unrolled BPE rounds: pair-count over the weighted vocabulary,
     // 1-row argmax, boundary-space replace — the same decision sequence
     // the engine's driver loop takes
