@@ -356,4 +356,41 @@ class PlanSpec extends SparkSpec {
         "expected partitioned per-block/per-doc windows")
     }
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    // when neither side broadcasts (both 100-TB-large), Catalyst's
+    // InjectRuntimeFilter must still push a bloom filter built from the
+    // selective side onto the fact scan — the row-level analogue of
+    // q35's partition-level DPP. Thresholds are lowered because the
+    // spec corpus is tiny; at production scale the defaults fire.
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val li = graft.core.Tables.lineitem(spark, sf())
+      val ord = graft.core.Tables.orders(spark, sf())
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom"),
+        s"no runtime bloom filter injected on the fact side:\n$opt")
+      // and the filter must land on the LINEITEM (application) side,
+      // i.e. above its scan, keyed by the join key
+      assert(opt.contains("l_orderkey"),
+        s"bloom filter not keyed on the join key:\n$opt")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
+  }
 }
