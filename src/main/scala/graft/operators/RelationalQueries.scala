@@ -983,8 +983,11 @@ object RelationalQueries {
     * with partition pruning and pushdown intact because each version is
     * a plain parquet read. Output: per-status counts and totals at each
     * of the three versions from one unioned read. */
-  def q52_time_travel(s: SparkSession, dir: String): DataFrame = {
-    val (logPath, files) = graft.core.SessionMemo.memoize(s, "q52-tt:" + dir) {
+  /** q52/q66's shared snapshot store: 4 data files + a 5-row add/remove
+    * commit log (memoized per sweep; see q52's doc). */
+  private[operators] def q52Layout(
+      s: SparkSession, dir: String): (String, Seq[String]) =
+    graft.core.SessionMemo.memoize(s, "q52-tt:" + dir) {
       // dir + applicationId + session UUID (see SessionMemo.pathTag):
       // path scope must match the per-session memo scope, else a second
       // session's rebuild clobbers the first session's readers
@@ -1013,16 +1016,27 @@ object RelationalQueries {
         .coalesce(1).write.mode("overwrite").parquet(lg)
       (lg, Seq(fa, fb, fc, fd))
     }
-    require(files.size == 4)
-    // log replay on the driver: a handful of metadata rows per commit
-    val log = s.read.parquet(logPath).collect()
+
+  /** Commit-log replay on the driver (a handful of metadata rows per
+    * commit): the file set active at snapshot `v`. */
+  private def q52ActiveAt(log: Array[(Long, String, String)],
+                          v: Long): Seq[String] = {
+    val upTo = log.filter(_._1 <= v)
+    upTo.collect { case (_, "add", p) => p }
+      .filterNot(p => upTo.exists(e => e._2 == "remove" && e._3 == p))
+      .toSeq
+  }
+
+  private def q52ReadLog(
+      s: SparkSession, logPath: String): Array[(Long, String, String)] =
+    s.read.parquet(logPath).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    def activeAt(v: Long): Seq[String] = {
-      val upTo = log.filter(_._1 <= v)
-      upTo.collect { case (_, "add", p) => p }
-        .filterNot(p => upTo.exists(e => e._2 == "remove" && e._3 == p))
-        .toSeq
-    }
+
+  def q52_time_travel(s: SparkSession, dir: String): DataFrame = {
+    val (logPath, files) = q52Layout(s, dir)
+    require(files.size == 4)
+    val log = q52ReadLog(s, logPath)
+    def activeAt(v: Long): Seq[String] = q52ActiveAt(log, v)
     (1L to 3L).map { v =>
       s.read.parquet(activeAt(v): _*)
         .groupBy(col("o_orderstatus").as("status"))
@@ -1032,6 +1046,46 @@ object RelationalQueries {
     }.reduce(_ unionByName _)
       .select("version", "status", "n", "total_fp")
       .orderBy("version", "status")
+  }
+
+  /** q66 — snapshot changelog read (CDF): the row-level insert/delete
+    * feed between two snapshots of q52's commit-log table — the
+    * Iceberg/Delta "change data feed" a downstream incremental consumer
+    * reads instead of re-scanning the table. The diff is computed from
+    * the CHANGED FILES ONLY: the log replay (driver-side metadata)
+    * yields removed = active(v2)∖active(v3) and added = active(v3)∖
+    * active(v2); unchanged files (fb here) are never opened. Rows in a
+    * removed file whose key survives into an added file are rewrite
+    * carry-over, not changes — the two anti joins cancel them exactly.
+    *
+    * Scale shape: cost ∝ |changed files|, not table size — the whole
+    * point of a changelog read at 100 TB; the two anti joins share one
+    * hash partitioning on the PK and AQE broadcasts whichever changed
+    * side is small. The oracle replays the semantics from the source
+    * table (deletes = the v3 rewrite's dropped rows, inserts = the v3
+    * load), layout-independent. */
+  def q66_changelog_diff(s: SparkSession, dir: String): DataFrame = {
+    val (logPath, _) = q52Layout(s, dir)
+    val log = q52ReadLog(s, logPath)
+    val (from, to) =
+      (q52ActiveAt(log, 2L).toSet, q52ActiveAt(log, 3L).toSet)
+    val removed = (from -- to).toSeq.sorted
+    val added = (to -- from).toSeq.sorted
+    require(removed.nonEmpty && added.nonEmpty)
+    val remRows = s.read.parquet(removed: _*)
+    val addRows = s.read.parquet(added: _*)
+    val dels = remRows
+      .join(addRows.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .select(lit("delete").as("change_type"),
+        col("o_orderstatus").as("status"), col("o_orderkey"))
+    val ins = addRows
+      .join(remRows.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .select(lit("insert").as("change_type"),
+        col("o_orderstatus").as("status"), col("o_orderkey"))
+    dels.unionByName(ins)
+      .groupBy("change_type", "status")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      .orderBy("change_type", "status")
   }
 
   /** q61 — write-audit-publish (WAP), the lakehouse ingestion contract
@@ -1521,6 +1575,7 @@ object RelationalQueries {
     "q55_drift_chi2" -> (q55_drift_chi2 _),
     "q53_funnel" -> (q53_funnel _),
     "q52_time_travel" -> (q52_time_travel _),
+    "q66_changelog_diff" -> (q66_changelog_diff _),
     "q51_scd2_merge" -> (q51_scd2_merge _),
     "q65_manifest_skipping" -> (q65_manifest_skipping _),
     "q61_wap_publish" -> (q61_wap_publish _),
@@ -1663,6 +1718,24 @@ object RelationalQueries {
          FROM st GROUP BY stage ORDER BY stage""",
     // log replay in predicate form: v1 = pre-1998, v2 = pre-2000,
     // v3 = everything minus pre-1998 status-'F' rows (the v3 rewrite)
+    // changelog semantics replayed from the source table: deletes are
+    // the rows the v3 rewrite dropped (pre-1998 status F), inserts are
+    // the v3 load (>= 2000); carry-over rewrite rows cancel
+    "q66_changelog_diff" ->
+      """WITH del AS (SELECT o_orderstatus AS status, o_orderkey
+           FROM orders
+           WHERE o_orderdate < TIMESTAMP '1998-01-01'
+             AND o_orderstatus = 'F'),
+         ins AS (SELECT o_orderstatus AS status, o_orderkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+         SELECT 'delete' AS change_type, status, count(*)::BIGINT AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM del GROUP BY 2
+         UNION ALL
+         SELECT 'insert' AS change_type, status, count(*)::BIGINT AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM ins GROUP BY 2
+         ORDER BY 1, 2""",
     "q52_time_travel" ->
       """WITH snap AS (
          SELECT 1::BIGINT AS version, o_orderstatus, o_totalprice
