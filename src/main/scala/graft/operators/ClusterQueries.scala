@@ -542,7 +542,51 @@ object ClusterQueries {
       .orderBy("rep")
   }
 
+  /** c11 — multiclass Matthews correlation (Gorodkin's R_K) for the
+    * t02 labeler: the single-number eval that stays honest under class
+    * imbalance where accuracy (c07) and even kappa (c09) can flatter —
+    * completing the eval triple. MCC's square is RATIONAL in the
+    * confusion-matrix marginals, so instead of an engine-dependent
+    * floating sqrt the output carries mcc_sign and mcc2_fp =
+    * num²·1e6 / ((n²−Σp²)(n²−Σt²)) in exact DECIMAL(38,0) arithmetic
+    * (the c09/q55 pattern; n ≲ 3·10⁹ before the decimal ceiling — same
+    * documented bound). Degenerate marginals (all predictions one
+    * class) short-circuit to 0 rather than divide by zero.
+    *
+    * Scale shape: identical to c07/c09 — one labeler scan, two
+    * map-combined groupBys on the 5-value class key, one constant-size
+    * fold. */
+  def c11_mcc_eval(s: SparkSession, dir: String): DataFrame = {
+    val preds = TextQueries.t02_langid(s, dir)
+      .select(col("actual_lang"), col("pred_lang"))
+    val byActual = preds.groupBy(col("actual_lang").as("cls"))
+      .agg(count(lit(1)).as("t_k"),
+        sum(when(col("pred_lang") === col("actual_lang"), 1L)
+          .otherwise(0L)).as("tp"))
+    val byPred = preds.groupBy(col("pred_lang").as("cls"))
+      .agg(count(lit(1)).as("p_k"))
+    byActual.join(byPred, Seq("cls"), "full_outer")
+      .agg(sum(coalesce(col("t_k"), lit(0L))).as("n"),
+        sum(coalesce(col("tp"), lit(0L))).as("correct"),
+        sum(coalesce(col("t_k"), lit(0L)) * coalesce(col("p_k"), lit(0L)))
+          .as("sum_pt"),
+        sum(coalesce(col("p_k"), lit(0L)) * coalesce(col("p_k"), lit(0L)))
+          .as("sum_p2"),
+        sum(coalesce(col("t_k"), lit(0L)) * coalesce(col("t_k"), lit(0L)))
+          .as("sum_t2"))
+      .withColumn("num", col("correct") * col("n") - col("sum_pt"))
+      .withColumn("mcc_sign", signum(col("num")).cast("long"))
+      .withColumn("mcc2_fp", expr(
+        """CASE WHEN n * n = sum_p2 OR n * n = sum_t2 THEN 0
+           ELSE CAST((CAST(num AS DECIMAL(38,0)) * num * 1000000) div
+             ((CAST(n AS DECIMAL(38,0)) * n - sum_p2) *
+              (CAST(n AS DECIMAL(38,0)) * n - sum_t2)) AS BIGINT) END"""))
+      .select("n", "correct", "sum_pt", "sum_p2", "sum_t2", "num",
+        "mcc_sign", "mcc2_fp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c11_mcc_eval" -> (c11_mcc_eval _),
     "c10_bootstrap_ci" -> (c10_bootstrap_ci _),
     "c09_kappa_agreement" -> (c09_kappa_agreement _),
     "c08_ndcg_eval" -> (c08_ndcg_eval _),
@@ -695,6 +739,47 @@ object ClusterQueries {
   private val gainsSql = ndcgGains.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // same confusion marginals as c09; MCC² kept rational in HUGEINT
+    "c11_mcc_eval" ->
+      """WITH preds AS (
+           SELECT doc_id, lang AS actual_lang,
+             CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+                  WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+           FROM (SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+             greatest(s_de, s_en, s_es, s_fr, s_zh) AS best
+             FROM (SELECT doc_id, lang,
+               len(list_filter(toks, t -> t IN ('table','key','hash')))::BIGINT AS s_de,
+               len(list_filter(toks, t -> t IN ('the','a','fast','slow')))::BIGINT AS s_en,
+               len(list_filter(toks, t -> t IN ('data','row','scan')))::BIGINT AS s_es,
+               len(list_filter(toks, t -> t IN ('order','query','value')))::BIGINT AS s_fr,
+               len(list_filter(toks, t -> t IN ('spark','join','merge')))::BIGINT AS s_zh
+               FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                 FROM documents)))),
+         ba AS (SELECT actual_lang AS cls, count(*)::BIGINT AS t_k,
+             sum(CASE WHEN pred_lang = actual_lang THEN 1 ELSE 0 END)::BIGINT AS tp
+           FROM preds GROUP BY 1),
+         bp AS (SELECT pred_lang AS cls, count(*)::BIGINT AS p_k
+           FROM preds GROUP BY 1),
+         per AS (SELECT coalesce(ba.cls, bp.cls) AS cls,
+             coalesce(t_k, 0) AS t_k, coalesce(tp, 0) AS tp,
+             coalesce(p_k, 0) AS p_k
+           FROM ba FULL OUTER JOIN bp ON ba.cls = bp.cls),
+         tot AS (SELECT sum(t_k)::BIGINT AS n, sum(tp)::BIGINT AS correct,
+             sum(t_k * p_k)::BIGINT AS sum_pt,
+             sum(p_k * p_k)::BIGINT AS sum_p2,
+             sum(t_k * t_k)::BIGINT AS sum_t2 FROM per)
+         SELECT n, correct, sum_pt, sum_p2, sum_t2,
+           (correct * n - sum_pt) AS num,
+           (CASE WHEN correct * n - sum_pt > 0 THEN 1
+                 WHEN correct * n - sum_pt < 0 THEN -1
+                 ELSE 0 END)::BIGINT AS mcc_sign,
+           CASE WHEN n * n = sum_p2 OR n * n = sum_t2 THEN 0
+             ELSE CAST((correct::HUGEINT * n - sum_pt)
+               * (correct::HUGEINT * n - sum_pt) * 1000000
+               // ((n::HUGEINT * n - sum_p2) * (n::HUGEINT * n - sum_t2))
+               AS BIGINT) END AS mcc2_fp
+         FROM tot""",
     // identical Lehmer weights, 32 replicate means, list-sorted band
     "c10_bootstrap_ci" ->
       """WITH d AS (SELECT doc_id,

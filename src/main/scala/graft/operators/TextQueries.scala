@@ -863,7 +863,60 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t24 — winsorized corpus statistics: per-source mean document
+    * length with the tails clipped at the corpus-global p1/p99 — the
+    * robust version of every data-card number (one 10M-token scrape
+    * artifact otherwise drags a source's mean by orders of magnitude).
+    * The clip bounds come from t17's HDR value-domain sketch (≤ 2048
+    * log-linear buckets), NOT from a global sort: the sketch is
+    * mergeable, so the bounds are computable in one partial+final pass
+    * at any scale, and both engines resolve identical bucket
+    * lower-bounds — exact integer agreement, no quantile
+    * interpolation ambiguity.
+    *
+    * Scale shape: pass 1 builds the bounded histogram (map-side
+    * combined, ≤ 2048 rows — the cum window runs over the SKETCH, never
+    * the data); pass 2 re-scans with the broadcast 1-row bounds and
+    * aggregates per source. Two scans total, no data-sized shuffle. */
+  def t24_winsorized_stats(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("v"))
+    val hist = docs.withColumn("idx", expr(
+        """CASE WHEN v < 32 THEN v ELSE
+             (length(bin(v)) - 1) * 32 + (shiftright(v, length(bin(v)) - 6) - 32)
+           END"""))
+      .groupBy("idx").agg(count(lit(1)).as("cnt"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    // bounded global window: ≤ 2048 sketch rows regardless of volume
+    val cum = hist.withColumn("cum", sum("cnt").over(Window.orderBy("idx")))
+    def lb(c: String) = expr(
+      s"""CASE WHEN $c < 32 THEN $c
+          ELSE shiftleft($c % 32 + 32, CAST($c div 32 AS INT) - 5) END""")
+    val bounds = cum.crossJoin(broadcast(n))
+      .select(
+        min(when(col("cum") >= expr("(n * 1 + 99) div 100"), col("idx")))
+          .as("idx_lo"),
+        min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("idx")))
+          .as("idx_hi"))
+      .select(lb("idx_lo").as("lo"), lb("idx_hi").as("hi"))
+    docs.crossJoin(broadcast(bounds))
+      .withColumn("w", greatest(least(col("v"), col("hi")), col("lo")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum("v").as("tok_sum"), sum("w").as("wtok_sum"))
+      .withColumn("mean_fp", ldiv(col("tok_sum") * 1000000L, col("n_docs")))
+      .withColumn("wmean_fp", ldiv(col("wtok_sum") * 1000000L, col("n_docs")))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_winsorized_stats" -> (t24_winsorized_stats _),
     "t23_ngram_novelty" -> (t23_ngram_novelty _),
     "t22_bpe_train" -> (t22_bpe_train _),
     "t21_quality_classifier" -> (t21_quality_classifier _),
@@ -893,6 +946,42 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    // same HDR bucket index/lower-bound algebra as t17, p1/p99 picks,
+    // then the clipped per-source re-aggregation
+    "t24_winsorized_stats" ->
+      """WITH d AS (SELECT doc_id, source,
+           len(string_split(text, ' '))::BIGINT AS v FROM documents),
+         h AS (SELECT CASE WHEN v < 32 THEN v ELSE
+             (length(bin(v)) - 1) * 32 + ((v >> (length(bin(v)) - 6)) - 32)
+           END AS idx, count(*) AS cnt
+           FROM d GROUP BY 1),
+         c AS (SELECT idx, sum(cnt) OVER (ORDER BY idx) AS cum,
+             sum(cnt) OVER () AS n FROM h),
+         pk AS (SELECT
+             min(CASE WHEN cum >= (n * 1 + 99) // 100 THEN idx END)
+               AS idx_lo,
+             min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN idx END)
+               AS idx_hi
+           FROM c),
+         b AS (SELECT
+             CASE WHEN idx_lo < 32 THEN idx_lo
+               ELSE (idx_lo % 32 + 32) << (idx_lo // 32 - 5) END AS lo,
+             CASE WHEN idx_hi < 32 THEN idx_hi
+               ELSE (idx_hi % 32 + 32) << (idx_hi // 32 - 5) END AS hi
+           FROM pk)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           CAST(any_value(b.lo) AS BIGINT) AS lo,
+           CAST(any_value(b.hi) AS BIGINT) AS hi,
+           CAST(sum(CASE WHEN v < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_lo,
+           CAST(sum(CASE WHEN v > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_hi,
+           CAST(sum(v) AS BIGINT) AS tok_sum,
+           CAST(sum(greatest(least(v, b.hi), b.lo)) AS BIGINT) AS wtok_sum,
+           (CAST(sum(v) AS BIGINT) * 1000000) // count(*) AS mean_fp,
+           (CAST(sum(greatest(least(v, b.hi), b.lo)) AS BIGINT) * 1000000)
+             // count(*) AS wmean_fp
+         FROM d, b GROUP BY source ORDER BY source""",
     // same md5-hashed distinct 5-grams, first-seen = min(doc_id),
     // novelty share at 1e-6 fixed point
     "t23_ngram_novelty" ->
