@@ -697,6 +697,48 @@ object PipelineQueries {
           .as("transitivity_fp"))
   }
 
+  /** p22 — rendezvous (highest-random-weight) shard assignment with a
+    * reshard-stability audit: every document goes to the shard
+    * maximizing hash(doc, shard) over 16 shards, then the same rule is
+    * re-evaluated over 17 and the audit reports, per old shard, how
+    * many documents MOVE — HRW's guarantee is that growing the pool
+    * only pulls docs INTO the new shard (expected share 1/17 ≈ 5.9 %),
+    * never reshuffles between survivors. This is the shard map a
+    * training pipeline wants for cache/locality-stable resharding,
+    * where mod-N hashing would move (N−1)/N of the corpus.
+    *
+    * Determinism: hash(doc, shard) is the c10 Lehmer chain on
+    * (doc_id, shard), replayed verbatim by the oracle; the argmax
+    * tie-break is the higher shard id (max_by on packed hash·32+shard).
+    *
+    * Scale shape: pure scan-parallel — the 16/17-way score evaluation
+    * is a constant-width explode + one map-side-combined argmax per
+    * doc (array_max over a transform, no shuffle at all), then one
+    * 16-key aggregate. Nothing anywhere is proportional to shard
+    * count × corpus beyond the constant 17×. */
+  def p22_rendezvous_shards(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    def score(shard: Column): Column =
+      (col("doc_id") * 1103515245L + (shard + 1L) * 12345L + 6789L) %
+        2147483647L * 16807L % 2147483647L
+    // argmax via max over (score*32 + shard): higher score wins, ties
+    // to the higher shard id; score < 2^31 so the pack never overflows
+    def assign(n: Int): Column = {
+      val packed = array((0 until n).map(k =>
+        score(lit(k.toLong)) * 32L + k.toLong): _*)
+      array_max(packed) % 32L
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), assign(16).as("shard16"),
+        assign(17).as("shard17"))
+      .groupBy(col("shard16").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard16") =!= col("shard17"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .withColumn("moved_fp", ldiv(col("n_moved") * 1000000L, col("n_docs")))
+      .orderBy("shard")
+  }
+
   /** p20 — curriculum pacing schedule: documents are ranked by an
     * integer difficulty signal (mean token length at 1e-6 fixed point —
     * longer words ≈ harder text), cut into GLOBAL difficulty terciles,
@@ -752,6 +794,7 @@ object PipelineQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p22_rendezvous_shards" -> (p22_rendezvous_shards _),
     "p21_triangle_count" -> (p21_triangle_count _),
     "p20_curriculum" -> (p20_curriculum _),
     "p18_bfs_hops" -> (p18_bfs_hops _),
@@ -775,6 +818,24 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same Lehmer score per (doc, shard), same packed-argmax tie-break
+    "p22_rendezvous_shards" ->
+      """WITH a AS (SELECT doc_id,
+           list_max(list_transform(range(0, 16), k ->
+             ((doc_id * 1103515245 + (k + 1) * 12345 + 6789)
+               % 2147483647 * 16807) % 2147483647 * 32 + k)) % 32
+             AS shard16,
+           list_max(list_transform(range(0, 17), k ->
+             ((doc_id * 1103515245 + (k + 1) * 12345 + 6789)
+               % 2147483647 * 16807) % 2147483647 * 32 + k)) % 32
+             AS shard17
+           FROM documents)
+         SELECT shard16 AS shard, count(*)::BIGINT AS n_docs,
+           CAST(sum(CASE WHEN shard16 <> shard17 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_moved,
+           (CAST(sum(CASE WHEN shard16 <> shard17 THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000) // count(*) AS moved_fp
+         FROM a GROUP BY 1 ORDER BY 1""",
     // identical orientation replay: canonical a<b edges, degree from
     // both endpoints, low-(deg,id) -> high orientation, wedge join +
     // membership join; wedges counted on the UNDIRECTED degrees

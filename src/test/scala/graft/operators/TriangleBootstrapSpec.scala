@@ -59,4 +59,31 @@ class TriangleBootstrapSpec extends SparkSpec {
       .map(_.getAs[Long]("mean_fp")).sorted
     assert(again.sameElements(means))
   }
+
+  test("p22: HRW reshard moves docs ONLY into the new shard, ≈1/17 of them") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    // recompute both assignments row-level to check the HRW guarantee
+    // the aggregated query output can't express
+    def score(doc: Column, k: Long): Column =
+      (doc * 1103515245L + lit(k + 1L) * 12345L + 6789L) %
+        2147483647L * 16807L % 2147483647L
+    def assign(n: Int): Column =
+      array_max(array((0 until n).map(k =>
+        score(col("doc_id"), k.toLong) * 32L + k.toLong): _*)) % 32L
+    val rows = graft.core.Tables.documents(spark, sf())
+      .select(col("doc_id"), assign(16).as("s16"), assign(17).as("s17"))
+    val moved = rows.filter(col("s16") =!= col("s17"))
+    // minimal disruption: every moved doc lands in shard 16, never in
+    // another surviving shard
+    assert(moved.filter(col("s17") =!= 16L).count() === 0L,
+      "HRW must never move a doc between surviving shards")
+    val (m, n) = (moved.count().toDouble, rows.count().toDouble)
+    assert(m / n > 0.02 && m / n < 0.12,
+      s"moved share ${m / n} should be near 1/17")
+    // and the query's aggregate agrees with the row-level recompute
+    val agg = PipelineQueries.p22_rendezvous_shards(spark, sf())
+      .agg(sum("n_moved")).head.getLong(0)
+    assert(agg === moved.count())
+  }
 }
