@@ -1193,7 +1193,60 @@ object StreamQueries {
     }
   }
 
+  /** q67 — stream–static enrichment join, the remaining Structured
+    * Streaming join mode next to q31/q44/q47/q48's stream–stream pairs:
+    * the event stream joins a STATIC per-user profile dimension (one
+    * batch aggregate, resolved fresh against each micro-batch — the
+    * Spark semantic that lets a dim table be swapped under a running
+    * query). No watermark is needed: the static side never adds rows,
+    * so the inner join emits each stream row exactly once on arrival.
+    *
+    * The output re-aggregates the enriched sink per user and carries
+    * profile_cnt next to n_events — after the full replay the two MUST
+    * agree, so the oracle checks the enrichment values, not just row
+    * counts. At 100 TB the profile side broadcasts (or bucket-joins)
+    * exactly as in batch; per-micro-batch cost is the stream slice, not
+    * the dim build. */
+  def q67_stream_static_join(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts").as("tns"), col("user_id"),
+        col("value"))
+    val (lo, hi) = tsBounds(ev, "tns")
+    val splitTs = lo + (hi - lo) / 2
+    val profile = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("profile_cnt"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("tns", LongType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    withWatchDir("graft_q67_src") { watch =>
+      val enriched = s.readStream.schema(schema).parquet(watch)
+        .join(profile, "user_id")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("profile_cnt"))
+      val q = enriched.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("q67_stream_out").start()
+      feedDrops(q, watch, Seq(
+        ev.filter(col("tns") <= splitTs)
+          .select("event_id", "tns", "user_id", "value"),
+        ev.filter(col("tns") > splitTs)
+          .select("event_id", "tns", "user_id", "value")))
+      val sunk = s.table("q67_stream_out")
+      val rows = sunk.collect().toIndexedSeq
+      val sunkSchema = sunk.schema
+      s.catalog.dropTempView("q67_stream_out")
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), sunkSchema)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          first("profile_cnt").as("profile_cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("user_id")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_stream_static_join" -> (q67_stream_static_join _),
     "q60_stream_drift" -> (q60_stream_drift _),
     "q64_cdc_upsert" -> (q64_cdc_upsert _),
     "q54_stream_funnel" -> (q54_stream_funnel _),
@@ -1249,6 +1302,13 @@ object StreamQueries {
        WHERE rank <= 3 ORDER BY user_id, rank"""
 
   val oracles: Map[String, String] = Map(
+    // full-replay convergence: the enriched stream re-aggregated per
+    // user equals the batch join; profile_cnt == n_events by design
+    "q67_stream_static_join" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+           count(*)::BIGINT AS profile_cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
     // the incremental milestone state must converge to the offline
     // three-window funnel answer
     "q54_stream_funnel" -> RelationalQueries.oracles("q53_funnel"),
