@@ -1342,6 +1342,67 @@ object RelationalQueries {
       (dp, mp)
     }
 
+  /** q68 — copy-on-write MERGE with manifest-pruned rewrite scope (the
+    * Delta/Iceberg COW `MERGE INTO` shape): a delta carries UPDATEs for
+    * a narrow key band (quantity + 10) and INSERTs (the band's rows
+    * shifted past the key domain); q65's zone-map manifest identifies
+    * the ONLY files whose key range can contain a matched row, exactly
+    * those are rewritten (non-matched residents carried inside them
+    * verbatim), every other file is referenced UNCHANGED in the new
+    * snapshot, and the inserts land as a fresh appended file.
+    *
+    * Scale shape: rewrite cost ∝ files-that-can-match (zone-pruned,
+    * O(files) driver-side manifest filter), never table size — the COW
+    * complement of q50's merge-on-read DVs (which defer the rewrite)
+    * and q66's changelog (which reads the file-level diff this merge
+    * produces). The update application is one scan of the candidate
+    * files with a range predicate — no join at all, since the delta is
+    * keyed by the band. MergeCowSpec pins the file mechanics (strict
+    * rewrite subset, untouched files referenced by their ORIGINAL
+    * paths); the oracle replays the table semantics
+    * layout-independently. */
+  def q68_merge_cow(s: SparkSession, dir: String): DataFrame = {
+    val (newFiles, untouched) = q68Merge(s, dir)
+    s.read.parquet(untouched ++ newFiles: _*)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The COW merge build (memoized per sweep): returns (new file dirs,
+    * untouched original file paths). */
+  private[operators] def q68Merge(
+      s: SparkSession, dir: String): (Seq[String], Seq[String]) =
+    graft.core.SessionMemo.memoize(s, "q68-cow:" + dir) {
+      val (_, manP) = q65Layout(s, dir)
+      val man = s.read.parquet(manP)
+      val mx = man.agg(max("max_ok")).head.getLong(0)
+      val (loD, hiD) = (mx / 4, mx / 4 + mx / 100)
+      val cand = q65Survivors(man, loD, hiD)
+      val untouched = man.select("file_path").collect()
+        .map(_.getString(0)).toSeq.sorted.diff(cand)
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
+      def tmp(n: String) = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_q68_${n}_$tag")
+        .getAbsolutePath
+      val (rw, ins) = (tmp("rewrite"), tmp("insert"))
+      // rewrite ONLY the candidate files: matched rows updated in
+      // place, non-matched residents carried verbatim
+      s.read.parquet(cand: _*)
+        .withColumn("l_quantity",
+          when(col("l_orderkey").between(loD, hiD), col("l_quantity") + 10)
+            .otherwise(col("l_quantity")))
+        .write.mode("overwrite").parquet(rw)
+      // inserts: the band shifted wholly past the key domain
+      s.read.parquet(cand: _*)
+        .filter(col("l_orderkey").between(loD, hiD))
+        .withColumn("l_orderkey", col("l_orderkey") + mx)
+        .write.mode("overwrite").parquet(ins)
+      (Seq(rw, ins), untouched)
+    }
+
   /** q53 — ordered funnel analysis (view → click → purchase): for each
     * user, the first view, the first click strictly after that view, and
     * the first purchase strictly after that click; users are then counted
@@ -1576,6 +1637,7 @@ object RelationalQueries {
     "q53_funnel" -> (q53_funnel _),
     "q52_time_travel" -> (q52_time_travel _),
     "q66_changelog_diff" -> (q66_changelog_diff _),
+    "q68_merge_cow" -> (q68_merge_cow _),
     "q51_scd2_merge" -> (q51_scd2_merge _),
     "q65_manifest_skipping" -> (q65_manifest_skipping _),
     "q61_wap_publish" -> (q61_wap_publish _),
@@ -1718,6 +1780,20 @@ object RelationalQueries {
          FROM st GROUP BY stage ORDER BY stage""",
     // log replay in predicate form: v1 = pre-1998, v2 = pre-2000,
     // v3 = everything minus pre-1998 status-'F' rows (the v3 rewrite)
+    // COW merge replay, layout-independent: band rows +10, band copy
+    // shifted past the domain appended
+    "q68_merge_cow" ->
+      """WITH mx AS (SELECT max(l_orderkey) AS mk FROM lineitem),
+         upd AS (SELECT l_returnflag,
+             CASE WHEN l_orderkey BETWEEN mk // 4 AND mk // 4 + mk // 100
+               THEN l_quantity + 10 ELSE l_quantity END AS q
+           FROM lineitem, mx),
+         ins AS (SELECT l_returnflag, l_quantity AS q FROM lineitem, mx
+           WHERE l_orderkey BETWEEN mk // 4 AND mk // 4 + mk // 100)
+         SELECT l_returnflag, count(*)::BIGINT AS n_items,
+           CAST(sum(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+         GROUP BY 1 ORDER BY 1""",
     // changelog semantics replayed from the source table: deletes are
     // the rows the v3 rewrite dropped (pre-1998 status F), inserts are
     // the v3 load (>= 2000); carry-over rewrite rows cancel
