@@ -90,7 +90,8 @@ object Bench {
     val layoutQueries = Set("q33_bucketed_join", "q35_partition_pruning",
       "q37_zorder_layout", "q41_compact_small_files", "q43_zorder_bigmin",
       "q50_merge_on_read", "q52_time_travel", "q59_dv_vacuum",
-      "q61_wap_publish", "q62_equality_deletes", "q63_incremental_mv")
+      "q61_wap_publish", "q62_equality_deletes", "q63_incremental_mv",
+      "q65_manifest_skipping", "q66_changelog_diff", "q68_merge_cow")
     val ingest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }
