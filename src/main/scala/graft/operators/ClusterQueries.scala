@@ -403,7 +403,11 @@ object ClusterQueries {
   }
 
   /** Shared integer NDCG LUTs: disc(i) = floor(2^20 / log2(i+1)) for
-    * ranks 1..10, gains(r) = 2^r − 1 for grades 0..5. Computed ONCE here
+    * ranks 1..10, gains(r) = 2^r − 1 for grades 0..20. Headroom note:
+    * at the max grade, gain·disc ≈ (2^20−1)·2^20 ≈ 2^40, and a 10-deep
+    * DCG ·1e6 lands within ~2× of Long.MaxValue — the grade cap (20),
+    * k (10) and the 1e6 fixed-point scale are jointly tight; raising
+    * any of them needs a decimal(38) carry. Computed ONCE here
     * and embedded verbatim in BOTH the Spark plan and the DuckDB oracle
     * text (the t19 entLut pattern) — the irrational log never crosses an
     * engine boundary. */
@@ -524,8 +528,13 @@ object ClusterQueries {
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
     val byRep = docs
       .withColumn("rep", explode(sequence(lit(0L), lit(31L))))
-      .withColumn("h1", (col("doc_id") * 1103515245L +
-        (col("rep") + 1L) * 12345L + 6789L) % 2147483647L)
+      // doc_id is reduced mod 2^31−1 BEFORE the multiply (the p14 pmod
+      // pattern): id·1103515245 would wrap int64 past id ≈ 8.4e9 —
+      // silently in Spark, loudly in DuckDB — right at 100 TB corpus
+      // sizes. The reduction is a no-op below 2^31−1, so oracle-SF
+      // hashes are unchanged.
+      .withColumn("h1", (pmod(col("doc_id"), lit(2147483647L)) *
+        1103515245L + (col("rep") + 1L) * 12345L + 6789L) % 2147483647L)
       .withColumn("b", (col("h1") * 16807L) % 2147483647L % 100L)
       // Poisson(1) pmf ≈ .368/.368/.184/.061/.019 as integer buckets
       .withColumn("w", when(col("b") < 37L, 0L).when(col("b") < 74L, 1L)
@@ -549,9 +558,16 @@ object ClusterQueries {
     * confusion-matrix marginals, so instead of an engine-dependent
     * floating sqrt the output carries mcc_sign and mcc2_fp =
     * num²·1e6 / ((n²−Σp²)(n²−Σt²)) in exact DECIMAL(38,0) arithmetic
-    * (the c09/q55 pattern; n ≲ 3·10⁹ before the decimal ceiling — same
-    * documented bound). Degenerate marginals (all predictions one
-    * class) short-circuit to 0 rather than divide by zero.
+    * (the c09/q55 pattern). The division runs in TWO steps —
+    * (|num|·1e6 div D₁)·|num| div D₂ — never materializing num²:
+    * num is n²-scale, so num²·1e6 would blow the 38-digit ceiling
+    * already at n ≈ 5·10⁷ (silent NULL in Spark's non-ANSI decimal,
+    * error in DuckDB's HUGEINT). Cauchy–Schwarz gives |num| ≤ √(D₁D₂),
+    * so every two-step intermediate stays ≤ 1e6·n², pushing the true
+    * bound to n ≲ 10¹⁶ — comfortably past any 100 TB corpus. Both
+    * engines replay the identical step order, so truncation agrees.
+    * Degenerate marginals (all predictions one class) short-circuit
+    * to 0 rather than divide by zero.
     *
     * Scale shape: identical to c07/c09 — one labeler scan, two
     * map-combined groupBys on the 5-value class key, one constant-size
@@ -578,9 +594,9 @@ object ClusterQueries {
       .withColumn("mcc_sign", signum(col("num")).cast("long"))
       .withColumn("mcc2_fp", expr(
         """CASE WHEN n * n = sum_p2 OR n * n = sum_t2 THEN 0
-           ELSE CAST((CAST(num AS DECIMAL(38,0)) * num * 1000000) div
-             ((CAST(n AS DECIMAL(38,0)) * n - sum_p2) *
-              (CAST(n AS DECIMAL(38,0)) * n - sum_t2)) AS BIGINT) END"""))
+           ELSE CAST(((abs(CAST(num AS DECIMAL(38,0))) * 1000000 div
+             (CAST(n AS DECIMAL(38,0)) * n - sum_p2)) * abs(num)) div
+             (CAST(n AS DECIMAL(38,0)) * n - sum_t2) AS BIGINT) END"""))
       .select("n", "correct", "sum_pt", "sum_p2", "sum_t2", "num",
         "mcc_sign", "mcc2_fp")
   }
@@ -775,9 +791,10 @@ object ClusterQueries {
                  WHEN correct * n - sum_pt < 0 THEN -1
                  ELSE 0 END)::BIGINT AS mcc_sign,
            CASE WHEN n * n = sum_p2 OR n * n = sum_t2 THEN 0
-             ELSE CAST((correct::HUGEINT * n - sum_pt)
-               * (correct::HUGEINT * n - sum_pt) * 1000000
-               // ((n::HUGEINT * n - sum_p2) * (n::HUGEINT * n - sum_t2))
+             ELSE CAST((abs(correct::HUGEINT * n - sum_pt) * 1000000
+               // (n::HUGEINT * n - sum_p2))
+               * abs(correct::HUGEINT * n - sum_pt)
+               // (n::HUGEINT * n - sum_t2)
                AS BIGINT) END AS mcc2_fp
          FROM tot""",
     // identical Lehmer weights, 32 replicate means, list-sorted band
@@ -786,7 +803,8 @@ object ClusterQueries {
              len(string_split(text, ' '))::BIGINT AS n_tok
            FROM documents),
          w AS (SELECT r.rep, d.n_tok,
-             ((d.doc_id * 1103515245 + (r.rep + 1) * 12345 + 6789)
+             (((d.doc_id % 2147483647) * 1103515245
+               + (r.rep + 1) * 12345 + 6789)
                % 2147483647 * 16807) % 2147483647 % 100 AS b
            FROM d, (SELECT unnest(range(0, 32))::BIGINT AS rep) r),
          w2 AS (SELECT rep, n_tok,

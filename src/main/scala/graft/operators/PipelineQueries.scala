@@ -691,10 +691,20 @@ object PipelineQueries {
       .crossJoin(broadcast(deg
         .agg(sum(ldiv(col("deg") * (col("deg") - 1L), lit(2L)))
           .as("n_wedges"))))
-    edgeWedge.crossJoin(broadcast(tri))
+    // n_wedges = 0 (degenerate/empty edge set) must yield 0, not a
+    // NULL-vs-error divergence between Spark's IntegralDivide and
+    // DuckDB's //; the single summary row is materialized eagerly
+    // (localCheckpoint) so the two caches can be released instead of
+    // leaking executor memory across a bench sweep.
+    val out = edgeWedge.crossJoin(broadcast(tri))
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-        ldiv(col("n_triangles") * 3000000L, col("n_wedges"))
+        when(col("n_wedges") === 0L, 0L)
+          .otherwise(ldiv(col("n_triangles") * 3000000L, col("n_wedges")))
           .as("transitivity_fp"))
+      .localCheckpoint()
+    und.unpersist()
+    oriented.unpersist()
+    out
   }
 
   /** p22 — rendezvous (highest-random-weight) shard assignment with a
@@ -718,9 +728,12 @@ object PipelineQueries {
     * count × corpus beyond the constant 17×. */
   def p22_rendezvous_shards(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.KeyAlgebra.ldiv
+    // doc_id reduced mod 2^31−1 BEFORE the multiply (the p14/c10 pmod
+    // pattern): id·1103515245 wraps int64 past id ≈ 8.4e9 — silently in
+    // Spark, loudly in DuckDB. No-op below 2^31−1 ids.
     def score(shard: Column): Column =
-      (col("doc_id") * 1103515245L + (shard + 1L) * 12345L + 6789L) %
-        2147483647L * 16807L % 2147483647L
+      (pmod(col("doc_id"), lit(2147483647L)) * 1103515245L +
+        (shard + 1L) * 12345L + 6789L) % 2147483647L * 16807L % 2147483647L
     // argmax via max over (score*32 + shard): higher score wins, ties
     // to the higher shard id; score < 2^31 so the pack never overflows
     def assign(n: Int): Column = {
@@ -822,11 +835,11 @@ object PipelineQueries {
     "p22_rendezvous_shards" ->
       """WITH a AS (SELECT doc_id,
            list_max(list_transform(range(0, 16), k ->
-             ((doc_id * 1103515245 + (k + 1) * 12345 + 6789)
+             (((doc_id % 2147483647) * 1103515245 + (k + 1) * 12345 + 6789)
                % 2147483647 * 16807) % 2147483647 * 32 + k)) % 32
              AS shard16,
            list_max(list_transform(range(0, 17), k ->
-             ((doc_id * 1103515245 + (k + 1) * 12345 + 6789)
+             (((doc_id % 2147483647) * 1103515245 + (k + 1) * 12345 + 6789)
                % 2147483647 * 16807) % 2147483647 * 32 + k)) % 32
              AS shard17
            FROM documents)
@@ -870,8 +883,9 @@ object PipelineQueries {
          SELECT (SELECT count(*) FROM und)::BIGINT AS n_edges,
            (SELECT wedges FROM w) AS n_wedges,
            (SELECT t FROM tri) AS n_triangles,
-           ((SELECT t FROM tri) * 3000000) // (SELECT wedges FROM w)
-             AS transitivity_fp""",
+           CASE WHEN (SELECT wedges FROM w) = 0 THEN 0
+             ELSE ((SELECT t FROM tri) * 3000000) // (SELECT wedges FROM w)
+             END AS transitivity_fp""",
     "p20_curriculum" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
            FROM documents),

@@ -1,0 +1,598 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+/** Baseline-sequential JPEG (JFIF) codec, written from the public ITU-T
+  * T.81 specification — the same from-spec discipline as [[HDF5]] /
+  * [[Zarr]] / [[MediaCodec]]. The DECODER is the production artifact: a
+  * real multimodal corpus is JPEG-dominated, and every m-family operator
+  * reaches it through [[MediaCodec.decodeImage]]'s magic-byte sniff. It
+  * implements the full baseline process: marker parse (SOI/APPn/COM/
+  * DQT 8- and 16-bit/DHT/SOF0/DRI/SOS/RSTn/EOI), canonical Huffman
+  * decode built from DHT per Annex C, byte-unstuffing (FF 00), restart
+  * intervals with DC-predictor reset and byte alignment, dequantize +
+  * inverse zigzag (Figure A.6), separable 2-D IDCT (A.3.3) with the
+  * DC-only fast path, sample-replication chroma upsampling for any
+  * H/V ∈ {1,2}, YCbCr→RGB per JFIF, and edge crop of partial MCUs.
+  *
+  * The ENCODER exists to make fixtures (the container ships no media
+  * files): it entropy-codes CALLER-SUPPLIED quantized coefficient
+  * blocks, so spec tests can exercise the AC run-length path (ZRL,
+  * mid-block EOB, byte stuffing) while the oracle-checked queries use
+  * flat (DC-only) blocks whose decode is integer-exact: with
+  * qtable[0] = 8 and DC coefficient v−128, a DC-only block inverts to
+  * the constant v (IDCT of a lone DC is dc/8 + 128 level shift), and
+  * constant chroma 128 makes YCbCr→RGB the identity — so a DuckDB
+  * oracle can replay decoded pixels from document bytes with no JPEG
+  * knowledge, and any bug in the Huffman/marker/restart/upsample chain
+  * shifts real pixel values and fails the hash compare.
+  *
+  * The Huffman tables are GENERATED canonical tables (all-4-bit DC
+  * symbols 0..11, all-6-bit AC symbols: EOB, ZRL, runs 0..3 × sizes
+  * 1..8), not the Annex K defaults — the decoder must build whatever
+  * DHT arrives, so fixtures with non-default tables exercise the
+  * generic path. The reference engine has no media path at all (brief
+  * requirement; no counterpart file to cite).
+  */
+object Jpeg {
+
+  /** Zigzag scan order, T.81 Figure A.6: zigzag position → natural
+    * (row-major) coefficient index. */
+  private[sources] val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** A Huffman table spec: `bits(l)` = number of codes of length l+1
+    * (16 entries), `vals` = symbols in code order. */
+  final case class HuffSpec(bits: Array[Int], vals: Array[Int])
+
+  /** Fixture DC table: 12 categories, all 4-bit codes (canonical codes
+    * 0000..1011 — the all-ones code is never assigned, per Annex C). */
+  private[sources] val DcSpec = HuffSpec(
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+    (0 to 11).toArray)
+
+  /** Fixture AC table: EOB, ZRL and (run ≤ 3, size ≤ 8), all 6-bit. */
+  private[sources] val AcSpec = HuffSpec(
+    Array(0, 0, 0, 0, 0, 34, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+    (Array(0x00, 0xF0) ++
+      (for (r <- 0 to 3; s <- 1 to 8) yield (r << 4) | s)).toArray)
+
+  /** Annex C canonical code assignment: symbol → (code, length). */
+  private def buildEncodeTable(spec: HuffSpec): Map[Int, (Int, Int)] = {
+    var code = 0
+    var vi = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (l <- 1 to 16) {
+      for (_ <- 0 until spec.bits(l - 1)) {
+        out += spec.vals(vi) -> (code, l)
+        vi += 1
+        code += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  /** Decoder-side canonical table (T.81 F.2.2.3 DECODE): per code
+    * length, the min/max code value and the index of its first symbol. */
+  private final class HuffDecoder(spec: HuffSpec) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    val vals: Array[Int] = spec.vals
+    locally {
+      var code = 0
+      var vi = 0
+      for (l <- 1 to 16) {
+        if (spec.bits(l - 1) == 0) { minCode(l) = 0; maxCode(l) = -1 }
+        else {
+          valPtr(l) = vi
+          minCode(l) = code
+          code += spec.bits(l - 1); vi += spec.bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+      }
+    }
+  }
+
+  // ----------------------------------------------------------- bit I/O
+
+  /** MSB-first bit writer with FF→FF 00 byte stuffing. */
+  private final class BitWriter(out: ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc & 0xFF)
+          if ((acc & 0xFF) == 0xFF) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad to a byte boundary with 1-bits (B.1.1.5 marker alignment). */
+    def flushByte(): Unit = if (nbits > 0) put(0xFF, 8 - nbits)
+  }
+
+  /** MSB-first bit reader over entropy-coded data: unstuffs FF 00 and
+    * refuses to read past a marker (a well-formed stream never does). */
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    def bit(): Int = {
+      if (nbits == 0) {
+        require(pos < bytes.length, "JPEG: truncated entropy stream")
+        var b = bytes(pos) & 0xFF
+        pos += 1
+        if (b == 0xFF) {
+          require(pos < bytes.length, "JPEG: truncated after FF")
+          val m = bytes(pos) & 0xFF
+          require(m == 0x00,
+            f"JPEG: marker FF$m%02X inside an entropy segment")
+          pos += 1
+          b = 0xFF
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume an expected RSTn marker. */
+    def restart(expected: Int): Unit = {
+      nbits = 0
+      require(pos + 1 < bytes.length, "JPEG: truncated at restart")
+      require((bytes(pos) & 0xFF) == 0xFF &&
+        (bytes(pos + 1) & 0xFF) == 0xD0 + expected,
+        f"JPEG: expected RST$expected at offset $pos")
+      pos += 2
+    }
+    def decode(t: HuffDecoder): Int = {
+      var code = bit()
+      var l = 1
+      while (t.maxCode(l) < code || t.maxCode(l) == -1) {
+        require(l < 16, "JPEG: invalid Huffman code")
+        code = (code << 1) | bit()
+        l += 1
+      }
+      t.vals(t.valPtr(l) + code - t.minCode(l))
+    }
+    /** EXTEND (F.2.2.1): map an s-bit magnitude to a signed value. */
+    def receiveExtend(s: Int): Int = {
+      if (s == 0) 0
+      else {
+        val v = bits(s)
+        if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+      }
+    }
+  }
+
+  // -------------------------------------------------------------- IDCT
+
+  /** ct(x)(u) = C(u)/2 · cos((2x+1)uπ/16) — the separable half of the
+    * A.3.3 inverse transform. */
+  private val CosT: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Inverse DCT + level shift + clamp of one dequantized block
+    * (natural order) into an 8×8 byte block. DC-only blocks take the
+    * exact flat path (every basis at u=v=0 is constant dc/8). */
+  private def idctBlock(coef: Array[Int], out: Array[Int]): Unit = {
+    var allZero = true
+    var i = 1
+    while (i < 64 && allZero) { if (coef(i) != 0) allZero = false; i += 1 }
+    if (allZero) {
+      val v = clamp(math.floor(coef(0) / 8.0 + 0.5).toInt + 128)
+      java.util.Arrays.fill(out, v)
+      return
+    }
+    val tmp = new Array[Double](64) // rows transformed: G(v,x)
+    var v0 = 0
+    while (v0 < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += coef(v0 * 8 + u) * CosT(x)(u); u += 1 }
+        tmp(v0 * 8 + x) = s
+        x += 1
+      }
+      v0 += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v1 = 0
+        while (v1 < 8) { s += tmp(v1 * 8 + x) * CosT(y)(v1); v1 += 1 }
+        out(y * 8 + x) = clamp(math.floor(s + 0.5).toInt + 128)
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  // ----------------------------------------------------------- encoder
+
+  /** Quant table whose DC step of 8 makes a DC coefficient of v−128
+    * decode to the exact flat value v (lone-DC IDCT is dc/8 + 128). */
+  private[sources] val FlatQ: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+
+  private def writeMarker(o: ByteArrayOutputStream, m: Int): Unit = {
+    o.write(0xFF); o.write(m)
+  }
+
+  private def writeSeg(o: ByteArrayOutputStream, m: Int, body: Array[Int]): Unit = {
+    writeMarker(o, m)
+    val len = body.length + 2
+    o.write(len >> 8); o.write(len & 0xFF)
+    body.foreach(b => o.write(b & 0xFF))
+  }
+
+  private def dqtBody(id: Int, q: Array[Int]): Array[Int] =
+    id +: Array.tabulate(64)(z => q(Zigzag(z)))
+
+  private def dhtBody(cls: Int, id: Int, spec: HuffSpec): Array[Int] =
+    ((cls << 4) | id) +: (spec.bits ++ spec.vals)
+
+  private def category(v: Int): Int = {
+    var a = math.abs(v)
+    var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Entropy-code one block of quantized coefficients (natural order):
+    * DC diff then run-length AC with ZRL and EOB (F.1.2). */
+  private def encodeBlock(bw: BitWriter, coef: Array[Int], pred: Int,
+                          dcT: Map[Int, (Int, Int)],
+                          acT: Map[Int, (Int, Int)]): Int = {
+    val diff = coef(0) - pred
+    val s = category(diff)
+    val (dcode, dlen) = dcT(s)
+    bw.put(dcode, dlen)
+    if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    var lastNz = 0
+    var i = 63
+    while (i > 0 && lastNz == 0) { if (coef(Zigzag(i)) != 0) lastNz = i; i -= 1 }
+    var run = 0
+    var z = 1
+    while (z <= lastNz) {
+      val c = coef(Zigzag(z))
+      if (c == 0) run += 1
+      else {
+        while (run > 15) { val (zc, zl) = acT(0xF0); bw.put(zc, zl); run -= 16 }
+        val sz = category(c)
+        val (code, len) = acT((run << 4) | sz)
+        bw.put(code, len)
+        bw.put(if (c < 0) c + (1 << sz) - 1 else c, sz)
+        run = 0
+      }
+      z += 1
+    }
+    if (lastNz < 63) { val (ec, el) = acT(0x00); bw.put(ec, el) }
+    coef(0)
+  }
+
+  /** Encode a GRAYSCALE baseline JPEG from caller-supplied quantized
+    * coefficient blocks (raster order, natural-order 64 coefficients
+    * each, quantized against `q`). `dri` > 0 writes a DRI segment and
+    * RSTn markers every `dri` MCUs (grayscale MCU = one block). */
+  def encodeGrayCoeffs(w: Int, h: Int, blocks: Array[Array[Int]],
+                       q: Array[Int] = FlatQ, dri: Int = 0): Array[Byte] = {
+    val bx = (w + 7) / 8; val by = (h + 7) / 8
+    require(blocks.length == bx * by, s"need ${bx * by} blocks")
+    val o = new ByteArrayOutputStream()
+    writeMarker(o, 0xD8) // SOI
+    writeSeg(o, 0xE0, Array(0x4A, 0x46, 0x49, 0x46, 0x00, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // JFIF APP0
+    writeSeg(o, 0xDB, dqtBody(0, q))
+    writeSeg(o, 0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 1, 1, 0x11, 0))
+    writeSeg(o, 0xC4, dhtBody(0, 0, DcSpec))
+    writeSeg(o, 0xC4, dhtBody(1, 0, AcSpec))
+    if (dri > 0) writeSeg(o, 0xDD, Array(dri >> 8, dri & 0xFF))
+    writeSeg(o, 0xDA, Array(1, 1, 0x00, 0, 63, 0))
+    val dcT = buildEncodeTable(DcSpec); val acT = buildEncodeTable(AcSpec)
+    var bw = new BitWriter(o)
+    var pred = 0
+    var rst = 0
+    for (m <- blocks.indices) {
+      if (dri > 0 && m > 0 && m % dri == 0) {
+        bw.flushByte()
+        writeMarker(o, 0xD0 + rst)
+        rst = (rst + 1) % 8
+        pred = 0
+        bw = new BitWriter(o)
+      }
+      pred = encodeBlock(bw, blocks(m), pred, dcT, acT)
+    }
+    bw.flushByte()
+    writeMarker(o, 0xD9) // EOI
+    o.toByteArray
+  }
+
+  /** Grayscale fixture encode where raster block k is the flat value
+    * `blockVals(k)` — decodes bit-exactly to those constants. */
+  def encodeGrayFlat(w: Int, h: Int, blockVals: Array[Int], dri: Int = 0): Array[Byte] =
+    encodeGrayCoeffs(w, h, blockVals.map { v =>
+      require(v >= 0 && v <= 255, s"flat value $v out of range")
+      val c = new Array[Int](64); c(0) = v - 128; c
+    }, FlatQ, dri)
+
+  /** Encode a 3-component 4:2:0 YCbCr baseline JPEG whose luma blocks
+    * (raster order over w/8 × h/8, w and h multiples of 16) are flat
+    * values and whose chroma planes are the constants (cb, cr). MCU
+    * interleave (2×2 luma + Cb + Cr) and restart handling follow
+    * A.2.3; the raster→MCU block mapping happens here so decoders see
+    * the spec ordering. */
+  def encodeColor420Flat(w: Int, h: Int, lumaVals: Array[Int],
+                         cb: Int, cr: Int, dri: Int = 0): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0, "flat 4:2:0 fixture needs 16-aligned dims")
+    val bx = w / 8; val by = h / 8
+    require(lumaVals.length == bx * by, s"need ${bx * by} luma values")
+    val o = new ByteArrayOutputStream()
+    writeMarker(o, 0xD8)
+    writeSeg(o, 0xE0, Array(0x4A, 0x46, 0x49, 0x46, 0x00, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    writeSeg(o, 0xDB, dqtBody(0, FlatQ))
+    writeSeg(o, 0xDB, dqtBody(1, FlatQ))
+    writeSeg(o, 0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    writeSeg(o, 0xC4, dhtBody(0, 0, DcSpec))
+    writeSeg(o, 0xC4, dhtBody(1, 0, AcSpec))
+    writeSeg(o, 0xC4, dhtBody(0, 1, DcSpec))
+    writeSeg(o, 0xC4, dhtBody(1, 1, AcSpec))
+    if (dri > 0) writeSeg(o, 0xDD, Array(dri >> 8, dri & 0xFF))
+    writeSeg(o, 0xDA, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    val dcT = buildEncodeTable(DcSpec); val acT = buildEncodeTable(AcSpec)
+    var bw = new BitWriter(o)
+    val preds = new Array[Int](3)
+    var rst = 0
+    val mcusX = w / 16; val mcusY = h / 16
+    def flat(v: Int): Array[Int] = { val c = new Array[Int](64); c(0) = v - 128; c }
+    var m = 0
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      if (dri > 0 && m > 0 && m % dri == 0) {
+        bw.flushByte()
+        writeMarker(o, 0xD0 + rst)
+        rst = (rst + 1) % 8
+        java.util.Arrays.fill(preds, 0)
+        bw = new BitWriter(o)
+      }
+      for (i <- 0 until 2; j <- 0 until 2)
+        preds(0) = encodeBlock(bw,
+          flat(lumaVals((2 * my + i) * bx + 2 * mx + j)), preds(0), dcT, acT)
+      preds(1) = encodeBlock(bw, flat(cb), preds(1), dcT, acT)
+      preds(2) = encodeBlock(bw, flat(cr), preds(2), dcT, acT)
+      m += 1
+    }
+    bw.flushByte()
+    writeMarker(o, 0xD9)
+    o.toByteArray
+  }
+
+  // ----------------------------------------------------------- decoder
+
+  private final case class Component(id: Int, hs: Int, vs: Int, tq: Int) {
+    var dcTab: Int = 0
+    var acTab: Int = 0
+  }
+
+  /** Decode a baseline-sequential JFIF stream to a [[MediaCodec.Image]]
+    * (channels = 1 for grayscale, 3 for YCbCr→RGB). Progressive /
+    * arithmetic / 12-bit streams are rejected loudly. */
+  def decode(bytes: Array[Byte]): MediaCodec.Image = {
+    require(bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8, "JPEG: missing SOI")
+    var pos = 2
+    val qtabs = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffDecoder](4)
+    val acTabs = new Array[HuffDecoder](4)
+    var comps: Array[Component] = null
+    var w = 0; var h = 0
+    var dri = 0
+
+    def u16(p: Int): Int = ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF)
+
+    var sosAt = -1
+    while (sosAt < 0) {
+      require(pos + 4 <= bytes.length, "JPEG: truncated marker stream")
+      require((bytes(pos) & 0xFF) == 0xFF, f"JPEG: expected marker at $pos")
+      val m = bytes(pos + 1) & 0xFF
+      val len = u16(pos + 2)
+      val body = pos + 4
+      require(body + len - 2 <= bytes.length, "JPEG: truncated segment")
+      m match {
+        case 0xDB => // DQT: one or more tables
+          var p = body
+          while (p < body + len - 2) {
+            val pq = (bytes(p) & 0xFF) >> 4
+            val tq = bytes(p) & 0x0F
+            require(pq <= 1, "JPEG: bad DQT precision")
+            val q = new Array[Int](64)
+            p += 1
+            for (z <- 0 until 64) {
+              q(Zigzag(z)) = if (pq == 0) bytes(p) & 0xFF else u16(p)
+              p += (if (pq == 0) 1 else 2)
+            }
+            qtabs(tq) = q
+          }
+        case 0xC4 => // DHT: one or more tables
+          var p = body
+          while (p < body + len - 2) {
+            val tc = (bytes(p) & 0xFF) >> 4
+            val th = bytes(p) & 0x0F
+            val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xFF)
+            val n = bits.sum
+            val vals = Array.tabulate(n)(i => bytes(p + 17 + i) & 0xFF)
+            val dec = new HuffDecoder(HuffSpec(bits, vals))
+            if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
+            p += 17 + n
+          }
+        case 0xC0 => // SOF0: baseline sequential
+          require((bytes(body) & 0xFF) == 8, "JPEG: only 8-bit precision")
+          h = u16(body + 1); w = u16(body + 3)
+          require(w > 0 && h > 0, "JPEG: zero dimensions")
+          val nc = bytes(body + 5) & 0xFF
+          require(nc == 1 || nc == 3, s"JPEG: $nc components unsupported")
+          comps = Array.tabulate(nc) { i =>
+            val p = body + 6 + 3 * i
+            val c = Component(bytes(p) & 0xFF, (bytes(p + 1) & 0xFF) >> 4,
+              bytes(p + 1) & 0x0F, bytes(p + 2) & 0xFF)
+            require(c.hs >= 1 && c.hs <= 2 && c.vs >= 1 && c.vs <= 2,
+              s"JPEG: sampling ${c.hs}x${c.vs} unsupported")
+            c
+          }
+        case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+             0xCD | 0xCE | 0xCF =>
+          throw new IllegalArgumentException(
+            f"JPEG: SOF$m%02X (non-baseline) unsupported")
+        case 0xDD => dri = u16(body)
+        case 0xDA => // SOS
+          require(comps != null, "JPEG: SOS before SOF0")
+          val ns = bytes(body) & 0xFF
+          require(ns == comps.length, "JPEG: SOS component count mismatch")
+          for (i <- 0 until ns) {
+            val cs = bytes(body + 1 + 2 * i) & 0xFF
+            val c = comps.find(_.id == cs).getOrElse(
+              throw new IllegalArgumentException(s"JPEG: unknown scan comp $cs"))
+            c.dcTab = (bytes(body + 2 + 2 * i) & 0xFF) >> 4
+            c.acTab = bytes(body + 2 + 2 * i) & 0x0F
+          }
+          sosAt = body + len - 2
+        case x if x >= 0xE0 && x <= 0xEF => // APPn
+        case 0xFE => // COM
+        case other =>
+          throw new IllegalArgumentException(f"JPEG: marker FF$other%02X unsupported")
+      }
+      pos = body + len - 2
+    }
+
+    val hmax = comps.map(_.hs).max
+    val vmax = comps.map(_.vs).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // per-component plane padded to whole MCUs
+    val planes = comps.map(c => new Array[Int](mcusX * c.hs * 8 * mcusY * c.vs * 8))
+    val preds = new Array[Int](comps.length)
+    val br = new BitReader(bytes, sosAt)
+    val coef = new Array[Int](64)
+    val px = new Array[Int](64)
+    var rst = 0
+    var m = 0
+    while (m < mcusX * mcusY) {
+      if (dri > 0 && m > 0 && m % dri == 0) {
+        br.restart(rst)
+        rst = (rst + 1) % 8
+        java.util.Arrays.fill(preds, 0)
+      }
+      val my = m / mcusX; val mx = m % mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = qtabs(c.tq)
+        require(q != null, s"JPEG: missing quant table ${c.tq}")
+        val dcT = dcTabs(c.dcTab); val acT = acTabs(c.acTab)
+        require(dcT != null && acT != null, "JPEG: missing Huffman table")
+        val planeW = mcusX * c.hs * 8
+        var bv = 0
+        while (bv < c.vs) {
+          var bh = 0
+          while (bh < c.hs) {
+            java.util.Arrays.fill(coef, 0)
+            val s = br.decode(dcT)
+            preds(ci) += br.receiveExtend(s)
+            coef(0) = preds(ci) * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = br.decode(acT)
+              val r = rs >> 4; val sz = rs & 0x0F
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else eob = true
+              } else {
+                k += r
+                require(k < 64, "JPEG: AC run past block end")
+                coef(Zigzag(k)) = br.receiveExtend(sz) * q(Zigzag(k))
+                k += 1
+              }
+            }
+            idctBlock(coef, px)
+            val ox = (mx * c.hs + bh) * 8
+            val oy = (my * c.vs + bv) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(ci)((oy + yy) * planeW + ox + xx) = px(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            bh += 1
+          }
+          bv += 1
+        }
+        ci += 1
+      }
+      m += 1
+    }
+
+    if (comps.length == 1) {
+      val planeW = mcusX * comps(0).hs * 8
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = planes(0)(y * planeW + x).toByte
+          x += 1
+        }
+        y += 1
+      }
+      MediaCodec.Image(w, h, 1, out)
+    } else {
+      val out = new Array[Byte](w * h * 3)
+      val pw = comps.map(c => mcusX * c.hs * 8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          // sample-replication upsampling: src = x·Hi/Hmax, y·Vi/Vmax
+          val yv = planes(0)((y * comps(0).vs / vmax) * pw(0) + x * comps(0).hs / hmax)
+          val cb = planes(1)((y * comps(1).vs / vmax) * pw(1) + x * comps(1).hs / hmax)
+          val cr = planes(2)((y * comps(2).vs / vmax) * pw(2) + x * comps(2).hs / hmax)
+          val o = 3 * (y * w + x)
+          out(o) = clamp(math.floor(yv + 1.402 * (cr - 128) + 0.5).toInt).toByte
+          out(o + 1) = clamp(math.floor(
+            yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt).toByte
+          out(o + 2) = clamp(math.floor(yv + 1.772 * (cb - 128) + 0.5).toInt).toByte
+          x += 1
+        }
+        y += 1
+      }
+      MediaCodec.Image(w, h, 3, out)
+    }
+  }
+}

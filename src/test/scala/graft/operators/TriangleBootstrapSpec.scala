@@ -66,8 +66,8 @@ class TriangleBootstrapSpec extends SparkSpec {
     // recompute both assignments row-level to check the HRW guarantee
     // the aggregated query output can't express
     def score(doc: Column, k: Long): Column =
-      (doc * 1103515245L + lit(k + 1L) * 12345L + 6789L) %
-        2147483647L * 16807L % 2147483647L
+      (pmod(doc, lit(2147483647L)) * 1103515245L +
+        lit(k + 1L) * 12345L + 6789L) % 2147483647L * 16807L % 2147483647L
     def assign(n: Int): Column =
       array_max(array((0 until n).map(k =>
         score(col("doc_id"), k.toLong) * 32L + k.toLong): _*)) % 32L
