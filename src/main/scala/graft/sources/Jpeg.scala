@@ -28,7 +28,7 @@ import java.io.ByteArrayOutputStream
   * shifts real pixel values and fails the hash compare.
   *
   * The Huffman tables are GENERATED canonical tables (all-4-bit DC
-  * symbols 0..11, all-6-bit AC symbols: EOB, ZRL, runs 0..3 × sizes
+  * symbols 0..11, all-8-bit AC symbols: EOB, ZRL, runs 0..15 × sizes
   * 1..8), not the Annex K defaults — the decoder must build whatever
   * DHT arrives, so fixtures with non-default tables exercise the
   * generic path. The reference engine has no media path at all (brief
@@ -58,11 +58,12 @@ object Jpeg {
     Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
     (0 to 11).toArray)
 
-  /** Fixture AC table: EOB, ZRL and (run ≤ 3, size ≤ 8), all 6-bit. */
+  /** Fixture AC table: EOB, ZRL and every (run ≤ 15, size ≤ 8) symbol,
+    * all 8-bit codes (130 of 256 — the all-ones code is never used). */
   private[sources] val AcSpec = HuffSpec(
-    Array(0, 0, 0, 0, 0, 34, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+    Array(0, 0, 0, 0, 0, 0, 0, 130, 0, 0, 0, 0, 0, 0, 0, 0),
     (Array(0x00, 0xF0) ++
-      (for (r <- 0 to 3; s <- 1 to 8) yield (r << 4) | s)).toArray)
+      (for (r <- 0 to 15; s <- 1 to 8) yield (r << 4) | s)).toArray)
 
   /** Annex C canonical code assignment: symbol → (code, length). */
   private def buildEncodeTable(spec: HuffSpec): Map[Int, (Int, Int)] = {

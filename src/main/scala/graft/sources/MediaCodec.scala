@@ -350,6 +350,8 @@ object MediaCodec {
     * opaque binary columns and must not need to trust a format tag. */
   def decodeImage(bytes: Array[Byte]): Image =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8) Jpeg.decode(bytes)
     else decodeNetpbm(bytes)
 
   /** Walk a CONCATENATION of binary P5 frames — the minimal motion-PGM
