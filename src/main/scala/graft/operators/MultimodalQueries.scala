@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sources.MediaCodec
+import graft.sources.{Jpeg, MediaCodec}
 
 /** Multimodal-column operators for the training-data pipeline: media
   * payloads ride as opaque `binary` columns next to a typed metadata
@@ -50,6 +50,24 @@ object MultimodalQueries {
       if (len == 0) new Array[Byte](32)
       else Array.tabulate(32 * h)(i => bytes(math.min(i, len - 1)))
     MediaRow(id, MediaCodec.encodePgm(32, h, gray), "pgm")
+  }
+
+  /** JPEG twin of [[pgmGrid]]: a 32-px-wide grayscale baseline JPEG
+    * whose 8×8 blocks (raster order, 4 per row, (len/32)%16+1 block
+    * rows) are flat values cycling through the document bytes, written
+    * with restart interval 3 so the production decode path crosses DC
+    * predictor resets. Flat blocks decode bit-exactly (see [[Jpeg]]),
+    * so the oracle replays pixel(x, y) = byte((4·(y/8) + x/8) mod len)
+    * with no JPEG knowledge; an empty document is one all-zero block
+    * row. m06/m11 route ODD doc_ids through this — half the corpus
+    * exercises the real lossy-format container end to end. */
+  private def jpegGrid(id: Long, text: String): MediaRow = {
+    val bytes = text.getBytes("US-ASCII")
+    val len = bytes.length
+    val hb = (len / 32) % 16 + 1
+    val vals = Array.tabulate(4 * hb)(k =>
+      if (len == 0) 0 else bytes(k % len) & 0xFF)
+    MediaRow(id, Jpeg.encodeGrayFlat(32, 8 * hb, vals, dri = 3), "jpeg")
   }
 
   /** m01 — image decode + feature extraction. Per document: an image
@@ -288,7 +306,10 @@ object MultimodalQueries {
     * near-duplicate images are found d04-style: a 4×16-bit band join
     * proposes candidates, Hamming distance ≤ 6 verifies. This is the
     * image-side twin of MinHash text dedup — the standard near-dup
-    * scrub for a multimodal training corpus.
+    * scrub for a multimodal training corpus. ODD doc_ids ship their
+    * grid as a real baseline JPEG ([[jpegGrid]]) instead of PGM — the
+    * decode stage is format-blind (magic-byte sniff), so half the
+    * corpus drives the full T.81 chain.
     *
     * Scale shape: hash is one scan-parallel codec pass (8 B/image
     * index); the band join is an equi-join on 16-bit keys (bounded
@@ -299,7 +320,8 @@ object MultimodalQueries {
     val media = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) => pgmGrid(id, text) })
+      .mapPartitions(_.map { case (id, text) =>
+        if (id % 2 == 1) jpegGrid(id, text) else pgmGrid(id, text) })
     val hashed = media.mapPartitions { it =>
       it.map { r =>
         val img = MediaCodec.decodeImage(r.payload)
@@ -558,10 +580,12 @@ object MultimodalQueries {
     * keep decision (drop when the dominant bin holds ≥ 75 % of pixels
     * or contrast < 16 — a solid or one-tone image fails both ways).
     *
-    * The payload is the m03 PGM grid encoded + decoded through the real
-    * from-spec codec; the DuckDB oracle replays the histogram on the
-    * document code points and never sees the container — a decoder that
-    * mangled the raster would shift bins and fail the hash.
+    * The payload is the m03 PGM grid (even doc_ids) or its baseline
+    * JPEG twin ([[jpegGrid]], odd doc_ids) encoded + decoded through
+    * the real from-spec codecs behind the same magic-byte sniff; the
+    * DuckDB oracle replays the histogram on the document code points
+    * and never sees either container — a decoder that mangled the
+    * raster would shift bins and fail the hash.
     *
     * Scale shape: scan-parallel mapPartitions (one decoder per
     * partition, one 32-long histogram per row, no shuffle before the
@@ -571,7 +595,8 @@ object MultimodalQueries {
     val media = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) => pgmGrid(id, text) })
+      .mapPartitions(_.map { case (id, text) =>
+        if (id % 2 == 1) jpegGrid(id, text) else pgmGrid(id, text) })
     media.mapPartitions { it =>
       it.map { r =>
         val img = MediaCodec.decodeImage(r.payload)
@@ -599,6 +624,67 @@ object MultimodalQueries {
         val domShare = dom * 1000000L / n
         HistGate(r.doc_id, n.toLong, contrast, used, domShare,
           if (domShare >= 750000L || contrast < 16L) 0L else 1L)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
+  final case class JpegFeature(doc_id: Long, width: Int, height: Int,
+                               channels: Int, format: String,
+                               n_blocks: Long, lum_sum: Long,
+                               mean_lum: Double)
+
+  /** m14 — REAL-WORLD image format: per document a full 3-component
+    * 4:2:0 YCbCr baseline JPEG (w = 16·(len%4+1), h = 16·(len/4%4+1),
+    * restart interval 2), decoded through the from-spec ITU T.81
+    * decoder ([[graft.sources.Jpeg]]) behind the same magic-byte sniff
+    * as every other image operator, then reduced to m01's integer
+    * BT.601 luma features. The luma raster is built from flat 8×8
+    * blocks cycling through the document bytes with neutral chroma, the
+    * one JPEG content class whose decode is bit-exact (lone-DC IDCT
+    * inverts to the constant; Cb=Cr=128 makes YCbCr→RGB the identity) —
+    * so the DuckDB oracle replays decoded pixels from document bytes
+    * with no JPEG knowledge, while the Spark side exercises the real
+    * marker/Huffman/restart/dequant/IDCT/upsample/color chain: any
+    * decoder bug shifts pixels and fails the hash.
+    *
+    * Scale shape: identical to m01 — two scan-parallel mapPartitions
+    * stages (encode exists only because the container ships no media
+    * fixtures; at 100 TB payloads arrive as stored bytes), no shuffle
+    * before the output sort, one decoder instance per partition. */
+  def m14_jpeg_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — pixel bytes would diverge from code points")
+          val bytes = text.getBytes("US-ASCII")
+          val len = bytes.length
+          val w = 16 * (len % 4 + 1)
+          val h = 16 * ((len / 4) % 4 + 1)
+          val vals = Array.tabulate((w / 8) * (h / 8))(k =>
+            if (len == 0) 0 else bytes(k % len) & 0xFF)
+          MediaRow(id, Jpeg.encodeColor420Flat(w, h, vals, 128, 128, dri = 2),
+            "jpeg")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = MediaCodec.decodeImage(r.payload) // sniffed, not trusted
+        var lum = 0L
+        var p = 0
+        val n = img.width * img.height
+        while (p < n) {
+          lum += 77L * (img.pixels(3 * p) & 0xFF) +
+            150L * (img.pixels(3 * p + 1) & 0xFF) +
+            29L * (img.pixels(3 * p + 2) & 0xFF)
+          p += 1
+        }
+        JpegFeature(r.doc_id, img.width, img.height, img.channels, r.format,
+          (img.width / 8).toLong * (img.height / 8), lum, lum / (n * 256.0))
       }
     }.toDF()
       .orderBy("doc_id")
@@ -734,6 +820,7 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
     "m11_histogram_gate" -> (m11_histogram_gate _),
@@ -750,6 +837,26 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // flat-block 4:2:0 JPEG: decoded pixel (x,y) = doc byte of raster
+    // block 'y/8*(w/8) + x/8' (neutral chroma -> RGB = Y), so luma is
+    // 64*256*sum(block bytes); the whole T.81 chain runs Spark-side only
+    "m14_jpeg_features" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           16 * (length(text) % 4 + 1) AS w,
+           16 * ((length(text) // 4) % 4 + 1) AS h
+         FROM documents),
+       s AS (SELECT doc_id, w, h, (w // 8) * (h // 8) AS nb,
+           CASE WHEN len = 0 THEN 0 ELSE
+             list_reduce(list_transform(range(0, (w // 8) * (h // 8)), k ->
+               CAST(ascii(substr(text, (k % len)::INT + 1, 1)) AS BIGINT)),
+               (x, y) -> x + y)
+           END AS vsum
+         FROM t)
+       SELECT doc_id, w::INT AS width, h::INT AS height, 3::INT AS channels,
+         'jpeg' AS format, nb::BIGINT AS n_blocks,
+         (64 * 256 * vsum)::BIGINT AS lum_sum,
+         (64 * 256 * vsum) / (w * h * 256.0) AS mean_lum
+       FROM s ORDER BY doc_id""",
     // pixel map replayed on document bytes; the cut rule is the same
     // integer cross-multiplication, grouped twice (per-transition SAD,
     // then per-clip threshold)
@@ -818,11 +925,20 @@ object MultimodalQueries {
     // point; empty text decodes to one all-zero row) — bins of width 8
     "m11_histogram_gate" ->
       """WITH px AS (SELECT doc_id,
-           list_transform(
-             range(0, 32 * greatest(1, (length(text) + 31) // 32)),
-             i -> CASE WHEN length(text) = 0 THEN 0
-               ELSE ascii(substr(text,
-                 least(i, length(text) - 1)::INT + 1, 1)) END) AS p
+           CASE WHEN doc_id % 2 = 0 THEN
+             list_transform(
+               range(0, 32 * greatest(1, (length(text) + 31) // 32)),
+               i -> CASE WHEN length(text) = 0 THEN 0
+                 ELSE ascii(substr(text,
+                   least(i, length(text) - 1)::INT + 1, 1)) END)
+           ELSE
+             flatten(list_transform(
+               range(0, 4 * ((length(text) // 32) % 16 + 1)),
+               k -> list_transform(range(0, 64),
+                 i -> CASE WHEN length(text) = 0 THEN 0
+                   ELSE ascii(substr(text,
+                     (k % length(text))::INT + 1, 1)) END)))
+           END AS p
            FROM documents),
          st AS (SELECT doc_id, len(p)::BIGINT AS n_px,
            (list_max(p) - list_min(p))::BIGINT AS contrast,
@@ -941,12 +1057,22 @@ object MultimodalQueries {
        FROM s ORDER BY doc_id""",
     "m06_image_dhash" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS len,
-           ((length(text) + 31) // 32) AS h FROM documents),
+           ((length(text) + 31) // 32) AS h,
+           8 * ((length(text) // 32) % 16 + 1) AS hj FROM documents),
        g AS (SELECT doc_id,
-           list_transform(range(0, 72), k ->
-             ascii(substr(text,
-               (least(((k // 9) * (h - 1)) // 7 * 32 + ((k % 9) * 31) // 8,
-                 len - 1))::INT + 1, 1))) AS px
+           CASE WHEN doc_id % 2 = 0 THEN
+             list_transform(range(0, 72), k ->
+               ascii(substr(text,
+                 (least(((k // 9) * (h - 1)) // 7 * 32 + ((k % 9) * 31) // 8,
+                   len - 1))::INT + 1, 1)))
+           ELSE
+             list_transform(range(0, 72), k ->
+               CASE WHEN len = 0 THEN 0 ELSE
+                 ascii(substr(text,
+                   ((4 * ((((k // 9) * (hj - 1)) // 7) // 8)
+                     + (((k % 9) * 31) // 8) // 8) % len)::INT + 1, 1))
+               END)
+           END AS px
          FROM t),
        hsh AS (SELECT doc_id,
            list_reduce(list_transform(range(0, 63), b ->
