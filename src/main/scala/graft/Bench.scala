@@ -40,6 +40,17 @@ object Bench {
         .orderBy("vec_id")
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
+    // ... and one tiny parquet WRITE: the parquet writer stack (output
+    // committer, codec, column writers) class-loads and JITs on the
+    // JVM's first parquet write, ~1-2 s that would otherwise be billed
+    // to whichever layout query's ingest happens to run first — the
+    // r11→r12 q37 "regression" (0.95 s → 9.13 s, code unchanged) was
+    // exactly this single-shot smear plus host contention
+    try {
+      spark.range(0, 1000).write.mode("overwrite")
+        .parquet(new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_bench_warm").getAbsolutePath)
+    } catch { case _: Throwable => }
     // optional args: run only the named queries (local iteration aid)
     val wanted = args.toSet
     // Repetition policy: a shared host produces contention spikes that make a
@@ -96,7 +107,18 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }
       .map { case (name, fn) =>
-        if (layoutQueries(name)) ingest(name) = onceCold(name, fn)
+        // ingest gets the same min-of-reps contention policy as probes
+        // (one shot smears: a single host spike reads as a layout
+        // regression); a 2nd rep always, a 3rd only on >30% disagreement
+        if (layoutQueries(name)) {
+          val i1 = onceCold(name, fn)
+          val i2 = onceCold(name, fn)
+          val lo = math.min(i1, i2)
+          ingest(name) =
+            if (math.abs(i1 - i2) / math.max(lo, 1e-9) > 0.3)
+              math.min(lo, onceCold(name, fn))
+            else lo
+        }
         // layout reps keep the memoized store (probe-only timing);
         // everything else re-runs cold so a cache hit can't masquerade
         // as query cost

@@ -544,12 +544,32 @@ object RelationalQueries {
       // morton guard rather than mis-laying the z-curve. If that happens,
       // update the base/width HERE and in the q37/q43 oracle SQL (which
       // hardcodes the same `(year-1995)*12 + month-1` formula) together.
+      // Deterministic 16-way z-range layout: cut points come from the
+      // KNOWN populated domain (64 customer buckets × 80 month indexes
+      // → 5120 morton cells, equal-cell cuts, computed on the driver in
+      // microseconds), so the ingest is ONE scan of the fact table.
+      // repartitionByRange(zval) would run a reservoir-sampling pass —
+      // a second full scan per ingest, pure waste at 100 TB when the
+      // key domain is closed-form. Each range id becomes its own
+      // partition DIRECTORY (one file: repartition puts a pid wholly in
+      // one task), so per-file zval min/max stats stay tight contiguous
+      // z-runs at EVERY scale — hash dispatch alone would co-locate
+      // disjoint ranges in one file and break footer-stat pruning when
+      // files are single-row-group small. sortWithinPartitions leads
+      // with pid so the partitioned write's required ordering is
+      // already satisfied and the zval ordering survives.
+      val cells = (for (x <- 0L until 64L; y <- 0L until 80L)
+        yield mortonLong(x, y)).sorted
+      val bounds = (1 until 16).map(i => cells(i * cells.size / 16))
+      val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("zval") >= b, 1).otherwise(0) }
       Tables.orders(s, dir)
         .withColumn("zval", morton(col("o_custkey") % 64,
           (year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1))
-        .repartitionByRange(16, col("zval"))
-        .sortWithinPartitions("zval")
-        .write.mode("overwrite").parquet(p)
+        .withColumn("pid", pid)
+        .repartition(16, col("pid"))
+        .sortWithinPartitions("pid", "zval")
+        .write.mode("overwrite").partitionBy("pid").parquet(p)
       p
     }
 
