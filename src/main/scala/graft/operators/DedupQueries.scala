@@ -1005,21 +1005,35 @@ object DedupQueries {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("len"))
+    // The shuffle key is a 128-bit hash pair (two seeded xxhash64
+    // longs as FLAT columns), not the raw 20-char gram: a fixed
+    // 16-byte primitive key beats a variable-length string for
+    // exchange width and agg-hash cost, and 128 bits keeps cross-doc
+    // false merges negligible even at 10^14 grams. xxhash64 is
+    // codegen-native (an md5 pair measured 2x SLOWER than the raw
+    // string from hex-string materialization + conv parsing; packing
+    // the pair in a struct measured ~20% slower end-to-end because
+    // non-primitive grouping keys fall off HashAggregate's fast
+    // fixed-width map). The oracle deliberately does NOT replay the
+    // hash: it groups by the raw gram (independent formulation, the
+    // m12 pattern) — identical rows unless the hash falsely merges
+    // grams, which would fail the compare.
     val pos = docs
       .select(col("doc_id"), col("text"), col("len"),
         explode(when(col("len") < K, array().cast("array<int>"))
           .otherwise(sequence(lit(1), (col("len") - (K - 1)).cast("int"))))
           .as("p"))
       .select(col("doc_id"), col("len"), col("p").cast("long").as("p"),
-        col("text").substr(col("p"), lit(K)).as("g"))
+        xxhash64(col("text").substr(col("p"), lit(K))).as("g1"),
+        xxhash64(col("text").substr(col("p"), lit(K)), lit(7)).as("g2"))
     // "appears in >= 2 distinct docs" == min(doc) != max(doc): a plain
     // map-combined min/max agg, no countDistinct expand (which cost 3x
     // the agg wall at sf0.1 — PERF.md round-12 session-4 note)
-    val crossDoc = pos.groupBy("g")
+    val crossDoc = pos.groupBy("g1", "g2")
       .agg(min(col("doc_id")).as("mnd"), max(col("doc_id")).as("mxd"))
       .filter(col("mnd") =!= col("mxd"))
-      .select("g")
-    val matched = pos.join(crossDoc, Seq("g"), "left_semi")
+      .select("g1", "g2")
+    val matched = pos.join(crossDoc, Seq("g1", "g2"), "left_semi")
     val w = Window.partitionBy("doc_id").orderBy("p")
     val isl = matched
       .withColumn("brk", when(lag(col("p"), 1).over(w).isNull ||
