@@ -158,6 +158,24 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
       currentDb = name
     }
 
+    /** Device selected for operations (oph_io_server_thread.h:75-83:
+      * the UD frame carries a device name stored in thread state; every
+      * statement then runs against it). This engine maps exactly ONE
+      * backend — Spark's own memory/disk management replaces the
+      * reference's iostorage device plug-ins — so MEMORY (any case; ""
+      * means the default) is accepted and anything else errors clearly
+      * instead of silently running on a device that does not exist. */
+    private var currentDevice: String = "MEMORY"
+
+    def useDevice(name: String): Unit = {
+      val d = if (name == null || name.isEmpty) "MEMORY" else name.toUpperCase
+      if (d != "MEMORY") throw new IllegalArgumentException(
+        s"device '$name' unsupported: this engine maps only MEMORY")
+      currentDevice = d
+    }
+
+    def device: String = currentDevice
+
     def lastResult: Option[DataFrame] = lastResultSet
 
     /** Main entry — the EXEC_QUERY path (oph_io_server_query.c:37-536).

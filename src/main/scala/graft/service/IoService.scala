@@ -132,13 +132,18 @@ final class IoService(spark: SparkSession, port: Int = 0,
         new String(tag, "UTF-8") match {
           case "PG" => reply("PG")
           case "UD" =>
-            val db = str(u64()); str(u64()) // device: accepted, unused
-            try { session.useDb(db); reply("UD") }
+            val db = str(u64()); val dev = str(u64())
+            try { session.useDevice(dev); session.useDb(db); reply("UD") }
             catch { case _: Exception => reply("ER") }
           case "EQ" | "SQ" =>
             val nArgs = u32() - 1 // the client sends nargs+1
             val query = str(u64())
-            str(u64()) // device
+            // per-statement device (the reference compares it against
+            // the session device, oph_io_server_query.c:181); same
+            // MEMORY-only contract as UD — validated inside the try
+            // below so a bad device replies ER with the frame fully
+            // consumed (stream stays in sync)
+            val dev = str(u64())
             var q = query
             var binds: Seq[Any] = Nil
             if (nArgs > 0) {
@@ -167,7 +172,7 @@ final class IoService(spark: SparkSession, port: Int = 0,
               if (totRun > 1 && !q.contains("tot_run"))
                 q += s";tot_run=$totRun;curr_run=$currRun"
             }
-            try { session.execute(q, binds); reply("EQ") }
+            try { session.useDevice(dev); session.execute(q, binds); reply("EQ") }
             catch { case _: Exception => reply("ER") }
           case "RS" =>
             session.lastResult match {
@@ -238,7 +243,12 @@ final class IoService(spark: SparkSession, port: Int = 0,
           case "PG" => // ping (the reference's liveness check)
             out.println("""{"ok":true,"pong":true}""")
           case "UD" =>
-            session.useDb(arg)
+            // optional second token = device (MEMORY-only contract,
+            // mirroring the binary frame's [db][device] pair)
+            arg.split("\\s+", 2) match {
+              case Array(db, dev) => session.useDevice(dev); session.useDb(db)
+              case _ => session.useDb(arg)
+            }
             out.println("""{"ok":true}""")
           case "EQ" =>
             session.execute(arg)

@@ -23,9 +23,9 @@ import scala.collection.mutable
   *    either byte order, sizes 1/2/4/8;
   *  - data layout v3 (contiguous; chunked with the v1 B-tree index) and
   *    v4 (HDF5 1.10+ latest format: single-chunk, implicit,
-  *    fixed-array incl. paged data blocks, and v2-B-tree chunk
-  *    indexes; the don't-filter-partial-edge-chunks flag). The
-  *    extensible-array index (unlimited dims) is rejected clearly;
+  *    fixed-array incl. paged data blocks, v2-B-tree and
+  *    extensible-array chunk indexes incl. secondary blocks; the
+  *    don't-filter-partial-edge-chunks flag);
   *  - filter pipeline v1/v2 with deflate (1), shuffle (2) and
   *    fletcher32 (3 — checksum stripped).
   *
@@ -66,9 +66,10 @@ object HDF5 {
 
   /** Chunk index variants: layout v3 stores a v1 B-tree; layout v4
     * (HDF5 1.10+ "latest" files) adds single-chunk, implicit (no
-    * index), fixed-array and v2-B-tree indexes. Extensible-array
-    * (unlimited dims under latest format) is rejected with a clear
-    * error at parse time. */
+    * index), fixed-array, v2-B-tree and extensible-array (unlimited
+    * dims, incl. secondary blocks) indexes — all read; the
+    * extensible-array layout is also WRITTEN by oph_export's
+    * netcdf4 record-dimension path (qn10/qn11). */
   sealed trait ChunkIndex
   final case class IdxBTreeV1(addr: Long) extends ChunkIndex
   final case class IdxSingle(addr: Long, storedSize: Long) extends ChunkIndex

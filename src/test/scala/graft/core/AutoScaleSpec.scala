@@ -18,6 +18,14 @@ class AutoScaleSpec extends AnyFunSuite {
       if (b > 8) assert((1L << (b - 1)) * 8 < n, s"b not minimal at n=$n")
     }
     assert(AutoScale.bandBits(Long.MaxValue / 4, 8, 8, 20) == 20) // cap
+    // exact pins at second-scale inputs: a formula edit that shifts
+    // these also shifts the oracle-SF outputs (same code path) — red
+    // here before the gate goes red
+    assert(AutoScale.bandBits(1000000L, 8, 8, 30) == 17)
+    assert(AutoScale.bandBits(1000000000L, 8, 8, 30) == 27)
+    // sawtooth edge: occupancy target exactly met vs exceeded by one
+    assert(AutoScale.bandBits((1L << 20) * 8, 8, 8, 30) == 20)
+    assert(AutoScale.bandBits((1L << 20) * 8 + 1, 8, 8, 30) == 21)
   }
 
   test("log2Ceil is the exact integer ceiling") {
@@ -33,6 +41,9 @@ class AutoScaleSpec extends AnyFunSuite {
       assert(AutoScale.minhashRows(n, 8) == 8, s"changed at n=$n")
     assert(AutoScale.minhashRows(65537L, 8) == 9)
     assert(AutoScale.minhashRows(1000000000L, 8) == 15)
+    // breakpoint pins: r steps exactly at powers of two of the corpus
+    assert(AutoScale.minhashRows(1L << 28, 8) == 14)
+    assert(AutoScale.minhashRows((1L << 28) + 1, 8) == 15)
   }
 
   test("bloomBits: floored at 65536, then the smallest pow2 >= 19 bits/key") {
@@ -43,10 +54,11 @@ class AutoScaleSpec extends AnyFunSuite {
     assert(AutoScale.bloomBits(3449) == 65536)
     assert(AutoScale.bloomBits(3450) == 131072)
     // growth keeps density (2 hashes) near the ~1% FP design point
-    for (n <- Seq(100000L, 10000000L)) {
+    for (n <- Seq(100000L, 10000000L, 1000000000L)) {
       val m = AutoScale.bloomBits(n)
       assert(m >= 19 * n && m < 38 * n, s"m=$m out of band at n=$n")
     }
+    assert(AutoScale.bloomBits(1000000000L) == (1L << 35)) // 10^9-key pin
   }
 
   test("compactionTarget: size-derived, parallelism floor, min-file guard, cap") {

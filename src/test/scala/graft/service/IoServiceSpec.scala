@@ -86,6 +86,19 @@ class IoServiceSpec extends SparkSpec {
       // unknown db -> ER
       out.write("UD".getBytes); wstr("nope"); wstr("memory"); out.flush()
       assert(tag() == "ER")
+      // unknown DEVICE -> ER (only MEMORY maps; reference stores the
+      // UD frame's device in thread state, oph_io_server_thread.h:75-83)
+      out.write("UD".getBytes); wstr("default"); wstr("ssd0"); out.flush()
+      assert(tag() == "ER")
+      // ... and the session survives: MEMORY (any case) still works
+      out.write("UD".getBytes); wstr("default"); wstr("MeMoRy"); out.flush()
+      assert(tag() == "UD")
+      // per-statement device on EQ is validated too, frame stays in sync
+      out.write("EQ".getBytes); wu32(1)
+      wstr("operation=select;field=id_dim;from=bw"); wstr("tape7"); out.flush()
+      assert(tag() == "ER")
+      out.write("PG".getBytes); out.flush()
+      assert(tag() == "PG") // stream not desynced by the rejected frame
       c.close()
     } finally svc.stop()
   }
