@@ -764,7 +764,8 @@ object DedupQueries {
     * the emitted first-seen-wins decisions must equal the batch answer
     * (min doc_id per content hash) — proving the incremental operator
     * converges to the same corpus as the offline pass. */
-  def d09_dedup_stream(s: SparkSession, dir: String): DataFrame = {
+  def d09_dedup_stream(s: SparkSession, dir: String): DataFrame =
+    StreamQueries.withMicroBatchParts(s) {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val docs = Tables.documents(s, dir).select("doc_id", "text")
@@ -802,7 +803,8 @@ object DedupQueries {
     * answer under real partitioned offsets; d09's oracle unchanged. The
     * production ingest shape: a landing directory + stateful dedup at
     * arrival time. */
-  def d13_dedup_stream_filesource(s: SparkSession, dir: String): DataFrame = {
+  def d13_dedup_stream_filesource(s: SparkSession, dir: String): DataFrame =
+    StreamQueries.withMicroBatchParts(s) {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val watchPath = java.nio.file.Files.createTempDirectory("graft_dsrc")
     val watch = watchPath.toString
@@ -854,7 +856,8 @@ object DedupQueries {
     * quadratic in cluster size by definition, and this row is a
     * batch-boundary-invariance check, not a throughput claim — the
     * batch family (d03) covers the full corpus. */
-  def d10_dedup_stream_lsh(s: SparkSession, dir: String): DataFrame = {
+  def d10_dedup_stream_lsh(s: SparkSession, dir: String): DataFrame =
+    StreamQueries.withMicroBatchParts(s) {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val docs = Tables.documents(s, dir).select("doc_id", "text")

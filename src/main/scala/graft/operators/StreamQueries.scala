@@ -18,6 +18,20 @@ object StreamQueries {
     * EVERY exit path — a failure mid-query must not leak a full events
     * copy across a sweep. Results read lazily from OTHER paths (q39's MV
     * store) survive; only the watch dir dies. */
+  /** Micro-batch harnesses run 2–4 tiny batches; at 32-way shuffle every
+    * stateful operator loads/commits 32 state-store partitions per batch
+    * — a pure per-batch floor at harness data sizes (and the same knob a
+    * production job sets to match its state volume). 4 keeps real
+    * multi-partition semantics (exchanges, multiple store shards) at an
+    * 8× lower floor; restored on every exit path, and the collected
+    * results are partitioning-invariant so oracle rows are unchanged. */
+  private[operators] def withMicroBatchParts[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def withWatchDir[T](prefix: String)(body: String => T): T = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     try body(p.toString)
@@ -47,7 +61,8 @@ object StreamQueries {
     * sentinel event advance the watermark past every real window, so
     * the closed-window stream equals the batch aggregation (q16's
     * shape). The sentinel's own (still-open) window is excluded. */
-  def q23_stream_window(s: SparkSession, dir: String): DataFrame = {
+  def q23_stream_window(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val rows = Tables.events(s, dir).select(col("ts"), col("value"))
@@ -94,7 +109,8 @@ object StreamQueries {
     * writes of the events table itself). Must hash-match the same batch
     * oracle as q23. At scale this IS the production shape: a landing
     * directory on an object store, one micro-batch per arrival set. */
-  def q30_stream_filesource(s: SparkSession, dir: String): DataFrame = {
+  def q30_stream_filesource(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
     import s.implicits._
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val ev = Tables.events(s, dir).select(col("ts").as("tns"), col("value"))
@@ -198,7 +214,8 @@ object StreamQueries {
     * micro-batch cannot change the answer. At scale the state is one
     * (long, double) per user — keyed state sharded by user_id, no
     * global ordering anywhere. */
-  def q26_stream_asof(s: SparkSession, dir: String): DataFrame = {
+  def q26_stream_asof(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
     import s.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -245,7 +262,8 @@ object StreamQueries {
     * are bit-identical to the batch plan's decimal-sum cast at any
     * batch split. State per user is four longs — sharded by user_id,
     * nothing global. */
-  def q27_stream_sessionize(s: SparkSession, dir: String): DataFrame = {
+  def q27_stream_sessionize(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
     import s.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -320,7 +338,8 @@ object StreamQueries {
     * in O(k) per arrival, never the full history — and a final flush
     * tick emits the ranked winners, which must hash-match the batch
     * row_number oracle. State is O(users·k); sharded by user_id. */
-  def q28_stream_topk(s: SparkSession, dir: String): DataFrame = {
+  def q28_stream_topk(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
     import s.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -366,18 +385,8 @@ object StreamQueries {
     * of join state, not the same batch); inner-join matches emit as
     * found, and the emitted pair set must hash-match the batch interval
     * join. */
-  def q31_stream_join(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    // a stream-stream join runs FOUR state stores per partition; at this
-    // harness scale (≈40k rows/side, 150 users) 32 state partitions are
-    // pure commit overhead, so the join's stateful stage runs narrower.
-    // On a real cluster this knob follows key cardinality, not CPU count.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try q31_stream_join0(s, dir)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
+  def q31_stream_join(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s)(q31_stream_join0(s, dir))
 
   private def q31_stream_join0(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -435,13 +444,8 @@ object StreamQueries {
     * BIGINT, not a nullable column pandas would widen to float64. At
     * scale this is the canonical "did the conversion happen" shape:
     * two-sided bounded state, sharded by user, evicted by watermark. */
-  def q44_stream_outer_join(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4") // q31's state-store sizing
-    try q44_stream_outer_join0(s, dir)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
+  def q44_stream_outer_join(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s)(q44_stream_outer_join0(s, dir))
 
   private def q44_stream_outer_join0(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -503,7 +507,8 @@ object StreamQueries {
     * anywhere. Complements d09/d10 (custom mapGroupsWithState dedup)
     * with the first-class engine API; re-deliveries stay inside the
     * watermark delay, which is exactly the API's contract. */
-  def q36_stream_dedup_watermark(s: SparkSession, dir: String): DataFrame = {
+  def q36_stream_dedup_watermark(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val rows = Tables.events(s, dir)
@@ -564,7 +569,8 @@ object StreamQueries {
     * executor-parallel parquet append discovered through the file log.
     * No driver-side row injection anywhere: the driver only computes the
     * two cut points (a 2-value aggregate), never holds event rows. */
-  def q39_incremental_mv(s: SparkSession, dir: String): DataFrame = {
+  def q39_incremental_mv(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
     // Path is scoped by (dir, applicationId, session UUID) — see
     // SessionMemo.pathTag: two JVMs (or two sessions in one JVM)
@@ -645,7 +651,8 @@ object StreamQueries {
     * oracle exactly. At scale the state is one open session interval
     * per active user — sharded by user_id, merged and evicted by the
     * engine, no custom state code to get wrong. */
-  def q42_stream_session_window(s: SparkSession, dir: String): DataFrame = {
+  def q42_stream_session_window(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
     import s.implicits._
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val ev = Tables.events(s, dir)
@@ -697,7 +704,8 @@ object StreamQueries {
     * arbitrary; the handler's per-batch event-time re-sort absorbs it,
     * and the strict ts value boundary between drops keeps equal-ts runs
     * in one micro-batch. Must hash-match q24's batch ASOF oracle. */
-  def q45_asof_filesource(s: SparkSession, dir: String): DataFrame = {
+  def q45_asof_filesource(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
     import s.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
@@ -743,7 +751,8 @@ object StreamQueries {
     * flush ticks never pass through the driver. Same handler as q28;
     * the bounded-insert comparator is a strict total order, so the
     * retained top-k is independent of file arrival order. */
-  def q46_topk_filesource(s: SparkSession, dir: String): DataFrame = {
+  def q46_topk_filesource(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
     import s.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField, StructType}
@@ -790,12 +799,8 @@ object StreamQueries {
     * together. The strict ts value boundary between drops gives the
     * same cross-batch state reuse q31 proves; no driver row injection
     * anywhere. Must hash-match the batch interval join. */
-  def q47_join_filesource(s: SparkSession, dir: String): DataFrame = {
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4") // q31's state-store sizing
-    try q47_join_filesource0(s, dir)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
+  def q47_join_filesource(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s)(q47_join_filesource0(s, dir))
 
   private def q47_join_filesource0(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -858,12 +863,8 @@ object StreamQueries {
     * a far-future sentinel row dropped into EACH landing directory.
     * Nulls coalesce to −1 as in q44. No driver row injection beyond the
     * two 1-row sentinels (harness control, not event data). */
-  def q48_outer_join_filesource(s: SparkSession, dir: String): DataFrame = {
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try q48_outer_join_filesource0(s, dir)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
+  def q48_outer_join_filesource(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s)(q48_outer_join_filesource0(s, dir))
 
   private def q48_outer_join_filesource0(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -940,7 +941,8 @@ object StreamQueries {
     * re-delivery cut uses the drop-1 ceiling (splitTs), which bounds the
     * true drop-1 maximum from above, so every re-delivered row is at or
     * above the post-drop-1 watermark — never late. */
-  def q49_dedup_filesource(s: SparkSession, dir: String): DataFrame = {
+  def q49_dedup_filesource(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("ts").as("tns"), col("user_id"),
@@ -1013,7 +1015,8 @@ object StreamQueries {
     * (milestones only ever get set), so the final per-user state is the
     * field-wise max over the sink rows; its stage histogram must
     * hash-match q53's batch oracle exactly. */
-  def q54_stream_funnel(s: SparkSession, dir: String): DataFrame = {
+  def q54_stream_funnel(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
     import s.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -1095,7 +1098,8 @@ object StreamQueries {
     * monotone in apply count so the sink fold is a per-key max —
     * nothing in the path holds more than |keys| state, the same bound a
     * production CDC materializer carries. */
-  def q64_cdc_upsert(s: SparkSession, dir: String): DataFrame = {
+  def q64_cdc_upsert(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
     import s.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -1153,7 +1157,8 @@ object StreamQueries {
     * the SAME cell algebra as q55 ([[RelationalQueries.chi2FromCells]])
     * over reference ⟗ streamed counts — the incremental monitor must
     * converge to the batch statistic bit-for-bit (shared oracle). */
-  def q60_stream_drift(s: SparkSession, dir: String): DataFrame = {
+  def q60_stream_drift(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
     import graft.functions.KeyAlgebra.ldiv
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
     val ev = Tables.events(s, dir).select("ts", "event_type", "value")
@@ -1207,7 +1212,8 @@ object StreamQueries {
     * counts. At 100 TB the profile side broadcasts (or bucket-joins)
     * exactly as in batch; per-micro-batch cost is the stream slice, not
     * the dim build. */
-  def q67_stream_static_join(s: SparkSession, dir: String): DataFrame = {
+  def q67_stream_static_join(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("ts").as("tns"), col("user_id"),
