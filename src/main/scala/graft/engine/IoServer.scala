@@ -656,14 +656,22 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
                 graft.sources.ZarrExport.writeDistributedSharded(r, "id_dim",
                   "measure", path, "measure",
                   if (rowsPerChunk > 0) rowsPerChunk else 512, chunksPerShard)
-              case "netcdf4-dist" =>
-                // executor-parallel HDF5: implicit chunk index puts
-                // chunk k at a computable offset, so the driver writes
-                // only the metadata head and executors write their
+              case "netcdf4-dist" | "netcdf4-dist-fa" | "netcdf4-dist-bt2" =>
+                // executor-parallel HDF5: unfiltered fixed-size chunks
+                // put chunk k at a computable offset, so the driver
+                // writes only the metadata head — for the -fa/-bt2
+                // variants including the complete fixed-array /
+                // v2-B-tree chunk index (the layouts HDF5 1.10+ itself
+                // writes for bounded dims) — and executors write their
                 // chunks at disjoint ranges (needs a shared POSIX fs;
                 // object stores take the zarr paths above)
+                val idx = args.lift(2).get match {
+                  case "netcdf4-dist-fa" => "fixedarray"
+                  case "netcdf4-dist-bt2" => "btree2"
+                  case _ => "implicit"
+                }
                 graft.sources.HDF5.writeDoubleVarDistributed(r, "id_dim",
-                  "measure", path, "measure", rowsPerChunk)
+                  "measure", path, "measure", rowsPerChunk, idx)
               case fmt =>
                 // single-file container: bytes must pass through one
                 // writer, but driver MEMORY stays bounded — one stats

@@ -268,6 +268,57 @@ object NetCDFQueries {
     d.join(q, "id_dim").orderBy("id_dim")
   }
 
+
+  /** qn12 — distributed NetCDF-4 export with the INDEXED chunk layouts
+    * (round-12 verdict item: qn11 covered only the implicit index):
+    * the same grid exported through `netcdf4-dist-fa` (fixed-array
+    * FAHD/FADB chunk index) and `netcdf4-dist-bt2` (v2-B-tree
+    * BTHD/BTLF) — the two index structures HDF5 1.10+ itself writes
+    * for bounded dims. Chunk addresses are closed-form for unfiltered
+    * fixed-size chunks, so the driver writes the COMPLETE pre-addressed
+    * index inside the metadata head and >1 executor task fills the
+    * chunk slots concurrently; both re-import through the sniffing
+    * reader next to a sequential `netcdf4` export and must carry
+    * identical values. */
+  def qn12_export_dist_indexed(s: SparkSession, dir: String): DataFrame = {
+    val (nRows, nCols) = (60, 8)
+    val data = Array.tabulate(nRows * nCols)(k =>
+      (k / nCols) * 0.5 + (k % nCols) * 0.125) // exact in binary
+    val tmp = Files.createTempDirectory("graft_exportdi")
+    val srcPath = tmp.resolve("src.nc").toString
+    val faPath = tmp.resolve("fa.h5").toString
+    val btPath = tmp.resolve("bt.h5").toString
+    val seqPath = tmp.resolve("seq.h5").toString
+    NetCDF3.writeDoubleVar(srcPath, Seq("row" -> nRows, "col" -> nCols),
+      "measure", data)
+    val ses = new IoServer(s).newSession()
+    ses.execute(s"operation=file_import;frag_name=exisrc;src_path=@$srcPath;" +
+      "measure=measure;explicit=1")
+    // rows-per-chunk 16 -> 4 chunks, written by up to 4 concurrent tasks
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=exisrc|$faPath|netcdf4-dist-fa|16")
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=exisrc|$btPath|netcdf4-dist-bt2|16")
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=exisrc|$seqPath|netcdf4")
+    ses.execute(s"operation=file_import;frag_name=exifa;src_path=@$faPath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=exibt;src_path=@$btPath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=exisq;src_path=@$seqPath;" +
+      "measure=measure;explicit=1")
+    val fa = ses.execute(
+      "operation=select;field=id_dim|measure;from=exifa;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_fixedarray"))
+    val bt = ses.execute(
+      "operation=select;field=id_dim|measure;from=exibt;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_btree2"))
+    val sq = ses.execute(
+      "operation=select;field=id_dim|measure;from=exisq;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_seq"))
+    fa.join(bt, "id_dim").join(sq, "id_dim").orderBy("id_dim")
+  }
+
   /** qn09 — CF-convention unpacking on import (`cf_unpack=yes`): a
     * packed file carrying `scale_factor`/`add_offset` variable
     * attributes imports as `raw*scale + offset`, next to an unpacked
@@ -487,9 +538,23 @@ object NetCDFQueries {
     "qn09_cf_unpack" -> (qn09_cf_unpack _),
     "qn10_hdf5_unlimited_append" -> (qn10_hdf5_unlimited_append _),
     "qn11_export_distributed" -> (qn11_export_distributed _),
+    "qn12_export_dist_indexed" -> (qn12_export_dist_indexed _),
   )
 
   val oracles: Map[String, String] = Map(
+    "qn12_export_dist_indexed" ->
+      """SELECT i AS id_dim,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_fixedarray,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_btree2,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_seq
+         FROM range(1, 61) t(i)
+         ORDER BY id_dim""",
     "qn11_export_distributed" ->
       """SELECT i AS id_dim,
          array_to_string(list_transform(range(0, 8),

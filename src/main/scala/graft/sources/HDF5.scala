@@ -1596,15 +1596,22 @@ object HDF5 {
   /** The metadata head of a single-variable chunked file in latest
     * format: superblock v0 + symbol-table root group (as
     * [[writeDoubleVarStreamed]]) whose SNOD entry points at a v2 object
-    * header carrying dataspace v2 / float64 / layout-v4 CHUNKED with
-    * the IMPLICIT chunk index — index type 2, valid exactly for
-    * unfiltered fixed-size chunks, where chunk k lives at
-    * `dataAddr + k·chunkBytes` with no index structure on disk. All
-    * fields are fixed-width, so the head's LENGTH is independent of
-    * the patched addresses — callers probe with dummy values to learn
-    * the length, then rebuild with the real `dataAddr`/`eof`. */
-  private def buildImplicitHead(varName: String, dims: Seq[(String, Int)],
-      chunkRows: Int, dataAddr: Long, eof: Long): Array[Byte] = {
+    * header carrying dataspace v2 / float64 / layout-v4 CHUNKED with a
+    * caller-selected chunk index. Distribution rests on one property:
+    * with UNFILTERED fixed-size chunks, chunk k's address is the
+    * closed-form `dataAddr + k·chunkBytes`, so the whole index — none
+    * for `implicit` (type 2), a fixed-array FAHD/FADB (type 3) or a
+    * v2-B-tree BTHD/BTLF (type 5), the two indexes HDF5 1.10+ itself
+    * writes for bounded dims — can be written INTO THE HEAD before any
+    * payload byte exists; executors then fill the pre-addressed chunk
+    * slots concurrently. All fields are fixed-width (index checksums
+    * change with addresses, lengths do not), so the head's LENGTH is
+    * independent of the patched addresses — callers probe with dummy
+    * values to learn the length, then rebuild with the real
+    * `dataAddr`/`eof`. */
+  private def buildDistributedHead(varName: String, dims: Seq[(String, Int)],
+      chunkRows: Int, dataAddr: Long, eof: Long,
+      index: String = "implicit", faPageBits: Int = 10): Array[Byte] = {
     val b = new Buf
     val (eofPatch, rootOhPatch) = superblockV0(b)
     val rootOh = b.pos
@@ -1643,6 +1650,12 @@ object HDF5 {
     val shape = dims.map(_._2)
     val rank = shape.size
     val cd = Seq(chunkRows, shape(1))
+    val chunkBytes = cd.map(_.toLong).product * 8
+    val nChunks = (shape(0).toLong + chunkRows - 1) / chunkRows
+    // every chunk address is closed-form; the index structures are
+    // built from this list alone, before any payload byte exists
+    val entries = (0L until nChunks).map(k =>
+      (Seq((k * chunkRows).toInt, 0), dataAddr + k * chunkBytes, chunkBytes))
     val space = new Buf
     space.u8(2); space.u8(rank); space.u8(0); space.u8(1)
     shape.foreach(s => space.u64(s.toLong))
@@ -1652,8 +1665,25 @@ object HDF5 {
     layoutBody.u8(0)                     // flags (unfiltered)
     layoutBody.u8(rank + 1); layoutBody.u8(8)
     cd.foreach(c => layoutBody.u64(c.toLong)); layoutBody.u64(8)
-    layoutBody.u8(2)                     // implicit chunk index
-    layoutBody.u64(dataAddr)
+    index match {
+      case "implicit" =>
+        layoutBody.u8(2)
+        layoutBody.u64(dataAddr)
+      case "fixedarray" =>
+        val hdr = writeFixedArray(b, entries, chunkBytes,
+          filtered = false, faPageBits)
+        layoutBody.u8(3); layoutBody.u8(faPageBits); layoutBody.u64(hdr)
+      case "btree2" =>
+        val hdr = writeChunkBtreeV2(b, entries, cd, chunkBytes,
+          filtered = false)
+        layoutBody.u8(5)
+        val recordSize = 8 + 8 * rank
+        var nodeSize = 512L
+        while (nodeSize < entries.size.toLong * recordSize + 10) nodeSize *= 2
+        layoutBody.u32(nodeSize); layoutBody.u8(100); layoutBody.u8(40)
+        layoutBody.u64(hdr)
+      case o => throw new IllegalArgumentException(s"distributed index $o")
+    }
     val dsOh = writeOhdrV2(b, Seq((0x01, space.result), (0x03, dt.result),
       (0x08, layoutBody.result)))
     b.patch64(dsOhPatch, dsOh)
@@ -1667,11 +1697,14 @@ object HDF5 {
     * "last driver-side sink"; the reference's OPH_EXPORTNC is its
     * primary egress, oph_io_server_query_procedures.c:221-325).
     *
-    * Because the implicit chunk index puts chunk k at the computable
-    * address `dataAddr + k·chunkBytes`, the driver writes ONLY the
-    * (sub-KB) metadata head and pre-sizes the file; executors then
-    * write their chunks' bytes at disjoint offsets concurrently — the
-    * MPI-IO / parallel-HDF5 pattern. Works on any shared POSIX
+    * Because unfiltered fixed-size chunks put chunk k at the
+    * computable address `dataAddr + k·chunkBytes`, the driver writes
+    * ONLY the (sub-KB) metadata head — including, for
+    * `index = "fixedarray"` / `"btree2"` (what HDF5 1.10+ itself
+    * writes for bounded dims), the complete pre-addressed chunk index
+    * — and pre-sizes the file; executors then write their chunks'
+    * bytes at disjoint offsets concurrently — the MPI-IO /
+    * parallel-HDF5 pattern. Works on any shared POSIX
     * filesystem (local, NFS, Lustre); for object stores the chunked
     * Zarr export is the right sink (no single-file constraint).
     * Partial tail chunks occupy their full nominal slot, zero-padded,
@@ -1679,7 +1712,7 @@ object HDF5 {
     * dataspace dims. Returns (rows, chunkCount). */
   def writeDoubleVarDistributed(frag: org.apache.spark.sql.DataFrame,
       idCol: String, arrCol: String, path: String, varName: String,
-      rowsPerChunk: Int = 0): (Long, Int) = {
+      rowsPerChunk: Int = 0, index: String = "implicit"): (Long, Int) = {
     import org.apache.spark.sql.functions.col
     val src = frag.select(col(idCol).cast("long").as("id"),
       col(arrCol).cast("array<double>").as("a"))
@@ -1698,10 +1731,10 @@ object HDF5 {
     val nChunks = ((n + rpc - 1) / rpc).toInt
     // two-pass head build: length is address-invariant, so probe first
     val dims = Seq("id_dim" -> n.toInt, "elem" -> m)
-    val probeLen = buildImplicitHead(varName, dims, rpc, 0L, 0L).length
+    val probeLen = buildDistributedHead(varName, dims, rpc, 0L, 0L, index).length
     val dataAddr = (probeLen + 511L) / 512 * 512  // sector-align the data
     val eof = dataAddr + nChunks.toLong * chunkBytes
-    val head = buildImplicitHead(varName, dims, rpc, dataAddr, eof)
+    val head = buildDistributedHead(varName, dims, rpc, dataAddr, eof, index)
     require(head.length == probeLen, "head length changed between passes")
     val raf = new java.io.RandomAccessFile(path, "rw")
     try { raf.setLength(0); raf.write(head); raf.setLength(eof) }
