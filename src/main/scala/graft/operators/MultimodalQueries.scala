@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sources.{Jpeg, MediaCodec}
+import graft.sources.{Jpeg, MediaCodec, Png}
 
 /** Multimodal-column operators for the training-data pipeline: media
   * payloads ride as opaque `binary` columns next to a typed metadata
@@ -690,6 +690,68 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m15 — PNG decode + feature extraction: the LOSSLESS real-world
+    * format next to m14's JPEG, and the stronger verification surface —
+    * ARBITRARY per-pixel content survives the round trip, so the oracle
+    * replays every pixel of the raster (m01's cycling fill + integer
+    * BT.601 luma) through the full zlib-inflate + scanline-unfilter
+    * chain. The encoder's row-cycling filter schedule (row mod 5) means
+    * every document exercises all five PNG filter types including
+    * Paeth; even doc_ids ship RGB truecolor, odd doc_ids 8-bit
+    * grayscale (luma = 256·b, the m01 bmp8 convention). Decode runs
+    * behind the same magic-byte sniff as every image operator.
+    *
+    * Scale shape: identical to m01/m14 — two scan-parallel
+    * mapPartitions stages, no shuffle before the output sort. */
+  def m15_png_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — pixel bytes would diverge from code points")
+          val bytes = text.getBytes("US-ASCII")
+          val len = bytes.length
+          val w = len % 64 + 1
+          val h = (len / 64) % 64 + 1
+          if (id % 2 == 0) {
+            val rgb =
+              if (len == 0) new Array[Byte](3)
+              else Array.tabulate(w * h * 3)(k => bytes(k % len))
+            MediaRow(id, Png.encode(w, h, 3, rgb), "png-rgb")
+          } else {
+            val gray =
+              if (len == 0) new Array[Byte](1)
+              else Array.tabulate(w * h)(p => bytes(p % len))
+            MediaRow(id, Png.encode(w, h, 1, gray), "png-gray")
+          }
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = MediaCodec.decodeImage(r.payload) // sniffed, not trusted
+        var lum = 0L
+        var p = 0
+        val n = img.width * img.height
+        if (img.channels == 3) {
+          while (p < n) {
+            lum += 77L * (img.pixels(3 * p) & 0xFF) +
+              150L * (img.pixels(3 * p + 1) & 0xFF) +
+              29L * (img.pixels(3 * p + 2) & 0xFF)
+            p += 1
+          }
+        } else {
+          while (p < n) { lum += 256L * (img.pixels(p) & 0xFF); p += 1 }
+        }
+        MediaFeature(r.doc_id, img.width, img.height, img.channels, r.format,
+          lum, lum / (n * 256.0))
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   final case class VadRow(doc_id: Long, n_frames: Long, n_voiced: Long,
                           n_segments: Long, longest_seg: Long,
                           voiced_fp: Long)
@@ -820,6 +882,7 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m15_png_features" -> (m15_png_features _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -840,6 +903,33 @@ object MultimodalQueries {
     // flat-block 4:2:0 JPEG: decoded pixel (x,y) = doc byte of raster
     // block 'y/8*(w/8) + x/8' (neutral chroma -> RGB = Y), so luma is
     // 64*256*sum(block bytes); the whole T.81 chain runs Spark-side only
+    // full per-pixel replay: RGB (even ids) gets m01's 3-channel luma,
+    // gray (odd ids) the 256*b convention; the PNG container (zlib,
+    // all five filters) round-trips only Spark-side
+    "m15_png_features" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           (length(text) % 64 + 1) AS w,
+           ((length(text) // 64) % 64 + 1) AS h
+         FROM documents),
+       s AS (SELECT doc_id, w, h,
+         CASE WHEN doc_id % 2 = 1 THEN
+           256 * list_reduce(list_transform(range(0, w * h), p ->
+             CAST(ascii(substr(text, (p % len)::INT + 1, 1)) AS BIGINT)),
+             (x,y) -> x+y)
+         ELSE
+           list_reduce(list_transform(range(0, w * h), p ->
+              77 * CAST(ascii(substr(text, ((3*p)   % len)::INT + 1, 1)) AS BIGINT)
+           + 150 * ascii(substr(text, ((3*p+1) % len)::INT + 1, 1))
+           +  29 * ascii(substr(text, ((3*p+2) % len)::INT + 1, 1))),
+             (x,y) -> x+y)
+         END AS lum_sum
+         FROM t)
+       SELECT doc_id, w::INT AS width, h::INT AS height,
+         (CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END)::INT AS channels,
+         CASE WHEN doc_id % 2 = 1 THEN 'png-gray' ELSE 'png-rgb' END AS format,
+         lum_sum::BIGINT AS lum_sum,
+         lum_sum / (w * h * 256.0) AS mean_lum
+       FROM s ORDER BY doc_id""",
     "m14_jpeg_features" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS len,
            16 * (length(text) % 4 + 1) AS w,

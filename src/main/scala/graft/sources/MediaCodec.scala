@@ -352,6 +352,8 @@ object MediaCodec {
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
       (bytes(1) & 0xFF) == 0xD8) Jpeg.decode(bytes)
+    else if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') Png.decode(bytes)
     else decodeNetpbm(bytes)
 
   /** Walk a CONCATENATION of binary P5 frames — the minimal motion-PGM

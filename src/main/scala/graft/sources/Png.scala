@@ -1,0 +1,234 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** PNG codec written from the public specification (RFC 2083 / ISO
+  * 15948) — the LOSSLESS real-world image format next to [[Jpeg]]'s
+  * lossy one, and the stronger oracle surface: arbitrary per-pixel
+  * content survives encode→decode bit-exactly, so a DuckDB oracle can
+  * replay EVERY pixel of a PNG-carried raster from document bytes,
+  * covering the full inflate + scanline-reconstruction chain (all five
+  * filter types incl. Paeth) rather than JPEG's flat-block subset.
+  *
+  * Decoder: signature, chunk walk with CRC-32 verification on every
+  * chunk, IHDR (8-bit depth; color types 0 gray / 2 RGB / 3 palette /
+  * 4 gray+alpha / 6 RGBA; interlace 0), PLTE, multi-IDAT zlib inflate,
+  * per-scanline unfilter (None/Sub/Up/Average/Paeth per the spec's
+  * reconstruction functions), tRNS ignored, alpha channels dropped on
+  * output (the m-family consumes opaque rasters). 16-bit depth and
+  * Adam7 interlace are rejected loudly. Output follows the
+  * [[MediaCodec.Image]] convention: channels 1 (gray) or 3 (RGB).
+  *
+  * Encoder (fixture-side): IHDR/IDAT/IEND for gray or RGB, one zlib
+  * stream, filter type cycling `row % 5` so every fixture exercises
+  * all five filters. The encode/decode pair shares no reconstruction
+  * arithmetic — the encoder applies the spec's forward filters, the
+  * decoder its inverse — so a transcription error in either side
+  * breaks the round trip. No reference citation: the reference engine
+  * has no media path (LLM-pipeline brief requirement). */
+object Png {
+
+  private val Signature: Array[Byte] =
+    Array(0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  // ------------------------------------------------------------ encode
+
+  private def chunk(o: ByteArrayOutputStream, tpe: String, body: Array[Byte]): Unit = {
+    def u32(v: Long): Unit = {
+      o.write(((v >> 24) & 0xFF).toInt); o.write(((v >> 16) & 0xFF).toInt)
+      o.write(((v >> 8) & 0xFF).toInt); o.write((v & 0xFF).toInt)
+    }
+    u32(body.length.toLong)
+    val tb = tpe.getBytes("US-ASCII")
+    o.write(tb)
+    o.write(body)
+    val crc = new CRC32()
+    crc.update(tb); crc.update(body)
+    u32(crc.getValue)
+  }
+
+  /** Encode an 8-bit raster (channels 1 = gray, 3 = RGB) with the
+    * row-cycling filter schedule (row r uses filter r mod 5). */
+  def encode(w: Int, h: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"channels $channels")
+    require(pixels.length == w * h * channels, "pixel buffer size")
+    val bpp = channels
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      raw(y * (stride + 1)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = pixels(y * stride + x) & 0xFF
+        val left = if (x >= bpp) pixels(y * stride + x - bpp) & 0xFF else 0
+        val up = if (y > 0) pixels((y - 1) * stride + x) & 0xFF else 0
+        val ul = if (x >= bpp && y > 0) pixels((y - 1) * stride + x - bpp) & 0xFF else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(y * (stride + 1) + 1 + x) = (enc & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val comp = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+    d.end()
+    val o = new ByteArrayOutputStream()
+    o.write(Signature)
+    val ihdr = new Array[Byte](13)
+    def put32(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = ((v >> 24) & 0xFF).toByte; a(off + 1) = ((v >> 16) & 0xFF).toByte
+      a(off + 2) = ((v >> 8) & 0xFF).toByte; a(off + 3) = (v & 0xFF).toByte
+    }
+    put32(ihdr, 0, w); put32(ihdr, 4, h)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = (if (channels == 1) 0 else 2).toByte // gray | truecolor
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0 // deflate, adaptive, no interlace
+    chunk(o, "IHDR", ihdr)
+    chunk(o, "IDAT", comp.toByteArray)
+    chunk(o, "IEND", Array.emptyByteArray)
+    o.toByteArray
+  }
+
+  /** Paeth predictor (spec §6.6): nearest of left/up/upper-left to
+    * the linear estimate, ties broken left, up, upper-left. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  // ------------------------------------------------------------ decode
+
+  def decode(bytes: Array[Byte]): MediaCodec.Image = {
+    require(bytes.length > 8 && Signature.indices.forall(i => bytes(i) == Signature(i)),
+      "PNG: bad signature")
+    var pos = 8
+    def u32(p: Int): Long =
+      ((bytes(p) & 0xFFL) << 24) | ((bytes(p + 1) & 0xFFL) << 16) |
+        ((bytes(p + 2) & 0xFFL) << 8) | (bytes(p + 3) & 0xFFL)
+    var w = 0; var h = 0; var colorType = -1
+    var palette: Array[Byte] = null
+    val idat = new ByteArrayOutputStream()
+    var ihdrSeen = false; var iendSeen = false
+    while (pos < bytes.length && !iendSeen) {
+      require(pos + 12 <= bytes.length, "PNG: truncated chunk header")
+      val len = u32(pos).toInt
+      val tpe = new String(bytes, pos + 4, 4, "US-ASCII")
+      val body = pos + 8
+      require(body + len + 4 <= bytes.length, s"PNG: truncated $tpe chunk")
+      val crc = new CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue == u32(body + len),
+        s"PNG: CRC mismatch in $tpe chunk")
+      tpe match {
+        case "IHDR" =>
+          require(len == 13, "PNG: bad IHDR length")
+          w = u32(body).toInt; h = u32(body + 4).toInt
+          require(w > 0 && h > 0, "PNG: zero dimensions")
+          val depth = bytes(body + 8) & 0xFF
+          colorType = bytes(body + 9) & 0xFF
+          require(depth == 8, s"PNG: bit depth $depth unsupported (8 only)")
+          require(Set(0, 2, 3, 4, 6)(colorType), s"PNG: color type $colorType")
+          require((bytes(body + 10) & 0xFF) == 0, "PNG: unknown compression")
+          require((bytes(body + 11) & 0xFF) == 0, "PNG: unknown filter method")
+          require((bytes(body + 12) & 0xFF) == 0,
+            "PNG: Adam7 interlace unsupported")
+          ihdrSeen = true
+        case "PLTE" =>
+          require(len % 3 == 0 && len > 0, "PNG: bad PLTE length")
+          palette = java.util.Arrays.copyOfRange(bytes, body, body + len)
+        case "IDAT" =>
+          require(ihdrSeen, "PNG: IDAT before IHDR")
+          idat.write(bytes, body, len)
+        case "IEND" => iendSeen = true
+        case _ => // ancillary (tEXt, tRNS, gAMA, ...) — skipped per spec
+      }
+      pos = body + len + 4
+    }
+    require(ihdrSeen && iendSeen, "PNG: missing IHDR/IEND")
+    val srcCh = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    val stride = w * srcCh
+    val raw = new Array[Byte]((stride + 1) * h)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      require(n > 0 || !inf.needsInput(), "PNG: truncated IDAT stream")
+      got += n
+    }
+    inf.end()
+    require(got == raw.length, s"PNG: inflated $got of ${raw.length} bytes")
+    // spec §6: per-scanline reconstruction; bpp = bytes per pixel
+    val recon = new Array[Byte](stride * h)
+    val bpp = srcCh
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (stride + 1)) & 0xFF
+      require(f <= 4, s"PNG: filter type $f")
+      var x = 0
+      while (x < stride) {
+        val v = raw(y * (stride + 1) + 1 + x) & 0xFF
+        val left = if (x >= bpp) recon(y * stride + x - bpp) & 0xFF else 0
+        val up = if (y > 0) recon((y - 1) * stride + x) & 0xFF else 0
+        val ul = if (x >= bpp && y > 0) recon((y - 1) * stride + x - bpp) & 0xFF else 0
+        val r = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case 4 => v + paeth(left, up, ul)
+        }
+        recon(y * stride + x) = (r & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    colorType match {
+      case 0 => MediaCodec.Image(w, h, 1, recon)
+      case 2 => MediaCodec.Image(w, h, 3, recon)
+      case 3 =>
+        require(palette != null, "PNG: palette image without PLTE")
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          val idx = recon(i) & 0xFF
+          require(3 * idx + 2 < palette.length, s"PNG: palette index $idx")
+          out(3 * i) = palette(3 * idx)
+          out(3 * i + 1) = palette(3 * idx + 1)
+          out(3 * i + 2) = palette(3 * idx + 2)
+          i += 1
+        }
+        MediaCodec.Image(w, h, 3, out)
+      case 4 => // gray+alpha: alpha dropped (opaque-raster consumers)
+        val out = new Array[Byte](w * h)
+        var i = 0
+        while (i < w * h) { out(i) = recon(2 * i); i += 1 }
+        MediaCodec.Image(w, h, 1, out)
+      case 6 => // RGBA: alpha dropped
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          out(3 * i) = recon(4 * i)
+          out(3 * i + 1) = recon(4 * i + 1)
+          out(3 * i + 2) = recon(4 * i + 2)
+          i += 1
+        }
+        MediaCodec.Image(w, h, 3, out)
+    }
+  }
+}

@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level spec for the from-spec PNG codec. Decode fixtures are
+  * built BY HAND (chunk framing, CRCs, raw filtered scanlines through a
+  * bare Deflater), so an encoder/decoder pair sharing a layout mistake
+  * cannot pass; the round-trip tests then drive the encoder's
+  * row-cycling filter schedule through the independent decoder. */
+class PngSpec extends AnyFunSuite {
+
+  private def handPng(w: Int, h: Int, colorType: Int, depth: Int,
+      filtered: Array[Byte], palette: Array[Byte] = null,
+      interlace: Int = 0, corruptCrc: Boolean = false): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(tpe: String, body: Array[Byte], breakCrc: Boolean = false): Unit = {
+      def u32(v: Long): Unit = {
+        o.write(((v >> 24) & 0xFF).toInt); o.write(((v >> 16) & 0xFF).toInt)
+        o.write(((v >> 8) & 0xFF).toInt); o.write((v & 0xFF).toInt)
+      }
+      u32(body.length.toLong); o.write(tpe.getBytes); o.write(body)
+      val c = new CRC32(); c.update(tpe.getBytes); c.update(body)
+      u32(if (breakCrc) c.getValue ^ 1 else c.getValue)
+    }
+    val ihdr = new Array[Byte](13)
+    def p32(off: Int, v: Int): Unit = {
+      ihdr(off) = (v >> 24).toByte; ihdr(off + 1) = (v >> 16).toByte
+      ihdr(off + 2) = (v >> 8).toByte; ihdr(off + 3) = v.toByte
+    }
+    p32(0, w); p32(4, h)
+    ihdr(8) = depth.toByte; ihdr(9) = colorType.toByte
+    ihdr(12) = interlace.toByte
+    chunk("IHDR", ihdr)
+    if (palette != null) chunk("PLTE", palette)
+    val d = new Deflater(); d.setInput(filtered); d.finish()
+    val comp = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+    // split the stream over TWO IDAT chunks to pin multi-IDAT concat
+    val cb = comp.toByteArray
+    val cut = cb.length / 2
+    chunk("IDAT", cb.take(cut), breakCrc = corruptCrc)
+    chunk("IDAT", cb.drop(cut))
+    chunk("IEND", Array.emptyByteArray)
+    o.toByteArray
+  }
+
+  test("hand-built gray fixture: each filter type reconstructs per spec") {
+    // 4x5 gray, one row per filter type. Raw pixel plan (what a correct
+    // decoder must produce) chosen first; filtered bytes derived BY HAND
+    // from the spec's forward filter definitions.
+    val px = Array[Int](
+      10, 20, 30, 40, // row0 None
+      15, 25, 35, 45, // row1 Sub:   d = cur - left
+      20, 30, 40, 50, // row2 Up:    d = cur - up
+      30, 40, 50, 60, // row3 Avg:   d = cur - (left+up)/2
+      35, 50, 60, 70) // row4 Paeth: d = cur - paeth(l, u, ul)
+    val f = new ByteArrayOutputStream()
+    f.write(0); Seq(10, 20, 30, 40).foreach(f.write)
+    f.write(1); f.write(15); f.write(10); f.write(10); f.write(10)
+    f.write(2); f.write(5); f.write(5); f.write(5); f.write(5)
+    // row3 Avg: left(recon) ; up = row2 = 20 30 40 50
+    // x0: cur 30, left 0, up 20 -> 30-10=20 ; x1: 40-(30+30)/2=10
+    // x2: 50-(40+40)/2=10 ; x3: 60-(50+50)/2=10
+    f.write(3); f.write(20); f.write(10); f.write(10); f.write(10)
+    // row4 Paeth: up = row3 = 30 40 50 60
+    // x0: l=0 u=30 ul=0 -> p=30 -> pred=u=30 ; 35-30=5
+    // x1: l=35 u=40 ul=30 -> p=45, pa=10 pb=5 pc=15 -> pred=40 ; 50-40=10
+    // x2: l=50 u=50 ul=40 -> p=60, pa=10 pb=10 pc=20 -> pred=l=50 ; 60-50=10
+    // x3: l=60 u=60 ul=50 -> p=70, pa=10 pb=10 pc=20 -> pred=l=60 ; 70-60=10
+    f.write(4); f.write(5); f.write(10); f.write(10); f.write(10)
+    val img = Png.decode(handPng(4, 5, 0, 8, f.toByteArray))
+    assert(img.width == 4 && img.height == 5 && img.channels == 1)
+    assert(img.pixels.map(_ & 0xFF).toSeq == px.toSeq)
+  }
+
+  test("hand-built palette fixture maps PLTE entries to RGB") {
+    val plte = Array[Byte](10, 11, 12, 20, 21, 22, 30, 31, 32)
+    // two 1-px rows, both filter None: indexes 2 then 1
+    val img = Png.decode(handPng(1, 2, 3, 8, Array[Byte](0, 2, 0, 1),
+      palette = plte))
+    assert(img.channels == 3)
+    assert(img.pixels.toSeq == Seq[Byte](30, 31, 32, 20, 21, 22))
+  }
+
+  test("RGBA and gray+alpha drop alpha; RGB bpp=3 offsets in Sub filter") {
+    // 2x1 RGBA, Sub filter: second pixel delta vs first (bpp=4)
+    val raw = new ByteArrayOutputStream()
+    raw.write(1)
+    Seq(100, 110, 120, 255).foreach(raw.write) // first: minus zero
+    Seq(10, 10, 10, 0).foreach(raw.write) // second = first + 10, alpha 255
+    val img = Png.decode(handPng(2, 1, 6, 8, raw.toByteArray))
+    assert(img.channels == 3)
+    assert(img.pixels.map(_ & 0xFF).toSeq == Seq(100, 110, 120, 110, 120, 130))
+    val ga = new ByteArrayOutputStream()
+    ga.write(0); Seq(77, 255, 88, 0).foreach(ga.write)
+    val img2 = Png.decode(handPng(2, 1, 4, 8, ga.toByteArray))
+    assert(img2.channels == 1)
+    assert(img2.pixels.map(_ & 0xFF).toSeq == Seq(77, 88))
+  }
+
+  test("CRC corruption, 16-bit depth and Adam7 are rejected loudly") {
+    val f = Array[Byte](0, 1, 2)
+    intercept[IllegalArgumentException](
+      Png.decode(handPng(3, 1, 0, 8, f, corruptCrc = true)))
+    intercept[IllegalArgumentException](
+      Png.decode(handPng(3, 1, 0, 16, f)))
+    intercept[IllegalArgumentException](
+      Png.decode(handPng(3, 1, 0, 8, f, interlace = 1)))
+  }
+
+  test("encoder round trip: all five filters, gray and RGB, odd sizes") {
+    for ((w, h, ch) <- Seq((7, 11, 1), (16, 5, 3), (1, 6, 3), (33, 7, 1))) {
+      val px = Array.tabulate(w * h * ch)(i => ((i * 37 + (i * i) % 251) % 256).toByte)
+      val img = Png.decode(Png.encode(w, h, ch, px))
+      assert(img.width == w && img.height == h && img.channels == ch, s"($w,$h,$ch)")
+      assert(img.pixels.toSeq == px.toSeq, s"($w,$h,$ch)")
+    }
+  }
+
+  test("decodeImage sniffs PNG by signature") {
+    val px = Array.tabulate(12)(_.toByte)
+    val img = MediaCodec.decodeImage(Png.encode(4, 3, 1, px))
+    assert(img.channels == 1 && img.pixels.toSeq == px.toSeq)
+  }
+}
