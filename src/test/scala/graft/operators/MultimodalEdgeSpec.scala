@@ -71,12 +71,25 @@ class MultimodalEdgeSpec extends SparkSpec {
     assert(rows(1)._2 < 1000000L)
   }
 
-  test("m06 survives an empty document; identical docs still pair up") {
-    val pairs = MultimodalQueries.m06_image_dhash(spark, dir).collect()
+  test("m06 survives an empty document; identical docs pair in BOTH containers") {
+    // since the JPEG routing (odd ids -> jpegGrid) identical text only
+    // yields identical images at equal parity: 1/3 pair through the
+    // JPEG path, 2/4 through the PGM path; the empty doc (id 0, PGM)
+    // hashes to 0, which may band-collide but must not crash
+    val d = Files.createTempDirectory("graft_m06_edge").toString
+    import spark.implicits._
+    Seq(
+      (0L, "", "en", "web", 0L),
+      (1L, "abc", "en", "web", 3L),
+      (3L, "abc", "en", "web", 3L),
+      (2L, "xyz pq", "en", "web", 6L),
+      (4L, "xyz pq", "en", "web", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val pairs = MultimodalQueries.m06_image_dhash(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // docs 1 and 2 are identical → hamming 0; the empty doc hashes to 0
-    // which may band-collide but must not crash
-    assert(pairs.contains((1L, 2L, 0L)))
+    assert(pairs.contains((1L, 3L, 0L)), "JPEG-path identical pair")
+    assert(pairs.contains((2L, 4L, 0L)), "PGM-path identical pair")
   }
 
   private lazy val audioDir: String = {
