@@ -601,7 +601,57 @@ object ClusterQueries {
         "mcc_sign", "mcc2_fp")
   }
 
+  /** c12 — BLEU-style clipped n-gram overlap between paired documents
+    * (candidate = even doc_id, reference = its successor — m10's
+    * pairing): per pair and per n ∈ 1..4, the sacreBLEU sufficient
+    * statistics — clipped match count Σ_g min(count_cand(g),
+    * count_ref(g)) and candidate gram total — plus both lengths for the
+    * brevity penalty, all exact integers (the final geometric mean /
+    * exp is the consumer's one scalar fold). This is how a distributed
+    * eval pipeline actually ships BLEU: emit per-pair statistics, never
+    * per-pair floats.
+    *
+    * Scale shape: ONE successor self-join (shuffle on doc_id), then
+    * everything is in-row: gram multiset hashes sort per row and the
+    * clipped count is the allocation-free
+    * [[graft.plans.SortedIntersectSize]] merge loop — on sorted arrays
+    * WITH duplicates that loop yields Σ min counts (multiset ∩)
+    * directly, so no per-gram explode/shuffle exists anywhere. The
+    * oracle replays the same md5-hashed grams relationally (unnest +
+    * per-value min) — an independent formulation of the same clip. */
+  def c12_ngram_overlap_eval(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    import graft.functions.TextFunctions.{md5Long60, tokens}
+    import graft.plans.SortedIntersectSize
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    def grams(tk: Column, n: Int): Column =
+      when(size(tk) >= n, sort_array(transform(
+        sequence(lit(0), size(tk) - n),
+        i => md5Long60(concat_ws(" ", slice(tk, i + 1, lit(n)))))))
+        .otherwise(array().cast("array<long>"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("tk").as("ta"))
+      .filter(col("doc_a") % 2 === 0)
+    val b = docs.select((col("doc_id") - 1).as("doc_a"), col("tk").as("tb"))
+    val pairs = a.join(b, "doc_a")
+    val withN = (1 to 4).foldLeft(
+      pairs.select(col("doc_a"), (col("doc_a") + 1).as("doc_b"),
+        size(col("ta")).cast("long").as("len_c"),
+        size(col("tb")).cast("long").as("len_r"),
+        col("ta"), col("tb"))) { (df, n) =>
+      df.withColumn(s"p${n}_num",
+          SortedIntersectSize(grams(col("ta"), n), grams(col("tb"), n))
+            .cast("long"))
+        .withColumn(s"p${n}_den",
+          greatest(size(col("ta")).cast("long") - (n - 1), lit(0L)))
+        .withColumn(s"p${n}_fp", when(col(s"p${n}_den") === 0L, 0L)
+          .otherwise(ldiv(col(s"p${n}_num") * 1000000L, col(s"p${n}_den"))))
+    }
+    withN.drop("ta", "tb").orderBy("doc_a")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c12_ngram_overlap_eval" -> (c12_ngram_overlap_eval _),
     "c11_mcc_eval" -> (c11_mcc_eval _),
     "c10_bootstrap_ci" -> (c10_bootstrap_ci _),
     "c09_kappa_agreement" -> (c09_kappa_agreement _),
@@ -755,6 +805,57 @@ object ClusterQueries {
   private val gainsSql = ndcgGains.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // same md5-hashed grams, but the clip is relational: unnest both
+    // multisets, count per value, sum the per-value minima
+    "c12_ngram_overlap_eval" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+           FROM documents),
+         pair AS (SELECT a.doc_id AS doc_a, a.doc_id + 1 AS doc_b,
+             a.tk AS ta, b.tk AS tb
+           FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 2 = 0),
+         nn AS (SELECT unnest([1, 2, 3, 4])::BIGINT AS n),
+         ga AS (SELECT doc_a, n,
+             unnest(list_transform(range(0, greatest(len(ta) - n + 1, 0)),
+               i -> CAST('0x' || substr(md5(array_to_string(
+                 ta[(i + 1)::INT : (i + n)::INT], ' ')), 1, 15) AS BIGINT)))
+               AS g
+           FROM pair, nn),
+         gb AS (SELECT doc_a, n,
+             unnest(list_transform(range(0, greatest(len(tb) - n + 1, 0)),
+               i -> CAST('0x' || substr(md5(array_to_string(
+                 tb[(i + 1)::INT : (i + n)::INT], ' ')), 1, 15) AS BIGINT)))
+               AS g
+           FROM pair, nn),
+         ca AS (SELECT doc_a, n, g, count(*) AS c FROM ga GROUP BY 1, 2, 3),
+         cb AS (SELECT doc_a, n, g, count(*) AS c FROM gb GROUP BY 1, 2, 3),
+         clip AS (SELECT ca.doc_a, ca.n,
+             CAST(sum(least(ca.c, coalesce(cb.c, 0))) AS BIGINT) AS num
+           FROM ca LEFT JOIN cb ON cb.doc_a = ca.doc_a AND cb.n = ca.n
+             AND cb.g = ca.g
+           GROUP BY 1, 2),
+         wide AS (SELECT p.doc_a, p.doc_b,
+             len(p.ta)::BIGINT AS len_c, len(p.tb)::BIGINT AS len_r,
+             coalesce(max(CASE WHEN c.n = 1 THEN c.num END), 0) AS p1_num,
+             greatest(len(p.ta) - 0, 0)::BIGINT AS p1_den,
+             coalesce(max(CASE WHEN c.n = 2 THEN c.num END), 0) AS p2_num,
+             greatest(len(p.ta) - 1, 0)::BIGINT AS p2_den,
+             coalesce(max(CASE WHEN c.n = 3 THEN c.num END), 0) AS p3_num,
+             greatest(len(p.ta) - 2, 0)::BIGINT AS p3_den,
+             coalesce(max(CASE WHEN c.n = 4 THEN c.num END), 0) AS p4_num,
+             greatest(len(p.ta) - 3, 0)::BIGINT AS p4_den
+           FROM pair p LEFT JOIN clip c ON c.doc_a = p.doc_a
+           GROUP BY p.doc_a, p.doc_b, p.ta, p.tb)
+         SELECT doc_a, doc_b, len_c, len_r,
+           p1_num, p1_den,
+           CASE WHEN p1_den = 0 THEN 0 ELSE p1_num * 1000000 // p1_den END AS p1_fp,
+           p2_num, p2_den,
+           CASE WHEN p2_den = 0 THEN 0 ELSE p2_num * 1000000 // p2_den END AS p2_fp,
+           p3_num, p3_den,
+           CASE WHEN p3_den = 0 THEN 0 ELSE p3_num * 1000000 // p3_den END AS p3_fp,
+           p4_num, p4_den,
+           CASE WHEN p4_den = 0 THEN 0 ELSE p4_num * 1000000 // p4_den END AS p4_fp
+         FROM wide ORDER BY doc_a""",
     // same confusion marginals as c09; MCC² kept rational in HUGEINT
     "c11_mcc_eval" ->
       """WITH preds AS (
