@@ -1362,6 +1362,108 @@ object RelationalQueries {
       (dp, mp)
     }
 
+  
+  /** q69 — OPTIMISTIC concurrency control with conflict detection and
+    * commit retry (the Iceberg/Delta multi-writer protocol the
+    * single-writer q52/q61 family left open): three writers race from
+    * the same base snapshot — an APPENDER (new file, removes nothing),
+    * and two REWRITERS that both rewrite the same base file. Commit
+    * validation is the standard file-level rule: a commit is clean iff
+    * every file it removes is still active at the current head; an
+    * append therefore NEVER conflicts (rebases trivially onto any
+    * head), the first rewriter rebases past the append and commits, and
+    * the second rewriter's attempt FAILS validation (its target file
+    * was replaced), re-executes against the new head's replacement
+    * file, and commits on retry. The output audits every attempt
+    * (writer, base/committed version, outcome) with the table state
+    * after it — the conflict row shows the state unchanged.
+    *
+    * Scale shape: validation is pure metadata (a driver-side replay of
+    * a few log rows, exactly how production table formats do OCC —
+    * retries re-run VALIDATION cheaply, and only a real conflict pays a
+    * data-plane re-execute); every data operation is a distributed
+    * parquet scan/write of the affected files only. The oracle replays
+    * the end state of each version from the source table,
+    * layout-independent, so a validation bug (lost update, phantom
+    * rewrite) shifts row counts and fails the hash. */
+  def q69_occ_conflict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = graft.core.SessionMemo.pathTag(s, dir)
+    def tmp(n: String) = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_q69_${n}_$tag")
+      .getAbsolutePath
+    val o = Tables.orders(s, dir)
+    val (fEarly, fLate, fApp, fRw1, fRw2) =
+      (tmp("early"), tmp("late"), tmp("app"), tmp("rw1"), tmp("rw2"))
+    o.filter(col("o_orderdate") < lit("1998-01-01"))
+      .write.mode("overwrite").parquet(fEarly)
+    o.filter(col("o_orderdate") >= lit("1998-01-01") &&
+        col("o_orderdate") < lit("2000-01-01"))
+      .write.mode("overwrite").parquet(fLate)
+    // the commit log: (version, action, path); base snapshot v1
+    var log = Vector((1L, "add", fEarly), (1L, "add", fLate))
+    def activeAt(v: Long): Set[String] = {
+      val upTo = log.filter(_._1 <= v)
+      upTo.collect { case (_, "add", p) => p }
+        .filterNot(p => upTo.exists(e => e._2 == "remove" && e._3 == p))
+        .toSet
+    }
+    def head: Long = log.map(_._1).max
+    /** OCC validation + publish: clean iff every removed file is still
+      * active at the current head (so append-only commits always pass
+      * regardless of how far the head moved past their base). */
+    def tryCommit(removes: Seq[String], adds: Seq[String]): Option[Long] = {
+      val act = activeAt(head)
+      if (!removes.forall(act.contains)) None
+      else {
+        val v = head + 1
+        log = log ++ removes.map((v, "remove", _)) ++ adds.map((v, "add", _))
+        Some(v)
+      }
+    }
+    def stateAt(v: Long): (Long, Long) = {
+      val r = s.read.parquet(activeAt(v).toSeq.sorted: _*)
+        .agg(count(lit(1)),
+          sum(floor(col("o_totalprice") * lit(100)).cast("long"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // all three writers PREPARE against base v1 (data-plane work may
+    // interleave arbitrarily; only commit order below is serial)
+    o.filter(col("o_orderdate") >= lit("2000-01-01"))
+      .write.mode("overwrite").parquet(fApp)
+    s.read.parquet(fEarly).filter(col("o_orderstatus") =!= "F")
+      .write.mode("overwrite").parquet(fRw1)
+    val audit = scala.collection.mutable.Buffer.empty[
+      (Long, String, Long, String, Long)]
+    var attempt = 1L
+    // 1) appender commits first -> v2
+    val v2 = tryCommit(Nil, Seq(fApp)).get
+    audit += ((attempt, "appender", 1L, "committed", v2)); attempt += 1
+    // 2) rewriter-1: fEarly still active at v2 -> rebase past the
+    //    append, commit -> v3
+    val v3 = tryCommit(Seq(fEarly), Seq(fRw1)).get
+    audit += ((attempt, "rewriter1", 1L, "committed", v3)); attempt += 1
+    // 3) rewriter-2 prepared against v1 too: its removed file is gone
+    //    at v3 -> CONFLICT (no log change; state column shows the
+    //    unchanged head)
+    require(tryCommit(Seq(fEarly), Seq(tmp("never"))).isEmpty,
+      "OCC validation must reject a rewrite of a replaced file")
+    audit += ((attempt, "rewriter2", 1L, "conflict", v3)); attempt += 1
+    // 4) rewriter-2 re-executes against v3's replacement file and
+    //    commits on retry -> v4
+    s.read.parquet(fRw1).filter(col("o_totalprice") >= 50000)
+      .write.mode("overwrite").parquet(fRw2)
+    val v4 = tryCommit(Seq(fRw1), Seq(fRw2)).get
+    audit += ((attempt, "rewriter2", v3, "committed", v4))
+    audit.toSeq.map { case (at, w, base, outcome, vState) =>
+      val (n, tot) = stateAt(vState)
+      (at, w, base, outcome, vState, n, tot)
+    }.toDF("attempt", "writer", "base_version", "outcome", "version",
+      "n_rows", "total_fp")
+      .orderBy("attempt")
+  }
+
+
   /** q68 — copy-on-write MERGE with manifest-pruned rewrite scope (the
     * Delta/Iceberg COW `MERGE INTO` shape): a delta carries UPDATEs for
     * a narrow key band (quantity + 10) and INSERTs (the band's rows
@@ -1657,6 +1759,7 @@ object RelationalQueries {
     "q53_funnel" -> (q53_funnel _),
     "q52_time_travel" -> (q52_time_travel _),
     "q66_changelog_diff" -> (q66_changelog_diff _),
+    "q69_occ_conflict" -> (q69_occ_conflict _),
     "q68_merge_cow" -> (q68_merge_cow _),
     "q51_scd2_merge" -> (q51_scd2_merge _),
     "q65_manifest_skipping" -> (q65_manifest_skipping _),
@@ -1832,6 +1935,32 @@ object RelationalQueries {
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum
          FROM ins GROUP BY 2
          ORDER BY 1, 2""",
+    // end-state replay per version from the source table: v2 = all,
+    // v3 = minus the early-F rewrite, v4 = v3 minus the early cheap
+    // rows; the conflict attempt shows the unchanged v3 state
+    "q69_occ_conflict" ->
+      """WITH early AS (SELECT o_orderdate < TIMESTAMP '1998-01-01' AS e,
+             o_orderstatus AS st, o_totalprice AS p FROM orders),
+         st AS (SELECT
+           count(*)::BIGINT AS n2,
+           CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) AS t2,
+           count(*) FILTER (WHERE NOT (e AND st = 'F'))::BIGINT AS n3,
+           CAST(sum(CAST(floor(p * 100) AS BIGINT))
+             FILTER (WHERE NOT (e AND st = 'F')) AS BIGINT) AS t3,
+           count(*) FILTER (WHERE NOT (e AND st = 'F')
+             AND NOT (e AND st <> 'F' AND p < 50000))::BIGINT AS n4,
+           CAST(sum(CAST(floor(p * 100) AS BIGINT))
+             FILTER (WHERE NOT (e AND st = 'F')
+               AND NOT (e AND st <> 'F' AND p < 50000)) AS BIGINT) AS t4
+           FROM early)
+         SELECT * FROM (
+           SELECT 1::BIGINT AS attempt, 'appender' AS writer,
+             1::BIGINT AS base_version, 'committed' AS outcome,
+             2::BIGINT AS version, n2 AS n_rows, t2 AS total_fp FROM st
+           UNION ALL SELECT 2, 'rewriter1', 1, 'committed', 3, n3, t3 FROM st
+           UNION ALL SELECT 3, 'rewriter2', 1, 'conflict', 3, n3, t3 FROM st
+           UNION ALL SELECT 4, 'rewriter2', 3, 'committed', 4, n4, t4 FROM st)
+         ORDER BY attempt""",
     "q52_time_travel" ->
       """WITH snap AS (
          SELECT 1::BIGINT AS version, o_orderstatus, o_totalprice
