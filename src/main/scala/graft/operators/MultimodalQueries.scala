@@ -182,6 +182,67 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+
+  final case class ResampleRow(doc_id: Long, rate_in: Long, rate_out: Long,
+                               n_in: Long, n_out: Long, amp_in: Long,
+                               amp_out: Long, mean_out: Double)
+
+  /** m16 — audio resampling (8 kHz → 16 kHz, exact 2× linear
+    * interpolation): the sample-rate normalization every speech corpus
+    * pays before a 16 kHz acoustic model sees it. The clip rides m02's
+    * real RIFF/WAVE encode→decode; upsampling inserts the midpoint
+    * between neighbors — out[2i] = s[i], out[2i+1] =
+    * ⌊(s[i]+s[i+1])/2⌋ (floor division toward −∞ on the sum, the
+    * convention both engines replay exactly), the final odd slot
+    * replicating the last sample — so every output value is an exact
+    * integer the DuckDB oracle reproduces from the document bytes.
+    * Features: both rates and lengths plus input/output absolute
+    * amplitude sums (the output sum ≠ 2× input sum whenever any
+    * midpoint crosses zero, so a lazy "double the sum" fake fails).
+    *
+    * Scale shape: scan-parallel mapPartitions, one decoder + one O(n)
+    * loop per clip, no shuffle before the output sort — 100 TB of
+    * audio resamples at decode speed. */
+  def m16_audio_resample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("US-ASCII")
+          val samples = Array.tabulate(bytes.length)(i =>
+            (((bytes(i) & 0xFF) - 96) * 128).toShort)
+          MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val audio = MediaCodec.decodeWav(r.payload)
+        val in = audio.samples
+        val n = in.length
+        val out = new Array[Int](2 * n)
+        var i = 0
+        while (i < n) {
+          out(2 * i) = in(i).toInt
+          out(2 * i + 1) =
+            if (i + 1 < n) Math.floorDiv(in(i).toInt + in(i + 1).toInt, 2)
+            else in(i).toInt
+          i += 1
+        }
+        var ampIn = 0L; var ampOut = 0L
+        i = 0
+        while (i < n) { ampIn += math.abs(in(i).toLong); i += 1 }
+        i = 0
+        while (i < 2 * n) { ampOut += math.abs(out(i).toLong); i += 1 }
+        ResampleRow(r.doc_id, audio.sampleRate.toLong, 16000L, n.toLong,
+          2L * n, ampIn, ampOut,
+          if (n == 0) 0.0 else ampOut / (2.0 * n))
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   final case class ResizeSample(doc_id: Long, n_samples: Long,
                                 byte_sum: Long, mean_px: Double)
 
@@ -882,6 +943,7 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m16_audio_resample" -> (m16_audio_resample _),
     "m15_png_features" -> (m15_png_features _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
@@ -903,6 +965,32 @@ object MultimodalQueries {
     // flat-block 4:2:0 JPEG: decoded pixel (x,y) = doc byte of raster
     // block 'y/8*(w/8) + x/8' (neutral chroma -> RGB = Y), so luma is
     // 64*256*sum(block bytes); the whole T.81 chain runs Spark-side only
+    // sample synthesis + midpoint interpolation replayed on the code
+    // points; floor division toward -inf matches Math.floorDiv; the
+    // RIFF/WAVE roundtrip happens only Spark-side
+    "m16_audio_resample" ->
+      """WITH t AS (SELECT doc_id, length(text)::BIGINT AS n,
+           list_transform(string_split(text, ''),
+             c -> ((ascii(c) - 96) * 128)::BIGINT) AS sl
+         FROM documents),
+       o AS (SELECT doc_id, n, sl,
+           flatten(list_transform(range(0, n::INT), i ->
+             [sl[i::INT + 1],
+              CASE WHEN i + 2 <= n
+                THEN floor((sl[i::INT + 1] + sl[i::INT + 2]) / 2.0)::BIGINT
+                ELSE sl[i::INT + 1] END])) AS ol
+         FROM t)
+       SELECT doc_id, 8000::BIGINT AS rate_in, 16000::BIGINT AS rate_out,
+         n AS n_in, 2 * n AS n_out,
+         coalesce(list_reduce(list_prepend(0::BIGINT,
+           list_transform(sl, v -> abs(v))), (x, y) -> x + y), 0) AS amp_in,
+         coalesce(list_reduce(list_prepend(0::BIGINT,
+           list_transform(ol, v -> abs(v))), (x, y) -> x + y), 0) AS amp_out,
+         CASE WHEN n = 0 THEN 0.0
+           ELSE coalesce(list_reduce(list_prepend(0::BIGINT,
+             list_transform(ol, v -> abs(v))), (x, y) -> x + y), 0)
+             / (2.0 * n) END AS mean_out
+       FROM o ORDER BY doc_id""",
     // full per-pixel replay: RGB (even ids) gets m01's 3-channel luma,
     // gray (odd ids) the 256*b convention; the PNG container (zlib,
     // all five filters) round-trips only Spark-side

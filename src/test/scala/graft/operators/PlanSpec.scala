@@ -393,4 +393,22 @@ class PlanSpec extends SparkSpec {
       v.fold(c.unset(k))(c.set(k, _))
     }
   }
+
+  test("c12: clipped n-gram overlap stays in-row — no Generate, one join") {
+    val df = ClusterQueries.c12_ngram_overlap_eval(spark, sf())
+    val plan = df.queryExecution.optimizedPlan
+    // the multiset clip must run inside the row via the sorted-merge
+    // kernel: a per-gram explode would shuffle |doc|x4 gram rows and is
+    // exactly the scale failure the operator's design avoids
+    val generates = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+    assert(generates.isEmpty,
+      s"per-gram explode found — clip left the row:\n$plan")
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 1,
+      s"expected exactly the successor self-join, got ${joins.size}")
+    assert(plan.toString.contains("graft_sorted_intersect_size"),
+      "clip must run through the SortedIntersectSize kernel")
+  }
 }
