@@ -813,6 +813,70 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+
+  final case class JpegAcRow(doc_id: Long, width: Int, height: Int,
+                             n_blocks: Long, px_sum: Long, px_wsum: Long,
+                             px_min: Long, px_max: Long)
+
+  /** m17 — JPEG with REAL AC content under the oracle: every 8×8 block
+    * carries the fixed quantized AC texture [[Jpeg.AcPatternCoefs]] on
+    * top of its flat DC value, so the decode exercises the full
+    * Huffman-AC run-length / dequant / IDCT chain — and stays
+    * bit-predictable, because round(v + p) = v + round(p) for integer
+    * v: the irrational AC contribution collapses to ONE integer LUT
+    * ([[Jpeg.AcPatternPixels]]) computed once and embedded verbatim in
+    * both engines (the c08 ndcgDisc pattern). The AC texture sums to
+    * zero, so the plain pixel sum alone could not see it — the
+    * POSITION-WEIGHTED checksum Σ pixel·(inBlockPos+1) pins every LUT
+    * cell in place (a transposed IDCT, wrong zigzag or dropped run
+    * shifts it), and min/max pin the extremes. DC values sit in
+    * [64, 191] so no pixel clamps.
+    *
+    * Scale shape: identical to m14 — two scan-parallel mapPartitions
+    * stages, no shuffle before the output sort. */
+  def m17_jpeg_ac_texture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — pixel bytes would diverge from code points")
+          val bytes = text.getBytes("US-ASCII")
+          val len = bytes.length
+          val hb = (len / 32) % 16 + 1
+          val vals = Array.tabulate(4 * hb)(k =>
+            64 + (if (len == 0) 0 else (bytes(k % len) & 0xFF) % 128))
+          MediaRow(id, Jpeg.encodeGrayTextured(32, 8 * hb, vals, dri = 2),
+            "jpeg-ac")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = MediaCodec.decodeImage(r.payload)
+        val (w, h) = (img.width, img.height)
+        var sum = 0L; var wsum = 0L
+        var mn = 255L; var mx = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (img.pixels(y * w + x) & 0xFF).toLong
+            sum += v
+            wsum += v * ((y % 8) * 8 + (x % 8) + 1)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        JpegAcRow(r.doc_id, w, h, (w / 8).toLong * (h / 8), sum, wsum, mn, mx)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   final case class VadRow(doc_id: Long, n_frames: Long, n_voiced: Long,
                           n_segments: Long, longest_seg: Long,
                           voiced_fp: Long)
@@ -943,6 +1007,7 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m17_jpeg_ac_texture" -> (m17_jpeg_ac_texture _),
     "m16_audio_resample" -> (m16_audio_resample _),
     "m15_png_features" -> (m15_png_features _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
@@ -965,6 +1030,29 @@ object MultimodalQueries {
     // flat-block 4:2:0 JPEG: decoded pixel (x,y) = doc byte of raster
     // block 'y/8*(w/8) + x/8' (neutral chroma -> RGB = Y), so luma is
     // 64*256*sum(block bytes); the whole T.81 chain runs Spark-side only
+    // closed-form replay with the AC LUT constants baked in at build
+    // time: per block, sum = 64*v (texture sums to 0), weighted sum =
+    // 2080*v + WP, extremes shift by the LUT min/max; v = 64 + b%128
+    "m17_jpeg_ac_texture" -> {
+      val pat = graft.sources.Jpeg.AcPatternPixels
+      val wp = pat.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS len,
+           8 * ((length(text) // 32) % 16 + 1) AS h FROM documents),
+         b AS (SELECT doc_id, h, 4 * (h // 8) AS nb,
+             list_transform(range(0, 4 * (h // 8)), k ->
+               64 + CASE WHEN len = 0 THEN 0
+                 ELSE ascii(substr(text, (k % len)::INT + 1, 1)) % 128 END)
+               AS vs
+           FROM t)
+         SELECT doc_id, 32::INT AS width, h::INT AS height,
+           nb::BIGINT AS n_blocks,
+           (64 * list_reduce(vs, (x, y) -> x + y))::BIGINT AS px_sum,
+           (2080 * list_reduce(vs, (x, y) -> x + y)
+             + nb * $wp)::BIGINT AS px_wsum,
+           (list_min(vs) + ${pat.min})::BIGINT AS px_min,
+           (list_max(vs) + ${pat.max})::BIGINT AS px_max
+         FROM b ORDER BY doc_id"""
+    },
     // sample synthesis + midpoint interpolation replayed on the code
     // points; floor division toward -inf matches Math.floorDiv; the
     // RIFF/WAVE roundtrip happens only Spark-side

@@ -241,6 +241,56 @@ object Jpeg {
     * decode to the exact flat value v (lone-DC IDCT is dc/8 + 128). */
   private[sources] val FlatQ: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 16)
 
+  /** Fixed AC texture for oracle-checked queries: quantized
+    * coefficients (natural index → value, dequantized against FlatQ's
+    * AC step 16). Because the DCT is linear and the DC basis is
+    * constant, a block with DC v−128 plus THIS pattern decodes to
+    * exactly v + [[AcPatternPixels]](y·8+x) for every integer v that
+    * keeps the sum inside [0,255]: round(v + p) = v + round(p) for
+    * integer v, so the irrational AC contribution rounds to one fixed
+    * integer LUT computable ONCE and embedded verbatim in BOTH the
+    * Spark plan and the DuckDB oracle (the c08 ndcgDisc pattern) —
+    * putting the real Huffman-AC / dequant / IDCT chain under the
+    * row-hash oracle instead of only under spec tests. */
+  val AcPatternCoefs: Map[Int, Int] = Map(1 -> 3, 8 -> -2, 17 -> 1)
+
+  /** round(IDCT of the dequantized [[AcPatternCoefs]]) — the exact
+    * per-pixel integer offsets. The distance-from-.5 guard makes the
+    * "decoder's float error cannot flip a rounding" claim checkable:
+    * the separable double IDCT differs from this direct evaluation by
+    * ~1e-13, far below the enforced 1e-6 margin. */
+  val AcPatternPixels: Array[Int] = {
+    val out = new Array[Int](64)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var s = 0.0
+      AcPatternCoefs.foreach { case (idx, q) =>
+        val u = idx % 8; val v = idx / 8
+        s += q.toDouble * FlatQ(idx) * CosT(x)(u) * CosT(y)(v)
+      }
+      val r = math.floor(s + 0.5)
+      require(math.abs(s + 0.5 - math.rint(s + 0.5)) > 1e-6,
+        s"AC pattern value $s too close to a rounding boundary at ($x,$y)")
+      out(y * 8 + x) = r.toInt
+    }
+    require(out.min >= -64 && out.max <= 63,
+      "AC pattern must fit the [64,191] flat-value head-room")
+    out
+  }
+
+  /** Grayscale fixture whose raster block k is flat `blockVals(k)` PLUS
+    * the fixed AC texture — decodes bit-exactly to
+    * `blockVals(k) + AcPatternPixels(pixel)`. Values must stay in
+    * [64, 191] so no pixel clamps. */
+  def encodeGrayTextured(w: Int, h: Int, blockVals: Array[Int],
+                         dri: Int = 0): Array[Byte] =
+    encodeGrayCoeffs(w, h, blockVals.map { v =>
+      require(v >= 64 && v <= 191, s"textured value $v outside [64,191]")
+      val c = new Array[Int](64)
+      c(0) = v - 128
+      AcPatternCoefs.foreach { case (idx, q) => c(idx) = q }
+      c
+    }, FlatQ, dri)
+
   private def writeMarker(o: ByteArrayOutputStream, m: Int): Unit = {
     o.write(0xFF); o.write(m)
   }

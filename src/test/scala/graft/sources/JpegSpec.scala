@@ -108,6 +108,22 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("textured blocks decode to flat value + the fixed AC pattern LUT") {
+    val vals = Array(64, 100, 191, 150, 77, 128, 65, 190)
+    val img = Jpeg.decode(Jpeg.encodeGrayTextured(32, 16, vals, dri = 2))
+    val pat = Jpeg.AcPatternPixels
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val want = vals((y / 8) * 4 + x / 8) + pat((y % 8) * 8 + x % 8)
+      assert((img.pixels(y * 32 + x) & 0xFF) == want, s"pixel ($x,$y)")
+    }
+    // the independent direct IDCT agrees with the LUT decomposition
+    val coef = new Array[Int](64)
+    coef(0) = (vals(0) - 128) * Jpeg.FlatQ(0)
+    Jpeg.AcPatternCoefs.foreach { case (i, q) => coef(i) = q * Jpeg.FlatQ(i) }
+    val direct = directIdct(coef)
+    for (p <- 0 until 64) assert(direct(p) == vals(0) + pat(p), s"LUT pos $p")
+  }
+
   test("entropy stream byte-stuffs FF and un-stuffs on decode") {
     // search AC-rich single-block fixtures until one stuffs an FF 00,
     // then check that stream decodes to the independent direct IDCT
