@@ -319,6 +319,55 @@ object NetCDFQueries {
     fa.join(bt, "id_dim").join(sq, "id_dim").orderBy("id_dim")
   }
 
+  /** qn13 — JSONL corpus ingest with malformed-row quarantine: the
+    * production front door for text corpora (crawl dumps, vendor drops)
+    * is newline-delimited JSON where some fraction of lines is broken —
+    * truncated uploads, encoding damage, half-written shards. The
+    * ingest must (a) parse good rows schema-on-read, (b) QUARANTINE bad
+    * rows without failing the job or silently dropping them, and (c)
+    * account for both so corpus bookkeeping balances.
+    *
+    * The landing directory is materialized from `documents` via
+    * `to_json` (distributed write, proper escaping), with every
+    * `doc_id % 13 == 0` line deterministically truncated to 20
+    * characters — unbalanced braces, malformed regardless of content.
+    * The read is Spark's native distributed JSON source in PERMISSIVE
+    * mode with `columnNameOfCorruptRecord`: bad lines come back with
+    * all schema fields null and the raw line preserved, and the
+    * aggregate books them under the `_quarantine` bucket. The oracle
+    * PREDICTS the outcome from the parquet alone (which rows were
+    * corrupted is a pure doc_id function) — an independent formulation
+    * that fails if the parser ever drops or misparses a row.
+    *
+    * Scale posture: both the landing write and the JSON scan are
+    * embarrassingly parallel file operations; the only shuffle is the
+    * final per-source partial+final aggregate. At 100 TB the JSON scan
+    * IS the cost — schema is supplied (no inference pass over the
+    * corpus), and the quarantine column rides the same scan. */
+  def qn13_jsonl_quarantine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val landing = Files.createTempDirectory("graft_jsonl").toString
+    Tables.documents(s, dir)
+      .select(col("doc_id"), to_json(struct(col("doc_id"), col("lang"),
+        col("source"), col("n_chars"), col("text"))).as("j"))
+      .select(when(col("doc_id") % 13 === 0, substring(col("j"), 1, 20))
+        .otherwise(col("j")).as("value"))
+      .write.mode("overwrite").text(landing)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType),
+      StructField("text", StringType), StructField("_corrupt", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(landing)
+      .groupBy(coalesce(col("source"), lit("_quarantine")).as("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("chars_sum"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+      .orderBy("source")
+  }
+
   /** qn09 — CF-convention unpacking on import (`cf_unpack=yes`): a
     * packed file carrying `scale_factor`/`add_offset` variable
     * attributes imports as `raw*scale + offset`, next to an unpacked
@@ -539,9 +588,24 @@ object NetCDFQueries {
     "qn10_hdf5_unlimited_append" -> (qn10_hdf5_unlimited_append _),
     "qn11_export_distributed" -> (qn11_export_distributed _),
     "qn12_export_dist_indexed" -> (qn12_export_dist_indexed _),
+    "qn13_jsonl_quarantine" -> (qn13_jsonl_quarantine _),
   )
 
   val oracles: Map[String, String] = Map(
+    // predicts the ingest outcome from the parquet alone: which lines
+    // were corrupted is a pure doc_id function, so the oracle never
+    // parses JSON — if the permissive reader drops, duplicates, or
+    // misparses any row, the books stop balancing
+    "qn13_jsonl_quarantine" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           CAST(0 AS BIGINT) AS n_corrupt
+         FROM documents WHERE doc_id % 13 <> 0 GROUP BY source
+         UNION ALL
+         SELECT '_quarantine', CAST(count(*) AS BIGINT),
+           CAST(0 AS BIGINT), CAST(count(*) AS BIGINT)
+         FROM documents WHERE doc_id % 13 = 0
+         ORDER BY source""",
     "qn12_export_dist_indexed" ->
       """SELECT i AS id_dim,
          array_to_string(list_transform(range(0, 8),

@@ -622,7 +622,58 @@ object SimilarityQueries {
     all.unionByName(mean).orderBy("query_id")
   }
 
+  /** s14 — MaxSim late-interaction retrieval (the ColBERT shape): each
+    * document is a BAG of token vectors, and score(q, d) =
+    * Σ_{t ∈ q} max_{j ∈ d} cos(q_t, d_j) — every query token finds its
+    * best-matching document token, and the per-token winners sum. The
+    * synthetic corpus has one 64-d vector per row, so the multi-vector
+    * layout is materialized by slicing it into four 16-d "token"
+    * vectors — a stand-in with the exact plan shape of a real
+    * `array<array<float>>` token-embedding column (per-row slice → the
+    * interaction matrix is computed inline, never exploded).
+    *
+    * Scale posture: queries are a tiny broadcast set, the document side
+    * streams ONCE computing the 4×4 interaction matrix per pair inside
+    * whole-stage codegen (16 sub-dots = the same 64 multiplies a full
+    * dot costs), and ranking goes through the bounded TopKPerKey
+    * heap operator (s06's plan) — no shuffle proportional to the
+    * corpus, no explode of token pairs. At 100 TB with real 100-token
+    * documents the same plan holds; the interaction loop just widens. */
+  def s14_maxsim_multivector(s: SparkSession, dir: String): DataFrame = {
+    val T = 4
+    def sub(c: Column, t: Int): Column = slice(c, t * 16 + 1, 16)
+    def prep(df: DataFrame): DataFrame = {
+      val withSubs = (0 until T).foldLeft(df) { (d, t) =>
+        d.withColumn(s"t$t", sub(col("a"), t))
+          .withColumn(s"n$t", norm(col(s"t$t")))
+      }
+      // every token vector must have a cosine: all sub-norms positive
+      withSubs.filter((0 until T).map(t => col(s"n$t") > 0.0).reduce(_ && _))
+    }
+    val docs = prep(emb(s, dir))
+    val qs = prep(emb(s, dir).filter(col("vec_id") % 50 === 0))
+      .select(col("vec_id").as("query_id") +:
+        (0 until T).flatMap(t =>
+          Seq(col(s"t$t").as(s"qt$t"), col(s"n$t").as(s"qn$t"))): _*)
+    // Σ_t max_j cos(q_t, d_j): left-to-right sum of per-token maxima,
+    // mirrored exactly by the oracle's greatest(...) + greatest(...)
+    val score = (0 until T).map { t =>
+      greatest((0 until T).map { j =>
+        dot(col(s"qt$t"), col(s"t$j")) / (col(s"qn$t") * col(s"n$j"))
+      }: _*)
+    }.reduceLeft(_ + _)
+    val sims = docs.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", score)
+      .select("query_id", "vec_id", "sim")
+    graft.plans.TopKPerKey(sims, Seq("query_id"), "sim", "vec_id", 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_maxsim_multivector" -> (s14_maxsim_multivector _),
     "s13_ann_recall" -> (s13_ann_recall _),
     "d20_knn_clusters" -> (d20_knn_clusters _),
     "s12_knn_join" -> (s12_knn_join _),
@@ -702,7 +753,38 @@ object SimilarityQueries {
           FROM prs)
         WHERE rank <= 3)"""
 
+  // dot over one 16-d token slice (s14); X/Y substituted per pair
+  private val sqlDot16 =
+    "list_reduce(list_transform(range(1, 17), i -> X[i] * Y[i]), (p,q) -> p+q)"
+
   val oracles: Map[String, String] = Map(
+    "s14_maxsim_multivector" -> {
+      def d16(x: String, y: String) =
+        sqlDot16.replace("X", x).replace("Y", y)
+      def cos(t: Int, j: Int) =
+        s"${d16(s"q.t$t", s"d.t$j")} / (q.n$t * d.n$j)"
+      val score = (0 until 4).map { t =>
+        s"greatest(${(0 until 4).map(j => cos(t, j)).mkString(", ")})"
+      }.mkString(" + ")
+      val slices = (0 until 4).map(t =>
+        s"a[${t * 16 + 1}:${t * 16 + 16}] AS t$t").mkString(", ")
+      val norms = (0 until 4).map(t =>
+        s"sqrt(${d16(s"t$t", s"t$t")}) AS n$t").mkString(", ")
+      s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
+        FROM embeddings),
+      sl AS (SELECT vec_id, $slices FROM e),
+      n AS (SELECT vec_id, t0, t1, t2, t3, $norms FROM sl),
+      g AS (SELECT * FROM n WHERE n0 > 0 AND n1 > 0 AND n2 > 0 AND n3 > 0),
+      sims AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+          $score AS sim
+        FROM g q, g d WHERE q.vec_id % 50 = 0 AND d.vec_id <> q.vec_id)
+      SELECT query_id, rank, neighbor_id, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims) WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
     "s12_knn_join" -> s"""
       WITH $sqlKnnCte
       SELECT vec_id, rank, nbr AS neighbor_id, cos_fp FROM knn
