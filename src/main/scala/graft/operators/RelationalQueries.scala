@@ -1463,6 +1463,97 @@ object RelationalQueries {
       .orderBy("attempt")
   }
 
+  /** q70 — ATOMIC multi-table transaction (the Nessie / Iceberg
+    * multi-table-commit shape): two derived tables that must stay
+    * mutually consistent — A = per-priority order totals, B = the
+    * one-row grand total — publish together or not at all. The catalog
+    * is a single versioned pointer map (version → snapshot per table):
+    * one catalog entry swap publishes every table in the transaction,
+    * so no reader can ever observe A at the new cut next to B at the
+    * old one.
+    *
+    * The audited run: v1 holds both tables at cut 1997; a multi-table
+    * txn T prepares both tables at cut 1999 against v1; a concurrent
+    * compactor rewrites A's files (content-identical) and commits v2;
+    * T's publish validation sees A's base snapshot replaced → the WHOLE
+    * txn conflicts (nothing partial lands), then rebases — its writes
+    * derive from the source table, not from A, so re-validation against
+    * v2 suffices without recomputing data files — and commits v3. The
+    * output audits every catalog version for the cross-table invariant
+    * Σ A.total = B.total; the oracle replays each version's expected
+    * state from `orders` alone, so a torn publish (A advanced, B not)
+    * or a lost compaction both hash-fail.
+    *
+    * Scale posture: data-plane derivations are ordinary distributed
+    * writes; catalog validation and publish are O(tables-in-txn)
+    * driver-side metadata ops on a log that is millions of times
+    * smaller than the data — exactly the production catalog shape.
+    * Reference: the lakehouse-family extension of q69's single-table
+    * OCC (same commit-log store, catalog lifted to a pointer PAIR). */
+  def q70_multi_table_txn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = graft.core.SessionMemo.pathTag(s, dir)
+    def tmp(n: String) = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_q70_${n}_$tag")
+      .getAbsolutePath
+    val o = Tables.orders(s, dir)
+    val fp = floor(col("o_totalprice") * lit(100)).cast("long")
+    def deriveA(cut: String, path: String): Unit =
+      o.filter(col("o_orderdate") < lit(cut)).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(fp).as("t"))
+        .write.mode("overwrite").parquet(path)
+    def deriveB(cut: String, path: String): Unit =
+      o.filter(col("o_orderdate") < lit(cut))
+        .agg(count(lit(1)).as("n"), sum(fp).as("t"))
+        .write.mode("overwrite").parquet(path)
+    val (a1, b1, a2, b2, a1c) =
+      (tmp("a1"), tmp("b1"), tmp("a2"), tmp("b2"), tmp("a1c"))
+    deriveA("1997-01-01", a1); deriveB("1997-01-01", b1)
+    // catalog: one entry per version carrying BOTH table pointers —
+    // the atomic unit is the entry, never a per-table pointer
+    var catalog = Vector((1L, "base", a1, b1))
+    def head = catalog.last
+    def tryCommit(event: String, base: (String, String),
+        snapA: Option[String], snapB: Option[String]): Option[Long] = {
+      val (_, _, curA, curB) = head
+      val touchesA = snapA.isDefined
+      val touchesB = snapB.isDefined
+      if ((touchesA && base._1 != curA) || (touchesB && base._2 != curB))
+        None
+      else {
+        val v = head._1 + 1
+        catalog = catalog :+ ((v, event, snapA.getOrElse(curA),
+          snapB.getOrElse(curB)))
+        Some(v)
+      }
+    }
+    // multi-table txn T prepares BOTH tables at the 1999 cut, base v1
+    val txnBase = (head._3, head._4)
+    deriveA("1999-01-01", a2); deriveB("1999-01-01", b2)
+    // concurrent compactor: content-identical rewrite of A, commits v2
+    s.read.parquet(a1).coalesce(1).write.mode("overwrite").parquet(a1c)
+    require(tryCommit("compact_a", (a1, b1), Some(a1c), None).isDefined,
+      "compactor commit must succeed against its own base")
+    // T publish #1: A's base snapshot was replaced -> the WHOLE txn
+    // conflicts; neither table pointer moves
+    require(tryCommit("txn_commit", txnBase, Some(a2), Some(b2)).isEmpty,
+      "multi-table OCC must reject when any touched table's base moved")
+    // T rebases (writes derive from `orders`, not from A) and commits v3
+    require(
+      tryCommit("txn_commit", (head._3, head._4), Some(a2), Some(b2))
+        .isDefined, "rebased multi-table commit must succeed")
+    catalog.map { case (v, event, pa, pb) =>
+      val ra = s.read.parquet(pa)
+        .agg(count(lit(1)), coalesce(sum(col("t")), lit(0L))).head()
+      val rb = s.read.parquet(pb)
+        .select(col("n"), coalesce(col("t"), lit(0L))).head()
+      (v, event, ra.getLong(0), ra.getLong(1), rb.getLong(0), rb.getLong(1),
+        if (ra.getLong(1) == rb.getLong(1)) 1L else 0L)
+    }.toDF("version", "event", "n_a_rows", "sum_a_fp", "n_orders",
+      "sum_b_fp", "consistent")
+      .orderBy("version")
+  }
+
 
   /** q68 — copy-on-write MERGE with manifest-pruned rewrite scope (the
     * Delta/Iceberg COW `MERGE INTO` shape): a delta carries UPDATEs for
@@ -1760,6 +1851,7 @@ object RelationalQueries {
     "q52_time_travel" -> (q52_time_travel _),
     "q66_changelog_diff" -> (q66_changelog_diff _),
     "q69_occ_conflict" -> (q69_occ_conflict _),
+    "q70_multi_table_txn" -> (q70_multi_table_txn _),
     "q68_merge_cow" -> (q68_merge_cow _),
     "q51_scd2_merge" -> (q51_scd2_merge _),
     "q65_manifest_skipping" -> (q65_manifest_skipping _),
@@ -1938,6 +2030,30 @@ object RelationalQueries {
     // end-state replay per version from the source table: v2 = all,
     // v3 = minus the early-F rewrite, v4 = v3 minus the early cheap
     // rows; the conflict attempt shows the unchanged v3 state
+    // replays each catalog version's expected state from `orders`
+    // alone: v1/v2 are the 1997 cut (the compaction is content-
+    // identical by contract), v3 is the 1999 cut — a torn publish or a
+    // lost compaction changes some version's aggregates and hash-fails
+    "q70_multi_table_txn" ->
+      """WITH s1 AS (SELECT
+             count(DISTINCT o_orderpriority)::BIGINT AS np,
+             CAST(coalesce(sum(CAST(floor(o_totalprice * 100) AS BIGINT)),
+               0) AS BIGINT) AS t,
+             count(*)::BIGINT AS n
+           FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+         s2 AS (SELECT
+             count(DISTINCT o_orderpriority)::BIGINT AS np,
+             CAST(coalesce(sum(CAST(floor(o_totalprice * 100) AS BIGINT)),
+               0) AS BIGINT) AS t,
+             count(*)::BIGINT AS n
+           FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01')
+         SELECT * FROM (
+           SELECT 1::BIGINT AS version, 'base' AS event, np AS n_a_rows,
+             t AS sum_a_fp, n AS n_orders, t AS sum_b_fp,
+             1::BIGINT AS consistent FROM s1
+           UNION ALL SELECT 2, 'compact_a', np, t, n, t, 1 FROM s1
+           UNION ALL SELECT 3, 'txn_commit', np, t, n, t, 1 FROM s2)
+         ORDER BY version""",
     "q69_occ_conflict" ->
       """WITH early AS (SELECT o_orderdate < TIMESTAMP '1998-01-01' AS e,
              o_orderstatus AS st, o_totalprice AS p FROM orders),
