@@ -1006,7 +1006,68 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class GifFeature(doc_id: Long, width: Int, height: Int,
+                              n_px: Long, lum_sum: Long, pos_wsum: Long,
+                              px_min: Long, px_max: Long)
+
+  /** m18 — GIF features: the lossless LZW container under the per-pixel
+    * oracle, completing the real-world codec trio (JPEG m14/m17, PNG
+    * m15). Each document renders a gray raster with a 7-stride byte
+    * map (stride ⊥ the LZW dictionary: adjacent pixels are text bytes
+    * 7 apart, so dictionary entries form across word boundaries), is
+    * encoded by the REAL LZW compressor and decoded back through the
+    * sniffing [[graft.sources.MediaCodec.decodeImage]] path. The
+    * POSITION-WEIGHTED checksum Σ gray·(p+1) pins the decoded pixel
+    * ORDER — a swapped LZW run, an off-by-one width change or a
+    * misplaced clear-reset shifts it even when the plain sum survives —
+    * and the luma sum over all three channels pins the palette
+    * expansion (gray ramp ⇒ lum = 256·index exactly).
+    *
+    * Scale shape: identical to m14/m15 — two scan-parallel
+    * mapPartitions stages, no shuffle before the output sort; at
+    * 100 TB the codec cost rides the scan. */
+  def m18_gif_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — pixel bytes would diverge from code points")
+          val bytes = text.getBytes("US-ASCII")
+          val len = bytes.length
+          val w = len % 48 + 4
+          val h = (len / 48) % 32 + 4
+          val px =
+            if (len == 0) new Array[Byte](w * h)
+            else Array.tabulate(w * h)(p => bytes((7 * p) % len))
+          MediaRow(id, graft.sources.Gif.encodeGray(w, h, px), "gif")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = MediaCodec.decodeImage(r.payload) // sniffed, not trusted
+        val n = img.width * img.height
+        var lum = 0L; var ws = 0L; var mn = 256L; var mx = -1L
+        var p = 0
+        while (p < n) {
+          val g = img.pixels(3 * p) & 0xFF
+          lum += 77L * g + 150L * (img.pixels(3 * p + 1) & 0xFF) +
+            29L * (img.pixels(3 * p + 2) & 0xFF)
+          ws += g.toLong * (p + 1)
+          if (g < mn) mn = g
+          if (g > mx) mx = g
+          p += 1
+        }
+        GifFeature(r.doc_id, img.width, img.height, n.toLong, lum, ws, mn, mx)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m18_gif_features" -> (m18_gif_features _),
     "m17_jpeg_ac_texture" -> (m17_jpeg_ac_texture _),
     "m16_audio_resample" -> (m16_audio_resample _),
     "m15_png_features" -> (m15_png_features _),
@@ -1027,6 +1088,33 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // per-pixel replay of the 7-stride byte map: the GIF path is
+    // lossless, so every decoded gray equals its source byte; the
+    // position-weighted sum pins pixel order through the LZW round
+    "m18_gif_features" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           (length(text) % 48 + 4) AS w,
+           ((length(text) // 48) % 32 + 4) AS h
+         FROM documents),
+       g AS (SELECT doc_id, w, h, w * h AS n,
+         CASE WHEN len = 0 THEN NULL ELSE
+           list_transform(range(0, w * h), p ->
+             CAST(ascii(substr(text, ((7 * p) % len)::INT + 1, 1)) AS BIGINT))
+         END AS gs
+         FROM t),
+       s AS (SELECT doc_id, w, h, n,
+         CASE WHEN gs IS NULL THEN 0
+           ELSE list_reduce(gs, (x, y) -> x + y) END AS gsum,
+         CASE WHEN gs IS NULL THEN 0
+           ELSE list_reduce(list_transform(range(1, n + 1),
+             p -> gs[p] * p), (x, y) -> x + y) END AS wsum,
+         CASE WHEN gs IS NULL THEN 0 ELSE list_min(gs) END AS mn,
+         CASE WHEN gs IS NULL THEN 0 ELSE list_max(gs) END AS mx
+         FROM g)
+       SELECT doc_id, w::INT AS width, h::INT AS height, n::BIGINT AS n_px,
+         (256 * gsum)::BIGINT AS lum_sum, wsum::BIGINT AS pos_wsum,
+         mn::BIGINT AS px_min, mx::BIGINT AS px_max
+       FROM s ORDER BY doc_id""",
     // flat-block 4:2:0 JPEG: decoded pixel (x,y) = doc byte of raster
     // block 'y/8*(w/8) + x/8' (neutral chroma -> RGB = Y), so luma is
     // 64*256*sum(block bytes); the whole T.81 chain runs Spark-side only

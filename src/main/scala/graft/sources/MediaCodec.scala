@@ -354,6 +354,8 @@ object MediaCodec {
       (bytes(1) & 0xFF) == 0xD8) Jpeg.decode(bytes)
     else if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x89 &&
       bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') Png.decode(bytes)
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8') Gif.decode(bytes)
     else decodeNetpbm(bytes)
 
   /** Walk a CONCATENATION of binary P5 frames — the minimal motion-PGM
