@@ -411,4 +411,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.toString.contains("graft_sorted_intersect_size"),
       "clip must run through the SortedIntersectSize kernel")
   }
+
+  test("s14: MaxSim is broadcast-query + TopKPerKey — doc side never shuffles") {
+    val p = plan(SimilarityQueries.s14_maxsim_multivector(spark, sf()))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query set not broadcast:\n$p")
+    assert(p.contains("TopKPerKey"), s"ranking not the bounded heap operator:\n$p")
+    assert(!p.contains("Window"), s"global window survived:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"interaction degenerated to a shuffled product:\n$p")
+  }
+
+  test("qn13: quarantine accounting is ONE partial+final aggregate over the JSON scan") {
+    val p = plan(NetCDFQueries.qn13_jsonl_quarantine(spark, sf()))
+    assert(p.contains("partial_"), s"expected map-side combine:\n$p")
+    assert(p.contains("Scan json"), s"expected a native JSON scan:\n$p")
+    // one exchange for the final agg + one for the output sort — any
+    // more means the quarantine split re-shuffled the corpus
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$p")
+  }
 }
