@@ -1066,7 +1066,74 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class GifAnimFeature(doc_id: Long, n_frames: Long,
+                                  n_sampled: Long, lum_total: Long,
+                                  motion_sad: Long, f0_wsum: Long)
+
+  /** m19 — animated-GIF frame sampling: the GIF twin of m02's motion-PGM
+    * walk, but through a REAL container — one LZW round per frame,
+    * graphic-control extensions between frames, trailer-terminated.
+    * Every 2nd frame is sampled (the standard stride-sampling shape for
+    * video corpora), and the features pin three independent layers:
+    * frame COUNT (container walk), per-frame pixel content (lum total +
+    * frame-0 position-weighted sum), and cross-frame motion (SAD between
+    * consecutive sampled frames — any frame mixup or off-by-one in the
+    * multi-image walk shifts it).
+    *
+    * Scale shape: scan-parallel mapPartitions ×2, no shuffle; at 100 TB
+    * the per-row cost is frames × LZW, riding the scan like m18. */
+  def m19_gif_frames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — pixel bytes would diverge from code points")
+          val bytes = text.getBytes("US-ASCII")
+          val len = bytes.length
+          val w = len % 24 + 4
+          val h = (len / 24) % 16 + 4
+          val n = len % 5 + 2
+          val frames = (0 until n).map { f =>
+            if (len == 0) new Array[Byte](w * h)
+            else Array.tabulate(w * h)(p => bytes((p + 11 * f) % len))
+          }
+          MediaRow(id, graft.sources.Gif.encodeGrayFrames(w, h, frames), "gif-anim")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val frames = graft.sources.Gif.decodeFrames(r.payload)
+        def gray(img: MediaCodec.Image, p: Int): Int = img.pixels(3 * p) & 0xFF
+        val sampled = frames.indices.filter(_ % 2 == 0)
+        val n = frames.head.width * frames.head.height
+        var lum = 0L
+        sampled.foreach { f =>
+          var p = 0; while (p < n) { lum += gray(frames(f), p); p += 1 }
+        }
+        var sad = 0L
+        sampled.sliding(2).foreach {
+          case Seq(a, b) =>
+            var p = 0
+            while (p < n) {
+              sad += math.abs(gray(frames(a), p) - gray(frames(b), p)); p += 1
+            }
+          case _ =>
+        }
+        var ws = 0L
+        var p = 0
+        while (p < n) { ws += gray(frames(0), p).toLong * (p + 1); p += 1 }
+        GifAnimFeature(r.doc_id, frames.length.toLong, sampled.length.toLong,
+          lum, sad, ws)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m19_gif_frames" -> (m19_gif_frames _),
     "m18_gif_features" -> (m18_gif_features _),
     "m17_jpeg_ac_texture" -> (m17_jpeg_ac_texture _),
     "m16_audio_resample" -> (m16_audio_resample _),
@@ -1088,6 +1155,42 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // frame f pixel p = byte(p + 11f): lum over sampled (even) frames,
+    // SAD between consecutive sampled pairs, frame-0 weighted sum — the
+    // multi-image container walk replayed purely from text
+    "m19_gif_frames" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           (length(text) % 24 + 4) * ((length(text) // 24) % 16 + 4) AS n,
+           (length(text) % 5 + 2) AS nf
+         FROM documents),
+       s AS (SELECT doc_id, text, len, n, nf,
+           list_filter(range(0, nf), f -> f % 2 = 0) AS sf FROM t),
+       agg AS (SELECT doc_id, nf, len(sf) AS ns,
+         CASE WHEN len = 0 THEN 0 ELSE
+           list_reduce(list_transform(sf, f ->
+             list_reduce(list_transform(range(0, n), p ->
+               CAST(ascii(substr(text, ((p + 11*f) % len)::INT + 1, 1))
+                 AS BIGINT)), (x,y) -> x+y)), (x,y) -> x+y)
+         END AS lum_total,
+         CASE WHEN len = 0 THEN 0 ELSE
+           list_reduce(list_prepend(0::BIGINT, list_transform(
+             list_filter(sf, f -> f + 2 < nf), f ->
+             list_reduce(list_transform(range(0, n), p ->
+               abs(CAST(ascii(substr(text, ((p + 11*f) % len)::INT + 1, 1))
+                     AS BIGINT)
+                 - ascii(substr(text, ((p + 11*(f+2)) % len)::INT + 1, 1)))),
+               (x,y) -> x+y))), (x,y) -> x+y)
+         END AS motion_sad,
+         CASE WHEN len = 0 THEN 0 ELSE
+           list_reduce(list_transform(range(0, n), p ->
+             CAST(ascii(substr(text, (p % len)::INT + 1, 1)) AS BIGINT)
+               * (p+1)), (x,y) -> x+y)
+         END AS f0_wsum
+         FROM s)
+       SELECT doc_id, nf::BIGINT AS n_frames, ns::BIGINT AS n_sampled,
+         lum_total::BIGINT AS lum_total, motion_sad::BIGINT AS motion_sad,
+         f0_wsum::BIGINT AS f0_wsum
+       FROM agg ORDER BY doc_id""",
     // per-pixel replay of the 7-stride byte map: the GIF path is
     // lossless, so every decoded gray equals its source byte; the
     // position-weighted sum pins pixel order through the LZW round

@@ -106,30 +106,55 @@ object Gif {
 
   /** Encode a gray raster as GIF87a with a 256-entry gray-ramp global
     * color table; each pixel byte IS its palette index. */
-  def encodeGray(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+  def encodeGray(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] =
+    encodeGrayFrames(w, h, Seq(pixels), animated = false)
+
+  /** Encode full-frame gray rasters as an animated GIF89a (one graphic
+    * control extension + image descriptor per frame, 4/100 s delay);
+    * a single frame without `animated` emits plain GIF87a. */
+  def encodeGrayFrames(w: Int, h: Int, frames: Seq[Array[Byte]],
+      animated: Boolean = true): Array[Byte] = {
     require(w > 0 && w <= 0xFFFF && h > 0 && h <= 0xFFFF, s"geometry ${w}x$h")
-    require(pixels.length == w * h, "pixel buffer size")
+    require(frames.nonEmpty, "at least one frame")
+    frames.foreach(f => require(f.length == w * h, "pixel buffer size"))
     val out = new ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
-    out.write("GIF87a".getBytes("US-ASCII"))
+    out.write((if (animated) "GIF89a" else "GIF87a").getBytes("US-ASCII"))
     u16(w); u16(h)
     out.write(0xF7) // GCT present, color resolution 8, size 2^(7+1)=256
     out.write(0)    // background color index
     out.write(0)    // pixel aspect ratio
     var i = 0
     while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
-    out.write(0x2C) // image descriptor
-    u16(0); u16(0); u16(w); u16(h)
-    out.write(0x00) // no local table, not interlaced
-    lzwCompress(pixels, 8, out)
+    frames.foreach { px =>
+      if (animated) { // graphic control extension: no disposal, 40 ms
+        out.write(0x21); out.write(0xF9); out.write(4)
+        out.write(0x00); u16(4); out.write(0); out.write(0)
+      }
+      out.write(0x2C) // image descriptor
+      u16(0); u16(0); u16(w); u16(h)
+      out.write(0x00) // no local table, not interlaced
+      lzwCompress(px, 8, out)
+    }
     out.write(0x3B) // trailer
     out.toByteArray
   }
 
   // ------------------------------------------------------------ decode
 
-  /** Decode a GIF payload to a 3-channel RGB [[MediaCodec.Image]]. */
+  /** Decode the FIRST frame of a GIF payload to 3-channel RGB. */
   def decode(bytes: Array[Byte]): MediaCodec.Image = {
+    val fs = decodeFrames(bytes, firstOnly = true)
+    require(fs.nonEmpty, "GIF carries no image")
+    fs.head
+  }
+
+  /** Decode every frame of a (possibly animated) GIF. Frames must be
+    * FULL-frame at origin (0,0) — partial-frame animation would require
+    * disposal-method compositing, which the fixtures never emit and a
+    * silent accept would corrupt; such files are rejected loudly. */
+  def decodeFrames(bytes: Array[Byte],
+      firstOnly: Boolean = false): IndexedSeq[MediaCodec.Image] = {
     var pos = 0
     def u8(): Int = {
       require(pos < bytes.length, "truncated GIF"); val v = bytes(pos) & 0xFF
@@ -140,7 +165,7 @@ object Gif {
     val sig = new String(bytes, 0, 6, "US-ASCII")
     require(sig == "GIF87a" || sig == "GIF89a", s"bad GIF signature '$sig'")
     pos = 6
-    u16(); u16() // logical screen w/h (image descriptor governs)
+    val screenW = u16(); val screenH = u16()
     val packed = u8()
     u8(); u8()   // background index, aspect
     def colorTable(sizeBits: Int): Array[Byte] = {
@@ -154,14 +179,17 @@ object Gif {
       var len = u8()
       while (len != 0) { pos += len; len = u8() }
     }
-    while (true) {
+    val frames = IndexedSeq.newBuilder[MediaCodec.Image]
+    var done = false
+    while (!done) {
       u8() match {
         case 0x21 => u8(); skipSubBlocks() // extension
-        case 0x3B =>
-          throw new IllegalArgumentException("GIF trailer before any image")
+        case 0x3B => done = true           // trailer
         case 0x2C =>
-          u16(); u16() // image left/top
+          val left = u16(); val top = u16()
           val w = u16(); val h = u16()
+          require(left == 0 && top == 0 && w == screenW && h == screenH,
+            "partial-frame GIF (disposal compositing) not supported")
           val ip = u8()
           require((ip & 0x40) == 0, "interlaced GIF not supported")
           val lct = if ((ip & 0x80) != 0) colorTable(ip & 0x07) else null
@@ -186,12 +214,13 @@ object Gif {
             px(3 * p + 2) = table(3 * c + 2)
             p += 1
           }
-          return MediaCodec.Image(w, h, 3, px)
+          frames += MediaCodec.Image(w, h, 3, px)
+          if (firstOnly) done = true
         case b =>
           throw new IllegalArgumentException(f"unknown GIF block 0x$b%02x")
       }
     }
-    throw new IllegalStateException("unreachable")
+    frames.result()
   }
 
   /** LZW decode per the spec's Appendix F: the dictionary is

@@ -127,6 +127,35 @@ class GifSpec extends AnyFunSuite {
     roundTrip(50, 40, Array.fill(2000)(129.toByte))
   }
 
+  test("animated round trip: frames decode in order with GCE blocks between") {
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(30)(p => ((p * 13 + f * 41) % 256).toByte))
+    val g = Gif.encodeGrayFrames(6, 5, frames)
+    assert(new String(g, 0, 6, "US-ASCII") == "GIF89a")
+    val dec = Gif.decodeFrames(g)
+    assert(dec.length == 4)
+    dec.zip(frames).foreach { case (img, px) =>
+      assert(java.util.Arrays.equals(
+        img.pixels.grouped(3).map(_(0).toByte).toArray, px))
+    }
+    // decode() takes the first frame only
+    assert(java.util.Arrays.equals(
+      Gif.decode(g).pixels.grouped(3).map(_(0).toByte).toArray, frames(0)))
+  }
+
+  test("partial-frame animation is rejected (no disposal compositing)") {
+    // hand-build: screen 4x4 but the image descriptor claims 2x2 at (1,1)
+    val o = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { o.write(v & 0xFF); o.write((v >> 8) & 0xFF) }
+    o.write("GIF87a".getBytes("US-ASCII")); u16(4); u16(4)
+    o.write(0x80); o.write(0); o.write(0)
+    (0 until 2).foreach { i => o.write(i); o.write(i); o.write(i) }
+    o.write(0x2C); u16(1); u16(1); u16(2); u16(2); o.write(0)
+    o.write(2); o.write(0) // min code size + empty stream (never reached)
+    val e = intercept[IllegalArgumentException](Gif.decodeFrames(o.toByteArray))
+    assert(e.getMessage.contains("partial-frame"))
+  }
+
   test("MediaCodec sniffs GIF payloads") {
     val img = MediaCodec.decodeImage(Gif.encodeGray(2, 2, Array[Byte](1, 2, 3, 4)))
     assert(img.channels == 3 && (img.pixels(0) & 0xFF) == 1)
