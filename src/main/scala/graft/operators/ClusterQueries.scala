@@ -650,7 +650,89 @@ object ClusterQueries {
     withN.drop("ta", "tb").orderBy("doc_a")
   }
 
+  /** c13 — SPAN-level F1 (the sequence-labeling / NER evaluation
+    * shape): gold spans are maximal runs of tokens from the document's
+    * ACTUAL language's marker profile, predicted spans the same runs
+    * under the PREDICTED language (t02's argmax) — so a
+    * correctly-classified document scores perfectly and every
+    * misclassification produces genuine span-level FP/FN. A span counts
+    * only on EXACT boundary match (the strict CoNLL convention);
+    * per-language precision/recall/F1 use the exact-integer identity
+    * F1 = 2·TP / (gold + pred), never a nested division.
+    *
+    * Scale shape: everything per-row until one partial+final aggregate
+    * — the language scores, the argmax, and BOTH span sets come from
+    * single-pass `aggregate` folds over the token array (no explode,
+    * no self-join: spans are encoded start·100000+end longs and
+    * matched with array_intersect inside the row). At 100 TB this is a
+    * scan plus a 5-row aggregate. */
+  def c13_span_f1(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    import graft.functions.TextFunctions.tokens
+    val markers = TextQueries.markers
+    def isMarker(t: Column, lg: Column): Column =
+      markers.foldLeft(lit(false)) { case (els, (l, ms)) =>
+        when(lg === l, t.isInCollection(ms)).otherwise(els)
+      }
+    /** Maximal marker runs as start·100000+end (0-based, end exclusive),
+      * one O(n) fold: state = (closed spans, current run start or −1). */
+    def spanArr(tk: Column, lg: Column): Column = {
+      val m = size(tk)
+      aggregate(
+        sequence(lit(0), m - 1),
+        struct(array().cast("array<bigint>").as("sp"), lit(-1).as("cur")),
+        (acc, i) => {
+          val isM = isMarker(element_at(tk, i + 1), lg)
+          val closed = concat(acc.getField("sp"),
+            array(acc.getField("cur").cast("bigint") * 100000L +
+              i.cast("bigint")))
+          when(isM && acc.getField("cur") === -1,
+            struct(acc.getField("sp").as("sp"), i.cast("int").as("cur")))
+            .when(isM, acc)
+            .when(acc.getField("cur") =!= -1,
+              struct(closed.as("sp"), lit(-1).as("cur")))
+            .otherwise(acc)
+        },
+        acc => when(acc.getField("cur") =!= -1,
+          concat(acc.getField("sp"),
+            array(acc.getField("cur").cast("bigint") * 100000L +
+              m.cast("bigint"))))
+          .otherwise(acc.getField("sp")))
+    }
+    // inline t02 scoring (same profile table) keeps this a single scan
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
+    val scored = markers.foldLeft(base) { case (df, (lg, ms)) =>
+      df.withColumn(s"s_$lg",
+        size(filter(col("tk"), t => t.isInCollection(ms))).cast("long"))
+    }
+    val best = greatest(markers.map { case (lg, _) => col(s"s_$lg") }: _*)
+    val predFirst = markers.reverse.foldLeft(lit("??")) { case (els, (lg, _)) =>
+      when(col(s"s_$lg") === best, lit(lg)).otherwise(els)
+    }
+    scored.withColumn("pred", predFirst)
+      .withColumn("gold_sp", spanArr(col("tk"), col("lang")))
+      .withColumn("pred_sp", spanArr(col("tk"), col("pred")))
+      .select(col("lang"),
+        size(col("gold_sp")).cast("long").as("g"),
+        size(col("pred_sp")).cast("long").as("p"),
+        size(array_intersect(col("gold_sp"), col("pred_sp")))
+          .cast("long").as("tp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("g").as("n_gold"),
+        sum("p").as("n_pred"), sum("tp").as("n_tp"))
+      .withColumn("prec_fp", when(col("n_pred") === 0L, 0L)
+        .otherwise(ldiv(col("n_tp") * 1000000L, col("n_pred"))))
+      .withColumn("rec_fp", when(col("n_gold") === 0L, 0L)
+        .otherwise(ldiv(col("n_tp") * 1000000L, col("n_gold"))))
+      .withColumn("f1_fp", when(col("n_gold") + col("n_pred") === 0L, 0L)
+        .otherwise(ldiv(col("n_tp") * 2000000L,
+          col("n_gold") + col("n_pred"))))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c13_span_f1" -> (c13_span_f1 _),
     "c12_ngram_overlap_eval" -> (c12_ngram_overlap_eval _),
     "c11_mcc_eval" -> (c11_mcc_eval _),
     "c10_bootstrap_ci" -> (c10_bootstrap_ci _),
@@ -805,6 +887,75 @@ object ClusterQueries {
   private val gainsSql = ndcgGains.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // independent formulation: spans via relational gaps-and-islands
+    // (unnest positions, group by i - row_number), exact-match TP by
+    // joining boundaries — vs the engine's in-row fold + intersect
+    "c13_span_f1" ->
+      """WITH sc AS (SELECT doc_id, lang, tk,
+           len(list_filter(tk, t -> t IN ('table','key','hash')))::BIGINT AS s_de,
+           len(list_filter(tk, t -> t IN ('the','a','fast','slow')))::BIGINT AS s_en,
+           len(list_filter(tk, t -> t IN ('data','row','scan')))::BIGINT AS s_es,
+           len(list_filter(tk, t -> t IN ('order','query','value')))::BIGINT AS s_fr,
+           len(list_filter(tk, t -> t IN ('spark','join','merge')))::BIGINT AS s_zh
+           FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk
+             FROM documents)),
+         pr AS (SELECT doc_id, lang, tk,
+           CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+                WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+                ELSE 'zh' END AS pred
+           FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best
+             FROM sc)),
+         pos AS (SELECT doc_id, lang, pred,
+             unnest(range(1, len(tk) + 1))::BIGINT AS i, unnest(tk) AS tok
+           FROM pr),
+         mem AS (SELECT doc_id, lang, pred, i,
+           CASE lang WHEN 'de' THEN tok IN ('table','key','hash')
+                     WHEN 'en' THEN tok IN ('the','a','fast','slow')
+                     WHEN 'es' THEN tok IN ('data','row','scan')
+                     WHEN 'fr' THEN tok IN ('order','query','value')
+                     WHEN 'zh' THEN tok IN ('spark','join','merge')
+                     ELSE FALSE END AS gm,
+           CASE pred WHEN 'de' THEN tok IN ('table','key','hash')
+                     WHEN 'en' THEN tok IN ('the','a','fast','slow')
+                     WHEN 'es' THEN tok IN ('data','row','scan')
+                     WHEN 'fr' THEN tok IN ('order','query','value')
+                     WHEN 'zh' THEN tok IN ('spark','join','merge')
+                     ELSE FALSE END AS pm
+           FROM pos),
+         gsp AS (SELECT doc_id, lang, min(i) - 1 AS st, max(i) AS en
+           FROM (SELECT doc_id, lang, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+             FROM mem WHERE gm) GROUP BY doc_id, lang, grp),
+         psp AS (SELECT doc_id, lang, min(i) - 1 AS st, max(i) AS en
+           FROM (SELECT doc_id, lang, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+             FROM mem WHERE pm) GROUP BY doc_id, lang, grp),
+         tpj AS (SELECT g.lang FROM gsp g JOIN psp p
+           ON g.doc_id = p.doc_id AND g.st = p.st AND g.en = p.en),
+         d AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents
+           GROUP BY lang),
+         gg AS (SELECT lang, count(*)::BIGINT AS n_gold FROM gsp GROUP BY lang),
+         pp AS (SELECT lang, count(*)::BIGINT AS n_pred FROM psp GROUP BY lang),
+         tt AS (SELECT lang, count(*)::BIGINT AS n_tp FROM tpj GROUP BY lang)
+         SELECT d.lang, d.n_docs,
+           CAST(coalesce(gg.n_gold, 0) AS BIGINT) AS n_gold,
+           CAST(coalesce(pp.n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(coalesce(tt.n_tp, 0) AS BIGINT) AS n_tp,
+           CASE WHEN coalesce(pp.n_pred, 0) = 0 THEN 0
+             ELSE coalesce(tt.n_tp, 0) * 1000000 // pp.n_pred
+           END AS prec_fp,
+           CASE WHEN coalesce(gg.n_gold, 0) = 0 THEN 0
+             ELSE coalesce(tt.n_tp, 0) * 1000000 // gg.n_gold
+           END AS rec_fp,
+           CASE WHEN coalesce(gg.n_gold, 0) + coalesce(pp.n_pred, 0) = 0
+             THEN 0
+             ELSE coalesce(tt.n_tp, 0) * 2000000
+               // (coalesce(gg.n_gold, 0) + coalesce(pp.n_pred, 0))
+           END AS f1_fp
+         FROM d LEFT JOIN gg ON d.lang = gg.lang
+           LEFT JOIN pp ON d.lang = pp.lang
+           LEFT JOIN tt ON d.lang = tt.lang
+         ORDER BY d.lang""",
     // same md5-hashed grams, but the clip is relational: unnest both
     // multisets, count per value, sum the per-value minima
     "c12_ngram_overlap_eval" ->

@@ -33,7 +33,7 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[operators] val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("table", "key", "hash"),
     "en" -> Seq("the", "a", "fast", "slow"),
     "es" -> Seq("data", "row", "scan"),
