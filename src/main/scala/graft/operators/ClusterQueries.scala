@@ -621,14 +621,19 @@ object ClusterQueries {
     * per-value min) — an independent formulation of the same clip. */
   def c12_ngram_overlap_eval(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.KeyAlgebra.ldiv
-    import graft.functions.TextFunctions.{md5Long60, tokens}
+    import graft.functions.TextFunctions.tokens
     import graft.plans.SortedIntersectSize
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
+    // grams carry 64-bit xxhash64 keys (the d21 lesson: codegen-native,
+    // ~4x cheaper than the md5 route it replaced — 3.9 s -> measured in
+    // PERF.md). The oracle stays on RAW gram strings, so a false hash
+    // merge (p ~ m^2·2^-64 per pair) would hash-fail the compare rather
+    // than hide inside a shared hash.
     def grams(tk: Column, n: Int): Column =
       when(size(tk) >= n, sort_array(transform(
         sequence(lit(0), size(tk) - n),
-        i => md5Long60(concat_ws(" ", slice(tk, i + 1, lit(n)))))))
+        i => xxhash64(concat_ws(" ", slice(tk, i + 1, lit(n)))))))
         .otherwise(array().cast("array<long>"))
     val a = docs.select(col("doc_id").as("doc_a"), col("tk").as("ta"))
       .filter(col("doc_a") % 2 === 0)
@@ -968,14 +973,12 @@ object ClusterQueries {
          nn AS (SELECT unnest([1, 2, 3, 4])::BIGINT AS n),
          ga AS (SELECT doc_a, n,
              unnest(list_transform(range(0, greatest(len(ta) - n + 1, 0)),
-               i -> CAST('0x' || substr(md5(array_to_string(
-                 ta[(i + 1)::INT : (i + n)::INT], ' ')), 1, 15) AS BIGINT)))
+               i -> array_to_string(ta[(i + 1)::INT : (i + n)::INT], ' ')))
                AS g
            FROM pair, nn),
          gb AS (SELECT doc_a, n,
              unnest(list_transform(range(0, greatest(len(tb) - n + 1, 0)),
-               i -> CAST('0x' || substr(md5(array_to_string(
-                 tb[(i + 1)::INT : (i + n)::INT], ' ')), 1, 15) AS BIGINT)))
+               i -> array_to_string(tb[(i + 1)::INT : (i + n)::INT], ' ')))
                AS g
            FROM pair, nn),
          ca AS (SELECT doc_a, n, g, count(*) AS c FROM ga GROUP BY 1, 2, 3),
