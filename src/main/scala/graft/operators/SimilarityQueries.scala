@@ -672,7 +672,50 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s15 — HYBRID retrieval with reciprocal-rank fusion (the production
+    * "BM25 + vectors" shape): the lexical arm is t16's BM25 top-10 over
+    * the shared query-term table, the vector arm is cosine top-10 with
+    * the query ids' own embeddings (queries-as-documents), and the two
+    * rankings fuse by RRF_fp = Σ 1e6 ÷ (60 + rank) — rank-based fusion
+    * needs no score normalization across arms, which is exactly why
+    * production hybrid search uses it (the BM25 fixed-point and the
+    * cosine double are incomparable units). A document missing from one
+    * arm contributes only the other term; final ranking re-ranks by
+    * (rrf desc, doc_id) through the bounded TopKPerKey heap.
+    *
+    * Scale shape: both arms are already bounded-output plans (broadcast
+    * query sets, TopKPerKey); the fusion joins two ≤ 10·|Q|-row sets —
+    * negligible at any corpus size. At 100 TB the cost is the two arm
+    * scans, unchanged from t16/s06. */
+  def s15_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val lex = TextQueries.t16_bm25_topk(s, dir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val base = emb(s, dir).withColumn("nrm", norm(col("a")))
+      .filter(col("nrm") > 0.0)
+    val qs = base.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("a").as("qa"), col("nrm").as("qn"))
+    val sims = base.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("qa"), col("a")) / (col("qn") * col("nrm")))
+      .select("q_id", "vec_id", "sim")
+    val vec = graft.plans.TopKPerKey(sims, Seq("q_id"), "sim", "vec_id", 10)
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    def rrf(r: Column): Column =
+      when(r.isNull, 0L).otherwise(ldiv(lit(1000000L), lit(60L) + r))
+    val fused = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_fp", rrf(col("lex_rank")) + rrf(col("vec_rank")))
+      .select(col("q_id"), col("doc_id"), col("rrf_fp"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+    graft.plans.TopKPerKey(fused, Seq("q_id"), "rrf_fp", "doc_id", 10)
+      .select("q_id", "rank", "doc_id", "rrf_fp", "lex_rank", "vec_rank")
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_hybrid_rrf" -> (s15_hybrid_rrf _),
     "s14_maxsim_multivector" -> (s14_maxsim_multivector _),
     "s13_ann_recall" -> (s13_ann_recall _),
     "d20_knn_clusters" -> (d20_knn_clusters _),
@@ -758,6 +801,71 @@ object SimilarityQueries {
     "list_reduce(list_transform(range(1, 17), i -> X[i] * Y[i]), (p,q) -> p+q)"
 
   val oracles: Map[String, String] = Map(
+    // both arms replayed in full (t16's BM25 pipeline + the brute
+    // cosine ranking), fused by integer RRF and re-ranked
+    "s15_hybrid_rrf" -> s"""
+      WITH qt(q_id, term) AS (SELECT * FROM (VALUES
+           (0,'spark'),(0,'join'),(0,'merge'),
+           (1,'table'),(1,'scan'),(1,'fast'),(1,'slow'),
+           (2,'key'),(2,'hash'),(2,'value'),
+           (3,'window'),(3,'sort'),(3,'batch'),
+           (4,'row'),(4,'line'),(4,'part'),
+           (5,'query'),(5,'order'),(5,'the'))),
+       tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       dld AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       st AS (SELECT count(*) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         FROM dld),
+       post AS (SELECT term, doc_id, count(*) AS tf FROM tok
+         WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+       dfv AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       sc AS (SELECT CAST(q.q_id AS BIGINT) AS q_id, p.doc_id,
+           CAST(floor(
+             ((st.n_docs - v.df + 0.5) / (v.df + 0.5)) *
+             ((CAST(p.tf AS DOUBLE) * 2.2) /
+              (CAST(p.tf AS DOUBLE) + 1.2 *
+               (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / st.avgdl))) *
+             1e6) AS BIGINT) AS c
+         FROM post p JOIN qt q USING (term) JOIN dfv v USING (term)
+              JOIN dld d USING (doc_id), st),
+       agg AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score_fp
+         FROM sc GROUP BY 1, 2),
+       lexr AS (SELECT q_id, doc_id, rank AS lex_rank FROM (
+           SELECT q_id, doc_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY score_fp DESC, doc_id) AS rank
+           FROM agg) WHERE rank <= 10),
+       e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
+         FROM embeddings),
+       n0 AS (SELECT vec_id, a,
+           sqrt(list_reduce(list_transform(a, x -> x*x), (p,q) -> p+q))
+             AS nrm FROM e),
+       n AS (SELECT * FROM n0 WHERE nrm > 0),
+       vsims AS (SELECT q.vec_id AS q_id, d.vec_id AS doc_id,
+           ${sqlDot.replace("X", "q.a").replace("Y", "d.a")} / (q.nrm * d.nrm)
+             AS sim
+         FROM n q, n d WHERE q.vec_id < 6 AND d.vec_id <> q.vec_id),
+       vecr AS (SELECT q_id, doc_id, rank AS vec_rank FROM (
+           SELECT q_id, doc_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY sim DESC, doc_id) AS rank
+           FROM vsims) WHERE rank <= 10),
+       fused AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+           coalesce(l.doc_id, v.doc_id) AS doc_id,
+           CAST(CASE WHEN l.lex_rank IS NULL THEN 0
+               ELSE 1000000 // (60 + l.lex_rank) END
+             + CASE WHEN v.vec_rank IS NULL THEN 0
+               ELSE 1000000 // (60 + v.vec_rank) END AS BIGINT) AS rrf_fp,
+           CAST(coalesce(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+           CAST(coalesce(v.vec_rank, 0) AS BIGINT) AS vec_rank
+         FROM lexr l FULL OUTER JOIN vecr v
+           ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+       SELECT q_id, rank, doc_id, rrf_fp, lex_rank, vec_rank FROM (
+         SELECT q_id, doc_id, rrf_fp, lex_rank, vec_rank,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY rrf_fp DESC, doc_id) AS rank
+         FROM fused) WHERE rank <= 10 ORDER BY q_id, rank""",
     "s14_maxsim_multivector" -> {
       def d16(x: String, y: String) =
         sqlDot16.replace("X", x).replace("Y", y)
