@@ -1068,6 +1068,49 @@ object RelationalQueries {
       .orderBy("version", "status")
   }
 
+  /** q71 — snapshot RESTORE (the Delta `RESTORE TABLE ... TO VERSION`
+    * shape): roll the table back to version 2 as a NEW commit v4 whose
+    * log entries remove every currently-active file absent from v2 and
+    * re-add every v2 file no longer active. No data file is read or
+    * written — RESTORE is O(|files|) driver-side METADATA, which is the
+    * whole point at 100 TB (rolling back a bad load on a petabyte table
+    * costs the same as on a megabyte one). History is preserved, not
+    * erased: the audit reads versions 1..4 and must see v3 (the bad
+    * state) intact and v4 byte-equal to v2 — an implementation that
+    * rewrote data or truncated the log would fail one of the two.
+    * Builds on q52's commit-log store. */
+  def q71_restore_snapshot(s: SparkSession, dir: String): DataFrame = {
+    val (logPath, _) = q52Layout(s, dir)
+    val log = q52ReadLog(s, logPath)
+    val head = log.map(_._1).max
+    val curr = q52ActiveAt(log, head).toSet
+    val target = q52ActiveAt(log, 2L).toSet
+    val v = head + 1
+    val restore =
+      (curr -- target).toSeq.sorted.map((v, "remove", _)) ++
+        (target -- curr).toSeq.sorted.map((v, "add", _))
+    require(restore.nonEmpty, "RESTORE to the head would be a no-op")
+    val withRestore = log ++ restore
+    // last-action-wins replay (the production log semantics): a RESTORE
+    // re-adds previously-removed files, so the set-based q52ActiveAt
+    // (remove-is-permanent, fine for q52's forward-only history) would
+    // silently drop them — exactly the corruption this op guards against
+    def activeAt(v0: Long): Seq[String] =
+      withRestore.filter(_._1 <= v0).groupBy(_._3).collect {
+        case (p, es) if es.maxBy(_._1)._2 == "add" => p
+      }.toSeq.sorted
+    (1L to v).map { ver =>
+      s.read.parquet(activeAt(ver): _*)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * lit(100)).cast("long"))
+            .as("total_fp"))
+        .withColumn("version", lit(ver))
+    }.reduce(_ unionByName _)
+      .select("version", "status", "n", "total_fp")
+      .orderBy("version", "status")
+  }
+
   /** q66 — snapshot changelog read (CDF): the row-level insert/delete
     * feed between two snapshots of q52's commit-log table — the
     * Iceberg/Delta "change data feed" a downstream incremental consumer
@@ -1852,6 +1895,7 @@ object RelationalQueries {
     "q66_changelog_diff" -> (q66_changelog_diff _),
     "q69_occ_conflict" -> (q69_occ_conflict _),
     "q70_multi_table_txn" -> (q70_multi_table_txn _),
+    "q71_restore_snapshot" -> (q71_restore_snapshot _),
     "q68_merge_cow" -> (q68_merge_cow _),
     "q51_scd2_merge" -> (q51_scd2_merge _),
     "q65_manifest_skipping" -> (q65_manifest_skipping _),
@@ -2077,6 +2121,27 @@ object RelationalQueries {
            UNION ALL SELECT 3, 'rewriter2', 1, 'conflict', 3, n3, t3 FROM st
            UNION ALL SELECT 4, 'rewriter2', 3, 'committed', 4, n4, t4 FROM st)
          ORDER BY attempt""",
+    // q52's history plus the restore commit: v4 must equal v2 exactly
+    // (metadata-only rollback), with v3 still readable in between
+    "q71_restore_snapshot" ->
+      """WITH snap AS (
+         SELECT 1::BIGINT AS version, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+         UNION ALL
+         SELECT 2::BIGINT, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+         UNION ALL
+         SELECT 3::BIGINT, o_orderstatus, o_totalprice
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+              OR o_orderstatus <> 'F'
+         UNION ALL
+         SELECT 4::BIGINT, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01')
+       SELECT version, o_orderstatus AS status, count(*) AS n,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_fp
+       FROM snap GROUP BY 1, 2 ORDER BY version, status""",
     "q52_time_travel" ->
       """WITH snap AS (
          SELECT 1::BIGINT AS version, o_orderstatus, o_totalprice

@@ -100,6 +100,64 @@ object StreamQueries {
       .orderBy("window_start")
   }
 
+  /** q72 — checkpoint RECOVERY across a process restart: run #1 ingests
+    * the first half of the stream and is stopped with its windows still
+    * open (nothing emitted); run #2 is a NEW query started on the SAME
+    * checkpoint — Structured Streaming restores the file-source offsets
+    * and the aggregation state store, the second half plus the sentinel
+    * close every window, and the parquet sink's exactly-once manifest
+    * guarantees no window is lost or doubled across the boundary. The
+    * output must equal the all-at-once batch aggregate: a failed state
+    * restore under-counts every window fed by run #1, a replayed batch
+    * double-counts — both hash-fail.
+    *
+    * This is THE operational property a 100 TB streaming deployment
+    * leans on (executors and drivers die mid-day); the other streaming
+    * harnesses all run a single uninterrupted query. */
+  def q72_stream_restart(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val ev = Tables.events(s, dir).select(col("ts").as("tns"), col("value"))
+    val (lo, hi) = tsBounds(ev, "tns")
+    val splitTs = lo + (hi - lo) / 2
+    val delaySec = (hi - lo) / 1000000000L + 3600L
+    val sentinelNs = hi + (delaySec + 7200L) * 1000000000L
+    val schema = StructType(Seq(
+      StructField("tns", LongType), StructField("value", DoubleType)))
+    withWatchDir("graft_restart") { watch =>
+      val outDir = watch + "_out"
+      val ckpt = watch + "_ckpt"
+      def startQuery() =
+        s.readStream.schema(schema).parquet(watch)
+          .withColumn("ts",
+            timestamp_micros(KeyAlgebra.ldiv(col("tns"), lit(1000L))))
+          .withWatermark("ts", s"$delaySec seconds")
+          .groupBy(window(col("ts"), "1 hour").as("win"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .select(unix_timestamp(col("win.start")).as("window_start"),
+            col("n"), col("sum_value"))
+          .writeStream.outputMode(OutputMode.Append)
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .start()
+      // run #1: first half, then the process "dies"
+      feedDrops(startQuery(), watch, Seq(ev.filter(col("tns") <= splitTs)))
+      // run #2: resumes offsets + state from the checkpoint
+      feedDrops(startQuery(), watch, Seq(ev.filter(col("tns") > splitTs),
+        Seq((sentinelNs, 0.0)).toDF("tns", "value")))
+      val sentinelHour = sentinelNs / 3600000000000L * 3600L
+      s.read.schema(StructType(Seq(
+          StructField("window_start", LongType), StructField("n", LongType),
+          StructField("sum_value", DoubleType))))
+        .parquet(outDir)
+        .filter(col("window_start") < sentinelHour)
+        .orderBy("window_start")
+    }
+  }
+
   /** q30 — q23's watermarked window aggregation fed by a REAL file
     * source instead of a MemoryStream: three parquet drops land in a
     * watched directory (ts-split batch 1, batch 2, then the far-future
@@ -1252,6 +1310,7 @@ object StreamQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_stream_restart" -> (q72_stream_restart _),
     "q67_stream_static_join" -> (q67_stream_static_join _),
     "q60_stream_drift" -> (q60_stream_drift _),
     "q64_cdc_upsert" -> (q64_cdc_upsert _),
@@ -1365,6 +1424,13 @@ object StreamQueries {
          FROM events GROUP BY 1 ORDER BY window_start""",
     // the file-source stream must converge to the same batch windows
     "q30_stream_filesource" ->
+      """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS window_start,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY window_start""",
+    // the restarted query must converge to the same batch aggregate —
+    // lost state under-counts, a replayed batch double-counts
+    "q72_stream_restart" ->
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS window_start,
          count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
