@@ -1132,7 +1132,80 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class WhtBands(doc_id: Long, n_windows: Long, band0: Long,
+                            band1: Long, band2: Long, band3: Long)
+
+  /** m20 — Walsh–Hadamard spectrogram: the exact-integer twin of an FFT
+    * spectrogram over the decoded PCM stream (m05's WAV path). The
+    * signal is framed into 16-sample windows (tail dropped), each window
+    * goes through a 16-point fast WHT (natural Hadamard order,
+    * `X_k = Σ_i s_i·(−1)^popcount(k AND i)` — butterfly, O(n log n),
+    * ±1 coefficients so everything stays in exact BIGINT arithmetic; no
+    * trig, no rounding drift for the oracle to chase), and coefficient
+    * energies Σ X_k² are accumulated into 4 bands of 4 consecutive
+    * natural-order coefficients. Parseval (Σ_k X_k² = 16·Σ_i s_i²) pins
+    * the butterfly in the spec. This is the standard audio-triage
+    * front-end (speech/music/noise banding) for a multimodal corpus,
+    * with the transform chosen so the DuckDB oracle replays it bit-for-
+    * bit from the document bytes.
+    *
+    * Scale shape: scan-parallel mapPartitions ×2 (encode → decode+WHT),
+    * zero shuffle; per-row cost is windows×16·log 16 adds. Magnitudes:
+    * |s| ≤ 8192 ⇒ |X_k| ≤ 131072 ⇒ band sums ≤ ~2.4e12 per doc — far
+    * inside BIGINT even at 100 TB document lengths (bands are per-doc,
+    * not global). Reference semantics: oph_dump/array FFT family
+    * (reference primitives list), re-expressed with the integer-exact
+    * transform. */
+  def m20_wht_spectrogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("US-ASCII")
+          val samples = Array.tabulate(bytes.length)(i =>
+            (((bytes(i) & 0xFF) - 96) * 128).toShort)
+          MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val a = MediaCodec.decodeWav(r.payload).samples
+        val nw = a.length / 16
+        val buf = new Array[Long](16)
+        val bands = new Array[Long](4)
+        var w = 0
+        while (w < nw) {
+          var i = 0
+          while (i < 16) { buf(i) = a(16 * w + i).toLong; i += 1 }
+          // in-place fast WHT butterfly → natural Hadamard order
+          var len = 1
+          while (len < 16) {
+            var base = 0
+            while (base < 16) {
+              var j = base
+              while (j < base + len) {
+                val x = buf(j); val y = buf(j + len)
+                buf(j) = x + y; buf(j + len) = x - y
+                j += 1
+              }
+              base += 2 * len
+            }
+            len *= 2
+          }
+          i = 0
+          while (i < 16) { bands(i / 4) += buf(i) * buf(i); i += 1 }
+          w += 1
+        }
+        WhtBands(r.doc_id, nw.toLong, bands(0), bands(1), bands(2), bands(3))
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m20_wht_spectrogram" -> (m20_wht_spectrogram _),
     "m19_gif_frames" -> (m19_gif_frames _),
     "m18_gif_features" -> (m18_gif_features _),
     "m17_jpeg_ac_texture" -> (m17_jpeg_ac_texture _),
@@ -1155,6 +1228,44 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // 16-point WHT replayed coefficient-by-coefficient from the text
+    // bytes: X_k = Σ_i s[16w+i]·(−1)^popcount(k&i), bands of 4 coeffs;
+    // the RIFF/WAVE roundtrip happens only Spark-side
+    "m20_wht_spectrogram" ->
+      """WITH t AS (SELECT doc_id, length(text)::BIGINT AS n,
+           list_transform(string_split(text, ''),
+             c -> ((ascii(c) - 96) * 128)::BIGINT) AS sl
+         FROM documents),
+       c AS (SELECT doc_id, (n // 16)::BIGINT AS nw,
+           list_transform(range(0, ((n // 16) * 16)::INT), j ->
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(range(0, 16), i ->
+                 sl[((j // 16) * 16 + i)::INT + 1]
+                   * (1 - 2 * (bit_count((j % 16) & i) % 2)))),
+               (x, y) -> x + y)) AS cl
+         FROM t)
+       SELECT doc_id, nw AS n_windows,
+         coalesce(list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(0, (nw * 16)::INT), j ->
+             CASE WHEN (j % 16) // 4 = 0
+               THEN cl[j::INT + 1] * cl[j::INT + 1] ELSE 0 END)),
+           (x, y) -> x + y), 0) AS band0,
+         coalesce(list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(0, (nw * 16)::INT), j ->
+             CASE WHEN (j % 16) // 4 = 1
+               THEN cl[j::INT + 1] * cl[j::INT + 1] ELSE 0 END)),
+           (x, y) -> x + y), 0) AS band1,
+         coalesce(list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(0, (nw * 16)::INT), j ->
+             CASE WHEN (j % 16) // 4 = 2
+               THEN cl[j::INT + 1] * cl[j::INT + 1] ELSE 0 END)),
+           (x, y) -> x + y), 0) AS band2,
+         coalesce(list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(0, (nw * 16)::INT), j ->
+             CASE WHEN (j % 16) // 4 = 3
+               THEN cl[j::INT + 1] * cl[j::INT + 1] ELSE 0 END)),
+           (x, y) -> x + y), 0) AS band3
+       FROM c ORDER BY doc_id""",
     // frame f pixel p = byte(p + 11f): lum over sampled (even) frames,
     // SAD between consecutive sampled pairs, frame-0 weighted sum — the
     // multi-image container walk replayed purely from text
