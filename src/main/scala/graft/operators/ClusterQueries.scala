@@ -736,7 +736,56 @@ object ClusterQueries {
       .orderBy("lang")
   }
 
+  /** c14 — Brier-score (Murphy) decomposition over calibration bins:
+    * where c06 reports per-decile counts and mean scores, c14 reports
+    * the decomposition terms a model-eval pipeline actually tracks —
+    * per-bin mean Brier error and the reliability term n-weighted into
+    * bin-local form. The probability is the rank-percentile transform
+    * of c06's fixed signed projection (monotone, replayable:
+    * p_fp = (rank−1)·10⁶ // (n−1)), the outcome is label parity, bins
+    * are p-deciles. Squared terms run at 10³ fixed point so the per-bin
+    * SUM stays int64-exact past 10¹² rows (10⁶-scale squares would
+    * overflow a Long at ~9·10⁶ rows/bin — the c11 lesson); means and
+    * rates stay at the 10⁶/10⁹ scales the family uses. All divisions
+    * are IntegralDivide replayed by the oracle.
+    *
+    * Scale shape: one global rank (SequentialId's prefix-offset
+    * numbering — no single-partition window), one broadcast 1-row
+    * count, one 10-group aggregate. */
+  def c14_brier_decomposition(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val signs = lit((1 to 64).map(i =>
+      if (i.toLong * 2654435761L / 65536L % 2L == 1L) 1.0 else -1.0).toArray)
+    val sc = Tables.embeddings(s, dir)
+      .withColumn("a", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), (col("label") % 2).cast("long").as("y"),
+        floor(aggregate(zip_with(col("a"), signs, (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x) * lit(1e6)).cast("long").as("s_fp"))
+    val n = sc.agg(count(lit(1)).as("n_tot"))
+    val ranked = SequentialId.withSequentialId(sc, "rn",
+        Seq(col("s_fp"), col("vec_id")))
+      .crossJoin(broadcast(n))
+      .withColumn("p_fp", ldiv((col("rn") - 1L) * 1000000L,
+        greatest(col("n_tot") - 1L, lit(1L))))
+      .withColumn("q3", ldiv(col("p_fp"), lit(1000L)))
+      .withColumn("bin", ldiv(col("p_fp") * 10L, lit(1000001L)))
+      .withColumn("se", (col("q3") - col("y") * 1000L) *
+        (col("q3") - col("y") * 1000L))
+    ranked.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("p_fp").as("psum"), sum("q3").as("qsum"), sum("se").as("sesum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        ldiv(col("psum"), col("n")).as("mean_p_fp"),
+        ldiv(col("n_pos") * 1000000L, col("n")).as("pos_rate_fp"),
+        ldiv(col("sesum"), col("n")).as("brier_x6"),
+        ((ldiv(col("qsum"), col("n")) - ldiv(col("n_pos") * 1000L, col("n"))) *
+          (ldiv(col("qsum"), col("n")) - ldiv(col("n_pos") * 1000L, col("n"))))
+          .as("rel_x6"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c14_brier_decomposition" -> (c14_brier_decomposition _),
     "c13_span_f1" -> (c13_span_f1 _),
     "c12_ngram_overlap_eval" -> (c12_ngram_overlap_eval _),
     "c11_mcc_eval" -> (c11_mcc_eval _),
@@ -1204,6 +1253,40 @@ object ClusterQueries {
          FROM met ORDER BY cls""",
     // decile = (rank-1)*10 // n; all-integer bin stats (both engines'
     // integer division truncates toward zero, incl. negative score sums)
+    // rank-percentile prob + label-parity outcome; every division is
+    // integer floor (// — both operands non-negative) at the scales the
+    // Spark side uses (1e6 probs, 1e3 squared terms)
+    "c14_brier_decomposition" ->
+      """WITH sc AS (SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+           CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),
+             i -> (embedding[i]::DOUBLE) *
+               (CASE WHEN i * 2654435761 // 65536 % 2 = 1
+                THEN 1.0 ELSE -1.0 END)),
+             (p, q) -> p + q)) AS BIGINT) AS s_fp
+         FROM embeddings),
+       r AS (SELECT y, s_fp,
+           row_number() OVER (ORDER BY s_fp, vec_id) AS rn,
+           count(*) OVER () AS n_tot
+         FROM sc),
+       b AS (SELECT y,
+           CAST((rn - 1) * 1000000 // greatest(n_tot - 1, 1) AS BIGINT)
+             AS p_fp
+         FROM r),
+       c AS (SELECT y, p_fp, p_fp // 1000 AS q3,
+           p_fp * 10 // 1000001 AS bin FROM b),
+       g AS (SELECT bin, count(*)::BIGINT AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(p_fp) AS BIGINT) AS psum,
+           CAST(sum(q3) AS BIGINT) AS qsum,
+           CAST(sum((q3 - y * 1000) * (q3 - y * 1000)) AS BIGINT) AS sesum
+         FROM c GROUP BY bin)
+       SELECT bin, n, n_pos,
+         psum // n AS mean_p_fp,
+         (n_pos * 1000000) // n AS pos_rate_fp,
+         sesum // n AS brier_x6,
+         ((qsum // n) - ((n_pos * 1000) // n))
+           * ((qsum // n) - ((n_pos * 1000) // n)) AS rel_x6
+       FROM g ORDER BY bin""",
     "c06_calibration_bins" ->
       """WITH sc AS (SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
            CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),

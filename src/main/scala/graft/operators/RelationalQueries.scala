@@ -1885,7 +1885,85 @@ object RelationalQueries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** q73 — bloom-filter file-skip index: the metadata path a lakehouse
+    * uses for POINT lookups on a high-cardinality column that zone maps
+    * (q65's min/max manifests) cannot prune — `o_custkey` point probes
+    * against a table laid out by `o_orderkey`, where every file's
+    * custkey min/max spans the whole domain. Each of the 16 files
+    * carries a bloom filter over its custkeys (k = 2 Lehmer-chain
+    * probes into m = `AutoScale.bloomBits(rows/file)` bits — m is
+    * data-derived so the filter keeps its ~1 % FP rate as the table
+    * grows; the oracle replays the derivation from count(*)). A probe
+    * key scans only files whose filter lights up on BOTH positions; the
+    * output is the per-probe skip accounting (candidate files, truly
+    * matching files, bloom false positives) plus the rows the pruned
+    * scan returns — any filter-placement bug shows as n_true ≠ rows>0
+    * files or n_false_pos < 0.
+    *
+    * Scale shape: the filter build is one scan + a distinct on
+    * (file, bit) — bounded by m·files, not rows; the probe side joins a
+    * tiny probe set against broadcast bit manifests; the verifying scan
+    * is a semi-join on the probe keys. At 100 TB the manifests stay
+    * metadata-sized (m bits/file) and probes never touch non-candidate
+    * files — the same contract Delta/Iceberg bloom indexes ship.
+    * Reference semantics: file-skip metadata generalizes the reference's
+    * fragment-elimination on key ranges (oph_io_server query planning).
+    * doc_id reduced mod 2^31−1 before the Lehmer multiply (int64-exact
+    * past 8.4e9 keys, the c10/p22 pattern). */
+  def q73_bloom_skip_index(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val n = base.agg(count(lit(1))).head().getLong(0)
+    // file count derived from volume (~64k rows/file, floor 16) and the
+    // filter width from rows/file — both replayed by the oracle from
+    // count(*); a FIXED nf would mean 6 TB files at 100 TB, a fixed m
+    // would saturate the filter (p09's lesson)
+    val nf = math.max(16L,
+      1L << graft.core.AutoScale.log2Ceil(math.max(n / 65536L, 1L)))
+    val m = graft.core.AutoScale.bloomBits((n + nf - 1) / nf)
+    val orders = base.withColumn("f", pmod(col("o_orderkey"), lit(nf)))
+    def pos(key: Column, j: Int): Column =
+      pmod(pmod(key, lit(2147483647L)) * 1103515245L +
+        lit((j + 1L) * 12345L + 6789L), lit(2147483647L)) % m
+    // per-file filter = the SET of lit bit positions; ~19 bits/key is
+    // the honest bloom-index footprint, kept distributed — only the
+    // PROBE side (tiny) ever broadcasts
+    val bits = orders
+      .select(col("f"), explode(array(pos(col("o_custkey"), 0),
+        pos(col("o_custkey"), 1))).as("bit"))
+      .distinct().cache()
+    val probes = orders.filter(col("o_orderkey") % 997L === 1L)
+      .select(col("o_custkey").as("key")).distinct()
+    // candidate files: both probe positions present in the file's
+    // filter; stream the big bits side, broadcast the probe side
+    val cand1 = bits.join(broadcast(
+        probes.withColumn("bit", pos(col("key"), 0))), Seq("bit"))
+      .select(col("key"), col("f"))
+    val cand = bits.join(broadcast(
+        cand1.withColumn("bit", pos(col("key"), 1))), Seq("bit", "f"))
+      .select(col("key"), col("f"))
+    // ground truth: files that actually contain the probe key
+    val truth = orders.join(broadcast(probes),
+        orders("o_custkey") === probes("key"), "left_semi")
+      .groupBy(col("o_custkey").as("key"), col("f"))
+      .agg(count(lit(1)).as("rows_in_file"))
+    val acct = cand.join(truth, Seq("key", "f"), "left")
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_candidates"),
+        count(col("rows_in_file")).as("n_true_files"),
+        coalesce(sum("rows_in_file"), lit(0L)).as("rows_matched"))
+    probes.join(broadcast(acct), Seq("key"), "left")
+      .select(col("key").as("o_custkey"),
+        lit(nf).as("n_files"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_true_files"), lit(0L)).as("n_true_files"),
+        (coalesce(col("n_candidates"), lit(0L)) -
+          coalesce(col("n_true_files"), lit(0L))).as("n_false_pos"),
+        coalesce(col("rows_matched"), lit(0L)).as("rows_matched"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_bloom_skip_index" -> (q73_bloom_skip_index _),
     "q58_session_paths" -> (q58_session_paths _),
     "q57_schema_evolution" -> (q57_schema_evolution _),
     "q56_cohort_retention" -> (q56_cohort_retention _),
@@ -1941,6 +2019,50 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // replays nf/m from count(*) (AutoScale SQL twins), the 2-probe
+    // Lehmer bit positions, the per-file bit sets and the skip math
+    "q73_bloom_skip_index" ->
+      """WITH cnt AS (SELECT count(*)::BIGINT AS n FROM orders),
+       nfv AS (SELECT n, greatest(16, 1::BIGINT << CAST(coalesce(
+           (SELECT min(L) FROM range(0, 63) t(L)
+            WHERE (1::BIGINT << L::INT) >= greatest(n // 65536, 1)), 62)
+           AS INT)) AS nf FROM cnt),
+       mv AS (SELECT n, nf, greatest(65536, 1::BIGINT << CAST(coalesce(
+           (SELECT min(L) FROM range(0, 63) t(L)
+            WHERE (1::BIGINT << L::INT) >= 19 * greatest((n + nf - 1) // nf, 1)),
+           62) AS INT)) AS m FROM nfv),
+       o AS (SELECT o_orderkey, o_custkey, o_orderkey % nf AS f
+             FROM orders, mv),
+       bits AS (SELECT DISTINCT f,
+           ((o_custkey % 2147483647) * 1103515245 + (j + 1) * 12345 + 6789)
+             % 2147483647 % m AS bit
+         FROM o, mv, range(0, 2) r(j)),
+       probes AS (SELECT DISTINCT o_custkey AS key FROM o
+                  WHERE o_orderkey % 997 = 1),
+       cand1 AS (SELECT p.key, b.f FROM probes p CROSS JOIN mv
+           JOIN bits b ON b.bit =
+             ((p.key % 2147483647) * 1103515245 + 12345 + 6789)
+               % 2147483647 % m),
+       cand AS (SELECT c.key, c.f FROM cand1 c CROSS JOIN mv
+           JOIN bits b ON b.f = c.f AND b.bit =
+             ((c.key % 2147483647) * 1103515245 + 2 * 12345 + 6789)
+               % 2147483647 % m),
+       truth AS (SELECT o_custkey AS key, f, count(*)::BIGINT AS rif
+         FROM o WHERE o_custkey IN (SELECT key FROM probes)
+         GROUP BY 1, 2),
+       acct AS (SELECT c.key, count(*)::BIGINT AS n_candidates,
+           count(t.rif)::BIGINT AS n_true_files,
+           coalesce(sum(t.rif), 0)::BIGINT AS rows_matched
+         FROM cand c LEFT JOIN truth t ON t.key = c.key AND t.f = c.f
+         GROUP BY 1)
+       SELECT p.key AS o_custkey, nf AS n_files,
+         coalesce(a.n_candidates, 0)::BIGINT AS n_candidates,
+         coalesce(a.n_true_files, 0)::BIGINT AS n_true_files,
+         (coalesce(a.n_candidates, 0) - coalesce(a.n_true_files, 0))::BIGINT
+           AS n_false_pos,
+         coalesce(a.rows_matched, 0)::BIGINT AS rows_matched
+       FROM probes p CROSS JOIN mv LEFT JOIN acct a ON a.key = p.key
+       ORDER BY o_custkey""",
     "q58_session_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts)
            AS tns FROM events),

@@ -422,6 +422,17 @@ class PlanSpec extends SparkSpec {
       s"interaction degenerated to a shuffled product:\n$p")
   }
 
+  test("q73: probe side broadcasts; the bit manifests stream (never broadcast)") {
+    val p = plan(RelationalQueries.q73_bloom_skip_index(spark, sf()))
+    // the tiny probe set must be the build side of every filter join —
+    // broadcasting the (file, bit) manifests would ship ~19 bits/key of
+    // metadata to every executor at 100 TB
+    assert(p.contains("BroadcastHashJoin"), s"probe set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a filter-probe join degenerated to a sort-merge shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
   test("qn13: quarantine accounting is ONE partial+final aggregate over the JSON scan") {
     val p = plan(NetCDFQueries.qn13_jsonl_quarantine(spark, sf()))
     assert(p.contains("partial_"), s"expected map-side combine:\n$p")
