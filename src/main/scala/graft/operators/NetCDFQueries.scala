@@ -575,7 +575,50 @@ object NetCDFQueries {
     a.join(b, "id_dim").orderBy("id_dim")
   }
 
+  /** qn14 — Fletcher-32 checksummed NetCDF-4 import: the EDC filter
+    * (id 3, H5Pset_fletcher32's default in checksummed scientific
+    * archives) sits at the END of the write pipeline, so the reader
+    * VERIFIES every stored chunk's trailing Fletcher-32 before
+    * inflating — silent bit-rot in an archive file becomes a loud
+    * per-chunk error instead of wrong numbers (HDF5Spec pins the
+    * corruption case). Two index flavors cross-check the same 60×8
+    * grid: fixed-array and v2-B-tree, both deflate+fletcher32 chunks
+    * with ragged edges. Reference semantics: esdm/netcdf import
+    * (oph_io_server file_import) over checksummed NetCDF-4.
+    *
+    * Scale shape: identical to qn05 — the DSv2 reader hands each
+    * executor its own chunk ranges; checksum verification is a
+    * per-chunk scan-side pass (one Fletcher fold per stored byte). */
+  def qn14_fletcher_import(s: SparkSession, dir: String): DataFrame = {
+    val (nRows, nCols) = (60, 8)
+    val data = Array.tabulate(nRows * nCols)(k =>
+      (k / nCols) * 0.5 + (k % nCols) * 0.125) // exact in binary
+    val measure = graft.sources.HDF5.H5Var("measure",
+      Seq("row" -> nRows, "col" -> nCols), data,
+      chunkDims = Some(Seq(16, 5))) // ragged in BOTH dims
+    val tmp = Files.createTempDirectory("graft_h5ck")
+    val faPath = tmp.resolve("fa_ck.h5").toString
+    val btPath = tmp.resolve("bt_ck.h5").toString
+    graft.sources.HDF5.writeLatestVars(faPath, Seq(measure),
+      index = "fixedarray", fletcher = true)
+    graft.sources.HDF5.writeLatestVars(btPath, Seq(measure),
+      index = "btree2", fletcher = true)
+    val ses = new IoServer(s).newSession()
+    ses.execute(s"operation=file_import;frag_name=fa;src_path=@$faPath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=bt;src_path=@$btPath;" +
+      "measure=measure;explicit=1")
+    val fa = ses.execute(
+      "operation=select;field=id_dim|measure;from=fa;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_fa_ck"))
+    val bt = ses.execute(
+      "operation=select;field=id_dim|measure;from=bt;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_bt_ck"))
+    fa.join(bt, "id_dim").orderBy("id_dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qn14_fletcher_import" -> (qn14_fletcher_import _),
     "qn01_netcdf_roundtrip" -> (qn01_netcdf_roundtrip _),
     "qn02_netcdf4_roundtrip" -> (qn02_netcdf4_roundtrip _),
     "qn03_zarr_roundtrip" -> (qn03_zarr_roundtrip _),
@@ -592,6 +635,19 @@ object NetCDFQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same 60×8 synthetic grid as qn05, read back through checksummed
+    // chunks — the oracle only models the VALUES; the EDC verification
+    // lives Spark-side (a corrupt chunk errors instead of mismatching)
+    "qn14_fletcher_import" ->
+      """SELECT i AS id_dim,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_fa_ck,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_bt_ck
+         FROM range(1, 61) t(i)
+         ORDER BY id_dim""",
     // predicts the ingest outcome from the parquet alone: which lines
     // were corrupted is a pure doc_id function, so the oracle never
     // parses JSON — if the permissive reader drops, duplicates, or

@@ -1025,7 +1025,16 @@ object HDF5 {
           case 1 => data = inflateBytes(data,
             d.chunkDims.product * d.dtype.size)
           case 2 => data = unshuffle(data, d.dtype.size)
-          case 3 => data = data.dropRight(4) // fletcher32 checksum
+          case 3 => // fletcher32: VERIFY the trailing checksum, then strip
+            require(data.length >= 4, "fletcher32 chunk shorter than checksum")
+            val stored = (data(data.length - 4) & 0xFFL) |
+              ((data(data.length - 3) & 0xFFL) << 8) |
+              ((data(data.length - 2) & 0xFFL) << 16) |
+              ((data(data.length - 1) & 0xFFL) << 24)
+            val calc = fletcher32(data, 0, data.length - 4)
+            require(calc == stored,
+              f"fletcher32 mismatch in chunk at $addr: stored 0x$stored%08x, computed 0x$calc%08x — corrupt chunk data")
+            data = data.dropRight(4)
           case o => throw new IllegalArgumentException(s"filter $o unsupported")
         }
       }
@@ -1180,6 +1189,41 @@ object HDF5 {
 
   /** Bob Jenkins lookup3 (`hashlittle`, public domain; the HDF5 spec's
     * metadata checksum and dense-link name hash). */
+  /** H5_checksum_fletcher32 (public HDF5 file-format spec, filter id
+    * 3): Fletcher-32 over big-endian 16-bit words, partial ones-
+    * complement folds every 360 words (the block size that keeps the
+    * running sums inside uint32 in the reference algorithm), an odd
+    * trailing byte contributing `byte << 8`, double-fold at the end.
+    * Returned as an unsigned 32-bit value in a Long. */
+  def fletcher32(data: Array[Byte], off: Int = 0, length: Int = -1): Long = {
+    val n = if (length < 0) data.length - off else length
+    var sum1 = 0L
+    var sum2 = 0L
+    var i = off
+    var words = n / 2
+    while (words > 0) {
+      var tlen = math.min(words, 360)
+      words -= tlen
+      while (tlen > 0) {
+        sum1 += (((data(i) & 0xFF) << 8) | (data(i + 1) & 0xFF)).toLong
+        sum2 += sum1
+        i += 2
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    }
+    if (n % 2 == 1) {
+      sum1 += ((data(off + n - 1) & 0xFF).toLong << 8)
+      sum2 += sum1
+      sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    ((sum2 << 16) | sum1) & 0xFFFFFFFFL
+  }
+
   private def lookup3(data: Array[Byte], init: Int = 0): Int = {
     def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
     var a = 0xdeadbeef + data.length + init
@@ -1281,7 +1325,8 @@ object HDF5 {
     * don't-filter-partial-chunks mode). Edge chunks are emitted at full
     * nominal size, zero-padded, as the library does. */
   private def chunkBlobs(v: H5Var, cd: Seq[Int], level: Int,
-      rawPartial: Boolean = false): Seq[(Seq[Int], Array[Byte])] = {
+      rawPartial: Boolean = false,
+      fl32: Boolean = false): Seq[(Seq[Int], Array[Byte])] = {
     val shape = v.dims.map(_._2)
     val rank = shape.size
     val grid = shape.zip(cd).map { case (s, c) => (s + c - 1) / c }
@@ -1309,8 +1354,9 @@ object HDF5 {
       }
       fill(0, 0, 0)
       val partial = (0 until rank).exists(i => originC(i) + cd(i) > shape(i))
-      val blob =
-        if (level < 0 || (rawPartial && partial)) raw
+      val skipAll = rawPartial && partial
+      val deflated =
+        if (level < 0 || skipAll) raw
         else {
           val d = new Deflater(level)
           d.setInput(raw); d.finish()
@@ -1319,6 +1365,18 @@ object HDF5 {
           while (!d.finished()) out.write(buf, 0, d.deflate(buf))
           d.end(); out.toByteArray
         }
+      // fletcher32 runs LAST on write (EDC over the stored bytes), so
+      // the reader verifies FIRST — matching filters.reverse on read
+      val blob =
+        if (fl32 && !skipAll) {
+          val ck = fletcher32(deflated)
+          val withCk = java.util.Arrays.copyOf(deflated, deflated.length + 4)
+          withCk(deflated.length) = (ck & 0xFF).toByte
+          withCk(deflated.length + 1) = ((ck >> 8) & 0xFF).toByte
+          withCk(deflated.length + 2) = ((ck >> 16) & 0xFF).toByte
+          withCk(deflated.length + 3) = ((ck >> 24) & 0xFF).toByte
+          withCk
+        } else deflated
       (originC, blob)
     }
   }
@@ -1929,7 +1987,7 @@ object HDF5 {
   def writeLatestVars(path: String, vars0: Seq[H5Var], index: String,
       deflateLevel: Int = 6, faPageBits: Int = 10,
       dontFilterPartial: Boolean = false, eaPageBits: Int = 10,
-      eaDataBlkMin: Int = 16): Unit = {
+      eaDataBlkMin: Int = 16, fletcher: Boolean = false): Unit = {
     validateVars(vars0)
     val b = new Buf
     // --- superblock v3 ---
@@ -1943,7 +2001,7 @@ object HDF5 {
 
     val ohAddrs = vars0.map(v =>
       writeDatasetV4(b, v, index, deflateLevel, faPageBits, dontFilterPartial,
-        eaPageBits, eaDataBlkMin))
+        eaPageBits, eaDataBlkMin, fletcher))
 
     // --- root group: OHDR v2 with one compact Link message per var ---
     val rootAddr = writeOhdrV2(b, vars0.indices.map { i =>
@@ -1989,7 +2047,8 @@ object HDF5 {
     * OHDR v2 with dataspace v2 / datatype / filters / layout v4. */
   private def writeDatasetV4(b: Buf, v: H5Var, index: String,
       deflateLevel: Int, faPageBits: Int, dontFilterPartial: Boolean,
-      eaPageBits: Int = 10, eaDataBlkMin: Int = 16): Long = {
+      eaPageBits: Int = 10, eaDataBlkMin: Int = 16,
+      fletcher: Boolean = false): Long = {
     val shape = v.dims.map(_._2)
     val rank = shape.size
     val chunked = v.chunkDims.isDefined
@@ -2005,7 +2064,8 @@ object HDF5 {
       val cd = v.chunkDims.get
       val nominal = cd.product.toLong * 8
       val entries = chunkBlobs(v, cd,
-        if (filtered) deflateLevel else -1, dontFilterPartial).map {
+        if (filtered) deflateLevel else -1, dontFilterPartial,
+        fl32 = fletcher && filtered).map {
         case (originC, blob) =>
           val addr = b.pos.toLong
           b.bytes(blob)
@@ -2072,9 +2132,12 @@ object HDF5 {
     msgs += ((0x03, dt.result))
     if (filtered) {
       val fp = new Buf
-      fp.u8(2); fp.u8(1)               // pipeline v2, one filter
+      // pipeline v2, in WRITE order: deflate, then fletcher32 (EDC over
+      // the stored bytes; the reader applies the reverse)
+      fp.u8(2); fp.u8(if (fletcher) 2 else 1)
       fp.u16(1); fp.u16(0); fp.u16(1)  // deflate, flags, 1 client value
       fp.u32(deflateLevel.toLong)
+      if (fletcher) { fp.u16(3); fp.u16(0); fp.u16(0) } // no client values
       msgs += ((0x0B, fp.result))
     }
     msgs += ((0x08, layoutBody.result))

@@ -356,4 +356,53 @@ class HDF5Spec extends AnyFunSuite {
     assert(via.varAttrs("m")("scale_factor") == 0.25)
     via.close()
   }
+
+  test("fletcher32: hand-traced known answers") {
+    // one word 0xABCD: sum1 = sum2 = 0xABCD → (sum2<<16)|sum1
+    assert(HDF5.fletcher32(Array(0xAB.toByte, 0xCD.toByte)) == 0xABCDABCDL)
+    // odd byte contributes byte<<8
+    assert(HDF5.fletcher32(Array(0xAB.toByte)) == 0xAB00AB00L)
+    assert(HDF5.fletcher32(Array.empty[Byte]) == 0L)
+    // two words: sum1 = w0+w1, sum2 = 2*w0+w1 (fold is identity here)
+    val w = Array(0x00, 0x01, 0x00, 0x02).map(_.toByte) // words 1, 2
+    assert(HDF5.fletcher32(w) == ((4L << 16) | 3L))
+    // folding: 0xFFFF words force sum carries through the 16-bit fold
+    val ones = Array.fill(4)(0xFF.toByte) // words 0xFFFF, 0xFFFF
+    // sum1 = 0x1FFFE → fold → 0xFFFF; sum2 = 0xFFFF + 0x1FFFE = 0x2FFFD
+    // → fold → 0xFFFD + 2 = 0xFFFF (ones-complement fixed point)
+    assert(HDF5.fletcher32(ones) == 0xFFFFFFFFL)
+  }
+
+  test("fletcher32 roundtrip: deflate+EDC chunks verify and read back") {
+    val p = tmp(".h5")
+    val data = grid(7, 5)
+    HDF5.writeLatestVars(p, Seq(HDF5.H5Var("m", Seq("r" -> 7, "c" -> 5),
+      data, chunkDims = Some(Seq(3, 5)))), index = "fixedarray",
+      fletcher = true)
+    val r = new HDF5.Hdf5Reader(p)
+    try assert(r.readSlab("m", Seq(0, 0), Seq(7, 5)).toSeq == data.toSeq)
+    finally r.close()
+  }
+
+  test("fletcher32 detects a corrupted chunk byte") {
+    val p = tmp(".h5")
+    val data = grid(6, 4)
+    HDF5.writeLatestVars(p, Seq(HDF5.H5Var("m", Seq("r" -> 6, "c" -> 4),
+      data, chunkDims = Some(Seq(6, 4)))), index = "fixedarray",
+      fletcher = true)
+    // flip one bit in the stored chunk payload: the deflate stream sits
+    // between the fixed 48-byte superblock head and the index metadata;
+    // corrupt a byte in the middle of the file's data region
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(p))
+    // find the zlib header (0x78 0x9C, deflate level 6) of the chunk
+    val at = bytes.indices.find(i => (bytes(i) & 0xFF) == 0x78 &&
+      i + 1 < bytes.length && (bytes(i + 1) & 0xFF) == 0x9C).get
+    bytes(at + 5) = (bytes(at + 5) ^ 0x40).toByte
+    Files.write(java.nio.file.Paths.get(p), bytes)
+    val r = new HDF5.Hdf5Reader(p)
+    try {
+      val e = intercept[Exception](r.readSlab("m", Seq(0, 0), Seq(6, 4)))
+      assert(e.getMessage.contains("fletcher32 mismatch"))
+    } finally r.close()
+  }
 }
