@@ -915,7 +915,63 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** t25 — Gopher/MassiveText quality gates (Rae et al. 2021, table A1
+    * — the published rule set large-scale text curation actually
+    * ships): word-count bounds [50, 100k], mean word length [3, 10],
+    * ≥80 % words containing a letter, symbol-to-word ratio ≤ 0.1
+    * (`#` + `…` as the paper defines), ≥2 required stop words from
+    * {the, be, to, of, and, that, have, with}. Per-source accounting of
+    * every rule's fail count plus the all-rules pass count — the shape
+    * a curation dashboard tracks per crawl source. All fixed-point
+    * integer (×1000 ratios, IntegralDivide) so the oracle replays every
+    * gate bit-for-bit. "Contains a letter" is the locale-free
+    * lower(w) ≠ upper(w) trick, identical in both engines.
+    *
+    * Scale shape: one scan, per-row HOFs inside codegen (no UDF, no
+    * explode — the word arrays never leave their row), one partial+
+    * final aggregate on the low-cardinality source key. */
+  def t25_gopher_gates(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val words = filter(split(col("text"), " "), w => length(w) > 0)
+    val d = Tables.documents(s, dir)
+      .select(col("source"), words.as("ws"),
+        (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))
+          + ldiv(length(col("text")) -
+            length(replace(col("text"), lit("..."), lit(""))), lit(3L)))
+          .cast("long").as("symbols"))
+      .select(col("source"), col("symbols"),
+        size(col("ws")).cast("long").as("nw"),
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
+          .as("wlsum"),
+        size(filter(col("ws"), w => lower(w) =!= upper(w))).cast("long")
+          .as("alpha"),
+        size(filter(col("ws"), w => lower(w).isInCollection(stops)))
+          .cast("long").as("stops"))
+      .select(col("source"),
+        (col("nw") >= 50L && col("nw") <= 100000L).as("p_words"),
+        (col("nw") > 0L &&
+          ldiv(col("wlsum") * 1000L, col("nw")).between(3000L, 10000L))
+          .as("p_mwl"),
+        (col("nw") > 0L &&
+          ldiv(col("alpha") * 1000L, col("nw")) >= 800L).as("p_alpha"),
+        (col("nw") > 0L &&
+          ldiv(col("symbols") * 1000L, col("nw")) <= 100L).as("p_symbol"),
+        (col("stops") >= 2L).as("p_stop"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("p_words") && col("p_mwl") && col("p_alpha") &&
+          col("p_symbol") && col("p_stop"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(!col("p_words"), 1L).otherwise(0L)).as("fail_words"),
+        sum(when(!col("p_mwl"), 1L).otherwise(0L)).as("fail_mwl"),
+        sum(when(!col("p_alpha"), 1L).otherwise(0L)).as("fail_alpha"),
+        sum(when(!col("p_symbol"), 1L).otherwise(0L)).as("fail_symbol"),
+        sum(when(!col("p_stop"), 1L).otherwise(0L)).as("fail_stop"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_gopher_gates" -> (t25_gopher_gates _),
     "t24_winsorized_stats" -> (t24_winsorized_stats _),
     "t23_ngram_novelty" -> (t23_ngram_novelty _),
     "t22_bpe_train" -> (t22_bpe_train _),
@@ -946,6 +1002,45 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    // each Gopher gate replayed with DuckDB list lambdas; // division
+    // (non-negative operands) mirrors IntegralDivide; lower<>upper is
+    // the same contains-a-letter trick
+    "t25_gopher_gates" ->
+      """WITH w AS (SELECT source,
+           list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws,
+           (length(text) - length(replace(text, '#', ''))
+            + (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT
+             AS symbols
+         FROM documents),
+       f AS (SELECT source, symbols, len(ws)::BIGINT AS nw,
+           coalesce(list_reduce(list_prepend(0::BIGINT,
+             list_transform(ws, x -> length(x)::BIGINT)),
+             (a, b) -> a + b), 0) AS wlsum,
+           len(list_filter(ws, x -> lower(x) <> upper(x)))::BIGINT AS alpha,
+           len(list_filter(ws, x -> lower(x) IN ('the','be','to','of',
+             'and','that','have','with')))::BIGINT AS stops
+         FROM w),
+       p AS (SELECT source,
+           (nw >= 50 AND nw <= 100000) AS p_words,
+           (nw > 0 AND wlsum * 1000 // nw BETWEEN 3000 AND 10000) AS p_mwl,
+           (nw > 0 AND alpha * 1000 // nw >= 800) AS p_alpha,
+           (nw > 0 AND symbols * 1000 // nw <= 100) AS p_symbol,
+           (stops >= 2) AS p_stop
+         FROM f)
+       SELECT source, count(*)::BIGINT AS n_docs,
+         CAST(sum(CASE WHEN p_words AND p_mwl AND p_alpha AND p_symbol
+           AND p_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         CAST(sum(CASE WHEN NOT p_words THEN 1 ELSE 0 END) AS BIGINT)
+           AS fail_words,
+         CAST(sum(CASE WHEN NOT p_mwl THEN 1 ELSE 0 END) AS BIGINT)
+           AS fail_mwl,
+         CAST(sum(CASE WHEN NOT p_alpha THEN 1 ELSE 0 END) AS BIGINT)
+           AS fail_alpha,
+         CAST(sum(CASE WHEN NOT p_symbol THEN 1 ELSE 0 END) AS BIGINT)
+           AS fail_symbol,
+         CAST(sum(CASE WHEN NOT p_stop THEN 1 ELSE 0 END) AS BIGINT)
+           AS fail_stop
+       FROM p GROUP BY source ORDER BY source""",
     // same HDR bucket index/lower-bound algebra as t17, p1/p99 picks,
     // then the clipped per-source re-aggregation
     "t24_winsorized_stats" ->
