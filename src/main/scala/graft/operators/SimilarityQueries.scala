@@ -632,13 +632,22 @@ object SimilarityQueries {
     * `array<array<float>>` token-embedding column (per-row slice → the
     * interaction matrix is computed inline, never exploded).
     *
+    * Two stages, the published late-interaction architecture: a
+    * single-vector cosine pass gathers C = 20 candidates per query
+    * (s05's plan — brute candidate generation is the recall baseline;
+    * s02's IVF is the indexed path), then the 4×4 MaxSim interaction
+    * runs ONLY on candidates. The r13 10× probe measured the all-pairs
+    * interaction at 169 s vs ~11 s for this shape — with real
+    * ~100-token documents the interaction is 100× a dot, so
+    * interaction-on-everything is the canonical late-interaction
+    * scaling mistake.
+    *
     * Scale posture: queries are a tiny broadcast set, the document side
-    * streams ONCE computing the 4×4 interaction matrix per pair inside
-    * whole-stage codegen (16 sub-dots = the same 64 multiplies a full
-    * dot costs), and ranking goes through the bounded TopKPerKey
-    * heap operator (s06's plan) — no shuffle proportional to the
-    * corpus, no explode of token pairs. At 100 TB with real 100-token
-    * documents the same plan holds; the interaction loop just widens. */
+    * streams ONCE through the single-dot scorer inside whole-stage
+    * codegen, ranking goes through the bounded TopKPerKey heap operator
+    * (no shuffle proportional to the corpus), and the expensive
+    * interaction touches C·|queries| rows. At 100 TB with real
+    * token-bag columns the same plan holds; only stage 2 widens. */
   def s14_maxsim_multivector(s: SparkSession, dir: String): DataFrame = {
     val T = 4
     def sub(c: Column, t: Int): Column = slice(c, t * 16 + 1, 16)
@@ -650,23 +659,41 @@ object SimilarityQueries {
       // every token vector must have a cosine: all sub-norms positive
       withSubs.filter((0 until T).map(t => col(s"n$t") > 0.0).reduce(_ && _))
     }
-    val docs = prep(emb(s, dir))
+    val docs = prep(emb(s, dir)).withColumn("nrm", norm(col("a")))
     val qs = prep(emb(s, dir).filter(col("vec_id") % 50 === 0))
-      .select(col("vec_id").as("query_id") +:
+      .withColumn("qn", norm(col("a")))
+      .select(col("vec_id").as("query_id") +: col("a").as("qa") +:
+        col("qn") +:
         (0 until T).flatMap(t =>
           Seq(col(s"t$t").as(s"qt$t"), col(s"n$t").as(s"qn$t"))): _*)
-    // Σ_t max_j cos(q_t, d_j): left-to-right sum of per-token maxima,
-    // mirrored exactly by the oracle's greatest(...) + greatest(...)
+    // stage 1 — ColBERT-style candidate generation: ONE whole-vector
+    // cosine per (doc, query) pair. The T² token-level interaction is
+    // 16× the arithmetic; running it all-pairs was the r13 probe's
+    // 169 s cliff at 10× data. Late-interaction systems gather a
+    // candidate set with a single-vector scorer first, then rerank.
+    val sims1 = docs.select(col("vec_id"), col("a"), col("nrm"))
+      .crossJoin(broadcast(qs.select("query_id", "qa", "qn")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim1", dot(col("qa"), col("a")) / (col("qn") * col("nrm")))
+      .select("query_id", "vec_id", "sim1")
+    val cand = graft.plans.TopKPerKey(sims1, Seq("query_id"), "sim1",
+        "vec_id", 20)
+      .select("query_id", "vec_id")
+    // stage 2 — Σ_t max_j cos(q_t, d_j) on the C = 20 candidates only:
+    // left-to-right sum of per-token maxima, mirrored exactly by the
+    // oracle's greatest(...) + greatest(...)
     val score = (0 until T).map { t =>
       greatest((0 until T).map { j =>
         dot(col(s"qt$t"), col(s"t$j")) / (col(s"qn$t") * col(s"n$j"))
       }: _*)
     }.reduceLeft(_ + _)
-    val sims = docs.crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("query_id"))
+    val rerank = cand
+      .join(docs.select(col("vec_id") +: (0 until T).flatMap(t =>
+        Seq(col(s"t$t"), col(s"n$t"))): _*), "vec_id")
+      .join(broadcast(qs.drop("qa", "qn")), "query_id")
       .withColumn("sim", score)
       .select("query_id", "vec_id", "sim")
-    graft.plans.TopKPerKey(sims, Seq("query_id"), "sim", "vec_id", 5)
+    graft.plans.TopKPerKey(rerank, Seq("query_id"), "sim", "vec_id", 5)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("sim"))
       .orderBy("query_id", "rank")
@@ -881,12 +908,21 @@ object SimilarityQueries {
       s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
         FROM embeddings),
-      sl AS (SELECT vec_id, $slices FROM e),
-      n AS (SELECT vec_id, t0, t1, t2, t3, $norms FROM sl),
+      sl AS (SELECT vec_id, a, $slices FROM e),
+      n AS (SELECT vec_id, a, t0, t1, t2, t3,
+          sqrt(${sqlDot.replace("X", "a").replace("Y", "a")}) AS nrm,
+          $norms FROM sl),
       g AS (SELECT * FROM n WHERE n0 > 0 AND n1 > 0 AND n2 > 0 AND n3 > 0),
-      sims AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-          $score AS sim
-        FROM g q, g d WHERE q.vec_id % 50 = 0 AND d.vec_id <> q.vec_id)
+      cand AS (SELECT query_id, vec_id FROM (
+          SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              ${sqlDot.replace("X", "q.a").replace("Y", "d.a")}
+                / (q.nrm * d.nrm) DESC, d.vec_id) AS rq
+          FROM g q, g d WHERE q.vec_id % 50 = 0 AND d.vec_id <> q.vec_id)
+        WHERE rq <= 20),
+      sims AS (SELECT c.query_id, d.vec_id AS neighbor_id, $score AS sim
+        FROM cand c JOIN g d ON c.vec_id = d.vec_id
+          JOIN g q ON c.query_id = q.vec_id)
       SELECT query_id, rank, neighbor_id, sim FROM (
         SELECT query_id, neighbor_id, sim,
           row_number() OVER (PARTITION BY query_id
