@@ -1309,7 +1309,80 @@ object StreamQueries {
     }
   }
 
+  /** q74 — per-key token-bucket rate limiting (streaming admission
+    * control): each user's bucket holds up to 2 tokens, refills 1 per
+    * 4 h of event time with remainder-preserving credit (the refill
+    * anchor advances by whole periods only, so fractional credit is
+    * never lost — the classic token-bucket, not a leaky floor), and
+    * every event either consumes a token (admitted) or is dropped.
+    * This is the ingest-side throttle a crawl/firehose pipeline puts in
+    * front of per-domain or per-user hot keys. State is two longs per
+    * key in `flatMapGroupsWithState`; decisions stream out per event in
+    * Append mode and aggregate to per-user admit/drop books — the
+    * deterministic recurrence is replayed by a DuckDB recursive CTE.
+    *
+    * Scale shape: keyed state bounded at 16 bytes/user; per-event O(1);
+    * micro-batch boundaries can't change decisions because the
+    * recurrence depends only on event-time order, which the harness
+    * (and a watermark in production) delivers per key. */
+  def q74_stream_rate_limit(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cap = 2L
+    val period = 14400L * 1000000000L
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .orderBy("ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var mid = rows.length / 2
+    while (mid < rows.length && rows(mid)._2 == rows(mid - 1)._2) mid += 1
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val out = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+          val evs = it.toIndexedSeq.sortBy(e => (e._2, e._3))
+          var (tokens, lastRefill) =
+            state.getOption.getOrElse((cap, evs.head._2))
+          val decisions = evs.map { case (_, ts, eid) =>
+            val refill = (ts - lastRefill) / period
+            tokens = math.min(cap, tokens + refill)
+            if (tokens == cap) lastRefill = ts
+            else lastRefill += refill * period
+            val admit = tokens >= 1L
+            if (admit) tokens -= 1L
+            (user, eid, if (admit) 1L else 0L)
+          }
+          state.update((tokens, lastRefill))
+          decisions.iterator
+      }
+      .toDF("user_id", "event_id", "admitted")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("q74_stream_out").start()
+    try {
+      in.addData(rows.take(mid).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(rows.drop(mid).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = s.table("q74_stream_out")
+    val result = sink.collect().toIndexedSeq
+    val schema = sink.schema
+    s.catalog.dropTempView("q74_stream_out")
+    s.createDataFrame(s.sparkContext.parallelize(result, 1), schema)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("admitted").as("n_admitted"),
+        (count(lit(1)) - sum("admitted")).as("n_dropped"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_stream_rate_limit" -> (q74_stream_rate_limit _),
     "q72_stream_restart" -> (q72_stream_restart _),
     "q67_stream_static_join" -> (q67_stream_static_join _),
     "q60_stream_drift" -> (q60_stream_drift _),
@@ -1367,6 +1440,37 @@ object StreamQueries {
        WHERE rank <= 3 ORDER BY user_id, rank"""
 
   val oracles: Map[String, String] = Map(
+    // the token-bucket recurrence stepped one event per user per level
+    // by a recursive CTE: t2 = refilled tokens before admission; the
+    // refill anchor advances by whole 4 h periods (or snaps to the
+    // event when the bucket caps out), exactly as the Spark state does
+    "q74_stream_rate_limit" ->
+      """WITH RECURSIVE o AS (SELECT user_id, event_id, epoch_ns(ts) AS tns,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY epoch_ns(ts), event_id) AS rn
+         FROM events),
+       rec(user_id, rn, tokens, last_refill, admitted) AS (
+         SELECT user_id, 1::BIGINT, 1::BIGINT, tns, 1::BIGINT
+         FROM o WHERE rn = 1
+         UNION ALL
+         SELECT o.user_id, o.rn,
+           CASE WHEN least(2, r.tokens + (o.tns - r.last_refill)
+             // 14400000000000) >= 1
+             THEN least(2, r.tokens + (o.tns - r.last_refill)
+               // 14400000000000) - 1
+             ELSE least(2, r.tokens + (o.tns - r.last_refill)
+               // 14400000000000) END,
+           CASE WHEN least(2, r.tokens + (o.tns - r.last_refill)
+             // 14400000000000) = 2 THEN o.tns
+             ELSE r.last_refill + ((o.tns - r.last_refill)
+               // 14400000000000) * 14400000000000 END,
+           CASE WHEN least(2, r.tokens + (o.tns - r.last_refill)
+             // 14400000000000) >= 1 THEN 1 ELSE 0 END
+         FROM rec r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+       SELECT user_id, count(*)::BIGINT AS n_events,
+         CAST(sum(admitted) AS BIGINT) AS n_admitted,
+         CAST(count(*) - sum(admitted) AS BIGINT) AS n_dropped
+       FROM rec GROUP BY user_id ORDER BY user_id""",
     // full-replay convergence: the enriched stream re-aggregated per
     // user equals the batch join; profile_cnt == n_events by design
     "q67_stream_static_join" ->
