@@ -806,7 +806,69 @@ object PipelineQueries {
       .orderBy("epoch", "tercile")
   }
 
+  /** p23 — greedy k-center coreset selection (farthest-point
+    * traversal, the 2-approximation of Gonzalez 1985): the data-
+    * selection primitive behind coverage-maximizing subset choice —
+    * pick the point farthest (min squared distance to any selected
+    * center) from the current set, k times, then assign every point to
+    * its nearest center. Seed = lowest vec_id; ties on the argmax break
+    * to the lowest vec_id; assignment ties break to the earliest
+    * round. Distances are the left-fold Σ(x−y)² both engines evaluate
+    * in identical order, reported ×10⁶ floored so the gate compares
+    * integers.
+    *
+    * Scale shape: k scans (k = 8 constant), each a broadcast of ≤k
+    * center vectors + one TakeOrdered(1) — no shuffle wider than the
+    * reduction tree, state on the driver is k·64 doubles. The argmax
+    * recomputes only the distance to the NEWEST center and folds it
+    * into the carried minimum, so total work is one dot per point per
+    * round — the standard distributed farthest-point sweep. */
+  def p23_kcenter_coreset(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("a"))
+    def dist(c: Array[Double]): Column =
+      aggregate(zip_with(col("a"), lit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val first = base.orderBy("vec_id").select("vec_id", "a").head()
+    var centers = Vector[(Long, Array[Double], Double)](
+      (first.getLong(0), first.getSeq[Double](1).toArray, 0.0))
+    // running min-dist: fold each new center into the carried minimum
+    var scored = base.withColumn("mind", dist(centers.head._2))
+    for (_ <- 2 to k) {
+      val pick = scored
+        .filter(!col("vec_id").isInCollection(centers.map(_._1)))
+        .orderBy(col("mind").desc, col("vec_id"))
+        .select("vec_id", "a", "mind").head()
+      centers :+= ((pick.getLong(0), pick.getSeq[Double](1).toArray,
+        pick.getDouble(2)))
+      scored = scored.withColumn("mind",
+        least(col("mind"), dist(centers.last._2)))
+    }
+    // assignment pass: nearest center, tie -> earliest round
+    val dcols = centers.zipWithIndex.map { case ((_, c, _), i) =>
+      dist(c).as(s"d$i")
+    }
+    val withD = base.select(col("vec_id") +: dcols: _*)
+    val mindAll = least(centers.indices.map(i => col(s"d$i")): _*)
+    val assigned = withD.withColumn("best",
+      centers.indices.reverse.foldLeft(lit(-1L)) { (acc, i) =>
+        when(col(s"d$i") === mindAll, lit(i.toLong)).otherwise(acc)
+      })
+    val counts = assigned.groupBy("best").agg(count(lit(1)).as("n_assigned"))
+    import s.implicits._
+    val sel = centers.zipWithIndex.map { case ((id, _, mind), i) =>
+      (i.toLong + 1L, id, math.floor(mind * 1e6).toLong)
+    }.toDF("round", "vec_id", "mind_fp")
+      .withColumn("best", col("round") - 1L)
+    sel.join(counts, Seq("best"), "left")
+      .select(col("round"), col("vec_id"), col("mind_fp"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"))
+      .orderBy("round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p23_kcenter_coreset" -> (p23_kcenter_coreset _),
     "p22_rendezvous_shards" -> (p22_rendezvous_shards _),
     "p21_triangle_count" -> (p21_triangle_count _),
     "p20_curriculum" -> (p20_curriculum _),
@@ -830,7 +892,50 @@ object PipelineQueries {
     "p19_temperature_mix" -> (p19_temperature_mix _),
   )
 
+  /** p23 oracle: the greedy traversal unrolled into k chained CTEs —
+    * cR = argmax of the carried min-distance (ties to lowest vec_id,
+    * selected points excluded), mR = least(prev, dist to cR); the same
+    * left-fold Σ(x−y)² and least() the Spark side evaluates. */
+  private lazy val p23Sql: String = {
+    val k = 8
+    def dist(p: String, c: String): String =
+      s"list_reduce(list_transform(range(1, 65), i -> ($p[i] - $c[i]) * ($p[i] - $c[i])), (x, y) -> x + y)"
+    val sb = new StringBuilder
+    sb.append("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),\n")
+    sb.append("c1 AS MATERIALIZED (SELECT vec_id, a, 0.0::DOUBLE AS mind FROM e ORDER BY vec_id LIMIT 1),\n")
+    sb.append(s"m1 AS MATERIALIZED (SELECT e.vec_id, e.a, ${dist("e.a", "c1.a")} AS mind FROM e, c1),\n")
+    for (r <- 2 to k) {
+      val prev = r - 1
+      val excl = (1 until r).map(i => s"SELECT vec_id FROM c$i")
+        .mkString(" UNION ALL ")
+      sb.append(s"c$r AS MATERIALIZED (SELECT vec_id, a, mind FROM m$prev " +
+        s"WHERE vec_id NOT IN ($excl) ORDER BY mind DESC, vec_id LIMIT 1),\n")
+      if (r < k)
+        sb.append(s"m$r AS MATERIALIZED (SELECT m$prev.vec_id, m$prev.a, " +
+          s"least(m$prev.mind, ${dist(s"m$prev.a", s"c$r.a")}) AS mind " +
+          s"FROM m$prev, c$r),\n")
+    }
+    val dcols = (1 to k).map(i => s"${dist("e.a", s"c$i.a")} AS d$i")
+      .mkString(", ")
+    val tables = (1 to k).map(i => s"c$i").mkString(", ")
+    sb.append(s"asg AS (SELECT e.vec_id, $dcols FROM e, $tables),\n")
+    val leastAll = s"least(${(1 to k).map(i => s"d$i").mkString(", ")})"
+    val caseExpr = (1 to k).map(i =>
+      s"WHEN d$i = $leastAll THEN $i").mkString("CASE ", " ", " END")
+    sb.append(s"b AS (SELECT vec_id, $caseExpr AS rnd FROM asg),\n")
+    sb.append("counts AS (SELECT rnd, count(*)::BIGINT AS n FROM b GROUP BY rnd),\n")
+    val sel = (1 to k).map(i =>
+      s"SELECT $i AS round, vec_id, floor(mind * 1e6)::BIGINT AS mind_fp FROM c$i")
+      .mkString(" UNION ALL ")
+    sb.append(s"sel AS ($sel)\n")
+    sb.append("SELECT s.round::BIGINT AS round, s.vec_id, s.mind_fp, " +
+      "coalesce(c.n, 0)::BIGINT AS n_assigned " +
+      "FROM sel s LEFT JOIN counts c ON c.rnd = s.round ORDER BY round")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "p23_kcenter_coreset" -> p23Sql,
     // same Lehmer score per (doc, shard), same packed-argmax tie-break
     "p22_rendezvous_shards" ->
       """WITH a AS (SELECT doc_id,
