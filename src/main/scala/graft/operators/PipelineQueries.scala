@@ -867,7 +867,66 @@ object PipelineQueries {
       .orderBy("round")
   }
 
+  /** p24 — DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every candidate document by how much more likely its hashed-unigram
+    * bag is under a target-domain distribution than under the raw pool,
+    * and keep the top tenth. Target exemplars = source `src0`;
+    * candidates = everything else. Features hash through the portable
+    * 60-bit md5 into B = 1024 buckets (the paper's fixed hashed feature
+    * space — B is a property of the method, not of the data size); both
+    * bucket distributions get add-one smoothing. The per-bucket
+    * log-likelihood ratio is frozen to fixed-point — floor(1e6·ln p_t) −
+    * floor(1e6·ln p_r) — BEFORE the per-document sum, so each doc score
+    * is an integer dot product: order-independent, exactly replayable.
+    *
+    * Scale shape: one token scan aggregates B-bounded bucket counts
+    * (partial agg collapses every partition to ≤B rows before a ≤B-row
+    * exchange); the ≤1024-row weight table broadcasts back onto the
+    * token stream, whose per-doc integer sum partial-aggregates to one
+    * row per document before its shuffle. Selection is a distributed
+    * SequentialId rank (range partition + broadcast prefix offsets — no
+    * driver TakeOrdered, no single-partition window) filtered to
+    * K = ⌈n_cand/10⌉. No all-pairs, no unbounded driver state. */
+  def p24_dsir_selection(s: SparkSession, dir: String): DataFrame = {
+    val B = 1024L
+    val tgt = "src0"
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+    val tok = docs
+      .select(col("doc_id"), col("source"), explode(col("tk")).as("t"))
+      .withColumn("b", md5Long60(col("t")) % B)
+    val isTgt = col("source") === tgt
+    val counts = tok.groupBy("b").agg(
+      sum(when(isTgt, 1L).otherwise(0L)).as("ct"),
+      sum(when(isTgt, 0L).otherwise(1L)).as("cr"))
+    val totals = tok.agg(
+      sum(when(isTgt, 1L).otherwise(0L)).as("nt"),
+      sum(when(isTgt, 0L).otherwise(1L)).as("nr"))
+    val w = s.range(B).withColumnRenamed("id", "b")
+      .join(counts, Seq("b"), "left")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (floor(log((col("ct") + 1L).cast("double") /
+                   (col("nt") + B).cast("double")) * 1e6) -
+         floor(log((col("cr") + 1L).cast("double") /
+                   (col("nr") + B).cast("double")) * 1e6)).as("wfp"))
+    val scored = tok.filter(!isTgt)
+      .join(broadcast(w), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("wfp").as("w_fp"))
+    val nCand = docs.filter(!isTgt).count()
+    val k = (nCand + 9L) / 10L
+    SequentialId.withSequentialId(
+        scored, "rank", Seq(col("w_fp").desc, col("doc_id")))
+      .filter(col("rank") <= k)
+      .select("rank", "doc_id", "n_tok", "w_fp")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p24_dsir_selection" -> (p24_dsir_selection _),
     "p23_kcenter_coreset" -> (p23_kcenter_coreset _),
     "p22_rendezvous_shards" -> (p22_rendezvous_shards _),
     "p21_triangle_count" -> (p21_triangle_count _),
@@ -935,6 +994,37 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // same md5-60 bucket hash, same add-one smoothing, same fixed-point
+    // freeze of the per-bucket log-ratio before the integer doc sum
+    "p24_dsir_selection" ->
+      """WITH tok AS (SELECT doc_id, source,
+                unnest(string_split(text, ' ')) AS t FROM documents),
+         tb AS (SELECT doc_id, source,
+                CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1024 AS b
+                FROM tok),
+         cnt AS (SELECT b,
+                sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS ct,
+                sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)::BIGINT AS cr
+                FROM tb GROUP BY b),
+         tot AS (SELECT
+                sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS nt,
+                sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)::BIGINT AS nr
+                FROM tb),
+         w AS (SELECT r.range AS b,
+                (floor(ln((coalesce(ct, 0) + 1)::DOUBLE / (nt + 1024)::DOUBLE) * 1e6)::BIGINT
+               - floor(ln((coalesce(cr, 0) + 1)::DOUBLE / (nr + 1024)::DOUBLE) * 1e6)::BIGINT) AS wfp
+                FROM range(1024) r LEFT JOIN cnt ON cnt.b = r.range, tot),
+         sc AS (SELECT doc_id, count(*)::BIGINT AS n_tok,
+                sum(wfp)::BIGINT AS w_fp
+                FROM tb JOIN w USING (b) WHERE source <> 'src0'
+                GROUP BY doc_id),
+         k AS (SELECT ((count(*) + 9) // 10)::BIGINT AS k
+               FROM documents WHERE source <> 'src0'),
+         ranked AS (SELECT doc_id, n_tok, w_fp,
+                row_number() OVER (ORDER BY w_fp DESC, doc_id) AS rank
+                FROM sc)
+         SELECT rank::BIGINT AS rank, doc_id, n_tok, w_fp
+         FROM ranked, k WHERE rank <= k.k ORDER BY rank""",
     "p23_kcenter_coreset" -> p23Sql,
     // same Lehmer score per (doc, shard), same packed-argmax tie-break
     "p22_rendezvous_shards" ->
