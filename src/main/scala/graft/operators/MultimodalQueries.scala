@@ -417,6 +417,69 @@ object MultimodalQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** m21 — block-mean perceptual hash (the public block-mean-value
+    * image hashing scheme of Yang, Gu & Niu 2006): nearest-resample
+    * each decoded image to a 16×16 luma grid, split it into 64 equal
+    * 2×2 blocks, and set bit b when block b's pixel sum exceeds the
+    * image's own lower-median block sum (63 bits — bit 63 dropped so
+    * the hash fits the oracle's signed BIGINT, the m06 convention).
+    * Near-duplicates are then found exactly like m06: a 4×16-bit band
+    * join proposes candidates, Hamming ≤ 6 verifies. dHash (m06) keys
+    * on LOCAL gradients; the block hash keys on the coarse luminance
+    * LAYOUT, so the pair catches different corruption families
+    * (high-frequency noise vs global level structure). Equal-size
+    * blocks keep every comparison integer-exact — no DCT doubles
+    * anywhere in the pipeline. ODD doc_ids decode through the real
+    * baseline-JPEG path, even through PGM, same as m06.
+    *
+    * Scale shape: hashing is one scan-parallel codec pass emitting
+    * 8 B/image; the band join is an equi-join on 16-bit keys with the
+    * d03/d04 bounded-bucket skew story; verify is XOR + popcount. */
+  def m21_block_phash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        if (id % 2 == 1) jpegGrid(id, text) else pgmGrid(id, text) })
+    val hashed = media.mapPartitions { it =>
+      it.map { r =>
+        val img = MediaCodec.decodeImage(r.payload)
+        val (w, h) = (img.width, img.height)
+        val grid = Array.tabulate(256) { k =>
+          val y = (k / 16) * (h - 1) / 15
+          val x = (k % 16) * (w - 1) / 15
+          img.pixels(y * w + x) & 0xFF
+        }
+        val sums = Array.tabulate(64) { b =>
+          val r0 = 2 * (b / 8); val c0 = 2 * (b % 8)
+          grid(r0 * 16 + c0) + grid(r0 * 16 + c0 + 1) +
+            grid((r0 + 1) * 16 + c0) + grid((r0 + 1) * 16 + c0 + 1)
+        }
+        val sorted = sums.clone(); java.util.Arrays.sort(sorted)
+        val med = sorted(31) // lower median of the 64 block sums
+        var hash = 0L
+        var b = 0
+        while (b < 63) { if (sums(b) > med) hash |= 1L << b; b += 1 }
+        (r.doc_id, hash)
+      }
+    }.toDF("doc_id", "ph")
+    val bands = hashed.select(col("doc_id"), col("ph"), explode(
+        array((0 until 4).map(b => struct(lit(b).as("b"),
+          shiftright(col("ph"), 16 * b).bitwiseAND(65535L).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("ph"), col("bk.b"), col("bk.key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.ph").bitwiseXOR(col("y.ph"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
   final case class VideoFeature(doc_id: Long, n_frames: Long, luma0: Long,
                                 motion: Long)
 
@@ -1219,6 +1282,7 @@ object MultimodalQueries {
     "m09_vit_patches" -> (m09_vit_patches _),
     "m08_audio_fingerprint" -> (m08_audio_fingerprint _),
     "m07_video_motion" -> (m07_video_motion _),
+    "m21_block_phash" -> (m21_block_phash _),
     "m06_image_dhash" -> (m06_image_dhash _),
     "m01_media_features" -> (m01_media_features _),
     "m02_frame_sample" -> (m02_frame_sample _),
@@ -1623,6 +1687,50 @@ object MultimodalQueries {
        SELECT doc_id, f::BIGINT AS n_frames, luma0::BIGINT AS luma0,
          motion::BIGINT AS motion
        FROM s ORDER BY doc_id""",
+    // same 16x16 nearest resample replayed on the document bytes (PGM
+    // taps for even ids, flat-JPEG block taps for odd), same 2x2 block
+    // sums, lower-median threshold, band join and Hamming verify
+    "m21_block_phash" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           ((length(text) + 31) // 32) AS h,
+           8 * ((length(text) // 32) % 16 + 1) AS hj FROM documents),
+       g AS (SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN
+             list_transform(range(0, 256), k ->
+               ascii(substr(text,
+                 (least(((k // 16) * (h - 1)) // 15 * 32 + ((k % 16) * 31) // 15,
+                   len - 1))::INT + 1, 1)))
+           ELSE
+             list_transform(range(0, 256), k ->
+               CASE WHEN len = 0 THEN 0 ELSE
+                 ascii(substr(text,
+                   ((4 * ((((k // 16) * (hj - 1)) // 15) // 8)
+                     + (((k % 16) * 31) // 15) // 8) % len)::INT + 1, 1))
+               END)
+           END AS px
+         FROM t),
+       su AS (SELECT doc_id,
+           list_transform(range(0, 64), b ->
+             px[(2 * (b // 8)) * 16 + 2 * (b % 8) + 1]
+           + px[(2 * (b // 8)) * 16 + 2 * (b % 8) + 2]
+           + px[(2 * (b // 8) + 1) * 16 + 2 * (b % 8) + 1]
+           + px[(2 * (b // 8) + 1) * 16 + 2 * (b % 8) + 2]) AS sums
+         FROM g),
+       hsh AS (SELECT doc_id,
+           list_reduce(list_transform(range(0, 63), b ->
+             CASE WHEN sums[b::INT + 1] > list_sort(sums)[32]
+               THEN (1::BIGINT << (b::INT)) ELSE 0::BIGINT END),
+             (x, y) -> x | y) AS ph
+         FROM su),
+       bands AS (SELECT doc_id, ph, b,
+           (ph >> (16 * b::INT)) & 65535 AS key
+         FROM hsh, range(0, 4) t2(b)),
+       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           bit_count(xor(x.ph, y.ph))::BIGINT AS hamming
+         FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+           AND x.doc_id < y.doc_id)
+       SELECT doc_a, doc_b, hamming FROM cand
+       WHERE hamming <= 6 ORDER BY doc_a, doc_b""",
     "m06_image_dhash" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS len,
            ((length(text) + 31) // 32) AS h,

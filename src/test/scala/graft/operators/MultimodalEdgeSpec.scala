@@ -144,6 +144,36 @@ class MultimodalEdgeSpec extends SparkSpec {
     assert(got(1L) === ((7L, 3L, 2L, 2L, 3L * 1000000L / 7L)))
   }
 
+  test("m21: identical images pair at hamming 0; empty doc survives; level shift preserved") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_m21").toString
+    // 2/4: identical text, BOTH even -> same PGM image -> hamming 0.
+    // 3/5: identical text, both odd -> same JPEG image -> hamming 0.
+    // 7: the 3/5 text with every byte level-shifted by a constant —
+    //    block-mean bits are unchanged (rank order of block sums is
+    //    shift-invariant), so 7 pairs with 3 and 5 at hamming 0 too.
+    val base = ('a' to 'z').mkString * 8
+    val shifted = base.map(c => (c + 1).toChar).mkString
+    Seq((0L, "", "en", "web", 0L),
+      (2L, base, "en", "web", base.length.toLong),
+      (4L, base, "en", "web", base.length.toLong),
+      (3L, base, "en", "web", base.length.toLong),
+      (5L, base, "en", "web", base.length.toLong),
+      (7L, shifted, "en", "web", shifted.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val pairs = MultimodalQueries.m21_block_phash(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((2L, 4L, 0L)), s"PGM twin missing: $pairs")
+    assert(pairs.contains((3L, 5L, 0L)), s"JPEG twin missing: $pairs")
+    assert(pairs.contains((3L, 7L, 0L)) && pairs.contains((5L, 7L, 0L)),
+      s"level-shift invariance lost: $pairs")
+    // PGM and JPEG builders lay pixels out differently — the cross-
+    // format pair must NOT collide at hamming 0 for non-trivial text
+    assert(!pairs.contains((2L, 3L, 0L)))
+    pairs.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 6) }
+  }
+
   test("m08: sub-segment clips are excluded; identical clips pair at hamming 0") {
     val pairs = MultimodalQueries.m08_audio_fingerprint(spark, audioDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
