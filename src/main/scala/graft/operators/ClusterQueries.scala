@@ -784,7 +784,50 @@ object ClusterQueries {
       .orderBy("bin")
   }
 
+  /** c15 — average precision (area under the precision-recall curve,
+    * the retrieval/imbalanced-eval companion to c05's ROC-AUC): rank by
+    * the deterministic c05 linear scorer descending (ties break to the
+    * lower vec_id — a documented total order, the practical convention
+    * when scores collide), then AP = mean over positives of
+    * precision@their-rank. The key identity that keeps this distributed:
+    * for the positive at global rank rn, precision@rn = rp/rn where rp
+    * is its rank AMONG positives — so two [[SequentialId]] passes (one
+    * over all rows, one over the positives) replace any global running
+    * sum. Each per-positive term is frozen to integer fixed point
+    * (ldiv(rp·1e9, rn)) before the mean, so the result is exact at any
+    * parallelism. R-precision (positives found in the top n_pos) rides
+    * the same ranks for free.
+    *
+    * Scale shape: two range exchanges (the SequentialId idiom, no
+    * single-partition window), one total aggregate. No driver state. */
+  def c15_average_precision(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val signs = lit((1 to 64).map(i =>
+      if (i.toLong * 2654435761L / 65536L % 2L == 1L) 1.0 else -1.0).toArray)
+    val sc = Tables.embeddings(s, dir)
+      .withColumn("a", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), (col("label") % 2).cast("long").as("y"),
+        floor(aggregate(zip_with(col("a"), signs, (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x) * lit(1e6)).cast("long").as("s_fp"))
+    val ranked = SequentialId.withSequentialId(
+      sc, "rn", Seq(col("s_fp").desc, col("vec_id")))
+    val pos = SequentialId.withSequentialId(
+      ranked.filter(col("y") === 1L), "rp", Seq(col("rn")))
+    val nn = sc.agg(sum("y").as("n_pos"),
+      (count(lit(1)) - sum("y")).as("n_neg"))
+    pos.crossJoin(broadcast(nn))
+      .agg(first("n_pos").as("n_pos"), first("n_neg").as("n_neg"),
+        sum(ldiv(col("rp") * 1000000000L, col("rn"))).as("ap_sum"),
+        sum(when(col("rn") <= col("n_pos"), 1L).otherwise(0L))
+          .as("hits_at_npos"))
+      .select(col("n_pos"), col("n_neg"),
+        ldiv(col("ap_sum"), col("n_pos")).as("ap_fp"),
+        ldiv(col("hits_at_npos") * 1000000000L, col("n_pos"))
+          .as("r_precision_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c15_average_precision" -> (c15_average_precision _),
     "c14_brier_decomposition" -> (c14_brier_decomposition _),
     "c13_span_f1" -> (c13_span_f1 _),
     "c12_ngram_overlap_eval" -> (c12_ngram_overlap_eval _),
@@ -941,6 +984,31 @@ object ClusterQueries {
   private val gainsSql = ndcgGains.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // same scorer, same (s_fp DESC, vec_id) total order, same integer
+    // freeze of each precision@rank term before the mean
+    "c15_average_precision" ->
+      """WITH sc AS (SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+           CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),
+             i -> (embedding[i]::DOUBLE) *
+               (CASE WHEN i * 2654435761 // 65536 % 2 = 1
+                THEN 1.0 ELSE -1.0 END)),
+             (p, q) -> p + q)) AS BIGINT) AS s_fp
+         FROM embeddings),
+       r AS (SELECT y, s_fp,
+           row_number() OVER (ORDER BY s_fp DESC, vec_id) AS rn FROM sc),
+       p AS (SELECT rn,
+           row_number() OVER (ORDER BY rn) AS rp FROM r WHERE y = 1),
+       n AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(count(*) - sum(y) AS BIGINT) AS n_neg FROM sc),
+       t AS (SELECT CAST(sum((rp * 1000000000) // rn) AS BIGINT) AS ap_sum,
+           CAST(sum(CASE WHEN rn <= n_pos THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_at_npos
+         FROM p, n)
+       SELECT n_pos, n_neg,
+         CAST(ap_sum // n_pos AS BIGINT) AS ap_fp,
+         CAST((hits_at_npos * 1000000000) // n_pos AS BIGINT)
+           AS r_precision_fp
+       FROM t, n""",
     // independent formulation: spans via relational gaps-and-islands
     // (unnest positions, group by i - row_number), exact-match TP by
     // joining boundaries — vs the engine's in-row fold + intersect

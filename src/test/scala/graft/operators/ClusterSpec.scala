@@ -145,6 +145,40 @@ class ClusterSpec extends SparkSpec {
     assert(num >= 0 && num <= den)
   }
 
+  test("c15: average precision equals the direct sorted-sweep definition") {
+    val row = ClusterQueries.c15_average_precision(spark, sf()).head()
+    val (n1, n0, ap, rp) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val signs = (1 to 64).map(i =>
+      if (i.toLong * 2654435761L / 65536L % 2L == 1L) 1.0 else -1.0)
+    val rows = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
+      .collect().map { r =>
+        val a = r.getSeq[Double](2)
+        var s = 0.0
+        var i = 0
+        while (i < 64) { s += a(i) * signs(i); i += 1 }
+        (r.getLong(0), r.getInt(1) % 2, math.floor(s * 1e6).toLong)
+      }
+    // direct sweep: sort by (score desc, vec_id), accumulate P@k at
+    // each positive with the same integer freeze
+    val sorted = rows.sortBy(r => (-r._3, r._1))
+    var seen = 0L; var apSum = 0L; var hits = 0L
+    val nPos = rows.count(_._2 == 1).toLong
+    sorted.zipWithIndex.foreach { case ((_, y, _), k) =>
+      if (y == 1) {
+        seen += 1
+        apSum += seen * 1000000000L / (k + 1L)
+        if (k + 1L <= nPos) hits += 1
+      }
+    }
+    assert(n1 == nPos && n0 == rows.length - nPos)
+    assert(ap == apSum / nPos)
+    assert(rp == hits * 1000000000L / nPos)
+    // AP and R-precision are proper fractions
+    assert(ap >= 0 && ap <= 1000000000L && rp >= 0 && rp <= 1000000000L)
+  }
+
   test("c06: decile bins are balanced, complete, and score-monotone") {
     val rows = ClusterQueries.c06_calibration_bins(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
