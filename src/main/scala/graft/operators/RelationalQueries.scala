@@ -1962,7 +1962,70 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  /** q75 — field-id column mapping (the Iceberg/Delta-column-mapping
+    * evolution model, complementing q57's name-based additive merge):
+    * files carry arbitrary PHYSICAL column names; a per-file mapping
+    * from stable field ids to physical names resolves reads, so RENAME
+    * (field 2: qty → quantity) and DROP (field 3: price) are pure
+    * metadata — a file written before the rename serves the renamed
+    * column with zero rewrite, which is the only affordable evolution
+    * model at 100 TB. File A predates the evolution (physical f1/f2/f3,
+    * ids 1/2/3); file B is written after (g1/g2/g4, ids 1/2/4 — id 4 is
+    * the post-drop ADD, so "discount" never collides with dead id 3
+    * even though a future column could reuse the NAME "price"). The
+    * read plans each file with its own id-resolved projection and
+    * unions by the CURRENT logical schema; absent fields surface as
+    * NULL. mergeSchema would be semantically WRONG here (it would map
+    * f2 and g2 to different columns and resurrect dropped f3), which is
+    * exactly what the field-id layer exists to prevent.
+    *
+    * Scale shape: mapping resolution is O(|files|) driver metadata; per
+    * file the scan reads ONLY the physical columns the projection
+    * touches (dropped f3 never leaves parquet — pinned by
+    * SchemaMappingSpec), and the union's aggregate partial-aggregates
+    * per file before one ≤8-group exchange. */
+  def q75_column_mapping(s: SparkSession, dir: String): DataFrame = {
+    val (pathA, pathB) = graft.core.SessionMemo.memoize(s, "q75-map:" + dir) {
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q75_$tag").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("f1"),
+          (col("o_custkey") % 100L).as("f2"),
+          floor(col("o_totalprice") * 100).cast("long").as("f3"))
+        .write.parquet(s"$base/A")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey").as("g1"),
+          (col("o_custkey") % 100L).as("g2"),
+          (col("o_orderkey") % 50L).as("g4"))
+        .write.parquet(s"$base/B")
+      (s"$base/A", s"$base/B")
+    }
+    // current logical schema after rename(2: qty→quantity), drop(3:
+    // price), add(4: discount_fp); per-file physical mappings are the
+    // table-format metadata a real catalog would store per data file
+    val logical = Seq(1 -> "id", 2 -> "quantity", 4 -> "discount_fp")
+    val mappings: Map[String, Map[Int, String]] = Map(
+      pathA -> Map(1 -> "f1", 2 -> "f2", 3 -> "f3"),
+      pathB -> Map(1 -> "g1", 2 -> "g2", 4 -> "g4"))
+    Seq(pathA, pathB).map { p =>
+      val phys = mappings(p)
+      s.read.parquet(p).select(logical.map { case (fid, name) =>
+        phys.get(fid).map(pn => col(pn).as(name))
+          .getOrElse(lit(null).cast("long").as(name))
+      }: _*)
+    }.reduce(_ unionByName _)
+      .groupBy((col("id") % 8L).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum("quantity").as("sum_qty"),
+        sum(coalesce(col("discount_fp"), lit(0L))).as("sum_disc"))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_column_mapping" -> (q75_column_mapping _),
     "q73_bloom_skip_index" -> (q73_bloom_skip_index _),
     "q58_session_paths" -> (q58_session_paths _),
     "q57_schema_evolution" -> (q57_schema_evolution _),
@@ -2021,6 +2084,18 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     // replays nf/m from count(*) (AutoScale SQL twins), the 2-probe
     // Lehmer bit positions, the per-file bit sets and the skip math
+    // replays the evolved logical table from the source rows: even keys
+    // are pre-evolution (no discount field -> 0), odd keys post-ADD
+    "q75_column_mapping" ->
+      """WITH src AS (SELECT o_orderkey AS id,
+             o_custkey % 100 AS quantity,
+             CASE WHEN o_orderkey % 2 = 0 THEN 0
+                  ELSE o_orderkey % 50 END AS disc
+           FROM orders)
+         SELECT id % 8 AS grp, count(*)::BIGINT AS n,
+           sum(quantity)::BIGINT AS sum_qty,
+           sum(disc)::BIGINT AS sum_disc
+         FROM src GROUP BY 1 ORDER BY grp""",
     "q73_bloom_skip_index" ->
       """WITH cnt AS (SELECT count(*)::BIGINT AS n FROM orders),
        nfv AS (SELECT n, greatest(16, 1::BIGINT << CAST(coalesce(
