@@ -970,7 +970,91 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** t26 — stupid-backoff trigram LM scoring (Brants et al. 2007, the
+    * smoothing-free backoff used at web scale; the CCNet pattern of
+    * training a reference LM and scoring candidates with it): the LM
+    * trains on the reference half of the corpus (sources src0–src9) and
+    * scores every candidate doc (src10–src19). Per trigram position,
+    * S(w₃|w₁w₂) = c₃/c₂(w₁w₂) when the trigram is known, else
+    * 0.4·c₂(w₂w₃)/c₁(w₂), else 0.4²·c₁(w₃)/N, else 0 — each branch
+    * frozen to 1e6 fixed point with integer division (0.4 = ·2 ÷ 5)
+    * BEFORE the per-doc mean, so scores are exact integers at any
+    * parallelism; the per-level hit counts ship alongside as the
+    * diagnostic a filter-threshold picker reads. Unlike t09's add-one
+    * bigram NLL, this scores out-of-domain text against a held-out
+    * reference model, so genuine backoff happens (t09 scores the corpus
+    * with its own LM — every gram is known by construction).
+    *
+    * Scale shape: gram tables aggregate on 60-bit md5 keys (8 B
+    * exchange, the d15 idiom) with map-side partial counts; the
+    * candidate trigram stream resolves the backoff chain with five
+    * hash-partitioned equi-joins (left, null = unseen), then one per-doc
+    * integer aggregate. Production LMs add count floors to prune c₂/c₃
+    * (CCNet does the same) — a knob, not a structural change. */
+  def t26_stupid_backoff(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+    val isTrain = length(col("source")) === 4 // src0..src9
+    def positions(df: DataFrame, k: Int): DataFrame = df
+      .select(col("doc_id"), col("tk"),
+        explode(when(size(col("tk")) >= k,
+          sequence(lit(1), size(col("tk")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+    def gram(n: Int): Column = md5Long60(concat_ws(" ",
+      (0 until n).map(j => element_at(col("tk"), col("i") + j)): _*))
+    val train = docs.filter(isTrain)
+    val c3 = positions(train, 3).select(gram(3).as("h123"))
+      .groupBy("h123").agg(count(lit(1)).as("c3"))
+    val c2 = positions(train, 2).select(gram(2).as("h12"))
+      .groupBy("h12").agg(count(lit(1)).as("c2"))
+    val c1 = train.select(explode(col("tk")).as("t"))
+      .select(md5Long60(col("t")).as("h1"))
+      .groupBy("h1").agg(count(lit(1)).as("c1"))
+    val nTot = train.select(explode(col("tk")).as("t")).count()
+    val cands = docs.filter(!isTrain)
+    val pos = positions(cands, 3).select(col("doc_id"),
+      gram(3).as("h123"), gram(2).as("h12"),
+      md5Long60(concat_ws(" ", element_at(col("tk"), col("i") + 1),
+        element_at(col("tk"), col("i") + 2))).as("h23"),
+      md5Long60(element_at(col("tk"), col("i") + 1)).as("h2"),
+      md5Long60(element_at(col("tk"), col("i") + 2)).as("h3"))
+    val scored = pos
+      .join(c3, Seq("h123"), "left")
+      .join(c2.toDF("h12", "c2den"), Seq("h12"), "left")
+      .join(c2.toDF("h23", "c2num"), Seq("h23"), "left")
+      .join(c1.toDF("h2", "c1mid"), Seq("h2"), "left")
+      .join(c1.toDF("h3", "c1last"), Seq("h3"), "left")
+      .withColumn("lvl",
+        when(col("c3").isNotNull, 3L)
+          .when(col("c2num").isNotNull, 2L)
+          .when(col("c1last").isNotNull, 1L).otherwise(0L))
+      .withColumn("s_fp",
+        when(col("c3").isNotNull, ldiv(col("c3") * 1000000L, col("c2den")))
+          .when(col("c2num").isNotNull,
+            ldiv(ldiv(col("c2num") * 1000000L, col("c1mid")) * 2L, lit(5L)))
+          .when(col("c1last").isNotNull,
+            ldiv(ldiv(ldiv(col("c1last") * 1000000L, lit(nTot)) * 2L,
+              lit(5L)) * 2L, lit(5L)))
+          .otherwise(lit(0L)))
+    val agg = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tri"),
+      sum(when(col("lvl") === 3L, 1L).otherwise(0L)).as("n_hit3"),
+      sum(when(col("lvl") === 2L, 1L).otherwise(0L)).as("n_back2"),
+      sum(when(col("lvl") === 1L, 1L).otherwise(0L)).as("n_back1"),
+      ldiv(sum("s_fp"), count(lit(1))).as("sb_score_fp"))
+    cands.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_hit3"), lit(0L)).as("n_hit3"),
+        coalesce(col("n_back2"), lit(0L)).as("n_back2"),
+        coalesce(col("n_back1"), lit(0L)).as("n_back1"),
+        coalesce(col("sb_score_fp"), lit(0L)).as("sb_score_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_stupid_backoff" -> (t26_stupid_backoff _),
     "t25_gopher_gates" -> (t25_gopher_gates _),
     "t24_winsorized_stats" -> (t24_winsorized_stats _),
     "t23_ngram_novelty" -> (t23_ngram_novelty _),
@@ -1002,6 +1086,65 @@ object TextQueries {
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    // same md5-60 gram keys, same integer backoff chain (0.4 = *2 // 5),
+    // same per-doc integer mean; `//` and IntegralDivide agree on the
+    // nonnegative values here
+    "t26_stupid_backoff" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+           FROM documents),
+       tr AS (SELECT * FROM d WHERE length(source) = 4),
+       cnd AS (SELECT * FROM d WHERE length(source) = 5),
+       tr3 AS (SELECT CAST('0x' || substr(md5(tk[i::INT] || ' ' ||
+             tk[i::INT + 1] || ' ' || tk[i::INT + 2]), 1, 15) AS BIGINT) AS h
+           FROM tr, unnest(range(1, len(tk) - 1)) u(i)),
+       c3 AS (SELECT h AS h123, count(*)::BIGINT AS c3 FROM tr3 GROUP BY h),
+       tr2 AS (SELECT CAST('0x' || substr(md5(tk[i::INT] || ' ' ||
+             tk[i::INT + 1]), 1, 15) AS BIGINT) AS h
+           FROM tr, unnest(range(1, len(tk))) u(i)),
+       c2 AS (SELECT h AS h12, count(*)::BIGINT AS c2 FROM tr2 GROUP BY h),
+       tr1 AS (SELECT CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+           FROM tr, unnest(tk) u(t)),
+       c1 AS (SELECT h AS h1, count(*)::BIGINT AS c1 FROM tr1 GROUP BY h),
+       nt AS (SELECT count(*)::BIGINT AS n FROM tr1),
+       pos AS (SELECT doc_id,
+           CAST('0x' || substr(md5(tk[i::INT] || ' ' || tk[i::INT + 1]
+             || ' ' || tk[i::INT + 2]), 1, 15) AS BIGINT) AS h123,
+           CAST('0x' || substr(md5(tk[i::INT] || ' ' || tk[i::INT + 1]),
+             1, 15) AS BIGINT) AS h12,
+           CAST('0x' || substr(md5(tk[i::INT + 1] || ' ' || tk[i::INT + 2]),
+             1, 15) AS BIGINT) AS h23,
+           CAST('0x' || substr(md5(tk[i::INT + 1]), 1, 15) AS BIGINT) AS h2,
+           CAST('0x' || substr(md5(tk[i::INT + 2]), 1, 15) AS BIGINT) AS h3
+           FROM cnd, unnest(range(1, len(tk) - 1)) u(i)),
+       sc AS (SELECT doc_id,
+           CASE WHEN a.c3 IS NOT NULL THEN 3
+                WHEN bn.c2 IS NOT NULL THEN 2
+                WHEN cl.c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+           CASE WHEN a.c3 IS NOT NULL THEN (a.c3 * 1000000) // bd.c2
+                WHEN bn.c2 IS NOT NULL
+                  THEN (((bn.c2 * 1000000) // cm.c1) * 2) // 5
+                WHEN cl.c1 IS NOT NULL
+                  THEN (((((cl.c1 * 1000000) // n) * 2) // 5) * 2) // 5
+                ELSE 0 END AS s
+           FROM pos
+           LEFT JOIN c3 a ON a.h123 = pos.h123
+           LEFT JOIN c2 bd ON bd.h12 = pos.h12
+           LEFT JOIN c2 bn ON bn.h12 = pos.h23
+           LEFT JOIN c1 cm ON cm.h1 = pos.h2
+           LEFT JOIN c1 cl ON cl.h1 = pos.h3, nt),
+       agg AS (SELECT doc_id, count(*)::BIGINT AS n_tri,
+           sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END)::BIGINT AS n_hit3,
+           sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END)::BIGINT AS n_back2,
+           sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END)::BIGINT AS n_back1,
+           (sum(s) // count(*))::BIGINT AS sb_fp
+           FROM sc GROUP BY doc_id)
+       SELECT c.doc_id, coalesce(n_tri, 0)::BIGINT AS n_tri,
+         coalesce(n_hit3, 0)::BIGINT AS n_hit3,
+         coalesce(n_back2, 0)::BIGINT AS n_back2,
+         coalesce(n_back1, 0)::BIGINT AS n_back1,
+         coalesce(sb_fp, 0)::BIGINT AS sb_score_fp
+       FROM cnd c LEFT JOIN agg ON agg.doc_id = c.doc_id
+       ORDER BY c.doc_id""",
     // each Gopher gate replayed with DuckDB list lambdas; // division
     // (non-negative operands) mirrors IntegralDivide; lower<>upper is
     // the same contains-a-letter trick

@@ -1,0 +1,41 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** t26 stupid-backoff: a hand-built fixture exercises every backoff
+  * level with hand-computed integer scores. Training doc "a b c a b d"
+  * (source src0, length 4 → LM side): c3(abc)=1, c2(ab)=2, c1(a)=2,
+  * c1(d)=1, N=6. */
+class BackoffSpec extends SparkSpec {
+
+  test("t26: trigram hit, bigram backoff, unigram backoff, full miss, short doc") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_t26").toString
+    Seq(
+      (0L, "a b c a b d", "en", "src0", 11L), // the LM
+      (1L, "a b c", "en", "src10", 5L), // known trigram
+      (2L, "a b x", "en", "src10", 5L), // all levels miss
+      (3L, "x a b", "en", "src10", 5L), // bigram backoff
+      (4L, "x y d", "en", "src10", 5L), // unigram backoff
+      (5L, "a", "en", "src10", 1L)) // too short: zero row
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextQueries.t26_stupid_backoff(spark, d)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // doc 1: S = c3/c2(ab) = 1/2 → 500000 at level 3
+    assert(got(1L) === ((1L, 1L, 0L, 0L, 500000L)))
+    // doc 2: trigram abx, bigram bx, unigram x all unseen → 0 at level 0
+    assert(got(2L) === ((1L, 0L, 0L, 0L, 0L)))
+    // doc 3: 0.4·c2(ab)/c1(a) = (2e6/2)·2/5 → 400000 at level 2
+    assert(got(3L) === ((1L, 0L, 1L, 0L, 400000L)))
+    // doc 4: 0.4²·c1(d)/N: 1e6/6=166666, ·2/5=66666, ·2/5=26666 at level 1
+    assert(got(4L) === ((1L, 0L, 0L, 1L, 26666L)))
+    // doc 5: no trigram positions — all-zero row still present
+    assert(got(5L) === ((0L, 0L, 0L, 0L, 0L)))
+    // the LM doc itself is not scored
+    assert(!got.contains(0L))
+  }
+}
