@@ -925,7 +925,53 @@ object PipelineQueries {
       .orderBy("rank")
   }
 
+  /** p25 — synchronous label propagation (LPA, Raghavan et al. 2007)
+    * over the [[docLinkGraph]]: 4 fixed rounds where every node adopts
+    * the most frequent label among its neighbors (ties → smallest
+    * label; neighbor votes only, no self-vote), then the surviving
+    * communities report size and membership checksum. Community
+    * detection complements d14's connected components: CC answers "is
+    * there any path", LPA finds DENSE regions inside one component —
+    * the granularity a crawl pipeline wants for per-community sampling
+    * caps. Fixed round count + deterministic tie-break make the
+    * synchronous variant bit-identical at any parallelism (async LPA,
+    * the common default, is order-dependent and unreproducible).
+    *
+    * Scale shape: each round is one hash join of the label table onto
+    * the symmetrized edge list, a per-(node, label) partial count, and
+    * a per-node integer argmin — all exchanges on 8-byte node keys;
+    * state is one row per node, votes are bounded by degree. The
+    * [[org.apache.spark.sql.Dataset.localCheckpoint]] per round cuts
+    * the lineage exactly like p17/p18. */
+  def p25_label_propagation(s: SparkSession, dir: String): DataFrame = {
+    val (_, edges0, _) = docLinkGraph(s, dir)
+    val und = edges0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    sym.count() // eager fill: reused 4×
+    var lab = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to 4) {
+      lab = lab.join(sym, col("node") === col("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
+          .as("m"))
+        .select(col("node"), col("m.l").as("label"))
+        .localCheckpoint()
+    }
+    lab.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), sum("node").as("id_sum"))
+      .orderBy("community")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p25_label_propagation" -> (p25_label_propagation _),
     "p24_dsir_selection" -> (p24_dsir_selection _),
     "p23_kcenter_coreset" -> (p23_kcenter_coreset _),
     "p22_rendezvous_shards" -> (p22_rendezvous_shards _),
@@ -993,7 +1039,55 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** p25 oracle: the four synchronous LPA rounds unrolled — per round a
+    * neighbor-vote count and a (count DESC, label) argmin via
+    * row_number, the same tie-break the Spark argmin struct encodes.
+    * Round CTEs are MATERIALIZED: each is referenced once but DuckDB's
+    * optimizer may still inline the 4-deep join chain into exponential
+    * re-evaluation (the p23 lesson). */
+  private lazy val p25Sql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+         e0 AS (SELECT doc_id AS src, unnest([
+             (doc_id * 31 + 7) % (SELECT n FROM nn),
+             (doc_id * 17 + 3) % (SELECT n FROM nn),
+             (doc_id * 13 + 11) % (SELECT n FROM nn),
+             (doc_id + 1) % (SELECT n FROM nn)]) AS d0
+           FROM documents),
+         edges AS (SELECT DISTINCT src,
+             CASE WHEN d0 = src THEN (d0 + 1) % (SELECT n FROM nn)
+               ELSE d0 END AS dst
+           FROM e0),
+         und AS (SELECT DISTINCT least(src, dst) AS a,
+             greatest(src, dst) AS b
+           FROM edges WHERE src <> dst),
+         sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+           UNION ALL SELECT b AS src, a AS dst FROM und),
+         r0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label
+           FROM sym),
+      """)
+    for (r <- 1 to 4) {
+      sb.append(
+        s"""v$r AS MATERIALIZED (SELECT e.dst AS node, l.label,
+             count(*)::BIGINT AS c
+             FROM sym e JOIN r${r - 1} l ON l.node = e.src
+             GROUP BY e.dst, l.label),
+           r$r AS MATERIALIZED (SELECT node, label FROM (
+             SELECT node, label, row_number() OVER
+               (PARTITION BY node ORDER BY c DESC, label) AS rn FROM v$r)
+             WHERE rn = 1),
+        """)
+    }
+    sb.append(
+      """fin AS (SELECT label AS community, count(*)::BIGINT AS n_members,
+           sum(node)::BIGINT AS id_sum FROM r4 GROUP BY label)
+         SELECT community, n_members, id_sum FROM fin ORDER BY community""")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "p25_label_propagation" -> p25Sql,
     // same md5-60 bucket hash, same add-one smoothing, same fixed-point
     // freeze of the per-bucket log-ratio before the integer doc sum
     "p24_dsir_selection" ->
