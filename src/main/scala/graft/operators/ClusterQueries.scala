@@ -826,7 +826,57 @@ object ClusterQueries {
           .as("r_precision_fp"))
   }
 
+  /** c16 — McNemar paired-classifier comparison (the standard test for
+    * "is model B actually better than model A on the SAME eval set",
+    * which a per-model accuracy diff cannot answer because it ignores
+    * pairing): two deterministic linear scorers (the c05 hyperplane and
+    * a second fixed hyperplane) predict label parity at threshold 0;
+    * the disagreement cells n01 (A wrong, B right) / n10 (A right, B
+    * wrong) feed the continuity-corrected McNemar statistic
+    * (|n01−n10|−1)²/(n01+n10), shipped ×1e6 as an exact integer ratio —
+    * no chi-square tail, no doubles. Both per-model accuracies ride
+    * along so the report is self-contained.
+    *
+    * Scale shape: one scan, one 4-cell partial+final aggregate — the
+    * cheapest possible eval reduction; nothing grows with data. */
+  def c16_mcnemar_paired(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val signsA = lit((1 to 64).map(i =>
+      if (i.toLong * 2654435761L / 65536L % 2L == 1L) 1.0 else -1.0).toArray)
+    val signsB = lit((1 to 64).map(i =>
+      if (i.toLong * 2246822519L / 65536L % 2L == 1L) 1.0 else -1.0).toArray)
+    def scoreFp(signs: Column): Column =
+      floor(aggregate(zip_with(col("a"), signs, (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x) * lit(1e6)).cast("long")
+    val sc = Tables.embeddings(s, dir)
+      .withColumn("a", col("embedding").cast("array<double>"))
+      .select((col("label") % 2).cast("long").as("y"),
+        (scoreFp(signsA) > 0L).cast("long").as("pa"),
+        (scoreFp(signsB) > 0L).cast("long").as("pb"))
+      .select(col("y"),
+        (col("pa") === col("y")).cast("long").as("ca"),
+        (col("pb") === col("y")).cast("long").as("cb"))
+    sc.agg(
+        sum(when(col("ca") === 0L && col("cb") === 0L, 1L).otherwise(0L))
+          .as("n00"),
+        sum(when(col("ca") === 0L && col("cb") === 1L, 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(col("ca") === 1L && col("cb") === 0L, 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(col("ca") === 1L && col("cb") === 1L, 1L).otherwise(0L))
+          .as("n11"),
+        count(lit(1)).as("n"))
+      .select(col("n00"), col("n01"), col("n10"), col("n11"),
+        ldiv((col("n10") + col("n11")) * 1000000L, col("n")).as("acc_a_fp"),
+        ldiv((col("n01") + col("n11")) * 1000000L, col("n")).as("acc_b_fp"),
+        when(col("n01") + col("n10") === 0L, 0L).otherwise(
+          ldiv((abs(col("n01") - col("n10")) - 1L) *
+            (abs(col("n01") - col("n10")) - 1L) * 1000000L,
+            col("n01") + col("n10"))).as("mcnemar_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c16_mcnemar_paired" -> (c16_mcnemar_paired _),
     "c15_average_precision" -> (c15_average_precision _),
     "c14_brier_decomposition" -> (c14_brier_decomposition _),
     "c13_span_f1" -> (c13_span_f1 _),
@@ -984,6 +1034,36 @@ object ClusterQueries {
   private val gainsSql = ndcgGains.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // same two fixed hyperplanes, same integer contingency cells and
+    // continuity-corrected ratio
+    "c16_mcnemar_paired" ->
+      """WITH sc AS (SELECT CAST(label % 2 AS BIGINT) AS y,
+           CASE WHEN CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),
+             i -> (embedding[i]::DOUBLE) *
+               (CASE WHEN i * 2654435761 // 65536 % 2 = 1
+                THEN 1.0 ELSE -1.0 END)),
+             (p, q) -> p + q)) AS BIGINT) > 0 THEN 1 ELSE 0 END AS pa,
+           CASE WHEN CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),
+             i -> (embedding[i]::DOUBLE) *
+               (CASE WHEN i * 2246822519 // 65536 % 2 = 1
+                THEN 1.0 ELSE -1.0 END)),
+             (p, q) -> p + q)) AS BIGINT) > 0 THEN 1 ELSE 0 END AS pb
+         FROM embeddings),
+       c AS (SELECT CASE WHEN pa = y THEN 1 ELSE 0 END AS ca,
+           CASE WHEN pb = y THEN 1 ELSE 0 END AS cb FROM sc),
+       t AS (SELECT
+           sum(CASE WHEN ca = 0 AND cb = 0 THEN 1 ELSE 0 END)::BIGINT AS n00,
+           sum(CASE WHEN ca = 0 AND cb = 1 THEN 1 ELSE 0 END)::BIGINT AS n01,
+           sum(CASE WHEN ca = 1 AND cb = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+           sum(CASE WHEN ca = 1 AND cb = 1 THEN 1 ELSE 0 END)::BIGINT AS n11,
+           count(*)::BIGINT AS n FROM c)
+       SELECT n00, n01, n10, n11,
+         CAST(((n10 + n11) * 1000000) // n AS BIGINT) AS acc_a_fp,
+         CAST(((n01 + n11) * 1000000) // n AS BIGINT) AS acc_b_fp,
+         CASE WHEN n01 + n10 = 0 THEN 0 ELSE
+           CAST(((abs(n01 - n10) - 1) * (abs(n01 - n10) - 1) * 1000000)
+             // (n01 + n10) AS BIGINT) END AS mcnemar_fp
+       FROM t""",
     // same scorer, same (s_fp DESC, vec_id) total order, same integer
     // freeze of each precision@rank term before the mean
     "c15_average_precision" ->

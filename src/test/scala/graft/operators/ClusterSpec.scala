@@ -179,6 +179,36 @@ class ClusterSpec extends SparkSpec {
     assert(ap >= 0 && ap <= 1000000000L && rp >= 0 && rp <= 1000000000L)
   }
 
+  test("c16: contingency cells tie out against a direct per-item replay") {
+    val row = ClusterQueries.c16_mcnemar_paired(spark, sf()).head()
+    val cells = (0 to 3).map(row.getLong)
+    val (accA, accB, mc) = (row.getLong(4), row.getLong(5), row.getLong(6))
+    def signs(m: Long) = (1 to 64).map(i =>
+      if (i.toLong * m / 65536L % 2L == 1L) 1.0 else -1.0)
+    val (sa, sb) = (signs(2654435761L), signs(2246822519L))
+    val rows = graft.core.Tables.embeddings(spark, sf())
+      .select(col("label"), col("embedding").cast("array<double>"))
+      .collect().map { r =>
+        val a = r.getSeq[Double](1)
+        def sc(ss: Seq[Double]) = math.floor(
+          a.indices.map(i => a(i) * ss(i)).sum * 1e6).toLong
+        val y = (r.getInt(0) % 2).toLong
+        val ca = if ((if (sc(sa) > 0) 1L else 0L) == y) 1 else 0
+        val cb = if ((if (sc(sb) > 0) 1L else 0L) == y) 1 else 0
+        (ca, cb)
+      }
+    val exp = Seq((0, 0), (0, 1), (1, 0), (1, 1))
+      .map(p => rows.count(_ == p).toLong)
+    assert(cells == exp, s"cells $cells vs $exp")
+    val n = rows.length.toLong
+    assert(accA == (exp(2) + exp(3)) * 1000000L / n)
+    assert(accB == (exp(1) + exp(3)) * 1000000L / n)
+    val (b, c) = (exp(1), exp(2))
+    val expMc = if (b + c == 0) 0L
+      else (math.abs(b - c) - 1) * (math.abs(b - c) - 1) * 1000000L / (b + c)
+    assert(mc == expMc)
+  }
+
   test("c06: decile bins are balanced, complete, and score-monotone") {
     val rows = ClusterQueries.c06_calibration_bins(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
