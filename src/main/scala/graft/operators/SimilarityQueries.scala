@@ -741,7 +741,57 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** s16 — binary (sign-bit) quantization with exact rerank: the 1-bit
+    * member of the quantization family (s04 int8, s08/s09 PQ). Each
+    * vector compresses to a 63-bit sign word (bit i−1 set when dim i is
+    * positive; dim 64 unused so the code fits the oracle's signed
+    * BIGINT, the m06 convention); stage 1 ranks candidates per query by
+    * Hamming distance on the words — one XOR + popcount per pair, the
+    * memory-bandwidth trick binary quantization exists for (8 B/vector
+    * instead of 512 B, a 64× smaller scan) — keeping C = 20 through the
+    * bounded-heap [[graft.plans.TopKPerKey]]; stage 2 reranks the
+    * candidates with the exact cosine and keeps top 5. Sign bits
+    * approximate angle like SimHash (d04) approximates text cosine;
+    * production variants center each dim first — a preprocessing knob,
+    * not a structural change.
+    *
+    * Scale shape: the code build rides the scan; stage 1's exchange
+    * moves ≤ keys·C heap survivors (partial heaps before the shuffle);
+    * stage 2 touches C rows per query. Same plan skeleton as s05, so
+    * the two quantizers A/B-test cleanly. */
+  def s16_ann_binary_quant(s: SparkSession, dir: String): DataFrame = {
+    val pows = lit(Array.tabulate(63)(1L << _))
+    val base = emb(s, dir).withColumn("nrm", norm(col("a")))
+      .filter(col("nrm") > 0.0)
+      .withColumn("code", aggregate(
+        zip_with(slice(col("a"), 1, 63), pows,
+          (x, p) => when(x > 0.0, p).otherwise(0L)),
+        lit(0L), (acc, x) => acc.bitwiseOR(x)))
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"),
+        col("a").as("qa"), col("nrm").as("qn"))
+    val ham = base.select("vec_id", "code")
+      .crossJoin(broadcast(qs.select("query_id", "qcode")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (-bit_count(col("code").bitwiseXOR(col("qcode"))).cast("long"))
+          .as("negham"))
+    val cand = graft.plans.TopKPerKey(ham, Seq("query_id"), "negham",
+        "vec_id", 20)
+      .select("query_id", "vec_id")
+    val rerank = cand
+      .join(base.select(col("vec_id"), col("a"), col("nrm")), "vec_id")
+      .join(broadcast(qs.select("query_id", "qa", "qn")), "query_id")
+      .withColumn("sim", dot(col("qa"), col("a")) / (col("qn") * col("nrm")))
+      .select("query_id", "vec_id", "sim")
+    graft.plans.TopKPerKey(rerank, Seq("query_id"), "sim", "vec_id", 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_ann_binary_quant" -> (s16_ann_binary_quant _),
     "s15_hybrid_rrf" -> (s15_hybrid_rrf _),
     "s14_maxsim_multivector" -> (s14_maxsim_multivector _),
     "s13_ann_recall" -> (s13_ann_recall _),
@@ -830,6 +880,34 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     // both arms replayed in full (t16's BM25 pipeline + the brute
     // cosine ranking), fused by integer RRF and re-ranked
+    // same 63-bit sign words, Hamming-ascending candidate rank (tie:
+    // vec_id), exact-cosine rerank — the TopKPerKey (ord DESC, tie ASC)
+    // order replayed as row_number
+    "s16_ann_binary_quant" -> s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
+        FROM embeddings),
+      n0 AS (SELECT vec_id, a,
+        sqrt(list_reduce(list_transform(a, x -> x*x), (p,q) -> p+q)) AS nrm FROM e),
+      c AS (SELECT vec_id, a, nrm,
+          list_reduce(list_transform(range(1, 64),
+            i -> CASE WHEN a[i] > 0 THEN 1::BIGINT << (i::INT - 1)
+                 ELSE 0::BIGINT END), (x, y) -> x | y) AS code
+        FROM n0 WHERE nrm > 0),
+      cand AS (SELECT query_id, vec_id FROM (
+          SELECT q.vec_id AS query_id, x.vec_id,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              bit_count(xor(q.code, x.code)) ASC, x.vec_id) AS rq
+          FROM c q, c x WHERE q.vec_id % 50 = 0 AND x.vec_id <> q.vec_id)
+        WHERE rq <= 20),
+      r AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
+          ${sqlDot.replace("X", "q.a").replace("Y", "x.a")} / (q.nrm * x.nrm) AS sim
+        FROM cand JOIN c x ON x.vec_id = cand.vec_id
+          JOIN c q ON q.vec_id = cand.query_id)
+      SELECT query_id, rank, neighbor_id, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id) AS rank
+        FROM r) WHERE rank <= 5 ORDER BY query_id, rank""",
     "s15_hybrid_rrf" -> s"""
       WITH qt(q_id, term) AS (SELECT * FROM (VALUES
            (0,'spark'),(0,'join'),(0,'merge'),

@@ -31,6 +31,33 @@ class SelectionSpec extends SparkSpec {
       brute.get((q, n)).foreach(bs => assert(bs == sim)) }
   }
 
+  test("s16: well-formed ranks, exact scores on shared pairs, nonzero recall") {
+    val m = SimilarityQueries.s16_ann_binary_quant(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(m.nonEmpty)
+    m.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.length <= 5)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4)
+        case _ =>
+      }
+    }
+    // stage 2 is the exact metric: any pair the brute-force engine also
+    // ranked must carry an IDENTICAL score
+    val brute = SimilarityQueries.s01_ann_bruteforce(spark, sf())
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    m.foreach { case (q, _, n, sim) =>
+      brute.get((q, n)).foreach(bs => assert(bs == sim)) }
+    // sign bits carry angle information: the 1-bit cascade must agree
+    // with exact top-5 on a meaningful share of pairs, not by accident
+    val bruteTop = brute.keySet
+    val hits = m.count { case (q, _, n, _) => bruteTop.contains((q, n)) }
+    assert(hits * 5 >= m.length,
+      s"recall vs brute too low: $hits/${m.length}")
+  }
+
   test("t15: tercile sizes balanced, bucket boundaries respect score order") {
     val rows = TextQueries.t15_perplexity_bucket(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
