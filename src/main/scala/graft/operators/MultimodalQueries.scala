@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sources.{Jpeg, MediaCodec, Png}
+import graft.sources.{Jpeg, MediaCodec, Png, Tiff}
 
 /** Multimodal-column operators for the training-data pipeline: media
   * payloads ride as opaque `binary` columns next to a typed metadata
@@ -478,6 +478,50 @@ object MultimodalQueries {
       .distinct()
       .filter(col("hamming") <= 6)
       .orderBy("doc_a", "doc_b")
+  }
+
+  final case class TiffMeta(doc_id: Long, width: Long, height: Long,
+                            n_strips: Long, n_tags: Long, byte_order: Long,
+                            luma_sum: Long)
+
+  /** m22 — TIFF ingest through the real IFD tag-directory walk
+    * ([[graft.sources.Tiff]]): TIFF is the mainstream raster container
+    * whose header is TYPED METADATA (tag, type, count,
+    * inline-value-or-offset) rather than a fixed struct, so decoding it
+    * is precisely the "opaque binary column + typed metadata" seam this
+    * family exists to exercise. Each document's [[pgmGrid]]-convention
+    * pixels ship as a multi-strip uncompressed gray TIFF — EVEN doc_ids
+    * little-endian ("II"), ODD big-endian ("MM"), so both byte orders
+    * decode on every run; images taller than 4 rows force the strip
+    * offset/count arrays OUT of the IFD (the offset branch), h ≤ 4
+    * keeps them inline (the left-justified value branch). Features are
+    * the walked metadata (geometry, strip/tag counts, byte order) plus
+    * the integer luma sum over the gathered strips.
+    *
+    * Scale shape: encode+decode+reduce ride the scan — one pass, no
+    * shuffle beyond the final orderBy. */
+  def m22_tiff_metadata(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes("US-ASCII")
+        val len = bytes.length
+        val h = math.max(1, (len + 31) / 32)
+        val gray =
+          if (len == 0) new Array[Byte](32)
+          else Array.tabulate(32 * h)(i => bytes(math.min(i, len - 1)))
+        val payload = Tiff.encodeGray(32, h, gray, bigEndian = id % 2 == 1)
+        val d = Tiff.decode(payload)
+        var luma = 0L
+        d.image.pixels.foreach(p => luma += (p & 0xFF))
+        TiffMeta(id, d.image.width.toLong, d.image.height.toLong,
+          d.nStrips.toLong, d.nTags.toLong, if (d.bigEndian) 2L else 1L,
+          luma)
+      })
+      .toDF()
+      .orderBy("doc_id")
   }
 
   final case class VideoFeature(doc_id: Long, n_frames: Long, luma0: Long,
@@ -1282,6 +1326,7 @@ object MultimodalQueries {
     "m09_vit_patches" -> (m09_vit_patches _),
     "m08_audio_fingerprint" -> (m08_audio_fingerprint _),
     "m07_video_motion" -> (m07_video_motion _),
+    "m22_tiff_metadata" -> (m22_tiff_metadata _),
     "m21_block_phash" -> (m21_block_phash _),
     "m06_image_dhash" -> (m06_image_dhash _),
     "m01_media_features" -> (m01_media_features _),
@@ -1687,6 +1732,20 @@ object MultimodalQueries {
        SELECT doc_id, f::BIGINT AS n_frames, luma0::BIGINT AS luma0,
          motion::BIGINT AS motion
        FROM s ORDER BY doc_id""",
+    // pgmGrid pixel convention replayed on the document bytes; strip
+    // count is ceil(h/4), tag count is the fixed 9-entry IFD, byte
+    // order alternates by doc parity
+    "m22_tiff_metadata" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           greatest(1, (length(text) + 31) // 32) AS h FROM documents)
+       SELECT doc_id, 32::BIGINT AS width, h::BIGINT AS height,
+         ((h + 3) // 4)::BIGINT AS n_strips, 9::BIGINT AS n_tags,
+         (CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END)::BIGINT AS byte_order,
+         (CASE WHEN len = 0 THEN 0 ELSE
+           list_reduce(list_transform(range(0, 32 * h), i ->
+             ascii(substr(text, least(i, len - 1)::INT + 1, 1))),
+             (x, y) -> x + y) END)::BIGINT AS luma_sum
+       FROM t ORDER BY doc_id""",
     // same 16x16 nearest resample replayed on the document bytes (PGM
     // taps for even ids, flat-JPEG block taps for odd), same 2x2 block
     // sums, lower-median threshold, band join and Hamming verify
