@@ -1053,7 +1053,53 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t27 — Luhn-validated card-number detection: the precision fix real
+    * PII scrubbers need on top of t10's pattern match — a 16-digit run
+    * is only a card number if its mod-10 double-every-second-digit
+    * checksum (Luhn, ISO/IEC 7812 — public) closes, which rejects ~90 %
+    * of random digit runs. Deterministic candidates are seeded from
+    * doc_id: every 5th doc gets a 16-digit number whose check digit is
+    * CORRECT when doc_id % 10 = 0 and off-by-one otherwise, so both the
+    * accept and the reject paths run on every SF. Detection is the
+    * regex pass; validation recomputes the checksum on the EXTRACTED
+    * string (position i doubled when i is odd, 1-based from the left of
+    * a 16-digit number) — all integer, both engines replay it digit by
+    * digit.
+    *
+    * Scale shape: seed, extract and validate all ride the scan; the
+    * only exchange is the final orderBy. */
+  def t27_luhn_pii(s: SparkSession, dir: String): DataFrame = {
+    // 15 payload digits from doc_id, then the Luhn check digit
+    val base15 = lpad(((col("doc_id") % 100000000000L) * 7919L + 123L)
+      .cast("string"), 15, "0")
+    def luhnTerm(d: Column, doubled: Boolean): Column =
+      if (doubled) when(d * 2L > 9L, d * 2L - 9L).otherwise(d * 2L) else d
+    // payload positions 1..15 of a 16-digit number: doubled when i odd
+    val paySum = (1 to 15).map(i => luhnTerm(
+      substring(base15, i, 1).cast("long"), i % 2 == 1)).reduce(_ + _)
+    val check = (lit(10L) - paySum % 10L) % 10L
+    val seeded = Tables.documents(s, dir)
+      .withColumn("seeded", concat(col("text"),
+        when(col("doc_id") % 5 === 0, concat(lit(" card "), base15,
+          when(col("doc_id") % 10 === 0, check)
+            .otherwise((check + 1L) % 10L))).otherwise(lit(""))))
+    val cands = seeded.select(col("doc_id"),
+      explode_outer(regexp_extract_all(col("seeded"),
+        lit("[0-9]{16}"), lit(0))).as("c"))
+    val candSum = (1 to 16).map(i => luhnTerm(
+      substring(col("c"), i, 1).cast("long"), i % 2 == 1)).reduce(_ + _)
+    cands
+      .withColumn("valid", when(col("c").isNull, lit(null))
+        .otherwise((candSum % 10L === 0L).cast("long")))
+      .groupBy("doc_id")
+      .agg(count(col("c")).as("n_cand"),
+        coalesce(sum("valid"), lit(0L)).as("n_valid"),
+        (count(col("c")) - coalesce(sum("valid"), lit(0L))).as("n_rejected"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_luhn_pii" -> (t27_luhn_pii _),
     "t26_stupid_backoff" -> (t26_stupid_backoff _),
     "t25_gopher_gates" -> (t25_gopher_gates _),
     "t24_winsorized_stats" -> (t24_winsorized_stats _),
@@ -1085,7 +1131,40 @@ object TextQueries {
   private def sqlHs =
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 
+  /** t27 oracle: the Luhn arithmetic unrolled digit-by-digit in SQL —
+    * same seed construction, same doubled-position rule. */
+  private lazy val t27Sql: String = {
+    def term(src: String, i: Int): String = {
+      val d = s"substr($src, $i, 1)::BIGINT"
+      if (i % 2 == 1) s"(CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 ELSE $d * 2 END)"
+      else d
+    }
+    val paySum = (1 to 15).map(term("base15", _)).mkString(" + ")
+    val candSum = (1 to 16).map(term("cand", _)).mkString(" + ")
+    s"""WITH b AS (SELECT doc_id, text,
+         lpad(((doc_id % 100000000000) * 7919 + 123)::VARCHAR, 15, '0')
+           AS base15 FROM documents),
+       p AS (SELECT doc_id, text, base15, ($paySum) AS paysum FROM b),
+       se AS (SELECT doc_id, text || CASE WHEN doc_id % 5 = 0
+           THEN ' card ' || base15 ||
+             (CASE WHEN doc_id % 10 = 0 THEN (10 - paysum % 10) % 10
+               ELSE ((10 - paysum % 10) % 10 + 1) % 10 END)::VARCHAR
+           ELSE '' END AS seeded FROM p),
+       c AS (SELECT doc_id,
+           unnest(regexp_extract_all(seeded, '[0-9]{16}')) AS cand FROM se),
+       v AS (SELECT doc_id, CASE WHEN ($candSum) % 10 = 0 THEN 1 ELSE 0 END
+           AS valid FROM c),
+       agg AS (SELECT doc_id, count(*)::BIGINT AS n_cand,
+           sum(valid)::BIGINT AS n_valid FROM v GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(n_cand, 0)::BIGINT AS n_cand,
+         coalesce(n_valid, 0)::BIGINT AS n_valid,
+         (coalesce(n_cand, 0) - coalesce(n_valid, 0))::BIGINT AS n_rejected
+       FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "t27_luhn_pii" -> t27Sql,
     // same md5-60 gram keys, same integer backoff chain (0.4 = *2 // 5),
     // same per-doc integer mean; `//` and IntegralDivide agree on the
     // nonnegative values here

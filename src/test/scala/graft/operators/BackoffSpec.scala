@@ -10,6 +10,31 @@ import graft.SparkSpec
   * c1(d)=1, N=6. */
 class BackoffSpec extends SparkSpec {
 
+  test("t27: canonical Luhn vectors accept/reject; seeds split by parity") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_t27").toString
+    // 4111111111111111 is THE canonical Luhn-valid test number;
+    // flipping its last digit breaks the checksum. doc_ids 1/2 avoid
+    // the %5 seeding so only the embedded numbers are candidates;
+    // 10 and 5 take the seeded valid / seeded off-by-one paths.
+    Seq(
+      (1L, "pay with 4111111111111111 now", "en", "web", 30L),
+      (2L, "pay with 4111111111111112 now", "en", "web", 30L),
+      (3L, "no digits here", "en", "web", 14L),
+      (10L, "seeded valid", "en", "web", 12L),
+      (5L, "seeded invalid", "en", "web", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextQueries.t27_luhn_pii(spark, d)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got(1L) === ((1L, 1L, 0L)), "canonical valid card must pass")
+    assert(got(2L) === ((1L, 0L, 1L)), "last-digit flip must fail")
+    assert(got(3L) === ((0L, 0L, 0L)))
+    assert(got(10L) === ((1L, 1L, 0L)), "seeded check digit must close")
+    assert(got(5L) === ((1L, 0L, 1L)), "off-by-one check digit must fail")
+  }
+
   test("t26: trigram hit, bigram backoff, unigram backoff, full miss, short doc") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_t26").toString
