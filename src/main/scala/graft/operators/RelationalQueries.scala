@@ -2024,7 +2024,70 @@ object RelationalQueries {
       .orderBy("grp")
   }
 
+  /** q76 — partition-spec evolution (the Iceberg model: the partition
+    * layout is per-FILE metadata, so changing it never rewrites old
+    * data): era-1 files are partitioned by order month only; era-2
+    * files by (month, o_custkey%4 bucket). A query filtering on BOTH
+    * month and bucket prunes each era under ITS OWN spec — era-2
+    * directories drop 3/4 of buckets, era-1 directories prune by month
+    * but must be scanned for the bucket predicate, which re-applies as
+    * a residual. That asymmetry IS the feature: at 100 TB you evolve
+    * the spec for new data and pay the residual scan only on the old
+    * tail, instead of rewriting history (q37-style re-layout) or
+    * rejecting the evolution (static Hive partitioning, q35). Pruning
+    * is O(|directories|) driver metadata; PartitionEvolutionSpec pins
+    * the per-era survivor accounting.
+    *
+    * Band and bucket constants replay from the data (month min/max →
+    * middle third), the AutoScale discipline. */
+  def q76_partition_evolution(s: SparkSession, dir: String): DataFrame = {
+    val monthIdx = (year(col("o_orderdate")) - 1995) * 12 +
+      month(col("o_orderdate")) - 1
+    val base = graft.core.SessionMemo.memoize(s, "q76-pevo:" + dir) {
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q76_$tag").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val o = Tables.orders(s, dir).withColumn("m", monthIdx)
+      o.filter(col("o_orderkey") % 3 === 0)
+        .write.partitionBy("m").parquet(s"$root/era1")
+      o.filter(col("o_orderkey") % 3 =!= 0)
+        .withColumn("b", pmod(col("o_custkey"), lit(4L)))
+        .write.partitionBy("m", "b").parquet(s"$root/era2")
+      root
+    }
+    val (mLo, mHi) = {
+      val r = Tables.orders(s, dir)
+        .agg(min(monthIdx), max(monthIdx)).head()
+      val (lo0, hi0) = (r.getInt(0).toLong, r.getInt(1).toLong)
+      (lo0 + (hi0 - lo0) / 3, lo0 + 2 * (hi0 - lo0) / 3)
+    }
+    def dirs(era: String): Seq[java.io.File] =
+      new java.io.File(s"$base/$era").listFiles().toSeq
+        .filter(_.getName.startsWith("m="))
+    // per-spec pruning over directory metadata: era1 knows only m,
+    // era2 prunes m AND bucket
+    val keep1 = dirs("era1")
+      .filter(f => { val m = f.getName.drop(2).toLong; m >= mLo && m <= mHi })
+      .map(_.getAbsolutePath)
+    val keep2 = dirs("era2")
+      .filter(f => { val m = f.getName.drop(2).toLong; m >= mLo && m <= mHi })
+      .flatMap(_.listFiles().toSeq.filter(_.getName == "b=1"))
+      .map(_.getAbsolutePath)
+    val era1 = s.read.option("basePath", s"$base/era1").parquet(keep1: _*)
+      .filter(pmod(col("o_custkey"), lit(4L)) === 1L) // residual: spec 1 can't prune it
+    val era2 = s.read.option("basePath", s"$base/era2").parquet(keep2: _*)
+      .drop("b")
+    era1.unionByName(era2)
+      .filter(col("m").between(mLo, mHi)) // residual band replay (q65 idiom)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * lit(100)).cast("long")).as("total_fp"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_partition_evolution" -> (q76_partition_evolution _),
     "q75_column_mapping" -> (q75_column_mapping _),
     "q73_bloom_skip_index" -> (q73_bloom_skip_index _),
     "q58_session_paths" -> (q58_session_paths _),
@@ -2084,6 +2147,21 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     // replays nf/m from count(*) (AutoScale SQL twins), the 2-probe
     // Lehmer bit positions, the per-file bit sets and the skip math
+    // layout-independent replay: same month band (middle third of the
+    // observed month-index range, integer division) and bucket filter
+    // straight off the source table
+    "q76_partition_evolution" ->
+      """WITH o AS (SELECT *,
+             (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS m
+           FROM orders),
+         mm AS (SELECT min(m)::BIGINT AS lo0, max(m)::BIGINT AS hi0 FROM o),
+         band AS (SELECT lo0 + (hi0 - lo0) // 3 AS lo,
+             lo0 + 2 * ((hi0 - lo0)) // 3 AS hi FROM mm)
+         SELECT o_orderstatus AS status, count(*)::BIGINT AS n,
+           sum(floor(o_totalprice * 100))::BIGINT AS total_fp
+         FROM o, band
+         WHERE m BETWEEN lo AND hi AND o_custkey % 4 = 1
+         GROUP BY 1 ORDER BY 1""",
     // replays the evolved logical table from the source rows: even keys
     // are pre-evolution (no discount field -> 0), odd keys post-ADD
     "q75_column_mapping" ->
