@@ -102,7 +102,8 @@ object Bench {
       "q37_zorder_layout", "q41_compact_small_files", "q43_zorder_bigmin",
       "q50_merge_on_read", "q52_time_travel", "q59_dv_vacuum",
       "q61_wap_publish", "q62_equality_deletes", "q63_incremental_mv",
-      "q65_manifest_skipping", "q66_changelog_diff", "q68_merge_cow")
+      "q65_manifest_skipping", "q66_changelog_diff", "q68_merge_cow",
+      "q75_column_mapping", "q76_partition_evolution")
     val ingest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }

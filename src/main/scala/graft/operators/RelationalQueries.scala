@@ -2049,10 +2049,16 @@ object RelationalQueries {
         s"graft_q76_$tag").getAbsolutePath
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       val o = Tables.orders(s, dir).withColumn("m", monthIdx)
+      // repartition on the partition keys BEFORE the dynamic-partition
+      // write: one file per directory instead of one per (task x dir) —
+      // the standard small-files fix; without it this layout emits
+      // 32x the files and every later read pays the listing
       o.filter(col("o_orderkey") % 3 === 0)
+        .repartition(col("m"))
         .write.partitionBy("m").parquet(s"$root/era1")
       o.filter(col("o_orderkey") % 3 =!= 0)
         .withColumn("b", pmod(col("o_custkey"), lit(4L)))
+        .repartition(col("m"), col("b"))
         .write.partitionBy("m", "b").parquet(s"$root/era2")
       root
     }
