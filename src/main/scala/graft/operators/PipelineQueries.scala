@@ -889,6 +889,19 @@ object PipelineQueries {
     * driver TakeOrdered, no single-partition window) filtered to
     * K = ⌈n_cand/10⌉. No all-pairs, no unbounded driver state. */
   def p24_dsir_selection(s: SparkSession, dir: String): DataFrame = {
+    val (scored, k) = p24Scored(s, dir)
+    SequentialId.withSequentialId(
+        scored, "rank", Seq(col("w_fp").desc, col("doc_id")))
+      .filter(col("rank") <= k)
+      .select("rank", "doc_id", "n_tok", "w_fp")
+      .orderBy("rank")
+  }
+
+  /** The pre-rank scoring pipeline, split out so PlanSpec can pin the
+    * broadcast/partial-agg shape (the SequentialId step materializes a
+    * LogicalRDD, which hides upstream plans from executedPlan). */
+  private[operators] def p24Scored(
+      s: SparkSession, dir: String): (DataFrame, Long) = {
     val B = 1024L
     val tgt = "src0"
     val docs = Tables.documents(s, dir)
@@ -917,12 +930,7 @@ object PipelineQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), sum("wfp").as("w_fp"))
     val nCand = docs.filter(!isTgt).count()
-    val k = (nCand + 9L) / 10L
-    SequentialId.withSequentialId(
-        scored, "rank", Seq(col("w_fp").desc, col("doc_id")))
-      .filter(col("rank") <= k)
-      .select("rank", "doc_id", "n_tok", "w_fp")
-      .orderBy("rank")
+    (scored, (nCand + 9L) / 10L)
   }
 
   /** p25 — synchronous label propagation (LPA, Raghavan et al. 2007)

@@ -433,6 +433,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
+  test("p24: bucket weights broadcast back onto the token stream; counts are partial+final") {
+    val p = plan(PipelineQueries.p24Scored(spark, sf())._1)
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight table must broadcast, not shuffle the tokens:\n$p")
+    assert(p.contains("partial_"), s"bucket counts need map-side combine:\n$p")
+  }
+
+  test("s16: both ANN stages plan through the bounded-heap TopKPerKey") {
+    val p = plan(SimilarityQueries.s16_ann_binary_quant(spark, sf()))
+    val heaps = "TopKPerKey".r.findAllIn(p).size
+    // one heap node per stage (Hamming candidates, exact rerank) and NO
+    // Window fallback anywhere
+    assert(heaps >= 2, s"expected a heap per ANN stage:\n$p")
+    assert(!p.contains("Window"), s"heap operator fell back to a window:\n$p")
+    assert(p.contains("BroadcastExchange"), s"query side must broadcast:\n$p")
+  }
+
+  test("t26: LM count joins never materialize a product; counts partial+final") {
+    val p = plan(TextQueries.t26_stupid_backoff(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"backoff chain must stay equi-join:\n$p")
+    assert(p.contains("partial_"), s"gram counts need map-side combine:\n$p")
+  }
+
   test("qn13: quarantine accounting is ONE partial+final aggregate over the JSON scan") {
     val p = plan(NetCDFQueries.qn13_jsonl_quarantine(spark, sf()))
     assert(p.contains("partial_"), s"expected map-side combine:\n$p")
