@@ -875,7 +875,55 @@ object ClusterQueries {
             col("n01") + col("n10"))).as("mcnemar_fp"))
   }
 
+  /** c17 — population stability index (PSI, the industry-standard
+    * drift score a model monitor reports next to q55's χ²): per event
+    * type, the first/second-half value histograms compare as
+    * Σ_bins (p_b − q_b)·ln(p_b/q_b) with add-one smoothing over the
+    * FULL 16-bin grid (empty bins matter — they are where drift
+    * concentrates). Each bin term freezes to 1e6 fixed point before
+    * the per-type sum, so the score is an order-independent integer;
+    * p and q are exact integer ratios evaluated identically by both
+    * engines (the ln ulp note from t09 applies, 1e-12 of a grid cell).
+    * χ² answers "is the shift statistically surprising"; PSI is the
+    * magnitude-calibrated score thresholds are written against
+    * (0.1 / 0.25 action bands) — monitors want both.
+    *
+    * Scale shape: one event scan → ≤ |types|·16 cells (partial+final),
+    * a broadcast grid completion, one ≤16-row-per-type aggregate. */
+  def c17_psi_drift(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val ev = Tables.events(s, dir).select("ts", "event_type", "value")
+    val mid = ev.agg((min("ts") + ldiv(max("ts") - min("ts"), lit(2L)))
+      .as("mid"))
+    val cells = ev.crossJoin(broadcast(mid))
+      .withColumn("bin",
+        least(ldiv(floor(col("value")).cast("long"), lit(32L)), lit(15L)))
+      .groupBy("event_type", "bin")
+      .agg(sum(when(col("ts") <= col("mid"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("ts") > col("mid"), 1L).otherwise(0L)).as("n2"))
+      .localCheckpoint()
+    val grid = cells.select("event_type").distinct()
+      .crossJoin(s.range(16).withColumnRenamed("id", "bin"))
+    val full = grid.join(cells, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("n1", "n2"))
+    val tot = full.groupBy("event_type")
+      .agg(sum("n1").as("tn1"), sum("n2").as("tn2"))
+    full.join(broadcast(tot), "event_type")
+      .withColumn("p", (col("n1") + 1L).cast("double") /
+        (col("tn1") + 16L).cast("double"))
+      .withColumn("q", (col("n2") + 1L).cast("double") /
+        (col("tn2") + 16L).cast("double"))
+      .withColumn("term_fp",
+        floor((col("p") - col("q")) * log(col("p") / col("q")) * 1e6)
+          .cast("long"))
+      .groupBy("event_type")
+      .agg(first("tn1").as("n_first_half"), first("tn2").as("n_second_half"),
+        sum("term_fp").as("psi_fp"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c17_psi_drift" -> (c17_psi_drift _),
     "c16_mcnemar_paired" -> (c16_mcnemar_paired _),
     "c15_average_precision" -> (c15_average_precision _),
     "c14_brier_decomposition" -> (c14_brier_decomposition _),
@@ -1034,6 +1082,36 @@ object ClusterQueries {
   private val gainsSql = ndcgGains.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // same 16-bin grid with add-one smoothing, same per-bin 1e6 freeze
+    // before the per-type integer sum
+    "c17_psi_drift" ->
+      """WITH e AS (SELECT epoch_ns(ts) AS tns, event_type, value
+           FROM events),
+         m AS (SELECT min(tns) + (max(tns) - min(tns)) // 2 AS mid FROM e),
+         cells AS (SELECT event_type,
+             least(CAST(floor(value) AS BIGINT) // 32, 15) AS bin,
+             CAST(sum(CASE WHEN tns <= mid THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN tns > mid THEN 1 ELSE 0 END) AS BIGINT) AS n2
+           FROM e, m GROUP BY 1, 2),
+         grid AS (SELECT t.event_type, r.range AS bin
+           FROM (SELECT DISTINCT event_type FROM cells) t, range(16) r),
+         fl AS (SELECT g.event_type, g.bin,
+             coalesce(c.n1, 0) AS n1, coalesce(c.n2, 0) AS n2
+           FROM grid g LEFT JOIN cells c
+             ON c.event_type = g.event_type AND c.bin = g.bin),
+         tot AS (SELECT event_type, CAST(sum(n1) AS BIGINT) AS tn1,
+             CAST(sum(n2) AS BIGINT) AS tn2 FROM fl GROUP BY 1),
+         terms AS (SELECT f.event_type, t.tn1, t.tn2,
+             CAST(floor((((f.n1 + 1)::DOUBLE / (t.tn1 + 16)::DOUBLE)
+               - ((f.n2 + 1)::DOUBLE / (t.tn2 + 16)::DOUBLE))
+               * ln(((f.n1 + 1)::DOUBLE / (t.tn1 + 16)::DOUBLE)
+                  / ((f.n2 + 1)::DOUBLE / (t.tn2 + 16)::DOUBLE))
+               * 1e6) AS BIGINT) AS term_fp
+           FROM fl f JOIN tot t USING (event_type))
+         SELECT event_type, any_value(tn1) AS n_first_half,
+           any_value(tn2) AS n_second_half,
+           CAST(sum(term_fp) AS BIGINT) AS psi_fp
+         FROM terms GROUP BY event_type ORDER BY event_type""",
     // same two fixed hyperplanes, same integer contingency cells and
     // continuity-corrected ratio
     "c16_mcnemar_paired" ->

@@ -209,6 +209,29 @@ class ClusterSpec extends SparkSpec {
     assert(mc == expMc)
   }
 
+  test("c17: PSI is zero for identical halves, positive for a shifted one") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_c17").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(i: Int) = new java.sql.Timestamp(t0.getTime + i * 60000L)
+    // 'stable': the same 40-value histogram in each half -> PSI exactly 0
+    // (every p_b equals q_b, term frozen at floor(0) = 0).
+    // 'shift': second half moves all mass two bins up -> PSI > 0.
+    val rows =
+      (0 until 40).map(i => (i.toLong, ts(i), 1L, "stable", (i % 10) * 32.0 + 1, "{}")) ++
+      (0 until 40).map(i => (100L + i, ts(1000 + i), 1L, "stable", (i % 10) * 32.0 + 1, "{}")) ++
+      (0 until 40).map(i => (200L + i, ts(i), 1L, "shift", (i % 10) * 32.0 + 1, "{}")) ++
+      (0 until 40).map(i => (300L + i, ts(1000 + i), 1L, "shift", ((i % 10) + 2) * 32.0 + 1, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = ClusterQueries.c17_psi_drift(spark, d)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val psi = got.map { case (k, (n1, n2, p)) => assert(n1 == 40 && n2 == 40); k -> p }
+    assert(psi("stable") == 0L, s"identical halves must score 0: $psi")
+    assert(psi("shift") > 100000L, s"two-bin shift must score large: $psi")
+  }
+
   test("c06: decile bins are balanced, complete, and score-monotone") {
     val rows = ClusterQueries.c06_calibration_bins(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
