@@ -1060,7 +1060,73 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d23 — LSH dedup quality eval (the dedup-family twin of s13's ANN
+    * recall@k): on a deterministic query sample (doc_id % 25), compare
+    * the d03 band-join CANDIDATE set against exact-Jaccard ground truth
+    * (J ≥ 0.9 over distinct-token sets, enumerated exhaustively for the
+    * sample) and report candidate precision/recall — the numbers a
+    * pipeline owner reads before trusting a sketch configuration at a
+    * new corpus. Vacuous denominators score 1e6 (no truth → nothing
+    * missed; no candidates → no false positives). Shares d03's exact
+    * signature/band construction, so the eval measures the REAL
+    * operator, not a reimplementation.
+    *
+    * Scale shape: ground truth is sample-bounded (|sample|·n merge
+    * loops behind a lossless size-ratio gate, queries broadcast); the
+    * candidate probe broadcasts the sample's band keys onto the corpus
+    * band stream. Nothing quadratic in the corpus. */
+  def d23_lsh_recall_eval(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val r = minhashR(s, dir)
+    val docs = Tables.documents(s, dir)
+      .withColumn("hs", graft.plans.TokenHashesSorted(col("text")))
+      .select(col("doc_id"),
+        minhashFromHashes(col("hs"), 2 * r).as("sig"),
+        col("hs").as("tk"))
+      .cache()
+    docs.count() // eager fill: reused by truth, bands, counts
+    val qs = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("q_id"), col("sig").as("q_sig"),
+        col("tk").as("q_tk"))
+    val truth = docs.crossJoin(broadcast(qs))
+      .filter(col("doc_id") =!= col("q_id"))
+      // lossless size-ratio gate implied by J >= 9/10
+      .filter(least(size(col("tk")), size(col("q_tk"))) * 10L >=
+        greatest(size(col("tk")), size(col("q_tk"))) * 9L)
+      .withColumn("inter",
+        graft.plans.SortedIntersectSize(col("tk"), col("q_tk")).cast("double"))
+      .withColumn("j", col("inter") /
+        (size(col("tk")) + size(col("q_tk")) - col("inter")).cast("double"))
+      .filter(col("j") >= 0.9)
+      .select("q_id", "doc_id")
+    def toBands(df: DataFrame, idc: String): DataFrame = df
+      .select(col(idc), explode(transform(sequence(lit(0), lit(1)), b =>
+        struct(b.as("band"),
+          concat_ws("_", slice(col("sig"), b * r + 1, lit(r))).as("key"))))
+        .as("bk"))
+      .select(col(idc), col("bk.band"), col("bk.key"))
+    val cand = toBands(docs, "doc_id")
+      .join(broadcast(toBands(
+        qs.select(col("q_id"), col("q_sig").as("sig")), "q_id")),
+        Seq("band", "key"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select("q_id", "doc_id").distinct()
+    val hit = cand.join(truth, Seq("q_id", "doc_id"), "left_semi")
+    qs.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_queries"), col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_cand") === 0L, 1000000L)
+          .otherwise(ldiv(col("n_hit") * 1000000L, col("n_cand")))
+          .as("precision_fp"),
+        when(col("n_truth") === 0L, 1000000L)
+          .otherwise(ldiv(col("n_hit") * 1000000L, col("n_truth")))
+          .as("recall_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_lsh_recall_eval" -> (d23_lsh_recall_eval _),
     "d22_cluster_keep_best" -> (d22_cluster_keep_best _),
     "d21_substring_spans" -> (d21_substring_spans _),
     "d19_editdist" -> (d19_editdist _),
@@ -1112,6 +1178,39 @@ object DedupQueries {
        THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x,y) -> x+y)"""
 
   val oracles: Map[String, String] = Map(
+    // same d03 signatures and band keys; ground truth re-derived as
+    // exact Jaccard over distinct tokens for the sample
+    "d23_lsh_recall_eval" -> s"""
+      WITH $sqlPrmR,
+      sigs AS (SELECT doc_id, $sqlSig AS sig,
+          list_distinct(string_split(text, ' ')) AS tk FROM documents, prmR),
+      q AS (SELECT doc_id AS q_id, sig AS q_sig, tk AS q_tk
+        FROM sigs WHERE doc_id % 25 = 0),
+      truth AS MATERIALIZED (SELECT q.q_id, d.doc_id FROM sigs d, q
+        WHERE d.doc_id <> q.q_id
+          AND len(list_intersect(d.tk, q.q_tk))::DOUBLE /
+              len(list_distinct(d.tk || q.q_tk))::DOUBLE >= 0.9),
+      cb AS (SELECT doc_id, b,
+          array_to_string(sig[b*r+1 : b*r+r], '_') AS bkey
+        FROM sigs, prmR, range(0, 2) t(b)),
+      qb AS (SELECT q_id, b,
+          array_to_string(q_sig[b*r+1 : b*r+r], '_') AS bkey
+        FROM q, prmR, range(0, 2) t(b)),
+      cand AS MATERIALIZED (SELECT DISTINCT qb.q_id, cb.doc_id
+        FROM cb JOIN qb ON cb.b = qb.b AND cb.bkey = qb.bkey
+        WHERE cb.doc_id <> qb.q_id),
+      hit AS (SELECT c.q_id, c.doc_id FROM cand c
+        JOIN truth t ON t.q_id = c.q_id AND t.doc_id = c.doc_id),
+      n AS (SELECT (SELECT count(*) FROM q)::BIGINT AS n_queries,
+        (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+        (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+        (SELECT count(*) FROM hit)::BIGINT AS n_hit)
+      SELECT n_queries, n_truth, n_cand, n_hit,
+        CASE WHEN n_cand = 0 THEN 1000000
+          ELSE (n_hit * 1000000) // n_cand END::BIGINT AS precision_fp,
+        CASE WHEN n_truth = 0 THEN 1000000
+          ELSE (n_hit * 1000000) // n_truth END::BIGINT AS recall_fp
+      FROM n""",
     "d21_substring_spans" ->
       """WITH pos AS (
            SELECT doc_id, len, unnest(ps)::BIGINT AS p, unnest(gs) AS g
