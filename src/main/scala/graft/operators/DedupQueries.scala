@@ -1084,8 +1084,12 @@ object DedupQueries {
         minhashFromHashes(col("hs"), 2 * r).as("sig"),
         col("hs").as("tk"))
       .cache()
-    docs.count() // eager fill: reused by truth, bands, counts
-    val qs = docs.filter(col("doc_id") % 25 === 0)
+    val n = docs.count() // eager fill: reused by truth, bands, counts
+    // size-derived sample modulus (the s13 idiom): ~100 queries at any
+    // scale, so the exhaustive truth pass stays LINEAR in the corpus
+    // (sample x n), never quadratic
+    val m = math.max(25L, n / 100L)
+    val qs = docs.filter(col("doc_id") % m === 0)
       .select(col("doc_id").as("q_id"), col("sig").as("q_sig"),
         col("tk").as("q_tk"))
     val truth = docs.crossJoin(broadcast(qs))
@@ -1184,8 +1188,9 @@ object DedupQueries {
       WITH $sqlPrmR,
       sigs AS (SELECT doc_id, $sqlSig AS sig,
           list_distinct(string_split(text, ' ')) AS tk FROM documents, prmR),
+      md AS (SELECT greatest(25, count(*) // 100) AS m FROM documents),
       q AS (SELECT doc_id AS q_id, sig AS q_sig, tk AS q_tk
-        FROM sigs WHERE doc_id % 25 = 0),
+        FROM sigs, md WHERE doc_id % md.m = 0),
       truth AS MATERIALIZED (SELECT q.q_id, d.doc_id FROM sigs d, q
         WHERE d.doc_id <> q.q_id
           AND len(list_intersect(d.tk, q.q_tk))::DOUBLE /

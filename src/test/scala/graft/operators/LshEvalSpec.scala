@@ -34,7 +34,8 @@ class LshEvalSpec extends SparkSpec {
       tk.map(h => (a * (h % p) + bb) % p).min
     }
     val sigs = docs.map { case (id, tk) => (id, tk, sig(tk)) }
-    val qs = sigs.filter(_._1 % 25 == 0)
+    val m = math.max(25L, n / 100L)
+    val qs = sigs.filter(_._1 % m == 0)
     def jac(a: Set[Long], b: Set[Long]): Double =
       a.intersect(b).size.toDouble / a.union(b).size.toDouble
     val truth = (for {
