@@ -978,7 +978,49 @@ object PipelineQueries {
       .orderBy("community")
   }
 
+  /** p26 — selection tradeoff curve: the report a data-selection owner
+    * reads before fixing a keep-fraction — rank the corpus by the p15
+    * lexical-diversity quality score, split into global deciles, and
+    * emit per decile the doc/token mass plus the CUMULATIVE tokens and
+    * cumulative mean quality of "keep the top k deciles". Quantifies
+    * what each extra retention step costs in quality, the curve behind
+    * every "keep top X%" decision (DSIR/p15/p20 pick a point; this
+    * shows the whole curve).
+    *
+    * Scale shape: one [[SequentialId]] rank (range exchange + broadcast
+    * offsets), a 10-group aggregate, and a window over the 10-ROW
+    * decile table (bounded, never the data). All integer fixed point. */
+  def p26_selection_curve(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("n_dis"))
+      .withColumn("q_fp", when(col("n_tok") === 0L, 0L)
+        .otherwise(ldiv(col("n_dis") * 1000000L, col("n_tok"))))
+    val n = docs.agg(count(lit(1)).as("n_tot"))
+    val deciles = SequentialId.withSequentialId(
+        docs, "rn", Seq(col("q_fp").desc, col("doc_id")))
+      .crossJoin(broadcast(n))
+      .withColumn("decile", ldiv((col("rn") - 1L) * 10L, col("n_tot")))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("q_fp").as("qsum"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles // ≤10 rows: the global window is bounded by construction
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("cum_qsum", sum("qsum").over(w))
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        ldiv(col("qsum"), col("n_docs")).as("mean_q_fp"),
+        col("cum_tokens"),
+        ldiv(col("cum_qsum"), col("cum_docs")).as("cum_mean_q_fp"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p26_selection_curve" -> (p26_selection_curve _),
     "p25_label_propagation" -> (p25_label_propagation _),
     "p24_dsir_selection" -> (p24_dsir_selection _),
     "p23_kcenter_coreset" -> (p23_kcenter_coreset _),
@@ -1095,6 +1137,32 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // same quality score, same (q_fp DESC, doc_id) rank and integer
+    // decile split, same bounded cumulative window
+    "p26_selection_curve" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+           FROM documents),
+       sc AS (SELECT doc_id, len(tk)::BIGINT AS n_tok,
+           CASE WHEN len(tk) = 0 THEN 0
+             ELSE (len(list_distinct(tk)) * 1000000) // len(tk) END::BIGINT
+             AS q_fp
+         FROM d),
+       n AS (SELECT count(*)::BIGINT AS n_tot FROM sc),
+       r AS (SELECT doc_id, n_tok, q_fp,
+           row_number() OVER (ORDER BY q_fp DESC, doc_id) AS rn FROM sc),
+       dec AS (SELECT ((rn - 1) * 10) // n_tot AS decile,
+           count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+           sum(q_fp)::BIGINT AS qsum
+         FROM r, n GROUP BY 1),
+       cum AS (SELECT decile, n_docs, n_tokens, qsum,
+           sum(n_tokens) OVER (ORDER BY decile)::BIGINT AS cum_tokens,
+           sum(n_docs) OVER (ORDER BY decile)::BIGINT AS cum_docs,
+           sum(qsum) OVER (ORDER BY decile)::BIGINT AS cum_qsum
+         FROM dec)
+       SELECT decile::BIGINT AS decile, n_docs, n_tokens,
+         (qsum // n_docs)::BIGINT AS mean_q_fp, cum_tokens,
+         (cum_qsum // cum_docs)::BIGINT AS cum_mean_q_fp
+       FROM cum ORDER BY decile""",
     "p25_label_propagation" -> p25Sql,
     // same md5-60 bucket hash, same add-one smoothing, same fixed-point
     // freeze of the per-bucket log-ratio before the integer doc sum

@@ -74,6 +74,28 @@ class SelectionSpec extends SparkSpec {
     assert(scores("middle").max <= scores("tail").min)
   }
 
+  test("p26: curve is monotone in cumulative mass, quality non-increasing") {
+    val rows = PipelineQueries.p26_selection_curve(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    // decile sizes balanced to ±1; doc total ties out with the corpus
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    val total = Tables.documents(spark, sf()).count()
+    assert(rows.map(_._2).sum == total)
+    // cumulative tokens strictly increase and end at the corpus total
+    rows.sliding(2).foreach { case Array(a, b) => assert(b._5 > a._5); case _ => }
+    val allTok = Tables.documents(spark, sf())
+      .select(size(split(col("text"), " ")).cast("long")).collect()
+      .map(_.getLong(0)).sum
+    assert(rows.last._5 == allTok)
+    // mean quality per decile is non-increasing down the ranking, and
+    // the cumulative mean sits between the decile mean and the head's
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 <= a._4); assert(b._6 <= a._6); case _ => }
+    rows.foreach { r => assert(r._6 >= r._4) }
+  }
+
   test("p15: kept set is the maximal budget-respecting quality prefix") {
     val out = PipelineQueries.p15_token_budget(spark, sf())
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
