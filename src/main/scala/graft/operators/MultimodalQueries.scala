@@ -78,9 +78,13 @@ object MultimodalQueries {
     * are the decoded header geometry plus integer ITU-R BT.601 luma
     * (77R+150G+29B — for the paletted grayscale path that is exactly
     * 256·b per pixel, so the oracle stays integer-exact). */
-  def m01_media_features(s: SparkSession, dir: String): DataFrame = {
+  /** The m01 container mix (BMP-24/BMP-32/PPM/paletted BMP-8 by
+    * doc_id%4, RGB bytes cycling through the document), shared by m01
+    * and m23. */
+  private def m01Media(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[MediaRow] = {
     import s.implicits._
-    val media = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -113,6 +117,11 @@ object MultimodalQueries {
           }
         }
       }
+  }
+
+  def m01_media_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = m01Media(s, dir)
     media.mapPartitions { it =>
       it.map { r =>
         val img = MediaCodec.decodeImage(r.payload) // sniffed, not trusted
@@ -127,6 +136,50 @@ object MultimodalQueries {
         }
         MediaFeature(r.doc_id, img.width, img.height, img.channels, r.format,
           lum, lum / (n * 256.0))
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
+  final case class ColorStat(doc_id: Long, n_pixels: Long, dom_cell: Long,
+                             dom_count: Long, n_cells: Long)
+
+  /** m23 — dominant-color statistics: the first COLOR-space feature in
+    * the family (everything else reduces to luma). Each m01-mix image
+    * quantizes per pixel into a 4×4×4 RGB cube (cell = (r>>6)·16 +
+    * (g>>6)·4 + (b>>6), the classic 64-cell color histogram); features
+    * are the dominant cell (ties → lowest cell index), its pixel count,
+    * and the number of occupied cells — the triage signals behind
+    * near-solid detection, palette clustering and color-based sharding.
+    * The paletted BMP-8 path expands gray to r=g=b through the REAL
+    * palette decode, so its cells land on the diagonal (v>>6)·21.
+    *
+    * Scale shape: decode + 64-cell histogram + argmax all inside one
+    * mapPartitions pass; no shuffle beyond the output sort. */
+  def m23_dominant_color(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    m01Media(s, dir).mapPartitions { it =>
+      it.map { r =>
+        val img = MediaCodec.decodeImage(r.payload)
+        val hist = new Array[Long](64)
+        val n = img.width * img.height
+        var p = 0
+        while (p < n) {
+          val cell = ((img.pixels(3 * p) & 0xFF) >> 6) * 16 +
+            ((img.pixels(3 * p + 1) & 0xFF) >> 6) * 4 +
+            ((img.pixels(3 * p + 2) & 0xFF) >> 6)
+          hist(cell) += 1
+          p += 1
+        }
+        var dom = 0
+        var occ = 0L
+        var c = 0
+        while (c < 64) {
+          if (hist(c) > 0) occ += 1
+          if (hist(c) > hist(dom)) dom = c
+          c += 1
+        }
+        ColorStat(r.doc_id, n.toLong, dom.toLong, hist(dom), occ)
       }
     }.toDF()
       .orderBy("doc_id")
@@ -1326,6 +1379,7 @@ object MultimodalQueries {
     "m09_vit_patches" -> (m09_vit_patches _),
     "m08_audio_fingerprint" -> (m08_audio_fingerprint _),
     "m07_video_motion" -> (m07_video_motion _),
+    "m23_dominant_color" -> (m23_dominant_color _),
     "m22_tiff_metadata" -> (m22_tiff_metadata _),
     "m21_block_phash" -> (m21_block_phash _),
     "m06_image_dhash" -> (m06_image_dhash _),
@@ -1732,6 +1786,34 @@ object MultimodalQueries {
        SELECT doc_id, f::BIGINT AS n_frames, luma0::BIGINT AS luma0,
          motion::BIGINT AS motion
        FROM s ORDER BY doc_id""",
+    // m01 pixel construction replayed; same 4x4x4 quantization, same
+    // lowest-cell tie-break on the argmax
+    "m23_dominant_color" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           (length(text) % 64 + 1) AS w,
+           ((length(text) // 64) % 64 + 1) AS h
+         FROM documents),
+       px AS (SELECT doc_id, w * h AS n,
+           unnest(range(0, w * h)) AS p, text, len FROM t),
+       cells AS (SELECT doc_id, n,
+           CASE WHEN doc_id % 4 = 3 THEN
+             (ascii(substr(text, (p % len)::INT + 1, 1)) // 64) * 21
+           ELSE
+             (ascii(substr(text, ((3*p)   % len)::INT + 1, 1)) // 64) * 16
+           + (ascii(substr(text, ((3*p+1) % len)::INT + 1, 1)) // 64) * 4
+           + (ascii(substr(text, ((3*p+2) % len)::INT + 1, 1)) // 64)
+           END AS cell
+         FROM px),
+       hist AS (SELECT doc_id, n, cell, count(*)::BIGINT AS c
+         FROM cells GROUP BY 1, 2, 3),
+       ranked AS (SELECT doc_id, n, cell, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, cell)
+             AS rk,
+           count(*) OVER (PARTITION BY doc_id)::BIGINT AS occ
+         FROM hist)
+       SELECT doc_id, n::BIGINT AS n_pixels, cell::BIGINT AS dom_cell,
+         c AS dom_count, occ AS n_cells
+       FROM ranked WHERE rk = 1 ORDER BY doc_id""",
     // pgmGrid pixel convention replayed on the document bytes; strip
     // count is ceil(h/4), tag count is the fixed 9-entry IFD, byte
     // order alternates by doc parity
