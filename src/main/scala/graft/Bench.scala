@@ -103,7 +103,8 @@ object Bench {
       "q50_merge_on_read", "q52_time_travel", "q59_dv_vacuum",
       "q61_wap_publish", "q62_equality_deletes", "q63_incremental_mv",
       "q65_manifest_skipping", "q66_changelog_diff", "q68_merge_cow",
-      "q75_column_mapping", "q76_partition_evolution")
+      "q75_column_mapping", "q76_partition_evolution",
+      "q77_snapshot_expiry")
     val ingest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }

@@ -2092,7 +2092,73 @@ object RelationalQueries {
       .orderBy("status")
   }
 
+  /** q77 — snapshot EXPIRY with orphan-file deletion (the Iceberg
+    * `expire_snapshots` / Delta `VACUUM` retention shape, distinct from
+    * q59's DV-density rewrite): keep only the head snapshot, REBASE the
+    * commit log to a single head entry set (expired versions disappear
+    * from metadata, so a time travel past retention fails loudly rather
+    * than silently reading half a table), and physically delete every
+    * file no retained snapshot references (here fa — added at v1,
+    * removed by v3's rewrite). Builds its own q52-shaped store because
+    * expiry DESTROYS history: sharing q52's layout would corrupt
+    * q52/q66/q71 in the same sweep. Reads afterwards go through the
+    * REBASED log only — the head aggregate must be byte-identical to
+    * pre-expiry v3, which the oracle replays from the source table.
+    *
+    * Scale shape: expiry is O(|log| + |files|) driver metadata plus
+    * unlink calls; no data file is read or written — at 100 TB
+    * reclaiming a petabyte of dead snapshots costs the same as a
+    * megabyte. The accounting columns (files retained/deleted) are
+    * structural constants of this fixture, asserted against the real
+    * filesystem by SnapshotExpirySpec. */
+  def q77_snapshot_expiry(s: SparkSession, dir: String): DataFrame = {
+    val (newLog, nRet, nDel) =
+      graft.core.SessionMemo.memoize(s, "q77-expire:" + dir) {
+        val tag = graft.core.SessionMemo.pathTag(s, dir)
+        def tmp(n: String) = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_q77_${n}_$tag")
+          .getAbsolutePath
+        val o = Tables.orders(s, dir)
+        val (fa, fb, fc, fd, lg) =
+          (tmp("a"), tmp("b"), tmp("c"), tmp("d"), tmp("log"))
+        o.filter(col("o_orderdate") < lit("1998-01-01"))
+          .write.mode("overwrite").parquet(fa)
+        o.filter(col("o_orderdate") >= lit("1998-01-01") &&
+            col("o_orderdate") < lit("2000-01-01"))
+          .write.mode("overwrite").parquet(fb)
+        s.read.parquet(fa).filter(col("o_orderstatus") =!= "F")
+          .write.mode("overwrite").parquet(fc)
+        o.filter(col("o_orderdate") >= lit("2000-01-01"))
+          .write.mode("overwrite").parquet(fd)
+        val log = Array((1L, "add", fa), (2L, "add", fb),
+          (3L, "remove", fa), (3L, "add", fc), (3L, "add", fd))
+        // EXPIRE: retain only the head. Active set from the full
+        // history, then a rebased single-version log.
+        val head = log.map(_._1).max
+        val active = q52ActiveAt(log, head)
+        val orphans = Seq(fa, fb, fc, fd).filterNot(active.contains)
+        orphans.foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+        import s.implicits._
+        active.sorted.map((head, "add", _))
+          .toDF("version", "action", "path")
+          .coalesce(1).write.mode("overwrite").parquet(lg)
+        (lg, active.size.toLong, orphans.size.toLong)
+      }
+    val log = q52ReadLog(s, newLog)
+    require(log.forall(_._1 == 3L), "expired versions must leave the log")
+    val files = q52ActiveAt(log, 3L)
+    s.read.parquet(files: _*)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * lit(100)).cast("long")).as("total_fp"))
+      .withColumn("n_files_retained", lit(nRet))
+      .withColumn("n_files_deleted", lit(nDel))
+      .orderBy("status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_snapshot_expiry" -> (q77_snapshot_expiry _),
     "q76_partition_evolution" -> (q76_partition_evolution _),
     "q75_column_mapping" -> (q75_column_mapping _),
     "q73_bloom_skip_index" -> (q73_bloom_skip_index _),
@@ -2153,6 +2219,18 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     // replays nf/m from count(*) (AutoScale SQL twins), the 2-probe
     // Lehmer bit positions, the per-file bit sets and the skip math
+    // the retained head (v3) replayed from the source table; the
+    // accounting columns are structural constants of the 4-file fixture
+    // (3 retained, 1 orphaned), asserted on disk by SnapshotExpirySpec
+    "q77_snapshot_expiry" ->
+      """SELECT o_orderstatus AS status, count(*)::BIGINT AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_fp,
+           3::BIGINT AS n_files_retained, 1::BIGINT AS n_files_deleted
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+            OR o_orderstatus <> 'F'
+         GROUP BY 1 ORDER BY 1""",
     // layout-independent replay: same month band (middle third of the
     // observed month-index range, integer division) and bucket filter
     // straight off the source table
