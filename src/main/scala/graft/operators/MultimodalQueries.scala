@@ -141,6 +141,79 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class InterlaceFeature(doc_id: Long, width: Long, height: Long,
+                                    luma_sum: Long, pos_hash: Long)
+
+  /** m24 — Adam7-interlaced PNG decode: the progressive-rendering
+    * variant real-world PNGs ship in (every pass is an independent
+    * reduced raster that must be unfiltered on ITS OWN scanline
+    * neighborhood, then scattered onto the full grid — spec §8.2).
+    * The feature pair is chosen to catch exactly the bugs interlacing
+    * invites: `luma_sum` ignores position (any permutation passes),
+    * `pos_hash` = Σ pixel(p)·(p mod 97 + 1) is position-WEIGHTED, so a
+    * single swapped scatter target changes it. Even doc_ids carry gray
+    * rasters, odd RGB (both code paths, both bpp values). The oracle
+    * replays both sums from document bytes — PNG is lossless, so every
+    * pixel survives the filter+deflate+interlace round trip exactly.
+    *
+    * Scale shape: encode+decode+reduce in one scan pass, no shuffle. */
+  def m24_png_interlaced(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — pixel bytes would diverge from code points")
+          val bytes = text.getBytes("US-ASCII")
+          val len = bytes.length
+          val w = len % 64 + 1
+          val h = (len / 64) % 64 + 1
+          if (id % 2 == 0) {
+            val gray =
+              if (len == 0) new Array[Byte](1)
+              else Array.tabulate(w * h)(p => bytes(p % len))
+            MediaRow(id, Png.encodeAdam7(w, h, 1, gray), "png-i1")
+          } else {
+            val rgb =
+              if (len == 0) new Array[Byte](3)
+              else Array.tabulate(w * h * 3)(k => bytes(k % len))
+            MediaRow(id, Png.encodeAdam7(w, h, 3, rgb), "png-i3")
+          }
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = MediaCodec.decodeImage(r.payload)
+        var lum = 0L
+        var ph = 0L
+        val n = img.width * img.height
+        var p = 0
+        if (img.channels == 3) {
+          while (p < n) {
+            val l = 77L * (img.pixels(3 * p) & 0xFF) +
+              150L * (img.pixels(3 * p + 1) & 0xFF) +
+              29L * (img.pixels(3 * p + 2) & 0xFF)
+            lum += l
+            ph += l * (p % 97 + 1)
+            p += 1
+          }
+        } else {
+          while (p < n) {
+            val l = 256L * (img.pixels(p) & 0xFF)
+            lum += l
+            ph += l * (p % 97 + 1)
+            p += 1
+          }
+        }
+        InterlaceFeature(r.doc_id, img.width.toLong, img.height.toLong,
+          lum, ph)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   final case class ColorStat(doc_id: Long, n_pixels: Long, dom_cell: Long,
                              dom_count: Long, n_cells: Long)
 
@@ -1379,6 +1452,7 @@ object MultimodalQueries {
     "m09_vit_patches" -> (m09_vit_patches _),
     "m08_audio_fingerprint" -> (m08_audio_fingerprint _),
     "m07_video_motion" -> (m07_video_motion _),
+    "m24_png_interlaced" -> (m24_png_interlaced _),
     "m23_dominant_color" -> (m23_dominant_color _),
     "m22_tiff_metadata" -> (m22_tiff_metadata _),
     "m21_block_phash" -> (m21_block_phash _),
@@ -1786,6 +1860,29 @@ object MultimodalQueries {
        SELECT doc_id, f::BIGINT AS n_frames, luma0::BIGINT AS luma0,
          motion::BIGINT AS motion
        FROM s ORDER BY doc_id""",
+    // lossless replay of both sums from document bytes; pos_hash is
+    // position-weighted so a de-interlace scatter bug hash-fails
+    "m24_png_interlaced" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           (length(text) % 64 + 1) AS w,
+           ((length(text) // 64) % 64 + 1) AS h
+         FROM documents),
+       px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p, text, len
+         FROM t),
+       l AS (SELECT doc_id, w, h, p,
+           CASE WHEN doc_id % 2 = 0 THEN
+             256 * ascii(substr(text, (p % len)::INT + 1, 1))
+           ELSE
+             77 * ascii(substr(text, ((3*p)   % len)::INT + 1, 1))
+           + 150 * ascii(substr(text, ((3*p+1) % len)::INT + 1, 1))
+           + 29 * ascii(substr(text, ((3*p+2) % len)::INT + 1, 1))
+           END::BIGINT AS lum
+         FROM px)
+       SELECT doc_id, any_value(w)::BIGINT AS width,
+         any_value(h)::BIGINT AS height,
+         sum(lum)::BIGINT AS luma_sum,
+         sum(lum * (p % 97 + 1))::BIGINT AS pos_hash
+       FROM l GROUP BY doc_id ORDER BY doc_id""",
     // m01 pixel construction replayed; same 4x4x4 quantization, same
     // lowest-cell tie-break on the argmax
     "m23_dominant_color" ->

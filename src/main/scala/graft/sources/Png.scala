@@ -16,9 +16,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * 4 gray+alpha / 6 RGBA; interlace 0), PLTE, multi-IDAT zlib inflate,
   * per-scanline unfilter (None/Sub/Up/Average/Paeth per the spec's
   * reconstruction functions), tRNS ignored, alpha channels dropped on
-  * output (the m-family consumes opaque rasters). 16-bit depth and
-  * Adam7 interlace are rejected loudly. Output follows the
-  * [[MediaCodec.Image]] convention: channels 1 (gray) or 3 (RGB).
+  * output (the m-family consumes opaque rasters), Adam7 interlace
+  * (each of the 7 passes unfiltered as its own raster, then scattered
+  * onto the full grid, spec §8.2). 16-bit depth is rejected loudly.
+  * Output follows the [[MediaCodec.Image]] convention: channels 1
+  * (gray) or 3 (RGB).
   *
   * Encoder (fixture-side): IHDR/IDAT/IEND for gray or RGB, one zlib
   * stream, filter type cycling `row % 5` so every fixture exercises
@@ -101,6 +103,102 @@ object Png {
     o.toByteArray
   }
 
+  /** Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass. */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Forward-filter one independent raster (a whole image or one Adam7
+    * pass — the spec treats each pass as its own image for filtering)
+    * into `out` at `off`, row r using filter r mod 5. Returns the
+    * bytes written. */
+  private def filterImage(pw: Int, ph: Int, bpp: Int, px: Array[Byte],
+                          out: Array[Byte], off: Int): Int = {
+    val stride = pw * bpp
+    var y = 0
+    while (y < ph) {
+      val f = y % 5
+      out(off + y * (stride + 1)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = px(y * stride + x) & 0xFF
+        val left = if (x >= bpp) px(y * stride + x - bpp) & 0xFF else 0
+        val up = if (y > 0) px((y - 1) * stride + x) & 0xFF else 0
+        val ul = if (x >= bpp && y > 0) px((y - 1) * stride + x - bpp) & 0xFF else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        out(off + y * (stride + 1) + 1 + x) = (enc & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    ph * (stride + 1)
+  }
+
+  /** Encode with Adam7 interlacing (IHDR interlace = 1): seven reduced
+    * images, each filtered independently, one zlib stream. Empty passes
+    * (reduced width or height 0) contribute no scanlines, per spec. */
+  def encodeAdam7(w: Int, h: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"channels $channels")
+    require(pixels.length == w * h * channels, "pixel buffer size")
+    val bpp = channels
+    val total = Adam7.map { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw == 0 || ph == 0) 0 else ph * (pw * bpp + 1)
+    }.sum
+    val raw = new Array[Byte](total)
+    var off = 0
+    Adam7.foreach { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val sub = new Array[Byte](pw * ph * bpp)
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            var c = 0
+            while (c < bpp) {
+              sub((j * pw + i) * bpp + c) =
+                pixels(((y0 + j * dy) * w + (x0 + i * dx)) * bpp + c)
+              c += 1
+            }
+            i += 1
+          }
+          j += 1
+        }
+        off += filterImage(pw, ph, bpp, sub, raw, off)
+      }
+    }
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val comp = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+    d.end()
+    val o = new ByteArrayOutputStream()
+    o.write(Signature)
+    val ihdr = new Array[Byte](13)
+    def put32(a: Array[Byte], off2: Int, v: Int): Unit = {
+      a(off2) = ((v >> 24) & 0xFF).toByte; a(off2 + 1) = ((v >> 16) & 0xFF).toByte
+      a(off2 + 2) = ((v >> 8) & 0xFF).toByte; a(off2 + 3) = (v & 0xFF).toByte
+    }
+    put32(ihdr, 0, w); put32(ihdr, 4, h)
+    ihdr(8) = 8
+    ihdr(9) = (if (channels == 1) 0 else 2).toByte
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 1 // Adam7
+    chunk(o, "IHDR", ihdr)
+    chunk(o, "IDAT", comp.toByteArray)
+    chunk(o, "IEND", Array.emptyByteArray)
+    o.toByteArray
+  }
+
   /** Paeth predictor (spec §6.6): nearest of left/up/upper-left to
     * the linear estimate, ties broken left, up, upper-left. */
   private def paeth(a: Int, b: Int, c: Int): Int = {
@@ -118,7 +216,7 @@ object Png {
     def u32(p: Int): Long =
       ((bytes(p) & 0xFFL) << 24) | ((bytes(p + 1) & 0xFFL) << 16) |
         ((bytes(p + 2) & 0xFFL) << 8) | (bytes(p + 3) & 0xFFL)
-    var w = 0; var h = 0; var colorType = -1
+    var w = 0; var h = 0; var colorType = -1; var interlace = 0
     var palette: Array[Byte] = null
     val idat = new ByteArrayOutputStream()
     var ihdrSeen = false; var iendSeen = false
@@ -143,8 +241,9 @@ object Png {
           require(Set(0, 2, 3, 4, 6)(colorType), s"PNG: color type $colorType")
           require((bytes(body + 10) & 0xFF) == 0, "PNG: unknown compression")
           require((bytes(body + 11) & 0xFF) == 0, "PNG: unknown filter method")
-          require((bytes(body + 12) & 0xFF) == 0,
-            "PNG: Adam7 interlace unsupported")
+          interlace = bytes(body + 12) & 0xFF
+          require(interlace == 0 || interlace == 1,
+            s"PNG: interlace method $interlace")
           ihdrSeen = true
         case "PLTE" =>
           require(len % 3 == 0 && len > 0, "PNG: bad PLTE length")
@@ -161,10 +260,47 @@ object Png {
     val srcCh = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
     }
+    val stride = w * srcCh
+    val bpp = srcCh
+    // spec §6: per-scanline reconstruction of one independent raster
+    // (the whole image, or one Adam7 pass) starting at raw(off)
+    def unfilterImage(raw: Array[Byte], off: Int, pw: Int, ph: Int): Array[Byte] = {
+      val st = pw * bpp
+      val out = new Array[Byte](st * ph)
+      var y = 0
+      while (y < ph) {
+        val f = raw(off + y * (st + 1)) & 0xFF
+        require(f <= 4, s"PNG: filter type $f")
+        var x = 0
+        while (x < st) {
+          val v = raw(off + y * (st + 1) + 1 + x) & 0xFF
+          val left = if (x >= bpp) out(y * st + x - bpp) & 0xFF else 0
+          val up = if (y > 0) out((y - 1) * st + x) & 0xFF else 0
+          val ul = if (x >= bpp && y > 0) out((y - 1) * st + x - bpp) & 0xFF else 0
+          val r = f match {
+            case 0 => v
+            case 1 => v + left
+            case 2 => v + up
+            case 3 => v + (left + up) / 2
+            case 4 => v + paeth(left, up, ul)
+          }
+          out(y * st + x) = (r & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    val rawLen =
+      if (interlace == 0) (stride + 1) * h
+      else Adam7.map { case (x0, y0, dx, dy) =>
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        if (pw == 0 || ph == 0) 0 else ph * (pw * bpp + 1)
+      }.sum
     val inf = new Inflater()
     inf.setInput(idat.toByteArray)
-    val stride = w * srcCh
-    val raw = new Array[Byte]((stride + 1) * h)
+    val raw = new Array[Byte](rawLen)
     var got = 0
     while (got < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, got, raw.length - got)
@@ -173,31 +309,37 @@ object Png {
     }
     inf.end()
     require(got == raw.length, s"PNG: inflated $got of ${raw.length} bytes")
-    // spec §6: per-scanline reconstruction; bpp = bytes per pixel
-    val recon = new Array[Byte](stride * h)
-    val bpp = srcCh
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (stride + 1)) & 0xFF
-      require(f <= 4, s"PNG: filter type $f")
-      var x = 0
-      while (x < stride) {
-        val v = raw(y * (stride + 1) + 1 + x) & 0xFF
-        val left = if (x >= bpp) recon(y * stride + x - bpp) & 0xFF else 0
-        val up = if (y > 0) recon((y - 1) * stride + x) & 0xFF else 0
-        val ul = if (x >= bpp && y > 0) recon((y - 1) * stride + x - bpp) & 0xFF else 0
-        val r = f match {
-          case 0 => v
-          case 1 => v + left
-          case 2 => v + up
-          case 3 => v + (left + up) / 2
-          case 4 => v + paeth(left, up, ul)
+    val recon =
+      if (interlace == 0) unfilterImage(raw, 0, w, h)
+      else {
+        // Adam7 de-interlace: unfilter each pass independently, scatter
+        // its pixels onto the full-grid positions (spec §8.2)
+        val full = new Array[Byte](stride * h)
+        var off = 0
+        Adam7.foreach { case (x0, y0, dx, dy) =>
+          val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+          val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+          if (pw > 0 && ph > 0) {
+            val sub = unfilterImage(raw, off, pw, ph)
+            off += ph * (pw * bpp + 1)
+            var j = 0
+            while (j < ph) {
+              var i = 0
+              while (i < pw) {
+                var c = 0
+                while (c < bpp) {
+                  full(((y0 + j * dy) * w + (x0 + i * dx)) * bpp + c) =
+                    sub((j * pw + i) * bpp + c)
+                  c += 1
+                }
+                i += 1
+              }
+              j += 1
+            }
+          }
         }
-        recon(y * stride + x) = (r & 0xFF).toByte
-        x += 1
+        full
       }
-      y += 1
-    }
     colorType match {
       case 0 => MediaCodec.Image(w, h, 1, recon)
       case 2 => MediaCodec.Image(w, h, 3, recon)

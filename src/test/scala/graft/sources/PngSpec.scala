@@ -109,8 +109,31 @@ class PngSpec extends AnyFunSuite {
       Png.decode(handPng(3, 1, 0, 8, f, corruptCrc = true)))
     intercept[IllegalArgumentException](
       Png.decode(handPng(3, 1, 0, 16, f)))
+    // unknown interlace method (Adam7 = 1 is now supported; 2 is not)
+    intercept[IllegalArgumentException](
+      Png.decode(handPng(3, 1, 0, 8, f, interlace = 2)))
+    // an interlace=1 flag over a non-interlaced (too short) stream must
+    // fail loudly, not misread
     intercept[IllegalArgumentException](
       Png.decode(handPng(3, 1, 0, 8, f, interlace = 1)))
+  }
+
+  test("Adam7 round trip: gray and RGB, sizes straddling the pass grid") {
+    for ((w, h, ch) <- Seq((1, 1, 1), (3, 1, 1), (7, 11, 1), (16, 5, 3),
+      (8, 8, 3), (9, 2, 3), (2, 9, 1), (33, 17, 3))) {
+      val px = Array.tabulate(w * h * ch)(i => ((i * 41 + (i * i) % 239) % 256).toByte)
+      val img = Png.decode(Png.encodeAdam7(w, h, ch, px))
+      assert(img.width == w && img.height == h && img.channels == ch, s"($w,$h,$ch)")
+      assert(img.pixels.toSeq == px.toSeq, s"($w,$h,$ch)")
+    }
+  }
+
+  test("Adam7 and sequential encodes of the same raster decode identically") {
+    val (w, h, ch) = (21, 13, 3)
+    val px = Array.tabulate(w * h * ch)(i => ((i * 7 + 5) % 256).toByte)
+    val a = Png.decode(Png.encodeAdam7(w, h, ch, px))
+    val b = Png.decode(Png.encode(w, h, ch, px))
+    assert(a.pixels.toSeq == b.pixels.toSeq)
   }
 
   test("encoder round trip: all five filters, gray and RGB, odd sizes") {
