@@ -1098,7 +1098,59 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t28 — log-odds-ratio corpus comparison with the informative
+    * Dirichlet prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words" —
+    * the standard answer to "which words distinguish corpus A from
+    * corpus B", where raw frequency ratios over-weight rare words and
+    * TF-IDF ignores the comparison corpus). Groups: the t26 split
+    * (src0–9 vs src10–19); prior = the POOLED corpus counts themselves
+    * (α_w = y_w, α₀ = n, the paper's recommendation), so every prior
+    * input is an exact integer and both engines form identical doubles
+    * before the ln/sqrt. z_w = δ_w/σ_w with the paper's variance
+    * 1/(y1+α) + 1/(y2+α); output = top 10 words each way (the A-side
+    * and B-side vocabularies), z frozen at 1e6.
+    *
+    * Scale shape: one token scan → per-word partial+final counts
+    * (vocabulary-bounded), a broadcast 1-row total, two TakeOrdered
+    * top-10s. Nothing global beyond k=10 reductions. */
+  def t28_log_odds(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+    val isG1 = length(col("source")) === 4
+    val counts = docs.groupBy("w").agg(
+      sum(when(isG1, 1L).otherwise(0L)).as("y1"),
+      sum(when(isG1, 0L).otherwise(1L)).as("y2"))
+    val tot = counts.agg(sum("y1").as("n1"), sum("y2").as("n2"))
+    val scored = counts.crossJoin(broadcast(tot))
+      .withColumn("aw", (col("y1") + col("y2")).cast("double"))
+      .withColumn("a0", (col("n1") + col("n2")).cast("double"))
+      .withColumn("d",
+        log((col("y1") + col("aw")) /
+          (col("n1") + col("a0") - col("y1") - col("aw"))) -
+        log((col("y2") + col("aw")) /
+          (col("n2") + col("a0") - col("y2") - col("aw"))))
+      .withColumn("z", col("d") /
+        sqrt(lit(1.0) / (col("y1") + col("aw")) +
+          lit(1.0) / (col("y2") + col("aw"))))
+      .select(col("w"), col("y1"), col("y2"),
+        floor(col("z") * 1e6).cast("long").as("z_fp"))
+    def side(df: DataFrame, name: String, desc: Boolean): DataFrame = {
+      val ord = if (desc) Seq(col("z_fp").desc, col("w")) else Seq(col("z_fp"), col("w"))
+      val top = df.orderBy(ord: _*).limit(10)
+      // rank over the bounded 10-row result (p23/p26 convention)
+      top.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(ord: _*)).cast("long"))
+        .withColumn("side", lit(name))
+    }
+    side(scored, "g1", desc = true)
+      .unionByName(side(scored, "g2", desc = false))
+      .select("side", "rank", "w", "y1", "y2", "z_fp")
+      .orderBy("side", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_log_odds" -> (t28_log_odds _),
     "t27_luhn_pii" -> (t27_luhn_pii _),
     "t26_stupid_backoff" -> (t26_stupid_backoff _),
     "t25_gopher_gates" -> (t25_gopher_gates _),
@@ -1165,6 +1217,34 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "t27_luhn_pii" -> t27Sql,
+    // same pooled-prior integer inputs, same ln/sqrt shape, same 1e6
+    // freeze and (z, word) tie-break on both top-10s
+    "t28_log_odds" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+       c AS (SELECT w,
+           sum(CASE WHEN length(source) = 4 THEN 1 ELSE 0 END)::BIGINT AS y1,
+           sum(CASE WHEN length(source) = 4 THEN 0 ELSE 1 END)::BIGINT AS y2
+         FROM tok GROUP BY w),
+       n AS (SELECT sum(y1)::BIGINT AS n1, sum(y2)::BIGINT AS n2 FROM c),
+       sc AS (SELECT w, y1, y2,
+           CAST(floor(1e6 * (
+             (ln((y1 + (y1+y2)::DOUBLE) /
+                 (n1 + (n1+n2)::DOUBLE - y1 - (y1+y2)::DOUBLE))
+            - ln((y2 + (y1+y2)::DOUBLE) /
+                 (n2 + (n1+n2)::DOUBLE - y2 - (y1+y2)::DOUBLE)))
+             / sqrt(1.0 / (y1 + (y1+y2)::DOUBLE)
+                  + 1.0 / (y2 + (y1+y2)::DOUBLE)))) AS BIGINT) AS z_fp
+         FROM c, n),
+       g1 AS (SELECT 'g1' AS side, row_number() OVER
+             (ORDER BY z_fp DESC, w) AS rank, w, y1, y2, z_fp
+           FROM sc ORDER BY z_fp DESC, w LIMIT 10),
+       g2 AS (SELECT 'g2' AS side, row_number() OVER
+             (ORDER BY z_fp, w) AS rank, w, y1, y2, z_fp
+           FROM sc ORDER BY z_fp, w LIMIT 10)
+       SELECT side, rank::BIGINT AS rank, w, y1, y2, z_fp
+       FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+       ORDER BY side, rank""",
     // same md5-60 gram keys, same integer backoff chain (0.4 = *2 // 5),
     // same per-doc integer mean; `//` and IntegralDivide agree on the
     // nonnegative values here

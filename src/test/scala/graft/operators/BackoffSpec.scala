@@ -10,6 +10,41 @@ import graft.SparkSpec
   * c1(d)=1, N=6. */
 class BackoffSpec extends SparkSpec {
 
+  test("t28 equals an in-memory log-odds replay; directional sanity holds") {
+    val out = TextQueries.t28_log_odds(spark, sf("sf0.01"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toList
+
+    val toks = graft.core.Tables.documents(spark, sf("sf0.01"))
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().flatMap(r =>
+        r.getString(1).split(" ", -1).map(w => (r.getString(0).length == 4, w)))
+    val words = toks.groupBy(_._2).map { case (w, ts) =>
+      (w, ts.count(_._1).toLong, ts.count(!_._1).toLong)
+    }.toArray
+    val n1 = words.map(_._2).sum.toDouble
+    val n2 = words.map(_._3).sum.toDouble
+    val scored = words.map { case (w, y1, y2) =>
+      val aw = (y1 + y2).toDouble; val a0 = n1 + n2
+      val d = math.log((y1 + aw) / (n1 + a0 - y1 - aw)) -
+        math.log((y2 + aw) / (n2 + a0 - y2 - aw))
+      val z = d / math.sqrt(1.0 / (y1 + aw) + 1.0 / (y2 + aw))
+      (w, y1, y2, math.floor(z * 1e6).toLong)
+    }
+    val g1 = scored.sortBy(x => (-x._4, x._1)).take(10).zipWithIndex
+      .map { case ((w, y1, y2, z), i) => ("g1", i + 1L, w, y1, y2, z) }
+    val g2 = scored.sortBy(x => (x._4, x._1)).take(10).zipWithIndex
+      .map { case ((w, y1, y2, z), i) => ("g2", i + 1L, w, y1, y2, z) }
+    assert(out == (g1 ++ g2).toList)
+    // directional sanity: every g1 pick leans toward group 1 relative
+    // mass, every g2 pick the other way
+    out.foreach { case (side, _, _, y1, y2, z) =>
+      if (side == "g1") assert(y1 * n2 >= y2 * n1 || z <= 0)
+      else assert(y2 * n1 >= y1 * n2 || z >= 0)
+    }
+  }
+
   test("t27: canonical Luhn vectors accept/reject; seeds split by parity") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_t27").toString
