@@ -147,6 +147,46 @@ final case class Cube(df: DataFrame, explicitDims: Seq[Dim], implicitDims: Seq[D
     Cube(exploded, explicitDims :+ Dim(first.name, first.size), implicitDims.tail)
   }
 
+  /** OPH_REDUCE2 with a group size: COARSEN one implicit dim by an
+    * integer factor — each output cell reduces `factor` consecutive
+    * cells along that dim (op: "sum" | "avg" | "max"), the regrid
+    * primitive behind 2× spatial downsampling. In-array index remap, no
+    * shuffle; `avg` folds ascending then divides once, the order the
+    * oracle replays. */
+  def coarsenImplicit(dim: String, factor: Int, op: String): Cube = {
+    val d = dimIdx(dim, implicitDims)
+    val s = implicitDims(d).size
+    require(factor > 0 && s % factor == 0,
+      s"dim $dim size $s not divisible by $factor")
+    val innerStride = implicitDims.drop(d + 1).map(_.size).product.max(1)
+    val newSize = s / factor
+    val newTotal = implicitDims.map(_.size).product / factor
+    val remapped = bindOnce(col("measure"), m =>
+      transform(sequence(lit(0), lit(newTotal - 1)), o => {
+        // KA.ldiv: Column./ on integers is DOUBLE division in Spark
+        val outer = KA.ldiv(o, lit(newSize.toLong * innerStride))
+        val mid = pmod(KA.ldiv(o, lit(innerStride.toLong)), lit(newSize.toLong))
+        val inner = pmod(o.cast("long"), lit(innerStride.toLong))
+        val base = outer * (s.toLong * innerStride) +
+          mid * factor.toLong * innerStride + inner
+        val groupSum = aggregate(
+          transform(sequence(lit(0), lit(factor - 1)),
+            j => element_at(m, (base + j.cast("long") * innerStride).cast("int") + 1)),
+          lit(0.0), (acc, x) => acc + x)
+        op match {
+          case "sum" => groupSum
+          case "avg" => groupSum / factor.toDouble
+          case "max" => array_max(
+            transform(sequence(lit(0), lit(factor - 1)),
+              j => element_at(m, (base + j.cast("long") * innerStride).cast("int") + 1)))
+          case other => throw new IllegalArgumentException(s"op $other")
+        }
+      }))
+    Cube(df.withColumn("measure", remapped),
+      explicitDims,
+      implicitDims.patch(d, Seq(Dim(dim, newSize)), 1))
+  }
+
   /** OPH_PERMUTE: reorder the IMPLICIT dims. */
   def permuteImplicit(order: Seq[String]): Cube = {
     val perm = order.map(dimIdx(_, implicitDims))

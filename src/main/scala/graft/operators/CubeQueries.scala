@@ -137,7 +137,36 @@ object CubeQueries {
       .orderBy("id_dim")
   }
 
+  /** qc06 — 2× REGRID (coarsening), the OPH_REDUCE2-with-group-size
+    * workload that halves resolution along one spatial axis AND the
+    * time axis: the implicit x dim coarsens 8→4 by pairwise mean
+    * (in-array remap, [[graft.cube.Cube.coarsenImplicit]] — no
+    * shuffle), and consecutive row pairs aggregate by elementwise sum
+    * then halve (the qc02 outer/inner explicit-dim trick). Measures are
+    * integer-scaled first (the qc05 determinism trick), so every value
+    * stays on an exact ¼-integer dyadic grid — both engines replay the
+    * identical doubles, fx12 freezes them.
+    *
+    * Scale shape: one in-array pass + one 2-row groupBy (partial agg
+    * collapses pairs map-side when co-located; one narrow exchange
+    * otherwise). The regrid never explodes cells. */
+  def qc06_cube_regrid(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select((col("vec_id") + 1).as("id_dim"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1e6).cast("double")).as("measure"))
+    val n = base.count().toInt
+    require(n % 2 == 0, s"regrid pairs rows: even count needed, got $n")
+    Cube(base, Seq("outer" -> (n / 2), "inner" -> 2), Seq("x" -> 8, "y" -> 8))
+      .coarsenImplicit("x", 2, "avg")
+      .reduceExplicit("inner", "sum")
+      .apply_(m => transform(m, v => v / 2.0))
+      .df.orderBy("id_dim")
+      .withColumn("measure", graft.functions.ArrayPrimitives.fx12(col("measure")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc06_cube_regrid" -> (qc06_cube_regrid _),
     "qc05_cube_anomaly" -> (qc05_cube_anomaly _),
     "qc01_cube_pipeline" -> (qc01_cube_pipeline _),
     "qc02_cube_aggregate" -> (qc02_cube_aggregate _),
@@ -146,6 +175,24 @@ object CubeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same integer-scaled measures, same pairwise-mean folds with the
+    // 0.0 seed, same (wa+wb)/2 row pairing — all values on an exact
+    // quarter-integer dyadic grid
+    "qc06_cube_regrid" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, v -> floor(v::DOUBLE * 1e6)) AS m
+         FROM embeddings),
+       c AS (SELECT vec_id, list_transform(range(0, 32), k ->
+           (0.0 + m[((k // 8) * 16 + (k % 8))::INT + 1]
+                + m[((k // 8) * 16 + 8 + (k % 8))::INT + 1]) / 2.0) AS w
+         FROM e),
+       a AS (SELECT vec_id // 2 AS g, w FROM c WHERE vec_id % 2 = 0),
+       b AS (SELECT vec_id // 2 AS g, w FROM c WHERE vec_id % 2 = 1)
+       SELECT a.g + 1 AS id_dim,
+         array_to_string(list_transform(range(0, 32), k ->
+           CAST(floor(((a.w[k::INT + 1] + b.w[k::INT + 1]) / 2.0) * 1e12)
+             AS BIGINT)), ',') AS measure
+       FROM a JOIN b USING (g) ORDER BY id_dim""",
     // exact replay: integer-valued scaled measures sum exactly in any
     // order; one /50 division; anomaly per (row, cell)
     "qc05_cube_anomaly" ->

@@ -74,6 +74,36 @@ class CubeSpec extends SparkSpec {
     assert(collect(back) == collect(fixture))
   }
 
+  test("coarsenImplicit reduces groups along one in-array dim") {
+    // 2-implicit-dim cube so the stride math is exercised: (a=2, b=4),
+    // value = flat index 0..7 per row
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = Seq(Row(1L, (0 until 8).map(_.toDouble)),
+      Row(2L, (0 until 8).map(i => (10 + i).toDouble)))
+    val schema = StructType(Seq(StructField("id_dim", LongType, false),
+      StructField("measure", ArrayType(DoubleType), false)))
+    import scala.jdk.CollectionConverters._
+    val c = Cube(spark.createDataFrame(rows.asJava, schema),
+      Seq("r" -> 2), Seq("a" -> 2, "b" -> 4))
+    // coarsen the INNER dim b by 2: out[a][b'] = avg(in[a][2b'], in[a][2b'+1])
+    val avgB = collect(c.coarsenImplicit("b", 2, "avg"))
+    assert(c.coarsenImplicit("b", 2, "avg").implicitDims
+      .map(d => (d.name, d.size)) == Seq(("a", 2), ("b", 2)))
+    assert(avgB == Seq(
+      (1L, Seq(0.5, 2.5, 4.5, 6.5)), (2L, Seq(10.5, 12.5, 14.5, 16.5))))
+    // coarsen the OUTER dim a by 2: out[b] = max(in[0][b], in[1][b])
+    val maxA = collect(c.coarsenImplicit("a", 2, "max"))
+    assert(maxA == Seq((1L, Seq(4.0, 5.0, 6.0, 7.0)),
+      (2L, Seq(14.0, 15.0, 16.0, 17.0))))
+    // sum over the outer dim
+    val sumA = collect(c.coarsenImplicit("a", 2, "sum"))
+    assert(sumA == Seq((1L, Seq(4.0, 6.0, 8.0, 10.0)),
+      (2L, Seq(24.0, 26.0, 28.0, 30.0))))
+    // non-divisible factor rejected loudly
+    intercept[IllegalArgumentException](c.coarsenImplicit("b", 3, "avg"))
+  }
+
   test("permuteImplicit transposes in-array dims") {
     val r = fixture.rollup().permuteImplicit(Seq("x", "y"))
     assert(r.implicitDims.map(_.name) == Seq("x", "y"))
