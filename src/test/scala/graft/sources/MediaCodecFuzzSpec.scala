@@ -36,6 +36,56 @@ class MediaCodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("tiff roundtrips across random dimensions and both byte orders") {
+    for (i <- 1 to 30) {
+      val w = rnd.nextInt(40) + 1
+      val h = rnd.nextInt(23) + 1
+      val gray = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val d = Tiff.decode(Tiff.encodeGray(w, h, gray, bigEndian = i % 2 == 0))
+      assert(d.image.width == w && d.image.height == h, s"tiff ${w}x$h")
+      assert(d.image.pixels.toSeq == gray.toSeq, s"tiff ${w}x$h")
+      assert(d.nStrips == math.max(1, (h + 3) / 4))
+    }
+  }
+
+  test("Adam7 PNG roundtrips across random dimensions, gray and RGB") {
+    for (i <- 1 to 30) {
+      val w = rnd.nextInt(37) + 1
+      val h = rnd.nextInt(21) + 1
+      val ch = if (i % 2 == 0) 1 else 3
+      val px = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val img = Png.decode(Png.encodeAdam7(w, h, ch, px))
+      assert(img.width == w && img.height == h && img.channels == ch)
+      assert(img.pixels.toSeq == px.toSeq, s"adam7 ${w}x$h ch$ch")
+    }
+  }
+
+  test("tiff garbage never hangs or escapes with an index error") {
+    for (i <- 1 to 200) {
+      val n = rnd.nextInt(300) + 4
+      val junk = Array.fill(n)(rnd.nextInt(256).toByte)
+      if (i % 2 == 0) { junk(0) = 'I'; junk(1) = 'I' }
+      else { junk(0) = 'M'; junk(1) = 'M' }
+      if (i % 3 == 0 && n > 3) { junk(2) = 42; junk(3) = 0 }
+      try { Tiff.decode(junk); () }
+      catch {
+        case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+             _: NegativeArraySizeException |
+             _: java.nio.BufferUnderflowException => ()
+      }
+    }
+    // truncations of a REAL tiff exercise deeper walk states
+    val real = Tiff.encodeGray(16, 9, Array.fill(144)(7.toByte), bigEndian = false)
+    for (cut <- 4 until real.length by 7) {
+      try { Tiff.decode(java.util.Arrays.copyOf(real, cut)); () }
+      catch {
+        case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+             _: NegativeArraySizeException |
+             _: java.nio.BufferUnderflowException => ()
+      }
+    }
+  }
+
   test("wav roundtrips across random lengths") {
     for (_ <- 1 to 20) {
       val n = rnd.nextInt(2000) + 1
