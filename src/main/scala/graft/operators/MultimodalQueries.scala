@@ -1067,7 +1067,22 @@ object MultimodalQueries {
     *
     * Scale shape: identical to m14 — two scan-parallel mapPartitions
     * stages, no shuffle before the output sort. */
-  def m17_jpeg_ac_texture(s: SparkSession, dir: String): DataFrame = {
+  def m17_jpeg_ac_texture(s: SparkSession, dir: String): DataFrame =
+    jpegTexture(s, dir, progressive = false)
+
+  /** m25 — the m17 texture workload through the PROGRESSIVE (SOF2)
+    * decode chain: six scans (DC successive approximation + two
+    * spectral-selection AC bands, each refined Al=1→0) reconstruct the
+    * same raster baseline produces, so the two containers share one
+    * oracle — which is precisely the claim: a progressive-dominated
+    * real-world corpus decodes to the same features as sequential.
+    * Payload differs (SOF2, EOB runs, refinement bits); every feature
+    * value must not. */
+  def m25_jpeg_progressive(s: SparkSession, dir: String): DataFrame =
+    jpegTexture(s, dir, progressive = true)
+
+  private def jpegTexture(s: SparkSession, dir: String,
+                          progressive: Boolean): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
@@ -1081,8 +1096,12 @@ object MultimodalQueries {
           val hb = (len / 32) % 16 + 1
           val vals = Array.tabulate(4 * hb)(k =>
             64 + (if (len == 0) 0 else (bytes(k % len) & 0xFF) % 128))
-          MediaRow(id, Jpeg.encodeGrayTextured(32, 8 * hb, vals, dri = 2),
-            "jpeg-ac")
+          if (progressive)
+            MediaRow(id, Jpeg.encodeGrayTexturedProgressive(32, 8 * hb, vals),
+              "jpeg-prog")
+          else
+            MediaRow(id, Jpeg.encodeGrayTextured(32, 8 * hb, vals, dri = 2),
+              "jpeg-ac")
         }
       }
     media.mapPartitions { it =>
@@ -1452,6 +1471,7 @@ object MultimodalQueries {
     "m09_vit_patches" -> (m09_vit_patches _),
     "m08_audio_fingerprint" -> (m08_audio_fingerprint _),
     "m07_video_motion" -> (m07_video_motion _),
+    "m25_jpeg_progressive" -> (m25_jpeg_progressive _),
     "m24_png_interlaced" -> (m24_png_interlaced _),
     "m23_dominant_color" -> (m23_dominant_color _),
     "m22_tiff_metadata" -> (m22_tiff_metadata _),
@@ -1463,6 +1483,29 @@ object MultimodalQueries {
     "m04_resize_bilinear" -> (m04_resize_bilinear _),
     "m05_audio_features" -> (m05_audio_features _),
   )
+
+  /** Texture-fixture oracle shared by m17 (baseline) and m25
+    * (progressive): both containers must decode to the same raster. */
+  private lazy val jpegTextureSql: String = {
+      val pat = graft.sources.Jpeg.AcPatternPixels
+      val wp = pat.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS len,
+           8 * ((length(text) // 32) % 16 + 1) AS h FROM documents),
+         b AS (SELECT doc_id, h, 4 * (h // 8) AS nb,
+             list_transform(range(0, 4 * (h // 8)), k ->
+               64 + CASE WHEN len = 0 THEN 0
+                 ELSE ascii(substr(text, (k % len)::INT + 1, 1)) % 128 END)
+               AS vs
+           FROM t)
+         SELECT doc_id, 32::INT AS width, h::INT AS height,
+           nb::BIGINT AS n_blocks,
+           (64 * list_reduce(vs, (x, y) -> x + y))::BIGINT AS px_sum,
+           (2080 * list_reduce(vs, (x, y) -> x + y)
+             + nb * $wp)::BIGINT AS px_wsum,
+           (list_min(vs) + ${pat.min})::BIGINT AS px_min,
+           (list_max(vs) + ${pat.max})::BIGINT AS px_max
+         FROM b ORDER BY doc_id"""
+    }
 
   val oracles: Map[String, String] = Map(
     // 16-point WHT replayed coefficient-by-coefficient from the text
@@ -1572,26 +1615,9 @@ object MultimodalQueries {
     // closed-form replay with the AC LUT constants baked in at build
     // time: per block, sum = 64*v (texture sums to 0), weighted sum =
     // 2080*v + WP, extremes shift by the LUT min/max; v = 64 + b%128
-    "m17_jpeg_ac_texture" -> {
-      val pat = graft.sources.Jpeg.AcPatternPixels
-      val wp = pat.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum
-      s"""WITH t AS (SELECT doc_id, text, length(text) AS len,
-           8 * ((length(text) // 32) % 16 + 1) AS h FROM documents),
-         b AS (SELECT doc_id, h, 4 * (h // 8) AS nb,
-             list_transform(range(0, 4 * (h // 8)), k ->
-               64 + CASE WHEN len = 0 THEN 0
-                 ELSE ascii(substr(text, (k % len)::INT + 1, 1)) % 128 END)
-               AS vs
-           FROM t)
-         SELECT doc_id, 32::INT AS width, h::INT AS height,
-           nb::BIGINT AS n_blocks,
-           (64 * list_reduce(vs, (x, y) -> x + y))::BIGINT AS px_sum,
-           (2080 * list_reduce(vs, (x, y) -> x + y)
-             + nb * $wp)::BIGINT AS px_wsum,
-           (list_min(vs) + ${pat.min})::BIGINT AS px_min,
-           (list_max(vs) + ${pat.max})::BIGINT AS px_max
-         FROM b ORDER BY doc_id"""
-    },
+    "m25_jpeg_progressive" -> jpegTextureSql,
+    "m17_jpeg_ac_texture" -> jpegTextureSql,
+
     // sample synthesis + midpoint interpolation replayed on the code
     // points; floor division toward -inf matches Math.floorDiv; the
     // RIFF/WAVE roundtrip happens only Spark-side

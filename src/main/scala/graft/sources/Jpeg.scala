@@ -65,6 +65,15 @@ object Jpeg {
     (Array(0x00, 0xF0) ++
       (for (r <- 0 to 15; s <- 1 to 8) yield (r << 4) | s)).toArray)
 
+  /** Progressive fixture AC table: [[AcSpec]] plus the EOBn symbols
+    * (r<<4, r = 1..14) progressive EOB runs code with. 144 symbols,
+    * all 8-bit. */
+  private[sources] val AcProgSpec = HuffSpec(
+    Array(0, 0, 0, 0, 0, 0, 0, 144, 0, 0, 0, 0, 0, 0, 0, 0),
+    (Array(0x00, 0xF0) ++
+      (for (r <- 0 to 15; s <- 1 to 8) yield (r << 4) | s) ++
+      (1 to 14).map(_ << 4)).toArray)
+
   /** Annex C canonical code assignment: symbol → (code, length). */
   private def buildEncodeTable(spec: HuffSpec): Map[Int, (Int, Int)] = {
     var code = 0
@@ -291,6 +300,19 @@ object Jpeg {
       c
     }, FlatQ, dri)
 
+  /** [[encodeGrayTextured]]'s PROGRESSIVE twin: the same textured
+    * coefficient blocks through the six-scan SOF2 path — decodes to the
+    * identical raster, so the two containers share one oracle. */
+  def encodeGrayTexturedProgressive(w: Int, h: Int,
+                                    blockVals: Array[Int]): Array[Byte] =
+    encodeGrayProgressive(w, h, blockVals.map { v =>
+      require(v >= 64 && v <= 191, s"textured value $v outside [64,191]")
+      val c = new Array[Int](64)
+      c(0) = v - 128
+      AcPatternCoefs.foreach { case (idx, q) => c(idx) = q }
+      c
+    }, FlatQ)
+
   private def writeMarker(o: ByteArrayOutputStream, m: Int): Unit = {
     o.write(0xFF); o.write(m)
   }
@@ -442,6 +464,160 @@ object Jpeg {
     o.toByteArray
   }
 
+  /** Encode a GRAYSCALE PROGRESSIVE (SOF2) JPEG from quantized
+    * coefficient blocks: six scans — DC first at Al=1 and its
+    * refinement, then two spectral-selection AC bands ([1,5], [6,63])
+    * each coded at Al=1 and refined to Al=0 — so a decoder must walk
+    * DC successive approximation, band selection, EOB runs AND the
+    * G.1.2.3 AC refinement protocol to reconstruct the raster. The
+    * refinement emitter mirrors the decoder's traversal exactly
+    * (per-span correction bits, EOB runs buffer whole blocks' bits);
+    * encoder and decoder share no state, so the round trip is the
+    * check. */
+  def encodeGrayProgressive(w: Int, h: Int, blocks: Array[Array[Int]],
+                            q: Array[Int] = FlatQ): Array[Byte] = {
+    val bx = (w + 7) / 8; val by = (h + 7) / 8
+    require(blocks.length == bx * by, s"need ${bx * by} blocks")
+    val o = new ByteArrayOutputStream()
+    writeMarker(o, 0xD8)
+    writeSeg(o, 0xE0, Array(0x4A, 0x46, 0x49, 0x46, 0x00, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    writeSeg(o, 0xDB, dqtBody(0, q))
+    writeSeg(o, 0xC2, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 1, 1, 0x11, 0))
+    writeSeg(o, 0xC4, dhtBody(0, 0, DcSpec))
+    writeSeg(o, 0xC4, dhtBody(1, 0, AcProgSpec))
+    val dcT = buildEncodeTable(DcSpec); val acT = buildEncodeTable(AcProgSpec)
+    def putExtend(bw: BitWriter, v: Int, sz: Int): Unit =
+      bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+
+    // ---- scan 1: DC first, Al = 1 (diff coding of c0 >> 1)
+    writeSeg(o, 0xDA, Array(1, 1, 0x00, 0, 0, 0x01))
+    var bw = new BitWriter(o)
+    var pred = 0
+    blocks.foreach { b =>
+      val v = b(0) >> 1
+      val diff = v - pred
+      pred = v
+      val sz = category(diff)
+      val (code, len) = dcT(sz)
+      bw.put(code, len)
+      if (sz > 0) putExtend(bw, diff, sz)
+    }
+    bw.flushByte()
+
+    // ---- scan 2: DC refinement, Ah = 1, Al = 0 (one raw bit each)
+    writeSeg(o, 0xDA, Array(1, 1, 0x00, 0, 0, 0x10))
+    bw = new BitWriter(o)
+    blocks.foreach(b => bw.put(b(0) & 1, 1))
+    bw.flushByte()
+
+    /** EOBn: one code covers n blocks (n < 2^15): r = ⌊log₂ n⌋, then
+      * n − 2^r in r extension bits. */
+    def emitEobRun(bw2: BitWriter, n: Int): Unit = {
+      require(n > 0 && n < 32768, s"EOB run $n out of range")
+      var r = 0
+      while ((2 << r) <= n) r += 1
+      val (code, len) = acT(r << 4)
+      bw2.put(code, len)
+      if (r > 0) bw2.put(n - (1 << r), r)
+    }
+
+    def acFirstScan(ss: Int, se: Int, al: Int): Unit = {
+      writeSeg(o, 0xDA, Array(1, 1, 0x00, ss, se, al))
+      val bw2 = new BitWriter(o)
+      var eobrun = 0
+      blocks.foreach { b =>
+        def v(k: Int): Int = {
+          val c = b(Zigzag(k))
+          if (c < 0) -((-c) >> al) else c >> al
+        }
+        val nz = (ss to se).filter(v(_) != 0)
+        if (nz.isEmpty) eobrun += 1
+        else {
+          if (eobrun > 0) { emitEobRun(bw2, eobrun); eobrun = 0 }
+          var run = 0
+          var k = ss
+          while (k <= nz.last) {
+            val x = v(k)
+            if (x == 0) run += 1
+            else {
+              while (run > 15) {
+                val (zc, zl) = acT(0xF0); bw2.put(zc, zl); run -= 16
+              }
+              val sz = category(x)
+              val (code, len) = acT((run << 4) | sz)
+              bw2.put(code, len)
+              putExtend(bw2, x, sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (nz.last < se) eobrun += 1
+        }
+      }
+      if (eobrun > 0) emitEobRun(bw2, eobrun)
+      bw2.flushByte()
+    }
+
+    /** AC refinement scan (Ah = al+1 → Al = al): mirrors the decoder's
+      * G.1.2.3 traversal — correction bits interleave per span, EOB
+      * runs buffer the covered blocks' trailing bits in block order. */
+    def acRefineScan(ss: Int, se: Int, al: Int): Unit = {
+      writeSeg(o, 0xDA, Array(1, 1, 0x00, ss, se, ((al + 1) << 4) | al))
+      val bw2 = new BitWriter(o)
+      val pending = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+      def flushPending(): Unit = if (pending.nonEmpty) {
+        emitEobRun(bw2, pending.size)
+        pending.foreach(_.foreach(bit => bw2.put(bit, 1)))
+        pending.clear()
+      }
+      blocks.foreach { b =>
+        def mag(k: Int): Int = math.abs(b(Zigzag(k)))
+        def hist(k: Int): Int = mag(k) >> (al + 1) // value known after the first scan
+        def corrBit(k: Int): Int = (mag(k) >> al) & 1
+        val newly = (ss to se).filter(k => hist(k) == 0 && (mag(k) >> al) == 1)
+        if (newly.isEmpty) {
+          pending += (ss to se).filter(hist(_) != 0).map(corrBit)
+        } else {
+          flushPending()
+          var k = ss
+          newly.foreach { j =>
+            var r = (k until j).count(hist(_) == 0)
+            // spans of 16 zero-history positions under ZRL, correction
+            // bits interleaved exactly as the decoder walks them
+            while (r > 15) {
+              val (zc, zl) = acT(0xF0); bw2.put(zc, zl)
+              var consumed = 0
+              while (consumed < 16) {
+                if (hist(k) != 0) bw2.put(corrBit(k), 1) else consumed += 1
+                k += 1
+              }
+              r -= 16
+            }
+            val (code, len) = acT((r << 4) | 1)
+            bw2.put(code, len)
+            bw2.put(if (b(Zigzag(j)) > 0) 1 else 0, 1)
+            while (k < j) {
+              if (hist(k) != 0) bw2.put(corrBit(k), 1)
+              k += 1
+            }
+            k = j + 1
+          }
+          if (k <= se) // trailing positions ride an EOB run
+            pending += (k to se).filter(hist(_) != 0).map(corrBit)
+        }
+      }
+      flushPending()
+      bw2.flushByte()
+    }
+
+    acFirstScan(1, 5, 1)
+    acFirstScan(6, 63, 1)
+    acRefineScan(1, 5, 0)
+    acRefineScan(6, 63, 0)
+    writeMarker(o, 0xD9)
+    o.toByteArray
+  }
+
   // ----------------------------------------------------------- decoder
 
   private final case class Component(id: Int, hs: Int, vs: Int, tq: Int) {
@@ -449,9 +625,14 @@ object Jpeg {
     var acTab: Int = 0
   }
 
-  /** Decode a baseline-sequential JFIF stream to a [[MediaCodec.Image]]
-    * (channels = 1 for grayscale, 3 for YCbCr→RGB). Progressive /
-    * arithmetic / 12-bit streams are rejected loudly. */
+  /** Decode a baseline-sequential (SOF0) or PROGRESSIVE (SOF2) JFIF
+    * stream to a [[MediaCodec.Image]] (channels = 1 for grayscale, 3
+    * for YCbCr→RGB). Multi-scan architecture: every scan accumulates
+    * QUANTIZED coefficients into per-component block buffers
+    * (progressive DC first/refine, AC spectral-selection first/refine
+    * with EOB runs — T.81 G.1.2; baseline = one full-block scan), and
+    * dequantization + IDCT run once at EOI. Arithmetic coding,
+    * hierarchical and 12-bit streams are rejected loudly. */
   def decode(bytes: Array[Byte]): MediaCodec.Image = {
     require(bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
       (bytes(1) & 0xFF) == 0xD8, "JPEG: missing SOI")
@@ -462,152 +643,337 @@ object Jpeg {
     var comps: Array[Component] = null
     var w = 0; var h = 0
     var dri = 0
+    var progressive = false
+    // per-component quantized-coefficient buffers over the MCU-padded
+    // block grid (row-major, 64 ints per block)
+    var coefs: Array[Array[Int]] = null
+    var mcusX = 0; var mcusY = 0
+    var hmax = 1; var vmax = 1
 
     def u16(p: Int): Int = ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF)
 
-    var sosAt = -1
-    while (sosAt < 0) {
-      require(pos + 4 <= bytes.length, "JPEG: truncated marker stream")
-      require((bytes(pos) & 0xFF) == 0xFF, f"JPEG: expected marker at $pos")
-      val m = bytes(pos + 1) & 0xFF
-      val len = u16(pos + 2)
-      val body = pos + 4
-      require(body + len - 2 <= bytes.length, "JPEG: truncated segment")
-      m match {
-        case 0xDB => // DQT: one or more tables
-          var p = body
-          while (p < body + len - 2) {
-            val pq = (bytes(p) & 0xFF) >> 4
-            val tq = bytes(p) & 0x0F
-            require(pq <= 1, "JPEG: bad DQT precision")
-            val q = new Array[Int](64)
-            p += 1
-            for (z <- 0 until 64) {
-              q(Zigzag(z)) = if (pq == 0) bytes(p) & 0xFF else u16(p)
-              p += (if (pq == 0) 1 else 2)
-            }
-            qtabs(tq) = q
-          }
-        case 0xC4 => // DHT: one or more tables
-          var p = body
-          while (p < body + len - 2) {
-            val tc = (bytes(p) & 0xFF) >> 4
-            val th = bytes(p) & 0x0F
-            val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xFF)
-            val n = bits.sum
-            val vals = Array.tabulate(n)(i => bytes(p + 17 + i) & 0xFF)
-            val dec = new HuffDecoder(HuffSpec(bits, vals))
-            if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
-            p += 17 + n
-          }
-        case 0xC0 => // SOF0: baseline sequential
-          require((bytes(body) & 0xFF) == 8, "JPEG: only 8-bit precision")
-          h = u16(body + 1); w = u16(body + 3)
-          require(w > 0 && h > 0, "JPEG: zero dimensions")
-          val nc = bytes(body + 5) & 0xFF
-          require(nc == 1 || nc == 3, s"JPEG: $nc components unsupported")
-          comps = Array.tabulate(nc) { i =>
-            val p = body + 6 + 3 * i
-            val c = Component(bytes(p) & 0xFF, (bytes(p + 1) & 0xFF) >> 4,
-              bytes(p + 1) & 0x0F, bytes(p + 2) & 0xFF)
-            require(c.hs >= 1 && c.hs <= 2 && c.vs >= 1 && c.vs <= 2,
-              s"JPEG: sampling ${c.hs}x${c.vs} unsupported")
-            c
-          }
-        case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
-             0xCD | 0xCE | 0xCF =>
-          throw new IllegalArgumentException(
-            f"JPEG: SOF$m%02X (non-baseline) unsupported")
-        case 0xDD => dri = u16(body)
-        case 0xDA => // SOS
-          require(comps != null, "JPEG: SOS before SOF0")
-          val ns = bytes(body) & 0xFF
-          require(ns == comps.length, "JPEG: SOS component count mismatch")
-          for (i <- 0 until ns) {
-            val cs = bytes(body + 1 + 2 * i) & 0xFF
-            val c = comps.find(_.id == cs).getOrElse(
-              throw new IllegalArgumentException(s"JPEG: unknown scan comp $cs"))
-            c.dcTab = (bytes(body + 2 + 2 * i) & 0xFF) >> 4
-            c.acTab = bytes(body + 2 + 2 * i) & 0x0F
-          }
-          sosAt = body + len - 2
-        case x if x >= 0xE0 && x <= 0xEF => // APPn
-        case 0xFE => // COM
-        case other =>
-          throw new IllegalArgumentException(f"JPEG: marker FF$other%02X unsupported")
-      }
-      pos = body + len - 2
-    }
+    /** One entropy-coded scan. Returns the position just past its data. */
+    def decodeScan(scanComps: Array[Component], ss: Int, se: Int,
+                   ah: Int, al: Int, startPos: Int): Int = {
+      val br = new BitReader(bytes, startPos)
+      val interleaved = scanComps.length > 1
+      val preds = new Array[Int](comps.length)
+      var eobrun = 0
+      var rst = 0
+      def ciOf(c: Component): Int = comps.indexWhere(_.id == c.id)
 
-    val hmax = comps.map(_.hs).max
-    val vmax = comps.map(_.vs).max
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    // per-component plane padded to whole MCUs
-    val planes = comps.map(c => new Array[Int](mcusX * c.hs * 8 * mcusY * c.vs * 8))
-    val preds = new Array[Int](comps.length)
-    val br = new BitReader(bytes, sosAt)
-    val coef = new Array[Int](64)
-    val px = new Array[Int](64)
-    var rst = 0
-    var m = 0
-    while (m < mcusX * mcusY) {
-      if (dri > 0 && m > 0 && m % dri == 0) {
-        br.restart(rst)
-        rst = (rst + 1) % 8
-        java.util.Arrays.fill(preds, 0)
-      }
-      val my = m / mcusX; val mx = m % mcusX
-      var ci = 0
-      while (ci < comps.length) {
-        val c = comps(ci)
-        val q = qtabs(c.tq)
-        require(q != null, s"JPEG: missing quant table ${c.tq}")
+      def fullBlock(c: Component, buf: Array[Int], off: Int, ci: Int): Unit = {
         val dcT = dcTabs(c.dcTab); val acT = acTabs(c.acTab)
         require(dcT != null && acT != null, "JPEG: missing Huffman table")
-        val planeW = mcusX * c.hs * 8
-        var bv = 0
-        while (bv < c.vs) {
-          var bh = 0
-          while (bh < c.hs) {
-            java.util.Arrays.fill(coef, 0)
-            val s = br.decode(dcT)
-            preds(ci) += br.receiveExtend(s)
-            coef(0) = preds(ci) * q(0)
-            var k = 1
-            var eob = false
-            while (k < 64 && !eob) {
-              val rs = br.decode(acT)
-              val r = rs >> 4; val sz = rs & 0x0F
-              if (sz == 0) {
-                if (r == 15) k += 16 // ZRL
-                else eob = true
-              } else {
-                k += r
-                require(k < 64, "JPEG: AC run past block end")
-                coef(Zigzag(k)) = br.receiveExtend(sz) * q(Zigzag(k))
+        val sbits = br.decode(dcT)
+        preds(ci) += br.receiveExtend(sbits)
+        buf(off) = preds(ci)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = br.decode(acT)
+          val r = rs >> 4; val sz = rs & 0x0F
+          if (sz == 0) {
+            if (r == 15) k += 16 // ZRL
+            else eob = true
+          } else {
+            k += r
+            require(k < 64, "JPEG: AC run past block end")
+            buf(off + Zigzag(k)) = br.receiveExtend(sz)
+            k += 1
+          }
+        }
+      }
+
+      def dcFirst(c: Component, buf: Array[Int], off: Int, ci: Int): Unit = {
+        val dcT = dcTabs(c.dcTab)
+        require(dcT != null, "JPEG: missing DC table")
+        val sbits = br.decode(dcT)
+        preds(ci) += br.receiveExtend(sbits)
+        buf(off) = preds(ci) << al
+      }
+
+      def dcRefine(buf: Array[Int], off: Int): Unit =
+        if (br.bit() == 1) buf(off) |= 1 << al
+
+      def acFirst(c: Component, buf: Array[Int], off: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        val acT = acTabs(c.acTab)
+        require(acT != null, "JPEG: missing AC table")
+        var k = ss
+        var done = false
+        while (k <= se && !done) {
+          val rs = br.decode(acT)
+          val r = rs >> 4; val sz = rs & 0x0F
+          if (sz == 0) {
+            if (r == 15) k += 16 // ZRL inside the band
+            else { // EOBn: run of 2^r + extension blocks ends here
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += br.bits(r)
+              done = true
+            }
+          } else {
+            k += r
+            require(k <= se, "JPEG: AC run past band end")
+            buf(off + Zigzag(k)) = br.receiveExtend(sz) << al
+            k += 1
+          }
+        }
+      }
+
+      /** AC successive-approximation refinement (G.1.2.3): newly
+        * significant coefficients arrive as ±1·2^al after a run of
+        * zero-HISTORY positions; every nonzero-history coefficient
+        * passed on the way emits one correction bit. */
+      def acRefine(c: Component, buf: Array[Int], off: Int): Unit = {
+        val p1 = 1 << al
+        val m1 = -1 << al
+        def correct(z: Int): Unit = {
+          if (br.bit() == 1) {
+            val v = buf(off + z)
+            if ((v & p1) == 0 && (-v & p1) == 0)
+              buf(off + z) = if (v >= 0) v + p1 else v + m1
+          }
+        }
+        var k = ss
+        if (eobrun == 0) {
+          val acT = acTabs(c.acTab)
+          require(acT != null, "JPEG: missing AC table")
+          var done = false
+          while (k <= se && !done) {
+            val rs = br.decode(acT)
+            var r = rs >> 4; val sz = rs & 0x0F
+            var newVal = 0
+            if (sz == 0) {
+              if (r < 15) {
+                eobrun = (1 << r)
+                if (r > 0) eobrun += br.bits(r)
+                done = true // remaining band handled by the EOB branch
+              }
+              // r == 15: skip 16 zero-history positions below
+            } else {
+              require(sz == 1, "JPEG: refinement size must be 1")
+              newVal = if (br.bit() == 1) p1 else m1
+            }
+            if (!done) {
+              var placed = false
+              while (k <= se && !placed) {
+                val z = Zigzag(k)
+                if (buf(off + z) != 0) correct(z)
+                else {
+                  if (r == 0) {
+                    if (newVal != 0) buf(off + z) = newVal
+                    placed = true
+                  } else r -= 1
+                }
                 k += 1
               }
+              require(placed || newVal == 0, "JPEG: refine run past band end")
             }
-            idctBlock(coef, px)
-            val ox = (mx * c.hs + bh) * 8
-            val oy = (my * c.vs + bv) * 8
-            var yy = 0
-            while (yy < 8) {
-              var xx = 0
-              while (xx < 8) {
-                planes(ci)((oy + yy) * planeW + ox + xx) = px(yy * 8 + xx)
-                xx += 1
-              }
-              yy += 1
-            }
-            bh += 1
           }
-          bv += 1
         }
-        ci += 1
+        if (eobrun > 0) {
+          while (k <= se) {
+            val z = Zigzag(k)
+            if (buf(off + z) != 0) correct(z)
+            k += 1
+          }
+          eobrun -= 1
+        }
       }
-      m += 1
+
+      def decodeOne(c: Component, blockIdx: Int): Unit = {
+        val ci = ciOf(c)
+        val buf = coefs(ci)
+        val off = blockIdx * 64
+        if (!progressive) fullBlock(c, buf, off, ci)
+        else if (ss == 0 && ah == 0) dcFirst(c, buf, off, ci)
+        else if (ss == 0) dcRefine(buf, off)
+        else if (ah == 0) acFirst(c, buf, off)
+        else acRefine(c, buf, off)
+      }
+
+      def restartIfDue(unit: Int): Unit =
+        if (dri > 0 && unit > 0 && unit % dri == 0) {
+          br.restart(rst)
+          rst = (rst + 1) % 8
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+        }
+
+      if (interleaved) {
+        var m = 0
+        while (m < mcusX * mcusY) {
+          restartIfDue(m)
+          val my = m / mcusX; val mx = m % mcusX
+          scanComps.foreach { c =>
+            val bw = mcusX * c.hs
+            var bv = 0
+            while (bv < c.vs) {
+              var bh = 0
+              while (bh < c.hs) {
+                decodeOne(c, (my * c.vs + bv) * bw + mx * c.hs + bh)
+                bh += 1
+              }
+              bv += 1
+            }
+          }
+          m += 1
+        }
+      } else {
+        // non-interleaved: the component's OWN block grid, no MCU padding
+        val c = scanComps(0)
+        val bw = mcusX * c.hs // padded stride
+        val cw = (w * c.hs + hmax - 1) / hmax
+        val ch = (h * c.vs + vmax - 1) / vmax
+        val nbx = (cw + 7) / 8; val nby = (ch + 7) / 8
+        var b = 0
+        while (b < nbx * nby) {
+          restartIfDue(b)
+          decodeOne(c, (b / nbx) * bw + b % nbx)
+          b += 1
+        }
+      }
+      // scan forward past pad bits to the next marker
+      var p = br.pos
+      while (p + 1 < bytes.length &&
+        !((bytes(p) & 0xFF) == 0xFF && (bytes(p + 1) & 0xFF) != 0x00 &&
+          (bytes(p + 1) & 0xFF) != 0xFF)) p += 1
+      p
+    }
+
+    var eoiSeen = false
+    while (!eoiSeen) {
+      require(pos + 2 <= bytes.length, "JPEG: truncated marker stream")
+      require((bytes(pos) & 0xFF) == 0xFF, f"JPEG: expected marker at $pos")
+      val m = bytes(pos + 1) & 0xFF
+      if (m == 0xD9) { eoiSeen = true; pos += 2 }
+      else {
+        require(pos + 4 <= bytes.length, "JPEG: truncated marker stream")
+        val len = u16(pos + 2)
+        val body = pos + 4
+        require(body + len - 2 <= bytes.length, "JPEG: truncated segment")
+        m match {
+          case 0xDB => // DQT: one or more tables
+            var p = body
+            while (p < body + len - 2) {
+              val pq = (bytes(p) & 0xFF) >> 4
+              val tq = bytes(p) & 0x0F
+              require(pq <= 1, "JPEG: bad DQT precision")
+              val q = new Array[Int](64)
+              p += 1
+              for (z <- 0 until 64) {
+                q(Zigzag(z)) = if (pq == 0) bytes(p) & 0xFF else u16(p)
+                p += (if (pq == 0) 1 else 2)
+              }
+              qtabs(tq) = q
+            }
+          case 0xC4 => // DHT: one or more tables
+            var p = body
+            while (p < body + len - 2) {
+              val tc = (bytes(p) & 0xFF) >> 4
+              val th = bytes(p) & 0x0F
+              val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xFF)
+              val n = bits.sum
+              val vals = Array.tabulate(n)(i => bytes(p + 17 + i) & 0xFF)
+              val dec = new HuffDecoder(HuffSpec(bits, vals))
+              if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
+              p += 17 + n
+            }
+          case 0xC0 | 0xC2 => // SOF0 baseline | SOF2 progressive
+            require(comps == null, "JPEG: multiple SOF segments")
+            progressive = m == 0xC2
+            require((bytes(body) & 0xFF) == 8, "JPEG: only 8-bit precision")
+            h = u16(body + 1); w = u16(body + 3)
+            require(w > 0 && h > 0, "JPEG: zero dimensions")
+            val nc = bytes(body + 5) & 0xFF
+            require(nc == 1 || nc == 3, s"JPEG: $nc components unsupported")
+            comps = Array.tabulate(nc) { i =>
+              val p = body + 6 + 3 * i
+              val c = Component(bytes(p) & 0xFF, (bytes(p + 1) & 0xFF) >> 4,
+                bytes(p + 1) & 0x0F, bytes(p + 2) & 0xFF)
+              require(c.hs >= 1 && c.hs <= 2 && c.vs >= 1 && c.vs <= 2,
+                s"JPEG: sampling ${c.hs}x${c.vs} unsupported")
+              c
+            }
+            hmax = comps.map(_.hs).max
+            vmax = comps.map(_.vs).max
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            coefs = comps.map(c =>
+              new Array[Int](mcusX * c.hs * mcusY * c.vs * 64))
+          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+               0xCD | 0xCE | 0xCF =>
+            throw new IllegalArgumentException(
+              f"JPEG: SOF$m%02X (unsupported coding process)")
+          case 0xDD => dri = u16(body)
+          case 0xDA => // SOS: scan header then entropy data
+            require(comps != null, "JPEG: SOS before SOF")
+            val ns = bytes(body) & 0xFF
+            require(ns >= 1 && ns <= comps.length, "JPEG: bad scan comp count")
+            val scanComps = Array.tabulate(ns) { i =>
+              val cs = bytes(body + 1 + 2 * i) & 0xFF
+              val c = comps.find(_.id == cs).getOrElse(
+                throw new IllegalArgumentException(s"JPEG: unknown scan comp $cs"))
+              c.dcTab = (bytes(body + 2 + 2 * i) & 0xFF) >> 4
+              c.acTab = bytes(body + 2 + 2 * i) & 0x0F
+              c
+            }
+            val ss = bytes(body + 1 + 2 * ns) & 0xFF
+            val se = bytes(body + 2 + 2 * ns) & 0xFF
+            val ahAl = bytes(body + 3 + 2 * ns) & 0xFF
+            val (ah, al) = (ahAl >> 4, ahAl & 0x0F)
+            if (!progressive)
+              require(ss == 0 && se == 63 && ah == 0 && al == 0,
+                "JPEG: baseline scan must cover the full block")
+            else {
+              require(se >= ss && se <= 63, "JPEG: bad spectral band")
+              require(ss == 0 || ns == 1,
+                "JPEG: progressive AC scans are single-component")
+              if (ss == 0) require(se == 0, "JPEG: DC scan must have Se=0")
+            }
+            pos = decodeScan(scanComps, ss, se, ah, al, body + len - 2)
+          case x if x >= 0xE0 && x <= 0xEF => // APPn
+          case 0xFE => // COM
+          case other =>
+            throw new IllegalArgumentException(
+              f"JPEG: marker FF$other%02X unsupported")
+        }
+        if (m != 0xDA) pos = body + len - 2
+      }
+    }
+    require(comps != null, "JPEG: missing SOF")
+
+    // dequantize + IDCT every block into per-component pixel planes
+    val planes = comps.map(c => new Array[Int](mcusX * c.hs * 8 * mcusY * c.vs * 8))
+    val dq = new Array[Int](64)
+    val px = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = qtabs(c.tq)
+      require(q != null, s"JPEG: missing quant table ${c.tq}")
+      val bw = mcusX * c.hs; val bh = mcusY * c.vs
+      val planeW = bw * 8
+      var b = 0
+      while (b < bw * bh) {
+        val off = b * 64
+        var i = 0
+        while (i < 64) { dq(i) = coefs(ci)(off + i) * q(i); i += 1 }
+        idctBlock(dq, px)
+        val ox = (b % bw) * 8; val oy = (b / bw) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            planes(ci)((oy + yy) * planeW + ox + xx) = px(yy * 8 + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        b += 1
+      }
+      ci += 1
     }
 
     if (comps.length == 1) {
