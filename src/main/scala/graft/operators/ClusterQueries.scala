@@ -922,7 +922,47 @@ object ClusterQueries {
       .orderBy("event_type")
   }
 
+  /** c18 — Spearman rank correlation between two scorers (the c16
+    * hyperplane pair): "do the models RANK the data the same way",
+    * the agreement view that precedes an ensemble or a distillation
+    * decision — Pearson on scores rewards calibration, Spearman only
+    * ordering. Ranks come from two [[SequentialId]] passes over the
+    * (score, vec_id) total orders (ties broken by id, documented), so
+    * ρ = 1 − 6·Σd²/(n(n²−1)) is EXACT integer arithmetic end to end:
+    * Σd² ≤ n³/3 fits a long to n ≈ 2·10⁶ and the decimal(38) carry
+    * beyond — shipped ×1e6 with one integral divide.
+    *
+    * Scale shape: two range exchanges + one total aggregate. */
+  def c18_spearman(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    def signs(m: Long) = lit((1 to 64).map(i =>
+      if (i.toLong * m / 65536L % 2L == 1L) 1.0 else -1.0).toArray)
+    def scoreFp(w: Column): Column =
+      floor(aggregate(zip_with(col("a"), w, (x, ww) => x * ww),
+        lit(0.0), (acc, x) => acc + x) * lit(1e6)).cast("long")
+    val sc = Tables.embeddings(s, dir)
+      .withColumn("a", col("embedding").cast("array<double>"))
+      .select(col("vec_id"),
+        scoreFp(signs(2654435761L)).as("sa"),
+        scoreFp(signs(2246822519L)).as("sb"))
+    val ra = SequentialId.withSequentialId(sc, "ra", Seq(col("sa"), col("vec_id")))
+    val rb = SequentialId.withSequentialId(
+      ra.select("vec_id", "ra", "sb"), "rb", Seq(col("sb"), col("vec_id")))
+    rb.agg(count(lit(1)).as("n"),
+        sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("d2"))
+      // d2·6e6 must fit a long: d2 ≤ n³/3 bounds this to n ≈ 16500 —
+      // raise loudly beyond (the q55/t19 guard pattern; a 100 TB run
+      // would sample pairs instead of ranking the full corpus)
+      .withColumn("guard", when(col("d2") > 1537228672809L,
+        raise_error(lit("c18: sum d² too large for the 1e6 carry — " +
+          "sample the corpus"))).otherwise(lit(0L)))
+      .select(col("n"), (col("d2") + col("guard")).as("sum_d2"),
+        (lit(1000000L) - ldiv(col("d2") * 6000000L,
+          col("n") * (col("n") * col("n") - 1L))).as("rho_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c18_spearman" -> (c18_spearman _),
     "c17_psi_drift" -> (c17_psi_drift _),
     "c16_mcnemar_paired" -> (c16_mcnemar_paired _),
     "c15_average_precision" -> (c15_average_precision _),
@@ -1082,6 +1122,27 @@ object ClusterQueries {
   private val gainsSql = ndcgGains.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // same two scorers, same (score, vec_id) rank order, same exact
+    // integer rho formula
+    "c18_spearman" ->
+      """WITH sc AS (SELECT vec_id,
+           CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),
+             i -> (embedding[i]::DOUBLE) *
+               (CASE WHEN i * 2654435761 // 65536 % 2 = 1
+                THEN 1.0 ELSE -1.0 END)), (p, q) -> p + q)) AS BIGINT) AS sa,
+           CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),
+             i -> (embedding[i]::DOUBLE) *
+               (CASE WHEN i * 2246822519 // 65536 % 2 = 1
+                THEN 1.0 ELSE -1.0 END)), (p, q) -> p + q)) AS BIGINT) AS sb
+         FROM embeddings),
+       r AS (SELECT row_number() OVER (ORDER BY sa, vec_id) AS ra,
+           row_number() OVER (ORDER BY sb, vec_id) AS rb FROM sc),
+       t AS (SELECT count(*)::BIGINT AS n,
+           CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS d2 FROM r)
+       SELECT n, d2 AS sum_d2,
+         CAST(1000000 - (d2 * 6000000) // (n * (n * n - 1)) AS BIGINT)
+           AS rho_fp
+       FROM t""",
     // same 16-bin grid with add-one smoothing, same per-bin 1e6 freeze
     // before the per-type integer sum
     "c17_psi_drift" ->

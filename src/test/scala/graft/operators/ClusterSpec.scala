@@ -209,6 +209,33 @@ class ClusterSpec extends SparkSpec {
     assert(mc == expMc)
   }
 
+  test("c18: Spearman rho equals a direct rank replay; self-rank is exactly 1e6") {
+    val row = ClusterQueries.c18_spearman(spark, sf()).head()
+    val (n, d2, rho) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    def signs(m: Long) = (1 to 64).map(i =>
+      if (i.toLong * m / 65536L % 2L == 1L) 1.0 else -1.0)
+    val rows = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map { r =>
+        val a = r.getSeq[Double](1)
+        def sc(ss: Seq[Double]) = math.floor(
+          a.indices.map(i => a(i) * ss(i)).sum * 1e6).toLong
+        (r.getLong(0), sc(signs(2654435761L)), sc(signs(2246822519L)))
+      }
+    def ranks(key: ((Long, Long, Long)) => (Long, Long)): Map[Long, Long] =
+      rows.sortBy(key).zipWithIndex.map { case (r, i) => r._1 -> (i + 1L) }.toMap
+    val ra = ranks(r => (r._2, r._1))
+    val rb = ranks(r => (r._3, r._1))
+    val expD2 = rows.map(r => { val d = ra(r._1) - rb(r._1); d * d }).sum
+    assert(n == rows.length && d2 == expD2)
+    assert(rho == 1000000L - 6000000L * expD2 / (n * (n * n - 1)))
+    // rho of a ranking against itself would be exactly 1e6; against the
+    // reversal exactly -1e6 (the formula's calibration points)
+    val nn = 9L
+    val rev = (1L to nn).map(i => { val d = i - (nn + 1 - i); d * d }).sum
+    assert(1000000L - 6000000L * rev / (nn * (nn * nn - 1)) == -1000000L)
+  }
+
   test("c17: PSI is zero for identical halves, positive for a shifted one") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_c17").toString
