@@ -1129,7 +1129,42 @@ object DedupQueries {
           .as("recall_fp"))
   }
 
+  /** d24 — duplication-profile histogram: the one-page answer to "how
+    * duplicated is this corpus" — near-dup clusters bucketed by size
+    * (1, 2, 3–4, 5–8, 9+), with cluster/doc counts and the largest
+    * cluster per bucket. The fourth consumer of the memoized component
+    * labels (after d14's manifest, p13's sampling weights and d22's
+    * keep-best cut); singletons are derived from count(*) minus the
+    * clustered docs — never materialized. The 9+ bucket's max_size is
+    * the number a corpus owner reads first: a single giant cluster
+    * usually means boilerplate, not duplication.
+    *
+    * Scale shape: one ≤|clusters|-row aggregate over the shared labels
+    * plus integer bucket CASEs — nothing new touches the corpus. */
+  def d24_cluster_histogram(s: SparkSession, dir: String): DataFrame = {
+    val lbl = componentLabels(s, dir)
+    val sizes = lbl.groupBy("comp").agg(count(lit(1)).as("sz"))
+    val nTot = Tables.documents(s, dir).count()
+    val nClustered = lbl.count()
+    val labels = lit(Array("1", "2", "3-4", "5-8", "9+"))
+    val clustered = sizes
+      .withColumn("b", when(col("sz") === 2L, 1L)
+        .when(col("sz") <= 4L, 2L).when(col("sz") <= 8L, 3L).otherwise(4L))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
+        max("sz").as("max_size"))
+    val nSingle = nTot - nClustered
+    val singletons = s.range(1).select(lit(0L).as("b"),
+      lit(nSingle).as("n_clusters"), lit(nSingle).as("n_docs"),
+      lit(if (nSingle > 0) 1L else 0L).as("max_size"))
+    singletons.unionByName(clustered)
+      .withColumn("bucket", element_at(labels, col("b").cast("int") + 1))
+      .select("b", "bucket", "n_clusters", "n_docs", "max_size")
+      .orderBy("b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d24_cluster_histogram" -> (d24_cluster_histogram _),
     "d23_lsh_recall_eval" -> (d23_lsh_recall_eval _),
     "d22_cluster_keep_best" -> (d22_cluster_keep_best _),
     "d21_substring_spans" -> (d21_substring_spans _),
@@ -1563,6 +1598,52 @@ object DedupQueries {
       SELECT doc_id, comp, n_members::BIGINT AS n_members, score_fp,
         (rk = 1)::BIGINT AS kept
       FROM sized ORDER BY doc_id""",
+    // d14's component closure + integer bucket CASEs; singletons from
+    // count(*) minus the clustered docs
+    "d24_cluster_histogram" -> s"""
+      WITH RECURSIVE $sqlPrmR,
+      sigs AS (SELECT doc_id, $sqlSig AS sig,
+          list_distinct(string_split(text, ' ')) AS tk FROM documents, prmR),
+      bands AS (SELECT doc_id, b,
+          array_to_string(sig[b*r+1 : b*r+r], '_') AS bkey
+        FROM sigs, prmR, range(0, 2) t(b)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+          AND x.doc_id < y.doc_id),
+      pairs AS (SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+          len(list_intersect(a.tk, b.tk))::DOUBLE /
+            len(list_distinct(a.tk || b.tk))::DOUBLE AS jaccard
+        FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
+          JOIN sigs b ON cand.doc_b = b.doc_id, prmR
+        WHERE list_reduce(list_transform(range(1, 2*r + 1),
+          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
+          (x,y) -> x+y) >= 2*r - 2)
+        WHERE jaccard >= 0.99),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      lbl(doc_id, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, l.comp FROM lbl l JOIN edges e ON l.doc_id = e.u),
+      fin AS (SELECT doc_id, min(comp) AS comp FROM lbl GROUP BY doc_id),
+      sz AS (SELECT comp, count(*)::BIGINT AS sz FROM fin GROUP BY comp),
+      cl AS (SELECT CASE WHEN sz = 2 THEN 1 WHEN sz <= 4 THEN 2
+            WHEN sz <= 8 THEN 3 ELSE 4 END::BIGINT AS b,
+          count(*)::BIGINT AS n_clusters, sum(sz)::BIGINT AS n_docs,
+          max(sz)::BIGINT AS max_size
+        FROM sz GROUP BY 1),
+      sing AS (SELECT 0::BIGINT AS b,
+          ((SELECT count(*) FROM documents) -
+           (SELECT count(*) FROM fin))::BIGINT AS n,
+          1 AS one)
+      SELECT b, ['1', '2', '3-4', '5-8', '9+'][b::INT + 1] AS bucket,
+        n_clusters, n_docs, max_size FROM (
+        SELECT b, n AS n_clusters, n AS n_docs,
+          CASE WHEN n > 0 THEN 1 ELSE 0 END::BIGINT AS max_size FROM sing
+        UNION ALL
+        SELECT b, n_clusters, n_docs, max_size FROM cl)
+      ORDER BY b""",
     "d14_dedup_components" -> s"""
       WITH RECURSIVE $sqlPrmR,
       sigs AS (SELECT doc_id, $sqlSig AS sig,

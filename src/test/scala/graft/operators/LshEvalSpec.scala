@@ -10,6 +10,36 @@ import org.apache.spark.sql.functions._
   * minhash/band construction), so the spec is an oracle of its own. */
 class LshEvalSpec extends SparkSpec {
 
+  test("d24 histogram ties out against d14's cluster manifest") {
+    val hist = DedupQueries.d24_cluster_histogram(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    val manifest = DedupQueries.d14_dedup_components(spark, sf())
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val total = Tables.documents(spark, sf()).count()
+    // doc mass partitions exactly across buckets
+    assert(hist.map(_._4).sum == total)
+    // clustered rows tie to the manifest: per-size cluster counts
+    val bySize = manifest.groupBy(_._1).map(_._2.head._2)
+      .groupBy(identity).map { case (sz, xs) => sz -> xs.size.toLong }
+    def bucketOf(sz: Long) =
+      if (sz == 2) 1L else if (sz <= 4) 2L else if (sz <= 8) 3L else 4L
+    val expClusters = bySize.groupBy { case (sz, _) => bucketOf(sz) }
+      .map { case (b, m) => b -> m.values.sum }
+    hist.filter(_._1 > 0).foreach { case (b, _, nc, _, mx) =>
+      assert(nc == expClusters.getOrElse(b, 0L), s"bucket $b")
+      assert(mx == bySize.keys.filter(sz => bucketOf(sz) == b).maxOption
+        .getOrElse(0L))
+    }
+    // singleton count = corpus minus clustered docs
+    assert(hist.head._3 == total - manifest.length)
+    // occupied buckets only, in order, drawn from the fixed label set
+    val full = List("1", "2", "3-4", "5-8", "9+")
+    assert(hist.map(_._2).forall(full.contains))
+    assert(hist.map(_._1) == hist.map(_._1).sorted)
+    assert(hist.head._2 == "1")
+  }
+
   test("d23 counts equal an in-memory truth + band replay") {
     val row = DedupQueries.d23_lsh_recall_eval(spark, sf()).head()
     val got = (0 to 3).map(row.getLong)
