@@ -642,7 +642,8 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
           args.lift(1).filter(_.nonEmpty).foreach { path =>
             val rowsPerChunk = args.lift(3).filter(_.nonEmpty)
               .map(_.toInt).getOrElse(0)
-            args.lift(2).filter(_.nonEmpty).getOrElse("classic") match {
+            val container = args.lift(2).filter(_.nonEmpty).getOrElse("classic")
+            container match {
               case "zarr" =>
                 graft.sources.ZarrExport.writeDistributed(r, "id_dim",
                   "measure", path, "measure", v3 = false, rowsPerChunk)
@@ -665,7 +666,7 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
                 // writes for bounded dims) — and executors write their
                 // chunks at disjoint ranges (needs a shared POSIX fs;
                 // object stores take the zarr paths above)
-                val idx = args.lift(2).get match {
+                val idx = container match {
                   case "netcdf4-dist-fa" => "fixedarray"
                   case "netcdf4-dist-bt2" => "btree2"
                   case _ => "implicit"

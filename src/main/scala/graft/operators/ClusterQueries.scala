@@ -572,6 +572,25 @@ object ClusterQueries {
     * Scale shape: identical to c07/c09 — one labeler scan, two
     * map-combined groupBys on the 5-value class key, one constant-size
     * fold. */
+  /** c11's two-step MCC² division chain over columns (n, num, sum_p2,
+    * sum_t2), extracted so OverflowGuardSpec can drive it at n²-scale
+    * inputs: the naive num²·1e6 form blows DECIMAL(38,0) already at
+    * n ≈ 5·10⁷ (silent NULL non-ANSI, error under ANSI/DuckDB); this
+    * chain never materializes num² and is exact to n ≲ 10¹⁶. The
+    * re-CAST after the first div is load-bearing: Spark's IntegralDivide
+    * returns LongType, so without it the step-1 quotient × |num| product
+    * runs in int64 and wraps already at n ≈ 5·10⁷ — the exact overflow
+    * the two-step order exists to avoid (found by OverflowGuardSpec;
+    * DuckDB never had the problem because its HUGEINT division stays
+    * HUGEINT). Editing the chain turns the spec red before the oracle
+    * gate does. */
+  private[operators] val Mcc2TwoStepExpr: String =
+    """CASE WHEN n * n = sum_p2 OR n * n = sum_t2 THEN 0
+       ELSE CAST(CAST(abs(CAST(num AS DECIMAL(38,0))) * 1000000 div
+         (CAST(n AS DECIMAL(38,0)) * n - sum_p2) AS DECIMAL(38,0))
+         * abs(num) div
+         (CAST(n AS DECIMAL(38,0)) * n - sum_t2) AS BIGINT) END"""
+
   def c11_mcc_eval(s: SparkSession, dir: String): DataFrame = {
     val preds = TextQueries.t02_langid(s, dir)
       .select(col("actual_lang"), col("pred_lang"))
@@ -592,11 +611,7 @@ object ClusterQueries {
           .as("sum_t2"))
       .withColumn("num", col("correct") * col("n") - col("sum_pt"))
       .withColumn("mcc_sign", signum(col("num")).cast("long"))
-      .withColumn("mcc2_fp", expr(
-        """CASE WHEN n * n = sum_p2 OR n * n = sum_t2 THEN 0
-           ELSE CAST(((abs(CAST(num AS DECIMAL(38,0))) * 1000000 div
-             (CAST(n AS DECIMAL(38,0)) * n - sum_p2)) * abs(num)) div
-             (CAST(n AS DECIMAL(38,0)) * n - sum_t2) AS BIGINT) END"""))
+      .withColumn("mcc2_fp", expr(Mcc2TwoStepExpr))
       .select("n", "correct", "sum_pt", "sum_p2", "sum_t2", "num",
         "mcc_sign", "mcc2_fp")
   }

@@ -1961,9 +1961,11 @@ object MultimodalQueries {
        g AS (SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN
              list_transform(range(0, 256), k ->
-               ascii(substr(text,
-                 (least(((k // 16) * (h - 1)) // 15 * 32 + ((k % 16) * 31) // 15,
-                   len - 1))::INT + 1, 1)))
+               CASE WHEN len = 0 THEN 0 ELSE
+                 ascii(substr(text,
+                   (least(((k // 16) * (h - 1)) // 15 * 32 + ((k % 16) * 31) // 15,
+                     len - 1))::INT + 1, 1))
+               END)
            ELSE
              list_transform(range(0, 256), k ->
                CASE WHEN len = 0 THEN 0 ELSE
@@ -2002,9 +2004,11 @@ object MultimodalQueries {
        g AS (SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN
              list_transform(range(0, 72), k ->
-               ascii(substr(text,
-                 (least(((k // 9) * (h - 1)) // 7 * 32 + ((k % 9) * 31) // 8,
-                   len - 1))::INT + 1, 1)))
+               CASE WHEN len = 0 THEN 0 ELSE
+                 ascii(substr(text,
+                   (least(((k // 9) * (h - 1)) // 7 * 32 + ((k % 9) * 31) // 8,
+                     len - 1))::INT + 1, 1))
+               END)
            ELSE
              list_transform(range(0, 72), k ->
                CASE WHEN len = 0 THEN 0 ELSE

@@ -833,8 +833,15 @@ object PipelineQueries {
     val first = base.orderBy("vec_id").select("vec_id", "a").head()
     var centers = Vector[(Long, Array[Double], Double)](
       (first.getLong(0), first.getSeq[Double](1).toArray, 0.0))
-    // running min-dist: fold each new center into the carried minimum
+    // running min-dist: fold each new center into the carried minimum.
+    // localCheckpoint per round (the p25 Pregel pattern) keeps lineage
+    // flat — without it the chained withColumn("mind", least(...)) plan
+    // regrows linearly in k, fine at k = 8 but not if k is ever
+    // parameterized; the eager checkpoint also means the next round's
+    // TakeOrdered(1) reads cached blocks instead of recomputing the
+    // whole least(...) chain
     var scored = base.withColumn("mind", dist(centers.head._2))
+      .localCheckpoint()
     for (_ <- 2 to k) {
       val pick = scored
         .filter(!col("vec_id").isInCollection(centers.map(_._1)))
@@ -844,6 +851,7 @@ object PipelineQueries {
         pick.getDouble(2)))
       scored = scored.withColumn("mind",
         least(col("mind"), dist(centers.last._2)))
+        .localCheckpoint()
     }
     // assignment pass: nearest center, tie -> earliest round
     val dcols = centers.zipWithIndex.map { case ((_, c, _), i) =>

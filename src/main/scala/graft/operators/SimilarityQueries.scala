@@ -15,6 +15,19 @@ import graft.core.Tables
   * each query to its nearest centroid's bucket, and only that bucket is
   * scanned (nprobe=1). At 100 TB the buckets are the partition keys, so
   * a probe touches 1/k of the data.
+  *
+  * On the `vec_id % 50` that recurs through this family: it is the
+  * WORKLOAD definition ("queries = 2% of the corpus"), not an internal
+  * algorithm parameter — the oracles replay the same modulus, and it
+  * deliberately stays fixed so query count grows with the corpus the way
+  * a real serving workload does. INTERNAL sampling parameters are the
+  * opposite: they must be size-derived (the s13/d23 idiom —
+  * `greatest(k, n/100)` from a count(*)) or the sampled stage goes
+  * quadratic at scale. For the scan-stage baselines (s01, s16) the
+  * product queries × corpus is the quantity that grows at 100 TB; the
+  * indexed variants (s02/s09 IVF, s03 LSH) bound per-query work and are
+  * the deployment path — the scan baselines exist as their recall
+  * yardstick, run on samples, not the full corpus.
   */
 object SimilarityQueries {
 

@@ -304,7 +304,13 @@ object Png {
     var got = 0
     while (got < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, got, raw.length - got)
-      require(n > 0 || !inf.needsInput(), "PNG: truncated IDAT stream")
+      // any zero-byte round means the stream cannot make progress —
+      // truncated input (needsInput) or a preset-dictionary request
+      // (needsDictionary, which PNG's zlib profile forbids, RFC 2083
+      // §2.2); looping on either would spin forever
+      require(n > 0, if (inf.needsDictionary())
+        "PNG: IDAT requests a preset dictionary (forbidden by the spec)"
+      else "PNG: truncated IDAT stream")
       got += n
     }
     inf.end()

@@ -124,6 +124,14 @@ object Tiff {
     val pixels = new Array[Byte](w * h)
     var at = 0
     offsets.indices.foreach { i =>
+      // IFD-supplied offsets/counts are untrusted: validate before the
+      // copy so a malformed file fails with a descriptive error, not a
+      // raw ArrayIndexOutOfBounds/NegativeArraySize from arraycopy
+      require(counts(i) >= 0 && offsets(i) >= 0 &&
+        offsets(i).toLong + counts(i) <= bytes.length &&
+        at.toLong + counts(i) <= pixels.length,
+        s"strip $i: offset ${offsets(i)} count ${counts(i)} out of range " +
+          s"(file ${bytes.length} bytes, raster ${pixels.length})")
       System.arraycopy(bytes, offsets(i), pixels, at, counts(i))
       at += counts(i)
     }
