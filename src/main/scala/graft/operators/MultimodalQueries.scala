@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sources.{Jpeg, MediaCodec, Png, Tiff}
+import graft.sources.{Flac, Jpeg, MediaCodec, Png, Tiff}
 
 /** Multimodal-column operators for the training-data pipeline: media
   * payloads ride as opaque `binary` columns next to a typed metadata
@@ -726,10 +726,15 @@ object MultimodalQueries {
         val bytes = text.getBytes("US-ASCII")
         val samples = Array.tabulate(bytes.length)(i =>
           (((bytes(i) & 0xFF) - 96) * 128).toShort)
-        MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
+        // odd ids ship FLAC ([[graft.sources.Flac]]), even ids WAV: the
+        // decode stage sniffs magic bytes, and FLAC is lossless so the
+        // fingerprint arithmetic — and the oracle — see identical PCM
+        if (id % 2 == 1)
+          MediaRow(id, graft.sources.Flac.encode(8000, 1, samples), "flac")
+        else MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
       })
     val fps = media.mapPartitions(_.map { r =>
-      val a = MediaCodec.decodeWav(r.payload).samples
+      val a = MediaCodec.decodeAudio(r.payload).samples
       val len = a.length
       val es = Array.tabulate(33) { f =>
         var e = 0L
@@ -1161,12 +1166,17 @@ object MultimodalQueries {
           val bytes = text.getBytes("US-ASCII")
           val samples = Array.tabulate(bytes.length)(i =>
             (((bytes(i) & 0xFF) - 96) * 128).toShort)
-          MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
+          // odd ids ship FLAC, even ids WAV (the m08 mixed-corpus seam):
+          // lossless decode means identical PCM either way, so the VAD
+          // arithmetic and the oracle are container-blind
+          if (id % 2 == 1)
+            MediaRow(id, graft.sources.Flac.encode(8000, 1, samples), "flac")
+          else MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
         }
       }
     media.mapPartitions { it =>
       it.map { r =>
-        val audio = MediaCodec.decodeWav(r.payload)
+        val audio = MediaCodec.decodeAudio(r.payload)
         val n = audio.samples.length
         val nFrames = (n + frameLen - 1) / frameLen
         var voiced = 0L
@@ -1456,7 +1466,73 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class FlacFeature(doc_id: Long, n_samples: Long,
+                               n_frames: Long, ch_mode: Long, amp_l: Long,
+                               amp_r: Long, csum_l: Long, csum_r: Long)
+
+  /** m26 — FLAC stereo ingest through the REAL from-spec codec
+    * ([[graft.sources.Flac]], RFC 9639): per document a stereo clip
+    * (left = the m05 sample synthesis, right = the same samples
+    * REVERSED — so the two channels genuinely differ and every
+    * inter-channel mode has nonzero side data), encoded with the
+    * channel assignment cycling by doc_id%4 (independent / left-side /
+    * right-side / mid-side), wasted-bits coding for doc_id%3==0, and
+    * the encoder's per-frame strategy cycle (verbatim / fixed / LPC /
+    * rice / rice2 / escape partitions). Decode sniffs magic bytes
+    * ([[MediaCodec.decodeAudio]]) and the decoder itself verifies
+    * frame CRCs and the STREAMINFO MD5 — every row is a proven
+    * lossless round trip. Features are exact integers the oracle
+    * replays from the document bytes with zero FLAC knowledge: per
+    * channel Σ|s| and the position-weighted Σ(i+1)·sᵢ (which any
+    * residual/warmup misalignment, channel swap or reconstruction
+    * error shifts).
+    *
+    * Scale shape: two scan-parallel mapPartitions stages (encode |
+    * decode+reduce), one codec instance per partition, no shuffle
+    * before the output sort — the m01–m08 posture; 100 TB of FLAC
+    * decodes at scan speed. */
+  def m26_flac_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("US-ASCII")
+          val n = bytes.length
+          val inter = new Array[Short](2 * n)
+          var i = 0
+          while (i < n) {
+            inter(2 * i) = (((bytes(i) & 0xFF) - 96) * 128).toShort
+            inter(2 * i + 1) = (((bytes(n - 1 - i) & 0xFF) - 96) * 128).toShort
+            i += 1
+          }
+          MediaRow(id, Flac.encode(8000, 2, inter, mode = (id % 4).toInt,
+            wastedBits = if (id % 3 == 0) 7 else 0), "flac")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val a = MediaCodec.decodeAudio(r.payload).samples
+        val n = a.length / 2
+        var ampL = 0L; var ampR = 0L; var csL = 0L; var csR = 0L
+        var i = 0
+        while (i < n) {
+          val l = a(2 * i).toLong
+          val rr = a(2 * i + 1).toLong
+          ampL += math.abs(l); ampR += math.abs(rr)
+          csL += (i + 1) * l; csR += (i + 1) * rr
+          i += 1
+        }
+        FlacFeature(r.doc_id, n.toLong, ((n + 255) / 256).toLong,
+          r.doc_id % 4, ampL, ampR, csL, csR)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m26_flac_features" -> (m26_flac_features _),
     "m20_wht_spectrogram" -> (m20_wht_spectrogram _),
     "m19_gif_frames" -> (m19_gif_frames _),
     "m18_gif_features" -> (m18_gif_features _),
@@ -1508,6 +1584,34 @@ object MultimodalQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    // per-channel |amplitude| sums and position-weighted checksums
+    // replayed from the document bytes (right channel = reversed, so
+    // csum_r re-weights by position while amp_r equals amp_l — the
+    // reversal preserves the magnitude multiset); the FLAC container,
+    // channel decorrelation and rice/LPC machinery exist only on the
+    // Spark side
+    "m26_flac_features" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+       f AS (SELECT doc_id, len,
+           CASE WHEN len = 0 THEN 0 ELSE
+             list_reduce(list_transform(range(0, len), i ->
+               abs((ascii(substr(text, i::INT + 1, 1)) - 96) * 128)::BIGINT),
+               (x, y) -> x + y) END AS amp_l,
+           CASE WHEN len = 0 THEN 0 ELSE
+             list_reduce(list_transform(range(0, len), i ->
+               ((i + 1) * (ascii(substr(text, i::INT + 1, 1)) - 96)
+                 * 128)::BIGINT), (x, y) -> x + y) END AS csum_l,
+           CASE WHEN len = 0 THEN 0 ELSE
+             list_reduce(list_transform(range(0, len), i ->
+               ((i + 1) * (ascii(substr(text, (len - i)::INT, 1)) - 96)
+                 * 128)::BIGINT), (x, y) -> x + y) END AS csum_r
+         FROM t)
+       SELECT doc_id, len::BIGINT AS n_samples,
+         ((len + 255) // 256)::BIGINT AS n_frames,
+         (doc_id % 4)::BIGINT AS ch_mode, amp_l::BIGINT AS amp_l,
+         amp_l::BIGINT AS amp_r, csum_l::BIGINT AS csum_l,
+         csum_r::BIGINT AS csum_r
+       FROM f ORDER BY doc_id""",
     // 16-point WHT replayed coefficient-by-coefficient from the text
     // bytes: X_k = Σ_i s[16w+i]·(−1)^popcount(k&i), bands of 4 coeffs;
     // the RIFF/WAVE roundtrip happens only Spark-side

@@ -346,6 +346,17 @@ object MediaCodec {
     Audio(sampleRate, channels, samples)
   }
 
+  /** Decode an audio payload by sniffing its magic bytes — the audio
+    * twin of [[decodeImage]]: RIFF/WAVE PCM16 or FLAC ([[Flac]]), so
+    * the audio operators stay format-blind and a mixed corpus decodes
+    * through one seam. FLAC is lossless integer PCM, so every
+    * per-sample oracle that replays the WAV arithmetic replays a FLAC
+    * decode bit-for-bit. */
+  def decodeAudio(bytes: Array[Byte]): Audio =
+    if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
+      bytes(2) == 'a' && bytes(3) == 'C') Flac.decode(bytes)
+    else decodeWav(bytes)
+
   /** Decode an image payload by sniffing its magic bytes — callers hold
     * opaque binary columns and must not need to trust a format tag. */
   def decodeImage(bytes: Array[Byte]): Image =
