@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sources.{Flac, Jpeg, MediaCodec, Png, Tiff}
+import graft.sources.{Avi, Flac, Jpeg, MediaCodec, Png, Tiff}
 
 /** Multimodal-column operators for the training-data pipeline: media
   * payloads ride as opaque `binary` columns next to a typed metadata
@@ -12,8 +12,12 @@ import graft.sources.{Flac, Jpeg, MediaCodec, Png, Tiff}
   * `mapPartitions` (the Scala analogue of an Arrow-batched UDF — one
   * decoder instantiation per partition, not per row).
   *
-  * The decoders are REAL from-spec codecs ([[graft.sources.MediaCodec]]:
-  * BMP 24/32-bpp, Netpbm P5/P6, RIFF/WAVE PCM16) — no stub. Because the
+  * The decoders are REAL from-spec codecs — no stub: BMP 24/32/8-bpp,
+  * Netpbm, RIFF/WAVE PCM16 ([[graft.sources.MediaCodec]]), baseline +
+  * progressive JPEG ([[graft.sources.Jpeg]]), PNG incl. Adam7
+  * ([[graft.sources.Png]]), GIF ([[graft.sources.Gif]]), TIFF
+  * ([[graft.sources.Tiff]]), FLAC ([[graft.sources.Flac]]) and
+  * MJPEG-in-AVI ([[graft.sources.Avi]]). Because the
   * container ships no media fixtures, each query ENCODES a payload
   * deterministically from the document bytes in one mapPartitions stage,
   * then DECODES it in a second stage that sees only the opaque binary
@@ -1531,7 +1535,68 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class MjpegShot(doc_id: Long, n_frames: Long, width: Long,
+                             height: Long, fps: Long, sad_total: Long,
+                             max_sad: Long, n_cuts: Long, n_shots: Long)
+
+  /** m27 — shot-boundary detection over MJPEG-in-AVI, the m13 operator
+    * pointed at a container that exists in the wild: each document
+    * becomes a 2–7 frame 16×16 MJPEG video (every `00dc` chunk a REAL
+    * baseline JPEG from [[graft.sources.Jpeg]], inside the REAL RIFF/
+    * AVI layout from [[graft.sources.Avi]] — avih/strh/strf headers,
+    * movi walk, idx1 verified on decode). Frame f's four 8×8 blocks
+    * carry m13's shot structure (base jump of 11 every 3 frames +
+    * within-shot jitter), flat blocks decode bit-exactly, so the
+    * cross-frame SAD and the adaptive-threshold cut rule
+    * (sad·(n−1)·2 > 3·total) replay in the oracle from the document
+    * bytes with zero container knowledge; container geometry and fps
+    * come from the parsed headers and are pinned as constants.
+    *
+    * Scale shape: the m07/m13 posture — two scan-parallel mapPartitions
+    * stages, one container+JPEG decode per row, O(frames·pixels) work,
+    * no shuffle before the output sort. */
+  def m27_mjpeg_shots(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes("US-ASCII")
+        val len = bytes.length
+        val nf = len % 6 + 2
+        val frames = (0 until nf).map { fr =>
+          val vals = Array.tabulate(4)(k =>
+            if (len == 0) 0
+            else bytes(((fr / 3) * 11 + 3 * k + fr) % len) & 0xFF)
+          Jpeg.encodeGrayFlat(16, 16, vals)
+        }
+        MediaRow(id, Avi.encodeMjpeg(frames, 16, 16, 10), "avi")
+      })
+    media.mapPartitions(_.map { r =>
+      val v = Avi.decodeMjpeg(r.payload)
+      val n = v.frames.length
+      val sads = Array.tabulate(n - 1) { t =>
+        val a = v.frames(t).pixels
+        val bp = v.frames(t + 1).pixels
+        var sd = 0L
+        var p = 0
+        while (p < bp.length) {
+          sd += math.abs((bp(p) & 0xFF) - (a(p) & 0xFF))
+          p += 1
+        }
+        sd
+      }
+      val total = sads.sum
+      val cuts = sads.count(sd => sd * (n - 1) * 2 > 3 * total).toLong
+      MjpegShot(r.doc_id, n.toLong, v.width.toLong, v.height.toLong,
+        v.fps.toLong, total, if (sads.isEmpty) 0L else sads.max, cuts,
+        cuts + 1L)
+    }).toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m27_mjpeg_shots" -> (m27_mjpeg_shots _),
     "m26_flac_features" -> (m26_flac_features _),
     "m20_wht_spectrogram" -> (m20_wht_spectrogram _),
     "m19_gif_frames" -> (m19_gif_frames _),
@@ -1584,6 +1649,42 @@ object MultimodalQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    // m13's shot structure replayed on the document bytes: frame f's
+    // four flat blocks are v(f,k) = byte((f//3·11 + 3k + f) mod len),
+    // each SAD transition is 64·Σ|Δv|, cuts use the integer
+    // cross-multiplied adaptive threshold; the AVI/JPEG containers
+    // exist only on the Spark side
+    "m27_mjpeg_shots" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           (length(text) % 6 + 2) AS nf FROM documents),
+       v AS (SELECT doc_id, nf,
+           list_transform(range(0, nf), f ->
+             list_transform(range(0, 4), k ->
+               CASE WHEN len = 0 THEN 0 ELSE
+                 ascii(substr(text,
+                   (((f // 3) * 11 + 3 * k + f) % len)::INT + 1, 1))
+               END)) AS fv
+         FROM t),
+       s AS (SELECT doc_id, nf,
+           list_transform(range(0, nf - 1), t2 ->
+             (64 * (abs(fv[t2::INT + 2][1] - fv[t2::INT + 1][1])
+                  + abs(fv[t2::INT + 2][2] - fv[t2::INT + 1][2])
+                  + abs(fv[t2::INT + 2][3] - fv[t2::INT + 1][3])
+                  + abs(fv[t2::INT + 2][4] - fv[t2::INT + 1][4])))::BIGINT)
+             AS sads
+         FROM v),
+       a AS (SELECT doc_id, nf, sads,
+           list_reduce(sads, (x, y) -> x + y) AS total,
+           list_max(sads) AS mx
+         FROM s),
+       c AS (SELECT doc_id, nf, total, mx,
+           length(list_filter(sads,
+             sd -> sd * (nf - 1) * 2 > 3 * total))::BIGINT AS cuts
+         FROM a)
+       SELECT doc_id, nf::BIGINT AS n_frames, 16::BIGINT AS width,
+         16::BIGINT AS height, 10::BIGINT AS fps, total::BIGINT AS sad_total,
+         mx::BIGINT AS max_sad, cuts AS n_cuts, (cuts + 1)::BIGINT AS n_shots
+       FROM c ORDER BY doc_id""",
     // per-channel |amplitude| sums and position-weighted checksums
     // replayed from the document bytes (right channel = reversed, so
     // csum_r re-weights by position while amp_r equals amp_l — the
