@@ -657,7 +657,8 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
                 graft.sources.ZarrExport.writeDistributedSharded(r, "id_dim",
                   "measure", path, "measure",
                   if (rowsPerChunk > 0) rowsPerChunk else 512, chunksPerShard)
-              case "netcdf4-dist" | "netcdf4-dist-fa" | "netcdf4-dist-bt2" =>
+              case "netcdf4-dist" | "netcdf4-dist-fa" | "netcdf4-dist-bt2"
+                 | "netcdf4-dist-ea" =>
                 // executor-parallel HDF5: unfiltered fixed-size chunks
                 // put chunk k at a computable offset, so the driver
                 // writes only the metadata head — for the -fa/-bt2
@@ -669,6 +670,7 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
                 val idx = container match {
                   case "netcdf4-dist-fa" => "fixedarray"
                   case "netcdf4-dist-bt2" => "btree2"
+                  case "netcdf4-dist-ea" => "extarray"
                   case _ => "implicit"
                 }
                 graft.sources.HDF5.writeDoubleVarDistributed(r, "id_dim",

@@ -319,6 +319,55 @@ object NetCDFQueries {
     fa.join(bt, "id_dim").join(sq, "id_dim").orderBy("id_dim")
   }
 
+  /** qn15 — distributed NetCDF-4 export with the EXTENSIBLE-ARRAY chunk
+    * index (round-13 verdict item: the last cell of the distributed
+    * writer matrix — `HDF5.scala` previously rejected it, routing
+    * unlimited-dim exports through the sequential driver writer): the
+    * 60×8 grid exported through `netcdf4-dist-ea` with rows-per-chunk 4
+    * — 15 chunks, so the pre-built index exercises BOTH element homes
+    * (4 inline in the EAIB index block + an EADB data block for the
+    * rest) and up to 15 executor tasks fill the pre-addressed slots
+    * concurrently. Dim 0 is declared H5S_UNLIMITED exactly as the
+    * C library lays out an append-able dataset, so the export stays
+    * appendable by any HDF5 writer afterwards. Re-imports through the
+    * sniffing reader (the qn10 EA reader structs) next to a sequential
+    * `netcdf4` export and must carry identical values.
+    *
+    * Scale shape: identical to qn11/qn12 — driver writes a sub-KB head,
+    * executors write disjoint byte ranges, no shuffle beyond the
+    * chunk-id groupBy; at 100 TB this is the MPI-IO pattern with the
+    * index that keeps the file appendable. */
+  def qn15_export_dist_ea(s: SparkSession, dir: String): DataFrame = {
+    val (nRows, nCols) = (60, 8)
+    val data = Array.tabulate(nRows * nCols)(k =>
+      (k / nCols) * 0.5 + (k % nCols) * 0.125) // exact in binary
+    val tmp = Files.createTempDirectory("graft_exportea")
+    val srcPath = tmp.resolve("src.nc").toString
+    val eaPath = tmp.resolve("ea.h5").toString
+    val seqPath = tmp.resolve("seq.h5").toString
+    NetCDF3.writeDoubleVar(srcPath, Seq("row" -> nRows, "col" -> nCols),
+      "measure", data)
+    val ses = new IoServer(s).newSession()
+    ses.execute(s"operation=file_import;frag_name=exesrc;src_path=@$srcPath;" +
+      "measure=measure;explicit=1")
+    // rows-per-chunk 4 -> 15 chunks: 4 EAIB-inline + 11 in an EADB
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=exesrc|$eaPath|netcdf4-dist-ea|4")
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=exesrc|$seqPath|netcdf4")
+    ses.execute(s"operation=file_import;frag_name=exeea;src_path=@$eaPath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=exesq;src_path=@$seqPath;" +
+      "measure=measure;explicit=1")
+    val ea = ses.execute(
+      "operation=select;field=id_dim|measure;from=exeea;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_extarray"))
+    val sq = ses.execute(
+      "operation=select;field=id_dim|measure;from=exesq;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_seq"))
+    ea.join(sq, "id_dim").orderBy("id_dim")
+  }
+
   /** qn13 — JSONL corpus ingest with malformed-row quarantine: the
     * production front door for text corpora (crawl dumps, vendor drops)
     * is newline-delimited JSON where some fraction of lines is broken —
@@ -631,6 +680,7 @@ object NetCDFQueries {
     "qn10_hdf5_unlimited_append" -> (qn10_hdf5_unlimited_append _),
     "qn11_export_distributed" -> (qn11_export_distributed _),
     "qn12_export_dist_indexed" -> (qn12_export_dist_indexed _),
+    "qn15_export_dist_ea" -> (qn15_export_dist_ea _),
     "qn13_jsonl_quarantine" -> (qn13_jsonl_quarantine _),
   )
 
@@ -670,6 +720,16 @@ object NetCDFQueries {
          array_to_string(list_transform(range(0, 8),
            j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
            AS m_btree2,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_seq
+         FROM range(1, 61) t(i)
+         ORDER BY id_dim""",
+    "qn15_export_dist_ea" ->
+      """SELECT i AS id_dim,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_extarray,
          array_to_string(list_transform(range(0, 8),
            j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
            AS m_seq

@@ -89,7 +89,8 @@ object HDF5 {
                            chunkDims: Seq[Int],
                            chunkIndex: ChunkIndex,
                            filters: Seq[Filter],
-                           dontFilterPartial: Boolean = false) {
+                           dontFilterPartial: Boolean = false,
+                           maxShape: Option[Seq[Long]] = None) {
     def isChunked: Boolean = chunkDims.nonEmpty
   }
 
@@ -578,14 +579,21 @@ object HDF5 {
       var chunkIndex: ChunkIndex = null
       var dontFilterPartial = false
       var filters: Seq[Filter] = Nil
+      var maxShape: Option[Seq[Long]] = None
       msgs.foreach { m =>
         val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
         m.tpe match {
           case 0x0001 => // dataspace
             val ver = b.get(0) & 0xFF
             val rank = b.get(1) & 0xFF
+            val flags = b.get(2) & 0xFF
             val base = if (ver == 1) 8 else 4
             shape = (0 until rank).map(i => b.getLong(base + i * 8).toInt)
+            // flags bit 0: max dims follow the dims (H5S_UNLIMITED is
+            // the all-ones sentinel, surfaced as -1)
+            if ((flags & 1) != 0)
+              maxShape = Some((0 until rank).map(i =>
+                b.getLong(base + rank * 8 + i * 8)))
           case 0x0003 => // datatype
             val cv = b.get(0) & 0xFF
             val clazz = cv & 0x0F
@@ -679,7 +687,7 @@ object HDF5 {
       if (shape == null || dtype == null) None
       else Some(Dataset(name, shape, dtype, contAddr, contSize,
         chunkDims, if (chunkIndex == null) IdxBTreeV1(Undef) else chunkIndex,
-        filters, dontFilterPartial))
+        filters, dontFilterPartial, maxShape))
     }
 
     // ---- chunk index ----
@@ -1658,9 +1666,11 @@ object HDF5 {
     * caller-selected chunk index. Distribution rests on one property:
     * with UNFILTERED fixed-size chunks, chunk k's address is the
     * closed-form `dataAddr + k·chunkBytes`, so the whole index — none
-    * for `implicit` (type 2), a fixed-array FAHD/FADB (type 3) or a
-    * v2-B-tree BTHD/BTLF (type 5), the two indexes HDF5 1.10+ itself
-    * writes for bounded dims — can be written INTO THE HEAD before any
+    * for `implicit` (type 2), a fixed-array FAHD/FADB (type 3), a
+    * v2-B-tree BTHD/BTLF (type 5) — the two indexes HDF5 1.10+ itself
+    * writes for bounded dims — or an extensible array EAHD/EAIB/EADB
+    * (type 4, the unlimited-dim index, with dim 0 declared
+    * H5S_UNLIMITED) — can be written INTO THE HEAD before any
     * payload byte exists; executors then fill the pre-addressed chunk
     * slots concurrently. All fields are fixed-width (index checksums
     * change with addresses, lengths do not), so the head's LENGTH is
@@ -1715,8 +1725,18 @@ object HDF5 {
     val entries = (0L until nChunks).map(k =>
       (Seq((k * chunkRows).toInt, 0), dataAddr + k * chunkBytes, chunkBytes))
     val space = new Buf
-    space.u8(2); space.u8(rank); space.u8(0); space.u8(1)
-    shape.foreach(s => space.u64(s.toLong))
+    if (index == "extarray") {
+      // the extensible-array index exists for ONE unlimited dim: declare
+      // max-dims (flags bit 0) with dim 0 unlimited (all-ones sentinel),
+      // exactly as the sequential writer does for this index
+      space.u8(2); space.u8(rank); space.u8(1); space.u8(1)
+      shape.foreach(s => space.u64(s.toLong))
+      space.u64(-1L) // H5S_UNLIMITED
+      shape.tail.foreach(s => space.u64(s.toLong))
+    } else {
+      space.u8(2); space.u8(rank); space.u8(0); space.u8(1)
+      shape.foreach(s => space.u64(s.toLong))
+    }
     val dt = new Buf; dtF64Body(dt)
     val layoutBody = new Buf
     layoutBody.u8(4); layoutBody.u8(2)   // layout v4, chunked
@@ -1739,6 +1759,18 @@ object HDF5 {
         var nodeSize = 512L
         while (nodeSize < entries.size.toLong * recordSize + 10) nodeSize *= 2
         layoutBody.u32(nodeSize); layoutBody.u8(100); layoutBody.u8(40)
+        layoutBody.u64(hdr)
+      case "extarray" =>
+        // the index HDF5 writes for ONE unlimited dim (the append-able
+        // exports): every element is a fixed-width u64 (written chunks
+        // pre-addressed, absent ones Undef), so the head length stays
+        // address-invariant and the two-pass probe holds
+        val hdr = writeExtensibleArray(b, entries, cd, shape,
+          chunkBytes, filtered = false)
+        layoutBody.u8(4)
+        layoutBody.u8(32); layoutBody.u8(4)  // max bits, index elmts
+        layoutBody.u8(4); layoutBody.u8(16)  // min ptrs, min elmts
+        layoutBody.u8(10)                    // page bits
         layoutBody.u64(hdr)
       case o => throw new IllegalArgumentException(s"distributed index $o")
     }

@@ -107,6 +107,37 @@ class Hdf5DistExportSpec extends SparkSpec {
     }
   }
 
+  test("extensible-array indexed distributed export round-trips at " +
+    "every element home: inline, one EADB, multi-generation") {
+    import spark.implicits._
+    // chunk counts chosen against the EA creation params (32/4/16/4/10):
+    //  3  -> all elements inline in the EAIB index block
+    //  15 -> 4 inline + one generation-0 EADB (16 slots, 11 used)
+    //  120-> inline + generations 0..3 (16+32+32+64 slots), all five
+    //        data blocks addressed straight from the index block
+    for ((n, m, rpc, nChunks) <- Seq((12, 3, 4, 3), (60, 8, 4, 15),
+        (120, 2, 1, 120))) {
+      val df = grid(n, m).toDF("id", "a")
+      val p = java.nio.file.Files.createTempDirectory("h5dist")
+        .resolve(s"ea$n.h5").toString
+      val (rows, chunks) = HDF5.writeDoubleVarDistributed(df, "id", "a", p,
+        "measure", rowsPerChunk = rpc, index = "extarray")
+      assert(rows == n && chunks == nChunks, s"n=$n")
+      val r = new HDF5.Hdf5Reader(p)
+      try {
+        val d = r.dataset("measure")
+        assert(d.chunkIndex.getClass == classOf[HDF5.IdxExtArray],
+          s"n=$n: wrong on-disk chunk index")
+        // the dataspace must declare dim 0 unlimited (the whole point
+        // of the EA index: the file stays append-able)
+        assert(d.maxShape.exists(_.headOption.contains(-1L)),
+          s"n=$n: dim 0 not H5S_UNLIMITED")
+        assert(r.readSlab("measure", Seq(0, 0), Seq(n, m)).toSeq ==
+          grid(n, m).flatMap(_._2), s"n=$n")
+      } finally r.close()
+    }
+  }
+
   test("paged fixed-array data block: entry count past 2^pageBits") {
     import spark.implicits._
     // rowsPerChunk 1 over 40 rows -> 40 entries; the builder's
