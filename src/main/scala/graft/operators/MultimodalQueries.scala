@@ -282,12 +282,15 @@ object MultimodalQueries {
           val bytes = text.getBytes("US-ASCII")
           val samples = Array.tabulate(bytes.length)(i =>
             (((bytes(i) & 0xFF) - 96) * 128).toShort)
-          MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
+          // odd ids ship FLAC, even ids WAV — the m08 mixed-corpus seam
+          if (id % 2 == 1)
+            MediaRow(id, Flac.encode(8000, 1, samples), "flac")
+          else MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
         }
       }
     media.mapPartitions { it =>
       it.map { r =>
-        val audio = MediaCodec.decodeWav(r.payload)
+        val audio = MediaCodec.decodeAudio(r.payload)
         val n = audio.samples.length
         val nFrames = (n + frameLen - 1) / frameLen
         var ampSum = 0L
@@ -343,12 +346,17 @@ object MultimodalQueries {
           val bytes = text.getBytes("US-ASCII")
           val samples = Array.tabulate(bytes.length)(i =>
             (((bytes(i) & 0xFF) - 96) * 128).toShort)
-          MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
+          // odd ids ship FLAC, even ids WAV (the m08 mixed-corpus seam):
+          // lossless either way, so the resample arithmetic and the
+          // oracle are container-blind
+          if (id % 2 == 1)
+            MediaRow(id, Flac.encode(8000, 1, samples), "flac")
+          else MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
         }
       }
     media.mapPartitions { it =>
       it.map { r =>
-        val audio = MediaCodec.decodeWav(r.payload)
+        val audio = MediaCodec.decodeAudio(r.payload)
         val in = audio.samples
         val n = in.length
         val out = new Array[Int](2 * n)
@@ -466,12 +474,15 @@ object MultimodalQueries {
           val bytes = text.getBytes("US-ASCII")
           val samples = Array.tabulate(bytes.length)(i =>
             (((bytes(i) & 0xFF) - 96) * 128).toShort)
-          MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
+          // odd ids ship FLAC, even ids WAV — the m08 mixed-corpus seam
+          if (id % 2 == 1)
+            MediaRow(id, Flac.encode(8000, 1, samples), "flac")
+          else MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
         }
       }
     media.mapPartitions { it =>
       it.map { r =>
-        val a = MediaCodec.decodeWav(r.payload).samples
+        val a = MediaCodec.decodeAudio(r.payload).samples
         var zcr = 0L
         var energy = 0L
         var peak = 0L
@@ -1432,12 +1443,15 @@ object MultimodalQueries {
           val bytes = text.getBytes("US-ASCII")
           val samples = Array.tabulate(bytes.length)(i =>
             (((bytes(i) & 0xFF) - 96) * 128).toShort)
-          MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
+          // odd ids ship FLAC, even ids WAV — the m08 mixed-corpus seam
+          if (id % 2 == 1)
+            MediaRow(id, Flac.encode(8000, 1, samples), "flac")
+          else MediaRow(id, MediaCodec.encodeWav(8000, samples), "wav16")
         }
       }
     media.mapPartitions { it =>
       it.map { r =>
-        val a = MediaCodec.decodeWav(r.payload).samples
+        val a = MediaCodec.decodeAudio(r.payload).samples
         val nw = a.length / 16
         val buf = new Array[Long](16)
         val bands = new Array[Long](4)
@@ -1595,7 +1609,80 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class AvDemux(doc_id: Long, n_frames: Long, n_samples: Long,
+                           luma0: Long, motion: Long, amp_sum: Long,
+                           zcr: Long)
+
+  /** m28 — A/V demux: one interleaved AVI per document (an MJPEG video
+    * track — m07's temporally-shifting flat blocks as real JPEGs — plus
+    * a PCM16 `auds` track carrying the m05 sample synthesis, one `01wb`
+    * slice per frame, the classic capture-file interleave), demuxed by
+    * [[graft.sources.Avi.decodeAv]]'s strict walk (both stream headers
+    * parsed, idx1 covering BOTH tracks verified, WAVEFORMAT cross-
+    * checked against the stream header). A speech-video corpus prep
+    * runs exactly this seam before sending frames to vision and audio
+    * to ASR; features combine the two tracks (first-frame luma + total
+    * motion from video, |amplitude| sum + zero crossings from audio) so
+    * a demux that drops, duplicates or mis-orders EITHER track's chunks
+    * fails the oracle, which replays both signals from the document
+    * bytes with zero container knowledge.
+    *
+    * Scale shape: the m01–m08 posture — two scan-parallel mapPartitions
+    * stages, one container walk + JPEG decodes per row, no shuffle
+    * before the output sort. */
+  def m28_avi_demux(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes("US-ASCII")
+        val len = bytes.length
+        val nf = len % 6 + 2
+        val frames = (0 until nf).map { fr =>
+          val vals = Array.tabulate(4)(k =>
+            if (len == 0) 0 else bytes((fr + 3 * k) % len) & 0xFF)
+          Jpeg.encodeGrayFlat(16, 16, vals)
+        }
+        val samples = Array.tabulate(len)(i =>
+          (((bytes(i) & 0xFF) - 96) * 128).toShort)
+        MediaRow(id, Avi.encodeMjpegAv(frames, 16, 16, 10, 8000, samples),
+          "avi-av")
+      })
+    media.mapPartitions(_.map { r =>
+      val av = Avi.decodeAv(r.payload)
+      val v = av.video
+      var luma0 = 0L
+      v.frames.head.pixels.foreach(b => luma0 += (b & 0xFF))
+      var motion = 0L
+      var f = 1
+      while (f < v.frames.length) {
+        val a = v.frames(f - 1).pixels
+        val bp = v.frames(f).pixels
+        var p = 0
+        while (p < bp.length) {
+          motion += math.abs((bp(p) & 0xFF) - (a(p) & 0xFF))
+          p += 1
+        }
+        f += 1
+      }
+      val au = av.audio.map(_.samples).getOrElse(Array.emptyShortArray)
+      var amp = 0L
+      var zcr = 0L
+      var i = 0
+      while (i < au.length) {
+        amp += math.abs(au(i).toLong)
+        if (i > 0 && ((au(i - 1) < 0) != (au(i) < 0))) zcr += 1
+        i += 1
+      }
+      AvDemux(r.doc_id, v.frames.length.toLong, au.length.toLong, luma0,
+        motion, amp, zcr)
+    }).toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m28_avi_demux" -> (m28_avi_demux _),
     "m27_mjpeg_shots" -> (m27_mjpeg_shots _),
     "m26_flac_features" -> (m26_flac_features _),
     "m20_wht_spectrogram" -> (m20_wht_spectrogram _),
@@ -1649,6 +1736,43 @@ object MultimodalQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    // both demuxed tracks replayed from the document bytes: video =
+    // m07's v(f,k) = byte((f+3k) mod len) flat blocks (luma0 and total
+    // SAD at 64x), audio = the m05 synthesis (|amp| sum + sign-flip
+    // count); the interleaved AVI exists only on the Spark side
+    "m28_avi_demux" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           (length(text) % 6 + 2) AS nf FROM documents),
+       v AS (SELECT doc_id, len, nf,
+           list_transform(range(0, nf), f ->
+             list_transform(range(0, 4), k ->
+               CASE WHEN len = 0 THEN 0 ELSE
+                 ascii(substr(text, ((f + 3 * k) % len)::INT + 1, 1))
+               END)) AS fv,
+           list_transform(range(0, len), i ->
+             CAST((ascii(substr(text, i::INT + 1, 1)) - 96) * 128
+               AS BIGINT)) AS sl
+         FROM t),
+       a AS (SELECT doc_id, len, nf, sl,
+           64 * (fv[1][1] + fv[1][2] + fv[1][3] + fv[1][4]) AS luma0,
+           list_reduce(list_transform(range(0, nf - 1), t2 ->
+             64 * (abs(fv[t2::INT + 2][1] - fv[t2::INT + 1][1])
+                 + abs(fv[t2::INT + 2][2] - fv[t2::INT + 1][2])
+                 + abs(fv[t2::INT + 2][3] - fv[t2::INT + 1][3])
+                 + abs(fv[t2::INT + 2][4] - fv[t2::INT + 1][4]))),
+             (x, y) -> x + y) AS motion
+         FROM v)
+       SELECT doc_id, nf::BIGINT AS n_frames, len::BIGINT AS n_samples,
+         luma0::BIGINT AS luma0, motion::BIGINT AS motion,
+         (CASE WHEN len = 0 THEN 0 ELSE
+           list_reduce(list_transform(sl, x -> abs(x)), (x, y) -> x + y)
+         END)::BIGINT AS amp_sum,
+         (CASE WHEN len <= 1 THEN 0 ELSE
+           list_reduce(list_transform(range(1, len),
+             i -> CASE WHEN (sl[i::INT] < 0) <> (sl[i::INT + 1] < 0)
+                  THEN 1 ELSE 0 END), (x, y) -> x + y)
+         END)::BIGINT AS zcr
+       FROM a ORDER BY doc_id""",
     // m13's shot structure replayed on the document bytes: frame f's
     // four flat blocks are v(f,k) = byte((f//3·11 + 3k + f) mod len),
     // each SAD transition is 64·Σ|Δv|, cuts use the integer

@@ -115,6 +115,50 @@ class AviSpec extends AnyFunSuite {
       Avi.decodeMjpeg(java.util.Arrays.copyOf(avi, avi.length - 10)))
   }
 
+  test("interleaved A/V: both tracks demux back exactly") {
+    val frames = grayFrames(4)
+    val samples = Array.tabulate(103)(i => ((i * 977) % 20000 - 10000).toShort)
+    val avi = Avi.encodeMjpegAv(frames, 16, 16, 10, 8000, samples)
+    val av = Avi.decodeAv(avi)
+    assert(av.video.frames.length == 4 && av.video.fps == 10)
+    assert(av.audio.isDefined)
+    val a = av.audio.get
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    assert(a.samples.toSeq == samples.toSeq,
+      "audio must survive the per-frame chunk split in order")
+    // video-only decode of the same container ignores the audio track
+    assert(Avi.decodeMjpeg(avi).frames.length == 4)
+    // idx1 covers both tracks: 00dc + 01wb per frame
+    val b = ByteBuffer.wrap(avi).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var idxPos = -1
+    while (pos + 8 <= avi.length) {
+      if (new String(avi, pos, 4, "US-ASCII") == "idx1") idxPos = pos
+      pos += 8 + b.getInt(pos + 4) + (b.getInt(pos + 4) & 1)
+    }
+    assert(b.getInt(idxPos + 4) == 16 * 8)
+    assert(new String(avi, idxPos + 8 + 16, 4, "US-ASCII") == "01wb")
+  }
+
+  test("audio chunks without an auds header are rejected") {
+    val avi = Avi.encodeMjpegAv(grayFrames(2), 16, 16, 10, 8000,
+      Array.tabulate(10)(_.toShort))
+    // blank out the auds strh fccType so the header walk never sees it
+    val idx = {
+      var i = 12
+      var at = -1
+      while (i < avi.length - 4 && at < 0) {
+        if (new String(avi, i, 4, "US-ASCII") == "auds") at = i
+        i += 1
+      }
+      at
+    }
+    assert(idx > 0)
+    val bad = avi.clone()
+    bad(idx) = 'x'.toByte
+    assertThrows[IllegalArgumentException](Avi.decodeAv(bad))
+  }
+
   test("m13 shot-boundary rule finds the synthetic cut on MJPEG") {
     // two flat shots of 3 frames with one hard transition: the adaptive
     // threshold (sad*(n-1)*2 > 3*total) must flag exactly that cut
