@@ -1149,7 +1149,50 @@ object TextQueries {
       .orderBy("side", "rank")
   }
 
+  /** t29 — Heaps-law vocabulary growth curve: how the distinct-token
+    * vocabulary grows as the corpus is ingested in order — THE curve a
+    * tokenizer-training or dedup-planning pass reads to decide how much
+    * corpus is enough (vocab saturating ⇒ more data adds tokens, not
+    * words). Documents are ranked globally by doc_id ([[SequentialId]]
+    * — range exchange + broadcast offsets, no single-task sort), the
+    * corpus is cut at the 10 prefix deciles ⌊n·d/10⌋, and each token is
+    * charged to the decile of its FIRST occurrence; the cumulative sum
+    * of those per-decile counts IS the growth curve.
+    *
+    * Scale shape: one token explode → min-rank aggregate with map-side
+    * combine (the shuffle carries one partial row per partition×token,
+    * t06's posture), then a vocabulary-bounded 10-bucket aggregate and
+    * a 10-row cumulative window — nothing row-scale crosses the wire
+    * after the first aggregate. The decile cut list is 10 driver longs
+    * from one count(*). */
+  def t29_heaps_growth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val cuts = (1 to 10).map(d => n * d / 10)
+    val ranked = SequentialId.withSequentialId(docs, "rnk", Seq(col("doc_id")))
+    val first = ranked
+      .select(col("rnk"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(min("rnk").as("fr"))
+    val cutsArr = array(cuts.map(lit(_)): _*)
+    val perDecile = first
+      .withColumn("decile",
+        lit(11L) - size(filter(cutsArr, c => col("fr") <= c)).cast("long"))
+      .groupBy("decile").agg(count(lit(1)).as("new_tokens"))
+    val deciles = s.range(1, 11).toDF("decile")
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles.join(perDecile, Seq("decile"), "left")
+      .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+      .withColumn("n_docs_prefix", element_at(cutsArr, col("decile").cast("int")))
+      .withColumn("vocab_size", sum("new_tokens").over(w)) // 10-row window
+      .select(col("decile"), col("n_docs_prefix"), col("vocab_size"),
+        col("new_tokens"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_heaps_growth" -> (t29_heaps_growth _),
     "t28_log_odds" -> (t28_log_odds _),
     "t27_luhn_pii" -> (t27_luhn_pii _),
     "t26_stupid_backoff" -> (t26_stupid_backoff _),
@@ -1216,6 +1259,29 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // independent relational formulation: row_number rank, min-rank per
+    // token, decile via the same ⌊n·d/10⌋ cut list, cumulative window
+    "t29_heaps_growth" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+       d AS (SELECT text,
+           row_number() OVER (ORDER BY doc_id)::BIGINT AS rnk
+         FROM documents),
+       occ AS (SELECT rnk, unnest(string_split(text, ' ')) AS tok FROM d),
+       first AS (SELECT tok, min(rnk) AS fr FROM occ GROUP BY tok),
+       fd AS (SELECT tok,
+           11 - length(list_filter(list_transform(range(1, 11),
+             dd -> n.n * dd // 10), c -> fr <= c)) AS decile
+         FROM first, n),
+       newt AS (SELECT decile, count(*)::BIGINT AS new_tokens
+         FROM fd GROUP BY 1),
+       ds AS (SELECT dd AS decile FROM range(1, 11) t(dd))
+       SELECT ds.decile::BIGINT AS decile,
+         (n.n * ds.decile // 10)::BIGINT AS n_docs_prefix,
+         (sum(coalesce(new_tokens, 0)) OVER (ORDER BY ds.decile))::BIGINT
+           AS vocab_size,
+         coalesce(new_tokens, 0)::BIGINT AS new_tokens
+       FROM ds LEFT JOIN newt ON ds.decile = newt.decile, n
+       ORDER BY decile""",
     "t27_luhn_pii" -> t27Sql,
     // same pooled-prior integer inputs, same ln/sqrt shape, same 1e6
     // freeze and (z, word) tie-break on both top-10s
