@@ -1182,7 +1182,7 @@ object TextQueries {
     val deciles = s.range(1, 11).toDF("decile")
     val w = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deciles.join(perDecile, Seq("decile"), "left")
+    deciles.join(broadcast(perDecile), Seq("decile"), "left")
       .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
       .withColumn("n_docs_prefix", element_at(cutsArr, col("decile").cast("int")))
       .withColumn("vocab_size", sum("new_tokens").over(w)) // 10-row window
