@@ -976,7 +976,68 @@ object ClusterQueries {
           col("n") * (col("n") * col("n") - 1L))).as("rho_fp"))
   }
 
+  /** c19 — paired-bootstrap confidence interval on the ACCURACY DELTA
+    * between the two c16 classifiers (Koehn's paired bootstrap, the
+    * standard companion to McNemar: c16 answers "is the disagreement
+    * skewed", c19 answers "how big is the gap and how wide is its error
+    * bar"). Pairing is what the resample preserves: each replicate
+    * reweights WHOLE examples, so both models see the identical
+    * resampled eval set and per-example correctness differences never
+    * decouple. The 32 replicates reuse c10's deterministic streaming
+    * bootstrap (Poisson(1)-shaped integer weights off a two-step Lehmer
+    * hash of (vec_id, rep) with the pmod pre-reduction), the delta is
+    * an exact ±1e-6 fixed-point ratio (sign split so both engines
+    * truncate toward zero), and the 5/95 % band + the count of
+    * A-favoring replicates are read off the sorted 32-long array.
+    *
+    * Scale shape: one embedding scan × constant 32-way explode →
+    * map-side-combined 32-group aggregate; the band is a 1-row
+    * broadcast over 32 rows. Nothing grows with data. */
+  def c19_paired_bootstrap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val signsA = lit((1 to 64).map(i =>
+      if (i.toLong * 2654435761L / 65536L % 2L == 1L) 1.0 else -1.0).toArray)
+    val signsB = lit((1 to 64).map(i =>
+      if (i.toLong * 2246822519L / 65536L % 2L == 1L) 1.0 else -1.0).toArray)
+    def scoreFp(signs: Column): Column =
+      floor(aggregate(zip_with(col("a"), signs, (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x) * lit(1e6)).cast("long")
+    val sc = Tables.embeddings(s, dir)
+      .withColumn("a", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), (col("label") % 2).cast("long").as("y"),
+        (scoreFp(signsA) > 0L).cast("long").as("pa"),
+        (scoreFp(signsB) > 0L).cast("long").as("pb"))
+      .select(col("vec_id"),
+        (col("pa") === col("y")).cast("long").as("ca"),
+        (col("pb") === col("y")).cast("long").as("cb"))
+    val byRep = sc
+      .withColumn("rep", explode(sequence(lit(0L), lit(31L))))
+      .withColumn("h1", (pmod(col("vec_id"), lit(2147483647L)) *
+        1103515245L + (col("rep") + 1L) * 12345L + 6789L) % 2147483647L)
+      .withColumn("b", (col("h1") * 16807L) % 2147483647L % 100L)
+      .withColumn("w", when(col("b") < 37L, 0L).when(col("b") < 74L, 1L)
+        .when(col("b") < 92L, 2L).when(col("b") < 98L, 3L).otherwise(4L))
+      .groupBy("rep")
+      .agg(sum("w").as("n_eff"),
+        sum(col("w") * (col("ca") - col("cb"))).as("delta_num"))
+      // truncate-toward-zero in BOTH engines: split the sign off before
+      // the integral divide (Spark div and DuckDB // disagree on
+      // negative operands — flooring vs truncation)
+      .withColumn("delta_fp", when(col("delta_num") >= 0L,
+          ldiv(col("delta_num") * 1000000L, col("n_eff")))
+        .otherwise(-ldiv(-col("delta_num") * 1000000L, col("n_eff"))))
+    val band = byRep
+      .agg(sort_array(collect_list(col("delta_fp"))).as("ds"),
+        sum(when(col("delta_fp") > 0L, 1L).otherwise(0L)).as("n_a_better"))
+      .select(element_at(col("ds"), 2).as("lo_fp"),
+        element_at(col("ds"), 31).as("hi_fp"), col("n_a_better"))
+    byRep.crossJoin(broadcast(band))
+      .select("rep", "n_eff", "delta_fp", "lo_fp", "hi_fp", "n_a_better")
+      .orderBy("rep")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c19_paired_bootstrap" -> (c19_paired_bootstrap _),
     "c18_spearman" -> (c18_spearman _),
     "c17_psi_drift" -> (c17_psi_drift _),
     "c16_mcnemar_paired" -> (c16_mcnemar_paired _),
@@ -1190,6 +1251,49 @@ object ClusterQueries {
          FROM terms GROUP BY event_type ORDER BY event_type""",
     // same two fixed hyperplanes, same integer contingency cells and
     // continuity-corrected ratio
+    // c16's scorer pair + c10's deterministic Poisson weights; the
+    // delta divide is sign-split so // only ever sees nonnegatives
+    "c19_paired_bootstrap" ->
+      """WITH sc AS (SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+           CASE WHEN CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),
+             i -> (embedding[i]::DOUBLE) *
+               (CASE WHEN i * 2654435761 // 65536 % 2 = 1
+                THEN 1.0 ELSE -1.0 END)),
+             (p, q) -> p + q)) AS BIGINT) > 0 THEN 1 ELSE 0 END AS pa,
+           CASE WHEN CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),
+             i -> (embedding[i]::DOUBLE) *
+               (CASE WHEN i * 2246822519 // 65536 % 2 = 1
+                THEN 1.0 ELSE -1.0 END)),
+             (p, q) -> p + q)) AS BIGINT) > 0 THEN 1 ELSE 0 END AS pb
+         FROM embeddings),
+       c AS (SELECT vec_id,
+           CASE WHEN pa = y THEN 1 ELSE 0 END AS ca,
+           CASE WHEN pb = y THEN 1 ELSE 0 END AS cb FROM sc),
+       w AS (SELECT r.rep, c.ca, c.cb,
+           (((c.vec_id % 2147483647) * 1103515245
+             + (r.rep + 1) * 12345 + 6789)
+             % 2147483647 * 16807) % 2147483647 % 100 AS b
+         FROM c, (SELECT unnest(range(0, 32))::BIGINT AS rep) r),
+       w2 AS (SELECT rep, ca, cb,
+           CASE WHEN b < 37 THEN 0 WHEN b < 74 THEN 1
+             WHEN b < 92 THEN 2 WHEN b < 98 THEN 3 ELSE 4 END AS w
+         FROM w),
+       br AS (SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * (ca - cb)) AS BIGINT) AS delta_num
+         FROM w2 GROUP BY rep),
+       br2 AS (SELECT rep, n_eff,
+           CASE WHEN delta_num >= 0
+             THEN CAST((delta_num * 1000000) // n_eff AS BIGINT)
+             ELSE -CAST(((-delta_num) * 1000000) // n_eff AS BIGINT)
+           END AS delta_fp FROM br),
+       band AS (SELECT list_sort(list(delta_fp)) AS ds,
+           CAST(sum(CASE WHEN delta_fp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a_better FROM br2)
+       SELECT rep, n_eff, delta_fp,
+         (SELECT ds[2] FROM band) AS lo_fp,
+         (SELECT ds[31] FROM band) AS hi_fp,
+         (SELECT n_a_better FROM band) AS n_a_better
+       FROM br2 ORDER BY rep""",
     "c16_mcnemar_paired" ->
       """WITH sc AS (SELECT CAST(label % 2 AS BIGINT) AS y,
            CASE WHEN CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),

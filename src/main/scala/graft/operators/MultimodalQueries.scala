@@ -1681,7 +1681,92 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m29 — cross-VIDEO near-duplicate detection, the m06/m08
+    * fingerprint discipline applied to the video track: every 3
+    * consecutive doc_ids share the same underlying 12-frame content (a
+    * Lehmer-hashed block pattern) but each doc RE-ENCODES it
+    * differently — fps 10/15/20 and a +0/+1/+2 brightness shift on the
+    * odd frames (the flicker/watermark class of transcode artifact).
+    * Each variant becomes a REAL MJPEG-in-AVI ([[graft.sources.Jpeg]]
+    * flat blocks inside [[graft.sources.Avi]]), is decoded back, and
+    * the decoded block-luma sequence folds into a dHash-style temporal
+    * signature: 47 greater-than transition bits over the 48 block
+    * lumas. A within-frame comparison sees both operands shifted
+    * identically, and a frame-crossing comparison flips only when the
+    * luma gap is under the shift (≈2 % of bits), so re-encodes land
+    * within Hamming ≤ 6 while unrelated content gives fair-coin bits.
+    * Two measured dead ends kept OUT of the shipped design: 33-segment
+    * ENERGY transitions (m08's recipe) collapsed 500 docs onto 50
+    * fingerprints — mean-vs-single comparisons of the right-skewed v²
+    * are ~0.8-biased when the segment sizes alternate 1/2 — and a
+    * content hash affine in the element index collided almost as badly
+    * (constant adjacent differences mod M survive the final modulus;
+    * see the synthesis comment). The banded join (3×16-bit bands)
+    * recovers the transcode cliques with no all-pairs work; the oracle
+    * replays the block arithmetic from (doc_id, content hash) and
+    * never sees a container byte.
+    *
+    * Scale shape: two scan-parallel mapPartitions stages (encode |
+    * decode+fingerprint), then the m06/m08 LSH posture — band explode,
+    * equi-join on (band, key), popcount filter; candidate volume is
+    * governed by the 16-bit band space, never n². */
+  def m29_video_neardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val cid = id / 3
+        val jit = (id % 3).toInt
+        val frames = (0 until 12).map { fr =>
+          val vals = Array.tabulate(4) { k =>
+            // square-of-mixed-Lehmer: any chain AFFINE in the element
+            // index keeps a constant mod-M difference between adjacent
+            // elements, which makes the transition bits near-identical
+            // across content ids (measured: 500 docs → 50 fingerprints);
+            // squaring makes the adjacent difference 62x+961, i.e.
+            // content-dependent
+            val x = (cid % 2147483647L) * 2654435761L % 2147483647L +
+              31L * (fr * 4 + k) + 7L
+            (x * x % 2147483647L % 200L).toInt +
+              (if (fr % 2 == 1) jit else 0)
+          }
+          Jpeg.encodeGrayFlat(16, 16, vals)
+        }
+        MediaRow(id, Avi.encodeMjpeg(frames, 16, 16, 10 + 5 * jit), "avi")
+      })
+    val fps = media.mapPartitions(_.map { r =>
+      val v = Avi.decodeMjpeg(r.payload)
+      // flat 8×8 blocks in raster order: block k of frame fr is the
+      // decoded pixel at (8·(k/2), 8·(k%2))
+      val seq = Array.tabulate(v.frames.length * 4) { j =>
+        val px = v.frames(j / 4).pixels
+        val k = j % 4
+        (px((k / 2) * 8 * 16 + (k % 2) * 8) & 0xFF).toLong
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 47) { if (seq(b + 1) > seq(b)) fp |= 1L << b; b += 1 }
+      (r.doc_id, fp)
+    }).toDF("doc_id", "fp")
+    val bands = fps.select(col("doc_id"), col("fp"), explode(
+        array((0 until 3).map(b => struct(lit(b).as("b"),
+          shiftright(col("fp"), 16 * b).bitwiseAND(65535L).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.b"), col("bk.key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m29_video_neardup" -> (m29_video_neardup _),
     "m28_avi_demux" -> (m28_avi_demux _),
     "m27_mjpeg_shots" -> (m27_mjpeg_shots _),
     "m26_flac_features" -> (m26_flac_features _),
@@ -2170,6 +2255,32 @@ object MultimodalQueries {
     // replays the sample synthesis ((ascii−96)·128) and the segment
     // energy walk — the WAV container encode/decode happens only on
     // the Spark side, so a RIFF-offset bug there breaks the pairs
+    // the 48 block lumas replayed from the (doc_id/3, frame, block)
+    // Lehmer chain + the brightness jitter; segment energies, the 32
+    // transition bits and the banded join mirror m08's oracle — the
+    // AVI/JPEG containers exist only on the Spark side
+    "m29_video_neardup" ->
+      """WITH t AS (SELECT doc_id, doc_id // 3 AS cid, doc_id % 3 AS jit
+         FROM documents),
+       sq AS (SELECT doc_id, list_transform(range(0, 48), j ->
+           (((cid % 2147483647) * 2654435761 % 2147483647 + 31*j + 7)
+            * ((cid % 2147483647) * 2654435761 % 2147483647 + 31*j + 7))
+             % 2147483647 % 200
+             + CASE WHEN (j // 4) % 2 = 1 THEN jit ELSE 0 END) AS seq
+         FROM t),
+       fp AS (SELECT doc_id,
+           list_reduce(list_transform(range(0, 47), b ->
+             CASE WHEN seq[b+2] > seq[b+1] THEN (1::BIGINT << b::INT)
+               ELSE 0::BIGINT END), (x, y) -> x | y) AS fp
+         FROM sq),
+       bands AS (SELECT doc_id, fp, b, (fp >> (16 * b::INT)) & 65535 AS key
+         FROM fp, range(0, 3) t2(b)),
+       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           bit_count(xor(x.fp, y.fp))::BIGINT AS hamming
+         FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+           AND x.doc_id < y.doc_id)
+       SELECT doc_a, doc_b, hamming FROM cand
+       WHERE hamming <= 6 ORDER BY doc_a, doc_b""",
     "m08_audio_fingerprint" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS len
          FROM documents WHERE length(text) >= 33),

@@ -802,6 +802,17 @@ object TextQueries {
     * rounds. */
   def t22_bpe_train(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val (_, merges) = bpeTrain(s, dir)
+    merges.toDF("rank", "lsym", "rsym", "merged", "pair_cnt")
+      .orderBy("rank")
+  }
+
+  /** The 4-round merge-learning loop shared by t22 (which ships the
+    * merge table) and t30 (which applies the trained segmentation):
+    * returns the word-vocabulary frame with its post-merge `seg`
+    * column alongside the learned merges. */
+  private def bpeTrain(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
     var words = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -827,8 +838,41 @@ object TextQueries {
           col("seg"), lit(s" $l $r "), lit(s" $l$r ")))
         .localCheckpoint()
     }
-    merges.result().toDF("rank", "lsym", "rsym", "merged", "pair_cnt")
-      .orderBy("rank")
+    (words, merges.result())
+  }
+
+  /** t30 — BPE ENCODE: apply the t22-trained segmentation to every
+    * document and report the numbers a token-budget planner actually
+    * consumes — per-doc word count, SUBWORD token count, character
+    * count and the chars-per-subtoken compression ratio (the
+    * "fertility" figure every tokenizer eval prints). Training and
+    * encoding share one artifact: the word-vocabulary frame already
+    * holds each word's post-merge segmentation, so encoding is a join,
+    * not a per-document re-run of the merge rules — exactly how a
+    * production tokenizer applies a frozen vocab at corpus scale.
+    *
+    * Scale shape: the trainer's one map-combined groupBy(word) pass,
+    * then documents explode → hash join to the vocabulary on the word
+    * key → per-doc map-combined aggregate. The vocabulary is
+    * Heaps-law-bounded (≪ corpus rows) but unbounded in absolute
+    * terms, so the join stays a shuffle join rather than assuming
+    * broadcastability; nothing all-pairs, nothing driver-side beyond
+    * t22's four 1-row argmaxes. */
+  def t30_bpe_encode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val (words, _) = bpeTrain(s, dir)
+    val vocab = words.select(col("w"),
+      size(split(trim(col("seg")), " ")).cast("long").as("n_sub"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n_sub")).as("n_subtokens"))
+      .withColumn("fertility_fp",
+        ldiv(col("n_chars") * 1000000L, col("n_subtokens")))
+      .orderBy("doc_id")
   }
 
   /** t23 — corpus n-gram novelty: for every document, the share of its
@@ -1200,6 +1244,7 @@ object TextQueries {
     "t24_winsorized_stats" -> (t24_winsorized_stats _),
     "t23_ngram_novelty" -> (t23_ngram_novelty _),
     "t22_bpe_train" -> (t22_bpe_train _),
+    "t30_bpe_encode" -> (t30_bpe_encode _),
     "t21_quality_classifier" -> (t21_quality_classifier _),
     "t20_repetition_filter" -> (t20_repetition_filter _),
     "t19_char_entropy" -> (t19_char_entropy _),
@@ -1470,6 +1515,64 @@ object TextQueries {
     // four unrolled BPE rounds: pair-count over the weighted vocabulary,
     // 1-row argmax, boundary-space replace — the same decision sequence
     // the engine's driver loop takes
+    // t22's four merge rounds replayed with the word key carried
+    // through, then the encode join + per-doc aggregate
+    "t30_bpe_encode" ->
+      """WITH w0 AS (SELECT w, count(*)::BIGINT AS cnt FROM
+           (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+         s0 AS (SELECT w, cnt, ' ' ||
+             array_to_string(string_split(w, ''), ' ') || ' ' AS seg
+           FROM w0),
+         p1 AS (SELECT syms[i] AS l, syms[i+1] AS r,
+             sum(cnt)::BIGINT AS pc FROM
+             (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM
+               (SELECT cnt, string_split(trim(seg, ' '), ' ') AS syms
+                 FROM s0))
+             GROUP BY 1, 2),
+         b1 AS (SELECT l, r FROM p1 ORDER BY pc DESC, l, r LIMIT 1),
+         s1 AS (SELECT w, cnt, replace(seg, ' '||b1.l||' '||b1.r||' ',
+             ' '||b1.l||b1.r||' ') AS seg FROM s0, b1),
+         p2 AS (SELECT syms[i] AS l, syms[i+1] AS r,
+             sum(cnt)::BIGINT AS pc FROM
+             (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM
+               (SELECT cnt, string_split(trim(seg, ' '), ' ') AS syms
+                 FROM s1))
+             GROUP BY 1, 2),
+         b2 AS (SELECT l, r FROM p2 ORDER BY pc DESC, l, r LIMIT 1),
+         s2 AS (SELECT w, cnt, replace(seg, ' '||b2.l||' '||b2.r||' ',
+             ' '||b2.l||b2.r||' ') AS seg FROM s1, b2),
+         p3 AS (SELECT syms[i] AS l, syms[i+1] AS r,
+             sum(cnt)::BIGINT AS pc FROM
+             (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM
+               (SELECT cnt, string_split(trim(seg, ' '), ' ') AS syms
+                 FROM s2))
+             GROUP BY 1, 2),
+         b3 AS (SELECT l, r FROM p3 ORDER BY pc DESC, l, r LIMIT 1),
+         s3 AS (SELECT w, cnt, replace(seg, ' '||b3.l||' '||b3.r||' ',
+             ' '||b3.l||b3.r||' ') AS seg FROM s2, b3),
+         p4 AS (SELECT syms[i] AS l, syms[i+1] AS r,
+             sum(cnt)::BIGINT AS pc FROM
+             (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM
+               (SELECT cnt, string_split(trim(seg, ' '), ' ') AS syms
+                 FROM s3))
+             GROUP BY 1, 2),
+         b4 AS (SELECT l, r FROM p4 ORDER BY pc DESC, l, r LIMIT 1),
+         s4 AS (SELECT w, replace(seg, ' '||b4.l||' '||b4.r||' ',
+             ' '||b4.l||b4.r||' ') AS seg FROM s3, b4),
+         vocab AS (SELECT w,
+             len(string_split(trim(seg, ' '), ' '))::BIGINT AS n_sub
+           FROM s4),
+         dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(len(dw.w))::BIGINT AS n_chars,
+             sum(vocab.n_sub)::BIGINT AS n_subtokens
+           FROM dw JOIN vocab ON dw.w = vocab.w GROUP BY doc_id)
+         SELECT doc_id, n_words, n_chars, n_subtokens,
+           CAST((n_chars * 1000000) // n_subtokens AS BIGINT)
+             AS fertility_fp
+         FROM agg ORDER BY doc_id""",
     "t22_bpe_train" ->
       """WITH w0 AS (SELECT w, count(*)::BIGINT AS cnt FROM
            (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
