@@ -1163,7 +1163,54 @@ object DedupQueries {
       .orderBy("b")
   }
 
+  /** d25 — content-defined chunking (CDC) dedup: cut every document at
+    * positions where a rolling hash of the trailing 8 characters hits
+    * 0 mod 16 (avg ~16-char chunks), hash each chunk, and report the
+    * per-document share of characters living in chunks that ALSO occur
+    * in another document. Content-defined boundaries are what storage
+    * dedup (LBFS/Venti lineage) and long-document partial-dup detection
+    * use instead of fixed grams: an insertion shifts every fixed-stride
+    * window after it, but CDC boundaries re-synchronize within one
+    * chunk, so the shared tail still dedups. Complements d15/d21 (gram
+    * spans) with the boundary-stable formulation.
+    *
+    * The window hash is recomputed per position (8 multiplies) rather
+    * than rolled — stateless, so one codegen'd HOF chain expresses it
+    * in BOTH engines with no per-row state to carry; the chunk pass is
+    * O(8·chars) scan work.
+    *
+    * Scale shape: the d15/t23 inverted-index posture — chunks hashed to
+    * 8-byte longs, ONE map-combined distinct-doc count per chunk key,
+    * one join back on the same hash partitioning, per-doc aggregate.
+    * Posting lists never materialize; nothing all-pairs. */
+  def d25_cdc_chunks(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    // the boundary scan (trailing-8 polynomial mod 16, [[graft.plans
+    // .TextHashKernels.cdcChunks]]) runs as ONE native codegen call per
+    // row: the equivalent filter(sequence)/aggregate HOF chain is
+    // interpreted and cost 25.6 s at sf0.1 (~8 substring+ascii exprs
+    // per character) vs ~1 s native — the t20/d05 kernel lesson again
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.plans.CdcChunks(col("text"))).as("chunk"))
+      .select(col("doc_id"), length(col("chunk")).cast("long").as("clen"),
+        md5Long60(col("chunk")).as("g"))
+    val dfc = chunks.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("dfc"))
+    chunks.join(dfc, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("clen").as("n_chars"),
+        sum(when(col("dfc") >= 2L, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("dfc") >= 2L, col("clen")).otherwise(0L))
+          .as("dup_chars"))
+      .withColumn("dup_share_fp",
+        ldiv(col("dup_chars") * 1000000L, col("n_chars")))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d25_cdc_chunks" -> (d25_cdc_chunks _),
     "d24_cluster_histogram" -> (d24_cluster_histogram _),
     "d23_lsh_recall_eval" -> (d23_lsh_recall_eval _),
     "d22_cluster_keep_best" -> (d22_cluster_keep_best _),
@@ -1217,6 +1264,48 @@ object DedupQueries {
        THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x,y) -> x+y)"""
 
   val oracles: Map[String, String] = Map(
+    // the same stateless window polynomial, boundary rule and chunk
+    // cut replayed over ranges; DuckDB's range(8, len+1) is already
+    // empty below 8 chars (Spark's sequence() would count DOWN, hence
+    // the guard on the engine side)
+    "d25_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, text, length(text)::BIGINT AS len
+           FROM documents),
+         b AS (SELECT doc_id, text, len,
+             list_filter(range(8, len + 1), i ->
+               list_reduce(list_transform(range(i - 7, i + 1),
+                 k -> ascii(substr(text, k::INT, 1))::BIGINT),
+                 (acc, c) -> (acc * 31 + c) % 2147483647) % 16 = 0)
+               AS bs
+           FROM t),
+         ch AS (SELECT doc_id, text, len,
+             CASE WHEN len(bs) > 0 AND bs[len(bs)] = len THEN bs
+               ELSE list_concat(bs, [len]) END AS ends,
+             list_concat([1]::BIGINT[],
+               list_transform(list_filter(bs, x -> x < len), x -> x + 1))
+               AS starts
+           FROM b),
+         ck AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(starts)::BIGINT + 1),
+               j -> substr(text, starts[j::INT]::INT,
+                 (ends[j::INT] - starts[j::INT] + 1)::INT))) AS chunk
+           FROM ch),
+         gk AS (SELECT doc_id, length(chunk)::BIGINT AS clen,
+             CAST('0x' || substr(md5(chunk), 1, 15) AS BIGINT) AS g
+           FROM ck),
+         dfc AS (SELECT g, count(DISTINCT doc_id)::BIGINT AS dfc
+           FROM gk GROUP BY g),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS n_chunks,
+             sum(clen)::BIGINT AS n_chars,
+             sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END)::BIGINT
+               AS n_dup_chunks,
+             sum(CASE WHEN dfc >= 2 THEN clen ELSE 0 END)::BIGINT
+               AS dup_chars
+           FROM gk JOIN dfc USING (g) GROUP BY doc_id)
+         SELECT doc_id, n_chunks, n_chars, n_dup_chunks, dup_chars,
+           CAST((dup_chars * 1000000) // n_chars AS BIGINT)
+             AS dup_share_fp
+         FROM agg ORDER BY doc_id""",
     // same d03 signatures and band keys; ground truth re-derived as
     // exact Jaccard over distinct tokens for the sample
     "d23_lsh_recall_eval" -> s"""

@@ -1765,7 +1765,73 @@ object MultimodalQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  final case class AvSync(doc_id: Long, n_frames: Long, n_samples: Long,
+                          amp_sum: Long, max_drift_samples: Long,
+                          drift_us: Long, out_of_sync: Long)
+
+  /** m30 — A/V sync drift QA: in a captured/muxed AVI the audio rides
+    * the video as one `01wb` slice per frame, and a muxer bug (or a
+    * variable-rate source) makes slices run long so audio drifts behind
+    * the frame clock — the defect a speech-video corpus has to gate out
+    * BEFORE aligning ASR tokens to frames. Each doc muxes 4 real JPEG
+    * frames at fps 10 with sampleRate 500 (nominal 50 samples/slice);
+    * docs with doc_id % 3 = d get slice f running d·(f+1) samples long,
+    * so the worst cumulative drift is d·10 samples = 20·d ms — d = 2 is
+    * past the classic ~25 ms lip-sync threshold, d = 0 is perfect. The
+    * check reads the PER-SLICE sample counts the demuxer now preserves
+    * ([[graft.sources.Avi.Av.audioSlices]] — chunk sizes from the movi
+    * walk, verified against idx1), so a demux that merges, splits or
+    * reorders slices moves the drift and fails the oracle; amp_sum over
+    * the concatenated track pins the payload bytes too.
+    *
+    * Scale shape: the m01–m08 posture — two scan-parallel mapPartitions
+    * stages, one container walk + 4 JPEG decodes per row, no shuffle
+    * before the output sort. */
+  def m30_av_sync(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes("US-ASCII")
+        val len = bytes.length
+        val d = (id % 3).toInt
+        val slices = Array.tabulate(4)(f => 50 + d * (f + 1))
+        val total = slices.sum
+        val samples = Array.tabulate(total)(i =>
+          (((if (len == 0) 0 else bytes(i % len) & 0xFF) - 96) * 128).toShort)
+        val frames = (0 until 4).map { fr =>
+          val vals = Array.tabulate(4)(k =>
+            if (len == 0) 0 else bytes((fr + 3 * k) % len) & 0xFF)
+          Jpeg.encodeGrayFlat(16, 16, vals)
+        }
+        MediaRow(id,
+          Avi.encodeMjpegAv(frames, 16, 16, 10, 500, samples, slices),
+          "avi-av")
+      })
+    media.mapPartitions(_.map { r =>
+      val av = Avi.decodeAv(r.payload)
+      val audio = av.audio.get
+      val nominal = audio.sampleRate / av.video.fps
+      var amp = 0L
+      audio.samples.foreach(v => amp += math.abs(v.toLong))
+      var cum = 0L
+      var maxDrift = 0L
+      av.audioSlices.zipWithIndex.foreach { case (n, f) =>
+        cum += n
+        val drift = math.abs(cum - nominal.toLong * (f + 1))
+        if (drift > maxDrift) maxDrift = drift
+      }
+      val driftUs = maxDrift * 1000000L / audio.sampleRate
+      AvSync(r.doc_id, av.video.frames.length.toLong,
+        audio.samples.length.toLong, amp, maxDrift, driftUs,
+        if (driftUs > 25000L) 1L else 0L)
+    }).toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m30_av_sync" -> (m30_av_sync _),
     "m29_video_neardup" -> (m29_video_neardup _),
     "m28_avi_demux" -> (m28_avi_demux _),
     "m27_mjpeg_shots" -> (m27_mjpeg_shots _),
@@ -2255,6 +2321,29 @@ object MultimodalQueries {
     // replays the sample synthesis ((ascii−96)·128) and the segment
     // energy walk — the WAV container encode/decode happens only on
     // the Spark side, so a RIFF-offset bug there breaks the pairs
+    // drift replay: slice f runs (doc_id%3)·(f+1) samples long, so the
+    // worst cumulative drift is (doc_id%3)·10 samples at f=3; amp_sum
+    // replays the m05 synthesis over the 200+10d concatenated samples
+    // (i cycles the text bytes) — the sliced container exists only on
+    // the Spark side
+    "m30_av_sync" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           doc_id % 3 AS d FROM documents),
+       s AS (SELECT doc_id, len, d, 200 + 10 * d AS total FROM t),
+       a AS (SELECT t.doc_id, s.d, s.total,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(range(0, s.total), i ->
+               abs((CASE WHEN t.len = 0 THEN 0
+                 ELSE ascii(substr(t.text, (i % t.len)::INT + 1, 1)) END
+                 - 96) * 128)::BIGINT)), (x, y) -> x + y) AS amp_sum
+         FROM t JOIN s ON t.doc_id = s.doc_id)
+       SELECT doc_id, 4::BIGINT AS n_frames, total::BIGINT AS n_samples,
+         amp_sum,
+         (10 * d)::BIGINT AS max_drift_samples,
+         (10 * d * 1000000 // 500)::BIGINT AS drift_us,
+         (CASE WHEN 10 * d * 1000000 // 500 > 25000 THEN 1 ELSE 0
+           END)::BIGINT AS out_of_sync
+       FROM a ORDER BY doc_id""",
     // the 48 block lumas replayed from the (doc_id/3, frame, block)
     // Lehmer chain + the brightness jitter; segment energies, the 32
     // transition bits and the banded join mirror m08's oracle — the

@@ -200,6 +200,39 @@ object TextHashKernels {
     java.util.Arrays.sort(arr) // duplicates kept — only tokens dedup
     new GenericArrayData(arr)
   }
+
+  /** d25's content-defined chunk cut as one native pass: boundary after
+    * position i (1-based, i ≥ 8) when the trailing-8-char polynomial
+    * Σ c·31^k mod (2^31−1) hits 0 mod 16; chunks are the substrings
+    * between cuts (whole text when shorter than one window). EXACTLY
+    * the HOF formulation `filter(sequence(8, len), i -> aggregate(...))`
+    * + the zip_with cut — which profiling showed interpreted and
+    * dominating d25 (25.6 s at sf0.1, ~8 substring+ascii calls per
+    * character). Characters compare as UTF-16 units (= `ascii()`
+    * codepoints for the BMP; the corpus is ASCII). */
+  def cdcChunks(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n < 8)
+      return new GenericArrayData(Array[Any](UTF8String.fromString(s)))
+    val M = 2147483647L
+    val out = new java.util.ArrayList[Any]()
+    var start = 0 // 0-based chunk start
+    var i = 7 // 0-based index of the window END (1-based position i+1)
+    while (i < n) {
+      var h = 0L
+      var k = i - 7
+      while (k <= i) { h = (h * 31 + s.charAt(k)) % M; k += 1 }
+      if (h % 16 == 0) {
+        out.add(UTF8String.fromString(s.substring(start, i + 1)))
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < n || out.isEmpty)
+      out.add(UTF8String.fromString(s.substring(start)))
+    new GenericArrayData(out.toArray)
+  }
 }
 
 object MinhashKernel {
@@ -345,4 +378,29 @@ final case class RepetitionCharStats(child: Expression) extends TextHashExpr {
 object RepetitionCharStats {
   def apply(c: Column): Column =
     ColumnBridge.column(RepetitionCharStats(ColumnBridge.expression(c)))
+}
+
+/** d25's content-defined chunk substrings as one native call (see
+  * [[TextHashKernels.cdcChunks]]); ArrayType(StringType), so the
+  * downstream length()/md5Long60 run per CHUNK (~len/16 of them), not
+  * per character position. */
+final case class CdcChunks(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string arg, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.cdcChunks(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextHashKernels.cdcChunks($c)")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  def apply(c: Column): Column =
+    ColumnBridge.column(CdcChunks(ColumnBridge.expression(c)))
 }

@@ -61,12 +61,16 @@ object Avi {
     * interleave — with every chunk indexed in `idx1`. Pass an empty
     * sample array for video-only (what [[encodeMjpeg]] does). */
   def encodeMjpegAv(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int,
-                    sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+                    sampleRate: Int, samples: Array[Short],
+                    sliceSamples: Array[Int] = Array.empty): Array[Byte] = {
     require(fps > 0, "fps must be positive")
     val n = frames.length
     val hasAudio = samples.nonEmpty
     require(!hasAudio || sampleRate > 0, "audio needs a sample rate")
     require(!hasAudio || n > 0, "audio needs at least one video frame")
+    require(sliceSamples.isEmpty || (sliceSamples.length == n &&
+      sliceSamples.sum == samples.length && sliceSamples.forall(_ >= 0)),
+      "explicit slice sizes must cover every frame and all samples")
     val maxFrame = if (n == 0) 0 else frames.map(_.length).max
     val avih = fourcc("avih") ++ u32(56) ++
       u32(1000000L / fps) ++ // dwMicroSecPerFrame
@@ -104,6 +108,7 @@ object Avi {
     // the front chunks), WAVEFORMAT strf
     val perFrameSamples: Array[Int] =
       if (!hasAudio) Array.empty
+      else if (sliceSamples.nonEmpty) sliceSamples
       else Array.tabulate(n)(i =>
         samples.length / n + (if (i < samples.length % n) 1 else 0))
     val strlA: Array[Byte] =
@@ -170,8 +175,11 @@ object Avi {
   // ------------------------------------------------------------ decode
 
   /** A demuxed container: the MJPEG video track plus the PCM16 audio
-    * track when an `auds` stream is present. */
-  final case class Av(video: Video, audio: Option[MediaCodec.Audio])
+    * track when an `auds` stream is present; `audioSlices` preserves
+    * the per-`01wb`-chunk sample counts in movi order (the capture
+    * interleave), which is what an A/V sync check reads. */
+  final case class Av(video: Video, audio: Option[MediaCodec.Audio],
+                      audioSlices: Seq[Int] = Nil)
 
   /** Decode an MJPEG AVI: walk the RIFF chunk tree, parse `avih`/
     * `strh`/`strf`, decode every `00dc`/`00db` chunk in `movi` through
@@ -371,6 +379,7 @@ object Avi {
           s"auds strh rate/scale ${audRate}/$audScale != strf $audSampleRate")
         Some(MediaCodec.Audio(audSampleRate, audChannels, samples))
       }
-    Av(Video(width, height, fps, frames), audio)
+    Av(Video(width, height, fps, frames), audio,
+      audChunks.map(_._2 / 2).toSeq)
   }
 }
