@@ -1036,7 +1036,82 @@ object ClusterQueries {
       .orderBy("rep")
   }
 
+  /** c20 — Bradley–Terry "arena" ranking of 4 fixed scorers: every
+    * document stages all 6 pairwise battles (higher score wins, exact
+    * ties abstain), the battle scan reduces to a 4×4 win matrix, and a
+    * 3-step minorization–maximization fit turns pair win rates into BT
+    * strengths γ — the chatbot-arena/reward-model leaderboard
+    * computation, which unlike raw win counts is transitive-consistent
+    * and schedule-invariant (a model that only battled weak opponents
+    * doesn't outrank one that battled strong ones). Counts are
+    * RATE-normalized per pair (ppm) before the fit, which (a) makes the
+    * fit independent of corpus size, so every product below stays
+    * < 2^62 in plain longs at ANY scale — no decimal needed — and (b)
+    * weighs each matchup equally, the arena convention. The MM
+    * iteration is exact integer arithmetic (1e12 carry, floor division
+    * at defined points, renormalized to Σγ = 4e6), so the DuckDB oracle
+    * replays it step for step.
+    *
+    * Scale shape: ONE embedding scan → constant 6-way explode →
+    * map-side-combined 6-group aggregate; the driver sees 6 rows (the
+    * t22 argmax pattern) and the γ fit is O(models²) arithmetic on
+    * them. Nothing downstream grows with data. */
+  def c20_bt_arena(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val muls = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+    def signs(m: Long) = lit((1 to 64).map(i =>
+      if (i.toLong * m / 65536L % 2L == 1L) 1.0 else -1.0).toArray)
+    def scoreFp(m: Long): Column =
+      floor(aggregate(zip_with(col("a"), signs(m), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x) * lit(1e6)).cast("long")
+    val sc = Tables.embeddings(s, dir)
+      .withColumn("a", col("embedding").cast("array<double>"))
+      .select((0 until 4).map(i => scoreFp(muls(i)).as(s"s$i")): _*)
+    val pairs = for (i <- 0 until 4; j <- i + 1 until 4) yield (i, j)
+    val battles = sc.select(explode(array(pairs.map { case (i, j) =>
+        struct(lit(i).as("i"), lit(j).as("j"),
+          when(col(s"s$i") > col(s"s$j"), 1L)
+            .when(col(s"s$j") > col(s"s$i"), 0L).as("wi"))
+      }: _*)).as("b"))
+      .select(col("b.i"), col("b.j"), col("b.wi"))
+      .filter(col("wi").isNotNull) // exact ties abstain
+      .groupBy("i", "j")
+      .agg(sum("wi").as("n_ij"), (count(lit(1)) - sum("wi")).as("n_ji"))
+      .collect()
+    // rate-normalized win matrix p(i)(j) in ppm; pairs with no decided
+    // battle stay 0 and drop out of the denominators
+    val p = Array.ofDim[Long](4, 4)
+    battles.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      val (nij, nji) = (r.getAs[Long]("n_ij"), r.getAs[Long]("n_ji"))
+      val dec = nij + nji
+      if (dec > 0) {
+        p(i)(j) = nij * 1000000L / dec
+        p(j)(i) = nji * 1000000L / dec
+      }
+    }
+    val w = Array.tabulate(4)(i => (0 until 4).map(p(i)).sum)
+    var g = Array.fill(4)(1000000L)
+    for (_ <- 1 to 3) {
+      val denom = Array.tabulate(4) { i =>
+        (0 until 4).filter(j => j != i && p(i)(j) + p(j)(i) > 0)
+          .map(j => (p(i)(j) + p(j)(i)) * 1000000000000L / (g(i) + g(j)))
+          .sum
+      }
+      val gu = Array.tabulate(4)(i =>
+        if (denom(i) == 0) g(i) else w(i) * 1000000000000L / denom(i))
+      val tot = gu.sum
+      g = gu.map(x => x * 4000000L / tot)
+    }
+    val ranked = (0 until 4).sortBy(i => (-g(i), i.toLong))
+    ranked.zipWithIndex.map { case (m, r) =>
+      (r.toLong + 1L, m.toLong, w(m), g(m))
+    }.toDF("rank", "model", "wins_ppm", "gamma_fp")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c20_bt_arena" -> (c20_bt_arena _),
     "c19_paired_bootstrap" -> (c19_paired_bootstrap _),
     "c18_spearman" -> (c18_spearman _),
     "c17_psi_drift" -> (c17_psi_drift _),
@@ -1197,7 +1272,65 @@ object ClusterQueries {
   private val discSql = ndcgDisc.mkString("[", ", ", "]")
   private val gainsSql = ndcgGains.mkString("[", ", ", "]")
 
+  /** c20 oracle: the four c16-style scorers, the 6-way battle union,
+    * rate normalization and the 3 MM steps replayed as CTE chains with
+    * the identical integer truncation points. Assumes every model has
+    * ≥ 1 decided battle (true at any realistic SF — exact score ties
+    * are the only abstention); a fully-tied model would drop here but
+    * be kept by the engine, which the gate would surface loudly. */
+  private lazy val c20Sql: String = {
+    def score(m: Long, alias: String) =
+      s"""CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),
+           i -> (embedding[i]::DOUBLE) *
+             (CASE WHEN i * $m // 65536 % 2 = 1
+              THEN 1.0 ELSE -1.0 END)),
+           (p, q) -> p + q)) AS BIGINT) AS $alias"""
+    val muls = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+    val pairs = for (i <- 0 until 4; j <- i + 1 until 4) yield (i, j)
+    val battleUnion = pairs.map { case (i, j) =>
+      s"""SELECT $i AS i, $j AS j,
+          CASE WHEN s$i > s$j THEN 1 WHEN s$j > s$i THEN 0 END AS wi
+        FROM sc"""
+    }.mkString(" UNION ALL ")
+    def iter(t: Int): String = {
+      val prev = if (t == 1) "g0" else s"g${t - 1}"
+      s"""d$t AS (SELECT dirp.i AS m,
+           CAST(sum((pij + pji) * 1000000000000 // (gi.g + gj.g))
+             AS BIGINT) AS d
+         FROM dirp JOIN $prev gi ON gi.m = dirp.i
+           JOIN $prev gj ON gj.m = dirp.j GROUP BY dirp.i),
+       u$t AS (SELECT w.m,
+           CASE WHEN d.d = 0 THEN p.g
+             ELSE CAST(w.w * 1000000000000 // d.d AS BIGINT) END AS gu
+         FROM wtot w JOIN d$t d ON d.m = w.m JOIN $prev p ON p.m = w.m),
+       g$t AS (SELECT m, CAST(gu * 4000000 //
+           (SELECT sum(gu) FROM u$t) AS BIGINT) AS g FROM u$t)"""
+    }
+    s"""WITH sc AS (SELECT ${muls.zipWithIndex.map { case (m, i) =>
+           score(m, s"s$i") }.mkString(", ")} FROM embeddings),
+       b AS ($battleUnion),
+       praw AS (SELECT i, j, CAST(sum(wi) AS BIGINT) AS nij,
+           CAST(count(*) - sum(wi) AS BIGINT) AS nji
+         FROM b WHERE wi IS NOT NULL GROUP BY i, j),
+       pd AS (SELECT i, j,
+           nij * 1000000 // (nij + nji) AS pij,
+           nji * 1000000 // (nij + nji) AS pji FROM praw),
+       dirp AS (SELECT i, j, pij, pji FROM pd
+         UNION ALL SELECT j AS i, i AS j, pji AS pij, pij AS pji FROM pd),
+       wtot AS (SELECT i AS m, CAST(sum(pij) AS BIGINT) AS w
+         FROM dirp GROUP BY i),
+       g0 AS (SELECT unnest(range(0, 4))::BIGINT AS m,
+         1000000::BIGINT AS g),
+       ${iter(1)}, ${iter(2)}, ${iter(3)}
+       SELECT row_number() OVER (ORDER BY g3.g DESC, g3.m)::BIGINT
+           AS rank,
+         g3.m::BIGINT AS model, wtot.w AS wins_ppm, g3.g AS gamma_fp
+       FROM g3 JOIN wtot ON wtot.m = g3.m
+       ORDER BY rank"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "c20_bt_arena" -> c20Sql,
     // same two scorers, same (score, vec_id) rank order, same exact
     // integer rho formula
     "c18_spearman" ->

@@ -1263,6 +1263,55 @@ object DedupQueries {
          CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END), (x,y) -> x+y) > 0
        THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x,y) -> x+y)"""
 
+  /** The full keep-best manifest chain (minhash sigs → banded
+    * candidates → verified pairs → recursive component closure →
+    * quality scores → `sized` with per-comp rank) shared by the d22
+    * oracle and p27's dedup-reweight oracle in
+    * [[PipelineQueries]] — ends at the `sized` CTE, consumers append
+    * their own final SELECT (and further CTEs with a leading comma). */
+  private[operators] lazy val sqlKeepBestChain: String = s"""
+      WITH RECURSIVE $sqlPrmR,
+      sigs AS (SELECT doc_id, $sqlSig AS sig,
+          list_distinct(string_split(text, ' ')) AS tk FROM documents, prmR),
+      bands AS (SELECT doc_id, b,
+          array_to_string(sig[b*r+1 : b*r+r], '_') AS bkey
+        FROM sigs, prmR, range(0, 2) t(b)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+          AND x.doc_id < y.doc_id),
+      pairs AS (SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+          len(list_intersect(a.tk, b.tk))::DOUBLE /
+            len(list_distinct(a.tk || b.tk))::DOUBLE AS jaccard
+        FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
+          JOIN sigs b ON cand.doc_b = b.doc_id, prmR
+        WHERE list_reduce(list_transform(range(1, 2*r + 1),
+          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
+          (x,y) -> x+y) >= 2*r - 2)
+        WHERE jaccard >= 0.99),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      lbl(doc_id, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, l.comp FROM lbl l JOIN edges e ON l.doc_id = e.u),
+      final AS (SELECT doc_id, min(comp) AS comp FROM lbl GROUP BY doc_id),
+      scored AS (SELECT doc_id,
+          CASE WHEN n_tok = 0 THEN 0
+            ELSE n_dist * 1000000 // n_tok END AS score_fp
+        FROM (SELECT doc_id,
+            len(string_split(text, ' '))::BIGINT AS n_tok,
+            len(list_distinct(string_split(text, ' ')))::BIGINT AS n_dist
+          FROM documents)),
+      alldocs AS (SELECT s.doc_id, coalesce(f.comp, s.doc_id) AS comp,
+          s.score_fp
+        FROM scored s LEFT JOIN final f ON s.doc_id = f.doc_id),
+      sized AS (SELECT doc_id, comp, score_fp,
+          count(*) OVER (PARTITION BY comp) AS n_members,
+          row_number() OVER (PARTITION BY comp
+            ORDER BY score_fp DESC, doc_id) AS rk
+        FROM alldocs)"""
+
   val oracles: Map[String, String] = Map(
     // the same stateless window polynomial, boundary rule and chunk
     // cut replayed over ranges; DuckDB's range(8, len+1) is already
@@ -1643,47 +1692,7 @@ object DedupQueries {
     // d14's closure chain + quality rank inside each component;
     // singletons coalesce to their own id
     "d22_cluster_keep_best" -> s"""
-      WITH RECURSIVE $sqlPrmR,
-      sigs AS (SELECT doc_id, $sqlSig AS sig,
-          list_distinct(string_split(text, ' ')) AS tk FROM documents, prmR),
-      bands AS (SELECT doc_id, b,
-          array_to_string(sig[b*r+1 : b*r+r], '_') AS bkey
-        FROM sigs, prmR, range(0, 2) t(b)),
-      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
-          AND x.doc_id < y.doc_id),
-      pairs AS (SELECT doc_a, doc_b FROM (
-        SELECT doc_a, doc_b,
-          len(list_intersect(a.tk, b.tk))::DOUBLE /
-            len(list_distinct(a.tk || b.tk))::DOUBLE AS jaccard
-        FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
-          JOIN sigs b ON cand.doc_b = b.doc_id, prmR
-        WHERE list_reduce(list_transform(range(1, 2*r + 1),
-          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
-          (x,y) -> x+y) >= 2*r - 2)
-        WHERE jaccard >= 0.99),
-      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs),
-      lbl(doc_id, comp) AS (
-        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-        UNION
-        SELECT e.v, l.comp FROM lbl l JOIN edges e ON l.doc_id = e.u),
-      final AS (SELECT doc_id, min(comp) AS comp FROM lbl GROUP BY doc_id),
-      scored AS (SELECT doc_id,
-          CASE WHEN n_tok = 0 THEN 0
-            ELSE n_dist * 1000000 // n_tok END AS score_fp
-        FROM (SELECT doc_id,
-            len(string_split(text, ' '))::BIGINT AS n_tok,
-            len(list_distinct(string_split(text, ' ')))::BIGINT AS n_dist
-          FROM documents)),
-      alldocs AS (SELECT s.doc_id, coalesce(f.comp, s.doc_id) AS comp,
-          s.score_fp
-        FROM scored s LEFT JOIN final f ON s.doc_id = f.doc_id),
-      sized AS (SELECT doc_id, comp, score_fp,
-          count(*) OVER (PARTITION BY comp) AS n_members,
-          row_number() OVER (PARTITION BY comp
-            ORDER BY score_fp DESC, doc_id) AS rk
-        FROM alldocs)
+      $sqlKeepBestChain
       SELECT doc_id, comp, n_members::BIGINT AS n_members, score_fp,
         (rk = 1)::BIGINT AS kept
       FROM sized ORDER BY doc_id""",

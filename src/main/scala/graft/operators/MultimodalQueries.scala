@@ -1830,7 +1830,62 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class MediaQuarantine(doc_id: Long, ok: Long,
+                                   err_class: String, width: Long,
+                                   height: Long, lum_sum: Long)
+
+  /** m31 — corrupt-media quarantine: the qn13 (JSONL quarantine)
+    * discipline applied to the binary decode path. A 100 TB media
+    * corpus ALWAYS contains undecodable payloads — truncated uploads,
+    * mislabeled files — and a decode stage that throws kills the whole
+    * job at the worst possible time; the production shape is
+    * per-row catch → quarantine flag + error class → features only for
+    * clean rows, with the scan completing regardless. Every doc gets a
+    * real 16×16 JPEG; doc_id ≡ 0 (mod 7) ships TRUNCATED at half
+    * length (the strict [[graft.sources.Jpeg]] walk hits the cut), and
+    * doc_id ≡ 3 (mod 7) ships with the SOI marker zeroed (the
+    * [[graft.sources.MediaCodec]] magic-byte sniff rejects it). The
+    * oracle replays the corruption rule and the clean-row pixel
+    * arithmetic from the document bytes — a decoder that silently
+    * "succeeds" on corrupt bytes, or a harness that lets the exception
+    * escape, both fail the gate.
+    *
+    * Scale shape: two scan-parallel mapPartitions stages; the catch is
+    * per-row so one bad payload costs one row, not a task retry storm.
+    * No shuffle before the output sort. */
+  def m31_media_quarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes("US-ASCII")
+        val len = bytes.length
+        val vals = Array.tabulate(4)(k =>
+          if (len == 0) 0 else bytes((5 * k + 1) % len) & 0xFF)
+        val good = Jpeg.encodeGrayFlat(16, 16, vals)
+        val payload =
+          if (id % 7 == 0) java.util.Arrays.copyOf(good, good.length / 2)
+          else if (id % 7 == 3) { val b = good.clone(); b(0) = 0; b }
+          else good
+        MediaRow(id, payload, "jpeg")
+      })
+    media.mapPartitions(_.map { r =>
+      scala.util.Try(MediaCodec.decodeImage(r.payload)) match {
+        case scala.util.Success(img) =>
+          var lum = 0L
+          img.pixels.foreach(p => lum += (p & 0xFF))
+          MediaQuarantine(r.doc_id, 1L, "none", img.width.toLong,
+            img.height.toLong, lum)
+        case scala.util.Failure(_) =>
+          MediaQuarantine(r.doc_id, 0L, "undecodable", 0L, 0L, 0L)
+      }
+    }).toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m31_media_quarantine" -> (m31_media_quarantine _),
     "m30_av_sync" -> (m30_av_sync _),
     "m29_video_neardup" -> (m29_video_neardup _),
     "m28_avi_demux" -> (m28_avi_demux _),
@@ -2321,6 +2376,25 @@ object MultimodalQueries {
     // replays the sample synthesis ((ascii−96)·128) and the segment
     // energy walk — the WAV container encode/decode happens only on
     // the Spark side, so a RIFF-offset bug there breaks the pairs
+    // corruption rule + clean-row flat-block arithmetic replayed from
+    // the document bytes; the JPEG container (and its truncation) exist
+    // only on the Spark side
+    "m31_media_quarantine" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len
+         FROM documents),
+       v AS (SELECT doc_id, len,
+           CASE WHEN doc_id % 7 = 0 OR doc_id % 7 = 3 THEN 0 ELSE 1 END
+             AS ok,
+           list_transform(range(0, 4), k ->
+             CASE WHEN len = 0 THEN 0
+               ELSE ascii(substr(text, ((5*k + 1) % len)::INT + 1, 1))
+             END) AS vs
+         FROM t)
+       SELECT doc_id, ok::BIGINT AS ok,
+         CASE WHEN ok = 1 THEN 'none' ELSE 'undecodable' END AS err_class,
+         (ok * 16)::BIGINT AS width, (ok * 16)::BIGINT AS height,
+         (ok * 64 * list_reduce(vs, (x, y) -> x + y))::BIGINT AS lum_sum
+       FROM v ORDER BY doc_id""",
     // drift replay: slice f runs (doc_id%3)·(f+1) samples long, so the
     // worst cumulative drift is (doc_id%3)·10 samples at f=3; amp_sum
     // replays the m05 synthesis over the 200+10d concatenated samples

@@ -1027,7 +1027,51 @@ object PipelineQueries {
       .orderBy("decile")
   }
 
+  /** p27 — count-preserving dedup reweighting (the SemDeDup/D4 family's
+    * second half): after d22 keeps the best member of every near-dup
+    * cluster, training on the kept docs UNWEIGHTED silently reshapes
+    * the data distribution — a 40-copy boilerplate cluster and a unique
+    * document both contribute one doc. The fix every dedup-aware
+    * sampler applies is weight = cluster size on the kept
+    * representative. This operator is the LEDGER for that decision:
+    * per source, the raw token mass, the kept token mass (what plain
+    * dedup trains on), the weighted token mass (kept × members — what
+    * count-preserving sampling trains on), and the ppm ratios of each
+    * to raw. bias_fp ≈ 1e6 means reweighting restored the original
+    * source proportions; the deviation is exactly the quality-keep
+    * policy trading away representativeness (it keeps the most
+    * lexically diverse member, whose token count is not the cluster
+    * mean).
+    *
+    * Scale shape: rides d22's manifest, whose component labels are the
+    * memoized [[DedupQueries]] artifact (fifth consumer, zero extra
+    * graph rounds); one doc_id hash join + a per-source map-combined
+    * aggregate. Nothing new grows with data. */
+  def p27_dedup_reweight(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val manifest = DedupQueries.d22_cluster_keep_best(s, dir)
+      .select("doc_id", "n_members", "kept")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(manifest, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("kept").as("n_kept"),
+        sum("n_tok").as("tok_raw"),
+        sum(when(col("kept") === 1L, col("n_tok")).otherwise(0L))
+          .as("tok_kept"),
+        sum(when(col("kept") === 1L, col("n_tok") * col("n_members"))
+          .otherwise(0L)).as("tok_weighted"))
+      .withColumn("kept_share_fp",
+        ldiv(col("tok_kept") * 1000000L, col("tok_raw")))
+      .withColumn("bias_fp",
+        ldiv(col("tok_weighted") * 1000000L, col("tok_raw")))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p27_dedup_reweight" -> (p27_dedup_reweight _),
     "p26_selection_curve" -> (p26_selection_curve _),
     "p25_label_propagation" -> (p25_label_propagation _),
     "p24_dsir_selection" -> (p24_dsir_selection _),
@@ -1145,6 +1189,26 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // d22's full keep-best chain (shared fragment) + the source join
+    // and per-source token-mass ledger
+    "p27_dedup_reweight" -> s"""
+      ${DedupQueries.sqlKeepBestChain},
+      led AS (SELECT d.source,
+          count(*)::BIGINT AS n_docs,
+          sum(CASE WHEN z.rk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+          sum(len(string_split(d.text, ' ')))::BIGINT AS tok_raw,
+          sum(CASE WHEN z.rk = 1
+            THEN len(string_split(d.text, ' ')) ELSE 0 END)::BIGINT
+            AS tok_kept,
+          sum(CASE WHEN z.rk = 1
+            THEN len(string_split(d.text, ' ')) * z.n_members
+            ELSE 0 END)::BIGINT AS tok_weighted
+        FROM documents d JOIN sized z ON z.doc_id = d.doc_id
+        GROUP BY d.source)
+      SELECT source, n_docs, n_kept, tok_raw, tok_kept, tok_weighted,
+        CAST((tok_kept * 1000000) // tok_raw AS BIGINT) AS kept_share_fp,
+        CAST((tok_weighted * 1000000) // tok_raw AS BIGINT) AS bias_fp
+      FROM led ORDER BY source""",
     // same quality score, same (q_fp DESC, doc_id) rank and integer
     // decile split, same bounded cumulative window
     "p26_selection_curve" ->
