@@ -1884,7 +1884,69 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class RleFeature(doc_id: Long, width: Long, height: Long,
+                              lum_sum: Long, n_runs: Long,
+                              payload_bytes: Long, ratio_fp: Long)
+
+  /** m32 — RLE8-compressed BMP (Microsoft BMP spec, BI_RLE8): the
+    * compressed-bitmap variant that screenshots/UI captures ship in the
+    * wild, rounding out the BMP family (8-bpp paletted / 24 / 32 were
+    * round 9). Each doc renders a 16×16 two-runs-per-row gray raster,
+    * encodes it through the REAL run-length stream
+    * ([[MediaCodec.encodeBmpRle8]] — encoded-mode pairs, EOL/EOB
+    * escapes) and decodes it back through the strict RLE walk (which
+    * also accepts absolute mode and the 00 02 delta; MediaCodecSpec
+    * fixtures pin those). Features: decoded luma sum (a run decoded at
+    * the wrong column or row moves it), the run count RE-DERIVED from
+    * the decoded raster, the container size, and the compression ratio
+    * — all replayed by the oracle from the document bytes plus the
+    * closed-form stream-size arithmetic, zero container knowledge.
+    *
+    * Scale shape: the m01–m08 posture — two scan-parallel mapPartitions
+    * stages, no shuffle before the output sort. */
+  def m32_bmp_rle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes("US-ASCII")
+        val len = bytes.length
+        val gray = Array.tabulate(256) { i =>
+          val (r, c) = (i / 16, i % 16)
+          (if (len == 0) 0 else bytes((2 * r + c / 8) % len) & 0xFF).toByte
+        }
+        MediaRow(id, MediaCodec.encodeBmpRle8(16, 16, gray), "bmp-rle8")
+      })
+    media.mapPartitions(_.map { r =>
+      val img = MediaCodec.decodeImage(r.payload)
+      val ch = img.channels
+      var lum = 0L
+      var runs = 0L
+      var row = 0
+      while (row < img.height) {
+        runs += 1
+        var c = 0
+        var prev = -1
+        while (c < img.width) {
+          val v = img.pixels((row * img.width + c) * ch) & 0xFF
+          lum += v
+          if (prev >= 0 && v != prev) runs += 1
+          prev = v
+          c += 1
+        }
+        row += 1
+      }
+      val payload = r.payload.length.toLong
+      val raw = 54L + 1024L + 16L * 16L
+      RleFeature(r.doc_id, img.width.toLong, img.height.toLong, lum,
+        runs, payload, raw * 1000000L / payload)
+    }).toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m32_bmp_rle" -> (m32_bmp_rle _),
     "m31_media_quarantine" -> (m31_media_quarantine _),
     "m30_av_sync" -> (m30_av_sync _),
     "m29_video_neardup" -> (m29_video_neardup _),
@@ -2376,6 +2438,31 @@ object MultimodalQueries {
     // replays the sample synthesis ((ascii−96)·128) and the segment
     // energy walk — the WAV container encode/decode happens only on
     // the Spark side, so a RIFF-offset bug there breaks the pairs
+    // two-runs-per-row raster replayed from the text bytes; the RLE
+    // stream size is closed-form (2 bytes per run + per-row EOL + EOB),
+    // so payload_bytes and the ratio replay with zero container
+    // knowledge
+    "m32_bmp_rle" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len
+         FROM documents),
+       rws AS (SELECT doc_id, text, len, unnest(range(0, 16)) AS r
+         FROM t),
+       vals AS (SELECT doc_id, r,
+           CASE WHEN len = 0 THEN 0
+             ELSE ascii(substr(text, ((2*r) % len)::INT + 1, 1)) END AS a,
+           CASE WHEN len = 0 THEN 0
+             ELSE ascii(substr(text, ((2*r + 1) % len)::INT + 1, 1)) END
+             AS b2
+         FROM rws),
+       agg AS (SELECT doc_id,
+           sum(8 * (a + b2))::BIGINT AS lum_sum,
+           sum(CASE WHEN a = b2 THEN 1 ELSE 2 END)::BIGINT AS n_runs
+         FROM vals GROUP BY doc_id)
+       SELECT doc_id, 16::BIGINT AS width, 16::BIGINT AS height, lum_sum,
+         n_runs, (1078 + 2*n_runs + 34)::BIGINT AS payload_bytes,
+         CAST((1334 * 1000000) // (1078 + 2*n_runs + 34) AS BIGINT)
+           AS ratio_fp
+       FROM agg ORDER BY doc_id""",
     // corruption rule + clean-row flat-block arithmetic replayed from
     // the document bytes; the JPEG container (and its truncation) exist
     // only on the Spark side

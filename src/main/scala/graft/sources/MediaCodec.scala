@@ -125,10 +125,104 @@ object MediaCodec {
     b.array()
   }
 
-  /** Decode an uncompressed 8/24/32-bpp BMP to top-down RGB. Handles
-    * bottom-up (biHeight > 0) and top-down (biHeight < 0) layouts,
-    * arbitrary bfOffBits, and the 8-bpp paletted form (BGRA color table
-    * after the info header, biClrUsed entries or the full 256). */
+  /** Encode gray bytes as an 8-bpp BI_RLE8 bottom-up BMP (Microsoft
+    * BMP spec, compression 1): every maximal horizontal run becomes one
+    * encoded-mode pair (count, index) — runs past 255 split — each row
+    * closes with the 00 00 end-of-line escape and the stream with
+    * 00 01 end-of-bitmap. The decoder additionally accepts absolute
+    * mode (00 n idx… with word padding) and the 00 02 dx dy delta,
+    * which real encoders emit; fixtures pin those paths. */
+  def encodeBmpRle8(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == w * h, "gray length must be w*h")
+    val stream = new java.io.ByteArrayOutputStream()
+    var r = h - 1 // RLE bitmaps are bottom-up
+    while (r >= 0) {
+      var c = 0
+      while (c < w) {
+        val v = gray(r * w + c)
+        var n = 1
+        while (c + n < w && gray(r * w + c + n) == v && n < 255) n += 1
+        stream.write(n)
+        stream.write(v & 0xFF)
+        c += n
+      }
+      stream.write(0); stream.write(0) // end of line
+      r -= 1
+    }
+    stream.write(0); stream.write(1) // end of bitmap
+    val rle = stream.toByteArray
+    val b = ByteBuffer.allocate(54 + 1024 + rle.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(54 + 1024 + rle.length)
+    b.putShort(0).putShort(0)
+    b.putInt(54 + 1024)
+    b.putInt(40).putInt(w).putInt(h)
+    b.putShort(1).putShort(8).putInt(1).putInt(rle.length) // BI_RLE8
+    b.putInt(2835).putInt(2835)
+    b.putInt(256).putInt(0)
+    var i = 0
+    while (i < 256) {
+      b.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte)
+      i += 1
+    }
+    b.put(rle)
+    b.array()
+  }
+
+  /** BI_RLE8 stream → 8-bpp index raster (top-down), all four forms:
+    * encoded runs, absolute mode (word-aligned), end-of-line,
+    * end-of-bitmap, and the 00 02 dx dy delta (skipped pixels keep
+    * index 0, the de-facto convention). Strictly bounds-checked. */
+  private def decodeRle8(bytes: Array[Byte], off: Int, end: Int,
+                         w: Int, h: Int): Array[Byte] = {
+    val idx = new Array[Byte](w * h) // top-down raster, default index 0
+    var row = h - 1 // stream order is bottom-up
+    var col = 0
+    var p = off
+    def put(v: Byte): Unit = {
+      require(row >= 0 && col < w, s"RLE8 pixel out of bounds ($row,$col)")
+      idx(row * w + col) = v
+      col += 1
+    }
+    var done = false
+    while (!done) {
+      require(p + 2 <= end, "truncated RLE8 stream")
+      val b0 = bytes(p) & 0xFF
+      val b1 = bytes(p + 1) & 0xFF
+      p += 2
+      if (b0 > 0) { // encoded mode
+        var n = b0
+        while (n > 0) { put(b1.toByte); n -= 1 }
+      } else b1 match {
+        case 0 => // end of line
+          require(row >= 0, "RLE8 EOL past the top row")
+          row -= 1; col = 0
+        case 1 => done = true // end of bitmap
+        case 2 => // delta
+          require(p + 2 <= end, "truncated RLE8 delta")
+          val dx = bytes(p) & 0xFF
+          val dy = bytes(p + 1) & 0xFF
+          p += 2
+          col += dx
+          row -= dy // "up" in bottom-up coordinates
+          require(col <= w && row >= -1, s"RLE8 delta out of bounds")
+        case n => // absolute mode: n literal indices, word-aligned
+          require(p + n + (n & 1) <= end, "truncated RLE8 absolute run")
+          var i = 0
+          while (i < n) { put(bytes(p + i)); i += 1 }
+          p += n + (n & 1)
+      }
+    }
+    idx
+  }
+
+  /** Decode an uncompressed or BI_RLE8 8/24/32-bpp BMP to top-down RGB.
+    * Handles bottom-up (biHeight > 0) and top-down (biHeight < 0)
+    * layouts, arbitrary bfOffBits, the 8-bpp paletted form (BGRA color
+    * table after the info header, biClrUsed entries or the full 256),
+    * and RLE8-compressed 8-bpp payloads (encoded/absolute/EOL/EOB/delta
+    * forms — see [[encodeBmpRle8]]). */
   def decodeBmp(bytes: Array[Byte]): Image = {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M',
@@ -142,7 +236,9 @@ object MediaCodec {
     val h = math.abs(rawH)
     val bpp = b.getShort(28) & 0xFFFF
     val compression = b.getInt(30)
-    require(compression == 0, s"only BI_RGB (0) supported, got $compression")
+    require(compression == 0 || (compression == 1 && bpp == 8 && rawH > 0),
+      s"only BI_RGB (0) or bottom-up 8-bpp BI_RLE8 (1) supported, " +
+        s"got compression $compression at $bpp bpp")
     require(bpp == 8 || bpp == 24 || bpp == 32,
       s"only 8/24/32-bpp supported, got $bpp")
     require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue,
@@ -167,6 +263,21 @@ object MediaCodec {
         }
         p
       }
+    if (compression == 1) {
+      require(dataOff >= 0 && dataOff <= bytes.length,
+        "bad BMP RLE8 data offset")
+      val idx = decodeRle8(bytes, dataOff, bytes.length, w, h)
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val pi = (idx(i) & 0xFF) * 3
+        out(i * 3) = palette(pi)
+        out(i * 3 + 1) = palette(pi + 1)
+        out(i * 3 + 2) = palette(pi + 2)
+        i += 1
+      }
+      return Image(w, h, 3, out)
+    }
     val bytesPerPx = bpp / 8
     val strideL = (w.toLong * bytesPerPx + 3) / 4 * 4
     require(dataOff >= 0 &&

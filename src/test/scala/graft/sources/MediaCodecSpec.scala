@@ -173,4 +173,47 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeImage(MediaCodec.encodeBmp24(2, 2, rgb)).pixels.toSeq == rgb.toSeq)
     assert(MediaCodec.decodeImage(MediaCodec.encodePpm(2, 2, rgb)).pixels.toSeq == rgb.toSeq)
   }
+
+  test("BI_RLE8 encode/decode round-trips runs and split >255 runs") {
+    val gray = Array.tabulate(16 * 4)(i => (i / 8 * 10).toByte)
+    val img = MediaCodec.decodeBmp(MediaCodec.encodeBmpRle8(16, 4, gray))
+    assert(img.width == 16 && img.height == 4 && img.channels == 3)
+    (0 until 16 * 4).foreach(i =>
+      assert((img.pixels(i * 3) & 0xFF) == (gray(i) & 0xFF), s"px $i"))
+    // one 300-wide row: the 255-run split path
+    val wide = Array.fill(300)(7.toByte)
+    val img2 = MediaCodec.decodeBmp(MediaCodec.encodeBmpRle8(300, 1, wide))
+    assert(img2.pixels.indices.by(3).forall(i => img2.pixels(i) == 7))
+  }
+
+  /** Hand-built RLE8 stream using ABSOLUTE mode (00 n idx…, word pad),
+    * a DELTA (00 02 dx dy — skipped pixels keep index 0) and EOL/EOB —
+    * the decoder-only forms the spec requires accepting. Image 4×2
+    * bottom-up: stream row 0 = image row 1. */
+  test("BI_RLE8 absolute mode, delta and escapes decode per spec") {
+    val rle = Array[Int](
+      0, 3, 1, 2, 3, 0, // absolute: indices 1,2,3 then pad byte
+      1, 9, // encoded run: one 9, filling the 4-wide row
+      0, 0, // EOL -> up to image row 0
+      1, 5, // 5
+      0, 2, 2, 0, // delta right 2 (cols 1,2 stay 0)
+      1, 6, // 6 at col 3
+      0, 1 // EOB
+    ).map(_.toByte)
+    val b = java.nio.ByteBuffer.allocate(54 + 1024 + rle.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + 1024 + rle.length)
+    b.putShort(0).putShort(0).putInt(54 + 1024)
+    b.putInt(40).putInt(4).putInt(2)
+    b.putShort(1).putShort(8).putInt(1).putInt(rle.length)
+    b.putInt(2835).putInt(2835).putInt(256).putInt(0)
+    (0 until 256).foreach(i => b.put(i.toByte).put(i.toByte)
+      .put(i.toByte).put(0.toByte))
+    b.put(rle)
+    val img = MediaCodec.decodeBmp(b.array())
+    def px(r: Int, c: Int): Int = img.pixels((r * 4 + c) * 3) & 0xFF
+    // top-down: row 0 = second stream row (5, 0, 0, 6); row 1 = first
+    assert(Seq(px(0, 0), px(0, 1), px(0, 2), px(0, 3)) == Seq(5, 0, 0, 6))
+    assert(Seq(px(1, 0), px(1, 1), px(1, 2), px(1, 3)) == Seq(1, 2, 3, 9))
+  }
 }
