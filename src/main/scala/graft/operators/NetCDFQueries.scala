@@ -666,7 +666,52 @@ object NetCDFQueries {
     fa.join(bt, "id_dim").orderBy("id_dim")
   }
 
+  /** qn16 — variable-length STRING labels through the HDF5 global
+    * heap: the CF station-name/label-vector convention (h5py/netCDF-4
+    * `str` variables) stores each element as a 16-byte global-heap ID
+    * and the bytes in GCOL collections — a file-format lane (datatype
+    * class 9, spec III.E) the reader previously rejected. The fixture
+    * writes a 40×4 measure plus a 40-long label vector through
+    * [[graft.sources.HDF5.writeVarsWithStringLabels]], imports the
+    * measure through the NORMAL file_import path (the extra string
+    * dataset must not disturb it), reads the labels back via
+    * [[graft.sources.HDF5.Hdf5Reader.readStringVar]] and joins them to
+    * the fragment rows.
+    *
+    * Scale posture: label vectors are DIMENSION-scale metadata (one
+    * entry per coordinate index, not per cell), so the driver-side
+    * read + broadcast join is the right shape at any data size — the
+    * measure itself still flows through the distributed import. */
+  def qn16_vlen_labels(s: SparkSession, dir: String): DataFrame = {
+    val (nRows, nCols) = (40, 4)
+    val data = Array.tabulate(nRows * nCols)(k =>
+      (k / nCols) * 0.5 + (k % nCols) * 0.125)
+    val labels = (0 until nRows).map(i => s"st${i}_${(i * 7919 + 13) % 97}")
+    val tmp = Files.createTempDirectory("graft_h5vl")
+    val path = tmp.resolve("labeled.h5").toString
+    graft.sources.HDF5.writeVarsWithStringLabels(path,
+      Seq(graft.sources.HDF5.H5Var("measure",
+        Seq("row" -> nRows, "col" -> nCols), data)), "station", labels)
+    val ses = new IoServer(s).newSession()
+    ses.execute(s"operation=file_import;frag_name=st;src_path=@$path;" +
+      "measure=measure;explicit=1")
+    val meas = ses.execute(
+      "operation=select;field=id_dim|measure;from=st;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m"))
+    val lblDf = {
+      val r = new graft.sources.HDF5.Hdf5Reader(path)
+      val ls = try r.readStringVar("station") finally r.close()
+      import s.implicits._
+      ls.zipWithIndex.map { case (l, i) => (i + 1L, l) }
+        .toDF("id_dim", "station")
+    }
+    meas.join(broadcast(lblDf), "id_dim")
+      .select("id_dim", "station", "m")
+      .orderBy("id_dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qn16_vlen_labels" -> (qn16_vlen_labels _),
     "qn14_fletcher_import" -> (qn14_fletcher_import _),
     "qn01_netcdf_roundtrip" -> (qn01_netcdf_roundtrip _),
     "qn02_netcdf4_roundtrip" -> (qn02_netcdf4_roundtrip _),
@@ -688,6 +733,19 @@ object NetCDFQueries {
     // same 60×8 synthetic grid as qn05, read back through checksummed
     // chunks — the oracle only models the VALUES; the EDC verification
     // lives Spark-side (a corrupt chunk errors instead of mismatching)
+    // labels and values are pure functions of the row index, so the
+    // oracle never touches HDF5 — a heap ID resolved to the wrong GCOL
+    // object, or an import disturbed by the extra string dataset, both
+    // break the hash
+    "qn16_vlen_labels" ->
+      """SELECT i AS id_dim,
+         'st' || (i-1)::VARCHAR || '_' ||
+           (((i-1) * 7919 + 13) % 97)::VARCHAR AS station,
+         array_to_string(list_transform(range(0, 4),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)),
+           ',') AS m
+         FROM range(1, 41) t(i)
+         ORDER BY id_dim""",
     "qn14_fletcher_import" ->
       """SELECT i AS id_dim,
          array_to_string(list_transform(range(0, 8),

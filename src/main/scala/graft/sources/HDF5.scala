@@ -599,8 +599,20 @@ object HDF5 {
             val clazz = cv & 0x0F
             val bits0 = b.get(1) & 0xFF
             val size = b.getInt(4)
-            require(clazz == 0 || clazz == 1,
-              s"datatype class $clazz unsupported (fixed/float only)")
+            require(clazz == 0 || clazz == 1 || clazz == 9,
+              s"datatype class $clazz unsupported (fixed/float/vlen only)")
+            if (clazz == 9) {
+              // variable-length (spec IV.A.2.d class 9): must be the
+              // STRING flavour (bit-field type 1) with the 16-byte
+              // (length u32 + global heap address u64 + object index
+              // u32) file representation; the base datatype that
+              // follows is ignored — readStringVar re-derives bytes
+              // from the global heap
+              require((bits0 & 0x0F) == 1,
+                "vlen SEQUENCE datatypes unsupported (string vlen only)")
+              require(size == 16,
+                s"vlen string element size $size != 16")
+            }
             dtype = DType(clazz, size, littleEndian = (bits0 & 1) == 0,
               signed = clazz != 0 || (bits0 & 0x08) != 0)
           case 0x0008 => // layout
@@ -1070,6 +1082,72 @@ object HDF5 {
       * contiguous layout does one positioned read per innermost run;
       * chunked layout copies each intersecting chunk's overlap (chunks
       * inflate once into the per-reader LRU). */
+    /** Read a 1-D variable-length STRING dataset (datatype class 9,
+      * string flavour): each 16-byte element is (length u32, global
+      * heap collection address u64, object index u32); the bytes live
+      * in GCOL collections (spec III.E — signature, version 1,
+      * collection size, then 16-byte-headed objects padded to 8).
+      * Collections are cached per address. Contiguous layout only —
+      * label vectors are dimension-scale metadata, not data. */
+    def readStringVar(varName: String): IndexedSeq[String] = {
+      val d = dataset(varName)
+      require(d.dtype.clazz == 9, s"$varName is not a vlen string dataset")
+      require(!d.isChunked, s"$varName: chunked vlen strings unsupported")
+      require(d.shape.size == 1, s"$varName: vlen strings must be 1-D")
+      require(d.contiguousAddr != Undef, s"${d.name}: no data allocated")
+      val n = d.shape.head
+      val elems = new Array[Byte](n * 16)
+      src.readFully(d.contiguousAddr, elems)
+      val eb = ByteBuffer.wrap(elems).order(ByteOrder.LITTLE_ENDIAN)
+      val heapCache = scala.collection.mutable.Map.empty[Long, Map[Int, Array[Byte]]]
+      def collection(addr: Long): Map[Int, Array[Byte]] =
+        heapCache.getOrElseUpdate(addr, {
+          val hdr = new Array[Byte](16)
+          src.readFully(addr, hdr)
+          require(hdr(0) == 'G' && hdr(1) == 'C' && hdr(2) == 'O' &&
+            hdr(3) == 'L', s"no GCOL signature at $addr")
+          require(hdr(4) == 1, s"global heap version ${hdr(4)} != 1")
+          val collSize = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
+            .getLong(8)
+          require(collSize >= 16 && collSize <= (1L << 26),
+            s"implausible GCOL size $collSize")
+          val body = new Array[Byte]((collSize - 16).toInt)
+          src.readFully(addr + 16, body)
+          val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+          val objs = Map.newBuilder[Int, Array[Byte]]
+          var off = 0
+          var done = false
+          while (!done && off + 16 <= body.length) {
+            val idx = bb.getShort(off) & 0xFFFF
+            val sz = bb.getLong(off + 8)
+            if (idx == 0) done = true // free-space object terminates
+            else {
+              require(sz >= 0 && off + 16 + sz <= body.length,
+                s"GCOL object $idx overruns the collection")
+              objs += idx -> java.util.Arrays.copyOfRange(
+                body, off + 16, off + 16 + sz.toInt)
+              off += 16 + ((sz.toInt + 7) / 8 * 8)
+            }
+          }
+          objs.result()
+        })
+      (0 until n).map { i =>
+        val len = eb.getInt(i * 16)
+        val heapAddr = eb.getLong(i * 16 + 4)
+        val objIdx = eb.getInt(i * 16 + 12)
+        if (len == 0 && heapAddr == 0) "" // null/empty vlen element
+        else {
+          val bytesOpt = collection(heapAddr).get(objIdx)
+          require(bytesOpt.isDefined,
+            s"$varName[$i]: heap object $objIdx missing at $heapAddr")
+          val data = bytesOpt.get
+          require(len <= data.length,
+            s"$varName[$i]: length $len exceeds heap object ${data.length}")
+          new String(data, 0, len, "UTF-8")
+        }
+      }
+    }
+
     def readSlab(varName: String, origin: Seq[Int], shape: Seq[Int])
         : Array[Double] = {
       val d = dataset(varName)
@@ -1396,7 +1474,33 @@ object HDF5 {
   def writeDoubleVars(path: String, vars0: Seq[H5Var],
       deflateLevel: Int = 6): Unit = {
     validateVars(vars0)
-    val vars = vars0.sortBy(_.name) // symbol-table entries are name-ordered
+    writeGroupFile(path, vars0.map(v =>
+      v.name -> ((b: Buf) => writeDataset(b, v, deflateLevel))))
+  }
+
+  /** [[writeDoubleVars]] plus one 1-D variable-length STRING dataset
+    * (the CF "station name"/label-vector convention): vlen string
+    * datatype (class 9, string flavour, ASCII base), elements as
+    * 16-byte global-heap IDs, all bytes in one GCOL collection — the
+    * same on-disk shape h5py/netCDF-4 emit for `str` variables, so
+    * [[Hdf5Reader.readStringVar]] is exercised against a real layout. */
+  def writeVarsWithStringLabels(path: String, vars0: Seq[H5Var],
+      labelName: String, labels: Seq[String],
+      deflateLevel: Int = 6): Unit = {
+    validateVars(vars0)
+    require(!vars0.exists(_.name == labelName), s"duplicate $labelName")
+    writeGroupFile(path,
+      vars0.map(v => v.name -> ((b: Buf) => writeDataset(b, v, deflateLevel)))
+        :+ (labelName -> ((b: Buf) => writeVlenStringDataset(b, labels))))
+  }
+
+  /** The symbol-table group scaffold shared by the classic writers:
+    * superblock v0, root object header, group B-tree v1 + local heap +
+    * one SNOD, then each entry's object header written by its closure
+    * (name-ordered, as symbol tables require). */
+  private def writeGroupFile(path: String,
+      entries0: Seq[(String, Buf => Long)]): Unit = {
+    val vars = entries0.sortBy(_._1) // symbol-table entries are name-ordered
     val b = new Buf
     val (eofPatch, rootOhPatch) = superblockV0(b)
 
@@ -1411,7 +1515,7 @@ object HDF5 {
 
     // heap offsets of the names: 0 is the empty-string slot, names
     // follow 8-aligned
-    val nameBytes = vars.map(_.name.getBytes("UTF-8"))
+    val nameBytes = vars.map(_._1.getBytes("UTF-8"))
     val nameOffsets = nameBytes.scanLeft(8L) { (off, nb) =>
       off + (nb.length + 1 + 7) / 8 * 8
     }
@@ -1454,11 +1558,64 @@ object HDF5 {
 
     // --- datasets ---
     vars.indices.foreach { i =>
-      b.patch64(dsOhPatches(i), writeDataset(b, vars(i), deflateLevel))
+      b.patch64(dsOhPatches(i), vars(i)._2(b))
     }
 
     b.patch64(eofPatch, b.pos)
     flushTo(path, b)
+  }
+
+  /** One 1-D vlen-string dataset: the GCOL collection first (version 1,
+    * 16-byte object headers, data padded to 8, no free-space object —
+    * the collection ends exactly after the last object), then the v1
+    * object header (dataspace, class-9 string-vlen datatype with an
+    * embedded 1-byte string base type, contiguous layout) and the
+    * 16-byte heap-ID element array. Returns the header address. */
+  private def writeVlenStringDataset(b: Buf, labels: Seq[String]): Long = {
+    def pad8(x: Int) = (x + 7) / 8 * 8
+    val lb = labels.map(_.getBytes("UTF-8"))
+    // --- global heap collection ---
+    val gcolAddr = b.pos
+    val collSize = 16L + lb.map(x => 16 + pad8(x.length)).sum
+    b.bytes("GCOL".getBytes); b.u8(1); b.u8(0); b.u16(0) // ver + reserved
+    b.u64(collSize)
+    lb.zipWithIndex.foreach { case (x, i) =>
+      b.u16(i + 1); b.u16(1); b.u32(0) // index, refcount, reserved
+      b.u64(x.length.toLong)
+      b.bytes(x); b.zero(pad8(x.length) - x.length)
+    }
+    // --- dataset object header v1: dataspace, datatype, layout ---
+    val n = labels.size
+    val dsOh = b.pos
+    val spaceSz = 8 + 8
+    val dtSz = 16 // 8-byte vlen header + 8-byte embedded base type
+    val layoutSz = 24
+    val hdrSize = (8 + spaceSz) + (8 + dtSz) + (8 + layoutSz)
+    b.u8(1); b.u8(0); b.u16(3)
+    b.u32(1); b.u32(hdrSize); b.u32(0)
+    // dataspace v1, rank 1
+    b.u16(0x0001); b.u16(spaceSz); b.u8(0); b.u8(0); b.u16(0)
+    b.u8(1); b.u8(1); b.u8(0); b.u8(0); b.u32(0)
+    b.u64(n.toLong)
+    // datatype v1 class 9: bit field type=1 (string), null-pad, ASCII
+    b.u16(0x0003); b.u16(dtSz); b.u8(0); b.u8(0); b.u16(0)
+    b.u8(0x19); b.u8(0x01); b.u8(0); b.u8(0)
+    b.u32(16) // file representation: u32 length + 12-byte heap ID
+    // embedded base type: class 3 (string) v1, size 1
+    b.u8(0x13); b.u8(0); b.u8(0); b.u8(0); b.u32(1)
+    // layout v3 contiguous
+    b.u16(0x0008); b.u16(layoutSz); b.u8(0); b.u8(0); b.u16(0)
+    val layoutStart = b.pos
+    b.u8(3); b.u8(1)
+    val dataAddrPatch = b.pos; b.u64(0)
+    b.u64(n.toLong * 16)
+    b.zero(layoutSz - (b.pos - layoutStart))
+    // --- element array: (length, collection address, 1-based index) ---
+    b.patch64(dataAddrPatch, b.pos)
+    lb.zipWithIndex.foreach { case (x, i) =>
+      b.u32(x.length.toLong); b.u64(gcolAddr); b.u32((i + 1).toLong)
+    }
+    dsOh
   }
 
   /** Append one dataset (v1 object header + layout + data) to `b`,

@@ -405,4 +405,39 @@ class HDF5Spec extends AnyFunSuite {
       assert(e.getMessage.contains("fletcher32 mismatch"))
     } finally r.close()
   }
+
+  test("vlen string labels round-trip through the global heap") {
+    val p = tmp(".h5")
+    val labels = Seq("alpha", "", "a-much-longer-station-name-7",
+      "β-utf8", "x")
+    HDF5.writeVarsWithStringLabels(p,
+      Seq(HDF5.H5Var("m", Seq("r" -> 5), grid(5, 1))),
+      "station", labels)
+    val r = new HDF5.Hdf5Reader(p)
+    try {
+      assert(r.readStringVar("station") === labels)
+      // the numeric variable is untouched by the extra dataset
+      assert(r.readSlab("m", Seq(0), Seq(5)).toSeq === grid(5, 1).toSeq)
+      // and the label dataset refuses the numeric read path
+      val e = intercept[Exception](r.readSlab("station", Seq(0), Seq(5)))
+      assert(e != null)
+    } finally r.close()
+  }
+
+  test("readStringVar rejects a corrupted GCOL signature") {
+    val p = tmp(".h5")
+    HDF5.writeVarsWithStringLabels(p,
+      Seq(HDF5.H5Var("m", Seq("r" -> 2), grid(2, 1))),
+      "station", Seq("aa", "bb"))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(p))
+    val at = bytes.indices.find(i => bytes(i) == 'G' && bytes(i + 1) == 'C'
+      && bytes(i + 2) == 'O' && bytes(i + 3) == 'L').get
+    bytes(at) = 'X'.toByte
+    Files.write(java.nio.file.Paths.get(p), bytes)
+    val r = new HDF5.Hdf5Reader(p)
+    try {
+      val e = intercept[IllegalArgumentException](r.readStringVar("station"))
+      assert(e.getMessage.contains("GCOL"))
+    } finally r.close()
+  }
 }
