@@ -225,7 +225,8 @@ object DedupQueries {
     * C(2048,2) pairs cost only ~50 compares each in one task.
     * [[saltHotBuckets]] still bounds the per-bucket blow-up. */
   private def lshVerifiedPairs(docs: DataFrame, tag: String, payload: String,
-      scoreName: String, thrNum: Int, thrDen: Int, r: Int): DataFrame = {
+      scoreName: String, thrNum: Int, thrDen: Int, r: Int,
+      estSlack: Int = 2): DataFrame = {
     val bands0 = docs.select(col("doc_id"), col("sig"), col(payload), explode(
       transform(sequence(lit(0), lit(1)), b =>
         struct(b.as("band"),
@@ -236,8 +237,12 @@ object DedupQueries {
     val bands = triangleSplit(bands0, "doc_id", BucketCap, "band", "key")
     val (pa, pb) = (col(s"x.$payload"), col(s"y.$payload"))
     bands.as("x").join(bands.as("y"), triangleCond("doc_id", "band", "key"))
-      // estimate prefilter: allow 2 mismatching hashes of the 2r
-      .filter(graft.plans.EqCount(col("x.sig"), col("y.sig")) >= 2 * r - 2)
+      // estimate prefilter: allow `estSlack` mismatching hashes of the
+      // 2r (the default 2 is tuned for the 0.99 family; d26's sweep
+      // passes 2r to disable it — a 0.7-threshold sweep with a
+      // 0.99-tuned prefilter would silently undercount the low bins)
+      .filter(graft.plans.EqCount(col("x.sig"), col("y.sig")) >=
+        2 * r - estSlack)
       // lossless size-ratio gate: J ≤ min/max of the set sizes, so any
       // pair whose sizes are off by more than the threshold allows can
       // be skipped before the merge loop (no oracle change: the bound
@@ -1209,7 +1214,55 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d26 — near-dup THRESHOLD sweep: the tuning curve for the one knob
+    * every LSH dedup deploy argues about. One candidate+verify pass at
+    * the loosest setting (J ≥ 0.7, estimate prefilter DISABLED — the
+    * 0.99-tuned 2-mismatch prefilter would silently undercount the low
+    * bins), then every verified pair is bucketed into the thresholds it
+    * clears {0.70, 0.80, 0.90, 0.99}; per threshold the accepted pair
+    * count and the number of documents touched. Read bottom-up it
+    * answers "how much more corpus does each relaxation remove" —
+    * the cost/aggressiveness curve d23 (fixed-threshold recall) can't
+    * show. Thresholds compare in IEEE double identically in both
+    * engines (same ppm literal ÷ 1e6).
+    *
+    * Scale shape: the d03 posture — banded candidate join (bucket-
+    * capped), codegen merge-loop verify once per candidate, then a
+    * constant 4-way explode and two ≤4-group aggregates. The sweep
+    * costs ONE extra verify pass over the 0.7-candidates, not one pass
+    * per threshold. */
+  def d26_threshold_sweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = minhashR(s, dir)
+    val docs = Tables.documents(s, dir)
+      .withColumn("hs", graft.plans.TokenHashesSorted(col("text")))
+      .select(col("doc_id"),
+        minhashFromHashes(col("hs"), 2 * r).as("sig"),
+        col("hs").as("tk"))
+    val pairs = lshVerifiedPairs(docs, "d26", "tk", "jaccard", 70, 100, r,
+      estSlack = 2 * r)
+    val thr = Seq(700000L, 800000L, 900000L, 990000L)
+    val tagged = pairs
+      .withColumn("thr_ppm", explode(array(thr.map(lit): _*)))
+      .filter(col("jaccard") >= col("thr_ppm").cast("double") / 1000000.0)
+      .cache()
+    val np = tagged.groupBy("thr_ppm").agg(count(lit(1)).as("n_pairs"))
+    val nd = tagged
+      .select(col("thr_ppm"), explode(array(col("doc_a"), col("doc_b")))
+        .as("d"))
+      .distinct()
+      .groupBy("thr_ppm").agg(count(lit(1)).as("n_docs_linked"))
+    thr.toDF("thr_ppm")
+      .join(np, Seq("thr_ppm"), "left")
+      .join(nd, Seq("thr_ppm"), "left")
+      .select(col("thr_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_linked"), lit(0L)).as("n_docs_linked"))
+      .orderBy("thr_ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d26_threshold_sweep" -> (d26_threshold_sweep _),
     "d25_cdc_chunks" -> (d25_cdc_chunks _),
     "d24_cluster_histogram" -> (d24_cluster_histogram _),
     "d23_lsh_recall_eval" -> (d23_lsh_recall_eval _),
@@ -1313,6 +1366,41 @@ object DedupQueries {
         FROM alldocs)"""
 
   val oracles: Map[String, String] = Map(
+    // the d03 candidate chain WITHOUT the estimate prefilter, verified
+    // once at 0.7, then bucketed into the thresholds each pair clears
+    "d26_threshold_sweep" -> s"""
+      WITH $sqlPrmR,
+      sigs AS (SELECT doc_id, $sqlSig AS sig,
+          list_distinct(string_split(text, ' ')) AS tk FROM documents, prmR),
+      bands AS (SELECT doc_id, b,
+          array_to_string(sig[b*r+1 : b*r+r], '_') AS bkey
+        FROM sigs, prmR, range(0, 2) t(b)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+          AND x.doc_id < y.doc_id),
+      j AS (SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+          len(list_intersect(a.tk, b.tk))::DOUBLE /
+            len(list_distinct(a.tk || b.tk))::DOUBLE AS jaccard
+        FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
+          JOIN sigs b ON cand.doc_b = b.doc_id)
+        WHERE jaccard >= 0.7),
+      th AS (SELECT unnest([700000, 800000, 900000, 990000])::BIGINT
+        AS thr_ppm),
+      tp AS (SELECT th.thr_ppm, j.doc_a, j.doc_b FROM j, th
+        WHERE j.jaccard >= th.thr_ppm / 1000000.0),
+      np AS (SELECT thr_ppm, count(*)::BIGINT AS n_pairs FROM tp
+        GROUP BY thr_ppm),
+      nd AS (SELECT thr_ppm, count(*)::BIGINT AS n_docs_linked FROM (
+          SELECT DISTINCT thr_ppm, d FROM (
+            SELECT thr_ppm, doc_a AS d FROM tp
+            UNION ALL SELECT thr_ppm, doc_b FROM tp))
+        GROUP BY thr_ppm)
+      SELECT th.thr_ppm, coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+        coalesce(nd.n_docs_linked, 0)::BIGINT AS n_docs_linked
+      FROM th LEFT JOIN np ON np.thr_ppm = th.thr_ppm
+        LEFT JOIN nd ON nd.thr_ppm = th.thr_ppm
+      ORDER BY th.thr_ppm""",
     // the same stateless window polynomial, boundary rule and chunk
     // cut replayed over ranges; DuckDB's range(8, len+1) is already
     // empty below 8 chars (Spark's sequence() would count DOWN, hence
