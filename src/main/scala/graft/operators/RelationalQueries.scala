@@ -2157,7 +2157,77 @@ object RelationalQueries {
       .orderBy("status")
   }
 
+  /** q78 — CHECK-constraint enforcement on the write path with a
+    * violation QUARANTINE (the Delta/Iceberg table-constraint feature):
+    * an ingest batch carries three injected defect classes — a negated
+    * quantity (violates `l_quantity > 0 AND <= 50`), an out-of-domain
+    * return flag (violates the A/N/R enum) and a NULLed part key
+    * (violates NOT NULL) — and the committed table must admit NONE of
+    * them while losing NO clean rows. Violating rows land in a
+    * quarantine file tagged with every rule they break (a row can break
+    * several; it quarantines once but counts per rule), clean rows
+    * commit, and the report is read BACK FROM DISK — a validator that
+    * "passes" by dropping rows, double-counting multi-rule violations,
+    * or admitting defects breaks the per-bucket checksums. All counts
+    * pair with a sum(floor(l_extendedprice·100)) checksum over the
+    * bucket (extendedprice is untouched by the corruption, so it
+    * fingerprints WHICH rows landed where).
+    *
+    * Scale shape: one scan computes all three predicates (codegen'd),
+    * one partitioned write per sink, and the report aggregates are
+    * map-side combined. No shuffle beyond the writes. */
+  def q78_check_constraints(s: SparkSession, dir: String): DataFrame = {
+    val tag = graft.core.SessionMemo.pathTag(s, dir)
+    def tmp(n: String) = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_q78_${n}_$tag")
+      .getAbsolutePath
+    val k = col("l_orderkey") * 7L + col("l_linenumber")
+    val corrupted = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(pmod(k, lit(101L)) === 0L, -col("l_quantity"))
+          .otherwise(col("l_quantity")).as("l_quantity"),
+        when(pmod(k, lit(103L)) === 1L, lit("X"))
+          .otherwise(col("l_returnflag")).as("l_returnflag"),
+        when(pmod(k, lit(107L)) === 2L, lit(null).cast("long"))
+          .otherwise(col("l_partkey")).as("l_partkey"),
+        col("l_extendedprice"))
+    val flagged = corrupted
+      .withColumn("bad_qty",
+        !(col("l_quantity") > 0.0 && col("l_quantity") <= 50.0))
+      .withColumn("bad_flag", !col("l_returnflag").isin("A", "N", "R"))
+      .withColumn("bad_null", col("l_partkey").isNull)
+      .withColumn("rules", concat_ws("|",
+        when(col("bad_qty"), "qty_range"),
+        when(col("bad_flag"), "flag_enum"),
+        when(col("bad_null"), "partkey_null")))
+    flagged.filter(!col("bad_qty") && !col("bad_flag") && !col("bad_null"))
+      .drop("bad_qty", "bad_flag", "bad_null", "rules")
+      .write.mode("overwrite").parquet(tmp("table"))
+    flagged.filter(col("bad_qty") || col("bad_flag") || col("bad_null"))
+      .drop("bad_qty", "bad_flag", "bad_null")
+      .write.mode("overwrite").parquet(tmp("quarantine"))
+    val cents = sum(floor(col("l_extendedprice") * 100.0).cast("long"))
+    val committed = s.read.parquet(tmp("table"))
+      .agg(count(lit(1)).as("n_rows"), cents.as("price_ck"))
+      .select(lit("committed").as("rule"), col("n_rows"), col("price_ck"))
+    val q = s.read.parquet(tmp("quarantine"))
+    val quarantined = q
+      .agg(count(lit(1)).as("n_rows"), cents.as("price_ck"))
+      .select(lit("quarantined").as("rule"), col("n_rows"), col("price_ck"))
+    val perRule = q
+      .select(explode(split(col("rules"), "\\|")).as("rule"),
+        col("l_extendedprice"))
+      .groupBy("rule")
+      .agg(count(lit(1)).as("n_rows"), cents.as("price_ck"))
+    committed.unionByName(quarantined).unionByName(perRule)
+      // mirror of the oracle's n_rows > 0 guard: an empty quarantine
+      // aggregate would otherwise emit a (0, null) row the replay omits
+      .filter(col("n_rows") > 0L)
+      .orderBy("rule")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_check_constraints" -> (q78_check_constraints _),
     "q77_snapshot_expiry" -> (q77_snapshot_expiry _),
     "q76_partition_evolution" -> (q76_partition_evolution _),
     "q75_column_mapping" -> (q75_column_mapping _),
@@ -2222,6 +2292,45 @@ object RelationalQueries {
     // the retained head (v3) replayed from the source table; the
     // accounting columns are structural constants of the 4-file fixture
     // (3 retained, 1 orphaned), asserted on disk by SnapshotExpirySpec
+    // the corruption rules and all five buckets replayed from lineitem;
+    // the parquet table/quarantine round-trip exists only Spark-side
+    "q78_check_constraints" ->
+      """WITH c AS (SELECT
+           CASE WHEN (l_orderkey*7 + l_linenumber) % 101 = 0
+             THEN -l_quantity ELSE l_quantity END AS q,
+           CASE WHEN (l_orderkey*7 + l_linenumber) % 103 = 1
+             THEN 'X' ELSE l_returnflag END AS rf,
+           CASE WHEN (l_orderkey*7 + l_linenumber) % 107 = 2
+             THEN NULL ELSE l_partkey END AS pk,
+           l_extendedprice AS ep
+         FROM lineitem),
+       f AS (SELECT q, rf, pk, ep,
+           NOT (q > 0 AND q <= 50) AS bq,
+           rf NOT IN ('A', 'N', 'R') AS bf,
+           pk IS NULL AS bn FROM c),
+       u AS (
+         SELECT 'committed' AS rule, count(*)::BIGINT AS n_rows,
+             CAST(sum(CAST(floor(ep * 100) AS BIGINT)) AS BIGINT)
+               AS price_ck
+           FROM f WHERE NOT bq AND NOT bf AND NOT bn
+         UNION ALL
+         SELECT 'quarantined', count(*)::BIGINT,
+             CAST(sum(CAST(floor(ep * 100) AS BIGINT)) AS BIGINT)
+           FROM f WHERE bq OR bf OR bn
+         UNION ALL
+         SELECT 'qty_range', count(*)::BIGINT,
+             CAST(sum(CAST(floor(ep * 100) AS BIGINT)) AS BIGINT)
+           FROM f WHERE bq
+         UNION ALL
+         SELECT 'flag_enum', count(*)::BIGINT,
+             CAST(sum(CAST(floor(ep * 100) AS BIGINT)) AS BIGINT)
+           FROM f WHERE bf
+         UNION ALL
+         SELECT 'partkey_null', count(*)::BIGINT,
+             CAST(sum(CAST(floor(ep * 100) AS BIGINT)) AS BIGINT)
+           FROM f WHERE bn)
+       SELECT rule, n_rows, price_ck FROM u WHERE n_rows > 0
+       ORDER BY rule""",
     "q77_snapshot_expiry" ->
       """SELECT o_orderstatus AS status, count(*)::BIGINT AS n,
            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
