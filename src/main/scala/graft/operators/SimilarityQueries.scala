@@ -803,7 +803,82 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s17 — IVF nprobe SWEEP: recall@3 at nprobe ∈ {1, 2, 4, 8} from
+    * ONE pass — the actual tuning curve behind the knob s13 evaluates
+    * at a single setting. The trick is that fixed-centroid probe order
+    * is NESTED: the cells probed at nprobe = p are the first p of the
+    * nprobe = 8 list, so one candidate gather tagged with each
+    * candidate's CELL RANK answers every sweep point by thresholding —
+    * four windowed top-3s over the same bounded candidate frame instead
+    * of four index runs. Ground truth is s13's brute-force top-3 over
+    * the same size-derived query sample.
+    *
+    * Scale shape: the sample is AutoScale-bounded (~100 queries at any
+    * corpus size), candidates are sample × probed-cell volume (the
+    * exact stage s13 already pays dominates), and everything after the
+    * gather is windowed over per-(query, nprobe) groups of ≤ probed
+    * cells × cell size. One scan at 100 TB, like s13. */
+  def s17_nprobe_sweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.KeyAlgebra.ldiv
+    import s.implicits._
+    val base = emb(s, dir)
+    val modulus = math.max(50L, base.count() / 100L)
+    def l2(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)), lit(0.0), _ + _)
+    val scaled = base
+      .withColumn("scaled", transform(col("a"), x => floor(x * 1e9).cast("long")))
+    val centroids = scaled.groupBy("label")
+      .agg(ArrayAggregates.ewSumLong(col("scaled")).as("ssum"),
+        count(lit(1)).as("cnt"))
+      .select(col("label").as("c_label"),
+        transform(col("ssum"),
+          v => v.cast("double") / col("cnt").cast("double") / 1e9).as("centroid"))
+    val qs = base.filter(col("vec_id") % modulus === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"))
+    val wAssign = Window.partitionBy("query_id")
+      .orderBy(col("cdist"), col("c_label"))
+    val assigned = qs.crossJoin(broadcast(centroids))
+      .withColumn("cdist", l2(col("qa"), col("centroid")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") <= 8)
+      .select(col("query_id"), col("qa"), col("c_label").as("probe_label"),
+        col("crk"))
+    val cands = base.join(broadcast(assigned), col("label") === col("probe_label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", l2(col("qa"), col("a")))
+      .select(col("query_id"), col("vec_id"), col("d2"), col("crk"))
+    val wTop = Window.partitionBy("query_id", "nprobe")
+      .orderBy(col("d2"), col("vec_id"))
+    val approx = cands
+      .withColumn("nprobe", explode(array(Seq(1, 2, 4, 8).map(lit): _*)))
+      .filter(col("crk") <= col("nprobe"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+    val wExact = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+    val exact = base.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", l2(col("qa"), col("a")))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= 3)
+      .select(col("query_id").as("eq"), col("vec_id").as("eid"))
+    val nq = qs.count()
+    val hits = approx.join(exact,
+        col("query_id") === col("eq") && col("vec_id") === col("eid"),
+        "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    Seq(1, 2, 4, 8).toDF("nprobe")
+      .join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe").cast("long").as("nprobe"),
+        lit(nq).as("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        ldiv(coalesce(col("n_hits"), lit(0L)) * 1000000L, lit(nq * 3L))
+          .as("recall_fp"))
+      .orderBy("nprobe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_nprobe_sweep" -> (s17_nprobe_sweep _),
     "s16_ann_binary_quant" -> (s16_ann_binary_quant _),
     "s15_hybrid_rrf" -> (s15_hybrid_rrf _),
     "s14_maxsim_multivector" -> (s14_maxsim_multivector _),
@@ -1249,6 +1324,61 @@ object SimilarityQueries {
     // s02's IVF CTE chain + a brute-force L2 ground truth over the same
     // query sample; recall joins the two answer sets. The sample modulus
     // replays the engine's size-derived max(50, n/100).
+    // s13's chain with the cell assignment kept to rank 8 and the
+    // candidate top-3 windowed per (query, nprobe); probe order is
+    // nested so all four sweep points come from one candidate gather
+    "s17_nprobe_sweep" -> s"""
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      md AS (SELECT greatest(50, count(*) // 100) AS m FROM embeddings),
+      cent AS (SELECT label AS c_label,
+          list(s ORDER BY i) AS centroid FROM (
+          SELECT label, i,
+            sum(CAST(floor(a[i] * 1e9) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1e9 AS s
+          FROM e, range(1, 65) t(i) GROUP BY label, i)
+        GROUP BY label),
+      qs AS (SELECT vec_id AS query_id, a AS qa FROM e, md
+        WHERE vec_id % md.m = 0),
+      assigned AS (SELECT query_id, qa, c_label AS probe_label, crk FROM (
+          SELECT q.query_id, q.qa, c.c_label,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (q.qa[i] - c.centroid[i]) * (q.qa[i] - c.centroid[i])),
+                (p,q2) -> p+q2), c.c_label) AS crk
+          FROM qs q, cent c) WHERE crk <= 8),
+      cands AS (SELECT s.query_id, d.vec_id, s.crk,
+          list_reduce(list_transform(range(1, 65),
+            i -> (s.qa[i] - d.a[i]) * (s.qa[i] - d.a[i])),
+            (p,q2) -> p+q2) AS d2
+        FROM assigned s JOIN e d ON d.label = s.probe_label
+        WHERE d.vec_id <> s.query_id),
+      np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+      approx AS (SELECT nprobe, query_id, vec_id FROM (
+          SELECT np.nprobe, c.query_id, c.vec_id,
+            row_number() OVER (PARTITION BY c.query_id, np.nprobe
+              ORDER BY c.d2, c.vec_id) AS rk
+          FROM cands c JOIN np ON c.crk <= np.nprobe)
+        WHERE rk <= 3),
+      exact AS (SELECT query_id AS eq, neighbor_id AS eid FROM (
+          SELECT q.query_id,
+            row_number() OVER (PARTITION BY q.query_id
+              ORDER BY list_reduce(list_transform(range(1, 65),
+                i -> (q.qa[i] - d.a[i]) * (q.qa[i] - d.a[i])), (p,q2) -> p+q2),
+                d.vec_id) AS rank,
+            d.vec_id AS neighbor_id
+          FROM qs q JOIN e d ON d.vec_id <> q.query_id)
+        WHERE rank <= 3),
+      hits AS (SELECT a.nprobe, count(*)::BIGINT AS n_hits
+        FROM approx a JOIN exact x
+          ON a.query_id = x.eq AND a.vec_id = x.eid
+        GROUP BY a.nprobe),
+      nq AS (SELECT count(*)::BIGINT AS n FROM qs)
+      SELECT np.nprobe::BIGINT AS nprobe, nq.n AS n_queries,
+        coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        CAST(coalesce(h.n_hits, 0) * 1000000 // (nq.n * 3) AS BIGINT)
+          AS recall_fp
+      FROM np LEFT JOIN hits h ON h.nprobe = np.nprobe, nq
+      ORDER BY nprobe""",
     "s13_ann_recall" -> s"""
       WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
