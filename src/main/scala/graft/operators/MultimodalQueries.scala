@@ -1945,7 +1945,106 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m33 — STREAMING cross-container media dedup, the streaming ×
+    * multimodal seam: media files land in a watched directory (two
+    * parquet drops of binary payloads, the d13 ingest shape), each
+    * micro-batch DECODES its payloads and keys
+    * [[graft.streaming.StreamingDedup.dedupExactStream]]'s first-seen
+    * state on the perceptual fingerprint instead of text. Every 3
+    * consecutive doc_ids carry the SAME 16×16 content in a DIFFERENT
+    * container — plain 8-bpp BMP, BI_RLE8 BMP, binary PGM — so the
+    * dedup only works if all three decode paths produce identical
+    * pixels: a one-bit decode divergence in any container splits the
+    * fingerprint group and breaks the oracle, which replays the
+    * fingerprint from the content rule with zero container knowledge.
+    * This is the arrival-time image-dedup shape (decode → pHash → keyed
+    * state) a crawl pipeline runs, where re-encodes of the same asset
+    * arrive days apart in different formats.
+    *
+    * Scale shape: decode is scan-parallel per micro-batch; the state
+    * key space is |distinct fingerprints|; drops are hash-partitioned
+    * by fingerprint so any file subset a batch captures holds whole
+    * groups (the d13 argument), and cross-batch arrivals resolve
+    * through the keyed store. */
+  def m33_stream_media_dedup(s: SparkSession, dir: String): DataFrame =
+    StreamQueries.withMicroBatchParts(s) {
+    import s.implicits._
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    def contentFp(id: Long): (Array[Byte], Long) = {
+      val cid = id / 3
+      val base = (cid % 2147483647L) * 2654435761L % 2147483647L
+      val gray = Array.tabulate(256) { i =>
+        val x = base + 31L * i + 7L
+        (x * x % 2147483647L % 200L).toByte
+      }
+      var fp = 0L
+      var j = 0
+      while (j < 63) {
+        if ((gray(j + 1) & 0xFF) > (gray(j) & 0xFF)) fp |= 1L << j
+        j += 1
+      }
+      (gray, fp)
+    }
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (gray, fp) = contentFp(id)
+        val payload = (id % 3) match {
+          case 0 => MediaCodec.encodeBmp8(16, 16, gray)
+          case 1 => MediaCodec.encodeBmpRle8(16, 16, gray)
+          case _ => MediaCodec.encodePgm(16, 16, gray)
+        }
+        (id, payload, f"$fp%016x")
+      }).toDF("doc_id", "payload", "fphex")
+    val hiRow = media.agg(max("doc_id")).head()
+    val half = if (hiRow.isNullAt(0)) 0L else hiRow.getLong(0) / 2
+    val watchPath = java.nio.file.Files.createTempDirectory("graft_msrc")
+    val watch = watchPath.toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val in = s.readStream.schema(schema).parquet(watch)
+    // decode INSIDE the stream: payload → pixels → dHash hex, then the
+    // shared first-seen state keyed on it
+    val fps = in.as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = MediaCodec.decodeImage(payload)
+        require(img.width == 16 && img.height == 16,
+          s"unexpected geometry ${img.width}x${img.height}")
+        var fp = 0L
+        var j = 0
+        while (j < 63) {
+          val a = img.pixels(j * img.channels) & 0xFF
+          val b = img.pixels((j + 1) * img.channels) & 0xFF
+          if (b > a) fp |= 1L << j
+          j += 1
+        }
+        (id, f"$fp%016x")
+      }).toDF("doc_id", "text")
+    val out = graft.streaming.StreamingDedup.dedupExactStream(fps)
+    val q = out.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("m33_stream_out").start()
+    try {
+      try {
+        media.filter(col("doc_id") <= half).repartition(4, col("fphex"))
+          .select("doc_id", "payload").write.mode("append").parquet(watch)
+        q.processAllAvailable()
+        media.filter(col("doc_id") > half).repartition(4, col("fphex"))
+          .select("doc_id", "payload").write.mode("append").parquet(watch)
+        q.processAllAvailable()
+      } finally q.stop()
+      val result = s.table("m33_stream_out")
+        .select(col("doc_id"), col("kept"), col("dup_of")).collect().toIndexedSeq
+      val outSchema = s.table("m33_stream_out")
+        .select(col("doc_id"), col("kept"), col("dup_of")).schema
+      s.catalog.dropTempView("m33_stream_out")
+      s.createDataFrame(s.sparkContext.parallelize(result, 1), outSchema)
+        .orderBy("doc_id")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(watchPath.toFile)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m33_stream_media_dedup" -> (m33_stream_media_dedup _),
     "m32_bmp_rle" -> (m32_bmp_rle _),
     "m31_media_quarantine" -> (m31_media_quarantine _),
     "m30_av_sync" -> (m30_av_sync _),
@@ -2438,6 +2537,25 @@ object MultimodalQueries {
     // replays the sample synthesis ((ascii−96)·128) and the segment
     // energy walk — the WAV container encode/decode happens only on
     // the Spark side, so a RIFF-offset bug there breaks the pairs
+    // the dHash replayed from the (doc_id/3) content rule — container
+    // choice (BMP8 / RLE8 / PGM) is invisible by construction, so a
+    // decode divergence in ANY of the three paths splits a group and
+    // breaks the hash; first-seen = global min doc_id per fingerprint
+    "m33_stream_media_dedup" ->
+      """WITH t AS (SELECT doc_id, doc_id // 3 AS cid FROM documents),
+       g AS (SELECT doc_id, list_transform(range(0, 256), i ->
+           (((cid % 2147483647) * 2654435761 % 2147483647 + 31*i + 7)
+            * ((cid % 2147483647) * 2654435761 % 2147483647 + 31*i + 7))
+            % 2147483647 % 200) AS px
+         FROM t),
+       f AS (SELECT doc_id, list_reduce(list_transform(range(0, 63), j ->
+           CASE WHEN px[j+2] > px[j+1] THEN (1::BIGINT << j::INT)
+             ELSE 0::BIGINT END),
+           (x, y) -> x | y) AS fp FROM g)
+       SELECT doc_id, doc_id = mn AS kept, mn AS dup_of
+       FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS mn
+             FROM f)
+       ORDER BY doc_id""",
     // two-runs-per-row raster replayed from the text bytes; the RLE
     // stream size is closed-form (2 bytes per run + per-row EOL + EOB),
     // so payload_bytes and the ratio replay with zero container
