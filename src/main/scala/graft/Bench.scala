@@ -104,7 +104,7 @@ object Bench {
       "q61_wap_publish", "q62_equality_deletes", "q63_incremental_mv",
       "q65_manifest_skipping", "q66_changelog_diff", "q68_merge_cow",
       "q75_column_mapping", "q76_partition_evolution",
-      "q77_snapshot_expiry")
+      "q77_snapshot_expiry", "q79_dynamic_overwrite")
     val ingest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }

@@ -1070,7 +1070,60 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** p28 — proportional source-INTERLEAVED training order: p14 gives a
+    * hash-random epoch permutation; production mixture training often
+    * wants the deterministic stratified order instead — every source
+    * spread evenly through the epoch so no window of consecutive steps
+    * over-trains one source (the low-discrepancy "stride scheduling"
+    * construction: doc r of a size-s source sorts at key (2r−1)/(2s),
+    * the systematic-sampling midpoint rule p10 uses for weights,
+    * applied to ORDER). The report is the interleave QUALITY ledger:
+    * per source, the worst gap between consecutive positions × s / N
+    * in ppm — exactly 1e6·~1 for a perfect interleave, and the number
+    * a loader reads to bound worst-case window skew.
+    *
+    * Scale shape: NO per-source window anywhere (a
+    * row_number().over(partitionBy(source)) would serialize each
+    * source into one task at 100 TB). Per-source ranks come from one
+    * global [[SequentialId]] layout over (source, doc_id) minus
+    * broadcast per-source offsets; global positions from a second
+    * SequentialId over the interleave key; per-source gaps from a
+    * distributed self-join on (source, rank+1). Two range exchanges +
+    * one hash join — bit-identical at any parallelism. */
+  def p28_interleave_order(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val docs = Tables.documents(s, dir).select("doc_id", "source")
+    val seqd = SequentialId.withSequentialId(docs, "gseq",
+      Seq(col("source"), col("doc_id")))
+    val offs = seqd.groupBy("source")
+      .agg(min(col("gseq")).as("off"), count(lit(1)).as("s_size"))
+    val ranked = seqd.join(broadcast(offs), "source")
+      .withColumn("r", col("gseq") - col("off") + 1L)
+      .withColumn("k", ldiv((col("r") * 2L - 1L) * 1000000000000L,
+        col("s_size") * 2L))
+    val positioned = SequentialId.withSequentialId(
+      ranked.select("doc_id", "source", "r", "s_size", "k"), "pos",
+      Seq(col("k"), col("source"), col("doc_id")))
+    val nTot = docs.count()
+    val gaps = positioned.as("a").join(
+        positioned.select(col("source").as("bs"), (col("r") - 1L).as("br"),
+          col("pos").as("next_pos")).as("b"),
+        col("a.source") === col("bs") && col("a.r") === col("br"))
+      .select(col("a.source").as("source"),
+        (col("next_pos") - col("a.pos")).as("gap"))
+    val agg = positioned.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), min("pos").as("first_pos"),
+        max("pos").as("last_pos"))
+    val g = gaps.groupBy("source").agg(max("gap").as("max_gap"))
+    agg.join(g, Seq("source"), "left")
+      .withColumn("max_gap", coalesce(col("max_gap"), lit(0L)))
+      .withColumn("skew_ppm",
+        ldiv(col("max_gap") * col("n_docs") * 1000000L, lit(nTot)))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p28_interleave_order" -> (p28_interleave_order _),
     "p27_dedup_reweight" -> (p27_dedup_reweight _),
     "p26_selection_curve" -> (p26_selection_curve _),
     "p25_label_propagation" -> (p25_label_propagation _),
@@ -1189,6 +1242,34 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the stride-scheduling construction replayed with window
+    // functions (the oracle may window per source; the engine must
+    // not) — same key arithmetic, same (k, source, doc_id) total order
+    "p28_interleave_order" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+       rk AS (SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r,
+           count(*) OVER (PARTITION BY source) AS s_size
+         FROM d),
+       ky AS (SELECT doc_id, source, r, s_size,
+           ((r*2 - 1) * 1000000000000) // (s_size * 2) AS k FROM rk),
+       ps AS (SELECT doc_id, source, r,
+           row_number() OVER (ORDER BY k, source, doc_id) AS pos FROM ky),
+       gaps AS (SELECT source,
+           pos - lag(pos) OVER (PARTITION BY source ORDER BY r) AS gap
+         FROM ps),
+       mg AS (SELECT source, coalesce(max(gap), 0)::BIGINT AS max_gap
+         FROM gaps GROUP BY source),
+       ag AS (SELECT source, count(*)::BIGINT AS n_docs,
+           min(pos)::BIGINT AS first_pos, max(pos)::BIGINT AS last_pos
+         FROM ps GROUP BY source),
+       n AS (SELECT count(*) AS nt FROM d)
+       SELECT ag.source, ag.n_docs, ag.first_pos, ag.last_pos,
+         mg.max_gap,
+         CAST((mg.max_gap * ag.n_docs * 1000000) // n.nt AS BIGINT)
+           AS skew_ppm
+       FROM ag JOIN mg ON mg.source = ag.source, n
+       ORDER BY ag.source""",
     // d22's full keep-best chain (shared fragment) + the source join
     // and per-source token-mass ledger
     "p27_dedup_reweight" -> s"""

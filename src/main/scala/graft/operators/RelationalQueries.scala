@@ -2226,7 +2226,59 @@ object RelationalQueries {
       .orderBy("rule")
   }
 
+  /** q79 — DYNAMIC partition overwrite (Spark's
+    * `partitionOverwriteMode=dynamic`, the INSERT OVERWRITE semantics
+    * every partitioned warehouse restatement relies on): a month-
+    * partitioned orders table takes a one-month restatement batch via
+    * `mode("overwrite")`, and ONLY the touched partition may be
+    * replaced — under the default STATIC mode the same write would
+    * TRUNCATE every other month (79 partitions of data silently gone),
+    * which is the classic production incident this mode exists to
+    * prevent. The report reads the table back from disk: the restated
+    * month must carry the new rows (+1024.00 on every price — exact in
+    * double), every other month must hash-match its original content,
+    * and the restated flag column marks which is which.
+    *
+    * Scale shape: partitioned writes are executor-parallel per
+    * partition directory; the restatement touches one partition's
+    * files regardless of table size; the report is one map-combined
+    * per-month aggregate. The session conf is restored in a finally —
+    * sweep neighbors must not inherit dynamic mode. */
+  def q79_dynamic_overwrite(s: SparkSession, dir: String): DataFrame = {
+    val tag = graft.core.SessionMemo.pathTag(s, dir)
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q79_$tag").getAbsolutePath
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    // one-time layout (the q33/q41 ingest idiom): reps measure the
+    // restatement overwrite, not the base build — which at 100 TB is
+    // the whole point of dynamic mode (touch one partition, not 80)
+    graft.core.SessionMemo.memoize(s, "q79-base:" + dir) {
+      base.write.partitionBy("month").mode("overwrite").parquet(path)
+      java.lang.Boolean.TRUE
+    }
+    val restated = base.filter(col("month") === "1997-06")
+      .withColumn("o_totalprice", col("o_totalprice") + 1024.0)
+      .withColumn("o_orderstatus", lit("R"))
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try restated.write.partitionBy("month").mode("overwrite").parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.read.parquet(path)
+      .groupBy("month")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100.0).cast("long")).as("price_ck"),
+        sum(when(col("o_orderstatus") === "R", 1L).otherwise(0L))
+          .as("n_restated"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_dynamic_overwrite" -> (q79_dynamic_overwrite _),
     "q78_check_constraints" -> (q78_check_constraints _),
     "q77_snapshot_expiry" -> (q77_snapshot_expiry _),
     "q76_partition_evolution" -> (q76_partition_evolution _),
@@ -2292,6 +2344,23 @@ object RelationalQueries {
     // the retained head (v3) replayed from the source table; the
     // accounting columns are structural constants of the 4-file fixture
     // (3 retained, 1 orphaned), asserted on disk by SnapshotExpirySpec
+    // the restatement replayed in place: only 1997-06 carries the new
+    // prices/status — a static-mode truncation (other months gone) or
+    // a partial partition replace both break the hash
+    "q79_dynamic_overwrite" ->
+      """WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m') AS month FROM orders),
+       t AS (SELECT month,
+           CASE WHEN month = '1997-06' THEN o_totalprice + 1024.0
+             ELSE o_totalprice END AS p,
+           CASE WHEN month = '1997-06' THEN 'R'
+             ELSE o_orderstatus END AS st
+         FROM b)
+       SELECT month, count(*)::BIGINT AS n,
+         CAST(sum(CAST(floor(p * 100.0) AS BIGINT)) AS BIGINT)
+           AS price_ck,
+         sum(CASE WHEN st = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_restated
+       FROM t GROUP BY month ORDER BY month""",
     // the corruption rules and all five buckets replayed from lineitem;
     // the parquet table/quarantine round-trip exists only Spark-side
     "q78_check_constraints" ->
