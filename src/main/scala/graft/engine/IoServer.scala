@@ -675,6 +675,21 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
                 }
                 graft.sources.HDF5.writeDoubleVarDistributed(r, "id_dim",
                   "measure", path, "measure", rowsPerChunk, idx)
+              case "netcdf4-dist-fa-z" | "netcdf4-dist-bt2-z"
+                 | "netcdf4-dist-ea-z" =>
+                // FILTERED executor-parallel HDF5 (shuffle + deflate +
+                // fletcher32): compressed chunk sizes are data-dependent,
+                // so executors filter + spill + report sizes, the driver
+                // prefix-sums offsets into the filtered chunk index, and
+                // executors place blobs at their assigned ranges — the
+                // two-phase collective write
+                val idx = container match {
+                  case "netcdf4-dist-fa-z" => "fixedarray"
+                  case "netcdf4-dist-bt2-z" => "btree2"
+                  case _ => "extarray"
+                }
+                graft.sources.HDF5.writeDoubleVarDistributedFiltered(r,
+                  "id_dim", "measure", path, "measure", rowsPerChunk, idx)
               case fmt =>
                 // single-file container: bytes must pass through one
                 // writer, but driver MEMORY stays bounded — one stats

@@ -368,6 +368,85 @@ object NetCDFQueries {
     ea.join(sq, "id_dim").orderBy("id_dim")
   }
 
+  /** qn17 — FILTERED distributed NetCDF-4 export (round-14 verdict item
+    * 1: the parallel writer previously emitted only UNFILTERED chunks,
+    * while the sequential writer already produced
+    * shuffle+deflate+fletcher32 files — so the 100 TB egress path wrote
+    * uncompressed data). The 60×8 grid is exported through all three
+    * filtered distributed containers — `netcdf4-dist-fa-z` (filtered
+    * fixed-array index, rows-per-chunk 16 → 4 chunks / up to 4
+    * concurrent tasks), `netcdf4-dist-bt2-z` (filtered v2-B-tree) and
+    * `netcdf4-dist-ea-z` (filtered extensible array, rows-per-chunk 4 →
+    * 15 chunks exercising both EAIB-inline and EADB element homes) —
+    * and each re-imports through the sniffing reader (which verifies
+    * every fletcher32 checksum and inverts shuffle+deflate) next to a
+    * sequential `netcdf4` export with identical values. `z_smaller`
+    * additionally pins that compression actually happened: the filtered
+    * FA file must be strictly smaller than the unfiltered distributed
+    * FA file of the same grid.
+    *
+    * Scale shape — the two-phase collective write: executors filter +
+    * spill their chunks and report (index, size) (~16 B/chunk of driver
+    * state, the same order as the chunk index any single-file HDF5
+    * writer must assemble), the driver prefix-sums offsets into the
+    * filtered chunk index inside the sub-KB head, and executors place
+    * blobs at disjoint ranges concurrently. Reference: OPH_EXPORTNC is
+    * the reference's primary egress
+    * (oph_io_server_query_procedures.c:221-325). */
+  def qn17_export_dist_filtered(s: SparkSession, dir: String): DataFrame = {
+    val (nRows, nCols) = (60, 8)
+    val data = Array.tabulate(nRows * nCols)(k =>
+      (k / nCols) * 0.5 + (k % nCols) * 0.125) // exact in binary
+    val tmp = Files.createTempDirectory("graft_exportdz")
+    val srcPath = tmp.resolve("src.nc").toString
+    val fazPath = tmp.resolve("faz.h5").toString
+    val btzPath = tmp.resolve("btz.h5").toString
+    val eazPath = tmp.resolve("eaz.h5").toString
+    val rawPath = tmp.resolve("raw.h5").toString
+    val seqPath = tmp.resolve("seq.h5").toString
+    NetCDF3.writeDoubleVar(srcPath, Seq("row" -> nRows, "col" -> nCols),
+      "measure", data)
+    val ses = new IoServer(s).newSession()
+    ses.execute(s"operation=file_import;frag_name=exzsrc;src_path=@$srcPath;" +
+      "measure=measure;explicit=1")
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=exzsrc|$fazPath|netcdf4-dist-fa-z|16")
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=exzsrc|$btzPath|netcdf4-dist-bt2-z|16")
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=exzsrc|$eazPath|netcdf4-dist-ea-z|4")
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=exzsrc|$rawPath|netcdf4-dist-fa|16")
+    ses.execute("operation=function;function_name=oph_export;" +
+      s"function_args=exzsrc|$seqPath|netcdf4")
+    ses.execute(s"operation=file_import;frag_name=exzfa;src_path=@$fazPath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=exzbt;src_path=@$btzPath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=exzea;src_path=@$eazPath;" +
+      "measure=measure;explicit=1")
+    ses.execute(s"operation=file_import;frag_name=exzsq;src_path=@$seqPath;" +
+      "measure=measure;explicit=1")
+    val zSmaller =
+      if (new java.io.File(fazPath).length <
+          new java.io.File(rawPath).length) 1L else 0L
+    val fa = ses.execute(
+      "operation=select;field=id_dim|measure;from=exzfa;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_fa_z"))
+    val bt = ses.execute(
+      "operation=select;field=id_dim|measure;from=exzbt;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_bt2_z"))
+    val ea = ses.execute(
+      "operation=select;field=id_dim|measure;from=exzea;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_ea_z"))
+    val sq = ses.execute(
+      "operation=select;field=id_dim|measure;from=exzsq;order=id_dim").get
+      .select(col("id_dim"), AP.fx12(col("measure")).as("m_seq"))
+    fa.join(bt, "id_dim").join(ea, "id_dim").join(sq, "id_dim")
+      .withColumn("z_smaller", lit(zSmaller))
+      .orderBy("id_dim")
+  }
+
   /** qn13 — JSONL corpus ingest with malformed-row quarantine: the
     * production front door for text corpora (crawl dumps, vendor drops)
     * is newline-delimited JSON where some fraction of lines is broken —
@@ -726,6 +805,7 @@ object NetCDFQueries {
     "qn11_export_distributed" -> (qn11_export_distributed _),
     "qn12_export_dist_indexed" -> (qn12_export_dist_indexed _),
     "qn15_export_dist_ea" -> (qn15_export_dist_ea _),
+    "qn17_export_dist_filtered" -> (qn17_export_dist_filtered _),
     "qn13_jsonl_quarantine" -> (qn13_jsonl_quarantine _),
   )
 
@@ -781,6 +861,23 @@ object NetCDFQueries {
          array_to_string(list_transform(range(0, 8),
            j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
            AS m_seq
+         FROM range(1, 61) t(i)
+         ORDER BY id_dim""",
+    "qn17_export_dist_filtered" ->
+      """SELECT i AS id_dim,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_fa_z,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_bt2_z,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_ea_z,
+         array_to_string(list_transform(range(0, 8),
+           j -> CAST(floor(((i-1) * 0.5 + j * 0.125) * 1e12) AS BIGINT)), ',')
+           AS m_seq,
+         CAST(1 AS BIGINT) AS z_smaller
          FROM range(1, 61) t(i)
          ORDER BY id_dim""",
     "qn15_export_dist_ea" ->

@@ -872,8 +872,8 @@ object SimilarityQueries {
       .select(col("nprobe").cast("long").as("nprobe"),
         lit(nq).as("n_queries"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        ldiv(coalesce(col("n_hits"), lit(0L)) * 1000000L, lit(nq * 3L))
-          .as("recall_fp"))
+        ldiv(coalesce(col("n_hits"), lit(0L)) * 1000000L,
+          lit(math.max(1L, nq * 3L))).as("recall_fp"))
       .orderBy("nprobe")
   }
 
@@ -1375,7 +1375,7 @@ object SimilarityQueries {
       nq AS (SELECT count(*)::BIGINT AS n FROM qs)
       SELECT np.nprobe::BIGINT AS nprobe, nq.n AS n_queries,
         coalesce(h.n_hits, 0)::BIGINT AS n_hits,
-        CAST(coalesce(h.n_hits, 0) * 1000000 // (nq.n * 3) AS BIGINT)
+        CAST(coalesce(h.n_hits, 0) * 1000000 // greatest(nq.n * 3, 1) AS BIGINT)
           AS recall_fp
       FROM np LEFT JOIN hits h ON h.nprobe = np.nprobe, nq
       ORDER BY nprobe""",

@@ -128,7 +128,7 @@ object Flac {
       var q = 0
       while (readBits(1) == 0L) {
         q += 1
-        require(q <= (bytes.length.toLong * 8).toInt, "FLAC: runaway unary")
+        require(q.toLong <= bytes.length.toLong * 8, "FLAC: runaway unary")
       }
       q
     }
@@ -585,7 +585,8 @@ object Flac {
     val bsCode =
       if (bs == fullBlock) fullBlock match {
         case 192 => 1
-        case x if x >= 576 && x <= 4608 && (x & (x - 1)) == 0 && x % 576 == 0 =>
+        case x if x >= 576 && x <= 4608 && x % 576 == 0 &&
+            ((x / 576) & (x / 576 - 1)) == 0 =>
           2 + Integer.numberOfTrailingZeros(x / 576)
         case x if x >= 256 && x <= 32768 && (x & (x - 1)) == 0 =>
           8 + Integer.numberOfTrailingZeros(x / 256)

@@ -165,4 +165,79 @@ class Hdf5DistExportSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("duplicate"))
   }
+
+  // ------------------------------------------------ FILTERED (two-phase)
+
+  test("filtered distributed write round-trips through all three indexes") {
+    import spark.implicits._
+    val (n, m) = (60, 8)
+    val df = grid(n, m).toDF("id", "a")
+    val want = grid(n, m).flatMap(_._2)
+    for (idx <- Seq("fixedarray", "btree2", "extarray")) {
+      val p = java.nio.file.Files.createTempDirectory("h5distz")
+        .resolve(s"z_$idx.h5").toString
+      val (rows, chunks, zBytes) = HDF5.writeDoubleVarDistributedFiltered(
+        df, "id", "a", p, "measure", rowsPerChunk = 16, index = idx)
+      assert(rows == n && chunks == 4, idx)
+      assert(zBytes > 0 && zBytes < n.toLong * m * 8,
+        s"$idx: shuffle+deflate must beat raw on this regular grid " +
+          s"($zBytes vs ${n * m * 8})")
+      assert(!new java.io.File(p + ".chunks").exists,
+        s"$idx: spill directory must be cleaned up")
+      assert(readAll(p, n, m).toSeq == want, idx)
+    }
+  }
+
+  test("filtered export matches the sequential filtered writer value-exact") {
+    import spark.implicits._
+    val (n, m) = (23, 3)
+    val df = grid(n, m).toDF("id", "a")
+    val pd = java.nio.file.Files.createTempDirectory("h5distz")
+      .resolve("par.h5").toString
+    val ps = java.nio.file.Files.createTempDirectory("h5distz")
+      .resolve("seq.h5").toString
+    HDF5.writeDoubleVarDistributedFiltered(df, "id", "a", pd, "measure",
+      rowsPerChunk = 5, index = "btree2")
+    HDF5.writeLatestVars(ps, Seq(HDF5.H5Var("measure",
+      Seq("id_dim" -> n, "elem" -> m), grid(n, m).flatMap(_._2).toArray,
+      Some(Seq(5, m)))), index = "btree2")
+    assert(readAll(pd, n, m).toSeq == readAll(ps, n, m).toSeq,
+      "parallel-filtered and sequential-filtered sinks must agree")
+  }
+
+  test("a flipped payload byte fails the fletcher32 verify on read") {
+    import spark.implicits._
+    val (n, m) = (20, 4)
+    val df = grid(n, m).toDF("id", "a")
+    val p = java.nio.file.Files.createTempDirectory("h5distz")
+      .resolve("corrupt.h5").toString
+    HDF5.writeDoubleVarDistributedFiltered(df, "id", "a", p, "measure",
+      rowsPerChunk = 10, index = "fixedarray")
+    // corrupt one byte in the LAST 64 bytes of the file — payload, not head
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    try {
+      raf.seek(raf.length - 32)
+      val b = raf.read()
+      raf.seek(raf.length - 32)
+      raf.write(b ^ 0xFF)
+    } finally raf.close()
+    val e = intercept[Exception] { readAll(p, n, m) }
+    assert(e.getMessage.contains("fletcher32") ||
+      e.getMessage.contains("deflate"),
+      s"corruption must be detected, got: ${e.getMessage}")
+  }
+
+  test("filtered write with non-contiguous ids and a partial tail chunk") {
+    import spark.implicits._
+    val (n, m) = (17, 4)
+    val rowsIn = (0 until n).map(i =>
+      ((i * 3).toLong, (0 until m).map(j => i * 1.0 + j * 0.25)))
+    val df = rowsIn.toDF("id", "a")
+    val p = java.nio.file.Files.createTempDirectory("h5distz")
+      .resolve("gap.h5").toString
+    val (rows, chunks, _) = HDF5.writeDoubleVarDistributedFiltered(
+      df, "id", "a", p, "measure", rowsPerChunk = 8, index = "extarray")
+    assert(rows == n && chunks == 3)
+    assert(readAll(p, n, m).toSeq == rowsIn.flatMap(_._2))
+  }
 }
