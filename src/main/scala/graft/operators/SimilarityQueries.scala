@@ -877,8 +877,108 @@ object SimilarityQueries {
       .orderBy("nprobe")
   }
 
+  /** s18 — PERSISTED, reusable ANN index (round-14 verdict item 2):
+    * every other s-query derives its IVF clustering in-query; real
+    * serving amortizes the index. Three pieces:
+    *
+    *  1. BUILD (paid once, memoized — the q33 ingest idiom): centroids
+    *     are computed over the indexed subset (exact fixed-point sums),
+    *     every indexed vector is assigned to its nearest centroid with
+    *     a NARROW MAP against literal centroids (`least` over
+    *     (distance, cell) structs — no shuffle, no window; the cell
+    *     count is bounded so the comparison chain stays in codegen),
+    *     and the corpus is written as a cell-bucketed, cell-sorted
+    *     table — the persisted IVF layout.
+    *  2. SERVE: a query batch assigns itself to its top-2 cells
+    *     (nprobe=2) against the same literal centroids, the probed
+    *     cell set (bounded by the cell count) becomes an `isin` filter
+    *     on the bucket column — Spark prunes unprobed BUCKET FILES at
+    *     planning time — and the tiny assignment broadcast joins
+    *     against the pruned scan. Zero index-side exchange: the index
+    *     is never re-clustered, re-shuffled, or re-sorted per batch
+    *     (PlanSpec pins this).
+    *  3. INCREMENTAL ADD (the d16 delta-vs-index shape): vectors that
+    *     arrived since the last rebuild (a bounded set — rebuild
+    *     cadence caps it; here the size-derived modulus keeps ~50 rows
+    *     at any SF) are NOT in the persisted table; serving scans the
+    *     delta brute-force next to the index probe and merges, exactly
+    *     how IVF systems serve fresh writes. `from_delta` marks which
+    *     side produced each neighbor, proving fresh vectors surface
+    *     without a rebuild.
+    *
+    * At 100 TB: the build is one shuffle paid once per rebuild cadence;
+    * per batch, work = probed cells × cell size + |delta| × |batch|,
+    * with the index scan reading ONLY probed buckets. No reference
+    * counterpart file — this is the brief's similarity-search lane. */
+  def s18_ann_persisted(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb(s, dir)
+    val deltaMod = math.max(97L, base.count() / 50L)
+    def l2(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)), lit(0.0), _ + _)
+    def litArr(a: Seq[Double]): Column = array(a.map(lit): _*)
+    val (tbl, cents) = graft.core.SessionMemo.memoize(s, "s18-ivf:" + dir) {
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_s18_wh_$tag")
+      val t = s"graft_s18_ivf_$tag"
+      val indexed = base.filter(col("vec_id") % deltaMod =!= 1L)
+      val scaled = indexed.withColumn("scaled",
+        transform(col("a"), x => floor(x * 1e9).cast("long")))
+      val cs = scaled.groupBy("label")
+        .agg(ArrayAggregates.ewSumLong(col("scaled")).as("ssum"),
+          count(lit(1)).as("cnt"))
+        .select(col("label"), transform(col("ssum"),
+          v => v.cast("double") / col("cnt").cast("double") / 1e9)
+          .as("centroid"))
+        .collect() // bounded: one row per IVF cell
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
+      val nearest = least(cs.map { case (l, c) =>
+        struct(l2(col("a"), litArr(c)).as("d"), lit(l).as("c")) }: _*)
+        .getField("c")
+      indexed.withColumn("cell", nearest)
+        .select("vec_id", "label", "a", "cell")
+        .repartition(8, col("cell"))
+        .write.bucketBy(8, "cell").sortBy("cell", "vec_id")
+        .option("path", new java.io.File(wh, "ivf").getAbsolutePath)
+        .mode("overwrite").saveAsTable(t)
+      (t, cs)
+    }
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"))
+    // nprobe=2 cell assignment, inline against the same literal centroids
+    val probeCells = slice(array_sort(array(cents.map { case (l, c) =>
+      struct(l2(col("qa"), litArr(c)).as("d"), lit(l).as("c")) }: _*)), 1, 2)
+    val assigned = qs.withColumn("pc", explode(probeCells))
+      .select(col("query_id"), col("qa"), col("pc.c").as("probe_cell"))
+    val probed = assigned.select("probe_cell").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by the cell count
+    val idx = s.table(tbl).filter(col("cell").isin(probed.toSeq: _*))
+    val fromIdx = idx.join(broadcast(assigned),
+        col("cell") === col("probe_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        l2(col("qa"), col("a")).as("d2"), lit(0L).as("from_delta"))
+    val delta = base.filter(col("vec_id") % deltaMod === 1L)
+    val fromDelta = delta.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        l2(col("qa"), col("a")).as("d2"), lit(1L).as("from_delta"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+    fromIdx.unionByName(fromDelta)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"),
+        floor(col("d2") * 1e9).cast("long").as("d2_fp"),
+        col("from_delta"))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s17_nprobe_sweep" -> (s17_nprobe_sweep _),
+    "s18_ann_persisted" -> (s18_ann_persisted _),
     "s16_ann_binary_quant" -> (s16_ann_binary_quant _),
     "s15_hybrid_rrf" -> (s15_hybrid_rrf _),
     "s14_maxsim_multivector" -> (s14_maxsim_multivector _),
@@ -1327,6 +1427,55 @@ object SimilarityQueries {
     // s13's chain with the cell assignment kept to rank 8 and the
     // candidate top-3 windowed per (query, nprobe); probe order is
     // nested so all four sweep points come from one candidate gather
+    "s18_ann_persisted" -> s"""
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      nn AS (SELECT greatest(97, count(*) // 50) AS dm FROM embeddings),
+      idx0 AS (SELECT e.* FROM e, nn WHERE vec_id % nn.dm <> 1),
+      delta AS (SELECT e.* FROM e, nn WHERE vec_id % nn.dm = 1),
+      cent AS (SELECT label AS c_label,
+          list(s ORDER BY i) AS centroid FROM (
+          SELECT label, i,
+            sum(CAST(floor(a[i] * 1e9) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1e9 AS s
+          FROM idx0, range(1, 65) t(i) GROUP BY label, i)
+        GROUP BY label),
+      asn AS (SELECT vec_id, a, c_label AS cell FROM (
+          SELECT d.vec_id, d.a, c.c_label,
+            row_number() OVER (PARTITION BY d.vec_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (d.a[i] - c.centroid[i]) * (d.a[i] - c.centroid[i])),
+                (x, y) -> x + y), c.c_label) AS rk
+          FROM idx0 d, cent c) WHERE rk = 1),
+      qs AS (SELECT vec_id AS query_id, a AS qa FROM e WHERE vec_id % 50 = 0),
+      probes AS (SELECT query_id, qa, c_label AS probe_cell FROM (
+          SELECT q.query_id, q.qa, c.c_label,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (q.qa[i] - c.centroid[i]) * (q.qa[i] - c.centroid[i])),
+                (x, y) -> x + y), c.c_label) AS crk
+          FROM qs q, cent c) WHERE crk <= 2),
+      cand AS (
+        SELECT p.query_id, v.vec_id,
+          list_reduce(list_transform(range(1, 65),
+            i -> (p.qa[i] - v.a[i]) * (p.qa[i] - v.a[i])),
+            (x, y) -> x + y) AS d2,
+          0 AS from_delta
+        FROM probes p JOIN asn v ON v.cell = p.probe_cell
+        WHERE v.vec_id <> p.query_id
+        UNION ALL
+        SELECT q.query_id, d.vec_id,
+          list_reduce(list_transform(range(1, 65),
+            i -> (q.qa[i] - d.a[i]) * (q.qa[i] - d.a[i])),
+            (x, y) -> x + y) AS d2,
+          1 AS from_delta
+        FROM qs q, delta d WHERE d.vec_id <> q.query_id),
+      top AS (SELECT query_id, vec_id, d2, from_delta,
+          row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rk
+        FROM cand)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor_id,
+        CAST(floor(d2 * 1e9) AS BIGINT) AS d2_fp,
+        CAST(from_delta AS BIGINT) AS from_delta
+      FROM top WHERE rk <= 3 ORDER BY query_id, rk""",
     "s17_nprobe_sweep" -> s"""
       WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),

@@ -457,6 +457,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"gram counts need map-side combine:\n$p")
   }
 
+  test("s18: persisted IVF serve reads pruned buckets with zero index-side exchange") {
+    val df = SimilarityQueries.s18_ann_persisted(spark, sf())
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Bucketed: true"),
+      s"index scan must come from the persisted bucketed table:\n$p")
+    assert(finalP.contains("SelectedBucketsCount"),
+      s"probed-cell isin must prune bucket files at planning time:\n$p")
+    // the persisted index is never re-clustered per batch: no shuffle on
+    // the cell column anywhere in the serve plan
+    assert(!finalP.contains("hashpartitioning(cell"),
+      s"index side must not re-shuffle on cell:\n$p")
+    // allowed exchanges: broadcasts of the tiny query/assignment sets,
+    // the top-k window's query_id shuffle, and the presentation sort —
+    // nothing proportional to the index
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalP).size
+    assert(shuffles <= 1, s"only the query_id window may shuffle:\n$p")
+  }
+
   test("qn13: quarantine accounting is ONE partial+final aggregate over the JSON scan") {
     val p = plan(NetCDFQueries.qn13_jsonl_quarantine(spark, sf()))
     assert(p.contains("partial_"), s"expected map-side combine:\n$p")
