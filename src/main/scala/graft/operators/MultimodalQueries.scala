@@ -1067,6 +1067,73 @@ object MultimodalQueries {
   }
 
 
+  final case class Png16Feature(doc_id: Long, width: Int, height: Int,
+                                channels: Int, format: String, s_sum: Long,
+                                s_wsum: Long, s_min: Long, s_max: Long,
+                                hi8_sum: Long)
+
+  /** m34 — 16-BIT PNG decode at full precision (round-14 verdict item
+    * 3: `Png` previously rejected depth 16, but scientific and medical
+    * imagery is 16-bit heavy, it's in-spec and lossless). Even doc_ids
+    * carry 16-bit grayscale, odd doc_ids 16-bit RGB; every sample is
+    * built from TWO independent text bytes (high = byte(k mod len),
+    * low = byte((7k+3) mod len)), so the oracle pins both bytes of
+    * every sample separately — a decoder that swapped endianness,
+    * stepped filters by one byte instead of channels·2, or served the
+    * low byte would break s_sum/s_wsum/s_min/s_max. The row-cycling
+    * filter schedule exercises all five PNG filters on the 2-byte
+    * planes. `hi8_sum` additionally runs the SAME payload through the
+    * sniffing [[MediaCodec.decodeImage]] and checks the spec's §13.12
+    * 16→8 high-byte rescale: it must equal the sum of the high bytes
+    * alone.
+    *
+    * Scale shape: identical to m15 — two scan-parallel mapPartitions
+    * stages, no shuffle before the output sort. */
+  def m34_png16_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — sample bytes would diverge")
+          val b = text.getBytes("US-ASCII")
+          val len = b.length
+          val w = len % 48 + 1
+          val h = (len / 48) % 32 + 1
+          val ch = if (id % 2 == 0) 1 else 3
+          val samples = Array.tabulate(w * h * ch)(k =>
+            if (len == 0) 0
+            else 256 * (b(k % len) & 0xFF) + (b((k * 7 + 3) % len) & 0xFF))
+          MediaRow(id, Png.encode16(w, h, ch, samples),
+            if (ch == 1) "png16-gray" else "png16-rgb")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = Png.decode16(r.payload)
+        val img8 = MediaCodec.decodeImage(r.payload) // sniffed 16->8 route
+        var sSum = 0L; var sW = 0L
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var k = 0
+        while (k < img.samples.length) {
+          val v = img.samples(k).toLong
+          sSum += v; sW += v * (k + 1)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          k += 1
+        }
+        var h8 = 0L
+        k = 0
+        while (k < img8.pixels.length) { h8 += img8.pixels(k) & 0xFF; k += 1 }
+        Png16Feature(r.doc_id, img.width, img.height, img.channels, r.format,
+          sSum, sW, mn, mx, h8)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   final case class JpegAcRow(doc_id: Long, width: Int, height: Int,
                              n_blocks: Long, px_sum: Long, px_wsum: Long,
                              px_min: Long, px_max: Long)
@@ -2058,6 +2125,7 @@ object MultimodalQueries {
     "m17_jpeg_ac_texture" -> (m17_jpeg_ac_texture _),
     "m16_audio_resample" -> (m16_audio_resample _),
     "m15_png_features" -> (m15_png_features _),
+    "m34_png16_features" -> (m34_png16_features _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -2343,6 +2411,32 @@ object MultimodalQueries {
     // full per-pixel replay: RGB (even ids) gets m01's 3-channel luma,
     // gray (odd ids) the 256*b convention; the PNG container (zlib,
     // all five filters) round-trips only Spark-side
+    // every sample's TWO bytes replayed from the document text:
+    // high = byte(k mod len), low = byte((7k+3) mod len); hi8_sum pins
+    // the sniffed 16->8 route as the high-byte sum
+    "m34_png16_features" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           (length(text) % 48 + 1) AS w,
+           ((length(text) // 48) % 32 + 1) AS h,
+           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+         FROM documents),
+       s AS (SELECT doc_id, w, h, ch,
+           list_transform(range(0, w * h * ch), k ->
+             CASE WHEN len = 0 THEN 0 ELSE
+               256 * CAST(ascii(substr(text, (k % len)::INT + 1, 1)) AS BIGINT)
+               + ascii(substr(text, ((k * 7 + 3) % len)::INT + 1, 1))
+             END) AS vs
+         FROM t)
+       SELECT doc_id, w::INT AS width, h::INT AS height, ch::INT AS channels,
+         CASE WHEN ch = 1 THEN 'png16-gray' ELSE 'png16-rgb' END AS format,
+         list_reduce(vs, (x, y) -> x + y)::BIGINT AS s_sum,
+         list_reduce(list_transform(range(1, w * h * ch + 1),
+           i -> vs[i] * i), (x, y) -> x + y)::BIGINT AS s_wsum,
+         list_min(vs)::BIGINT AS s_min,
+         list_max(vs)::BIGINT AS s_max,
+         list_reduce(list_transform(vs, v -> v // 256),
+           (x, y) -> x + y)::BIGINT AS hi8_sum
+       FROM s ORDER BY doc_id""",
     "m15_png_features" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS len,
            (length(text) % 64 + 1) AS w,

@@ -31,6 +31,12 @@ object MediaCodec {
   final case class Image(width: Int, height: Int, channels: Int,
                          pixels: Array[Byte])
 
+  /** A decoded 16-bit raster (scientific/medical imagery): `samples`
+    * is row-major top-down, channel-interleaved, one Int in
+    * [0, 65535] per sample. Produced by [[Png.decode16]]. */
+  final case class Image16(width: Int, height: Int, channels: Int,
+                           samples: Array[Int])
+
   /** Decoded PCM audio: 16-bit signed samples, channel-interleaved. */
   final case class Audio(sampleRate: Int, channels: Int,
                          samples: Array[Short])

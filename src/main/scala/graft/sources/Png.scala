@@ -12,15 +12,19 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * filter types incl. Paeth) rather than JPEG's flat-block subset.
   *
   * Decoder: signature, chunk walk with CRC-32 verification on every
-  * chunk, IHDR (8-bit depth; color types 0 gray / 2 RGB / 3 palette /
-  * 4 gray+alpha / 6 RGBA; interlace 0), PLTE, multi-IDAT zlib inflate,
-  * per-scanline unfilter (None/Sub/Up/Average/Paeth per the spec's
-  * reconstruction functions), tRNS ignored, alpha channels dropped on
+  * chunk, IHDR (8- or 16-bit depth; color types 0 gray / 2 RGB / 3
+  * palette (8-bit only, per spec) / 4 gray+alpha / 6 RGBA; interlace
+  * 0), PLTE, multi-IDAT zlib inflate, per-scanline unfilter
+  * (None/Sub/Up/Average/Paeth per the spec's reconstruction functions
+  * — on BYTE planes with the pixel step in bytes, so 16-bit neighbors
+  * sit channels·2 back), tRNS ignored, alpha channels dropped on
   * output (the m-family consumes opaque rasters), Adam7 interlace
   * (each of the 7 passes unfiltered as its own raster, then scattered
-  * onto the full grid, spec §8.2). 16-bit depth is rejected loudly.
-  * Output follows the [[MediaCodec.Image]] convention: channels 1
-  * (gray) or 3 (RGB).
+  * onto the full grid, spec §8.2). [[decode]] follows the
+  * [[MediaCodec.Image]] convention (channels 1 gray or 3 RGB),
+  * serving 16-bit files through their high bytes (the spec's §13.12
+  * sample-depth rescale); [[decode16]] preserves full 16-bit
+  * precision as [[MediaCodec.Image16]].
   *
   * Encoder (fixture-side): IHDR/IDAT/IEND for gray or RGB, one zlib
   * stream, filter type cycling `row % 5` so every fixture exercises
@@ -209,14 +213,19 @@ object Png {
 
   // ------------------------------------------------------------ decode
 
-  def decode(bytes: Array[Byte]): MediaCodec.Image = {
+  /** Everything up to the reconstructed (defiltered, de-interlaced)
+    * byte planes, shared by the 8-bit and 16-bit entry points. */
+  private final case class Raw(w: Int, h: Int, colorType: Int, depth: Int,
+                               palette: Array[Byte], recon: Array[Byte])
+
+  private def decodeRaw(bytes: Array[Byte]): Raw = {
     require(bytes.length > 8 && Signature.indices.forall(i => bytes(i) == Signature(i)),
       "PNG: bad signature")
     var pos = 8
     def u32(p: Int): Long =
       ((bytes(p) & 0xFFL) << 24) | ((bytes(p + 1) & 0xFFL) << 16) |
         ((bytes(p + 2) & 0xFFL) << 8) | (bytes(p + 3) & 0xFFL)
-    var w = 0; var h = 0; var colorType = -1; var interlace = 0
+    var w = 0; var h = 0; var colorType = -1; var interlace = 0; var depth = 0
     var palette: Array[Byte] = null
     val idat = new ByteArrayOutputStream()
     var ihdrSeen = false; var iendSeen = false
@@ -235,10 +244,13 @@ object Png {
           require(len == 13, "PNG: bad IHDR length")
           w = u32(body).toInt; h = u32(body + 4).toInt
           require(w > 0 && h > 0, "PNG: zero dimensions")
-          val depth = bytes(body + 8) & 0xFF
+          depth = bytes(body + 8) & 0xFF
           colorType = bytes(body + 9) & 0xFF
-          require(depth == 8, s"PNG: bit depth $depth unsupported (8 only)")
+          require(depth == 8 || depth == 16,
+            s"PNG: bit depth $depth unsupported (8/16 only)")
           require(Set(0, 2, 3, 4, 6)(colorType), s"PNG: color type $colorType")
+          require(depth == 8 || colorType != 3,
+            "PNG: 16-bit palette images are not in-spec (§11.2.2)")
           require((bytes(body + 10) & 0xFF) == 0, "PNG: unknown compression")
           require((bytes(body + 11) & 0xFF) == 0, "PNG: unknown filter method")
           interlace = bytes(body + 12) & 0xFF
@@ -260,8 +272,12 @@ object Png {
     val srcCh = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
     }
-    val stride = w * srcCh
-    val bpp = srcCh
+    // filters operate on BYTES with the pixel step in bytes (spec §9:
+    // "bpp is the number of bytes per complete pixel") — for 16-bit
+    // images the left neighbor is channels·2 bytes back, the classic
+    // 16-bit implementation trap
+    val bpp = srcCh * (depth / 8)
+    val stride = w * bpp
     // spec §6: per-scanline reconstruction of one independent raster
     // (the whole image, or one Adam7 pass) starting at raw(off)
     def unfilterImage(raw: Array[Byte], off: Int, pw: Int, ph: Int): Array[Byte] = {
@@ -346,9 +362,32 @@ object Png {
         }
         full
       }
-    colorType match {
-      case 0 => MediaCodec.Image(w, h, 1, recon)
-      case 2 => MediaCodec.Image(w, h, 3, recon)
+    Raw(w, h, colorType, depth, palette, recon)
+  }
+
+  /** Decode to the 8-bit [[MediaCodec.Image]] convention. 16-bit files
+    * route through the most-significant byte of each sample — the
+    * spec's own 16→8 scaling (§13.12: left-bit-replication truncated to
+    * 8 bits IS the high byte), so the sniffing decodeImage serves
+    * 16-bit scientific imagery to 8-bit consumers without a special
+    * case. Full-precision consumers use [[decode16]]. */
+  def decode(bytes: Array[Byte]): MediaCodec.Image = {
+    val r = decodeRaw(bytes)
+    val (w, h, recon, palette) = (r.w, r.h, r.recon, r.palette)
+    val sb = r.depth / 8 // bytes per sample; high byte first (big-endian)
+    r.colorType match {
+      case 0 if sb == 1 => MediaCodec.Image(w, h, 1, recon)
+      case 2 if sb == 1 => MediaCodec.Image(w, h, 3, recon)
+      case 0 =>
+        val out = new Array[Byte](w * h)
+        var i = 0
+        while (i < w * h) { out(i) = recon(2 * i); i += 1 }
+        MediaCodec.Image(w, h, 1, out)
+      case 2 =>
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h * 3) { out(i) = recon(2 * i); i += 1 }
+        MediaCodec.Image(w, h, 3, out)
       case 3 =>
         require(palette != null, "PNG: palette image without PLTE")
         val out = new Array[Byte](w * h * 3)
@@ -365,18 +404,86 @@ object Png {
       case 4 => // gray+alpha: alpha dropped (opaque-raster consumers)
         val out = new Array[Byte](w * h)
         var i = 0
-        while (i < w * h) { out(i) = recon(2 * i); i += 1 }
+        while (i < w * h) { out(i) = recon(2 * sb * i); i += 1 }
         MediaCodec.Image(w, h, 1, out)
       case 6 => // RGBA: alpha dropped
         val out = new Array[Byte](w * h * 3)
         var i = 0
         while (i < w * h) {
-          out(3 * i) = recon(4 * i)
-          out(3 * i + 1) = recon(4 * i + 1)
-          out(3 * i + 2) = recon(4 * i + 2)
+          out(3 * i) = recon(4 * sb * i)
+          out(3 * i + 1) = recon(4 * sb * i + sb)
+          out(3 * i + 2) = recon(4 * sb * i + 2 * sb)
           i += 1
         }
         MediaCodec.Image(w, h, 3, out)
     }
+  }
+
+  /** Full-precision decode of a 16-bit PNG (gray / RGB / gray+alpha /
+    * RGBA; alpha dropped like [[decode]]): each sample is the
+    * big-endian 2-byte value, returned as an Int in [0, 65535]. */
+  def decode16(bytes: Array[Byte]): MediaCodec.Image16 = {
+    val r = decodeRaw(bytes)
+    require(r.depth == 16, s"PNG: decode16 on a ${r.depth}-bit file")
+    val (w, h, recon) = (r.w, r.h, r.recon)
+    def s16(byteOff: Int): Int =
+      ((recon(byteOff) & 0xFF) << 8) | (recon(byteOff + 1) & 0xFF)
+    r.colorType match {
+      case 0 =>
+        MediaCodec.Image16(w, h, 1, Array.tabulate(w * h)(i => s16(2 * i)))
+      case 2 =>
+        MediaCodec.Image16(w, h, 3,
+          Array.tabulate(w * h * 3)(i => s16(2 * i)))
+      case 4 =>
+        MediaCodec.Image16(w, h, 1, Array.tabulate(w * h)(i => s16(4 * i)))
+      case 6 =>
+        MediaCodec.Image16(w, h, 3,
+          Array.tabulate(w * h * 3)(i => s16(8 * (i / 3) + 2 * (i % 3))))
+      case o => throw new IllegalArgumentException(
+        s"PNG: color type $o cannot be 16-bit")
+    }
+  }
+
+  /** Encode a 16-bit raster (channels 1 = gray, 3 = RGB; samples in
+    * [0, 65535], stored big-endian per spec §7.1) with the same
+    * row-cycling filter schedule as [[encode]] — filters run on the
+    * BYTE planes with the pixel step channels·2. */
+  def encode16(w: Int, h: Int, channels: Int, samples: Array[Int]): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"channels $channels")
+    require(samples.length == w * h * channels, "sample buffer size")
+    val bpp = channels * 2
+    val stride = w * bpp
+    val px = new Array[Byte](stride * h)
+    var i = 0
+    while (i < samples.length) {
+      require(samples(i) >= 0 && samples(i) <= 0xFFFF,
+        s"sample ${samples(i)} out of 16-bit range")
+      px(2 * i) = ((samples(i) >> 8) & 0xFF).toByte
+      px(2 * i + 1) = (samples(i) & 0xFF).toByte
+      i += 1
+    }
+    val raw = new Array[Byte]((stride + 1) * h)
+    filterImage(w, h, bpp, px, raw, 0)
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val comp = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+    d.end()
+    val o = new ByteArrayOutputStream()
+    o.write(Signature)
+    val ihdr = new Array[Byte](13)
+    def put32(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = ((v >> 24) & 0xFF).toByte; a(off + 1) = ((v >> 16) & 0xFF).toByte
+      a(off + 2) = ((v >> 8) & 0xFF).toByte; a(off + 3) = (v & 0xFF).toByte
+    }
+    put32(ihdr, 0, w); put32(ihdr, 4, h)
+    ihdr(8) = 16
+    ihdr(9) = (if (channels == 1) 0 else 2).toByte
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk(o, "IHDR", ihdr)
+    chunk(o, "IDAT", comp.toByteArray)
+    chunk(o, "IEND", Array.emptyByteArray)
+    o.toByteArray
   }
 }

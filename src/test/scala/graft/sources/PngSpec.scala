@@ -103,10 +103,15 @@ class PngSpec extends AnyFunSuite {
     assert(img2.pixels.map(_ & 0xFF).toSeq == Seq(77, 88))
   }
 
-  test("CRC corruption, 16-bit depth and Adam7 are rejected loudly") {
+  test("CRC corruption, 16-bit palette and bad interlace are rejected loudly") {
     val f = Array[Byte](0, 1, 2)
     intercept[IllegalArgumentException](
       Png.decode(handPng(3, 1, 0, 8, f, corruptCrc = true)))
+    // 16-bit GRAY is now supported; 16-bit PALETTE is out of spec
+    intercept[IllegalArgumentException](
+      Png.decode(handPng(3, 1, 3, 16, f,
+        palette = Array[Byte](1, 2, 3, 4, 5, 6))))
+    // a truncated 16-bit stream (3 filtered bytes for a 7-byte raster)
     intercept[IllegalArgumentException](
       Png.decode(handPng(3, 1, 0, 16, f)))
     // unknown interlace method (Adam7 = 1 is now supported; 2 is not)
@@ -149,5 +154,57 @@ class PngSpec extends AnyFunSuite {
     val px = Array.tabulate(12)(_.toByte)
     val img = MediaCodec.decodeImage(Png.encode(4, 3, 1, px))
     assert(img.channels == 1 && img.pixels.toSeq == px.toSeq)
+  }
+
+  // --------------------------------------------------------- 16-bit depth
+
+  test("hand-traced 16-bit gray: Sub filter steps 2 bytes, not 1") {
+    // 2x2 gray16. Row 0 filter None: samples 0x0102 0x0304. Row 1
+    // filter Sub with bpp=2: targets 0x0510 0x0623, so the filtered
+    // bytes are (05 10) then (06-05, 23-10) = (01 13). A decoder that
+    // stepped 1 byte would reconstruct 0x0515 0x1629 instead.
+    val filtered = Array[Byte](
+      0, 0x01, 0x02, 0x03, 0x04,
+      1, 0x05, 0x10, 0x01, 0x13)
+    val png = handPng(2, 2, 0, 16, filtered)
+    val img16 = Png.decode16(png)
+    assert(img16.width == 2 && img16.height == 2 && img16.channels == 1)
+    assert(img16.samples.toSeq == Seq(0x0102, 0x0304, 0x0510, 0x0623))
+    // the 8-bit route takes the high byte of each sample (spec 13.12)
+    val img8 = Png.decode(png)
+    assert(img8.pixels.map(_ & 0xFF).toSeq == Seq(0x01, 0x03, 0x05, 0x06))
+  }
+
+  test("16-bit gray+alpha drops alpha at full precision") {
+    // 2x1, filter None: (gray, alpha) = (0x1234, 0xFFFF), (0xABCD, 0x0001)
+    val filtered = Array[Byte](0, 0x12, 0x34, 0xFF.toByte, 0xFF.toByte,
+      0xAB.toByte, 0xCD.toByte, 0x00, 0x01)
+    val png = handPng(2, 1, 4, 16, filtered)
+    assert(Png.decode16(png).samples.toSeq == Seq(0x1234, 0xABCD))
+    assert(Png.decode(png).pixels.map(_ & 0xFF).toSeq == Seq(0x12, 0xAB))
+  }
+
+  test("encode16 round trip: all five filters, gray and RGB, odd sizes") {
+    for ((w, h, ch) <- Seq((3, 7, 1), (5, 6, 3), (1, 5, 1), (16, 9, 3))) {
+      // values straddle 0x8000 to catch sign bugs, and exercise both bytes
+      val px = Array.tabulate(w * h * ch)(i => (i * 9173 + 257) % 65536)
+      val img = Png.decode16(Png.encode16(w, h, ch, px))
+      assert(img.width == w && img.height == h && img.channels == ch,
+        s"($w,$h,$ch)")
+      assert(img.samples.toSeq == px.toSeq, s"($w,$h,$ch)")
+    }
+  }
+
+  test("decodeImage sniffs a 16-bit PNG and serves the high bytes") {
+    val px = Array.tabulate(6)(i => i * 256 * 40 + 7) // high bytes 0,40,80...
+    val img = MediaCodec.decodeImage(Png.encode16(3, 2, 1, px))
+    assert(img.channels == 1)
+    assert(img.pixels.map(_ & 0xFF).toSeq == px.map(_ >> 8).toSeq)
+  }
+
+  test("decode16 on an 8-bit file fails loudly (no silent rescale)") {
+    val e = intercept[IllegalArgumentException](
+      Png.decode16(Png.encode(2, 2, 1, Array.tabulate(4)(_.toByte))))
+    assert(e.getMessage.contains("decode16"))
   }
 }
