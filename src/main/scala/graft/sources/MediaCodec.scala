@@ -416,8 +416,145 @@ object MediaCodec {
     b.array()
   }
 
-  /** Decode a PCM16 RIFF/WAVE file: walk the chunk list (2-byte
-    * alignment), read 'fmt ' and 'data', skip everything else. */
+  // ---------------------------------------------------------- IMA ADPCM
+
+  /** IMA/DVI ADPCM step-size table (the public IMA "Recommended
+    * Practices for Enhancing Digital Audio Compatibility" tables; WAVE
+    * carries this codec as format tag 0x0011). All arithmetic is
+    * exactly-specified integer math, so decodes replay bit-for-bit. */
+  private[sources] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private[sources] val ImaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM state step: decode nibble `n` against (pred, idx),
+    * returning the new state. diff = (step>>3) + selected step halves,
+    * sign in bit 3; predictor clamps to int16, index to [0, 88]. */
+  private[sources] def imaStep(pred: Int, idx: Int, n: Int): (Int, Int) = {
+    val step = ImaStepTable(idx)
+    var diff = step >> 3
+    if ((n & 1) != 0) diff += step >> 2
+    if ((n & 2) != 0) diff += step >> 1
+    if ((n & 4) != 0) diff += step
+    val p0 = if ((n & 8) != 0) pred - diff else pred + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, idx + ImaIndexTable(n)))
+    (p, i)
+  }
+
+  /** Decode the mono IMA ADPCM 'data' payload: a sequence of
+    * `blockAlign`-byte blocks, each opening with a 4-byte header
+    * (int16 LE initial predictor — which IS the block's first output
+    * sample — uint8 initial step index, reserved byte) followed by
+    * 4-bit codes two per byte, LOW nibble first. A short final block
+    * decodes the nibbles it actually carries. */
+  private def decodeImaBlocks(bytes: Array[Byte], off: Int, size: Int,
+      blockAlign: Int): Array[Short] = {
+    require(blockAlign > 4, s"IMA ADPCM block align $blockAlign")
+    val out = new scala.collection.mutable.ArrayBuffer[Short](
+      size / blockAlign * ((blockAlign - 4) * 2 + 1) + 8)
+    var bo = 0
+    while (bo + 4 <= size) {
+      val here = math.min(blockAlign, size - bo)
+      var pred = ((bytes(off + bo) & 0xFF) |
+        ((bytes(off + bo + 1) & 0xFF) << 8)).toShort.toInt
+      var idx = bytes(off + bo + 2) & 0xFF
+      require(idx <= 88, s"IMA ADPCM step index $idx > 88")
+      out += pred.toShort
+      var j = 4
+      while (j < here) {
+        val byte = bytes(off + bo + j) & 0xFF
+        val (p1, i1) = imaStep(pred, idx, byte & 0x0F)
+        pred = p1; idx = i1; out += pred.toShort
+        val (p2, i2) = imaStep(pred, idx, byte >> 4)
+        pred = p2; idx = i2; out += pred.toShort
+        j += 1
+      }
+      bo += here
+    }
+    out.toArray
+  }
+
+  /** Encode mono 16-bit PCM as IMA ADPCM in a RIFF/WAVE container
+    * (format tag 0x0011, cbSize=2 + wSamplesPerBlock, a 'fact' chunk
+    * with the sample count, block-headered data). The quantizer tracks
+    * the decoder's own state transition, so decode(encode(x)) drifts
+    * only by the spec's quantization error and re-decoding is
+    * bit-stable. The step index carries ACROSS blocks (each block
+    * header snapshots it), as the reference encoders do. */
+  def encodeWavImaAdpcm(sampleRate: Int, samples: Array[Short],
+      samplesPerBlock: Int = 505): Array[Byte] = {
+    require(samplesPerBlock >= 3 && samplesPerBlock % 2 == 1,
+      "samplesPerBlock must be odd (header sample + nibble pairs)")
+    require(samples.nonEmpty, "no samples")
+    val blockAlign = 4 + (samplesPerBlock - 1) / 2
+    val nBlocks = (samples.length + samplesPerBlock - 1) / samplesPerBlock
+    val data = new java.io.ByteArrayOutputStream(nBlocks * blockAlign)
+    var idx = 0
+    var s = 0
+    while (s < samples.length) {
+      val n = math.min(samplesPerBlock, samples.length - s)
+      var pred = samples(s).toInt
+      data.write(pred & 0xFF); data.write((pred >> 8) & 0xFF)
+      data.write(idx); data.write(0)
+      var j = 1
+      var lowNibble = -1
+      while (j < samplesPerBlock) {
+        // past the input tail, hold the predictor (silence pad)
+        val target = if (s + j < samples.length) samples(s + j).toInt else pred
+        val step = ImaStepTable(idx)
+        var diff = target - pred
+        var code = 0
+        if (diff < 0) { code = 8; diff = -diff }
+        if (diff >= step) { code |= 4; diff -= step }
+        if (diff >= (step >> 1)) { code |= 2; diff -= step >> 1 }
+        if (diff >= (step >> 2)) { code |= 1 }
+        val (p1, i1) = imaStep(pred, idx, code)
+        pred = p1; idx = i1
+        if (lowNibble < 0) lowNibble = code
+        else { data.write(lowNibble | (code << 4)); lowNibble = -1 }
+        j += 1
+      }
+      // samplesPerBlock is odd, so the nibbles pair up exactly
+      s += n
+    }
+    val db = data.toByteArray
+    val b = ByteBuffer.allocate(12 + 8 + 20 + 8 + 4 + 8 + db.length +
+      (db.length & 1)).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII"))
+    b.putInt(4 + 28 + 12 + 8 + db.length + (db.length & 1))
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII"))
+    b.putInt(20) // 16 common + cbSize(2) + wSamplesPerBlock(2)
+    b.putShort(0x11) // wFormatTag = IMA/DVI ADPCM
+    b.putShort(1) // mono
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * blockAlign / samplesPerBlock) // nAvgBytesPerSec
+    b.putShort(blockAlign.toShort)
+    b.putShort(4) // wBitsPerSample
+    b.putShort(2) // cbSize
+    b.putShort(samplesPerBlock.toShort)
+    b.put("fact".getBytes("US-ASCII"))
+    b.putInt(4); b.putInt(samples.length)
+    b.put("data".getBytes("US-ASCII"))
+    b.putInt(db.length)
+    b.put(db)
+    if ((db.length & 1) == 1) b.put(0.toByte) // RIFF 2-byte alignment
+    b.array()
+  }
+
+  /** Decode a RIFF/WAVE file: walk the chunk list (2-byte alignment),
+    * read 'fmt ' and 'data', skip everything else. Serves PCM16
+    * (format tag 1) and mono IMA/DVI ADPCM (format tag 0x0011) — the
+    * deterministic-integer compressed-audio format whose decode
+    * replays bit-for-bit. */
   def decodeWav(bytes: Array[Byte]): Audio = {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 12 &&
@@ -427,10 +564,12 @@ object MediaCodec {
     var pos = 12
     var sampleRate = 0
     var channels = 0
-    var bits = 0
+    var tag = -1
+    var blockAlign = 0
     var fmtSeen = false
-    var samples: Array[Short] = null
-    while (pos + 8 <= bytes.length && (samples == null || !fmtSeen)) {
+    var dataOff = -1
+    var dataSize = 0
+    while (pos + 8 <= bytes.length && (dataOff < 0 || !fmtSeen)) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val size = b.getInt(pos + 4)
       val body = pos + 8
@@ -441,25 +580,36 @@ object MediaCodec {
       id match {
         case "fmt " =>
           require(size >= 16, "fmt chunk too small")
-          val tag = b.getShort(body) & 0xFFFF
-          require(tag == 1, s"only PCM (tag 1) supported, got $tag")
+          tag = b.getShort(body) & 0xFFFF
+          require(tag == 1 || tag == 0x11,
+            s"only PCM (tag 1) or IMA ADPCM (tag 0x11) supported, got $tag")
           channels = b.getShort(body + 2) & 0xFFFF
           sampleRate = b.getInt(body + 4)
-          bits = b.getShort(body + 14) & 0xFFFF
-          require(bits == 16, s"only 16-bit PCM supported, got $bits")
+          blockAlign = b.getShort(body + 12) & 0xFFFF
+          val bits = b.getShort(body + 14) & 0xFFFF
+          if (tag == 1) require(bits == 16,
+            s"only 16-bit PCM supported, got $bits")
+          else {
+            require(bits == 4, s"IMA ADPCM must be 4-bit, got $bits")
+            require(channels == 1, "only mono IMA ADPCM supported")
+          }
           fmtSeen = true
         case "data" =>
-          val n = size / 2
-          val out = new Array[Short](n)
-          var i = 0
-          while (i < n) { out(i) = b.getShort(body + i * 2); i += 1 }
-          samples = out
+          dataOff = body; dataSize = size
         case _ => // LIST, fact, ... — skip per the container spec
       }
       pos = body + size + (size & 1) // chunks are 2-byte aligned
     }
     require(fmtSeen, "missing fmt chunk")
-    require(samples != null, "missing data chunk")
+    require(dataOff >= 0, "missing data chunk")
+    val samples =
+      if (tag == 1) {
+        val n = dataSize / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = b.getShort(dataOff + i * 2); i += 1 }
+        out
+      } else decodeImaBlocks(bytes, dataOff, dataSize, blockAlign)
     Audio(sampleRate, channels, samples)
   }
 

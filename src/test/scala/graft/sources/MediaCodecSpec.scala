@@ -216,4 +216,89 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(Seq(px(0, 0), px(0, 1), px(0, 2), px(0, 3)) == Seq(5, 0, 0, 6))
     assert(Seq(px(1, 0), px(1, 1), px(1, 2), px(1, 3)) == Seq(1, 2, 3, 9))
   }
+
+  // ---- IMA ADPCM (WAVE format tag 0x0011) ----
+
+  /** Hand-build a mono IMA ADPCM WAV: fmt (tag 0x11, 4-bit, cbSize 2)
+    * + data with the given blocks, each (pred, idx, nibbles). */
+  private def handAdpcm(blocks: Seq[(Int, Int, Seq[Int])],
+      blockAlign: Int): Array[Byte] = {
+    val dataSize = blocks.size * blockAlign
+    val b = ByteBuffer.allocate(12 + 28 + 8 + dataSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes); b.putInt(4 + 28 + 8 + dataSize)
+    b.put("WAVE".getBytes)
+    b.put("fmt ".getBytes); b.putInt(20)
+    b.putShort(0x11); b.putShort(1); b.putInt(8000)
+    b.putInt(8000 * blockAlign / ((blockAlign - 4) * 2 + 1))
+    b.putShort(blockAlign.toShort); b.putShort(4)
+    b.putShort(2); b.putShort(((blockAlign - 4) * 2 + 1).toShort)
+    b.put("data".getBytes); b.putInt(dataSize)
+    blocks.foreach { case (pred, idx, nibbles) =>
+      require(nibbles.size == (blockAlign - 4) * 2)
+      b.put((pred & 0xFF).toByte); b.put(((pred >> 8) & 0xFF).toByte)
+      b.put(idx.toByte); b.put(0.toByte)
+      nibbles.grouped(2).foreach(p => b.put((p(0) | (p(1) << 4)).toByte))
+    }
+    b.array()
+  }
+
+  test("IMA ADPCM: hand-traced state walk from the spec tables") {
+    // pred=0 idx=0 (step 7): nibble 0 -> diff 0, pred 0, idx max(0,-1)=0
+    // nibble 7 -> diff 0+1+3+7=11, pred 11, idx 8 (step 16)
+    // nibble 8 -> diff 2, sign -, pred 9, idx 7 (step 14)
+    // nibble 15 -> diff 1+3+7+14=25, sign -, pred -16, idx 15
+    val au = MediaCodec.decodeAudio(handAdpcm(Seq((0, 0, Seq(0, 7, 8, 15))), 6))
+    assert(au.sampleRate == 8000 && au.channels == 1)
+    assert(au.samples.toSeq == Seq[Short](0, 0, 11, 9, -16))
+  }
+
+  test("IMA ADPCM: predictor clamps at int16, index clamps at 88") {
+    // pred 32760, idx 88 (step 32767): nibble 7 -> diff 4095+8191+16383
+    // +32767 = 61436 -> clamp 32767, idx 88+8 clamps to 88; nibble 15
+    // -> minus the same diff -> -28669 (no clamp); nibble 15 again ->
+    // -90105 clamps to -32768; nibble 0 -> diff 4095 -> -28673, idx 87
+    val au = MediaCodec.decodeAudio(
+      handAdpcm(Seq((32760, 88, Seq(7, 15, 15, 0))), 6))
+    assert(au.samples.toSeq ==
+      Seq[Short](32760, 32767, -28669, -32768, -28673))
+  }
+
+  test("IMA ADPCM: each block restarts from its own header") {
+    val au = MediaCodec.decodeAudio(handAdpcm(
+      Seq((100, 0, Seq(0, 0)), (-200, 30, Seq(0, 0))), 5))
+    // block 2's samples start from ITS header (-200, idx 30, step 130):
+    // nibble 0 twice -> diff 130>>3=16 each, idx decays 29 (step 118, 14)
+    assert(au.samples.toSeq ==
+      Seq[Short](100, 100, 100, -200, -184, -170))
+  }
+
+  test("IMA ADPCM: encoder round trip tracks within one step size") {
+    val src = Array.tabulate(1200)(i =>
+      (math.sin(i * 0.05) * 8000 + (i % 7) * 40).toInt.toShort)
+    val wav = MediaCodec.encodeWavImaAdpcm(8000, src, samplesPerBlock = 505)
+    val got = MediaCodec.decodeAudio(wav)
+    assert(got.sampleRate == 8000 && got.channels == 1)
+    // padded to whole blocks: 1200 -> 3 blocks of 505
+    assert(got.samples.length == 1515)
+    // after the adaptation warm-up, the decode tracks the source
+    var i = 20
+    while (i < src.length) {
+      assert(math.abs(got.samples(i) - src(i)) <= 2000,
+        s"sample $i: ${got.samples(i)} vs ${src(i)}")
+      i += 1
+    }
+    // deterministic: a second decode is bit-identical
+    assert(MediaCodec.decodeAudio(wav).samples.toSeq == got.samples.toSeq)
+  }
+
+  test("IMA ADPCM: stereo, wrong bit width and bad step index fail loud") {
+    val ok = handAdpcm(Seq((0, 0, Seq(0, 0))), 5)
+    val stereo = ok.clone; stereo(22) = 2 // nChannels
+    intercept[IllegalArgumentException](MediaCodec.decodeAudio(stereo))
+    val bits8 = ok.clone; bits8(34) = 8 // wBitsPerSample
+    intercept[IllegalArgumentException](MediaCodec.decodeAudio(bits8))
+    val badIdx = ok.clone; badIdx(50) = 99 // block header step index
+    intercept[IllegalArgumentException](MediaCodec.decodeAudio(badIdx))
+  }
 }
