@@ -1381,7 +1381,107 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** q80 — streaming LATE-DATA OBSERVABILITY (round-14 verdict item 5:
+    * the streaming family executed everything but reported nothing
+    * about late data). One watermarked window harness wires BOTH
+    * accounting channels Structured Streaming exposes:
+    *
+    *  - `observe()` on the input (before the stateful operator) counts
+    *    every row fed, per batch, through the observed-metrics channel;
+    *  - `StateOperatorProgress.numRowsDroppedByWatermark` counts the
+    *    rows the aggregation discarded as late.
+    *
+    * The feed makes lateness DETERMINISTIC: batch 1 carries the
+    * even-event_id rows plus a watermark anchor two hours past the last
+    * real window, so when the odd-event_id rows arrive in batch 2 every
+    * one of them is behind the watermark and must be dropped, while two
+    * fresh rows riding above the anchor must be accepted.
+    *
+    * The engine's drop counter has a granularity caveat this harness
+    * measures rather than hides: for aggregations the watermark filter
+    * runs at the STATE operator, after partial aggregation and the
+    * exchange have merged the late inputs to one row per window — so
+    * `numRowsDroppedByWatermark` counts dropped WINDOWS, not rows
+    * (empirically pinned here: 720 distinct late hours, not 5 000 late
+    * rows). Row-level loss is therefore RECONCILED the way a production
+    * audit does it: fed (observed) − emitted (sink) − in-flight (state
+    * rows at shutdown) = rows lost to the watermark. The ledger emits
+    * all four, each independently oracle-checkable:
+    *   −4 fed = |events| + 4 injected,
+    *   −3 state_dropped = distinct hours among odd-id rows,
+    *   −2 late_rows (reconciled) = |odd-id rows|,
+    *   −1 in_flight = 1 (the sentinel's still-open window),
+    * and the window rows must equal the even-only batch aggregate plus
+    * the two anchor-side windows. A progress API that stopped
+    * reporting, a watermark that admitted late rows (double-count) or
+    * dropped fresh ones — each breaks a different ledger line.
+    *
+    * At 100 TB this ledger IS the data-loss audit: watermark drops are
+    * silent by design, and fed − sink − in-flight is how a pipeline
+    * proves its completeness SLO. */
+  def q80_stream_late_ledger(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val hour = 3600L * 1000000000L
+    val hi = rows.map(_._2).max
+    val anchor = hi / hour * hour + 2 * hour
+    val even = rows.filter(_._1 % 2 == 0).map(r => (r._2, r._3))
+    val odd = rows.filter(_._1 % 2 != 0).map(r => (r._2, r._3))
+    val fresh = Seq((anchor + hour / 2, 1.5), (anchor + hour + hour / 2, 2.5))
+    val sentinel = (anchor + 10 * hour, 0.0)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val agg = in.toDF().toDF("tns", "value")
+      .withColumn("ts", timestamp_micros(KeyAlgebra.ldiv(col("tns"), lit(1000L))))
+      .observe("q80_obs", count(lit(1)).as("n_fed"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour").as("win"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("win.start")).as("window_start"),
+        col("n"), col("sum_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("q80_stream_out").start()
+    var fed = 0L
+    var stateDropped = 0L
+    var inFlight = 0L
+    try {
+      in.addData(even.toIndexedSeq :+ ((anchor, 0.0)))
+      q.processAllAvailable()
+      in.addData(odd.toIndexedSeq ++ fresh)
+      q.processAllAvailable()
+      in.addData(Seq(sentinel))
+      q.processAllAvailable()
+      q.recentProgress.foreach { p =>
+        val om = p.observedMetrics
+        if (om.containsKey("q80_obs")) fed += om.get("q80_obs").getLong(0)
+        p.stateOperators.foreach(so =>
+          stateDropped += so.numRowsDroppedByWatermark)
+      }
+      inFlight = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    } finally q.stop()
+    val sentinelHour = sentinel._1 / 3600000000000L * 3600L
+    val all = s.table("q80_stream_out").collect().toIndexedSeq
+    val schema = s.table("q80_stream_out").schema
+    s.catalog.dropTempView("q80_stream_out")
+    val emitted = all.map(_.getLong(1)).sum
+    val lateRows = fed - emitted - inFlight
+    val result = all.filter(_.getLong(0) < sentinelHour)
+    val ledger = Seq((-4L, fed, 0.0), (-3L, stateDropped, 0.0),
+      (-2L, lateRows, 0.0), (-1L, inFlight, 0.0))
+      .toDF("window_start", "n", "sum_value")
+    s.createDataFrame(s.sparkContext.parallelize(result, 1), schema)
+      .unionByName(ledger)
+      .orderBy("window_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_stream_late_ledger" -> (q80_stream_late_ledger _),
     "q74_stream_rate_limit" -> (q74_stream_rate_limit _),
     "q72_stream_restart" -> (q72_stream_restart _),
     "q67_stream_static_join" -> (q67_stream_static_join _),
@@ -1521,6 +1621,29 @@ object StreamQueries {
     "q44_stream_outer_join" -> outerJoinOracle,
     // the stream-stream join must emit exactly the batch interval join
     "q31_stream_join" -> innerJoinOracle,
+    // the ledger is the batch difference: fed = |events| + 4 injected,
+    // dropped = |odd event_ids| (all behind the anchor watermark),
+    // accepted = fed - dropped; windows = even-only batch aggregate
+    // plus the two anchor-side windows
+    "q80_stream_late_ledger" ->
+      """WITH mx AS (SELECT (max(epoch_ns(ts)) // 3600000000000 + 2) * 3600
+           AS anchor FROM events),
+         win AS (SELECT epoch_ns(ts) // 3600000000000 * 3600 AS window_start,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+         cnt AS (SELECT count(*) AS total,
+           count(*) FILTER (WHERE event_id % 2 <> 0) AS odd,
+           count(DISTINCT epoch_ns(ts) // 3600000000000)
+             FILTER (WHERE event_id % 2 <> 0) AS odd_windows FROM events)
+         SELECT window_start, n, sum_value FROM win
+         UNION ALL SELECT anchor, 2::BIGINT, 1.5::DOUBLE FROM mx
+         UNION ALL SELECT anchor + 3600, 1::BIGINT, 2.5::DOUBLE FROM mx
+         UNION ALL SELECT -4::BIGINT, total + 4, 0.0::DOUBLE FROM cnt
+         UNION ALL SELECT -3::BIGINT, odd_windows, 0.0::DOUBLE FROM cnt
+         UNION ALL SELECT -2::BIGINT, odd, 0.0::DOUBLE FROM cnt
+         UNION ALL SELECT -1::BIGINT, 1::BIGINT, 0.0::DOUBLE FROM cnt
+         ORDER BY window_start""",
     "q23_stream_window" ->
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS window_start,
          count(*) AS n,

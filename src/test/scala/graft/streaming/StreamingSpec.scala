@@ -116,4 +116,30 @@ class StreamingSpec extends SparkSpec {
         r.getDouble(2) == 3.0))
     } finally q.stop()
   }
+
+  test("q80 ledger: watermark-dropped accounting reconciles to the row level") {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val out = graft.operators.StreamQueries
+      .q80_stream_late_ledger(spark, dir).collect()
+    val ledger = out.filter(_.getLong(0) < 0)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("ts")).collect()
+    val nOdd = ev.count(_.getLong(0) % 2 != 0).toLong
+    val oddWindows = ev.filter(_.getLong(0) % 2 != 0)
+      .map(_.getLong(1) / 3600000000000L).distinct.length.toLong
+    assert(ledger(-4L) == ev.length + 4, "fed = events + 4 injected")
+    assert(ledger(-3L) == oddWindows,
+      "engine counter drops one merged row per late WINDOW (the " +
+        "post-partial-aggregation granularity this harness documents)")
+    assert(ledger(-2L) == nOdd,
+      "reconciled fed - emitted - in-flight must equal the late ROWS")
+    assert(ledger(-1L) == 1, "only the sentinel window stays in flight")
+    // the emitted windows carry no late contribution: every window row
+    // count must be reproduced by the even-id rows + injected rows alone
+    val emitted = out.filter(_.getLong(0) >= 0).map(_.getLong(1)).sum
+    val nEven = ev.count(_.getLong(0) % 2 == 0).toLong
+    assert(emitted == nEven + 3, "emitted = even rows + anchor + 2 fresh")
+  }
 }
