@@ -2157,6 +2157,73 @@ object RelationalQueries {
       .orderBy("status")
   }
 
+  /** q81 — BRANCHES with single-commit CHERRY-PICK over the commit-log
+    * store (round-14 verdict item 6: the q52/q61/q66/q69/q70/q71 family
+    * implies refs). The log gains a branch dimension: `audit` is
+    * created AT main@2 (a ref is just (name, base version) — zero data
+    * movement), commit audit@3 publishes a quarantine file (the rows
+    * main's v3 rewrite dropped — the write-audit-publish consumer), and
+    * the publish step CHERRY-PICKS exactly that one commit onto main as
+    * v4: the picked commit's (action, path) set replays verbatim and
+    * NOTHING else from the branch comes along. The proof is in the
+    * aggregates: main@4 must equal the full orders table (v3 dropped
+    * the F/pre-1998 rows; the pick restores exactly them), while a
+    * merge-instead-of-pick would also have dragged the branch's stale
+    * base (losing v3's rewrite and the fd load) and shifted every
+    * count. audit@3 must see its base (main@2) plus its own commit —
+    * with the quarantined rows counted TWICE (they exist in fa and fe),
+    * pinning that branch replay stacks the branch log on the base
+    * snapshot rather than deduplicating paths.
+    *
+    * Scale shape: branch create and cherry-pick are O(|commit|)
+    * driver-side METADATA (the q71 point — refs cost the same on a
+    * petabyte as on a megabyte); the data reads are the versioned
+    * parquet scans themselves. Builds on q52's layout; cites the
+    * Iceberg branch/tag + cherrypick_snapshot public semantics. */
+  def q81_branch_cherry_pick(s: SparkSession, dir: String): DataFrame = {
+    val (logPath, files) = q52Layout(s, dir)
+    val fa = files.head
+    // the branch-only file: the rows the v3 rewrite dropped, quarantined
+    // and re-published through the audit branch
+    val fe = graft.core.SessionMemo.memoize(s, "q81-fe:" + dir) {
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q81_e_$tag").getAbsolutePath
+      s.read.parquet(fa).filter(col("o_orderstatus") === "F")
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    val mainLog = q52ReadLog(s, logPath)
+      .map { case (v, a, p) => ("main", v, a, p) }.toSeq
+    val auditBase = 2L // ref: audit branched from main@2
+    val auditLog = Seq(("audit", 3L, "add", fe))
+    // cherry-pick EXACTLY commit audit@3 onto main as v4: its action
+    // set verbatim, nothing else from the branch
+    val picked = auditLog.filter(_._2 == 3L)
+      .map { case (_, _, a, p) => ("main", 4L, a, p) }
+    val full = mainLog ++ auditLog ++ picked
+    def activeAt(branch: String, v: Long): Seq[String] = {
+      val entries =
+        if (branch == "main") full.filter(e => e._1 == "main" && e._2 <= v)
+        else full.filter(e => e._1 == "main" && e._2 <= auditBase) ++
+          full.filter(e => e._1 == branch && e._2 <= v)
+      entries.groupBy(_._4).collect {
+        case (p, es) if es.maxBy(_._2)._3 == "add" => p
+      }.toSeq.sorted
+    }
+    Seq(("main", 1L), ("main", 2L), ("main", 3L), ("main", 4L),
+      ("audit", 3L)).map { case (br, v) =>
+      s.read.parquet(activeAt(br, v): _*)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * lit(100)).cast("long"))
+            .as("total_fp"))
+        .withColumn("branch", lit(br)).withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+      .select("branch", "version", "status", "n", "total_fp")
+      .orderBy("branch", "version", "status")
+  }
+
   /** q78 — CHECK-constraint enforcement on the write path with a
     * violation QUARANTINE (the Delta/Iceberg table-constraint feature):
     * an ingest batch carries three injected defect classes — a negated
@@ -2279,6 +2346,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_dynamic_overwrite" -> (q79_dynamic_overwrite _),
+    "q81_branch_cherry_pick" -> (q81_branch_cherry_pick _),
     "q78_check_constraints" -> (q78_check_constraints _),
     "q77_snapshot_expiry" -> (q77_snapshot_expiry _),
     "q76_partition_evolution" -> (q76_partition_evolution _),
@@ -2679,6 +2747,36 @@ object RelationalQueries {
          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS total_fp
        FROM snap GROUP BY 1, 2 ORDER BY version, status""",
+    // branch replay stacks the branch log on its base snapshot: audit@3
+    // double-counts the quarantined rows (fa and fe both carry them);
+    // the cherry-pick restores exactly v3's dropped rows, so main@4 is
+    // the full table — a merge would have dragged the stale base along
+    "q81_branch_cherry_pick" ->
+      """WITH snap AS (
+         SELECT 'main' AS branch, 1::BIGINT AS version,
+             o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+         UNION ALL
+         SELECT 'main', 2::BIGINT, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+         UNION ALL
+         SELECT 'main', 3::BIGINT, o_orderstatus, o_totalprice
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+              OR o_orderstatus <> 'F'
+         UNION ALL
+         SELECT 'main', 4::BIGINT, o_orderstatus, o_totalprice FROM orders
+         UNION ALL
+         SELECT 'audit', 3::BIGINT, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+         UNION ALL
+         SELECT 'audit', 3::BIGINT, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+             AND o_orderstatus = 'F')
+       SELECT branch, version, o_orderstatus AS status, count(*) AS n,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_fp
+       FROM snap GROUP BY 1, 2, 3 ORDER BY branch, version, status""",
     "q52_time_travel" ->
       """WITH snap AS (
          SELECT 1::BIGINT AS version, o_orderstatus, o_totalprice

@@ -34,4 +34,35 @@ class TimeTravelSpec extends SparkSpec {
         o.filter(col("o_orderstatus") === st).count())
     }
   }
+
+  test("q81 cherry-pick replays exactly one commit's file set onto main") {
+    val out = RelationalQueries
+      .q81_branch_cherry_pick(spark, sf()).collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    val o = graft.core.Tables.orders(spark, sf())
+    // main@4 = the FULL table: the pick restored exactly v3's dropped
+    // rows — nothing more (a merge would have dragged the branch's
+    // stale base and shifted every status count)
+    o.groupBy("o_orderstatus").count().collect().foreach { r =>
+      assert(out(("main", 4L, r.getString(0)))._1 == r.getLong(1),
+        s"main@4 status ${r.getString(0)}")
+    }
+    // main@3 is untouched by the branch: still missing the F/pre-98 rows
+    val preF = o.filter(col("o_orderdate") < lit("1998-01-01") &&
+      col("o_orderstatus") === "F").count()
+    val allF = o.filter(col("o_orderstatus") === "F").count()
+    assert(out(("main", 3L, "F"))._1 == allF - preF)
+    // audit@3 stacks its commit on the base snapshot: the quarantined
+    // rows count TWICE (present in both fa and fe)
+    val pre2000F = o.filter(col("o_orderdate") < lit("2000-01-01") &&
+      col("o_orderstatus") === "F").count()
+    assert(out(("audit", 3L, "F"))._1 == pre2000F + preF)
+    // and the pick carried ONLY F rows: every other status on main@4
+    // equals main@3 exactly (count AND checksum)
+    out.keys.filter(k => k._1 == "main" && k._2 == 4L && k._3 != "F")
+      .foreach { k =>
+        assert(out(k) == out(("main", 3L, k._3)), s"status ${k._3} moved")
+      }
+  }
 }
