@@ -875,6 +875,113 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Min-cost (Viterbi) segmentation of one word under an integer
+    * piece-cost table; pieces are 1..4 chars, single chars always
+    * present. Ties break to the SHORTEST piece (ascending k with a
+    * strict improve — the oracle's CASE order mirrors this). */
+  private[operators] def viterbiSeg(w: String, cost: Map[String, Long]): Seq[String] = {
+    val n = w.length
+    if (n == 0) return Nil
+    val mx = Long.MaxValue / 4
+    val dp = Array.fill(n + 1)(mx)
+    dp(0) = 0L
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var k = 1
+      while (k <= math.min(4, i)) {
+        val c = cost.getOrElse(w.substring(i - k, i), mx)
+        if (c < mx && dp(i - k) + c < dp(i)) {
+          dp(i) = dp(i - k) + c
+          back(i) = k
+        }
+        k += 1
+      }
+      i += 1
+    }
+    val acc = scala.collection.mutable.ListBuffer.empty[String]
+    var p = n
+    while (p > 0) {
+      val k = back(p)
+      acc.prepend(w.substring(p - k, p))
+      p -= k
+    }
+    acc.toList
+  }
+
+  /** t31 — UNIGRAM-LM tokenizer training (round-14 verdict item 7, the
+    * SentencePiece-style companion to t22's BPE): init a VOCAB-BOUNDED
+    * candidate set (every 1-char piece plus the top-48 substrings of
+    * length 2–4 by corpus frequency), freeze each piece's score as the
+    * INTEGER cost ⌊total_chars·10⁶ / freq⌋ (the scaled inverse
+    * unigram probability — no floating log anywhere, so the prune
+    * decisions replay exactly in both engines), then one fixed EM
+    * round: the E-step Viterbi-segments every word under the frozen
+    * costs and counts piece usage, the M-step keeps the top-24
+    * multi-char pieces by (usage, freq, piece) and re-segments. The
+    * output ships the kept vocabulary with its training statistics
+    * plus the corpus token counts before and after the prune — the
+    * compression figure a tokenizer eval reads.
+    *
+    * Scale shape: three scan-parallel passes over the word-vocabulary
+    * frame (candidate counting, E-step, final segmentation), each a
+    * flatMap + map-combined aggregate; the candidate top-K is a bounded
+    * TakeOrdered, the vocabulary and usage tables the driver touches
+    * are vocab-bounded (≤ 48 + alphabet rows) and broadcast back. The
+    * per-word Viterbi is O(len·4) against the broadcast map — at
+    * 100 TB the words frame is Heaps-bounded and the DP never leaves
+    * the executor. The oracle replays the forward DP and the
+    * backtrack as recursive CTEs whose depth is the longest WORD, not
+    * the corpus size (the m35 recursion discipline). */
+  def t31_unigram_train(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // reused by three passes
+    val totalChars = words
+      .agg(sum(length(col("w")).cast("long") * col("cnt"))).head().getLong(0)
+    val cand = words.as[(String, Long)]
+      .flatMap { case (w, cnt) =>
+        (1 to math.min(4, w.length)).iterator.flatMap(l =>
+          (0 to w.length - l).iterator.map(i => (w.substring(i, i + l), cnt)))
+      }
+      .toDF("piece", "c").groupBy("piece").agg(sum("c").as("freq"))
+      .localCheckpoint()
+    val singles = cand.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq // alphabet
+    val multi0 = cand.filter(length(col("piece")) >= 2)
+      .orderBy(col("freq").desc, col("piece")).limit(48)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def costs(vocab: Seq[(String, Long)]): Map[String, Long] =
+      vocab.map { case (p, f) => p -> totalChars * 1000000L / f }.toMap
+    // E-step: Viterbi under the frozen v0 costs, usage map-combined
+    val bc0 = s.sparkContext.broadcast(costs(singles ++ multi0))
+    val usageRows = words.as[(String, Long)]
+      .flatMap { case (w, cnt) => viterbiSeg(w, bc0.value).map((_, cnt)) }
+      .toDF("piece", "u").groupBy("piece").agg(sum("u").as("usage"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // <= |v0|
+    val tokensV0 = usageRows.values.sum
+    // M-step prune: keep the top-24 multi-char pieces; scores are
+    // integers, so this ordering replays exactly in the oracle
+    val kept = multi0
+      .map { case (p, f) => (p, f, usageRows.getOrElse(p, 0L)) }
+      .sortBy { case (p, f, u) => (-u, -f, p) }
+      .take(24)
+    val bc1 = s.sparkContext.broadcast(
+      costs(singles ++ kept.map(k => (k._1, k._2))))
+    val tokensV1 = words.as[(String, Long)]
+      .map { case (w, cnt) => viterbiSeg(w, bc1.value).length * cnt }
+      .toDF("t").agg(sum("t")).head().getLong(0)
+    val keptRows = kept.zipWithIndex.map { case ((p, f, u), i) =>
+      (i + 1L, p, f, u)
+    }
+    (Seq((-2L, "<tokens_v1>", totalChars, tokensV1),
+      (-1L, "<tokens_v0>", totalChars, tokensV0)) ++ keptRows)
+      .toDF("rank", "piece", "freq", "usage")
+      .orderBy("rank")
+  }
+
   /** t23 — corpus n-gram novelty: for every document, the share of its
     * DISTINCT token-5-grams whose first corpus occurrence (min doc_id
     * over all holders) is this document — the redundancy-curve signal
@@ -1244,6 +1351,7 @@ object TextQueries {
     "t24_winsorized_stats" -> (t24_winsorized_stats _),
     "t23_ngram_novelty" -> (t23_ngram_novelty _),
     "t22_bpe_train" -> (t22_bpe_train _),
+    "t31_unigram_train" -> (t31_unigram_train _),
     "t30_bpe_encode" -> (t30_bpe_encode _),
     "t21_quality_classifier" -> (t21_quality_classifier _),
     "t20_repetition_filter" -> (t20_repetition_filter _),
@@ -1267,6 +1375,91 @@ object TextQueries {
     "t08_boilerplate_share" -> (t08_boilerplate_share _),
     "t15_perplexity_bucket" -> (t15_perplexity_bucket _),
   )
+
+  /** t31 oracle: the Viterbi forward DP and its backtrack as recursive
+    * CTEs (depth = longest word, the m35 recursion discipline), run
+    * once per vocabulary. The forward state carries dp at the last
+    * four positions (pieces are <= 4 chars); the backtrack re-derives
+    * the argmin with the SAME shortest-piece tie rule as the Scala DP
+    * (CASE order 1, 2, 3, else 4). */
+  private def t31DpSql(v: String, sfx: String): String = {
+    val mx = "1152921504606846976"
+    s"""fwd$sfx AS (
+         SELECT w, cnt, 0 AS i, 0::BIGINT AS d0,
+           NULL::BIGINT AS d1, NULL::BIGINT AS d2, NULL::BIGINT AS d3
+         FROM wd
+         UNION ALL
+         SELECT w, cnt, i,
+           least(coalesce(d0 + c1, $mx), coalesce(d1 + c2, $mx),
+                 coalesce(d2 + c3, $mx), coalesce(d3 + c4, $mx)),
+           d0, d1, d2
+         FROM (
+           SELECT f.w, f.cnt, f.i + 1 AS i, f.d0, f.d1, f.d2, f.d3,
+             c1.cost AS c1, c2.cost AS c2, c3.cost AS c3, c4.cost AS c4
+           FROM fwd$sfx f
+           LEFT JOIN $v c1 ON c1.piece = substr(f.w, f.i + 1, 1)
+           LEFT JOIN $v c2 ON f.i >= 1 AND c2.piece = substr(f.w, f.i, 2)
+           LEFT JOIN $v c3 ON f.i >= 2 AND c3.piece = substr(f.w, f.i - 1, 3)
+           LEFT JOIN $v c4 ON f.i >= 3 AND c4.piece = substr(f.w, f.i - 2, 4)
+           WHERE f.i < length(f.w))),
+       dpt$sfx AS MATERIALIZED (SELECT w, i, d0 AS dp FROM fwd$sfx),
+       bwd$sfx AS (
+         SELECT w, cnt, length(w) AS pos, NULL::VARCHAR AS piece FROM wd
+         UNION ALL
+         SELECT w, cnt, pos - k, substr(w, pos - k + 1, k)
+         FROM (
+           SELECT b.w, b.cnt, b.pos,
+             CASE WHEN coalesce(p1.dp + c1.cost, $mx) = d.dp THEN 1
+                  WHEN coalesce(p2.dp + c2.cost, $mx) = d.dp THEN 2
+                  WHEN coalesce(p3.dp + c3.cost, $mx) = d.dp THEN 3
+                  ELSE 4 END AS k
+           FROM bwd$sfx b
+           JOIN dpt$sfx d ON d.w = b.w AND d.i = b.pos
+           LEFT JOIN dpt$sfx p1 ON p1.w = b.w AND p1.i = b.pos - 1
+           LEFT JOIN $v c1 ON c1.piece = substr(b.w, b.pos, 1)
+           LEFT JOIN dpt$sfx p2 ON p2.w = b.w AND p2.i = b.pos - 2
+           LEFT JOIN $v c2 ON b.pos >= 2 AND c2.piece = substr(b.w, b.pos - 1, 2)
+           LEFT JOIN dpt$sfx p3 ON p3.w = b.w AND p3.i = b.pos - 3
+           LEFT JOIN $v c3 ON b.pos >= 3 AND c3.piece = substr(b.w, b.pos - 2, 3)
+           WHERE b.pos > 0))"""
+  }
+
+  private lazy val t31Sql: String =
+    s"""WITH RECURSIVE wd AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt FROM
+         (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         GROUP BY w),
+       tot AS MATERIALIZED (SELECT sum(cnt * length(w))::BIGINT AS tc FROM wd),
+       sub AS MATERIALIZED (SELECT substr(w, i, l) AS piece, sum(cnt)::BIGINT AS freq FROM
+         (SELECT w, cnt, unnest(range(1, length(w) + 1)) AS i FROM wd),
+         range(1, 5) t(l)
+         WHERE i + l - 1 <= length(w)
+         GROUP BY 1),
+       singles AS MATERIALIZED (SELECT piece, freq FROM sub WHERE length(piece) = 1),
+       multi0 AS MATERIALIZED (SELECT piece, freq FROM sub WHERE length(piece) >= 2
+         ORDER BY freq DESC, piece LIMIT 48),
+       v0 AS MATERIALIZED (SELECT piece, freq, tc * 1000000 // freq AS cost FROM
+         (SELECT * FROM singles UNION ALL SELECT * FROM multi0), tot),
+       ${t31DpSql("v0", "0")},
+       usage0 AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS usage FROM bwd0
+         WHERE piece IS NOT NULL GROUP BY piece),
+       kept AS MATERIALIZED (SELECT row_number() OVER
+           (ORDER BY usage DESC, freq DESC, piece)::BIGINT AS rank,
+           piece, freq, usage FROM
+         (SELECT m.piece, m.freq, coalesce(u.usage, 0)::BIGINT AS usage
+           FROM multi0 m LEFT JOIN usage0 u ON u.piece = m.piece)
+         ORDER BY usage DESC, freq DESC, piece LIMIT 24),
+       v1 AS MATERIALIZED (SELECT piece, freq, tc * 1000000 // freq AS cost FROM
+         (SELECT piece, freq FROM singles
+          UNION ALL SELECT piece, freq FROM kept), tot),
+       ${t31DpSql("v1", "1")},
+       tok0 AS (SELECT sum(cnt)::BIGINT AS t FROM bwd0
+         WHERE piece IS NOT NULL),
+       tok1 AS (SELECT sum(cnt)::BIGINT AS t FROM bwd1
+         WHERE piece IS NOT NULL)
+       SELECT rank, piece, freq, usage FROM kept
+       UNION ALL SELECT -1::BIGINT, '<tokens_v0>', tc, t FROM tok0, tot
+       UNION ALL SELECT -2::BIGINT, '<tokens_v1>', tc, t FROM tok1, tot
+       ORDER BY rank"""
 
   private def sqlHs =
     "list_transform(list_distinct(string_split(text, ' ')), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
@@ -1573,6 +1766,7 @@ object TextQueries {
            CAST((n_chars * 1000000) // n_subtokens AS BIGINT)
              AS fertility_fp
          FROM agg ORDER BY doc_id""",
+    "t31_unigram_train" -> t31Sql,
     "t22_bpe_train" ->
       """WITH w0 AS (SELECT w, count(*)::BIGINT AS cnt FROM
            (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
