@@ -104,7 +104,10 @@ object Bench {
       "q61_wap_publish", "q62_equality_deletes", "q63_incremental_mv",
       "q65_manifest_skipping", "q66_changelog_diff", "q68_merge_cow",
       "q75_column_mapping", "q76_partition_evolution",
-      "q77_snapshot_expiry", "q79_dynamic_overwrite")
+      "q77_snapshot_expiry", "q79_dynamic_overwrite",
+      // r15: s18 pays the memoized IVF index build once (the point of a
+      // persisted index); q81 rides q52's memoized commit-log layout
+      "s18_ann_persisted", "q81_branch_cherry_pick", "q82_metadata_tables")
     val ingest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }

@@ -1261,7 +1261,68 @@ object DedupQueries {
       .orderBy("thr_ppm")
   }
 
+  /** d27 — BLOOM-FILTER dedup prefilter for delta-vs-corpus ingest (the
+    * d16 shape at its 100 TB posture): before the delta batch pays the
+    * exact membership join against the corpus, a CONSTANT-SIZE filter
+    * screens it — three deterministic md5-derived bucket functions over
+    * a size-derived modulus m = 2·|corpus|+1, membership = all three
+    * buckets occupied. The filter side the join ships is the DISTINCT
+    * bucket set per hash (≤ m values no matter how large the corpus
+    * grows — that boundedness is the whole point: the broadcast stays
+    * flat while the corpus scales), bloom-positive rows alone pay the
+    * exact verify, and the op reports the audit arithmetic: true dups
+    * (exact, keyed on the 32-char head fingerprint — the URL/head
+    * surrogate crawl dedup actually keys on), bloom passes, false
+    * positives, and the measured FPR against the non-dup population.
+    * Bloom filters cannot produce false negatives, so
+    * n_dup ≤ n_bloom_pass always — the oracle re-derives every count
+    * including each hash's bucket occupancy.
+    *
+    * Scale shape: three broadcast LEFT SEMI joins (filter side bounded
+    * by m) + one exact semi-join over ONLY the bloom-positive rows; at
+    * 100 TB the exact join's probe side shrinks from |delta| to
+    * |dups| + FPR·|delta|, which is the cost model that makes bloom
+    * prefilters standard in ingest dedup. No reference counterpart —
+    * the brief's deduplication lane. */
+  def d27_bloom_prefilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 32).as("key"))
+    val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+    val nCorpus = corpus.count()
+    val m = 2L * nCorpus + 1L // size-derived: load factor fixed at scale
+    def bucket(j: Int, c: Column): Column =
+      md5Long60(concat(lit(j.toString), c)) % m
+    val delta = docs.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id"), col("key"),
+        bucket(0, col("key")).as("q0"), bucket(1, col("key")).as("q1"),
+        bucket(2, col("key")).as("q2"))
+    val sets = (0 to 2).map(j =>
+      corpus.select(bucket(j, col("key")).as(s"b$j")).distinct())
+    val occ = sets.map(_.count())
+    val pass = delta
+      .join(broadcast(sets(0)), col("q0") === col("b0"), "left_semi")
+      .join(broadcast(sets(1)), col("q1") === col("b1"), "left_semi")
+      .join(broadcast(sets(2)), col("q2") === col("b2"), "left_semi")
+    val nDelta = delta.count()
+    val nPass = pass.count()
+    // exact verify over ONLY the bloom-positive rows
+    val nDup = pass.join(corpus.select("key").distinct(),
+      Seq("key"), "left_semi").count()
+    val nFp = nPass - nDup
+    import s.implicits._
+    Seq((nCorpus, nDelta, m, occ(0), occ(1), occ(2), nPass, nDup, nFp,
+      math.max(1L, nDelta - nDup)))
+      .toDF("n_corpus", "n_delta", "m", "b0_occ", "b1_occ", "b2_occ",
+        "n_bloom_pass", "n_dup", "n_false_pos", "den")
+      .select(col("n_corpus"), col("n_delta"), col("m"),
+        col("b0_occ"), col("b1_occ"), col("b2_occ"),
+        col("n_bloom_pass"), col("n_dup"), col("n_false_pos"),
+        ldiv(col("n_false_pos") * 1000000L, col("den")).as("fpr_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d27_bloom_prefilter" -> (d27_bloom_prefilter _),
     "d26_threshold_sweep" -> (d26_threshold_sweep _),
     "d25_cdc_chunks" -> (d25_cdc_chunks _),
     "d24_cluster_histogram" -> (d24_cluster_histogram _),
@@ -1366,6 +1427,44 @@ object DedupQueries {
         FROM alldocs)"""
 
   val oracles: Map[String, String] = Map(
+    // every count re-derived: bucket sets per hash, the 3-way EXISTS
+    // bloom test, the exact dup verify, and the FPR quotient
+    "d27_bloom_prefilter" ->
+      """WITH doc AS (SELECT doc_id, substr(text, 1, 32) AS key
+           FROM documents),
+         c AS MATERIALIZED (SELECT * FROM doc WHERE doc_id % 7 <> 3),
+         d AS MATERIALIZED (SELECT * FROM doc WHERE doc_id % 7 = 3),
+         nn AS (SELECT count(*)::BIGINT AS n_corpus,
+           (2 * count(*) + 1)::BIGINT AS m FROM c),
+         cb AS MATERIALIZED (SELECT DISTINCT j,
+             CAST('0x' || substr(md5(j::VARCHAR || key), 1, 15) AS BIGINT)
+               % m AS b
+           FROM c, nn, range(0, 3) t(j)),
+         db AS MATERIALIZED (SELECT doc_id, key,
+             CAST('0x' || substr(md5('0' || key), 1, 15) AS BIGINT) % m AS q0,
+             CAST('0x' || substr(md5('1' || key), 1, 15) AS BIGINT) % m AS q1,
+             CAST('0x' || substr(md5('2' || key), 1, 15) AS BIGINT) % m AS q2
+           FROM d, nn),
+         pass AS MATERIALIZED (SELECT * FROM db WHERE
+           EXISTS (SELECT 1 FROM cb WHERE cb.j = 0 AND cb.b = db.q0) AND
+           EXISTS (SELECT 1 FROM cb WHERE cb.j = 1 AND cb.b = db.q1) AND
+           EXISTS (SELECT 1 FROM cb WHERE cb.j = 2 AND cb.b = db.q2)),
+         agg AS (SELECT
+           (SELECT count(*) FROM d)::BIGINT AS n_delta,
+           (SELECT count(*) FROM pass)::BIGINT AS n_pass,
+           (SELECT count(*) FROM pass p
+             WHERE EXISTS (SELECT 1 FROM c WHERE c.key = p.key))::BIGINT
+             AS n_dup,
+           (SELECT count(*) FILTER (WHERE j = 0) FROM cb)::BIGINT AS b0,
+           (SELECT count(*) FILTER (WHERE j = 1) FROM cb)::BIGINT AS b1,
+           (SELECT count(*) FILTER (WHERE j = 2) FROM cb)::BIGINT AS b2)
+         SELECT nn.n_corpus, agg.n_delta, nn.m,
+           agg.b0 AS b0_occ, agg.b1 AS b1_occ, agg.b2 AS b2_occ,
+           agg.n_pass AS n_bloom_pass, agg.n_dup,
+           (agg.n_pass - agg.n_dup)::BIGINT AS n_false_pos,
+           CAST((agg.n_pass - agg.n_dup) * 1000000
+             // greatest(agg.n_delta - agg.n_dup, 1) AS BIGINT) AS fpr_fp
+         FROM nn, agg""",
     // the d03 candidate chain WITHOUT the estimate prefilter, verified
     // once at 0.7, then bucketed into the thresholds each pair clears
     "d26_threshold_sweep" -> s"""

@@ -1228,6 +1228,182 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  private val ImaStepSql =
+    """[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,
+       34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,
+       157,173,190,209,230,253,279,307,337,371,408,449,494,544,
+       598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,
+       1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,
+       5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,
+       13899,15289,16818,18500,20350,22385,24623,27086,29794,
+       32767]"""
+  private val ImaIdxSql =
+    "[-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8]"
+
+  private lazy val m36Sql: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, text, length(text) AS len
+         FROM documents),
+       init AS (SELECT doc_id, text, len,
+         CASE WHEN len = 0 THEN 0
+           ELSE (ascii(substr(text, 1, 1)) - 64) * 256 END AS pl,
+         CASE WHEN len = 0 THEN 0
+           ELSE ascii(substr(text, (1 % len)::INT + 1, 1)) % 89 END AS il,
+         CASE WHEN len = 0 THEN 0
+           ELSE (ascii(substr(text, (2 % len)::INT + 1, 1)) - 64) * 256
+           END AS pr,
+         CASE WHEN len = 0 THEN 0
+           ELSE ascii(substr(text, (3 % len)::INT + 1, 1)) % 89 END AS ir
+         FROM t),
+       steps AS (
+         SELECT doc_id, text, len, 0 AS k, pl, il, pr, ir,
+           pl::BIGINT AS l_sum, pr::BIGINT AS r_sum,
+           least(pl, pr) AS s_min, greatest(pl, pr) AS s_max
+         FROM init
+         UNION ALL
+         SELECT doc_id, text, len, k, npl AS pl, nil AS il,
+           npr AS pr, nir AS ir,
+           l_sum + npl, r_sum + npr,
+           least(s_min, least(npl, npr)),
+           greatest(s_max, greatest(npl, npr))
+         FROM (
+           SELECT doc_id, text, len, k, l_sum, r_sum, s_min, s_max,
+             greatest(-32768, least(32767,
+               CASE WHEN nl >= 8 THEN pl - dl ELSE pl + dl END)) AS npl,
+             greatest(0, least(88, il + $ImaIdxSql[nl + 1])) AS nil,
+             greatest(-32768, least(32767,
+               CASE WHEN nr >= 8 THEN pr - dr ELSE pr + dr END)) AS npr,
+             greatest(0, least(88, ir + $ImaIdxSql[nr + 1])) AS nir
+           FROM (
+             SELECT doc_id, text, len, k + 1 AS k, pl, il, pr, ir, nl, nr,
+               l_sum, r_sum, s_min, s_max,
+               (sl // 8) + CASE WHEN nl % 2 = 1 THEN sl // 4 ELSE 0 END
+                 + CASE WHEN (nl // 2) % 2 = 1 THEN sl // 2 ELSE 0 END
+                 + CASE WHEN (nl // 4) % 2 = 1 THEN sl ELSE 0 END AS dl,
+               (sr // 8) + CASE WHEN nr % 2 = 1 THEN sr // 4 ELSE 0 END
+                 + CASE WHEN (nr // 2) % 2 = 1 THEN sr // 2 ELSE 0 END
+                 + CASE WHEN (nr // 4) % 2 = 1 THEN sr ELSE 0 END AS dr
+             FROM (
+               SELECT doc_id, text, len, k, pl, il, pr, ir,
+                 l_sum, r_sum, s_min, s_max,
+                 CASE WHEN len = 0 THEN 0
+                   ELSE ascii(substr(text,
+                     ((k * 3 + 2) % len)::INT + 1, 1)) % 16 END AS nl,
+                 CASE WHEN len = 0 THEN 0
+                   ELSE ascii(substr(text,
+                     ((k * 5 + 4) % len)::INT + 1, 1)) % 16 END AS nr,
+                 $ImaStepSql[il + 1] AS sl,
+                 $ImaStepSql[ir + 1] AS sr
+               FROM steps WHERE k < 64))))
+       SELECT doc_id, 130::BIGINT AS n_samples, l_sum::BIGINT AS l_sum,
+         r_sum::BIGINT AS r_sum, pl::BIGINT AS l_last,
+         pr::BIGINT AS r_last, s_min::BIGINT AS s_min,
+         s_max::BIGINT AS s_max
+       FROM steps WHERE k = 64 ORDER BY doc_id"""
+
+  final case class StereoAdpcmFeature(doc_id: Long, n_samples: Long,
+                                      l_sum: Long, r_sum: Long, l_last: Long,
+                                      r_last: Long, s_min: Long, s_max: Long)
+
+  /** Assemble a STEREO IMA ADPCM RIFF/WAVE file holding ONE block:
+    * per-channel 4-byte headers, then data in 4-byte (8-nibble) groups
+    * alternating L/R, per the public IMA-in-WAVE layout. */
+  private def wavImaStereo(sampleRate: Int, predL: Int, idxL: Int,
+      predR: Int, idxR: Int, nibL: Array[Int],
+      nibR: Array[Int]): Array[Byte] = {
+    require(nibL.length == nibR.length && nibL.length % 8 == 0,
+      "nibbles per channel must fill whole 8-nibble groups")
+    val groups = nibL.length / 8
+    val blockAlign = 8 + groups * 8
+    val spb = nibL.length + 1
+    val b = java.nio.ByteBuffer.allocate(12 + 28 + 8 + blockAlign)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII"))
+    b.putInt(4 + 28 + 8 + blockAlign)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII"))
+    b.putInt(20)
+    b.putShort(0x11); b.putShort(2)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * blockAlign / spb)
+    b.putShort(blockAlign.toShort); b.putShort(4)
+    b.putShort(2); b.putShort(spb.toShort)
+    b.put("data".getBytes("US-ASCII"))
+    b.putInt(blockAlign)
+    b.put((predL & 0xFF).toByte); b.put(((predL >> 8) & 0xFF).toByte)
+    b.put(idxL.toByte); b.put(0.toByte)
+    b.put((predR & 0xFF).toByte); b.put(((predR >> 8) & 0xFF).toByte)
+    b.put(idxR.toByte); b.put(0.toByte)
+    var g = 0
+    while (g < groups) {
+      for (nib <- Seq(nibL, nibR)) {
+        var j = 0
+        while (j < 4) {
+          b.put((nib(g * 8 + 2 * j) | (nib(g * 8 + 2 * j + 1) << 4)).toByte)
+          j += 1
+        }
+      }
+      g += 1
+    }
+    b.array()
+  }
+
+  /** m36 — STEREO IMA ADPCM demux + decode: the multi-channel layout
+    * m35 left out — per-channel block headers and 4-byte nibble groups
+    * alternating L/R, two INDEPENDENT decoder state machines whose
+    * outputs interleave. Each document carries one stereo block with
+    * the channels fed from DIFFERENT text phases (L: byte(3k+2), R:
+    * byte(5k+4), separate initial predictors/indexes from bytes
+    * 0–3), so a decoder that crossed the channel states, mis-ordered
+    * the groups, or interleaved wrongly breaks the per-channel sums
+    * and finals. The oracle advances BOTH state machines in one
+    * recursive CTE (depth 64 — the block length, as m35).
+    *
+    * Scale shape: identical to m35 — two scan-parallel mapPartitions
+    * stages, no shuffle before the output sort. */
+  def m36_adpcm_stereo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — nibble stream would diverge")
+          val b = text.getBytes("US-ASCII")
+          val len = b.length
+          def at(i: Int): Int = if (len == 0) 0 else b(i % len) & 0xFF
+          val predL = if (len == 0) 0 else (at(0) - 64) * 256
+          val idxL = if (len == 0) 0 else at(1) % 89
+          val predR = if (len == 0) 0 else (at(2) - 64) * 256
+          val idxR = if (len == 0) 0 else at(3) % 89
+          val nibL = Array.tabulate(64)(k => at(3 * k + 2) % 16)
+          val nibR = Array.tabulate(64)(k => at(5 * k + 4) % 16)
+          MediaRow(id, wavImaStereo(8000, predL, idxL, predR, idxR,
+            nibL, nibR), "ima-adpcm-st")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val au = MediaCodec.decodeAudio(r.payload)
+        require(au.channels == 2, s"doc ${r.doc_id}: expected stereo")
+        var lSum = 0L; var rSum = 0L
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var k = 0
+        while (k < au.samples.length) {
+          val v = au.samples(k).toLong
+          if (k % 2 == 0) lSum += v else rSum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          k += 1
+        }
+        StereoAdpcmFeature(r.doc_id, au.samples.length.toLong, lSum, rSum,
+          au.samples(au.samples.length - 2).toLong,
+          au.samples(au.samples.length - 1).toLong, mn, mx)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   final case class JpegAcRow(doc_id: Long, width: Int, height: Int,
                              n_blocks: Long, px_sum: Long, px_wsum: Long,
                              px_min: Long, px_max: Long)
@@ -2221,6 +2397,7 @@ object MultimodalQueries {
     "m15_png_features" -> (m15_png_features _),
     "m34_png16_features" -> (m34_png16_features _),
     "m35_adpcm_features" -> (m35_adpcm_features _),
+    "m36_adpcm_stereo" -> (m36_adpcm_stereo _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -2506,6 +2683,10 @@ object MultimodalQueries {
     // full per-pixel replay: RGB (even ids) gets m01's 3-channel luma,
     // gray (odd ids) the 256*b convention; the PNG container (zlib,
     // all five filters) round-trips only Spark-side
+    // m36: BOTH channel state machines advanced in one recursion (depth
+    // 64); separate text phases per channel pin the demux — crossing
+    // the states or mis-ordering groups breaks the per-channel sums
+    "m36_adpcm_stereo" -> m36Sql,
     // the full IMA state machine replayed as a recursive CTE: one
     // iteration per nibble (depth 64 = the block length, NOT the corpus
     // size), the step/index tables as literal lists, the same clamps

@@ -2224,6 +2224,34 @@ object RelationalQueries {
       .orderBy("branch", "version", "status")
   }
 
+  /** q82 — snapshot METADATA tables (the Iceberg `table$history` /
+    * `table$files` surface): the commit log rendered as a queryable
+    * audit table — per version, the active file count, files
+    * added/removed by that commit, and the active ROW count read from
+    * parquet FOOTER metadata only (a count() over a parquet file reads
+    * row-group statistics, not data). This is the observability twin
+    * of q80's streaming ledger: at 100 TB the first question about a
+    * table is asked against its metadata tables, never its data —
+    * cost here is O(|files|) regardless of table size. Builds on
+    * q52's commit-log store; cites the public Iceberg metadata-table
+    * semantics. */
+  def q82_metadata_tables(s: SparkSession, dir: String): DataFrame = {
+    val (logPath, _) = q52Layout(s, dir)
+    val log = q52ReadLog(s, logPath)
+    val head = log.map(_._1).max
+    val rows = (1L to head).map { v =>
+      val entries = log.filter(_._1 == v)
+      val active = q52ActiveAt(log, v)
+      (v, active.size.toLong,
+        entries.count(_._2 == "add").toLong,
+        entries.count(_._2 == "remove").toLong,
+        active.map(p => s.read.parquet(p).count()).sum)
+    }
+    import s.implicits._
+    rows.toDF("version", "n_active_files", "n_added", "n_removed",
+      "rows_active").orderBy("version")
+  }
+
   /** q78 — CHECK-constraint enforcement on the write path with a
     * violation QUARANTINE (the Delta/Iceberg table-constraint feature):
     * an ingest batch carries three injected defect classes — a negated
@@ -2347,6 +2375,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_dynamic_overwrite" -> (q79_dynamic_overwrite _),
     "q81_branch_cherry_pick" -> (q81_branch_cherry_pick _),
+    "q82_metadata_tables" -> (q82_metadata_tables _),
     "q78_check_constraints" -> (q78_check_constraints _),
     "q77_snapshot_expiry" -> (q77_snapshot_expiry _),
     "q76_partition_evolution" -> (q76_partition_evolution _),
@@ -2747,6 +2776,23 @@ object RelationalQueries {
          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS total_fp
        FROM snap GROUP BY 1, 2 ORDER BY version, status""",
+    // the history table replayed from the known layout semantics: the
+    // active row counts are the q52 snapshot populations
+    "q82_metadata_tables" ->
+      """WITH c AS (SELECT
+           (SELECT count(*) FROM orders
+             WHERE o_orderdate < TIMESTAMP '1998-01-01') AS r1,
+           (SELECT count(*) FROM orders
+             WHERE o_orderdate < TIMESTAMP '2000-01-01') AS r2,
+           (SELECT count(*) FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                OR o_orderstatus <> 'F') AS r3)
+         SELECT 1::BIGINT AS version, 1::BIGINT AS n_active_files,
+           1::BIGINT AS n_added, 0::BIGINT AS n_removed,
+           r1::BIGINT AS rows_active FROM c
+         UNION ALL SELECT 2, 2, 1, 0, r2 FROM c
+         UNION ALL SELECT 3, 3, 2, 1, r3 FROM c
+         ORDER BY version""",
     // branch replay stacks the branch log on its base snapshot: audit@3
     // double-counts the quarantined rows (fa and fe both carry them);
     // the cherry-pick restores exactly v3's dropped rows, so main@4 is

@@ -449,33 +449,71 @@ object MediaCodec {
     (p, i)
   }
 
-  /** Decode the mono IMA ADPCM 'data' payload: a sequence of
-    * `blockAlign`-byte blocks, each opening with a 4-byte header
-    * (int16 LE initial predictor — which IS the block's first output
-    * sample — uint8 initial step index, reserved byte) followed by
-    * 4-bit codes two per byte, LOW nibble first. A short final block
-    * decodes the nibbles it actually carries. */
+  /** Decode the IMA ADPCM 'data' payload: a sequence of
+    * `blockAlign`-byte blocks, each opening with one 4-byte header PER
+    * CHANNEL (int16 LE initial predictor — which IS the block's first
+    * output sample for that channel — uint8 initial step index,
+    * reserved byte) followed by 4-bit codes two per byte, LOW nibble
+    * first. Multi-channel data interleaves in 4-byte (8-nibble) groups
+    * per channel, per the public IMA-in-WAVE layout; output samples
+    * are channel-interleaved. A short final mono block decodes the
+    * nibbles it actually carries. */
   private def decodeImaBlocks(bytes: Array[Byte], off: Int, size: Int,
-      blockAlign: Int): Array[Short] = {
-    require(blockAlign > 4, s"IMA ADPCM block align $blockAlign")
+      blockAlign: Int, channels: Int): Array[Short] = {
+    require(blockAlign > 4 * channels, s"IMA ADPCM block align $blockAlign")
     val out = new scala.collection.mutable.ArrayBuffer[Short](
-      size / blockAlign * ((blockAlign - 4) * 2 + 1) + 8)
+      size / blockAlign * ((blockAlign - 4 * channels) * 2 + channels) + 8)
     var bo = 0
-    while (bo + 4 <= size) {
+    while (bo + 4 * channels <= size) {
       val here = math.min(blockAlign, size - bo)
-      var pred = ((bytes(off + bo) & 0xFF) |
-        ((bytes(off + bo + 1) & 0xFF) << 8)).toShort.toInt
-      var idx = bytes(off + bo + 2) & 0xFF
-      require(idx <= 88, s"IMA ADPCM step index $idx > 88")
-      out += pred.toShort
-      var j = 4
-      while (j < here) {
-        val byte = bytes(off + bo + j) & 0xFF
-        val (p1, i1) = imaStep(pred, idx, byte & 0x0F)
-        pred = p1; idx = i1; out += pred.toShort
-        val (p2, i2) = imaStep(pred, idx, byte >> 4)
-        pred = p2; idx = i2; out += pred.toShort
-        j += 1
+      val pred = new Array[Int](channels)
+      val idx = new Array[Int](channels)
+      var c = 0
+      while (c < channels) {
+        pred(c) = ((bytes(off + bo + 4 * c) & 0xFF) |
+          ((bytes(off + bo + 4 * c + 1) & 0xFF) << 8)).toShort.toInt
+        idx(c) = bytes(off + bo + 4 * c + 2) & 0xFF
+        require(idx(c) <= 88, s"IMA ADPCM step index ${idx(c)} > 88")
+        out += pred(c).toShort
+        c += 1
+      }
+      if (channels == 1) {
+        var j = 4
+        while (j < here) {
+          val b = bytes(off + bo + j) & 0xFF
+          val (p1, i1) = imaStep(pred(0), idx(0), b & 0x0F)
+          pred(0) = p1; idx(0) = i1; out += p1.toShort
+          val (p2, i2) = imaStep(pred(0), idx(0), b >> 4)
+          pred(0) = p2; idx(0) = i2; out += p2.toShort
+          j += 1
+        }
+      } else {
+        // 4-byte groups per channel; each round of `channels` groups
+        // yields 8 samples per channel, emitted interleaved
+        val dataBytes = here - 4 * channels
+        require(dataBytes % (4 * channels) == 0,
+          s"IMA ADPCM stereo block data $dataBytes not group-aligned")
+        val frame = new Array[Short](8 * channels)
+        var g = 4 * channels
+        while (g < here) {
+          var c2 = 0
+          while (c2 < channels) {
+            var j = 0
+            while (j < 4) {
+              val b = bytes(off + bo + g + 4 * c2 + j) & 0xFF
+              val (p1, i1) = imaStep(pred(c2), idx(c2), b & 0x0F)
+              pred(c2) = p1; idx(c2) = i1
+              frame((2 * j) * channels + c2) = p1.toShort
+              val (p2, i2) = imaStep(pred(c2), idx(c2), b >> 4)
+              pred(c2) = p2; idx(c2) = i2
+              frame((2 * j + 1) * channels + c2) = p2.toShort
+              j += 1
+            }
+            c2 += 1
+          }
+          out ++= frame
+          g += 4 * channels
+        }
       }
       bo += here
     }
@@ -591,7 +629,8 @@ object MediaCodec {
             s"only 16-bit PCM supported, got $bits")
           else {
             require(bits == 4, s"IMA ADPCM must be 4-bit, got $bits")
-            require(channels == 1, "only mono IMA ADPCM supported")
+            require(channels == 1 || channels == 2,
+              s"IMA ADPCM supports mono/stereo, got $channels channels")
           }
           fmtSeen = true
         case "data" =>
@@ -609,7 +648,7 @@ object MediaCodec {
         var i = 0
         while (i < n) { out(i) = b.getShort(dataOff + i * 2); i += 1 }
         out
-      } else decodeImaBlocks(bytes, dataOff, dataSize, blockAlign)
+      } else decodeImaBlocks(bytes, dataOff, dataSize, blockAlign, channels)
     Audio(sampleRate, channels, samples)
   }
 

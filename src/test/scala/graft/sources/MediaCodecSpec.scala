@@ -292,13 +292,70 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeAudio(wav).samples.toSeq == got.samples.toSeq)
   }
 
-  test("IMA ADPCM: stereo, wrong bit width and bad step index fail loud") {
+  test("IMA ADPCM: >2 channels, wrong bit width and bad step index fail loud") {
     val ok = handAdpcm(Seq((0, 0, Seq(0, 0))), 5)
-    val stereo = ok.clone; stereo(22) = 2 // nChannels
-    intercept[IllegalArgumentException](MediaCodec.decodeAudio(stereo))
+    val threeCh = ok.clone; threeCh(22) = 3 // nChannels
+    intercept[IllegalArgumentException](MediaCodec.decodeAudio(threeCh))
+    // a stereo flag over a mono-sized block must fail the align check,
+    // not silently misread the second header
+    val stereoBad = ok.clone; stereoBad(22) = 2
+    intercept[IllegalArgumentException](MediaCodec.decodeAudio(stereoBad))
     val bits8 = ok.clone; bits8(34) = 8 // wBitsPerSample
     intercept[IllegalArgumentException](MediaCodec.decodeAudio(bits8))
     val badIdx = ok.clone; badIdx(50) = 99 // block header step index
     intercept[IllegalArgumentException](MediaCodec.decodeAudio(badIdx))
+  }
+
+  /** Hand-build a STEREO IMA ADPCM WAV: two 4-byte headers, then
+    * 4-byte nibble groups alternating L/R. */
+  private def handAdpcmStereo(predL: Int, idxL: Int, predR: Int, idxR: Int,
+      nibL: Seq[Int], nibR: Seq[Int]): Array[Byte] = {
+    require(nibL.size == nibR.size && nibL.size % 8 == 0)
+    val groups = nibL.size / 8
+    val blockAlign = 8 + groups * 8
+    val b = ByteBuffer.allocate(12 + 28 + 8 + blockAlign)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes); b.putInt(4 + 28 + 8 + blockAlign)
+    b.put("WAVE".getBytes)
+    b.put("fmt ".getBytes); b.putInt(20)
+    b.putShort(0x11); b.putShort(2); b.putInt(8000)
+    b.putInt(8000 * blockAlign / (nibL.size + 1))
+    b.putShort(blockAlign.toShort); b.putShort(4)
+    b.putShort(2); b.putShort((nibL.size + 1).toShort)
+    b.put("data".getBytes); b.putInt(blockAlign)
+    b.put((predL & 0xFF).toByte); b.put(((predL >> 8) & 0xFF).toByte)
+    b.put(idxL.toByte); b.put(0.toByte)
+    b.put((predR & 0xFF).toByte); b.put(((predR >> 8) & 0xFF).toByte)
+    b.put(idxR.toByte); b.put(0.toByte)
+    (0 until groups).foreach { g =>
+      Seq(nibL, nibR).foreach { nib =>
+        (0 until 4).foreach(j =>
+          b.put((nib(g * 8 + 2 * j) | (nib(g * 8 + 2 * j + 1) << 4)).toByte))
+      }
+    }
+    b.array()
+  }
+
+  test("IMA ADPCM stereo: independent channel states, interleaved output") {
+    // L: the mono hand-trace (0,0 + nibbles 0,7,8,15 -> 0,0,11,9,-16
+    // padded to 8 nibbles with 0s); R: constant silence from a nonzero
+    // predictor. Crossing the states would contaminate R with L's big
+    // step-index jumps.
+    // L continue: after -16 idx 15 (step 31): n=0 -> diff 3 -> -13,
+    // idx 14 (28); n=0 -> diff 3 -> -10, idx 13 (25); n=0 -> -7,
+    // idx 12 (23); n=0 -> -5, idx 11
+    val au = MediaCodec.decodeAudio(handAdpcmStereo(
+      0, 0, 1000, 20,
+      Seq(0, 7, 8, 15, 0, 0, 0, 0), Seq(0, 8, 0, 8, 0, 8, 0, 8)))
+    assert(au.channels == 2 && au.samples.length == 18)
+    val l = au.samples.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v }
+    val r = au.samples.zipWithIndex.collect { case (v, i) if i % 2 == 1 => v }
+    assert(l.toSeq == Seq[Short](0, 0, 11, 9, -16, -13, -10, -7, -5))
+    // R: idx 20 (step 50): +6/-6 alternating from 1000, idx pinned at
+    // 19/20 by the -1/+... wait: n=0 -> +6 idx 19 (45), n=8 -> -5 idx
+    // 18 (41), n=0 -> +5 idx 17 (37), n=8 -> -4 idx 16 (34), n=0 -> +4
+    // idx 15 (31), n=8 -> -3 idx 14 (28), n=0 -> +3 idx 13 (25), n=8 -> -3
+    assert(r.toSeq == Seq[Short](1000, 1006, 1001, 1006, 1002, 1006,
+      1003, 1006, 1003))
   }
 }
