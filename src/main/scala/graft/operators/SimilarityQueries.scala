@@ -911,11 +911,12 @@ object SimilarityQueries {
     * with the index scan reading ONLY probed buckets. No reference
     * counterpart file — this is the brief's similarity-search lane. */
   def s18_ann_persisted(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = emb(s, dir)
     val deltaMod = math.max(97L, base.count() / 50L)
-    def l2(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)), lit(0.0), _ + _)
+    // native codegen kernel (bit-exact vs the zip_with fold the oracle
+    // replays): the serve evaluates batch × cell-size distances, and
+    // the interpreted HOF cost 58.7 s at the 26× probe (d25 lesson)
+    def l2(x: Column, y: Column): Column = graft.plans.L2Distance(x, y)
     def litArr(a: Seq[Double]): Column = array(a.map(lit): _*)
     val (tbl, cents) = graft.core.SessionMemo.memoize(s, "s18-ivf:" + dir) {
       val tag = graft.core.SessionMemo.pathTag(s, dir)
@@ -965,11 +966,14 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         l2(col("qa"), col("a")).as("d2"), lit(1L).as("from_delta"))
-    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
-    fromIdx.unionByName(fromDelta)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("query_id"), col("rk").cast("long").as("rk"),
+    // bounded heap top-3 per query (TopKPerKey ranks by ord DESC, tie
+    // ASC — negate d2; exact negation is lossless for doubles), instead
+    // of a row_number window that would shuffle and sort the full
+    // batch × cell-size candidate volume
+    val cand = fromIdx.unionByName(fromDelta)
+      .withColumn("neg_d2", negate(col("d2")))
+    graft.plans.TopKPerKey(cand, Seq("query_id"), "neg_d2", "vec_id", 3)
+      .select(col("query_id"), col("rank").as("rk"),
         col("vec_id").as("neighbor_id"),
         floor(col("d2") * 1e9).cast("long").as("d2_fp"),
         col("from_delta"))

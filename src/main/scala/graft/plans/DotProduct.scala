@@ -67,3 +67,69 @@ object DotProduct {
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** Native codegen SQUARED L2 distance over two array<double> columns —
+  * the other ANN hot kernel. Semantically identical to
+  * `aggregate(zip_with(a, b, (p, q) => (p-q)*(p-q)), 0.0, _+_)` (same
+  * per-element arithmetic, same left-fold order — bit-exact vs the
+  * DuckDB list_reduce replay), but one primitive loop instead of a
+  * zip_with materialization plus per-element lambda dispatch. Added for
+  * s18 after the 26× probe measured the interpreted fold at 58.7 s over
+  * the batch × cell-size candidate volume (the d25 kernel lesson). */
+final case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> args, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): L2Distance =
+    copy(left = newLeft, right = newRight)
+}
+
+object L2Distance {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(L2Distance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
