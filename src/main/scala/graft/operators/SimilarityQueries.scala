@@ -980,7 +980,100 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** s19 — PERSISTED PQ-IVF serving with exact RERANK (the FAISS
+    * IVF-PQ + refine layout, persisted): s09 derives residual PQ codes
+    * in-query on every run; a serving deployment encodes ONCE and
+    * stores the 8-byte codes next to the full vectors in the
+    * cell-bucketed table (s18's layout idiom), then every query batch
+    * reads codes from the pruned buckets — at 100 TB the ADC scan
+    * touches 8 B/vector instead of 512 B, which is why PQ exists. The
+    * serve is the production two-stage shape: asymmetric-distance
+    * (per-query LUT against the shared residual codebook, native
+    * [[graft.plans.PQAdc]] kernel) gathers top-20 candidates per query
+    * from the probed cells, and ONLY those 20 pay the exact
+    * [[graft.plans.L2Distance]] rerank on the stored full vectors —
+    * the refine stage that converts quantized recall into exact final
+    * ranks. Output carries both distances, so the oracle pins the ADC
+    * ordering AND the reranked truth.
+    *
+    * Scale shape: index encode is one scan paid at build (memoized,
+    * reported under ingest); per batch, work = probed cells × 8-byte
+    * codes + 20·|batch| full-vector reranks; both top-k stages are
+    * bounded TopKPerKey heaps, no window over the candidate volume. */
+  def s19_pq_persisted(s: SparkSession, dir: String): DataFrame = {
+    val k16 = 16
+    def l2(x: Column, y: Column): Column = graft.plans.L2Distance(x, y)
+    def litArr(a: Seq[Double]): Column = array(a.map(lit): _*)
+    val (tbl, cents, cbFlat) =
+      graft.core.SessionMemo.memoize(s, "s19-pqivf:" + dir) {
+        val tag = graft.core.SessionMemo.pathTag(s, dir)
+        val wh = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_s19_wh_$tag")
+        val t = s"graft_s19_pq_$tag"
+        val base = emb(s, dir).withColumn("scaled",
+          transform(col("a"), x => floor(x * 1e9).cast("long")))
+        val centroids = base.groupBy("label")
+          .agg(ArrayAggregates.ewSumLong(col("scaled")).as("ssum"),
+            count(lit(1)).as("cnt"))
+          .select(col("label").as("c_label"), transform(col("ssum"),
+            v => v.cast("double") / col("cnt").cast("double") / 1e9)
+            .as("centroid"))
+        val resid = base.join(broadcast(centroids),
+            col("label") === col("c_label"))
+          .select(col("vec_id"), col("label"), col("a"),
+            zip_with(col("a"), col("centroid"), _ - _).as("r"))
+        // deterministic residual codebook: the 16 seed vectors (s09 rule)
+        val cb: Seq[Double] = resid.filter(col("vec_id") % 31 === 1)
+          .orderBy("vec_id").limit(k16).collect()
+          .flatMap(_.getSeq[Double](3)).toSeq
+        require(cb.length == k16 * 64, "codebook needs 16 seeds")
+        resid.withColumn("codes", graft.plans.PQEncode(col("r"), cb))
+          .select("vec_id", "label", "a", "codes")
+          .repartition(8, col("label"))
+          .write.bucketBy(8, "label").sortBy("label", "vec_id")
+          .option("path", new java.io.File(wh, "pq").getAbsolutePath)
+          .mode("overwrite").saveAsTable(t)
+        val cs = centroids.collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+        (t, cs, cb)
+      }
+    val qs = emb(s, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"))
+    // nprobe=2 cells per query; the sort struct carries the centroid so
+    // the query residual (and its LUT) derives from the probed cell
+    val probeCells = slice(array_sort(array(cents.map { case (l, c) =>
+      struct(l2(col("qa"), litArr(c)).as("d"), lit(l).as("c"),
+        litArr(c).as("cent")) }: _*)), 1, 2)
+    val probes = qs.withColumn("pc", explode(probeCells))
+      .select(col("query_id"), col("qa"),
+        col("pc.c").as("probe_label"),
+        graft.plans.PQLut(zip_with(col("qa"), col("pc.cent"), _ - _),
+          cbFlat).as("qlut"))
+    val probed = probes.select("probe_label").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by the cell count
+    val idx = s.table(tbl).filter(col("label").isin(probed.toSeq: _*))
+    val cands = idx.join(broadcast(probes),
+        col("label") === col("probe_label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", graft.plans.PQAdc(col("qlut"), col("codes")))
+      .withColumn("nadc", -col("adc") + lit(0.0))
+    val top20 = graft.plans.TopKPerKey(cands,
+        Seq("query_id"), "nadc", "vec_id", 20)
+      .drop("rank", "nadc", "qlut", "codes")
+    // exact rerank on the stored full vectors — 20 rows per query
+    val reranked = top20
+      .withColumn("d2", l2(col("qa"), col("a")))
+      .withColumn("neg_d2", -col("d2") + lit(0.0))
+    graft.plans.TopKPerKey(reranked, Seq("query_id"), "neg_d2", "vec_id", 5)
+      .select(col("query_id"), col("rank").as("rk"),
+        col("vec_id").as("neighbor_id"),
+        floor(col("d2") * 1e9).cast("long").as("d2_fp"),
+        floor(col("adc") * 1e6).cast("long").as("adc_fp"))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_pq_persisted" -> (s19_pq_persisted _),
     "s17_nprobe_sweep" -> (s17_nprobe_sweep _),
     "s18_ann_persisted" -> (s18_ann_persisted _),
     "s16_ann_binary_quant" -> (s16_ann_binary_quant _),
@@ -1273,6 +1366,75 @@ object SimilarityQueries {
       FROM (SELECT query_id, vec_id, adc, row_number() OVER (
           PARTITION BY query_id ORDER BY adc, vec_id) AS rank FROM adc)
       WHERE rank <= 5 ORDER BY query_id, rank""",
+    // s19 = s09's ADC pipeline + the persisted-refine stage: top-20 by
+    // (adc, vec_id), exact l2 rerank on the stored full vectors, top-5
+    // by (d2, vec_id); both distances shipped so the quantized ordering
+    // AND the reranked truth hash-check
+    "s19_pq_persisted" -> """
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      cent AS (SELECT label AS c_label,
+          list(s ORDER BY i) AS centroid FROM (
+          SELECT label, i,
+            sum(CAST(floor(a[i] * 1e9) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1e9 AS s
+          FROM e, range(1, 65) t(i) GROUP BY label, i)
+        GROUP BY label),
+      res AS (SELECT e.vec_id, e.label,
+          list_transform(range(1, 65), i -> e.a[i] - c.centroid[i]) AS r
+        FROM e JOIN cent c ON e.label = c.c_label),
+      cb AS (SELECT row_number() OVER (ORDER BY vec_id) AS c1, r AS a
+        FROM (SELECT vec_id, r FROM res WHERE vec_id % 31 = 1
+          ORDER BY vec_id LIMIT 16)),
+      ms AS (SELECT unnest(range(0, 8)) AS m),
+      dist AS (SELECT res.vec_id, ms.m, cb.c1,
+          list_reduce(list_transform(range(1, 9),
+            i -> (res.r[ms.m*8+i] - cb.a[ms.m*8+i])
+               * (res.r[ms.m*8+i] - cb.a[ms.m*8+i])), (p, q) -> p + q) AS d
+        FROM res CROSS JOIN cb CROSS JOIN ms),
+      codes AS (SELECT vec_id, m, c1 FROM (
+          SELECT vec_id, m, c1,
+            row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c1) AS rn
+          FROM dist) WHERE rn = 1),
+      qs AS (SELECT vec_id AS query_id, a AS qa FROM e WHERE vec_id % 50 = 0),
+      probes AS (SELECT query_id, c_label AS probe_label,
+          list_transform(range(1, 65), i -> qa[i] - centroid[i]) AS qr
+        FROM (SELECT q.query_id, q.qa, c.c_label, c.centroid,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (q.qa[i] - c.centroid[i]) * (q.qa[i] - c.centroid[i])),
+                (p, q2) -> p + q2), c.c_label) AS crk
+          FROM qs q, cent c) WHERE crk <= 2),
+      terms AS (SELECT p.query_id, dv.vec_id, co.m,
+          list_reduce(list_transform(range(1, 9),
+            i -> (p.qr[co.m*8+i] - cb.a[co.m*8+i])
+               * (p.qr[co.m*8+i] - cb.a[co.m*8+i])), (p2, q) -> p2 + q) AS t
+        FROM probes p
+        JOIN res dv ON dv.label = p.probe_label AND dv.vec_id <> p.query_id
+        JOIN codes co ON co.vec_id = dv.vec_id
+        JOIN cb ON cb.c1 = co.c1),
+      adc AS (SELECT query_id, vec_id,
+          list_reduce(list(t ORDER BY m), (x, y) -> x + y) AS adc
+        FROM terms GROUP BY 1, 2),
+      top20 AS (SELECT query_id, vec_id, adc FROM (
+          SELECT query_id, vec_id, adc,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY adc, vec_id) AS arn
+          FROM adc) WHERE arn <= 20),
+      rr AS (SELECT t.query_id, t.vec_id, t.adc,
+          list_reduce(list_transform(range(1, 65),
+            i -> (q.qa[i] - d.a[i]) * (q.qa[i] - d.a[i])),
+            (x, y) -> x + y) AS d2
+        FROM top20 t
+        JOIN qs q ON q.query_id = t.query_id
+        JOIN e d ON d.vec_id = t.vec_id)
+      SELECT query_id, rank AS rk, vec_id AS neighbor_id,
+        CAST(floor(d2 * 1e9) AS BIGINT) AS d2_fp,
+        CAST(floor(adc * 1e6) AS BIGINT) AS adc_fp
+      FROM (SELECT query_id, vec_id, adc, d2,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY d2, vec_id) AS rank
+        FROM rr) WHERE rank <= 5
+      ORDER BY query_id, rk""",
     "s08_ann_pq" -> """
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS a
         FROM embeddings),

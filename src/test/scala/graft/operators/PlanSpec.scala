@@ -477,6 +477,23 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"only the query_id window may shuffle:\n$p")
   }
 
+  test("s19: PQ serve scans pruned buckets; both top-k stages are bounded heaps") {
+    val df = SimilarityQueries.s19_pq_persisted(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Bucketed: true") &&
+      finalP.contains("SelectedBucketsCount"),
+      s"codes must come from the pruned persisted table:\n$p")
+    assert(!finalP.contains("hashpartitioning(label"),
+      s"index side must not re-shuffle on the cell:\n$p")
+    // ADC gather and rerank both go through the bounded heap operator
+    assert("TopKPartial".r.findAllIn(finalP).size >= 2,
+      s"expected two bounded top-k stages (ADC top-20, rerank top-5):\n$p")
+    assert(!finalP.contains("Window"),
+      s"no window over the candidate volume:\n$p")
+  }
+
   test("qn13: quarantine accounting is ONE partial+final aggregate over the JSON scan") {
     val p = plan(NetCDFQueries.qn13_jsonl_quarantine(spark, sf()))
     assert(p.contains("partial_"), s"expected map-side combine:\n$p")
