@@ -1880,7 +1880,8 @@ object HDF5 {
     * real compressed sizes (phase-1 executor report) plus the pipeline
     * the executors applied, echoed into the 0x0B message. */
   private final case class DistFilter(sizes: IndexedSeq[Long],
-      deflateLevel: Int, shuffleF: Boolean, fletcher: Boolean)
+      deflateLevel: Int, shuffleF: Boolean, fletcher: Boolean,
+      rawPartial: Boolean = false)
 
   private def buildDistributedHead(varName: String, dims: Seq[(String, Int)],
       chunkRows: Int, dataAddr: Long, eof: Long,
@@ -1959,7 +1960,9 @@ object HDF5 {
     val dt = new Buf; dtF64Body(dt)
     val layoutBody = new Buf
     layoutBody.u8(4); layoutBody.u8(2)   // layout v4, chunked
-    layoutBody.u8(0)                     // flags (unfiltered)
+    // flags: bit 0 = don't-filter-partial-edge-chunks (only meaningful
+    // on a filtered layout; the reader then skips filters on the tail)
+    layoutBody.u8(if (filter.exists(_.rawPartial)) 1 else 0)
     layoutBody.u8(rank + 1); layoutBody.u8(8)
     cd.foreach(c => layoutBody.u64(c.toLong)); layoutBody.u64(8)
     index match {
@@ -2124,7 +2127,8 @@ object HDF5 {
       idCol: String, arrCol: String, path: String, varName: String,
       rowsPerChunk: Int = 0, index: String = "fixedarray",
       deflateLevel: Int = 6, shuffleF: Boolean = true,
-      fletcher: Boolean = true): (Long, Int, Long) = {
+      fletcher: Boolean = true,
+      dontFilterPartial: Boolean = false): (Long, Int, Long) = {
     import org.apache.spark.sql.functions.col
     require(index != "implicit",
       "implicit index cannot carry filters — use fixedarray/btree2/extarray")
@@ -2156,6 +2160,9 @@ object HDF5 {
     val spill = spillDir.getPath
     val (cbI, rpcL, mL, lvl, shf, fl) =
       (chunkBytes.toInt, rpc, m, deflateLevel, shuffleF, fletcher)
+    // the don't-filter-partial edge chunk (layout flag bit 0): the tail
+    // is stored RAW at its full nominal slot, everything else filtered
+    val rawTailGid = if (dontFilterPartial && n % rpc != 0) nChunks - 1 else -1
     // phase 1: filter + spill, report (chunkIdx, compressedSize)
     val reported = indexed
       .map { case (i, a) => (i / rpcL, (i, a)) }
@@ -2168,7 +2175,9 @@ object HDF5 {
           var j = 0
           while (j < mL) { bb.putDouble(off + j * 8, a(j)); j += 1 }
         }
-        val blob = filterChunkBytes(raw, shf, lvl, fl)
+        val blob =
+          if (gid == rawTailGid) raw
+          else filterChunkBytes(raw, shf, lvl, fl)
         val f = new java.io.FileOutputStream(s"$spill/c$gid")
         try f.write(blob) finally f.close()
         (gid, blob.length.toLong)
@@ -2179,7 +2188,8 @@ object HDF5 {
     require(sizes.forall(_ > 0), "a chunk reported no bytes")
     // phase 2: driver head with the filtered index built from real sizes
     val dims = Seq("id_dim" -> n.toInt, "elem" -> m)
-    val df = DistFilter(sizes.toIndexedSeq, deflateLevel, shuffleF, fletcher)
+    val df = DistFilter(sizes.toIndexedSeq, deflateLevel, shuffleF, fletcher,
+      rawPartial = dontFilterPartial)
     val probeLen = buildDistributedHead(varName, dims, rpc, 0L, 0L, index,
       filter = Some(df)).length
     val dataAddr = (probeLen + 511L) / 512 * 512

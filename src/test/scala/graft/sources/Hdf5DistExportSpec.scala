@@ -227,6 +227,29 @@ class Hdf5DistExportSpec extends SparkSpec {
       s"corruption must be detected, got: ${e.getMessage}")
   }
 
+  test("filtered write with don't-filter-partial stores the tail raw") {
+    import spark.implicits._
+    val (n, m) = (22, 4) // 3 chunks of 8: tail has 6 rows -> partial
+    val df = grid(n, m).toDF("id", "a")
+    val p = java.nio.file.Files.createTempDirectory("h5distz")
+      .resolve("dfp.h5").toString
+    val (rows, chunks, zBytes) = HDF5.writeDoubleVarDistributedFiltered(
+      df, "id", "a", p, "measure", rowsPerChunk = 8, index = "fixedarray",
+      dontFilterPartial = true)
+    assert(rows == n && chunks == 3)
+    // the raw tail occupies its full nominal slot (8*4*8 bytes), so the
+    // payload must be at least that plus two nonempty filtered chunks
+    assert(zBytes >= 8 * 4 * 8 + 2, s"payload $zBytes")
+    assert(readAll(p, n, m).toSeq == grid(n, m).flatMap(_._2),
+      "raw tail must decode under layout flag bit 0 (filters skipped)")
+    // same grid, full filtering: smaller payload (tail compresses too)
+    val p2 = java.nio.file.Files.createTempDirectory("h5distz")
+      .resolve("dfp2.h5").toString
+    val (_, _, zBytes2) = HDF5.writeDoubleVarDistributedFiltered(
+      df, "id", "a", p2, "measure", rowsPerChunk = 8, index = "fixedarray")
+    assert(zBytes2 < zBytes, "filtering the tail must shrink the payload")
+  }
+
   test("filtered write with non-contiguous ids and a partial tail chunk") {
     import spark.implicits._
     val (n, m) = (17, 4)
