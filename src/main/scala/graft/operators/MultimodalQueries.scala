@@ -1404,6 +1404,76 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class ApngFeature(doc_id: Long, width: Int, height: Int,
+                               n_frames: Long, plays: Long, s0: Long,
+                               s1: Long, s2: Long, w2: Long)
+
+  /** m37 — ANIMATED PNG (the W3C PNG spec's acTL/fcTL/fdAT extension)
+    * decode + COMPOSITION: each document carries a three-frame
+    * animation — a full-canvas base plus two SUB-RECTANGLE patch frames
+    * at text-derived offsets, each frame its own zlib stream split
+    * across two fdAT chunks (reassembly and the shared fcTL/fdAT
+    * sequence counter are exercised on every row). The decoder composes
+    * the canvas per the dispose/blend rules; features are the per-frame
+    * composed-canvas sums plus a position-weighted checksum of the
+    * final canvas, so a patch drawn at the wrong offset, with the wrong
+    * sub-rectangle stride, or over the wrong prior state breaks the
+    * oracle — which replays the composition as pure CASE arithmetic on
+    * pixel coordinates. GIF animation (m19) covers multi-frame LZW;
+    * APNG covers multi-frame DEFLATE with sub-rect placement, the other
+    * animation container a crawl corpus actually carries.
+    *
+    * Scale shape: identical to m15 — two scan-parallel mapPartitions
+    * stages, no shuffle before the output sort. */
+  def m37_apng_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — pixel bytes would diverge")
+          val b = text.getBytes("US-ASCII")
+          val len = b.length
+          def at(i: Int): Int = if (len == 0) 0 else b(i % len) & 0xFF
+          val w = len % 24 + 2
+          val h = (len / 24) % 16 + 2
+          val (fw1, fh1) = (math.max(1, w / 2), math.max(1, h / 2))
+          val (fw2, fh2) = (math.max(1, w / 3), math.max(1, h / 3))
+          val (x1, y1) = (len % (w - fw1 + 1), (len / 3) % (h - fh1 + 1))
+          val (x2, y2) = ((len / 5) % (w - fw2 + 1), (len / 7) % (h - fh2 + 1))
+          val base = Array.tabulate(w * h)(p => at(p).toByte)
+          val p1 = Array.tabulate(fw1 * fh1)(k => at(2 * k + 1).toByte)
+          val p2 = Array.tabulate(fw2 * fh2)(k => at(3 * k + 2).toByte)
+          MediaRow(id, Png.encodeApng(w, h, 1, Seq(
+            Png.ApngFrame(0, 0, w, h, base),
+            Png.ApngFrame(x1, y1, fw1, fh1, p1),
+            Png.ApngFrame(x2, y2, fw2, fh2, p2))), "apng")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (plays, frames) = Png.decodeApng(r.payload)
+        require(frames.length == 3, s"doc ${r.doc_id}: expected 3 frames")
+        def sum(i: Int): Long = {
+          var acc = 0L
+          val px = frames(i).pixels
+          var k = 0
+          while (k < px.length) { acc += px(k) & 0xFF; k += 1 }
+          acc
+        }
+        var w2 = 0L
+        val last = frames(2).pixels
+        var k = 0
+        while (k < last.length) { w2 += (last(k) & 0xFF).toLong * (k + 1); k += 1 }
+        ApngFeature(r.doc_id, frames(0).width, frames(0).height, 3L,
+          plays.toLong, sum(0), sum(1), sum(2), w2)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   final case class JpegAcRow(doc_id: Long, width: Int, height: Int,
                              n_blocks: Long, px_sum: Long, px_wsum: Long,
                              px_min: Long, px_max: Long)
@@ -2398,6 +2468,7 @@ object MultimodalQueries {
     "m34_png16_features" -> (m34_png16_features _),
     "m35_adpcm_features" -> (m35_adpcm_features _),
     "m36_adpcm_stereo" -> (m36_adpcm_stereo _),
+    "m37_apng_features" -> (m37_apng_features _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -2683,6 +2754,53 @@ object MultimodalQueries {
     // full per-pixel replay: RGB (even ids) gets m01's 3-channel luma,
     // gray (odd ids) the 256*b convention; the PNG container (zlib,
     // all five filters) round-trips only Spark-side
+    // m37: the composition replayed as CASE arithmetic on pixel
+    // coordinates — patch-in-rect else prior state, per frame
+    "m37_apng_features" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           (length(text) % 24 + 2) AS w,
+           ((length(text) // 24) % 16 + 2) AS h
+         FROM documents),
+       g AS (SELECT doc_id, text, len, w, h,
+           greatest(1, w // 2) AS fw1, greatest(1, h // 2) AS fh1,
+           greatest(1, w // 3) AS fw2, greatest(1, h // 3) AS fh2
+         FROM t),
+       r AS (SELECT doc_id, text, len, w, h, fw1, fh1, fw2, fh2,
+           len % (w - fw1 + 1) AS x1, (len // 3) % (h - fh1 + 1) AS y1,
+           (len // 5) % (w - fw2 + 1) AS x2, (len // 7) % (h - fh2 + 1) AS y2
+         FROM g),
+       fr AS (SELECT doc_id, w, h,
+           list_transform(range(0, w * h), p ->
+             CASE WHEN len = 0 THEN 0
+               ELSE ascii(substr(text, (p % len)::INT + 1, 1)) END) AS c0,
+           list_transform(range(0, w * h), p ->
+             CASE WHEN (p % w) >= x1 AND (p % w) < x1 + fw1
+                   AND (p // w) >= y1 AND (p // w) < y1 + fh1 THEN
+               CASE WHEN len = 0 THEN 0 ELSE ascii(substr(text,
+                 ((2 * (((p // w) - y1) * fw1 + ((p % w) - x1)) + 1)
+                   % len)::INT + 1, 1)) END
+             ELSE CASE WHEN len = 0 THEN 0
+               ELSE ascii(substr(text, (p % len)::INT + 1, 1)) END
+             END) AS c1
+         FROM r),
+       fr2 AS (SELECT fr.doc_id, fr.w, fr.h, c0, c1,
+           list_transform(range(0, fr.w * fr.h), p ->
+             CASE WHEN (p % fr.w) >= x2 AND (p % fr.w) < x2 + fw2
+                   AND (p // fr.w) >= y2 AND (p // fr.w) < y2 + fh2 THEN
+               CASE WHEN len = 0 THEN 0 ELSE ascii(substr(text,
+                 ((3 * (((p // fr.w) - y2) * fw2 + ((p % fr.w) - x2)) + 2)
+                   % len)::INT + 1, 1)) END
+             ELSE c1[p + 1]
+             END) AS c2
+         FROM fr JOIN r ON r.doc_id = fr.doc_id)
+       SELECT doc_id, w::INT AS width, h::INT AS height,
+         3::BIGINT AS n_frames, 0::BIGINT AS plays,
+         list_reduce(c0, (x, y) -> x + y)::BIGINT AS s0,
+         list_reduce(c1, (x, y) -> x + y)::BIGINT AS s1,
+         list_reduce(c2, (x, y) -> x + y)::BIGINT AS s2,
+         list_reduce(list_transform(range(1, w * h + 1),
+           i -> c2[i] * i), (x, y) -> x + y)::BIGINT AS w2
+       FROM fr2 ORDER BY doc_id""",
     // m36: BOTH channel state machines advanced in one recursion (depth
     // 64); separate text phases per channel pin the demux — crossing
     // the states or mis-ordering groups breaks the per-channel sums

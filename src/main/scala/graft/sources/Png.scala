@@ -203,6 +203,38 @@ object Png {
     o.toByteArray
   }
 
+  /** Spec §6: per-scanline reconstruction of one independent raster
+    * (the whole image, one Adam7 pass, or one APNG frame) starting at
+    * raw(off); bpp is the pixel step in BYTES. */
+  private def unfilterRaster(raw: Array[Byte], off: Int, pw: Int, ph: Int,
+      bpp: Int): Array[Byte] = {
+    val st = pw * bpp
+    val out = new Array[Byte](st * ph)
+    var y = 0
+    while (y < ph) {
+      val f = raw(off + y * (st + 1)) & 0xFF
+      require(f <= 4, s"PNG: filter type $f")
+      var x = 0
+      while (x < st) {
+        val v = raw(off + y * (st + 1) + 1 + x) & 0xFF
+        val left = if (x >= bpp) out(y * st + x - bpp) & 0xFF else 0
+        val up = if (y > 0) out((y - 1) * st + x) & 0xFF else 0
+        val ul = if (x >= bpp && y > 0) out((y - 1) * st + x - bpp) & 0xFF else 0
+        val r = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case 4 => v + paeth(left, up, ul)
+        }
+        out(y * st + x) = (r & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Paeth predictor (spec §6.6): nearest of left/up/upper-left to
     * the linear estimate, ties broken left, up, upper-left. */
   private def paeth(a: Int, b: Int, c: Int): Int = {
@@ -278,35 +310,8 @@ object Png {
     // 16-bit implementation trap
     val bpp = srcCh * (depth / 8)
     val stride = w * bpp
-    // spec §6: per-scanline reconstruction of one independent raster
-    // (the whole image, or one Adam7 pass) starting at raw(off)
-    def unfilterImage(raw: Array[Byte], off: Int, pw: Int, ph: Int): Array[Byte] = {
-      val st = pw * bpp
-      val out = new Array[Byte](st * ph)
-      var y = 0
-      while (y < ph) {
-        val f = raw(off + y * (st + 1)) & 0xFF
-        require(f <= 4, s"PNG: filter type $f")
-        var x = 0
-        while (x < st) {
-          val v = raw(off + y * (st + 1) + 1 + x) & 0xFF
-          val left = if (x >= bpp) out(y * st + x - bpp) & 0xFF else 0
-          val up = if (y > 0) out((y - 1) * st + x) & 0xFF else 0
-          val ul = if (x >= bpp && y > 0) out((y - 1) * st + x - bpp) & 0xFF else 0
-          val r = f match {
-            case 0 => v
-            case 1 => v + left
-            case 2 => v + up
-            case 3 => v + (left + up) / 2
-            case 4 => v + paeth(left, up, ul)
-          }
-          out(y * st + x) = (r & 0xFF).toByte
-          x += 1
-        }
-        y += 1
-      }
-      out
-    }
+    def unfilterImage(raw: Array[Byte], off: Int, pw: Int, ph: Int): Array[Byte] =
+      unfilterRaster(raw, off, pw, ph, bpp)
     val rawLen =
       if (interlace == 0) (stride + 1) * h
       else Adam7.map { case (x0, y0, dx, dy) =>
@@ -442,6 +447,225 @@ object Png {
       case o => throw new IllegalArgumentException(
         s"PNG: color type $o cannot be 16-bit")
     }
+  }
+
+  // ------------------------------------------------------------ APNG
+
+  /** One animation frame: a sub-rectangle raster placed at (x, y) on
+    * the canvas. `disposeOp` 0 = NONE, 1 = BACKGROUND (region cleared
+    * before the next frame); `blendOp` 0 = SOURCE, 1 = OVER (identical
+    * for the opaque gray/RGB rasters this codec serves). */
+  final case class ApngFrame(x: Int, y: Int, width: Int, height: Int,
+                             pixels: Array[Byte], delayNum: Int = 1,
+                             delayDen: Int = 10, disposeOp: Int = 0,
+                             blendOp: Int = 0)
+
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val out = new ByteArrayOutputStream(raw.length / 2 + 32)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflateExact(data: Array[Byte], len: Int,
+      what: String): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val raw = new Array[Byte](len)
+    var got = 0
+    while (got < len && !inf.finished()) {
+      val n = inf.inflate(raw, got, len - got)
+      require(n > 0, s"PNG: truncated $what stream")
+      got += n
+    }
+    inf.end()
+    require(got == len, s"PNG: $what inflated $got of $len bytes")
+    raw
+  }
+
+  /** Encode an ANIMATED PNG (the W3C PNG spec's acTL/fcTL/fdAT
+    * extension): 8-bit gray or RGB, frame 0 full-canvas carried by the
+    * default-image IDAT (so non-APNG decoders render it — [[decode]]
+    * on this output returns frame 0), later frames as sub-rectangle
+    * streams split across TWO fdAT chunks each (pinning reassembly).
+    * fcTL and fdAT share one sequence counter per spec; every frame is
+    * its own zlib stream with the row-cycling filter schedule. */
+  def encodeApng(w: Int, h: Int, channels: Int, frames: Seq[ApngFrame],
+      numPlays: Int = 0): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"channels $channels")
+    require(frames.nonEmpty, "an animation needs at least one frame")
+    val f0 = frames.head
+    require(f0.x == 0 && f0.y == 0 && f0.width == w && f0.height == h,
+      "frame 0 is the default image and must cover the canvas")
+    frames.foreach { f =>
+      require(f.x >= 0 && f.y >= 0 && f.x + f.width <= w &&
+        f.y + f.height <= h, "frame rect outside the canvas")
+      require(f.pixels.length == f.width * f.height * channels,
+        "frame pixel buffer size")
+      require(f.disposeOp == 0 || f.disposeOp == 1, "dispose op")
+      require(f.blendOp == 0 || f.blendOp == 1, "blend op")
+    }
+    val bpp = channels
+    def frameZ(f: ApngFrame): Array[Byte] = {
+      val raw = new Array[Byte]((f.width * bpp + 1) * f.height)
+      filterImage(f.width, f.height, bpp, f.pixels, raw, 0)
+      deflateBytes(raw)
+    }
+    def u32be(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def fctl(seq: Int, f: ApngFrame): Array[Byte] =
+      u32be(seq) ++ u32be(f.width) ++ u32be(f.height) ++
+        u32be(f.x) ++ u32be(f.y) ++
+        Array(((f.delayNum >> 8) & 0xFF).toByte, (f.delayNum & 0xFF).toByte,
+          ((f.delayDen >> 8) & 0xFF).toByte, (f.delayDen & 0xFF).toByte,
+          f.disposeOp.toByte, f.blendOp.toByte)
+    val o = new ByteArrayOutputStream()
+    o.write(Signature)
+    val ihdr = new Array[Byte](13)
+    System.arraycopy(u32be(w), 0, ihdr, 0, 4)
+    System.arraycopy(u32be(h), 0, ihdr, 4, 4)
+    ihdr(8) = 8
+    ihdr(9) = (if (channels == 1) 0 else 2).toByte
+    chunk(o, "IHDR", ihdr)
+    chunk(o, "acTL", u32be(frames.length) ++ u32be(numPlays))
+    var seq = 0
+    chunk(o, "fcTL", fctl(seq, f0)); seq += 1
+    chunk(o, "IDAT", frameZ(f0))
+    frames.tail.foreach { f =>
+      chunk(o, "fcTL", fctl(seq, f)); seq += 1
+      val z = frameZ(f)
+      val cut = z.length / 2
+      chunk(o, "fdAT", u32be(seq) ++ z.take(cut)); seq += 1
+      chunk(o, "fdAT", u32be(seq) ++ z.drop(cut)); seq += 1
+    }
+    chunk(o, "IEND", Array.emptyByteArray)
+    o.toByteArray
+  }
+
+  /** Decode an animated PNG and COMPOSE it: returns (numPlays, one
+    * canvas snapshot per frame). Chunk CRCs verified; fcTL/fdAT
+    * sequence numbers must be consecutive from 0; frame rects must sit
+    * inside the canvas; dispose 0 (NONE) keeps the canvas, dispose 1
+    * (BACKGROUND) clears the frame's own region before the next frame;
+    * dispose 2 (PREVIOUS) is rejected loudly. 8-bit gray/RGB,
+    * non-interlaced. */
+  def decodeApng(bytes: Array[Byte]): (Int, IndexedSeq[MediaCodec.Image]) = {
+    require(bytes.length > 8 && Signature.indices.forall(i => bytes(i) == Signature(i)),
+      "PNG: bad signature")
+    var pos = 8
+    def u32(p: Int): Long =
+      ((bytes(p) & 0xFFL) << 24) | ((bytes(p + 1) & 0xFFL) << 16) |
+        ((bytes(p + 2) & 0xFFL) << 8) | (bytes(p + 3) & 0xFFL)
+    var w = 0; var h = 0; var colorType = -1
+    var numFrames = -1; var numPlays = 0
+    var nextSeq = 0
+    // open frame state: (meta fcTL fields, accumulated zlib bytes)
+    final case class Fc(fw: Int, fh: Int, x: Int, y: Int, dispose: Int)
+    var frames = Vector.empty[(Fc, ByteArrayOutputStream)]
+    var ihdrSeen = false; var iendSeen = false; var idatSeen = false
+    while (pos < bytes.length && !iendSeen) {
+      require(pos + 12 <= bytes.length, "PNG: truncated chunk header")
+      val len = u32(pos).toInt
+      val tpe = new String(bytes, pos + 4, 4, "US-ASCII")
+      val body = pos + 8
+      require(body + len + 4 <= bytes.length, s"PNG: truncated $tpe chunk")
+      val crc = new CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue == u32(body + len), s"PNG: CRC mismatch in $tpe")
+      tpe match {
+        case "IHDR" =>
+          require(len == 13, "PNG: bad IHDR length")
+          w = u32(body).toInt; h = u32(body + 4).toInt
+          require(w > 0 && h > 0, "PNG: zero dimensions")
+          require((bytes(body + 8) & 0xFF) == 8,
+            "APNG: 8-bit frames only")
+          colorType = bytes(body + 9) & 0xFF
+          require(colorType == 0 || colorType == 2,
+            s"APNG: gray/RGB only, got color type $colorType")
+          require((bytes(body + 12) & 0xFF) == 0,
+            "APNG: interlaced frames unsupported")
+          ihdrSeen = true
+        case "acTL" =>
+          require(ihdrSeen && !idatSeen, "APNG: acTL must precede IDAT")
+          require(len == 8, "APNG: bad acTL length")
+          numFrames = u32(body).toInt
+          numPlays = u32(body + 4).toInt
+          require(numFrames > 0, "APNG: zero frames")
+        case "fcTL" =>
+          require(numFrames > 0, "APNG: fcTL before acTL")
+          require(len == 26, "APNG: bad fcTL length")
+          val seq = u32(body).toInt
+          require(seq == nextSeq,
+            s"APNG: fcTL sequence $seq, expected $nextSeq")
+          nextSeq += 1
+          val (fw, fh) = (u32(body + 4).toInt, u32(body + 8).toInt)
+          val (x, y) = (u32(body + 12).toInt, u32(body + 16).toInt)
+          val dispose = bytes(body + 24) & 0xFF
+          val blend = bytes(body + 25) & 0xFF
+          require(fw > 0 && fh > 0 && x >= 0 && y >= 0 &&
+            x + fw <= w && y + fh <= h, "APNG: frame rect outside canvas")
+          require(dispose <= 1,
+            s"APNG: dispose op $dispose unsupported (NONE/BACKGROUND)")
+          require(blend <= 1, s"APNG: blend op $blend")
+          frames :+= ((Fc(fw, fh, x, y, dispose), new ByteArrayOutputStream()))
+        case "IDAT" =>
+          require(frames.nonEmpty,
+            "APNG: default image outside the animation is unsupported " +
+              "(no fcTL before IDAT)")
+          require(frames.length == 1, "APNG: IDAT after an fdAT frame")
+          frames.head._2.write(bytes, body, len)
+          idatSeen = true
+        case "fdAT" =>
+          require(len >= 4, "APNG: fdAT too short")
+          val seq = u32(body).toInt
+          require(seq == nextSeq,
+            s"APNG: fdAT sequence $seq, expected $nextSeq")
+          nextSeq += 1
+          require(frames.length >= 2, "APNG: fdAT before any frame fcTL")
+          frames.last._2.write(bytes, body + 4, len - 4)
+        case "IEND" => iendSeen = true
+        case _ => // ancillary — skipped
+      }
+      pos = body + len + 4
+    }
+    require(ihdrSeen && iendSeen, "PNG: missing IHDR/IEND")
+    require(numFrames == frames.length,
+      s"APNG: acTL declares $numFrames frames, found ${frames.length}")
+    val f0 = frames.head._1
+    require(f0.x == 0 && f0.y == 0 && f0.fw == w && f0.fh == h,
+      "APNG: frame 0 must cover the canvas")
+    val bpp = if (colorType == 0) 1 else 3
+    val canvas = new Array[Byte](w * h * bpp)
+    val out = IndexedSeq.newBuilder[MediaCodec.Image]
+    var prev: Fc = null
+    frames.foreach { case (fc, z) =>
+      if (prev != null && prev.dispose == 1) {
+        // BACKGROUND: clear the previous frame's region
+        var j = 0
+        while (j < prev.fh) {
+          java.util.Arrays.fill(canvas,
+            ((prev.y + j) * w + prev.x) * bpp,
+            ((prev.y + j) * w + prev.x + prev.fw) * bpp, 0.toByte)
+          j += 1
+        }
+      }
+      val raw = inflateExact(z.toByteArray, (fc.fw * bpp + 1) * fc.fh, "frame")
+      val px = unfilterRaster(raw, 0, fc.fw, fc.fh, bpp)
+      var j = 0
+      while (j < fc.fh) {
+        System.arraycopy(px, j * fc.fw * bpp, canvas,
+          ((fc.y + j) * w + fc.x) * bpp, fc.fw * bpp)
+        j += 1
+      }
+      out += MediaCodec.Image(w, h, bpp,
+        java.util.Arrays.copyOf(canvas, canvas.length))
+      prev = fc
+    }
+    (numPlays, out.result())
   }
 
   /** Encode a 16-bit raster (channels 1 = gray, 3 = RGB; samples in

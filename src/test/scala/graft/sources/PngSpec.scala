@@ -207,4 +207,113 @@ class PngSpec extends AnyFunSuite {
       Png.decode16(Png.encode(2, 2, 1, Array.tabulate(4)(_.toByte))))
     assert(e.getMessage.contains("decode16"))
   }
+
+  // --------------------------------------------------------------- APNG
+
+  /** Re-locate the nth chunk of `tpe`, apply `f` to its body, fix the
+    * CRC — for constructing in-spec-invalid fixtures from valid ones. */
+  private def patchChunk(png: Array[Byte], tpe: String, n: Int,
+      f: Array[Byte] => Unit): Array[Byte] = {
+    val out = png.clone
+    var pos = 8
+    var seen = 0
+    while (pos + 8 <= out.length) {
+      val len = ((out(pos) & 0xFF) << 24) | ((out(pos + 1) & 0xFF) << 16) |
+        ((out(pos + 2) & 0xFF) << 8) | (out(pos + 3) & 0xFF)
+      val t = new String(out, pos + 4, 4, "US-ASCII")
+      if (t == tpe) {
+        if (seen == n) {
+          val body = java.util.Arrays.copyOfRange(out, pos + 8, pos + 8 + len)
+          f(body)
+          System.arraycopy(body, 0, out, pos + 8, len)
+          val c = new CRC32()
+          c.update(out, pos + 4, 4 + len)
+          val v = c.getValue
+          out(pos + 8 + len) = ((v >> 24) & 0xFF).toByte
+          out(pos + 8 + len + 1) = ((v >> 16) & 0xFF).toByte
+          out(pos + 8 + len + 2) = ((v >> 8) & 0xFF).toByte
+          out(pos + 8 + len + 3) = (v & 0xFF).toByte
+          return out
+        }
+        seen += 1
+      }
+      pos += 8 + len + 4
+    }
+    throw new IllegalArgumentException(s"no chunk $tpe#$n")
+  }
+
+  test("APNG: sub-rect frames compose; plain decode returns frame 0") {
+    val (w, h) = (6, 4)
+    val base = Array.tabulate(w * h)(i => (i * 3 + 1).toByte)
+    val p1 = Array.tabulate(2 * 2)(i => (200 + i).toByte)
+    val p2 = Array.tabulate(3 * 1)(i => (100 + i).toByte)
+    val png = Png.encodeApng(w, h, 1, Seq(
+      Png.ApngFrame(0, 0, w, h, base),
+      Png.ApngFrame(2, 1, 2, 2, p1),
+      Png.ApngFrame(3, 3, 3, 1, p2)), numPlays = 7)
+    val (plays, frames) = Png.decodeApng(png)
+    assert(plays == 7 && frames.length == 3)
+    assert(frames(0).pixels.toSeq == base.toSeq)
+    // frame 1 = base with the 2x2 patch at (2,1); dispose NONE keeps it
+    val want1 = base.clone
+    for (j <- 0 until 2; i <- 0 until 2)
+      want1((1 + j) * w + 2 + i) = p1(j * 2 + i)
+    assert(frames(1).pixels.toSeq == want1.toSeq)
+    val want2 = want1.clone
+    for (i <- 0 until 3) want2(3 * w + 3 + i) = p2(i)
+    assert(frames(2).pixels.toSeq == want2.toSeq)
+    // a non-APNG-aware decoder must see the default image
+    assert(Png.decode(png).pixels.toSeq == base.toSeq)
+    assert(MediaCodec.decodeImage(png).width == w)
+  }
+
+  test("APNG: dispose BACKGROUND clears the frame's region before the next") {
+    val (w, h) = (4, 3)
+    val base = Array.fill(w * h)(9.toByte)
+    val p1 = Array.fill(2 * 2)(50.toByte)
+    val p2 = Array.fill(1)(77.toByte)
+    val png = Png.encodeApng(w, h, 1, Seq(
+      Png.ApngFrame(0, 0, w, h, base),
+      Png.ApngFrame(1, 1, 2, 2, p1, disposeOp = 1),
+      Png.ApngFrame(0, 0, 1, 1, p2)))
+    val (_, frames) = Png.decodeApng(png)
+    val want = base.clone
+    // frame 1's 2x2 region cleared to 0 (BACKGROUND), then p2 at (0,0)
+    for (j <- 0 until 2; i <- 0 until 2) want((1 + j) * w + 1 + i) = 0
+    want(0) = 77
+    assert(frames(2).pixels.toSeq == want.toSeq)
+  }
+
+  test("APNG: RGB frames, 3-byte pixel step survives the rect copy") {
+    val (w, h) = (3, 2)
+    val base = Array.tabulate(w * h * 3)(i => (i + 1).toByte)
+    val p1 = Array.tabulate(1 * 1 * 3)(i => (240 + i).toByte)
+    val (_, frames) = Png.decodeApng(Png.encodeApng(w, h, 3, Seq(
+      Png.ApngFrame(0, 0, w, h, base), Png.ApngFrame(2, 1, 1, 1, p1))))
+    val want = base.clone
+    for (c <- 0 until 3) want((1 * w + 2) * 3 + c) = p1(c)
+    assert(frames(1).channels == 3 && frames(1).pixels.toSeq == want.toSeq)
+  }
+
+  test("APNG: sequence gaps, dispose PREVIOUS and rect overflow fail loud") {
+    val ok = Png.encodeApng(4, 4, 1, Seq(
+      Png.ApngFrame(0, 0, 4, 4, Array.fill(16)(1.toByte)),
+      Png.ApngFrame(1, 1, 2, 2, Array.fill(4)(2.toByte))))
+    // fdAT#0 sequence bumped: 2 -> 5
+    val badSeq = patchChunk(ok, "fdAT", 0, b => b(3) = 5.toByte)
+    val e1 = intercept[IllegalArgumentException](Png.decodeApng(badSeq))
+    assert(e1.getMessage.contains("sequence"))
+    // dispose op 2 (PREVIOUS) on frame 1's fcTL
+    val badDisp = patchChunk(ok, "fcTL", 1, b => b(24) = 2.toByte)
+    val e2 = intercept[IllegalArgumentException](Png.decodeApng(badDisp))
+    assert(e2.getMessage.contains("dispose"))
+    // frame rect pushed past the canvas (x offset 3 + width 2 > 4)
+    val badRect = patchChunk(ok, "fcTL", 1, b => b(15) = 3.toByte)
+    val e3 = intercept[IllegalArgumentException](Png.decodeApng(badRect))
+    assert(e3.getMessage.contains("rect"))
+    // acTL frame count mismatch
+    val badCount = patchChunk(ok, "acTL", 0, b => b(3) = 3.toByte)
+    val e4 = intercept[IllegalArgumentException](Png.decodeApng(badCount))
+    assert(e4.getMessage.contains("declares"))
+  }
 }
