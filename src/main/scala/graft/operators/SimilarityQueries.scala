@@ -910,14 +910,31 @@ object SimilarityQueries {
     * per batch, work = probed cells × cell size + |delta| × |batch|,
     * with the index scan reading ONLY probed buckets. No reference
     * counterpart file — this is the brief's similarity-search lane. */
-  def s18_ann_persisted(s: SparkSession, dir: String): DataFrame = {
+  /** Native codegen squared-L2 (bit-exact vs the zip_with fold the
+    * oracle replays): serve paths evaluate batch × cell-size distances,
+    * and the interpreted HOF cost 58.7 s at the 26× probe (d25 lesson). */
+  private def l2n(x: Column, y: Column): Column = graft.plans.L2Distance(x, y)
+  private def litArr(a: Seq[Double]): Column = array(a.map(lit): _*)
+
+  /** Nearest-cell assignment as a narrow codegen map against literal
+    * centroids (ties to the lower cell id via the struct order). */
+  private def nearestCell(cents: Seq[(Int, Seq[Double])], v: Column): Column =
+    least(cents.map { case (l, c) =>
+      struct(l2n(v, litArr(c)).as("d"), lit(l).as("c")) }: _*).getField("c")
+
+  /** Top-2 probe cells for a query vector, same literal centroids. */
+  private def probeCells2(cents: Seq[(Int, Seq[Double])], v: Column): Column =
+    slice(array_sort(array(cents.map { case (l, c) =>
+      struct(l2n(v, litArr(c)).as("d"), lit(l).as("c")) }: _*)), 1, 2)
+
+  /** The MEMOIZED generation-1 IVF build shared by s18 (delta-aware
+    * serve) and s20 (merge): frozen fixed-point centroids over the
+    * indexed subset, nearest-cell assignment, cell-bucketed/sorted
+    * table. Returns (table, centroids, deltaMod). */
+  private def ivfBuild(s: SparkSession,
+      dir: String): (String, Seq[(Int, Seq[Double])], Long) = {
     val base = emb(s, dir)
     val deltaMod = math.max(97L, base.count() / 50L)
-    // native codegen kernel (bit-exact vs the zip_with fold the oracle
-    // replays): the serve evaluates batch × cell-size distances, and
-    // the interpreted HOF cost 58.7 s at the 26× probe (d25 lesson)
-    def l2(x: Column, y: Column): Column = graft.plans.L2Distance(x, y)
-    def litArr(a: Seq[Double]): Column = array(a.map(lit): _*)
     val (tbl, cents) = graft.core.SessionMemo.memoize(s, "s18-ivf:" + dir) {
       val tag = graft.core.SessionMemo.pathTag(s, dir)
       val wh = new java.io.File(
@@ -935,10 +952,7 @@ object SimilarityQueries {
         .collect() // bounded: one row per IVF cell
         .map(r => (r.getInt(0), r.getSeq[Double](1)))
         .sortBy(_._1).toSeq
-      val nearest = least(cs.map { case (l, c) =>
-        struct(l2(col("a"), litArr(c)).as("d"), lit(l).as("c")) }: _*)
-        .getField("c")
-      indexed.withColumn("cell", nearest)
+      indexed.withColumn("cell", nearestCell(cs, col("a")))
         .select("vec_id", "label", "a", "cell")
         .repartition(8, col("cell"))
         .write.bucketBy(8, "cell").sortBy("cell", "vec_id")
@@ -946,12 +960,17 @@ object SimilarityQueries {
         .mode("overwrite").saveAsTable(t)
       (t, cs)
     }
+    (tbl, cents, deltaMod)
+  }
+
+  def s18_ann_persisted(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    def l2(x: Column, y: Column): Column = l2n(x, y)
+    val (tbl, cents, deltaMod) = ivfBuild(s, dir)
     val qs = base.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("a").as("qa"))
     // nprobe=2 cell assignment, inline against the same literal centroids
-    val probeCells = slice(array_sort(array(cents.map { case (l, c) =>
-      struct(l2(col("qa"), litArr(c)).as("d"), lit(l).as("c")) }: _*)), 1, 2)
-    val assigned = qs.withColumn("pc", explode(probeCells))
+    val assigned = qs.withColumn("pc", explode(probeCells2(cents, col("qa"))))
       .select(col("query_id"), col("qa"), col("pc.c").as("probe_cell"))
     val probed = assigned.select("probe_cell").distinct()
       .collect().map(_.getInt(0)).sorted // bounded by the cell count
@@ -977,6 +996,66 @@ object SimilarityQueries {
         col("vec_id").as("neighbor_id"),
         floor(col("d2") * 1e9).cast("long").as("d2_fp"),
         col("from_delta"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** s20 — INDEX MERGE, the LSM compaction step s18 implies: s18
+    * serves vectors that arrived after the last rebuild from a
+    * side-scan; at some point the delta folds INTO the persisted index
+    * so serving returns to pure bucket-pruned reads. The merge assigns
+    * the delta with the generation-1 centroids FROZEN (real systems do
+    * not re-train the quantizer on compaction — re-clustering would
+    * invalidate every existing cell assignment) and rewrites base ∪
+    * delta as the generation-2 cell-bucketed table; the serve is then
+    * s18's index path with NO delta union, and its results must equal
+    * the frozen-centroid IVF over the full corpus — which is exactly
+    * what the oracle computes. (Note the semantics SHIFT at merge, as
+    * in real IVF systems: pre-merge, s18's side-scan sees every delta
+    * vector for every query; post-merge a delta vector is visible only
+    * through its cell, like any other vector.) AnnMergeSpec pins the
+    * compaction invariants: no row lost or duplicated, per-cell sizes
+    * = generation-1 + delta assignments, and the heap-based serve
+    * equal to an independent window-based derivation.
+    *
+    * At 100 TB: the merge is one bounded rewrite per compaction cadence
+    * (cost ∝ index size, amortized over every batch served since the
+    * last one), after which per-batch cost drops the |delta|·|batch|
+    * side-scan term. Builds on s18's memoized generation-1 (shared memo
+    * — the sweep pays the build once for both). */
+  def s20_ann_index_merge(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val (t1, cents, deltaMod) = ivfBuild(s, dir)
+    val t2 = graft.core.SessionMemo.memoize(s, "s20-merged:" + dir) {
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_s20_wh_$tag")
+      val t = s"graft_s20_ivf_$tag"
+      val delta = base.filter(col("vec_id") % deltaMod === 1L)
+        .withColumn("cell", nearestCell(cents, col("a")))
+        .select("vec_id", "label", "a", "cell")
+      s.table(t1).unionByName(delta)
+        .repartition(8, col("cell"))
+        .write.bucketBy(8, "cell").sortBy("cell", "vec_id")
+        .option("path", new java.io.File(wh, "ivf").getAbsolutePath)
+        .mode("overwrite").saveAsTable(t)
+      t
+    }
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"))
+    val assigned = qs.withColumn("pc", explode(probeCells2(cents, col("qa"))))
+      .select(col("query_id"), col("qa"), col("pc.c").as("probe_cell"))
+    val probed = assigned.select("probe_cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idx = s.table(t2).filter(col("cell").isin(probed.toSeq: _*))
+    val cand = idx.join(broadcast(assigned),
+        col("cell") === col("probe_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", l2n(col("qa"), col("a")))
+      .withColumn("neg_d2", -col("d2") + lit(0.0))
+    graft.plans.TopKPerKey(cand, Seq("query_id"), "neg_d2", "vec_id", 3)
+      .select(col("query_id"), col("rank").as("rk"),
+        col("vec_id").as("neighbor_id"),
+        floor(col("d2") * 1e9).cast("long").as("d2_fp"))
       .orderBy("query_id", "rk")
   }
 
@@ -1074,6 +1153,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s19_pq_persisted" -> (s19_pq_persisted _),
+    "s20_ann_index_merge" -> (s20_ann_index_merge _),
     "s17_nprobe_sweep" -> (s17_nprobe_sweep _),
     "s18_ann_persisted" -> (s18_ann_persisted _),
     "s16_ann_binary_quant" -> (s16_ann_binary_quant _),
@@ -1593,6 +1673,47 @@ object SimilarityQueries {
     // s13's chain with the cell assignment kept to rank 8 and the
     // candidate top-3 windowed per (query, nprobe); probe order is
     // nested so all four sweep points come from one candidate gather
+    // s20 = the frozen-centroid IVF over the FULL corpus: centroids
+    // from the pre-merge indexed subset, every vector (incl. the merged
+    // delta) assigned by argmin against them, top-3 from probed cells
+    "s20_ann_index_merge" -> s"""
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      nn AS (SELECT greatest(97, count(*) // 50) AS dm FROM embeddings),
+      idx0 AS (SELECT e.* FROM e, nn WHERE vec_id % nn.dm <> 1),
+      cent AS (SELECT label AS c_label,
+          list(s ORDER BY i) AS centroid FROM (
+          SELECT label, i,
+            sum(CAST(floor(a[i] * 1e9) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1e9 AS s
+          FROM idx0, range(1, 65) t(i) GROUP BY label, i)
+        GROUP BY label),
+      asn AS (SELECT vec_id, a, c_label AS cell FROM (
+          SELECT d.vec_id, d.a, c.c_label,
+            row_number() OVER (PARTITION BY d.vec_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (d.a[i] - c.centroid[i]) * (d.a[i] - c.centroid[i])),
+                (x, y) -> x + y), c.c_label) AS rk
+          FROM e d, cent c) WHERE rk = 1),
+      qs AS (SELECT vec_id AS query_id, a AS qa FROM e WHERE vec_id % 50 = 0),
+      probes AS (SELECT query_id, qa, c_label AS probe_cell FROM (
+          SELECT q.query_id, q.qa, c.c_label,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (q.qa[i] - c.centroid[i]) * (q.qa[i] - c.centroid[i])),
+                (x, y) -> x + y), c.c_label) AS crk
+          FROM qs q, cent c) WHERE crk <= 2),
+      cand AS (SELECT p.query_id, v.vec_id,
+          list_reduce(list_transform(range(1, 65),
+            i -> (p.qa[i] - v.a[i]) * (p.qa[i] - v.a[i])),
+            (x, y) -> x + y) AS d2
+        FROM probes p JOIN asn v ON v.cell = p.probe_cell
+        WHERE v.vec_id <> p.query_id)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor_id,
+        CAST(floor(d2 * 1e9) AS BIGINT) AS d2_fp
+      FROM (SELECT query_id, vec_id, d2,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY d2, vec_id) AS rk FROM cand)
+      WHERE rk <= 3 ORDER BY query_id, rk""",
     "s18_ann_persisted" -> s"""
       WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
