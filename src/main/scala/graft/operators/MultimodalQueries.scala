@@ -1474,6 +1474,65 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class G711Feature(doc_id: Long, codec: String, n_samples: Long,
+                               s_sum: Long, s_abs: Long, s_last: Long,
+                               s_min: Long, s_max: Long)
+
+  /** m38 — G.711 µ-law/A-law WAV decode: the telephony 2:1 companding
+    * codecs (ITU-T G.711, format tags 7/6 in RIFF/WAVE), completing the
+    * compressed-audio lane next to IMA ADPCM (m35/m36) and FLAC (m26).
+    * Unlike ADPCM there is NO decoder state — each 8-bit code expands
+    * independently through exact segment/mantissa integer arithmetic —
+    * so the DuckDB oracle replays the expansion as plain CASE
+    * arithmetic over the same text-derived code stream (no recursive
+    * CTE). The corpus is MIXED: even doc_ids are µ-law, odd are A-law,
+    * and the decode routes on the sniffed format tag, not the label —
+    * a wrong route flips every sample value (the two expansions agree
+    * almost nowhere), which s_sum/s_min/s_max pin.
+    *
+    * Scale shape: identical to m35 — two scan-parallel mapPartitions
+    * stages (assemble, decode+reduce), no shuffle before the output
+    * sort; one bad payload costs one row, the m31 quarantine posture
+    * applies unchanged at 100 TB. */
+  def m38_g711_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — code bytes would diverge")
+          val b = text.getBytes("US-ASCII")
+          val len = b.length
+          val codes = Array.tabulate(64) { k =>
+            val v = if (len == 0) 0 else b((3 * k + 2) % len) & 0xFF
+            ((v * 7 + k) % 256).toByte
+          }
+          MediaRow(id, MediaCodec.encodeWavG711(8000, codes,
+            aLaw = id % 2 == 1), if (id % 2 == 1) "alaw" else "ulaw")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val au = MediaCodec.decodeAudio(r.payload) // sniffed, not trusted
+        var sum = 0L; var abs = 0L
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var k = 0
+        while (k < au.samples.length) {
+          val v = au.samples(k).toLong
+          sum += v; abs += math.abs(v)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          k += 1
+        }
+        G711Feature(r.doc_id, r.format, au.samples.length.toLong, sum, abs,
+          au.samples.last.toLong, mn, mx)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   final case class JpegAcRow(doc_id: Long, width: Int, height: Int,
                              n_blocks: Long, px_sum: Long, px_wsum: Long,
                              px_min: Long, px_max: Long)
@@ -2469,6 +2528,7 @@ object MultimodalQueries {
     "m35_adpcm_features" -> (m35_adpcm_features _),
     "m36_adpcm_stereo" -> (m36_adpcm_stereo _),
     "m37_apng_features" -> (m37_apng_features _),
+    "m38_g711_features" -> (m38_g711_features _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -2857,6 +2917,46 @@ object MultimodalQueries {
          s_abs::BIGINT AS s_abs, pred::BIGINT AS s_last,
          s_min::BIGINT AS s_min, s_max::BIGINT AS s_max
        FROM steps WHERE k = 64 ORDER BY doc_id""",
+    // G.711 is stateless per sample, so the expansion replays as plain
+    // CASE arithmetic (no recursion): u-law via u = 255 - c, A-law via
+    // a = xor(c, 85); even doc_ids are u-law, odd A-law — the sniffed
+    // format-tag route is pinned because the two expansions disagree
+    // on nearly every code
+    "m38_g711_features" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len
+           FROM documents),
+       s AS (SELECT doc_id,
+           list_transform(range(0, 64), k ->
+             CASE WHEN len = 0 THEN (k % 256)
+               ELSE (ascii(substr(text, ((3 * k + 2) % len)::INT + 1, 1))
+                 * 7 + k) % 256 END) AS cs
+         FROM t),
+       lin AS (SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'alaw' ELSE 'ulaw' END AS codec,
+           list_transform(cs, c -> CASE WHEN doc_id % 2 = 0 THEN
+               CASE WHEN (255 - c) >= 128
+                 THEN 132 - ((((255 - c) % 16) * 8 + 132)
+                   * (1 << (((255 - c) // 16) % 8)))
+                 ELSE ((((255 - c) % 16) * 8 + 132)
+                   * (1 << (((255 - c) // 16) % 8))) - 132 END
+             ELSE
+               CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+               CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                 THEN (xor(c, 85) % 16) * 16 + 8
+                 WHEN (xor(c, 85) // 16) % 8 = 1
+                 THEN (xor(c, 85) % 16) * 16 + 264
+                 ELSE ((xor(c, 85) % 16) * 16 + 264)
+                   * (1 << ((xor(c, 85) // 16) % 8 - 1)) END
+             END) AS vs
+         FROM s)
+       SELECT doc_id, codec, 64::BIGINT AS n_samples,
+         list_reduce(vs, (x, y) -> x + y)::BIGINT AS s_sum,
+         list_reduce(list_transform(vs, v -> abs(v)),
+           (x, y) -> x + y)::BIGINT AS s_abs,
+         vs[64]::BIGINT AS s_last,
+         list_min(vs)::BIGINT AS s_min,
+         list_max(vs)::BIGINT AS s_max
+       FROM lin ORDER BY doc_id""",
     // every sample's TWO bytes replayed from the document text:
     // high = byte(k mod len), low = byte((7k+3) mod len); hi8_sum pins
     // the sniffed 16->8 route as the high-byte sum

@@ -933,53 +933,113 @@ object TextQueries {
     * the executor. The oracle replays the forward DP and the
     * backtrack as recursive CTEs whose depth is the longest WORD, not
     * the corpus size (the m35 recursion discipline). */
+  /** The trained unigram model shared by t31 (training statistics) and
+    * t32 (corpus encode): the kept multi-char pieces with their
+    * training stats, the frozen integer piece costs after the prune,
+    * and the corpus token totals under v0/v1. Memoized per (session,
+    * dir) — the t31/t32 pair pays the three training passes once. */
+  private[operators] final case class UnigramModel(
+      totalChars: Long, tokensV0: Long, tokensV1: Long,
+      kept: Seq[(String, Long, Long)], costs1: Map[String, Long])
+
+  private[operators] def unigramModel(s: SparkSession,
+      dir: String): UnigramModel =
+    graft.core.SessionMemo.memoize(s, "unigram:" + dir) {
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // reused by three passes
+      val totalChars = words
+        .agg(sum(length(col("w")).cast("long") * col("cnt"))).head().getLong(0)
+      val cand = words.as[(String, Long)]
+        .flatMap { case (w, cnt) =>
+          (1 to math.min(4, w.length)).iterator.flatMap(l =>
+            (0 to w.length - l).iterator.map(i => (w.substring(i, i + l), cnt)))
+        }
+        .toDF("piece", "c").groupBy("piece").agg(sum("c").as("freq"))
+        .localCheckpoint()
+      val singles = cand.filter(length(col("piece")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq // alphabet
+      val multi0 = cand.filter(length(col("piece")) >= 2)
+        .orderBy(col("freq").desc, col("piece")).limit(48)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      def costs(vocab: Seq[(String, Long)]): Map[String, Long] =
+        vocab.map { case (p, f) => p -> totalChars * 1000000L / f }.toMap
+      // E-step: Viterbi under the frozen v0 costs, usage map-combined
+      val bc0 = s.sparkContext.broadcast(costs(singles ++ multi0))
+      val usageRows = words.as[(String, Long)]
+        .flatMap { case (w, cnt) => viterbiSeg(w, bc0.value).map((_, cnt)) }
+        .toDF("piece", "u").groupBy("piece").agg(sum("u").as("usage"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // <= |v0|
+      val tokensV0 = usageRows.values.sum
+      // M-step prune: keep the top-24 multi-char pieces; scores are
+      // integers, so this ordering replays exactly in the oracle
+      val kept = multi0
+        .map { case (p, f) => (p, f, usageRows.getOrElse(p, 0L)) }
+        .sortBy { case (p, f, u) => (-u, -f, p) }
+        .take(24)
+      val costs1 = costs(singles ++ kept.map(k => (k._1, k._2)))
+      val bc1 = s.sparkContext.broadcast(costs1)
+      val tokensV1 = words.as[(String, Long)]
+        .map { case (w, cnt) => viterbiSeg(w, bc1.value).length * cnt }
+        .toDF("t").agg(sum("t")).head().getLong(0)
+      UnigramModel(totalChars, tokensV0, tokensV1, kept, costs1)
+    }
+
   def t31_unigram_train(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = Tables.documents(s, dir)
-      .select(explode(tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // reused by three passes
-    val totalChars = words
-      .agg(sum(length(col("w")).cast("long") * col("cnt"))).head().getLong(0)
-    val cand = words.as[(String, Long)]
-      .flatMap { case (w, cnt) =>
-        (1 to math.min(4, w.length)).iterator.flatMap(l =>
-          (0 to w.length - l).iterator.map(i => (w.substring(i, i + l), cnt)))
-      }
-      .toDF("piece", "c").groupBy("piece").agg(sum("c").as("freq"))
-      .localCheckpoint()
-    val singles = cand.filter(length(col("piece")) === 1)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq // alphabet
-    val multi0 = cand.filter(length(col("piece")) >= 2)
-      .orderBy(col("freq").desc, col("piece")).limit(48)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    def costs(vocab: Seq[(String, Long)]): Map[String, Long] =
-      vocab.map { case (p, f) => p -> totalChars * 1000000L / f }.toMap
-    // E-step: Viterbi under the frozen v0 costs, usage map-combined
-    val bc0 = s.sparkContext.broadcast(costs(singles ++ multi0))
-    val usageRows = words.as[(String, Long)]
-      .flatMap { case (w, cnt) => viterbiSeg(w, bc0.value).map((_, cnt)) }
-      .toDF("piece", "u").groupBy("piece").agg(sum("u").as("usage"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // <= |v0|
-    val tokensV0 = usageRows.values.sum
-    // M-step prune: keep the top-24 multi-char pieces; scores are
-    // integers, so this ordering replays exactly in the oracle
-    val kept = multi0
-      .map { case (p, f) => (p, f, usageRows.getOrElse(p, 0L)) }
-      .sortBy { case (p, f, u) => (-u, -f, p) }
-      .take(24)
-    val bc1 = s.sparkContext.broadcast(
-      costs(singles ++ kept.map(k => (k._1, k._2))))
-    val tokensV1 = words.as[(String, Long)]
-      .map { case (w, cnt) => viterbiSeg(w, bc1.value).length * cnt }
-      .toDF("t").agg(sum("t")).head().getLong(0)
-    val keptRows = kept.zipWithIndex.map { case ((p, f, u), i) =>
+    val m = unigramModel(s, dir)
+    val totalChars = m.totalChars
+    val tokensV0 = m.tokensV0
+    val tokensV1 = m.tokensV1
+    val keptRows = m.kept.zipWithIndex.map { case ((p, f, u), i) =>
       (i + 1L, p, f, u)
     }
     (Seq((-2L, "<tokens_v1>", totalChars, tokensV1),
       (-1L, "<tokens_v0>", totalChars, tokensV0)) ++ keptRows)
       .toDF("rank", "piece", "freq", "usage")
       .orderBy("rank")
+  }
+
+  /** t32 — corpus ENCODE under the trained unigram LM (the serving
+    * half of t31, as t30 is to t22's BPE): every document is segmented
+    * by the same per-word Viterbi under the frozen post-prune integer
+    * costs, and the output is the per-source data-card row a tokenizer
+    * eval reads — document count, unigram token count, character
+    * count, and the fixed-point chars-per-token compression ratio.
+    * The source totals must tie out to t31's corpus-wide
+    * `<tokens_v1>` figure (pinned by UnigramTrainSpec).
+    *
+    * Scale shape: ONE scan-parallel pass over documents — the DP runs
+    * per word occurrence against the broadcast cost map (O(len·4),
+    * never leaves the executor; the map is alphabet + 24 pieces), and
+    * the only shuffle is the final source-bounded aggregate. Training
+    * is the memoized [[unigramModel]], paid once across t31/t32. */
+  def t32_unigram_encode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(unigramModel(s, dir).costs1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (_, src, text) =>
+        var toks = 0L
+        var chars = 0L
+        text.split(" ", -1).foreach { w =>
+          toks += viterbiSeg(w, bc.value).length
+          chars += w.length
+        }
+        (src, toks, chars)
+      }
+      .toDF("source", "toks", "chars")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        sum("chars").as("n_chars"))
+      .withColumn("chars_per_tok_fp",
+        ldiv(col("n_chars") * 1000000L, greatest(col("n_tokens"), lit(1L))))
+      .orderBy("source")
   }
 
   /** t23 — corpus n-gram novelty: for every document, the share of its
@@ -1352,6 +1412,7 @@ object TextQueries {
     "t23_ngram_novelty" -> (t23_ngram_novelty _),
     "t22_bpe_train" -> (t22_bpe_train _),
     "t31_unigram_train" -> (t31_unigram_train _),
+    "t32_unigram_encode" -> (t32_unigram_encode _),
     "t30_bpe_encode" -> (t30_bpe_encode _),
     "t21_quality_classifier" -> (t21_quality_classifier _),
     "t20_repetition_filter" -> (t20_repetition_filter _),
@@ -1423,6 +1484,53 @@ object TextQueries {
            LEFT JOIN $v c3 ON b.pos >= 3 AND c3.piece = substr(b.w, b.pos - 2, 3)
            WHERE b.pos > 0))"""
   }
+
+  /** t32 oracle: the same training chain as t31 (through the pruned v1
+    * vocabulary and its Viterbi backtrack), then per-WORD token counts
+    * from bwd1 joined back onto each document's word list — the
+    * distinct-word DP runs once, exactly as the engine's broadcast DP
+    * visits each occurrence with the same frozen costs. */
+  private lazy val t32Sql: String =
+    s"""WITH RECURSIVE wd AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt FROM
+         (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         GROUP BY w),
+       tot AS MATERIALIZED (SELECT sum(cnt * length(w))::BIGINT AS tc FROM wd),
+       sub AS MATERIALIZED (SELECT substr(w, i, l) AS piece, sum(cnt)::BIGINT AS freq FROM
+         (SELECT w, cnt, unnest(range(1, length(w) + 1)) AS i FROM wd),
+         range(1, 5) t(l)
+         WHERE i + l - 1 <= length(w)
+         GROUP BY 1),
+       singles AS MATERIALIZED (SELECT piece, freq FROM sub WHERE length(piece) = 1),
+       multi0 AS MATERIALIZED (SELECT piece, freq FROM sub WHERE length(piece) >= 2
+         ORDER BY freq DESC, piece LIMIT 48),
+       v0 AS MATERIALIZED (SELECT piece, freq, tc * 1000000 // freq AS cost FROM
+         (SELECT * FROM singles UNION ALL SELECT * FROM multi0), tot),
+       ${t31DpSql("v0", "0")},
+       usage0 AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS usage FROM bwd0
+         WHERE piece IS NOT NULL GROUP BY piece),
+       kept AS MATERIALIZED (SELECT piece, freq FROM
+         (SELECT m.piece, m.freq, coalesce(u.usage, 0)::BIGINT AS usage
+           FROM multi0 m LEFT JOIN usage0 u ON u.piece = m.piece)
+         ORDER BY usage DESC, freq DESC, piece LIMIT 24),
+       v1 AS MATERIALIZED (SELECT piece, freq, tc * 1000000 // freq AS cost FROM
+         (SELECT piece, freq FROM singles
+          UNION ALL SELECT piece, freq FROM kept), tot),
+       ${t31DpSql("v1", "1")},
+       wlen AS MATERIALIZED (SELECT w, count(*)::BIGINT AS ntok FROM bwd1
+         WHERE piece IS NOT NULL GROUP BY w),
+       dw AS (SELECT doc_id, source,
+           unnest(string_split(text, ' ')) AS w FROM documents),
+       per AS (SELECT d.source, d.doc_id,
+           sum(coalesce(wl.ntok, 0))::BIGINT AS toks,
+           sum(length(d.w))::BIGINT AS chars
+         FROM dw d LEFT JOIN wlen wl ON wl.w = d.w
+         GROUP BY 1, 2)
+       SELECT source, count(*)::BIGINT AS n_docs,
+         sum(toks)::BIGINT AS n_tokens,
+         sum(chars)::BIGINT AS n_chars,
+         (sum(chars)::BIGINT * 1000000
+           // greatest(sum(toks)::BIGINT, 1))::BIGINT AS chars_per_tok_fp
+       FROM per GROUP BY source ORDER BY source"""
 
   private lazy val t31Sql: String =
     s"""WITH RECURSIVE wd AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt FROM
@@ -1767,6 +1875,7 @@ object TextQueries {
              AS fertility_fp
          FROM agg ORDER BY doc_id""",
     "t31_unigram_train" -> t31Sql,
+    "t32_unigram_encode" -> t32Sql,
     "t22_bpe_train" ->
       """WITH w0 AS (SELECT w, count(*)::BIGINT AS cnt FROM
            (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

@@ -588,11 +588,66 @@ object MediaCodec {
     b.array()
   }
 
+  // ---------------------------------------------------------- G.711
+
+  /** ITU-T G.711 µ-law expansion: 8-bit code → 16-bit linear, the
+    * exactly-specified segment/mantissa arithmetic (BIAS = 0x84, eight
+    * segments). Stateless per sample — unlike ADPCM there is no
+    * predictor, so oracles replay it as plain CASE arithmetic. */
+  private def ulaw2linear(code: Int): Int = {
+    val u = ~code & 0xFF
+    val t = (((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law expansion: toggle the even bits (0x55), then
+    * segment 0 is linear (step 16, offset 8), segments 1–7 double. */
+  private def alaw2linear(code: Int): Int = {
+    val a = code ^ 0x55
+    val seg = (a >> 4) & 7
+    val t = seg match {
+      case 0 => ((a & 0xF) << 4) + 8
+      case 1 => ((a & 0xF) << 4) + 0x108
+      case _ => (((a & 0xF) << 4) + 0x108) << (seg - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Assemble a mono G.711 RIFF/WAVE file: the data chunk IS the 8-bit
+    * code stream (format tag 7 = µ-law, 6 = A-law, one byte per
+    * sample). Fixture-side twin of the tag-6/7 branch in
+    * [[decodeWav]]; shares no expansion arithmetic with it. */
+  def encodeWavG711(sampleRate: Int, codes: Array[Byte],
+      aLaw: Boolean): Array[Byte] = {
+    val b = ByteBuffer.allocate(12 + 8 + 18 + 8 + 4 + 8 + codes.length +
+      (codes.length & 1)).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII"))
+    b.putInt(4 + 26 + 12 + 8 + codes.length + (codes.length & 1))
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII"))
+    b.putInt(18) // 16 common + cbSize(2): tags != 1 carry cbSize
+    b.putShort(if (aLaw) 6 else 7)
+    b.putShort(1) // mono
+    b.putInt(sampleRate)
+    b.putInt(sampleRate) // nAvgBytesPerSec: 1 byte/sample
+    b.putShort(1) // nBlockAlign
+    b.putShort(8) // wBitsPerSample
+    b.putShort(0) // cbSize
+    b.put("fact".getBytes("US-ASCII"))
+    b.putInt(4); b.putInt(codes.length)
+    b.put("data".getBytes("US-ASCII"))
+    b.putInt(codes.length)
+    b.put(codes)
+    if ((codes.length & 1) == 1) b.put(0.toByte) // RIFF 2-byte alignment
+    b.array()
+  }
+
   /** Decode a RIFF/WAVE file: walk the chunk list (2-byte alignment),
     * read 'fmt ' and 'data', skip everything else. Serves PCM16
-    * (format tag 1) and mono IMA/DVI ADPCM (format tag 0x0011) — the
+    * (format tag 1), mono IMA/DVI ADPCM (format tag 0x0011) — the
     * deterministic-integer compressed-audio format whose decode
-    * replays bit-for-bit. */
+    * replays bit-for-bit — and G.711 µ-law/A-law (tags 7/6, the
+    * telephony 2:1 codecs, stateless integer expansion). */
   def decodeWav(bytes: Array[Byte]): Audio = {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 12 &&
@@ -619,15 +674,19 @@ object MediaCodec {
         case "fmt " =>
           require(size >= 16, "fmt chunk too small")
           tag = b.getShort(body) & 0xFFFF
-          require(tag == 1 || tag == 0x11,
-            s"only PCM (tag 1) or IMA ADPCM (tag 0x11) supported, got $tag")
+          require(tag == 1 || tag == 6 || tag == 7 || tag == 0x11,
+            s"only PCM (1), A-law (6), mu-law (7) or IMA ADPCM (0x11) " +
+              s"supported, got $tag")
           channels = b.getShort(body + 2) & 0xFFFF
           sampleRate = b.getInt(body + 4)
           blockAlign = b.getShort(body + 12) & 0xFFFF
           val bits = b.getShort(body + 14) & 0xFFFF
           if (tag == 1) require(bits == 16,
             s"only 16-bit PCM supported, got $bits")
-          else {
+          else if (tag == 6 || tag == 7) {
+            require(bits == 8, s"G.711 must be 8-bit, got $bits")
+            require(channels == 1, s"G.711 path is mono, got $channels")
+          } else {
             require(bits == 4, s"IMA ADPCM must be 4-bit, got $bits")
             require(channels == 1 || channels == 2,
               s"IMA ADPCM supports mono/stereo, got $channels channels")
@@ -647,6 +706,15 @@ object MediaCodec {
         val out = new Array[Short](n)
         var i = 0
         while (i < n) { out(i) = b.getShort(dataOff + i * 2); i += 1 }
+        out
+      } else if (tag == 6 || tag == 7) {
+        val out = new Array[Short](dataSize)
+        var i = 0
+        while (i < dataSize) {
+          val c = bytes(dataOff + i) & 0xFF
+          out(i) = (if (tag == 7) ulaw2linear(c) else alaw2linear(c)).toShort
+          i += 1
+        }
         out
       } else decodeImaBlocks(bytes, dataOff, dataSize, blockAlign, channels)
     Audio(sampleRate, channels, samples)

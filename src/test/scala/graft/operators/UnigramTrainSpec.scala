@@ -55,4 +55,22 @@ class UnigramTrainSpec extends SparkSpec {
     assert(ledger("<tokens_v1>") >= ledger("<tokens_v0>"))
     assert(ledger("<tokens_v0>") > 0)
   }
+
+  test("t32 per-source encode ties out to t31's corpus token ledger") {
+    val train = TextQueries.t31_unigram_train(spark, sf()).collect()
+    val v1 = train.filter(r => r.getString(1) == "<tokens_v1>")
+      .head.getLong(3)
+    val enc = TextQueries.t32_unigram_encode(spark, sf()).collect()
+    // the per-source encode is a partition of the corpus: its token
+    // total must equal the training ledger's corpus-wide v1 figure
+    assert(enc.map(_.getLong(2)).sum == v1)
+    enc.foreach { r =>
+      val (docs, toks, chars, fp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(docs > 0 && toks > 0 && chars > 0)
+      // a unigram token is 1..4 chars
+      assert(toks <= chars && chars <= toks * 4)
+      assert(fp == chars * 1000000L / toks)
+    }
+  }
 }

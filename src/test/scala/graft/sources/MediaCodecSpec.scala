@@ -243,6 +243,40 @@ class MediaCodecSpec extends AnyFunSuite {
     b.array()
   }
 
+  test("G.711 mu-law: known codebook extremes and both zeros") {
+    // ITU-T G.711 table values: 0x00 -> -32124, 0x80 -> +32124,
+    // 0x7F and 0xFF are the two zeros of the folded code space
+    val au = MediaCodec.decodeAudio(MediaCodec.encodeWavG711(8000,
+      Array(0x00, 0x80, 0x7F, 0xFF, 0xF0, 0x70).map(_.toByte), aLaw = false))
+    assert(au.sampleRate == 8000 && au.channels == 1)
+    assert(au.samples.toSeq ==
+      Seq[Short](-32124, 32124, 0, 0, 120, -120))
+  }
+
+  test("G.711 A-law: known codebook extremes, segment-0 linearity") {
+    // 0x55 (a=0) -> -8, 0xD5 -> +8 (segment 0 is linear, step 16),
+    // 0x2A/0xAA (a=0xFF) -> -/+32256 (the A-law max amplitude)
+    val au = MediaCodec.decodeAudio(MediaCodec.encodeWavG711(8000,
+      Array(0x55, 0xD5, 0x2A, 0xAA, 0x54, 0xD4).map(_.toByte), aLaw = true))
+    assert(au.samples.toSeq ==
+      Seq[Short](-8, 8, -32256, 32256, -24, 24))
+  }
+
+  test("G.711: the two expansions agree on NO code (sniff route pinned)") {
+    val codes = Array.tabulate(256)(_.toByte)
+    val u = MediaCodec.decodeAudio(
+      MediaCodec.encodeWavG711(8000, codes, aLaw = false)).samples
+    val a = MediaCodec.decodeAudio(
+      MediaCodec.encodeWavG711(8000, codes, aLaw = true)).samples
+    assert(u.indices.forall(i => u(i) != a(i)))
+  }
+
+  test("G.711: odd-length code stream pads the RIFF chunk correctly") {
+    val au = MediaCodec.decodeAudio(
+      MediaCodec.encodeWavG711(8000, Array[Byte](0x55, 0x55, 0x55), aLaw = true))
+    assert(au.samples.toSeq == Seq[Short](-8, -8, -8))
+  }
+
   test("IMA ADPCM: hand-traced state walk from the spec tables") {
     // pred=0 idx=0 (step 7): nibble 0 -> diff 0, pred 0, idx max(0,-1)=0
     // nibble 7 -> diff 0+1+3+7=11, pred 11, idx 8 (step 16)
