@@ -789,7 +789,53 @@ object NetCDFQueries {
       .orderBy("id_dim")
   }
 
+  /** qn18 — MULTI-FILE NetCDF aggregation import (the ncrcat /
+    * open_mfdataset shape): the embeddings grid is written as THREE
+    * classic CDF files with different record counts (a quarter, a
+    * half, the rest), then imported through ONE DSv2 scan with
+    * `paths=a|b|c` — the files concatenate along the record dimension,
+    * each file's record count comes from its header (a metadata-only
+    * driver pass), and global id_dim offsets are the prefix sums, so
+    * the keying is identical to one concatenated file. An id_dim
+    * predicate lands in the source and prunes file 1 ENTIRELY at
+    * planning (its bytes are never opened — NetCDFSpec pins the
+    * partition count); every surviving partition reads exactly one
+    * file. This is the 100 TB archive layout: one file per day/month/
+    * ensemble member, imported as one logical array without a concat
+    * preprocessing pass. Reference anchor: OPH_IMPORTNC reads one file
+    * per operator call (oph_io_server_nc.c:2716-3243); the multi-file
+    * resolve generalizes it the way NCO's ncrcat does, with the
+    * file→offset map derived from headers, not trusted input. */
+  def qn18_multifile_import(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val src = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy("vec_id")
+    val n = src.count().toInt
+    val tmp = Files.createTempDirectory("graft_mfnc")
+    val sizes = Seq(n / 4, n / 2, n - n / 4 - n / 2)
+    val it = src.toLocalIterator().asScala
+      .map(_.getSeq[Double](1).toArray)
+    val paths = sizes.zipWithIndex.map { case (cnt, i) =>
+      val p = tmp.resolve(s"part$i.nc").toString
+      NetCDF3.writeDoubleVarStreamed(p, Seq("row" -> cnt, "x" -> 64),
+        "measure", it.take(cnt))
+      p
+    }
+    s.read.format("graft.sources.NetCDFSource")
+      .option("paths", paths.mkString("|"))
+      .option("var", "measure")
+      .option("partitions", "8")
+      .load()
+      // global row n/4 is exactly the file-1/file-2 boundary: the
+      // pushed range excludes file 1, whose partitions are never planned
+      .filter(col("id_dim") > (n / 4).toLong)
+      .select(col("id_dim"), AP.fx12(col("measure")).as("measure"))
+      .orderBy("id_dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qn18_multifile_import" -> (qn18_multifile_import _),
     "qn16_vlen_labels" -> (qn16_vlen_labels _),
     "qn14_fletcher_import" -> (qn14_fletcher_import _),
     "qn01_netcdf_roundtrip" -> (qn01_netcdf_roundtrip _),
@@ -910,6 +956,15 @@ object NetCDFQueries {
            ELSE '' END AS m_before,
          CAST(CASE WHEN i <= 40 THEN 1 ELSE 0 END AS BIGINT) AS in_before
          FROM range(1, 101) t(i)
+         ORDER BY id_dim""",
+    // the three files concatenate to the original grid; the id window
+    // replays as a count-derived predicate (the AutoScale discipline)
+    "qn18_multifile_import" ->
+      """SELECT vec_id + 1 AS id_dim,
+         array_to_string(list_transform(embedding,
+           x -> CAST(floor(x::DOUBLE * 1e12) AS BIGINT)), ',') AS measure
+         FROM embeddings
+         WHERE vec_id + 1 > (SELECT count(*) // 4 FROM embeddings)
          ORDER BY id_dim""",
     "qn01_netcdf_roundtrip" ->
       """SELECT vec_id + 1 AS id_dim,

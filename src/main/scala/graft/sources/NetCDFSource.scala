@@ -137,7 +137,17 @@ final class NetCDFScan(opts: Map[String, String])
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
-  private val sp = NetCDFSource.spec(opts)
+  /** Multi-file aggregation (`paths=a|b|c`): the files CONCATENATE
+    * along the leading explicit (record) dimension — the ncrcat /
+    * open_mfdataset shape a 100 TB archive ships as (one file per day/
+    * month/member). Each file's record count comes from its HEADER
+    * (metadata-only driver pass); global id_dim offsets are the prefix
+    * sums, so the id keying is identical to one concatenated file. */
+  private val multiPaths: Seq[String] = opts.get("paths")
+    .map(_.split('|').toSeq.map(_.trim).filter(_.nonEmpty))
+    .getOrElse(Seq.empty)
+  private val sp = NetCDFSource.spec(
+    if (multiPaths.nonEmpty) opts + ("path" -> multiPaths.head) else opts)
   private var required: StructType = NetCDFSource.schemaFor(sp.elemType)
   private var pushedIdRange: (Long, Long) = (Long.MinValue, Long.MaxValue)
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
@@ -183,7 +193,29 @@ final class NetCDFScan(opts: Map[String, String])
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Per-file specs for multi-file mode, each derived from its own
+    * header (files may differ in record count; everything else must
+    * agree). Lazy: only the driver's planning pass opens headers. */
+  private lazy val fileSpecs: Seq[NetCDFSource.Spec] =
+    if (multiPaths.isEmpty) Seq(sp)
+    else {
+      val specs = multiPaths.map(p =>
+        NetCDFSource.spec(opts - "paths" + ("path" -> p)))
+      val ref = specs.head
+      specs.foreach { fs =>
+        require(fs.explicit == ref.explicit &&
+          fs.logicalExplicitSizes.drop(1) == ref.logicalExplicitSizes.drop(1) &&
+          fs.starts.size == ref.starts.size &&
+          (fs.explicit until fs.starts.size).map(k => fs.extent(fs.fileOfLogical(k))) ==
+            (ref.explicit until ref.starts.size).map(k => ref.extent(ref.fileOfLogical(k))),
+          s"multi-file: ${fs.path} disagrees with ${ref.path} on " +
+            "non-record dimensions")
+      }
+      specs
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
+    if (multiPaths.nonEmpty) return planMultiFile()
     val allRows = sp.logicalExplicitSizes.product.toLong
     // id_dim = keyStart + row → clamp the planned row window to the
     // pushed id range (empty overlap → zero partitions, zero reads)
@@ -201,6 +233,44 @@ final class NetCDFScan(opts: Map[String, String])
       val hi = rowMin + nRows * (i + 1) / p
       NetCDFPartition(sp, lo, hi, needId, needMeasure): InputPartition
     }.toArray
+  }
+
+  /** Multi-file planning: clamp the pushed global id window onto the
+    * per-file offset ranges — files wholly outside it are PRUNED at
+    * the driver (their bytes are never opened by an executor, the q35
+    * partition-pruning posture at the file level) — then split each
+    * surviving file's local row range proportionally. Every partition
+    * reads exactly one file: [[NetCDFPartitionReader]] is reused
+    * unchanged with keyStart carrying the file's global offset. */
+  private def planMultiFile(): Array[InputPartition] = {
+    val counts = fileSpecs.map(_.logicalExplicitSizes.product.toLong)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val allRows = offsets.last
+    val rowMin = math.max(0L,
+      if (pushedIdRange._1 == Long.MinValue) 0L else pushedIdRange._1 - sp.keyStart)
+    val rowMax = math.min(allRows,
+      if (pushedIdRange._2 == Long.MaxValue) allRows else pushedIdRange._2 - sp.keyStart + 1)
+    val nRows = math.max(0L, rowMax - rowMin)
+    if (nRows == 0) return Array.empty
+    val needMeasure = required.fieldNames.contains("measure")
+    val needId = required.fieldNames.contains("id_dim")
+    val out = Array.newBuilder[InputPartition]
+    fileSpecs.indices.foreach { f =>
+      val gLo = math.max(rowMin, offsets(f))
+      val gHi = math.min(rowMax, offsets(f + 1))
+      if (gLo < gHi) { // file-level prune: empty overlap → no partition
+        val local = gHi - gLo
+        val np = math.max(1L,
+          math.min(local, sp.partitions.toLong * local / nRows)).toInt
+        val fsp = fileSpecs(f).copy(keyStart = sp.keyStart + offsets(f))
+        (0 until np).foreach { i =>
+          val lo = (gLo - offsets(f)) + local * i / np
+          val hi = (gLo - offsets(f)) + local * (i + 1) / np
+          out += NetCDFPartition(fsp, lo, hi, needId, needMeasure)
+        }
+      }
+    }
+    out.result()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

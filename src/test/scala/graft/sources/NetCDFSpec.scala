@@ -128,6 +128,42 @@ class NetCDFSpec extends SparkSpec {
     assert(load.filter(col("id_dim") > 1000).count() == 0)
   }
 
+  test("multi-file paths= concatenates along the record dim with header-derived offsets") {
+    import org.apache.spark.sql.functions.col
+    // three files, DIFFERENT record counts (2, 3, 1 rows of 4)
+    val a = tmpNc(Seq("t" -> 2, "x" -> 4), Array.tabulate(8)(_.toDouble))
+    val b = tmpNc(Seq("t" -> 3, "x" -> 4), Array.tabulate(12)(i => 100.0 + i))
+    val c = tmpNc(Seq("t" -> 1, "x" -> 4), Array.tabulate(4)(i => 200.0 + i))
+    def load = spark.read.format("graft.sources.NetCDFSource")
+      .option("paths", s"$a|$b|$c").option("explicit", "1")
+      .option("partitions", "6").load()
+    val rows = load.orderBy("id_dim").collect()
+    // ids are continuous 1..6 across the three files
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 6L))
+    assert(rows(0).getSeq[Double](1) == Seq(0.0, 1.0, 2.0, 3.0))
+    assert(rows(2).getSeq[Double](1) == Seq(100.0, 101.0, 102.0, 103.0))
+    assert(rows(5).getSeq[Double](1) == Seq(200.0, 201.0, 202.0, 203.0))
+    // file-level pruning: an id window inside file 2 plans NO partition
+    // for files 1 and 3 (3 local rows at most, from one file)
+    val mid = load.filter(col("id_dim") >= 3 && col("id_dim") <= 5)
+    assert(mid.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 5L))
+    assert(mid.rdd.getNumPartitions <= 3,
+      s"expected file-pruned plan, got ${mid.rdd.getNumPartitions}")
+    // empty overlap → zero partitions, no error
+    assert(load.filter(col("id_dim") > 100).count() == 0)
+  }
+
+  test("multi-file paths= rejects files that disagree on non-record dims") {
+    val a = tmpNc(Seq("t" -> 2, "x" -> 4), Array.tabulate(8)(_.toDouble))
+    val bad = tmpNc(Seq("t" -> 2, "x" -> 5), Array.tabulate(10)(_.toDouble))
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.NetCDFSource")
+        .option("paths", s"$a|$bad").option("explicit", "1")
+        .load().collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("CDF-2 (64-bit offset) header parses and reads") {
     // hand-built per the classic-format spec: version byte 2 + long begin
     val f = Files.createTempFile("graft", ".nc").toFile
