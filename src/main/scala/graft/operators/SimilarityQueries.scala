@@ -1059,6 +1059,64 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** s21 — TOMBSTONE DELETES on the persisted index, the third LSM
+    * operation next to s18's build and s20's merge: vectors removed
+    * from the corpus (takedowns, dedup retractions) cannot be erased
+    * from an immutable cell-bucketed index without a rewrite, so
+    * deletes are LOGICAL — a small tombstone set masked at serve time
+    * — until the next compaction folds them out. The physical index,
+    * its centroids and its cell assignments are all UNCHANGED (exactly
+    * as real IVF systems behave between compactions); the mask applies
+    * only to what serving may RETURN: tombstoned vectors issue no
+    * queries, appear in no candidate list (index arm AND delta
+    * side-scan arm), and masking can only ever promote deeper
+    * neighbors — never reorder survivors (AnnMergeSpec pins both
+    * properties against an unmasked s18 serve). The `% 7` deletion set
+    * is workload, not an index parameter: it models which rows a
+    * takedown hits, so it does not AutoScale.
+    *
+    * At 100 TB: the tombstone set is orders of magnitude smaller than
+    * the index (takedowns are rare); it broadcasts, and the mask is a
+    * broadcast anti-join on vec_id — serving cost is s18's plus one
+    * hash-probe per candidate, with zero index-side I/O amplification.
+    * Reference anchor: none (the reference has no vector path); this
+    * is the brief's similarity-search serving lane. */
+  def s21_ann_tombstones(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    def l2(x: Column, y: Column): Column = l2n(x, y)
+    val (tbl, cents, deltaMod) = ivfBuild(s, dir)
+    val tomb = base.filter(col("vec_id") % 7 === 3).select("vec_id")
+    def mask(df: DataFrame): DataFrame =
+      df.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    val qs = mask(base).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"))
+    val assigned = qs.withColumn("pc", explode(probeCells2(cents, col("qa"))))
+      .select(col("query_id"), col("qa"), col("pc.c").as("probe_cell"))
+    val probed = assigned.select("probe_cell").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by the cell count
+    // the index scan itself is UNMASKED (physical layout untouched);
+    // the tombstone anti-join gates what leaves the probed cells
+    val idx = mask(s.table(tbl).filter(col("cell").isin(probed.toSeq: _*)))
+    val fromIdx = idx.join(broadcast(assigned),
+        col("cell") === col("probe_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        l2(col("qa"), col("a")).as("d2"), lit(0L).as("from_delta"))
+    val delta = mask(base.filter(col("vec_id") % deltaMod === 1L))
+    val fromDelta = delta.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        l2(col("qa"), col("a")).as("d2"), lit(1L).as("from_delta"))
+    val cand = fromIdx.unionByName(fromDelta)
+      .withColumn("neg_d2", negate(col("d2")))
+    graft.plans.TopKPerKey(cand, Seq("query_id"), "neg_d2", "vec_id", 3)
+      .select(col("query_id"), col("rank").as("rk"),
+        col("vec_id").as("neighbor_id"),
+        floor(col("d2") * 1e9).cast("long").as("d2_fp"),
+        col("from_delta"))
+      .orderBy("query_id", "rk")
+  }
+
   /** s19 — PERSISTED PQ-IVF serving with exact RERANK (the FAISS
     * IVF-PQ + refine layout, persisted): s09 derives residual PQ codes
     * in-query on every run; a serving deployment encodes ONCE and
@@ -1156,6 +1214,7 @@ object SimilarityQueries {
     "s20_ann_index_merge" -> (s20_ann_index_merge _),
     "s17_nprobe_sweep" -> (s17_nprobe_sweep _),
     "s18_ann_persisted" -> (s18_ann_persisted _),
+    "s21_ann_tombstones" -> (s21_ann_tombstones _),
     "s16_ann_binary_quant" -> (s16_ann_binary_quant _),
     "s15_hybrid_rrf" -> (s15_hybrid_rrf _),
     "s14_maxsim_multivector" -> (s14_maxsim_multivector _),
@@ -1714,6 +1773,61 @@ object SimilarityQueries {
           row_number() OVER (PARTITION BY query_id
             ORDER BY d2, vec_id) AS rk FROM cand)
       WHERE rk <= 3 ORDER BY query_id, rk""",
+    // s18's replay with the tombstone mask (vec_id % 7 = 3) applied
+    // ONLY to queries and candidates — centroids and cell assignment
+    // deliberately see the full corpus (logical deletes do not touch
+    // the physical index between compactions)
+    "s21_ann_tombstones" -> s"""
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      nn AS (SELECT greatest(97, count(*) // 50) AS dm FROM embeddings),
+      idx0 AS (SELECT e.* FROM e, nn WHERE vec_id % nn.dm <> 1),
+      delta AS (SELECT e.* FROM e, nn WHERE vec_id % nn.dm = 1),
+      cent AS (SELECT label AS c_label,
+          list(s ORDER BY i) AS centroid FROM (
+          SELECT label, i,
+            sum(CAST(floor(a[i] * 1e9) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1e9 AS s
+          FROM idx0, range(1, 65) t(i) GROUP BY label, i)
+        GROUP BY label),
+      asn AS (SELECT vec_id, a, c_label AS cell FROM (
+          SELECT d.vec_id, d.a, c.c_label,
+            row_number() OVER (PARTITION BY d.vec_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (d.a[i] - c.centroid[i]) * (d.a[i] - c.centroid[i])),
+                (x, y) -> x + y), c.c_label) AS rk
+          FROM idx0 d, cent c) WHERE rk = 1),
+      qs AS (SELECT vec_id AS query_id, a AS qa FROM e
+        WHERE vec_id % 50 = 0 AND vec_id % 7 <> 3),
+      probes AS (SELECT query_id, qa, c_label AS probe_cell FROM (
+          SELECT q.query_id, q.qa, c.c_label,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (q.qa[i] - c.centroid[i]) * (q.qa[i] - c.centroid[i])),
+                (x, y) -> x + y), c.c_label) AS crk
+          FROM qs q, cent c) WHERE crk <= 2),
+      cand AS (
+        SELECT p.query_id, v.vec_id,
+          list_reduce(list_transform(range(1, 65),
+            i -> (p.qa[i] - v.a[i]) * (p.qa[i] - v.a[i])),
+            (x, y) -> x + y) AS d2,
+          0 AS from_delta
+        FROM probes p JOIN asn v ON v.cell = p.probe_cell
+        WHERE v.vec_id <> p.query_id AND v.vec_id % 7 <> 3
+        UNION ALL
+        SELECT q.query_id, d.vec_id,
+          list_reduce(list_transform(range(1, 65),
+            i -> (q.qa[i] - d.a[i]) * (q.qa[i] - d.a[i])),
+            (x, y) -> x + y) AS d2,
+          1 AS from_delta
+        FROM qs q, delta d
+        WHERE d.vec_id <> q.query_id AND d.vec_id % 7 <> 3),
+      top AS (SELECT query_id, vec_id, d2, from_delta,
+          row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rk
+        FROM cand)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor_id,
+        CAST(floor(d2 * 1e9) AS BIGINT) AS d2_fp,
+        CAST(from_delta AS BIGINT) AS from_delta
+      FROM top WHERE rk <= 3 ORDER BY query_id, rk""",
     "s18_ann_persisted" -> s"""
       WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),

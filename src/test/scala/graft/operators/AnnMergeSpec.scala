@@ -84,4 +84,34 @@ class AnnMergeSpec extends SparkSpec {
     assert(recomputed.count() == 0,
       "every returned distance must recompute from the merged table")
   }
+
+  test("s21 tombstones: mask removes, never reorders; survivors match s18") {
+    val dir = sf()
+    val masked = SimilarityQueries.s21_ann_tombstones(spark, dir).collect()
+    val open = SimilarityQueries.s18_ann_persisted(spark, dir).collect()
+    assert(masked.nonEmpty)
+    // no tombstoned id may appear as a query or a neighbor
+    masked.foreach { r =>
+      assert(r.getLong(0) % 7 != 3, s"tombstoned query ${r.getLong(0)} served")
+      assert(r.getLong(2) % 7 != 3, s"tombstoned neighbor ${r.getLong(2)}")
+    }
+    // for queries whose UNMASKED top-3 holds no tombstone, masking must
+    // be a no-op: removing deeper candidates cannot reorder the prefix
+    val byQ = open.groupBy(_.getLong(0))
+    val cleanQs = byQ.collect {
+      case (q, rows) if q % 7 != 3 && rows.forall(_.getLong(2) % 7 != 3) => q
+    }.toSet
+    assert(cleanQs.nonEmpty, "fixture must include untouched queries")
+    val maskedByQ = masked.groupBy(_.getLong(0))
+    cleanQs.foreach { q =>
+      val a = byQ(q).map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      val b = maskedByQ(q).map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      assert(a.toSeq == b.toSeq, s"query $q reordered under masking")
+    }
+    // and some query must actually have been affected (promotion case)
+    val touched = byQ.exists { case (q, rows) =>
+      q % 7 != 3 && rows.exists(_.getLong(2) % 7 == 3)
+    }
+    assert(touched, "fixture must exercise a tombstone promotion")
+  }
 }
