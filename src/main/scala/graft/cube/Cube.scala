@@ -86,6 +86,25 @@ final case class Cube(df: DataFrame, explicitDims: Seq[Dim], implicitDims: Seq[D
   def apply_(f: Column => Column): Cube =
     Cube(df.withColumn("measure", f(col("measure"))), explicitDims, implicitDims)
 
+  /** OPH_INTERCUBE: elementwise binary operation between two cubes of
+    * IDENTICAL shape (the upstream framework's two-cube algebra —
+    * difference, ratio, mask). The 1:1 id_dim equi-join aligns the
+    * fragments; the op runs as one in-array zip_with, fully codegen.
+    * At scale: when both sides derive from one store (ensemble members,
+    * model-vs-obs pairs) the join is an aligned sort-merge whose
+    * exchange vanishes under bucketing (the q33 idiom); the measure
+    * never explodes. */
+  def intercube(other: Cube, op: (Column, Column) => Column): Cube = {
+    require(explicitDims.map(_.size) == other.explicitDims.map(_.size) &&
+      implicitDims.map(_.size) == other.implicitDims.map(_.size),
+      s"intercube shape mismatch: ${explicitDims}×${implicitDims} vs " +
+        s"${other.explicitDims}×${other.implicitDims}")
+    val rhs = other.df.select(col("id_dim"), col("measure").as("measure_b"))
+    Cube(df.join(rhs, "id_dim")
+      .withColumn("measure", zip_with(col("measure"), col("measure_b"), op))
+      .drop("measure_b"), explicitDims, implicitDims)
+  }
+
   /** OPH_REDUCE over one IMPLICIT dim (in-array, no shuffle). */
   def reduceImplicit(dim: String, op: String): Cube = {
     val d = dimIdx(dim, implicitDims)

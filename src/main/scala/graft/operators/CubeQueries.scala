@@ -165,7 +165,33 @@ object CubeQueries {
       .withColumn("measure", graft.functions.ArrayPrimitives.fx12(col("measure")))
   }
 
+  /** qc07 — OPH_INTERCUBE, the two-cube elementwise algebra (the
+    * upstream framework's cube-vs-cube operator; qc05 uses the same
+    * arithmetic inline for its anomaly, this exercises it as the
+    * FIRST-CLASS [[Cube.intercube]] API): the corpus splits into two
+    * half-cubes by row parity (ensemble member A = odd rows, member B
+    * = even rows — OPH_SUBSET re-keys both densely, so the id spaces
+    * align 1:1), the intercube difference A − B runs as one zip_with
+    * over the aligned join, and the y dim max-reduces the result to
+    * the per-row spread profile.
+    *
+    * Scale shape: one scan feeds both subsets (filter + id arithmetic,
+    * no duplication of the store), the intercube join is the only
+    * exchange, and the reduce stays in-array. Elementwise double
+    * subtraction is a single IEEE operation — deterministic across
+    * engines, the README elementwise-math contract. */
+  def qc07_intercube(s: SparkSession, dir: String): DataFrame = {
+    val base = cube(s, dir)
+    val a = base.subsetExplicit("row", "1:2:end") // odd ids → member A
+    val b = base.subsetExplicit("row", "2:2:end") // even ids → member B
+    a.intercube(b, _ - _)
+      .reduceImplicit("y", "max")
+      .df.orderBy("id_dim")
+      .withColumn("measure", graft.functions.ArrayPrimitives.fx12(col("measure")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc07_intercube" -> (qc07_intercube _),
     "qc06_cube_regrid" -> (qc06_cube_regrid _),
     "qc05_cube_anomaly" -> (qc05_cube_anomaly _),
     "qc01_cube_pipeline" -> (qc01_cube_pipeline _),
@@ -215,6 +241,17 @@ object CubeQueries {
            x -> CAST(floor(((i-1) * 0.5 + (x // 3) * 0.25 + (x % 3) * 0.125)
              * 1e12) AS BIGINT)), ',') AS m_sharded
          FROM range(1, 61) t(i)
+         ORDER BY id_dim""",
+    // member A = even vec_ids (odd ids), member B = the following odd
+    // vec_id; one IEEE subtraction per cell, then the x-profile max
+    "qc07_intercube" ->
+      """SELECT (e1.vec_id / 2)::BIGINT + 1 AS id_dim,
+         array_to_string(list_transform(range(0, 8), x ->
+           CAST(floor(list_reduce(list_transform(range(1, 9),
+             y -> e1.embedding[x*8 + y]::DOUBLE - e2.embedding[x*8 + y]::DOUBLE),
+             (p, q) -> greatest(p, q)) * 1e12) AS BIGINT)), ',') AS measure
+         FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1
+         WHERE e1.vec_id % 2 = 0
          ORDER BY id_dim""",
     "qc01_cube_pipeline" ->
       """SELECT (vec_id / 2)::BIGINT + 1 AS id_dim,

@@ -131,6 +131,25 @@ class CubeSpec extends SparkSpec {
     assert(data.toSeq == (0 until 60).map(_.toDouble))
   }
 
+  test("intercube: elementwise op over the aligned id join; shape guarded") {
+    val c = fixture
+    // difference with itself is the zero cube
+    val zero = collect(c.intercube(c, _ - _))
+    assert(zero.size == 12 && zero.forall(_._2.forall(_ == 0.0)))
+    // A = first two t slabs re-keyed 1..8, B = last two → value gap is
+    // constant 1*4*5 = 20 per cell
+    val a = c.subsetExplicit("t", "1:2")
+    val b = c.subsetExplicit("t", "2:3")
+    val d = collect(b.intercube(a, _ - _))
+    assert(d.size == 8)
+    assert(d.forall(_._2.forall(_ == 20.0)))
+    assert(d.map(_._1) == (1L to 8L))
+    // shape mismatch fails loud
+    intercept[IllegalArgumentException] {
+      c.intercube(c.subsetExplicit("t", "1:2"), _ + _)
+    }
+  }
+
   test("chained pipeline: the canonical subset+reduce workload") {
     val c = fixture
       .subsetExplicit("t", "1:2")
