@@ -158,6 +158,97 @@ object StreamQueries {
     }
   }
 
+  /** q83 — EXACTLY-ONCE sink under batch REDELIVERY: Structured
+    * Streaming guarantees at-least-once delivery to a foreachBatch
+    * sink — if the process dies after the sink published but before
+    * the engine logged its commit, the restart REDELIVERS that batch
+    * with the same batchId, and a non-idempotent sink double-writes.
+    * The production protocol is the two-phase publish: data lands
+    * under a per-batch directory, an empty marker file publishes it
+    * atomically, and a redelivered batchId sees its marker and skips.
+    * The harness FORCES the failure window deterministically: after
+    * run #1 it deletes the engine's latest commit marker (exactly the
+    * state a crash between sink-publish and engine-commit leaves),
+    * restarts, and feeds the rest; the gate output is the per-type
+    * aggregate over the PUBLISHED batches, which must equal the batch
+    * answer over all events — any double-write breaks the counts.
+    * StreamingSpec pins that the redelivery actually happened (the
+    * attempts ledger shows the replayed batchId twice).
+    *
+    * At 100 TB: the marker protocol is O(1) metadata per micro-batch;
+    * the skip costs one file stat. This is the q61 write-audit-publish
+    * discipline applied at the micro-batch grain. */
+  def q83_stream_exactly_once(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val ev = Tables.events(s, dir)
+      .select(col("ts").as("tns"), col("event_type"), col("value"))
+    val (lo, hi) = tsBounds(ev, "tns")
+    val splitTs = lo + (hi - lo) / 2
+    val schema = StructType(Seq(StructField("tns", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    withWatchDir("graft_e1x") { watch =>
+      val outDir = new java.io.File(watch + "_out"); outDir.mkdirs()
+      val ckpt = watch + "_ckpt"
+      def startQuery() =
+        s.readStream.schema(schema).parquet(watch)
+          .writeStream
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) => idempotentBatchWrite(outDir, batchId, df)
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+      feedDrops(startQuery(), watch, Seq(ev.filter(col("tns") <= splitTs)))
+      // force the crash window: sink published, engine commit lost
+      dropLatestCommit(ckpt)
+      feedDrops(startQuery(), watch, Seq(ev.filter(col("tns") > splitTs)))
+      // read ONLY published batches (marker present)
+      val published = outDir.listFiles()
+        .filter(f => f.isDirectory &&
+          new java.io.File(outDir, f.getName + ".committed").exists())
+        .map(_.getAbsolutePath)
+      s.read.schema(schema).parquet(published.toSeq: _*)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }
+  }
+
+  /** Simulate the crash window between sink-publish and engine-commit:
+    * remove the engine's latest commit marker (and its LocalFS `.crc`
+    * checksum sibling, an artifact a real remote-FS crash would not
+    * leave behind) so the restart redelivers that batch. */
+  private[graft] def dropLatestCommit(ckpt: String): Unit = {
+    val dir = new java.io.File(ckpt, "commits")
+    val commits = dir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    require(commits.nonEmpty, "first run must commit at least one batch")
+    val last = commits.last
+    val crc = new java.io.File(dir, s".${last.getName}.crc")
+    require(last.delete(), "could not remove the commit marker")
+    if (crc.exists()) require(crc.delete(), "could not remove the crc twin")
+  }
+
+  /** The idempotent two-phase publish: write the batch directory, then
+    * create the marker (the atomic publish); a redelivered batchId
+    * sees its marker and skips. The attempts ledger is test
+    * instrumentation only — StreamingSpec reads it to prove the
+    * redelivery happened; it is NOT part of the protocol. */
+  private[graft] def idempotentBatchWrite(outDir: java.io.File,
+      batchId: Long, df: DataFrame): Unit = {
+    val fw = new java.io.FileWriter(
+      new java.io.File(outDir, "attempts.log"), true)
+    try fw.write(s"$batchId\n") finally fw.close()
+    val marker = new java.io.File(outDir, s"batch_$batchId.committed")
+    if (marker.exists()) return // redelivery of a published batch: no-op
+    df.write.mode("overwrite") // overwrite: a half-written retry heals
+      .parquet(new java.io.File(outDir, s"batch_$batchId").getAbsolutePath)
+    require(marker.createNewFile(), s"marker race for batch $batchId")
+  }
+
   /** q30 — q23's watermarked window aggregation fed by a REAL file
     * source instead of a MemoryStream: three parquet drops land in a
     * watched directory (ts-split batch 1, batch 2, then the far-future
@@ -1484,6 +1575,7 @@ object StreamQueries {
     "q80_stream_late_ledger" -> (q80_stream_late_ledger _),
     "q74_stream_rate_limit" -> (q74_stream_rate_limit _),
     "q72_stream_restart" -> (q72_stream_restart _),
+    "q83_stream_exactly_once" -> (q83_stream_exactly_once _),
     "q67_stream_static_join" -> (q67_stream_static_join _),
     "q60_stream_drift" -> (q60_stream_drift _),
     "q64_cdc_upsert" -> (q64_cdc_upsert _),
@@ -1657,6 +1749,11 @@ object StreamQueries {
          FROM events GROUP BY 1 ORDER BY window_start""",
     // the restarted query must converge to the same batch aggregate —
     // lost state under-counts, a replayed batch double-counts
+    // any double-write from the forced redelivery breaks these counts
+    "q83_stream_exactly_once" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q72_stream_restart" ->
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS window_start,
          count(*) AS n,

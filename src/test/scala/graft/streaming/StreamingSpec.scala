@@ -117,6 +117,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q83 protocol: a forcibly redelivered batchId is replayed once and published once") {
+    val s = spark
+    import s.implicits._
+    import java.io.File
+    val tmp = java.nio.file.Files.createTempDirectory("graft_e1x_spec").toString
+    val watch = new File(tmp, "watch"); watch.mkdirs()
+    val outDir = new File(tmp, "out"); outDir.mkdirs()
+    val ckpt = new File(tmp, "ckpt").getAbsolutePath
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    def start() = s.readStream.schema(schema).parquet(watch.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        graft.operators.StreamQueries.idempotentBatchWrite(outDir, id, df.toDF())
+      }
+      .option("checkpointLocation", ckpt).start()
+    // run 1: one batch, fully committed by the engine
+    val q1 = start()
+    try {
+      Seq(1L, 2L, 3L).toDF("v").coalesce(1)
+        .write.mode("append").parquet(watch.getAbsolutePath)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // crash window: sink published, engine commit lost
+    graft.operators.StreamQueries.dropLatestCommit(ckpt)
+    // run 2: the engine REDELIVERS the batch, then processes new data
+    val q2 = start()
+    try {
+      Seq(10L, 20L).toDF("v").coalesce(1)
+        .write.mode("append").parquet(watch.getAbsolutePath)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // the ledger proves the redelivery: batch 0 attempted TWICE
+    val attempts = scala.io.Source.fromFile(new File(outDir, "attempts.log"))
+      .getLines().toSeq
+    assert(attempts.count(_ == "0") == 2,
+      s"expected batch 0 redelivered, attempts = $attempts")
+    // ...and the published data holds exactly one copy of everything
+    val published = outDir.listFiles()
+      .filter(f => f.isDirectory &&
+        new File(outDir, f.getName + ".committed").exists())
+      .map(_.getAbsolutePath)
+    val vals = s.read.schema(schema).parquet(published.toSeq: _*)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals == Seq(1L, 2L, 3L, 10L, 20L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(tmp))
+  }
+
   test("q80 ledger: watermark-dropped accounting reconciles to the row level") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val out = graft.operators.StreamQueries
