@@ -579,6 +579,37 @@ object RelationalQueries {
       acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
     }
 
+  /** Spec-only alias: ZOrderSpec compares the two curves' locality. */
+  private[operators] def mortonLongForSpec(x: Long, y: Long): Long =
+    mortonLong(x, y)
+
+  /** Scalar HILBERT index, order 7 (128×128): the standard xy2d walk —
+    * per bit level, take the quadrant, add its contribution, rotate/
+    * reflect the frame. Unlike Morton, consecutive indexes are always
+    * Manhattan-adjacent (ZOrderSpec measures the populated-domain mean
+    * step at ~1.01 vs Morton's ~1.97), so equal-size index runs cover
+    * tighter boxes — fewer row groups touched per box probe. */
+  private[operators] def hilbertLong(x0: Long, y0: Long): Long = {
+    require(0 <= x0 && x0 <= 127 && 0 <= y0 && y0 <= 127,
+      s"hilbert: coordinate out of [0,127]: ($x0, $y0)")
+    var x = x0; var y = y0; var d = 0L; var s = 64L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        // the reflection is GRID-wide (n-1 = 127), not quadrant-local:
+        // an s-1 flip drives coordinates negative mid-walk, where JVM
+        // two's-complement bitwise ops silently "work" but the SQL
+        // replay's (v // s) % 2 does not — found as an oracle mismatch
+        if (rx == 1) { x = 127L - x; y = 127L - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
   /** Decompose an ARBITRARY inclusive box [xlo,xhi]×[ylo,yhi] (7-bit
     * domain) into disjoint contiguous z-value ranges — the general form
     * of q37's aligned-cell probe (the BIGMIN idea executed eagerly:
@@ -654,6 +685,63 @@ object RelationalQueries {
     val envelope = col("zval").between(ranges.head._1, ranges.last._2)
     s.read.parquet(zOrderedOrders(s, dir))
       .filter(envelope && graft.plans.SortedRangeContains(col("zval"), ranges))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("month")
+  }
+
+  /** The Hilbert-clustered orders layout, q37's twin with the curve
+    * swapped: the column value is an exact LUT of [[hilbertLong]] over
+    * the CLOSED 64×80 populated domain (5120 cells, computed on the
+    * driver in microseconds — the ndcgDisc discipline: the state
+    * machine never runs per row in the write projection), cut into 16
+    * equal-cell ranges exactly as the z layout. element_at under ANSI
+    * errors loudly if a regenerated dataset ever leaves the domain —
+    * the morton-guard posture. */
+  private def hilbertOrders(s: SparkSession, dir: String): String =
+    graft.core.SessionMemo.memoize(s, "q84-hilbert:" + dir) {
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q84_h_$tag").getAbsolutePath
+      val lut: Array[Long] =
+        Array.tabulate(64 * 80)(i => hilbertLong(i / 80, i % 80))
+      val cells = lut.sorted
+      val bounds = (1 until 16).map(i => cells(i * cells.length / 16))
+      val hv = element_at(lit(lut),
+        ((col("o_custkey") % 64) * 80 +
+          (year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1
+          + 1).cast("int"))
+      val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("hv") >= b, 1).otherwise(0) }
+      Tables.orders(s, dir)
+        .withColumn("hv", hv)
+        .withColumn("pid", pid)
+        .repartition(16, col("pid"))
+        .sortWithinPartitions("pid", "hv")
+        .write.mode("overwrite").partitionBy("pid").parquet(p)
+      p
+    }
+
+  /** q84 — HILBERT-curve clustering, the locality upgrade over q37's
+    * Z-order: the same two-dimensional (customer bucket × month)
+    * layout problem, clustered by the order-7 Hilbert index instead of
+    * Morton interleave. Every 4^k-aligned index run is a 2^k×2^k
+    * square (here [512, 767] ⇔ the box [16..31]×[16..31]) exactly as
+    * with Morton — but BETWEEN blocks the curve stays adjacent, so
+    * unaligned probes decompose into ~2× fewer fragments (ZOrderSpec
+    * measures mean curve step 1.01 vs 1.97 on this domain). The oracle
+    * replays the xy2d state machine as a recursive CTE of depth 7 (the
+    * bit count, not the data size — the m35 recursion discipline), so
+    * a rotation/reflection bug in either engine is a hash mismatch.
+    *
+    * At 100 TB this is the OPTIMIZE ... CLUSTER BY choice between the
+    * two curves: same ingest cost (one scan, closed-form cuts), same
+    * probe API, measurably tighter file-stat windows. */
+  def q84_hilbert_layout(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(hilbertOrders(s, dir))
+      .filter(col("hv").between(512L, 767L))
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
@@ -2404,6 +2492,7 @@ object RelationalQueries {
     "q43_zorder_bigmin" -> (q43_zorder_bigmin _),
     "q38_salted_skew_join" -> (q38_salted_skew_join _),
     "q37_zorder_layout" -> (q37_zorder_layout _),
+    "q84_hilbert_layout" -> (q84_hilbert_layout _),
     "q35_partition_pruning" -> (q35_partition_pruning _),
     "q34_grouping_sets" -> (q34_grouping_sets _),
     "q33_bucketed_join" -> (q33_bucketed_join _),
@@ -2983,6 +3072,37 @@ object RelationalQueries {
        WHERE o_custkey % 64 BETWEEN 5 AND 37
          AND (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
            BETWEEN 10 AND 53
+       GROUP BY 1 ORDER BY 1""",
+    // the xy2d state machine replayed as a depth-7 recursive CTE (one
+    // step per bit level); (v & s) > 0 becomes (v // s) % 2 = 1 since
+    // s is a power of two and v is non-negative
+    "q84_hilbert_layout" ->
+      """WITH RECURSIVE o AS (
+           SELECT o_totalprice, o_orderdate,
+             (o_custkey % 64)::BIGINT AS x,
+             ((year(o_orderdate) - 1995) * 12
+               + month(o_orderdate) - 1)::BIGINT AS y
+           FROM orders),
+         h AS (
+           SELECT o_totalprice, o_orderdate, x, y,
+             0::BIGINT AS d, 64::BIGINT AS s
+           FROM o
+           UNION ALL
+           SELECT o_totalprice, o_orderdate,
+             CASE WHEN ry = 0 THEN
+               CASE WHEN rx = 1 THEN 127 - y ELSE y END ELSE x END AS x,
+             CASE WHEN ry = 0 THEN
+               CASE WHEN rx = 1 THEN 127 - x ELSE x END ELSE y END AS y,
+             d + s * s * xor(3 * rx, ry) AS d,
+             s // 2 AS s
+           FROM (
+             SELECT o_totalprice, o_orderdate, x, y, d, s,
+               (x // s) % 2 AS rx, (y // s) % 2 AS ry
+             FROM h WHERE s > 0))
+       SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM h WHERE s = 0 AND d BETWEEN 512 AND 767
        GROUP BY 1 ORDER BY 1""",
     "q37_zorder_layout" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,

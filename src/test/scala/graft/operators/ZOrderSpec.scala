@@ -77,4 +77,51 @@ class ZOrderSpec extends SparkSpec {
     val n = RelationalQueries.zBoxRanges(1, 126, 1, 126).size
     assert(n <= 400, s"$n ranges — decomposition degenerating")
   }
+
+  test("hilbert: canonical first-quadrant walk and full-curve bijectivity") {
+    import RelationalQueries.hilbertLong
+    // the canonical order-1 U: (0,0)→(0,1)→(1,1)→(1,0)
+    assert(hilbertLong(0, 0) == 0 && hilbertLong(0, 1) == 1)
+    assert(hilbertLong(1, 1) == 2 && hilbertLong(1, 0) == 3)
+    // bijective over the full 128×128 domain
+    val img = for (x <- 0L until 128L; y <- 0L until 128L)
+      yield hilbertLong(x, y)
+    assert(img.toSet.size == 16384 && img.min == 0L && img.max == 16383L)
+  }
+
+  test("hilbert: consecutive indexes are Manhattan-ADJACENT (the curve property)") {
+    import RelationalQueries.hilbertLong
+    val byD = new Array[(Long, Long)](16384)
+    for (x <- 0L until 128L; y <- 0L until 128L)
+      byD(hilbertLong(x, y).toInt) = (x, y)
+    byD.sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps from ($x1,$y1) to ($x2,$y2)")
+    }
+  }
+
+  test("hilbert: q84's aligned d-window is exactly its 16x16 box") {
+    import RelationalQueries.hilbertLong
+    val inWindow = for (x <- 0L until 64L; y <- 0L until 80L
+      if hilbertLong(x, y) >= 512 && hilbertLong(x, y) <= 767)
+      yield (x, y)
+    assert(inWindow.size == 256)
+    assert(inWindow.forall { case (x, y) =>
+      x >= 16 && x <= 31 && y >= 16 && y <= 31 })
+  }
+
+  test("hilbert beats morton on populated-domain locality (q84's reason to exist)") {
+    import RelationalQueries.hilbertLong
+    def meanStep(f: (Long, Long) => Long): Double = {
+      val pts = (for (x <- 0L until 64L; y <- 0L until 80L)
+        yield (f(x, y), (x, y))).sortBy(_._1).map(_._2)
+      pts.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+        (math.abs(x1 - x2) + math.abs(y1 - y2)).toDouble
+      }.sum / (pts.size - 1)
+    }
+    val h = meanStep(hilbertLong)
+    val m = meanStep(RelationalQueries.mortonLongForSpec)
+    assert(h < 1.1, s"hilbert mean step $h")
+    assert(m > 1.5 * h, s"morton $m not meaningfully worse than hilbert $h")
+  }
 }
