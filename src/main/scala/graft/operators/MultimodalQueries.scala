@@ -1533,6 +1533,67 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class ExifFeature(doc_id: Long, orientation: Long,
+                               out_w: Int, out_h: Int, px_sum: Long,
+                               px_wsum: Long, corner: Long)
+
+  /** m39 — EXIF ORIENTATION (JPEG APP1): the metadata rotation phone
+    * cameras record instead of rewriting the scan — a real multimodal
+    * corpus is dominated by such images, and a pipeline that ignores
+    * tag 0x0112 trains on sideways photos. Each document's flat-block
+    * gray JPEG gets an APP1 Exif segment spliced after SOI carrying
+    * orientation (doc_id % 8) + 1; the decode path must (a) skip the
+    * unknown APP1 unharmed, (b) parse the orientation from the
+    * little-endian TIFF IFD, and (c) apply the right of the 8
+    * transforms. The POSITION-WEIGHTED pixel sum pins the exact remap
+    * (any wrong rotation/reflection shifts it); the plain sum pins
+    * invariance; the FIRST pixel of the oriented raster pins which
+    * corner came first. The oracle replays the weighted sum in closed
+    * form per 8×8 block — each transform is affine in (row, col), so
+    * the per-block weight sum is exact integer arithmetic, no
+    * per-pixel explosion.
+    *
+    * Scale shape: the m35/m38 two-stage scan-parallel shape; the remap
+    * is one in-executor pass over the raster. */
+  def m39_exif_orientation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — pixel bytes would diverge")
+          val b = text.getBytes("US-ASCII")
+          val len = b.length
+          val hb = (len / 32) % 16 + 1 // 1..16 block rows of 32×8
+          val vals = Array.tabulate(4 * hb)(k =>
+            64 + (if (len == 0) 0 else (b((2 * k + 1) % len) & 0xFF) % 128))
+          val o = (id % 8 + 1).toInt
+          MediaRow(id, Jpeg.spliceApp1(
+            Jpeg.encodeGrayFlat(32, 8 * hb, vals, dri = 2),
+            Jpeg.encodeApp1Exif(o)), "jpeg-exif")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = MediaCodec.decodeImage(r.payload) // APP1 skipped by decode
+        val o = Jpeg.exifOrientation(r.payload) // ...but read by the walk
+        val up = MediaCodec.applyOrientation(img, o)
+        var sum = 0L; var wsum = 0L
+        var i = 0
+        while (i < up.pixels.length) {
+          val v = (up.pixels(i) & 0xFF).toLong
+          sum += v; wsum += v * (i + 1)
+          i += 1
+        }
+        ExifFeature(r.doc_id, o.toLong, up.width, up.height, sum, wsum,
+          (up.pixels(0) & 0xFF).toLong)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   final case class JpegAcRow(doc_id: Long, width: Int, height: Int,
                              n_blocks: Long, px_sum: Long, px_wsum: Long,
                              px_min: Long, px_max: Long)
@@ -2529,6 +2590,7 @@ object MultimodalQueries {
     "m36_adpcm_stereo" -> (m36_adpcm_stereo _),
     "m37_apng_features" -> (m37_apng_features _),
     "m38_g711_features" -> (m38_g711_features _),
+    "m39_exif_orientation" -> (m39_exif_orientation _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -2917,6 +2979,47 @@ object MultimodalQueries {
          s_abs::BIGINT AS s_abs, pred::BIGINT AS s_last,
          s_min::BIGINT AS s_min, s_max::BIGINT AS s_max
        FROM steps WHERE k = 64 ORDER BY doc_id""",
+    // every EXIF transform is affine in (row, col): new_index =
+    // a0 + a1*row + a2*col, so the weighted sum over a flat 8x8 block
+    // at block coords (bR, bC) collapses to the closed form
+    // v * (64*(a0+1) + a1*(512*bR + 224) + a2*(512*bC + 224))
+    // (sum of dr over 0..7 is 28, times 8 columns = 224); W = 32
+    "m39_exif_orientation" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           ((length(text) // 32) % 16 + 1) AS hb,
+           (doc_id % 8 + 1) AS o
+         FROM documents),
+       g AS (SELECT doc_id, o, hb, 8 * hb AS hh,
+           list_transform(range(0, 4 * hb), k ->
+             64 + CASE WHEN len = 0 THEN 0
+               ELSE ascii(substr(text, ((2 * k + 1) % len)::INT + 1, 1)) % 128
+               END) AS vs
+         FROM t),
+       a AS (SELECT doc_id, o, hb, hh, vs,
+           CASE o WHEN 1 THEN 0 WHEN 2 THEN 31
+                  WHEN 3 THEN (hh - 1) * 32 + 31 WHEN 4 THEN (hh - 1) * 32
+                  WHEN 5 THEN 0 WHEN 6 THEN hh - 1
+                  WHEN 7 THEN 31 * hh + hh - 1 ELSE 31 * hh END AS a0,
+           CASE o WHEN 1 THEN 32 WHEN 2 THEN 32 WHEN 3 THEN -32
+                  WHEN 4 THEN -32 WHEN 5 THEN 1 WHEN 6 THEN -1
+                  WHEN 7 THEN -1 ELSE 1 END AS a1,
+           CASE o WHEN 1 THEN 1 WHEN 2 THEN -1 WHEN 3 THEN -1
+                  WHEN 4 THEN 1 WHEN 5 THEN hh WHEN 6 THEN hh
+                  WHEN 7 THEN -hh ELSE -hh END AS a2
+         FROM g)
+       SELECT doc_id, o::BIGINT AS orientation,
+         (CASE WHEN o >= 5 THEN hh ELSE 32 END)::INT AS out_w,
+         (CASE WHEN o >= 5 THEN 32 ELSE hh END)::INT AS out_h,
+         (64 * list_reduce(vs, (x, y) -> x + y))::BIGINT AS px_sum,
+         list_reduce(list_transform(range(1, 4 * hb + 1), i ->
+           vs[i] * (64 * (a0 + 1) + a1 * (512 * ((i - 1) // 4) + 224)
+             + a2 * (512 * ((i - 1) % 4) + 224))),
+           (x, y) -> x + y)::BIGINT AS px_wsum,
+         (CASE o WHEN 1 THEN vs[1] WHEN 2 THEN vs[4]
+                 WHEN 3 THEN vs[4 * hb] WHEN 4 THEN vs[4 * (hb - 1) + 1]
+                 WHEN 5 THEN vs[1] WHEN 6 THEN vs[4 * (hb - 1) + 1]
+                 WHEN 7 THEN vs[4 * hb] ELSE vs[4] END)::BIGINT AS corner
+       FROM a ORDER BY doc_id""",
     // G.711 is stateless per sample, so the expansion replays as plain
     // CASE arithmetic (no recursion): u-law via u = 255 - c, A-law via
     // a = xor(c, 85); even doc_ids are u-law, odd A-law — the sniffed

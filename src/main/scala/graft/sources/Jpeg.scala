@@ -413,6 +413,80 @@ object Jpeg {
       val c = new Array[Int](64); c(0) = v - 128; c
     }, FlatQ, dri)
 
+  // ------------------------------------------------------------ EXIF
+
+  /** Minimal APP1 Exif segment: the "Exif\0\0" identifier followed by
+    * a little-endian TIFF head whose IFD0 carries ONE tag — 0x0112
+    * orientation (SHORT, count 1), per the public Exif 2.3 layout.
+    * Fixture-side twin of [[exifOrientation]]; shares no parse code. */
+  def encodeApp1Exif(orientation: Int): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation must be 1..8, got $orientation")
+    val tiff = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8) // IFD0 at 8
+    tiff.putShort(1) // one directory entry
+    tiff.putShort(0x0112).putShort(3).putInt(1) // orientation, SHORT, ×1
+    tiff.putShort(orientation.toShort).putShort(0) // left-justified value
+    tiff.putInt(0) // no next IFD
+    val body = Array[Byte]('E', 'x', 'i', 'f', 0, 0) ++ tiff.array()
+    val seg = java.nio.ByteBuffer.allocate(4 + body.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    seg.putShort(0xFFE1.toShort).putShort((body.length + 2).toShort).put(body)
+    seg.array()
+  }
+
+  /** Splice an APPn segment directly after SOI — how cameras attach
+    * metadata without re-entropy-coding the scan. */
+  def spliceApp1(jpeg: Array[Byte], seg: Array[Byte]): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xFF) == 0xFF &&
+      (jpeg(1) & 0xFF) == 0xD8, "not a JPEG (missing SOI)")
+    jpeg.take(2) ++ seg ++ jpeg.drop(2)
+  }
+
+  /** Read the EXIF orientation (IFD0 tag 0x0112) from a JPEG's APP1
+    * segment; 1 (top-left, the identity) when absent — the header walk
+    * mirrors [[decode]]'s marker loop but stops at the scan. Both TIFF
+    * byte orders are honored (phones ship either). */
+  def exifOrientation(bytes: Array[Byte]): Int = {
+    var pos = 2
+    while (pos + 4 <= bytes.length) {
+      require((bytes(pos) & 0xFF) == 0xFF, "JPEG: bad marker in header walk")
+      val m = bytes(pos + 1) & 0xFF
+      if (m == 0xDA || m == 0xD9) return 1 // reached the scan: no EXIF
+      val len = ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+      require(len >= 2 && pos + 2 + len <= bytes.length,
+        s"JPEG: bad segment length $len at $pos")
+      val body = pos + 4
+      if (m == 0xE1 && len >= 16 &&
+        bytes(body) == 'E' && bytes(body + 1) == 'x' &&
+        bytes(body + 2) == 'i' && bytes(body + 3) == 'f' &&
+        bytes(body + 4) == 0 && bytes(body + 5) == 0) {
+        val t = body + 6 // TIFF head
+        val le = bytes(t) == 'I'
+        val bb = java.nio.ByteBuffer.wrap(bytes, t, len - 8).slice()
+          .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+            else java.nio.ByteOrder.BIG_ENDIAN)
+        require(bb.getShort(2) == 42, "EXIF: bad TIFF magic")
+        val ifd = bb.getInt(4)
+        val n = bb.getShort(ifd) & 0xFFFF
+        var i = 0
+        while (i < n) {
+          val at = ifd + 2 + 12 * i
+          if ((bb.getShort(at) & 0xFFFF) == 0x0112) {
+            val o = bb.getShort(at + 8) & 0xFFFF
+            require(o >= 1 && o <= 8, s"EXIF: orientation $o out of range")
+            return o
+          }
+          i += 1
+        }
+        return 1
+      }
+      pos = body + len - 2
+    }
+    1
+  }
+
   /** Encode a 3-component 4:2:0 YCbCr baseline JPEG whose luma blocks
     * (raster order over w/8 × h/8, w and h multiples of 16) are flat
     * values and whose chroma planes are the constants (cb, cr). MCU

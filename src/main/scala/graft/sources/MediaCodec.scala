@@ -731,6 +731,44 @@ object MediaCodec {
       bytes(2) == 'a' && bytes(3) == 'C') Flac.decode(bytes)
     else decodeWav(bytes)
 
+  /** Apply an EXIF orientation (1..8) to a decoded raster — the
+    * rotate/flip family phone cameras record instead of rewriting the
+    * scan: 1 identity, 2 mirror-H, 3 rotate 180, 4 mirror-V,
+    * 5 transpose, 6 rotate 90 CW, 7 transverse, 8 rotate 270 CW.
+    * Orientations ≥ 5 swap the output dimensions. One pass, any
+    * channel count; pure index remap, no resampling. */
+  def applyOrientation(img: Image, o: Int): Image = {
+    require(o >= 1 && o <= 8, s"EXIF orientation must be 1..8, got $o")
+    if (o == 1) return img
+    val (w, h, ch) = (img.width, img.height, img.channels)
+    val (ow, oh) = if (o >= 5) (h, w) else (w, h)
+    val out = new Array[Byte](img.pixels.length)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        var nr = 0; var nc = 0
+        (o: @unchecked) match {
+          case 2 => nr = r; nc = w - 1 - c
+          case 3 => nr = h - 1 - r; nc = w - 1 - c
+          case 4 => nr = h - 1 - r; nc = c
+          case 5 => nr = c; nc = r
+          case 6 => nr = c; nc = h - 1 - r
+          case 7 => nr = w - 1 - c; nc = h - 1 - r
+          case 8 => nr = w - 1 - c; nc = r
+        }
+        var k = 0
+        while (k < ch) {
+          out((nr * ow + nc) * ch + k) = img.pixels((r * w + c) * ch + k)
+          k += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    Image(ow, oh, ch, out)
+  }
+
   /** Decode an image payload by sniffing its magic bytes — callers hold
     * opaque binary columns and must not need to trust a format tag. */
   def decodeImage(bytes: Array[Byte]): Image =

@@ -19,6 +19,33 @@ class JpegSpec extends AnyFunSuite {
         vals((y / 8) * 4 + x / 8), s"pixel ($x,$y)")
   }
 
+  test("EXIF APP1: splice is decode-invisible; orientation parses (LE and BE)") {
+    val vals = Array(10, 20, 30, 40)
+    val plain = Jpeg.encodeGrayFlat(32, 8, vals)
+    val tagged = Jpeg.spliceApp1(plain, Jpeg.encodeApp1Exif(6))
+    // the unknown APP1 must not disturb a single pixel
+    assert(Jpeg.decode(tagged).pixels.toSeq == Jpeg.decode(plain).pixels.toSeq)
+    assert(Jpeg.exifOrientation(tagged) == 6)
+    assert(Jpeg.exifOrientation(plain) == 1) // absent → identity
+    (1 to 8).foreach(o => assert(Jpeg.exifOrientation(
+      Jpeg.spliceApp1(plain, Jpeg.encodeApp1Exif(o))) == o))
+    // hand-built BIG-ENDIAN (MM) TIFF head: phones ship either order
+    val tiff = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    tiff.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    tiff.putShort(1)
+    tiff.putShort(0x0112).putShort(3).putInt(1)
+    tiff.putShort(7).putShort(0)
+    tiff.putInt(0)
+    val body = Array[Byte]('E', 'x', 'i', 'f', 0, 0) ++ tiff.array()
+    val seg = java.nio.ByteBuffer.allocate(4 + body.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    seg.putShort(0xFFE1.toShort).putShort((body.length + 2).toShort).put(body)
+    assert(Jpeg.exifOrientation(Jpeg.spliceApp1(plain, seg.array())) == 7)
+    // an out-of-range orientation fails loud, not silently
+    intercept[IllegalArgumentException](Jpeg.encodeApp1Exif(9))
+  }
+
   test("restart markers reset DC predictors (DRI 1 and 3 agree with DRI 0)") {
     val vals = Array.tabulate(16)(k => (k * 37 + 11) % 256)
     val base = Jpeg.decode(Jpeg.encodeGrayFlat(32, 32, vals)).pixels.toSeq

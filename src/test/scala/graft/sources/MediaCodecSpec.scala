@@ -243,6 +243,31 @@ class MediaCodecSpec extends AnyFunSuite {
     b.array()
   }
 
+  test("applyOrientation: all 8 EXIF transforms hand-traced on a 2x3 raster") {
+    import MediaCodec.Image
+    val img = Image(2, 3, 1, Array[Byte](1, 2, 3, 4, 5, 6))
+    def out(o: Int): (Int, Int, Seq[Byte]) = {
+      val r = MediaCodec.applyOrientation(img, o)
+      (r.width, r.height, r.pixels.toSeq)
+    }
+    assert(out(1) == ((2, 3, Seq[Byte](1, 2, 3, 4, 5, 6))))
+    assert(out(2) == ((2, 3, Seq[Byte](2, 1, 4, 3, 6, 5)))) // mirror-H
+    assert(out(3) == ((2, 3, Seq[Byte](6, 5, 4, 3, 2, 1)))) // rot 180
+    assert(out(4) == ((2, 3, Seq[Byte](5, 6, 3, 4, 1, 2)))) // mirror-V
+    assert(out(5) == ((3, 2, Seq[Byte](1, 3, 5, 2, 4, 6)))) // transpose
+    assert(out(6) == ((3, 2, Seq[Byte](5, 3, 1, 6, 4, 2)))) // rot 90 CW
+    assert(out(7) == ((3, 2, Seq[Byte](6, 4, 2, 5, 3, 1)))) // transverse
+    assert(out(8) == ((3, 2, Seq[Byte](2, 4, 6, 1, 3, 5)))) // rot 270 CW
+    // every transform is a permutation: the multiset of pixels survives
+    (1 to 8).foreach(o => assert(out(o)._3.sorted == img.pixels.toSeq.sorted))
+    // channels ride along: a 3-channel pixel moves as one unit
+    val rgb = Image(2, 1, 3, Array[Byte](1, 2, 3, 4, 5, 6))
+    val rot = MediaCodec.applyOrientation(rgb, 3)
+    assert(rot.pixels.toSeq == Seq[Byte](4, 5, 6, 1, 2, 3))
+    intercept[IllegalArgumentException](MediaCodec.applyOrientation(img, 0))
+    intercept[IllegalArgumentException](MediaCodec.applyOrientation(img, 9))
+  }
+
   test("G.711 mu-law: known codebook extremes and both zeros") {
     // ITU-T G.711 table values: 0x00 -> -32124, 0x80 -> +32124,
     // 0x7F and 0xFF are the two zeros of the folded code space
