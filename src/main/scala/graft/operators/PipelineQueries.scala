@@ -1122,7 +1122,63 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** p29 — DATA-CONSTRAINED EPOCH BUDGET (the repeat-planning table a
+    * token-budgeted run reads): given per-source token counts, a total
+    * training budget B = 2× the corpus, temperature weights
+    * w = ⌊√tokens⌋ (the p08/p19 α = 0.5 mix), and a 4-epoch repetition
+    * cap, allocate the budget proportionally to weight with the cap
+    * binding on small sources and their surplus REDISTRIBUTED to the
+    * rest — the waterfill every data-constrained scaling plan solves.
+    * Closed form instead of iteration: sources cap in ascending order
+    * of their cap threshold 4·tokens/weight, so one prefix scan in
+    * that order decides the cap set — the cap TEST is exact integer
+    * cross-multiplication ((B − 4·prefT)·w > 4·t·(W − prefW)); only
+    * the final allocation pays one floor division. Output per source:
+    * tokens, weight, capped flag, allocated tokens, fixed-point epoch
+    * count. PipelineSpec-style invariants live in SelectionSpec: the
+    * closed form must equal an INDEPENDENT iterative waterfill replay,
+    * allocations must exhaust ≤ B and cap at 4 epochs.
+    *
+    * Scale shape: one map-combined aggregate to the per-source frame
+    * (≤ |sources| rows — every window below runs on that bounded
+    * frame, never the data), then pure arithmetic. */
+  def p29_epoch_budget(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val src = Tables.documents(s, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("tk"))
+      .groupBy("source").agg(sum("tk").as("t"))
+      .withColumn("w", floor(sqrt(col("t").cast("double"))).cast("long"))
+    val tot = src.agg(sum(col("t")).as("ttot"), sum(col("w")).as("wtot"))
+    // threshold order (4e9-scaled — wide enough that only true ties
+    // collide; both engines sort by the identical integer key)
+    val ord = Window
+      .orderBy(ldiv(col("t") * 4000000000L, col("w")), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = src.crossJoin(broadcast(tot))
+      .withColumn("b", col("ttot") * 2L)
+      .withColumn("pref_t", coalesce(sum("t").over(ord), lit(0L)))
+      .withColumn("pref_w", coalesce(sum("w").over(ord), lit(0L)))
+      .withColumn("capped",
+        (col("b") - lit(4L) * col("pref_t")) * col("w") >
+          lit(4L) * col("t") * (col("wtot") - col("pref_w")))
+    val capTot = g.agg(
+      sum(when(col("capped"), col("t")).otherwise(0L)).as("cap_t"),
+      sum(when(col("capped"), col("w")).otherwise(0L)).as("cap_w"))
+    // the uncapped set is nonempty by construction: B = 2·T < 4·T, so
+    // capping every source would over-spend the budget
+    g.crossJoin(broadcast(capTot))
+      .withColumn("alloc", when(col("capped"), col("t") * 4L)
+        .otherwise(ldiv((col("b") - lit(4L) * col("cap_t")) * col("w"),
+          col("wtot") - col("cap_w"))))
+      .select(col("source"), col("t").as("n_tokens"), col("w").as("weight"),
+        when(col("capped"), 1L).otherwise(0L).as("capped"),
+        col("alloc").as("alloc_tokens"),
+        ldiv(col("alloc") * 1000000L, col("t")).as("epochs_fp"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p29_epoch_budget" -> (p29_epoch_budget _),
     "p28_interleave_order" -> (p28_interleave_order _),
     "p27_dedup_reweight" -> (p27_dedup_reweight _),
     "p26_selection_curve" -> (p26_selection_curve _),
@@ -1245,6 +1301,34 @@ object PipelineQueries {
     // the stride-scheduling construction replayed with window
     // functions (the oracle may window per source; the engine must
     // not) — same key arithmetic, same (k, source, doc_id) total order
+    // the same closed-form waterfill: cap set decided by one prefix
+    // scan in threshold order, exact cross-multiplied cap test
+    "p29_epoch_budget" ->
+      """WITH src AS (SELECT source,
+           sum(len(string_split(text, ' ')))::BIGINT AS t
+         FROM documents GROUP BY source),
+       w AS (SELECT source, t,
+           CAST(floor(sqrt(t::DOUBLE)) AS BIGINT) AS w FROM src),
+       tot AS (SELECT sum(t)::BIGINT AS ttot, sum(w)::BIGINT AS wtot FROM w),
+       g AS (SELECT source, t, w, ttot, wtot, 2 * ttot AS b,
+           coalesce(sum(t) OVER (ORDER BY (t * 4000000000) // w, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pref_t,
+           coalesce(sum(w) OVER (ORDER BY (t * 4000000000) // w, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pref_w
+         FROM w, tot),
+       c AS (SELECT *,
+           (b - 4 * pref_t) * w > 4 * t * (wtot - pref_w) AS capped FROM g),
+       ct AS (SELECT coalesce(sum(CASE WHEN capped THEN t END), 0) AS cap_t,
+           coalesce(sum(CASE WHEN capped THEN w END), 0) AS cap_w FROM c),
+       a AS (SELECT source, t, w, capped,
+           CASE WHEN capped THEN 4 * t
+             ELSE ((b - 4 * cap_t) * w) // (wtot - cap_w) END AS alloc
+         FROM c, ct)
+       SELECT source, t AS n_tokens, w AS weight,
+         (CASE WHEN capped THEN 1 ELSE 0 END)::BIGINT AS capped,
+         alloc::BIGINT AS alloc_tokens,
+         (alloc * 1000000 // t)::BIGINT AS epochs_fp
+       FROM a ORDER BY source""",
     "p28_interleave_order" ->
       """WITH d AS (SELECT doc_id, source FROM documents),
        rk AS (SELECT doc_id, source,

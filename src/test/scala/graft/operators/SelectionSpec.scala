@@ -124,4 +124,41 @@ class SelectionSpec extends SparkSpec {
     // never overshoots, and the next-ranked doc would not have fit
     assert(kept.map(_._3).sum <= budget)
   }
+
+  test("p29: closed-form waterfill equals an independent iterative replay") {
+    val rows = PipelineQueries.p29_epoch_budget(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val b = 2L * rows.map(_._2).sum
+    // independent replay: batch-cap any source whose proportional share
+    // exceeds 4 epochs, remove, redistribute, repeat to fixpoint
+    var un = rows.map(t => (t._1, t._2, t._3)).toList
+    var cap = List.empty[(String, Long, Long)]
+    var changed = true
+    while (changed) {
+      val r = b - 4L * cap.map(_._2).sum
+      val wsum = un.map(_._3).sum
+      val newly = un.filter { case (_, t, w) => r * w > 4L * t * wsum }
+      changed = newly.nonEmpty
+      cap = cap ++ newly
+      un = un.filterNot(u => newly.exists(_._1 == u._1))
+    }
+    assert(un.nonEmpty, "budget 2x < cap 4x: someone must stay uncapped")
+    val capSet = cap.map(_._1).toSet
+    val rFin = b - 4L * cap.map(_._2).sum
+    val wFin = un.map(_._3).sum
+    rows.foreach { case (src, t, w, capped, alloc, epochsFp) =>
+      assert((capped == 1L) == capSet(src), s"$src cap flag diverges")
+      val expect = if (capSet(src)) 4L * t
+        else rFin * w / wFin // floor division, as the operator
+      assert(alloc == expect, s"$src alloc $alloc != replay $expect")
+      assert(epochsFp == alloc * 1000000L / t)
+      assert(epochsFp <= 4000000L, s"$src exceeds the 4-epoch cap")
+    }
+    // the budget is exhausted up to one floor-division remainder per
+    // uncapped source (each floor loses strictly less than one token)
+    val spent = rows.map(_._5).sum
+    assert(spent <= b && b - spent <= rows.length, s"spent $spent of $b")
+  }
 }
