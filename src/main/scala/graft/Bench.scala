@@ -108,7 +108,11 @@ object Bench {
       // r15: s18 pays the memoized IVF index build once (the point of a
       // persisted index); q81 rides q52's memoized commit-log layout
       "s18_ann_persisted", "q81_branch_cherry_pick", "q82_metadata_tables",
-      "s19_pq_persisted", "s20_ann_index_merge")
+      "s19_pq_persisted", "s20_ann_index_merge",
+      // r15 cont.: s21 serves s18's memoized index through the tombstone
+      // mask; t32 encodes under the memoized unigram model (training is
+      // t31's own cost); q84 probes the memoized Hilbert layout
+      "s21_ann_tombstones", "t32_unigram_encode", "q84_hilbert_layout")
     val ingest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }

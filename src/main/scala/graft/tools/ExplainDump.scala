@@ -79,7 +79,11 @@ object ExplainDump {
       "m34_png16_features", "m35_adpcm_features", "m36_adpcm_stereo",
       "q81_branch_cherry_pick", "q82_metadata_tables",
       "qn17_export_dist_filtered",
-      "s19_pq_persisted", "s20_ann_index_merge", "m37_apng_features")
+      "s19_pq_persisted", "s20_ann_index_merge", "m37_apng_features",
+      "m38_g711_features", "m39_exif_orientation", "t32_unigram_encode",
+      "qn18_multifile_import", "s21_ann_tombstones", "qc07_intercube",
+      "c21_risk_coverage", "q83_stream_exactly_once",
+      "q84_hilbert_layout", "p29_epoch_budget")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append("Things to look for: `PushedFilters`/`ReadSchema` on scans, ")
