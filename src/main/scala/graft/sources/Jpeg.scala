@@ -469,7 +469,14 @@ object Jpeg {
             else java.nio.ByteOrder.BIG_ENDIAN)
         require(bb.getShort(2) == 42, "EXIF: bad TIFF magic")
         val ifd = bb.getInt(4)
+        // IFD offset and entry count are untrusted: bound them against
+        // the segment before indexing (the Tiff.decode validation
+        // posture — descriptive failure, not a raw BufferUnderflow)
+        require(ifd >= 8 && ifd + 2 <= bb.limit(),
+          s"EXIF: IFD offset $ifd outside the APP1 segment")
         val n = bb.getShort(ifd) & 0xFFFF
+        require(ifd + 2 + 12 * n <= bb.limit(),
+          s"EXIF: $n IFD entries overflow the APP1 segment")
         var i = 0
         while (i < n) {
           val at = ifd + 2 + 12 * i

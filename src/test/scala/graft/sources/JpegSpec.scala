@@ -44,6 +44,19 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.exifOrientation(Jpeg.spliceApp1(plain, seg.array())) == 7)
     // an out-of-range orientation fails loud, not silently
     intercept[IllegalArgumentException](Jpeg.encodeApp1Exif(9))
+    // hostile IFD offset/count fail descriptively, not with a raw
+    // BufferUnderflow (the Tiff validation posture)
+    val evil = Jpeg.encodeApp1Exif(3)
+    val evilOff = evil.clone()
+    evilOff(4 + 6 + 4) = 0x7F // TIFF IFD offset low byte -> far past end
+    val exOff = intercept[IllegalArgumentException](
+      Jpeg.exifOrientation(Jpeg.spliceApp1(plain, evilOff)))
+    assert(exOff.getMessage.contains("IFD offset"))
+    val evilCnt = evil.clone()
+    evilCnt(4 + 6 + 8) = 0x7F // entry count low byte -> 127 entries
+    val exCnt = intercept[IllegalArgumentException](
+      Jpeg.exifOrientation(Jpeg.spliceApp1(plain, evilCnt)))
+    assert(exCnt.getMessage.contains("IFD entries"))
   }
 
   test("restart markers reset DC predictors (DRI 1 and 3 agree with DRI 0)") {
