@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sources.{Avi, Flac, Jpeg, MediaCodec, Png, Tiff}
+import graft.sources.{Avi, Flac, Jpeg, MediaCodec, Png, Tga, Tiff}
 
 /** Multimodal-column operators for the training-data pipeline: media
   * payloads ride as opaque `binary` columns next to a typed metadata
@@ -1594,6 +1594,64 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class TgaFeature(doc_id: Long, codec: String, width: Int,
+                              height: Int, s_sum: Long, s_wsum: Long,
+                              s_min: Long, s_max: Long)
+
+  /** m40 — TGA decode (the magic-less graphics-pipeline format): even
+    * doc_ids ship UNCOMPRESSED type 2 bottom-up (the format default),
+    * odd doc_ids RLE type 10 top-down — so one corpus exercises both
+    * entropy paths AND both row origins through the strict
+    * plausibility sniff in [[MediaCodec.decodeImage]] (TGA has no
+    * magic bytes; the sniff must not misroute any other format, pinned
+    * by MediaCodecSpec). The oracle is CONTAINER-INDEPENDENT: it
+    * replays the top-down RGB raster straight from the document bytes,
+    * so a bottom-up flip bug, a BGR swap, or an RLE run off-by-one
+    * shifts the position-weighted checksum and fails the hash.
+    *
+    * Scale shape: the m35/m38 two-stage scan-parallel shape. */
+  def m40_tga_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — pixel bytes would diverge")
+          val b = text.getBytes("US-ASCII")
+          val len = b.length
+          val w = len % 24 + 2
+          val h = (len / 24) % 12 + 2
+          val rgb = Array.tabulate(w * h * 3) { k =>
+            val v = if (len == 0) 0 else b((5 * k + 7) % len) & 0xFF
+            ((v * 3 + k) % 256).toByte
+          }
+          val rle = id % 2 == 1
+          MediaRow(id, Tga.encode(w, h, rgb, rle = rle, topDown = rle),
+            if (rle) "tga-rle" else "tga-raw")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = MediaCodec.decodeImage(r.payload) // sniffed, not trusted
+        var sum = 0L; var wsum = 0L
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var i = 0
+        while (i < img.pixels.length) {
+          val v = (img.pixels(i) & 0xFF).toLong
+          sum += v; wsum += v * (i + 1)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        TgaFeature(r.doc_id, r.format, img.width, img.height, sum, wsum,
+          mn, mx)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   final case class JpegAcRow(doc_id: Long, width: Int, height: Int,
                              n_blocks: Long, px_sum: Long, px_wsum: Long,
                              px_min: Long, px_max: Long)
@@ -2591,6 +2649,7 @@ object MultimodalQueries {
     "m37_apng_features" -> (m37_apng_features _),
     "m38_g711_features" -> (m38_g711_features _),
     "m39_exif_orientation" -> (m39_exif_orientation _),
+    "m40_tga_features" -> (m40_tga_features _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -2979,6 +3038,29 @@ object MultimodalQueries {
          s_abs::BIGINT AS s_abs, pred::BIGINT AS s_last,
          s_min::BIGINT AS s_min, s_max::BIGINT AS s_max
        FROM steps WHERE k = 64 ORDER BY doc_id""",
+    // container-independent replay of the top-down RGB raster: the
+    // oracle never sees the TGA bytes, so any BGR swap, bottom-up
+    // flip, or RLE off-by-one in the decode breaks the weighted sum
+    "m40_tga_features" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           (length(text) % 24 + 2) AS w,
+           ((length(text) // 24) % 12 + 2) AS h,
+           CASE WHEN doc_id % 2 = 1 THEN 'tga-rle' ELSE 'tga-raw' END
+             AS codec
+         FROM documents),
+       s AS (SELECT doc_id, codec, w, h,
+           list_transform(range(0, w * h * 3), k ->
+             CASE WHEN len = 0 THEN (k % 256)
+               ELSE (ascii(substr(text, ((5 * k + 7) % len)::INT + 1, 1))
+                 * 3 + k) % 256 END) AS vs
+         FROM t)
+       SELECT doc_id, codec, w::INT AS width, h::INT AS height,
+         list_reduce(vs, (x, y) -> x + y)::BIGINT AS s_sum,
+         list_reduce(list_transform(range(1, w * h * 3 + 1),
+           i -> vs[i] * i), (x, y) -> x + y)::BIGINT AS s_wsum,
+         list_min(vs)::BIGINT AS s_min,
+         list_max(vs)::BIGINT AS s_max
+       FROM s ORDER BY doc_id""",
     // every EXIF transform is affine in (row, col): new_index =
     // a0 + a1*row + a2*col, so the weighted sum over a flat 8x8 block
     // at block coords (bR, bC) collapses to the closed form

@@ -779,6 +779,10 @@ object MediaCodec {
       bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') Png.decode(bytes)
     else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == '8') Gif.decode(bytes)
+    // TGA has no magic: strict header plausibility, checked LAST among
+    // the binary formats (Netpbm's 'P' puts 0x35/0x36 where TGA keeps
+    // colorMapType = 0, so the two cannot collide)
+    else if (Tga.looksLikeTga(bytes)) Tga.decode(bytes)
     else decodeNetpbm(bytes)
 
   /** Walk a CONCATENATION of binary P5 frames — the minimal motion-PGM

@@ -243,6 +243,47 @@ class MediaCodecSpec extends AnyFunSuite {
     b.array()
   }
 
+  test("TGA: both types and both row origins decode to the same top-down RGB") {
+    val rgb = Array[Byte](10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42)
+    for (rle <- Seq(false, true); topDown <- Seq(false, true)) {
+      val img = MediaCodec.decodeImage(Tga.encode(2, 2, rgb, rle, topDown))
+      assert(img.width == 2 && img.height == 2 && img.channels == 3)
+      assert(img.pixels.toSeq == rgb.toSeq, s"rle=$rle topDown=$topDown")
+    }
+    // hand-check the file bytes: bottom-up type 2 stores the BOTTOM
+    // row first, channels as BGR
+    val raw = Tga.encode(2, 2, rgb, rle = false, topDown = false)
+    assert(raw(2) == 2 && (raw(17) & 0x20) == 0)
+    assert(raw(18) == 32 && raw(19) == 31 && raw(20) == 30)
+  }
+
+  test("TGA RLE: a solid row collapses to one run packet; runs never cross rows") {
+    val solid = Array.fill(2 * 2 * 3)(7.toByte)
+    val enc = Tga.encode(2, 2, solid, rle = true, topDown = true)
+    // header 18 + per row: 1 packet byte + 1 BGR pixel
+    assert(enc.length == 18 + 2 * 4, s"got ${enc.length}")
+    assert((enc(18) & 0xFF) == 0x81) // run of 2
+    assert(MediaCodec.decodeImage(enc).pixels.toSeq == solid.toSeq)
+    // literal packets: fully distinct pixels round-trip too
+    val distinct = Array.tabulate(12)(i => (i * 17 + 3).toByte)
+    val e2 = Tga.encode(2, 2, distinct, rle = true, topDown = true)
+    assert(MediaCodec.decodeImage(e2).pixels.toSeq == distinct.toSeq)
+    // a run packet claiming more pixels than the raster fails loud
+    val evil = enc.clone(); evil(18) = 0xFF.toByte // run of 128
+    intercept[IllegalArgumentException](Tga.decode(evil))
+  }
+
+  test("TGA sniff: strict plausibility cannot misroute the other formats") {
+    // a valid PGM (P5) must NOT look like TGA (byte 1 is 0x35, not 0)
+    val pgm = ("P5 4 4 255 " + "x" * 16).getBytes("US-ASCII")
+    assert(!Tga.looksLikeTga(pgm))
+    assert(MediaCodec.decodeImage(pgm).channels == 1) // still netpbm
+    // and a real TGA routes to the TGA decoder through the sniff
+    val rgb = Array.fill(12)(5.toByte)
+    assert(MediaCodec.decodeImage(
+      Tga.encode(2, 2, rgb, rle = false, topDown = true)).channels == 3)
+  }
+
   test("applyOrientation: all 8 EXIF transforms hand-traced on a 2x3 raster") {
     import MediaCodec.Image
     val img = Image(2, 3, 1, Array[Byte](1, 2, 3, 4, 5, 6))
