@@ -1117,6 +1117,74 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** s22 — FILTERED serving on the persisted index with a
+    * SELECTIVITY-DRIVEN path choice, the production vector-DB decision
+    * s10 (brute-force pre-filter) and s18 (unfiltered probe) bracket:
+    * every query carries its own metadata predicate — f = query_id % 3
+    * classes: no filter, a broad half-corpus filter (label even), or a
+    * narrow single-label filter — and the engine picks the access path
+    * per class. BROAD filters ride the probed-cell serve with the
+    * predicate applied to the candidate gather (post-filtering a cell
+    * gather is cheap and loses little recall when most candidates
+    * pass); NARROW filters switch to an EXACT scan of the
+    * label-filtered corpus (index ∪ delta) — probing cells for a 1/8
+    * filter would mostly gather rows the predicate kills, and the
+    * filtered subset is small enough that exact search is both cheaper
+    * AND better (full recall), which is exactly why real systems
+    * switch. The output carries the path taken; the oracle replays
+    * both paths per query class, so a wrong strategy OR a wrong result
+    * under either strategy fails the hash.
+    *
+    * At 100 TB: the broad path stays cell-pruned (work ∝ probed
+    * cells); the narrow path reads the predicate-pushed subset
+    * (PushedFilters on label — with a label-partitioned layout it
+    * becomes partition pruning). The switch threshold here is the
+    * filter CLASS; a deployment derives it from column statistics. */
+  def s22_ann_filtered_serve(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val base = emb(s, dir)
+    def l2(x: Column, y: Column): Column = l2n(x, y)
+    val (tbl, cents, deltaMod) = ivfBuild(s, dir)
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"),
+        (col("vec_id") % 3).as("f"),
+        (ldiv(col("vec_id"), lit(50L)) % 8).cast("int").as("target"))
+    val broad = qs.filter(col("f") < 2).drop("target")
+    val narrow = qs.filter(col("f") === 2)
+    val assigned = broad
+      .withColumn("pc", explode(probeCells2(cents, col("qa"))))
+      .select(col("query_id"), col("qa"), col("f"),
+        col("pc.c").as("probe_cell"))
+    val probed = assigned.select("probe_cell").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by the cell count
+    val delta = base.filter(col("vec_id") % deltaMod === 1L)
+    val keep = col("vec_id") =!= col("query_id") &&
+      (col("f") === 0L || col("label") % 2 === 0)
+    val broadCand = s.table(tbl).filter(col("cell").isin(probed.toSeq: _*))
+      .join(broadcast(assigned), col("cell") === col("probe_cell"))
+      .filter(keep)
+      .select(col("query_id"), col("vec_id"),
+        l2(col("qa"), col("a")).as("d2"), lit("probed").as("path"))
+      .unionByName(delta.crossJoin(broadcast(broad)).filter(keep)
+        .select(col("query_id"), col("vec_id"),
+          l2(col("qa"), col("a")).as("d2"), lit("probed").as("path")))
+    val narrowCand = s.table(tbl).select("vec_id", "label", "a")
+      .unionByName(delta.select("vec_id", "label", "a"))
+      .crossJoin(broadcast(narrow))
+      .filter(col("label") === col("target") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        l2(col("qa"), col("a")).as("d2"), lit("exact").as("path"))
+    val cand = broadCand.unionByName(narrowCand)
+      .withColumn("neg_d2", negate(col("d2")))
+    graft.plans.TopKPerKey(cand, Seq("query_id"), "neg_d2", "vec_id", 3)
+      .select(col("query_id"), col("rank").as("rk"),
+        col("vec_id").as("neighbor_id"),
+        floor(col("d2") * 1e9).cast("long").as("d2_fp"),
+        col("path"))
+      .orderBy("query_id", "rk")
+  }
+
   /** s19 — PERSISTED PQ-IVF serving with exact RERANK (the FAISS
     * IVF-PQ + refine layout, persisted): s09 derives residual PQ codes
     * in-query on every run; a serving deployment encodes ONCE and
@@ -1215,6 +1283,7 @@ object SimilarityQueries {
     "s17_nprobe_sweep" -> (s17_nprobe_sweep _),
     "s18_ann_persisted" -> (s18_ann_persisted _),
     "s21_ann_tombstones" -> (s21_ann_tombstones _),
+    "s22_ann_filtered_serve" -> (s22_ann_filtered_serve _),
     "s16_ann_binary_quant" -> (s16_ann_binary_quant _),
     "s15_hybrid_rrf" -> (s15_hybrid_rrf _),
     "s14_maxsim_multivector" -> (s14_maxsim_multivector _),
@@ -1773,6 +1842,69 @@ object SimilarityQueries {
           row_number() OVER (PARTITION BY query_id
             ORDER BY d2, vec_id) AS rk FROM cand)
       WHERE rk <= 3 ORDER BY query_id, rk""",
+    // both access paths replayed per query class: broad filters ride
+    // the probed-cell serve with the predicate on the gather, narrow
+    // filters take the exact label-filtered scan
+    "s22_ann_filtered_serve" -> s"""
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      nn AS (SELECT greatest(97, count(*) // 50) AS dm FROM embeddings),
+      idx0 AS (SELECT e.* FROM e, nn WHERE vec_id % nn.dm <> 1),
+      delta AS (SELECT e.* FROM e, nn WHERE vec_id % nn.dm = 1),
+      cent AS (SELECT label AS c_label,
+          list(s ORDER BY i) AS centroid FROM (
+          SELECT label, i,
+            sum(CAST(floor(a[i] * 1e9) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1e9 AS s
+          FROM idx0, range(1, 65) t(i) GROUP BY label, i)
+        GROUP BY label),
+      asn AS (SELECT vec_id, label, a, c_label AS cell FROM (
+          SELECT d.vec_id, d.label, d.a, c.c_label,
+            row_number() OVER (PARTITION BY d.vec_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (d.a[i] - c.centroid[i]) * (d.a[i] - c.centroid[i])),
+                (x, y) -> x + y), c.c_label) AS rk
+          FROM idx0 d, cent c) WHERE rk = 1),
+      qs AS (SELECT vec_id AS query_id, a AS qa, vec_id % 3 AS f,
+          ((vec_id // 50) % 8)::INT AS target
+        FROM e WHERE vec_id % 50 = 0),
+      probes AS (SELECT query_id, qa, f, c_label AS probe_cell FROM (
+          SELECT q.query_id, q.qa, q.f, c.c_label,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (q.qa[i] - c.centroid[i]) * (q.qa[i] - c.centroid[i])),
+                (x, y) -> x + y), c.c_label) AS crk
+          FROM qs q, cent c WHERE q.f < 2) WHERE crk <= 2),
+      cand AS (
+        SELECT p.query_id, v.vec_id,
+          list_reduce(list_transform(range(1, 65),
+            i -> (p.qa[i] - v.a[i]) * (p.qa[i] - v.a[i])),
+            (x, y) -> x + y) AS d2,
+          'probed' AS path
+        FROM probes p JOIN asn v ON v.cell = p.probe_cell
+        WHERE v.vec_id <> p.query_id AND (p.f = 0 OR v.label % 2 = 0)
+        UNION ALL
+        SELECT q.query_id, d.vec_id,
+          list_reduce(list_transform(range(1, 65),
+            i -> (q.qa[i] - d.a[i]) * (q.qa[i] - d.a[i])),
+            (x, y) -> x + y) AS d2,
+          'probed' AS path
+        FROM qs q, delta d
+        WHERE q.f < 2 AND d.vec_id <> q.query_id
+          AND (q.f = 0 OR d.label % 2 = 0)
+        UNION ALL
+        SELECT q.query_id, x.vec_id,
+          list_reduce(list_transform(range(1, 65),
+            i -> (q.qa[i] - x.a[i]) * (q.qa[i] - x.a[i])),
+            (x, y) -> x + y) AS d2,
+          'exact' AS path
+        FROM qs q, e x
+        WHERE q.f = 2 AND x.label = q.target AND x.vec_id <> q.query_id),
+      top AS (SELECT query_id, vec_id, d2, path,
+          row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rk
+        FROM cand)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor_id,
+        CAST(floor(d2 * 1e9) AS BIGINT) AS d2_fp, path
+      FROM top WHERE rk <= 3 ORDER BY query_id, rk""",
     // s18's replay with the tombstone mask (vec_id % 7 = 3) applied
     // ONLY to queries and candidates — centroids and cell assignment
     // deliberately see the full corpus (logical deletes do not touch

@@ -114,4 +114,47 @@ class AnnMergeSpec extends SparkSpec {
     }
     assert(touched, "fixture must exercise a tombstone promotion")
   }
+
+  test("s22: every result satisfies its query's filter; paths match the classes") {
+    val dir = sf()
+    val labels = graft.core.Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = SimilarityQueries.s22_ann_filtered_serve(spark, dir).collect()
+    assert(out.nonEmpty)
+    val classes = out.map(_.getLong(0) % 3).toSet
+    assert(classes == Set(0L, 1L, 2L), "all three filter classes present")
+    out.foreach { r =>
+      val (q, nb, path) = (r.getLong(0), r.getLong(2), r.getString(4))
+      q % 3 match {
+        case 2 =>
+          assert(path == "exact", s"query $q took $path")
+          assert(labels(nb) == ((q / 50) % 8).toInt,
+            s"query $q: neighbor $nb label ${labels(nb)} misses the filter")
+        case 1 =>
+          assert(path == "probed", s"query $q took $path")
+          assert(labels(nb) % 2 == 0,
+            s"query $q: neighbor $nb label ${labels(nb)} is odd")
+        case _ =>
+          assert(path == "probed", s"query $q took $path")
+      }
+      assert(nb != q, "self-match leaked")
+    }
+    // the narrow path is EXACT: replay one narrow query brute-force
+    val narrowQ = out.map(_.getLong(0)).distinct.filter(_ % 3 == 2).min
+    val target = ((narrowQ / 50) % 8).toInt
+    val vecs = graft.core.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> cast(x as double)) as a")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+    val qa = vecs.find(_._1 == narrowQ).get._3
+    val truth = vecs.filter(v => v._2 == target && v._1 != narrowQ)
+      .map { case (id, _, a) =>
+        (id, a.zip(qa).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }
+      .sortBy { case (id, d2) => (d2, id) }.take(3).map(_._1).toSeq
+    val got = out.filter(_.getLong(0) == narrowQ)
+      .sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(got == truth, s"narrow query $narrowQ: $got != exact $truth")
+  }
 }
