@@ -834,7 +834,47 @@ object NetCDFQueries {
       .orderBy("id_dim")
   }
 
+  /** qn19 — HDF5 COMPOUND datatype import (the record/event-table
+    * shape: particle physics, telemetry — one struct per element
+    * instead of one scalar): the events table is written as a 1-D
+    * compound dataset {event_id i64, user_id i64, value f64} through
+    * [[graft.sources.HDF5.writeCompound1D]] (datatype message class 6,
+    * version-1 member layout), read back through the recursive
+    * datatype parser ([[graft.sources.HDF5.parseDtypeAt]], which also
+    * serves the version-2/3 member layouts real h5py files carry), and
+    * compared field-for-field against the source rows. Like qn16's
+    * vlen labels this is a driver-side reader path — record tables at
+    * data scale would extend the DSv2 source with a row-window
+    * compound decoder, the same seam the numeric path uses.
+    * Reference anchor: OPH_IMPORTNC reads scalar vars only
+    * (oph_io_server_nc.c:2716) — compound support is what lets the
+    * engine ingest event-table HDF5 without a preprocessing pass. */
+  def qn19_compound_import(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.HDF5
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy("event_id")
+    val rows = ev.toLocalIterator().asScala
+      .map(r => Seq[Any](r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val path = Files.createTempDirectory("graft_cmp")
+      .resolve("events.h5").toString
+    HDF5.writeCompound1D(path, "events",
+      Seq("event_id" -> 'l', "user_id" -> 'l', "value" -> 'd'), rows)
+    val rd = new HDF5.Hdf5Reader(path)
+    val (ms, got) = try rd.readCompoundVar("events") finally rd.close()
+    require(ms.map(_.name) == Seq("event_id", "user_id", "value"),
+      s"member table mismatch: ${ms.map(_.name)}")
+    import s.implicits._
+    got.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        math.floor(r(2).asInstanceOf[Double] * 1e6).toLong))
+      .toDF("event_id", "user_id", "value_fp")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qn19_compound_import" -> (qn19_compound_import _),
     "qn18_multifile_import" -> (qn18_multifile_import _),
     "qn16_vlen_labels" -> (qn16_vlen_labels _),
     "qn14_fletcher_import" -> (qn14_fletcher_import _),
@@ -957,6 +997,11 @@ object NetCDFQueries {
          CAST(CASE WHEN i <= 40 THEN 1 ELSE 0 END AS BIGINT) AS in_before
          FROM range(1, 101) t(i)
          ORDER BY id_dim""",
+    // the compound round trip must preserve every field of every row
+    "qn19_compound_import" ->
+      """SELECT event_id, user_id,
+         CAST(floor(value * 1e6) AS BIGINT) AS value_fp
+         FROM events ORDER BY event_id""",
     // the three files concatenate to the original grid; the id window
     // replays as a count-derived predicate (the AutoScale discipline)
     "qn18_multifile_import" ->

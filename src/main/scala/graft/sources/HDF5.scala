@@ -56,9 +56,79 @@ object HDF5 {
     } finally src.close()
   }
 
-  /** Element type: HDF5 class 0 (fixed) / 1 (float), byte size, order. */
+  /** Element type: HDF5 class 0 (fixed) / 1 (float) / 6 (compound) /
+    * 9 (vlen string), byte size, order. Compound types carry their
+    * member table (name, byte offset within the element, member type). */
   final case class DType(clazz: Int, size: Int, littleEndian: Boolean,
-                         signed: Boolean)
+                         signed: Boolean,
+                         members: Seq[CompoundMember] = Nil)
+
+  final case class CompoundMember(name: String, offset: Int, dtype: DType)
+
+  /** Parse a datatype STRUCT at `off` in `body`, returning the type and
+    * the bytes consumed — recursive, because compound members embed
+    * their own full datatype structs (spec IV.A.2.d). Versions 1/2
+    * pad member names to 8 and (v1 only) carry the legacy array-dim
+    * block; version 3 packs names unpadded with minimal-byte offsets. */
+  private[sources] def parseDtypeAt(body: Array[Byte], off: Int): (DType, Int) = {
+    val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val cv = b.get(off) & 0xFF
+    val version = cv >> 4
+    val clazz = cv & 0x0F
+    val bits0 = b.get(off + 1) & 0xFF
+    val bits8 = b.get(off + 2) & 0xFF
+    val size = b.getInt(off + 4)
+    clazz match {
+      case 0 => // fixed-point: 4 property bytes (bit offset, precision)
+        (DType(0, size, littleEndian = (bits0 & 1) == 0,
+          signed = (bits0 & 0x08) != 0), 12)
+      case 1 => // float: 12 property bytes
+        (DType(1, size, littleEndian = (bits0 & 1) == 0, signed = true), 20)
+      case 9 =>
+        // variable-length (spec IV.A.2.d class 9): must be the STRING
+        // flavour (bit-field type 1) with the 16-byte (length u32 +
+        // global heap address u64 + object index u32) file
+        // representation; the base datatype that follows is ignored —
+        // readStringVar re-derives bytes from the global heap
+        require((bits0 & 0x0F) == 1,
+          "vlen SEQUENCE datatypes unsupported (string vlen only)")
+        require(size == 16, s"vlen string element size $size != 16")
+        (DType(9, size, littleEndian = (bits0 & 1) == 0, signed = true), 8)
+      case 6 => // compound
+        require(version >= 1 && version <= 3,
+          s"compound datatype version $version unsupported")
+        val n = bits0 | (bits8 << 8)
+        var pos = off + 8
+        val members = (0 until n).map { _ =>
+          var end = pos
+          while (body(end) != 0) end += 1
+          val name = new String(body, pos, end - pos, "US-ASCII")
+          val mOff =
+            if (version <= 2) {
+              pos += ((end - pos) / 8 + 1) * 8 // NUL + pad to 8
+              val o = b.getInt(pos); pos += 4
+              if (version == 1) pos += 28 // dims/perm/reserved block
+              o
+            } else {
+              pos = end + 1 // unpadded NUL-terminated name
+              val encLen = limitEncSize(size.toLong)
+              var o = 0L; var j = 0
+              while (j < encLen) {
+                o |= (body(pos + j).toLong & 0xFF) << (8 * j); j += 1
+              }
+              pos += encLen
+              o.toInt
+            }
+          val (dt, len) = parseDtypeAt(body, pos)
+          pos += len
+          CompoundMember(name, mOff, dt)
+        }
+        (DType(6, size, littleEndian = true, signed = true, members),
+          pos - off)
+      case o => throw new IllegalArgumentException(
+        s"datatype class $o unsupported (fixed/float/compound/vlen only)")
+    }
+  }
 
   final case class Filter(id: Int, clientValues: Seq[Int])
 
@@ -594,27 +664,9 @@ object HDF5 {
             if ((flags & 1) != 0)
               maxShape = Some((0 until rank).map(i =>
                 b.getLong(base + rank * 8 + i * 8)))
-          case 0x0003 => // datatype
-            val cv = b.get(0) & 0xFF
-            val clazz = cv & 0x0F
-            val bits0 = b.get(1) & 0xFF
-            val size = b.getInt(4)
-            require(clazz == 0 || clazz == 1 || clazz == 9,
-              s"datatype class $clazz unsupported (fixed/float/vlen only)")
-            if (clazz == 9) {
-              // variable-length (spec IV.A.2.d class 9): must be the
-              // STRING flavour (bit-field type 1) with the 16-byte
-              // (length u32 + global heap address u64 + object index
-              // u32) file representation; the base datatype that
-              // follows is ignored — readStringVar re-derives bytes
-              // from the global heap
-              require((bits0 & 0x0F) == 1,
-                "vlen SEQUENCE datatypes unsupported (string vlen only)")
-              require(size == 16,
-                s"vlen string element size $size != 16")
-            }
-            dtype = DType(clazz, size, littleEndian = (bits0 & 1) == 0,
-              signed = clazz != 0 || (bits0 & 0x08) != 0)
+          case 0x0003 => // datatype (shared recursive parser — compound
+            // members embed their own datatype structs)
+            dtype = parseDtypeAt(m.body, 0)._1
           case 0x0008 => // layout
             val ver = b.get(0) & 0xFF
             require(ver == 3 || ver == 4,
@@ -1089,6 +1141,43 @@ object HDF5 {
       * collection size, then 16-byte-headed objects padded to 8).
       * Collections are cached per address. Contiguous layout only —
       * label vectors are dimension-scale metadata, not data. */
+    /** Read a 1-D contiguous COMPOUND dataset (record/event tables —
+      * the particle-physics HDF5 shape): returns the member table and
+      * one value row per element, i64 members as Long, f64 as Double.
+      * Contiguous 1-D only, like [[readStringVar]]. */
+    def readCompoundVar(varName: String)
+        : (Seq[CompoundMember], IndexedSeq[IndexedSeq[Any]]) = {
+      val d = dataset(varName)
+      require(d.dtype.clazz == 6, s"$varName is not a compound dataset")
+      require(!d.isChunked, s"$varName: chunked compounds unsupported")
+      require(d.shape.size == 1, s"$varName: compounds must be 1-D")
+      require(d.contiguousAddr != Undef, s"${d.name}: no data allocated")
+      val ms = d.dtype.members
+      require(ms.nonEmpty, s"$varName: compound with no members")
+      val es = d.dtype.size
+      ms.foreach { m =>
+        require(m.offset >= 0 && m.offset + m.dtype.size <= es,
+          s"$varName: member ${m.name} overruns the element")
+        require((m.dtype.clazz == 0 || m.dtype.clazz == 1) &&
+          m.dtype.size == 8 && m.dtype.littleEndian,
+          s"$varName: member ${m.name}: only i64/f64 LE members served")
+      }
+      val n = d.shape.head
+      require(n >= 0 && n.toLong * es <= Int.MaxValue.toLong,
+        s"$varName: implausible compound extent $n x $es")
+      val raw = new Array[Byte](n * es)
+      src.readFully(d.contiguousAddr, raw)
+      val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      val rows = (0 until n).map { i =>
+        ms.map { m =>
+          val at = i * es + m.offset
+          if (m.dtype.clazz == 0) (bb.getLong(at): Any)
+          else (bb.getDouble(at): Any)
+        }.toIndexedSeq
+      }
+      (ms, rows)
+    }
+
     def readStringVar(varName: String): IndexedSeq[String] = {
       val d = dataset(varName)
       require(d.dtype.clazz == 9, s"$varName is not a vlen string dataset")
@@ -1500,6 +1589,88 @@ object HDF5 {
     * superblock v0, root object header, group B-tree v1 + local heap +
     * one SNOD, then each entry's object header written by its closure
     * (name-ordered, as symbol tables require). */
+  /** Write a 1-D COMPOUND dataset (contiguous, superblock v0, symbol-
+    * table root): `members` are (name, 'l' = int64 LE | 'd' = float64
+    * LE), rows hold matching Long/Double values. Member layout is the
+    * spec's packed struct (offsets at 8-byte strides); the datatype
+    * message is compound VERSION 1 — names NUL-padded to 8, the legacy
+    * array-dim block zeroed — which [[parseDtypeAt]] shares with
+    * versions 2/3 read support. Fixture-side twin of
+    * [[Hdf5Reader.readCompoundVar]]. */
+  def writeCompound1D(path: String, varName: String,
+      members: Seq[(String, Char)], rows: Seq[Seq[Any]]): Unit = {
+    require(members.nonEmpty, "compound needs members")
+    members.foreach { case (nm, c) =>
+      require(c == 'l' || c == 'd', s"member $nm: type must be 'l' or 'd'")
+      require(nm.nonEmpty && nm.forall(ch => ch > 0 && ch < 128), nm)
+    }
+    rows.foreach(r => require(r.length == members.length, "ragged row"))
+    writeGroupFile(path, Seq(varName -> { (b: Buf) =>
+      val n = rows.length
+      val es = members.length * 8
+      def pad8(x: Int) = (x + 7) / 8 * 8
+      def memberDtLen(c: Char) = if (c == 'l') 12 else 20
+      val membersLen = members.map { case (nm, c) =>
+        pad8(nm.length + 1) + 4 + 28 + memberDtLen(c)
+      }.sum
+      val dtSz = pad8(8 + membersLen)
+      val spaceSz = 8 + 8 // v1 dataspace, rank 1
+      val layoutSz = 24
+      val hdrSize = (8 + spaceSz) + (8 + dtSz) + (8 + layoutSz)
+      val dsOh = b.pos
+      b.u8(1); b.u8(0); b.u16(3)
+      b.u32(1); b.u32(hdrSize); b.u32(0)
+      // dataspace v1, rank 1
+      b.u16(0x0001); b.u16(spaceSz); b.u8(0); b.u8(0); b.u16(0)
+      b.u8(1); b.u8(1); b.u8(0); b.u8(0); b.u32(0)
+      b.u64(n.toLong)
+      // datatype: compound v1
+      b.u16(0x0003); b.u16(dtSz); b.u8(0); b.u8(0); b.u16(0)
+      val dtStart = b.pos
+      b.u8(0x16) // version 1, class 6
+      b.u8(members.length & 0xFF); b.u8((members.length >> 8) & 0xFF)
+      b.u8(0)
+      b.u32(es.toLong)
+      members.zipWithIndex.foreach { case ((nm, c), i) =>
+        val nb = nm.getBytes("US-ASCII")
+        b.bytes(nb); b.zero(pad8(nb.length + 1) - nb.length)
+        b.u32(i.toLong * 8) // byte offset within the element
+        b.u8(0); b.zero(3) // dimensionality + reserved (v1 legacy block)
+        b.u32(0) // dim permutation
+        b.u32(0) // reserved
+        (0 until 4).foreach(_ => b.u32(0)) // dim sizes
+        if (c == 'l') {
+          b.u8(0x10); b.u8(0x08); b.u8(0); b.u8(0) // v1 class 0, LE signed
+          b.u32(8); b.u16(0); b.u16(64)
+        } else {
+          b.u8(0x11); b.u8(0x20); b.u8(0x3F); b.u8(0) // v1 class 1, F64LE
+          b.u32(8); b.u16(0); b.u16(64)
+          b.u8(52); b.u8(11); b.u8(0); b.u8(52)
+          b.u32(1023)
+        }
+      }
+      b.zero(dtSz - (b.pos - dtStart))
+      // layout v3 contiguous
+      b.u16(0x0008); b.u16(layoutSz); b.u8(0); b.u8(0); b.u16(0)
+      val layoutStart = b.pos
+      b.u8(3); b.u8(1)
+      val dataAddrPatch = b.pos; b.u64(0)
+      b.u64(n.toLong * es)
+      b.zero(layoutSz - (b.pos - layoutStart))
+      // contiguous packed rows
+      b.patch64(dataAddrPatch, b.pos)
+      rows.foreach { r =>
+        r.zip(members).foreach {
+          case (v: Long, (_, 'l')) => b.u64(v)
+          case (v: Double, (_, 'd')) => b.f64(v)
+          case (v, (nm, c)) => throw new IllegalArgumentException(
+            s"member $nm: value $v does not match type '$c'")
+        }
+      }
+      dsOh
+    }))
+  }
+
   private def writeGroupFile(path: String,
       entries0: Seq[(String, Buf => Long)]): Unit = {
     val vars = entries0.sortBy(_._1) // symbol-table entries are name-ordered

@@ -440,4 +440,44 @@ class HDF5Spec extends AnyFunSuite {
       assert(e.getMessage.contains("GCOL"))
     } finally r.close()
   }
+
+  test("compound dataset: v1 write/read round trip preserves every field") {
+    val p = tmp(".h5")
+    val data = Seq(Seq[Any](1L, 1.5, -7L), Seq[Any](-2L, 0.25, 9L),
+      Seq[Any](0L, -3.75, 0L))
+    HDF5.writeCompound1D(p, "t",
+      Seq("a" -> 'l', "b" -> 'd', "cc" -> 'l'), data)
+    val r = new HDF5.Hdf5Reader(p)
+    try {
+      val (ms, rows) = r.readCompoundVar("t")
+      assert(ms.map(m => (m.name, m.offset, m.dtype.clazz)) ==
+        Seq(("a", 0, 0), ("b", 8, 1), ("cc", 16, 0)))
+      assert(rows.map(_.toSeq) == data)
+      // a scalar reader must refuse the compound, loudly
+      val e = intercept[IllegalArgumentException](r.readStringVar("t"))
+      assert(e.getMessage.contains("vlen"))
+    } finally r.close()
+  }
+
+  test("compound datatype VERSION 3 member layout parses (the h5py format)") {
+    // hand-built class-6 v3 struct: {x: i64 @0, y: f64 @8}, size 16 —
+    // names unpadded, offsets in minimal bytes (1 byte for size 16)
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x36.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(16)
+    bb.put('x'.toByte).put(0.toByte).put(0.toByte) // name "x", offset 0
+    bb.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(8); bb.putShort(0); bb.putShort(64) // i64 member type
+    bb.put('y'.toByte).put(0.toByte).put(8.toByte) // name "y", offset 8
+    bb.put(0x11.toByte).put(0x20.toByte).put(0x3F.toByte).put(0.toByte)
+    bb.putInt(8); bb.putShort(0); bb.putShort(64)
+    bb.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+    bb.putInt(1023) // f64 member type
+    val (dt, consumed) = HDF5.parseDtypeAt(bb.array(), 0)
+    assert(dt.clazz == 6 && dt.size == 16)
+    assert(dt.members.map(m => (m.name, m.offset, m.dtype.clazz)) ==
+      Seq(("x", 0, 0), ("y", 8, 1)))
+    assert(consumed == 8 + 3 + 12 + 3 + 20)
+  }
 }
