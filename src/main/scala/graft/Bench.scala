@@ -112,7 +112,8 @@ object Bench {
       // r15 cont.: s21 serves s18's memoized index through the tombstone
       // mask; t32 encodes under the memoized unigram model (training is
       // t31's own cost); q84 probes the memoized Hilbert layout
-      "s21_ann_tombstones", "t32_unigram_encode", "q84_hilbert_layout")
+      "s21_ann_tombstones", "t32_unigram_encode", "q84_hilbert_layout",
+      "s22_ann_filtered_serve")
     val ingest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }
