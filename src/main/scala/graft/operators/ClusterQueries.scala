@@ -548,6 +548,50 @@ object ClusterQueries {
           AS BIGINT)""").as("kappa_fp"))
   }
 
+  /** c22 — KRIPPENDORFF'S ALPHA over THREE raters (the multi-annotator
+    * generalization of c09's two-party kappa — the agreement statistic
+    * an annotation pipeline reads before trusting a labeled set):
+    * rater 1 is ground truth, rater 2 the t02 predictor, rater 3 a
+    * systematically-degraded truth (follows the predictor on every
+    * third unit). Nominal-metric alpha = 1 − Do/De with EXACT integer
+    * disagreement sums: for 3 raters the per-unit coincidence
+    * disagreement Σ_c n_uc(3 − n_uc) collapses to a 3-way CASE
+    * (0 unanimous / 4 split two-one / 6 all distinct — no explode in
+    * the unit pass), and the expected disagreement is Σ_c n_c(N − n_c)
+    * over the 5-category totals. The final ratio runs in decimal(38)
+    * (both cross terms exceed int64 at 26×; the c09/c11 carry), with
+    * positivity on this data pinned by ClusterSpec so the trunc-vs-
+    * floor divide question never arises.
+    *
+    * Scale shape: one scan computes per-unit disagreements
+    * (map-combined sum) and the category totals (5-row aggregate);
+    * everything after is constant-size arithmetic. */
+  def c22_krippendorff(s: SparkSession, dir: String): DataFrame = {
+    val rated = TextQueries.t02_langid(s, dir)
+      .select(col("doc_id"), col("actual_lang").as("r1"),
+        col("pred_lang").as("r2"),
+        when(col("doc_id") % 3 === 0, col("pred_lang"))
+          .otherwise(col("actual_lang")).as("r3"))
+    val tot = rated.withColumn("d_u",
+        when(col("r1") === col("r2") && col("r2") === col("r3"), 0L)
+          .when(col("r1") =!= col("r2") && col("r2") =!= col("r3") &&
+            col("r1") =!= col("r3"), 6L)
+          .otherwise(4L))
+      .agg(count(lit(1)).as("n_units"), sum("d_u").as("do_int"))
+    val de = rated
+      .select(explode(array(col("r1"), col("r2"), col("r3"))).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n_c"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(col("n_c") * (lit(3L) * col("n_units") - col("n_c")))
+        .as("de_int"))
+    tot.crossJoin(broadcast(de))
+      .select(col("n_units"), col("do_int"), col("de_int"),
+        expr("""CAST(((2 * CAST(de_int AS DECIMAL(38,0))
+            - CAST(do_int AS DECIMAL(38,0)) * (3 * n_units - 1))
+          * 1000000) div (2 * CAST(de_int AS DECIMAL(38,0)))
+          AS BIGINT)""").as("alpha_fp"))
+  }
+
   /** c10 — Poisson-bootstrap confidence interval for a corpus metric
     * (mean tokens/doc): every (doc, replicate) pair gets a weight drawn
     * from a Poisson(1)-shaped integer table keyed by a Lehmer hash of
@@ -1159,6 +1203,7 @@ object ClusterQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c20_bt_arena" -> (c20_bt_arena _),
     "c21_risk_coverage" -> (c21_risk_coverage _),
+    "c22_krippendorff" -> (c22_krippendorff _),
     "c19_paired_bootstrap" -> (c19_paired_bootstrap _),
     "c18_spearman" -> (c18_spearman _),
     "c17_psi_drift" -> (c17_psi_drift _),
@@ -1761,6 +1806,43 @@ object ClusterQueries {
       FROM dcg d JOIN idcg i USING (q_id) ORDER BY q_id""",
     // kappa over the same preds CTE as c07; HUGEINT carry on the
     // N²-scale terms mirrors the Spark decimal(38,0) div exactly
+    // the c09 predictor replay, a third systematically-degraded rater,
+    // and the nominal-alpha integer sums; HUGEINT carries the final
+    // ratio (both cross terms exceed int64 at 26x)
+    "c22_krippendorff" ->
+      """WITH preds AS (
+           SELECT doc_id, lang AS actual_lang,
+             CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+                  WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+           FROM (SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+             greatest(s_de, s_en, s_es, s_fr, s_zh) AS best
+             FROM (SELECT doc_id, lang,
+               len(list_filter(toks, t -> t IN ('table','key','hash')))::BIGINT AS s_de,
+               len(list_filter(toks, t -> t IN ('the','a','fast','slow')))::BIGINT AS s_en,
+               len(list_filter(toks, t -> t IN ('data','row','scan')))::BIGINT AS s_es,
+               len(list_filter(toks, t -> t IN ('order','query','value')))::BIGINT AS s_fr,
+               len(list_filter(toks, t -> t IN ('spark','join','merge')))::BIGINT AS s_zh
+               FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                 FROM documents)))),
+         rated AS (SELECT doc_id, actual_lang AS r1, pred_lang AS r2,
+             CASE WHEN doc_id % 3 = 0 THEN pred_lang
+                  ELSE actual_lang END AS r3
+           FROM preds),
+         tot AS (SELECT count(*)::BIGINT AS n_units,
+             sum(CASE WHEN r1 = r2 AND r2 = r3 THEN 0
+                      WHEN r1 <> r2 AND r2 <> r3 AND r1 <> r3 THEN 6
+                      ELSE 4 END)::BIGINT AS do_int
+           FROM rated),
+         cats AS (SELECT c, count(*)::BIGINT AS n_c FROM (
+             SELECT unnest([r1, r2, r3]) AS c FROM rated) GROUP BY c),
+         de AS (SELECT sum(n_c * (3 * t.n_units - n_c))::BIGINT AS de_int
+           FROM cats, tot t)
+         SELECT n_units, do_int, de_int,
+           CAST(((2 * de_int::HUGEINT
+               - do_int::HUGEINT * (3 * n_units - 1)) * 1000000)
+             // (2 * de_int::HUGEINT) AS BIGINT) AS alpha_fp
+         FROM tot, de""",
     "c09_kappa_agreement" ->
       """WITH preds AS (
            SELECT doc_id, lang AS actual_lang,

@@ -301,4 +301,32 @@ class ClusterSpec extends SparkSpec {
     assert(rows.head._6 <= rows.last._6,
       s"selective risk ${rows.head._6} worse than unconditional ${rows.last._6}")
   }
+
+  test("c22: alpha matches an independent per-unit replay and is positive here") {
+    val row = ClusterQueries.c22_krippendorff(spark, sf()).collect().head
+    val (n, doInt, deInt, alphaFp) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // independent replay from the raw rater triples
+    val rated = graft.operators.TextQueries.t02_langid(spark, sf())
+      .selectExpr("doc_id", "actual_lang", "pred_lang").collect()
+      .map { r =>
+        val (id, a, p) = (r.getLong(0), r.getString(1), r.getString(2))
+        (a, p, if (id % 3 == 0) p else a)
+      }
+    assert(n == rated.length)
+    val doChk = rated.map { case (a, b, c) =>
+      if (a == b && b == c) 0L
+      else if (a != b && b != c && a != c) 6L else 4L
+    }.sum
+    assert(doInt == doChk)
+    val catTot = rated.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (_, v) => v.length.toLong }
+    val deChk = catTot.map(nc => nc * (3L * n - nc)).sum
+    assert(deInt == deChk)
+    // the exact rational, replayed in BigInt
+    val num = (BigInt(2) * deInt - BigInt(doInt) * (3L * n - 1)) * 1000000
+    assert(num > 0, "alpha must be positive on this data (divide semantics)")
+    assert(BigInt(alphaFp) == num / (BigInt(2) * deInt))
+    assert(alphaFp > 0 && alphaFp < 1000000)
+  }
 }
