@@ -494,6 +494,32 @@ class PlanSpec extends SparkSpec {
       s"no window over the candidate volume:\n$p")
   }
 
+  test("s22: broad arm prunes buckets; narrow arm pushes the label filter") {
+    val df = SimilarityQueries.s22_ann_filtered_serve(spark, sf())
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    // broad path: probed-cell isin prunes bucket files at planning
+    assert(finalP.contains("SelectedBucketsCount"),
+      s"probed-cell isin must prune bucket files:\n$p")
+    // narrow path: the per-query label equality cannot push (it is a
+    // join condition), but the index scan itself must never re-shuffle
+    assert(!finalP.contains("hashpartitioning(cell"),
+      s"index side must not re-shuffle on cell:\n$p")
+  }
+
+  test("q84: the aligned hilbert window is pushed to the layout scan") {
+    val df = RelationalQueries.q84_hilbert_layout(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(hv,512)") &&
+      p.contains("LessThanOrEqual(hv,767)"),
+      s"hv window not pushed to the parquet scan:\n$p")
+    // only the layout columns the query needs are read
+    assert(!p.contains("o_custkey"),
+      s"scan must not read the pre-layout clustering inputs:\n$p")
+  }
+
   test("qn13: quarantine accounting is ONE partial+final aggregate over the JSON scan") {
     val p = plan(NetCDFQueries.qn13_jsonl_quarantine(spark, sf()))
     assert(p.contains("partial_"), s"expected map-side combine:\n$p")
