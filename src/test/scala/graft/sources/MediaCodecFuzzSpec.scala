@@ -95,6 +95,59 @@ class MediaCodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("tga roundtrips across random dims, both types, both origins") {
+    for (i <- 1 to 30) {
+      val w = rnd.nextInt(50) + 1
+      val h = rnd.nextInt(20) + 1
+      // biased toward runs so the RLE encoder emits real run packets
+      val rgb = Array.fill(w * h * 3)(
+        (if (rnd.nextInt(3) == 0) rnd.nextInt(256) else 7).toByte)
+      val img = MediaCodec.decodeImage(
+        Tga.encode(w, h, rgb, rle = i % 2 == 0, topDown = i % 3 == 0))
+      assert(img.width == w && img.height == h, s"tga ${w}x$h")
+      assert(img.pixels.toSeq == rgb.toSeq, s"tga ${w}x$h rle=${i % 2 == 0}")
+    }
+  }
+
+  test("g711 all 256 codes survive both expansions at random lengths") {
+    for (_ <- 1 to 20) {
+      val n = rnd.nextInt(500) + 1
+      val codes = Array.fill(n)(rnd.nextInt(256).toByte)
+      val u = MediaCodec.decodeAudio(MediaCodec.encodeWavG711(8000, codes, aLaw = false))
+      val a = MediaCodec.decodeAudio(MediaCodec.encodeWavG711(8000, codes, aLaw = true))
+      assert(u.samples.length == n && a.samples.length == n)
+      // both expansions land inside int16 (the clamp-free guarantee)
+      assert(u.samples.forall(s => s >= -32124 && s <= 32124))
+      assert(a.samples.forall(s => s >= -32256 && s <= 32256))
+    }
+  }
+
+  test("tga garbage never hangs or escapes with an index error") {
+    for (_ <- 1 to 200) {
+      val n = rnd.nextInt(200) + 18
+      val junk = Array.fill(n)(rnd.nextInt(256).toByte)
+      junk(1) = 0 // colorMapType: force the TGA sniff to engage
+      junk(2) = if (rnd.nextBoolean()) 2 else 10
+      junk(16) = if (rnd.nextBoolean()) 24 else 32
+      try MediaCodec.decodeImage(junk)
+      catch { case _: IllegalArgumentException => }
+    }
+  }
+
+  test("exif garbage APP1 never hangs or escapes with an index error") {
+    val plain = Jpeg.encodeGrayFlat(16, 8, Array(10, 20))
+    for (_ <- 1 to 200) {
+      val n = rnd.nextInt(40) + 10
+      val body = Array.fill(n)(rnd.nextInt(256).toByte)
+      "Exif".getBytes.copyToArray(body, 0); body(4) = 0; body(5) = 0
+      val seg = java.nio.ByteBuffer.allocate(4 + n)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      seg.putShort(0xFFE1.toShort).putShort((n + 2).toShort).put(body)
+      try Jpeg.exifOrientation(Jpeg.spliceApp1(plain, seg.array()))
+      catch { case _: IllegalArgumentException => }
+    }
+  }
+
   test("random garbage never hangs or escapes with an index error") {
     for (i <- 1 to 300) {
       val n = rnd.nextInt(200) + 8
