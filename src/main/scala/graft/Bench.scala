@@ -113,7 +113,9 @@ object Bench {
       // mask; t32 encodes under the memoized unigram model (training is
       // t31's own cost); q84 probes the memoized Hilbert layout
       "s21_ann_tombstones", "t32_unigram_encode", "q84_hilbert_layout",
-      "s22_ann_filtered_serve")
+      "s22_ann_filtered_serve",
+      // q85 rides q52's memoized commit-log layout, like q81/q82
+      "q85_time_travel_asof")
     val ingest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }

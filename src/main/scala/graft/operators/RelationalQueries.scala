@@ -1140,6 +1140,46 @@ object RelationalQueries {
     s.read.parquet(logPath).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
 
+  /** Deterministic commit timestamp for q52's log: version v committed
+    * at epoch 1e9 + v·86400 (one commit per "day"). A real log stores
+    * these per commit; the closed form keeps the oracle static. */
+  private[operators] def q52CommitTs(v: Long): Long =
+    1000000000L + v * 86400L
+
+  /** q85 — `TIMESTAMP AS OF` time travel, the second half of the
+    * time-travel API next to q52's `VERSION AS OF`: a probe timestamp
+    * resolves to the LATEST commit at-or-before it (the inclusive
+    * boundary every lakehouse implements — probe == commit ts reads
+    * that commit), then the read is q52's snapshot replay. Three
+    * probes: mid-history (between commits 1 and 2 → v1), exactly AT
+    * commit 2 (the boundary case → v2), and after the head (→ v3, the
+    * current snapshot). A probe BEFORE the first commit fails loudly —
+    * TimeTravelSpec pins both the rejection and the boundary rule.
+    * Resolution is O(|commits|) driver-side metadata on the same
+    * commit log q52/q61/q71/q81 share — at 100 TB it never touches a
+    * data file until the resolved snapshot is read. */
+  def q85_time_travel_asof(s: SparkSession, dir: String): DataFrame = {
+    val (logPath, _) = q52Layout(s, dir)
+    val log = q52ReadLog(s, logPath)
+    val versions = log.map(_._1).distinct.sorted
+    val probes = Seq(1000090000L, q52CommitTs(2), 1000999999L)
+    probes.map { p =>
+      val vs = versions.filter(v => q52CommitTs(v) <= p)
+      require(vs.nonEmpty,
+        s"AS OF $p predates the first commit ${q52CommitTs(versions.head)}")
+      val v = vs.max
+      s.read.parquet(q52ActiveAt(log, v): _*)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * lit(100)).cast("long"))
+            .as("total_fp"))
+        .withColumn("probe_ts", lit(p))
+        .withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+      .select("probe_ts", "version", "status", "n", "total_fp")
+      .orderBy("probe_ts", "status")
+  }
+
   def q52_time_travel(s: SparkSession, dir: String): DataFrame = {
     val (logPath, files) = q52Layout(s, dir)
     require(files.size == 4)
@@ -2475,6 +2515,7 @@ object RelationalQueries {
     "q55_drift_chi2" -> (q55_drift_chi2 _),
     "q53_funnel" -> (q53_funnel _),
     "q52_time_travel" -> (q52_time_travel _),
+    "q85_time_travel_asof" -> (q85_time_travel_asof _),
     "q66_changelog_diff" -> (q66_changelog_diff _),
     "q69_occ_conflict" -> (q69_occ_conflict _),
     "q70_multi_table_txn" -> (q70_multi_table_txn _),
@@ -2912,6 +2953,31 @@ object RelationalQueries {
          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS total_fp
        FROM snap GROUP BY 1, 2, 3 ORDER BY branch, version, status""",
+    // probe -> version by the same closed-form commit timestamps
+    // (1e9 + v*86400): mid-history -> v1, exactly at commit 2 -> v2
+    // (the inclusive boundary), after the head -> v3
+    "q85_time_travel_asof" ->
+      """WITH snap AS (
+         SELECT 1::BIGINT AS version, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+         UNION ALL
+         SELECT 2::BIGINT, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+         UNION ALL
+         SELECT 3::BIGINT, o_orderstatus, o_totalprice
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+              OR o_orderstatus <> 'F'),
+       probes(probe_ts, version) AS (VALUES
+         (1000090000::BIGINT, 1::BIGINT),
+         (1000172800::BIGINT, 2::BIGINT),
+         (1000999999::BIGINT, 3::BIGINT))
+       SELECT p.probe_ts, p.version, s.o_orderstatus AS status,
+         count(*) AS n,
+         CAST(sum(CAST(floor(s.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_fp
+       FROM probes p JOIN snap s ON s.version = p.version
+       GROUP BY 1, 2, 3 ORDER BY probe_ts, status""",
     "q52_time_travel" ->
       """WITH snap AS (
          SELECT 1::BIGINT AS version, o_orderstatus, o_totalprice

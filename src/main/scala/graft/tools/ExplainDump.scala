@@ -84,7 +84,8 @@ object ExplainDump {
       "qn18_multifile_import", "s21_ann_tombstones", "qc07_intercube",
       "c21_risk_coverage", "q83_stream_exactly_once",
       "q84_hilbert_layout", "p29_epoch_budget",
-      "m40_tga_features", "s22_ann_filtered_serve", "qn19_compound_import")
+      "m40_tga_features", "s22_ann_filtered_serve", "qn19_compound_import",
+      "q85_time_travel_asof", "c22_krippendorff")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append("Things to look for: `PushedFilters`/`ReadSchema` on scans, ")

