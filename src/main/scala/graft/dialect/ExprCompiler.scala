@@ -51,9 +51,9 @@ object ExprCompiler {
     "oph_get_subarray3", "oph_concat", "oph_append", "oph_concat2",
     "oph_extend", "oph_interlace", "oph_interlace2", "oph_reverse",
     "oph_rotate", "oph_shift", "oph_padding", "oph_replace", "oph_sequence",
-    "oph_permute", "oph_extract",
-    "oph_predicate", "oph_mask_array", "oph_compare",
-    "oph_get_index_array", "oph_arg_array",
+    "oph_permute", "oph_extract", "oph_expand",
+    "oph_predicate", "oph_predicate2", "oph_filter", "oph_mask_array",
+    "oph_compare", "oph_get_index_array", "oph_arg_array",
     "oph_cast", "oph_convert_d", "oph_convert_l", "oph_dump",
     "oph_to_bin", "oph_value_to_bin", "oph_compress", "oph_uncompress",
     "oph_gsl_sd", "oph_gsl_stats", "oph_gsl_quantile", "oph_gsl_boxplot",
@@ -240,6 +240,22 @@ object ExprCompiler {
         val comp = litStr(args(2))
         n(AP.oph_predicate(c(0), subLambda(args(1), resolve), comp,
           subLambda(args(3), resolve), subLambda(args(4), resolve)))
+      case "oph_predicate2" =>
+        // oph_predicate2:277 — like oph_predicate but the expressions see
+        // BOTH arrays: x = element of measure 1, y = aligned element of
+        // measure 2 (dialect form: m1, m2, expr, comparator, then, else)
+        val comp = litStr(args(3))
+        n(AP.oph_predicate2(c(0), c(1), subLambda2(args(2), resolve), comp,
+          subLambda2(args(4), resolve), subLambda2(args(5), resolve)))
+      case "oph_filter" =>
+        // oph_filter:153 — keep elements where the condition (an
+        // expression in x) holds, i.e. evaluates non-zero
+        n(AP.oph_filter(c(0), x => subLambda(args(1), resolve)(x) =!= 0.0))
+      case "oph_expand" =>
+        throw new IllegalArgumentException(
+          "oph_expand is generator-valued (one row per array element): " +
+            "use it as a top-level select field; it cannot be nested " +
+            "inside a scalar expression")
       case "oph_mask_array" => n(AP.oph_mask_array(c(0), c(1)))
       case "oph_get_index_array" | "oph_arg_array" =>
         // dialect form: 1-based indices of elements equal to value ± tol
@@ -332,5 +348,28 @@ object ExprCompiler {
   private def subLambda(a: Ast, resolve: String => Column): Column => Column = {
     val ast = ExprParser.parse(litStr(a))
     x => compile(ast, nm => if (nm.equalsIgnoreCase("x")) x else resolve(nm)).num
+  }
+
+  /** Two-array sub-expression lambda for oph_predicate2: `x` is the
+    * element of the first measure, `y` the aligned element of the second. */
+  private def subLambda2(a: Ast,
+                         resolve: String => Column): (Column, Column) => Column = {
+    val ast = ExprParser.parse(litStr(a))
+    (x, y) => compile(ast, nm =>
+      if (nm.equalsIgnoreCase("x")) x
+      else if (nm.equalsIgnoreCase("y")) y
+      else resolve(nm)).num
+  }
+
+  /** If `ast` is a top-level `oph_expand(...)` call, return its measure
+    * sub-AST (type hints stripped). The engine's select path uses this to
+    * route generator fields through posexplode — the only primitive of
+    * the 88 whose output is rows, not a value. */
+  def expandArg(ast: Ast): Option[Ast] = ast match {
+    case Fn("oph_expand", as) =>
+      val args = dropTypeHints(as)
+      require(args.nonEmpty, "oph_expand needs a measure argument")
+      Some(args.head)
+    case _ => None
   }
 }

@@ -414,7 +414,15 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
       val outNames = fields.zipWithIndex.map { case (f, i) =>
         aliasesOut.lift(i).filter(_.nonEmpty).getOrElse(f.trim)
       }
+      // generator fields (oph_expand:81 — the one primitive whose output
+      // is rows): routed through posexplode below, invalid under GROUP BY
+      val expandIdxs = fieldAsts.zipWithIndex.collect {
+        case (ast, i) if ExprCompiler.expandArg(ast).isDefined => i
+      }
 
+      require(expandIdxs.isEmpty ||
+          (q.get("group").isEmpty && !fieldAsts.exists(ExprCompiler.isAggregate)),
+        "oph_expand cannot be combined with GROUP BY or aggregate fields")
       val grouped = q.get("group") match {
         case Some(g) =>
           // single group expression (oph_io_server_query_manager.h:102);
@@ -441,6 +449,37 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
               afterWhere("id_dim")).as(nm)
           }
           afterWhere.agg(aggs.head, aggs.tail: _*)
+        case None if expandIdxs.nonEmpty =>
+          // oph_expand route (dimension promotion, the a12 shape): one
+          // output row per array element; scalar fields are carried per
+          // input row; id_dim is re-keyed 1..N in (input id, position)
+          // order via the scalable zipWithIndex numbering (no window)
+          require(expandIdxs.size == 1,
+            "exactly one oph_expand field per select")
+          require(q.get("sequential_id").isEmpty,
+            "oph_expand already re-keys id_dim; sequential_id is redundant")
+          val exIdx = expandIdxs.head
+          val exName = outNames(exIdx)
+          val inner = ExprCompiler.compile(
+            ExprCompiler.expandArg(fieldAsts(exIdx)).get,
+            resolve(afterWhere), bind).num
+          val others = fieldAsts.zip(outNames).zipWithIndex
+            .filter { case (_, i) => i != exIdx }
+            .collect { case ((ast, nm), _) if nm != "id_dim" =>
+              ExprCompiler.compile(ast, resolve(afterWhere), bind).num.as(nm)
+            }
+          val base = afterWhere.select(
+            (afterWhere("id_dim").as("__oid") +: others) :+ inner.as("__arr"): _*)
+          val otherNames = base.columns.filter(n => n != "__oid" && n != "__arr").toSeq
+          val exploded = base.select(
+            (col("__oid") +: otherNames.map(n => col(s"`$n`"))) :+
+              posexplode(col("__arr")): _*)
+            .withColumnRenamed("col", exName)
+          SequentialId.withSequentialId(
+              exploded, "id_dim", Seq(col("__oid"), col("pos")))
+            .drop("__oid", "pos")
+            .select(outNames.map(n =>
+              if (n.contains('.')) col(s"`$n`") else col(n)): _*)
         case None =>
           val seqIdStart = q.get("sequential_id").map(_.toLong)
           val cols = fieldAsts.zip(outNames).map { case (ast, nm) =>

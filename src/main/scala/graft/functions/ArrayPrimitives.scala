@@ -355,7 +355,6 @@ object ArrayPrimitives {
   def oph_predicate2(a: Column, b: Column, f: (Column, Column) => Column, cmp: String,
                      g: (Column, Column) => Column, h: (Column, Column) => Column): Column = {
     val zero = lit(0.0)
-    val test: Column = null // built per-pair below
     zip_with(a, b, (x, y) => {
       val v = f(x, y)
       val c = cmp match {

@@ -318,7 +318,30 @@ object DialectQueries {
     } finally svc.stop()
   }
 
+  /** qd10 — the last three of the 88 registered plugins driven through
+    * the dialect front-end (etc/oph_primitives_list.in:81,153,277):
+    * oph_predicate2 (elementwise `if x-y>=0 then x else y` against the
+    * reversed measure) nested inside oph_filter (keep elements > 0.1) in
+    * a CTAS field, then oph_expand as a top-level select field — the one
+    * generator primitive — promoting the surviving elements to rows with
+    * a regenerated dense id_dim. */
+  def qd10_dialect_expand(s: SparkSession, dir: String): DataFrame = {
+    val ses = serverWithEmb(s, dir)
+    ses.execute(
+      "operation=create_frag_select;frag_name=pf;" +
+        "field=id_dim|oph_filter('oph_double'," +
+        "oph_predicate2('oph_double','oph_double',measure," +
+        "oph_reverse('oph_double',measure),'x-y','>=','x','y'),'x>0.1');" +
+        "field_alias=id_dim|measure;from=emb;" +
+        "where=oph_is_in_subset(id_dim,1,1,12)")
+    ses.execute(
+      "operation=select;" +
+        "field=id_dim|oph_expand('oph_double','oph_double',measure);" +
+        "field_alias=id_dim|val;from=pf;order=id_dim").get
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd10_dialect_expand" -> (qd10_dialect_expand _),
     "qd09_wire_roundtrip" -> (qd09_wire_roundtrip _),
     "qd08_dialect_catalog" -> (qd08_dialect_catalog _),
     "qd05_dialect_insert" -> (qd05_dialect_insert _),
@@ -335,6 +358,19 @@ object DialectQueries {
     s"array_to_string(list_transform(($e), v -> CAST(floor(v * 1e12) AS BIGINT)), ',')"
 
   val oracles: Map[String, String] = Map(
+    "qd10_dialect_expand" ->
+      """WITH pf AS (
+           SELECT vec_id + 1 AS oid,
+             list_filter(
+               list_transform(range(1, 65), i ->
+                 CASE WHEN embedding[i]::DOUBLE - embedding[65-i]::DOUBLE >= 0.0
+                      THEN embedding[i]::DOUBLE ELSE embedding[65-i]::DOUBLE END),
+               x -> x > 0.1) AS m
+           FROM embeddings WHERE vec_id + 1 BETWEEN 1 AND 12)
+         SELECT row_number() OVER (ORDER BY oid, pos) AS id_dim, val
+         FROM (SELECT oid, unnest(m) AS val,
+                 generate_subscripts(m, 1) AS pos FROM pf)
+         ORDER BY id_dim""",
     "qd09_wire_roundtrip" ->
       """SELECT i AS id_dim,
          array_to_string(list_transform(range(0, 8),

@@ -88,6 +88,29 @@ class ArrayPrimitivesSpec extends SparkSpec {
     assert(idx == Seq(1, 3, 5, 8))
   }
 
+  test("predicate2: condition and branches see both arrays") {
+    import spark.implicits._
+    val other = sample.map(x => -x + 1.0)
+    val df = Seq((sample, other)).toDF("a", "b")
+    def r2(c: Column): Seq[Double] = df.select(c).head.getSeq[Double](0)
+    // elementwise max: if x-y >= 0 then x else y
+    assert(r2(AP.oph_predicate2(col("a"), col("b"), (x, y) => x - y, ">=",
+        (x, _) => x, (_, y) => y)) ==
+      sample.zip(other).map { case (x, y) => math.max(x, y) })
+    // branch results may combine both operands
+    assert(r2(AP.oph_predicate2(col("a"), col("b"), (x, _) => x, ">",
+        (x, y) => x + y, (_, _) => lit(0.0))) ==
+      sample.zip(other).map { case (x, y) => if (x > 0) x + y else 0.0 })
+    // every comparator dispatches; an unknown one is loud
+    for (cmp <- Seq(">", ">=", "<", "<=", "=", "!="))
+      r2(AP.oph_predicate2(col("a"), col("b"), (x, y) => x - y, cmp,
+        (x, _) => x, (_, y) => y))
+    intercept[IllegalArgumentException] {
+      AP.oph_predicate2(col("a"), col("b"), (x, y) => x - y, "~",
+        (x, _) => x, (_, y) => y)
+    }
+  }
+
   test("permute is its own inverse for the transpose permutation") {
     assert(run(a => AP.oph_permute(AP.oph_permute(a, Seq(2, 4), Seq(1, 0)),
       Seq(4, 2), Seq(1, 0))) == sample)
