@@ -1143,24 +1143,29 @@ object PipelineQueries {
     * (≤ |sources| rows — every window below runs on that bounded
     * frame, never the data), then pure arithmetic. */
   def p29_epoch_budget(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.KeyAlgebra.ldiv
     val src = Tables.documents(s, dir)
       .select(col("source"), size(tokens(col("text"))).cast("long").as("tk"))
       .groupBy("source").agg(sum("tk").as("t"))
       .withColumn("w", floor(sqrt(col("t").cast("double"))).cast("long"))
     val tot = src.agg(sum(col("t")).as("ttot"), sum(col("w")).as("wtot"))
     // threshold order (4e9-scaled — wide enough that only true ties
-    // collide; both engines sort by the identical integer key)
-    val ord = Window
-      .orderBy(ldiv(col("t") * 4000000000L, col("w")), col("source"))
+    // collide); the t·4e9 product and every other T-scale product below
+    // are carried in decimal(38,0) (HUGEINT in the oracle, the c04/c22
+    // pattern): a source past ~2.3e9 tokens would silently wrap int64
+    // in Spark while DuckDB errors — the worst divergence class. All
+    // numerands are non-negative, so decimal `div` and HUGEINT `//`
+    // (both truncate toward zero) agree exactly.
+    val thr = expr(
+      "CAST(CAST(t AS DECIMAL(38,0)) * 4000000000 div w AS BIGINT)")
+    val ord = Window.orderBy(thr, col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val g = src.crossJoin(broadcast(tot))
       .withColumn("b", col("ttot") * 2L)
       .withColumn("pref_t", coalesce(sum("t").over(ord), lit(0L)))
       .withColumn("pref_w", coalesce(sum("w").over(ord), lit(0L)))
-      .withColumn("capped",
-        (col("b") - lit(4L) * col("pref_t")) * col("w") >
-          lit(4L) * col("t") * (col("wtot") - col("pref_w")))
+      .withColumn("capped", expr(
+        "(CAST(b AS DECIMAL(38,0)) - 4 * CAST(pref_t AS DECIMAL(38,0))) * w" +
+          " > 4 * CAST(t AS DECIMAL(38,0)) * (wtot - pref_w)"))
     val capTot = g.agg(
       sum(when(col("capped"), col("t")).otherwise(0L)).as("cap_t"),
       sum(when(col("capped"), col("w")).otherwise(0L)).as("cap_w"))
@@ -1168,12 +1173,14 @@ object PipelineQueries {
     // capping every source would over-spend the budget
     g.crossJoin(broadcast(capTot))
       .withColumn("alloc", when(col("capped"), col("t") * 4L)
-        .otherwise(ldiv((col("b") - lit(4L) * col("cap_t")) * col("w"),
-          col("wtot") - col("cap_w"))))
+        .otherwise(expr(
+          "CAST((CAST(b AS DECIMAL(38,0)) - 4 * CAST(cap_t AS DECIMAL(38,0)))" +
+            " * w div (wtot - cap_w) AS BIGINT)")))
       .select(col("source"), col("t").as("n_tokens"), col("w").as("weight"),
         when(col("capped"), 1L).otherwise(0L).as("capped"),
         col("alloc").as("alloc_tokens"),
-        ldiv(col("alloc") * 1000000L, col("t")).as("epochs_fp"))
+        expr("CAST(CAST(alloc AS DECIMAL(38,0)) * 1000000 div t AS BIGINT)")
+          .as("epochs_fp"))
       .orderBy("source")
   }
 
@@ -1311,23 +1318,24 @@ object PipelineQueries {
            CAST(floor(sqrt(t::DOUBLE)) AS BIGINT) AS w FROM src),
        tot AS (SELECT sum(t)::BIGINT AS ttot, sum(w)::BIGINT AS wtot FROM w),
        g AS (SELECT source, t, w, ttot, wtot, 2 * ttot AS b,
-           coalesce(sum(t) OVER (ORDER BY (t * 4000000000) // w, source
+           coalesce(sum(t) OVER (ORDER BY (t::HUGEINT * 4000000000) // w, source
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pref_t,
-           coalesce(sum(w) OVER (ORDER BY (t * 4000000000) // w, source
+           coalesce(sum(w) OVER (ORDER BY (t::HUGEINT * 4000000000) // w, source
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pref_w
          FROM w, tot),
        c AS (SELECT *,
-           (b - 4 * pref_t) * w > 4 * t * (wtot - pref_w) AS capped FROM g),
+           (b::HUGEINT - 4 * pref_t) * w > 4 * t::HUGEINT * (wtot - pref_w)
+             AS capped FROM g),
        ct AS (SELECT coalesce(sum(CASE WHEN capped THEN t END), 0) AS cap_t,
            coalesce(sum(CASE WHEN capped THEN w END), 0) AS cap_w FROM c),
        a AS (SELECT source, t, w, capped,
-           CASE WHEN capped THEN 4 * t
-             ELSE ((b - 4 * cap_t) * w) // (wtot - cap_w) END AS alloc
+           CASE WHEN capped THEN 4 * t::HUGEINT
+             ELSE ((b::HUGEINT - 4 * cap_t) * w) // (wtot - cap_w) END AS alloc
          FROM c, ct)
        SELECT source, t AS n_tokens, w AS weight,
          (CASE WHEN capped THEN 1 ELSE 0 END)::BIGINT AS capped,
          alloc::BIGINT AS alloc_tokens,
-         (alloc * 1000000 // t)::BIGINT AS epochs_fp
+         (alloc::HUGEINT * 1000000 // t)::BIGINT AS epochs_fp
        FROM a ORDER BY source""",
     "p28_interleave_order" ->
       """WITH d AS (SELECT doc_id, source FROM documents),

@@ -93,7 +93,20 @@ object HDF5 {
         require((bits0 & 0x0F) == 1,
           "vlen SEQUENCE datatypes unsupported (string vlen only)")
         require(size == 16, s"vlen string element size $size != 16")
-        (DType(9, size, littleEndian = (bits0 & 1) == 0, signed = true), 8)
+        // the base datatype struct follows the 8-byte vlen header (its
+        // properties ARE the base type, spec IV.A.2.d) — consume it so a
+        // vlen member inside a compound doesn't misalign the members
+        // that follow; for vlen strings the base is class 3 (string,
+        // header only), 0 (fixed) or 1 (float) appear in the wild too
+        val baseLen = (body(off + 8) & 0x0F) match {
+          case 3 => 8
+          case 0 => 12
+          case 1 => 20
+          case o => throw new IllegalArgumentException(
+            s"vlen base datatype class $o unsupported")
+        }
+        (DType(9, size, littleEndian = (bits0 & 1) == 0, signed = true),
+          8 + baseLen)
       case 6 => // compound
         require(version >= 1 && version <= 3,
           s"compound datatype version $version unsupported")
@@ -2357,6 +2370,13 @@ object HDF5 {
     val sizes = new Array[Long](nChunks)
     reported.foreach { case (g, s) => sizes(g.toInt) = s }
     require(sizes.forall(_ > 0), "a chunk reported no bytes")
+    // shared-filesystem contract (parallel HDF5's own requirement — one
+    // file, many writers): phase 3 re-reads executor-spilled blobs and
+    // seeks into `path` from every node. Verify the driver can see the
+    // phase-1 spill NOW, so a deployment without a shared mount fails
+    // here with a clear message instead of in phase 3 with a confusing
+    // missing-file error on some executor.
+    requireSharedSpill(spill, nChunks, path)
     // phase 2: driver head with the filtered index built from real sizes
     val dims = Seq("id_dim" -> n.toInt, "elem" -> m)
     val df = DistFilter(sizes.toIndexedSeq, deflateLevel, shuffleF, fletcher,
@@ -2387,6 +2407,21 @@ object HDF5 {
       }
     spillDir.delete()
     (n, nChunks, eof - dataAddr)
+  }
+
+  /** Assert every phase-1 spill blob is visible from the caller (the
+    * driver): the distributed filtered writer's shared-filesystem
+    * contract, checked eagerly with a descriptive failure. */
+  private[sources] def requireSharedSpill(spill: String, nChunks: Int,
+      path: String): Unit = {
+    val missing =
+      (0 until nChunks).filterNot(g => new java.io.File(s"$spill/c$g").isFile)
+    require(missing.isEmpty,
+      s"distributed filtered export to $path requires a SHARED filesystem: " +
+        s"${missing.size} of $nChunks executor-spilled chunk files (e.g. " +
+        s"${missing.take(3).map(g => s"c$g").mkString(", ")}) are not " +
+        "visible from the driver — mount a shared spill path or use the " +
+        "sequential writer")
   }
 
   // ------------------------------------------- dense-link group writer

@@ -472,10 +472,12 @@ object Jpeg {
         // IFD offset and entry count are untrusted: bound them against
         // the segment before indexing (the Tiff.decode validation
         // posture — descriptive failure, not a raw BufferUnderflow)
-        require(ifd >= 8 && ifd + 2 <= bb.limit(),
+        // Long arithmetic: a hostile ifd near Int.MaxValue would wrap
+        // `ifd + 2` negative and sneak past an Int-typed bound check
+        require(ifd >= 8 && ifd.toLong + 2 <= bb.limit(),
           s"EXIF: IFD offset $ifd outside the APP1 segment")
         val n = bb.getShort(ifd) & 0xFFFF
-        require(ifd + 2 + 12 * n <= bb.limit(),
+        require(ifd.toLong + 2 + 12L * n <= bb.limit(),
           s"EXIF: $n IFD entries overflow the APP1 segment")
         var i = 0
         while (i < n) {

@@ -14,6 +14,10 @@ trait NcReader extends AutoCloseable {
     * implement it: CDF var attr lists, HDF5 compact attribute messages,
     * Zarr .zattrs / v3 attributes. */
   def varAttrs(varName: String): Map[String, Double] = Map.empty
+  /** On-disk element type of the variable as a short numpy-style tag
+    * ("f8", "f4", "i4", …) — multi-file aggregation validates that all
+    * files agree before mixing their decodes under one declared schema. */
+  def elemKind(varName: String): String = "?"
 }
 
 object NcReader {
@@ -51,6 +55,13 @@ object NcReader {
     try r.shape(varName) finally r.close()
   }
 
+  /** On-disk element-type lookup with open/close in one call
+    * (planning-time use, header read only). */
+  def kindOf(path: String, varName: String): String = {
+    val r = open(path)
+    try r.elemKind(varName) finally r.close()
+  }
+
   private final class H5Adapter(path: String) extends NcReader {
     private val r = new HDF5.Hdf5Reader(path)
     override def shape(varName: String): Seq[Int] = r.shape(varName)
@@ -58,6 +69,16 @@ object NcReader {
         shape: Seq[Int]): Array[Double] = r.readSlab(varName, origin, shape)
     override def varAttrs(varName: String): Map[String, Double] =
       r.varAttrs(varName)
+    override def elemKind(varName: String): String = {
+      val dt = r.dataset(varName).dtype
+      dt.clazz match {
+        case 1 => s"f${dt.size}"
+        case 0 => s"${if (dt.signed) "i" else "u"}${dt.size}"
+        case 9 => "vlen"
+        case 6 => "compound"
+        case o => s"class$o"
+      }
+    }
     override def close(): Unit = r.close()
   }
 
@@ -80,6 +101,14 @@ object NcReader {
           case b: Byte   => a.name -> b.toDouble
         }
       }.toMap
+    override def elemKind(varName: String): String =
+      hdr.variable(varName).ncType match {
+        case 1 => "i1"; case 2 => "c1"; case 3 => "i2"; case 4 => "i4"
+        case 5 => "f4"; case 6 => "f8" // classic types (CDF spec §6)
+        case 7 => "u1"; case 8 => "u2"; case 9 => "u4" // CDF-5 extras
+        case 10 => "i8"; case 11 => "u8"
+        case t => s"nc$t"
+      }
     override def close(): Unit = src.close()
   }
 }

@@ -202,6 +202,12 @@ final class NetCDFScan(opts: Map[String, String])
       val specs = multiPaths.map(p =>
         NetCDFSource.spec(opts - "paths" + ("path" -> p)))
       val ref = specs.head
+      // elemType/cfUnpack come from the shared options (uniform by
+      // construction); the ON-DISK variable type is per-file and must
+      // also agree — a float file mixed into a double archive would
+      // otherwise decode at the wrong precision under one declared
+      // schema. Header-only read, planning pass.
+      val refKind = NcReader.kindOf(ref.path, ref.varName)
       specs.foreach { fs =>
         require(fs.explicit == ref.explicit &&
           fs.logicalExplicitSizes.drop(1) == ref.logicalExplicitSizes.drop(1) &&
@@ -210,6 +216,10 @@ final class NetCDFScan(opts: Map[String, String])
             (ref.explicit until ref.starts.size).map(k => ref.extent(ref.fileOfLogical(k))),
           s"multi-file: ${fs.path} disagrees with ${ref.path} on " +
             "non-record dimensions")
+        val k = NcReader.kindOf(fs.path, fs.varName)
+        require(k == refKind,
+          s"multi-file: ${fs.path} stores ${fs.varName} as $k but " +
+            s"${ref.path} stores $refKind — element types must agree")
       }
       specs
     }

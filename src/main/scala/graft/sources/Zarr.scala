@@ -254,6 +254,11 @@ object Zarr {
 
     override def shape(varName: String): Seq[Int] = meta(varName)._2.shape
 
+    override def elemKind(varName: String): String = {
+      val z = meta(varName)._2
+      s"${z.kind}${z.esize}"
+    }
+
     /** Numeric attributes: v2 `.zattrs` (also via consolidated
       * metadata), v3 the `attributes` object inside `zarr.json`. */
     override def varAttrs(varName: String): Map[String, Double] = {

@@ -480,4 +480,31 @@ class HDF5Spec extends AnyFunSuite {
       Seq(("x", 0, 0), ("y", 8, 1)))
     assert(consumed == 8 + 3 + 12 + 3 + 20)
   }
+
+  test("vlen-string member inside a compound keeps later members aligned") {
+    // the h5py event-table shape: {s: vlen str @0 (16 bytes), n: i64 @16},
+    // size 24 — the vlen member's trailing BASE datatype struct (class 3
+    // string, 8 bytes) must be consumed or member "n" parses as garbage
+    val bb = java.nio.ByteBuffer.allocate(80)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x36.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(24)
+    bb.put('s'.toByte).put(0.toByte).put(0.toByte) // name "s", offset 0
+    bb.put(0x19.toByte).put(0x01.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(16)                                   // vlen string header
+    bb.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(1)                                    // base: class-3 string
+    bb.put('n'.toByte).put(0.toByte).put(16.toByte) // name "n", offset 16
+    bb.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(8); bb.putShort(0); bb.putShort(64)   // i64 member type
+    val (dt, consumed) = HDF5.parseDtypeAt(bb.array(), 0)
+    assert(dt.members.map(m => (m.name, m.offset, m.dtype.clazz)) ==
+      Seq(("s", 0, 9), ("n", 16, 0)))
+    assert(consumed == 8 + 3 + 16 + 3 + 12)
+    // an exotic vlen base class is a loud, descriptive failure
+    val bad = bb.array().clone()
+    bad(8 + 3 + 8) = 0x16.toByte // base class 6 (compound) — unsupported
+    val e = intercept[IllegalArgumentException](HDF5.parseDtypeAt(bad, 0))
+    assert(e.getMessage.contains("vlen base datatype"))
+  }
 }

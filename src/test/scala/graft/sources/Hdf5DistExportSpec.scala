@@ -263,4 +263,17 @@ class Hdf5DistExportSpec extends SparkSpec {
     assert(rows == n && chunks == 3)
     assert(readAll(p, n, m).toSeq == rowsIn.flatMap(_._2))
   }
+
+  test("a non-shared spill path fails loud before any file placement") {
+    // the shared-filesystem contract check the writer runs between
+    // phase 1 and the head write: blobs an executor spilled must be
+    // visible from the driver, else fail with the descriptive message
+    val dir = java.nio.file.Files.createTempDirectory("h5spill").toString
+    new java.io.FileOutputStream(s"$dir/c0").close() // c1, c2 "missing"
+    val e = intercept[IllegalArgumentException] {
+      HDF5.requireSharedSpill(dir, 3, "/data/out.h5")
+    }
+    assert(e.getMessage.contains("SHARED filesystem"))
+    assert(e.getMessage.contains("2 of 3"))
+  }
 }

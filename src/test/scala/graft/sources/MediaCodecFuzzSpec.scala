@@ -148,6 +148,25 @@ class MediaCodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("hostile IFD offset near Int.MaxValue fails descriptive, not raw") {
+    // ifd = 0x7FFFFFFE: `ifd + 2` wraps negative in Int arithmetic, so
+    // an Int-typed bound check would pass and getShort(ifd) would escape
+    // with a raw IndexOutOfBoundsException — the check must run in Long
+    val plain = Jpeg.encodeGrayFlat(16, 8, Array(10, 20))
+    val body = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    body.put("Exif".getBytes).put(0.toByte).put(0.toByte)
+    body.put('I'.toByte).put('I'.toByte).putShort(42)
+    body.putInt(0x7FFFFFFE) // hostile IFD offset
+    val seg = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    seg.putShort(0xFFE1.toShort).putShort(22.toShort).put(body.array())
+    val e = intercept[IllegalArgumentException] {
+      Jpeg.exifOrientation(Jpeg.spliceApp1(plain, seg.array()))
+    }
+    assert(e.getMessage.contains("IFD offset"))
+  }
+
   test("random garbage never hangs or escapes with an index error") {
     for (i <- 1 to 300) {
       val n = rnd.nextInt(200) + 8
