@@ -963,6 +963,28 @@ object SimilarityQueries {
     (tbl, cents, deltaMod)
   }
 
+  /** Label-PARTITIONED twin of [[ivfBuild]]'s table (same rows, second
+    * layout): s22's narrow single-label serve reads THIS, so the label
+    * predicate becomes partition pruning instead of a full index scan —
+    * the q76 per-era pruning idiom applied to the vector index. At
+    * 100 TB the two layouts are the standard primary/secondary-index
+    * trade: one extra copy of the index buys label-pruned filtered
+    * serving. */
+  private def ivfByLabel(s: SparkSession, dir: String): String = {
+    val (t1, _, _) = ivfBuild(s, dir)
+    graft.core.SessionMemo.memoize(s, "s22-bylabel:" + dir) {
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_s22_wh_$tag")
+      val t = s"graft_s22_bylabel_$tag"
+      s.table(t1).select("vec_id", "a", "cell", "label")
+        .write.partitionBy("label")
+        .option("path", new java.io.File(wh, "bylabel").getAbsolutePath)
+        .mode("overwrite").saveAsTable(t)
+      t
+    }
+  }
+
   def s18_ann_persisted(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir)
     def l2(x: Column, y: Column): Column = l2n(x, y)
@@ -1168,13 +1190,19 @@ object SimilarityQueries {
       .unionByName(delta.crossJoin(broadcast(broad)).filter(keep)
         .select(col("query_id"), col("vec_id"),
           l2(col("qa"), col("a")).as("d2"), lit("probed").as("path")))
-    val narrowCand = s.table(tbl).select("vec_id", "label", "a")
-      .unionByName(delta.select("vec_id", "label", "a"))
-      .crossJoin(broadcast(narrow))
-      .filter(col("label") === col("target") &&
-        col("vec_id") =!= col("query_id"))
+    // narrow path: the label-partitioned index twin + a broadcast
+    // EQUI-join on the partition column — dynamic partition pruning
+    // reads only the queried labels' partitions (PlanSpec pins the
+    // dynamicpruning expression on this scan), instead of streaming
+    // the whole index past the predicate
+    def narrowJoin(src: DataFrame): DataFrame = src
+      .join(broadcast(narrow), col("label") === col("target"))
+      .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         l2(col("qa"), col("a")).as("d2"), lit("exact").as("path"))
+    val narrowCand = narrowJoin(
+        s.table(ivfByLabel(s, dir)).select("vec_id", "label", "a"))
+      .unionByName(narrowJoin(delta.select("vec_id", "label", "a")))
     val cand = broadCand.unionByName(narrowCand)
       .withColumn("neg_d2", negate(col("d2")))
     graft.plans.TopKPerKey(cand, Seq("query_id"), "neg_d2", "vec_id", 3)
@@ -1205,6 +1233,118 @@ object SimilarityQueries {
     * reported under ingest); per batch, work = probed cells × 8-byte
     * codes + 20·|batch| full-vector reranks; both top-k stages are
     * bounded TopKPerKey heaps, no window over the candidate volume. */
+  /** Atomic generation-pointer publish (the q61 write-audit-publish
+    * idiom applied to the vector index): the pointer file names the
+    * serving generation; a rebuild stages its table FULLY, audits it,
+    * then renames the new pointer into place — a reader resolves either
+    * the old or the new generation, never a partial one. */
+  private[operators] def publishGeneration(ptr: java.io.File,
+      table: String): Unit = {
+    val tmp = new java.io.File(ptr.getParentFile, ptr.getName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, table.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, ptr.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+  private[operators] def currentGeneration(ptr: java.io.File): Option[String] =
+    if (ptr.isFile)
+      Some(new String(java.nio.file.Files.readAllBytes(ptr.toPath),
+        "UTF-8").trim)
+    else None
+
+  /** s23 — QUANTIZER RE-TRAIN + GENERATION SWAP, the LSM operation the
+    * s18/s19/s20/s21/s22 lifecycle was missing: s20's compaction
+    * correctly FREEZES the generation-1 quantizer, but a frozen cell
+    * count diverges from the corpus as it grows (production scales
+    * cells ~√n — the per-probe work re-bound). The rebuild re-trains
+    * the quantizer at the AutoScale cell count k₂ = max(4, ⌊√n⌋/2)
+    * with a deterministic seeding (the k₂ lowest-id vectors of the
+    * `% 31 = 2` stratum, the s09/s19 codebook rule) plus ONE Lloyd
+    * refinement (assign to seeds → exact fixed-point per-cell means →
+    * that IS the new quantizer), re-assigns the FULL corpus (gen-1
+    * index ∪ delta), and swaps serving atomically: stage the gen-2
+    * cell-bucketed table, AUDIT it against the rows the serving state
+    * holds (gen-1 + delta — no row may be lost), then publish via an
+    * atomic pointer rename ([[publishGeneration]]). The serve is then
+    * s18's bucket-pruned probe against the POINTER-resolved table with
+    * no delta side-scan, and its per-probe work is re-bounded by the
+    * new cell count (`n_cells` rides the output so the oracle pins the
+    * re-trained quantizer's size, not just the neighbor sets).
+    *
+    * At 100 TB: rebuild cost = two assignment scans + one bounded
+    * rewrite, paid per re-train cadence (corpus doubling, not per
+    * batch); the old generation serves reads throughout and the swap
+    * is one rename. AnnMergeSpec pins the swap invariants. */
+  def s23_ann_generation_rebuild(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val (t1, _, deltaMod) = ivfBuild(s, dir)
+    val (cents2, k2, ptrPath) =
+      graft.core.SessionMemo.memoize(s, "s23-gen2:" + dir) {
+        val tag = graft.core.SessionMemo.pathTag(s, dir)
+        val wh = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_s23_wh_$tag")
+        wh.mkdirs()
+        val ptr = new java.io.File(wh, "CURRENT")
+        publishGeneration(ptr, t1) // the pre-rebuild serving state
+        val n = base.count()
+        val k = math.max(4, math.floor(math.sqrt(n.toDouble)).toInt / 2)
+        val seedRows = base.filter(col("vec_id") % 31 === 2)
+          .orderBy("vec_id").limit(k).select("a").collect()
+        require(seedRows.length == k, s"need $k quantizer seeds")
+        val seeds = seedRows.zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
+        // one Lloyd step: nearest-seed assignment, then the exact
+        // fixed-point elementwise mean of each non-empty cell
+        val cs = base.withColumn("cell", nearestCell(seeds, col("a")))
+          .withColumn("scaled",
+            transform(col("a"), x => floor(x * 1e9).cast("long")))
+          .groupBy("cell")
+          .agg(ArrayAggregates.ewSumLong(col("scaled")).as("ssum"),
+            count(lit(1)).as("cnt"))
+          .select(col("cell"), transform(col("ssum"),
+            v => v.cast("double") / col("cnt").cast("double") / 1e9)
+            .as("centroid"))
+          .collect() // bounded: one row per cell, ≤ k
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+        val t = s"graft_s23_gen2_$tag"
+        base.withColumn("cell", nearestCell(cs, col("a")))
+          .select("vec_id", "label", "a", "cell")
+          .repartition(8, col("cell"))
+          .write.bucketBy(8, "cell").sortBy("cell", "vec_id")
+          .option("path", new java.io.File(wh, "gen2").getAbsolutePath)
+          .mode("overwrite").saveAsTable(t)
+        // audit BEFORE publish: gen-2 must hold every row the serving
+        // state (gen-1 index + delta side-scan) holds
+        val expected = s.table(t1).count() +
+          base.filter(col("vec_id") % deltaMod === 1L).count()
+        val got = s.table(t).count()
+        require(got == expected && got == n,
+          s"gen-2 audit: $got rows, expected $expected (n=$n)")
+        publishGeneration(ptr, t)
+        (cs, k, ptr.getAbsolutePath)
+      }
+    val tbl = currentGeneration(new java.io.File(ptrPath)).getOrElse(
+      throw new IllegalStateException("no published index generation"))
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"))
+    val assigned = qs
+      .withColumn("pc", explode(probeCells2(cents2, col("qa"))))
+      .select(col("query_id"), col("qa"), col("pc.c").as("probe_cell"))
+    val probed = assigned.select("probe_cell").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by the cell count
+    val cand = s.table(tbl).filter(col("cell").isin(probed.toSeq: _*))
+      .join(broadcast(assigned), col("cell") === col("probe_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", l2n(col("qa"), col("a")))
+      .withColumn("neg_d2", negate(col("d2")))
+    graft.plans.TopKPerKey(cand, Seq("query_id"), "neg_d2", "vec_id", 3)
+      .select(col("query_id"), col("rank").as("rk"),
+        col("vec_id").as("neighbor_id"),
+        floor(col("d2") * 1e9).cast("long").as("d2_fp"),
+        lit(k2.toLong).as("n_cells"))
+      .orderBy("query_id", "rk")
+  }
+
   def s19_pq_persisted(s: SparkSession, dir: String): DataFrame = {
     val k16 = 16
     def l2(x: Column, y: Column): Column = graft.plans.L2Distance(x, y)
@@ -1282,6 +1422,7 @@ object SimilarityQueries {
     "s20_ann_index_merge" -> (s20_ann_index_merge _),
     "s17_nprobe_sweep" -> (s17_nprobe_sweep _),
     "s18_ann_persisted" -> (s18_ann_persisted _),
+    "s23_ann_generation_rebuild" -> (s23_ann_generation_rebuild _),
     "s21_ann_tombstones" -> (s21_ann_tombstones _),
     "s22_ann_filtered_serve" -> (s22_ann_filtered_serve _),
     "s16_ann_binary_quant" -> (s16_ann_binary_quant _),
@@ -2008,6 +2149,54 @@ object SimilarityQueries {
       SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor_id,
         CAST(floor(d2 * 1e9) AS BIGINT) AS d2_fp,
         CAST(from_delta AS BIGINT) AS from_delta
+      FROM top WHERE rk <= 3 ORDER BY query_id, rk""",
+    "s23_ann_generation_rebuild" -> s"""
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      k AS (SELECT greatest(4,
+          CAST(floor(sqrt(count(*)::DOUBLE)) AS BIGINT) // 2) AS k2 FROM e),
+      seeds AS (SELECT rn - 1 AS cell, a AS sv FROM (
+          SELECT a, row_number() OVER (ORDER BY vec_id) AS rn
+          FROM e WHERE vec_id % 31 = 2), k WHERE rn <= k.k2),
+      asn1 AS (SELECT vec_id, a, cell FROM (
+          SELECT e.vec_id, e.a, s.cell,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (e.a[i] - s.sv[i]) * (e.a[i] - s.sv[i])),
+                (x, y) -> x + y), s.cell) AS rk
+          FROM e, seeds s) WHERE rk = 1),
+      cent2 AS (SELECT cell, list(m ORDER BY i) AS centroid FROM (
+          SELECT cell, i,
+            sum(CAST(floor(a[i] * 1e9) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1e9 AS m
+          FROM asn1, range(1, 65) t(i) GROUP BY cell, i)
+        GROUP BY cell),
+      asn2 AS (SELECT vec_id, a, cell FROM (
+          SELECT e.vec_id, e.a, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (e.a[i] - c.centroid[i]) * (e.a[i] - c.centroid[i])),
+                (x, y) -> x + y), c.cell) AS rk
+          FROM e, cent2 c) WHERE rk = 1),
+      qs AS (SELECT vec_id AS query_id, a AS qa FROM e WHERE vec_id % 50 = 0),
+      probes AS (SELECT query_id, qa, cell AS probe_cell FROM (
+          SELECT q.query_id, q.qa, c.cell,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (q.qa[i] - c.centroid[i]) * (q.qa[i] - c.centroid[i])),
+                (x, y) -> x + y), c.cell) AS crk
+          FROM qs q, cent2 c) WHERE crk <= 2),
+      cand AS (SELECT p.query_id, v.vec_id,
+          list_reduce(list_transform(range(1, 65),
+            i -> (p.qa[i] - v.a[i]) * (p.qa[i] - v.a[i])),
+            (x, y) -> x + y) AS d2
+        FROM probes p JOIN asn2 v ON v.cell = p.probe_cell
+        WHERE v.vec_id <> p.query_id),
+      top AS (SELECT query_id, vec_id, d2,
+          row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rk
+        FROM cand)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor_id,
+        CAST(floor(d2 * 1e9) AS BIGINT) AS d2_fp,
+        (SELECT k2 FROM k)::BIGINT AS n_cells
       FROM top WHERE rk <= 3 ORDER BY query_id, rk""",
     "s17_nprobe_sweep" -> s"""
       WITH e AS (SELECT vec_id, label,

@@ -157,4 +157,47 @@ class AnnMergeSpec extends SparkSpec {
       .sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
     assert(got == truth, s"narrow query $narrowQ: $got != exact $truth")
   }
+
+  test("s23 rebuild: no row lost, cells re-scaled, swap published") {
+    val dir = sf()
+    val out = SimilarityQueries.s23_ann_generation_rebuild(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    val n = graft.core.Tables.embeddings(spark, dir).count()
+    val memo = graft.core.SessionMemo
+      .peek[(Seq[(Int, Seq[Double])], Int, String)](spark, "s23-gen2:" + dir)
+      .get
+    val (cents2, k2, ptrPath) = memo
+    // the quantizer re-trained at the AutoScale cell count ~√n, not the
+    // frozen label-derived generation-1 size
+    assert(k2 == math.max(4, math.floor(math.sqrt(n.toDouble)).toInt / 2))
+    assert(cents2.nonEmpty && cents2.size <= k2)
+    assert(out.forall(_.getLong(4) == k2.toLong), "n_cells rides the output")
+    // the pointer resolves to a published generation-2 table holding
+    // every corpus row exactly once (audit held before the swap)
+    val tbl = SimilarityQueries.currentGeneration(
+      new java.io.File(ptrPath)).get
+    assert(tbl.startsWith("graft_s23_gen2_"))
+    assert(spark.table(tbl).count() == n, "no row lost in the rebuild")
+    assert(spark.table(tbl).select("vec_id").distinct().count() == n)
+    // every stored cell id belongs to the re-trained quantizer
+    val cellIds = cents2.map(_._1).toSet
+    assert(spark.table(tbl).select("cell").distinct().collect()
+      .forall(r => cellIds(r.getInt(0))))
+  }
+
+  test("s23 pointer: staged generation invisible until the atomic rename") {
+    val wh = java.nio.file.Files.createTempDirectory("s23ptr").toFile
+    val ptr = new java.io.File(wh, "CURRENT")
+    assert(SimilarityQueries.currentGeneration(ptr).isEmpty)
+    SimilarityQueries.publishGeneration(ptr, "gen1_table")
+    assert(SimilarityQueries.currentGeneration(ptr).contains("gen1_table"))
+    // a crashed publish leaves a stray .tmp behind: the reader must
+    // still resolve the OLD generation untouched
+    java.nio.file.Files.write(new java.io.File(wh, "CURRENT.tmp").toPath,
+      "halfway".getBytes("UTF-8"))
+    assert(SimilarityQueries.currentGeneration(ptr).contains("gen1_table"))
+    SimilarityQueries.publishGeneration(ptr, "gen2_table")
+    assert(SimilarityQueries.currentGeneration(ptr).contains("gen2_table"))
+  }
 }

@@ -502,8 +502,13 @@ class PlanSpec extends SparkSpec {
     // broad path: probed-cell isin prunes bucket files at planning
     assert(finalP.contains("SelectedBucketsCount"),
       s"probed-cell isin must prune bucket files:\n$p")
-    // narrow path: the per-query label equality cannot push (it is a
-    // join condition), but the index scan itself must never re-shuffle
+    // narrow path: the label-partitioned index twin + the broadcast
+    // equi-join on label gives DYNAMIC partition pruning — the scan
+    // reads only the queried labels' partitions instead of streaming
+    // the whole index past the predicate
+    assert(finalP.contains("dynamicpruning"),
+      s"narrow path must partition-prune on label:\n$p")
+    // the index scans themselves must never re-shuffle
     assert(!finalP.contains("hashpartitioning(cell"),
       s"index side must not re-shuffle on cell:\n$p")
   }
