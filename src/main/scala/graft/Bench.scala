@@ -117,8 +117,10 @@ object Bench {
       // q85 rides q52's memoized commit-log layout, like q81/q82
       "q85_time_travel_asof",
       // r16: s23 pays the memoized generation-2 rebuild once (re-train +
-      // re-assign + swap is compaction-cadence work, not per-batch)
-      "s23_ann_generation_rebuild")
+      // re-assign + swap is compaction-cadence work, not per-batch);
+      // q86 shards q65's manifest, q87 builds the checkpointed store
+      "s23_ann_generation_rebuild", "q86_manifest_two_level",
+      "q87_log_checkpointing")
     val ingest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }

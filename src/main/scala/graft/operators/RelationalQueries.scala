@@ -1180,6 +1180,119 @@ object RelationalQueries {
       .orderBy("probe_ts", "status")
   }
 
+  /** q87 — COMMIT-LOG CHECKPOINTING (the Delta checkpoint shape):
+    * q52/q81/q82/q85 replay the full log on every snapshot resolution —
+    * O(|commits|) driver work that grows unboundedly in a long-lived
+    * table. Here the store snapshots its ACTIVE FILE SET every 4
+    * commits; resolving version v reads the latest checkpoint ≤ v (one
+    * bounded parquet) plus the log SUFFIX (v_ckpt, v] — the range
+    * filter pushes to the log scan, so a resolution never touches the
+    * full history no matter how old the table. The 13-entry history
+    * (12 appends + a v6 rewrite) exercises all the resolution classes:
+    * pre-first-checkpoint (v3 — pure suffix replay from empty),
+    * checkpoint + suffix (v7), checkpoint-exact (v12 — zero suffix),
+    * and a `TIMESTAMP AS OF` probe (→ v9) riding the same
+    * checkpointed resolution, the q85 rule re-bounded. Correctness is
+    * layout-independent (the oracle restates each snapshot from the
+    * source strata); CheckpointSpec pins the mechanics: suffix-only
+    * reads, checkpoint choice, and equality with a full replay.
+    *
+    * At 100 TB: resolution cost = one checkpoint read + ≤ cadence log
+    * entries, CONSTANT in table age — the property that makes
+    * long-lived lakehouse tables resolvable at interactive latency. */
+  def q87_log_checkpointing(s: SparkSession, dir: String): DataFrame = {
+    val (logP, ckptP) = q87Layout(s, dir)
+    val asofProbe = q52CommitTs(9) + 100
+    val asofV = (1L to 12L).filter(q52CommitTs(_) <= asofProbe).max
+    val snaps = Seq(("v03", 3L), ("v07", 7L), ("v12", 12L),
+      ("asof", asofV))
+    snaps.map { case (src, v) =>
+      val (paths, _, _) = q87Resolve(s, logP, ckptP, v)
+      s.read.parquet(paths: _*)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * lit(100)).cast("long"))
+            .as("total_fp"))
+        .withColumn("src", lit(src)).withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+      .select("src", "version", "status", "n", "total_fp")
+      .orderBy("src", "version", "status")
+  }
+
+  /** Checkpointed snapshot resolution: latest checkpoint ≤ v, then the
+    * log suffix (ckpt, v] only (version range pushed to the log scan).
+    * Returns (active paths, checkpoint used, suffix entries replayed)
+    * so CheckpointSpec can pin that no full-log read occurs. */
+  private[operators] def q87Resolve(s: SparkSession, logPath: String,
+      ckptDir: String, v: Long): (Seq[String], Option[Long], Long) = {
+    val ckpt = Option(new java.io.File(ckptDir).listFiles()).toSeq.flatten
+      .flatMap(f => "ckpt_v(\\d+)".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toLong))
+      .filter(_ <= v).sorted.lastOption
+    val basePaths: Set[String] = ckpt match {
+      case Some(cv) => s.read.parquet(s"$ckptDir/ckpt_v$cv")
+        .collect().map(_.getString(0)).toSet
+      case None => Set.empty
+    }
+    val from = ckpt.getOrElse(0L)
+    val suffix = s.read.parquet(logPath)
+      .filter(col("version") > from && col("version") <= v)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val active = suffix.foldLeft(basePaths) {
+      case (acc, (_, "add", p)) => acc + p
+      case (acc, (_, "remove", p)) => acc - p
+      case (acc, (_, a, _)) =>
+        throw new IllegalArgumentException(s"unknown log action $a")
+    }
+    (active.toSeq.sorted, ckpt, suffix.length.toLong)
+  }
+
+  /** 12-commit store with a v6 rewrite, checkpointed every 4 commits:
+    * commit v adds the `o_custkey % 12 = v-1` stratum; v6 additionally
+    * rewrites the v3 file dropping its 'F' rows. Each checkpoint is
+    * the active path set at its version (memoized per sweep, ingest-
+    * attributed). */
+  private[operators] def q87Layout(
+      s: SparkSession, dir: String): (String, String) =
+    graft.core.SessionMemo.memoize(s, "q87-ckpt:" + dir) {
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
+      def tmp(n: String) = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_q87_${n}_$tag")
+        .getAbsolutePath
+      val o = Tables.orders(s, dir)
+      val fs = (1 to 12).map(v => tmp(f"f$v%02d"))
+      (1 to 12).foreach { v =>
+        o.filter(col("o_custkey") % 12 === (v - 1))
+          .write.mode("overwrite").parquet(fs(v - 1))
+      }
+      val f3r = tmp("f03r")
+      // the rewrite consumes the PREVIOUS snapshot's file, not the source
+      s.read.parquet(fs(2)).filter(col("o_orderstatus") =!= "F")
+        .write.mode("overwrite").parquet(f3r)
+      val entries = (1 to 12).flatMap { v =>
+        Seq((v.toLong, "add", fs(v - 1))) ++
+          (if (v == 6) Seq((6L, "remove", fs(2)), (6L, "add", f3r)) else Nil)
+      }
+      import s.implicits._
+      val logP = tmp("log")
+      entries.toDF("version", "action", "path")
+        .coalesce(1).write.mode("overwrite").parquet(logP)
+      val ckptP = tmp("ckpt")
+      Seq(4L, 8L, 12L).foreach { cv =>
+        // full replay is fine AT CHECKPOINT TIME (it rides the previous
+        // checkpoint in production; here the log is 13 entries)
+        val upTo = entries.filter(_._1 <= cv)
+        val active = upTo.foldLeft(Set.empty[String]) {
+          case (acc, (_, "add", p)) => acc + p
+          case (acc, (_, _, p)) => acc - p
+        }
+        active.toSeq.sorted.toDF("path")
+          .coalesce(1).write.mode("overwrite").parquet(s"$ckptP/ckpt_v$cv")
+      }
+      (logP, ckptP)
+    }
+
   def q52_time_travel(s: SparkSession, dir: String): DataFrame = {
     val (logPath, files) = q52Layout(s, dir)
     require(files.size == 4)
@@ -1533,7 +1646,80 @@ object RelationalQueries {
       (dp, mp)
     }
 
-  
+  /** q86 — TWO-LEVEL manifest planning (the Iceberg manifest-list →
+    * manifest-shard shape): q65 collects the whole entry manifest
+    * driver-side — right at 16 files, wrong at 100 TB where a manifest
+    * is millions of rows and PRUNING ITSELF must be distributed. Here
+    * the entry manifest is sharded by key order (a parquet partition
+    * per shard) under a one-row-per-shard manifest LIST carrying
+    * shard-level zones. Planning walks the levels: the driver prunes
+    * the LIST (O(shards), kilobytes — what an Iceberg planner reads
+    * first), the surviving shard partitions are partition-pruned and
+    * their entries zone-filtered IN EXECUTORS, and only the final
+    * bounded survivor file list is collected. Correctness is
+    * layout-independent (plain BETWEEN replay on a [max/8, max/4]
+    * band); the two-level mechanics — list prune skips shards, entry
+    * rows never fully collect, two-level ≡ one-level survivors — are
+    * pinned in ManifestSkipSpec. */
+  def q86_manifest_two_level(s: SparkSession, dir: String): DataFrame = {
+    val (shardsP, listP) = q86Layout(s, dir)
+    // band derived from the LIST (a shards-count-sized table)
+    val mx = s.read.parquet(listP).agg(max("max_ok")).head.getLong(0)
+    val (lo, hi) = (mx / 8, mx / 4)
+    val (_, keep) = q86Plan(s, shardsP, listP, lo, hi)
+    s.read.parquet(keep: _*)
+      .filter(col("l_orderkey").between(lo, hi)) // residual predicate
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Two-level prune: the driver touches only the manifest LIST; the
+    * surviving shard partitions are pruned and their entries
+    * zone-filtered in executors; the collect returns the bounded
+    * survivor file list, never the full manifest. */
+  private[operators] def q86Plan(s: SparkSession, shardsP: String,
+      listP: String, lo: Long, hi: Long): (Seq[Int], Seq[String]) = {
+    val shards = s.read.parquet(listP)
+      .filter(col("max_ok") >= lo && col("min_ok") <= hi)
+      .select("shard").collect().map(_.getInt(0)).toSeq.sorted
+    val files = s.read.parquet(shardsP)
+      .filter(col("shard").isin(shards: _*)) // partition-pruned shard scan
+      .filter(col("max_ok") >= lo && col("min_ok") <= hi) // executor-side
+      .select("file_path").collect().map(_.getString(0)).toSeq.sorted
+    (shards, files)
+  }
+
+  /** Shard q65's entry manifest 4-entries-per-shard in key order and
+    * build the one-row-per-shard manifest list (memoized per sweep,
+    * ingest-attributed like q65Layout, whose data + manifest it
+    * shares). */
+  private[operators] def q86Layout(
+      s: SparkSession, dir: String): (String, String) =
+    graft.core.SessionMemo.memoize(s, "q86-manifest2:" + dir) {
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
+      def tmp(n: String) = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_q86_${n}_$tag")
+        .getAbsolutePath
+      val (_, mp) = q65Layout(s, dir)
+      val (shardsP, listP) = (tmp("shards"), tmp("list"))
+      import org.apache.spark.sql.expressions.Window
+      s.read.parquet(mp)
+        .withColumn("rn", row_number().over(Window.orderBy(col("min_ok"))))
+        .withColumn("shard", ((col("rn") - 1) / lit(4)).cast("int"))
+        .drop("rn")
+        .write.partitionBy("shard").mode("overwrite").parquet(shardsP)
+      s.read.parquet(shardsP).groupBy("shard")
+        .agg(min("min_ok").as("min_ok"), max("max_ok").as("max_ok"),
+          count(lit(1)).as("n_files"))
+        .coalesce(1).write.mode("overwrite").parquet(listP)
+      (shardsP, listP)
+    }
+
   /** q69 — OPTIMISTIC concurrency control with conflict detection and
     * commit retry (the Iceberg/Delta multi-writer protocol the
     * single-writer q52/q61 family left open): three writers race from
@@ -2516,6 +2702,8 @@ object RelationalQueries {
     "q53_funnel" -> (q53_funnel _),
     "q52_time_travel" -> (q52_time_travel _),
     "q85_time_travel_asof" -> (q85_time_travel_asof _),
+    "q86_manifest_two_level" -> (q86_manifest_two_level _),
+    "q87_log_checkpointing" -> (q87_log_checkpointing _),
     "q66_changelog_diff" -> (q66_changelog_diff _),
     "q69_occ_conflict" -> (q69_occ_conflict _),
     "q70_multi_table_txn" -> (q70_multi_table_txn _),
@@ -2978,6 +3166,28 @@ object RelationalQueries {
            AS total_fp
        FROM probes p JOIN snap s ON s.version = p.version
        GROUP BY 1, 2, 3 ORDER BY probe_ts, status""",
+    "q86_manifest_two_level" ->
+      """WITH mx AS (SELECT max(l_orderkey) AS mk FROM lineitem)
+         SELECT l_returnflag, count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+         FROM lineitem, mx
+         WHERE l_orderkey BETWEEN mk // 8 AND mk // 4
+         GROUP BY 1 ORDER BY 1""",
+    "q87_log_checkpointing" ->
+      """WITH snaps(src, v) AS (VALUES
+           ('v03', 3), ('v07', 7), ('v12', 12), ('asof', 9))
+         SELECT s.src, CAST(s.v AS BIGINT) AS version,
+           o.o_orderstatus AS status, count(*) AS n,
+           CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_fp
+         FROM snaps s JOIN orders o
+           ON (o.o_custkey % 12) < s.v
+          AND NOT (s.v >= 6 AND (o.o_custkey % 12) = 2
+                   AND o.o_orderstatus = 'F')
+         GROUP BY 1, 2, 3
+         ORDER BY src, version, status""",
     "q52_time_travel" ->
       """WITH snap AS (
          SELECT 1::BIGINT AS version, o_orderstatus, o_totalprice

@@ -40,4 +40,37 @@ class ManifestSkipSpec extends SparkSpec {
     val want = li.filter(col("l_orderkey").between(mx / 4, mx / 2)).count()
     assert(got == want, s"row count diverged: $got vs $want")
   }
+
+  test("q86: two-level planning prunes shards, equals one-level survivors") {
+    import org.apache.spark.sql.functions._
+    val (shardsP, listP) = RelationalQueries.q86Layout(spark, sf())
+    val list = spark.read.parquet(listP)
+    val totalShards = list.count()
+    val mx = list.agg(max("max_ok")).head.getLong(0)
+    val (lo, hi) = (mx / 8, mx / 4)
+    val (shards, files) =
+      RelationalQueries.q86Plan(spark, shardsP, listP, lo, hi)
+    // level 1 must skip at least one shard for this 1/8-band
+    assert(shards.nonEmpty && shards.size < totalShards,
+      s"list prune must skip shards (${shards.size} of $totalShards)")
+    // the entry rows collected are the bounded survivors, never the
+    // full manifest — entry pruning happened in executors
+    val totalEntries = spark.read.parquet(shardsP).count()
+    assert(files.nonEmpty && files.size < totalEntries,
+      s"planned ${files.size} of $totalEntries entries — no prune?")
+    // two-level planning loses and invents nothing vs the one-level
+    // prune over the full entry manifest
+    val (_, manP) = RelationalQueries.q65Layout(spark, sf())
+    val oneLevel = RelationalQueries.q65Survivors(
+      spark.read.parquet(manP), lo, hi)
+    assert(files == oneLevel,
+      s"two-level survivors diverged from one-level: $files vs $oneLevel")
+    // the shard scan is PARTITION-pruned (directory-level skip), not a
+    // full-manifest read filtered after the fact
+    val prunedScan = spark.read.parquet(shardsP)
+      .filter(col("shard").isin(shards: _*))
+    val plan = prunedScan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"shard scan must carry partition filters:\n$plan")
+  }
 }
