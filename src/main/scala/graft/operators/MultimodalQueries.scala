@@ -1652,6 +1652,67 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m41 — COMPRESSED TIFF decode (LZW ch. 13, PackBits §9, horizontal
+    * predictor §14 — the codecs real scientific TIFFs ship with; m22's
+    * baseline reader only walked uncompressed strips): per document a
+    * deterministic gray raster is encoded with one of three codec
+    * combinations by doc_id (LZW + predictor 2, plain LZW, PackBits),
+    * alternating byte orders, then decoded through the full IFD walk +
+    * strip decompress + predictor undo. Both codecs are exactly-
+    * specified integer transforms, so the per-pixel oracle replays the
+    * RAW raster from the text — any slip in the bit-unpacker, early
+    * width change, KwKwK case, run semantics or predictor accumulation
+    * shifts the position-weighted checksum and fails the hash.
+    *
+    * Scale shape: two scan-parallel mapPartitions stages, zero shuffle
+    * before the output sort — decode cost rides the document scan. */
+  def m41_tiff_compressed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — pixel bytes would diverge")
+          val b = text.getBytes("US-ASCII")
+          val len = b.length
+          val w = len % 20 + 3
+          val h = (len / 20) % 10 + 3
+          val gray = Array.tabulate(w * h) { k =>
+            val v = if (len == 0) 0 else b((3 * k + 5) % len) & 0xFF
+            ((v * 5 + k) % 256).toByte
+          }
+          val (comp, pred, codec) = (id % 3).toInt match {
+            case 0 => (5, 2, "lzw-pred")
+            case 1 => (5, 1, "lzw")
+            case _ => (32773, 1, "packbits")
+          }
+          MediaRow(id,
+            Tiff.encodeGrayC(w, h, gray, bigEndian = id % 2 == 0, comp, pred),
+            codec)
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val d = Tiff.decode(r.payload)
+        var sum = 0L; var wsum = 0L
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var i = 0
+        while (i < d.image.pixels.length) {
+          val v = (d.image.pixels(i) & 0xFF).toLong
+          sum += v; wsum += v * (i + 1)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        TgaFeature(r.doc_id, r.format, d.image.width, d.image.height,
+          sum, wsum, mn, mx)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   final case class JpegAcRow(doc_id: Long, width: Int, height: Int,
                              n_blocks: Long, px_sum: Long, px_wsum: Long,
                              px_min: Long, px_max: Long)
@@ -2650,6 +2711,7 @@ object MultimodalQueries {
     "m38_g711_features" -> (m38_g711_features _),
     "m39_exif_orientation" -> (m39_exif_orientation _),
     "m40_tga_features" -> (m40_tga_features _),
+    "m41_tiff_compressed" -> (m41_tiff_compressed _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -3041,6 +3103,27 @@ object MultimodalQueries {
     // container-independent replay of the top-down RGB raster: the
     // oracle never sees the TGA bytes, so any BGR swap, bottom-up
     // flip, or RLE off-by-one in the decode breaks the weighted sum
+    "m41_tiff_compressed" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+           (length(text) % 20 + 3) AS w,
+           ((length(text) // 20) % 10 + 3) AS h,
+           CASE WHEN doc_id % 3 = 0 THEN 'lzw-pred'
+                WHEN doc_id % 3 = 1 THEN 'lzw'
+                ELSE 'packbits' END AS codec
+         FROM documents),
+       s AS (SELECT doc_id, codec, w, h,
+           list_transform(range(0, w * h), k ->
+             CASE WHEN len = 0 THEN (k % 256)
+               ELSE (ascii(substr(text, ((3 * k + 5) % len)::INT + 1, 1))
+                 * 5 + k) % 256 END) AS vs
+         FROM t)
+       SELECT doc_id, codec, w::INT AS width, h::INT AS height,
+         list_reduce(vs, (x, y) -> x + y)::BIGINT AS s_sum,
+         list_reduce(list_transform(range(1, w * h + 1),
+           i -> vs[i] * i), (x, y) -> x + y)::BIGINT AS s_wsum,
+         list_min(vs)::BIGINT AS s_min,
+         list_max(vs)::BIGINT AS s_max
+       FROM s ORDER BY doc_id""",
     "m40_tga_features" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS len,
            (length(text) % 24 + 2) AS w,
