@@ -1200,7 +1200,53 @@ object ClusterQueries {
       .orderBy("rank")
   }
 
+  /** c23 — EXPECTED / MAXIMUM CALIBRATION ERROR (ECE / MCE) of the
+    * rank-calibrated c05 scorer — the scalar the calibration literature
+    * actually reports on top of c06's reliability TABLE: predicted
+    * probability = the score's empirical-CDF rank percentile
+    * p = rank·1e9/(n+1) (the standard rank calibration transform, exact
+    * integers), ten equal-width probability bins (= rank deciles under
+    * the uniform transform), and per bin the absolute gap between total
+    * predicted mass and observed positives — ECE is the count-weighted
+    * mean gap, MCE the worst bin. The per-bin identity
+    * |mean_p − pos_rate|·n = |Σp − pos·1e9| keeps everything in exact
+    * integer arithmetic with a single division per output value, so
+    * Spark and the oracle agree bit-for-bit.
+    *
+    * Scale shape: the only global structure is the [[SequentialId]]
+    * rank c05/c06/c21 already pay (range exchange + broadcast offsets);
+    * the rest is one 10-group aggregate and a broadcast of the 10-row
+    * frame for the ECE/MCE fold. */
+  def c23_calibration_error(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    val signs = lit((1 to 64).map(i =>
+      if (i.toLong * 2654435761L / 65536L % 2L == 1L) 1.0 else -1.0).toArray)
+    val sc = Tables.embeddings(s, dir)
+      .withColumn("a", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), (col("label") % 2).cast("long").as("y"),
+        floor(aggregate(zip_with(col("a"), signs, (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x) * lit(1e6)).cast("long").as("s_fp"))
+    val n = sc.agg(count(lit(1)).as("n_tot"))
+    val bins = SequentialId.withSequentialId(sc, "rn", Seq(col("s_fp"), col("vec_id")))
+      .crossJoin(broadcast(n))
+      .withColumn("p_fp", ldiv(col("rn") * 1000000000L, col("n_tot") + 1L))
+      .withColumn("decile", ldiv((col("rn") - 1L) * 10L, col("n_tot")))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("p_fp").as("psum_fp"))
+      .withColumn("abs_gap_fp",
+        abs(col("psum_fp") - col("n_pos") * 1000000000L))
+    val totals = bins.agg(
+      ldiv(sum("abs_gap_fp"), sum("n")).as("ece_fp"),
+      max(ldiv(col("abs_gap_fp"), col("n"))).as("mce_fp"))
+    bins.crossJoin(broadcast(totals))
+      .select(col("decile"), col("n"), col("n_pos"), col("psum_fp"),
+        col("abs_gap_fp"), col("ece_fp"), col("mce_fp"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c23_calibration_error" -> (c23_calibration_error _),
     "c20_bt_arena" -> (c20_bt_arena _),
     "c21_risk_coverage" -> (c21_risk_coverage _),
     "c22_krippendorff" -> (c22_krippendorff _),
@@ -1980,6 +2026,33 @@ object ClusterQueries {
          ((sum(err) OVER (ORDER BY decile)) * 1000000000
            // (sum(n) OVER (ORDER BY decile)))::BIGINT AS risk_fp
        FROM d ORDER BY decile""",
+    // ECE/MCE over the same scorer CTE as c06; the per-bin identity
+    // |mean_p - rate|*n = |sum_p - pos*1e9| keeps the fold exact
+    "c23_calibration_error" ->
+      """WITH sc AS (SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+           CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),
+             i -> (embedding[i]::DOUBLE) *
+               (CASE WHEN i * 2654435761 // 65536 % 2 = 1
+                THEN 1.0 ELSE -1.0 END)),
+             (p, q) -> p + q)) AS BIGINT) AS s_fp
+         FROM embeddings),
+       r AS (SELECT y, s_fp,
+           row_number() OVER (ORDER BY s_fp, vec_id) AS rn,
+           count(*) OVER () AS n_tot
+         FROM sc),
+       b AS (SELECT CAST((rn - 1) * 10 // n_tot AS BIGINT) AS decile, y,
+           (rn * 1000000000) // (n_tot + 1) AS p_fp FROM r),
+       bins AS (SELECT decile, count(*) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(p_fp) AS BIGINT) AS psum_fp
+         FROM b GROUP BY decile),
+       g AS (SELECT *, abs(psum_fp - n_pos * 1000000000) AS abs_gap_fp
+         FROM bins),
+       t AS (SELECT CAST(sum(abs_gap_fp) // sum(n) AS BIGINT) AS ece_fp,
+           CAST(max(abs_gap_fp // n) AS BIGINT) AS mce_fp FROM g)
+       SELECT g.decile, g.n, g.n_pos, g.psum_fp,
+         CAST(g.abs_gap_fp AS BIGINT) AS abs_gap_fp, t.ece_fp, t.mce_fp
+       FROM g, t ORDER BY g.decile""",
     "c06_calibration_bins" ->
       """WITH sc AS (SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
            CAST(floor(1e6 * list_reduce(list_transform(range(1, 65),
