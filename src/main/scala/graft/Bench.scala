@@ -122,8 +122,9 @@ object Bench {
       "s23_ann_generation_rebuild", "q86_manifest_two_level",
       "q87_log_checkpointing",
       // r16: qc07's two members persist once as id_dim-bucketed tables
-      // (bucket-eliminated intercube join)
-      "qc07_intercube")
+      // (bucket-eliminated intercube join); s24 pays the memoized SQ8
+      // encode + bucketed layout once like s19
+      "qc07_intercube", "s24_sq8_persisted")
     val ingest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }

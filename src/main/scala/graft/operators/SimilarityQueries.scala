@@ -1417,7 +1417,90 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** s24 — PERSISTED SQ8 serving with exact rerank, the third
+    * quantization layout next to PQ (s19, 8 B/vector) and binary (s16,
+    * 8 B/vector): SCALAR quantization stores one uint8 per dimension
+    * against per-dimension [min, max] bounds — 64 B/vector, 8× less
+    * scan bandwidth than the full doubles with far better fidelity
+    * than PQ, the default "cheap but accurate" tier real vector stores
+    * ship (FAISS SQ8 / Milvus SQ8 / Lucene scalar quantization). The
+    * build computes the 64 per-dimension ranges (one elementwise
+    * min/max aggregate — bounded driver state), encodes once
+    * ([[graft.plans.Sq8Encode]], exact integer transform), and persists
+    * codes next to the full vectors in the label-bucketed layout; the
+    * serve is the s19 two-stage shape: asymmetric distance against the
+    * dequantized codes ([[graft.plans.Sq8Adc]], native codegen — the
+    * s18 interpreted-HOF lesson) gathers top-20 per query from the
+    * probed cells, and only those 20 pay the exact rerank. Output
+    * carries both distances so the oracle pins the quantized ordering
+    * AND the reranked truth.
+    *
+    * Scale shape: per batch, work = probed cells × 64-byte codes +
+    * 20·|batch| full-vector reranks; both top-k stages are bounded
+    * heaps. The quantizer state (128 doubles) ships as codegen
+    * references, never a join. */
+  def s24_sq8_persisted(s: SparkSession, dir: String): DataFrame = {
+    def l2(x: Column, y: Column): Column = graft.plans.L2Distance(x, y)
+    val (tbl, cents, mins, scales) =
+      graft.core.SessionMemo.memoize(s, "s24-sq8:" + dir) {
+        val tag = graft.core.SessionMemo.pathTag(s, dir)
+        val wh = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_s24_wh_$tag")
+        val t = s"graft_s24_sq_$tag"
+        val base = emb(s, dir)
+        val mm = base.agg(
+          ArrayAggregates.ewMinDouble(col("a")).as("mins"),
+          ArrayAggregates.ewMaxDouble(col("a")).as("maxs")).head
+        val mn = mm.getSeq[Double](0)
+        val sc = mn.zip(mm.getSeq[Double](1)).map { case (lo, hi) => hi - lo }
+        val centroids = base.withColumn("scaled",
+            transform(col("a"), x => floor(x * 1e9).cast("long")))
+          .groupBy("label")
+          .agg(ArrayAggregates.ewSumLong(col("scaled")).as("ssum"),
+            count(lit(1)).as("cnt"))
+          .select(col("label"), transform(col("ssum"),
+            v => v.cast("double") / col("cnt").cast("double") / 1e9)
+            .as("centroid"))
+        val cs = centroids.collect() // bounded: one row per cell
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+        base.withColumn("sq", graft.plans.Sq8Encode(col("a"), mn, sc))
+          .select("vec_id", "label", "a", "sq")
+          .repartition(8, col("label"))
+          .write.bucketBy(8, "label").sortBy("label", "vec_id")
+          .option("path", new java.io.File(wh, "sq").getAbsolutePath)
+          .mode("overwrite").saveAsTable(t)
+        (t, cs, mn, sc)
+      }
+    val qs = emb(s, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"))
+    val assigned = qs
+      .withColumn("pc", explode(probeCells2(cents, col("qa"))))
+      .select(col("query_id"), col("qa"), col("pc.c").as("probe_label"))
+    val probed = assigned.select("probe_label").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by the cell count
+    val idx = s.table(tbl).filter(col("label").isin(probed.toSeq: _*))
+    val cands = idx.join(broadcast(assigned),
+        col("label") === col("probe_label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", graft.plans.Sq8Adc(col("qa"), col("sq"), mins, scales))
+      .withColumn("nadc", -col("adc") + lit(0.0))
+    val top20 = graft.plans.TopKPerKey(cands,
+        Seq("query_id"), "nadc", "vec_id", 20)
+      .drop("rank", "nadc", "sq")
+    // exact rerank on the stored full vectors — 20 rows per query
+    val reranked = top20
+      .withColumn("d2", l2(col("qa"), col("a")))
+      .withColumn("neg_d2", -col("d2") + lit(0.0))
+    graft.plans.TopKPerKey(reranked, Seq("query_id"), "neg_d2", "vec_id", 5)
+      .select(col("query_id"), col("rank").as("rk"),
+        col("vec_id").as("neighbor_id"),
+        floor(col("d2") * 1e9).cast("long").as("d2_fp"),
+        floor(col("adc") * 1e6).cast("long").as("adc_fp"))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_sq8_persisted" -> (s24_sq8_persisted _),
     "s19_pq_persisted" -> (s19_pq_persisted _),
     "s20_ann_index_merge" -> (s20_ann_index_merge _),
     "s17_nprobe_sweep" -> (s17_nprobe_sweep _),
@@ -1719,6 +1802,56 @@ object SimilarityQueries {
     // (adc, vec_id), exact l2 rerank on the stored full vectors, top-5
     // by (d2, vec_id); both distances shipped so the quantized ordering
     // AND the reranked truth hash-check
+    "s24_sq8_persisted" -> """
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      mm AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+        FROM (SELECT i, min(a[i]) AS mn, max(a[i]) AS mx
+          FROM e, range(1, 65) t(i) GROUP BY i)),
+      codes AS (SELECT vec_id, label, a,
+          list_transform(range(1, 65), i ->
+            CASE WHEN (mm.maxs[i] - mm.mins[i]) <= 0 THEN 0.0
+              ELSE least(greatest(floor((a[i] - mm.mins[i])
+                / (mm.maxs[i] - mm.mins[i]) * 255.0), 0.0), 255.0) END) AS q
+        FROM e, mm),
+      cent AS (SELECT label AS c_label,
+          list(s ORDER BY i) AS centroid FROM (
+          SELECT label, i,
+            sum(CAST(floor(a[i] * 1e9) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1e9 AS s
+          FROM e, range(1, 65) t(i) GROUP BY label, i)
+        GROUP BY label),
+      qs AS (SELECT vec_id AS query_id, a AS qa FROM e WHERE vec_id % 50 = 0),
+      probes AS (SELECT query_id, qa, c_label AS probe_label FROM (
+          SELECT q.query_id, q.qa, c.c_label,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (q.qa[i] - c.centroid[i]) * (q.qa[i] - c.centroid[i])),
+                (p, q2) -> p + q2), c.c_label) AS crk
+          FROM qs q, cent c) WHERE crk <= 2),
+      adc AS (SELECT p.query_id, p.qa, v.vec_id, v.a,
+          list_reduce(list_transform(range(1, 65), i ->
+            (p.qa[i] - (mm.mins[i] + v.q[i] * (mm.maxs[i] - mm.mins[i]) / 255.0))
+            * (p.qa[i] - (mm.mins[i] + v.q[i] * (mm.maxs[i] - mm.mins[i]) / 255.0))),
+            (x, y) -> x + y) AS adc
+        FROM probes p
+        JOIN codes v ON v.label = p.probe_label AND v.vec_id <> p.query_id, mm),
+      top20 AS (SELECT query_id, qa, vec_id, a, adc FROM (
+          SELECT query_id, qa, vec_id, a, adc,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY adc, vec_id) AS arn
+          FROM adc) WHERE arn <= 20),
+      rr AS (SELECT query_id, vec_id, adc,
+          list_reduce(list_transform(range(1, 65),
+            i -> (qa[i] - a[i]) * (qa[i] - a[i])), (x, y) -> x + y) AS d2
+        FROM top20)
+      SELECT query_id, rank AS rk, vec_id AS neighbor_id,
+        CAST(floor(d2 * 1e9) AS BIGINT) AS d2_fp,
+        CAST(floor(adc * 1e6) AS BIGINT) AS adc_fp
+      FROM (SELECT query_id, vec_id, adc, d2,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY d2, vec_id) AS rank
+        FROM rr) WHERE rank <= 5
+      ORDER BY query_id, rk""",
     "s19_pq_persisted" -> """
       WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
