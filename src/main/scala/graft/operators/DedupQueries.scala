@@ -1321,84 +1321,7 @@ object DedupQueries {
         ldiv(col("n_false_pos") * 1000000L, col("den")).as("fpr_fp"))
   }
 
-  /** d28 — SUBSTRING-SPAN dedup (the suffix-array exact-substring
-    * deduplication of "Deduplicating Training Data Makes Language
-    * Models Better", Lee et al. 2022, in its scalable anchor-gram
-    * form): doc-level dedup (d01–d27) misses the boilerplate CLONED
-    * INSIDE otherwise-distinct documents — license headers, navigation
-    * chrome, quoted passages — which is what substring dedup exists to
-    * find. Anchored grams of L=24 chars at stride S=8 are counted
-    * across the corpus; a gram seen ≥ 2 times anywhere marks its
-    * position duplicated, and per document the duplicated positions
-    * merge into MAXIMAL spans (positions ≤ L apart coalesce — the
-    * stride guarantees any repeated substring of length ≥ L+S−1 is
-    * caught by at least one anchor). Output per doc: span count,
-    * duplicated chars, and ppm of the doc covered — the quantities a
-    * span-removal pass consumes.
-    *
-    * Scale shape: the gram frame is len/S rows per doc (the stride is
-    * the knob that prices coverage); counting is ONE map-combined
-    * groupBy on the gram, marking is ONE equi-join back on the gram
-    * (shuffle join — the duplicated-gram set is corpus-sized, never
-    * broadcast), and span-merging is an in-array fold over each doc's
-    * sorted position list (one groupBy, no window over the corpus). At
-    * 100 TB this is three bounded shuffles of the gram frame — the
-    * published suffix-array pipeline's cost shape without its global
-    * sort. No reference counterpart — the brief's dedup lane. */
-  def d28_substring_spans(s: SparkSession, dir: String): DataFrame = {
-    val L = 24
-    val S = 8
-    val d = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-    val pos = d.filter(col("len") >= L)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0),
-          ((col("len") - L) / lit(S)).cast("int"))).as("k"))
-      .select(col("doc_id"), (col("k") * S).cast("long").as("p"),
-        expr(s"substring(text, k * $S + 1, $L)").as("g"))
-    val dupGrams = pos.groupBy("g").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select("g")
-    val spans = pos.join(dupGrams, "g")
-      .groupBy("doc_id").agg(sort_array(collect_list(col("p"))).as("ps"))
-      .select(col("doc_id"), aggregate(
-        col("ps"),
-        struct(lit(0L).as("n"), lit(0L).as("chars"),
-          lit(-1L).as("first"), lit(-1L).as("prev")),
-        (acc, p) => {
-          val isNew = acc.getField("first") < 0
-          val cont = !isNew && (p - acc.getField("prev") <= lit(L.toLong))
-          struct(
-            when(isNew || cont, acc.getField("n"))
-              .otherwise(acc.getField("n") + 1).as("n"),
-            when(isNew || cont, acc.getField("chars"))
-              .otherwise(acc.getField("chars") + acc.getField("prev") -
-                acc.getField("first") + L).as("chars"),
-            when(cont, acc.getField("first")).otherwise(p).as("first"),
-            p.as("prev"))
-        },
-        acc => struct(
-          when(acc.getField("first") >= 0, acc.getField("n") + 1)
-            .otherwise(0L).as("n"),
-          when(acc.getField("first") >= 0,
-            acc.getField("chars") + acc.getField("prev") -
-              acc.getField("first") + L).otherwise(0L).as("chars"))
-      ).as("sp"))
-      .select(col("doc_id"), col("sp.n").as("n_spans"),
-        col("sp.chars").as("dup_chars"))
-    import graft.functions.KeyAlgebra.ldiv
-    d.select(col("doc_id"), col("len"))
-      .join(spans, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-        when(col("len") > 0,
-          ldiv(coalesce(col("dup_chars"), lit(0L)) * 1000000L, col("len")))
-          .otherwise(0L).as("dup_ppm"))
-      .orderBy("doc_id")
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d28_substring_spans" -> (d28_substring_spans _),
     "d27_bloom_prefilter" -> (d27_bloom_prefilter _),
     "d26_threshold_sweep" -> (d26_threshold_sweep _),
     "d25_cdc_chunks" -> (d25_cdc_chunks _),
@@ -1504,35 +1427,6 @@ object DedupQueries {
         FROM alldocs)"""
 
   val oracles: Map[String, String] = Map(
-    // gaps-and-islands replay of the anchor-gram span merge: positions
-    // whose 24-char gram repeats corpus-wide, islands break when the
-    // next kept position is > 24 away (NULL lag falls into the break
-    // arm); len < 24 docs produce zero positions via the floored //
-    "d28_substring_spans" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
-       pos0 AS (SELECT doc_id, text,
-           unnest(range(0, greatest((len - 24) // 8 + 1, 0))) * 8 AS p
-         FROM d),
-       pos AS (SELECT doc_id, p, substr(text, p::INT + 1, 24) AS g
-         FROM pos0),
-       gc AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
-       dup AS (SELECT p.doc_id, p.p FROM pos p JOIN gc USING (g)),
-       isl AS (SELECT doc_id, p,
-           CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 24
-                THEN 0 ELSE 1 END AS brk FROM dup),
-       grp AS (SELECT doc_id, p,
-           sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM isl),
-       sp AS (SELECT doc_id, gid, min(p) AS f, max(p) AS l
-         FROM grp GROUP BY 1, 2),
-       agg AS (SELECT doc_id, count(*) AS n_spans,
-           sum(l - f + 24) AS dup_chars FROM sp GROUP BY 1)
-       SELECT d.doc_id,
-         coalesce(a.n_spans, 0)::BIGINT AS n_spans,
-         coalesce(a.dup_chars, 0)::BIGINT AS dup_chars,
-         (CASE WHEN d.len > 0
-           THEN coalesce(a.dup_chars, 0) * 1000000 // d.len
-           ELSE 0 END)::BIGINT AS dup_ppm
-       FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
     // every count re-derived: bucket sets per hash, the 3-way EXISTS
     // bloom test, the exact dup verify, and the FPR quotient
     "d27_bloom_prefilter" ->
