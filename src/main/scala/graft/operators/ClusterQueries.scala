@@ -1201,8 +1201,13 @@ object ClusterQueries {
   }
 
   /** c23 — EXPECTED / MAXIMUM CALIBRATION ERROR (ECE / MCE) of the
-    * rank-calibrated c05 scorer — the scalar the calibration literature
-    * actually reports on top of c06's reliability TABLE: predicted
+    * rank-calibrated c05 scorer — the third calibration output next to
+    * c06 (the per-bin reliability TABLE) and c14 (the Brier/Murphy
+    * decomposition): c14's reliability term is the L2 (squared) bin
+    * gap; ECE is the L1 gap the LLM-eval literature actually headlines
+    * (Guo et al. 2017), and MCE its worst-bin companion — the two
+    * scalars a model card quotes, which neither c06 nor c14 emits.
+    * Predicted
     * probability = the score's empirical-CDF rank percentile
     * p = rank·1e9/(n+1) (the standard rank calibration transform, exact
     * integers), ten equal-width probability bins (= rank deciles under
