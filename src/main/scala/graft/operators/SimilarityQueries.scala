@@ -1423,7 +1423,10 @@ object SimilarityQueries {
     * against per-dimension [min, max] bounds — 64 B/vector, 8× less
     * scan bandwidth than the full doubles with far better fidelity
     * than PQ, the default "cheap but accurate" tier real vector stores
-    * ship (FAISS SQ8 / Milvus SQ8 / Lucene scalar quantization). The
+    * ship (FAISS SQ8 / Milvus SQ8 / Lucene scalar quantization). s04
+    * already quantizes IN-QUERY with a per-VECTOR symmetric scale —
+    * this is the other half: a persisted per-DIMENSION index whose
+    * codes amortize across batches, the s18/s19 serving posture. The
     * build computes the 64 per-dimension ranges (one elementwise
     * min/max aggregate — bounded driver state), encodes once
     * ([[graft.plans.Sq8Encode]], exact integer transform), and persists
