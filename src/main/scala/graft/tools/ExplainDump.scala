@@ -85,7 +85,11 @@ object ExplainDump {
       "c21_risk_coverage", "q83_stream_exactly_once",
       "q84_hilbert_layout", "p29_epoch_budget",
       "m40_tga_features", "s22_ann_filtered_serve", "qn19_compound_import",
-      "q85_time_travel_asof", "c22_krippendorff")
+      "q85_time_travel_asof", "c22_krippendorff",
+      "qd10_dialect_expand", "s23_ann_generation_rebuild",
+      "s24_sq8_persisted", "q86_manifest_two_level",
+      "q87_log_checkpointing", "m41_tiff_compressed",
+      "c23_calibration_error")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append("Things to look for: `PushedFilters`/`ReadSchema` on scans, ")
