@@ -100,6 +100,11 @@ final class IoService(spark: SparkSession, port: Int = 0,
     def u64(): Long = java.lang.Long.reverseBytes(in.readLong())
     def u32(): Int = java.lang.Integer.reverseBytes(in.readInt())
     def bytesN(n: Long): Array[Byte] = {
+      // the length is CLIENT-declared: unguarded, a hostile frame forces
+      // a negative-size or multi-GiB allocation on the handler thread
+      // (n.toInt also silently truncates) — reject loudly instead
+      require(n >= 0 && n <= IoService.MaxFrameBytes,
+        s"binary frame declares $n bytes (max ${IoService.MaxFrameBytes})")
       val b = new Array[Byte](n.toInt); in.readFully(b); b
     }
     def str(n: Long): String = {
@@ -225,6 +230,11 @@ final class IoService(spark: SparkSession, port: Int = 0,
     } catch {
       case _: EOFException => // client closed
       case _: java.net.SocketException =>
+      case _: IllegalArgumentException =>
+        // hostile/corrupt frame (oversized length, bad payload): answer
+        // ER if the socket still writes, then drop the connection — the
+        // stream cannot be resynchronized after a bad length field
+        try reply("ER") catch { case _: Exception => }
     } finally client.close()
   }
 
@@ -290,4 +300,11 @@ final class IoService(spark: SparkSession, port: Int = 0,
       }
     } finally client.close()
   }
+}
+
+object IoService {
+  /** Upper bound on any client-declared binary frame field. Far above
+    * every real query/arg payload, far below an allocation that could
+    * hurt the server. */
+  val MaxFrameBytes: Long = 64L << 20
 }

@@ -276,4 +276,36 @@ class IoServiceSpec extends SparkSpec {
       c.close()
     } finally svc.stop()
   }
+
+  test("binary wire: hostile frame lengths answer ER and drop, server survives") {
+    import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+    val svc = new IoService(spark, wire = "binary")
+    try {
+      def tagOf(in: DataInputStream): String = {
+        val b = new Array[Byte](2); in.readFully(b); new String(b, "UTF-8")
+      }
+      // a UD frame declaring a ~16 EiB db-name: must NOT allocate; the
+      // handler answers ER and closes the connection
+      for (hostileLen <- Seq(-1L, Long.MaxValue, (1L << 40))) {
+        val c = new java.net.Socket("127.0.0.1", svc.boundPort)
+        val out = new DataOutputStream(new BufferedOutputStream(c.getOutputStream))
+        val in = new DataInputStream(new BufferedInputStream(c.getInputStream))
+        out.write("UD".getBytes)
+        out.writeLong(java.lang.Long.reverseBytes(hostileLen))
+        out.flush()
+        assert(tagOf(in) == "ER", s"len $hostileLen must be rejected")
+        // the connection is dropped after a bad length (stream cannot
+        // resync); the read must observe EOF, not a hang
+        assert(in.read() == -1)
+        c.close()
+      }
+      // the SERVER is still alive for the next well-formed client
+      val c2 = new java.net.Socket("127.0.0.1", svc.boundPort)
+      val out2 = new DataOutputStream(new BufferedOutputStream(c2.getOutputStream))
+      val in2 = new DataInputStream(new BufferedInputStream(c2.getInputStream))
+      out2.write("PG".getBytes); out2.flush()
+      assert(tagOf(in2) == "PG")
+      c2.close()
+    } finally svc.stop()
+  }
 }
