@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sources.{Avi, Flac, Jpeg, MediaCodec, Png, Tga, Tiff}
+import graft.sources.{Aiff, Avi, Flac, Jpeg, MediaCodec, Png, Tga, Tiff}
 
 /** Multimodal-column operators for the training-data pipeline: media
   * payloads ride as opaque `binary` columns next to a typed metadata
@@ -1713,6 +1713,68 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class AiffStats(doc_id: Long, codec: String, sample_rate: Long,
+                             n_samples: Long, zcr: Long, energy: Long,
+                             peak: Long)
+
+  /** m42 — AIFF / AIFF-C audio (the big-endian IFF sibling of WAV that
+    * scientific and broadcast archives ship): per document a
+    * deterministic 16-bit signal is containerized as plain AIFF
+    * (big-endian PCM, mono) or AIFF-C 'sowt' (little-endian PCM,
+    * stereo-interleaved) by doc_id, with the sample rate cycling
+    * 8000/22050/44100 so the COMM chunk's 80-bit EXTENDED-float rate
+    * field — the format's one exotic scalar — is decoded on every row
+    * and pinned by the oracle (a wrong exponent bias or mantissa shift
+    * shifts every rate). Decode runs the real chunk walk (FORM type,
+    * FVER skip, COMM, SSND offset) through [[MediaCodec.decodeAudio]]'s
+    * magic sniff; features are the m05 trio over the decoded samples.
+    *
+    * Scale shape: two scan-parallel mapPartitions stages, zero shuffle
+    * before the output sort (the m05/m38 audio idiom). */
+  def m42_aiff_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("US-ASCII")
+          val stereo = id % 2 == 1
+          val n = if (stereo) bytes.length - (bytes.length % 2)
+                  else bytes.length
+          val samples = Array.tabulate(n)(i =>
+            (((bytes(i) & 0xFF) - 100) * 96).toShort)
+          val rate = (id % 3) match {
+            case 0 => 8000
+            case 1 => 22050
+            case _ => 44100
+          }
+          if (stereo)
+            MediaRow(id, Aiff.encode(rate, 2, samples, sowt = true),
+              "aifc-sowt")
+          else MediaRow(id, Aiff.encode(rate, 1, samples), "aiff")
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val audio = MediaCodec.decodeAudio(r.payload) // sniffed, not trusted
+        val a = audio.samples
+        var zcr = 0L; var energy = 0L; var peak = 0L
+        var i = 0
+        while (i < a.length) {
+          val v = a(i).toLong
+          energy += v * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && ((a(i - 1) < 0) != (v < 0))) zcr += 1
+          i += 1
+        }
+        AiffStats(r.doc_id, r.format, audio.sampleRate.toLong,
+          a.length.toLong, zcr, energy, peak)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   final case class JpegAcRow(doc_id: Long, width: Int, height: Int,
                              n_blocks: Long, px_sum: Long, px_wsum: Long,
                              px_min: Long, px_max: Long)
@@ -2712,6 +2774,7 @@ object MultimodalQueries {
     "m39_exif_orientation" -> (m39_exif_orientation _),
     "m40_tga_features" -> (m40_tga_features _),
     "m41_tiff_compressed" -> (m41_tiff_compressed _),
+    "m42_aiff_features" -> (m42_aiff_features _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -3103,6 +3166,30 @@ object MultimodalQueries {
     // container-independent replay of the top-down RGB raster: the
     // oracle never sees the TGA bytes, so any BGR swap, bottom-up
     // flip, or RLE off-by-one in the decode breaks the weighted sum
+    // sample math replayed from the text (decode-independent); stereo
+    // rows drop the odd tail char; rate replays the 80-bit COMM field
+    "m42_aiff_features" ->
+      """WITH t AS (SELECT doc_id, length(text) AS len,
+           CASE WHEN doc_id % 2 = 1 THEN 'aifc-sowt' ELSE 'aiff' END AS codec,
+           CASE WHEN doc_id % 3 = 0 THEN 8000
+                WHEN doc_id % 3 = 1 THEN 22050 ELSE 44100 END AS rate,
+           CASE WHEN doc_id % 2 = 1 THEN length(text) - length(text) % 2
+                ELSE length(text) END AS n,
+           text FROM documents),
+       s AS (SELECT doc_id, codec, rate, n,
+           list_transform(range(0, n),
+             i -> CAST((ascii(substr(text, i::INT + 1, 1)) - 100) * 96
+               AS BIGINT)) AS sl
+         FROM t)
+       SELECT doc_id, codec, rate::BIGINT AS sample_rate,
+         n::BIGINT AS n_samples,
+         coalesce(list_reduce(list_transform(range(1, n),
+           i -> CASE WHEN (sl[i::INT] < 0) <> (sl[i::INT + 1] < 0)
+                THEN 1 ELSE 0 END), (x, y) -> x + y), 0)::BIGINT AS zcr,
+         list_reduce(list_transform(sl, v -> v * v), (x, y) -> x + y)::BIGINT
+           AS energy,
+         list_max(list_transform(sl, v -> abs(v)))::BIGINT AS peak
+       FROM s ORDER BY doc_id""",
     "m41_tiff_compressed" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS len,
            (length(text) % 20 + 3) AS w,

@@ -729,6 +729,8 @@ object MediaCodec {
   def decodeAudio(bytes: Array[Byte]): Audio =
     if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
       bytes(2) == 'a' && bytes(3) == 'C') Flac.decode(bytes)
+    else if (bytes.length >= 4 && bytes(0) == 'F' && bytes(1) == 'O' &&
+      bytes(2) == 'R' && bytes(3) == 'M') Aiff.decode(bytes)
     else decodeWav(bytes)
 
   /** Apply an EXIF orientation (1..8) to a decoded raster — the
