@@ -124,7 +124,9 @@ object Bench {
       // r16: qc07's two members persist once as id_dim-bucketed tables
       // (bucket-eliminated intercube join); s24 pays the memoized SQ8
       // encode + bucketed layout once like s19
-      "qc07_intercube", "s24_sq8_persisted")
+      "qc07_intercube", "s24_sq8_persisted",
+      // r16: q88's branch files ride the shared q52 layout + two writes
+      "q88_branch_merge")
     val ingest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }

@@ -2538,6 +2538,84 @@ object RelationalQueries {
       .orderBy("branch", "version", "status")
   }
 
+  /** q88 — three-way BRANCH MERGE with file-level conflict detection
+    * (the Nessie/LakeFS operation q81's single-commit cherry-pick stops
+    * short of): a branch diverges from main@2, both sides commit, and
+    * merge applies the BRANCH's changes-since-fork onto the MAIN head —
+    * removedB = base∖theirs, addedB = theirs∖base, merged = ours ∖
+    * removedB ∪ addedB — iff no conflict, where a conflict is both
+    * sides touching the same base file since the fork point (the
+    * file-level rule every table-format merge implements; q69's OCC is
+    * the same predicate on a linear log). Two branches exercise both
+    * outcomes: `etl` rewrites fb (main touched only fa post-fork —
+    * disjoint, commits as main@4) and `bad` rewrites fa (main's v3
+    * also removed fa — conflict, REJECTED by name, main unchanged).
+    * The output carries each state's aggregate with its outcome, and
+    * the rejected row must hash-equal the main head — a merge that
+    * mutated anything on rejection fails the gate.
+    *
+    * Scale shape: merge is pure METADATA — three set differences over
+    * file lists (O(|files touched|), never a data read); only reading
+    * the merged snapshot touches data, and that reads each active file
+    * once. Builds on q52's commit-log store. */
+  def q88_branch_merge(s: SparkSession, dir: String): DataFrame = {
+    val (logPath, files) = q52Layout(s, dir)
+    val Seq(fa, fb, _, _) = files
+    val (fbo, faf) = graft.core.SessionMemo.memoize(s, "q88-br:" + dir) {
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
+      def tmp(n: String) = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_q88_${n}_$tag")
+        .getAbsolutePath
+      val (p1, p2) = (tmp("fbo"), tmp("faf"))
+      // branch rewrites consume the FORK-POINT snapshot's files
+      s.read.parquet(fb).filter(col("o_orderstatus") === "O")
+        .write.mode("overwrite").parquet(p1)
+      s.read.parquet(fa).filter(col("o_orderstatus") === "F")
+        .write.mode("overwrite").parquet(p2)
+      (p1, p2)
+    }
+    val mainLog = q52ReadLog(s, logPath)
+    val forkV = 2L
+    val base = q52ActiveAt(mainLog, forkV).toSet
+    val ours = q52ActiveAt(mainLog, mainLog.map(_._1).max).toSet
+    /** File-level three-way merge; Left(conflicts) or Right(merged). */
+    def merge(theirs: Set[String]): Either[Seq[String], Set[String]] = {
+      val removedB = base -- theirs
+      val removedM = base -- ours
+      val conflicts = (removedB & removedM).toSeq.sorted
+      if (conflicts.nonEmpty) Left(conflicts)
+      else Right(ours -- removedB ++ (theirs -- base))
+    }
+    val etlHead = base - fb + fbo // etl@3: rewrite fb
+    val badHead = base - fa + faf // bad@3: rewrite fa — fa changed on main too
+    val merged = merge(etlHead) match {
+      case Right(m) => m
+      case Left(c) => throw new IllegalStateException(s"etl must merge: $c")
+    }
+    val rejected = merge(badHead) match {
+      case Left(conflicts) =>
+        require(conflicts == Seq(fa), s"conflict must name fa, got $conflicts")
+        ours // main is UNTOUCHED by a rejected merge
+      case Right(_) =>
+        throw new IllegalStateException("bad branch must conflict")
+    }
+    val states = Seq(
+      ("main_v3", "committed", ours),
+      ("etl_head", "committed", etlHead),
+      ("merged_v4", "committed", merged),
+      ("bad_merge", "rejected", rejected))
+    states.map { case (src, outcome, fs) =>
+      s.read.parquet(fs.toSeq.sorted: _*)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * lit(100)).cast("long"))
+            .as("total_fp"))
+        .withColumn("src", lit(src)).withColumn("outcome", lit(outcome))
+    }.reduce(_ unionByName _)
+      .select("src", "outcome", "status", "n", "total_fp")
+      .orderBy("src", "status")
+  }
+
   /** q82 — snapshot METADATA tables (the Iceberg `table$history` /
     * `table$files` surface): the commit log rendered as a queryable
     * audit table — per version, the active file count, files
@@ -2704,6 +2782,7 @@ object RelationalQueries {
     "q85_time_travel_asof" -> (q85_time_travel_asof _),
     "q86_manifest_two_level" -> (q86_manifest_two_level _),
     "q87_log_checkpointing" -> (q87_log_checkpointing _),
+    "q88_branch_merge" -> (q88_branch_merge _),
     "q66_changelog_diff" -> (q66_changelog_diff _),
     "q69_occ_conflict" -> (q69_occ_conflict _),
     "q70_multi_table_txn" -> (q70_multi_table_txn _),
@@ -3188,6 +3267,36 @@ object RelationalQueries {
                    AND o.o_orderstatus = 'F')
          GROUP BY 1, 2, 3
          ORDER BY src, version, status""",
+    "q88_branch_merge" ->
+      """WITH snap AS (
+         SELECT 'main_v3' AS src, 'committed' AS outcome,
+             o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+              OR o_orderstatus <> 'F'
+         UNION ALL
+         SELECT 'etl_head', 'committed', o_orderstatus, o_totalprice
+           FROM orders
+           WHERE o_orderdate < TIMESTAMP '1998-01-01'
+              OR (o_orderdate < TIMESTAMP '2000-01-01'
+                  AND o_orderstatus = 'O')
+         UNION ALL
+         SELECT 'merged_v4', 'committed', o_orderstatus, o_totalprice
+           FROM orders
+           WHERE (o_orderdate < TIMESTAMP '1998-01-01'
+                  AND o_orderstatus <> 'F')
+              OR o_orderdate >= TIMESTAMP '2000-01-01'
+              OR (o_orderdate >= TIMESTAMP '1998-01-01'
+                  AND o_orderdate < TIMESTAMP '2000-01-01'
+                  AND o_orderstatus = 'O')
+         UNION ALL
+         SELECT 'bad_merge', 'rejected', o_orderstatus, o_totalprice
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+              OR o_orderstatus <> 'F')
+       SELECT src, outcome, o_orderstatus AS status, count(*) AS n,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_fp
+       FROM snap GROUP BY 1, 2, 3 ORDER BY src, status""",
     "q52_time_travel" ->
       """WITH snap AS (
          SELECT 1::BIGINT AS version, o_orderstatus, o_totalprice
