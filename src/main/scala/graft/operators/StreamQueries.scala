@@ -694,6 +694,75 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** q89 — CHAINED STATEFUL operators in ONE streaming query
+    * (dropDuplicatesWithinWatermark → watermarked window aggregation),
+    * the multi-stateful pipeline Structured Streaming supports since
+    * Spark 3.4: one query holds BOTH state stores — dedup state keyed
+    * by event_id evicted at the watermark, window state emitted in
+    * append mode as the watermark passes each window end — instead of
+    * the two-query + intermediate-sink topology older engines forced.
+    * Redelivery is injected q36-style (in-batch double delivery plus a
+    * cross-batch tail-hour replay), so a dedup stage that dropped
+    * nothing would inflate every affected window's count and fail the
+    * hash; the oracle is the CLEAN batch hourly aggregate (q23's).
+    * The query self-audits that the engine really ran two stateful
+    * operators (lastProgress.stateOperators), so a silent plan rewrite
+    * to one store cannot pass.
+    *
+    * Scale shape: both state stores are bounded by the watermark
+    * horizon (dedup: ids within delay; windows: open windows only);
+    * state is partitioned by the engine across executors like any
+    * shuffle — the chain adds no driver state and no extra sink
+    * round-trip at 100 TB stream volume. */
+  def q89_stream_chained_stateful(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("value"))
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mid = rows.length / 2
+    val batch1 = rows.take(mid)
+    val hourNs = 3600L * 1000000000L
+    val redeliver = batch1.filter(_._2 > batch1.last._2 - hourNs)
+    val sentinelNs = rows.last._2 + 4L * hourNs // past watermark + window
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    val agg = in.toDF().toDF("event_id", "tns", "value")
+      .withColumn("ts",
+        timestamp_micros(KeyAlgebra.ldiv(col("tns"), lit(1000L))))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id") // stateful op 1
+      .groupBy(window(col("ts"), "1 hour").as("win")) // stateful op 2
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+      .select(unix_timestamp(col("win.start")).as("window_start"),
+        col("n"), col("sum_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("q89_stream_out").start()
+    try {
+      in.addData((batch1 ++ batch1).toIndexedSeq) // in-batch double delivery
+      q.processAllAvailable()
+      in.addData((rows.drop(mid) ++ redeliver :+
+        (-1L, sentinelNs, 0.0)).toIndexedSeq) // cross-batch + sentinel
+      q.processAllAvailable()
+      val nStateful = Option(q.lastProgress)
+        .map(_.stateOperators.length).getOrElse(0)
+      require(nStateful == 2,
+        s"expected 2 chained stateful operators in one query, got $nStateful")
+    } finally q.stop()
+    val sentinelHour = sentinelNs / 3600000000000L * 3600L
+    val closed = s.table("q89_stream_out")
+      .filter(col("window_start") < sentinelHour)
+    val result = closed.collect().toIndexedSeq
+    val schema = closed.schema
+    s.catalog.dropTempView("q89_stream_out")
+    s.createDataFrame(s.sparkContext.parallelize(result, 1), schema)
+      .orderBy("window_start")
+  }
+
   /** q39 — incremental materialized-view maintenance: a keyed aggregate
     * MV (user_id × event_type → count, exact decimal sum) kept in a
     * bucket-partitioned parquet store and updated per micro-batch via
@@ -1589,6 +1658,7 @@ object StreamQueries {
     "q44_stream_outer_join" -> (q44_stream_outer_join _),
     "q39_incremental_mv" -> (q39_incremental_mv _),
     "q36_stream_dedup_watermark" -> (q36_stream_dedup_watermark _),
+    "q89_stream_chained_stateful" -> (q89_stream_chained_stateful _),
     "q31_stream_join" -> (q31_stream_join _),
     "q23_stream_window" -> (q23_stream_window _),
     "q30_stream_filesource" -> (q30_stream_filesource _),
@@ -1707,6 +1777,14 @@ object StreamQueries {
     // the watermarked dedup must make double delivery invisible: the
     // emitted stream aggregates to the duplicate-free batch answer
     "q36_stream_dedup_watermark" -> dedupOracle,
+    // chained dedup -> window in one query must converge to the CLEAN
+    // batch hourly aggregate: any duplicate surviving the first state
+    // store inflates a window's count and fails the hash
+    "q89_stream_chained_stateful" ->
+      """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS window_start,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY window_start""",
     // the outer stream-stream join must emit the batch LEFT interval
     // join exactly — including the null-extended (here −1-coalesced)
     // rows that only watermark-driven state eviction can produce

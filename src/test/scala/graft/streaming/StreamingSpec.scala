@@ -191,4 +191,20 @@ class StreamingSpec extends SparkSpec {
     val nEven = ev.count(_.getLong(0) % 2 == 0).toLong
     assert(emitted == nEven + 3, "emitted = even rows + anchor + 2 fresh")
   }
+
+  test("q89 chained stateful: dedup feeds windows inside one query") {
+    // the chained pipeline must converge to q23's single-stateful
+    // windows despite in-batch AND cross-batch redelivery — the dedup
+    // store absorbing the duplicates before they reach window state
+    // (the in-query require already pins stateOperators == 2)
+    val chained = graft.operators.StreamQueries
+      .q89_stream_chained_stateful(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val single = graft.operators.StreamQueries
+      .q23_stream_window(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(chained == single,
+      "chained dedup->window diverged from the clean single-stage windows")
+    assert(chained.nonEmpty)
+  }
 }
