@@ -125,8 +125,9 @@ object Bench {
       // (bucket-eliminated intercube join); s24 pays the memoized SQ8
       // encode + bucketed layout once like s19
       "qc07_intercube", "s24_sq8_persisted",
-      // r16: q88's branch files ride the shared q52 layout + two writes
-      "q88_branch_merge")
+      // r16: q88's branch files ride the shared q52 layout + two writes;
+      // s25 rides BOTH memoized quantizer stores (s19 + s24)
+      "q88_branch_merge", "s25_quantizer_recall")
     val ingest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }

@@ -1345,12 +1345,12 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
-  def s19_pq_persisted(s: SparkSession, dir: String): DataFrame = {
+  /** The memoized PQ-IVF store (table, label centroids, codebook) —
+    * shared by s19's serve and s25's quantizer bake-off. */
+  private def pqStore(s: SparkSession,
+      dir: String): (String, Seq[(Int, Seq[Double])], Seq[Double]) = {
     val k16 = 16
-    def l2(x: Column, y: Column): Column = graft.plans.L2Distance(x, y)
-    def litArr(a: Seq[Double]): Column = array(a.map(lit): _*)
-    val (tbl, cents, cbFlat) =
-      graft.core.SessionMemo.memoize(s, "s19-pqivf:" + dir) {
+    graft.core.SessionMemo.memoize(s, "s19-pqivf:" + dir) {
         val tag = graft.core.SessionMemo.pathTag(s, dir)
         val wh = new java.io.File(
           System.getProperty("java.io.tmpdir"), s"graft_s19_wh_$tag")
@@ -1382,6 +1382,12 @@ object SimilarityQueries {
           .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
         (t, cs, cb)
       }
+  }
+
+  def s19_pq_persisted(s: SparkSession, dir: String): DataFrame = {
+    def l2(x: Column, y: Column): Column = graft.plans.L2Distance(x, y)
+    def litArr(a: Seq[Double]): Column = array(a.map(lit): _*)
+    val (tbl, cents, cbFlat) = pqStore(s, dir)
     val qs = emb(s, dir).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("a").as("qa"))
     // nprobe=2 cells per query; the sort struct carries the centroid so
@@ -1442,10 +1448,11 @@ object SimilarityQueries {
     * 20·|batch| full-vector reranks; both top-k stages are bounded
     * heaps. The quantizer state (128 doubles) ships as codegen
     * references, never a join. */
-  def s24_sq8_persisted(s: SparkSession, dir: String): DataFrame = {
-    def l2(x: Column, y: Column): Column = graft.plans.L2Distance(x, y)
-    val (tbl, cents, mins, scales) =
-      graft.core.SessionMemo.memoize(s, "s24-sq8:" + dir) {
+  /** The memoized SQ8 store (table, label centroids, per-dim mins and
+    * scales) — shared by s24's serve and s25's quantizer bake-off. */
+  private def sqStore(s: SparkSession, dir: String)
+      : (String, Seq[(Int, Seq[Double])], Seq[Double], Seq[Double]) =
+    graft.core.SessionMemo.memoize(s, "s24-sq8:" + dir) {
         val tag = graft.core.SessionMemo.pathTag(s, dir)
         val wh = new java.io.File(
           System.getProperty("java.io.tmpdir"), s"graft_s24_wh_$tag")
@@ -1474,6 +1481,10 @@ object SimilarityQueries {
           .mode("overwrite").saveAsTable(t)
         (t, cs, mn, sc)
       }
+
+  def s24_sq8_persisted(s: SparkSession, dir: String): DataFrame = {
+    def l2(x: Column, y: Column): Column = graft.plans.L2Distance(x, y)
+    val (tbl, cents, mins, scales) = sqStore(s, dir)
     val qs = emb(s, dir).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("a").as("qa"))
     val assigned = qs
@@ -1502,7 +1513,72 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** s25 — QUANTIZER BAKE-OFF: recall@3 of the two persisted quantized
+    * serving paths (s19's 8-byte PQ, s24's 64-byte SQ8) against the
+    * exact full-vector ordering, all three over the IDENTICAL probed
+    * cells — the tuning table a deployment reads to pick its
+    * fidelity/bandwidth point, and the isolation s13 doesn't give
+    * (s13 measures PROBE loss vs the global truth; this measures
+    * QUANTIZER loss alone, cells held fixed). Both stores share the
+    * label-centroid probe by construction, so the only degree of
+    * freedom between rows is the code. Output per quantizer:
+    * bytes/vector, query count, top-3 hits against exact, recall ppm —
+    * with the exact row itself as the 1e6 anchor. Expected (and
+    * oracle-pinned) ordering: sq8 ≥ pq — 64 B/vector buys measurably
+    * more recall than 8 B, which is the whole reason both tiers exist.
+    *
+    * Scale shape: three bounded-heap top-3 passes over the same probed
+    * cell gathers (PQ codes, SQ codes, full vectors), one broadcast of
+    * the 3-rows-per-query sets for the hit join — cost tracks s19+s24
+    * serves, no new shuffle class. */
+  def s25_quantizer_recall(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KeyAlgebra.ldiv
+    def l2(x: Column, y: Column): Column = graft.plans.L2Distance(x, y)
+    def litArr(a: Seq[Double]): Column = array(a.map(lit): _*)
+    val (pqTbl, cents, cbFlat) = pqStore(s, dir)
+    val (sqTbl, _, mins, scales) = sqStore(s, dir)
+    val qs = emb(s, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("a").as("qa"))
+    val probeCells = slice(array_sort(array(cents.map { case (l, c) =>
+      struct(l2(col("qa"), litArr(c)).as("d"), lit(l).as("c"),
+        litArr(c).as("cent")) }: _*)), 1, 2)
+    val probes = qs.withColumn("pc", explode(probeCells))
+      .select(col("query_id"), col("qa"),
+        col("pc.c").as("probe_label"),
+        graft.plans.PQLut(zip_with(col("qa"), col("pc.cent"), _ - _),
+          cbFlat).as("qlut"))
+    val probed = probes.select("probe_label").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by the cell count
+    def top3(cand: DataFrame, ord: Column): DataFrame =
+      graft.plans.TopKPerKey(cand.withColumn("neg", negate(ord)),
+          Seq("query_id"), "neg", "vec_id", 3)
+        .select("query_id", "vec_id")
+    val pqCand = s.table(pqTbl).filter(col("label").isin(probed.toSeq: _*))
+      .join(broadcast(probes), col("label") === col("probe_label"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val exact3 = top3(pqCand, l2(col("qa"), col("a")))
+    val pq3 = top3(pqCand, graft.plans.PQAdc(col("qlut"), col("codes")))
+    val sqCand = s.table(sqTbl).filter(col("label").isin(probed.toSeq: _*))
+      .join(broadcast(probes.drop("qlut")),
+        col("label") === col("probe_label"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val sq3 = top3(sqCand,
+      graft.plans.Sq8Adc(col("qa"), col("sq"), mins, scales))
+    val nq = qs.count()
+    def row(approx: DataFrame, name: String, bytes: Long): DataFrame =
+      approx.join(exact3, Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("quantizer"), lit(bytes).as("bytes_per_vec"),
+          lit(nq).as("n_queries"), col("hits"),
+          ldiv(col("hits") * 1000000L, lit(nq * 3L)).as("recall_ppm"))
+    row(exact3, "exact", 512L)
+      .unionByName(row(pq3, "pq8x16", 8L))
+      .unionByName(row(sq3, "sq8", 64L))
+      .orderBy("quantizer")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s25_quantizer_recall" -> (s25_quantizer_recall _),
     "s24_sq8_persisted" -> (s24_sq8_persisted _),
     "s19_pq_persisted" -> (s19_pq_persisted _),
     "s20_ann_index_merge" -> (s20_ann_index_merge _),
@@ -1805,6 +1881,105 @@ object SimilarityQueries {
     // (adc, vec_id), exact l2 rerank on the stored full vectors, top-5
     // by (d2, vec_id); both distances shipped so the quantized ordering
     // AND the reranked truth hash-check
+    "s25_quantizer_recall" -> """
+      WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
+      cent AS (SELECT label AS c_label,
+          list(s ORDER BY i) AS centroid FROM (
+          SELECT label, i,
+            sum(CAST(floor(a[i] * 1e9) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1e9 AS s
+          FROM e, range(1, 65) t(i) GROUP BY label, i)
+        GROUP BY label),
+      qs AS (SELECT vec_id AS query_id, a AS qa FROM e WHERE vec_id % 50 = 0),
+      probes AS (SELECT query_id, qa, c_label AS probe_label, centroid FROM (
+          SELECT q.query_id, q.qa, c.c_label, c.centroid,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_reduce(list_transform(range(1, 65),
+                i -> (q.qa[i] - c.centroid[i]) * (q.qa[i] - c.centroid[i])),
+                (p, q2) -> p + q2), c.c_label) AS crk
+          FROM qs q, cent c) WHERE crk <= 2),
+      cand AS (SELECT p.query_id, p.qa, v.vec_id, v.a
+        FROM probes p JOIN e v
+          ON v.label = p.probe_label AND v.vec_id <> p.query_id),
+      ex3 AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+            ORDER BY list_reduce(list_transform(range(1, 65),
+              i -> (qa[i] - a[i]) * (qa[i] - a[i])), (x, y) -> x + y),
+              vec_id) AS rk
+          FROM cand) WHERE rk <= 3),
+      res AS (SELECT e.vec_id, e.label,
+          list_transform(range(1, 65), i -> e.a[i] - c.centroid[i]) AS r
+        FROM e JOIN cent c ON e.label = c.c_label),
+      cb AS (SELECT row_number() OVER (ORDER BY vec_id) AS c1, r AS a
+        FROM (SELECT vec_id, r FROM res WHERE vec_id % 31 = 1
+          ORDER BY vec_id LIMIT 16)),
+      ms AS (SELECT unnest(range(0, 8)) AS m),
+      dist AS (SELECT res.vec_id, ms.m, cb.c1,
+          list_reduce(list_transform(range(1, 9),
+            i -> (res.r[ms.m*8+i] - cb.a[ms.m*8+i])
+               * (res.r[ms.m*8+i] - cb.a[ms.m*8+i])), (p, q) -> p + q) AS d
+        FROM res CROSS JOIN cb CROSS JOIN ms),
+      codes AS (SELECT vec_id, m, c1 FROM (
+          SELECT vec_id, m, c1,
+            row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c1) AS rn
+          FROM dist) WHERE rn = 1),
+      qres AS (SELECT query_id, probe_label,
+          list_transform(range(1, 65), i -> qa[i] - centroid[i]) AS qr
+        FROM probes),
+      terms AS (SELECT q.query_id, dv.vec_id, co.m,
+          list_reduce(list_transform(range(1, 9),
+            i -> (q.qr[co.m*8+i] - cb.a[co.m*8+i])
+               * (q.qr[co.m*8+i] - cb.a[co.m*8+i])), (p2, q2) -> p2 + q2) AS t
+        FROM qres q
+        JOIN res dv ON dv.label = q.probe_label AND dv.vec_id <> q.query_id
+        JOIN codes co ON co.vec_id = dv.vec_id
+        JOIN cb ON cb.c1 = co.c1),
+      adcpq AS (SELECT query_id, vec_id,
+          list_reduce(list(t ORDER BY m), (x, y) -> x + y) AS adc
+        FROM terms GROUP BY 1, 2),
+      pq3 AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc, vec_id) AS rk FROM adcpq) WHERE rk <= 3),
+      mm AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+        FROM (SELECT i, min(a[i]) AS mn, max(a[i]) AS mx
+          FROM e, range(1, 65) t(i) GROUP BY i)),
+      scodes AS (SELECT vec_id, label,
+          list_transform(range(1, 65), i ->
+            CASE WHEN (mm.maxs[i] - mm.mins[i]) <= 0 THEN 0.0
+              ELSE least(greatest(floor((a[i] - mm.mins[i])
+                / (mm.maxs[i] - mm.mins[i]) * 255.0), 0.0), 255.0) END) AS q
+        FROM e, mm),
+      adcsq AS (SELECT p.query_id, v.vec_id,
+          list_reduce(list_transform(range(1, 65), i ->
+            (p.qa[i] - (mm.mins[i] + v.q[i] * (mm.maxs[i] - mm.mins[i]) / 255.0))
+            * (p.qa[i] - (mm.mins[i] + v.q[i] * (mm.maxs[i] - mm.mins[i]) / 255.0))),
+            (x, y) -> x + y) AS adc
+        FROM probes p
+        JOIN scodes v ON v.label = p.probe_label AND v.vec_id <> p.query_id, mm),
+      sq3 AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc, vec_id) AS rk FROM adcsq) WHERE rk <= 3),
+      nq AS (SELECT count(*) AS n FROM qs)
+      SELECT * FROM (
+        SELECT 'exact' AS quantizer, 512::BIGINT AS bytes_per_vec,
+          nq.n::BIGINT AS n_queries,
+          (SELECT count(*) FROM ex3)::BIGINT AS hits,
+          ((SELECT count(*) FROM ex3) * 1000000 // (nq.n * 3))::BIGINT
+            AS recall_ppm
+        FROM nq
+        UNION ALL
+        SELECT 'pq8x16', 8::BIGINT, nq.n::BIGINT,
+          (SELECT count(*) FROM pq3 JOIN ex3 USING (query_id, vec_id))::BIGINT,
+          ((SELECT count(*) FROM pq3 JOIN ex3 USING (query_id, vec_id))
+            * 1000000 // (nq.n * 3))::BIGINT
+        FROM nq
+        UNION ALL
+        SELECT 'sq8', 64::BIGINT, nq.n::BIGINT,
+          (SELECT count(*) FROM sq3 JOIN ex3 USING (query_id, vec_id))::BIGINT,
+          ((SELECT count(*) FROM sq3 JOIN ex3 USING (query_id, vec_id))
+            * 1000000 // (nq.n * 3))::BIGINT
+        FROM nq)
+      ORDER BY quantizer""",
     "s24_sq8_persisted" -> """
       WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS a FROM embeddings),
