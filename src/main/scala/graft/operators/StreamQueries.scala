@@ -743,7 +743,10 @@ object StreamQueries {
     val q = agg.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("q89_stream_out").start()
     try {
-      in.addData((batch1 ++ batch1).toIndexedSeq) // in-batch double delivery
+      // in-batch duplicates: the tail hour redelivered inside batch 1
+      // (doubling the WHOLE batch would only scale harness volume, not
+      // exercise anything the tail does not)
+      in.addData((batch1 ++ redeliver).toIndexedSeq)
       q.processAllAvailable()
       in.addData((rows.drop(mid) ++ redeliver :+
         (-1L, sentinelNs, 0.0)).toIndexedSeq) // cross-batch + sentinel
