@@ -89,7 +89,8 @@ object ExplainDump {
       "qd10_dialect_expand", "s23_ann_generation_rebuild",
       "s24_sq8_persisted", "q86_manifest_two_level",
       "q87_log_checkpointing", "m41_tiff_compressed",
-      "c23_calibration_error")
+      "c23_calibration_error",
+      "m42_aiff_features", "q88_branch_merge", "s25_quantizer_recall")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append("Things to look for: `PushedFilters`/`ReadSchema` on scans, ")
