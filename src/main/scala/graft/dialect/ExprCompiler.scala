@@ -171,7 +171,11 @@ object ExprCompiler {
     def c(i: Int): Column = go(args(i)).num
     def b(c0: Column): CExpr = CExpr(c0, isBool = true)
     def n(c0: Column): CExpr = CExpr(c0, isBool = false)
-    name match {
+    // arity slips (args(i) past the end) must surface as the dialect's
+    // descriptive IllegalArgumentException, not a raw IndexOutOfBounds
+    // on the user-facing surface; nested calls carry their own name
+    // because each fn() invocation wraps its own arm
+    try name match {
       // ---- key algebra (oph_query_expression_functions.c:30-200) ----
       case "oph_id" => n(KA.oph_id(c(0), c(1)))
       case "oph_id2" => n(KA.oph_id2(c(0), c(1), c(2)))
@@ -340,6 +344,11 @@ object ExprCompiler {
           p => p.getField("v"))))
       case other =>
         throw new IllegalArgumentException(s"unknown dialect function: $other")
+    } catch {
+      case _: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException(
+          s"$name: wrong number of arguments (got ${args.size} after " +
+            "type hints)")
     }
   }
 

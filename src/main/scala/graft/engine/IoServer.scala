@@ -471,13 +471,16 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
           val base = afterWhere.select(
             (afterWhere("id_dim").as("__oid") +: others) :+ inner.as("__arr"): _*)
           val otherNames = base.columns.filter(n => n != "__oid" && n != "__arr").toSeq
+          // generator outputs take RESERVED dunder names: a user field
+          // aliased 'pos' or 'col' must not collide with posexplode's
+          // defaults (ambiguous-reference errors instead of results)
           val exploded = base.select(
             (col("__oid") +: otherNames.map(n => col(s"`$n`"))) :+
-              posexplode(col("__arr")): _*)
-            .withColumnRenamed("col", exName)
+              posexplode(col("__arr")).as(Seq("__pos", "__exval")): _*)
+            .withColumnRenamed("__exval", exName)
           SequentialId.withSequentialId(
-              exploded, "id_dim", Seq(col("__oid"), col("pos")))
-            .drop("__oid", "pos")
+              exploded, "id_dim", Seq(col("__oid"), col("__pos")))
+            .drop("__oid", "__pos")
             .select(outNames.map(n =>
               if (n.contains('.')) col(s"`$n`") else col(n)): _*)
         case None =>

@@ -3183,12 +3183,16 @@ object MultimodalQueries {
          FROM t)
        SELECT doc_id, codec, rate::BIGINT AS sample_rate,
          n::BIGINT AS n_samples,
-         coalesce(list_reduce(list_transform(range(1, n),
-           i -> CASE WHEN (sl[i::INT] < 0) <> (sl[i::INT + 1] < 0)
-                THEN 1 ELSE 0 END), (x, y) -> x + y), 0)::BIGINT AS zcr,
-         list_reduce(list_transform(sl, v -> v * v), (x, y) -> x + y)::BIGINT
-           AS energy,
-         list_max(list_transform(sl, v -> abs(v)))::BIGINT AS peak
+         (CASE WHEN n < 2 THEN 0 ELSE
+           coalesce(list_reduce(list_transform(range(1, n),
+             i -> CASE WHEN (sl[i::INT] < 0) <> (sl[i::INT + 1] < 0)
+                  THEN 1 ELSE 0 END), (x, y) -> x + y), 0) END)::BIGINT
+           AS zcr,
+         (CASE WHEN n = 0 THEN 0 ELSE
+           list_reduce(list_transform(sl, v -> v * v), (x, y) -> x + y)
+           END)::BIGINT AS energy,
+         (CASE WHEN n = 0 THEN 0 ELSE
+           list_max(list_transform(sl, v -> abs(v))) END)::BIGINT AS peak
        FROM s ORDER BY doc_id""",
     "m41_tiff_compressed" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS len,

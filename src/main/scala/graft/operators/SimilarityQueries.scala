@@ -927,6 +927,16 @@ object SimilarityQueries {
     slice(array_sort(array(cents.map { case (l, c) =>
       struct(l2n(v, litArr(c)).as("d"), lit(l).as("c")) }: _*)), 1, 2)
 
+  /** Top-2 probe cells CARRYING each cell's centroid — the variant the
+    * PQ paths need (the query residual derives from the probed cell).
+    * Shared by s19 and s25 so both probe the IDENTICAL cells by
+    * construction. */
+  private def probeCells2WithCent(cents: Seq[(Int, Seq[Double])],
+      v: Column): Column =
+    slice(array_sort(array(cents.map { case (l, c) =>
+      struct(l2n(v, litArr(c)).as("d"), lit(l).as("c"),
+        litArr(c).as("cent")) }: _*)), 1, 2)
+
   /** The MEMOIZED generation-1 IVF build shared by s18 (delta-aware
     * serve) and s20 (merge): frozen fixed-point centroids over the
     * indexed subset, nearest-cell assignment, cell-bucketed/sorted
@@ -1392,10 +1402,8 @@ object SimilarityQueries {
       .select(col("vec_id").as("query_id"), col("a").as("qa"))
     // nprobe=2 cells per query; the sort struct carries the centroid so
     // the query residual (and its LUT) derives from the probed cell
-    val probeCells = slice(array_sort(array(cents.map { case (l, c) =>
-      struct(l2(col("qa"), litArr(c)).as("d"), lit(l).as("c"),
-        litArr(c).as("cent")) }: _*)), 1, 2)
-    val probes = qs.withColumn("pc", explode(probeCells))
+    val probes = qs
+      .withColumn("pc", explode(probeCells2WithCent(cents, col("qa"))))
       .select(col("query_id"), col("qa"),
         col("pc.c").as("probe_label"),
         graft.plans.PQLut(zip_with(col("qa"), col("pc.cent"), _ - _),
@@ -1539,10 +1547,8 @@ object SimilarityQueries {
     val (sqTbl, _, mins, scales) = sqStore(s, dir)
     val qs = emb(s, dir).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("a").as("qa"))
-    val probeCells = slice(array_sort(array(cents.map { case (l, c) =>
-      struct(l2(col("qa"), litArr(c)).as("d"), lit(l).as("c"),
-        litArr(c).as("cent")) }: _*)), 1, 2)
-    val probes = qs.withColumn("pc", explode(probeCells))
+    val probes = qs
+      .withColumn("pc", explode(probeCells2WithCent(cents, col("qa"))))
       .select(col("query_id"), col("qa"),
         col("pc.c").as("probe_label"),
         graft.plans.PQLut(zip_with(col("qa"), col("pc.cent"), _ - _),

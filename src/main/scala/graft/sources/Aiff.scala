@@ -109,7 +109,9 @@ object Aiff {
     while (pos + 8 <= bytes.length) {
       val cid = id(pos)
       val sz = u32(pos + 4)
-      require(sz >= 0 && pos + 8 + sz <= bytes.length,
+      // Long arithmetic: a size near Int.MaxValue would wrap `pos+8+sz`
+      // negative and sneak past an Int-typed bound (the Jpeg IFD lesson)
+      require(sz >= 0 && pos.toLong + 8 + sz <= bytes.length,
         s"chunk $cid declares $sz bytes past the file end")
       val body = pos + 8
       cid match {
@@ -143,9 +145,13 @@ object Aiff {
     require(channels > 0 && frames >= 0, s"COMM: $channels ch, $frames frames")
     val (dAt, dLen) = data.getOrElse(
       throw new IllegalArgumentException("AIFF carries no SSND chunk"))
-    val n = frames * channels
-    require(n * 2 <= dLen,
-      s"COMM declares $n samples but SSND holds ${dLen / 2}")
+    // Long arithmetic: hostile COMM counts (frames·channels near 2^31)
+    // would wrap `n * 2` and bypass the bound, then hit a raw negative-
+    // size or multi-GiB allocation below
+    val nL = frames.toLong * channels
+    require(nL * 2 <= dLen,
+      s"COMM declares $nL samples but SSND holds ${dLen / 2}")
+    val n = nL.toInt
     val rateInt = math.round(rate).toInt
     require(rateInt > 0, s"implausible sample rate $rate")
     val samples = new Array[Short](n)

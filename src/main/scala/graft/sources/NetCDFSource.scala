@@ -216,10 +216,14 @@ final class NetCDFScan(opts: Map[String, String])
             (ref.explicit until ref.starts.size).map(k => ref.extent(ref.fileOfLogical(k))),
           s"multi-file: ${fs.path} disagrees with ${ref.path} on " +
             "non-record dimensions")
-        val k = NcReader.kindOf(fs.path, fs.varName)
-        require(k == refKind,
-          s"multi-file: ${fs.path} stores ${fs.varName} as $k but " +
-            s"${ref.path} stores $refKind — element types must agree")
+        // (one extra header open per NON-reference file; capturing the
+        // kind during spec()'s own header pass would remove it entirely)
+        if (fs.path != ref.path) {
+          val k = NcReader.kindOf(fs.path, fs.varName)
+          require(k == refKind,
+            s"multi-file: ${fs.path} stores ${fs.varName} as $k but " +
+              s"${ref.path} stores $refKind — element types must agree")
+        }
       }
       specs
     }

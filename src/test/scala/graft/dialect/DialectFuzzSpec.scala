@@ -69,14 +69,25 @@ class DialectFuzzSpec extends AnyFunSuite {
         case _: IllegalArgumentException => None
       }
       ast.foreach { a =>
+        // contract: IllegalArgumentException ONLY — an arity slip must
+        // surface as the compiler's descriptive wrong-number-of-args
+        // error, never a raw IndexOutOfBounds
         try { ExprCompiler.compile(a, col(_)); compiled += 1 }
-        catch {
-          case _: IllegalArgumentException =>
-          case _: IndexOutOfBoundsException => // arity slip on a fuzz call
-        }
+        catch { case _: IllegalArgumentException => }
       }
     }
     assert(compiled > 0, "the fuzz alphabet should produce some valid exprs")
+  }
+
+  test("wrong-arity primitive calls fail with the descriptive arity message") {
+    for (bad <- Seq("oph_predicate2('oph_double',m)", "oph_reduce()",
+      "oph_id(x)", "oph_gsl_histogram(m,4)")) {
+      val e = intercept[IllegalArgumentException] {
+        ExprCompiler.compile(ExprParser.parse(bad), col(_))
+      }
+      assert(e.getMessage.contains("wrong number of arguments"),
+        s"$bad: ${e.getMessage}")
+    }
   }
 
   test("query parser: random key=value soup never hangs or escapes") {
