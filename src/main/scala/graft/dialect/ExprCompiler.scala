@@ -168,14 +168,19 @@ object ExprCompiler {
     val hints = rawArgs.takeWhile(isTypeHint)
       .collect { case Str(s) => s.toLowerCase }
     val args = dropTypeHints(rawArgs)
-    def c(i: Int): Column = go(args(i)).num
+    // bounds-checked positional access: an arity slip surfaces as the
+    // dialect's descriptive IllegalArgumentException naming THIS call,
+    // never a raw IndexOutOfBounds — and builder-internal index bugs
+    // stay distinguishable (no blanket catch)
+    def arg(i: Int): Ast =
+      if (i < args.size) args(i)
+      else throw new IllegalArgumentException(
+        s"$name: wrong number of arguments (got ${args.size} after " +
+          "type hints)")
+    def c(i: Int): Column = go(arg(i)).num
     def b(c0: Column): CExpr = CExpr(c0, isBool = true)
     def n(c0: Column): CExpr = CExpr(c0, isBool = false)
-    // arity slips (args(i) past the end) must surface as the dialect's
-    // descriptive IllegalArgumentException, not a raw IndexOutOfBounds
-    // on the user-facing surface; nested calls carry their own name
-    // because each fn() invocation wraps its own arm
-    try name match {
+    name match {
       // ---- key algebra (oph_query_expression_functions.c:30-200) ----
       case "oph_id" => n(KA.oph_id(c(0), c(1)))
       case "oph_id2" => n(KA.oph_id2(c(0), c(1), c(2)))
@@ -183,7 +188,7 @@ object ExprCompiler {
       case "oph_id_to_index" =>
         n(KA.oph_id_to_index(c(0), args.tail.map(litNum(_).toLong): _*))
       case "oph_id3" =>
-        n(KA.oph_id3(c(0), numList(args(1)).map(_.toLong), litNum(args(2)).toLong))
+        n(KA.oph_id3(c(0), numList(arg(1)).map(_.toLong), litNum(arg(2)).toLong))
       case "oph_is_in_subset" | "oph_id_of_subset" =>
         b(KA.oph_is_in_subset(c(0), c(1), c(2), c(3)))
       // ---- elementwise / scalar ----
@@ -199,62 +204,62 @@ object ExprCompiler {
       case "oph_max_array" => n(AP.oph_max_array(c(0), c(1)))
       case "oph_min_array" => n(AP.oph_min_array(c(0), c(1)))
       case "oph_operation_array" | "oph_operator_array" =>
-        n(AP.oph_operation_array(c(0), c(1), opName(args(2))))
-      case "oph_math" => n(AP.oph_math(c(0), litStr(args(1))))
+        n(AP.oph_operation_array(c(0), c(1), opName(arg(2))))
+      case "oph_math" => n(AP.oph_math(c(0), litStr(arg(1))))
       // ---- in-array reductions ----
       case "oph_count_array" => n(AP.oph_count_array(c(0)))
       case "oph_size_array" => n(AP.oph_size_array(c(0)))
       case "oph_find" =>
         n(AP.oph_find(c(0), c(1), if (args.size > 2) c(2) else lit(0.0)))
       case "oph_reduce" =>
-        n(AP.oph_reduce(c(0), opName(args(1)),
+        n(AP.oph_reduce(c(0), opName(arg(1)),
           if (args.size > 2) c(2) else lit(Int.MaxValue)))
-      case "oph_reduce2" => n(AP.oph_reduce2(c(0), opName(args(1)), c(2)))
+      case "oph_reduce2" => n(AP.oph_reduce2(c(0), opName(arg(1)), c(2)))
       case "oph_reduce3" =>
-        n(AP.oph_reduce3(c(0), opName(args(1)),
-          numList(args(2)).map(_.toInt), litInt(args(3))))
+        n(AP.oph_reduce3(c(0), opName(arg(1)),
+          numList(arg(2)).map(_.toInt), litInt(arg(3))))
       case "oph_get_subarray3" =>
-        n(AP.oph_get_subarray3(c(0), numList(args(1)).map(_.toInt),
-          litStr(args(2)).split(';').toSeq))
+        n(AP.oph_get_subarray3(c(0), numList(arg(1)).map(_.toInt),
+          litStr(arg(2)).split(';').toSeq))
       // ---- subset / reshape ----
       case "oph_get_subarray" | "oph_sub_array" =>
         n(AP.oph_get_subarray(c(0), c(1), c(2)))
-      case "oph_get_subarray2" => n(AP.oph_get_subarray2(c(0), litStr(args(1))))
+      case "oph_get_subarray2" => n(AP.oph_get_subarray2(c(0), litStr(arg(1))))
       case "oph_concat" | "oph_append" => n(concat(args.map(a => go(a).num): _*))
       case "oph_concat2" => n(AP.oph_concat2(c(0), c(1)))
-      case "oph_extend" => n(AP.oph_extend(c(0), litInt(args(1))))
+      case "oph_extend" => n(AP.oph_extend(c(0), litInt(arg(1))))
       case "oph_interlace" => n(AP.oph_interlace(args.map(a => go(a).num): _*))
-      case "oph_interlace2" => n(AP.oph_interlace2(c(0), c(1), litInt(args(2))))
+      case "oph_interlace2" => n(AP.oph_interlace2(c(0), c(1), litInt(arg(2))))
       case "oph_reverse" => n(AP.oph_reverse(c(0)))
       case "oph_rotate" => n(AP.oph_rotate(c(0), c(1)))
       case "oph_shift" =>
-        n(AP.oph_shift(c(0), litInt(args(1)),
-          if (args.size > 2) litNum(args(2)) else Double.NaN))
-      case "oph_padding" => n(AP.oph_padding(c(0), litInt(args(1)), litNum(args(2))))
+        n(AP.oph_shift(c(0), litInt(arg(1)),
+          if (args.size > 2) litNum(arg(2)) else Double.NaN))
+      case "oph_padding" => n(AP.oph_padding(c(0), litInt(arg(1)), litNum(arg(2))))
       case "oph_replace" =>
         n(AP.oph_replace(c(0), c(1), c(2), if (args.size > 3) c(3) else lit(0.0)))
       case "oph_sequence" => n(AP.oph_sequence(c(0), c(1), c(2)))
       case "oph_permute" =>
-        n(AP.oph_permute(c(0), numList(args(1)).map(_.toInt),
-          numList(args(2)).map(_.toInt)))
+        n(AP.oph_permute(c(0), numList(arg(1)).map(_.toInt),
+          numList(arg(2)).map(_.toInt)))
       case "oph_extract" =>
-        n(AP.oph_extract(c(0), numList(args(1)).map(_.toInt)))
+        n(AP.oph_extract(c(0), numList(arg(1)).map(_.toInt)))
       // ---- predicates ----
       case "oph_predicate" =>
-        val comp = litStr(args(2))
-        n(AP.oph_predicate(c(0), subLambda(args(1), resolve), comp,
-          subLambda(args(3), resolve), subLambda(args(4), resolve)))
+        val comp = litStr(arg(2))
+        n(AP.oph_predicate(c(0), subLambda(arg(1), resolve), comp,
+          subLambda(arg(3), resolve), subLambda(arg(4), resolve)))
       case "oph_predicate2" =>
         // oph_predicate2:277 — like oph_predicate but the expressions see
         // BOTH arrays: x = element of measure 1, y = aligned element of
         // measure 2 (dialect form: m1, m2, expr, comparator, then, else)
-        val comp = litStr(args(3))
-        n(AP.oph_predicate2(c(0), c(1), subLambda2(args(2), resolve), comp,
-          subLambda2(args(4), resolve), subLambda2(args(5), resolve)))
+        val comp = litStr(arg(3))
+        n(AP.oph_predicate2(c(0), c(1), subLambda2(arg(2), resolve), comp,
+          subLambda2(arg(4), resolve), subLambda2(arg(5), resolve)))
       case "oph_filter" =>
         // oph_filter:153 — keep elements where the condition (an
         // expression in x) holds, i.e. evaluates non-zero
-        n(AP.oph_filter(c(0), x => subLambda(args(1), resolve)(x) =!= 0.0))
+        n(AP.oph_filter(c(0), x => subLambda(arg(1), resolve)(x) =!= 0.0))
       case "oph_expand" =>
         throw new IllegalArgumentException(
           "oph_expand is generator-valued (one row per array element): " +
@@ -270,10 +275,10 @@ object ExprCompiler {
       // ---- type & codec ----
       case "oph_cast" =>
         n(if (args.size >= 4)
-          AP.oph_cast(c(0), litStr(args(1)), Some(litNum(args(2))), Some(litNum(args(3))))
-        else AP.oph_cast(c(0), litStr(args(1))))
+          AP.oph_cast(c(0), litStr(arg(1)), Some(litNum(arg(2))), Some(litNum(arg(3))))
+        else AP.oph_cast(c(0), litStr(arg(1))))
       case "oph_operator" => // scalar op between two single-value cells
-        n(AP.oph_operation_array(array(c(0)), array(c(1)), opName(args(2)))
+        n(AP.oph_operation_array(array(c(0)), array(c(1)), opName(arg(2)))
           .getItem(0))
       case "oph_convert_d" => n(AP.oph_convert_d(c(0)))
       case "oph_convert_l" => n(AP.oph_convert_l(c(0)))
@@ -291,21 +296,21 @@ object ExprCompiler {
       case "oph_gsl_sd" => n(Stats.oph_gsl_sd(c(0)))
       case "oph_gsl_stats" =>
         n(Stats.oph_gsl_stats(c(0),
-          if (args.size > 1) litStr(args(1)) else "111111111"))
-      case "oph_gsl_quantile" => n(Stats.oph_gsl_quantile(c(0), numList(args(1))))
+          if (args.size > 1) litStr(arg(1)) else "111111111"))
+      case "oph_gsl_quantile" => n(Stats.oph_gsl_quantile(c(0), numList(arg(1))))
       case "oph_gsl_boxplot" => n(Stats.oph_gsl_boxplot(c(0)))
       case "oph_gsl_histogram" =>
-        n(Stats.oph_gsl_histogram(c(0), litInt(args(1)), c(2), c(3)))
+        n(Stats.oph_gsl_histogram(c(0), litInt(arg(1)), c(2), c(3)))
       case "oph_gsl_sort" => n(Stats.oph_gsl_sort(c(0)))
       case "oph_gsl_correlation" => n(Stats.oph_gsl_correlation(c(0), c(1)))
       case "oph_gsl_fit_linear" => n(Stats.oph_gsl_fit_linear(c(0), c(1)))
       case "oph_gsl_fit_linear_coeff" => n(Stats.oph_gsl_fit_linear_coeff(c(0), c(1)))
-      case "oph_moving_avg" => n(Stats.oph_moving_avg(c(0), litInt(args(1))))
+      case "oph_moving_avg" => n(Stats.oph_moving_avg(c(0), litInt(arg(1))))
       case "oph_accumulate" => n(Numeric.oph_accumulate(c(0)))
       case "oph_deaccumulate" => n(Stats.oph_deaccumulate(c(0)))
-      case "oph_quantize" => n(Stats.oph_quantize(c(0), numList(args(1))))
+      case "oph_quantize" => n(Stats.oph_quantize(c(0), numList(arg(1))))
       case "oph_normalize" =>
-        n(Stats.oph_normalize(c(0), if (args.size > 1) litStr(args(1)) else "z"))
+        n(Stats.oph_normalize(c(0), if (args.size > 1) litStr(arg(1)) else "z"))
       case "oph_gsl_complex_get_real" => n(Stats.oph_gsl_complex_get_real(c(0)))
       case "oph_gsl_complex_get_imag" => n(Stats.oph_gsl_complex_get_imag(c(0)))
       case "oph_gsl_complex_get_abs" => n(Stats.oph_gsl_complex_get_abs(c(0)))
@@ -316,12 +321,12 @@ object ExprCompiler {
       case "oph_gsl_ifft" => n(Numeric.oph_gsl_ifft(c(0)))
       case "oph_gsl_dwt" => n(Numeric.oph_gsl_dwt(c(0)))
       case "oph_gsl_idwt" => n(Numeric.oph_gsl_idwt(c(0)))
-      case "oph_gsl_spline" => n(Numeric.oph_gsl_spline(c(0), numList(args(1))))
+      case "oph_gsl_spline" => n(Numeric.oph_gsl_spline(c(0), numList(arg(1))))
       case "oph_ccluster_kcluster" =>
-        n(Numeric.oph_ccluster_kcluster(c(0), litInt(args(1))))
+        n(Numeric.oph_ccluster_kcluster(c(0), litInt(arg(1))))
       // ---- row-crossing aggregates (engine routes through groupBy) ----
       case "oph_aggregate_operator" =>
-        val op = opName(args(1))
+        val op = opName(arg(1))
         val agg = op match {
           case "sum" => graft.operators.ArrayAggregates.ewSumDouble(c(0))
           case "max" => graft.operators.ArrayAggregates.ewMaxDouble(c(0))
@@ -344,11 +349,6 @@ object ExprCompiler {
           p => p.getField("v"))))
       case other =>
         throw new IllegalArgumentException(s"unknown dialect function: $other")
-    } catch {
-      case _: IndexOutOfBoundsException =>
-        throw new IllegalArgumentException(
-          s"$name: wrong number of arguments (got ${args.size} after " +
-            "type hints)")
     }
   }
 

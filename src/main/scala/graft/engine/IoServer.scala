@@ -458,6 +458,14 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
             "exactly one oph_expand field per select")
           require(q.get("sequential_id").isEmpty,
             "oph_expand already re-keys id_dim; sequential_id is redundant")
+          // the route's internals use __-prefixed columns (__oid, __arr,
+          // __pos, __exval): reject user aliases in that namespace
+          // instead of relocating the collision into an internal error
+          outNames.filter(_.startsWith("__")).foreach { nm =>
+            throw new IllegalArgumentException(
+              s"field alias '$nm' collides with the expand route's " +
+                "reserved __-prefixed namespace")
+          }
           val exIdx = expandIdxs.head
           val exName = outNames(exIdx)
           val inner = ExprCompiler.compile(

@@ -3184,9 +3184,9 @@ object MultimodalQueries {
        SELECT doc_id, codec, rate::BIGINT AS sample_rate,
          n::BIGINT AS n_samples,
          (CASE WHEN n < 2 THEN 0 ELSE
-           coalesce(list_reduce(list_transform(range(1, n),
+           list_reduce(list_transform(range(1, n),
              i -> CASE WHEN (sl[i::INT] < 0) <> (sl[i::INT + 1] < 0)
-                  THEN 1 ELSE 0 END), (x, y) -> x + y), 0) END)::BIGINT
+                  THEN 1 ELSE 0 END), (x, y) -> x + y) END)::BIGINT
            AS zcr,
          (CASE WHEN n = 0 THEN 0 ELSE
            list_reduce(list_transform(sl, v -> v * v), (x, y) -> x + y)

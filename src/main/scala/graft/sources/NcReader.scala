@@ -55,13 +55,6 @@ object NcReader {
     try r.shape(varName) finally r.close()
   }
 
-  /** On-disk element-type lookup with open/close in one call
-    * (planning-time use, header read only). */
-  def kindOf(path: String, varName: String): String = {
-    val r = open(path)
-    try r.elemKind(varName) finally r.close()
-  }
-
   private final class H5Adapter(path: String) extends NcReader {
     private val r = new HDF5.Hdf5Reader(path)
     override def shape(varName: String): Seq[Int] = r.shape(varName)

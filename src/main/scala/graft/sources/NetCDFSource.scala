@@ -74,7 +74,8 @@ object NetCDFSource {
   final case class Spec(path: String, varName: String, explicit: Int,
                         starts: Seq[Int], ends: Seq[Int], keyStart: Long,
                         partitions: Int, elemType: String,
-                        dimIndex: Seq[Int], cfUnpack: Boolean = false) {
+                        dimIndex: Seq[Int], cfUnpack: Boolean = false,
+                        onDiskKind: String = "?") {
     /** File dim sitting at logical position k. */
     def fileOfLogical(k: Int): Int = dimIndex.indexOf(k)
     def extent(fileDim: Int): Int = ends(fileDim) - starts(fileDim) + 1
@@ -87,7 +88,12 @@ object NetCDFSource {
     val path = opts.getOrElse("path",
       throw new IllegalArgumentException("option 'path' required"))
     val varName = opts.getOrElse("var", "measure")
-    val shape = NcReader.shapeOf(path, varName) // CDF classic or NetCDF-4/HDF5
+    // one header open yields both shape and on-disk element type (the
+    // multi-file type-agreement check then needs no second open)
+    val (shape, onDiskKind) = {
+      val r = NcReader.open(path)
+      try (r.shape(varName), r.elemKind(varName)) finally r.close()
+    }
     val explicit = opts.get("explicit").map(_.toInt)
       .getOrElse(math.max(shape.size - 1, 0))
     def parseList(key: String, default: Int => Int): Seq[Int] =
@@ -119,7 +125,7 @@ object NetCDFSource {
       opts.getOrElse("key_start", "1").toLong,
       opts.getOrElse("partitions", "8").toInt,
       elemType,
-      dimIndex, cfUnpack)
+      dimIndex, cfUnpack, onDiskKind)
   }
 }
 
@@ -206,8 +212,8 @@ final class NetCDFScan(opts: Map[String, String])
       // construction); the ON-DISK variable type is per-file and must
       // also agree — a float file mixed into a double archive would
       // otherwise decode at the wrong precision under one declared
-      // schema. Header-only read, planning pass.
-      val refKind = NcReader.kindOf(ref.path, ref.varName)
+      // schema. Captured during spec()'s own header pass — no extra
+      // opens.
       specs.foreach { fs =>
         require(fs.explicit == ref.explicit &&
           fs.logicalExplicitSizes.drop(1) == ref.logicalExplicitSizes.drop(1) &&
@@ -216,14 +222,10 @@ final class NetCDFScan(opts: Map[String, String])
             (ref.explicit until ref.starts.size).map(k => ref.extent(ref.fileOfLogical(k))),
           s"multi-file: ${fs.path} disagrees with ${ref.path} on " +
             "non-record dimensions")
-        // (one extra header open per NON-reference file; capturing the
-        // kind during spec()'s own header pass would remove it entirely)
-        if (fs.path != ref.path) {
-          val k = NcReader.kindOf(fs.path, fs.varName)
-          require(k == refKind,
-            s"multi-file: ${fs.path} stores ${fs.varName} as $k but " +
-              s"${ref.path} stores $refKind — element types must agree")
-        }
+        require(fs.onDiskKind == ref.onDiskKind,
+          s"multi-file: ${fs.path} stores ${fs.varName} as " +
+            s"${fs.onDiskKind} but ${ref.path} stores ${ref.onDiskKind} " +
+            "— element types must agree")
       }
       specs
     }
