@@ -468,6 +468,17 @@ final class IoServer(val spark: SparkSession, maxResultRows: Int = 1000000,
           }
           val exIdx = expandIdxs.head
           val exName = outNames(exIdx)
+          // the route re-keys id_dim itself: an expand field aliased
+          // 'id_dim' would duplicate the column and surface as an opaque
+          // ambiguous-reference AnalysisException — reject descriptively,
+          // and likewise duplicate output aliases (same failure mode)
+          require(exName != "id_dim",
+            "expand field alias 'id_dim' collides with the re-keyed row id " +
+              "produced by oph_expand; choose another alias")
+          outNames.diff(outNames.distinct).distinct.foreach { nm =>
+            throw new IllegalArgumentException(
+              s"duplicate field alias '$nm' in an oph_expand select")
+          }
           val inner = ExprCompiler.compile(
             ExprCompiler.expandArg(fieldAsts(exIdx)).get,
             resolve(afterWhere), bind).num

@@ -1738,6 +1738,11 @@ object MultimodalQueries {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
+          // the encode must see one byte per char: getBytes("US-ASCII")
+          // silently folds non-ASCII to '?' (63) and would diverge — fail
+          // loud instead of producing a wrong-but-plausible feature row
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — sample bytes would diverge from code points")
           val bytes = text.getBytes("US-ASCII")
           val stereo = id % 2 == 1
           val n = if (stereo) bytes.length - (bytes.length % 2)

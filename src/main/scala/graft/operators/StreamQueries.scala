@@ -709,6 +709,12 @@ object StreamQueries {
     * operators (lastProgress.stateOperators), so a silent plan rewrite
     * to one store cannot pass.
     *
+    * Harness: like q30/q39, the stream is a REAL FileStreamSource over
+    * a landing directory — two ts-split executor-written parquet drops
+    * (the second carrying the first's tail hour again, plus a sentinel)
+    * — so the driver holds only scalar cut points (a 3-value aggregate),
+    * never event rows.
+    *
     * Scale shape: both state stores are bounded by the watermark
     * horizon (dedup: ids within delay; windows: open windows only);
     * state is partitioned by the engine across executors like any
@@ -717,19 +723,28 @@ object StreamQueries {
   def q89_stream_chained_stateful(s: SparkSession, dir: String): DataFrame =
     withMicroBatchParts(s) {
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = Tables.events(s, dir)
-      .select(col("event_id"), col("ts"), col("value"))
-      .orderBy("ts").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val mid = rows.length / 2
-    val batch1 = rows.take(mid)
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts").as("tns"), col("value"))
     val hourNs = 3600L * 1000000000L
-    val redeliver = batch1.filter(_._2 > batch1.last._2 - hourNs)
-    val sentinelNs = rows.last._2 + 4L * hourNs // past watermark + window
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Long, Double)]
-    val agg = in.toDF().toDF("event_id", "tns", "value")
+    val b = ev.agg(count(lit(1)).as("n"), min("tns").as("lo"),
+      max("tns").as("hi")).head()
+    require(b.getLong(0) >= 2,
+      s"q89 needs at least 2 events to form two drops, got ${b.getLong(0)}")
+    val (lo, hi) = (b.getLong(1), b.getLong(2))
+    val cut = lo + (hi - lo) / 2 // ts midpoint split (q39's cut idiom)
+    val batch1 = ev.filter(col("tns") <= cut)
+    val b1hi = batch1.agg(max("tns")).head().getLong(0)
+    // the tail hour of drop 1, redelivered both in-batch and cross-batch
+    // (doubling the WHOLE drop would only scale harness volume, not
+    // exercise anything the tail does not)
+    val redeliver = batch1.filter(col("tns") > b1hi - hourNs)
+    val sentinelNs = hi + 4L * hourNs // past watermark + window
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("tns", LongType),
+      StructField("value", DoubleType)))
+    withWatchDir("graft_q89_src") { watch =>
+    val agg = s.readStream.schema(schema).parquet(watch)
       .withColumn("ts",
         timestamp_micros(KeyAlgebra.ldiv(col("tns"), lit(1000L))))
       .withWatermark("ts", "1 hour")
@@ -742,28 +757,24 @@ object StreamQueries {
         col("n"), col("sum_value"))
     val q = agg.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("q89_stream_out").start()
-    try {
-      // in-batch duplicates: the tail hour redelivered inside batch 1
-      // (doubling the WHOLE batch would only scale harness volume, not
-      // exercise anything the tail does not)
-      in.addData((batch1 ++ redeliver).toIndexedSeq)
-      q.processAllAvailable()
-      in.addData((rows.drop(mid) ++ redeliver :+
-        (-1L, sentinelNs, 0.0)).toIndexedSeq) // cross-batch + sentinel
-      q.processAllAvailable()
-      val nStateful = Option(q.lastProgress)
-        .map(_.stateOperators.length).getOrElse(0)
-      require(nStateful == 2,
-        s"expected 2 chained stateful operators in one query, got $nStateful")
-    } finally q.stop()
+    val sentinel = Seq((-1L, sentinelNs, 0.0)).toDF("event_id", "tns", "value")
+    feedDrops(q, watch, Seq(
+      batch1.unionByName(redeliver), // in-batch duplicates
+      ev.filter(col("tns") > cut).unionByName(redeliver) // cross-batch
+        .unionByName(sentinel)))
+    val nStateful = Option(q.lastProgress)
+      .map(_.stateOperators.length).getOrElse(0)
+    require(nStateful == 2,
+      s"expected 2 chained stateful operators in one query, got $nStateful")
     val sentinelHour = sentinelNs / 3600000000000L * 3600L
     val closed = s.table("q89_stream_out")
       .filter(col("window_start") < sentinelHour)
     val result = closed.collect().toIndexedSeq
-    val schema = closed.schema
+    val outSchema = closed.schema
     s.catalog.dropTempView("q89_stream_out")
-    s.createDataFrame(s.sparkContext.parallelize(result, 1), schema)
+    s.createDataFrame(s.sparkContext.parallelize(result, 1), outSchema)
       .orderBy("window_start")
+    }
   }
 
   /** q39 — incremental materialized-view maintenance: a keyed aggregate

@@ -123,19 +123,24 @@ class DialectSpec extends SparkSpec {
     "oph_sum_array", "oph_sum_scalar", "oph_sum_scalar2", "oph_to_bin",
     "oph_uncompress", "oph_value_to_bin")
 
+  test("embedded primitive list matches the reference's own registry") {
+    // re-extract the list from the reference checkout so the embedded
+    // copy can never silently drift; on a checkout without the reference
+    // tree this CANCELS visibly (scalatest 'canceled', not a silent pass)
+    val refRoot = sys.env.getOrElse("GRAFT_REFERENCE_ROOT", "/root/reference")
+    val listFile = new java.io.File(refRoot, "etc/oph_primitives_list.in")
+    assume(listFile.isFile,
+      s"reference registry not found at $listFile — set GRAFT_REFERENCE_ROOT " +
+        "to the reference checkout to run the drift cross-check")
+    val extracted = scala.io.Source.fromFile(listFile).getLines()
+      .collect { case l if l.startsWith("[") => l.stripPrefix("[").stripSuffix("]") }
+      .toSeq
+    assert(extracted.sorted == referencePrimitives.sorted)
+  }
+
   test("all 88 reference primitive names resolve in the dialect") {
     import org.apache.spark.sql.functions.col
     assert(referencePrimitives.size == 88)
-    // when the reference tree is present, re-extract and cross-check the
-    // embedded list so it can never silently drift
-    val listFile = new java.io.File(
-      "/root/reference/etc/oph_primitives_list.in")
-    if (listFile.isFile) {
-      val extracted = scala.io.Source.fromFile(listFile).getLines()
-        .collect { case l if l.startsWith("[") => l.stripPrefix("[").stripSuffix("]") }
-        .toSeq
-      assert(extracted.sorted == referencePrimitives.sorted)
-    }
     for (name <- referencePrimitives) {
       assert(ExprCompiler.registeredFunctions.contains(name),
         s"$name missing from registeredFunctions")
@@ -201,5 +206,20 @@ class DialectSpec extends SparkSpec {
         "from=t;group=id_dim")
     }
     assert(e.getMessage.contains("oph_expand"))
+    // an expand field aliased 'id_dim' would collide with the re-keyed
+    // row id — descriptive rejection, not an ambiguous-reference error
+    val e2 = intercept[IllegalArgumentException] {
+      ses.execute("operation=select;" +
+        "field=oph_expand('oph_double','oph_double',measure);" +
+        "field_alias=id_dim;from=t")
+    }
+    assert(e2.getMessage.contains("id_dim"))
+    // duplicate output aliases share the failure mode — same treatment
+    val e3 = intercept[IllegalArgumentException] {
+      ses.execute("operation=select;" +
+        "field=measure|oph_expand('oph_double','oph_double',measure);" +
+        "field_alias=v|v;from=t")
+    }
+    assert(e3.getMessage.contains("duplicate field alias"))
   }
 }
