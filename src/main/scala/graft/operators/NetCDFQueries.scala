@@ -496,6 +496,123 @@ object NetCDFQueries {
       .orderBy("source")
   }
 
+  /** qn20 — WARC/1.0 crawl ingest with per-record quarantine: the
+    * corpus front door. The fixture is a landing directory of 8
+    * `.warc.gz` shards written EXECUTOR-side (one per partition, the
+    * qn13 landing discipline): each shard opens with a warcinfo record
+    * and carries a request + response member pair per document, every
+    * record its own gzip member (the Common Crawl convention that makes
+    * a 100 TB crawl splittable). Two deterministic corruption classes
+    * hit the RESPONSE member only: `doc_id % 34 == 0` truncates the
+    * gzip member mid-stream (the reader must resync on the next gzip
+    * magic — one bad record, not a dead shard tail), and
+    * `doc_id % 17 == 0 && % 34 != 0` declares a hostile 2^40
+    * Content-Length (rejected by the Long-widened bounds check before
+    * any allocation). The read walks members via [[graft.sources.Warc.walk]],
+    * filters `WARC-Type: response`, frames the HTML out of the HTTP
+    * payload, and books per `doc_id % 8` bucket: docs, good, quarantined
+    * (= docs − good, the doc-level accounting that stays deterministic
+    * even when a truncated member spawns extra resync rejections), and
+    * the summed HTML byte length.
+    *
+    * The oracle PREDICTS everything from the parquet alone: which docs
+    * quarantine is a pure doc_id function, and each page's byte length
+    * is [[graft.sources.Html.synthFixedLen]] + 3·len(str(id)) + the
+    * entity-escaped input lengths — so a reader that drops a good
+    * record, mis-frames a body, or survives a hostile length breaks the
+    * books. Reference anchor: the reference ingests only scientific
+    * formats (oph_io_server_nc.c:2716); crawl WARC is the equivalent
+    * front door for a text corpus.
+    *
+    * Scale shape: shard write and member walk are both scan-parallel
+    * per file (production bounds shards at ~1 GiB, the crawl norm);
+    * the only shuffle is the final 8-bucket aggregate. */
+  def qn20_warc_ingest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Html, Warc}
+    val landing = Files.createTempDirectory("graft_warc").toString
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    docs.repartition(8).as[(Long, String, String, String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.File(landing, f"shard_$pid%03d.warc.gz")
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f))
+        try {
+          out.write(Warc.gzipMember(Warc.encodeRecord("warcinfo",
+            Seq("WARC-Date" -> "2026-01-01T00:00:00Z",
+              "Content-Type" -> "application/warc-fields"),
+            "software: graft-warc/1.0\r\nformat: WARC File Format 1.0\r\n"
+              .getBytes("US-ASCII"))))
+          var n = 0L
+          it.foreach { case (id, lang, source, text) =>
+            // byte accounting requires one byte per char (the media-
+            // encoder rule): fail loud instead of diverging silently
+            require(text.forall(_ < 128) && source.forall(_ < 128) &&
+              lang.forall(_ < 128),
+              s"doc $id: non-ASCII char — page bytes would diverge from chars")
+            val uri = s"http://crawl.example/doc/$id"
+            val date = "2026-01-01T00:00:00Z"
+            out.write(Warc.gzipMember(Warc.encodeRecord("request",
+              Seq("WARC-Target-URI" -> uri, "WARC-Date" -> date,
+                "WARC-Record-ID" -> s"<urn:graft:doc:$id:request>",
+                "Content-Type" -> "application/http;msgtype=request"),
+              s"GET /doc/$id HTTP/1.1\r\nHost: crawl.example\r\n\r\n"
+                .getBytes("US-ASCII"))))
+            val html = Html.synth(id, lang, source, text).getBytes("US-ASCII")
+            val body = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+              s"charset=utf-8\r\nContent-Length: ${html.length}\r\n\r\n")
+              .getBytes("US-ASCII") ++ html
+            val hostileLen =
+              if (id % 17 == 0 && id % 34 != 0) Some(body.length + (1L << 40))
+              else None
+            val member = Warc.gzipMember(Warc.encodeRecord("response",
+              Seq("WARC-Target-URI" -> uri, "WARC-Date" -> date,
+                "WARC-Record-ID" -> s"<urn:graft:doc:$id:response>",
+                "Content-Type" -> "application/http;msgtype=response"),
+              body, hostileLen))
+            if (id % 34 == 0)
+              out.write(member, 0, math.max(12, member.length * 3 / 5))
+            else out.write(member)
+            n += 1
+          }
+          Iterator.single(n)
+        } finally out.close()
+      }.reduce(_ + _) // forces the landing write
+    val good = s.read.format("binaryFile").load(landing)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .mapPartitions { files =>
+        files.flatMap { bytes =>
+          Warc.walk(bytes).flatMap {
+            case Right(r) if r.warcType == "response" =>
+              val uri = r.targetUri
+              val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+              val body = r.body
+              // frame the HTML out of the HTTP response payload
+              var sep = -1; var i = 0
+              while (sep < 0 && i + 3 < body.length) {
+                if (body(i) == '\r' && body(i + 1) == '\n' &&
+                    body(i + 2) == '\r' && body(i + 3) == '\n') sep = i
+                i += 1
+              }
+              if (sep < 0) Iterator.empty
+              else Iterator.single((id, (body.length - sep - 4).toLong))
+            case _ => Iterator.empty // warcinfo/request records, quarantine
+          }
+        }
+      }.toDF("doc_id", "html_len")
+    docs.select(col("doc_id"))
+      .join(good, Seq("doc_id"), "left")
+      .groupBy(pmod(col("doc_id"), lit(8L)).cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("html_len").isNotNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("html_len").isNull, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(coalesce(col("html_len"), lit(0L))).as("html_bytes"))
+      .orderBy("shard")
+  }
+
   /** qn09 — CF-convention unpacking on import (`cf_unpack=yes`): a
     * packed file carrying `scale_factor`/`add_offset` variable
     * attributes imports as `raw*scale + offset`, next to an unpacked
@@ -901,9 +1018,33 @@ object NetCDFQueries {
     "qn15_export_dist_ea" -> (qn15_export_dist_ea _),
     "qn17_export_dist_filtered" -> (qn17_export_dist_filtered _),
     "qn13_jsonl_quarantine" -> (qn13_jsonl_quarantine _),
+    "qn20_warc_ingest" -> (qn20_warc_ingest _),
   )
 
   val oracles: Map[String, String] = Map(
+    // predicts the WARC walk's books from the parquet alone: quarantine
+    // membership is a pure doc_id function, and each good page's byte
+    // length is the synth template constant (interpolated from
+    // Html.synthFixedLen, the entLut embed idiom) + 3·len(str(id)) +
+    // the entity-escaped input lengths — replace & FIRST, exactly as
+    // Html.enc does, or escaping an escape double-counts
+    "qn20_warc_ingest" -> {
+      def encLen(c: String) =
+        s"length(replace(replace(replace(replace($c,'&','&amp;')," +
+          "'<','&lt;'),'>','&gt;'),'\"','&quot;'))"
+      s"""SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_good,
+         CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quarantined,
+         CAST(sum(CASE WHEN doc_id % 17 <> 0 THEN
+             ${graft.sources.Html.synthFixedLen}
+             + 3 * length(CAST(doc_id AS VARCHAR))
+             + ${encLen("text")} + ${encLen("source")} + ${encLen("lang")}
+           ELSE 0 END) AS BIGINT) AS html_bytes
+         FROM documents GROUP BY 1 ORDER BY shard"""
+    },
     // same 60×8 synthetic grid as qn05, read back through checksummed
     // chunks — the oracle only models the VALUES; the EDC verification
     // lives Spark-side (a corrupt chunk errors instead of mismatching)

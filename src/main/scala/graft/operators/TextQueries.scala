@@ -1042,6 +1042,45 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** t33 — HTML→text extraction features (the crawl→corpus step between
+    * qn20's WARC walk and every other t-family operator): each document
+    * is rendered into its deterministic synthetic page
+    * ([[graft.sources.Html.synth]] — title, style and script elements, a
+    * markup-bearing comment, entity-escaped body text) and run through
+    * the from-spec extractor ([[graft.sources.Html.extractText]]:
+    * comment/script/style dropped with content, tags become separators,
+    * entities decoded AFTER tag handling, whitespace collapsed). The
+    * features are the char/token counts plus head/tail slices of the
+    * extracted text, so the hash covers the extraction end-to-end.
+    *
+    * The oracle reconstructs the EXPECTED extracted text in SQL —
+    * `Doc {id} Document {id} {text} source "{source}" & lang {lang}`,
+    * whitespace-collapsed — an independent formulation: a broken entity
+    * decode, a comment leaking into text, or a script body surviving
+    * extraction all change the extracted string and break the hash.
+    * (The `&#68;ocument` heading pins numeric-entity decode; the `&amp;`
+    * and `&quot;` literals pin the named decode path.)
+    *
+    * Scale shape: pure per-row string work in one scan-parallel
+    * mapPartitions — no shuffle before the output sort; at 100 TB this
+    * runs at scan speed like the media decoders. */
+  def t33_html_extract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Html
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .as[(Long, String, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, lang, source, text) =>
+          val t = Html.extractText(Html.synth(id, lang, source, text))
+          val nTok = if (t.isEmpty) 0L else (t.count(_ == ' ') + 1).toLong
+          (id, t.length.toLong, nTok, t.take(64), t.takeRight(32))
+        }
+      }
+      .toDF("doc_id", "n_chars", "n_tokens", "head64", "tail32")
+      .orderBy("doc_id")
+  }
+
   /** t23 — corpus n-gram novelty: for every document, the share of its
     * DISTINCT token-5-grams whose first corpus occurrence (min doc_id
     * over all holders) is this document — the redundancy-curve signal
@@ -1435,6 +1474,7 @@ object TextQueries {
     "t07_quality_repetition" -> (t07_quality_repetition _),
     "t08_boilerplate_share" -> (t08_boilerplate_share _),
     "t15_perplexity_bucket" -> (t15_perplexity_bucket _),
+    "t33_html_extract" -> (t33_html_extract _),
   )
 
   /** t31 oracle: the Viterbi forward DP and its backtrack as recursive
@@ -1605,6 +1645,25 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the EXPECTED extracted text rebuilt in SQL (synth's entity
+    // roundtrip is the identity, tags become separators, whitespace
+    // collapses) — a leaked comment/script or a broken entity decode
+    // changes the string and breaks the hash
+    "t33_html_extract" ->
+      """WITH x AS (SELECT doc_id,
+           trim(regexp_replace(
+             'Doc ' || doc_id || ' Document ' || doc_id || ' ' || text ||
+               ' source "' || source || '" & lang ' || lang,
+             '[ \t\r\n]+', ' ', 'g')) AS t
+         FROM documents)
+         SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN t = '' THEN 0
+             ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS BIGINT)
+             AS n_tokens,
+           substr(t, 1, 64) AS head64,
+           CASE WHEN length(t) <= 32 THEN t
+             ELSE substr(t, length(t) - 31) END AS tail32
+         FROM x ORDER BY doc_id""",
     // independent relational formulation: row_number rank, min-rank per
     // token, decile via the same ⌊n·d/10⌋ cut list, cumulative window
     "t29_heaps_growth" ->
