@@ -9,6 +9,38 @@ import org.apache.spark.sql.SparkSession
   * (a bare count() would let Spark prune projections and skip the work).
   */
 object Bench {
+  /** Pull (sf, per-query seconds) out of a previously committed bench
+    * line. Hand-rolled match (no JSON lib on the classpath): the
+    * queries map is flat `"name":number` pairs, never nested. */
+  private[graft] def parseBenchLine(json: String): (Option[String], Map[String, Double]) = {
+    val sf = """"sf":([0-9.]+)""".r.findFirstMatchIn(json).map(_.group(1))
+    val qs = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
+    val pairs = """"([^"]+)":([-0-9.eE+]+)""".r.findAllMatchIn(qs)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    (sf, pairs)
+  }
+
+  /** Queries whose sweep minimum still reads as a contention artifact
+    * against the committed baseline: more than `factor` x the baseline
+    * AND more than half a second of absolute excess (so sub-100 ms
+    * noise can't burn the bounded repass budget), worst absolute excess
+    * first, capped. Min-of-reps inside one query cannot defend against
+    * a contention window LONGER than the query — r16 billed two 1.6 s
+    * queries at 38/30 s through both reps; this post-sweep repass can,
+    * because it runs after the window has had the whole sweep to pass. */
+  private[graft] def repassCandidates(baseline: Map[String, Double],
+      measured: Map[String, Double], factor: Double = 3.0,
+      cap: Int = 10): Seq[String] =
+    measured.toSeq
+      .flatMap { case (n, t) =>
+        baseline.get(n).filter(_ > 1e-9).map(b => (n, t, b))
+      }
+      .filter { case (_, t, b) => t > factor * b && t - b > 0.5 }
+      .sortBy { case (_, t, b) => b - t } // worst absolute excess first
+      .take(cap)
+      .map(_._1)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -53,6 +85,14 @@ object Bench {
     } catch { case _: Throwable => }
     // optional args: run only the named queries (local iteration aid)
     val wanted = args.toSet
+    // the committed baseline must be read BEFORE the sweep overwrites
+    // BENCH_LOCAL.json at the end of this run
+    val repoRoot = sys.env.get("SPARK_GRAFT_REPO_ROOT")
+      .orElse(Option(System.getProperty("user.dir"))).getOrElse(".")
+    val committedBaseline: (Option[String], Map[String, Double]) =
+      try parseBenchLine(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(repoRoot, "BENCH_LOCAL.json")))
+      catch { case _: Throwable => (None, Map.empty) }
     // Repetition policy: a shared host produces contention spikes that make a
     // single-shot timing read as a plan regression (PERF.md documents per-query
     // swings of 4x with no code change). A query's intrinsic cost shows in
@@ -166,13 +206,36 @@ object Bench {
         }
         (name, times.min, times.length)
       }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val reps = results.filter(_._3 > 1)
-      .map { case (k, _, n) => "\"" + k + s"\":$n" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
+    // Contention repass (see repassCandidates): queries the whole sweep
+    // billed at >3x their committed figure get ONE isolated re-run now
+    // that the suspected contention window has had the sweep's length
+    // to pass — the better reading wins, and the repass measurements are
+    // published in the JSON so the correction is auditable. Baselines
+    // from a different SF never gate (figures aren't comparable).
+    val baseline =
+      if (committedBaseline._1.contains(sfNum)) committedBaseline._2
+      else Map.empty[String, Double]
+    val candidates = repassCandidates(baseline,
+      results.map { case (k, v, _) => k -> v }.toMap)
+    val repassed: Map[String, Double] = candidates.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t =
+        if (layoutQueries(name)) { onceCold(name, fn); once(name, fn) }
+        else onceCold(name, fn)
+      name -> t
+    }.toMap
+    val finalResults = results.map { case (k, v, n) =>
+      (k, math.min(v, repassed.getOrElse(k, v)), n)
+    }
+    val qs = finalResults.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val reps = finalResults.filter(_._3 > 1)
+      .map { case (k, _, n) => "\"" + k + s"\":$n" }.mkString("{", ",", "}")
+    val repassJson = repassed.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = finalResults.map(_._2).sum
     val ing = ingest.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     // "value" is steady-state probe cost (layout ingest split out since r10);
@@ -180,7 +243,7 @@ object Bench {
     // rounds, and "bench_schema":2 marks the semantics change explicitly.
     val totalWithIngest = total + ingest.values.sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","bench_schema":2,"total_with_ingest":$totalWithIngest%.3f,"queries":$qs,"reps":$reps,"ingest":$ing,"sf":$sfNum}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","bench_schema":2,"total_with_ingest":$totalWithIngest%.3f,"queries":$qs,"reps":$reps,"repass":$repassJson,"ingest":$ing,"sf":$sfNum}"""
     println(line)
     // the driver keeps only a tail of stdout, which truncates the
     // per-query map at 145 queries — persist the full line next to the
@@ -188,10 +251,8 @@ object Bench {
     // the repo root (not cwd) and loud on failure: a silently-stale file
     // would defeat the truncation workaround it exists for.
     try {
-      val root = sys.env.get("SPARK_GRAFT_REPO_ROOT")
-        .orElse(Option(System.getProperty("user.dir"))).getOrElse(".")
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(root, "BENCH_LOCAL.json"), line + "\n")
+        java.nio.file.Paths.get(repoRoot, "BENCH_LOCAL.json"), line + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_LOCAL.json write FAILED (stale snapshot on disk): $e")
     }
