@@ -167,7 +167,9 @@ object Bench {
       "qc07_intercube", "s24_sq8_persisted",
       // r16: q88's branch files ride the shared q52 layout + two writes;
       // s25 rides BOTH memoized quantizer stores (s19 + s24)
-      "q88_branch_merge", "s25_quantizer_recall")
+      "q88_branch_merge", "s25_quantizer_recall",
+      // r17: q90 pays the memoized bloom/column-index layout write once
+      "q90_parquet_native_skip")
     val ingest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }

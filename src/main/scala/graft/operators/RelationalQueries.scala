@@ -2276,6 +2276,149 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  /** q90 — parquet FORMAT-NATIVE skipping: bloom filters + column-index
+    * page pruning, the production counterpart of q73's hand-rolled
+    * side-table (q73 shows the mechanism; q90 is the path a 100 TB
+    * deployment actually relies on — the skip structures live in the
+    * file format itself, maintained by every writer, no sidecar).
+    *
+    * The layout write (memoized, ingest-billed like q33/q37) sorts
+    * orders by o_orderkey (clustered min/max page stats for the range
+    * probe) and enables per-column bloom filters on o_custkey —
+    * dictionary encoding is disabled for that column because parquet-mr
+    * subsumes the bloom into the dictionary when a chunk is fully
+    * dict-encoded, and the point here is the bloom path. Small row
+    * groups and page-row limits give the skip machinery something to
+    * skip at test SF.
+    *
+    * Before serving, the operator PINS the native structures via the
+    * parquet-mr metadata APIs (footer-only reads, bounded):
+    *  - every data file carries a bloom filter for o_custkey;
+    *  - a definitely-absent probe key is bloom-rejected in >= half the
+    *    row groups (expected: all; the slack is honest bloom fpp);
+    *  - a present key is bloom-accepted somewhere;
+    *  - the narrow o_orderkey range probe, pushed through
+    *    FilterCompat with column indexes on, yields
+    *    getFilteredRecordCount() < getRecordCount() — pages were
+    *    ACTUALLY dropped — while never dropping a matching row.
+    * A silent regression to scan-everything fails these requires, not
+    * just a benchmark.
+    *
+    * The served result is the three probes themselves (present-key eq,
+    * absent-key eq, narrow range), all replayed by the oracle from the
+    * parquet with min/max subqueries — format-independent semantics,
+    * format-native access path. */
+  def q90_parquet_native_skip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.ParquetReadOptions
+    import scala.jdk.CollectionConverters._
+    val stats = Tables.orders(s, dir).agg(
+      min("o_custkey").as("ck_lo"), max("o_custkey").as("ck_hi"),
+      min("o_orderkey").as("ok_lo"), max("o_orderkey").as("ok_hi")).head()
+    val (ckLo, ckHi) = (stats.getLong(0), stats.getLong(1))
+    val (okLo, okHi) = (stats.getLong(2), stats.getLong(3))
+    val ckAbsent = ckHi + 424243L // provably absent (beyond max)
+    val okSpan = math.max((okHi - okLo) / 50L, 1L) // narrow sorted range
+    val path = graft.core.SessionMemo.memoize(s, "q90-bloom:" + dir) {
+      val tag = graft.core.SessionMemo.pathTag(s, dir)
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q90_bloom_$tag").getAbsolutePath
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        // disjoint per-file sorted runs (range partition + in-file sort):
+        // page/rowgroup min-max stats cluster without a global sort, the
+        // form that still works when each of 1000 executors writes its
+        // own files
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .option("parquet.block.size", (128 * 1024).toString)
+        .option("parquet.page.size", (16 * 1024).toString)
+        // low row cap so even the smallest fixture yields multiple pages
+        // per row group — a single-page group gives the column index
+        // nothing to drop
+        .option("parquet.page.row.count.limit", "200")
+        .parquet(p)
+      p
+    }
+    // ---- pin the native skip structures (footer-only, bounded) ----
+    val conf = s.sparkContext.hadoopConfiguration
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .sorted
+    require(files.nonEmpty, "q90: layout wrote no parquet files")
+    var groups = 0; var absentRejected = 0; var presentAccepted = false
+    files.foreach { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        r.getFooter.getBlocks.asScala.foreach { b =>
+          val ccmd = b.getColumns.asScala
+            .find(_.getPath.toDotString == "o_custkey")
+            .getOrElse(throw new IllegalStateException(
+              s"q90: o_custkey chunk missing in $f"))
+          require(ccmd.getBloomFilterOffset >= 0,
+            s"q90: no bloom filter written for o_custkey in $f — " +
+              "the format-native skip structure is absent")
+          val bloom = r.getBloomFilterDataReader(b).readBloomFilter(ccmd)
+          require(bloom != null, s"q90: bloom unreadable in $f")
+          groups += 1
+          if (!bloom.findHash(bloom.hash(ckAbsent))) absentRejected += 1
+          if (bloom.findHash(bloom.hash(ckLo))) presentAccepted = true
+        }
+      } finally r.close()
+    }
+    require(absentRejected * 2 >= groups,
+      s"q90: absent key bloom-rejected in only $absentRejected/$groups " +
+        "row groups — blooms are not skipping")
+    require(presentAccepted,
+      "q90: present key bloom-rejected everywhere — bloom is unsound")
+    // page-level pruning: the narrow range probe through the parquet-mr
+    // read path with column indexes on must DROP pages without dropping
+    // matching rows
+    val rangePred = FilterApi.and(
+      FilterApi.gtEq(FilterApi.longColumn("o_orderkey"),
+        java.lang.Long.valueOf(okLo)),
+      FilterApi.ltEq(FilterApi.longColumn("o_orderkey"),
+        java.lang.Long.valueOf(okLo + okSpan)))
+    var totalRows = 0L; var pageFilteredRows = 0L
+    files.foreach { f =>
+      val in = HadoopInputFile.fromPath(new Path(f), conf)
+      val r = ParquetFileReader.open(in, ParquetReadOptions.builder()
+        .withRecordFilter(FilterCompat.get(rangePred))
+        .useColumnIndexFilter(true).build())
+      try {
+        totalRows += r.getRecordCount
+        pageFilteredRows += r.getFilteredRecordCount
+      } finally r.close()
+    }
+    val rangeTrue = s.read.parquet(path)
+      .filter(col("o_orderkey").between(okLo, okLo + okSpan)).count()
+    require(pageFilteredRows < totalRows || totalRows == rangeTrue,
+      s"q90: column-index filtering dropped no pages " +
+        s"($pageFilteredRows of $totalRows rows survive; $rangeTrue match)")
+    require(pageFilteredRows >= rangeTrue,
+      s"q90: page skipping dropped matching rows " +
+        s"($pageFilteredRows < $rangeTrue) — unsound pruning")
+    // ---- the served probes (oracle-replayable semantics) ----
+    val t = s.read.parquet(path)
+    def probe(name: String, p: Column): DataFrame =
+      t.filter(p).agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("o_totalprice").cast("decimal(18,2)")), lit(0L))
+            .cast("double").as("sum_price"))
+        .select(lit(name).as("probe"), col("n_rows"), col("sum_price"))
+    probe("ck_eq_lo", col("o_custkey") === ckLo)
+      .unionByName(probe("ck_eq_absent", col("o_custkey") === ckAbsent))
+      .unionByName(probe("ok_range",
+        col("o_orderkey").between(okLo, okLo + okSpan)))
+      .orderBy("probe")
+  }
+
   /** q75 — field-id column mapping (the Iceberg/Delta-column-mapping
     * evolution model, complementing q57's name-based additive merge):
     * files carry arbitrary PHYSICAL column names; a per-file mapping
@@ -2773,6 +2916,7 @@ object RelationalQueries {
     "q76_partition_evolution" -> (q76_partition_evolution _),
     "q75_column_mapping" -> (q75_column_mapping _),
     "q73_bloom_skip_index" -> (q73_bloom_skip_index _),
+    "q90_parquet_native_skip" -> (q90_parquet_native_skip _),
     "q58_session_paths" -> (q58_session_paths _),
     "q57_schema_evolution" -> (q57_schema_evolution _),
     "q56_cohort_retention" -> (q56_cohort_retention _),
@@ -2930,6 +3074,32 @@ object RelationalQueries {
            sum(quantity)::BIGINT AS sum_qty,
            sum(disc)::BIGINT AS sum_disc
          FROM src GROUP BY 1 ORDER BY grp""",
+    // the three probes replayed straight off the parquet with min/max
+    // subqueries — the format-native skip structures (blooms, column
+    // indexes) are pinned Spark-side by requires in the operator, so the
+    // oracle only has to agree on the SEMANTICS of the probes
+    "q90_parquet_native_skip" ->
+      """WITH s AS (SELECT min(o_custkey) AS ck_lo,
+           max(o_custkey) + 424243 AS ck_ab,
+           min(o_orderkey) AS ok_lo,
+           greatest((max(o_orderkey) - min(o_orderkey)) // 50, 1) AS ok_span
+         FROM orders)
+         SELECT 'ck_eq_lo' AS probe, count(*)::BIGINT AS n_rows,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+             AS DOUBLE) AS sum_price
+         FROM orders, s WHERE o_custkey = s.ck_lo
+         UNION ALL
+         SELECT 'ck_eq_absent', count(*)::BIGINT,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+             AS DOUBLE)
+         FROM orders, s WHERE o_custkey = s.ck_ab
+         UNION ALL
+         SELECT 'ok_range', count(*)::BIGINT,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+             AS DOUBLE)
+         FROM orders, s
+         WHERE o_orderkey BETWEEN s.ok_lo AND s.ok_lo + s.ok_span
+         ORDER BY probe""",
     "q73_bloom_skip_index" ->
       """WITH cnt AS (SELECT count(*)::BIGINT AS n FROM orders),
        nfv AS (SELECT n, greatest(16, 1::BIGINT << CAST(coalesce(
