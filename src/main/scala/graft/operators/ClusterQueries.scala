@@ -412,10 +412,16 @@ object ClusterQueries {
     * over that constant set, not a second data pass. At 100 TB the
     * labeler output is never re-read: eval piggybacks on the same scan
     * that writes the keep/drop column. */
-  def c07_langid_eval(s: SparkSession, dir: String): DataFrame = {
+  def c07_langid_eval(s: SparkSession, dir: String): DataFrame =
+    prf1Eval(TextQueries.t02_langid(s, dir)
+      .select(col("doc_id"), col("actual_lang"), col("pred_lang")))
+
+  /** The c07 P/R/F1 machinery over any (doc_id, actual_lang, pred_lang)
+    * prediction set — shared with t34's trained-classifier eval:
+    * per-class support/tp/fp/fn, fixed-point (1e6) precision/recall/F1
+    * via integer division, plus the `~macro` unweighted-average row. */
+  private[operators] def prf1Eval(preds: DataFrame): DataFrame = {
     import graft.functions.KeyAlgebra.ldiv
-    val preds = TextQueries.t02_langid(s, dir)
-      .select(col("doc_id"), col("actual_lang"), col("pred_lang"))
     val byActual = preds.groupBy(col("actual_lang").as("cls"))
       .agg(count(lit(1)).as("support"),
         sum(when(col("pred_lang") === col("actual_lang"), 1L)

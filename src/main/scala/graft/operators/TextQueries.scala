@@ -1081,6 +1081,74 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The t34 feature hash — ONE function serves training and inference
+    * (the t22→t30 train/serve-consistency rule, pinned by NbTrainSpec):
+    * a token's hashed bucket in [0, 1024). */
+  private[operators] val NbBuckets = 1024
+  private[operators] def nbFeat(tok: Column): Column =
+    pmod(md5Long60(tok), lit(NbBuckets.toLong))
+
+  /** t34 — quality/langid classifier TRAINING in-corpus (the gap t21
+    * leaves: t21 scores with GIVEN weights; production pipelines train
+    * the model on their own corpus). Multinomial naive Bayes with add-1
+    * smoothing over [[nbFeat]]-hashed token unigrams: the TRAIN split
+    * (doc_id % 5 ≠ 0) yields the closed-form model — per-(class,
+    * feature) token counts, per-class token totals and doc counts, all
+    * exact integers the oracle replays — and the HELD-OUT split
+    * (doc_id % 5 = 0) is scored with
+    * score(d,c) = ln(n_docs_c) + Σ_f tf_f·ln(cnt_fc+1) − n_tok_d·ln(tot_c+B)
+    * (the shared −ln(n_train) prior denominator cancels across classes
+    * and is dropped; absent features contribute ln(0+1) = 0, so only
+    * present (feat, class) pairs ever join). Scores are floor-quantized
+    * at 1e4 (the t09/t15 ln discipline — the only irrational step) and
+    * the argmax tie-breaks on class name. Evaluation is the exact c07
+    * machinery ([[ClusterQueries.prf1Eval]]): per-class P/R/F1 plus the
+    * ~macro row.
+    *
+    * Scale shape: the model is a groupBy over the train scan (map-side
+    * combined, ≤ classes×B rows — broadcast); scoring is one broadcast
+    * join from test features plus a per-doc window for the argmax
+    * (hash-partitioned by doc_id, no single-task stage). At 100 TB the
+    * train pass is scan-bound and the model stays kilobytes. */
+  def t34_nb_train(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val test = docs.filter(col("doc_id") % 5 === 0)
+    def feats(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("tok"))
+        .withColumn("feat", nbFeat(col("tok")))
+    // the closed-form NB model: exact integer counts
+    val model = feats(train).groupBy("lang", "feat")
+      .agg(count(lit(1)).as("cnt"))
+    val cls = feats(train).groupBy("lang")
+      .agg(count(lit(1)).as("tot"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    val testTf = feats(test).groupBy("doc_id", "feat")
+      .agg(count(lit(1)).as("tf"))
+    val testLen = testTf.groupBy("doc_id").agg(sum("tf").as("n_tok"))
+    val hit = testTf.join(broadcast(model), Seq("feat"))
+      .groupBy(col("doc_id"), col("lang").as("cand"))
+      .agg(sum(col("tf") * log(col("cnt") + lit(1.0))).as("h"))
+    val scored = test.select(col("doc_id"), col("lang").as("actual_lang"))
+      .join(testLen, Seq("doc_id")) // inner: every doc has >= 1 token
+      .crossJoin(broadcast(cls.select(col("lang").as("cand"),
+        col("tot"), col("n_docs"))))
+      .join(hit, Seq("doc_id", "cand"), "left")
+      .withColumn("score_fp", floor((log(col("n_docs").cast("double")) +
+          coalesce(col("h"), lit(0.0)) -
+          col("n_tok").cast("double") *
+            log(col("tot").cast("double") + lit(NbBuckets.toDouble))) * 1e4)
+        .cast("long"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_fp").desc, col("cand").asc)
+    ClusterQueries.prf1Eval(scored
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("actual_lang"), col("cand").as("pred_lang")))
+  }
+
   /** t23 — corpus n-gram novelty: for every document, the share of its
     * DISTINCT token-5-grams whose first corpus occurrence (min doc_id
     * over all holders) is this document — the redundancy-curve signal
@@ -1475,6 +1543,7 @@ object TextQueries {
     "t08_boilerplate_share" -> (t08_boilerplate_share _),
     "t15_perplexity_bucket" -> (t15_perplexity_bucket _),
     "t33_html_extract" -> (t33_html_extract _),
+    "t34_nb_train" -> (t34_nb_train _),
   )
 
   /** t31 oracle: the Viterbi forward DP and its backtrack as recursive
@@ -1645,6 +1714,67 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // full training replay: the closed-form NB counts as CTEs (exact
+    // integers), the same dropped-constant score with floor-1e4
+    // quantization (ln is the t09/t15 precedent), the same class-name
+    // tie-break, then the c07 eval tail verbatim
+    "t34_nb_train" ->
+      """WITH train AS (SELECT doc_id, lang, text FROM documents
+           WHERE doc_id % 5 <> 0),
+         test AS (SELECT doc_id, lang, text FROM documents
+           WHERE doc_id % 5 = 0),
+         trainTok AS (SELECT doc_id, lang,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS feat
+           FROM train, unnest(string_split(text, ' ')) AS u(tok)),
+         model AS (SELECT lang, feat, count(*)::BIGINT AS cnt
+           FROM trainTok GROUP BY 1, 2),
+         cls AS (SELECT lang, count(*)::BIGINT AS tot,
+             count(DISTINCT doc_id)::BIGINT AS n_docs
+           FROM trainTok GROUP BY 1),
+         testTok AS (SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS feat
+           FROM test, unnest(string_split(text, ' ')) AS u(tok)),
+         tf AS (SELECT doc_id, feat, count(*)::BIGINT AS tf
+           FROM testTok GROUP BY 1, 2),
+         tlen AS (SELECT doc_id, sum(tf)::BIGINT AS n_tok FROM tf GROUP BY 1),
+         hit AS (SELECT t.doc_id, m.lang, sum(t.tf * ln(m.cnt + 1)) AS h
+           FROM tf t JOIN model m USING (feat) GROUP BY 1, 2),
+         scored AS (SELECT d.doc_id, d.lang AS actual_lang, c.lang AS cand,
+             CAST(floor((ln(c.n_docs) + coalesce(h.h, 0)
+               - l.n_tok * ln(c.tot + 1024)) * 1e4) AS BIGINT) AS s
+           FROM test d JOIN tlen l USING (doc_id) CROSS JOIN cls c
+           LEFT JOIN hit h ON h.doc_id = d.doc_id AND h.lang = c.lang),
+         preds AS (SELECT doc_id, actual_lang, cand AS pred_lang FROM
+           (SELECT doc_id, actual_lang, cand, row_number() OVER
+              (PARTITION BY doc_id ORDER BY s DESC, cand) AS rn
+            FROM scored) WHERE rn = 1),
+         ba AS (SELECT actual_lang AS cls, count(*)::BIGINT AS support,
+             sum(CASE WHEN pred_lang = actual_lang THEN 1 ELSE 0 END)::BIGINT
+               AS tp
+           FROM preds GROUP BY 1),
+         bp AS (SELECT pred_lang AS cls, count(*)::BIGINT AS n_pred
+           FROM preds GROUP BY 1),
+         per AS (SELECT coalesce(ba.cls, bp.cls) AS cls,
+             coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+             coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+             coalesce(support, 0) - coalesce(tp, 0) AS fn
+           FROM ba FULL OUTER JOIN bp ON ba.cls = bp.cls),
+         met AS (SELECT cls, support, tp, fp, fn,
+             CASE WHEN tp + fp = 0 THEN 0
+               ELSE tp * 1000000 // (tp + fp) END AS prec_fp,
+             CASE WHEN support = 0 THEN 0
+               ELSE tp * 1000000 // support END AS rec_fp,
+             CASE WHEN tp * 2 + fp + fn = 0 THEN 0
+               ELSE tp * 2000000 // (tp * 2 + fp + fn) END AS f1_fp
+           FROM per)
+         SELECT cls, support, tp, fp, fn, prec_fp, rec_fp, f1_fp FROM met
+         UNION ALL
+         SELECT '~macro', sum(support)::BIGINT, sum(tp)::BIGINT,
+           sum(fp)::BIGINT, sum(fn)::BIGINT,
+           sum(prec_fp)::BIGINT // count(*),
+           sum(rec_fp)::BIGINT // count(*),
+           sum(f1_fp)::BIGINT // count(*)
+         FROM met ORDER BY cls""",
     // the EXPECTED extracted text rebuilt in SQL (synth's entity
     // roundtrip is the identity, tags become separators, whitespace
     // collapses) — a leaked comment/script or a broken entity decode
