@@ -529,14 +529,42 @@ object NetCDFQueries {
     * the only shuffle is the final 8-bucket aggregate. */
   def qn20_warc_ingest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.sources.{Html, Warc}
     val landing = Files.createTempDirectory("graft_warc").toString
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
-    docs.repartition(8).as[(Long, String, String, String)]
+    writeWarcShards(docs, landing, "shard")
+    val good = s.read.format("binaryFile").load(landing)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .mapPartitions(_.flatMap(warcGoodDocs))
+      .toDF("doc_id", "html_len")
+    docs.select(col("doc_id"))
+      .join(good, Seq("doc_id"), "left")
+      .groupBy(pmod(col("doc_id"), lit(8L)).cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("html_len").isNotNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("html_len").isNull, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(coalesce(col("html_len"), lit(0L))).as("html_bytes"))
+      .orderBy("shard")
+  }
+
+  /** Shared WARC fixture writer (qn20 batch + q91 streaming): one
+    * `.warc.gz` shard per partition into `landing`, a warcinfo head
+    * record then a request + response member pair per document, with
+    * the qn20 corruption classes on the response member only
+    * (`doc_id % 34 == 0` truncated gzip, `% 17 == 0 && % 34 != 0`
+    * hostile Content-Length). Returns the written doc count (forcing
+    * the executor-side write). */
+  private[operators] def writeWarcShards(docs: DataFrame, landing: String,
+      filePrefix: String): Long = {
+    import graft.sources.{Html, Warc}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.repartition(8)
+      .as[(Long, String, String, String)]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val f = new java.io.File(landing, f"shard_$pid%03d.warc.gz")
+        val f = new java.io.File(landing, f"${filePrefix}_$pid%03d.warc.gz")
         val out = new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(f))
         try {
@@ -579,39 +607,30 @@ object NetCDFQueries {
           }
           Iterator.single(n)
         } finally out.close()
-      }.reduce(_ + _) // forces the landing write
-    val good = s.read.format("binaryFile").load(landing)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .mapPartitions { files =>
-        files.flatMap { bytes =>
-          Warc.walk(bytes).flatMap {
-            case Right(r) if r.warcType == "response" =>
-              val uri = r.targetUri
-              val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
-              val body = r.body
-              // frame the HTML out of the HTTP response payload
-              var sep = -1; var i = 0
-              while (sep < 0 && i + 3 < body.length) {
-                if (body(i) == '\r' && body(i + 1) == '\n' &&
-                    body(i + 2) == '\r' && body(i + 3) == '\n') sep = i
-                i += 1
-              }
-              if (sep < 0) Iterator.empty
-              else Iterator.single((id, (body.length - sep - 4).toLong))
-            case _ => Iterator.empty // warcinfo/request records, quarantine
-          }
-        }
-      }.toDF("doc_id", "html_len")
-    docs.select(col("doc_id"))
-      .join(good, Seq("doc_id"), "left")
-      .groupBy(pmod(col("doc_id"), lit(8L)).cast("long").as("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("html_len").isNotNull, 1L).otherwise(0L)).as("n_good"),
-        sum(when(col("html_len").isNull, 1L).otherwise(0L)).as("n_quarantined"),
-        sum(coalesce(col("html_len"), lit(0L))).as("html_bytes"))
-      .orderBy("shard")
+      }.reduce(_ + _)
   }
+
+  /** Walk one shard's bytes and yield (doc_id, html byte length) for
+    * every GOOD response record: WARC-Type filter, doc id from the
+    * target URI, HTML framed out of the HTTP payload. Quarantined
+    * members (Left) and warcinfo/request records yield nothing — the
+    * doc-level books are derived downstream against the parquet. */
+  private[operators] def warcGoodDocs(bytes: Array[Byte]): Iterator[(Long, Long)] =
+    graft.sources.Warc.walk(bytes).flatMap {
+      case Right(r) if r.warcType == "response" =>
+        val uri = r.targetUri
+        val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+        val body = r.body
+        var sep = -1; var i = 0
+        while (sep < 0 && i + 3 < body.length) {
+          if (body(i) == '\r' && body(i + 1) == '\n' &&
+              body(i + 2) == '\r' && body(i + 3) == '\n') sep = i
+          i += 1
+        }
+        if (sep < 0) Iterator.empty
+        else Iterator.single((id, (body.length - sep - 4).toLong))
+      case _ => Iterator.empty
+    }
 
   /** qn09 — CF-convention unpacking on import (`cf_unpack=yes`): a
     * packed file carrying `scale_factor`/`add_offset` variable

@@ -777,6 +777,69 @@ object StreamQueries {
     }
   }
 
+  /** q91 — STREAMING WARC crawl ingest (qn20's front door as a
+    * continuous pipeline, the shape a live crawl actually runs): shards
+    * LAND in a watched directory in two executor-written drops, a
+    * binaryFile FileStreamSource discovers them through the file log,
+    * each micro-batch walks its shards' gzip members with the same
+    * from-spec reader (resync on truncation, Long-bounded hostile
+    * Content-Length — the qn20 corruption classes are present in the
+    * stream too), and a running per-shard ledger (good responses +
+    * HTML bytes) accumulates in Complete mode. After both drops the
+    * ledger must equal qn20's batch books exactly — same oracle, so a
+    * stream that double-counts a redelivered shard, loses a record
+    * after a corrupt member, or mis-frames a body breaks the hash.
+    *
+    * Scale shape: file discovery is the engine's incremental listing;
+    * decode is scan-parallel per shard file inside the micro-batch; the
+    * only state is the 8-row running aggregate. At crawl scale the
+    * Complete-mode ledger swaps for an update-mode sink keyed by shard
+    * — the dataflow is identical. */
+  def q91_stream_warc_ingest(s: SparkSession, dir: String): DataFrame =
+    withMicroBatchParts(s) {
+    import s.implicits._
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    withWatchDir("graft_q91_src") { watch =>
+      val binSchema = StructType(Seq(
+        StructField("path", StringType), StructField("modificationTime", TimestampType),
+        StructField("length", LongType), StructField("content", BinaryType)))
+      val agg = s.readStream.format("binaryFile").schema(binSchema)
+        .load(watch)
+        .select(col("content")).as[Array[Byte]]
+        .mapPartitions(_.flatMap(NetCDFQueries.warcGoodDocs))
+        .toDF("doc_id", "html_len")
+        .groupBy(pmod(col("doc_id"), lit(8L)).cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_good"), sum("html_len").as("html_bytes"))
+      val q = agg.writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName("q91_stream_out").start()
+      try {
+        NetCDFQueries.writeWarcShards(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), watch, "drop1")
+        q.processAllAvailable()
+        NetCDFQueries.writeWarcShards(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), watch, "drop2")
+        q.processAllAvailable()
+      } finally q.stop()
+      val books = s.table("q91_stream_out")
+      val out = docs
+        .groupBy(pmod(col("doc_id"), lit(8L)).cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"))
+        .join(books, Seq("shard"), "left")
+        .select(col("shard"), col("n_docs"),
+          coalesce(col("n_good"), lit(0L)).as("n_good"),
+          (col("n_docs") - coalesce(col("n_good"), lit(0L)))
+            .as("n_quarantined"),
+          coalesce(col("html_bytes"), lit(0L)).as("html_bytes"))
+      val result = out.collect().toIndexedSeq
+      val outSchema = out.schema
+      s.catalog.dropTempView("q91_stream_out")
+      s.createDataFrame(s.sparkContext.parallelize(result, 1), outSchema)
+        .orderBy("shard")
+    }
+  }
+
   /** q39 — incremental materialized-view maintenance: a keyed aggregate
     * MV (user_id × event_type → count, exact decimal sum) kept in a
     * bucket-partitioned parquet store and updated per micro-batch via
@@ -1673,6 +1736,7 @@ object StreamQueries {
     "q39_incremental_mv" -> (q39_incremental_mv _),
     "q36_stream_dedup_watermark" -> (q36_stream_dedup_watermark _),
     "q89_stream_chained_stateful" -> (q89_stream_chained_stateful _),
+    "q91_stream_warc_ingest" -> (q91_stream_warc_ingest _),
     "q31_stream_join" -> (q31_stream_join _),
     "q23_stream_window" -> (q23_stream_window _),
     "q30_stream_filesource" -> (q30_stream_filesource _),
@@ -1794,6 +1858,11 @@ object StreamQueries {
     // chained dedup -> window in one query must converge to the CLEAN
     // batch hourly aggregate: any duplicate surviving the first state
     // store inflates a window's count and fails the hash
+    // the streaming ledger must converge to qn20's batch books exactly
+    // — SAME oracle text: the accounting is a pure function of the
+    // parquet regardless of how the shards arrived
+    "q91_stream_warc_ingest" ->
+      graft.operators.NetCDFQueries.oracles("qn20_warc_ingest"),
     "q89_stream_chained_stateful" ->
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS window_start,
          count(*) AS n,

@@ -207,4 +207,20 @@ class StreamingSpec extends SparkSpec {
       "chained dedup->window diverged from the clean single-stage windows")
     assert(chained.nonEmpty)
   }
+
+  test("q91 streaming WARC ledger equals the qn20 batch books") {
+    // two landed drops through the binaryFile stream must accumulate to
+    // the one-shot batch walk: a lost record after a corrupt member or
+    // a double-counted shard shifts the shard books
+    val streamed = graft.operators.StreamQueries
+      .q91_stream_warc_ingest(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val batch = graft.operators.NetCDFQueries
+      .qn20_warc_ingest(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(streamed == batch, "streaming ledger diverged from batch books")
+    assert(streamed.map(_._4).sum > 0, "fixture lost its quarantine class")
+  }
 }
