@@ -1149,6 +1149,44 @@ object TextQueries {
       .select(col("doc_id"), col("actual_lang"), col("cand").as("pred_lang")))
   }
 
+  /** t36 — boilerplate BLOCK classification (the jusText/readability
+    * step between t33's whole-page extraction and a clean corpus: real
+    * crawl pages bury the content between nav bars, related-links rails
+    * and footers). Each document renders into its chrome-bearing page
+    * ([[graft.sources.Html.synthChrome]]), [[graft.sources.Html.blockStats]]
+    * segments it at block-level tags and accounts per block (visible
+    * chars, anchor chars), and the keep-rule is integer-exact link
+    * density: a block is CONTENT iff 2·link_chars < text_chars — no
+    * float division anywhere. Output per doc: block counts and the
+    * content/boilerplate char split.
+    *
+    * The oracle replays the expected books from the template structure:
+    * the three chrome blocks are constants (nav 15, related 22, footer
+    * 24 — all link-heavy, all classified boilerplate), title and h1 are
+    * `Doc {id}`, and the paragraph is the collapsed document text
+    * (absent when empty). A segmentation bug, an anchor leak across
+    * blocks, or a density-rule slip shifts the books.
+    *
+    * Scale shape: pure per-row string work, one scan-parallel
+    * mapPartitions, no shuffle before the output sort (t33's shape). */
+  def t36_boilerplate_blocks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Html
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bs = Html.blockStats(Html.synthChrome(id, text))
+          val (content, boiler) = bs.partition { case (t, l) => 2 * l < t }
+          (id, bs.size.toLong, content.size.toLong,
+            content.map(_._1.toLong).sum, boiler.map(_._1.toLong).sum)
+        }
+      }
+      .toDF("doc_id", "n_blocks", "n_content", "content_chars", "boiler_chars")
+      .orderBy("doc_id")
+  }
+
   /** t23 — corpus n-gram novelty: for every document, the share of its
     * DISTINCT token-5-grams whose first corpus occurrence (min doc_id
     * over all holders) is this document — the redundancy-curve signal
@@ -1544,6 +1582,7 @@ object TextQueries {
     "t15_perplexity_bucket" -> (t15_perplexity_bucket _),
     "t33_html_extract" -> (t33_html_extract _),
     "t34_nb_train" -> (t34_nb_train _),
+    "t36_boilerplate_blocks" -> (t36_boilerplate_blocks _),
   )
 
   /** t31 oracle: the Viterbi forward DP and its backtrack as recursive
@@ -1775,6 +1814,22 @@ object TextQueries {
            sum(rec_fp)::BIGINT // count(*),
            sum(f1_fp)::BIGINT // count(*)
          FROM met ORDER BY cls""",
+    // expected books rebuilt from the synthChrome template structure:
+    // chrome blocks are link-heavy constants (nav 15, rel 22, footer 24
+    // — boilerplate under 2·link < text), title/h1 are 'Doc {id}', the
+    // paragraph is the collapsed text and vanishes when empty
+    "t36_boilerplate_blocks" ->
+      """WITH x AS (SELECT doc_id,
+           trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS t
+         FROM documents)
+         SELECT doc_id,
+           CAST(5 + CASE WHEN t = '' THEN 0 ELSE 1 END AS BIGINT) AS n_blocks,
+           CAST(2 + CASE WHEN t = '' THEN 0 ELSE 1 END AS BIGINT)
+             AS n_content,
+           CAST(2 * (4 + length(CAST(doc_id AS VARCHAR))) + length(t)
+             AS BIGINT) AS content_chars,
+           CAST(61 AS BIGINT) AS boiler_chars
+         FROM x ORDER BY doc_id""",
     // the EXPECTED extracted text rebuilt in SQL (synth's entity
     // roundtrip is the identity, tags become separators, whitespace
     // collapses) — a leaked comment/script or a broken entity decode

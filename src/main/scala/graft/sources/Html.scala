@@ -49,6 +49,103 @@ object Html {
     * the constant can never drift from the template. */
   val synthFixedLen: Long = synth(0L, "", "", "").length.toLong - 3L
 
+  /** Deterministic page WITH site chrome (nav / related-links / footer
+    * around the real content) — the t36 boilerplate-classification
+    * fixture. Kept separate from [[synth]] so the qn20/t33 oracles'
+    * extracted-text contract is untouched. Per-block constants the t36
+    * oracle replays: nav text 15 / links 13, related 22 / 11, footer
+    * 24 / 12; title and h1 are `Doc {id}`; the single content paragraph
+    * is the entity-escaped document text. */
+  def synthChrome(id: Long, text: String): String =
+    s"""<html><head><title>Doc $id</title></head><body>
+<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/docs">Docs</a></div>
+<h1>Doc $id</h1>
+<p>${enc(text)}</p>
+<div class="rel">Related: <a href="/d/1">one</a> <a href="/d/2">two</a> <a href="/d/3">three</a></div>
+<div class="footer"><a href="/tos">Terms</a> | <a href="/priv">Privacy</a> (c) 2026</div>
+</body></html>"""
+
+  /** Per-block (visible chars, anchor chars) over a page — the raw
+    * signal of jusText/readability-style boilerplate removal. Blocks
+    * are segments between BLOCK-LEVEL tag boundaries; inside a block,
+    * visible text accumulates like [[extractText]] (comments and
+    * script/style dropped whole, inline tags become separators,
+    * entities decoded after tag handling, whitespace collapsed), and
+    * anchor chars are the summed collapsed lengths of `<a>` contents.
+    * Empty blocks (chrome whitespace between structural tags) are
+    * dropped. The keep-rule (2·link < text, integer-exact — no float
+    * density) lives in the caller. */
+  def blockStats(html: String): Seq[(Int, Int)] = {
+    val n = html.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val block = new StringBuilder
+    val anchor = new StringBuilder
+    var linkChars = 0
+    var aDepth = 0
+    def flushAnchor(): Unit =
+      if (aDepth == 0 && anchor.nonEmpty) {
+        linkChars += collapseWs(anchor).length; anchor.clear()
+      }
+    def flushBlock(): Unit = {
+      // an unterminated anchor still contributes its text
+      if (anchor.nonEmpty) { linkChars += collapseWs(anchor).length; anchor.clear() }
+      aDepth = 0
+      val t = collapseWs(block)
+      if (t.nonEmpty) out += ((t.length, linkChars))
+      block.clear(); linkChars = 0
+    }
+    def append(s: String): Unit = {
+      block.append(s)
+      if (aDepth > 0) anchor.append(s)
+    }
+    def appendC(ch: Char): Unit = {
+      block.append(ch)
+      if (aDepth > 0) anchor.append(ch)
+    }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (regionMatchesIgnoreCase(html, i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+          append(" ")
+        } else if (regionMatchesIgnoreCase(html, i + 1, "script") &&
+            nameEnd(html, i + 7)) {
+          i = skipElement(html, i, "script"); append(" ")
+        } else if (regionMatchesIgnoreCase(html, i + 1, "style") &&
+            nameEnd(html, i + 6)) {
+          i = skipElement(html, i, "style"); append(" ")
+        } else {
+          val close = i + 1 < n && html.charAt(i + 1) == '/'
+          val nameAt = if (close) i + 2 else i + 1
+          var e = nameAt
+          while (e < n && Character.isLetterOrDigit(html.charAt(e))) e += 1
+          val name = html.substring(nameAt, e).toLowerCase
+          val tagEnd = html.indexOf('>', i + 1)
+          if (BlockTags(name)) flushBlock()
+          else if (name == "a") {
+            if (close) { if (aDepth > 0) { aDepth -= 1; flushAnchor() } }
+            else aDepth += 1
+          }
+          if (!BlockTags(name)) append(" ")
+          i = if (tagEnd < 0) n else tagEnd + 1
+        }
+      } else if (c == '&') {
+        entity(html, i) match {
+          case Some((txt, nxt)) => append(txt); i = nxt
+          case None => appendC('&'); i += 1
+        }
+      } else { appendC(c); i += 1 }
+    }
+    flushBlock()
+    out.toSeq
+  }
+
+  private val BlockTags = Set("html", "head", "body", "title", "div", "p",
+    "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol", "section",
+    "article", "nav", "footer", "header", "table", "tr", "td", "br")
+
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\r' || c == '\n'
 

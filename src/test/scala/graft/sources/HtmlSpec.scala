@@ -48,6 +48,27 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.extractText(Html.synth(id, lang, source, text)) == expected)
   }
 
+  test("blockStats: segmentation, anchor accounting, empty-block drop") {
+    // two blocks; anchors counted per block, never leaking across
+    val bs = Html.blockStats(
+      "<div><a href=\"/x\">Home</a> page</div>\n<p>plain body</p>")
+    assert(bs == Seq((9, 4), (10, 0))) // "Home page", "plain body"
+    // whitespace-only segments between structural tags are dropped
+    assert(Html.blockStats("<div>a</div>  \n  <div>b</div>").size == 2)
+    // inline tags inside a block separate words but do not split it
+    assert(Html.blockStats("<p>a<b>c</b>d</p>") == Seq((5, 0))) // "a c d"
+    // an anchor spanning to block end still books its chars
+    assert(Html.blockStats("<p><a>tail") == Seq((4, 4)))
+  }
+
+  test("synthChrome books the constants the t36 oracle replays") {
+    val bs = Html.blockStats(Html.synthChrome(7L, "hello  world"))
+    // title, nav, h1, p, rel, footer
+    assert(bs == Seq((5, 0), (15, 13), (5, 0), (11, 0), (22, 11), (24, 12)))
+    // empty text drops the paragraph block
+    assert(Html.blockStats(Html.synthChrome(7L, "")).size == 5)
+  }
+
   test("synthFixedLen decomposition holds for arbitrary inputs") {
     val (id, lang, source, text) = (1234L, "de", "s&p", "x<y>\"z\"")
     val len = Html.synth(id, lang, source, text).length.toLong
