@@ -221,11 +221,20 @@ object Bench {
       else Map.empty[String, Double]
     val candidates = repassCandidates(baseline,
       results.map { case (k, v, _) => k -> v }.toMap)
+    // A layout candidate rebuilds its memoized store untimed, then times
+    // the warm probe (the figure the sweep reports). A non-layout
+    // candidate gets a cold run AND a warm follow-up: the sweep's own t1
+    // legitimately rides sweep-order shared memo state (d03 builds what
+    // d04/d05 reuse), so a repass that only ran cold would re-pay the
+    // shared build and could never correct a memo-riding query. Ingest
+    // figures are deliberately out of scope (the ingest loop already
+    // min-of-reps across 2-3 cold runs back to back — a multi-minute
+    // window there shows as a layout anomaly, not a silent probe bill).
     val repassed: Map[String, Double] = candidates.map { name =>
       val fn = SparkEntry.queries(name)
       val t =
         if (layoutQueries(name)) { onceCold(name, fn); once(name, fn) }
-        else onceCold(name, fn)
+        else math.min(onceCold(name, fn), once(name, fn))
       name -> t
     }.toMap
     val finalResults = results.map { case (k, v, n) =>

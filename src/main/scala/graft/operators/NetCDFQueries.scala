@@ -619,7 +619,14 @@ object NetCDFQueries {
     graft.sources.Warc.walk(bytes).flatMap {
       case Right(r) if r.warcType == "response" =>
         val uri = r.targetUri
-        val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+        // a structurally valid record with a missing/non-numeric URI
+        // tail quarantines by omission (per-record posture) — it must
+        // never fail the task
+        val idOpt = scala.util.Try(
+          uri.substring(uri.lastIndexOf('/') + 1).toLong).toOption
+        if (idOpt.isEmpty) Iterator.empty
+        else {
+        val id = idOpt.get
         val body = r.body
         var sep = -1; var i = 0
         while (sep < 0 && i + 3 < body.length) {
@@ -629,6 +636,7 @@ object NetCDFQueries {
         }
         if (sep < 0) Iterator.empty
         else Iterator.single((id, (body.length - sep - 4).toLong))
+        }
       case _ => Iterator.empty
     }
 

@@ -814,13 +814,27 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_good"), sum("html_len").as("html_bytes"))
       val q = agg.writeStream.outputMode(OutputMode.Complete)
         .format("memory").queryName("q91_stream_out").start()
+      // shards are STAGED outside the watched directory and renamed in
+      // (same filesystem → atomic): the file source must never list a
+      // half-written shard — feedDrops gets this for free from the
+      // parquet commit protocol; raw binary writes need it by hand
+      def land(drop: DataFrame, prefix: String): Unit = {
+        val stage = java.nio.file.Files
+          .createTempDirectory(s"graft_q91_stage_$prefix").toString
+        try {
+          NetCDFQueries.writeWarcShards(drop, stage, prefix)
+          new java.io.File(stage).listFiles().foreach { f =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(watch, f.getName),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+        } finally org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(stage))
+        q.processAllAvailable()
+      }
       try {
-        NetCDFQueries.writeWarcShards(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), watch, "drop1")
-        q.processAllAvailable()
-        NetCDFQueries.writeWarcShards(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), watch, "drop2")
-        q.processAllAvailable()
+        land(docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), "drop1")
+        land(docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), "drop2")
       } finally q.stop()
       val books = s.table("q91_stream_out")
       val out = docs

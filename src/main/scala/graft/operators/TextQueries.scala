@@ -1758,12 +1758,13 @@ object TextQueries {
     // quantization (ln is the t09/t15 precedent), the same class-name
     // tie-break, then the c07 eval tail verbatim
     "t34_nb_train" ->
-      """WITH train AS (SELECT doc_id, lang, text FROM documents
+      s"""WITH train AS (SELECT doc_id, lang, text FROM documents
            WHERE doc_id % 5 <> 0),
          test AS (SELECT doc_id, lang, text FROM documents
            WHERE doc_id % 5 = 0),
          trainTok AS (SELECT doc_id, lang,
-             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS feat
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % $NbBuckets
+               AS feat
            FROM train, unnest(string_split(text, ' ')) AS u(tok)),
          model AS (SELECT lang, feat, count(*)::BIGINT AS cnt
            FROM trainTok GROUP BY 1, 2),
@@ -1771,7 +1772,8 @@ object TextQueries {
              count(DISTINCT doc_id)::BIGINT AS n_docs
            FROM trainTok GROUP BY 1),
          testTok AS (SELECT doc_id,
-             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS feat
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % $NbBuckets
+               AS feat
            FROM test, unnest(string_split(text, ' ')) AS u(tok)),
          tf AS (SELECT doc_id, feat, count(*)::BIGINT AS tf
            FROM testTok GROUP BY 1, 2),
@@ -1780,7 +1782,7 @@ object TextQueries {
            FROM tf t JOIN model m USING (feat) GROUP BY 1, 2),
          scored AS (SELECT d.doc_id, d.lang AS actual_lang, c.lang AS cand,
              CAST(floor((ln(c.n_docs) + coalesce(h.h, 0)
-               - l.n_tok * ln(c.tot + 1024)) * 1e4) AS BIGINT) AS s
+               - l.n_tok * ln(c.tot + $NbBuckets)) * 1e4) AS BIGINT) AS s
            FROM test d JOIN tlen l USING (doc_id) CROSS JOIN cls c
            LEFT JOIN hit h ON h.doc_id = d.doc_id AND h.lang = c.lang),
          preds AS (SELECT doc_id, actual_lang, cand AS pred_lang FROM

@@ -181,7 +181,10 @@ object Html {
               java.lang.Integer.parseInt(digits.substring(1), 16)
             else java.lang.Integer.parseInt(digits)
           } catch { case _: NumberFormatException => -1 }
-          if (cp > 0 && cp <= 0x10FFFF && !Character.isSurrogate(cp.toChar))
+          // surrogate test on the full codepoint, not cp.toChar — the
+          // char cast truncates astral codepoints to 16 bits and would
+          // wrongly reject e.g. &#x1D800;
+          if (cp > 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
             Some(new String(Character.toChars(cp)))
           else None
         case _ => None

@@ -11,7 +11,7 @@ import graft.functions.{ArrayPrimitives => AP, Numeric, Stats}
   * positional args: the plumbing where arg-order bugs hide), once
   * through the Scala API directly — and the results must agree
   * bit-exactly. The 88-name registry test proves RESOLUTION; this
-  * proves the argument PLUMBING under nesting, 216 pairs at a time. */
+  * proves the argument PLUMBING under nesting, 336 pairs at a time. */
 class DialectCompositionSpec extends SparkSpec {
 
   private case class Op(name: String,
