@@ -1187,6 +1187,54 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t37 — UTF-8 validation/repair books (the encoding-sanitation step
+    * between raw crawl bytes and every string operator: real dumps
+    * carry truncated sequences, stray continuations, overlongs and
+    * surrogate encodings, and the pipeline must repair them
+    * deterministically — one U+FFFD per maximal invalid subpart — not
+    * crash or silently mangle). Each document's byte stream is the
+    * ASCII text plus two deterministic suffixes: `doc_id % 5 == 0`
+    * appends a VALID multibyte probe (2-, 3- and 4-byte codepoints:
+    * é € 😀 — 9 bytes, 3 codepoints), `doc_id % 7 == 0` appends an
+    * INVALID tail chosen by `doc_id % 3` (lone C3 lead → 1 repair;
+    * two stray continuations → 2; truncated 3-byte E2 82 → 1). The
+    * from-spec decoder ([[graft.sources.Utf8]], the WHATWG state
+    * machine) books bytes, output codepoints and repairs per doc; the
+    * oracle replays the books as closed-form doc_id arithmetic, so a
+    * decoder that over- or under-repairs any class breaks the hash.
+    *
+    * Scale shape: pure per-row byte work in one scan-parallel
+    * mapPartitions, no shuffle before the output sort. */
+  def t37_utf8_sanitize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Utf8
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val validProbe = Array(0xC3, 0xA9, 0xE2, 0x82, 0xAC,
+          0xF0, 0x9F, 0x98, 0x80).map(_.toByte) // é € 😀
+        it.map { case (id, text) =>
+          // byte books require one byte per char on the base text
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — base bytes would diverge from chars")
+          val base = text.getBytes("US-ASCII")
+          val valid = if (id % 5 == 0) validProbe else Array.empty[Byte]
+          val bad: Array[Byte] =
+            if (id % 7 == 0) (id % 3) match {
+              case 0 => Array(0xC3.toByte) // truncated 2-byte lead
+              case 1 => Array(0x80.toByte, 0x80.toByte) // stray continuations
+              case _ => Array(0xE2.toByte, 0x82.toByte) // truncated 3-byte
+            } else Array.empty[Byte]
+          val bytes = base ++ valid ++ bad
+          val (cps, repl) = Utf8.decodeStats(bytes)
+          (id, bytes.length.toLong, cps.toLong, repl.toLong)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_chars", "n_repl")
+      .orderBy("doc_id")
+  }
+
   /** t23 — corpus n-gram novelty: for every document, the share of its
     * DISTINCT token-5-grams whose first corpus occurrence (min doc_id
     * over all holders) is this document — the redundancy-curve signal
@@ -1583,6 +1631,7 @@ object TextQueries {
     "t33_html_extract" -> (t33_html_extract _),
     "t34_nb_train" -> (t34_nb_train _),
     "t36_boilerplate_blocks" -> (t36_boilerplate_blocks _),
+    "t37_utf8_sanitize" -> (t37_utf8_sanitize _),
   )
 
   /** t31 oracle: the Viterbi forward DP and its backtrack as recursive
@@ -1816,6 +1865,26 @@ object TextQueries {
            sum(rec_fp)::BIGINT // count(*),
            sum(f1_fp)::BIGINT // count(*)
          FROM met ORDER BY cls""",
+    // closed-form doc_id arithmetic: which suffixes a doc carries and
+    // what the maximal-subpart decoder must book for each are pure
+    // functions of (doc_id, length(text)) — base text is ASCII so
+    // DuckDB's char length IS the byte length
+    "t37_utf8_sanitize" ->
+      """SELECT doc_id,
+           CAST(length(text)
+             + CASE WHEN doc_id % 5 = 0 THEN 9 ELSE 0 END
+             + CASE WHEN doc_id % 7 <> 0 THEN 0
+                    WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS BIGINT)
+             AS n_bytes,
+           CAST(length(text)
+             + CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 0 END
+             + CASE WHEN doc_id % 7 <> 0 THEN 0
+                    WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_chars,
+           CAST(CASE WHEN doc_id % 7 <> 0 THEN 0
+                     WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_repl
+         FROM documents ORDER BY doc_id""",
     // expected books rebuilt from the synthChrome template structure:
     // chrome blocks are link-heavy constants (nav 15, rel 22, footer 24
     // — boilerplate under 2·link < text), title/h1 are 'Doc {id}', the
