@@ -90,7 +90,10 @@ object ExplainDump {
       "s24_sq8_persisted", "q86_manifest_two_level",
       "q87_log_checkpointing", "m41_tiff_compressed",
       "c23_calibration_error",
-      "m42_aiff_features", "q88_branch_merge", "s25_quantizer_recall")
+      "m42_aiff_features", "q88_branch_merge", "s25_quantizer_recall",
+      "qn20_warc_ingest", "t33_html_extract", "t34_nb_train",
+      "t36_boilerplate_blocks", "t37_utf8_sanitize",
+      "q90_parquet_native_skip")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append("Things to look for: `PushedFilters`/`ReadSchema` on scans, ")
