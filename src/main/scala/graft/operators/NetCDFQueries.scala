@@ -532,7 +532,8 @@ object NetCDFQueries {
     val landing = Files.createTempDirectory("graft_warc").toString
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
-    writeWarcShards(docs, landing, "shard")
+    writeWarcShards(docs.select(col("doc_id"), col("doc_id"),
+      col("lang"), col("source"), col("text")), landing, "shard")
     val good = s.read.format("binaryFile").load(landing)
       .select(col("content"))
       .as[Array[Byte]]
@@ -548,20 +549,23 @@ object NetCDFQueries {
       .orderBy("shard")
   }
 
-  /** Shared WARC fixture writer (qn20 batch + q91 streaming): one
-    * `.warc.gz` shard per partition into `landing`, a warcinfo head
-    * record then a request + response member pair per document, with
-    * the qn20 corruption classes on the response member only
-    * (`doc_id % 34 == 0` truncated gzip, `% 17 == 0 && % 34 != 0`
-    * hostile Content-Length). Returns the written doc count (forcing
-    * the executor-side write). */
+  /** Shared WARC fixture writer (qn20 batch, q91 streaming, p30
+    * funnel): one `.warc.gz` shard per partition into `landing`, a
+    * warcinfo head record then a request + response member pair per
+    * document, with the qn20 corruption classes on the response member
+    * only (URI id `% 34 == 0` truncated gzip, `% 17 == 0 && % 34 != 0`
+    * hostile Content-Length). `docs` carries FIVE columns
+    * (uri_id, page_id, lang, source, text): uri and page ids usually
+    * coincide, but the p30 mirror-duplicate fixture serves one page
+    * under two URIs. Returns the written doc count (forcing the
+    * executor-side write). */
   private[operators] def writeWarcShards(docs: DataFrame, landing: String,
       filePrefix: String): Long = {
     import graft.sources.{Html, Warc}
     val spark = docs.sparkSession
     import spark.implicits._
     docs.repartition(8)
-      .as[(Long, String, String, String)]
+      .as[(Long, Long, String, String, String)]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val f = new java.io.File(landing, f"${filePrefix}_$pid%03d.warc.gz")
@@ -574,7 +578,7 @@ object NetCDFQueries {
             "software: graft-warc/1.0\r\nformat: WARC File Format 1.0\r\n"
               .getBytes("US-ASCII"))))
           var n = 0L
-          it.foreach { case (id, lang, source, text) =>
+          it.foreach { case (id, pageId, lang, source, text) =>
             // byte accounting requires one byte per char (the media-
             // encoder rule): fail loud instead of diverging silently
             require(text.forall(_ < 128) && source.forall(_ < 128) &&
@@ -588,7 +592,8 @@ object NetCDFQueries {
                 "Content-Type" -> "application/http;msgtype=request"),
               s"GET /doc/$id HTTP/1.1\r\nHost: crawl.example\r\n\r\n"
                 .getBytes("US-ASCII"))))
-            val html = Html.synth(id, lang, source, text).getBytes("US-ASCII")
+            val html = Html.synth(pageId, lang, source, text)
+              .getBytes("US-ASCII")
             val body = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
               s"charset=utf-8\r\nContent-Length: ${html.length}\r\n\r\n")
               .getBytes("US-ASCII") ++ html
@@ -610,23 +615,18 @@ object NetCDFQueries {
       }.reduce(_ + _)
   }
 
-  /** Walk one shard's bytes and yield (doc_id, html byte length) for
-    * every GOOD response record: WARC-Type filter, doc id from the
-    * target URI, HTML framed out of the HTTP payload. Quarantined
-    * members (Left) and warcinfo/request records yield nothing — the
-    * doc-level books are derived downstream against the parquet. */
-  private[operators] def warcGoodDocs(bytes: Array[Byte]): Iterator[(Long, Long)] =
-    graft.sources.Warc.walk(bytes).flatMap {
-      case Right(r) if r.warcType == "response" =>
-        val uri = r.targetUri
-        // a structurally valid record with a missing/non-numeric URI
-        // tail quarantines by omission (per-record posture) — it must
-        // never fail the task
-        val idOpt = scala.util.Try(
-          uri.substring(uri.lastIndexOf('/') + 1).toLong).toOption
-        if (idOpt.isEmpty) Iterator.empty
-        else {
-        val id = idOpt.get
+  /** Frame the (uri id, html byte range) out of one GOOD response
+    * record: WARC-Type filter, doc id from the target URI, HTML after
+    * the HTTP header block. A structurally valid record with a
+    * missing/non-numeric URI tail or no header terminator quarantines
+    * by omission (per-record posture) — it must never fail the task. */
+  private def frameResponse(e: Either[String, graft.sources.Warc.Record])
+      : Option[(Long, Array[Byte], Int)] = e match {
+    case Right(r) if r.warcType == "response" =>
+      val uri = r.targetUri
+      val idOpt = scala.util.Try(
+        uri.substring(uri.lastIndexOf('/') + 1).toLong).toOption
+      idOpt.flatMap { id =>
         val body = r.body
         var sep = -1; var i = 0
         while (sep < 0 && i + 3 < body.length) {
@@ -634,11 +634,27 @@ object NetCDFQueries {
               body(i + 2) == '\r' && body(i + 3) == '\n') sep = i
           i += 1
         }
-        if (sep < 0) Iterator.empty
-        else Iterator.single((id, (body.length - sep - 4).toLong))
-        }
-      case _ => Iterator.empty
-    }
+        if (sep < 0) None else Some((id, body, sep + 4))
+      }
+    case _ => None // warcinfo/request records, quarantined members
+  }
+
+  /** Walk one shard's bytes → (doc_id, html byte length) per good
+    * response record. The doc-level books are derived downstream
+    * against the parquet. */
+  private[operators] def warcGoodDocs(bytes: Array[Byte]): Iterator[(Long, Long)] =
+    graft.sources.Warc.walk(bytes).flatMap(e => frameResponse(e).iterator
+      .map { case (id, body, at) => (id, (body.length - at).toLong) })
+
+  /** Walk one shard's bytes → (uri id, EXTRACTED page text) per good
+    * response record — the p30 funnel's parse+extract stage fused into
+    * the shard scan (the html string never leaves the executor). */
+  private[operators] def warcGoodPages(bytes: Array[Byte]): Iterator[(Long, String)] =
+    graft.sources.Warc.walk(bytes).flatMap(e => frameResponse(e).iterator
+      .map { case (id, body, at) =>
+        (id, graft.sources.Html.extractText(
+          new String(body, at, body.length - at, "US-ASCII")))
+      })
 
   /** qn09 — CF-convention unpacking on import (`cf_unpack=yes`): a
     * packed file carrying `scale_factor`/`add_offset` variable

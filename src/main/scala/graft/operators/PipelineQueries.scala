@@ -1184,7 +1184,64 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** p30 — the crawl→corpus FUNNEL end-to-end: raw WARC shards →
+    * per-record parse with quarantine (qn20's reader) → HTML text
+    * extraction fused into the shard scan ([[NetCDFQueries.warcGoodPages]]
+    * — the page string never leaves the executor) → a token-count
+    * quality gate → exact dedup on the extracted text. The fixture adds
+    * the web's mirror/syndication shape: every `doc_id % 23 == 0` page
+    * is ALSO served under a second URI (`id + max_id + 1`), same
+    * content — the duplicates the dedup stage exists to remove (a
+    * mirror survives to the dedup stage only when BOTH its URIs escape
+    * quarantine and the page passes quality, which the oracle replays
+    * as pure doc_id arithmetic). Output is the per-stage funnel books
+    * (docs, chars) a corpus data card reports.
+    *
+    * Scale shape: one scan-parallel decode+extract pass over the
+    * shards (cached across the stage aggregates), a single exchange for
+    * the distinct-text dedup (at 100 TB the key would be a text hash —
+    * same shuffle, narrower rows), and four bounded aggregates. */
+  def p30_crawl_funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val m = docs.agg(max("doc_id")).head().getLong(0)
+    val corpus = docs.select(col("doc_id").as("uri_id"),
+        col("doc_id").as("page_id"), col("lang"), col("source"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + lit(m + 1)).as("uri_id"),
+          col("doc_id").as("page_id"), col("lang"), col("source"),
+          col("text")))
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_p30_warc").toString
+    NetCDFQueries.writeWarcShards(corpus, landing, "funnel")
+    val parsed = s.read.format("binaryFile").load(landing)
+      .select(col("content")).as[Array[Byte]]
+      .mapPartitions(_.flatMap(NetCDFQueries.warcGoodPages))
+      .toDF("uri_id", "page_text")
+      .cache() // one decode+extract pass serves all stage aggregates
+    try {
+      val quality = parsed
+        .filter(size(split(col("page_text"), " ")) >= 12)
+      val distinctQ = quality.select(col("page_text")).distinct()
+      def books(df: DataFrame, c: Column): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          coalesce(sum(length(c).cast("long")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (n1, c1) = books(corpus, col("text"))
+      val (n2, c2) = books(parsed, col("page_text"))
+      val (n3, c3) = books(quality, col("page_text"))
+      val (n4, c4) = books(distinctQ, col("page_text"))
+      Seq(("1_raw", n1, c1), ("2_parsed", n2, c2),
+        ("3_quality", n3, c3), ("4_unique", n4, c4))
+        .toDF("stage", "n_docs", "n_chars")
+        .orderBy("stage")
+    } finally parsed.unpersist()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p30_crawl_funnel" -> (p30_crawl_funnel _),
     "p29_epoch_budget" -> (p29_epoch_budget _),
     "p28_interleave_order" -> (p28_interleave_order _),
     "p27_dedup_reweight" -> (p27_dedup_reweight _),
@@ -1305,6 +1362,39 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the funnel replayed as pure doc_id arithmetic + the t33 extracted
+    // -text reconstruction: mirror URIs are id + max_id + 1, quarantine
+    // is uri % 17, quality is the 12-token gate on the reconstructed
+    // extracted text, dedup is DISTINCT extracted text (page id is
+    // embedded in the page, so distinct text == distinct page)
+    "p30_crawl_funnel" ->
+      """WITH mm AS (SELECT max(doc_id) AS m FROM documents),
+         corpus AS (
+           SELECT doc_id AS uri, doc_id AS page, lang, source, text
+           FROM documents
+           UNION ALL
+           SELECT doc_id + mm.m + 1, doc_id, lang, source, text
+           FROM documents, mm WHERE doc_id % 23 = 0),
+         parsed AS (SELECT * FROM corpus WHERE uri % 17 <> 0),
+         ex AS (SELECT uri, page,
+             trim(regexp_replace(
+               'Doc ' || page || ' Document ' || page || ' ' || text ||
+                 ' source "' || source || '" & lang ' || lang,
+               '[ \t\r\n]+', ' ', 'g')) AS t
+           FROM parsed),
+         q AS (SELECT * FROM ex
+           WHERE length(t) - length(replace(t, ' ', '')) + 1 >= 12),
+         stages AS (
+           SELECT '1_raw' AS stage, count(*)::BIGINT AS n_docs,
+             coalesce(sum(length(text)), 0)::BIGINT AS n_chars FROM corpus
+           UNION ALL SELECT '2_parsed', count(*)::BIGINT,
+             coalesce(sum(length(t)), 0)::BIGINT FROM ex
+           UNION ALL SELECT '3_quality', count(*)::BIGINT,
+             coalesce(sum(length(t)), 0)::BIGINT FROM q
+           UNION ALL SELECT '4_unique', count(*)::BIGINT,
+             coalesce(sum(length(t)), 0)::BIGINT
+           FROM (SELECT DISTINCT t FROM q))
+         SELECT stage, n_docs, n_chars FROM stages ORDER BY stage""",
     // the stride-scheduling construction replayed with window
     // functions (the oracle may window per source; the engine must
     // not) — same key arithmetic, same (k, source, doc_id) total order

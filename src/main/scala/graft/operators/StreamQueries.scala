@@ -822,7 +822,9 @@ object StreamQueries {
         val stage = java.nio.file.Files
           .createTempDirectory(s"graft_q91_stage_$prefix").toString
         try {
-          NetCDFQueries.writeWarcShards(drop, stage, prefix)
+          NetCDFQueries.writeWarcShards(drop.select(col("doc_id"),
+            col("doc_id"), col("lang"), col("source"), col("text")),
+            stage, prefix)
           new java.io.File(stage).listFiles().foreach { f =>
             java.nio.file.Files.move(f.toPath,
               java.nio.file.Paths.get(watch, f.getName),
