@@ -656,6 +656,65 @@ object NetCDFQueries {
           new String(body, at, body.length - at, "US-ASCII")))
       })
 
+  /** qn21 — robots.txt crawl gate (RFC 9309): the compliance check that
+    * sits in front of every fetch a crawl pipeline makes. A policy file
+    * with two groups (a specific `graftbot` group carrying prefix,
+    * `$`-anchored and `*`-wildcard rules with an Allow carve-out, and a
+    * deny-all `*` fallback), comments and mixed-case field names is
+    * parsed by the from-spec engine ([[graft.sources.Robots]]), and
+    * every document's deterministic URL path is gated twice — once as
+    * GraftBot (case-insensitive group selection; longest-pattern wins,
+    * Allow wins ties) and once as an unknown crawler (the `*` deny-all
+    * group must turn everything away). The oracle replays the verdicts
+    * as pure doc_id arithmetic, so a precedence slip, a broken anchor,
+    * or a group-selection miss shifts the per-source books.
+    *
+    * Scale shape: the parsed policy is a broadcast of a few rules; the
+    * gate is per-row work against cached compiled patterns — scan
+    * speed, one aggregate. */
+  def qn21_robots_gate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Robots
+    val policy =
+      """# graft crawl policy
+        |User-Agent: graftbot
+        |Disallow: /private/
+        |Allow: /private/doc/
+        |Disallow: /doc/tmp$
+        |Disallow: /*.bin
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    val bc = s.sparkContext.broadcast(Robots.parse(policy))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val g = bc.value
+        it.map { case (id, source) =>
+          val path =
+            if (id % 20 == 3) "/doc/tmp" // the $-anchored rule, exactly
+            else if (id % 20 == 13) "/doc/tmp2" // anchor must NOT fire
+            else (id % 4) match {
+              case 0 => s"/private/doc/$id" // Allow out-prefixes Disallow
+              case 1 => s"/private/admin/$id" // prefix Disallow
+              case 2 => s"/data/$id.bin" // wildcard Disallow
+              case _ => s"/doc/$id" // no rule matches -> allowed
+            }
+          (source,
+            if (Robots.allowed(g, "GraftBot", path)) 1L else 0L,
+            if (Robots.allowed(g, "otherbot", path)) 1L else 0L)
+        }
+      }
+      .toDF("source", "a", "ao")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_urls"), sum("a").as("n_allowed"),
+        (count(lit(1)) - sum("a")).as("n_disallowed"),
+        sum("ao").as("n_allowed_other"))
+      .orderBy("source")
+  }
+
   /** qn09 — CF-convention unpacking on import (`cf_unpack=yes`): a
     * packed file carrying `scale_factor`/`add_offset` variable
     * attributes imports as `raw*scale + offset`, next to an unpacked
@@ -1062,9 +1121,27 @@ object NetCDFQueries {
     "qn17_export_dist_filtered" -> (qn17_export_dist_filtered _),
     "qn13_jsonl_quarantine" -> (qn13_jsonl_quarantine _),
     "qn20_warc_ingest" -> (qn20_warc_ingest _),
+    "qn21_robots_gate" -> (qn21_robots_gate _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the gate verdicts replayed as doc_id arithmetic: which path class
+    // a doc gets and what the precedence rules decide for it are both
+    // deterministic; the unknown-crawler column is the deny-all group
+    "qn21_robots_gate" ->
+      """SELECT source, count(*)::BIGINT AS n_urls,
+           sum(a)::BIGINT AS n_allowed,
+           (count(*) - sum(a))::BIGINT AS n_disallowed,
+           CAST(0 AS BIGINT) AS n_allowed_other
+         FROM (SELECT source,
+             CASE WHEN doc_id % 20 = 3 THEN 0
+                  WHEN doc_id % 20 = 13 THEN 1
+                  WHEN doc_id % 4 = 0 THEN 1
+                  WHEN doc_id % 4 = 1 THEN 0
+                  WHEN doc_id % 4 = 2 THEN 0
+                  ELSE 1 END AS a
+           FROM documents)
+         GROUP BY source ORDER BY source""",
     // predicts the WARC walk's books from the parquet alone: quarantine
     // membership is a pure doc_id function, and each good page's byte
     // length is the synth template constant (interpolated from
