@@ -1240,7 +1240,59 @@ object PipelineQueries {
     } finally parsed.unpersist()
   }
 
+  /** p31 — URL frontier canonicalization + dedup (the step between
+    * qn21's robots gate and the fetch queue: a frontier must recognize
+    * `HTTP://Example.COM:80/a/../doc/1` and `http://example.com/doc/1`
+    * as ONE fetch or it crawls the web twice). Every document gets a
+    * deterministically MESSY url (six normalization classes: default
+    * port + case, dot-segments, unsorted query + fragment, https
+    * default port, percent-encoded unreserved, nested dot-segments),
+    * and every `doc_id % 23 == 0` doc ALSO gets a differently-messy
+    * TWIN of the same canonical (the mirror shape p30 uses). The
+    * from-spec canonicalizer ([[graft.sources.Url]], RFC 3986 §6 +
+    * frontier query sort) must collapse each twin pair while keeping
+    * every distinct page distinct; the books pin the canonical STRINGS
+    * through their summed length, which the oracle replays as CASE
+    * arithmetic per class.
+    *
+    * Scale shape: per-row string work then ONE map-combined aggregate
+    * keyed by (source, canonical) — the dedup shuffle a real frontier
+    * runs, hash-partitioned, no skew (canonicals embed the doc id). */
+  def p31_url_frontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Url
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .flatMap { case (id, src) =>
+        val (base, twin) = (id % 6) match {
+          case 0 => (s"HTTP://Example.COM:80/doc/$id",
+            s"http://example.com/./doc/$id")
+          case 1 => (s"http://example.com/a/../v1/doc/$id",
+            s"http://EXAMPLE.com/v1/./doc/$id")
+          case 2 => (s"http://example.com/doc/$id?b=2&a=1#f",
+            s"HTTP://example.com:80/doc/$id?a=1&b=2")
+          case 3 => (s"https://EXAMPLE.com:443/./doc/$id",
+            s"https://example.com/doc/$id#x")
+          case 4 => (s"http://example.com/doc/%7E$id",
+            s"http://example.com/doc/~$id")
+          case _ => (s"http://example.com/v5/./doc/$id",
+            s"http://example.com/a/b/../../v5/doc/$id")
+        }
+        val rows = Seq((src, Url.canonicalize(base))) ++
+          (if (id % 23 == 0) Seq((src, Url.canonicalize(twin))) else Nil)
+        rows
+      }
+      .toDF("source", "canon")
+      .groupBy("source", "canon").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(sum("cnt").as("n_urls"), count(lit(1)).as("n_unique"),
+        sum(length(col("canon")).cast("long")).as("canon_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p31_url_frontier" -> (p31_url_frontier _),
     "p30_crawl_funnel" -> (p30_crawl_funnel _),
     "p29_epoch_budget" -> (p29_epoch_budget _),
     "p28_interleave_order" -> (p28_interleave_order _),
@@ -1362,6 +1414,21 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the frontier books as CASE arithmetic: every doc yields one
+    // canonical (twins collapse), and the canonical string per class is
+    // a fixed prefix + the doc id, so the summed length pins the exact
+    // normalized strings — a dropped query sort, a surviving dot
+    // segment or an undecoded %7E shifts canon_chars
+    "p31_url_frontier" ->
+      """SELECT source,
+           CAST(count(*) + sum(CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_urls,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 23 WHEN 1 THEN 26 WHEN 2 THEN 31
+               WHEN 3 THEN 24 WHEN 4 THEN 24 ELSE 26 END
+             + length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS canon_chars
+         FROM documents GROUP BY source ORDER BY source""",
     // the funnel replayed as pure doc_id arithmetic + the t33 extracted
     // -text reconstruction: mirror URIs are id + max_id + 1, quarantine
     // is uri % 17, quality is the 12-token gate on the reconstructed
