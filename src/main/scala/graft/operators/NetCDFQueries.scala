@@ -656,6 +656,129 @@ object NetCDFQueries {
           new String(body, at, body.length - at, "US-ASCII")))
       })
 
+  /** qn22 — WARC REVISIT records (the crawler-side dedup the format
+    * itself carries): when a crawler re-fetches a page whose payload
+    * digest it has already stored, it writes a `revisit` record
+    * (WARC-Profile: identical-payload-digest, WARC-Refers-To-Target-URI,
+    * WARC-Payload-Digest, HTTP headers only — no payload) instead of a
+    * second response. The fixture serves every `doc_id % 23 == 0` page
+    * a second time as a revisit of the original URI; the reader walks
+    * both record types, RECOMPUTES each response's payload digest
+    * (`sha1:<base32>`, the WARC convention) from the bytes it framed
+    * out of the gzip members, and verifies every revisit's declared
+    * digest against its referent's recomputed one — so a framing slip
+    * anywhere between writer and reader breaks `n_verified`, which the
+    * oracle pins to the full revisit count. `bytes_saved` is the
+    * payload volume the crawler did NOT refetch, replayed by the oracle
+    * through the synth length decomposition.
+    *
+    * Scale shape: scan-parallel walk per shard; the verify join is
+    * revisits ⋈ responses on the referent id — at crawl scale the
+    * digest index is the bucketed store this equi-join models. */
+  def qn22_warc_revisit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Html, Warc}
+    val landing = Files.createTempDirectory("graft_warc_rv").toString
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val m = docs.agg(max("doc_id")).head().getLong(0)
+    docs.repartition(8).as[(Long, String, String, String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.File(landing, f"rv_$pid%03d.warc.gz")
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f))
+        try {
+          var n = 0L
+          val date = "2026-01-01T00:00:00Z"
+          it.foreach { case (id, lang, source, text) =>
+            require(text.forall(_ < 128) && source.forall(_ < 128) &&
+              lang.forall(_ < 128),
+              s"doc $id: non-ASCII char — page bytes would diverge from chars")
+            val uri = s"http://crawl.example/doc/$id"
+            val html = Html.synth(id, lang, source, text).getBytes("US-ASCII")
+            val body = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+              s"charset=utf-8\r\nContent-Length: ${html.length}\r\n\r\n")
+              .getBytes("US-ASCII") ++ html
+            out.write(Warc.gzipMember(Warc.encodeRecord("response",
+              Seq("WARC-Target-URI" -> uri, "WARC-Date" -> date,
+                "WARC-Payload-Digest" -> Warc.payloadDigest(html),
+                "Content-Type" -> "application/http;msgtype=response"),
+              body)))
+            if (id % 23 == 0) {
+              // the second capture: headers only, digest declared
+              val rvUri = s"http://crawl.example/doc/${id + m + 1}"
+              out.write(Warc.gzipMember(Warc.encodeRecord("revisit",
+                Seq("WARC-Target-URI" -> rvUri, "WARC-Date" -> date,
+                  "WARC-Profile" ->
+                    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
+                  "WARC-Refers-To-Target-URI" -> uri,
+                  "WARC-Payload-Digest" -> Warc.payloadDigest(html),
+                  "Content-Type" -> "application/http;msgtype=response"),
+                "HTTP/1.1 304 Not Modified\r\n\r\n".getBytes("US-ASCII"))))
+            }
+            n += 1
+          }
+          Iterator.single(n)
+        } finally out.close()
+      }.reduce(_ + _)
+    val walked = s.read.format("binaryFile").load(landing)
+      .select(col("content")).as[Array[Byte]]
+      .mapPartitions { files =>
+        files.flatMap { bytes =>
+          Warc.walk(bytes).flatMap {
+            case Right(r) if r.warcType == "response" =>
+              val id = r.targetUri.substring(
+                r.targetUri.lastIndexOf('/') + 1).toLong
+              val body = r.body
+              var sep = -1; var i = 0
+              while (sep < 0 && i + 3 < body.length) {
+                if (body(i) == '\r' && body(i + 1) == '\n' &&
+                    body(i + 2) == '\r' && body(i + 3) == '\n') sep = i
+                i += 1
+              }
+              if (sep < 0) Iterator.empty // no HTTP header block: quarantine
+              else {
+                val payload =
+                  java.util.Arrays.copyOfRange(body, sep + 4, body.length)
+                // RECOMPUTED from walked bytes — not copied from the header
+                Iterator.single(("response", id, id,
+                  Warc.payloadDigest(payload), payload.length.toLong))
+              }
+            case Right(r) if r.warcType == "revisit" =>
+              val refers = r.header("WARC-Refers-To-Target-URI").getOrElse("")
+              val refId = refers.substring(refers.lastIndexOf('/') + 1).toLong
+              val id = r.targetUri.substring(
+                r.targetUri.lastIndexOf('/') + 1).toLong
+              Iterator.single(("revisit", id, refId,
+                r.header("WARC-Payload-Digest").getOrElse(""), 0L))
+            case _ => Iterator.empty
+          }
+        }
+      }.toDF("rtype", "uri_id", "ref_id", "digest", "payload_len")
+    val responses = walked.filter(col("rtype") === "response")
+      .select(col("ref_id").as("orig_id"), col("digest").as("orig_digest"),
+        col("payload_len").as("orig_len"))
+    val revisits = walked.filter(col("rtype") === "revisit")
+      .join(responses, col("ref_id") === col("orig_id"), "left")
+      .select(col("ref_id"),
+        when(col("digest") === col("orig_digest"), 1L).otherwise(0L)
+          .as("verified"),
+        coalesce(col("orig_len"), lit(0L)).as("saved"))
+    responses
+      .groupBy(pmod(col("orig_id"), lit(8L)).cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_response"))
+      .join(revisits
+        .groupBy(pmod(col("ref_id"), lit(8L)).cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_revisit"), sum("verified").as("n_verified"),
+          sum("saved").as("bytes_saved")), Seq("shard"), "left")
+      .select(col("shard"), col("n_response"),
+        coalesce(col("n_revisit"), lit(0L)).as("n_revisit"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        coalesce(col("bytes_saved"), lit(0L)).as("bytes_saved"))
+      .orderBy("shard")
+  }
+
   /** qn21 — robots.txt crawl gate (RFC 9309): the compliance check that
     * sits in front of every fetch a crawl pipeline makes. A policy file
     * with two groups (a specific `graftbot` group carrying prefix,
@@ -1122,6 +1245,7 @@ object NetCDFQueries {
     "qn13_jsonl_quarantine" -> (qn13_jsonl_quarantine _),
     "qn20_warc_ingest" -> (qn20_warc_ingest _),
     "qn21_robots_gate" -> (qn21_robots_gate _),
+    "qn22_warc_revisit" -> (qn22_warc_revisit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1142,6 +1266,29 @@ object NetCDFQueries {
                   ELSE 1 END AS a
            FROM documents)
          GROUP BY source ORDER BY source""",
+    // the revisit books as doc_id arithmetic: every doc yields one
+    // response, every % 23 doc one revisit whose digest MUST verify
+    // (n_verified pinned to the full revisit count — a framing slip
+    // between writer and reader breaks the digest match), and
+    // bytes_saved is the un-refetched payload via the synth length
+    // decomposition
+    "qn22_warc_revisit" -> {
+      def encLen(c: String) =
+        s"length(replace(replace(replace(replace($c,'&','&amp;')," +
+          "'<','&lt;'),'>','&gt;'),'\"','&quot;'))"
+      s"""SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+         CAST(count(*) AS BIGINT) AS n_response,
+         CAST(sum(CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_revisit,
+         CAST(sum(CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_verified,
+         CAST(sum(CASE WHEN doc_id % 23 = 0 THEN
+             ${graft.sources.Html.synthFixedLen}
+             + 3 * length(CAST(doc_id AS VARCHAR))
+             + ${encLen("text")} + ${encLen("source")} + ${encLen("lang")}
+           ELSE 0 END) AS BIGINT) AS bytes_saved
+         FROM documents GROUP BY 1 ORDER BY shard"""
+    },
     // predicts the WARC walk's books from the parquet alone: quarantine
     // membership is a pure doc_id function, and each good page's byte
     // length is the synth template constant (interpolated from

@@ -178,6 +178,23 @@ object Warc {
       bodyStart + len.toInt))
   }
 
+  /** `sha1:<base32>` payload digest in the WARC convention (RFC 4648
+    * base32, no padding needed: sha1's 160 bits are exactly 32 chars). */
+  def payloadDigest(payload: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(payload)
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder(32)
+    var buf = 0L; var bits = 0
+    d.foreach { b =>
+      buf = (buf << 8) | (b & 0xFFL); bits += 8
+      while (bits >= 5) {
+        bits -= 5
+        sb.append(alphabet(((buf >> bits) & 0x1F).toInt))
+      }
+    }
+    "sha1:" + sb.toString
+  }
+
   /** Walk a `.warc.gz` shard member-by-member. A malformed member (bad
     * gzip, CRC failure, bad WARC framing) yields a Left(reason) and the
     * walk RESYNCS by scanning forward for the next gzip magic — so one

@@ -72,6 +72,15 @@ class WarcSpec extends AnyFunSuite {
     assert(out.collect { case Right(r) => r.targetUri }.map(_.last) == Seq('1', '3'))
   }
 
+  test("payload digest matches the WARC sha1:base32 convention") {
+    // sha1("") is the classic test vector; base32 per RFC 4648
+    assert(Warc.payloadDigest(Array.empty[Byte]) ==
+      "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    // sha1("abc") = a9993e364706816aba3e25717850c26c9cd0d89d
+    assert(Warc.payloadDigest("abc".getBytes("US-ASCII")) ==
+      "sha1:VGMT4NSHA2AWVOR6EVYXQUGCNSONBWE5")
+  }
+
   test("fuzz: bit-flipped and truncated shards never crash the walk") {
     val base = (1 to 20).map(i => Warc.gzipMember(rec(i.toLong, "d" * i)))
       .reduce(_ ++ _)
