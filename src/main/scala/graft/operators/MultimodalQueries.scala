@@ -1731,6 +1731,39 @@ object MultimodalQueries {
     *
     * Scale shape: two scan-parallel mapPartitions stages, zero shuffle
     * before the output sort (the m05/m38 audio idiom). */
+  /** m43 — MP3 container BOOKS without decode (ID3v2 skip + MPEG-1
+    * Layer III frame-header walk, [[graft.sources.Mp3]]): the
+    * audio-corpus bookkeeping pass — frame counts, exact-integer
+    * durations (μs, the spec's own 1152-samples-per-frame arithmetic),
+    * byte volumes — that a 100 TB ingest runs on every file long
+    * before any DSP. Each document encodes a deterministic container
+    * (id-derived ID3 payload size, frame count, per-frame bitrate
+    * index cycle and padding cadence) and the parser must walk it back
+    * exactly: the oracle replays frame lengths per the spec formula
+    * (144·bitrate/samplerate + padding, integer division) as a
+    * correlated range sum, so an off-by-one in any frame advances the
+    * walk into a sync error or shifts the byte books.
+    *
+    * Scale shape: pure per-row byte work, scan-parallel, no shuffle
+    * before the output sort (the media-family shape). */
+  def m43_mp3_books(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Mp3
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nf = 30 + (id % 50).toInt
+          val sr = (id % 3).toInt
+          val frames = (0 until nf).map(j =>
+            (1 + ((id + j) % 14).toInt, sr, (id + j) % 2 == 1))
+          val b = Mp3.parse(Mp3.encode(40 + (id % 60).toInt, frames))
+          (id, b.nFrames, b.durationUs, b.nBytes)
+        }
+      }
+      .toDF("doc_id", "n_frames", "duration_us", "n_bytes")
+      .orderBy("doc_id")
+  }
+
   def m42_aiff_features(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
@@ -2780,6 +2813,7 @@ object MultimodalQueries {
     "m40_tga_features" -> (m40_tga_features _),
     "m41_tiff_compressed" -> (m41_tiff_compressed _),
     "m42_aiff_features" -> (m42_aiff_features _),
+    "m43_mp3_books" -> (m43_mp3_books _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -2825,6 +2859,27 @@ object MultimodalQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    // frame lengths replayed per the spec's own 144·bitrate/samplerate
+    // + padding integer formula as a correlated range sum; duration is
+    // the exact 1152-samples-per-frame arithmetic; both engines' int
+    // division agrees (all terms non-negative)
+    "m43_mp3_books" ->
+      """WITH d AS (SELECT doc_id, 30 + doc_id % 50 AS nf,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+             WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+           40 + doc_id % 60 AS id3
+         FROM documents)
+         SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf * 1152 * 1000000 // sr AS BIGINT) AS duration_us,
+           CAST(10 + id3 + list_sum(list_transform(range(0, nf), j ->
+               144000 * (CASE CAST(1 + (doc_id + j) % 14 AS INT)
+                 WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                 WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                 WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                 WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                 WHEN 13 THEN 256 ELSE 320 END) // sr
+               + (doc_id + j) % 2)) AS BIGINT) AS n_bytes
+         FROM d ORDER BY doc_id""",
     // both demuxed tracks replayed from the document bytes: video =
     // m07's v(f,k) = byte((f+3k) mod len) flat blocks (luma0 and total
     // SAD at 64x), audio = the m05 synthesis (|amp| sum + sign-flip
