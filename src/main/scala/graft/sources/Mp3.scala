@@ -25,24 +25,35 @@ object Mp3 {
       (if (padding) 1 else 0)
 
   /** Deterministic fixture encoder: an ID3v2.4 tag of `id3Payload`
-    * junk bytes, then the given frames (header + deterministic fill). */
+    * junk bytes, then the given frames (header + deterministic fill).
+    * Preallocated single array — this runs per corpus row. */
   def encode(id3Payload: Int, frames: Seq[(Int, Int, Boolean)]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    out.write('I'); out.write('D'); out.write('3')
-    out.write(4); out.write(0); out.write(0) // v2.4.0, no flags
-    // syncsafe size: 4 x 7 bits, high bit of each byte zero
-    out.write((id3Payload >>> 21) & 0x7F); out.write((id3Payload >>> 14) & 0x7F)
-    out.write((id3Payload >>> 7) & 0x7F); out.write(id3Payload & 0x7F)
-    for (i <- 0 until id3Payload) out.write((i * 31 + 7) & 0xFF)
+    var total = 10 + id3Payload
     frames.foreach { case (bi, sr, pad) =>
       require(bi >= 1 && bi <= 14 && sr >= 0 && sr <= 2, "fixture indices")
-      val len = frameLength(bi, sr, pad)
-      out.write(0xFF); out.write(0xFB) // sync + MPEG-1 + Layer III + no CRC
-      out.write((bi << 4) | (sr << 2) | (if (pad) 2 else 0))
-      out.write(0x40) // joint stereo, no emphasis
-      for (i <- 4 until len) out.write((i * 17 + bi) & 0xFF)
+      total += frameLength(bi, sr, pad)
     }
-    out.toByteArray
+    val out = new Array[Byte](total)
+    out(0) = 'I'; out(1) = 'D'; out(2) = '3'
+    out(3) = 4 // v2.4.0, flags 0 at (4)(5) already
+    // syncsafe size: 4 x 7 bits, high bit of each byte zero
+    out(6) = ((id3Payload >>> 21) & 0x7F).toByte
+    out(7) = ((id3Payload >>> 14) & 0x7F).toByte
+    out(8) = ((id3Payload >>> 7) & 0x7F).toByte
+    out(9) = (id3Payload & 0x7F).toByte
+    var p = 10
+    var i = 0
+    while (i < id3Payload) { out(p) = ((i * 31 + 7) & 0xFF).toByte; p += 1; i += 1 }
+    frames.foreach { case (bi, sr, pad) =>
+      val len = frameLength(bi, sr, pad)
+      out(p) = 0xFF.toByte; out(p + 1) = 0xFB.toByte // sync+MPEG-1+III+noCRC
+      out(p + 2) = ((bi << 4) | (sr << 2) | (if (pad) 2 else 0)).toByte
+      out(p + 3) = 0x40 // joint stereo, no emphasis
+      var k = 4
+      while (k < len) { out(p + k) = ((k * 17 + bi) & 0xFF).toByte; k += 1 }
+      p += len
+    }
+    out
   }
 
   final case class Books(nFrames: Long, durationUs: Long, nBytes: Long)
