@@ -94,7 +94,7 @@ object ExplainDump {
       "qn20_warc_ingest", "t33_html_extract", "t34_nb_train",
       "t36_boilerplate_blocks", "t37_utf8_sanitize",
       "q90_parquet_native_skip", "p30_crawl_funnel", "qn21_robots_gate",
-      "p31_url_frontier")
+      "p31_url_frontier", "qn22_warc_revisit", "m43_mp3_books")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append("Things to look for: `PushedFilters`/`ReadSchema` on scans, ")
