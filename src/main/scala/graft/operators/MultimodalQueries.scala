@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sources.{Aiff, Avi, Flac, Jpeg, MediaCodec, Png, Tga, Tiff}
+import graft.sources.{Aiff, Avi, Flac, Jpeg, MediaCodec, Mp4, Png, Tga, Tiff}
 
 /** Multimodal-column operators for the training-data pipeline: media
   * payloads ride as opaque `binary` columns next to a typed metadata
@@ -1764,6 +1764,43 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m44 — ISO-BMFF / MP4 container books without decode (from-spec box
+    * walk, [[graft.sources.Mp4]], ISO/IEC 14496-12 §4.2): box counts,
+    * movie duration in exact-integer ms, track counts split by handler
+    * type, mdat payload volume. Each document encodes a deterministic
+    * movie skeleton (id-derived timescale/duration, 1–3 alternating
+    * vide/soun tracks, optional free box, and an mdat cycling through
+    * the three legal size encodings — 32-bit, 64-bit largesize,
+    * size-0-to-EOF) and the walk must balance it back exactly: the
+    * oracle replays the fixed box layout (ftyp 24, mvhd 108, trak 173)
+    * as closed-form integer arithmetic, so an off-by-one in any header
+    * length or a mishandled largesize shifts the books.
+    *
+    * Scale shape: pure per-row byte work, scan-parallel, no shuffle
+    * before the output sort (the media-family shape). */
+  def m44_mp4_books(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val ts = (id % 3) match {
+            case 0 => 600L; case 1 => 1000L; case _ => 90000L
+          }
+          val dur = 1000L + id % 100000L
+          val nt = 1 + (id % 3).toInt
+          val fp = if (id % 4 == 0) (id % 50).toInt else -1
+          val mp = 100 + (id % 900).toInt
+          val mm = if (id % 5 == 0) 1 else if (id % 7 == 0) 2 else 0
+          val b = Mp4.parse(Mp4.encode(ts, dur, nt, fp, mp, mm))
+          (id, b.nBoxes, b.timescale, b.durationMs, b.nVideo, b.nAudio,
+            b.mdatBytes, b.nBytes)
+        }
+      }
+      .toDF("doc_id", "n_boxes", "timescale", "duration_ms", "n_video",
+        "n_audio", "mdat_bytes", "n_bytes")
+      .orderBy("doc_id")
+  }
+
   def m42_aiff_features(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
@@ -2814,6 +2851,7 @@ object MultimodalQueries {
     "m41_tiff_compressed" -> (m41_tiff_compressed _),
     "m42_aiff_features" -> (m42_aiff_features _),
     "m43_mp3_books" -> (m43_mp3_books _),
+    "m44_mp4_books" -> (m44_mp4_books _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -2863,6 +2901,35 @@ object MultimodalQueries {
     // + padding integer formula as a correlated range sum; duration is
     // the exact 1152-samples-per-frame arithmetic; both engines' int
     // division agrees (all terms non-negative)
+    // the fixed box layout (ftyp 24, moov hdr 8 + mvhd 108, trak 173,
+    // free 8+fp, mdat 8/16 + payload) replayed closed-form; duration_ms
+    // is the mvhd duration*1000//timescale integer arithmetic — both
+    // engines' int division agrees (all terms non-negative)
+    "m44_mp4_books" ->
+      """WITH d AS (SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 600
+             WHEN 1 THEN 1000 ELSE 90000 END AS ts,
+           1000 + doc_id % 100000 AS dur,
+           1 + CAST(doc_id % 3 AS INT) AS nt,
+           CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 50 AS INT)
+             ELSE -1 END AS fp,
+           100 + CAST(doc_id % 900 AS INT) AS mp,
+           CASE WHEN doc_id % 5 = 0 THEN 1 WHEN doc_id % 7 = 0 THEN 2
+             ELSE 0 END AS mm
+         FROM documents)
+         SELECT doc_id,
+           CAST(4 + 5 * nt + CASE WHEN fp >= 0 THEN 1 ELSE 0 END
+             AS BIGINT) AS n_boxes,
+           CAST(ts AS BIGINT) AS timescale,
+           CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+           CAST((nt + 1) // 2 AS BIGINT) AS n_video,
+           CAST(nt // 2 AS BIGINT) AS n_audio,
+           CAST(mp AS BIGINT) AS mdat_bytes,
+           CAST(140 + 173 * nt
+             + CASE WHEN fp >= 0 THEN 8 + fp ELSE 0 END
+             + CASE WHEN mm = 1 THEN 16 ELSE 8 END + mp AS BIGINT)
+             AS n_bytes
+         FROM d ORDER BY doc_id""",
     "m43_mp3_books" ->
       """WITH d AS (SELECT doc_id, 30 + doc_id % 50 AS nf,
            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
