@@ -1801,6 +1801,43 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m45 — Ogg container books without decode (from-spec page walk,
+    * [[graft.sources.Ogg]], RFC 3533): page/packet counts, final
+    * granule position, payload volume — with EVERY page CRC verified
+    * (the non-reflected 0x04c11db7 CRC over the page with the CRC
+    * field zeroed, §6). Each document encodes a deterministic stream
+    * (id-derived page count, per-page packet sizes crossing the 255
+    * lacing boundary, and on a quarter of the docs a 300-byte packet
+    * SPANNING two pages under the continuation flag) and the walk must
+    * balance it back exactly: the oracle replays the lacing arithmetic
+    * (⌊n/255⌋ 255-values + final remainder) closed-form, so an
+    * off-by-one in lacing, a mis-laid header field, or a CRC bug
+    * (parse rejects the page) shifts the books or fails the row.
+    *
+    * Scale shape: pure per-row byte work, scan-parallel, no shuffle
+    * before the output sort (the media-family shape). */
+  def m45_ogg_books(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Ogg
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val np = 2 + (id % 5).toInt
+          val g = 1 + id % 100
+          val pages = (0 until np).map { j =>
+            val k = 1 + ((id + j) % 3).toInt
+            Ogg.Page((j + 1) * g * 48L,
+              (0 until k).map(i => 20 + ((id + 13L * j + 7L * i) % 290).toInt))
+          }
+          val b = Ogg.parse(Ogg.encode(id, pages, span = id % 4 == 0))
+          (id, b.nPages, b.nPackets, b.lastGranule, b.payloadBytes, b.nBytes)
+        }
+      }
+      .toDF("doc_id", "n_pages", "n_packets", "last_granule",
+        "payload_bytes", "n_bytes")
+      .orderBy("doc_id")
+  }
+
   def m42_aiff_features(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
@@ -2852,6 +2889,7 @@ object MultimodalQueries {
     "m42_aiff_features" -> (m42_aiff_features _),
     "m43_mp3_books" -> (m43_mp3_books _),
     "m44_mp4_books" -> (m44_mp4_books _),
+    "m45_ogg_books" -> (m45_ogg_books _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -2930,6 +2968,32 @@ object MultimodalQueries {
              + CASE WHEN mm = 1 THEN 16 ELSE 8 END + mp AS BIGINT)
              AS n_bytes
          FROM d ORDER BY doc_id""",
+    // lacing replayed closed-form: each packet contributes
+    // 1 + (s >= 255) lacing values (sizes stay under 510); the spanning
+    // packet adds one lacing value to each of pages 0 and 1; header =
+    // 27 B + lacing count per page. CRC correctness needs no oracle
+    // column: parse re-derives every page CRC and rejects on mismatch.
+    "m45_ogg_books" ->
+      """WITH d AS (SELECT doc_id, 2 + CAST(doc_id % 5 AS INT) AS np,
+           1 + doc_id % 100 AS g,
+           CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS sp
+         FROM documents),
+         p AS (SELECT doc_id, np, g, sp,
+           flatten(list_transform(range(0, np), j ->
+             list_transform(range(0, 1 + CAST((doc_id + j) % 3 AS INT)),
+               i -> 20 + CAST((doc_id + 13 * j + 7 * i) % 290 AS INT))))
+             AS sizes
+         FROM d)
+         SELECT doc_id,
+           CAST(np AS BIGINT) AS n_pages,
+           CAST(len(sizes) + sp AS BIGINT) AS n_packets,
+           CAST(np * g * 48 AS BIGINT) AS last_granule,
+           CAST(list_sum(sizes) + 300 * sp AS BIGINT) AS payload_bytes,
+           CAST(27 * np
+             + list_sum(list_transform(sizes,
+                 s -> 1 + CASE WHEN s >= 255 THEN 1 ELSE 0 END))
+             + 2 * sp + list_sum(sizes) + 300 * sp AS BIGINT) AS n_bytes
+         FROM p ORDER BY doc_id""",
     "m43_mp3_books" ->
       """WITH d AS (SELECT doc_id, 30 + doc_id % 50 AS nf,
            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
