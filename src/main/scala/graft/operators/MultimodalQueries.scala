@@ -1838,6 +1838,42 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m46 — Matroska / EBML container books without decode (from-spec
+    * varint walk, [[graft.sources.Ebml]], RFC 8794): element / cluster
+    * / SimpleBlock counts, last cluster timestamp, block payload
+    * volume. Each document encodes a deterministic matroska skeleton
+    * (id-derived cluster/block structure; a third of the docs frame the
+    * Segment with the 1-byte all-ones UNKNOWN-size varint — the
+    * streamed-file shape) and the walk must balance it back exactly:
+    * the oracle replays the fixed framing (header 23, info 15, cluster
+    * 13, block 7 + payload) closed-form, so a varint-length bug or a
+    * mishandled unknown-size scope shifts the books.
+    *
+    * Scale shape: pure per-row byte work, scan-parallel, no shuffle
+    * before the output sort (the media-family shape). */
+  def m46_mkv_books(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Ebml
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nc = 1 + (id % 4).toInt
+          val tsu = 10 + id % 90
+          val clusters = (0 until nc).map { c =>
+            val nb = 1 + ((id + c) % 3).toInt
+            Ebml.Cluster(c * tsu,
+              (0 until nb).map(b => 10 + ((id + 17L * c + 5L * b) % 120).toInt))
+          }
+          val books = Ebml.parse(Ebml.encode(clusters, id % 3 == 0))
+          (id, books.nElements, books.nClusters, books.nBlocks,
+            books.lastClusterTs, books.blockBytes, books.nBytes)
+        }
+      }
+      .toDF("doc_id", "n_elements", "n_clusters", "n_blocks",
+        "last_cluster_ts", "block_bytes", "n_bytes")
+      .orderBy("doc_id")
+  }
+
   def m42_aiff_features(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
@@ -2890,6 +2926,7 @@ object MultimodalQueries {
     "m43_mp3_books" -> (m43_mp3_books _),
     "m44_mp4_books" -> (m44_mp4_books _),
     "m45_ogg_books" -> (m45_ogg_books _),
+    "m46_mkv_books" -> (m46_mkv_books _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -2994,6 +3031,32 @@ object MultimodalQueries {
                  s -> 1 + CASE WHEN s >= 255 THEN 1 ELSE 0 END))
              + 2 * sp + list_sum(sizes) + 300 * sp AS BIGINT) AS n_bytes
          FROM p ORDER BY doc_id""",
+    // the fixed EBML framing replayed closed-form: header 23 B, Segment
+    // size varint 1 B (unknown, id%3=0) or 2 B, info 15 B, 13 B per
+    // cluster, 7 B per block + payload; element count = 6 fixed + 2 per
+    // cluster + blocks
+    "m46_mkv_books" ->
+      """WITH d AS (SELECT doc_id, 1 + CAST(doc_id % 4 AS INT) AS nc,
+           10 + doc_id % 90 AS tsu,
+           CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 6 END AS sh
+         FROM documents),
+         c AS (SELECT doc_id, nc, tsu, sh,
+           list_transform(range(0, nc),
+             c -> 1 + CAST((doc_id + c) % 3 AS INT)) AS nbs,
+           flatten(list_transform(range(0, nc), c ->
+             list_transform(range(0, 1 + CAST((doc_id + c) % 3 AS INT)),
+               b -> 10 + CAST((doc_id + 17 * c + 5 * b) % 120 AS INT))))
+             AS dbs
+         FROM d)
+         SELECT doc_id,
+           CAST(6 + 2 * nc + list_sum(nbs) AS BIGINT) AS n_elements,
+           CAST(nc AS BIGINT) AS n_clusters,
+           CAST(list_sum(nbs) AS BIGINT) AS n_blocks,
+           CAST((nc - 1) * tsu AS BIGINT) AS last_cluster_ts,
+           CAST(list_sum(dbs) AS BIGINT) AS block_bytes,
+           CAST(23 + sh + 15 + 13 * nc + 7 * list_sum(nbs)
+             + list_sum(dbs) AS BIGINT) AS n_bytes
+         FROM c ORDER BY doc_id""",
     "m43_mp3_books" ->
       """WITH d AS (SELECT doc_id, 30 + doc_id % 50 AS nf,
            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
