@@ -1595,7 +1595,53 @@ object TextQueries {
       .orderBy("decile")
   }
 
+  /** t38 — interpolated Kneser–Ney bigram LM head (Kneser & Ney 1995;
+    * Chen & Goodman 1998, the smoothing that n-gram LM toolkits ship as
+    * the default — the published-standard counterpart to t26's stupid
+    * backoff). With absolute discount D = 0.75,
+    * P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·)
+    *          + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··),
+    * where N₁₊(w₁·)/N₁₊(·w₂) count distinct continuations/predecessors
+    * and N₁₊(··) the bigram types — the continuation-probability idea
+    * that distinguishes KN from plain discounting. D = 3/4 keeps the
+    * formula rational: both terms are frozen to 1e12 fixed point in
+    * decimal(38,0) `div` arithmetic (the p29/c04 carry pattern —
+    * HUGEINT `//` in the oracle; every numerand non-negative, so both
+    * truncate identically), and the output is the top-50 bigram head
+    * with its sufficient statistics — the rows an LM-pruning or
+    * quality-weighting pass actually consumes.
+    *
+    * Scale shape: one in-row bigram explode → hash aggregate with
+    * map-side combine (the t06 posture); the context/continuation
+    * tables aggregate the BIGRAM TYPE table (vocabulary-bounded, not
+    * corpus-bounded), join back by equi-key, N₁₊(··) broadcasts as one
+    * row, and the head is a TakeOrdered top-k — no full sort. */
+  def t38_kneser_ney(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(tokens(col("text")).as("ws"))
+      .select(explode(expr(
+        "transform(slice(ws, 1, greatest(size(ws) - 1, 0))," +
+          " (w, i) -> struct(w AS w1, ws[i + 1] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = bg.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n_cont"))
+    val cont = bg.groupBy("w2").agg(count(lit(1)).as("n_pred"))
+    val types = bg.agg(count(lit(1)).as("nbb"))
+    bg.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("kn_fp", expr(
+        "CAST(CAST(4 * c12 - 3 AS DECIMAL(38,0)) * 1000000000000" +
+          " div (4 * c1) AS BIGINT)" +
+          " + CAST(CAST(3 * n_cont AS DECIMAL(38,0)) * n_pred" +
+          " * 1000000000000 div (4 * c1 * nbb) AS BIGINT)"))
+      .orderBy(desc("c12"), col("w1"), col("w2")).limit(50)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n_cont"), col("n_pred"), col("kn_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t38_kneser_ney" -> (t38_kneser_ney _),
     "t29_heaps_growth" -> (t29_heaps_growth _),
     "t28_log_odds" -> (t28_log_odds _),
     "t27_luhn_pii" -> (t27_luhn_pii _),
@@ -1802,6 +1848,26 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the KN sufficient statistics as plain aggregates over the bigram
+    // type table; both fixed-point terms in HUGEINT `//` (decimal div on
+    // the Spark side — non-negative, truncation agrees); DuckDB lists
+    // are 1-based, so w[i], w[i+1] over range(1, len) walks the pairs
+    "t38_kneser_ney" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+         bgm AS (SELECT w[i::INT] AS w1, w[(i + 1)::INT] AS w2
+           FROM (SELECT w, unnest(range(1, len(w))) AS i FROM ws)),
+         bg AS (SELECT w1, w2, count(*)::BIGINT AS c12
+           FROM bgm GROUP BY 1, 2),
+         l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             count(*)::BIGINT AS n_cont FROM bg GROUP BY 1),
+         r AS (SELECT w2, count(*)::BIGINT AS n_pred FROM bg GROUP BY 1),
+         n AS (SELECT count(*)::BIGINT AS nbb FROM bg)
+         SELECT w1, w2, c12, c1, n_cont, n_pred,
+           CAST((4 * c12 - 3)::HUGEINT * 1000000000000 // (4 * c1)
+             + (3 * n_cont)::HUGEINT * n_pred * 1000000000000
+               // (4 * c1 * nbb) AS BIGINT) AS kn_fp
+         FROM bg JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+         ORDER BY c12 DESC, w1, w2 LIMIT 50""",
     // full training replay: the closed-form NB counts as CTEs (exact
     // integers), the same dropped-constant score with floor-1e4
     // quantization (ln is the t09/t15 precedent), the same class-name
