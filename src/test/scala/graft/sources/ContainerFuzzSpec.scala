@@ -1,0 +1,124 @@
+package graft.sources
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized coverage for the container walks (MP4/ISO-BMFF, Ogg,
+  * EBML/Matroska): random fixture shapes must round-trip exactly;
+  * random garbage, truncations of real files, and single-bit flips
+  * must either parse or fail with IllegalArgumentException — never
+  * hang, loop, or escape with an uncontrolled error. Fixed seed. */
+class ContainerFuzzSpec extends AnyFunSuite {
+
+  private val rnd = new Random(0xB0C4D)
+
+  private def guarded(f: => Unit): Unit =
+    try f catch { case _: IllegalArgumentException => () }
+
+  test("mp4 roundtrips across random shapes") {
+    for (_ <- 1 to 60) {
+      val ts = Seq(600L, 1000L, 90000L)(rnd.nextInt(3))
+      val dur = rnd.nextInt(1000000).toLong
+      val nt = rnd.nextInt(5) + 1
+      val fp = if (rnd.nextBoolean()) rnd.nextInt(200) else -1
+      val mp = rnd.nextInt(2000)
+      val mm = rnd.nextInt(3)
+      val bytes = Mp4.encode(ts, dur, nt, fp, mp, mm)
+      val b = Mp4.parse(bytes)
+      assert(b.nBytes == bytes.length && b.mdatBytes == mp &&
+        b.nVideo + b.nAudio == nt && b.durationMs == dur * 1000L / ts)
+    }
+  }
+
+  test("ogg roundtrips across random shapes (incl. 255-boundary packets)") {
+    for (_ <- 1 to 60) {
+      val np = rnd.nextInt(6) + 1
+      val span = np >= 2 && rnd.nextBoolean()
+      val pages = (0 until np).map { j =>
+        val k = rnd.nextInt(4) + 1
+        Ogg.Page((j + 1) * 1000L,
+          (0 until k).map(_ => Seq(0, 1, 254, 255, 256, 510, 511)(rnd.nextInt(7))))
+      }
+      val bytes = Ogg.encode(rnd.nextLong() & 0xFFFFFFFFL, pages, span)
+      val b = Ogg.parse(bytes)
+      assert(b.nBytes == bytes.length && b.nPages == np)
+      assert(b.nPackets == pages.map(_.packets.length).sum + (if (span) 1 else 0))
+      assert(b.payloadBytes ==
+        pages.map(_.packets.map(_.toLong).sum).sum + (if (span) 300 else 0))
+    }
+  }
+
+  test("ebml roundtrips across random shapes") {
+    for (_ <- 1 to 60) {
+      val nc = rnd.nextInt(5) + 1
+      val clusters = (0 until nc).map { c =>
+        Ebml.Cluster(c * 40L,
+          (0 until rnd.nextInt(4) + 1).map(_ => rnd.nextInt(400)))
+      }
+      val unknown = rnd.nextBoolean()
+      val bytes = Ebml.encode(clusters, unknown)
+      val b = Ebml.parse(bytes)
+      assert(b.nBytes == bytes.length && b.nClusters == nc)
+      assert(b.nBlocks == clusters.map(_.blockPayloads.length).sum)
+      assert(b.blockBytes == clusters.map(_.blockPayloads.map(_.toLong).sum).sum)
+    }
+  }
+
+  test("garbage never hangs or escapes (all three walks)") {
+    for (i <- 1 to 300) {
+      val n = rnd.nextInt(400) + 1
+      val junk = Array.fill(n)(rnd.nextInt(256).toByte)
+      if (i % 3 == 0 && n >= 4) {
+        junk(0) = 'O'; junk(1) = 'g'; junk(2) = 'g'; junk(3) = 'S'
+      }
+      if (i % 3 == 1 && n >= 8) {
+        junk(4) = 'm'; junk(5) = 'o'; junk(6) = 'o'; junk(7) = 'v'
+      }
+      guarded(Mp4.parse(junk))
+      guarded(Ogg.parse(junk))
+      guarded(Ebml.parse(junk))
+    }
+  }
+
+  test("truncations of real files exercise deeper walk states") {
+    val mp4 = Mp4.encode(1000L, 5000L, 2, 9, 300, 1)
+    val ogg = Ogg.encode(42L,
+      Seq(Ogg.Page(10L, Seq(300)), Ogg.Page(20L, Seq(40))), span = true)
+    val mkv = Ebml.encode(
+      Seq(Ebml.Cluster(0L, Seq(50, 260)), Ebml.Cluster(40L, Seq(30))),
+      unknownSegmentSize = true)
+    for (cut <- 1 until mp4.length by 3) {
+      guarded(Mp4.parse(java.util.Arrays.copyOf(mp4, cut)))
+    }
+    for (cut <- 1 until ogg.length by 3) {
+      guarded(Ogg.parse(java.util.Arrays.copyOf(ogg, cut)))
+    }
+    for (cut <- 1 until mkv.length by 3) {
+      guarded(Ebml.parse(java.util.Arrays.copyOf(mkv, cut)))
+    }
+  }
+
+  test("single-bit flips never hang or escape; ogg flips always reject (CRC)") {
+    val mp4 = Mp4.encode(600L, 700L, 1, -1, 64, 0)
+    val ogg = Ogg.encode(7L,
+      Seq(Ogg.Page(10L, Seq(30, 255)), Ogg.Page(20L, Seq(25))), span = false)
+    val mkv = Ebml.encode(Seq(Ebml.Cluster(0L, Seq(40))),
+      unknownSegmentSize = false)
+    for (pos <- mp4.indices; bit <- Seq(0, 3, 7)) {
+      val b = mp4.clone(); b(pos) = (b(pos) ^ (1 << bit)).toByte
+      guarded(Mp4.parse(b))
+    }
+    for (pos <- mkv.indices; bit <- Seq(0, 3, 7)) {
+      val b = mkv.clone(); b(pos) = (b(pos) ^ (1 << bit)).toByte
+      guarded(Ebml.parse(b))
+    }
+    for (pos <- ogg.indices; bit <- Seq(0, 3, 7)) {
+      val b = ogg.clone(); b(pos) = (b(pos) ^ (1 << bit)).toByte
+      // any in-page flip lands inside some page's CRC span, so a
+      // successful parse would mean the CRC failed to catch a flip
+      assert(intercept[IllegalArgumentException] { Ogg.parse(b); () } != null,
+        s"ogg bit flip at $pos/$bit parsed")
+    }
+  }
+}
