@@ -1874,6 +1874,42 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m47 — WebP container books without decode (from-spec RIFF/chunk
+    * walk, [[graft.sources.Webp]], RFC 9649 + the RFC 6386 key-frame
+    * header): variant, canvas dimensions, alpha flag, chunk / frame
+    * counts, byte volume. Each document encodes one of the three
+    * stored shapes — simple lossy VP8 (start-code + 14-bit dims +
+    * validated first-partition size), simple lossless VP8L (0x2F
+    * signature, bit-packed dims/alpha/version), or extended
+    * VP8X + ANIM + per-frame ANMF with an embedded VP8L bitstream —
+    * with id-derived trailing partition bytes so odd chunk sizes
+    * exercise RIFF's pad rule. The oracle replays the chunk framing
+    * closed-form, so a pad-byte bug, a bit-unpack error, or a
+    * mis-walked nested frame shifts the books.
+    *
+    * Scale shape: pure per-row byte work, scan-parallel, no shuffle
+    * before the output sort (the media-family shape). */
+  def m47_webp_books(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Webp
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val v = (id % 3).toInt
+          val w = 16 + (id % 300).toInt
+          val h = 16 + (id % 200).toInt
+          val nf = 2 + (id % 3).toInt
+          val b = Webp.parse(Webp.encode(v, w, h, id % 2 == 1, nf,
+            f => ((id + 3L * f) % 7).toInt))
+          (id, b.variant, b.width, b.height, b.hasAlpha, b.nChunks,
+            b.nFrames, b.nBytes)
+        }
+      }
+      .toDF("doc_id", "variant", "width", "height", "has_alpha",
+        "n_chunks", "n_frames", "n_bytes")
+      .orderBy("doc_id")
+  }
+
   def m42_aiff_features(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
@@ -2927,6 +2963,7 @@ object MultimodalQueries {
     "m44_mp4_books" -> (m44_mp4_books _),
     "m45_ogg_books" -> (m45_ogg_books _),
     "m46_mkv_books" -> (m46_mkv_books _),
+    "m47_webp_books" -> (m47_webp_books _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -3057,6 +3094,35 @@ object MultimodalQueries {
            CAST(23 + sh + 15 + 13 * nc + 7 * list_sum(nbs)
              + list_sum(dbs) AS BIGINT) AS n_bytes
          FROM c ORDER BY doc_id""",
+    // RIFF framing replayed closed-form: 12 B form header; simple
+    // variants are one chunk (8 B header + VP8 10-byte / VP8L 5-byte
+    // bitstream header + junk + odd pad); extended is VP8X 18 + ANIM 14
+    // + per frame (ANMF 8+16 + embedded VP8L chunk with ITS own pad,
+    // which makes the ANMF payload even — so no outer pad)
+    "m47_webp_books" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS v,
+           16 + CAST(doc_id % 300 AS INT) AS w,
+           16 + CAST(doc_id % 200 AS INT) AS h,
+           CAST(doc_id % 2 AS INT) AS al,
+           2 + CAST(doc_id % 3 AS INT) AS nf,
+           CAST(doc_id % 7 AS INT) AS j0
+         FROM documents)
+         SELECT doc_id,
+           CASE v WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l' ELSE 'vp8x' END
+             AS variant,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(CASE WHEN v = 0 THEN 0 ELSE al END AS BIGINT) AS has_alpha,
+           CAST(CASE WHEN v <= 1 THEN 1 ELSE 2 + 2 * nf END AS BIGINT)
+             AS n_chunks,
+           CAST(CASE WHEN v <= 1 THEN 1 ELSE nf END AS BIGINT) AS n_frames,
+           CAST(CASE v
+             WHEN 0 THEN 30 + j0 + j0 % 2
+             WHEN 1 THEN 25 + j0 + (j0 + 1) % 2
+             ELSE 44 + list_sum(list_transform(range(0, nf), f ->
+               37 + (doc_id + 3 * f) % 7
+                 + ((doc_id + 3 * f) % 7 + 1) % 2))
+           END AS BIGINT) AS n_bytes
+         FROM d ORDER BY doc_id""",
     "m43_mp3_books" ->
       """WITH d AS (SELECT doc_id, 30 + doc_id % 50 AS nf,
            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100

@@ -65,6 +65,20 @@ class ContainerFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("webp roundtrips across random shapes") {
+    for (_ <- 1 to 60) {
+      val v = rnd.nextInt(3)
+      val w = rnd.nextInt(0x4000) + 1
+      val h = rnd.nextInt(0x4000) + 1
+      val nf = rnd.nextInt(4) + 1
+      val junks = Array.fill(nf)(rnd.nextInt(9))
+      val bytes = Webp.encode(v, w, h, rnd.nextBoolean(), nf, junks(_))
+      val b = Webp.parse(bytes)
+      assert(b.nBytes == bytes.length && b.width == w && b.height == h)
+      assert(b.nFrames == (if (v == 2) nf else 1))
+    }
+  }
+
   test("garbage never hangs or escapes (all three walks)") {
     for (i <- 1 to 300) {
       val n = rnd.nextInt(400) + 1
@@ -78,6 +92,11 @@ class ContainerFuzzSpec extends AnyFunSuite {
       guarded(Mp4.parse(junk))
       guarded(Ogg.parse(junk))
       guarded(Ebml.parse(junk))
+      if (i % 4 == 0 && n >= 12) {
+        junk(0) = 'R'; junk(1) = 'I'; junk(2) = 'F'; junk(3) = 'F'
+        junk(8) = 'W'; junk(9) = 'E'; junk(10) = 'B'; junk(11) = 'P'
+      }
+      guarded(Webp.parse(junk))
     }
   }
 
@@ -96,6 +115,10 @@ class ContainerFuzzSpec extends AnyFunSuite {
     }
     for (cut <- 1 until mkv.length by 3) {
       guarded(Ebml.parse(java.util.Arrays.copyOf(mkv, cut)))
+    }
+    val webp = Webp.encode(2, 40, 30, alpha = true, 3, f => f % 5)
+    for (cut <- 1 until webp.length by 3) {
+      guarded(Webp.parse(java.util.Arrays.copyOf(webp, cut)))
     }
   }
 
