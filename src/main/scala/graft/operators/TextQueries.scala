@@ -1612,30 +1612,46 @@ object TextQueries {
     * quality-weighting pass actually consumes.
     *
     * Scale shape: one in-row bigram explode → hash aggregate with
-    * map-side combine (the t06 posture); the context/continuation
-    * tables aggregate the BIGRAM TYPE table (vocabulary-bounded, not
-    * corpus-bounded), join back by equi-key, N₁₊(··) broadcasts as one
-    * row, and the head is a TakeOrdered top-k — no full sort. */
+    * map-side combine to the TYPE table (vocabulary-bounded, cached —
+    * the one expensive pass); the head is a TakeOrdered top-k off it,
+    * and the context/continuation statistics aggregate the type table
+    * FILTERED to the head's ≤50 keys through broadcast semi-joins —
+    * the full-table w1/w2 re-shuffles a naive join-everything plan
+    * would pay (the 26× probe billed that shape at 51 s) never happen.
+    * N₁₊(··) is one count; every join onto the head broadcasts. */
   def t38_kneser_ney(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.documents(s, dir)
-      .select(tokens(col("text")).as("ws"))
+    // the bigram map side is CPU-bound; a single-file test fixture scans
+    // as ONE split and serializes it (the d19 starvation class — 4.9 s
+    // single-threaded at sf0.1). Re-split only when the scan is actually
+    // starved: a real corpus arrives in thousands of splits and must NOT
+    // pay a full text exchange here.
+    val docs0 = Tables.documents(s, dir).select(col("doc_id"),
+      tokens(col("text")).as("ws"))
+    val par = s.sparkContext.defaultParallelism
+    val docs = if (docs0.rdd.getNumPartitions < par)
+      docs0.repartition(par, col("doc_id")) else docs0
+    val pairs = docs
       .select(explode(expr(
         "transform(slice(ws, 1, greatest(size(ws) - 1, 0))," +
           " (w, i) -> struct(w AS w1, ws[i + 1] AS w2))")).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val ctx = bg.groupBy("w1")
-      .agg(sum("c12").as("c1"), count(lit(1)).as("n_cont"))
-    val cont = bg.groupBy("w2").agg(count(lit(1)).as("n_pred"))
+    val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).cache()
+    val head = bg.orderBy(desc("c12"), col("w1"), col("w2")).limit(50)
     val types = bg.agg(count(lit(1)).as("nbb"))
-    bg.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+    val ctx = bg
+      .join(broadcast(head.select("w1").distinct()), Seq("w1"), "left_semi")
+      .groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("n_cont"))
+    val cont = bg
+      .join(broadcast(head.select("w2").distinct()), Seq("w2"), "left_semi")
+      .groupBy("w2").agg(count(lit(1)).as("n_pred"))
+    head.join(broadcast(ctx), Seq("w1")).join(broadcast(cont), Seq("w2"))
       .crossJoin(broadcast(types))
       .withColumn("kn_fp", expr(
         "CAST(CAST(4 * c12 - 3 AS DECIMAL(38,0)) * 1000000000000" +
           " div (4 * c1) AS BIGINT)" +
           " + CAST(CAST(3 * n_cont AS DECIMAL(38,0)) * n_pred" +
           " * 1000000000000 div (4 * c1 * nbb) AS BIGINT)"))
-      .orderBy(desc("c12"), col("w1"), col("w2")).limit(50)
+      .orderBy(desc("c12"), col("w1"), col("w2"))
       .select(col("w1"), col("w2"), col("c12"), col("c1"),
         col("n_cont"), col("n_pred"), col("kn_fp"))
   }
