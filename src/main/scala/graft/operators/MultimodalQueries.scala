@@ -1910,6 +1910,44 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m48 — SRT subtitle/caption books (from-spec cue walk,
+    * [[graft.sources.Srt]]): cue counts, exact-integer duration
+    * totals, text character volume — the caption-alignment ingest pass
+    * a video training pipeline runs over every subtitle sidecar. Each
+    * document encodes a deterministic cue sheet (id-derived cue count,
+    * start/duration arithmetic, 1–2 text lines); every sixth document
+    * carries a cue with an UNPARSEABLE timing line, which the walk
+    * must QUARANTINE with exact accounting (text skipped, `n_bad`
+    * incremented — the qn13 malformed-record discipline) rather than
+    * fail the file. The oracle replays the cue arithmetic and the
+    * rendered byte layout closed-form, so a timestamp-parse bug, a
+    * mis-skipped quarantine block, or an off-by-one in the fixed-width
+    * timing line shifts the books.
+    *
+    * Scale shape: pure per-row string work, scan-parallel, no shuffle
+    * before the output sort (the media-family shape). */
+  def m48_srt_books(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Srt
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nc = 2 + (id % 5).toInt
+          val cues = (0 until nc).map { i =>
+            val ls = Seq(s"cue $id $i") ++
+              (if ((id + i) % 2 == 0) Seq("line two") else Nil)
+            Srt.Cue(i * (2000L + id % 1000), 500L + (id + 31L * i) % 2500,
+              ls, malformTiming = i == 0 && id % 6 == 0)
+          }
+          val b = Srt.parse(Srt.encode(cues))
+          (id, b.nCues, b.nBad, b.totalDurMs, b.nChars, b.nBytes)
+        }
+      }
+      .toDF("doc_id", "n_cues", "n_bad", "total_dur_ms", "n_chars",
+        "n_bytes")
+      .orderBy("doc_id")
+  }
+
   def m42_aiff_features(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
@@ -2964,6 +3002,7 @@ object MultimodalQueries {
     "m45_ogg_books" -> (m45_ogg_books _),
     "m46_mkv_books" -> (m46_mkv_books _),
     "m47_webp_books" -> (m47_webp_books _),
+    "m48_srt_books" -> (m48_srt_books _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -3122,6 +3161,34 @@ object MultimodalQueries {
                37 + (doc_id + 3 * f) % 7
                  + ((doc_id + 3 * f) % 7 + 1) % 2))
            END AS BIGINT) AS n_bytes
+         FROM d ORDER BY doc_id""",
+    // the rendered cue-sheet layout replayed closed-form: index "i\n"
+    // 2 B (i <= 6), timing line 29+1 B (fixed-width) or the 9+1 B
+    // malformation, text "cue <id> <i>" = 6+digits(+nl), optional
+    // "line two" 8(+nl), blank 1; quarantined cue 0 contributes bytes
+    // but neither duration nor chars
+    "m48_srt_books" ->
+      """WITH d AS (SELECT doc_id, 2 + CAST(doc_id % 5 AS INT) AS nc,
+           CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS bad,
+           length(CAST(doc_id AS VARCHAR)) AS dg
+         FROM documents)
+         SELECT doc_id,
+           CAST(nc - bad AS BIGINT) AS n_cues,
+           CAST(bad AS BIGINT) AS n_bad,
+           CAST(list_sum(list_transform(range(0, nc), i ->
+             CASE WHEN i = 0 AND doc_id % 6 = 0 THEN 0
+               ELSE 500 + (doc_id + 31 * i) % 2500 END)) AS BIGINT)
+             AS total_dur_ms,
+           CAST(list_sum(list_transform(range(0, nc), i ->
+             CASE WHEN i = 0 AND doc_id % 6 = 0 THEN 0
+               ELSE 6 + dg
+                 + CASE WHEN (doc_id + i) % 2 = 0 THEN 8 ELSE 0 END END))
+             AS BIGINT) AS n_chars,
+           CAST(list_sum(list_transform(range(0, nc), i ->
+             10 + dg
+               + CASE WHEN i = 0 AND doc_id % 6 = 0 THEN 10 ELSE 30 END
+               + CASE WHEN (doc_id + i) % 2 = 0 THEN 9 ELSE 0 END))
+             AS BIGINT) AS n_bytes
          FROM d ORDER BY doc_id""",
     "m43_mp3_books" ->
       """WITH d AS (SELECT doc_id, 30 + doc_id % 50 AS nf,
