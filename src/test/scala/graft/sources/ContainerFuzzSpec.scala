@@ -79,6 +79,25 @@ class ContainerFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("srt roundtrips and garbage text never hangs or escapes") {
+    for (_ <- 1 to 60) {
+      val cues = (0 until rnd.nextInt(5) + 1).map { i =>
+        Srt.Cue(i * 5000L, rnd.nextInt(4000) + 1L,
+          (0 until rnd.nextInt(3) + 1).map(k => s"line $k"),
+          malformTiming = rnd.nextInt(4) == 0)
+      }
+      val b = Srt.parse(Srt.encode(cues))
+      assert(b.nCues + b.nBad == cues.length)
+      assert(b.nBad == cues.count(_.malformTiming))
+    }
+    val alphabet = "01:,9 ->\nabc"
+    for (_ <- 1 to 300) {
+      val junk = (0 until rnd.nextInt(120)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      guarded(Srt.parse(junk))
+    }
+  }
+
   test("garbage never hangs or escapes (all three walks)") {
     for (i <- 1 to 300) {
       val n = rnd.nextInt(400) + 1
