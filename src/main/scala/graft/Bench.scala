@@ -260,7 +260,16 @@ object Bench {
     // per-query map at 145 queries — persist the full line next to the
     // repo so per-query figures stay reviewable (see PERF.md). Anchored to
     // the repo root (not cwd) and loud on failure: a silently-stale file
-    // would defeat the truncation workaround it exists for.
+    // would defeat the truncation workaround it exists for. ONLY a full
+    // sweep may write it: a named-subset iteration run would otherwise
+    // clobber the committed 300+-query ledger with a one-query artifact
+    // (which then poisons the repass baseline of the next real sweep).
+    if (wanted.nonEmpty) {
+      System.err.println(
+        s"[bench] subset run (${wanted.size} queries): BENCH_LOCAL.json not written")
+      spark.stop()
+      return
+    }
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(repoRoot, "BENCH_LOCAL.json"), line + "\n")

@@ -1636,7 +1636,9 @@ object TextQueries {
           " (w, i) -> struct(w AS w1, ws[i + 1] AS w2))")).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).cache()
-    val head = bg.orderBy(desc("c12"), col("w1"), col("w2")).limit(50)
+    // head is consumed three times (two key filters + the final join):
+    // cache the 50 rows so the TakeOrdered over the type table runs once
+    val head = bg.orderBy(desc("c12"), col("w1"), col("w2")).limit(50).cache()
     val types = bg.agg(count(lit(1)).as("nbb"))
     val ctx = bg
       .join(broadcast(head.select("w1").distinct()), Seq("w1"), "left_semi")

@@ -96,8 +96,8 @@ object Ebml {
     (v, len)
   }
 
-  /** (size or -1 for unknown, bytesConsumed); sizes strip the marker. */
-  private def readSize(b: Array[Byte], off: Int, end: Int): (Long, Int) = {
+  /** Marker-stripped varint (value, bytesConsumed). */
+  private def readVint(b: Array[Byte], off: Int, end: Int): (Long, Int) = {
     require(off < end, s"truncated size varint at $off")
     val f = b(off) & 0xFF
     require(f != 0, s"size varint at $off: 0x00 lead byte")
@@ -106,6 +106,15 @@ object Ebml {
     require(off + len <= end, s"truncated size varint at $off")
     var v = (f & (0xFF >>> len)).toLong
     (1 until len).foreach(i => v = (v << 8) | (b(off + i) & 0xFFL))
+    (v, len)
+  }
+
+  /** (size or -1 for unknown, bytesConsumed). The all-value-bits-ones
+    * "unknown" escape applies ONLY to element data sizes (RFC 8794
+    * §6.2) — block track numbers use the raw [[readVint]], where
+    * track 127 legitimately encodes as the all-ones byte 0xFF. */
+  private def readSize(b: Array[Byte], off: Int, end: Int): (Long, Int) = {
+    val (v, len) = readVint(b, off, end)
     val allOnes = (1L << (7 * len)) - 1
     (if (v == allOnes) -1L else v, len)
   }
@@ -168,7 +177,7 @@ object Ebml {
         case IdTimestamp =>
           st.lastClusterTs = beUint(b, pOff, pEnd - pOff)
         case IdSimpleBlock =>
-          val (track, tLen) = readSize(b, pOff, pEnd) // track# is a varint
+          val (track, tLen) = readVint(b, pOff, pEnd) // no "unknown" escape
           require(track >= 1, s"SimpleBlock at $off: track $track")
           require(pEnd - pOff >= tLen + 3,
             s"SimpleBlock at $off: truncated header")

@@ -191,14 +191,23 @@ object Mp4 {
         case "mvhd" =>
           require(st.timescale < 0, s"duplicate mvhd at $off")
           val ver = b(pOff) & 0xFF
+          // all-ones duration is the spec's "unknown" sentinel (§8.2.1,
+          // fragmented movies) — booked as -1, never as a real duration
           if (ver == 0) {
             require(pEnd - pOff >= 100, s"mvhd at $off: short v0 payload")
             st.timescale = u32(b, pOff + 12)
-            st.duration = u32(b, pOff + 16)
+            val d = u32(b, pOff + 16)
+            st.duration = if (d == 0xFFFFFFFFL) -1L else d
           } else if (ver == 1) {
             require(pEnd - pOff >= 112, s"mvhd at $off: short v1 payload")
             st.timescale = u32(b, pOff + 20)
-            st.duration = u64(b, pOff + 24)
+            val at = pOff + 24
+            if ((0 until 8).forall(i => b(at + i) == -1)) st.duration = -1L
+            else {
+              st.duration = u64(b, at)
+              require(st.duration <= Long.MaxValue / 1000,
+                s"mvhd at $off: duration ${st.duration} overflows ms arithmetic")
+            }
           } else throw new IllegalArgumentException(s"mvhd at $off: version $ver")
           require(st.timescale > 0, s"mvhd at $off: zero timescale")
         case "hdlr" =>
@@ -220,7 +229,7 @@ object Mp4 {
     walk(bytes, 0, bytes.length, topLevel = true, st)
     require(st.timescale > 0, "no mvhd box — not a movie file")
     Books(st.nBoxes, st.timescale,
-      st.duration * 1000L / st.timescale,
+      if (st.duration < 0) -1L else st.duration * 1000L / st.timescale,
       st.nVideo, st.nAudio, st.mdatBytes, bytes.length.toLong)
   }
 }

@@ -8,13 +8,15 @@ package graft.sources
   * (fixed-width, comma decimal mark), then one or more text lines.
   *
   * The walk books cue/character/duration totals in exact-integer
-  * milliseconds. A cue whose timing line does not parse is
-  * QUARANTINED — counted in `nBad`, its text skipped to the next
-  * blank line — rather than failing the file (the qn13 discipline:
-  * subtitle sidecars in the wild are full of half-broken cues, and a
-  * books pass must account for them, not die on them). Structural
-  * violations that make accounting impossible (a non-numeric index
-  * line, minutes/seconds ≥ 60, end ≤ start) reject loudly. */
+  * milliseconds. A cue whose timing line is not FULLY valid — wrong
+  * shape, misplaced separators, non-digits, minutes/seconds ≥ 60,
+  * end ≤ start — is QUARANTINED: counted in `nBad`, its text skipped
+  * to the next blank line, never failing the file (the qn13
+  * discipline: subtitle sidecars in the wild are full of half-broken
+  * cues, and a books pass must account for them, not die on them).
+  * Only structure that makes accounting impossible rejects loudly:
+  * a non-numeric index line, a cue cut off before its timing line,
+  * a parsed cue with no text. */
 object Srt {
 
   final case class Books(nCues: Long, nBad: Long, totalDurMs: Long,
@@ -45,39 +47,32 @@ object Srt {
     sb.toString
   }
 
-  private def parseTs(s: String, at: Int): Long = {
-    def d2(off: Int): Long = {
-      require(s(at + off).isDigit && s(at + off + 1).isDigit,
-        s"timing line: non-digit at ${at + off}")
-      (s(at + off) - '0') * 10L + (s(at + off + 1) - '0')
-    }
-    require(s(at + 2) == ':' && s(at + 5) == ':' && s(at + 8) == ',',
-      "timing line: bad separators")
-    val h = d2(0); val m = d2(3); val sec = d2(6)
-    require(s(at + 9).isDigit && s(at + 10).isDigit && s(at + 11).isDigit,
-      "timing line: non-digit millis")
-    val ms = (s(at + 9) - '0') * 100L + (s(at + 10) - '0') * 10L +
-      (s(at + 11) - '0')
-    require(m < 60 && sec < 60, s"timing line: minutes/seconds out of range")
-    ((h * 60 + m) * 60 + sec) * 1000 + ms
-  }
-
-  /** (startMs, endMs) or None if the line is not a timing line. */
+  /** (startMs, endMs) if the line is a FULLY valid timing line; None
+    * on ANY malformation — shape, misplaced separators, non-digits,
+    * minutes/seconds ≥ 60, end ≤ start. Totality here is the
+    * quarantine contract: a half-broken timing line costs one cue,
+    * never the file. */
   private def timing(line: String): Option[(Long, Long)] = {
-    if (line.length != 29 || line.substring(12, 17) != " --> ") None
-    else {
-      val ok = (0 until 12).forall { i =>
-        val c = line(i); val d = line(i + 17)
-        (c.isDigit || c == ':' || c == ',') && (d.isDigit || d == ':' || d == ',')
+    def ts(at: Int): Option[Long] = {
+      def d2(off: Int): Option[Long] = {
+        val a = line(at + off); val b = line(at + off + 1)
+        if (a.isDigit && b.isDigit) Some((a - '0') * 10L + (b - '0')) else None
       }
-      if (!ok) None
-      else {
-        val a = parseTs(line, 0)
-        val b = parseTs(line, 17)
-        require(b > a, s"timing line: end $b not after start $a")
-        Some((a, b))
-      }
+      if (line(at + 2) != ':' || line(at + 5) != ':' || line(at + 8) != ',')
+        None
+      else for {
+        h <- d2(0)
+        m <- d2(3) if m < 60
+        s <- d2(6) if s < 60
+        ms <- if (line(at + 9).isDigit && line(at + 10).isDigit &&
+            line(at + 11).isDigit)
+          Some((line(at + 9) - '0') * 100L + (line(at + 10) - '0') * 10L +
+            (line(at + 11) - '0'))
+        else None
+      } yield ((h * 60 + m) * 60 + s) * 1000 + ms
     }
+    if (line.length != 29 || line.substring(12, 17) != " --> ") None
+    else for { a <- ts(0); b <- ts(17) if b > a } yield (a, b)
   }
 
   def parse(text: String): Books = {

@@ -57,17 +57,24 @@ class KneserNeySpec extends SparkSpec {
 
   test("t38 per-context probabilities sum to 1 over observed continuations" +
     " plus the backoff mass") {
-    // For a context w1 with all its continuations observed in the head,
+    // For a context w1 with all its continuations in the head,
     // Σ_w2 P(w2|w1) = [Σ max(c-D,0) + D·N1+(w1·)·Σ Pcont(w2)] / c(w1·);
-    // checked in exact rationals on the fixture context 'a':
-    // P(b|a) + P(d|a) = (5/12 + 1/4) + (1/12 + 1/8) = 7/8 < 1 (the
-    // missing 1/8 is the mass KN reserves for unseen continuations
-    // of 'a' — by construction Pcont(b)+Pcont(d) = 3/4, not 1).
+    // on the fixture context 'a': P(b|a) + P(d|a) =
+    // (5/12 + 1/4) + (1/12 + 1/8) = 7/8 < 1 — the missing 1/8 is the
+    // mass KN reserves for unseen continuations of 'a' (by construction
+    // Pcont(b)+Pcont(d) = 3/4, not 1). Asserted on the OPERATOR's
+    // output, so a wrong denominator in the production expr fails here.
+    val dir = Files.createTempDirectory("kn_fixture2").toFile.getAbsolutePath
+    import spark.implicits._
+    Seq((1L, "a b a b", "src0", "en"), (2L, "c b a d", "src0", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val S = 1000000000000L
-    val pba = 5L * S / 12 + S / 4
-    val pda = S / 12 + S / 8
+    val sumA = TextQueries.t38_kneser_ney(spark, dir)
+      .filter(col("w1") === "a")
+      .collect().map(_.getLong(6)).sum
     // each fixed-point term floors, so the sum sits within the
     // truncation slack (4 floored terms) of the exact rational 7/8
-    assert(pba + pda <= 7L * S / 8 && pba + pda > 7L * S / 8 - 4)
+    assert(sumA <= 7L * S / 8 && sumA > 7L * S / 8 - 4)
   }
 }

@@ -40,6 +40,20 @@ class EbmlSpec extends AnyFunSuite {
     assert(b.nBytes == base.length + void.length)
   }
 
+  test("track 127 (the all-ones 1-byte VINT 0xFF) is a valid track number") {
+    // the 'unknown' escape is for element data sizes only — rewrite the
+    // fixture's track byte 0x81 -> 0xFF and the block must still parse
+    val bytes = Ebml.encode(Seq(Ebml.Cluster(0L, Seq(25))),
+      unknownSegmentSize = false)
+    // SimpleBlock data starts after: 23 hdr + 6 seg + 15 info + 6 cluster
+    // hdr + 7 timestamp el + 1 id + 2 size
+    val at = 23 + 6 + 15 + 6 + 7 + 3
+    assert(bytes(at) == 0x81.toByte) // track 1 in the fixture
+    bytes(at) = 0xFF.toByte // track 127
+    val b = Ebml.parse(bytes)
+    assert(b.nBlocks == 1 && b.blockBytes == 25)
+  }
+
   test("framing violations reject loudly") {
     val good = Ebml.encode(twoClusters, unknownSegmentSize = false)
     def mutated(f: Array[Byte] => Unit): Array[Byte] = {

@@ -43,6 +43,25 @@ class Mp4Spec extends AnyFunSuite {
     assert(b.timescale == 1000L && b.durationMs == dur)
   }
 
+  test("all-ones duration is the 'unknown' sentinel, not a huge number; " +
+    "a v1 duration past Long.MaxValue/1000 rejects") {
+    val good = Mp4.encode(600L, 600L, 1, -1, 0, 0)
+    // v0 duration sits at 24 (ftyp) + 8 (moov hdr) + 8 (mvhd hdr) + 16
+    val sentinel = good.clone()
+    (0 until 4).foreach(i => sentinel(56 + i) = -1)
+    assert(Mp4.parse(sentinel).durationMs == -1L)
+    // hand-build a v1 mvhd with duration just past the ms-overflow bound
+    def be32(v: Long) = Array(((v >>> 24) & 0xFF).toByte,
+      ((v >>> 16) & 0xFF).toByte, ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    val p = be32(0x01000000L) ++ be64(0) ++ be64(0) ++ be32(1000) ++
+      be64(Long.MaxValue / 1000 + 1) ++ new Array[Byte](80)
+    val mvhd = be32(8L + p.length) ++ "mvhd".getBytes("US-ASCII") ++ p
+    val moov = be32(8L + mvhd.length) ++ "moov".getBytes("US-ASCII") ++ mvhd
+    assert(intercept[IllegalArgumentException](
+      Mp4.parse(good.take(24) ++ moov)).getMessage.contains("overflows"))
+  }
+
   test("unknown top-level boxes are skipped but framing still validates") {
     val base = Mp4.encode(600L, 600L, 1, -1, 16, 0)
     val junk = Array[Byte](0, 0, 0, 12) ++ "xyz ".getBytes("US-ASCII") ++

@@ -36,14 +36,6 @@ class SrtSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Srt.parse("one\n00:00:00,000 --> 00:00:01,000\nx\n\n"))
       .getMessage.contains("not a number"))
-    // end before start (a valid-format timing line must validate order)
-    assert(intercept[IllegalArgumentException](
-      Srt.parse("1\n00:00:05,000 --> 00:00:01,000\nx\n\n"))
-      .getMessage.contains("not after"))
-    // minutes out of range
-    assert(intercept[IllegalArgumentException](
-      Srt.parse("1\n00:99:00,000 --> 01:40:01,000\nx\n\n"))
-      .getMessage.contains("out of range"))
     // cue with no text lines
     assert(intercept[IllegalArgumentException](
       Srt.parse("1\n00:00:00,000 --> 00:00:01,000\n\n"))
@@ -53,10 +45,17 @@ class SrtSpec extends AnyFunSuite {
       Srt.parse("1")).getMessage.contains("missing timing"))
   }
 
-  test("a wrong-width or wrong-arrow line is a quarantine, not a crash") {
-    val b = Srt.parse("1\n0:00:00,000 --> 0:00:01,000\nx\n\n")
-    assert(b.nCues == 0 && b.nBad == 1) // 28 chars: not a timing line
-    val c = Srt.parse("1\n00:00:00,000 ==> 00:00:01,000\nx\n\n")
-    assert(c.nCues == 0 && c.nBad == 1)
+  test("ANY invalid timing line is a quarantine, not a crash") {
+    def bad(line: String): Unit = {
+      val b = Srt.parse(s"1\n$line\nx\n\n")
+      assert(b.nCues == 0 && b.nBad == 1, s"'$line' should quarantine")
+    }
+    bad("0:00:00,000 --> 0:00:01,000") // 28 chars: wrong width
+    bad("00:00:00,000 ==> 00:00:01,000") // wrong arrow
+    bad("00:00:00,0,0 --> 00:00:01,000") // right chars, misplaced comma
+    bad("00:00:05,000 --> 00:00:01,000") // end before start
+    bad("00:99:00,000 --> 01:40:01,000") // minutes out of range
+    bad("00:00:61,000 --> 00:01:02,000") // seconds out of range
+    bad("00:00:0a,000 --> 00:00:01,000") // non-digit
   }
 }
