@@ -779,6 +779,84 @@ object NetCDFQueries {
       .orderBy("shard")
   }
 
+  /** qn23 — WebDataset-style tar shards: the de-facto distribution
+    * format for multimodal training corpora (per-sample member PAIRS —
+    * `doc<id>.txt` + `doc<id>.bin` — packed into `.tar` shards, read
+    * sequentially at train time). Eight POSIX-ustar shards are written
+    * EXECUTOR-side, one per `doc_id % 8` class (repartitioned by class,
+    * so each shard is produced by exactly one task — the qn20 landing
+    * discipline), via the from-spec writer in [[graft.sources.Tar]];
+    * every 29th document's `.txt` member carries a deliberately wrong
+    * header checksum. The walk back re-derives every header checksum
+    * (quarantining mismatches member-by-member, GNU tar's
+    * warn-and-continue), validates the two-zero-block end-of-archive
+    * marker, and books per shard: docs, intact members, quarantined
+    * members, intact payload bytes, and the shard's exact byte size —
+    * which the oracle replays closed-form from the 512-byte block
+    * arithmetic (512·⌈len/512⌉ per member + 1024 trailer), so a
+    * padding bug, a checksum-field layout error, or a mis-advanced
+    * walk shifts the books.
+    *
+    * Scale shape: shard write and walk are scan-parallel per file
+    * (production bounds shards at ~1 GiB, the WebDataset norm); the
+    * only shuffle is the class repartition and the final 8-row
+    * aggregate. */
+  def qn23_webdataset_tar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Tar
+    val landing = Files.createTempDirectory("graft_tar").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val written = docs
+      .withColumn("cls", pmod(col("doc_id"), lit(8L)))
+      .repartition(8, col("cls"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val outs = scala.collection.mutable.Map.empty[Long, java.io.BufferedOutputStream]
+        def stream(cls: Long) = outs.getOrElseUpdate(cls,
+          new java.io.BufferedOutputStream(new java.io.FileOutputStream(
+            new java.io.File(landing, f"shard_$cls%d.tar"))))
+        var n = 0L
+        it.foreach { case (id, text) =>
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — member bytes would diverge from chars")
+          val o = stream(id % 8)
+          o.write(Tar.encodeMember(s"doc$id.txt", text.getBytes("US-ASCII"),
+            breakChecksum = id % 29 == 0))
+          val bin = Array.tabulate(50 + (id % 200).toInt)(i =>
+            ((i * 7 + id) & 0xFF).toByte)
+          o.write(Tar.encodeMember(s"doc$id.bin", bin))
+          n += 1
+        }
+        outs.values.foreach { o => o.write(Tar.trailer); o.close() }
+        Iterator.single(n)
+      }.reduce(_ + _) // forces the executor-side shard write
+    require(written > 0, "qn23: no documents written")
+    val members = s.read.format("binaryFile").option("pathGlobFilter", "*.tar")
+      .load(landing)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(buf => Tar.walk(buf).map { m =>
+        val id = m.name.stripPrefix("doc").takeWhile(_.isDigit).toLong
+        (id, m.size, if (m.checksumOk) 1L else 0L)
+      })
+      .toDF("doc_id", "size", "ok")
+    // exact shard byte sizes come from binaryFile METADATA (no second
+    // content read); shard id parsed from the file name the writer laid
+    val lengths = s.read.format("binaryFile").option("pathGlobFilter", "*.tar")
+      .load(landing)
+      .select(regexp_extract(col("path"), "shard_(\\d+)\\.tar$", 1)
+        .cast("long").as("shard"),
+        col("length").as("tar_bytes"))
+    members
+      .groupBy(pmod(col("doc_id"), lit(8L)).cast("long").as("shard"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("ok")).as("n_members_ok"),
+        sum(lit(1L) - col("ok")).as("n_bad"),
+        sum(when(col("ok") === 1L, col("size")).otherwise(0L))
+          .as("payload_bytes"))
+      .join(broadcast(lengths), Seq("shard"))
+      .orderBy("shard")
+  }
+
   /** qn21 — robots.txt crawl gate (RFC 9309): the compliance check that
     * sits in front of every fetch a crawl pipeline makes. A policy file
     * with two groups (a specific `graftbot` group carrying prefix,
@@ -1246,9 +1324,28 @@ object NetCDFQueries {
     "qn20_warc_ingest" -> (qn20_warc_ingest _),
     "qn21_robots_gate" -> (qn21_robots_gate _),
     "qn22_warc_revisit" -> (qn22_warc_revisit _),
+    "qn23_webdataset_tar" -> (qn23_webdataset_tar _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the 512-byte ustar block arithmetic replayed closed-form:
+    // per member 512 header + 512·⌈len/512⌉ data, per shard + 1024
+    // trailer; the quarantined .txt members (doc_id % 29 = 0)
+    // contribute bytes but neither the ok-count nor the payload sum
+    "qn23_webdataset_tar" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+           length(text) AS tl, 50 + doc_id % 200 AS bl,
+           CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END AS bad
+         FROM documents)
+         SELECT CAST(shard AS BIGINT) AS shard,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(2 - bad) AS BIGINT) AS n_members_ok,
+           CAST(sum(bad) AS BIGINT) AS n_bad,
+           CAST(sum(CASE WHEN bad = 0 THEN tl ELSE 0 END) + sum(bl)
+             AS BIGINT) AS payload_bytes,
+           CAST(sum(1024 + 512 * ((tl + 511) // 512)
+             + 512 * ((bl + 511) // 512)) + 1024 AS BIGINT) AS tar_bytes
+         FROM d GROUP BY shard ORDER BY shard""",
     // the gate verdicts replayed as doc_id arithmetic: which path class
     // a doc gets and what the precedence rules decide for it are both
     // deterministic; the unknown-crawler column is the deny-all group

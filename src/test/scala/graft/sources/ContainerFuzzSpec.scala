@@ -98,6 +98,36 @@ class ContainerFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("tar roundtrips and garbage never hangs or escapes") {
+    for (_ <- 1 to 60) {
+      val n = rnd.nextInt(5) + 1
+      val members = (0 until n).map { i =>
+        val data = Array.fill(rnd.nextInt(1200))(rnd.nextInt(256).toByte)
+        (s"m$i.bin", data, rnd.nextInt(5) == 0)
+      }
+      val buf = members.map { case (nm, d, bad) =>
+        Tar.encodeMember(nm, d, breakChecksum = bad)
+      }.reduce(_ ++ _) ++ Tar.trailer
+      val ms = Tar.walk(buf)
+      assert(ms.length == n)
+      assert(ms.count(!_.checksumOk) == members.count(_._3))
+      assert(ms.map(_.size).sum == members.map(_._2.length.toLong).sum)
+    }
+    for (i <- 1 to 200) {
+      val n = rnd.nextInt(1400) + 1
+      val junk = Array.fill(n)(rnd.nextInt(256).toByte)
+      if (i % 2 == 0 && n > 262) {
+        junk(257) = 'u'; junk(258) = 's'; junk(259) = 't'
+        junk(260) = 'a'; junk(261) = 'r'
+      }
+      guarded { Tar.walk(junk); () }
+    }
+    val real = Tar.encodeMember("x.bin", Array.fill[Byte](700)(3)) ++ Tar.trailer
+    for (cut <- 1 until real.length by 7) {
+      guarded { Tar.walk(java.util.Arrays.copyOf(real, cut)); () }
+    }
+  }
+
   test("garbage never hangs or escapes (all three walks)") {
     for (i <- 1 to 300) {
       val n = rnd.nextInt(400) + 1
