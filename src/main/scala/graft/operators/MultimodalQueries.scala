@@ -1948,6 +1948,46 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m49 — ZIP archive books (from-spec central-directory walk,
+    * [[graft.sources.Zip]], PKWARE APPNOTE): the epub/docx/jar front
+    * door. Each document packs its text and an id-derived binary
+    * sidecar as STORED entries in one per-document archive; every 31st
+    * document's text entry carries a deliberately wrong stored CRC-32.
+    * The walk is central-directory-first (backward EOCD scan, the way
+    * a correct reader must operate), cross-checks every central entry
+    * against its local header, and re-derives each entry's reflected
+    * CRC-32 (0xEDB88320, APPNOTE §4.4.7) — quarantining mismatches
+    * entry-by-entry. The oracle replays the fixed record layout
+    * (local 30+name, central 46+name, EOCD 22) closed-form, so a
+    * field-offset bug, a mis-sized directory, or a CRC error shifts
+    * the books.
+    *
+    * Scale shape: pure per-row byte work, scan-parallel, no shuffle
+    * before the output sort (the media-family shape). */
+  def m49_zip_books(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Zip
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          require(text.forall(_ < 128),
+            s"doc $id: non-ASCII char — entry bytes would diverge from chars")
+          val bin = Array.tabulate(50 + (id % 200).toInt)(i =>
+            ((i * 11 + id) & 0xFF).toByte)
+          val buf = Zip.encode(Seq(
+            Zip.Entry(s"doc$id.txt", text.getBytes("US-ASCII"),
+              breakCrc = id % 31 == 0),
+            Zip.Entry(s"doc$id.bin", bin)))
+          val ms = Zip.walk(buf)
+          (id, ms.length.toLong, ms.map(_.size).sum,
+            ms.count(!_.crcOk).toLong, buf.length.toLong)
+        }
+      }
+      .toDF("doc_id", "n_entries", "payload_bytes", "n_crc_bad", "n_bytes")
+      .orderBy("doc_id")
+  }
+
   def m42_aiff_features(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
@@ -3003,6 +3043,7 @@ object MultimodalQueries {
     "m46_mkv_books" -> (m46_mkv_books _),
     "m47_webp_books" -> (m47_webp_books _),
     "m48_srt_books" -> (m48_srt_books _),
+    "m49_zip_books" -> (m49_zip_books _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -3189,6 +3230,23 @@ object MultimodalQueries {
                + CASE WHEN i = 0 AND doc_id % 6 = 0 THEN 10 ELSE 30 END
                + CASE WHEN (doc_id + i) % 2 = 0 THEN 9 ELSE 0 END))
              AS BIGINT) AS n_bytes
+         FROM d ORDER BY doc_id""",
+    // the fixed ZIP record layout replayed closed-form: two entries,
+    // names 7+digits(id) chars each -> bytes = 2·30 + 2·46 + 22
+    // + 4·(7+digits) + text + bin payload; CRC correctness needs no
+    // oracle column beyond n_crc_bad's doc_id % 31 cadence (the walk
+    // re-derives every CRC and books the mismatch)
+    "m49_zip_books" ->
+      """WITH d AS (SELECT doc_id, length(text) AS tl,
+           50 + doc_id % 200 AS bl,
+           length(CAST(doc_id AS VARCHAR)) AS dg
+         FROM documents)
+         SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_entries,
+           CAST(tl + bl AS BIGINT) AS payload_bytes,
+           CAST(CASE WHEN doc_id % 31 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_crc_bad,
+           CAST(174 + 28 + 4 * dg + tl + bl AS BIGINT) AS n_bytes
          FROM d ORDER BY doc_id""",
     "m43_mp3_books" ->
       """WITH d AS (SELECT doc_id, 30 + doc_id % 50 AS nf,

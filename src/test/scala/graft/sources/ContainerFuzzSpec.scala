@@ -128,6 +128,33 @@ class ContainerFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("zip roundtrips and garbage never hangs or escapes") {
+    for (_ <- 1 to 60) {
+      val n = rnd.nextInt(5) + 1
+      val entries = (0 until n).map { i =>
+        Zip.Entry(s"e$i.bin",
+          Array.fill(rnd.nextInt(900))(rnd.nextInt(256).toByte),
+          breakCrc = rnd.nextInt(5) == 0)
+      }
+      val ms = Zip.walk(Zip.encode(entries))
+      assert(ms.length == n)
+      assert(ms.count(!_.crcOk) == entries.count(_.breakCrc))
+      assert(ms.map(_.size).sum == entries.map(_.data.length.toLong).sum)
+    }
+    for (_ <- 1 to 200) {
+      val junk = Array.fill(rnd.nextInt(400) + 1)(rnd.nextInt(256).toByte)
+      guarded { Zip.walk(junk); () }
+    }
+    val real = Zip.encode(Seq(Zip.Entry("x.bin", Array.fill[Byte](333)(7))))
+    for (cut <- 1 until real.length by 3) {
+      guarded { Zip.walk(java.util.Arrays.copyOf(real, cut)); () }
+    }
+    for (pos <- real.indices; bit <- Seq(0, 7)) {
+      val b = real.clone(); b(pos) = (b(pos) ^ (1 << bit)).toByte
+      guarded { Zip.walk(b); () }
+    }
+  }
+
   test("garbage never hangs or escapes (all three walks)") {
     for (i <- 1 to 300) {
       val n = rnd.nextInt(400) + 1
