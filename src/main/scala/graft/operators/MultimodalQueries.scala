@@ -1988,6 +1988,37 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m50 — PDF skeleton books (from-spec end-first walk,
+    * [[graft.sources.Pdf]], ISO 32000-1 file structure): the
+    * document-corpus front door. Each document encodes a strict
+    * fixture PDF (id-derived version, 2–5 objects, one stream object)
+    * and the walk resolves it the way a conforming reader must — last
+    * `startxref` → classic xref table (20-byte entries) → per-entry
+    * offset CROSS-CHECK against the `<num> 0 obj` target; every 23rd
+    * document carries one stale entry, quarantined per entry (readers
+    * rebuild rotten tables, they don't die). The oracle replays the
+    * rendered layout closed-form — digit-width arithmetic included —
+    * so an off-by-one anywhere in the fixed grammar shifts the books.
+    *
+    * Scale shape: pure per-row byte work, scan-parallel, no shuffle
+    * before the output sort (the media-family shape). */
+  def m50_pdf_books(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Pdf
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val b = Pdf.parse(Pdf.encode(4 + (id % 3).toInt, 2 + (id % 4).toInt,
+            20 + (id % 150).toInt, id, breakEntry2 = id % 23 == 0))
+          (id, b.versionMinor, b.nObjects, b.nXrefBad, b.streamBytes,
+            b.nBytes)
+        }
+      }
+      .toDF("doc_id", "version_minor", "n_objects", "n_xref_bad",
+        "stream_bytes", "n_bytes")
+      .orderBy("doc_id")
+  }
+
   def m42_aiff_features(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
@@ -3044,6 +3075,7 @@ object MultimodalQueries {
     "m47_webp_books" -> (m47_webp_books _),
     "m48_srt_books" -> (m48_srt_books _),
     "m49_zip_books" -> (m49_zip_books _),
+    "m50_pdf_books" -> (m50_pdf_books _),
     "m14_jpeg_features" -> (m14_jpeg_features _),
     "m13_shot_boundary" -> (m13_shot_boundary _),
     "m12_vad_segments" -> (m12_vad_segments _),
@@ -3248,6 +3280,29 @@ object MultimodalQueries {
              AS n_crc_bad,
            CAST(174 + 28 + 4 * dg + tl + bl AS BIGINT) AS n_bytes
          FROM d ORDER BY doc_id""",
+    // the rendered PDF layout replayed closed-form, digit widths and
+    // all: header 9, stream object 48+digits(sl)+sl, dict objects
+    // 27+digits(id+i), xref 9+20·(n+1) for the single-digit count,
+    // trailer 51+digits(xref_off); the stale entry (doc_id % 23 = 0)
+    // hits object 2, so stream accounting stays independent
+    "m50_pdf_books" ->
+      """WITH d AS (SELECT doc_id, 4 + CAST(doc_id % 3 AS INT) AS mn,
+           2 + CAST(doc_id % 4 AS INT) AS n,
+           20 + CAST(doc_id % 150 AS INT) AS sl,
+           CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END AS bad
+         FROM documents),
+         x AS (SELECT doc_id, mn, n, sl, bad,
+           9 + 48 + length(CAST(sl AS VARCHAR)) + sl
+             + list_sum(list_transform(range(2, n + 1), i ->
+                 27 + length(CAST(doc_id + i AS VARCHAR)))) AS xref_off
+         FROM d)
+         SELECT doc_id, CAST(mn AS BIGINT) AS version_minor,
+           CAST(n AS BIGINT) AS n_objects,
+           CAST(bad AS BIGINT) AS n_xref_bad,
+           CAST(sl AS BIGINT) AS stream_bytes,
+           CAST(xref_off + 60 + 20 * (n + 1)
+             + length(CAST(xref_off AS VARCHAR)) AS BIGINT) AS n_bytes
+         FROM x ORDER BY doc_id""",
     "m43_mp3_books" ->
       """WITH d AS (SELECT doc_id, 30 + doc_id % 50 AS nf,
            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100

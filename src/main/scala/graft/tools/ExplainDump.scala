@@ -97,7 +97,7 @@ object ExplainDump {
       "p31_url_frontier", "qn22_warc_revisit", "m43_mp3_books",
       "m44_mp4_books", "m45_ogg_books", "m46_mkv_books",
       "m47_webp_books", "t38_kneser_ney", "m48_srt_books",
-      "qn23_webdataset_tar", "m49_zip_books")
+      "qn23_webdataset_tar", "m49_zip_books", "m50_pdf_books")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — headline physical plans (generated by graft.tools.ExplainDump)\n\n")
     sb.append("Things to look for: `PushedFilters`/`ReadSchema` on scans, ")

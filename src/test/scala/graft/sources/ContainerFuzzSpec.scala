@@ -155,6 +155,32 @@ class ContainerFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("pdf roundtrips and garbage never hangs or escapes") {
+    for (_ <- 1 to 60) {
+      val n = rnd.nextInt(8) + 2
+      val sl = rnd.nextInt(500)
+      val bad = rnd.nextBoolean()
+      val b = Pdf.parse(Pdf.encode(rnd.nextInt(10), n, sl,
+        rnd.nextLong() & 0xFFFFFFL, breakEntry2 = bad))
+      assert(b.nObjects == n && b.streamBytes == sl)
+      assert(b.nXrefBad == (if (bad) 1 else 0))
+    }
+    val seed = "%PDF-1.4\nstartxref\nxref\n0 %%EOF\n0123456789 n f \n"
+    for (_ <- 1 to 300) {
+      val junk = (0 until rnd.nextInt(200)).map(_ =>
+        seed(rnd.nextInt(seed.length))).mkString.getBytes("US-ASCII")
+      guarded { Pdf.parse(junk); () }
+    }
+    val real = Pdf.encode(4, 3, 80, 5L, breakEntry2 = false)
+    for (cut <- 1 until real.length by 2) {
+      guarded { Pdf.parse(java.util.Arrays.copyOf(real, cut)); () }
+    }
+    for (pos <- real.indices; bit <- Seq(0, 7)) {
+      val b = real.clone(); b(pos) = (b(pos) ^ (1 << bit)).toByte
+      guarded { Pdf.parse(b); () }
+    }
+  }
+
   test("garbage never hangs or escapes (all three walks)") {
     for (i <- 1 to 300) {
       val n = rnd.nextInt(400) + 1
