@@ -816,18 +816,24 @@ object NetCDFQueries {
           new java.io.BufferedOutputStream(new java.io.FileOutputStream(
             new java.io.File(landing, f"shard_$cls%d.tar"))))
         var n = 0L
-        it.foreach { case (id, text) =>
-          require(text.forall(_ < 128),
-            s"doc $id: non-ASCII char — member bytes would diverge from chars")
-          val o = stream(id % 8)
-          o.write(Tar.encodeMember(s"doc$id.txt", text.getBytes("US-ASCII"),
-            breakChecksum = id % 29 == 0))
-          val bin = Array.tabulate(50 + (id % 200).toInt)(i =>
-            ((i * 7 + id) & 0xFF).toByte)
-          o.write(Tar.encodeMember(s"doc$id.bin", bin))
-          n += 1
+        // close in a finally (the qn20/qn22 writer discipline): a failed
+        // doc mid-partition must not leak up to 8 open shard handles
+        try {
+          it.foreach { case (id, text) =>
+            require(text.forall(_ < 128),
+              s"doc $id: non-ASCII char — member bytes would diverge from chars")
+            val o = stream(id % 8)
+            o.write(Tar.encodeMember(s"doc$id.txt", text.getBytes("US-ASCII"),
+              breakChecksum = id % 29 == 0))
+            val bin = Array.tabulate(50 + (id % 200).toInt)(i =>
+              ((i * 7 + id) & 0xFF).toByte)
+            o.write(Tar.encodeMember(s"doc$id.bin", bin))
+            n += 1
+          }
+          outs.values.foreach(_.write(Tar.trailer))
+        } finally outs.values.foreach { o =>
+          try o.close() catch { case _: java.io.IOException => () }
         }
-        outs.values.foreach { o => o.write(Tar.trailer); o.close() }
         Iterator.single(n)
       }.reduce(_ + _) // forces the executor-side shard write
     require(written > 0, "qn23: no documents written")

@@ -106,7 +106,10 @@ object Pdf {
     }
     require(q < buf.length && buf(q) == '\n', "xref subsection: bad header end")
     q += 1
-    require(k >= 1 && q + 20 * k <= buf.length, s"xref table of $k entries truncated")
+    // the count is hostile input: bound it BEFORE the 20·k product so a
+    // 2^63-scale count cannot overflow the guard into a passing negative
+    require(k >= 1 && k <= (buf.length - q) / 20,
+      s"xref table of $k entries truncated")
     // entry 0: the head of the free list, generation 65535
     require(digitsAt(buf, q, 10) == 0 && digitsAt(buf, q + 11, 5) == 65535 &&
       buf(q + 17) == 'f', "xref entry 0 is not the free-list head")

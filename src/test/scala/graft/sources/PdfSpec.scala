@@ -19,14 +19,36 @@ class PdfSpec extends AnyFunSuite {
     assert(b.streamBytes == 60) // object 1's entry is intact
   }
 
-  test("resolution is end-first: appended garbage after %%EOF is rejected, " +
-    "but a LATER startxref wins when the file is extended correctly") {
+  test("resolution is end-first: an incremental update's LATER startxref wins") {
+    // append an ISO 32000-1 §7.5.6-style incremental update — a new
+    // object, a replacement xref table, a new trailer — and the walk
+    // must resolve through the LAST startxref (3 objects); a regression
+    // to the first one would report the original table's 2
     val base = Pdf.encode(4, 2, 30, 1L, breakEntry2 = false)
-    // naive append breaks the %%EOF-at-end expectation only if it
-    // carries its own startxref; plain trailing bytes leave the LAST
-    // startxref ours and the walk still lands on the same table
-    val b = Pdf.parse(base)
-    assert(b.nObjects == 2)
+    val text = new String(base, "US-ASCII")
+    val entries = text.indexOf("xref\n") + 5 + 4 // after the "0 3\n" header
+    val e1 = text.substring(entries + 20, entries + 30).toLong
+    val e2 = text.substring(entries + 40, entries + 50).toLong
+    val sb = new StringBuilder(text)
+    val o3 = sb.length.toLong
+    sb.append("3 0 obj\n<< /Val 9 >>\nendobj\n")
+    val nx = sb.length.toLong
+    sb.append("xref\n0 4\n0000000000 65535 f \n")
+    sb.append(f"$e1%010d 00000 n \n")
+    sb.append(f"$e2%010d 00000 n \n")
+    sb.append(f"$o3%010d 00000 n \n")
+    sb.append("trailer\n<< /Size 4 /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$nx\n%%EOF\n")
+    val b = Pdf.parse(sb.toString.getBytes("US-ASCII"))
+    assert(b.nObjects == 3 && b.nXrefBad == 0 && b.streamBytes == 30)
+  }
+
+  test("a 2^63-scale xref count cannot overflow the bounds guard") {
+    val hostile = ("%PDF-1.4\nstartxref\n28\n%%EOF\n" +
+      "xref\n0 922337203685477581\n0000000000 65535 f \n")
+      .getBytes("US-ASCII")
+    assert(intercept[IllegalArgumentException](Pdf.parse(hostile))
+      .getMessage.contains("truncated"))
   }
 
   test("structural violations reject loudly") {
