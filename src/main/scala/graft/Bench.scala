@@ -44,6 +44,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // r18 measured negative: forcing AQE advisory-size coalescing
+    // (parallelismFirst=false, advisory 64m) regressed the CPU-heavy
+    // post-shuffle stages 1.3-2.2x at sf0.1 (d05 5.0→10.9 s, d03
+    // 5.1→7.1, d21 5.9→7.8) — single-task stages serialize the verify
+    // merge loops; the default parallelismFirst=true keeps them wide.
+    // Left at Spark defaults deliberately; see OPTIMIZATION_r18.md.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -69,32 +69,57 @@ object GraphComponents {
   /** [[labels]] plus the number of large+small-star rounds executed
     * before the edge-set fixpoint — the observable the depth probes pin
     * (a path graph of length L must converge in O(log L) rounds, not
-    * O(L)). */
+    * O(L)).
+    *
+    * Round shape (r18 optimization; results bit-identical):
+    *  - NO intermediate canon/distinct between the large-star and
+    *    small-star steps: both stars are per-edge emits over per-node
+    *    MIN aggregates, and min over a multiset equals min over its
+    *    set, so duplicate intermediate edges cannot change what the
+    *    round-end canon() produces — dropping the mid-round distinct
+    *    removes one Exchange + stage barrier per round (guide §2.4).
+    *  - SCALE-ADAPTIVE round partitioning: after the first canon pass
+    *    materializes, the edge count is known (it rides the same
+    *    aggregate as the convergence signature), and every subsequent
+    *    round plans its shuffles at ~2M edges/partition (≈32 MB blocks)
+    *    clamped to the session's configured parallelism — a 35k-edge
+    *    dedup graph iterates on 1 partition instead of paying
+    *    32 tasks × ~4 exchanges × rounds of scheduling overhead, while
+    *    a 100 TB crawl graph keeps the deployment's full width (guide
+    *    §2.2: size reduce partitions from data, don't inherit a
+    *    constant). Restored on every exit path; labels are
+    *    partitioning-invariant so consumers see identical rows. */
   def labelsWithRounds(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     val spark = edges.sparkSession
     var e = canon(edges.toDF("u", "v")).localCheckpoint(true)
     var signature = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
       .head()
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIter) {
-      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      val afterLarge = canon(largeStar(sym, neighborhoodMin(sym)))
-      val sym2 = afterLarge.unionByName(
-        afterLarge.select(col("v").as("u"), col("u").as("v")))
-      val next = canon(smallStar(sym2, neighborhoodMin(sym2)))
-        .localCheckpoint(true)
-      val sig = next.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
-        .head()
-      converged = sig == signature
-      signature = sig
-      e = next
-      it += 1
-    }
-    require(converged, s"connected components did not converge in $maxIter rounds")
-    // star forest: (u → comp) edges for non-roots; roots label themselves
-    (e.select(col("u").as("node"), col("v").as("comp"))
-      .unionByName(e.select(col("v").as("node"), col("v").as("comp")).distinct())
-      .distinct(), it)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val adaptive = math.max(1L, math.min(prevParts.toLong,
+        signature.getLong(0) / 2000000L + 1L))
+      spark.conf.set("spark.sql.shuffle.partitions", adaptive.toString)
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIter) {
+        val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        val afterLarge = largeStar(sym, neighborhoodMin(sym))
+        val sym2 = afterLarge.unionByName(
+          afterLarge.select(col("v").as("u"), col("u").as("v")))
+        val next = canon(smallStar(sym2, neighborhoodMin(sym2)))
+          .localCheckpoint(true)
+        val sig = next.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
+          .head()
+        converged = sig == signature
+        signature = sig
+        e = next
+        it += 1
+      }
+      require(converged, s"connected components did not converge in $maxIter rounds")
+      // star forest: (u → comp) edges for non-roots; roots label themselves
+      (e.select(col("u").as("node"), col("v").as("comp"))
+        .unionByName(e.select(col("v").as("node"), col("v").as("comp")).distinct())
+        .distinct(), it)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 }

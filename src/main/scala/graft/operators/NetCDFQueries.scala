@@ -811,11 +811,24 @@ object NetCDFQueries {
       .repartition(8, col("cls"))
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
-        val outs = scala.collection.mutable.Map.empty[Long, java.io.BufferedOutputStream]
-        def stream(cls: Long) = outs.getOrElseUpdate(cls,
-          new java.io.BufferedOutputStream(new java.io.FileOutputStream(
-            new java.io.File(landing, f"shard_$cls%d.tar"))))
+        // r18: write-to-temp + rename-into-place (the commit-protocol
+        // discipline of the built-in file sinks): a speculative or
+        // retried task re-opening shard_N.tar directly would interleave
+        // bytes with the original attempt mid-query; the task-attempt-
+        // unique temp name makes concurrent attempts disjoint and the
+        // atomic rename publishes only a complete shard
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val outs = scala.collection.mutable.Map
+          .empty[Long, (java.io.File, java.io.BufferedOutputStream)]
+        def stream(cls: Long) = outs.getOrElseUpdate(cls, {
+          val tmp = new java.io.File(landing,
+            f"shard_$cls%d.tar.inprogress-$attempt%d")
+          (tmp, new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(tmp)))
+        })._2
         var n = 0L
+        var ok = false
         // close in a finally (the qn20/qn22 writer discipline): a failed
         // doc mid-partition must not leak up to 8 open shard handles
         try {
@@ -830,9 +843,16 @@ object NetCDFQueries {
             o.write(Tar.encodeMember(s"doc$id.bin", bin))
             n += 1
           }
-          outs.values.foreach(_.write(Tar.trailer))
-        } finally outs.values.foreach { o =>
+          outs.values.foreach(_._2.write(Tar.trailer))
+          ok = true
+        } finally outs.values.foreach { case (_, o) =>
           try o.close() catch { case _: java.io.IOException => () }
+        }
+        if (ok) outs.foreach { case (cls, (tmp, _)) =>
+          java.nio.file.Files.move(tmp.toPath,
+            new java.io.File(landing, f"shard_$cls%d.tar").toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
         Iterator.single(n)
       }.reduce(_ + _) // forces the executor-side shard write

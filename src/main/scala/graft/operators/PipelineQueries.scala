@@ -1223,7 +1223,14 @@ object PipelineQueries {
     try {
       val quality = parsed
         .filter(size(split(col("page_text"), " ")) >= 12)
-      val distinctQ = quality.select(col("page_text")).distinct()
+      // r18: exact dedup collapses on the 16-byte md5 DIGEST (+ length
+      // for the books), the d01 idiom — the old distinct() on raw
+      // page_text shuffled the full text bytes where 24 bytes/row
+      // decide everything (guide §2.3 "shuffle keys, not payloads");
+      // same rows booked (distinct texts ↔ distinct digests).
+      val distinctQ = quality.select(
+        md5(col("page_text").cast("binary")).as("digest"),
+        length(col("page_text")).cast("long").as("len")).distinct()
       def books(df: DataFrame, c: Column): (Long, Long) = {
         val r = df.agg(count(lit(1)),
           coalesce(sum(length(c).cast("long")), lit(0L))).head()
@@ -1232,7 +1239,11 @@ object PipelineQueries {
       val (n1, c1) = books(corpus, col("text"))
       val (n2, c2) = books(parsed, col("page_text"))
       val (n3, c3) = books(quality, col("page_text"))
-      val (n4, c4) = books(distinctQ, col("page_text"))
+      val (n4, c4) = {
+        val r = distinctQ.agg(count(lit(1)),
+          coalesce(sum(col("len")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
       Seq(("1_raw", n1, c1), ("2_parsed", n2, c2),
         ("3_quality", n3, c3), ("4_unique", n4, c4))
         .toDF("stage", "n_docs", "n_chars")

@@ -1635,10 +1635,18 @@ object TextQueries {
         "transform(slice(ws, 1, greatest(size(ws) - 1, 0))," +
           " (w, i) -> struct(w AS w1, ws[i + 1] AS w2))")).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).cache()
+    // r18: localCheckpoint instead of cache() — same eager reuse across
+    // the three consumers, but the blocks are context-cleaned when the
+    // plan is garbage-collected instead of pinned in the CacheManager
+    // until an explicit unpersist that no caller could safely place
+    // (the returned plan still references both frames), so a 346-query
+    // sweep no longer accumulates two storage-cached frames per t38 run
+    val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
     // head is consumed three times (two key filters + the final join):
-    // cache the 50 rows so the TakeOrdered over the type table runs once
-    val head = bg.orderBy(desc("c12"), col("w1"), col("w2")).limit(50).cache()
+    // checkpoint the 50 rows so the TakeOrdered over the type table runs once
+    val head = bg.orderBy(desc("c12"), col("w1"), col("w2")).limit(50)
+      .localCheckpoint(true)
     val types = bg.agg(count(lit(1)).as("nbb"))
     val ctx = bg
       .join(broadcast(head.select("w1").distinct()), Seq("w1"), "left_semi")
@@ -1652,7 +1660,10 @@ object TextQueries {
         "CAST(CAST(4 * c12 - 3 AS DECIMAL(38,0)) * 1000000000000" +
           " div (4 * c1) AS BIGINT)" +
           " + CAST(CAST(3 * n_cont AS DECIMAL(38,0)) * n_pred" +
-          " * 1000000000000 div (4 * c1 * nbb) AS BIGINT)"))
+          // divisor in DECIMAL(38,0) (oracle: HUGEINT): 4*c1*nbb in
+          // 64-bit wraps silently at large corpora exactly where the
+          // oracle raises — decimal math keeps both engines consistent
+          " * 1000000000000 div (CAST(4 * c1 AS DECIMAL(38,0)) * nbb) AS BIGINT)"))
       .orderBy(desc("c12"), col("w1"), col("w2"))
       .select(col("w1"), col("w2"), col("c12"), col("c1"),
         col("n_cont"), col("n_pred"), col("kn_fp"))
