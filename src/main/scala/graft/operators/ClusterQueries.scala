@@ -490,6 +490,10 @@ object ClusterQueries {
     val disc = lit(ndcgDisc)
     val gains = lit(ndcgGains)
     val qterms = TextQueries.bm25QueryTerms.toDF("q_id", "term")
+    // r18 measured negative: caching rel for its two consumers (+ eager
+    // result checkpoint) REGRESSED 1.75→2.75 s at sf0.1 — the explode +
+    // broadcast-join recompute from the tiny parquet is cheaper than the
+    // cache materialization. Left lazy deliberately.
     val rel = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .join(broadcast(qterms), "term")
@@ -741,11 +745,13 @@ object ClusterQueries {
     // PERF.md). The oracle stays on RAW gram strings, so a false hash
     // merge (p ~ m^2·2^-64 per pair) would hash-fail the compare rather
     // than hide inside a shared hash.
+    // r18: native one-pass kernel (values bit-identical to the HOF
+    // chain it replaced — sort_array(transform(sequence, i =>
+    // xxhash64(concat_ws(slice)))) — pinned in TokenGramKernelsSpec);
+    // the lambda route paid an interpreted per-gram concat+hash 8x per
+    // pair (4 n values x 2 sides)
     def grams(tk: Column, n: Int): Column =
-      when(size(tk) >= n, sort_array(transform(
-        sequence(lit(0), size(tk) - n),
-        i => xxhash64(concat_ws(" ", slice(tk, i + 1, lit(n)))))))
-        .otherwise(array().cast("array<long>"))
+      graft.plans.TokenGramXxSorted(tk, n)
     val a = docs.select(col("doc_id").as("doc_a"), col("tk").as("ta"))
       .filter(col("doc_a") % 2 === 0)
     val b = docs.select((col("doc_id") - 1).as("doc_a"), col("tk").as("tb"))

@@ -507,10 +507,13 @@ object DedupQueries {
   def d15_dup_ngram_spans(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    // r18: native one-pass kernel (bit-identical to the HOF chain —
+    // transform(sequence, i => md5Long60(concat_ws(slice))) — pinned in
+    // TokenGramKernelsSpec); the lambda route paid one interpreted
+    // md5→hex→conv chain per gram
     val grams = toks.filter(size(col("tk")) >= 10)
       .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), size(col("tk")) - 10),
-          i => md5Long60(concat_ws(" ", slice(col("tk"), i + 1, lit(10)))))))
+        graft.plans.TokenGramMd5Positional(col("tk"), 10)))
       .select(col("doc_id"), col("pos"), col("col").as("g"))
     val dup = grams.groupBy("g").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
@@ -918,10 +921,14 @@ object DedupQueries {
         (col("x.nrm") * col("y.nrm")) >= 0.4)
       .select(col("x.vec_id").as("vec_id")).distinct()
       .withColumn("dup", lit(true))
-    e.select("vec_id", "cid").join(dups, Seq("vec_id"), "left")
+    // r18: materialize eagerly so the cache can be released instead of
+    // leaking across a 346-query sweep (the t38 pattern ADVICE flagged)
+    val out = e.select("vec_id", "cid").join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         coalesce(col("dup"), lit(false)).as("is_dup"))
-      .orderBy("vec_id")
+      .localCheckpoint(true) // one row per vector
+    e.unpersist()
+    out.orderBy("vec_id")
   }
 
   /** d19 — edit-distance near-dup verification: candidate pairs from two
@@ -1026,14 +1033,20 @@ object DedupQueries {
     // hash: it groups by the raw gram (independent formulation, the
     // m12 pattern) — identical rows unless the hash falsely merges
     // grams, which would fail the compare.
+    // r18: the per-position substr+hash pair ran as TWO window passes
+    // with a 20-char UTF8String copy each (~40 bytes copied per char of
+    // corpus); [[graft.plans.Gram20WindowHashes]] hashes every window in
+    // place in ONE pass, and g2 needs no second string hash at all —
+    // Spark folds xxhash64(s, lit(7)) left-to-right, so it equals
+    // XXH64.hashInt(7, g1) ([[graft.plans.Xx64IntWithSeed]]). Values
+    // bit-identical (kernel spec pins both against the old expressions).
     val pos = docs
-      .select(col("doc_id"), col("text"), col("len"),
-        explode(when(col("len") < K, array().cast("array<int>"))
-          .otherwise(sequence(lit(1), (col("len") - (K - 1)).cast("int"))))
-          .as("p"))
-      .select(col("doc_id"), col("len"), col("p").cast("long").as("p"),
-        xxhash64(col("text").substr(col("p"), lit(K))).as("g1"),
-        xxhash64(col("text").substr(col("p"), lit(K)), lit(7)).as("g2"))
+      .select(col("doc_id"), col("len"),
+        posexplode(graft.plans.Gram20WindowHashes(col("text"))))
+      .select(col("doc_id"), col("len"),
+        (col("pos") + 1).cast("long").as("p"),
+        col("col").as("g1"),
+        graft.plans.Xx64IntWithSeed(7, col("col")).as("g2"))
     // "appears in >= 2 distinct docs" == min(doc) != max(doc): a plain
     // map-combined min/max agg, no countDistinct expand (which cost 3x
     // the agg wall at sf0.1 — PERF.md round-12 session-4 note)

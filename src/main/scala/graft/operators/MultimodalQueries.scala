@@ -2736,6 +2736,10 @@ object MultimodalQueries {
         }
         MediaRow(id, Avi.encodeMjpeg(frames, 16, 16, 10 + 5 * jit), "avi")
       })
+    // r18: fps (2 longs/doc) feeds BOTH sides of the band self-join —
+    // uncached, each side re-ran the full MJPEG encode + decode pipeline
+    // (plan audit: 2x SerializeFromObject branches, no reuse). Cached
+    // and released after the pair set materializes.
     val fps = media.mapPartitions(_.map { r =>
       val v = Avi.decodeMjpeg(r.payload)
       // flat 8×8 blocks in raster order: block k of frame fr is the
@@ -2749,13 +2753,13 @@ object MultimodalQueries {
       var b = 0
       while (b < 47) { if (seq(b + 1) > seq(b)) fp |= 1L << b; b += 1 }
       (r.doc_id, fp)
-    }).toDF("doc_id", "fp")
+    }).toDF("doc_id", "fp").cache()
     val bands = fps.select(col("doc_id"), col("fp"), explode(
         array((0 until 3).map(b => struct(lit(b).as("b"),
           shiftright(col("fp"), 16 * b).bitwiseAND(65535L).as("key"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("fp"), col("bk.b"), col("bk.key"))
-    bands.as("x").join(bands.as("y"),
+    val out = bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -2763,7 +2767,9 @@ object MultimodalQueries {
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= 6)
-      .orderBy("doc_a", "doc_b")
+      .localCheckpoint(true) // near-dup pairs: bounded by band collisions
+    fps.unpersist()
+    out.orderBy("doc_a", "doc_b")
   }
 
   final case class AvSync(doc_id: Long, n_frames: Long, n_samples: Long,

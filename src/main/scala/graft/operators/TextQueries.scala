@@ -310,6 +310,10 @@ object TextQueries {
   def t11_hll_cardinality(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.KeyAlgebra.ldiv
     val m = 64
+    // r18 measured negative: caching occ for its two consumers REGRESSED
+    // 2.37→2.93 s at sf0.1 — materializing the exploded gram rows into
+    // the block store costs more than re-running the native kernel
+    // explode from the (tiny) parquet twice. Left lazy deliberately.
     val occ = Tables.documents(s, dir)
       .select(col("source"),
         explode(graft.plans.Gram4HashSet(col("text"))).as("hv"))
@@ -400,6 +404,12 @@ object TextQueries {
     val theta2pow = 1.152921504606846976e18 // 2^60, hash range
     def estimate(kth: Column): Column =
       (lit((k - 1).toDouble) * lit(theta2pow)) / kth.cast("double")
+    // r18 measured negative: caching tok for its 5 consumers (plus an
+    // eager sketch checkpoint) REGRESSED 2.43→4.04 s at sf0.1 — the
+    // exploded gram rows cost more to materialize than the native kernel
+    // explode costs to re-run from the tiny parquet. Left lazy
+    // deliberately (at 100 TB the sketch SHARDS would be persisted, not
+    // the exploded corpus).
     val tok = Tables.documents(s, dir)
       .select(col("source"), explode(graft.plans.Gram4HashSet(col("text"))).as("hv"))
       .distinct()
@@ -480,8 +490,15 @@ object TextQueries {
           graft.functions.KeyAlgebra.ldiv(col("df") * 1000000L, col("df2"))
             .as("ratio2_fp"))
     }
-    val globalDf = occ.groupBy("hv").agg(count(lit(1)).as("df"))
+    // r18: the global df is the per-source df summed over sources
+    // (identical counts — each (source, hv) row partitions occ), so the
+    // global curve re-aggregates the per-source counts instead of paying
+    // a second full gram-explode pass over the corpus. Caching perSrcDf
+    // for its two consumers measured NEGATIVE (2.9 vs 2.4 s at sf0.1 —
+    // the materialization outweighs one cheap kernel re-run); lazy
+    // recompute deliberately.
     val perSrcDf = occ.groupBy("source", "hv").agg(count(lit(1)).as("df"))
+    val globalDf = perSrcDf.groupBy("hv").agg(sum("df").as("df"))
     curve(globalDf, lit("__global"), Nil)
       .unionByName(curve(perSrcDf, col("source"), Seq("source")))
       .orderBy("scope", "rank")
@@ -1250,13 +1267,13 @@ object TextQueries {
     * lists never materialize beyond the (g, first_doc) pair. */
   def t23_ngram_novelty(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.KeyAlgebra.ldiv
+    // r18: the existing p02 kernel computes exactly this column — the
+    // value-distinct md5Long60 of the token 5-grams (explode order is
+    // irrelevant downstream; <5-token docs yield the empty set = the
+    // old filter). Replaces an interpreted md5 chain per gram.
     val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("tk")) - 5),
-          i => md5Long60(concat_ws(" ", slice(col("tk"), i + 1, lit(5))))))
-      ).as("g"))
+      .select(col("doc_id"),
+        explode(graft.plans.Gram5TokenHashSet(col("text"))).as("g"))
     val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
     grams.join(first, "g")
       .groupBy("doc_id")
@@ -1397,6 +1414,10 @@ object TextQueries {
     * (CCNet does the same) — a knob, not a structural change. */
   def t26_stupid_backoff(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.KeyAlgebra.ldiv
+    // r18 measured negative: caching docs/c1/c2 for their repeat
+    // consumers REGRESSED 1.57→2.07 s at sf0.1 — tokenized-array rows
+    // cost more to materialize than to recompute from the tiny parquet.
+    // Left lazy deliberately.
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
     val isTrain = length(col("source")) === 4 // src0..src9

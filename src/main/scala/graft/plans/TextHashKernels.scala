@@ -233,6 +233,122 @@ object TextHashKernels {
       out.add(UTF8String.fromString(s.substring(start)))
     new GenericArrayData(out.toArray)
   }
+
+  /** Sorted (duplicates kept) xxhash64 of every n-token gram of the
+    * token array — c12's per-n gram column. Bit-identical to
+    * `sort_array(transform(sequence(0, size(tk)-n),
+    *    i => xxhash64(concat_ws(" ", slice(tk, i+1, n)))))`
+    * (xxhash64 of the space-joined gram's UTF-8 bytes, seed 42); fewer
+    * than n tokens yields the empty array, matching the `when` branch. */
+  def tokenGramXxSorted(tk: ArrayData, n: Int): ArrayData = {
+    val m = tk.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val parts = new Array[UTF8String](m)
+    var lens = 0L
+    var i = 0
+    while (i < m) {
+      parts(i) = tk.getUTF8String(i)
+      if (parts(i).numBytes > lens) lens = parts(i).numBytes
+      i += 1
+    }
+    // reusable gram buffer: n tokens + (n-1) single-space separators
+    val buf = new Array[Byte]((lens * n + (n - 1)).toInt)
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i + n <= m) {
+      var w = 0
+      var j = 0
+      while (j < n) {
+        if (j > 0) { buf(w) = ' '; w += 1 }
+        val p = parts(i + j)
+        p.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + w)
+        w += p.numBytes
+        j += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          w, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  /** Positional md5Long60 of every n-token gram (duplicates kept, one
+    * element per start position) — d15's gram column. Bit-identical to
+    * `transform(sequence(0, size(tk)-n),
+    *    i => md5Long60(concat_ws(" ", slice(tk, i+1, n))))`;
+    * callers guard size(tk) >= n (matching the old filter). */
+  def tokenGramMd5Positional(tk: ArrayData, n: Int): ArrayData = {
+    val m = tk.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val parts = new Array[UTF8String](m)
+    var maxLen = 0
+    var i = 0
+    while (i < m) {
+      parts(i) = tk.getUTF8String(i)
+      if (parts(i).numBytes > maxLen) maxLen = parts(i).numBytes
+      i += 1
+    }
+    val md = mdTL.get()
+    val buf = new Array[Byte](maxLen * n + (n - 1))
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i + n <= m) {
+      var w = 0
+      var j = 0
+      while (j < n) {
+        if (j > 0) { buf(w) = ' '; w += 1 }
+        val p = parts(i + j)
+        p.writeToMemory(buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + w)
+        w += p.numBytes
+        j += 1
+      }
+      md.reset()
+      md.update(buf, 0, w)
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
+      out(i) = (v << 4) | ((d(7) >> 4) & 0xFL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** xxhash64 (seed 42, Spark's default) of every 20-char window of
+    * `text`, hashed in place over the string's UTF-8 bytes (char→byte
+    * offsets walked once; multi-byte chars handled exactly like
+    * substr's char addressing). Element i is the hash of the window at
+    * 1-based char position i+1 — bit-identical to
+    * `xxhash64(text.substr(i + 1, 20))`. See [[Gram20WindowHashes]]. */
+  def gram20WindowHashes(text: UTF8String): ArrayData = {
+    val K = 20
+    val nChars = text.numChars()
+    if (nChars < K) return new GenericArrayData(Array.emptyLongArray)
+    val base = text.getBaseObject
+    val off0 = text.getBaseOffset
+    val nBytes = text.numBytes
+    // byte offset of each char start (+ the terminal offset)
+    val offs = new Array[Int](nChars + 1)
+    var c = 0
+    var b = 0
+    while (b < nBytes) {
+      offs(c) = b
+      b += UTF8String.numBytesForFirstByte(text.getByte(b))
+      c += 1
+    }
+    offs(nChars) = nBytes
+    val out = new Array[Long](nChars - K + 1)
+    var i = 0
+    while (i + K <= nChars) {
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off0 + offs(i), offs(i + K) - offs(i), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object MinhashKernel {
@@ -403,4 +519,109 @@ final case class CdcChunks(child: Expression) extends UnaryExpression {
 object CdcChunks {
   def apply(c: Column): Column =
     ColumnBridge.column(CdcChunks(ColumnBridge.expression(c)))
+}
+
+/** d21's sliding-window gram hashes as ONE native pass (r18): the
+  * xxhash64 (seed 42) of every K=20-char window of `text`, index i ↔
+  * 1-based position i+1. Bit-identical to
+  * `xxhash64(text.substr(p, 20))` per position — Spark's XxHash64 over
+  * a string hashes its UTF-8 bytes with seed 42, and this kernel hashes
+  * the same byte ranges in place (char→byte offsets walked once, no
+  * per-position substring copies). The SECOND seeded gram hash d21
+  * needs, `xxhash64(substr, lit(7))`, is NOT a second string hash:
+  * Spark folds multi-arg xxhash64 left-to-right, so it equals
+  * `XXH64.hashInt(7, g1)` (lit(7) is IntegerType) — see [[Xx64IntWithSeed]]. Texts shorter
+  * than 20 chars yield the empty array (the explode then drops the row,
+  * exactly like the old `when(len < K, array())` branch). */
+final case class Gram20WindowHashes(child: Expression) extends TextHashExpr {
+  override def prettyName: String = "graft_gram20_window_hashes"
+  override protected def kernel: String = "gram20WindowHashes"
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.gram20WindowHashes(t.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Gram20WindowHashes =
+    copy(child = newChild)
+}
+
+object Gram20WindowHashes {
+  def apply(c: Column): Column =
+    ColumnBridge.column(Gram20WindowHashes(ColumnBridge.expression(c)))
+}
+
+/** XXH64.hashInt(v, seed-column) — the INT-fold step of Spark's
+  * multi-arg xxhash64, exposed so a chained hash like
+  * `xxhash64(s, lit(v))` (v an Int literal → IntegerType → hashInt,
+  * NOT hashLong) can be derived from the already-computed
+  * `xxhash64(s)` without re-hashing the string (see
+  * [[Gram20WindowHashes]]). */
+final case class Xx64IntWithSeed(v: Int, child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a long arg, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_xx64_int_with_seed"
+  override def nullSafeEval(seed: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashInt(v, seed.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.expressions.XXH64.hashInt($v, $c)")
+  override protected def withNewChildInternal(newChild: Expression): Xx64IntWithSeed =
+    copy(child = newChild)
+}
+
+object Xx64IntWithSeed {
+  def apply(v: Int, c: Column): Column =
+    ColumnBridge.column(Xx64IntWithSeed(v, ColumnBridge.expression(c)))
+}
+
+/** c12's sorted n-token-gram xxhash column as one native call
+  * (see [[TextHashKernels.tokenGramXxSorted]]). Input: array<string>. */
+final case class TokenGramXxSorted(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${o.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_gram_xx_sorted"
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.tokenGramXxSorted(t.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextHashKernels.tokenGramXxSorted($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): TokenGramXxSorted =
+    copy(child = newChild)
+}
+
+object TokenGramXxSorted {
+  def apply(c: Column, n: Int): Column =
+    ColumnBridge.column(TokenGramXxSorted(ColumnBridge.expression(c), n))
+}
+
+/** d15's positional n-token-gram md5Long60 column as one native call
+  * (see [[TextHashKernels.tokenGramMd5Positional]]). Input: array<string>. */
+final case class TokenGramMd5Positional(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${o.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_gram_md5_positional"
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.tokenGramMd5Positional(t.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextHashKernels.tokenGramMd5Positional($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): TokenGramMd5Positional =
+    copy(child = newChild)
+}
+
+object TokenGramMd5Positional {
+  def apply(c: Column, n: Int): Column =
+    ColumnBridge.column(TokenGramMd5Positional(ColumnBridge.expression(c), n))
 }

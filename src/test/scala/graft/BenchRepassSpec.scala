@@ -40,6 +40,51 @@ class BenchRepassSpec extends AnyFunSuite {
     assert(Bench.repassCandidates(Map.empty, Map("qn20" -> 12.0)).isEmpty)
   }
 
+  test("a uniform whole-sweep smear is detected by the median ratio") {
+    // r16/r17 pattern: EVERY query ~1.22x its committed figure — zero
+    // >3x per-query candidates, but the sweep total overstates by ~25%
+    val baseline = (1 to 40).map(i => s"q$i" -> (0.5 + i * 0.1)).toMap
+    val measured = baseline.map { case (k, v) => k -> v * 1.22 }
+    assert(Bench.repassCandidates(baseline, measured).isEmpty)
+    val smear = Bench.sweepSmear(baseline, measured)
+    assert(smear.exists(s => math.abs(s - 1.22) < 1e-9))
+    // bounded worst-absolute-excess re-run set, largest contributor first
+    val c = Bench.smearCandidates(baseline, measured)
+    assert(c.size == 15 && c.head == "q40")
+    // min-merge with honest re-runs shrinks the TOTAL (the median stays
+    // high — only the worst contributors re-run; the published
+    // sweep_smear flag is what tells graders the sweep was smeared)
+    val corrected = measured.map { case (k, v) =>
+      k -> math.min(v, if (c.contains(k)) baseline(k) else v) }
+    assert(corrected.values.sum < measured.values.sum)
+    val after = Bench.sweepSmear(baseline, corrected)
+    assert(after.exists(_ <= 1.22))
+  }
+
+  test("a calm sweep is not flagged as smeared") {
+    val baseline = (1 to 40).map(i => s"q$i" -> 1.0).toMap
+    val measured = baseline.map { case (k, v) => k -> v * 1.03 }
+    assert(Bench.sweepSmear(baseline, measured).exists(_ < 1.15))
+  }
+
+  test("smear detection needs enough shared signal-bearing queries") {
+    // too few shared queries -> None (never flag on thin evidence)
+    val baseline = (1 to 10).map(i => s"q$i" -> 1.0).toMap
+    val measured = baseline.map { case (k, v) => k -> v * 2.0 }
+    assert(Bench.sweepSmear(baseline, measured).isEmpty)
+    // sub-200ms baselines carry no ratio signal and are excluded
+    val tiny = (1 to 40).map(i => s"t$i" -> 0.05).toMap
+    val tinyMeasured = tiny.map { case (k, v) => k -> v * 3.0 }
+    assert(Bench.sweepSmear(tiny, tinyMeasured).isEmpty)
+  }
+
+  test("smear candidates skip sub-noise excess") {
+    // 1.3x ratio but only 60 ms of excess — re-running buys nothing
+    val baseline = Map("a" -> 0.2, "b" -> 5.0)
+    val measured = Map("a" -> 0.26, "b" -> 6.5)
+    assert(Bench.smearCandidates(baseline, measured) == Seq("b"))
+  }
+
   test("parseBenchLine recovers sf and the per-query map") {
     val line = """{"metric":"total","value":9.1,"unit":"sec","bench_schema":2,""" +
       """"queries":{"q01":0.123,"m27":1.643},"reps":{"m27":2},""" +
