@@ -981,6 +981,10 @@ object PipelineQueries {
         .select(col("node"), col("m.l").as("label"))
         .localCheckpoint()
     }
+    // r18: the final round is already eagerly checkpointed, so the
+    // symmetrized edge cache can be released instead of leaking across
+    // a sweep (the t38/d12 hygiene pattern)
+    sym.unpersist()
     lab.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_members"), sum("node").as("id_sum"))
       .orderBy("community")
