@@ -47,8 +47,12 @@ object Bench {
     * ~1.22x MEDIAN vs the committed ledger, overstating total cost by
     * ~25% with zero per-query candidates). Measured as the median
     * measured/baseline ratio over shared queries whose baseline is big
-    * enough to carry signal (>= `minBase`; ratios of 50 ms queries are
-    * scheduler noise). None when too few shared queries to be robust. */
+    * enough to carry signal (>= `minBase` = 200 ms; ratios of
+    * sub-200 ms queries are scheduler noise). None when too few shared
+    * queries to be robust. The ratio is PUBLISHED ("sweep_smear")
+    * whenever a comparable baseline exists — calm sweeps included — and
+    * the bounded re-run correction fires only when it exceeds 1.15
+    * (ADVICE r18 item 4: docs aligned with behavior). */
   private[graft] def sweepSmear(baseline: Map[String, Double],
       measured: Map[String, Double], minBase: Double = 0.2,
       minShared: Int = 20): Option[Double] = {
@@ -321,8 +325,15 @@ object Bench {
       .mkString("{", ",", "}")
     val reps = finalResults.filter(_._3 > 1)
       .map { case (k, _, n) => "\"" + k + s"\":$n" }.mkString("{", ",", "}")
-    val repassJson = (repassed ++ smearRepassed).toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    // min-merge per key (ADVICE r18 item 3): a query re-run by BOTH the
+    // >3x repass and the smear repass publishes its best re-measurement,
+    // matching what the min-merged result actually used
+    val repassJson = (repassed.keySet ++ smearRepassed.keySet).toSeq.sorted
+      .map { k =>
+        val v = math.min(repassed.getOrElse(k, Double.MaxValue),
+          smearRepassed.getOrElse(k, Double.MaxValue))
+        "\"" + k + f"\":$v%.3f"
+      }.mkString("{", ",", "}")
     val smearJson = preSmear.map { p =>
       f""","sweep_smear":$p%.3f""" +
         postSmear.map(a => f""","sweep_smear_after":$a%.3f""").getOrElse("")

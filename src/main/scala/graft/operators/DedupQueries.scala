@@ -379,16 +379,28 @@ object DedupQueries {
     * decision is one window over comp — cluster-bounded groups, and
     * singletons coalesce to their own id so no group exceeds the
     * cluster-size bound. */
-  def d22_cluster_keep_best(s: SparkSession, dir: String): DataFrame = {
+  def d22_cluster_keep_best(s: SparkSession, dir: String): DataFrame =
+    keepBestManifest(s, dir)
+      .select("doc_id", "comp", "n_members", "score_fp", "kept")
+      .orderBy("doc_id")
+
+  /** The d22 keep-best pipeline with `source` and `n_tok` carried
+    * through (r19): p27's reweight ledger needs exactly those two extra
+    * per-doc columns, and deriving them HERE lets p27 ride the same
+    * single corpus tokenize pass instead of re-scanning and re-joining
+    * the corpus against d22's output (guide §2.4). d22 itself projects
+    * them away, so Catalyst column pruning keeps its plan unchanged. */
+  private[operators] def keepBestManifest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.KeyAlgebra.ldiv
     val scores = Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("n_tok"),
         size(array_distinct(col("tk"))).cast("long").as("n_dist"))
       .withColumn("score_fp", when(col("n_tok") === 0L, 0L)
         .otherwise(ldiv(col("n_dist") * 1000000L, col("n_tok"))))
-      .select("doc_id", "score_fp")
+      .select("doc_id", "source", "n_tok", "score_fp")
     val lbl = componentLabels(s, dir).withColumnRenamed("node", "doc_id")
     val w = Window.partitionBy("comp")
       .orderBy(col("score_fp").desc, col("doc_id"))
@@ -397,8 +409,6 @@ object DedupQueries {
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy("comp")))
       .withColumn("kept", (row_number().over(w) === 1).cast("long"))
-      .select("doc_id", "comp", "n_members", "score_fp", "kept")
-      .orderBy("doc_id")
   }
 
   /** d17 — INCREMENTAL minhash dedup: probe an arriving delta batch

@@ -2754,6 +2754,9 @@ object MultimodalQueries {
       while (b < 47) { if (seq(b + 1) > seq(b)) fp |= 1L << b; b += 1 }
       (r.doc_id, fp)
     }).toDF("doc_id", "fp").cache()
+    fps.count() // eager fill: the band self-join below would race the
+                // cache and re-run the MJPEG decode on both sides (the
+                // d12/collapsed idiom; ADVICE r18 item 1)
     val bands = fps.select(col("doc_id"), col("fp"), explode(
         array((0 until 3).map(b => struct(lit(b).as("b"),
           shiftright(col("fp"), 16 * b).bitwiseAND(65535L).as("key"))): _*))

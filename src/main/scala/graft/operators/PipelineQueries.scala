@@ -1053,12 +1053,16 @@ object PipelineQueries {
     * aggregate. Nothing new grows with data. */
   def p27_dedup_reweight(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.KeyAlgebra.ldiv
-    val manifest = DedupQueries.d22_cluster_keep_best(s, dir)
-      .select("doc_id", "n_members", "kept")
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
-      .join(manifest, "doc_id")
+    // r19 (guide §2.4/§1.2: don't compute things twice): the manifest is
+    // d22's logic INLINED with `source` and `n_tok` carried through,
+    // instead of calling d22 and re-scanning + re-tokenizing the whole
+    // corpus a second time just to join n_tok back on doc_id. One corpus
+    // tokenize pass and one full-size hash join removed; the per-doc
+    // (n_members, kept) values are computed by the identical
+    // score/label/window pipeline, so the aggregate input — hence the
+    // oracle row set — is unchanged (re-verified at both SFs).
+    val manifest = DedupQueries.keepBestManifest(s, dir)
+    manifest
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("kept").as("n_kept"),

@@ -83,8 +83,11 @@ object SimilarityQueries {
       .select(col("label").as("c_label"),
         transform(col("ssum"),
           v => v.cast("double") / col("cnt").cast("double") / 1e9).as("centroid"))
-    def l2(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)), lit(0.0), _ + _)
+    // r19: native codegen kernel (bit-exact vs the interpreted
+    // zip_with/aggregate fold it replaces — same per-element arithmetic,
+    // same left-fold order; see [[graft.plans.L2Distance]] and the s18
+    // family that already runs on it)
+    def l2(x: Column, y: Column): Column = graft.plans.L2Distance(x, y)
     val qs = base.filter(col("vec_id") % modulus === 0)
       .select(col("vec_id").as("query_id"), col("a").as("qa"))
     val wAssign = Window.partitionBy("query_id")
@@ -119,8 +122,11 @@ object SimilarityQueries {
       .select(col("label").as("c_label"),
         transform(col("ssum"),
           v => v.cast("double") / col("cnt").cast("double") / 1e9).as("centroid"))
-    def l2(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)), lit(0.0), _ + _)
+    // r19: native codegen kernel (bit-exact vs the interpreted
+    // zip_with/aggregate fold it replaces — same per-element arithmetic,
+    // same left-fold order; see [[graft.plans.L2Distance]] and the s18
+    // family that already runs on it)
+    def l2(x: Column, y: Column): Column = graft.plans.L2Distance(x, y)
     val qs = base.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("a").as("qa"))
     val wAssign = Window.partitionBy("query_id")
@@ -444,8 +450,11 @@ object SimilarityQueries {
       .select(col("label").as("c_label"),
         transform(col("ssum"),
           v => v.cast("double") / col("cnt").cast("double") / 1e9).as("centroid"))
-    def l2(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)), lit(0.0), _ + _)
+    // r19: native codegen kernel (bit-exact vs the interpreted
+    // zip_with/aggregate fold it replaces — same per-element arithmetic,
+    // same left-fold order; see [[graft.plans.L2Distance]] and the s18
+    // family that already runs on it)
+    def l2(x: Column, y: Column): Column = graft.plans.L2Distance(x, y)
     // residual vs the vector's own cell centroid
     val resid = base.join(broadcast(centroids), col("label") === col("c_label"))
       .select(col("vec_id"), col("label"),
@@ -610,8 +619,11 @@ object SimilarityQueries {
     import graft.functions.KeyAlgebra.ldiv
     val base = emb(s, dir)
     val modulus = math.max(50L, base.count() / 100L)
-    def l2(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)), lit(0.0), _ + _)
+    // r19: native codegen kernel (bit-exact vs the interpreted
+    // zip_with/aggregate fold it replaces — same per-element arithmetic,
+    // same left-fold order; see [[graft.plans.L2Distance]] and the s18
+    // family that already runs on it)
+    def l2(x: Column, y: Column): Column = graft.plans.L2Distance(x, y)
     val qs = base.filter(col("vec_id") % modulus === 0)
       .select(col("vec_id").as("query_id"), col("a").as("qa"))
     val w = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
@@ -824,8 +836,11 @@ object SimilarityQueries {
     import s.implicits._
     val base = emb(s, dir)
     val modulus = math.max(50L, base.count() / 100L)
-    def l2(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)), lit(0.0), _ + _)
+    // r19: native codegen kernel (bit-exact vs the interpreted
+    // zip_with/aggregate fold it replaces — same per-element arithmetic,
+    // same left-fold order; see [[graft.plans.L2Distance]] and the s18
+    // family that already runs on it)
+    def l2(x: Column, y: Column): Column = graft.plans.L2Distance(x, y)
     val scaled = base
       .withColumn("scaled", transform(col("a"), x => floor(x * 1e9).cast("long")))
     val centroids = scaled.groupBy("label")

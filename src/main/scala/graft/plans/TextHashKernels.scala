@@ -577,7 +577,17 @@ object Xx64IntWithSeed {
 }
 
 /** c12's sorted n-token-gram xxhash column as one native call
-  * (see [[TextHashKernels.tokenGramXxSorted]]). Input: array<string>. */
+  * (see [[TextHashKernels.tokenGramXxSorted]]). Input: array<string>.
+  *
+  * PRECONDITION (ADVICE r18 item 2): the input array and its elements
+  * must be NON-NULL — callers feed it `tokens(text)` = split of a
+  * non-null column, which never produces null elements. Semantics
+  * differ from the HOF chain it replaced only outside that domain: a
+  * null ARRAY yields NULL here (UnaryExpression null propagation) where
+  * the old `when(size(tk) >= n, ...).otherwise(array())` yielded an
+  * empty array, and a null ELEMENT would NPE where concat_ws skipped
+  * nulls. Keep the precondition in mind if a new caller feeds it
+  * anything but tokens(). */
 final case class TokenGramXxSorted(child: Expression, n: Int)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
