@@ -845,11 +845,16 @@ object DedupQueries {
         // files a micro-batch captures, it holds whole groups, and the
         // in-batch min-id tie-break keeps first-seen == batch min id even
         // if the source splits a drop across micro-batches
-        docs.filter(col("doc_id") <= half).repartition(4, col("text"))
-          .write.mode("append").parquet(watch)
+        // r19: drops staged + renamed in (see StreamQueries.stageDrop)
+        // so the polling source sees each drop as ONE micro-batch
+        // instead of picking up a half-written multi-file append
+        StreamQueries.stageDrop(
+          docs.filter(col("doc_id") <= half).repartition(4, col("text")),
+          watch, "d0")()
         q.processAllAvailable()
-        docs.filter(col("doc_id") > half).repartition(4, col("text"))
-          .write.mode("append").parquet(watch)
+        StreamQueries.stageDrop(
+          docs.filter(col("doc_id") > half).repartition(4, col("text")),
+          watch, "d1")()
         q.processAllAvailable()
       } finally q.stop()
       val result = s.table("d13_stream_out")

@@ -3036,11 +3036,15 @@ object MultimodalQueries {
       .format("memory").queryName("m33_stream_out").start()
     try {
       try {
-        media.filter(col("doc_id") <= half).repartition(4, col("fphex"))
-          .select("doc_id", "payload").write.mode("append").parquet(watch)
+        // r19: drops staged + renamed in (see StreamQueries.stageDrop)
+        // so the polling source sees each drop as ONE micro-batch
+        StreamQueries.stageDrop(
+          media.filter(col("doc_id") <= half).repartition(4, col("fphex"))
+            .select("doc_id", "payload"), watch, "m0")()
         q.processAllAvailable()
-        media.filter(col("doc_id") > half).repartition(4, col("fphex"))
-          .select("doc_id", "payload").write.mode("append").parquet(watch)
+        StreamQueries.stageDrop(
+          media.filter(col("doc_id") > half).repartition(4, col("fphex"))
+            .select("doc_id", "payload"), watch, "m1")()
         q.processAllAvailable()
       } finally q.stop()
       val result = s.table("m33_stream_out")

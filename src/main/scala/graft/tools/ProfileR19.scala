@@ -129,25 +129,51 @@ object ProfileR19 {
                 coalesce(KeyAlgebra.ldiv(col("ctns"), lit(1000L)) -
                   KeyAlgebra.ldiv(col("ptns"), lit(1000L)), lit(-1L)).as("lag_us"))
             var q: org.apache.spark.sql.streaming.StreamingQuery = null
+            val ckptBase = sys.env.get("PROF_CKPT_BASE")
             time1("q48: stream start") {
-              q = joined.writeStream.outputMode(OutputMode.Append)
-                .format("memory").queryName("prof_q48_out").start()
+              val w0 = joined.writeStream.outputMode(OutputMode.Append)
+                .format("memory").queryName("prof_q48_out")
+              val w = ckptBase.fold(w0)(b => w0.option("checkpointLocation",
+                java.nio.file.Files.createTempDirectory(
+                  java.nio.file.Paths.get(b), "prof_ckpt").toString))
+              q = w.start()
             }
-            def sideDrop(p: Column, typ: String, dst: String,
-                names: Seq[String]): Unit =
+            // mirrors StreamQueries.stageDrop (r19): stage both sides,
+            // then rename both in back-to-back, then process
+            def stageSide(p: Column, typ: String, dst: String, tag: String,
+                names: Seq[String]): () => Unit = {
+              val stage = java.nio.file.Files.createTempDirectory(s"prof_stage_$tag")
               ev.filter(p && col("event_type") === typ)
                 .select(col("tns").as(names(0)), col("event_id").as(names(1)),
                   col("user_id").as(names(2)))
-                .coalesce(4).write.mode("append").parquet(dst)
+                .coalesce(4).write.mode("overwrite").parquet(stage.toString)
+              () => {
+                val d = java.nio.file.Paths.get(dst)
+                Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+                  .filter(_.getName.endsWith(".parquet")).foreach { f =>
+                    java.nio.file.Files.move(f.toPath,
+                      d.resolve(s"$tag-${f.getName}"))
+                  }
+                org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+              }
+            }
             try {
               var i = 0
               Seq(col("tns") <= splitTs, col("tns") > splitTs).foreach { p =>
                 i += 1
                 time1(s"q48: drop $i writes") {
-                  sideDrop(p, "click", watchC, Seq("ctns", "click_id", "c_user"))
-                  sideDrop(p, "purchase", watchP, Seq("ptns", "purchase_id", "p_user"))
+                  val mvC = stageSide(p, "click", watchC, s"c$i",
+                    Seq("ctns", "click_id", "c_user"))
+                  val mvP = stageSide(p, "purchase", watchP, s"p$i",
+                    Seq("ptns", "purchase_id", "p_user"))
+                  mvC(); mvP()
                 }
                 time1(s"q48: micro-batch $i") { q.processAllAvailable() }
+                q.recentProgress.foreach(pr =>
+                  println(s"[prof] q48 progress: batch=${pr.batchId} " +
+                    s"durationMs=${pr.durationMs} " +
+                    s"stateRows=${pr.stateOperators.map(_.numRowsTotal).mkString(",")} " +
+                    s"stateCommitMs=${pr.stateOperators.map(_.commitTimeMs).mkString(",")}"))
               }
               time1("q48: sentinel writes") {
                 Seq((sentinelNs, -1L, -1L)).toDF("ctns", "click_id", "c_user")
