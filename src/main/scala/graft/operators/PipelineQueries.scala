@@ -577,6 +577,18 @@ object PipelineQueries {
     * out-links plus a ring edge per node (self-loops deflected to the
     * successor), so outdegree ≥ 1 and indegree ≥ 1 everywhere. Returns
     * (nodes, edges, n). */
+  /** Scale-adaptive shuffle width for the iterative graph family
+    * (r19, VERDICT item 7 — the GraphComponents pattern): ~2M edges
+    * per partition (≈32 MB blocks), clamped to the session's
+    * configured parallelism, threaded through explicit
+    * repartition(n, key) calls so each round's shuffles are sized from
+    * the DATA instead of inheriting the session constant (guide §2.2).
+    * Concurrency-safe: no session conf is mutated. */
+  private def adaptiveParts(s: SparkSession, rows: Long): Int = {
+    val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1L, math.min(sessionParts.toLong, rows / 2000000L + 1L)).toInt
+  }
+
   private def docLinkGraph(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Long) = {
     val docs = Tables.documents(s, dir).select("doc_id")
@@ -597,6 +609,7 @@ object PipelineQueries {
     val Scale = 1000000000000L
     val (docs, edges, n) = docLinkGraph(s, dir)
     val base = 15L * Scale / (100L * n)
+    val a = adaptiveParts(s, 4L * n) // ≤4 out-edges per node
     val ed = edges.join(edges.groupBy("src")
         .agg(count(lit(1)).as("outdeg")), "src")
       .cache()
@@ -606,6 +619,9 @@ object PipelineQueries {
     for (_ <- 1 to 6) {
       ranks = ranks.join(ed, col("node") === col("src"))
         .select(col("dst"), ldiv(col("rank"), col("outdeg")).as("c"))
+        // r19: the per-round aggregation exchange is sized from the
+        // edge count, not the session constant (adaptiveParts)
+        .repartition(a, col("dst"))
         .groupBy("dst")
         .agg((lit(base) + ldiv(lit(85L) * sum("c"), lit(100L))).as("rank"))
         .withColumnRenamed("dst", "node")
@@ -629,7 +645,8 @@ object PipelineQueries {
     * recursive CTE; both sides cap at 8 hops so the outputs agree even
     * for nodes whose true distance exceeds the cap (absent both sides). */
   def p18_bfs_hops(s: SparkSession, dir: String): DataFrame = {
-    val (docs, edges0, _) = docLinkGraph(s, dir)
+    val (docs, edges0, n) = docLinkGraph(s, dir)
+    val a = adaptiveParts(s, 4L * n)
     val edges = edges0.cache()
     edges.count() // eager fill: reused 8×
     var dist = docs.filter(col("doc_id") % 97L === 0L)
@@ -638,6 +655,8 @@ object PipelineQueries {
       dist = dist.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
         .unionByName(dist)
+        // r19: per-round min-relaxation exchange sized from the data
+        .repartition(a, col("node"))
         .groupBy("node").agg(min("dist").as("dist"))
         .localCheckpoint()
     }
@@ -668,6 +687,10 @@ object PipelineQueries {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct().cache()
+    // r19 measured negative: eager und.count()/oriented.count() fills
+    // ADDED ~0.15 s (3.11 -> 3.26 s) — in local mode the BlockManager's
+    // per-block getOrElseUpdate already serializes racing fills, so the
+    // extra fill jobs buy nothing. Left lazy deliberately.
     // undirected degree per node (both endpoints)
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
@@ -968,11 +991,18 @@ object PipelineQueries {
     val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .cache()
-    sym.count() // eager fill: reused 4×
+    val nSym = sym.count() // eager fill: reused 4×
+    val a = adaptiveParts(s, nSym)
     var lab = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to 4) {
       lab = lab.join(sym, col("node") === col("src"))
+        // r19 (guide §2.4): ONE exchange per round instead of two —
+        // HashPartitioning(dst) satisfies the clustering of BOTH the
+        // (dst, label) vote count AND the per-node argmin, so
+        // pre-partitioning by dst alone (at the data-derived width)
+        // lets the second groupBy reuse the first's partitioning
+        .repartition(a, col("dst"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("dst").as("node"))

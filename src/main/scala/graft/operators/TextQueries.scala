@@ -417,6 +417,20 @@ object TextQueries {
     // The heap's ord is a double: rounding −hv to 53 bits is monotone, and
     // the exact long hv tie-break restores a total order, so the k-min
     // set is still exact.
+    //
+    // r19 (VERDICT item 8) measured NEGATIVES, both reverted:
+    //  - cube("source") + countDistinct folding perSrc/unionAll into one
+    //    grouping-sets pass REGRESSED 2.56 -> 4.37 s isolated (Expand
+    //    doubles the shuffled rows and the (gid, source, hv) distinct
+    //    aggregate costs more than the corpus explode it saves);
+    //  - eagerly localCheckpoint'ing the tiny sketch was neutral-to-
+    //    negative: all of t13's redundant subtrees run as PARALLEL
+    //    stages of one noop job, so on an under-utilized 32-core box
+    //    the recomputes are nearly free wall-clock while the checkpoint
+    //    adds a serial barrier.
+    // What SHIPPED is the one-pass exact intersection below (one corpus
+    // subtree removed, no new barrier — neutral at sf0.1, one fewer
+    // full pass at 100 TB).
     val sk = graft.plans.TopKPerKey(
         tok.withColumn("neg", (-col("hv")).cast("double")),
         Seq("source"), "neg", "hv", k)
@@ -441,8 +455,12 @@ object TextQueries {
       .join(skB.withColumnRenamed("hv", "hb"), col("hv") === col("hb"), "left_semi")
       .agg(count(lit(1)).as("rho"))
       .crossJoin(ab.agg(max("hv").as("kth")))
-    val iExact = tok.filter(col("source") === "src0").select("hv")
-      .intersect(tok.filter(col("source") === "src1").select("hv"))
+    // exact intersection in ONE pass: tok is distinct (source, hv), so
+    // an hv lives in both sources iff its filtered group has 2 rows —
+    // replaces the 2-subtree intersect that re-derived tok twice
+    val iExact = tok.filter(col("source").isin("src0", "src1"))
+      .groupBy("hv").agg(count(lit(1)).as("nsrc"))
+      .filter(col("nsrc") === 2L)
       .agg(count(lit(1)).as("n_exact"))
     val inter = iExact.crossJoin(abStats)
       .select(lit("__inter_src0_src1").as("scope"), col("n_exact"),

@@ -47,6 +47,71 @@ object ProfileR19 {
 
     val what = if (args.isEmpty) Set("dedup", "stream") else args.toSet
 
+    if (what("sub")) {
+      // fine-grained replica of verifiedPairs0's stages (scratch copy,
+      // kept in lockstep with DedupQueries)
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFunctions._
+      for (round <- 1 to 2) {
+        println(s"--- verifiedPairs sub-stages, pass $round ---")
+        reset()
+        val base = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"),
+            md5(col("text").cast("binary")).as("digest"))
+        val groups = base.groupBy("digest")
+          .agg(min("doc_id").as("rep_id"), count(lit(1)).as("gsz"))
+        val members = base.join(groups, "digest")
+          .select("doc_id", "rep_id", "gsz").cache()
+        time1("sub: members cache fill") { members.count() }
+        val reps = Tables.documents(spark, sfDir).select("doc_id", "text")
+          .join(members.filter(col("doc_id") === col("rep_id"))
+            .select("doc_id"), Seq("doc_id"), "left_semi")
+        val r = 8
+        val docsNoCache = reps
+          .withColumn("hs", graft.plans.TokenHashesSorted(col("text")))
+          .select(col("doc_id"),
+            minhashFromHashes(col("hs"), 2 * r).as("sig"),
+            col("hs").as("tk"))
+        time1("sub: tokenize+sketch noop (no cache)") {
+          noop(docsNoCache)
+        }
+        val docs = docsNoCache.cache()
+        time1("sub: docs cache fill (count)") { docs.count() }
+        val bands0 = docs.select(col("doc_id"), col("sig"), col("tk"), explode(
+          transform(sequence(lit(0), lit(1)), b =>
+            struct(b.as("band"),
+              concat_ws("_", slice(col("sig"), b * r + 1, lit(r))).as("key"))))
+          .as("bk"))
+          .select(col("doc_id"), col("sig"), col("tk"),
+            col("bk.band"), col("bk.key"))
+        val counts = bands0.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("bucket_n")).cache()
+        time1("sub: bucket counts cache fill") { counts.count() }
+        val joined = bands0.join(counts, Seq("band", "key"))
+          .withColumn("bsalt", lit(0L)).withColumn("tgrp", lit(0L))
+          .drop("bucket_n")
+        val pairs = joined.as("x").join(joined.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.tgrp") === col("y.tgrp") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .filter(graft.plans.EqCount(col("x.sig"), col("y.sig")) >= 2 * r - 2)
+          .filter(least(size(col("x.tk")), size(col("y.tk"))) * 100 >=
+            greatest(size(col("x.tk")), size(col("y.tk"))) * 99)
+          .withColumn("inter",
+            graft.plans.SortedIntersectSize(col("x.tk"), col("y.tk")).cast("double"))
+          .withColumn("jaccard", col("inter") /
+            (size(col("x.tk")) + size(col("y.tk")) - col("inter")).cast("double"))
+          .filter(col("jaccard") >= 0.99)
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("jaccard"))
+          .distinct()
+        time1("sub: band self-join + verify + distinct (approx, no split)") {
+          noop(pairs)
+        }
+        members.unpersist(); docs.unpersist(); counts.unpersist()
+      }
+    }
+
     if (what("dedup")) {
       import graft.operators.DedupQueries
       // run twice: first pass absorbs JIT, read the second
